@@ -1,0 +1,715 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llm.MockLlmClient
+import graft.ops._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** The operator-coverage query suite: one entry per implemented operator from
+  * SURVEY.md §2 plus the training-data-pipeline families (dedup, ANN, text
+  * analysis, multimodal).
+  *
+  * Every semantic (LLM) operator runs against [[MockLlmClient]], whose
+  * outputs are pure functions of the prompt — which makes each query
+  * expressible in ANSI SQL for the driver's DuckDB oracle
+  * (CORRECTNESS gate). Column names are aligned between the Spark result and
+  * the oracle SQL; floats are rounded and ints widened to BIGINT on both
+  * sides so value hashing agrees.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val client = MockLlmClient()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** (name, query, optional oracle SQL). Ordering = rough SURVEY §2 order. */
+  lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
+    sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal
+
+  // ---------------------------------------------------------------- relational
+
+  private def relational: Seq[(String, Q, Option[String])] = Seq(
+    (
+      "q01_code_reduce_tpch1",
+      (s: SparkSession, dir: String) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1995-09-01").cast("timestamp"))
+        CodeReduce(li, Seq("l_returnflag", "l_linestatus"), Seq(
+          "sum_qty" -> "cast(round(sum(l_quantity),2) as double)",
+          "sum_base_price" -> "cast(round(sum(l_extendedprice),2) as double)",
+          "sum_disc_price" -> "cast(round(sum(l_extendedprice*(1-l_discount)),2) as double)",
+          "avg_qty" -> "cast(round(avg(l_quantity),4) as double)",
+          "avg_price" -> "cast(round(avg(l_extendedprice),4) as double)"
+        ), name = "q01")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(l_quantity),2) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(l_extendedprice),2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(l_extendedprice*(1-l_discount)),2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(avg(l_quantity),4) AS DOUBLE) AS avg_qty,
+               CAST(round(avg(l_extendedprice),4) AS DOUBLE) AS avg_price,
+               CAST(count(*) AS BIGINT) AS "_counts_prereduce_q01"
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1995-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""")
+    ),
+    (
+      "q02_code_map",
+      (s: SparkSession, dir: String) =>
+        CodeMap(t(s, dir, "part"),
+          outputs = Seq(
+            "retail_tier" -> ("CASE WHEN p_retailprice < 1000 THEN 'low' " +
+              "WHEN p_retailprice < 1500 THEN 'mid' ELSE 'high' END"),
+            "name_tokens" -> "cast(size(split(p_name, ' ')) as bigint)"),
+          dropKeys = Seq("p_brand"))
+          .select("p_partkey", "retail_tier", "name_tokens"),
+      Some("""
+        SELECT p_partkey,
+               CASE WHEN p_retailprice < 1000 THEN 'low'
+                    WHEN p_retailprice < 1500 THEN 'mid' ELSE 'high' END AS retail_tier,
+               CAST(len(string_split(p_name, ' ')) AS BIGINT) AS name_tokens
+        FROM part""")
+    ),
+    (
+      "q03_join_agg",
+      (s: SparkSession, dir: String) => {
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            expr("cast(round(sum(o_totalprice),2) as double)").as("revenue"),
+            count(lit(1)).as("n_orders"))
+      },
+      Some("""
+        SELECT n_name,
+               CAST(round(sum(o_totalprice),2) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""")
+    ),
+    (
+      "q04_window_events",
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("prev_value", round(lag(col("value"), 1).over(w), 4))
+          .withColumn("running_sum",
+            round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .select("event_id", "user_id", "prev_value", "running_sum", "rn")
+      },
+      Some("""
+        SELECT event_id, user_id,
+               round(lag(value, 1) OVER w, 4) AS prev_value,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 4) AS running_sum,
+               CAST(row_number() OVER w AS BIGINT) AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")
+    ),
+    (
+      "q05_tpch3_topk",
+      (s: SparkSession, dir: String) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+          .groupBy(col("l_orderkey"))
+          .agg(expr("cast(round(sum(l_extendedprice*(1-l_discount)),2) as double)")
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey,
+               CAST(round(sum(l_extendedprice*(1-l_discount)),2) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+    ),
+    (
+      "q06_sessionize",
+      // `ts` is nanosecond parquet -> read as Long ns (nanosAsLong); the gap
+      // test is integer ns arithmetic, bit-identical on both engines.
+      (s: SparkSession, dir: String) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gap = col("ts") - lag(col("ts"), 1).over(w)
+        t(s, dir, "events")
+          .withColumn("_new", when(gap.isNull || gap > 300000000000L, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .select("event_id", "user_id", "session_id")
+      },
+      Some("""
+        WITH g AS (
+          SELECT event_id, user_id, ts,
+                 epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events)
+        SELECT event_id, user_id,
+               CAST(sum(CASE WHEN gap IS NULL OR gap > 300000000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS session_id
+        FROM g""")
+    ),
+    (
+      "q07_add_uuid",
+      (s: SparkSession, dir: String) =>
+        AddUuid(t(s, dir, "orders"), "q07")
+          .agg(count(lit(1)).as("n_rows"), countDistinct(col("q07_id")).as("n_distinct")),
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_distinct
+        FROM orders""")
+    ))
+
+  // ---------------------------------------------------------------- reshape
+
+  /** Shared oracle CTE: documents tokenized + chunked by 32 tokens. */
+  private val chunkCte = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (SELECT doc_id, toks, CAST(ceil(len(toks)/32.0) AS BIGINT) AS nc FROM t),
+    chunks AS (
+      SELECT doc_id AS sp_id,
+             unnest(range(1, nc+1)) AS sp_chunk_num,
+             unnest(list_transform(range(1, nc+1),
+               i -> array_to_string(toks[((i-1)*32+1):((i-1)*32+32)], ' '))) AS text_chunk
+      FROM c)"""
+
+  private def splitDocs(s: SparkSession, dir: String): DataFrame =
+    SplitOp.byTokenCount(t(s, dir, "documents"), "sp", "text", 32, docIdExpr = "doc_id")
+
+  private def reshape: Seq[(String, Q, Option[String])] = Seq(
+    (
+      "q08_split_tokens",
+      (s: SparkSession, dir: String) =>
+        splitDocs(s, dir).select(
+          col("sp_id").cast("long"),
+          col("sp_chunk_num").cast("long"),
+          col("text_chunk")),
+      Some(s"$chunkCte SELECT sp_id, sp_chunk_num, text_chunk FROM chunks")
+    ),
+    (
+      "q09_split_delimiter",
+      (s: SparkSession, dir: String) =>
+        SplitOp.byDelimiter(t(s, dir, "documents"), "sd", "text",
+          delimiter = " batch ", numSplitsToGroup = 2, docIdExpr = "doc_id")
+          .select(col("sd_id").cast("long"), col("sd_chunk_num").cast("long"),
+            col("text_chunk")),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' batch ') AS ps FROM documents),
+        c AS (SELECT doc_id, ps, CAST(ceil(len(ps)/2.0) AS BIGINT) AS nc FROM t)
+        SELECT doc_id AS sd_id,
+               unnest(range(1, nc+1)) AS sd_chunk_num,
+               unnest(list_transform(range(1, nc+1),
+                 i -> array_to_string(ps[((i-1)*2+1):((i-1)*2+2)], ' batch '))) AS text_chunk
+        FROM c""")
+    ),
+    (
+      "q10_unnest",
+      (s: SparkSession, dir: String) => {
+        val withArr = t(s, dir, "documents")
+          .withColumn("tok", slice(split(col("text"), " "), 1, 5))
+        UnnestOp.list(withArr, "tok").select("doc_id", "tok")
+      },
+      Some("""
+        SELECT doc_id, unnest((string_split(text, ' '))[1:5]) AS tok
+        FROM documents""")
+    ),
+    (
+      "q11_unnest_columns",
+      (s: SparkSession, dir: String) => {
+        val nested = t(s, dir, "documents")
+          .select(col("doc_id"), struct(col("lang"), col("source")).as("meta"), col("n_chars"))
+        UnnestColumnsOp(nested, "meta")
+      },
+      Some("SELECT doc_id, n_chars, lang, source FROM documents")
+    ),
+    (
+      "q12_gather",
+      (s: SparkSession, dir: String) =>
+        GatherOp(splitDocs(s, dir), "text_chunk", "sp_id", "sp_chunk_num", 1, 1)
+          .select(col("sp_id").cast("long"), col("sp_chunk_num").cast("long"),
+            col("text_chunk_rendered")),
+      Some(s"""$chunkCte
+        SELECT sp_id, sp_chunk_num,
+               concat_ws(chr(10),
+                 lag(text_chunk) OVER w,
+                 '--- current ---' || chr(10) || text_chunk,
+                 lead(text_chunk) OVER w) AS text_chunk_rendered
+        FROM chunks
+        WINDOW w AS (PARTITION BY sp_id ORDER BY sp_chunk_num)""")
+    ))
+
+  // ---------------------------------------------------------------- sampling
+
+  private def sampling: Seq[(String, Q, Option[String])] = Seq(
+    (
+      "q13_sample_first",
+      (s: SparkSession, dir: String) =>
+        SampleOp.first(t(s, dir, "orders"), 100, Seq("o_orderkey"))
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 100""")
+    ),
+    (
+      "q14_sample_hash",
+      (s: SparkSession, dir: String) =>
+        SampleOp.uniformHash(t(s, dir, "orders"), "o_orderkey", 0.1)
+          .select("o_orderkey"),
+      Some("""
+        SELECT o_orderkey FROM orders
+        WHERE ((o_orderkey*9301 + 49297) % 233280) < 23328""")
+    ),
+    (
+      "q15_sample_stratified",
+      (s: SparkSession, dir: String) =>
+        SampleOp.stratified(t(s, dir, "lineitem"), "l_returnflag", 50,
+          Seq("l_orderkey", "l_linenumber"))
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber").cast("long"), col("l_quantity")),
+      Some("""
+        SELECT l_returnflag, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               l_quantity
+        FROM lineitem
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY l_orderkey, l_linenumber) <= 50""")
+    ),
+    (
+      "q16_sample_outliers",
+      (s: SparkSession, dir: String) =>
+        SampleOp.outliers(t(s, dir, "embeddings"), "embedding",
+          stdCutoff = None, samples = Some(20), keep = true, tieBreak = Seq("vec_id"))
+          .select("vec_id"),
+      Some("""
+        WITH e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                          unnest(range(1, len(embedding)+1)) AS i FROM embeddings),
+        m AS (SELECT i, avg(v) AS mv FROM e GROUP BY i),
+        dist AS (SELECT vec_id, sqrt(sum((v-mv)*(v-mv))) AS dd
+                 FROM e JOIN m USING (i) GROUP BY vec_id)
+        SELECT vec_id FROM dist ORDER BY dd DESC, vec_id LIMIT 20""")
+    ),
+    (
+      "q17_topk_bm25",
+      (s: SparkSession, dir: String) =>
+        TopKOp.bm25(t(s, dir, "documents"), "text", Seq("spark", "window", "join"),
+          k = 10, tieBreak = Seq("doc_id"))
+          .select(col("doc_id"), round(col("_score"), 5).as("score")),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        s AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                CAST(len(list_filter(toks, x -> x='spark')) AS DOUBLE) AS tf0,
+                CAST(len(list_filter(toks, x -> x='window')) AS DOUBLE) AS tf1,
+                CAST(len(list_filter(toks, x -> x='join')) AS DOUBLE) AS tf2 FROM t),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+                CAST(sum(CASE WHEN tf0>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                CAST(sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                CAST(sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM s),
+        sc AS (SELECT doc_id,
+                ln((n - df0 + 0.5)/(df0 + 0.5) + 1.0) * tf0 * 2.2 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+                ln((n - df1 + 0.5)/(df1 + 0.5) + 1.0) * tf1 * 2.2 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+                ln((n - df2 + 0.5)/(df2 + 0.5) + 1.0) * tf2 * 2.2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl))
+                AS raw FROM s, st)
+        SELECT doc_id, CAST(round(raw, 5) AS DOUBLE) AS score FROM sc
+        ORDER BY raw DESC, doc_id LIMIT 10""")
+    ),
+    (
+      "q18_topk_embedding",
+      (s: SparkSession, dir: String) =>
+        TopKOp.embedding(t(s, dir, "embeddings"), "embedding", queryVec, 15,
+          tieBreak = Seq("vec_id"))
+          .select(col("vec_id"), round(col("_score"), 6).as("score")),
+      Some(s"""
+        WITH s AS (SELECT vec_id,
+          list_dot_product(CAST(embedding AS DOUBLE[]), $queryVecSql)
+            / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * $queryNormSql) AS raw
+          FROM embeddings)
+        SELECT vec_id, CAST(round(raw, 6) AS DOUBLE) AS score FROM s
+        ORDER BY raw DESC, vec_id LIMIT 15""")
+    ),
+    (
+      "q19_rank_embedding",
+      (s: SparkSession, dir: String) =>
+        RankOp.byEmbedding(t(s, dir, "embeddings"), "embedding", queryVec,
+          direction = "desc", tieBreak = Seq("vec_id"))
+          .select(col("vec_id"), col("_rank")),
+      Some(s"""
+        SELECT vec_id, CAST(row_number() OVER (ORDER BY
+          round(list_dot_product(CAST(embedding AS DOUBLE[]), $queryVecSql)
+            / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * $queryNormSql), 6) DESC,
+          vec_id) AS BIGINT) AS "_rank"
+        FROM embeddings""")
+    ))
+
+  /** Fixed query vector for embedding queries; the SQL literal is generated
+    * from the same doubles so both engines see identical values. */
+  private lazy val queryVec: Array[Double] = Array.tabulate(64)(i => math.sin(i + 1.0))
+  private lazy val queryVecSql: String =
+    queryVec.map(v => f"$v%.17g").mkString("[", ",", "]") + "::DOUBLE[]"
+  private lazy val queryNormSql: String =
+    f"${math.sqrt(queryVec.map(x => x * x).sum)}%.17g"
+
+  // ---------------------------------------------------------------- text analysis
+
+  private def textAnalysis: Seq[(String, Q, Option[String])] = Seq(
+    (
+      "q20_text_stats",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tok"),
+          round(TF.avgWordLength(col("text")), 4).as("avg_wlen"),
+          round(TF.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TF.stopwordRatio(col("text")), 4).as("stop_ratio"),
+          TF.qualityScore(col("text")).as("quality")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks,
+                          string_split(lower(text),' ') AS ltoks FROM documents),
+        b AS (SELECT doc_id, text,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS avg_wlen_raw,
+               CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text) AS punct_raw,
+               CAST(len(list_filter(ltoks, x -> x IN ($stopwordsSql))) AS DOUBLE) / len(ltoks) AS stop_raw
+              FROM t)
+        SELECT doc_id, n_tok,
+               round(avg_wlen_raw, 4) AS avg_wlen,
+               round(punct_raw, 4) AS punct_ratio,
+               round(stop_raw, 4) AS stop_ratio,
+               round((least(CAST(n_tok AS DOUBLE)/100.0, 1.0) + least(stop_raw*5.0, 1.0) +
+                      greatest(0.0, 1.0 - punct_raw*5.0)) / 3.0, 6) AS quality
+        FROM b""")
+    ),
+    (
+      "q21_lang_id",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").select(
+          col("doc_id"), TF.langId(col("text")).as("lang_pred")),
+      Some(langIdOracle)
+    ),
+    (
+      "q22_fingerprint",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").select(
+          col("doc_id"), TF.fingerprint(col("text")).as("fp")),
+      Some("""
+        SELECT doc_id,
+               md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents""")
+    ))
+
+  private lazy val stopwordsSql: String =
+    TF.EnglishStopwords.map(w => s"'$w'").mkString(",")
+
+  private lazy val langIdOracle: String = {
+    val scores = TF.LangMarkers.map { case (lang, markers) =>
+      val inList = markers.map(m => s"'$m'").mkString(",")
+      s"CAST(len(list_filter(ltoks, x -> x IN ($inList))) AS BIGINT) AS sc_$lang"
+    }.mkString(",\n               ")
+    val best = TF.LangMarkers.map(m => s"sc_${m._1}")
+      .reduceRight((a, b) => s"greatest($a, $b)")
+    val cases = TF.LangMarkers.map { case (lang, _) =>
+      s"WHEN sc_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString("\n               ")
+    s"""
+        WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS ltoks FROM documents),
+        sc AS (SELECT doc_id,
+               $scores
+               FROM t),
+        b AS (SELECT *, $best AS best FROM sc)
+        SELECT doc_id,
+               CASE $cases
+               ELSE 'und' END AS lang_pred
+        FROM b"""
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  private def dedup: Seq[(String, Q, Option[String])] = Seq(
+    (
+      "q23_dedup_exact",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.ExactDedup(t(s, dir, "documents"), "text", "doc_id")
+          .select("doc_id"),
+      Some("""
+        SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))""")
+    ),
+    (
+      "q24_dedup_minhash",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.MinHashDedup.candidatePairs(t(s, dir, "documents"),
+          "doc_id", "text", shingleSize = 3, numPerms = 64, numBands = 16,
+          jaccardThreshold = 0.8),
+      // Brute-force all-pairs oracle: LSH recall at j>=0.8 with 16 bands of 4
+      // is ~99.98% per pair; the planted dups sit at j~0.95+ where recall is
+      // effectively 1, and the Jaccard verify removes all band false positives.
+      Some("""
+        WITH t AS (SELECT doc_id, list_distinct(list_transform(
+                     range(1, len(string_split(text,' ')) - 1),
+                     i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+                   FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8""")
+    ),
+    (
+      "q25_dedup_ngram",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.NgramJaccardDedup.pairs(t(s, dir, "documents"),
+          "doc_id", "text", "concat(lang, '|', source)", n = 3, threshold = 0.2),
+      Some("""
+        WITH t AS (SELECT doc_id, lang || '|' || source AS blk,
+                     list_distinct(list_transform(
+                       range(1, len(string_split(text,' ')) - 1),
+                       i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+                   FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.2""")
+    ),
+    (
+      "q26_dedup_simhash",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          graft.dedup.SimHashDedup.simhash(col("text")).as("simhash")),
+      None // xxhash64 seeds are engine-internal; covered by ScalaTest instead.
+    ),
+    (
+      "q27_dedup_embedding",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.EmbeddingDedup.pairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, numPlanes = 8, cosineThreshold = 0.9),
+      None // hyperplane RNG is engine-internal; covered by ScalaTest instead.
+    ))
+
+  // ---------------------------------------------------------------- ann
+
+  private def ann: Seq[(String, Q, Option[String])] = Seq(
+    (
+      "q28_ann_bruteforce",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        graft.ann.Ann.bruteForce(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        s AS (SELECT qid, cid,
+                CAST(round(list_dot_product(qe, ce) /
+                  (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS DOUBLE) AS score
+              FROM q, c WHERE cid <> qid)
+        SELECT qid AS query_id, cid AS neighbor_id, score FROM s
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) <= 3""")
+    ),
+    (
+      "q29_ann_ivf",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = graft.ann.Ann.trainCentroids(emb, "embedding", 8)
+        val assigned = graft.ann.Ann.ivfAssign(emb, "embedding", centroids)
+        graft.ann.Ann.ivfSearch(assigned, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          centroids, k = 3, nProbe = 2)
+      },
+      None // KMeans centroids are engine-internal; recall vs brute force is ScalaTested.
+    ))
+
+  // ---------------------------------------------------------------- semantic (mock LLM)
+
+  private def semantic: Seq[(String, Q, Option[String])] = Seq(
+    (
+      "q30_sem_map",
+      (s: SparkSession, dir: String) =>
+        SemanticMap(t(s, dir, "documents"), SemanticMapConfig(
+          name = "q30", prompt = "{{ input.text }}",
+          outputSchema = Seq("sentiment" -> "str")), client)
+          .select("doc_id", "sentiment"),
+      Some("""
+        SELECT doc_id,
+               CASE WHEN contains(text, 'fast') THEN 'positive'
+                    WHEN contains(text, 'slow') THEN 'negative'
+                    ELSE 'neutral' END AS sentiment
+        FROM documents""")
+    ),
+    (
+      "q31_sem_filter",
+      (s: SparkSession, dir: String) =>
+        SemanticFilter(t(s, dir, "documents"), SemanticMapConfig(
+          name = "q31", prompt = "{{ input.text }}",
+          outputSchema = Seq("keep" -> "bool")), client)
+          .select("doc_id"),
+      Some("SELECT doc_id FROM documents WHERE len(text) % 2 = 0")
+    ),
+    (
+      "q32_sem_parallel_map",
+      (s: SparkSession, dir: String) =>
+        ParallelMap(t(s, dir, "documents"), "q32", Seq(
+          ParallelMap.SubPrompt("{{ input.text }}", Seq("sentiment" -> "str")),
+          ParallelMap.SubPrompt("{{ input.text }}", Seq("token_estimate" -> "int"))),
+          client)
+          .select("doc_id", "sentiment", "token_estimate"),
+      Some("""
+        SELECT doc_id,
+               CASE WHEN contains(text, 'fast') THEN 'positive'
+                    WHEN contains(text, 'slow') THEN 'negative'
+                    ELSE 'neutral' END AS sentiment,
+               CAST(len(text) AS BIGINT) AS token_estimate
+        FROM documents""")
+    ),
+    (
+      "q33_sem_reduce",
+      (s: SparkSession, dir: String) =>
+        SemanticReduce(t(s, dir, "documents"), SemanticReduce.Config(
+          name = "q33", reduceKeys = Seq("lang"), memberExpr = "text",
+          orderKey = "doc_id", outputSchema = Seq("summary" -> "str")), client),
+      Some("""
+        SELECT lang,
+               'docs=' || count(*) || ' chars=' || (sum(len(text)) + count(*) - 1) AS summary,
+               CAST(count(*) AS BIGINT) AS "_counts_prereduce_q33"
+        FROM documents GROUP BY lang""")
+    ),
+    (
+      "q34_sem_reduce_fold",
+      (s: SparkSession, dir: String) =>
+        SemanticReduce(t(s, dir, "documents"), SemanticReduce.Config(
+          name = "q34", reduceKeys = Seq("source"), memberExpr = "text",
+          orderKey = "doc_id", outputSchema = Seq("summary" -> "str"),
+          strategy = "fold", foldBatchSize = 10), client),
+      None // fold-chain prompts are recursive; covered by ScalaTest.
+    ),
+    (
+      "q35_resolve",
+      (s: SparkSession, dir: String) =>
+        ResolveOp(t(s, dir, "part"), ResolveOp.Config(
+          name = "q35", idKey = "p_partkey", blockExpr = "p_type",
+          compareExpr = "concat(p_brand, '|', p_type)",
+          resolveKeys = Seq("p_name")), client)
+          .select("p_partkey", "p_name"),
+      Some("""
+        SELECT p_partkey,
+               min(p_name) OVER (PARTITION BY p_brand, p_type) AS p_name
+        FROM part""")
+    ),
+    (
+      "q36_equijoin",
+      (s: SparkSession, dir: String) =>
+        EquijoinOp(t(s, dir, "customer"), t(s, dir, "nation"), EquijoinOp.Config(
+          name = "q36", condition = "c_nationkey = n_nationkey",
+          compareExprLeft = "cast(c_nationkey as string)",
+          compareExprRight = "cast(n_nationkey as string)",
+          llmVerify = true), client)
+          .select("c_custkey", "c_name", "n_name"),
+      Some("""
+        SELECT c_custkey, c_name, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey""")
+    ),
+    (
+      "q37_equijoin_limits",
+      (s: SparkSession, dir: String) =>
+        EquijoinOp(t(s, dir, "customer"), t(s, dir, "orders"), EquijoinOp.Config(
+          name = "q37", condition = "c_custkey = o_custkey",
+          limitLeft = Some(3), leftIdKey = "c_custkey", rightIdKey = "o_orderkey"),
+          client)
+          .select("c_custkey", "o_orderkey"),
+      Some("""
+        SELECT c_custkey, o_orderkey
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY o_orderkey) <= 3""")
+    ),
+    (
+      "q38_extract_regex",
+      (s: SparkSession, dir: String) =>
+        ExtractOp.regex(t(s, dir, "documents"), "q38", "text", "sp[a-z]+")
+          .select("doc_id", "text_extracted_q38"),
+      Some("""
+        SELECT doc_id,
+               coalesce(array_to_string(regexp_extract_all(text, 'sp[a-z]+'), chr(10) || chr(10)), '')
+                 AS text_extracted_q38
+        FROM documents""")
+    ),
+    (
+      "q39_extract_lines",
+      (s: SparkSession, dir: String) =>
+        ExtractOp.lineNumber(t(s, dir, "documents"), "q39", "text",
+          "pick the relevant lines", client)
+          .select("doc_id", "text_extracted_q39"),
+      // Mock returns ranges "1-2" over 80-col lines -> first 160 chars.
+      Some("SELECT doc_id, substr(text, 1, 160) AS text_extracted_q39 FROM documents")
+    ),
+    (
+      "q40_rank_likert",
+      (s: SparkSession, dir: String) =>
+        RankOp.byLikert(t(s, dir, "documents"), "q40", "{{ input.text }}", client,
+          tieBreak = Seq("doc_id"))
+          .select("doc_id", "rating", "_rank"),
+      Some("""
+        SELECT doc_id, CAST(1 + len(text) % 7 AS BIGINT) AS rating,
+               CAST(row_number() OVER (ORDER BY (1 + len(text) % 7) DESC, doc_id)
+                 AS BIGINT) AS "_rank"
+        FROM documents""")
+    ),
+    (
+      "q41_cluster",
+      (s: SparkSession, dir: String) =>
+        ClusterOp(t(s, dir, "embeddings"), "embedding", "cast(vec_id as string)",
+          numClusters = 8, client)
+          .select(col("vec_id"), element_at(col("clusters"), 1).as("cluster_summary")),
+      None // KMeans assignment is engine-internal; covered by ScalaTest.
+    ))
+
+  // ---------------------------------------------------------------- multimodal
+
+  private def multimodal: Seq[(String, Q, Option[String])] = Seq(
+    (
+      "q42_multimodal_meta",
+      (s: SparkSession, dir: String) =>
+        graft.multimodal.BinaryOps.withImageMeta(
+          t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+          "payload")
+          .select(col("doc_id"),
+            col("image_meta.width").cast("long").as("width"),
+            col("image_meta.height").cast("long").as("height"),
+            col("image_meta.channels").cast("long").as("channels"),
+            col("image_meta.format").as("format")),
+      Some("""
+        SELECT doc_id,
+               CAST(128 + octet_length(encode(text)) % 1024 AS BIGINT) AS width,
+               CAST(128 + (octet_length(encode(text)) * 7) % 1024 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels,
+               CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        FROM documents""")
+    ),
+    (
+      "q43_multimodal_frames",
+      (s: SparkSession, dir: String) =>
+        graft.multimodal.BinaryOps.sampleFrames(
+          t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+          "payload", n = 4)
+          .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+            length(col("frame_bytes")).cast("long").as("frame_len")),
+      None // byte-slice stub; plumbing (fan-out arity) is ScalaTested.
+    ))
+}

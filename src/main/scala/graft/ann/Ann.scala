@@ -1,0 +1,104 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * - `bruteForce`: exact cosine top-k — the correctness baseline. The query
+  *   set is broadcast (small side), the corpus streams; per-query top-k via a
+  *   window. Fine whenever |queries| * |corpus| partitions fit executors.
+  * - `ivf`: inverted-file variant — corpus is pre-assigned to the nearest of
+  *   `nCentroids` k-means centroids; at query time only `nProbe` closest
+  *   cells are scanned. The scale path: scan cost drops by ~nCentroids/nProbe.
+  */
+object Ann {
+
+  /** Exact cosine top-k of `corpus` for every row of `queries`.
+    * Output: (query id, neighbor id, cosine score), k rows per query. */
+  def bruteForce(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryEmb).as("_qe"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("_ce"))
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .withColumn("score",
+        round(VectorFunctions.cosine(col("_qe"), col("_ce")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "score")
+  }
+
+  /** IVF index: assign each corpus row to its nearest centroid (cell).
+    * Centroids come from k-means over a sample (Spark ML), collected to the
+    * driver (O(nCentroids * dim)) and broadcast as literals. */
+  def ivfAssign(
+      corpus: DataFrame,
+      embCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(VectorFunctions.euclideanToConst(col(embCol), ctr).as("d"),
+        lit(i).as("cell"))
+    }
+    corpus.withColumn("_cell", least(dists: _*).getField("cell"))
+  }
+
+  /** Train `nCentroids` k-means centroids on (a sample of) the corpus. */
+  def trainCentroids(
+      corpus: DataFrame,
+      embCol: String,
+      nCentroids: Int,
+      maxIter: Int = 10,
+      seed: Long = 42): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = corpus.select(
+      array_to_vector(transform(col(embCol), _.cast("double"))).as("features"))
+    val model = new KMeans().setK(nCentroids).setMaxIter(maxIter).setSeed(seed)
+      .fit(vecs)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** IVF query: for each query, scan only the `nProbe` nearest cells. */
+  def ivfSearch(
+      assignedCorpus: DataFrame, // output of ivfAssign, has _cell
+      corpusId: String,
+      corpusEmb: String,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      centroids: Array[Array[Double]],
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    // nProbe nearest cells = slice of the distance-sorted cell array.
+    val sortedCells = array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(VectorFunctions.euclideanToConst(col(queryEmb), ctr).as("d"),
+        lit(i).as("cell"))
+    }: _*))
+    val probeCells = transform(slice(sortedCells, 1, nProbe), s => s.getField("cell"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryEmb).as("_qe"),
+      explode(probeCells).as("_cell"))
+    val c = assignedCorpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusEmb).as("_ce"), col("_cell"))
+    val scored = c.join(broadcast(q), Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(VectorFunctions.cosine(col("_qe"), col("_ce")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "score")
+  }
+}

@@ -1,0 +1,216 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines (driver mandate: core
+  * engine components beyond the reference's surface).
+  *
+  * Scale design notes (100 TB):
+  *   - Exact dedup is a hash-partition groupBy on a fingerprint — one shuffle
+  *     of (fingerprint, id), not documents.
+  *   - MinHash/SimHash candidate generation shuffles (band-key, id) pairs;
+  *     documents are only re-joined for the verify step on the (small)
+  *     candidate set.
+  *   - All-pairs comparisons only ever happen within LSH buckets, never
+  *     globally.
+  */
+object ExactDedup {
+
+  /** Keep one row per normalized-text fingerprint; winner = smallest
+    * `tieBreak`. One window over the fingerprint hash. */
+  def apply(df: DataFrame, textCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col("_graft_fp")).orderBy(col(tieBreak).asc)
+    df.withColumn("_graft_fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn", "_graft_fp")
+  }
+}
+
+object MinHashDedup {
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * shingle(n words) -> P permutation min-hashes (xxhash64 with per-perm
+    * seed) -> band keys (b bands of r = P/b) -> bucket self-join -> exact
+    * Jaccard verify on candidate pairs.
+    *
+    * Returns (idA, idB, jaccard) with idA < idB and jaccard >= threshold.
+    * Everything is native expressions; the only shuffles are the band-key
+    * groupBy and the verify join.
+    */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numPerms: Int = 64,
+      numBands: Int = 16,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    require(numPerms % numBands == 0, "numPerms must be divisible by numBands")
+    val rowsPerBand = numPerms / numBands
+    val sh = array_distinct(TextFunctions.shingles(col(textCol), shingleSize))
+    val docs = df.select(col(idCol).as("_id"), sh.as("_sh"))
+      .filter(size(col("_sh")) > 0)
+
+    // Signature: for each permutation p, min over shingles of xxhash64(p, s).
+    val sig = transform(
+      sequence(lit(0), lit(numPerms - 1)),
+      p => array_min(transform(col("_sh"), s => xxhash64(p, s))))
+    val signed = docs.withColumn("_sig", sig)
+
+    // Band keys: hash of each band's slice of the signature.
+    val bands = posexplode(transform(
+      sequence(lit(0), lit(numBands - 1)),
+      b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+    val banded = signed
+      .select(col("_id"), col("_sh"), bands.as(Seq("_band", "_bkey")))
+
+    // Bucket self-join -> distinct candidate pairs (idA < idB).
+    val l = banded.select(col("_band"), col("_bkey"),
+      col("_id").as("_ida"), col("_sh").as("_sha"))
+    val r = banded.select(col("_band"), col("_bkey"),
+      col("_id").as("_idb"), col("_sh").as("_shb"))
+    val cands = l.join(r, Seq("_band", "_bkey"))
+      .filter(col("_ida") < col("_idb"))
+      .select("_ida", "_idb", "_sha", "_shb")
+      .dropDuplicates("_ida", "_idb")
+
+    // Exact Jaccard verify on the candidate set only.
+    val inter = size(array_intersect(col("_sha"), col("_shb"))).cast("double")
+    val union = size(array_union(col("_sha"), col("_shb"))).cast("double")
+    cands
+      .withColumn("jaccard", round(inter / union, 6))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("_ida").as("id_a"), col("_idb").as("id_b"), col("jaccard"))
+  }
+
+  /** Dedup: drop every row that is the larger id of a near-dup pair. */
+  def apply(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numPerms: Int = 64,
+      numBands: Int = 16,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val dupIds = candidatePairs(df, idCol, textCol, shingleSize, numPerms,
+      numBands, jaccardThreshold).select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+}
+
+object SimHashDedup {
+
+  /** 64-bit SimHash per document: sign-sum of token-hash bits.
+    * Candidates = pairs agreeing on any 16-bit quarter of the simhash
+    * (catches Hamming distance <= 3 by pigeonhole), verified by true Hamming
+    * distance via bit_count(xor).
+    */
+  def simhash(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    val hashes = transform(array_distinct(toks), t => xxhash64(t))
+    // For each bit position, +1 if set else -1, summed over tokens; bit b of
+    // the simhash is 1 when the sum is positive.
+    // shiftright/shiftleft with a *column* shift amount need call_function
+    // (the Scala helpers only take Int literals).
+    val bitCols = sequence(lit(0), lit(63))
+    aggregate(
+      bitCols,
+      lit(0L),
+      (acc, b) => {
+        val bitSum = aggregate(
+          hashes, lit(0L),
+          (s, h) => s + when(
+            call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        acc + when(bitSum > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)
+      })
+  }
+
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val docs = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sh"))
+    val banded = docs.select(
+      col("_id"), col("_sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        q => call_function("shiftright", col("_sh"), q * 16)
+          .bitwiseAND(lit(0xFFFFL)))).as(Seq("_q", "_qk")))
+    val l = banded.select(col("_q"), col("_qk"), col("_id").as("id_a"), col("_sh").as("_sha"))
+    val r = banded.select(col("_q"), col("_qk"), col("_id").as("id_b"), col("_sh").as("_shb"))
+    l.join(r, Seq("_q", "_qk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("_sha").bitwiseXOR(col("_shb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}
+
+object NgramJaccardDedup {
+
+  /** Blocked n-gram Jaccard: pairs sharing a blocking key are compared by
+    * word n-gram Jaccard similarity. The blocking expression bounds the
+    * comparison set (never all-pairs). Returns (id_a, id_b, jaccard). */
+  def pairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockExpr: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = array_distinct(TextFunctions.shingles(col(textCol), n))
+    val docs = df.select(col(idCol).as("_id"), expr(blockExpr).as("_blk"), sh.as("_sh"))
+    val l = docs.select(col("_blk"), col("_id").as("id_a"), col("_sh").as("_sha"))
+    val r = docs.select(col("_blk"), col("_id").as("id_b"), col("_sh").as("_shb"))
+    val inter = size(array_intersect(col("_sha"), col("_shb"))).cast("double")
+    val union = size(array_union(col("_sha"), col("_shb"))).cast("double")
+    l.join(r, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(inter / union, 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}
+
+object EmbeddingDedup {
+
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH
+    * bucketing: sign-bit sketch of `numPlanes` fixed pseudo-random
+    * hyperplanes, bucket join on the sketch, cosine verify.
+    *
+    * The hyperplanes are derived deterministically from a seed so reruns (and
+    * the test oracle) agree. Candidates only form within buckets, so the
+    * verify join is linear-ish, not quadratic.
+    */
+  def pairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      numPlanes: Int = 8,
+      cosineThreshold: Double = 0.95,
+      seed: Long = 42): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(numPlanes, dim)(rng.nextGaussian())
+    val sketch = planes.zipWithIndex.map { case (p, i) =>
+      when(graft.functions.VectorFunctions.dot(
+        col(embCol), array(p.map(lit): _*)) > 0, 1L).otherwise(0L) * (1L << i)
+    }.reduce(_ + _)
+    val docs = df.select(col(idCol).as("_id"), col(embCol).as("_e"), sketch.as("_b"))
+    val l = docs.select(col("_b"), col("_id").as("id_a"), col("_e").as("_ea"))
+    val r = docs.select(col("_b"), col("_id").as("id_b"), col("_e").as("_eb"))
+    l.join(r, Seq("_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(graft.functions.VectorFunctions.cosine(col("_ea"), col("_eb")), 6))
+      .filter(col("cosine") >= cosineThreshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All pure `Column` expressions over `functions._` — codegen'd, no UDFs, so
+  * they run inside WholeStageCodegen at 100 TB. Each has an exact SQL
+  * equivalent for the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace token count (the BPE-ish regex variant is `tokenCountRegex`). */
+  def tokenCount(c: Column): Column = size(split(c, " "))
+
+  /** BPE-ish token estimate: count word pieces and digits/punctuation runs,
+    * approximating subword tokenizers without a vocab (offline container). */
+  def tokenCountRegex(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def charCount(c: Column): Column = length(c)
+
+  def avgWordLength(c: Column): Column =
+    length(regexp_replace(c, " ", "")).cast("double") / tokenCount(c)
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double") /
+      length(c)
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was", "for",
+    "on", "with", "as", "at", "by", "it", "that", "this")
+
+  /** Fraction of whitespace tokens that are stopwords. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = split(lower(c), " ")
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks)
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, some
+    * stopwords, low punctuation — the standard cheap pre-filter shape for
+    * pretraining corpora (cf. C4/Gopher rules, public). */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / 100.0, lit(1.0))
+    val swScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5.0)
+    round((lenScore + swScore + punctPenalty) / 3.0, 6)
+  }
+
+  /** Marker stopwords per language for the n-gram/marker language-ID
+    * heuristic. Public-knowledge frequent words. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "una", "para"),
+    "de" -> Seq("der", "die", "und", "das", "mit"),
+    "zh" -> Seq("的", "了", "是", "在", "我"))
+
+  /** Count occurrences of `term` as a whitespace token. */
+  private def tokenOccurrences(toks: Column, term: String): Column =
+    size(filter(toks, t => t === term))
+
+  /** Language ID: argmax of marker-token counts, ties broken by marker-list
+    * order, "und" when nothing matches. Deterministic and SQL-expressible. */
+  def langId(c: Column): Column = {
+    val toks = split(lower(c), " ")
+    val scored = LangMarkers.map { case (lang, markers) =>
+      lang -> markers.map(m => tokenOccurrences(toks, m)).reduce(_ + _)
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased text.
+    * Stable across engines (DuckDB md5 produces the same hex) — the exact
+    * dedup key for `ExactDedup`. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(trim(lower(c)), "\\s+", " "))
+
+  /** Word n-gram shingles as an array column (dedup building block). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = split(c, " ")
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.LlmClient
+
+/** LLM-verified fuzzy join (reference docetl/operations/equijoin.py:1-778).
+  *
+  * Candidate generation ("blocking") is a native Spark join on the given
+  * predicate — Catalyst picks broadcast/hash/sort-merge, so *pure-predicate*
+  * joins fast-path to a relational join with zero LLM calls when
+  * `llmVerify=false` (SURVEY.md §2.4: the reference always pays an LLM
+  * verify; we make it an optional stage). With `llmVerify=true`, surviving
+  * pairs get a `comparison_prompt` verdict via `mapPartitions`
+  * (equijoin.py:145-194).
+  *
+  * Matched pairs merge left+right with `_left`/`_right` suffixing on column
+  * collisions (equijoin.py:655-658); per-side fan-out caps `limits.left/
+  * right` are enforced with row_number windows (deterministic order by the
+  * other side's id — the reference's greedy completion order is thread-
+  * nondeterministic, documented in SURVEY.md §7.5.2).
+  */
+object EquijoinOp {
+
+  final case class Config(
+      name: String,
+      condition: String,            // SQL predicate over l.* / r.* columns
+      compareExprLeft: String = "", // render of {{ left }} for the verify prompt
+      compareExprRight: String = "",
+      llmVerify: Boolean = false,
+      model: String = "mock",
+      limitLeft: Option[Int] = None,  // max matches per left row
+      limitRight: Option[Int] = None, // max matches per right row
+      leftIdKey: String = "",
+      rightIdKey: String = "")
+
+  def apply(left: DataFrame, right: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
+    val collisions = left.columns.toSet.intersect(right.columns.toSet)
+    val l = collisions.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"${c}_left"))
+    val r = collisions.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"${c}_right"))
+    val lp = l.alias("l")
+    val rp = r.alias("r")
+    val candidates = lp.join(rp, expr(cfg.condition))
+
+    val verified =
+      if (!cfg.llmVerify) candidates
+      else {
+        val schema = candidates.schema
+        val withCmp = candidates
+          .withColumn("_cl", expr(cfg.compareExprLeft).cast("string"))
+          .withColumn("_cr", expr(cfg.compareExprRight).cast("string"))
+        val model = cfg.model
+        val s2 = withCmp.schema
+        withCmp.mapPartitions { it =>
+          it.filter { row =>
+            client.compare(model,
+              s"${row.getString(s2.fieldIndex("_cl"))}\n###\n${row.getString(s2.fieldIndex("_cr"))}")
+          }
+        }(Encoders.row(s2)).drop("_cl", "_cr")
+      }
+
+    val limitedL = cfg.limitLeft match {
+      case Some(n) =>
+        val lid = sideKey(cfg.leftIdKey, collisions, "_left")
+        val rid = sideKey(cfg.rightIdKey, collisions, "_right")
+        val w = Window.partitionBy(col(lid)).orderBy(col(rid).asc)
+        verified.withColumn("_graft_rn", row_number().over(w))
+          .filter(col("_graft_rn") <= n).drop("_graft_rn")
+      case None => verified
+    }
+    cfg.limitRight match {
+      case Some(n) =>
+        val lid = sideKey(cfg.leftIdKey, collisions, "_left")
+        val rid = sideKey(cfg.rightIdKey, collisions, "_right")
+        val w = Window.partitionBy(col(rid)).orderBy(col(lid).asc)
+        limitedL.withColumn("_graft_rn", row_number().over(w))
+          .filter(col("_graft_rn") <= n).drop("_graft_rn")
+      case None => limitedL
+    }
+  }
+
+  private def sideKey(key: String, collisions: Set[String], suffix: String): String =
+    if (collisions.contains(key)) s"$key$suffix" else key
+}

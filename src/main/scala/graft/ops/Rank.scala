@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.LlmClient
+
+/** LLM semantic ORDER BY (reference docetl/operations/rank.py:16-1109,
+  * type alias "order").
+  *
+  * Initial full ordering methods:
+  *   - `embedding`: cosine similarity to the criteria embedding
+  *     (rank.py:309) — a score column + global sort.
+  *   - `likert`: per-doc 1-7 LLM rating (rank.py:523) — a SemanticMap
+  *     producing `rating`, then sort.
+  *
+  * The 1-based `_rank` column (rank.py:50-51) is assigned with a
+  * sort + per-partition offset (`zipWithIndex`) — NOT a row_number over an
+  * unpartitioned window, which would collapse to a single task. The sort is
+  * range-partitioned, so this scales to the full corpus.
+  *
+  * "Picky window" refinement (rank.py:696-912) walks the top slice backwards
+  * re-ranking overlapping windows under a call budget — inherently
+  * sequential, so it runs on a *collected top-k slice* (k << n), which is
+  * correct at 100 TB because the slice is O(k) (SURVEY.md §7.5.3).
+  */
+object RankOp {
+
+  /** Global 1-based `_rank` by `sortCols`. */
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
+    val sorted = df.orderBy(sortCols: _*)
+    val schema = sorted.schema.add(StructField("_rank", LongType))
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  def byEmbedding(
+      df: DataFrame,
+      embeddingCol: String,
+      query: Array[Double],
+      direction: String = "desc",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val score = graft.functions.VectorFunctions.cosineToConst(col(embeddingCol), query)
+    val scored = df.withColumn("_graft_score", round(score, 6))
+    val ordered = (if (direction == "desc") col("_graft_score").desc
+                   else col("_graft_score").asc) +: tieBreak.map(col(_).asc)
+    withGlobalRank(scored, ordered).drop("_graft_score")
+  }
+
+  def byLikert(
+      df: DataFrame,
+      name: String,
+      promptTemplate: String,
+      client: LlmClient,
+      model: String = "mock",
+      direction: String = "desc",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val rated = SemanticMap(df, SemanticMapConfig(
+      name = name, prompt = promptTemplate,
+      outputSchema = Seq("rating" -> "int"), model = model), client)
+    val ordered = (if (direction == "desc") col("rating").desc
+                   else col("rating").asc) +: tieBreak.map(col(_).asc)
+    withGlobalRank(rated, ordered)
+  }
+
+  /** Picky-window refinement over the current top `sliceSize` rows: windows
+    * of `windowSize` walked from the back, the client re-rates each window's
+    * members, `numTopPerWindow` best bubble up, overlapping by
+    * `overlapFraction` — bounded by `callBudget` (reference rank.py:696-912).
+    * Returns the refined top slice re-ranked 1..sliceSize; rows outside the
+    * slice keep their original `_rank`.
+    */
+  def refineTopSlice(
+      ranked: DataFrame,
+      renderExpr: String,
+      client: LlmClient,
+      model: String = "mock",
+      sliceSize: Int = 50,
+      windowSize: Int = 10,
+      overlapFraction: Double = 0.5,
+      callBudget: Int = 20): DataFrame = {
+    val spark = ranked.sparkSession
+    val slice = ranked.filter(col("_rank") <= sliceSize)
+      .withColumn("_graft_render", expr(renderExpr).cast("string"))
+      .orderBy(col("_rank"))
+      .collect()
+    if (slice.isEmpty) return ranked
+    val renderIdx = slice.head.fieldIndex("_graft_render")
+    val ratingSchema = StructType(Seq(StructField("rating", LongType)))
+    var items = slice.toVector
+    var calls = 0
+    val step = math.max(1, (windowSize * (1 - overlapFraction)).toInt)
+    var start = math.max(0, items.length - windowSize)
+    while (calls < callBudget && start >= 0) {
+      val window = items.slice(start, start + windowSize)
+      val rated = window.map { r =>
+        val resp = client.complete(model, r.getString(renderIdx), ratingSchema)
+        calls += 1
+        (r, resp.values("rating").asInstanceOf[Long])
+      }
+      val reordered = rated.sortBy(-_._2).map(_._1)
+      items = items.patch(start, reordered, window.length)
+      if (start == 0) start = -1 else start = math.max(0, start - step)
+    }
+    val rankIdx = slice.head.fieldIndex("_rank")
+    val refined = items.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq.updated(rankIdx, i + 1L))
+    }
+    val sliceDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(refined), slice.head.schema.asInstanceOf[StructType])
+      .drop("_graft_render")
+    ranked.filter(col("_rank") > sliceSize).unionByName(sliceDf)
+  }
+}

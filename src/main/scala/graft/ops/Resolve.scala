@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.graph.ConnectedComponents
+import graft.llm.LlmClient
+
+/** Entity resolution (reference docetl/operations/resolve.py:33-892).
+  *
+  * Stages, each distributed:
+  *   1. Blocking: candidate pairs = self-join on `blockExpr` buckets
+  *      (the reference's code conditions / embedding-threshold blocking,
+  *      resolve.py:350-525). Never all-pairs.
+  *   2. Pairwise LLM verdict on candidates (`comparison_prompt`,
+  *      resolve.py:645-671) — `mapPartitions` over the candidate-pair
+  *      DataFrame; equal blocking-key tuples short-circuit to an auto-match
+  *      (resolve.py:194-243).
+  *   3. Clustering: connected components over match edges == the reference's
+  *      union-find result (SURVEY.md §7.5.6).
+  *   4. Canonicalization: per multi-row cluster, one LLM `resolution_prompt`
+  *      over the members produces canonical values written onto every member
+  *      (resolve.py:717-836) — cardinality stays 1:1. The pre-resolution
+  *      values are kept under `_kv_pairs_preresolve_{name}`
+  *      (resolve.py:782-789).
+  *
+  * The canonicalization join broadcasts the (clusters × canonical-values)
+  * side when small; members stay partitioned by cluster id.
+  */
+object ResolveOp {
+
+  final case class Config(
+      name: String,
+      idKey: String,          // unique Long-compatible row id
+      blockExpr: String,      // SQL expr -> blocking bucket
+      compareExpr: String,    // SQL expr rendering one side of the compare prompt
+      resolveKeys: Seq[String], // fields canonicalized onto cluster members
+      model: String = "mock",
+      autoMatchOnBlockEquality: Boolean = false)
+
+  def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
+    val spark = df.sparkSession
+    val withBlk = df
+      .withColumn("_blk", expr(cfg.blockExpr))
+      .withColumn("_cmp", expr(cfg.compareExpr).cast("string"))
+      .persist()
+
+    // 1-2. Candidate pairs within buckets + pairwise verdicts.
+    val l = withBlk.select(col("_blk"), col(cfg.idKey).as("_ida"), col("_cmp").as("_ca"))
+    val r = withBlk.select(col("_blk"), col(cfg.idKey).as("_idb"), col("_cmp").as("_cb"))
+    val cands = l.join(r, Seq("_blk")).filter(col("_ida") < col("_idb"))
+    val model = cfg.model
+    val autoMatch = cfg.autoMatchOnBlockEquality
+    // Field indices from the plan-time schema — runtime rows may be
+    // schema-less GenericRows (see Template scaladoc).
+    val cSchema = cands.schema
+    val (iCa, iCb) = (cSchema.fieldIndex("_ca"), cSchema.fieldIndex("_cb"))
+    val (iIda, iIdb) = (cSchema.fieldIndex("_ida"), cSchema.fieldIndex("_idb"))
+    val edges = cands.mapPartitions { it =>
+      it.flatMap { row =>
+        val a = row.getString(iCa)
+        val b = row.getString(iCb)
+        val isMatch =
+          if (autoMatch && a == b) true
+          else client.compare(model, s"$a\n###\n$b")
+        if (isMatch)
+          Iterator.single(Row(row.getLong(iIda), row.getLong(iIdb)))
+        else Iterator.empty
+      }
+    }(Encoders.row(StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))))
+
+    // 3. Clusters.
+    val labels = ConnectedComponents.run(
+      edges, withBlk.select(col(cfg.idKey).cast("long").as("id")))
+
+    // 4. Canonical values per cluster: LLM resolution; the deterministic
+    // client picks the lexicographically-smallest member rendering per key
+    // (MockLlmClient `canonical` rule), real clients summarize.
+    val withCluster = withBlk.join(
+      labels.withColumnRenamed("id", cfg.idKey), Seq(cfg.idKey))
+    val memberSchema = StructType(Seq(StructField("canonical", StringType)))
+    val canonCols = cfg.resolveKeys.map { k =>
+      sort_array(collect_list(col(k).cast("string"))).as(s"_vals_$k")
+    }
+    val clusters = withCluster.groupBy(col("component"))
+      .agg(canonCols.head, canonCols.tail: _*)
+    val canon = clusters.mapPartitions { it =>
+      it.map { row =>
+        val comp = row.getLong(0)
+        val canonVals = cfg.resolveKeys.zipWithIndex.map { case (k, i) =>
+          val members = row.getSeq[String](i + 1)
+          val resp = client.complete(model, members.mkString("\n"), memberSchema)
+          resp.values("canonical").asInstanceOf[String]
+        }
+        Row((comp +: canonVals): _*)
+      }
+    }(Encoders.row(StructType(
+      StructField("component", LongType) +:
+        cfg.resolveKeys.map(k => StructField(s"${k}_resolved", StringType)))))
+
+    // Keep pre-resolve values, then overwrite resolved keys.
+    val preserved = cfg.resolveKeys.foldLeft(withCluster) { (d, k) =>
+      d.withColumn(s"_kv_pairs_preresolve_${cfg.name}_$k", col(k))
+    }
+    val joined = preserved.join(broadcast(canon), Seq("component"))
+    val resolved = cfg.resolveKeys.foldLeft(joined) { (d, k) =>
+      d.withColumn(k, col(s"${k}_resolved")).drop(s"${k}_resolved")
+    }
+    withBlk.unpersist()
+    resolved.drop("_blk", "_cmp", "component")
+  }
+}

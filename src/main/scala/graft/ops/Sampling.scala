@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling family (reference docetl/operations/sample.py:13-713).
+  *
+  * Methods: first (positional head), uniform (seeded), hash (deterministic,
+  * our scale-friendly addition), custom (key-subset semi-join), stratified,
+  * outliers (embedding distance from centroid). All distributed; the only
+  * driver-side values are scalar statistics (centroid, sigma) computed by
+  * aggregations.
+  */
+object SampleOp {
+
+  /** Positional head. The reference relies on list order (sample.py:404);
+    * Spark DataFrames are unordered, so an explicit `orderCols` makes "first"
+    * well-defined (SURVEY.md §7.5 order discipline). */
+  def first(df: DataFrame, n: Int, orderCols: Seq[String]): DataFrame =
+    df.orderBy(orderCols.map(col): _*).limit(n)
+
+  /** Seeded uniform sample, Spark-native Bernoulli (reference sample.py:395
+    * `random_state`). Deterministic for a fixed seed+partitioning. */
+  def uniform(df: DataFrame, fraction: Double, seed: Long): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** Deterministic hash-based sample on a key expression: keeps rows where
+    * ((key*9301+49297+seed) mod 233280) < fraction*233280. Portable LCG —
+    * reproducible across engines and cluster sizes, the right tool when a
+    * sample must be stable across reruns at 100 TB. */
+  def uniformHash(df: DataFrame, keyExpr: String, fraction: Double, seed: Long = 0): DataFrame = {
+    val thresh = (fraction * 233280).toLong
+    df.filter(pmod(expr(keyExpr) * 9301L + 49297L + seed, lit(233280L)) < thresh)
+  }
+
+  /** `custom` method: keep rows matching any of the given key-subset samples
+    * (reference sample.py:421) — a broadcast left-semi join, not a driver loop. */
+  def custom(df: DataFrame, samples: DataFrame): DataFrame =
+    df.join(broadcast(samples), samples.columns.toSeq, "left_semi")
+
+  /** Stratified: n rows per `stratifyKey` group, deterministic order within
+    * the stratum (reference sample.py samples_per_group). Single window, one
+    * shuffle on the stratify key. */
+  def stratified(df: DataFrame, stratifyKey: String, nPerGroup: Int, orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(stratifyKey)).orderBy(orderCols.map(col): _*)
+    df.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") <= nPerGroup)
+      .drop("_graft_rn")
+  }
+
+  /** `outliers` method (reference sample.py:465-545): distance of each row's
+    * embedding from the mean embedding; keep (or drop) rows beyond
+    * `stdCutoff` standard deviations, or the `samples` farthest.
+    *
+    * Centroid is computed by posexplode + per-index avg (an aggregation, not
+    * a collect of vectors), then broadcast back as a literal — O(dim) driver
+    * data regardless of row count.
+    */
+  def outliers(
+      df: DataFrame,
+      embeddingCol: String,
+      stdCutoff: Option[Double],
+      samples: Option[Int],
+      keep: Boolean,
+      tieBreak: Seq[String]): DataFrame = {
+    val centroidRow = df
+      .select(posexplode(col(embeddingCol)).as(Seq("_i", "_v")))
+      .groupBy("_i").agg(avg("_v").as("_m"))
+      .orderBy("_i")
+      .collect()
+    val centroid = centroidRow.map(_.getDouble(1))
+    val distCol = graft.functions.VectorFunctions
+      .euclideanToConst(col(embeddingCol), centroid)
+    val scored = df.withColumn("_graft_dist", distCol)
+    (stdCutoff, samples) match {
+      case (Some(k), _) =>
+        val Array(m, s) = scored.select(avg("_graft_dist"), stddev_pop("_graft_dist"))
+          .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+        val cut = m + k * s
+        val pred = if (keep) col("_graft_dist") > cut else col("_graft_dist") <= cut
+        scored.filter(pred).drop("_graft_dist")
+      case (None, Some(n)) =>
+        val w = Window.orderBy(
+          (if (keep) col("_graft_dist").desc else col("_graft_dist").asc) +:
+            tieBreak.map(col(_).asc): _*)
+        scored.withColumn("_graft_rn", row_number().over(w))
+          .filter(col("_graft_rn") <= n)
+          .drop("_graft_rn", "_graft_dist")
+      case _ => throw new IllegalArgumentException("outliers needs stdCutoff or samples")
+    }
+  }
+}
+
+/** Top-k retrieval (reference docetl/operations/topk.py:12-261).
+  * Methods: `embedding` (cosine to a query vector), `fts` (BM25). Optional
+  * per-group stratified retrieval via `stratifyKey` (topk.py:184-188).
+  */
+object TopKOp {
+
+  /** Cosine-similarity top-k against a constant query vector. Score + global
+    * top-k: Spark's sort-limit is a per-partition top-k then a k-row merge on
+    * the driver — no full sort at scale. */
+  def embedding(
+      df: DataFrame,
+      embeddingCol: String,
+      query: Array[Double],
+      k: Int,
+      tieBreak: Seq[String],
+      scoreName: String = "_score"): DataFrame = {
+    val score = graft.functions.VectorFunctions.cosineToConst(col(embeddingCol), query)
+    df.withColumn(scoreName, score)
+      .orderBy(col(scoreName).desc +: tieBreak.map(col(_).asc): _*)
+      .limit(k)
+  }
+
+  /** Per-stratum top-k: row_number over a (stratum, score) window. */
+  def embeddingStratified(
+      df: DataFrame,
+      embeddingCol: String,
+      query: Array[Double],
+      k: Int,
+      stratifyKey: String,
+      tieBreak: Seq[String],
+      scoreName: String = "_score"): DataFrame = {
+    val score = graft.functions.VectorFunctions.cosineToConst(col(embeddingCol), query)
+    val w = Window.partitionBy(col(stratifyKey))
+      .orderBy(col(scoreName).desc +: tieBreak.map(col(_).asc): _*)
+    df.withColumn(scoreName, score)
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") <= k)
+      .drop("_graft_rn")
+  }
+
+  /** BM25 top-k (reference sample.py:547-672 fts method). Distributed: doc
+    * frequencies and average doc length come from aggregations over the
+    * corpus; scores are a per-row expression; top-k is sort-limit. */
+  def bm25(
+      df: DataFrame,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      tieBreak: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      scoreName: String = "_score"): DataFrame = {
+    import org.apache.spark.sql.Row
+    val tokens = split(col(textCol), " ")
+    val withLen = df.withColumn("_graft_dl", size(tokens))
+    // Corpus stats: N, avgdl, and df per query term — one aggregation pass.
+    val statsRow = withLen.agg(
+      count(lit(1)).as("n"),
+      avg(col("_graft_dl")).as("avgdl"),
+      struct(queryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(tokens, t), 1L).otherwise(0L)).as(s"df_$i")
+      }: _*).as("dfs")
+    ).collect()(0)
+    val n = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getDouble(1)
+    val dfs = statsRow.getStruct(2)
+    val score = queryTerms.zipWithIndex.map { case (t, i) =>
+      val dfT = dfs.getLong(i).toDouble
+      val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      val tf = size(filter(tokens, x => x === t)).cast("double")
+      lit(idf) * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_graft_dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    withLen.withColumn(scoreName, score)
+      .drop("_graft_dl")
+      .orderBy(col(scoreName).desc +: tieBreak.map(col(_).asc): _*)
+      .limit(k)
+  }
+}

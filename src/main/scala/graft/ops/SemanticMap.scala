@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.DoubleAccumulator
+
+import graft.core.SchemaTypes
+import graft.llm.{LlmCache, LlmClient, Template}
+
+/** Configuration shared by the row-local semantic (LLM) operators —
+  * the subset of the reference's per-op surface we reproduce
+  * (reference docetl/operations/base.py:110-114, map.py:35-714).
+  *
+  * `gleaning`: after each response, a judge prompt decides
+  * `should_refine`; refine up to `numRounds` times (reference api.py:365-460).
+  * `validate`: predicate over the output values; on failure the call is
+  * retried up to `numRetriesOnValidateFailure` times (reference base.py:102-104).
+  */
+final case class GleaningConfig(
+    validationPrompt: String,
+    numRounds: Int = 2)
+
+final case class SemanticMapConfig(
+    name: String,
+    prompt: String,
+    outputSchema: Seq[(String, String)],
+    model: String = "mock",
+    dropKeys: Seq[String] = Nil,
+    limit: Option[Int] = None,
+    batchSize: Int = 64,
+    skipOnError: Boolean = false,
+    bypassCache: Boolean = false,
+    gleaning: Option[GleaningConfig] = None,
+    validate: Option[Map[String, Any] => Boolean] = None,
+    numRetriesOnValidateFailure: Int = 2)
+
+/** LLM projection (reference docetl/operations/map.py:35-714).
+  *
+  * Core loop = `mapPartitions` with per-batch submission: NOT a one-row UDF,
+  * so a production client can batch/async its HTTP calls, share a rate
+  * limiter per executor, and amortize cache lookups (SURVEY.md §2.2 mapping).
+  * Declared output fields are merged into the row, input fields pass through
+  * (`{**item, **output}`, map.py:513); `dropKeys` / drop-keys-only fast path
+  * (map.py:358-372) and `limit` early-stop are honored.
+  *
+  * Cost is observed through a `DoubleAccumulator` — the engine-wide analog of
+  * the reference's per-op float cost return.
+  */
+object SemanticMap {
+
+  def apply(df: DataFrame, cfg: SemanticMapConfig, client: LlmClient): DataFrame = {
+    // Drop-keys-only fast path: no LLM involved (reference map.py:358-372).
+    if (cfg.prompt.isEmpty && cfg.outputSchema.isEmpty)
+      return df.drop(cfg.dropKeys: _*)
+
+    val base = cfg.limit.map(df.limit).getOrElse(df)
+    val outStruct = SchemaTypes.toStruct(cfg.outputSchema)
+    val inFields = base.schema.fields
+    val kept = inFields.filterNot(f =>
+      cfg.dropKeys.contains(f.name) || outStruct.fieldNames.contains(f.name))
+    val newSchema = StructType(kept ++ outStruct.fields)
+    val keptIdx = kept.map(f => base.schema.fieldIndex(f.name))
+    val costAcc = costAccumulator(base, s"graft.llm.cost.${cfg.name}")
+    val callsAcc = base.sparkSession.sparkContext.longAccumulator(s"graft.llm.calls.${cfg.name}")
+
+    val cfgB = cfg
+    val clientB = client
+    val tpl = Template(cfg.prompt, base.schema)
+    base.mapPartitions { it =>
+      it.grouped(cfgB.batchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          val prompt = tpl.render(row)
+          try {
+            val values = LlmRunner.callWithLoops(
+              clientB, cfgB.model, prompt, outStruct, cfgB.gleaning, cfgB.validate,
+              cfgB.numRetriesOnValidateFailure, cfgB.bypassCache, costAcc, callsAcc)
+            val out = keptIdx.map(row.get) ++
+              outStruct.fields.map(f => LlmRunner.coerce(values.get(f.name), f.dataType))
+            Iterator.single(Row(out.toSeq: _*))
+          } catch {
+            case e: Exception if cfgB.skipOnError => Iterator.empty
+          }
+        }
+      }
+    }(Encoders.row(newSchema))
+  }
+
+  private[ops] def costAccumulator(df: DataFrame, name: String): DoubleAccumulator =
+    df.sparkSession.sparkContext.doubleAccumulator(name)
+}
+
+/** Shared call loop: cache -> complete -> gleaning rounds -> validate+retry.
+  * (reference api.py:365-460 and base.py:102-104.) */
+object LlmRunner {
+
+  def callWithLoops(
+      client: LlmClient,
+      model: String,
+      prompt: String,
+      schema: StructType,
+      gleaning: Option[GleaningConfig],
+      validate: Option[Map[String, Any] => Boolean],
+      validateRetries: Int,
+      bypassCache: Boolean,
+      costAcc: DoubleAccumulator,
+      callsAcc: org.apache.spark.util.LongAccumulator): Map[String, Any] = {
+
+    def oneCall(p: String): Map[String, Any] = {
+      val key = s"$model|${schema.simpleString}|$p"
+      val resp =
+        if (bypassCache) { callsAcc.add(1); client.complete(model, p, schema) }
+        else LlmCache.getOrCompute(key, { callsAcc.add(1); client.complete(model, p, schema) })
+      costAcc.add(resp.cost)
+      resp.values
+    }
+
+    def withGleaning(p: String): Map[String, Any] = {
+      var values = oneCall(p)
+      gleaning.foreach { g =>
+        var rounds = 0
+        var continue = true
+        while (continue && rounds < g.numRounds) {
+          val judgePrompt = s"${g.validationPrompt}\n${values.toSeq.sortBy(_._1).mkString(";")}"
+          val judgeSchema = StructType(Seq(
+            StructField("should_refine", BooleanType),
+            StructField("improvements", StringType)))
+          val verdict = oneCall2(client, model, judgePrompt, judgeSchema, costAcc, callsAcc)
+          if (verdict("should_refine").asInstanceOf[Boolean]) {
+            values = oneCall(s"$p\nRefine: ${verdict("improvements")}")
+            rounds += 1
+          } else continue = false
+        }
+      }
+      values
+    }
+
+    var values = withGleaning(prompt)
+    validate.foreach { v =>
+      var attempts = 0
+      while (!v(values) && attempts < validateRetries) {
+        values = withGleaning(s"$prompt\nRetry ${attempts + 1}")
+        attempts += 1
+      }
+      if (!v(values))
+        throw new IllegalStateException("validation failed after retries")
+    }
+    values
+  }
+
+  private def oneCall2(
+      client: LlmClient, model: String, prompt: String, schema: StructType,
+      costAcc: DoubleAccumulator,
+      callsAcc: org.apache.spark.util.LongAccumulator): Map[String, Any] = {
+    val resp = LlmCache.getOrCompute(
+      s"$model|${schema.simpleString}|$prompt",
+      { callsAcc.add(1); client.complete(model, prompt, schema) })
+    costAcc.add(resp.cost)
+    resp.values
+  }
+
+  /** Coerce a mock/parsed value to the declared Spark type (the analog of the
+    * reference's response type-checking, validation.py:184-240). */
+  def coerce(v: Option[Any], dt: DataType): Any = (v.orNull, dt) match {
+    case (null, _)                   => null
+    case (x: Long, LongType)         => x
+    case (x: Int, LongType)          => x.toLong
+    case (x: Double, DoubleType)     => x
+    case (x: Long, DoubleType)       => x.toDouble
+    case (x: Int, DoubleType)        => x.toDouble
+    case (x: Boolean, BooleanType)   => x
+    case (x: String, StringType)     => x
+    case (x, StringType)             => x.toString
+    case (x: Seq[_], ArrayType(et, _)) => x.map(e => coerce(Some(e), et))
+    case (x: Map[_, _], st: StructType) =>
+      val m = x.asInstanceOf[Map[String, Any]]
+      Row(st.fields.map(f => coerce(m.get(f.name), f.dataType)).toSeq: _*)
+    case (x, t) =>
+      throw new IllegalArgumentException(s"Cannot coerce $x to $t")
+  }
+}
+
+/** N independent prompts per row, each writing disjoint output keys, results
+  * unioned into the row (reference docetl/operations/map.py:717-985
+  * `parallel_map`). One pass; sub-prompts fire per row within the partition. */
+object ParallelMap {
+
+  final case class SubPrompt(prompt: String, outputSchema: Seq[(String, String)], model: String = "mock")
+
+  def apply(df: DataFrame, name: String, prompts: Seq[SubPrompt], client: LlmClient): DataFrame = {
+    val outStructs = prompts.map(p => SchemaTypes.toStruct(p.outputSchema))
+    val allOut = outStructs.flatMap(_.fields)
+    require(allOut.map(_.name).distinct.size == allOut.size,
+      "parallel_map sub-prompts must write disjoint output_keys")
+    val kept = df.schema.fields.filterNot(f => allOut.exists(_.name == f.name))
+    val keptIdx = kept.map(f => df.schema.fieldIndex(f.name))
+    val newSchema = StructType(kept ++ allOut)
+    val costAcc = SemanticMap.costAccumulator(df, s"graft.llm.cost.$name")
+    val callsAcc = df.sparkSession.sparkContext.longAccumulator(s"graft.llm.calls.$name")
+    val promptsB = prompts
+    val tpls = prompts.map(sp => Template(sp.prompt, df.schema))
+    df.mapPartitions { it =>
+      it.map { row =>
+        val outs = promptsB.zip(outStructs).zip(tpls).flatMap { case ((sp, st), tpl) =>
+          val prompt = tpl.render(row)
+          val values = LlmRunner.callWithLoops(
+            client, sp.model, prompt, st, None, None, 0, bypassCache = false, costAcc, callsAcc)
+          st.fields.map(f => LlmRunner.coerce(values.get(f.name), f.dataType))
+        }
+        Row((keptIdx.map(row.get) ++ outs).toSeq: _*)
+      }
+    }(Encoders.row(newSchema))
+  }
+}
+
+/** LLM filter (reference docetl/operations/filter.py:23-224): the declared
+  * schema is exactly one bool (+ optional `_short_explanation`); rows where
+  * the LLM answered true are kept and the decision key is consumed.
+  * `limit` counts passing rows — Spark's CollectLimit executes partitions
+  * incrementally, giving the same early-termination economics.
+  */
+object SemanticFilter {
+
+  def apply(df: DataFrame, cfg: SemanticMapConfig, client: LlmClient): DataFrame = {
+    val boolFields = cfg.outputSchema.filter { case (k, t) =>
+      SchemaTypes.parse(t) == BooleanType && k != "_short_explanation"
+    }
+    require(boolFields.size == 1,
+      s"filter schema must declare exactly one bool (got $boolFields) — reference filter.py:59-69")
+    val decisionKey = boolFields.head._1
+    val mapped = SemanticMap(df, cfg.copy(limit = None), client)
+    val filtered = mapped
+      .filter(org.apache.spark.sql.functions.col(decisionKey))
+      .drop(decisionKey)
+    cfg.limit.map(filtered.limit).getOrElse(filtered)
+  }
+}

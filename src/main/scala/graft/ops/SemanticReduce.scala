@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.SchemaTypes
+import graft.llm.LlmClient
+
+/** LLM aggregation (reference docetl/operations/reduce.py:35-1053).
+  *
+  * Group by `reduceKeys` ("_all" = one global group, reduce.py:265-299); per
+  * group the member rows are rendered with `memberExpr` (a SQL expression —
+  * our Spark-first stand-in for the Jinja row template), ordered by
+  * `orderKey` for determinism (the reference preserves first-seen order; a
+  * distributed engine must order explicitly — SURVEY.md §7.5.2), then:
+  *
+  *   - `batch` strategy (reduce.py:987+): one completion over all members
+  *     joined by '\n'.
+  *   - `fold` strategy (reduce.py:684-793): sequential `foldPrompt` over
+  *     `foldBatchSize`-sized chunks, carrying the accumulator output forward.
+  *
+  * Plan shape: groupBy + sort_array(collect_list(struct(order, member))) —
+  * ONE shuffle whose payload is the rendered member strings (not whole rows),
+  * with the LLM call running post-aggregation, distributed across groups.
+  * Adds `_counts_prereduce_{name}` (reduce.py:383) and optional `passThrough`
+  * fields from the first member (reduce.py:399-407).
+  */
+object SemanticReduce {
+
+  final case class Config(
+      name: String,
+      reduceKeys: Seq[String],
+      memberExpr: String,
+      orderKey: String,
+      outputSchema: Seq[(String, String)],
+      model: String = "mock",
+      strategy: String = "batch", // batch | fold
+      foldBatchSize: Int = 100,
+      passThrough: Seq[String] = Nil,
+      lineage: Boolean = false)
+
+  def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
+    val outStruct = SchemaTypes.toStruct(cfg.outputSchema)
+    val global = cfg.reduceKeys == Seq("_all")
+    val keyFields =
+      if (global) Array.empty[StructField]
+      else cfg.reduceKeys.map(k => df.schema(k)).toArray
+    val ptFields = cfg.passThrough.map(k => df.schema(k)).toArray
+    val newSchema = StructType(
+      keyFields ++ ptFields ++ outStruct.fields :+
+        StructField(s"_counts_prereduce_${cfg.name}", LongType))
+
+    val member = struct(col(cfg.orderKey).as("o"), expr(cfg.memberExpr).cast("string").as("m"))
+    val ptStruct =
+      if (cfg.passThrough.isEmpty) lit(null).cast("string").as("_pt")
+      else min(struct(col(cfg.orderKey) +: cfg.passThrough.map(col): _*)).as("_pt")
+    val aggCols = Seq(
+      sort_array(collect_list(member)).as("_members"),
+      count(lit(1)).as("_n"),
+      ptStruct)
+    val grouped =
+      if (global) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(cfg.reduceKeys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+
+    val costAcc = SemanticMap.costAccumulator(df, s"graft.llm.cost.${cfg.name}")
+    val callsAcc = df.sparkSession.sparkContext.longAccumulator(s"graft.llm.calls.${cfg.name}")
+    val cfgB = cfg
+    val nKeys = keyFields.length
+    val gSchema = grouped.schema
+
+    grouped.mapPartitions { it =>
+      it.map { row =>
+        val members = row.getSeq[Row](gSchema.fieldIndex("_members")).map(_.getString(1))
+        val n = row.getLong(gSchema.fieldIndex("_n"))
+        def call(prompt: String): Map[String, Any] = {
+          val resp = client.complete(cfgB.model, prompt, outStruct)
+          costAcc.add(resp.cost)
+          callsAcc.add(1)
+          resp.values
+        }
+        val values = cfgB.strategy match {
+          case "batch" => call(members.mkString("\n"))
+          case "fold" =>
+            // Sequential incremental fold: each chunk's prompt carries the
+            // prior accumulator output (reference reduce.py:684-793).
+            members.grouped(cfgB.foldBatchSize)
+              .foldLeft(Option.empty[Map[String, Any]]) { (acc, chunk) =>
+                val prefix = acc.map(a =>
+                  s"ACC:${a.toSeq.sortBy(_._1).mkString(",")}\n").getOrElse("")
+                Some(call(prefix + chunk.mkString("\n")))
+              }.getOrElse(call(""))
+          case other => throw new IllegalArgumentException(s"unknown strategy $other")
+        }
+        val resp = graft.llm.LlmResponse(values, 0.0)
+        val keyVals = (0 until nKeys).map(row.get)
+        val ptVals =
+          if (cfgB.passThrough.isEmpty) Seq.empty[Any]
+          else {
+            val pt = row.getStruct(gSchema.fieldIndex("_pt"))
+            cfgB.passThrough.indices.map(i => pt.get(i + 1))
+          }
+        val outVals = outStruct.fields.map(f => LlmRunner.coerce(resp.values.get(f.name), f.dataType))
+        Row((keyVals ++ ptVals ++ outVals :+ n): _*)
+      }
+    }(Encoders.row(newSchema))
+  }
+}
