@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup._
+import graft.graph.ConnectedComponents
+
+class DedupSpec extends SparkSpec {
+  test("exact dedup keeps min-id per normalized text") {
+    val out = ExactDedup(docsDf, "text", "doc_id")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(4L) && ids.contains(1L) && ids.size == 5)
+  }
+  test("exact dedup normalizes case and whitespace") {
+    val d = df(StructType(Seq(StructField("id", LongType), StructField("t", StringType))),
+      Row(1L, "Hello  World"), Row(2L, "hello world"), Row(3L, "other"))
+    assert(ExactDedup(d, "t", "id").count() == 2)
+  }
+  test("minhash finds the planted near-dup pair") {
+    val pairs = MinHashDedup.candidatePairs(docsDf, "doc_id", "text",
+      shingleSize = 2, numPerms = 64, numBands = 32, jaccardThreshold = 0.5)
+    val got = pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 4L))) // exact dup
+    assert(got.contains((1L, 5L)) || got.contains((4L, 5L))) // near dup
+    assert(!got.exists { case (a, b) => Set(a, b).contains(6L) }) // unrelated doc
+  }
+  test("minhash dedup drops the larger-id duplicates") {
+    val kept = MinHashDedup(docsDf, "doc_id", "text",
+      shingleSize = 2, numPerms = 64, numBands = 32, jaccardThreshold = 0.5)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(1L) && !ids.contains(4L))
+  }
+  test("simhash of identical docs is identical; near-dups are close") {
+    val sh = docsDf.select(col("doc_id"),
+      SimHashDedup.simhash(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(5L)) < 16)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(6L)) >
+      java.lang.Long.bitCount(sh(1L) ^ sh(5L)))
+  }
+  test("simhash candidate pairs catch the exact dup") {
+    val pairs = SimHashDedup.candidatePairs(docsDf, "doc_id", "text", maxHamming = 3)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 4L)))
+  }
+  test("ngram jaccard pairs within blocks") {
+    val pairs = NgramJaccardDedup.pairs(docsDf, "doc_id", "text", "lang",
+      n = 2, threshold = 0.5)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 1.0))
+  }
+  test("embedding dedup finds duplicate vectors") {
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(FloatType)))),
+      Row(1L, Seq(1.0f, 0.0f, 0.5f)), Row(2L, Seq(1.0f, 0.0f, 0.5f)),
+      Row(3L, Seq(-1.0f, 0.2f, 0.1f)))
+    val pairs = EmbeddingDedup.pairs(d, "id", "e", dim = 3,
+      numPlanes = 4, cosineThreshold = 0.99)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+}
+
+class ConnectedComponentsSpec extends SparkSpec {
+  test("transitive chains collapse; isolated vertices keep their id") {
+    val edges = df(StructType(Seq(StructField("src", LongType), StructField("dst", LongType))),
+      Row(1L, 2L), Row(2L, 3L), Row(5L, 4L))
+    val vertices = spark.range(1, 7).toDF("id")
+    val labels = ConnectedComponents.run(edges, vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(4L) == 4L && labels(5L) == 4L)
+    assert(labels(6L) == 6L)
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  private lazy val vecs = {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 60).map { i =>
+      val center = Array.fill(8)(if (i % 3 == 0) 1.0 else if (i % 3 == 1) -1.0 else 0.0)
+      Row(i.toLong, center.map(c => (c + rng.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    df(StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(FloatType)))), rows: _*)
+  }
+
+  test("brute force returns k neighbors per query, excluding self") {
+    val out = graft.ann.Ann.bruteForce(vecs, "id", "e",
+      vecs.filter(col("id") < 3), "id", "e", k = 4)
+    assert(out.count() == 12)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // neighbors of a cluster-0 query should be cluster-0 members (id % 3 == 0)
+    val n0 = out.filter(col("query_id") === 0).select("neighbor_id")
+      .collect().map(_.getLong(0))
+    assert(n0.forall(_ % 3 == 0))
+  }
+  test("ivf search recalls most brute-force neighbors") {
+    val centroids = graft.ann.Ann.trainCentroids(vecs, "e", 3)
+    val assigned = graft.ann.Ann.ivfAssign(vecs, "e", centroids)
+    val queries = vecs.filter(col("id") < 3)
+    val ivf = graft.ann.Ann.ivfSearch(assigned, "id", "e", queries, "id", "e",
+      centroids, k = 4, nProbe = 1)
+    val bf = graft.ann.Ann.bruteForce(vecs, "id", "e", queries, "id", "e", k = 4)
+    val ivfSet = ivf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfSet = bf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfSet.intersect(bfSet).size >= (bfSet.size * 0.7).toInt)
+  }
+}

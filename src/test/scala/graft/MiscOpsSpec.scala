@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.MockLlmClient
+import graft.ops._
+
+class RankSpec extends SparkSpec {
+  private val client = MockLlmClient()
+
+  test("byEmbedding assigns dense 1-based _rank by similarity") {
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(DoubleType)))),
+      Row(1L, Seq(1.0, 0.0)), Row(2L, Seq(0.0, 1.0)), Row(3L, Seq(0.7, 0.3)))
+    val out = RankOp.byEmbedding(d, "e", Array(1.0, 0.0), tieBreak = Seq("id"))
+    val m = out.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("_rank")).toMap
+    assert(m == Map(1L -> 1L, 3L -> 2L, 2L -> 3L))
+  }
+  test("byLikert ranks by mock rating desc") {
+    val out = RankOp.byLikert(docsDf, "rk", "{{ input.text }}", client,
+      tieBreak = Seq("doc_id"))
+    assert(out.select("_rank").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 6L).toSeq)
+  }
+  test("refineTopSlice preserves the row set and rank range") {
+    val ranked = RankOp.byLikert(docsDf, "rk", "{{ input.text }}", client,
+      tieBreak = Seq("doc_id"))
+    val refined = RankOp.refineTopSlice(ranked, "text", client,
+      sliceSize = 4, windowSize = 2, callBudget = 6)
+    assert(refined.count() == 6)
+    assert(refined.select("_rank").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 6L).toSeq)
+  }
+}
+
+class ExtractSpec extends SparkSpec {
+  private val client = MockLlmClient()
+
+  test("regex extraction appends joined matches") {
+    val out = ExtractOp.regex(docsDf, "ex", "text", "sp[a-z]+")
+    val r = out.filter(col("doc_id") === 1).select("text_extracted_ex")
+      .collect()(0).getString(0)
+    assert(r == "spark")
+    val none = out.filter(col("doc_id") === 3).select("text_extracted_ex")
+      .collect()(0).getString(0)
+    assert(none == "")
+  }
+  test("regex extraction can keep a list") {
+    val out = ExtractOp.regex(docsDf, "ex", "text", "fast", formatExtraction = false)
+    val r = out.filter(col("doc_id") === 1).select("text_extracted_ex")
+      .collect()(0).getSeq[String](0)
+    assert(r == Seq("fast", "fast"))
+  }
+  test("line-number extraction resolves mock ranges to text") {
+    val d = df(StructType(Seq(StructField("id", LongType), StructField("t", StringType))),
+      Row(1L, "x" * 200))
+    val out = ExtractOp.lineNumber(d, "ln", "t", "find it", client)
+    assert(out.select("t_extracted_ln").collect()(0).getString(0) == "x" * 160)
+  }
+}
+
+class ClusterSpec extends SparkSpec {
+  private val client = MockLlmClient()
+
+  test("cluster annotates every row with a summary path") {
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      Row(i.toLong, Array.fill(4)((base + rng.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(FloatType)))), rows: _*)
+    // render length varies by id so the two clusters' mock summaries differ
+    val out = ClusterOp(d, "e", "repeat('x', cast(id as int))", numClusters = 2, client)
+    assert(out.count() == 40)
+    assert(out.filter(size(col("clusters")) === 1).count() == 40)
+    // the two planted clusters get distinct summaries
+    assert(out.select(element_at(col("clusters"), 1)).distinct().count() == 2)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import graft.multimodal.BinaryOps
+
+  test("image meta stub derives deterministic typed metadata") {
+    val d = docsDf.withColumn("payload", col("text").cast("binary"))
+    val out = BinaryOps.withImageMeta(d, "payload")
+    val r = out.filter(col("doc_id") === 1).select("image_meta.*").collect()(0)
+    val len = "the fast spark join is good and fast".length
+    assert(r.getInt(0) == 128 + len % 1024)
+    assert(r.getString(3) == (if (len % 2 == 0) "png" else "jpeg"))
+  }
+  test("null payload yields empty meta, not a crash") {
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("payload", BinaryType))), Row(1L, null))
+    val r = BinaryOps.withImageMeta(d, "payload").select("image_meta.format")
+      .collect()(0).getString(0)
+    assert(r == "empty")
+  }
+  test("sampleFrames fans out n frames per row") {
+    val d = docsDf.withColumn("payload", col("text").cast("binary"))
+    val out = BinaryOps.sampleFrames(d, "payload", 4)
+    assert(out.count() == docsDf.count() * 4)
+    assert(out.groupBy("doc_id").count().collect().forall(_.getLong(1) == 4))
+  }
+}
+
+class QueriesContractSpec extends SparkSpec {
+  test("every oracle name exists in queries") {
+    val qn = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qn))
+  }
+  test("query names are unique") {
+    val names = Queries.all.map(_._1)
+    assert(names.distinct.size == names.size)
+  }
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
