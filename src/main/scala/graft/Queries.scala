@@ -604,9 +604,11 @@ object Queries {
       "q35_resolve",
       (s: SparkSession, dir: String) =>
         ResolveOp(t(s, dir, "part"), ResolveOp.Config(
-          name = "q35", idKey = "p_partkey", blockExpr = "p_type",
+          name = "q35", idKey = "p_partkey",
+          blockExpr = "concat(p_brand, '|', p_type)",
           compareExpr = "concat(p_brand, '|', p_type)",
-          resolveKeys = Seq("p_name")), client)
+          resolveKeys = Seq("p_name"),
+          autoMatchOnBlockEquality = true), client)
           .select("p_partkey", "p_name"),
       Some("""
         SELECT p_partkey,

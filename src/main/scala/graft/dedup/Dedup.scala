@@ -53,40 +53,49 @@ object MinHashDedup {
       jaccardThreshold: Double = 0.8): DataFrame = {
     require(numPerms % numBands == 0, "numPerms must be divisible by numBands")
     val rowsPerBand = numPerms / numBands
-    val sh = array_distinct(TextFunctions.shingles(col(textCol), shingleSize))
+    // Shingles are hashed to 64-bit longs ONCE (xxhash64 over the string);
+    // the P permutation hashes re-hash that long, not the string — ~20x
+    // cheaper per (perm, shingle). Jaccard over hashed shingles equals
+    // string Jaccard up to 64-bit collisions (negligible).
+    val sh = array_distinct(transform(
+      TextFunctions.shingles(col(textCol), shingleSize), s => xxhash64(s)))
     val docs = df.select(col(idCol).as("_id"), sh.as("_sh"))
       .filter(size(col("_sh")) > 0)
+      .persist()
 
-    // Signature: for each permutation p, min over shingles of xxhash64(p, s).
+    // Signature: for each permutation p, min over shingles of xxhash64(p, h).
     val sig = transform(
       sequence(lit(0), lit(numPerms - 1)),
-      p => array_min(transform(col("_sh"), s => xxhash64(p, s))))
-    val signed = docs.withColumn("_sig", sig)
+      p => array_min(transform(col("_sh"), h => xxhash64(p, h))))
 
-    // Band keys: hash of each band's slice of the signature.
+    // Band keys: hash of each band's slice of the signature. Only (band,
+    // key, id) go through the shuffle — never the shingle arrays.
     val bands = posexplode(transform(
       sequence(lit(0), lit(numBands - 1)),
       b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-    val banded = signed
-      .select(col("_id"), col("_sh"), bands.as(Seq("_band", "_bkey")))
+    val banded = docs.withColumn("_sig", sig)
+      .select(col("_id"), bands.as(Seq("_band", "_bkey")))
 
-    // Bucket self-join -> distinct candidate pairs (idA < idB).
-    val l = banded.select(col("_band"), col("_bkey"),
-      col("_id").as("_ida"), col("_sh").as("_sha"))
-    val r = banded.select(col("_band"), col("_bkey"),
-      col("_id").as("_idb"), col("_sh").as("_shb"))
+    // Bucket self-join -> distinct candidate id pairs (idA < idB).
+    val l = banded.select(col("_band"), col("_bkey"), col("_id").as("id_a"))
+    val r = banded.select(col("_band"), col("_bkey"), col("_id").as("id_b"))
     val cands = l.join(r, Seq("_band", "_bkey"))
-      .filter(col("_ida") < col("_idb"))
-      .select("_ida", "_idb", "_sha", "_shb")
-      .dropDuplicates("_ida", "_idb")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
 
-    // Exact Jaccard verify on the candidate set only.
+    // Exact Jaccard verify on the candidate set only: re-join the (small)
+    // pair set against the hashed-shingle arrays.
+    val byId = docs.select(col("_id"), col("_sh"))
+    val withSh = cands
+      .join(byId.select(col("_id").as("id_a"), col("_sh").as("_sha")), Seq("id_a"))
+      .join(byId.select(col("_id").as("id_b"), col("_sh").as("_shb")), Seq("id_b"))
     val inter = size(array_intersect(col("_sha"), col("_shb"))).cast("double")
     val union = size(array_union(col("_sha"), col("_shb"))).cast("double")
-    cands
+    withSh
       .withColumn("jaccard", round(inter / union, 6))
       .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("_ida").as("id_a"), col("_idb").as("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Dedup: drop every row that is the larger id of a near-dup pair. */
@@ -165,7 +174,10 @@ object NgramJaccardDedup {
       blockExpr: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = array_distinct(TextFunctions.shingles(col(textCol), n))
+    // Hashed shingles: long-array intersection beats string-array (see
+    // MinHashDedup note on collision odds).
+    val sh = array_distinct(transform(
+      TextFunctions.shingles(col(textCol), n), s => xxhash64(s)))
     val docs = df.select(col(idCol).as("_id"), expr(blockExpr).as("_blk"), sh.as("_sh"))
     val l = docs.select(col("_blk"), col("_id").as("id_a"), col("_sh").as("_sha"))
     val r = docs.select(col("_blk"), col("_id").as("id_b"), col("_sh").as("_shb"))

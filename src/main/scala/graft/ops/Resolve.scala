@@ -47,29 +47,49 @@ object ResolveOp {
       .persist()
 
     // 1-2. Candidate pairs within buckets + pairwise verdicts.
-    val l = withBlk.select(col("_blk"), col(cfg.idKey).as("_ida"), col("_cmp").as("_ca"))
-    val r = withBlk.select(col("_blk"), col(cfg.idKey).as("_idb"), col("_cmp").as("_cb"))
-    val cands = l.join(r, Seq("_blk")).filter(col("_ida") < col("_idb"))
+    //
+    // Auto-match fast path (reference resolve.py:571-590: identical
+    // blocking-key tuples merge without an LLM call): rows sharing
+    // (_blk, _cmp) are transitively equal, so O(n) *star edges* (every row ->
+    // its group's min id) replace the O(n²) intra-group pair explosion — at
+    // 100 TB an equality cluster of 10⁵ rows costs 10⁵ edges, not 5·10⁹, and
+    // the star topology converges in ONE label-propagation round (a chain
+    // would take O(cluster size) rounds). Only pairs whose compare renders
+    // differ are sent to the pairwise LLM verdict.
     val model = cfg.model
     val autoMatch = cfg.autoMatchOnBlockEquality
-    // Field indices from the plan-time schema — runtime rows may be
-    // schema-less GenericRows (see Template scaladoc).
-    val cSchema = cands.schema
+    val pairBase = {
+      val l = withBlk.select(col("_blk"), col(cfg.idKey).as("_ida"), col("_cmp").as("_ca"))
+      val r = withBlk.select(col("_blk"), col(cfg.idKey).as("_idb"), col("_cmp").as("_cb"))
+      val all = l.join(r, Seq("_blk")).filter(col("_ida") < col("_idb"))
+      if (autoMatch) all.filter(col("_ca") =!= col("_cb")) else all
+    }
+    val cSchema = pairBase.schema
     val (iCa, iCb) = (cSchema.fieldIndex("_ca"), cSchema.fieldIndex("_cb"))
     val (iIda, iIdb) = (cSchema.fieldIndex("_ida"), cSchema.fieldIndex("_idb"))
-    val edges = cands.mapPartitions { it =>
+    val edgeSchema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    val llmEdges = pairBase.mapPartitions { it =>
       it.flatMap { row =>
         val a = row.getString(iCa)
         val b = row.getString(iCb)
-        val isMatch =
-          if (autoMatch && a == b) true
-          else client.compare(model, s"$a\n###\n$b")
-        if (isMatch)
+        if (client.compare(model, s"$a\n###\n$b"))
           Iterator.single(Row(row.getLong(iIda), row.getLong(iIdb)))
         else Iterator.empty
       }
-    }(Encoders.row(StructType(Seq(
-      StructField("src", LongType), StructField("dst", LongType)))))
+    }(Encoders.row(edgeSchema))
+    val edges =
+      if (!autoMatch) llmEdges
+      else {
+        val eqW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_blk"), col("_cmp"))
+        val star = withBlk
+          .withColumn("_grpmin", min(col(cfg.idKey)).over(eqW))
+          .filter(col("_grpmin") =!= col(cfg.idKey))
+          .select(col("_grpmin").cast("long").as("src"),
+            col(cfg.idKey).cast("long").as("dst"))
+        star.unionByName(llmEdges)
+      }
 
     // 3. Clusters.
     val labels = ConnectedComponents.run(
