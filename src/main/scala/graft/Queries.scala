@@ -31,7 +31,7 @@ object Queries {
 
   /** (name, query, optional oracle SQL). Ordering = rough SURVEY §2 order. */
   lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
-    sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal
+    sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++ apiSurface
 
   // ---------------------------------------------------------------- relational
 
@@ -714,4 +714,65 @@ object Queries {
             length(col("frame_bytes")).cast("long").as("frame_len")),
       None // byte-slice stub; plumbing (fan-out arity) is ScalaTested.
     ))
+
+  // ---------------------------------------------------------------- api surface
+
+  private def apiSurface: Seq[(String, Q, Option[String])] = Seq(
+    (
+      "q44_pipeline_yaml",
+      (s: SparkSession, dir: String) =>
+        graft.api.Pipeline.runYaml(
+          s"""
+             |datasets:
+             |  docs: { path: $dir/documents.parquet }
+             |operations:
+             |  - name: stats
+             |    type: code_map
+             |    outputs: { n_tok: "cast(size(split(text, ' ')) as bigint)" }
+             |  - name: longdocs
+             |    type: code_filter
+             |    predicate: "n_tok > 40"
+             |  - name: bylang
+             |    type: code_reduce
+             |    reduce_key: lang
+             |    aggs: { n_docs: "count(1)", tot_tok: "sum(n_tok)" }
+             |pipeline:
+             |  steps:
+             |    - { name: s1, input: docs, operations: [stats, longdocs, bylang] }
+             |""".stripMargin, s, client),
+      Some("""
+        WITH t AS (SELECT lang, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+                   FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+               CAST(count(*) AS BIGINT) AS "_counts_prereduce_bylang"
+        FROM t WHERE n_tok > 40 GROUP BY lang""")
+    ),
+    (
+      "q45_link_resolve",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "nation").select(
+          col("n_name").as("id"),
+          array(lower(col("n_name")), lit("unknown")).as("links"))
+        LinkResolveOp(base, LinkResolveOp.Config(
+          name = "q45", idKey = "id", linkKey = "links"), client)
+          .select(col("id"), concat_ws(",", col("links")).as("links_joined"))
+      },
+      Some("""
+        SELECT n_name AS id, n_name || ',unknown' AS links_joined FROM nation""")
+    ),
+    (
+      "q46_cascade_filter",
+      // Proxy and oracle share the mock, so the cascade's output equals the
+      // plain filter regardless of the calibrated threshold — which is
+      // exactly what makes it oracle-checkable while still exercising the
+      // two-pass score/calibrate/escalate machinery.
+      (s: SparkSession, dir: String) =>
+        CascadeFilter(t(s, dir, "documents"), CascadeFilter.Config(
+          name = "q46", prompt = "{{ input.text }}", decisionKey = "keep",
+          targetRecall = 0.9), client, client)
+          .select("doc_id"),
+      Some("SELECT doc_id FROM documents WHERE len(text) % 2 = 0")
+    ))
+
 }

@@ -1,0 +1,100 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.llm.{LlmClient, MockLlmClient}
+import graft.ops._
+
+/** Fluent lazy builder over DataFrame — the Scala analog of the reference's
+  * pandas-like Frame API (reference docetl/apis/frame.py:337-1119). Every
+  * call stays lazy (Spark plans compose); `collect`/`show`/`write*` trigger
+  * execution. `schema`/`explain` inspect without executing, like the
+  * reference's `transform_schema` chain (frame.py:852-904).
+  */
+final case class Frame(df: DataFrame, client: LlmClient) {
+
+  private def next(d: DataFrame): Frame = copy(df = d)
+
+  // -- row-local semantic ops (SURVEY.md §2.2)
+  def semanticMap(name: String, prompt: String, schema: (String, String)*): Frame =
+    next(SemanticMap(df, SemanticMapConfig(name, prompt, schema), client))
+  def semanticMap(cfg: SemanticMapConfig): Frame = next(SemanticMap(df, cfg, client))
+  def semanticFilter(name: String, prompt: String, decision: String = "keep"): Frame =
+    next(SemanticFilter(df, SemanticMapConfig(name, prompt, Seq(decision -> "bool")), client))
+  def parallelMap(name: String, prompts: ParallelMap.SubPrompt*): Frame =
+    next(ParallelMap(df, name, prompts, client))
+  def extractRegex(name: String, documentKey: String, pattern: String): Frame =
+    next(ExtractOp.regex(df, name, documentKey, pattern))
+
+  // -- code ops
+  def codeMap(outputs: (String, String)*): Frame = next(CodeMap(df, outputs))
+  def codeFilter(predicate: String): Frame = next(CodeFilter(df, predicate))
+  def codeReduce(name: String, keys: Seq[String], aggs: (String, String)*): Frame =
+    next(CodeReduce(df, keys, aggs, name))
+  def addUuid(name: String): Frame = next(AddUuid(df, name))
+  def dropKeys(keys: String*): Frame = next(df.drop(keys: _*))
+  def limit(n: Int): Frame = next(df.limit(n))
+
+  // -- grouped / pairwise semantic ops (§2.4-2.5)
+  def semanticReduce(cfg: SemanticReduce.Config): Frame =
+    next(SemanticReduce(df, cfg, client))
+  def resolve(cfg: ResolveOp.Config): Frame = next(ResolveOp(df, cfg, client))
+  def equijoin(right: Frame, cfg: EquijoinOp.Config): Frame =
+    next(EquijoinOp(df, right.df, cfg, client))
+
+  // -- reshaping (§2.8)
+  def split(name: String, splitKey: String, numTokens: Int): Frame =
+    next(SplitOp.byTokenCount(df, name, splitKey, numTokens))
+  def splitDelimiter(name: String, splitKey: String, delimiter: String, group: Int = 1): Frame =
+    next(SplitOp.byDelimiter(df, name, splitKey, delimiter, group))
+  def gather(contentKey: String, docIdKey: String, orderKey: String,
+      previous: Int = 1, nextN: Int = 1): Frame =
+    next(GatherOp(df, contentKey, docIdKey, orderKey, previous, nextN))
+  def unnest(key: String, keepEmpty: Boolean = false): Frame =
+    next(UnnestOp.list(df, key, keepEmpty))
+  def unnestColumns(column: String): Frame = next(UnnestColumnsOp(df, column))
+
+  // -- sampling / retrieval (§2.6)
+  def sampleFirst(n: Int, orderCols: String*): Frame = next(SampleOp.first(df, n, orderCols))
+  def sampleHash(keyExpr: String, fraction: Double, seed: Long = 0): Frame =
+    next(SampleOp.uniformHash(df, keyExpr, fraction, seed))
+  def topkBm25(textCol: String, query: String, k: Int, tieBreak: String*): Frame =
+    next(TopKOp.bm25(df, textCol, query.split("\\s+").toSeq, k, tieBreak))
+  def rankByLikert(name: String, prompt: String, tieBreak: String*): Frame =
+    next(RankOp.byLikert(df, name, prompt, client, tieBreak = tieBreak))
+
+  // -- dedup family
+  def dedupExact(textCol: String, tieBreak: String): Frame =
+    next(graft.dedup.ExactDedup(df, textCol, tieBreak))
+  def dedupMinhash(idCol: String, textCol: String, threshold: Double = 0.8): Frame =
+    next(graft.dedup.MinHashDedup(df, idCol, textCol, jaccardThreshold = threshold))
+
+  // -- inspection without execution (frame.py:852-904)
+  def schema: StructType = df.schema
+  def explain(): Unit = df.explain("formatted")
+  def plan: String = df.queryExecution.toString()
+
+  // -- execution
+  def collect(): Array[org.apache.spark.sql.Row] = df.collect()
+  def count(): Long = df.count()
+  def show(n: Int = 5): Unit = df.show(n, truncate = false)
+  def writeParquet(path: String): Unit = Pipeline.write(df, path)
+  def writeJson(path: String): Unit = Pipeline.write(df, path)
+  def toDF: DataFrame = df
+}
+
+/** Entry points (reference `docetl.read_json` etc., frame.py:1404). */
+object Graft {
+  def readParquet(spark: SparkSession, path: String,
+      client: LlmClient = MockLlmClient()): Frame =
+    Frame(spark.read.parquet(path), client)
+  def readJson(spark: SparkSession, path: String,
+      client: LlmClient = MockLlmClient()): Frame =
+    Frame(spark.read.json(path), client)
+  def readCsv(spark: SparkSession, path: String,
+      client: LlmClient = MockLlmClient()): Frame =
+    Frame(spark.read.option("header", "true").option("inferSchema", "true").csv(path), client)
+  def fromDF(df: DataFrame, client: LlmClient = MockLlmClient()): Frame =
+    Frame(df, client)
+}

@@ -1,0 +1,107 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+import graft.llm.{LlmClient, MockLlmClient}
+import graft.ops.EquijoinOp
+
+/** Config-driven pipeline runner — the YAML surface (reference
+  * docetl/runner.py `DSLRunner`, plan/lift.py:30-171 semantics):
+  *
+  *   - `datasets` load by path (json/csv/parquet by extension, like the
+  *     reference loader, dataset.py:218,313-330).
+  *   - each step's `input` resolves to a dataset or an earlier step's output
+  *     (lift.py:72-83); step outputs become named datasets.
+  *   - a step with `join:` is join-headed (lift.py:109-137): `left`/`right`
+  *     refer to datasets/steps, the equijoin config drives [[EquijoinOp]].
+  *   - `pipeline.output` writes by extension (runner.py:91-113).
+  *
+  * Spark keeps everything lazy across steps; `persist: true` on a step is
+  * the explicit analog of the reference's implicit step materialization.
+  */
+object Pipeline {
+
+  def run(conf: Conf, spark: SparkSession, client: LlmClient = MockLlmClient()): DataFrame = {
+    val datasets = scala.collection.mutable.Map[String, DataFrame]()
+    conf.get("datasets").foreach(_.asMap.foreach { case (name, d) =>
+      datasets(name) = read(spark, d("path").str)
+    })
+    val opsByName: Map[String, Conf] =
+      conf.get("operations").map(_.asList.map(o => o("name").str -> o).toMap)
+        .getOrElse(Map.empty)
+
+    def applyOps(df0: DataFrame, step: Conf, ctx: OpContext): DataFrame =
+      step.get("operations").map(_.asList).getOrElse(Seq.empty).foldLeft(df0) { (df, opRef) =>
+        val opConf = opRef.value match {
+          case s: String => opsByName.getOrElse(s,
+            throw new IllegalArgumentException(s"unknown operation '$s'"))
+          case _ => opRef // inline op config
+        }
+        Registry(opConf("type").str)(df, opConf, ctx)
+      }
+
+    var last: Option[DataFrame] = None
+    conf("pipeline")("steps").asList.foreach { step =>
+      val ctx = OpContext(spark, client, datasets.toMap)
+      val out = step.get("join") match {
+        case Some(j) =>
+          val left = datasets(j("left").str)
+          val right = datasets(j("right").str)
+          val joined = EquijoinOp(left, right, EquijoinOp.Config(
+            name = step("name").str,
+            condition = j("condition").str,
+            compareExprLeft = j.strOr("compare_left", ""),
+            compareExprRight = j.strOr("compare_right", ""),
+            llmVerify = j.boolOr("llm_verify", false),
+            limitLeft = j.get("limit_left").map(_.int),
+            limitRight = j.get("limit_right").map(_.int),
+            leftIdKey = j.strOr("left_id", ""),
+            rightIdKey = j.strOr("right_id", "")), client)
+          applyOps(joined, step, ctx)
+        case None =>
+          val input = step("input").str
+          val df0 = datasets.getOrElse(input,
+            throw new IllegalArgumentException(s"unknown step input '$input'"))
+          applyOps(df0, step, ctx)
+      }
+      val persisted = if (step.boolOr("persist", false)) out.persist() else out
+      datasets(step("name").str) = persisted
+      last = Some(persisted)
+    }
+
+    val result = last.getOrElse(
+      throw new IllegalArgumentException("pipeline has no steps"))
+    conf("pipeline").get("output").foreach { o =>
+      write(result, o("path").str, o.strOr("mode", "overwrite"))
+    }
+    result
+  }
+
+  def runYaml(yaml: String, spark: SparkSession,
+      client: LlmClient = MockLlmClient()): DataFrame =
+    run(Conf.fromYaml(yaml), spark, client)
+
+  def runYamlFile(path: String, spark: SparkSession,
+      client: LlmClient = MockLlmClient()): DataFrame =
+    run(Conf.fromYamlFile(path), spark, client)
+
+  /** Extension-dispatched reader (reference dataset.py:218,313-330). */
+  def read(spark: SparkSession, path: String): DataFrame = ext(path) match {
+    case "json"    => spark.read.json(path)
+    case "csv"     => spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    case "parquet" => spark.read.parquet(path)
+    case e => throw new IllegalArgumentException(s"unsupported input extension .$e ($path)")
+  }
+
+  /** Extension-dispatched writer (reference runner.py:91-113). */
+  def write(df: DataFrame, path: String, mode: String = "overwrite"): Unit = ext(path) match {
+    case "json"    => df.write.mode(mode).json(path)
+    case "csv"     => df.write.mode(mode).option("header", "true").csv(path)
+    case "parquet" => df.write.mode(mode).parquet(path)
+    case e => throw new IllegalArgumentException(s"unsupported output extension .$e ($path)")
+  }
+
+  private def ext(path: String): String =
+    path.substring(path.lastIndexOf('.') + 1).toLowerCase
+}

@@ -1,0 +1,182 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.llm.LlmClient
+import graft.ops._
+
+/** Execution context threaded through config-driven operators. */
+final case class OpContext(
+    spark: SparkSession,
+    client: LlmClient,
+    datasets: Map[String, DataFrame])
+
+/** Operator registry: type string -> factory, the analog of the reference's
+  * 23-type registry (reference docetl/operations/__init__.py:27-51). Plugin
+  * ops register with [[Registry.register]] (≅ the `docetl.operation`
+  * entry-point group, __init__.py:54-76).
+  */
+object Registry {
+
+  type Factory = (DataFrame, Conf, OpContext) => DataFrame
+
+  private val factories = scala.collection.concurrent.TrieMap[String, Factory]()
+
+  def register(tpe: String)(f: Factory): Unit = factories.put(tpe, f)
+  def apply(tpe: String): Factory = factories.getOrElse(tpe,
+    throw new IllegalArgumentException(
+      s"unknown operator type '$tpe'; known: ${factories.keys.toSeq.sorted.mkString(", ")}"))
+  def knownTypes: Seq[String] = factories.keys.toSeq.sorted
+
+  private def schemaOf(c: Conf): Seq[(String, String)] =
+    c.asOrderedMap.map { case (k, v) => k -> v.str }
+
+  private def mapConfig(name: String, c: Conf): SemanticMapConfig =
+    SemanticMapConfig(
+      name = name,
+      prompt = c.strOr("prompt", ""),
+      outputSchema = c.get("output").flatMap(_.get("schema")).map(schemaOf).getOrElse(Nil),
+      model = c.strOr("model", "mock"),
+      dropKeys = c.get("drop_keys").map(_.strList).getOrElse(Nil),
+      limit = c.get("limit").map(_.int),
+      batchSize = c.intOr("batch_size", 64),
+      skipOnError = c.boolOr("skip_on_error", false),
+      bypassCache = c.boolOr("bypass_cache", false),
+      gleaning = c.get("gleaning").map(g => GleaningConfig(
+        g("validation_prompt").str, g.intOr("num_rounds", 2))),
+      enableObservability = c.boolOr("enable_observability", false))
+
+  // ---- registrations (SURVEY.md §2 op inventory) ----
+
+  register("code_map") { (df, c, _) =>
+    CodeMap(df,
+      c.get("outputs").map(_.asOrderedMap.map { case (k, v) => k -> v.str }).getOrElse(Nil),
+      c.get("drop_keys").map(_.strList).getOrElse(Nil),
+      c.get("limit").map(_.int))
+  }
+  register("code_filter") { (df, c, _) =>
+    CodeFilter(df, c("predicate").str, c.get("limit").map(_.int))
+  }
+  register("code_reduce") { (df, c, _) =>
+    CodeReduce(df, c("reduce_key").strList,
+      c("aggs").asOrderedMap.map { case (k, v) => k -> v.str },
+      c.strOr("name", "reduce"), c.boolOr("counts", true))
+  }
+  register("map") { (df, c, ctx) => SemanticMap(df, mapConfig(c("name").str, c), ctx.client) }
+  register("filter") { (df, c, ctx) => SemanticFilter(df, mapConfig(c("name").str, c), ctx.client) }
+  register("parallel_map") { (df, c, ctx) =>
+    ParallelMap(df, c("name").str,
+      c("prompts").asList.map(p => ParallelMap.SubPrompt(
+        p("prompt").str, schemaOf(p("schema")), p.strOr("model", "mock"))),
+      ctx.client)
+  }
+  register("reduce") { (df, c, ctx) =>
+    SemanticReduce(df, SemanticReduce.Config(
+      name = c("name").str,
+      reduceKeys = c("reduce_key").strList,
+      memberExpr = c("member_expr").str,
+      orderKey = c("order_key").str,
+      outputSchema = c.get("output").flatMap(_.get("schema")).map(schemaOf).getOrElse(Nil),
+      model = c.strOr("model", "mock"),
+      strategy = c.strOr("strategy", "batch"),
+      foldBatchSize = c.intOr("fold_batch_size", 100),
+      passThrough = c.get("pass_through").map(_.strList).getOrElse(Nil),
+      lineage = c.boolOr("lineage", false)), ctx.client)
+  }
+  register("resolve") { (df, c, ctx) =>
+    ResolveOp(df, ResolveOp.Config(
+      name = c("name").str,
+      idKey = c("id_key").str,
+      blockExpr = c("block_expr").str,
+      compareExpr = c("compare_expr").str,
+      resolveKeys = c("resolve_keys").strList,
+      model = c.strOr("model", "mock"),
+      autoMatchOnBlockEquality = c.boolOr("auto_match", false)), ctx.client)
+  }
+  register("split") { (df, c, _) =>
+    c.strOr("method", "token_count") match {
+      case "token_count" => SplitOp.byTokenCount(df, c("name").str, c("split_key").str,
+        c("num_tokens").int, c.strOr("doc_id_expr", "uuid()"))
+      case "delimiter" => SplitOp.byDelimiter(df, c("name").str, c("split_key").str,
+        c("delimiter").str, c.intOr("num_splits_to_group", 1), c.strOr("doc_id_expr", "uuid()"))
+      case m => throw new IllegalArgumentException(s"unknown split method $m")
+    }
+  }
+  register("gather") { (df, c, _) =>
+    GatherOp(df, c("content_key").str, c("doc_id_key").str, c("order_key").str,
+      c.intOr("previous_count", 1), c.intOr("next_count", 1))
+  }
+  register("unnest") { (df, c, _) =>
+    c.get("expand_fields") match {
+      case Some(f) => UnnestOp.struct(df, c("unnest_key").str, f.strList)
+      case None => UnnestOp.list(df, c("unnest_key").str,
+        c.boolOr("keep_empty", false), c.boolOr("recursive", false), c.intOr("depth", 1))
+    }
+  }
+  register("unnest_columns") { (df, c, _) =>
+    UnnestColumnsOp(df, c("column").str, c.get("keys").map(_.strList))
+  }
+  register("sample") { (df, c, ctx) =>
+    c("method").str match {
+      case "first" => SampleOp.first(df, c("samples").int, c("order_by").strList)
+      case "uniform" => SampleOp.uniform(df, c("fraction").dbl, c.intOr("random_state", 42))
+      case "hash" => SampleOp.uniformHash(df, c("key_expr").str, c("fraction").dbl,
+        c.intOr("random_state", 0))
+      case "stratified" => SampleOp.stratified(df, c("stratify_key").str,
+        c("samples_per_group").int, c("order_by").strList)
+      case "outliers" => SampleOp.outliers(df, c("embedding_key").str,
+        c.get("std").map(_.dbl), c.get("samples").map(_.int),
+        c.boolOr("keep", true), c.get("tie_break").map(_.strList).getOrElse(Nil))
+      case m => throw new IllegalArgumentException(s"unknown sample method $m")
+    }
+  }
+  register("topk") { (df, c, _) =>
+    c("method").str match {
+      case "embedding" => TopKOp.embedding(df, c("embedding_key").str,
+        c("query_vector").asList.map(_.dbl).toArray, c("k").int,
+        c.get("tie_break").map(_.strList).getOrElse(Nil))
+      case "fts" => TopKOp.bm25(df, c("text_key").str, c("query").str.split("\\s+").toSeq,
+        c("k").int, c.get("tie_break").map(_.strList).getOrElse(Nil))
+      case m => throw new IllegalArgumentException(s"unknown topk method $m")
+    }
+  }
+  register("rank") { (df, c, ctx) =>
+    c("method").str match {
+      case "embedding" => RankOp.byEmbedding(df, c("embedding_key").str,
+        c("query_vector").asList.map(_.dbl).toArray, c.strOr("direction", "desc"),
+        c.get("tie_break").map(_.strList).getOrElse(Nil))
+      case "likert" => RankOp.byLikert(df, c("name").str, c("prompt").str, ctx.client,
+        c.strOr("model", "mock"), c.strOr("direction", "desc"),
+        c.get("tie_break").map(_.strList).getOrElse(Nil))
+      case m => throw new IllegalArgumentException(s"unknown rank method $m")
+    }
+  }
+  register("extract") { (df, c, ctx) =>
+    c.strOr("extraction_method", "regex") match {
+      case "regex" => ExtractOp.regex(df, c("name").str, c("document_key").str,
+        c("pattern").str, c.boolOr("format_extraction", true))
+      case "line_number" => ExtractOp.lineNumber(df, c("name").str, c("document_key").str,
+        c("prompt").str, ctx.client, c.strOr("model", "mock"))
+      case m => throw new IllegalArgumentException(s"unknown extraction method $m")
+    }
+  }
+  register("add_uuid") { (df, c, _) =>
+    AddUuid(df, c("name").str, c.get("id_key").map(_.str))
+  }
+  register("cluster") { (df, c, ctx) =>
+    ClusterOp(df, c("embedding_key").str, c("render_expr").str,
+      c.intOr("num_clusters", 8), ctx.client, c.strOr("model", "mock"),
+      c.strOr("output_key", "clusters"))
+  }
+  register("dedup") { (df, c, _) =>
+    c("method").str match {
+      case "exact" => graft.dedup.ExactDedup(df, c("text_key").str, c("tie_break").str)
+      case "minhash" => graft.dedup.MinHashDedup(df, c("id_key").str, c("text_key").str,
+        c.intOr("shingle_size", 3), c.intOr("num_perms", 64), c.intOr("num_bands", 16),
+        c.dblOr("threshold", 0.8))
+      case m => throw new IllegalArgumentException(s"unknown dedup method $m")
+    }
+  }
+  register("limit") { (df, c, _) => df.limit(c("n").int) }
+  register("select") { (df, c, _) => df.selectExpr(c("columns").strList: _*) }
+}

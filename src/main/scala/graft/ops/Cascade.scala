@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.{LlmClient, Template}
+
+/** Model cascade for filter-shaped ops (reference
+  * docetl/operations/utils/cascade_runner.py, SURVEY.md §2.11/§4.2):
+  *
+  *   1. A cheap *proxy* model scores every row with a confidence
+  *      (single-token logprob in the reference, api.py:1004).
+  *   2. A confidence threshold is *calibrated on an oracle-labeled sample*
+  *      to meet the target guarantee (recall for filters —
+  *      cascade_runner.py:33-36) — the sample is O(calibrationSize), driver
+  *      side, 100 TB-safe (SURVEY.md §7.5.3).
+  *   3. Confident rows keep the proxy decision; the rest escalate to the
+  *      oracle model. The escalated sub-DataFrame is the only expensive part.
+  *
+  * Two full passes over the data, both distributed; the only collect is the
+  * calibration sample.
+  */
+object CascadeFilter {
+
+  final case class Config(
+      name: String,
+      prompt: String,
+      decisionKey: String = "keep",
+      proxyModel: String = "proxy",
+      oracleModel: String = "oracle",
+      targetRecall: Double = 0.9,
+      calibrationSize: Int = 100)
+
+  def apply(df: DataFrame, cfg: Config, proxy: LlmClient, oracle: LlmClient): DataFrame = {
+    val tpl = Template(cfg.prompt, df.schema)
+    val boolSchema = StructType(Seq(StructField(cfg.decisionKey, BooleanType)))
+    val scoredSchema = df.schema
+      .add(StructField("_graft_dec", BooleanType))
+      .add(StructField("_graft_conf", DoubleType))
+    val proxyModel = cfg.proxyModel
+
+    // Pass 1: proxy decision + confidence for every row.
+    val scored = df.mapPartitions { it =>
+      it.map { row =>
+        val p = tpl.render(row)
+        val dec = proxy.complete(proxyModel, p, boolSchema)
+          .values(cfg.decisionKey).asInstanceOf[Boolean]
+        val conf = proxy.logprobConfidence(proxyModel, p)
+        Row.fromSeq(row.toSeq :+ dec :+ conf)
+      }
+    }(Encoders.row(scoredSchema)).persist()
+
+    // Calibration: oracle-label a deterministic sample, pick the smallest
+    // threshold whose proxy decisions reach targetRecall on it.
+    val sample = scored.limit(cfg.calibrationSize).collect()
+    val oracleModel = cfg.oracleModel
+    val tplIdx = scoredSchema.fieldIndex("_graft_dec")
+    val confIdx = scoredSchema.fieldIndex("_graft_conf")
+    val labeled = sample.map { row =>
+      val p = tpl.render(row)
+      val truth = oracle.complete(oracleModel, p, boolSchema)
+        .values(cfg.decisionKey).asInstanceOf[Boolean]
+      (row.getBoolean(tplIdx), row.getDouble(confIdx), truth)
+    }
+    val threshold = calibrate(labeled, cfg.targetRecall)
+
+    // Pass 2: confident rows keep the proxy verdict; the rest escalate.
+    val confident = scored.filter(col("_graft_conf") >= threshold)
+      .filter(col("_graft_dec"))
+      .drop("_graft_dec", "_graft_conf")
+    val escalated = scored.filter(col("_graft_conf") < threshold)
+      .drop("_graft_dec", "_graft_conf")
+    val escalatedKept = SemanticFilter(escalated, SemanticMapConfig(
+      name = cfg.name, prompt = cfg.prompt,
+      outputSchema = Seq(cfg.decisionKey -> "bool"),
+      model = cfg.oracleModel), oracle)
+    confident.unionByName(escalatedKept)
+  }
+
+  /** Smallest confidence threshold t such that, on the labeled sample,
+    * true-positives among rows with conf >= t (proxy) plus all rows below t
+    * (escalated to oracle = perfect) recover >= targetRecall of positives. */
+  private[graft] def calibrate(
+      labeled: Seq[(Boolean, Double, Boolean)], targetRecall: Double): Double = {
+    val positives = labeled.count(_._3)
+    if (positives == 0) return 0.0
+    val candidates = labeled.map(_._2).distinct.sorted :+ 1.1
+    candidates.find { t =>
+      val recovered = labeled.count { case (dec, conf, truth) =>
+        truth && (if (conf >= t) dec else true) // below t -> oracle gets it right
+      }
+      recovered.toDouble / positives >= targetRecall
+    }.getOrElse(1.1)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.LlmClient
+
+/** Foreign-key repair (reference docetl/operations/link_resolve.py:34-206):
+  * values inside `linkKey` arrays that do not match any row's `idKey` are
+  * matched against the canonical id set (normalized-equality blocking, then
+  * an LLM confirm per surviving candidate) and rewritten in place.
+  *
+  * Distributed shape: the dangling-value set is `explode` + left-anti join
+  * (never a driver collect of values); candidate (dangling, canonical) pairs
+  * come from a join on the normalization key; the confirmed mapping is
+  * broadcast back and arrays are rewritten with the `transform` higher-order
+  * function (SURVEY.md §2.4 mapping).
+  */
+object LinkResolveOp {
+
+  final case class Config(
+      name: String,
+      idKey: String,
+      linkKey: String,
+      /** SQL normalization applied to both sides for candidate blocking. */
+      normalizeExpr: String = "lower(trim(x))",
+      model: String = "mock")
+
+  def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
+    val spark = df.sparkSession
+    def norm(c: String): org.apache.spark.sql.Column =
+      expr(cfg.normalizeExpr.replace("x", c))
+
+    val ids = df.select(col(cfg.idKey).cast("string").as("_cid")).distinct()
+    val linkVals = df.select(explode(col(cfg.linkKey)).as("_lv"))
+      .select(col("_lv").cast("string").as("_lv")).distinct()
+    val dangling = linkVals.join(ids, col("_lv") === col("_cid"), "left_anti")
+
+    // Candidates: dangling value x canonical id agreeing on the normalization.
+    val cands = dangling.withColumn("_nl", norm("_lv"))
+      .join(ids.withColumn("_nc", norm("_cid")), col("_nl") === col("_nc"))
+      .select("_lv", "_cid")
+
+    val model = cfg.model
+    val mappingSchema = StructType(Seq(
+      StructField("_lv", StringType), StructField("_cid", StringType)))
+    val confirmed = cands.mapPartitions { it =>
+      it.filter(row => client.compare(model,
+        s"${row.getString(0).trim.toLowerCase}\n###\n${row.getString(1).trim.toLowerCase}"))
+    }(Encoders.row(mappingSchema))
+      // one canonical target per dangling value: smallest id wins
+      .groupBy("_lv").agg(min("_cid").as("_cid"))
+
+    // Broadcast the (small) mapping and rewrite arrays in place.
+    val mapping = confirmed.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val mapCol = typedLit(mapping)
+    df.withColumn(cfg.linkKey,
+      transform(col(cfg.linkKey), v =>
+        coalesce(element_at(mapCol, v.cast("string")), v.cast("string"))))
+  }
+}

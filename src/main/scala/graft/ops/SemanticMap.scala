@@ -32,7 +32,10 @@ final case class SemanticMapConfig(
     bypassCache: Boolean = false,
     gleaning: Option[GleaningConfig] = None,
     validate: Option[Map[String, Any] => Boolean] = None,
-    numRetriesOnValidateFailure: Int = 2)
+    numRetriesOnValidateFailure: Int = 2,
+    /** Adds `_observability_{name}` carrying the rendered prompt
+      * (reference map.py:514-518). */
+    enableObservability: Boolean = false)
 
 /** LLM projection (reference docetl/operations/map.py:35-714).
   *
@@ -58,7 +61,11 @@ object SemanticMap {
     val inFields = base.schema.fields
     val kept = inFields.filterNot(f =>
       cfg.dropKeys.contains(f.name) || outStruct.fieldNames.contains(f.name))
-    val newSchema = StructType(kept ++ outStruct.fields)
+    val obsFields =
+      if (cfg.enableObservability)
+        Array(StructField(s"_observability_${cfg.name}", StringType))
+      else Array.empty[StructField]
+    val newSchema = StructType(kept ++ outStruct.fields ++ obsFields)
     val keptIdx = kept.map(f => base.schema.fieldIndex(f.name))
     val costAcc = costAccumulator(base, s"graft.llm.cost.${cfg.name}")
     val callsAcc = base.sparkSession.sparkContext.longAccumulator(s"graft.llm.calls.${cfg.name}")
@@ -75,7 +82,8 @@ object SemanticMap {
               clientB, cfgB.model, prompt, outStruct, cfgB.gleaning, cfgB.validate,
               cfgB.numRetriesOnValidateFailure, cfgB.bypassCache, costAcc, callsAcc)
             val out = keptIdx.map(row.get) ++
-              outStruct.fields.map(f => LlmRunner.coerce(values.get(f.name), f.dataType))
+              outStruct.fields.map(f => LlmRunner.coerce(values.get(f.name), f.dataType)) ++
+              (if (cfgB.enableObservability) Seq(prompt) else Nil)
             Iterator.single(Row(out.toSeq: _*))
           } catch {
             case e: Exception if cfgB.skipOnError => Iterator.empty

@@ -47,8 +47,12 @@ object SemanticReduce {
       if (global) Array.empty[StructField]
       else cfg.reduceKeys.map(k => df.schema(k)).toArray
     val ptFields = cfg.passThrough.map(k => df.schema(k)).toArray
+    val lineageFields =
+      if (cfg.lineage)
+        Array(StructField(s"${cfg.name}_lineage", ArrayType(StringType)))
+      else Array.empty[StructField]
     val newSchema = StructType(
-      keyFields ++ ptFields ++ outStruct.fields :+
+      keyFields ++ ptFields ++ outStruct.fields ++ lineageFields :+
         StructField(s"_counts_prereduce_${cfg.name}", LongType))
 
     val member = struct(col(cfg.orderKey).as("o"), expr(cfg.memberExpr).cast("string").as("m"))
@@ -101,7 +105,10 @@ object SemanticReduce {
             cfgB.passThrough.indices.map(i => pt.get(i + 1))
           }
         val outVals = outStruct.fields.map(f => LlmRunner.coerce(resp.values.get(f.name), f.dataType))
-        Row((keyVals ++ ptVals ++ outVals :+ n): _*)
+        val lineageVals =
+          if (cfgB.lineage) Seq(members) // reference reduce.py:410-418
+          else Seq.empty[Any]
+        Row((keyVals ++ ptVals ++ outVals ++ lineageVals :+ n): _*)
       }
     }(Encoders.row(newSchema))
   }

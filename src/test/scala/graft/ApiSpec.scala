@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{Conf, Graft, Pipeline}
+import graft.llm.MockLlmClient
+import graft.ops._
+
+class ConfSpec extends SparkSpec {
+  test("yaml parses into typed views preserving order") {
+    val c = Conf.fromYaml(
+      """a: 1
+        |b: { x: "s", y: [1, 2] }
+        |ops: { first: one, second: two }
+        |""".stripMargin)
+    assert(c("a").int == 1)
+    assert(c("b")("x").str == "s")
+    assert(c("b")("y").asList.map(_.int) == Seq(1, 2))
+    assert(c("ops").asOrderedMap.map(_._1) == Seq("first", "second"))
+    assert(c.strOr("missing", "d") == "d")
+  }
+}
+
+class PipelineSpec extends SparkSpec {
+  test("multi-step yaml pipeline with step chaining") {
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val out = Pipeline.runYaml(
+      s"""
+         |datasets:
+         |  docs: { path: $dir/docs.parquet }
+         |operations:
+         |  - name: stats
+         |    type: code_map
+         |    outputs: { n: "cast(length(text) as bigint)" }
+         |  - name: keep_long
+         |    type: code_filter
+         |    predicate: "n > 30"
+         |pipeline:
+         |  steps:
+         |    - { name: s1, input: docs, operations: [stats] }
+         |    - { name: s2, input: s1, operations: [keep_long] }
+         |""".stripMargin, spark)
+    assert(out.columns.contains("n"))
+    assert(out.count() == docsDf.filter(length(col("text")) > 30).count())
+  }
+  test("join-headed step runs equijoin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString
+    docsDf.select(col("doc_id"), col("lang")).write.mode("overwrite")
+      .parquet(s"$dir/l.parquet")
+    docsDf.select(col("doc_id").as("rid"), col("text")).write.mode("overwrite")
+      .parquet(s"$dir/r.parquet")
+    val out = Pipeline.runYaml(
+      s"""
+         |datasets:
+         |  l: { path: $dir/l.parquet }
+         |  r: { path: $dir/r.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: joined
+         |      join: { left: l, right: r, condition: "doc_id = rid" }
+         |""".stripMargin, spark)
+    assert(out.count() == 6)
+  }
+  test("inline op configs and output sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    Pipeline.runYaml(
+      s"""
+         |datasets:
+         |  docs: { path: $dir/docs.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: s1
+         |      input: docs
+         |      operations:
+         |        - { type: limit, n: 3 }
+         |  output: { path: $dir/out.parquet }
+         |""".stripMargin, spark)
+    assert(spark.read.parquet(s"$dir/out.parquet").count() == 3)
+  }
+  test("unknown op type names the known registry") {
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Registry("nope")
+    }
+    assert(e.getMessage.contains("code_map"))
+  }
+}
+
+class FrameSpec extends SparkSpec {
+  test("fluent chain stays lazy and executes correctly") {
+    val f = Graft.fromDF(docsDf)
+      .codeMap("n" -> "length(text)")
+      .semanticMap("m", "{{ input.text }}", "sentiment" -> "str")
+      .semanticFilter("f", "{{ input.text }}")
+      .codeReduce("r", Seq("sentiment"), "n_docs" -> "count(1)")
+    assert(f.schema.fieldNames.contains("n_docs"))
+    assert(f.count() > 0)
+  }
+  test("frame explain/plan do not execute") {
+    val f = Graft.fromDF(docsDf).codeFilter("doc_id > 3")
+    assert(f.plan.nonEmpty)
+  }
+}
+
+class CascadeSpec extends SparkSpec {
+  private val client = MockLlmClient()
+  test("cascade equals the plain filter when proxy agrees with oracle") {
+    val out = CascadeFilter(docsDf, CascadeFilter.Config(
+      name = "c", prompt = "{{ input.text }}", decisionKey = "keep"),
+      client, client)
+    val expected = docsDf.filter(length(col("text")) % 2 === 0)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      expected.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+  test("calibrate picks the smallest threshold meeting recall") {
+    // (proxyDecision, confidence, truth)
+    val labeled = Seq(
+      (true, 0.9, true), (false, 0.8, true), // proxy wrong at 0.8
+      (true, 0.2, true), (false, 0.3, false))
+    // at t=0.2: recovered = {0.9 ok, 0.8 wrong, 0.2 ok} = 2/3 < 0.9
+    // at t=0.3: 0.2 escalates -> recovered 2/3... 0.8 still wrong
+    // at t=0.9: 0.8 escalates -> all 3 recovered
+    assert(CascadeFilter.calibrate(labeled, 0.9) == 0.9)
+    assert(CascadeFilter.calibrate(labeled, 0.6) == 0.2)
+  }
+}
+
+class LinkResolveSpec extends SparkSpec {
+  private val client = MockLlmClient()
+  test("dangling links rewrite to canonical ids; unmatched stay") {
+    val d = df(StructType(Seq(
+      StructField("id", StringType),
+      StructField("links", ArrayType(StringType)))),
+      Row("Alice", Seq("alice", "BOB", "ghost")),
+      Row("Bob", Seq("Alice")))
+    val out = LinkResolveOp(d, LinkResolveOp.Config(
+      name = "lr", idKey = "id", linkKey = "links"), client)
+    val m = out.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(m("Alice") == Seq("Alice", "Bob", "ghost"))
+    assert(m("Bob") == Seq("Alice")) // already canonical, untouched
+  }
+}
+
+class ObservabilitySpec extends SparkSpec {
+  private val client = MockLlmClient()
+  test("observability column carries the rendered prompt") {
+    val out = SemanticMap(docsDf, SemanticMapConfig(
+      name = "ob", prompt = "{{ input.text }}",
+      outputSchema = Seq("sentiment" -> "str"),
+      enableObservability = true), client)
+    val r = out.filter(col("doc_id") === 2).select("_observability_ob")
+      .collect()(0).getString(0)
+    assert(r == "a slow merge sort on the table")
+  }
+  test("reduce lineage lists group members in order") {
+    val out = SemanticReduce(docsDf, SemanticReduce.Config(
+      name = "lin", reduceKeys = Seq("lang"), memberExpr = "cast(doc_id as string)",
+      orderKey = "doc_id", outputSchema = Seq("summary" -> "str"),
+      lineage = true), client)
+    val en = out.filter(col("lang") === "en").select("lin_lineage")
+      .collect()(0).getSeq[String](0)
+    assert(en == Seq("1", "2", "4", "5", "6"))
+  }
+}
