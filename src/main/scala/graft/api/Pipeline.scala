@@ -24,27 +24,44 @@ object Pipeline {
 
   def run(conf: Conf, spark: SparkSession, client: LlmClient = MockLlmClient()): DataFrame = {
     val datasets = scala.collection.mutable.Map[String, DataFrame]()
+    // Rolling config hash per named dataset/step — the checkpoint
+    // invalidation key (reference runner.py:241-282).
+    val hashes = scala.collection.mutable.Map[String, String]()
     conf.get("datasets").foreach(_.asMap.foreach { case (name, d) =>
       datasets(name) = read(spark, d("path").str)
+      hashes(name) = CheckpointStore.sha256("dataset|" + d("path").str)
     })
+    val store = conf.get("checkpoint_dir").map(d => new CheckpointStore(d.str))
+    val planRewrites = conf.boolOr("plan_rewrites", true)
     val opsByName: Map[String, Conf] =
       conf.get("operations").map(_.asList.map(o => o("name").str -> o).toMap)
         .getOrElse(Map.empty)
 
-    def applyOps(df0: DataFrame, step: Conf, ctx: OpContext): DataFrame =
-      step.get("operations").map(_.asList).getOrElse(Seq.empty).foldLeft(df0) { (df, opRef) =>
-        val opConf = opRef.value match {
+    def resolveOps(step: Conf): Seq[Conf] = {
+      val resolved = step.get("operations").map(_.asList).getOrElse(Seq.empty).map { opRef =>
+        opRef.value match {
           case s: String => opsByName.getOrElse(s,
             throw new IllegalArgumentException(s"unknown operation '$s'"))
           case _ => opRef // inline op config
         }
-        Registry(opConf("type").str)(df, opConf, ctx)
+      }
+      if (planRewrites) Rewrites(resolved) else resolved
+    }
+
+    def applyOps(df0: DataFrame, baseHash: String, step: Conf, ctx: OpContext): (DataFrame, String) =
+      resolveOps(step).foldLeft((df0, baseHash)) { case ((df, h), opConf) =>
+        val h2 = CheckpointStore.rollingHash(h, opConf)
+        val out = store.flatMap(_.load(spark, h2)).getOrElse {
+          val computed = Registry(opConf("type").str)(df, opConf, ctx)
+          store.map(_.save(computed, h2)).getOrElse(computed)
+        }
+        (out, h2)
       }
 
     var last: Option[DataFrame] = None
     conf("pipeline")("steps").asList.foreach { step =>
       val ctx = OpContext(spark, client, datasets.toMap)
-      val out = step.get("join") match {
+      val (out, outHash) = step.get("join") match {
         case Some(j) =>
           val left = datasets(j("left").str)
           val right = datasets(j("right").str)
@@ -58,15 +75,18 @@ object Pipeline {
             limitRight = j.get("limit_right").map(_.int),
             leftIdKey = j.strOr("left_id", ""),
             rightIdKey = j.strOr("right_id", "")), client)
-          applyOps(joined, step, ctx)
+          val baseHash = CheckpointStore.rollingHash(
+            hashes(j("left").str) + "+" + hashes(j("right").str), j)
+          applyOps(joined, baseHash, step, ctx)
         case None =>
           val input = step("input").str
           val df0 = datasets.getOrElse(input,
             throw new IllegalArgumentException(s"unknown step input '$input'"))
-          applyOps(df0, step, ctx)
+          applyOps(df0, hashes(input), step, ctx)
       }
       val persisted = if (step.boolOr("persist", false)) out.persist() else out
       datasets(step("name").str) = persisted
+      hashes(step("name").str) = outHash
       last = Some(persisted)
     }
 

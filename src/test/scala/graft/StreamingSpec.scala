@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+
+  test("watermarked windowed counts over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val agg = Streams.windowedCounts(events, "ts", "10 minutes", "5 minutes", "user_id")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    input.addData((ts(1), 1L, 1.0), (ts(2), 1L, 2.0), (ts(11), 1L, 3.0), (ts(3), 2L, 4.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT user_id, n_events, sum_value FROM win_counts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows.contains((1L, 2L, 3.0))) // window 00:00-00:10 for user 1
+    assert(rows.contains((1L, 1L, 3.0))) // window 00:10-00:20
+    assert(rows.contains((2L, 1L, 4.0)))
+  }
+
+  test("stateful sessionization tracks per-user sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("user_id", "ts_seconds")
+    val sessions = Streams.sessionize(events.toDF(), gapSeconds = 60)
+    val q = sessions.toDF().writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    input.addData((1L, 100L), (1L, 130L), (2L, 500L))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT user_id, session_start, session_end, n_events FROM sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    assert(rows.contains((1L, 100L, 130L, 2L)))
+    assert(rows.contains((2L, 500L, 500L, 1L)))
+  }
+
+  test("semantic map composes with a stream (object operator on micro-batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val client = graft.llm.MockLlmClient()
+    val input = MemoryStream[String]
+    val docs = input.toDF().toDF("text")
+    val mapped = graft.ops.SemanticMap(docs, graft.ops.SemanticMapConfig(
+      name = "sm", prompt = "{{ input.text }}",
+      outputSchema = Seq("sentiment" -> "str")), client)
+    val q = mapped.writeStream.format("memory").queryName("stream_sem")
+      .outputMode(OutputMode.Append()).start()
+    input.addData("very fast ride", "so slow today")
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT text, sentiment FROM stream_sem")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(rows == Set("very fast ride" -> "positive", "so slow today" -> "negative"))
+  }
+}
