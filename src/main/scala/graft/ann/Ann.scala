@@ -33,7 +33,7 @@ object Ann {
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .withColumn("score",
-        round(VectorFunctions.cosine(col("_qe"), col("_ce")), 6))
+        round(graft.functions.CosineSimilarity(col("_qe"), col("_ce")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("_rn", row_number().over(w))
@@ -94,7 +94,7 @@ object Ann {
       col(corpusEmb).as("_ce"), col("_cell"))
     val scored = c.join(broadcast(q), Seq("_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", round(VectorFunctions.cosine(col("_qe"), col("_ce")), 6))
+      .withColumn("score", round(graft.functions.CosineSimilarity(col("_qe"), col("_ce")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("_rn", row_number().over(w))

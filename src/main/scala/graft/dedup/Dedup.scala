@@ -221,7 +221,7 @@ object EmbeddingDedup {
     l.join(r, Seq("_b"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
-        round(graft.functions.VectorFunctions.cosine(col("_ea"), col("_eb")), 6))
+        round(graft.functions.CosineSimilarity(col("_ea"), col("_eb")), 6))
       .filter(col("cosine") >= cosineThreshold)
       .select("id_a", "id_b", "cosine")
   }
