@@ -129,7 +129,12 @@ object GatherOp {
       docIdKey: String,
       orderKey: String,
       previousCount: Int = 1,
-      nextCount: Int = 1): DataFrame = {
+      nextCount: Int = 1,
+      /** Adds "[... N characters skipped ...]" markers for document content
+        * outside the rendered window (reference gather.py skipped-content
+        * markers). Computed with two more bounded window sums — no extra
+        * shuffle (same window spec). */
+      skipMarkers: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(docIdKey)).orderBy(col(orderKey))
     val prev = collect_list(col(contentKey)).over(w.rowsBetween(-previousCount, -1))
     val next = collect_list(col(contentKey)).over(w.rowsBetween(1, nextCount))
@@ -137,11 +142,18 @@ object GatherOp {
     // on the first/last chunk) — mirrored exactly by the DuckDB oracle's
     // lag/lead NULL behavior.
     def section(c: Column): Column = when(size(c) > 0, concat_ws("\n", c))
-    val rendered = concat_ws(
-      "\n",
-      section(prev),
-      concat(lit("--- current ---\n"), col(contentKey)),
-      section(next))
-    df.withColumn(s"${contentKey}_rendered", rendered)
+    val skippedBefore = sum(length(col(contentKey)))
+      .over(w.rowsBetween(Window.unboundedPreceding, -previousCount - 1))
+    val skippedAfter = sum(length(col(contentKey)))
+      .over(w.rowsBetween(nextCount + 1, Window.unboundedFollowing))
+    def marker(c: Column): Column =
+      when(c.isNotNull && c > 0, concat(lit("[... "), c, lit(" characters skipped ...]")))
+    val parts =
+      (if (skipMarkers) Seq(marker(skippedBefore)) else Nil) ++
+        Seq(section(prev),
+          concat(lit("--- current ---\n"), col(contentKey)),
+          section(next)) ++
+        (if (skipMarkers) Seq(marker(skippedAfter)) else Nil)
+    df.withColumn(s"${contentKey}_rendered", concat_ws("\n", parts: _*))
   }
 }

@@ -38,7 +38,12 @@ object SemanticReduce {
       strategy: String = "batch", // batch | fold
       foldBatchSize: Int = 100,
       passThrough: Seq[String] = Nil,
-      lineage: Boolean = false)
+      lineage: Boolean = false,
+      /** Value sampling within the group (reference reduce.py:143-161
+        * `value_sampling`): cap the members the LLM sees to the first n in
+        * `orderKey` order. The count/lineage columns still reflect the FULL
+        * group (sampling only bounds prompt size). */
+      valueSampleSize: Option[Int] = None)
 
   def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
     val outStruct = SchemaTypes.toStruct(cfg.outputSchema)
@@ -75,7 +80,8 @@ object SemanticReduce {
 
     grouped.mapPartitions { it =>
       it.map { row =>
-        val members = row.getSeq[Row](gSchema.fieldIndex("_members")).map(_.getString(1))
+        val allMembers = row.getSeq[Row](gSchema.fieldIndex("_members")).map(_.getString(1))
+        val members = cfgB.valueSampleSize.map(allMembers.take).getOrElse(allMembers)
         val n = row.getLong(gSchema.fieldIndex("_n"))
         def call(prompt: String): Map[String, Any] = {
           val resp = client.complete(cfgB.model, prompt, outStruct)
@@ -106,7 +112,7 @@ object SemanticReduce {
           }
         val outVals = outStruct.fields.map(f => LlmRunner.coerce(resp.values.get(f.name), f.dataType))
         val lineageVals =
-          if (cfgB.lineage) Seq(members) // reference reduce.py:410-418
+          if (cfgB.lineage) Seq(allMembers) // reference reduce.py:410-418
           else Seq.empty[Any]
         Row((keyVals ++ ptVals ++ outVals ++ lineageVals :+ n): _*)
       }

@@ -87,6 +87,18 @@ class ReshapeSpec extends SparkSpec {
     assert(out(1) == "A\n--- current ---\nB\nC")
     assert(out(2) == "B\n--- current ---\nC")
   }
+  test("gather skip markers count out-of-window characters") {
+    val d = df(StructType(Seq(StructField("doc", LongType),
+      StructField("ord", LongType), StructField("c", StringType))),
+      Row(1L, 1L, "aa"), Row(1L, 2L, "bbb"), Row(1L, 3L, "c"), Row(1L, 4L, "dd"))
+    val out = GatherOp(d, "c", "doc", "ord", previousCount = 1, nextCount = 1,
+      skipMarkers = true).orderBy("ord")
+      .select("c_rendered").collect().map(_.getString(0))
+    // row 3 (ord=3): chunk "aa" (2 chars) is before the window
+    assert(out(2).startsWith("[... 2 characters skipped ...]\n"))
+    // row 1: chunks "c"+"dd" (3 chars) after the window
+    assert(out(0).endsWith("\n[... 3 characters skipped ...]"))
+  }
 }
 
 class SamplingSpec extends SparkSpec {

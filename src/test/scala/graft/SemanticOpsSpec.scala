@@ -114,6 +114,16 @@ class SemanticReduceSpec extends SparkSpec {
       orderKey = "doc_id", outputSchema = Seq("summary" -> "str")), client)
     assert(out.count() == 1)
   }
+  test("value sampling bounds the prompt but counts the full group") {
+    val out = SemanticReduce(docsDf, SemanticReduce.Config(
+      name = "vs", reduceKeys = Seq("_all"), memberExpr = "text",
+      orderKey = "doc_id", outputSchema = Seq("summary" -> "str"),
+      valueSampleSize = Some(2)), client)
+    val r = out.collect()(0)
+    // mock summary sees only 2 members; counts reflect all 6
+    assert(r.getAs[String]("summary").startsWith("docs=2 "))
+    assert(r.getAs[Long]("_counts_prereduce_vs") == 6L)
+  }
   test("fold strategy issues one call per chunk") {
     MockLlmClient.resetCalls()
     SemanticReduce(docsDf, SemanticReduce.Config(
