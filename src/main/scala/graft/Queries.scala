@@ -762,6 +762,22 @@ object Queries {
         SELECT n_name AS id, n_name || ',unknown' AS links_joined FROM nation""")
     ),
     (
+      "q47_assoc_reduce",
+      // Aggregator-based fold/merge reduce: map-side partial folds, merge
+      // prompts across partitions. The mock's accumulator rule is genuinely
+      // associative ("n=<members seen>"), so the result is partition-
+      // independent and equals a plain COUNT in SQL.
+      (s: SparkSession, dir: String) =>
+        AssociativeSemanticReduce(t(s, dir, "documents"),
+          AssociativeSemanticReduce.Config(
+            name = "q47", reduceKeys = Seq("lang"), memberExpr = "text",
+            outputSchema = Seq("acc" -> "str"), foldBatchSize = 25), client),
+      Some("""
+        SELECT lang, 'n=' || count(*) AS acc,
+               CAST(count(*) AS BIGINT) AS "_counts_prereduce_q47"
+        FROM documents GROUP BY lang""")
+    ),
+    (
       "q46_cascade_filter",
       // Proxy and oracle share the mock, so the cascade's output equals the
       // plain filter regardless of the calibrated threshold — which is

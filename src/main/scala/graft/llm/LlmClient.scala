@@ -18,6 +18,12 @@ trait LlmClient extends Serializable {
     * to `schema`, plus a dollar cost. (reference api.py:588 `call_llm`) */
   def complete(model: String, prompt: String, schema: StructType): LlmResponse
 
+  /** Batched completion (reference api.py:242 `call_llm_batch` /
+    * `batch_prompt` mode, map.py:530-618): one provider round-trip labels a
+    * whole batch. Default: per-item calls. */
+  def completeBatch(model: String, prompts: Seq[String], schema: StructType): Seq[LlmResponse] =
+    prompts.map(complete(model, _, schema))
+
   /** Pairwise comparison returning is_match (reference equijoin.py:145-194,
     * resolve.py comparison_prompt). */
   def compare(model: String, prompt: String): Boolean =
@@ -32,7 +38,72 @@ trait LlmClient extends Serializable {
   def logprobConfidence(model: String, prompt: String): Double = 1.0
 }
 
-final case class LlmResponse(values: Map[String, Any], cost: Double)
+final case class LlmResponse(
+    values: Map[String, Any],
+    cost: Double,
+    inputTokens: Long = 0L,
+    outputTokens: Long = 0L)
+
+/** Executor-local per-model token/cost tally (reference api.py:147 per-model
+  * token tables, runner.py:164-167 cost summary). In local mode this IS the
+  * global tally; on a cluster each executor holds its shard — aggregate via
+  * the per-op accumulators or collect the executor tallies out-of-band. */
+object TokenTally {
+  final case class Tally(calls: Long, inputTokens: Long, outputTokens: Long, cost: Double)
+  private val map = new java.util.concurrent.ConcurrentHashMap[String, Tally]()
+
+  def record(model: String, r: LlmResponse): Unit =
+    map.merge(model, Tally(1, r.inputTokens, r.outputTokens, r.cost),
+      (a, b) => Tally(a.calls + b.calls, a.inputTokens + b.inputTokens,
+        a.outputTokens + b.outputTokens, a.cost + b.cost))
+
+  def summary: Map[String, Tally] = {
+    val b = Map.newBuilder[String, Tally]
+    map.forEach((k, v) => b += k -> v)
+    b.result()
+  }
+  def reset(): Unit = map.clear()
+}
+
+/** Decorator that throttles every provider round-trip through
+  * [[RateLimiter]] — ops opt in via their config without the runner knowing
+  * about rate limits at all. */
+final case class RateLimitedClient(inner: LlmClient, key: String, permitsPerMinute: Double)
+    extends LlmClient {
+  override def complete(model: String, prompt: String, schema: StructType): LlmResponse = {
+    RateLimiter.acquire(key, permitsPerMinute)
+    inner.complete(model, prompt, schema)
+  }
+  override def completeBatch(model: String, prompts: Seq[String], schema: StructType): Seq[LlmResponse] = {
+    RateLimiter.acquire(key, permitsPerMinute)
+    inner.completeBatch(model, prompts, schema)
+  }
+  override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] = {
+    RateLimiter.acquire(key, permitsPerMinute)
+    inner.embed(model, texts)
+  }
+  override def logprobConfidence(model: String, prompt: String): Double =
+    inner.logprobConfidence(model, prompt)
+}
+
+/** Blocking token-bucket rate limiter, one bucket per key per executor JVM
+  * (reference rate_limits config + pyrate_limiter, runner.py:297-361;
+  * SURVEY.md §7.5.5: static per-executor quota = global / numExecutors as
+  * the v1 distributed strategy). */
+object RateLimiter {
+  private val nextFree = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Block until a permit is available for `key` at `permitsPerMinute`. */
+  def acquire(key: String, permitsPerMinute: Double): Unit = {
+    if (permitsPerMinute <= 0) return
+    val intervalNanos = (60e9 / permitsPerMinute).toLong
+    val slot = nextFree.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong(System.nanoTime()))
+    val scheduled = slot.getAndAccumulate(intervalNanos,
+      (cur, step) => math.max(cur, System.nanoTime()) + step)
+    val wait = scheduled - System.nanoTime()
+    if (wait > 0) Thread.sleep(wait / 1000000, (wait % 1000000).toInt)
+  }
+}
 
 /** Executor-local response cache, keyed by (model, prompt, schema) — the
   * analog of the reference's disk LLM cache (reference
@@ -44,6 +115,17 @@ object LlmCache {
   private val maxEntries = 100000
   private val map = new java.util.concurrent.ConcurrentHashMap[String, LlmResponse]()
   private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def get(key: String): Option[LlmResponse] = Option(map.get(key))
+
+  def put(key: String, v: LlmResponse): Unit =
+    if (map.putIfAbsent(key, v) == null) {
+      order.add(key)
+      while (map.size() > maxEntries) {
+        val evict = order.poll()
+        if (evict != null) map.remove(evict) else return
+      }
+    }
 
   def getOrCompute(key: String, compute: => LlmResponse): LlmResponse = {
     val hit = map.get(key)

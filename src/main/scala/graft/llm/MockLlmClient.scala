@@ -32,8 +32,27 @@ final case class MockLlmClient(costPerCall: Double = 1e-4) extends LlmClient {
 
   override def complete(model: String, prompt: String, schema: StructType): LlmResponse = {
     MockLlmClient.calls.incrementAndGet()
+    val r = respond(model, prompt, schema)
+    TokenTally.record(model, r)
+    r
+  }
+
+  /** One provider round-trip for the whole batch: a single call is counted
+    * (the economics the reference's batch_prompt mode buys, map.py:530-618). */
+  override def completeBatch(
+      model: String, prompts: Seq[String], schema: StructType): Seq[LlmResponse] = {
+    if (prompts.nonEmpty) MockLlmClient.calls.incrementAndGet()
+    prompts.map { p =>
+      val r = respond(model, p, schema)
+      TokenTally.record(model, r)
+      r
+    }
+  }
+
+  private def respond(model: String, prompt: String, schema: StructType): LlmResponse = {
     val values = schema.fields.map(f => f.name -> mockValue(f.name, f.dataType, prompt)).toMap
-    LlmResponse(values, costPerCall)
+    LlmResponse(values, costPerCall,
+      inputTokens = prompt.length / 4 + 1, outputTokens = schema.fields.length * 4L)
   }
 
   override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] =
@@ -51,6 +70,20 @@ final case class MockLlmClient(costPerCall: Double = 1e-4) extends LlmClient {
       else if (prompt.contains("slow")) "negative"
       else "neutral"
     case ("ranges", StringType) => "1-2"
+    // Associative fold/merge accumulator: "n=<count of members seen>".
+    // fold prompt: optional "ACC:n=k" line + member lines; merge prompt:
+    // "MERGE:n=a\n###\nn=b". Genuinely associative, so partial-aggregation
+    // results are partition-independent.
+    case ("acc", StringType) =>
+      val AccN = raw"n=(\d+)".r
+      if (prompt.startsWith("MERGE:"))
+        s"n=${AccN.findAllMatchIn(prompt).map(_.group(1).toLong).sum}"
+      else {
+        val lines = prompt.split('\n')
+        val (accLines, memberLines) = lines.partition(_.startsWith("ACC:"))
+        val carried = accLines.flatMap(AccN.findFirstMatchIn(_)).map(_.group(1).toLong).sum
+        s"n=${carried + memberLines.count(_.nonEmpty)}"
+      }
     case ("summary", StringType) =>
       val n = prompt.count(_ == '\n') + 1
       s"docs=$n chars=${prompt.length}"

@@ -35,7 +35,14 @@ final case class SemanticMapConfig(
     numRetriesOnValidateFailure: Int = 2,
     /** Adds `_observability_{name}` carrying the rendered prompt
       * (reference map.py:514-518). */
-    enableObservability: Boolean = false)
+    enableObservability: Boolean = false,
+    /** One provider round-trip labels a whole batch (reference
+      * map.py:530-618 batch_prompt); incompatible with gleaning/validation
+      * loops, which are per-item. */
+    batchPrompt: Boolean = false,
+    /** Per-executor provider-call throttle; 0 = unlimited (reference
+      * rate_limits; SURVEY.md §7.5.5 static per-executor quota). */
+    callsPerMinute: Double = 0)
 
 /** LLM projection (reference docetl/operations/map.py:35-714).
   *
@@ -71,20 +78,55 @@ object SemanticMap {
     val callsAcc = base.sparkSession.sparkContext.longAccumulator(s"graft.llm.calls.${cfg.name}")
 
     val cfgB = cfg
-    val clientB = client
+    val clientB =
+      if (cfg.callsPerMinute > 0)
+        graft.llm.RateLimitedClient(client, s"op:${cfg.name}", cfg.callsPerMinute)
+      else client
     val tpl = Template(cfg.prompt, base.schema)
+    require(!cfg.batchPrompt || (cfg.gleaning.isEmpty && cfg.validate.isEmpty),
+      "batch_prompt is incompatible with gleaning/validation (per-item loops)")
+
+    def emit(row: Row, prompt: String, values: Map[String, Any]): Row = {
+      val out = keptIdx.map(row.get) ++
+        outStruct.fields.map(f => LlmRunner.coerce(values.get(f.name), f.dataType)) ++
+        (if (cfgB.enableObservability) Seq(prompt) else Nil)
+      Row(out.toSeq: _*)
+    }
+
     base.mapPartitions { it =>
       it.grouped(cfgB.batchSize).flatMap { batch =>
-        batch.iterator.flatMap { row =>
+        if (cfgB.batchPrompt) {
+          // One provider round-trip per batch; cache still applies per item.
+          val prompts = batch.map(tpl.render)
+          val keys = prompts.map(p => s"${cfgB.model}|${outStruct.simpleString}|$p")
+          val misses = keys.zip(prompts).filter { case (k, _) =>
+            cfgB.bypassCache || LlmCache.get(k).isEmpty
+          }
+          if (misses.nonEmpty) {
+            callsAcc.add(1)
+            val responses = clientB.completeBatch(cfgB.model, misses.map(_._2), outStruct)
+            misses.zip(responses).foreach { case ((k, _), r) =>
+              costAcc.add(r.cost)
+              if (!cfgB.bypassCache) LlmCache.put(k, r)
+            }
+            if (cfgB.bypassCache) {
+              val byPrompt = misses.map(_._2).zip(responses).toMap
+              batch.iterator.zip(prompts.iterator).map { case (row, p) =>
+                emit(row, p, byPrompt(p).values)
+              }
+            } else batch.iterator.zip(keys.iterator.zip(prompts.iterator)).map {
+              case (row, (k, p)) => emit(row, p, LlmCache.get(k).get.values)
+            }
+          } else batch.iterator.zip(keys.iterator.zip(prompts.iterator)).map {
+            case (row, (k, p)) => emit(row, p, LlmCache.get(k).get.values)
+          }
+        } else batch.iterator.flatMap { row =>
           val prompt = tpl.render(row)
           try {
             val values = LlmRunner.callWithLoops(
               clientB, cfgB.model, prompt, outStruct, cfgB.gleaning, cfgB.validate,
               cfgB.numRetriesOnValidateFailure, cfgB.bypassCache, costAcc, callsAcc)
-            val out = keptIdx.map(row.get) ++
-              outStruct.fields.map(f => LlmRunner.coerce(values.get(f.name), f.dataType)) ++
-              (if (cfgB.enableObservability) Seq(prompt) else Nil)
-            Iterator.single(Row(out.toSeq: _*))
+            Iterator.single(emit(row, prompt, values))
           } catch {
             case e: Exception if cfgB.skipOnError => Iterator.empty
           }
