@@ -91,14 +91,64 @@ object ResolveOp {
         star.unionByName(llmEdges)
       }
 
+    val resolved = clusterAndCanonicalize(withBlk, cfg, edges, client)
+    withBlk.unpersist()
+    resolved.drop("_blk", "_cmp")
+  }
+
+  /** Entity resolution with embedding-similarity blocking and runtime
+    * threshold calibration (reference resolve.py:350-407 auto-blocking):
+    * candidates from LSH buckets, threshold fit to `targetRecall` on an
+    * LLM-labeled sample, pairwise verdicts on survivors, then the shared
+    * cluster/canonicalize stages. `cfg.blockExpr` is unused here. */
+  def withEmbeddingBlocking(
+      df: DataFrame,
+      cfg: Config,
+      embeddingCol: String,
+      dim: Int,
+      client: LlmClient,
+      targetRecall: Double = 0.95,
+      sampleSize: Int = 100): DataFrame = {
+    val renders = df.select(
+      col(cfg.idKey).cast("long").as("id"),
+      expr(cfg.compareExpr).cast("string").as("render"))
+    val cands = Blocking.embeddingCandidates(df, cfg.idKey, embeddingCol, dim)
+    val (kept, _) = Blocking.autoThreshold(
+      cands, renders, client, cfg.model, targetRecall, sampleSize)
+    val pairBase = kept
+      .join(renders.select(col("id").as("id_a"), col("render").as("_ca")), Seq("id_a"))
+      .join(renders.select(col("id").as("id_b"), col("render").as("_cb")), Seq("id_b"))
+      .select(col("id_a").as("_ida"), col("id_b").as("_idb"), col("_ca"), col("_cb"))
+    val s = pairBase.schema
+    val (iCa, iCb) = (s.fieldIndex("_ca"), s.fieldIndex("_cb"))
+    val (iIda, iIdb) = (s.fieldIndex("_ida"), s.fieldIndex("_idb"))
+    val model = cfg.model
+    val edges = pairBase.mapPartitions { it =>
+      it.flatMap { row =>
+        if (client.compare(model,
+          s"${row.getString(iCa)}\n###\n${row.getString(iCb)}"))
+          Iterator.single(Row(row.getLong(iIda), row.getLong(iIdb)))
+        else Iterator.empty
+      }
+    }(Encoders.row(StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))))
+    clusterAndCanonicalize(df, cfg, edges, client)
+  }
+
+  /** Stages 3-4, shared by all blocking strategies: connected components
+    * over the match edges, then per-cluster canonicalization broadcast back
+    * onto the members. */
+  private def clusterAndCanonicalize(
+      df: DataFrame, cfg: Config, edges: DataFrame, client: LlmClient): DataFrame = {
+    val model = cfg.model
     // 3. Clusters.
     val labels = ConnectedComponents.run(
-      edges, withBlk.select(col(cfg.idKey).cast("long").as("id")))
+      edges, df.select(col(cfg.idKey).cast("long").as("id")))
 
     // 4. Canonical values per cluster: LLM resolution; the deterministic
     // client picks the lexicographically-smallest member rendering per key
     // (MockLlmClient `canonical` rule), real clients summarize.
-    val withCluster = withBlk.join(
+    val withCluster = df.join(
       labels.withColumnRenamed("id", cfg.idKey), Seq(cfg.idKey))
     val memberSchema = StructType(Seq(StructField("canonical", StringType)))
     val canonCols = cfg.resolveKeys.map { k =>
@@ -128,7 +178,6 @@ object ResolveOp {
     val resolved = cfg.resolveKeys.foldLeft(joined) { (d, k) =>
       d.withColumn(k, col(s"${k}_resolved")).drop(s"${k}_resolved")
     }
-    withBlk.unpersist()
-    resolved.drop("_blk", "_cmp", "component")
+    resolved.drop("component")
   }
 }
