@@ -84,4 +84,45 @@ object EquijoinOp {
 
   private def sideKey(key: String, collisions: Set[String], suffix: String): String =
     if (collisions.contains(key)) s"$key$suffix" else key
+
+  /** Fuzzy join with embedding-similarity blocking (reference
+    * equijoin.py:427-551): both sides sketch into the same hyperplane-LSH
+    * buckets, candidate pairs are cosine-scored with the native expression
+    * and thresholded, then (optionally) LLM-verified via `cfg`. The bucket
+    * join replaces the reference's full cross cosine matrix — candidates
+    * are linear-ish in the bucket sizes, never |L| x |R|. */
+  def withEmbeddingBlocking(
+      left: DataFrame,
+      right: DataFrame,
+      cfg: Config,
+      leftEmbCol: String,
+      rightEmbCol: String,
+      dim: Int,
+      cosineThreshold: Double,
+      client: LlmClient,
+      numPlanes: Int = 8,
+      seed: Long = 42): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(numPlanes, dim)(rng.nextGaussian())
+    def sketch(embCol: String) = planes.zipWithIndex.map { case (p, i) =>
+      when(graft.functions.VectorFunctions.dot(
+        col(embCol), array(p.map(lit): _*)) > 0, 1L).otherwise(0L) * (1L << i)
+    }.reduce(_ + _)
+    val l = left.withColumn("_graft_bkt", sketch(leftEmbCol))
+    val r = right.withColumn("_graft_bkt", sketch(rightEmbCol))
+    // Collision suffixing happens inside apply(); reference the post-join names.
+    val collisions = l.columns.toSet.intersect(r.columns.toSet)
+    val lEmb = if (collisions(leftEmbCol)) s"${leftEmbCol}_left" else leftEmbCol
+    val rEmb = if (collisions(rightEmbCol)) s"${rightEmbCol}_right" else rightEmbCol
+    val cosine = graft.functions.CosineSimilarity(col(lEmb), col(rEmb))
+    // Delegate to the predicate path: bucket equality + cosine threshold is
+    // just another join condition, so verify/limits/suffixing are shared.
+    val joined = apply(l, r, cfg.copy(condition =
+      s"_graft_bkt_left = _graft_bkt_right AND (${cfg.condition.trim match {
+        case "" => "true"
+        case c  => c
+      }})"), client)
+    joined.filter(cosine >= cosineThreshold)
+      .drop("_graft_bkt_left", "_graft_bkt_right")
+  }
 }

@@ -42,7 +42,13 @@ final case class SemanticMapConfig(
     batchPrompt: Boolean = false,
     /** Per-executor provider-call throttle; 0 = unlimited (reference
       * rate_limits; SURVEY.md §7.5.5 static per-executor quota). */
-    callsPerMinute: Double = 0)
+    callsPerMinute: Double = 0,
+    /** Calibrate mode (reference map.py:236-334): sample
+      * `calibrateSampleSize` rows, ask the model for reference anchors over
+      * them, and prepend the anchors to every prompt. The sample is a
+      * deterministic head — O(sample) driver work. */
+    calibrate: Boolean = false,
+    calibrateSampleSize: Int = 5)
 
 /** LLM projection (reference docetl/operations/map.py:35-714).
   *
@@ -82,7 +88,18 @@ object SemanticMap {
       if (cfg.callsPerMinute > 0)
         graft.llm.RateLimitedClient(client, s"op:${cfg.name}", cfg.callsPerMinute)
       else client
-    val tpl = Template(cfg.prompt, base.schema)
+    // Calibrate mode: anchors from a deterministic sample, prepended to the
+    // template so every executor-side prompt carries them.
+    val effectivePrompt =
+      if (!cfg.calibrate) cfg.prompt
+      else {
+        val sampleTpl = Template(cfg.prompt, base.schema)
+        val samplePrompts = base.limit(cfg.calibrateSampleSize).collect().map(sampleTpl.render)
+        val anchorSchema = StructType(Seq(StructField("anchors", StringType)))
+        val resp = clientB.complete(cfg.model, samplePrompts.mkString("\n"), anchorSchema)
+        s"CALIBRATION:\n${resp.values("anchors")}\n\n${cfg.prompt}"
+      }
+    val tpl = Template(effectivePrompt, base.schema)
     require(!cfg.batchPrompt || (cfg.gleaning.isEmpty && cfg.validate.isEmpty),
       "batch_prompt is incompatible with gleaning/validation (per-item loops)")
 

@@ -43,7 +43,10 @@ object SemanticReduce {
         * `value_sampling`): cap the members the LLM sees to the first n in
         * `orderKey` order. The count/lineage columns still reflect the FULL
         * group (sampling only bounds prompt size). */
-      valueSampleSize: Option[Int] = None)
+      valueSampleSize: Option[Int] = None,
+      /** Keep only the n smallest groups (reference reduce.py:301-305
+        * `limit`), ties broken by the reduce keys. */
+      limitSmallestGroups: Option[Int] = None)
 
   def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
     val outStruct = SchemaTypes.toStruct(cfg.outputSchema)
@@ -68,9 +71,14 @@ object SemanticReduce {
       sort_array(collect_list(member)).as("_members"),
       count(lit(1)).as("_n"),
       ptStruct)
-    val grouped =
+    val groupedAll =
       if (global) df.agg(aggCols.head, aggCols.tail: _*)
       else df.groupBy(cfg.reduceKeys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val grouped = cfg.limitSmallestGroups match {
+      case Some(n) if !global =>
+        groupedAll.orderBy(col("_n").asc +: cfg.reduceKeys.map(col(_).asc): _*).limit(n)
+      case _ => groupedAll
+    }
 
     val costAcc = SemanticMap.costAccumulator(df, s"graft.llm.cost.${cfg.name}")
     val callsAcc = df.sparkSession.sparkContext.longAccumulator(s"graft.llm.calls.${cfg.name}")
