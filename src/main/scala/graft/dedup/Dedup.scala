@@ -63,10 +63,10 @@ object MinHashDedup {
       .filter(size(col("_sh")) > 0)
       .persist()
 
-    // Signature: for each permutation p, min over shingles of xxhash64(p, h).
-    val sig = transform(
-      sequence(lit(0), lit(numPerms - 1)),
-      p => array_min(transform(col("_sh"), h => xxhash64(p, h))))
+    // Signature: numPerms permutation minima in one fused codegen'd loop
+    // (graft.functions.MinHashSignature) — the interpreted HOF equivalent
+    // dominated this stage at 64 perms x ~100 shingles per doc.
+    val sig = graft.functions.MinHashSignature(col("_sh"), numPerms)
 
     // Band keys: hash of each band's slice of the signature. Only (band,
     // key, id) go through the shuffle — never the shingle arrays.
