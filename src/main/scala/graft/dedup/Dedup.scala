@@ -57,8 +57,8 @@ object MinHashDedup {
     // the P permutation hashes re-hash that long, not the string — ~20x
     // cheaper per (perm, shingle). Jaccard over hashed shingles equals
     // string Jaccard up to 64-bit collisions (negligible).
-    val sh = array_distinct(transform(
-      TextFunctions.shingles(col(textCol), shingleSize), s => xxhash64(s)))
+    val sh = array_sort(array_distinct(transform(
+      TextFunctions.shingles(col(textCol), shingleSize), s => xxhash64(s))))
     val docs = df.select(col(idCol).as("_id"), sh.as("_sh"))
       .filter(size(col("_sh")) > 0)
       .persist()
@@ -90,10 +90,9 @@ object MinHashDedup {
     val withSh = cands
       .join(byId.select(col("_id").as("id_a"), col("_sh").as("_sha")), Seq("id_a"))
       .join(byId.select(col("_id").as("id_b"), col("_sh").as("_shb")), Seq("id_b"))
-    val inter = size(array_intersect(col("_sha"), col("_shb"))).cast("double")
-    val union = size(array_union(col("_sha"), col("_shb"))).cast("double")
     withSh
-      .withColumn("jaccard", round(inter / union, 6))
+      .withColumn("jaccard",
+        round(graft.functions.JaccardSimilarity(col("_sha"), col("_shb")), 6))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -176,16 +175,15 @@ object NgramJaccardDedup {
       threshold: Double = 0.5): DataFrame = {
     // Hashed shingles: long-array intersection beats string-array (see
     // MinHashDedup note on collision odds).
-    val sh = array_distinct(transform(
-      TextFunctions.shingles(col(textCol), n), s => xxhash64(s)))
+    val sh = array_sort(array_distinct(transform(
+      TextFunctions.shingles(col(textCol), n), s => xxhash64(s))))
     val docs = df.select(col(idCol).as("_id"), expr(blockExpr).as("_blk"), sh.as("_sh"))
     val l = docs.select(col("_blk"), col("_id").as("id_a"), col("_sh").as("_sha"))
     val r = docs.select(col("_blk"), col("_id").as("id_b"), col("_sh").as("_shb"))
-    val inter = size(array_intersect(col("_sha"), col("_shb"))).cast("double")
-    val union = size(array_union(col("_sha"), col("_shb"))).cast("double")
     l.join(r, Seq("_blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(inter / union, 6))
+      .withColumn("jaccard",
+        round(graft.functions.JaccardSimilarity(col("_sha"), col("_shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
