@@ -749,6 +749,51 @@ object Queries {
         FROM t WHERE n_tok > 40 GROUP BY lang""")
     ),
     (
+      "q48_retriever",
+      // Term-overlap RAG retrieval: for each document, the 2 most
+      // token-overlapping docs from a 5-doc corpus, rendered into
+      // _rag_retrieved_context. Fully SQL-expressible (set-intersection
+      // scoring + ordered string_agg).
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 5).select(col("text").as("ctext"))
+        RetrieverOp.byTermOverlap(docs, "rag", "text", corpus, "ctext", "ctext", k = 2)
+          .select(col("doc_id"), col("_rag_retrieved_context"))
+      },
+      Some("""
+        WITH corpus AS (SELECT text AS ctext FROM documents WHERE doc_id < 5),
+        scored AS (
+          SELECT d.doc_id, c.ctext,
+                 CAST(len(list_intersect(string_split(d.text, ' '),
+                                         string_split(c.ctext, ' '))) AS DOUBLE) AS score
+          FROM documents d, corpus c),
+        topk AS (
+          SELECT * FROM scored
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, ctext) <= 2)
+        SELECT doc_id,
+               string_agg(ctext, chr(10) || '---' || chr(10)
+                 ORDER BY score DESC, ctext) AS "_rag_retrieved_context"
+        FROM topk GROUP BY doc_id""")
+    ),
+    (
+      "q49_web_search",
+      // Deterministic stub HTTP client -> the result shape is a pure
+      // function of the query text, so even the external-I/O op oracles.
+      (s: SparkSession, dir: String) =>
+        WebSearchOp(t(s, dir, "documents"), "q49", "{{ input.text }}", maxResults = 2)
+          .select(col("doc_id"),
+            size(col("search_results")).cast("long").as("n_results"),
+            col("search_results").getItem(0).getField("title").as("title_1"),
+            col("search_results").getItem(0).getField("url").as("url_1")),
+      Some("""
+        SELECT doc_id, CAST(2 AS BIGINT) AS n_results,
+               'result 1 for: ' || text AS title_1,
+               'https://example.invalid/' ||
+                 lower(regexp_replace(text, '\W+', '-', 'g')) || '/1' AS url_1
+        FROM documents""")
+    ),
+    (
       "q45_link_resolve",
       (s: SparkSession, dir: String) => {
         val base = t(s, dir, "nation").select(
