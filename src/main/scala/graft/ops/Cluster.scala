@@ -58,4 +58,93 @@ object ClusterOp {
       .withColumn(outputKey, array(element_at(summaryMap, col("_graft_cluster"))))
       .drop("_graft_cluster")
   }
+
+  /** Hierarchical variant (reference cluster.py:14-310 builds a full binary
+    * tree agglomeratively on the driver — O(n²)): recursive bisecting
+    * k-means, level by level. Each level is one pass over the data (the
+    * clusters partition it), so depth d costs d distributed scans plus
+    * 2^d - 1 tiny k=2 fits. Every internal node gets an LLM summary
+    * bottom-up (leaves from bounded member samples, internal nodes from
+    * their children's summaries), and each row is annotated with its
+    * root→leaf PATH of summaries under `outputKey` — the reference's
+    * `clusters` column shape.
+    */
+  def hierarchical(
+      df: DataFrame,
+      embeddingCol: String,
+      renderExpr: String,
+      depth: Int,
+      client: LlmClient,
+      model: String = "mock",
+      outputKey: String = "clusters",
+      maxSummaryMembers: Int = 10,
+      seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(depth >= 1, "depth must be >= 1")
+
+    var assigned = df
+      .withColumn("_graft_vec", array_to_vector(transform(col(embeddingCol), _.cast("double"))))
+      .withColumn("_graft_path", lit(""))
+      .persist()
+    (1 to depth).foreach { level =>
+      val paths = assigned.select("_graft_path").distinct()
+        .collect().map(_.getString(0)).sorted
+      val next = paths.map { p =>
+        val part = assigned.filter(col("_graft_path") === p)
+        val n = part.count()
+        if (n < 2) part // too small to bisect; stays a leaf early
+        else {
+          val km = new KMeans().setK(2).setSeed(seed + level)
+            .setFeaturesCol("_graft_vec").fit(part)
+          km.transform(part)
+            .withColumn("_graft_path",
+              concat(col("_graft_path"), lit("/"), col("prediction")))
+            .drop("prediction")
+        }
+      }.reduce(_ unionByName _).persist()
+      assigned.unpersist()
+      assigned = next
+    }
+
+    // Bottom-up summaries: leaves from member samples, ancestors from
+    // children. Only O(#nodes) strings ever reach the driver.
+    val summarySchema = StructType(Seq(StructField("summary", StringType)))
+    val leafSamples = assigned
+      .withColumn("_graft_render", expr(renderExpr).cast("string"))
+      .groupBy("_graft_path")
+      .agg(slice(sort_array(collect_list(col("_graft_render"))), 1, maxSummaryMembers)
+        .as("_members"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val summaries = scala.collection.mutable.Map[String, String]()
+    def summarize(path: String): String = summaries.getOrElseUpdate(path, {
+      val children = leafSamples.keys.filter(k =>
+        k.startsWith(path) && k != path).toSeq.sorted
+      val directLeaf = leafSamples.get(path)
+      val input = directLeaf match {
+        case Some(members) => members.mkString("\n")
+        case None =>
+          // internal node: summarize the nearest descendant summaries
+          val childPaths = children.map(_.substring(path.length).split('/')
+            .filter(_.nonEmpty).head).distinct.sorted.map(c => s"$path/$c")
+          childPaths.map(summarize).mkString("\n")
+      }
+      val resp = client.complete(model, input, summarySchema)
+      resp.values("summary").asInstanceOf[String]
+    })
+    leafSamples.keys.foreach(summarize)
+    summarize("") // root
+    // Per-leaf path-of-summaries arrays, broadcast back as a literal map.
+    val pathArrays = leafSamples.keys.map { leaf =>
+      val segs = leaf.split('/').filter(_.nonEmpty)
+      val ancestors = (0 to segs.length).map(i =>
+        segs.take(i).map("/" + _).mkString)
+      leaf -> ancestors.map(summaries)
+    }.toMap
+    val pathMap = typedLit(pathArrays)
+    assigned
+      .withColumn(outputKey, element_at(pathMap, col("_graft_path")))
+      .drop("_graft_vec", "_graft_path")
+  }
 }

@@ -35,7 +35,12 @@ object EquijoinOp {
       limitLeft: Option[Int] = None,  // max matches per left row
       limitRight: Option[Int] = None, // max matches per right row
       leftIdKey: String = "",
-      rightIdKey: String = "")
+      rightIdKey: String = "",
+      /** Cap the candidate pairs sent to the LLM verify (reference
+        * equijoin.py:398-421 limit_comparisons) — a deterministic head by
+        * the side ids (the reference's stratified sampling is thread-order
+        * dependent; SURVEY.md §7.5.2). Requires leftIdKey/rightIdKey. */
+      limitComparisons: Option[Int] = None)
 
   def apply(left: DataFrame, right: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
     val collisions = left.columns.toSet.intersect(right.columns.toSet)
@@ -43,7 +48,14 @@ object EquijoinOp {
     val r = collisions.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"${c}_right"))
     val lp = l.alias("l")
     val rp = r.alias("r")
-    val candidates = lp.join(rp, expr(cfg.condition))
+    val joined = lp.join(rp, expr(cfg.condition))
+    val candidates = cfg.limitComparisons match {
+      case Some(n) if cfg.llmVerify =>
+        val lid = sideKey(cfg.leftIdKey, collisions, "_left")
+        val rid = sideKey(cfg.rightIdKey, collisions, "_right")
+        joined.orderBy(col(lid).asc, col(rid).asc).limit(n)
+      case _ => joined
+    }
 
     val verified =
       if (!cfg.llmVerify) candidates

@@ -81,6 +81,53 @@ class ClusterSpec extends SparkSpec {
   }
 }
 
+class HierarchicalClusterSpec extends SparkSpec {
+  private val client = graft.llm.MockLlmClient()
+
+  test("hierarchical clustering annotates root-to-leaf summary paths") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 40).map { i =>
+      // four planted clusters at the corners of a square
+      val (cx, cy) = (i % 4) match {
+        case 0 => (1.0, 1.0); case 1 => (1.0, -1.0)
+        case 2 => (-1.0, 1.0); case _ => (-1.0, -1.0)
+      }
+      Row(i.toLong, Seq((cx + rng.nextGaussian() * 0.05).toFloat,
+        (cy + rng.nextGaussian() * 0.05).toFloat))
+    }
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(FloatType)))), rows: _*)
+    val out = ClusterOp.hierarchical(d, "e", "repeat('x', cast(id as int))",
+      depth = 2, client)
+    assert(out.count() == 40)
+    // depth 2 -> path of 3 summaries (root, level-1 node, leaf)
+    assert(out.filter(size(col("clusters")) === 3).count() == 40)
+    // 4 planted clusters -> 4 distinct leaf summaries
+    assert(out.select(element_at(col("clusters"), 3)).distinct().count() == 4)
+    // all rows share the root summary
+    assert(out.select(element_at(col("clusters"), 1)).distinct().count() == 1)
+  }
+}
+
+class LimitComparisonsSpec extends SparkSpec {
+  private val client = graft.llm.MockLlmClient()
+
+  test("limit_comparisons caps the verified pair set deterministically") {
+    val l = df(StructType(Seq(StructField("id", LongType), StructField("k", StringType))),
+      (1L to 5L).map(i => Row(i, "x")): _*)
+    val r = df(StructType(Seq(StructField("rid", LongType), StructField("k2", StringType))),
+      (1L to 5L).map(i => Row(i, "x")): _*)
+    val out = EquijoinOp(l, r, EquijoinOp.Config(
+      name = "lc", condition = "k = k2",
+      compareExprLeft = "k", compareExprRight = "k2", llmVerify = true,
+      leftIdKey = "id", rightIdKey = "rid", limitComparisons = Some(7)), client)
+    assert(out.count() == 7) // 25 candidates capped to 7, all match (k == k2)
+    // deterministic head: the first rows by (id, rid)
+    val got = out.select("id", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L,1L),(1L,2L),(1L,3L),(1L,4L),(1L,5L),(2L,1L),(2L,2L)))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import graft.multimodal.BinaryOps
 
