@@ -58,12 +58,21 @@ object ResolveOp {
     // differ are sent to the pairwise LLM verdict.
     val model = cfg.model
     val autoMatch = cfg.autoMatchOnBlockEquality
-    val pairBase = {
-      val l = withBlk.select(col("_blk"), col(cfg.idKey).as("_ida"), col("_cmp").as("_ca"))
-      val r = withBlk.select(col("_blk"), col(cfg.idKey).as("_idb"), col("_cmp").as("_cb"))
-      val all = l.join(r, Seq("_blk")).filter(col("_ida") < col("_idb"))
-      if (autoMatch) all.filter(col("_ca") =!= col("_cb")) else all
-    }
+    val pairBase =
+      if (autoMatch && cfg.blockExpr.trim == cfg.compareExpr.trim) {
+        // Provably empty: within a block every compare render equals the
+        // blocking key, so no differing pair exists — skip the pair join.
+        val s = StructType(Seq(
+          StructField("_blk", StringType), StructField("_ida", df.schema(cfg.idKey).dataType),
+          StructField("_ca", StringType), StructField("_idb", df.schema(cfg.idKey).dataType),
+          StructField("_cb", StringType)))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+      } else {
+        val l = withBlk.select(col("_blk"), col(cfg.idKey).as("_ida"), col("_cmp").as("_ca"))
+        val r = withBlk.select(col("_blk"), col(cfg.idKey).as("_idb"), col("_cmp").as("_cb"))
+        val all = l.join(r, Seq("_blk")).filter(col("_ida") < col("_idb"))
+        if (autoMatch) all.filter(col("_ca") =!= col("_cb")) else all
+      }
     val cSchema = pairBase.schema
     val (iCa, iCb) = (cSchema.fieldIndex("_ca"), cSchema.fieldIndex("_cb"))
     val (iIda, iIdb) = (cSchema.fieldIndex("_ida"), cSchema.fieldIndex("_idb"))
