@@ -22,7 +22,13 @@ import graft.ops.EquijoinOp
   */
 object Pipeline {
 
-  def run(conf: Conf, spark: SparkSession, client: LlmClient = MockLlmClient()): DataFrame = {
+  def run(conf: Conf, spark: SparkSession, client: LlmClient = MockLlmClient()): DataFrame =
+    runWithSteps(conf, spark, client)._1
+
+  /** Like [[run]] but also returns every named step's output, for
+    * inspection (schemas, intermediate sampling). */
+  def runWithSteps(conf: Conf, spark: SparkSession,
+      client: LlmClient = MockLlmClient()): (DataFrame, Seq[(String, DataFrame)]) = {
     val datasets = scala.collection.mutable.Map[String, DataFrame]()
     // Rolling config hash per named dataset/step — the checkpoint
     // invalidation key (reference runner.py:241-282).
@@ -59,6 +65,7 @@ object Pipeline {
       }
 
     var last: Option[DataFrame] = None
+    val stepOutputs = scala.collection.mutable.ArrayBuffer[(String, DataFrame)]()
     conf("pipeline")("steps").asList.foreach { step =>
       val ctx = OpContext(spark, client, datasets.toMap)
       val (out, outHash) = step.get("join") match {
@@ -87,6 +94,7 @@ object Pipeline {
       val persisted = if (step.boolOr("persist", false)) out.persist() else out
       datasets(step("name").str) = persisted
       hashes(step("name").str) = outHash
+      stepOutputs += step("name").str -> persisted
       last = Some(persisted)
     }
 
@@ -95,12 +103,35 @@ object Pipeline {
     conf("pipeline").get("output").foreach { o =>
       write(result, o("path").str, o.strOr("mode", "overwrite"))
     }
-    result
+    (result, stepOutputs.toSeq)
   }
 
   def runYaml(yaml: String, spark: SparkSession,
       client: LlmClient = MockLlmClient()): DataFrame =
     run(Conf.fromYaml(yaml), spark, client)
+
+  /** Plan-only inspection: resolve every step and report its output schema
+    * WITHOUT writing the pipeline output (the analog of the reference's
+    * `Frame.schema()`/`explain()` static propagation, frame.py:852-904 —
+    * Spark-first, the lazily-built DataFrame's schema IS the propagated
+    * schema; no separate transform_schema reimplementation needed). Ops
+    * that calibrate at plan time (resolve, cluster, bm25) still run their
+    * small calibration jobs. */
+  def describe(conf: Conf, spark: SparkSession,
+      client: LlmClient = MockLlmClient()): Seq[(String, org.apache.spark.sql.types.StructType)] = {
+    val noOutput = {
+      val m = new java.util.LinkedHashMap[String, Any]()
+      conf.asOrderedMap.foreach {
+        case ("pipeline", p) =>
+          val pm = new java.util.LinkedHashMap[String, Any]()
+          p.asOrderedMap.foreach { case (k, v) => if (k != "output") pm.put(k, v.value) }
+          m.put("pipeline", pm)
+        case (k, v) => m.put(k, v.value)
+      }
+      Conf(m)
+    }
+    runWithSteps(noOutput, spark, client)._2.map { case (n, d) => n -> d.schema }
+  }
 
   def runYamlFile(path: String, spark: SparkSession,
       client: LlmClient = MockLlmClient()): DataFrame =
