@@ -70,6 +70,19 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def dedupMinhash(idCol: String, textCol: String, threshold: Double = 0.8): Frame =
     next(graft.dedup.MinHashDedup(df, idCol, textCol, jaccardThreshold = threshold))
 
+  // -- embeddings / retrieval / cascades
+  def embed(textExpr: String, outCol: String = "embedding"): Frame =
+    next(EmbedOp(df, textExpr, outCol, client))
+  def withRetrievedContext(name: String, queryTextCol: String, corpus: Frame,
+      corpusTextCol: String, k: Int = 3): Frame =
+    next(RetrieverOp.byTermOverlap(df, name, queryTextCol, corpus.df,
+      corpusTextCol, corpusTextCol, k))
+  def cascadeFilter(name: String, prompt: String, targetRecall: Double = 0.9): Frame =
+    next(CascadeFilter(df, CascadeFilter.Config(
+      name = name, prompt = prompt, targetRecall = targetRecall), client, client))
+  def linkResolve(name: String, idKey: String, linkKey: String): Frame =
+    next(LinkResolveOp(df, LinkResolveOp.Config(name, idKey, linkKey), client))
+
   // -- inspection without execution (frame.py:852-904)
   def schema: StructType = df.schema
   def explain(): Unit = df.explain("formatted")

@@ -174,8 +174,40 @@ object Registry {
       case "minhash" => graft.dedup.MinHashDedup(df, c("id_key").str, c("text_key").str,
         c.intOr("shingle_size", 3), c.intOr("num_perms", 64), c.intOr("num_bands", 16),
         c.dblOr("threshold", 0.8))
+      case "ngram_pairs" => graft.dedup.NgramJaccardDedup.pairs(df, c("id_key").str,
+        c("text_key").str, c("block_expr").str, c.intOr("n", 3), c.dblOr("threshold", 0.5))
+      case "simhash_pairs" => graft.dedup.SimHashDedup.candidatePairs(df,
+        c("id_key").str, c("text_key").str, c.intOr("max_hamming", 3))
+      case "embedding_pairs" => graft.dedup.EmbeddingDedup.pairs(df, c("id_key").str,
+        c("embedding_key").str, c("dim").int, c.intOr("num_planes", 8),
+        c.dblOr("threshold", 0.95))
       case m => throw new IllegalArgumentException(s"unknown dedup method $m")
     }
+  }
+  register("embed") { (df, c, ctx) =>
+    EmbedOp(df, c("text_expr").str, c.strOr("output_key", "embedding"),
+      ctx.client, c.strOr("model", "mock-embed"), c.intOr("batch_size", 1000))
+  }
+  register("link_resolve") { (df, c, ctx) =>
+    LinkResolveOp(df, LinkResolveOp.Config(
+      name = c("name").str, idKey = c("id_key").str, linkKey = c("link_key").str,
+      normalizeExpr = c.strOr("normalize_expr", "lower(trim(x))"),
+      model = c.strOr("model", "mock")), ctx.client)
+  }
+  register("web_search") { (df, c, ctx) =>
+    WebSearchOp(df, c("name").str, c("prompt").str, c.intOr("max_results", 3))
+  }
+  register("web_fetch") { (df, c, ctx) =>
+    WebFetchOp(df, c("name").str, c("url_key").str)
+  }
+  register("cascade_filter") { (df, c, ctx) =>
+    CascadeFilter(df, CascadeFilter.Config(
+      name = c("name").str, prompt = c("prompt").str,
+      decisionKey = c.strOr("decision_key", "keep"),
+      proxyModel = c.strOr("proxy_model", "proxy"),
+      oracleModel = c.strOr("oracle_model", "oracle"),
+      targetRecall = c.dblOr("target_recall", 0.9),
+      calibrationSize = c.intOr("calibration_size", 100)), ctx.client, ctx.client)
   }
   register("limit") { (df, c, _) => df.limit(c("n").int) }
   register("select") { (df, c, _) => df.selectExpr(c("columns").strList: _*) }
