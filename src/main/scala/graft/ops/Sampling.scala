@@ -81,12 +81,14 @@ object SampleOp {
         val pred = if (keep) col("_graft_dist") > cut else col("_graft_dist") <= cut
         scored.filter(pred).drop("_graft_dist")
       case (None, Some(n)) =>
-        val w = Window.orderBy(
+        // Global top-n via sort-limit (per-partition top-k + k-row driver
+        // merge) — NOT an unpartitioned window, which would funnel every row
+        // through a single task at scale.
+        scored.orderBy(
           (if (keep) col("_graft_dist").desc else col("_graft_dist").asc) +:
             tieBreak.map(col(_).asc): _*)
-        scored.withColumn("_graft_rn", row_number().over(w))
-          .filter(col("_graft_rn") <= n)
-          .drop("_graft_rn", "_graft_dist")
+          .limit(n)
+          .drop("_graft_dist")
       case _ => throw new IllegalArgumentException("outliers needs stdCutoff or samples")
     }
   }
