@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout (no sbt "[info] " prefix) so
+// the Bench/Verify JSON lines are machine-parseable by the driver.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Suites share one SparkSession and the mock-LLM call counter; run serially.
 Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

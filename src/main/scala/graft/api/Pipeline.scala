@@ -78,10 +78,12 @@ object Pipeline {
             compareExprLeft = j.strOr("compare_left", ""),
             compareExprRight = j.strOr("compare_right", ""),
             llmVerify = j.boolOr("llm_verify", false),
+            model = j.strOr("model", "mock"),
             limitLeft = j.get("limit_left").map(_.int),
             limitRight = j.get("limit_right").map(_.int),
             leftIdKey = j.strOr("left_id", ""),
-            rightIdKey = j.strOr("right_id", "")), client)
+            rightIdKey = j.strOr("right_id", ""),
+            limitComparisons = j.get("limit_comparisons").map(_.int)), client)
           val baseHash = CheckpointStore.rollingHash(
             hashes(j("left").str) + "+" + hashes(j("right").str), j)
           applyOps(joined, baseHash, step, ctx)

@@ -32,7 +32,7 @@ object Rewrites {
     def outKeys(c: Conf): Set[String] =
       c.get("output").flatMap(_.get("schema")).map(_.asOrderedMap.map(_._1).toSet)
         .getOrElse(Set.empty)
-    tpe match {
+    val base = tpe match {
       case "code_map" => Traits(oneToOne = true, rowLocal = true, preservesOrder = true,
         isLlm = false,
         op.get("outputs").map(_.asOrderedMap.map(_._1).toSet).getOrElse(Set.empty))
@@ -52,6 +52,10 @@ object Rewrites {
         isLlm = tpe == "filter" || tpe == "reduce" || tpe == "resolve" || tpe == "rank",
         Set.empty)
     }
+    // A `limit` on any op makes it row-limiting: filter(map-limit-n(X)) !=
+    // map-limit-n(filter(X)), so nothing may hop below it (reference
+    // map.py:620-709 limit early-stop is a cardinality change).
+    if (op.get("limit").isDefined) base.copy(oneToOne = false) else base
   }
 
   private val SqlKeywords = Set(

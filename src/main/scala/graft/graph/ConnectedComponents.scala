@@ -46,6 +46,10 @@ object ConnectedComponents {
       iter += 1
     }
     undirected.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge after $maxIter iterations " +
+          s"($changed labels still changing); raise maxIter (long match chains)")
     labels
   }
 }

@@ -42,13 +42,24 @@ object EquijoinOp {
         * dependent; SURVEY.md §7.5.2). Requires leftIdKey/rightIdKey. */
       limitComparisons: Option[Int] = None)
 
-  def apply(left: DataFrame, right: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
+  def apply(left: DataFrame, right: DataFrame, cfg: Config, client: LlmClient): DataFrame =
+    applyWithExtra(left, right, cfg, client, None)
+
+  /** `extraBlocking` is ANDed into the candidate set BEFORE the
+    * limit_comparisons head, the LLM verify, and the per-side limit windows —
+    * sub-threshold pairs must never cost a verify call nor occupy a slot in a
+    * per-side match quota (reference equijoin.py:427-551 thresholds during
+    * blocking, not after matching). */
+  private def applyWithExtra(
+      left: DataFrame, right: DataFrame, cfg: Config, client: LlmClient,
+      extraBlocking: Option[org.apache.spark.sql.Column]): DataFrame = {
     val collisions = left.columns.toSet.intersect(right.columns.toSet)
     val l = collisions.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"${c}_left"))
     val r = collisions.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"${c}_right"))
     val lp = l.alias("l")
     val rp = r.alias("r")
-    val joined = lp.join(rp, expr(cfg.condition))
+    val joinedBase = lp.join(rp, expr(cfg.condition))
+    val joined = extraBlocking.fold(joinedBase)(joinedBase.filter)
     val candidates = cfg.limitComparisons match {
       case Some(n) if cfg.llmVerify =>
         val lid = sideKey(cfg.leftIdKey, collisions, "_left")
@@ -127,14 +138,15 @@ object EquijoinOp {
     val lEmb = if (collisions(leftEmbCol)) s"${leftEmbCol}_left" else leftEmbCol
     val rEmb = if (collisions(rightEmbCol)) s"${rightEmbCol}_right" else rightEmbCol
     val cosine = graft.functions.CosineSimilarity(col(lEmb), col(rEmb))
-    // Delegate to the predicate path: bucket equality + cosine threshold is
-    // just another join condition, so verify/limits/suffixing are shared.
-    val joined = apply(l, r, cfg.copy(condition =
+    // Delegate to the predicate path: bucket equality is folded into the
+    // join condition and the cosine threshold rides along as a blocking
+    // filter applied BEFORE verify/limits, so verify calls are only paid on
+    // above-threshold pairs and per-side quotas fill from real candidates.
+    applyWithExtra(l, r, cfg.copy(condition =
       s"_graft_bkt_left = _graft_bkt_right AND (${cfg.condition.trim match {
         case "" => "true"
         case c  => c
-      }})"), client)
-    joined.filter(cosine >= cosineThreshold)
+      }})"), client, Some(cosine >= cosineThreshold))
       .drop("_graft_bkt_left", "_graft_bkt_right")
   }
 }

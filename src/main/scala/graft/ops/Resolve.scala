@@ -37,7 +37,8 @@ object ResolveOp {
       compareExpr: String,    // SQL expr rendering one side of the compare prompt
       resolveKeys: Seq[String], // fields canonicalized onto cluster members
       model: String = "mock",
-      autoMatchOnBlockEquality: Boolean = false)
+      autoMatchOnBlockEquality: Boolean = false,
+      maxIter: Int = 20)      // connected-components iteration budget
 
   def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
     val spark = df.sparkSession
@@ -152,10 +153,14 @@ object ResolveOp {
     val model = cfg.model
     // 3. Clusters.
     val labels = ConnectedComponents.run(
-      edges, df.select(col(cfg.idKey).cast("long").as("id")))
+      edges, df.select(col(cfg.idKey).cast("long").as("id")), cfg.maxIter)
 
-    // 4. Canonical values per cluster: LLM resolution; the deterministic
-    // client picks the lexicographically-smallest member rendering per key
+    // 4. Canonical values per cluster: LLM resolution over MULTI-member
+    // clusters only (reference resolve.py:717-719 gates on len(cluster)>1);
+    // singletons pass through unchanged — at scale most clusters are
+    // singletons and must not cost an LLM call each, nor let a real client
+    // rewrite values on rows that matched nothing. The deterministic mock
+    // picks the lexicographically-smallest member rendering per key
     // (MockLlmClient `canonical` rule), real clients summarize.
     val withCluster = df.join(
       labels.withColumnRenamed("id", cfg.idKey), Seq(cfg.idKey))
@@ -164,7 +169,9 @@ object ResolveOp {
       sort_array(collect_list(col(k).cast("string"))).as(s"_vals_$k")
     }
     val clusters = withCluster.groupBy(col("component"))
-      .agg(canonCols.head, canonCols.tail: _*)
+      .agg(count(lit(1)).as("_sz"), canonCols: _*)
+      .filter(col("_sz") > 1)
+      .drop("_sz")
     val canon = clusters.mapPartitions { it =>
       it.map { row =>
         val comp = row.getLong(0)
@@ -179,13 +186,18 @@ object ResolveOp {
       StructField("component", LongType) +:
         cfg.resolveKeys.map(k => StructField(s"${k}_resolved", StringType)))))
 
-    // Keep pre-resolve values, then overwrite resolved keys.
+    // Keep pre-resolve values, then overwrite resolved keys for multi-member
+    // clusters; singleton rows (no canon match) keep their original values
+    // and types via the left join + coalesce fallback.
     val preserved = cfg.resolveKeys.foldLeft(withCluster) { (d, k) =>
       d.withColumn(s"_kv_pairs_preresolve_${cfg.name}_$k", col(k))
     }
-    val joined = preserved.join(broadcast(canon), Seq("component"))
+    val joined = preserved.join(broadcast(canon), Seq("component"), "left")
     val resolved = cfg.resolveKeys.foldLeft(joined) { (d, k) =>
-      d.withColumn(k, col(s"${k}_resolved")).drop(s"${k}_resolved")
+      val origType = df.schema(k).dataType
+      d.withColumn(k,
+          coalesce(col(s"${k}_resolved").cast(origType), col(k)))
+        .drop(s"${k}_resolved")
     }
     resolved.drop("component")
   }
