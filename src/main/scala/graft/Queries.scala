@@ -488,18 +488,51 @@ object Queries {
     ),
     (
       "q26_dedup_simhash",
+      // Portable 60-bit simhash (per-token hash = first 15 md5 hex chars),
+      // so the fingerprint itself is oracle-checkable bit-for-bit.
       (s: SparkSession, dir: String) =>
         t(s, dir, "documents").select(
           col("doc_id"),
           graft.dedup.SimHashDedup.simhash(col("text")).as("simhash")),
-      None // xxhash64 seeds are engine-internal; covered by ScalaTest instead.
+      Some("""
+        WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks
+                   FROM documents),
+        h AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        hb AS (SELECT doc_id, ('0x' || substr(md5(tok),1,15))::BIGINT AS hv FROM h),
+        bits AS (SELECT doc_id, i,
+                   sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+                 FROM hb CROSS JOIN (SELECT unnest(range(0,60)) AS i) g
+                 GROUP BY doc_id, i)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+                 AS simhash
+        FROM bits GROUP BY doc_id""")
     ),
     (
       "q27_dedup_embedding",
+      // Axis-aligned hyperplanes (sketch bit i = sign of dim i) keep the
+      // LSH bucket join oracle-reproducible; embeddings pre-cast to double
+      // so cosine agrees with DuckDB's float64 math to the 6th decimal.
       (s: SparkSession, dir: String) =>
-        graft.dedup.EmbeddingDedup.pairs(t(s, dir, "embeddings"),
-          "vec_id", "embedding", dim = 64, numPlanes = 8, cosineThreshold = 0.9),
-      None // hyperplane RNG is engine-internal; covered by ScalaTest instead.
+        graft.dedup.EmbeddingDedup.pairs(
+          t(s, dir, "embeddings")
+            .withColumn("embedding", transform(col("embedding"), _.cast("double"))),
+          "vec_id", "embedding", dim = 64, numPlanes = 8, cosineThreshold = 0.35,
+          explicitPlanes = Some(graft.dedup.EmbeddingDedup.axisPlanes(8, 64))),
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        b AS (SELECT vec_id, emb,
+                (CASE WHEN emb[1]>0 THEN 1 ELSE 0 END) + (CASE WHEN emb[2]>0 THEN 2 ELSE 0 END) +
+                (CASE WHEN emb[3]>0 THEN 4 ELSE 0 END) + (CASE WHEN emb[4]>0 THEN 8 ELSE 0 END) +
+                (CASE WHEN emb[5]>0 THEN 16 ELSE 0 END) + (CASE WHEN emb[6]>0 THEN 32 ELSE 0 END) +
+                (CASE WHEN emb[7]>0 THEN 64 ELSE 0 END) + (CASE WHEN emb[8]>0 THEN 128 ELSE 0 END)
+                  AS bkt FROM e),
+        p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                CAST(round(list_dot_product(a.emb, b2.emb) /
+                  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b2.emb, b2.emb))), 6)
+                  AS DOUBLE) AS cosine
+              FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id)
+        SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35""")
     ))
 
   // ---------------------------------------------------------------- ann
@@ -526,15 +559,28 @@ object Queries {
     ),
     (
       "q29_ann_ivf",
+      // nProbe = nCentroids (probe every cell) makes IVF *exact*: the gate
+      // checks the whole assign/probe/merge machinery against the
+      // brute-force oracle bit-for-bit. Sub-linear nProbe<nCentroids recall
+      // is covered by ScalaTest (AnnSpec).
       (s: SparkSession, dir: String) => {
         val emb = t(s, dir, "embeddings")
         val centroids = graft.ann.Ann.trainCentroids(emb, "embedding", 8)
         val assigned = graft.ann.Ann.ivfAssign(emb, "embedding", centroids)
         graft.ann.Ann.ivfSearch(assigned, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          centroids, k = 3, nProbe = 2)
+          centroids, k = 3, nProbe = 8)
       },
-      None // KMeans centroids are engine-internal; recall vs brute force is ScalaTested.
+      Some("""
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        s AS (SELECT qid, cid,
+                CAST(round(list_dot_product(qe, ce) /
+                  (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS DOUBLE) AS score
+              FROM q, c WHERE cid <> qid)
+        SELECT qid AS query_id, cid AS neighbor_id, score FROM s
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) <= 3""")
     ))
 
   // ---------------------------------------------------------------- semantic (mock LLM)
@@ -598,7 +644,32 @@ object Queries {
           name = "q34", reduceKeys = Seq("source"), memberExpr = "text",
           orderKey = "doc_id", outputSchema = Seq("summary" -> "str"),
           strategy = "fold", foldBatchSize = 10), client),
-      None // fold-chain prompts are recursive; covered by ScalaTest.
+      // The mock's fold chain is length-recursive: chunk k's prompt is
+      // "ACC:(summary,<s_{k-1}>)\n" (15 + len(s_{k-1}) chars) + the chunk
+      // members, and summary = "docs=<lines> chars=<len>". A recursive CTE
+      // replays the recurrence exactly.
+      Some("""
+        WITH RECURSIVE ordered AS (
+          SELECT source, text,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rn
+          FROM documents),
+        chunks AS (
+          SELECT source, rn // 10 AS ci, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(len(text)) + count(*) - 1 AS BIGINT) AS clen
+          FROM ordered GROUP BY source, rn // 10),
+        fold AS (
+          SELECT source, ci, 'docs=' || cnt || ' chars=' || clen AS s
+          FROM chunks WHERE ci = 0
+          UNION ALL
+          SELECT c.source, c.ci,
+                 'docs=' || (c.cnt + 1) || ' chars=' || (15 + len(f.s) + c.clen) AS s
+          FROM fold f JOIN chunks c ON c.source = f.source AND c.ci = f.ci + 1),
+        last AS (SELECT source, max(ci) AS mx FROM chunks GROUP BY source),
+        tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source)
+        SELECT f.source, f.s AS summary, tot.n AS "_counts_prereduce_q34"
+        FROM fold f
+        JOIN last ON f.source = last.source AND f.ci = last.mx
+        JOIN tot ON tot.source = f.source""")
     ),
     (
       "q35_resolve",
@@ -712,7 +783,16 @@ object Queries {
           "payload", n = 4)
           .select(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
             length(col("frame_bytes")).cast("long").as("frame_len")),
-      None // byte-slice stub; plumbing (fan-out arity) is ScalaTested.
+      // The stub slices n equal chunks of floor(len/4) bytes (>=1); every
+      // frame's length is the chunk size (the tail remainder is dropped),
+      // except len<4 payloads where each frame is the 1-byte head.
+      Some("""
+        WITH t AS (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents),
+        c AS (SELECT doc_id, blen, CAST(blen // 4 AS BIGINT) AS chunk FROM t)
+        SELECT doc_id, CAST(f.frame_no AS BIGINT) AS frame_no,
+               CAST(CASE WHEN chunk = 0 THEN least(1, blen) ELSE chunk END AS BIGINT)
+                 AS frame_len
+        FROM c, (SELECT unnest(range(0,4)) AS frame_no) f""")
     ))
 
   // ---------------------------------------------------------------- api surface

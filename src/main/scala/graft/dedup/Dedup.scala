@@ -114,29 +114,26 @@ object MinHashDedup {
 
 object SimHashDedup {
 
-  /** 64-bit SimHash per document: sign-sum of token-hash bits.
-    * Candidates = pairs agreeing on any 16-bit quarter of the simhash
+  /** 60-bit SimHash per document: sign-sum of token-hash bits, fused into
+    * one codegen'd loop ([[graft.functions.SimHashBits]]).
+    *
+    * The per-token hash is PORTABLE — the first 15 hex chars of md5 parsed
+    * as a 60-bit long — so an external SQL engine (the DuckDB oracle)
+    * reproduces the fingerprint bit-for-bit: Spark
+    * `conv(substr(md5(t),1,15),16,10)` == DuckDB
+    * `('0x' || substr(md5(t),1,15))::BIGINT`.
+    *
+    * Candidates = pairs agreeing on any 15-bit quarter of the simhash
     * (catches Hamming distance <= 3 by pigeonhole), verified by true Hamming
     * distance via bit_count(xor).
     */
+  val Bits = 60
+
   def simhash(textCol: Column): Column = {
-    val toks = split(textCol, " ")
-    val hashes = transform(array_distinct(toks), t => xxhash64(t))
-    // For each bit position, +1 if set else -1, summed over tokens; bit b of
-    // the simhash is 1 when the sum is positive.
-    // shiftright/shiftleft with a *column* shift amount need call_function
-    // (the Scala helpers only take Int literals).
-    val bitCols = sequence(lit(0), lit(63))
-    aggregate(
-      bitCols,
-      lit(0L),
-      (acc, b) => {
-        val bitSum = aggregate(
-          hashes, lit(0L),
-          (s, h) => s + when(
-            call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        acc + when(bitSum > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)
-      })
+    val toks = array_distinct(split(textCol, " "))
+    val hashes = transform(toks,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    graft.functions.SimHashBits(hashes, Bits)
   }
 
   def candidatePairs(
@@ -144,12 +141,14 @@ object SimHashDedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    val bandBits = Bits / 4
+    val mask = (1L << bandBits) - 1
     val docs = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sh"))
     val banded = docs.select(
       col("_id"), col("_sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
-        q => call_function("shiftright", col("_sh"), q * 16)
-          .bitwiseAND(lit(0xFFFFL)))).as(Seq("_q", "_qk")))
+        q => call_function("shiftright", col("_sh"), q * bandBits)
+          .bitwiseAND(lit(mask)))).as(Seq("_q", "_qk")))
     val l = banded.select(col("_q"), col("_qk"), col("_id").as("id_a"), col("_sh").as("_sha"))
     val r = banded.select(col("_q"), col("_qk"), col("_id").as("id_b"), col("_sh").as("_shb"))
     l.join(r, Seq("_q", "_qk"))
@@ -191,6 +190,11 @@ object NgramJaccardDedup {
 
 object EmbeddingDedup {
 
+  /** Axis-aligned planes: plane i = unit vector on dimension i (sketch bit i
+    * = sign of embedding[i]) — SQL-oracle-reproducible. */
+  def axisPlanes(n: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(n, dim)((i, j) => if (i == j) 1.0 else 0.0)
+
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH
     * bucketing: sign-bit sketch of `numPlanes` fixed pseudo-random
     * hyperplanes, bucket join on the sketch, cosine verify.
@@ -198,6 +202,10 @@ object EmbeddingDedup {
     * The hyperplanes are derived deterministically from a seed so reruns (and
     * the test oracle) agree. Candidates only form within buckets, so the
     * verify join is linear-ish, not quadratic.
+    *
+    * `explicitPlanes` overrides the random hyperplanes — axis-aligned unit
+    * vectors make the sketch a pure sign test on the first `numPlanes`
+    * dimensions, which an external SQL oracle can reproduce exactly.
     */
   def pairs(
       df: DataFrame,
@@ -206,9 +214,10 @@ object EmbeddingDedup {
       dim: Int,
       numPlanes: Int = 8,
       cosineThreshold: Double = 0.95,
-      seed: Long = 42): DataFrame = {
+      seed: Long = 42,
+      explicitPlanes: Option[Array[Array[Double]]] = None): DataFrame = {
     val rng = new scala.util.Random(seed)
-    val planes = Array.fill(numPlanes, dim)(rng.nextGaussian())
+    val planes = explicitPlanes.getOrElse(Array.fill(numPlanes, dim)(rng.nextGaussian()))
     val sketch = planes.zipWithIndex.map { case (p, i) =>
       when(graft.functions.VectorFunctions.dot(
         col(embCol), array(p.map(lit): _*)) > 0, 1L).otherwise(0L) * (1L << i)
