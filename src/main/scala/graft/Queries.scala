@@ -903,6 +903,43 @@ object Queries {
         FROM documents GROUP BY lang""")
     ),
     (
+      "q50_agent_map",
+      // Agent tool-loop (reference map.py agent mode): turn 1 the mock picks
+      // the wordcount tool, the observation lands in the transcript, turn 2
+      // it finishes; the final summary is a pure function of text length +
+      // token count, so even the multi-turn loop oracles.
+      (s: SparkSession, dir: String) =>
+        AgentMap(t(s, dir, "documents"), AgentMap.Config(
+          name = "q50", prompt = "{{ input.text }}",
+          outputSchema = Seq("summary" -> "str")),
+          tools = Map("tool" -> ((transcript: String) =>
+            s"words=${transcript.split(" ", -1).length}")), client)
+          .select("doc_id", "summary"),
+      // transcript = text + "\nOBS:words=<k>"; summary = "docs=<lines>
+      // chars=<len>" => docs=2 (texts are newline-free), chars = len(text)
+      // + len("\nOBS:words=") + digits(k).
+      Some("""
+        SELECT doc_id,
+               'docs=2 chars=' ||
+                 (len(text) + 11 + len(CAST(len(string_split(text, ' ')) AS VARCHAR)))
+                 AS summary
+        FROM documents""")
+    ),
+    (
+      "q51_web_fetch",
+      (s: SparkSession, dir: String) =>
+        WebFetchOp(
+          t(s, dir, "documents")
+            .withColumn("url", concat(lit("https://example.invalid/doc/"), col("doc_id"))),
+          "q51", "url")
+          .select("doc_id", "q51_content"),
+      Some("""
+        SELECT doc_id,
+               '# stub page' || chr(10) || 'fetched: https://example.invalid/doc/' ||
+                 doc_id || chr(10) AS q51_content
+        FROM documents""")
+    ),
+    (
       "q46_cascade_filter",
       // Proxy and oracle share the mock, so the cascade's output equals the
       // plain filter regardless of the calibrated threshold — which is

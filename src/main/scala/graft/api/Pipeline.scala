@@ -139,6 +139,87 @@ object Pipeline {
       client: LlmClient = MockLlmClient()): DataFrame =
     run(Conf.fromYamlFile(path), spark, client)
 
+  /** Static plan validation WITHOUT execution — the analog of the
+    * reference's lift-time `PlanIssue` discipline plus `plan/analysis.py`
+    * static checks (reference plan/lift.py:30-171 never throws on malformed
+    * configs; analysis.py:103-149 warns on reads-of-removed-fields):
+    * returns a list of human-readable issues, empty = clean.
+    *
+    * Checks: unknown step inputs / join sides, references to undeclared
+    * operations, unknown op types, `code_filter` predicates reading a field
+    * a previous op's `drop_keys` removed, and `filter` schemas that don't
+    * declare exactly one bool. */
+  def validate(conf: Conf): Seq[String] = {
+    val issues = scala.collection.mutable.ArrayBuffer[String]()
+    val opsByName: Map[String, Conf] =
+      conf.get("operations").map(_.asList.map(o => o("name").str -> o).toMap)
+        .getOrElse(Map.empty)
+    var known: Set[String] =
+      conf.get("datasets").map(_.asMap.keySet).getOrElse(Set.empty)
+
+    conf.get("pipeline").flatMap(_.get("steps")).map(_.asList).getOrElse(Seq.empty)
+      .foreach { step =>
+        val stepName = step.strOr("name", "<unnamed>")
+        step.get("join") match {
+          case Some(j) =>
+            Seq("left", "right").foreach { side =>
+              j.get(side) match {
+                case None => issues += s"step $stepName: join missing '$side'"
+                case Some(ref) if !known.contains(ref.str) =>
+                  issues += s"step $stepName: unknown join input '${ref.str}'"
+                case _ => ()
+              }
+            }
+          case None =>
+            step.get("input") match {
+              case None => issues += s"step $stepName: missing input"
+              case Some(i) if !known.contains(i.str) =>
+                issues += s"step $stepName: unknown input '${i.str}'"
+              case _ => ()
+            }
+        }
+        // Walk the op chain tracking definitely-removed fields
+        // (reference analysis.py:19-78 removed-field propagation).
+        var removed = Set.empty[String]
+        step.get("operations").map(_.asList).getOrElse(Seq.empty).foreach { opRef =>
+          val op = opRef.value match {
+            case s: String =>
+              val found = opsByName.get(s)
+              if (found.isEmpty) issues += s"step $stepName: unknown operation '$s'"
+              found
+            case _ => Some(opRef)
+          }
+          op.foreach { o =>
+            val opName = o.strOr("name", "?")
+            val tpe = o.strOr("type", "")
+            if (!Registry.knownTypes.contains(tpe))
+              issues += s"step $stepName/$opName: unknown op type '$tpe'"
+            else {
+              if (tpe == "code_filter") o.get("predicate").foreach { p =>
+                val dead = Rewrites.referencedIdentifiers(p.str)
+                  .intersect(removed.map(_.toLowerCase))
+                if (dead.nonEmpty)
+                  issues += s"step $stepName/$opName: predicate reads removed field(s) " +
+                    dead.toSeq.sorted.mkString(", ")
+              }
+              if (tpe == "filter") {
+                val schema = o.get("output").flatMap(_.get("schema"))
+                  .map(_.asOrderedMap).getOrElse(Nil)
+                val bools = schema.filter { case (k, v) =>
+                  v.str == "bool" && k != "_short_explanation" }
+                if (bools.size != 1)
+                  issues += s"step $stepName/$opName: filter schema must declare exactly one bool " +
+                    s"(got ${bools.size}) — reference filter.py:59-69"
+              }
+              removed ++= o.get("drop_keys").map(_.strList.toSet).getOrElse(Set.empty)
+            }
+          }
+        }
+        known += stepName
+      }
+    issues.toSeq
+  }
+
   /** Extension-dispatched reader (reference dataset.py:218,313-330). */
   def read(spark: SparkSession, path: String): DataFrame = ext(path) match {
     case "json"    => spark.read.json(path)

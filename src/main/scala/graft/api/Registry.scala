@@ -209,6 +209,17 @@ object Registry {
       targetRecall = c.dblOr("target_recall", 0.9),
       calibrationSize = c.intOr("calibration_size", 100)), ctx.client, ctx.client)
   }
+  register("agent_map") { (df, c, ctx) =>
+    val toolNames = c.get("tools").map(_.strList).getOrElse(Seq("wordcount"))
+    val tools = toolNames.map(n => n -> AgentMap.builtinTools.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"unknown agent tool '$n'; known: ${AgentMap.builtinTools.keys.toSeq.sorted.mkString(", ")}"))).toMap
+    AgentMap(df, AgentMap.Config(
+      name = c("name").str, prompt = c("prompt").str,
+      outputSchema = c.get("output").flatMap(_.get("schema")).map(schemaOf).getOrElse(Nil),
+      model = c.strOr("model", "mock"),
+      maxTurns = c.intOr("max_turns", 4)), tools, ctx.client)
+  }
   register("limit") { (df, c, _) => df.limit(c("n").int) }
   register("select") { (df, c, _) => df.selectExpr(c("columns").strList: _*) }
 }

@@ -86,6 +86,34 @@ final case class RateLimitedClient(inner: LlmClient, key: String, permitsPerMinu
     inner.logprobConfidence(model, prompt)
 }
 
+/** Model-fallback decorator (reference docetl/runner.py:39-88: LiteLLM
+  * Router `fallbacks` chains): a failed completion for model M retries down
+  * `chains(M)` in order before rethrowing the last failure. Embeddings and
+  * logprob scoring follow the same chain. Cost/token tallies are recorded by
+  * the inner client under the model that actually answered. */
+final case class FallbackClient(inner: LlmClient, chains: Map[String, Seq[String]])
+    extends LlmClient {
+
+  private def withChain[A](model: String)(f: String => A): A = {
+    val models = model +: chains.getOrElse(model, Nil)
+    var last: Throwable = null
+    models.foreach { m =>
+      try return f(m)
+      catch { case e: Exception => last = e }
+    }
+    throw last
+  }
+
+  override def complete(model: String, prompt: String, schema: StructType): LlmResponse =
+    withChain(model)(inner.complete(_, prompt, schema))
+  override def completeBatch(model: String, prompts: Seq[String], schema: StructType): Seq[LlmResponse] =
+    withChain(model)(inner.completeBatch(_, prompts, schema))
+  override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] =
+    withChain(model)(inner.embed(_, texts))
+  override def logprobConfidence(model: String, prompt: String): Double =
+    withChain(model)(inner.logprobConfidence(_, prompt))
+}
+
 /** Blocking token-bucket rate limiter, one bucket per key per executor JVM
   * (reference rate_limits config + pyrate_limiter, runner.py:297-361;
   * SURVEY.md §7.5.5: static per-executor quota = global / numExecutors as

@@ -13,6 +13,8 @@ import org.apache.spark.sql.types._
   *     '\n' in the prompt and len = prompt length (reduce over joined members)
   *   - `canonical` (str):  lexicographically smallest '\n'-separated line
   *   - `rating` (int):     1 + len(prompt) mod 7  (Likert 1-7)
+  *   - `action` (str):     "final" if the prompt contains "\nOBS:" else
+  *     "tool" (agent loop: call one tool, then finish)
   *   - `is_match` (bool):  prompt is "<a>\n###\n<b>" -> trimmed lowercase
   *     equality of a and b; otherwise len(prompt) mod 2 == 0
   *   - any other bool:     len(prompt) mod 2 == 0
@@ -70,6 +72,9 @@ final case class MockLlmClient(costPerCall: Double = 1e-4) extends LlmClient {
       else if (prompt.contains("slow")) "negative"
       else "neutral"
     case ("ranges", StringType) => "1-2"
+    // Agent loop protocol: call a tool until an observation is present.
+    case ("action", StringType) =>
+      if (prompt.contains("\nOBS:")) "final" else "tool"
     // Associative fold/merge accumulator: "n=<count of members seen>".
     // fold prompt: optional "ACC:n=k" line + member lines; merge prompt:
     // "MERGE:n=a\n###\nn=b". Genuinely associative, so partial-aggregation

@@ -40,10 +40,14 @@ object SemanticReduce {
       passThrough: Seq[String] = Nil,
       lineage: Boolean = false,
       /** Value sampling within the group (reference reduce.py:143-161
-        * `value_sampling`): cap the members the LLM sees to the first n in
-        * `orderKey` order. The count/lineage columns still reflect the FULL
-        * group (sampling only bounds prompt size). */
+        * `value_sampling`): cap the members the LLM sees to n. The
+        * count/lineage columns still reflect the FULL group (sampling only
+        * bounds prompt size). */
       valueSampleSize: Option[Int] = None,
+      /** `first_n` (head in orderKey order) or `random` (deterministic
+        * seeded pick — reference value_sampling method "random" with
+        * random_state; members keep their orderKey order). */
+      valueSampleMode: String = "first_n",
       /** Keep only the n smallest groups (reference reduce.py:301-305
         * `limit`), ties broken by the reduce keys. */
       limitSmallestGroups: Option[Int] = None)
@@ -89,7 +93,16 @@ object SemanticReduce {
     grouped.mapPartitions { it =>
       it.map { row =>
         val allMembers = row.getSeq[Row](gSchema.fieldIndex("_members")).map(_.getString(1))
-        val members = cfgB.valueSampleSize.map(allMembers.take).getOrElse(allMembers)
+        val members = cfgB.valueSampleSize match {
+          case None => allMembers
+          case Some(k) if cfgB.valueSampleMode == "first_n" => allMembers.take(k)
+          case Some(k) => // "random": seeded stable pick, original order kept
+            val keep = allMembers.zipWithIndex
+              .sortBy { case (m, i) =>
+                (graft.functions.MinHashSignature.fmix64(m.hashCode.toLong), i) }
+              .take(k).map(_._2).toSet
+            allMembers.zipWithIndex.collect { case (m, i) if keep(i) => m }
+        }
         val n = row.getLong(gSchema.fieldIndex("_n"))
         def call(prompt: String): Map[String, Any] = {
           val resp = client.complete(cfgB.model, prompt, outStruct)

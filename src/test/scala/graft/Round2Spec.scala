@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.{Conf, LazyFrame, Pipeline}
+import graft.llm.{FallbackClient, LlmClient, LlmResponse, MockLlmClient}
+import graft.ops._
+
+class FallbackClientSpec extends SparkSpec {
+
+  /** Fails for the named models, delegates to the mock otherwise. */
+  private case class FlakyClient(failing: Set[String]) extends LlmClient {
+    private val inner = MockLlmClient()
+    override def complete(model: String, prompt: String, schema: StructType): LlmResponse = {
+      if (failing.contains(model)) throw new RuntimeException(s"model $model down")
+      inner.complete(model, prompt, schema)
+    }
+    override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] = {
+      if (failing.contains(model)) throw new RuntimeException(s"model $model down")
+      inner.embed(model, texts)
+    }
+  }
+
+  test("falls through the chain to the first healthy model") {
+    val client = FallbackClient(FlakyClient(Set("primary", "secondary")),
+      Map("primary" -> Seq("secondary", "backup")))
+    val schema = StructType(Seq(StructField("rating", LongType)))
+    assert(client.complete("primary", "abc", schema).values("rating") == 1L + 3 % 7)
+  }
+
+  test("rethrows the last failure when the whole chain is down") {
+    val client = FallbackClient(FlakyClient(Set("primary", "backup")),
+      Map("primary" -> Seq("backup")))
+    val e = intercept[RuntimeException] {
+      client.complete("primary", "abc", StructType(Seq(StructField("rating", LongType))))
+    }
+    assert(e.getMessage.contains("backup"))
+  }
+
+  test("models without a chain fail directly") {
+    val client = FallbackClient(FlakyClient(Set("solo")), Map.empty)
+    intercept[RuntimeException] {
+      client.embed("solo", Seq("x"))
+    }
+  }
+}
+
+class AgentMapSpec extends SparkSpec {
+
+  test("agent loop calls one tool then finishes; output merges into the row") {
+    val out = AgentMap(docsDf, AgentMap.Config(
+      name = "ag", prompt = "{{ input.text }}",
+      outputSchema = Seq("summary" -> "str")),
+      tools = Map("tool" -> ((t: String) => s"words=${t.split(" ", -1).length}")),
+      client = MockLlmClient())
+    val rows = out.select("doc_id", "text", "summary").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // doc 3: "der die und das mit window" = 26 chars, 6 words;
+    // transcript = text + "\nOBS:words=6" -> docs=2 chars=26+11+1=38
+    assert(rows(3L) == "docs=2 chars=38")
+    assert(out.columns.contains("text")) // passthrough intact
+  }
+
+  test("maxTurns bounds the loop even if the model never says final") {
+    val neverFinal = new LlmClient {
+      var completions = 0
+      override def complete(model: String, prompt: String, schema: StructType): LlmResponse = {
+        completions += 1
+        LlmResponse(schema.fields.map(f => f.name -> ("loop": Any)).toMap, 0.0)
+      }
+      override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] =
+        texts.map(_ => Array.empty[Float])
+    }
+    val one = docsDf.limit(1)
+    val out = AgentMap(one, AgentMap.Config(
+      name = "ag2", prompt = "{{ input.text }}",
+      outputSchema = Seq("summary" -> "str"), maxTurns = 2),
+      tools = Map("tool" -> ((_: String) => "obs")), client = neverFinal)
+    assert(out.count() == 1) // terminates
+  }
+
+  test("agent_map runs from the YAML registry with builtin tools") {
+    val out = Registry_runAgentYaml()
+    assert(out.count() == docsDf.count())
+    assert(out.columns.contains("summary"))
+  }
+
+  private def Registry_runAgentYaml() = {
+    docsDf.createOrReplaceTempView("agent_docs")
+    graft.api.Registry("agent_map")(docsDf, Conf.fromYaml(
+      """{ name: ag3, type: agent_map, prompt: "{{ input.text }}",
+        |  tools: [wordcount], output: { schema: { summary: str } } }""".stripMargin),
+      graft.api.OpContext(spark, MockLlmClient(), Map.empty))
+  }
+}
+
+class LazyFrameSpec extends SparkSpec {
+
+  private def writeDocs(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("lazyframe").toString
+    val path = s"$dir/docs.parquet"
+    docsDf.write.mode("overwrite").parquet(path)
+    path
+  }
+
+  test("toYaml round-trips and runs identically to the builder") {
+    val path = writeDocs()
+    val lf = LazyFrame.read("docs", path)
+      .codeMap("n_tok" -> "cast(size(split(text, ' ')) as bigint)")
+      .codeFilter("n_tok > 5")
+      .codeReduce(Seq("lang"), "n_docs" -> "count(1)", "tot" -> "sum(n_tok)")
+    val direct = lf.run(spark).orderBy("lang").collect().toSeq
+    val viaYaml = Pipeline.runYaml(lf.toYaml, spark).orderBy("lang").collect().toSeq
+    assert(direct == viaYaml)
+    val reparsed = LazyFrame.fromYaml(lf.toYaml)
+    assert(reparsed.toYaml == lf.toYaml) // fixpoint
+  }
+
+  test("ops auto-name by type and index") {
+    val lf = LazyFrame.read("d", "/tmp/x.parquet").codeMap("a" -> "1").codeFilter("a = 1")
+    assert(lf.ops.map(_.get("name")) == Vector("code_map_0", "code_filter_1"))
+  }
+
+  test("describe reports propagated schemas without writing output") {
+    val path = writeDocs()
+    val lf = LazyFrame.read("docs", path)
+      .codeMap("n_tok" -> "cast(size(split(text, ' ')) as bigint)")
+      .semanticFilter("{{ input.text }}")
+    val schemas = lf.describe(spark)
+    assert(schemas.size == 1)
+    val fields = schemas.head._2.fieldNames.toSet
+    assert(fields.contains("n_tok") && !fields.contains("keep"))
+  }
+}
+
+class ValidateSpec extends SparkSpec {
+
+  test("clean pipeline yields no issues") {
+    val conf = Conf.fromYaml(
+      """datasets: { docs: { path: /tmp/docs.parquet } }
+        |operations:
+        |  - { name: stats, type: code_map, outputs: { n: "1" } }
+        |pipeline:
+        |  steps:
+        |    - { name: s1, input: docs, operations: [stats] }
+        |""".stripMargin)
+    assert(Pipeline.validate(conf).isEmpty)
+  }
+
+  test("flags unknown inputs, op refs, and op types") {
+    val conf = Conf.fromYaml(
+      """datasets: { docs: { path: /tmp/docs.parquet } }
+        |operations:
+        |  - { name: bad, type: no_such_type }
+        |pipeline:
+        |  steps:
+        |    - { name: s1, input: nope, operations: [bad, ghost] }
+        |""".stripMargin)
+    val issues = Pipeline.validate(conf)
+    assert(issues.exists(_.contains("unknown input 'nope'")))
+    assert(issues.exists(_.contains("unknown op type 'no_such_type'")))
+    assert(issues.exists(_.contains("unknown operation 'ghost'")))
+  }
+
+  test("flags a predicate reading a dropped field and a multi-bool filter") {
+    val conf = Conf.fromYaml(
+      """datasets: { docs: { path: /tmp/docs.parquet } }
+        |operations:
+        |  - { name: m, type: code_map, outputs: { a: "1" }, drop_keys: [text] }
+        |  - { name: f, type: code_filter, predicate: "length(text) > 3" }
+        |  - name: sf
+        |    type: filter
+        |    prompt: "{{ input.a }}"
+        |    output: { schema: { keep: bool, also: bool } }
+        |pipeline:
+        |  steps:
+        |    - { name: s1, input: docs, operations: [m, f, sf] }
+        |""".stripMargin)
+    val issues = Pipeline.validate(conf)
+    assert(issues.exists(_.contains("reads removed field(s) text")))
+    assert(issues.exists(_.contains("exactly one bool")))
+  }
+
+  test("join-headed steps validate their sides") {
+    val conf = Conf.fromYaml(
+      """datasets: { l: { path: /tmp/l.parquet } }
+        |pipeline:
+        |  steps:
+        |    - { name: j, join: { left: l, right: missing, condition: "1=1" } }
+        |""".stripMargin)
+    assert(Pipeline.validate(conf).exists(_.contains("unknown join input 'missing'")))
+  }
+}
+
+class ValueSamplingSpec extends SparkSpec {
+
+  test("random value sampling is deterministic and bounds the prompt, not the counts") {
+    val cfg = SemanticReduce.Config(
+      name = "vs", reduceKeys = Seq("lang"), memberExpr = "text",
+      orderKey = "doc_id", outputSchema = Seq("summary" -> "str"),
+      valueSampleSize = Some(2), valueSampleMode = "random")
+    val out1 = SemanticReduce(docsDf, cfg, MockLlmClient())
+      .orderBy("lang").collect().toSeq
+    val out2 = SemanticReduce(docsDf, cfg, MockLlmClient())
+      .orderBy("lang").collect().toSeq
+    assert(out1 == out2) // deterministic
+    val en = out1.find(_.getString(0) == "en").get
+    // counts reflect the FULL group (5 en docs) even though only 2 sampled
+    assert(en.getLong(en.fieldIndex("_counts_prereduce_vs")) == 5L)
+    // summary over 2 members -> "docs=2 chars=..."
+    assert(en.getString(en.fieldIndex("summary")).startsWith("docs=2 "))
+  }
+}
