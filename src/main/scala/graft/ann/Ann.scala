@@ -55,20 +55,62 @@ object Ann {
     corpus.withColumn("_cell", least(dists: _*).getField("cell"))
   }
 
-  /** Train `nCentroids` k-means centroids on (a sample of) the corpus. */
+  /** Train `nCentroids` k-means centroids on a SAMPLE of the corpus,
+    * Lloyd-iterated on the driver — the standard coarse-quantizer recipe
+    * (FAISS trains IVF cells the same way): one distributed job collects
+    * O(sampleSize * dim) doubles, the iterations are driver-local array
+    * math, and the (tiny) centroid set broadcasts back as literals. A
+    * distributed `KMeans.fit` here costs one sequential Spark job per
+    * init/iteration pass for a model that only decides probe order. */
   def trainCentroids(
       corpus: DataFrame,
       embCol: String,
       nCentroids: Int,
       maxIter: Int = 10,
-      seed: Long = 42): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val vecs = corpus.select(
-      array_to_vector(transform(col(embCol), _.cast("double"))).as("features"))
-    val model = new KMeans().setK(nCentroids).setMaxIter(maxIter).setSeed(seed)
-      .fit(vecs)
-    model.clusterCenters.map(_.toArray)
+      seed: Long = 42,
+      sampleSize: Int = 20000): Array[Array[Double]] = {
+    val rows = corpus
+      .select(transform(col(embCol), _.cast("double")).as("_e"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "cannot train centroids on an empty corpus")
+    val k = math.min(nCentroids, rows.length)
+    val dim = rows.head.length
+    val rng = new scala.util.Random(seed)
+    var centroids = rng.shuffle(rows.indices.toList).take(k)
+      .map(i => rows(i).clone()).toArray
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      rows.foreach { r =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = r(j) - centroids(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += r(j); j += 1 }
+      }
+      moved = false
+      val next = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else {
+          val m = sums(c).map(_ / counts(c))
+          if (!java.util.Arrays.equals(m, centroids(c))) moved = true
+          m
+        }
+      }.toArray
+      centroids = next
+      iter += 1
+    }
+    centroids
   }
 
   /** IVF query: for each query, scan only the `nProbe` nearest cells. */

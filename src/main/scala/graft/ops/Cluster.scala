@@ -27,18 +27,16 @@ object ClusterOp {
       model: String = "mock",
       outputKey: String = "clusters",
       maxSummaryMembers: Int = 20,
-      seed: Long = 42): DataFrame = {
-    import org.apache.spark.ml.clustering.BisectingKMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val featured = df.withColumn("_graft_vec",
-      array_to_vector(transform(col(embeddingCol), _.cast("double"))))
-    val model_ = new BisectingKMeans()
-      .setK(numClusters).setSeed(seed).setFeaturesCol("_graft_vec")
-      .fit(featured)
-    val assigned = model_.transform(featured)
-      .withColumnRenamed("prediction", "_graft_cluster")
-      .drop("_graft_vec")
+      seed: Long = 42,
+      maxIter: Int = 10): DataFrame = {
+    // Centroids train on a driver-side sample (graft.ann.Ann.trainCentroids
+    // — the coarse-quantizer recipe); ASSIGNMENT is fully distributed, a
+    // codegen'd nearest-centroid expression over every row. No per-iteration
+    // Spark jobs, no ML pipeline in the hot path.
+    val centroids = graft.ann.Ann.trainCentroids(
+      df, embeddingCol, numClusters, maxIter, seed)
+    val assigned = graft.ann.Ann.ivfAssign(df, embeddingCol, centroids)
+      .withColumnRenamed("_cell", "_graft_cluster")
 
     // Per-cluster summary over a bounded member sample (deterministic order).
     val summarySchema = StructType(Seq(StructField("summary", StringType)))

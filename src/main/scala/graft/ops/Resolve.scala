@@ -41,7 +41,6 @@ object ResolveOp {
       maxIter: Int = 20)      // connected-components iteration budget
 
   def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
-    val spark = df.sparkSession
     val withBlk = df
       .withColumn("_blk", expr(cfg.blockExpr))
       .withColumn("_cmp", expr(cfg.compareExpr).cast("string"))
@@ -59,21 +58,27 @@ object ResolveOp {
     // differ are sent to the pairwise LLM verdict.
     val model = cfg.model
     val autoMatch = cfg.autoMatchOnBlockEquality
-    val pairBase =
-      if (autoMatch && cfg.blockExpr.trim == cfg.compareExpr.trim) {
-        // Provably empty: within a block every compare render equals the
-        // blocking key, so no differing pair exists — skip the pair join.
-        val s = StructType(Seq(
-          StructField("_blk", StringType), StructField("_ida", df.schema(cfg.idKey).dataType),
-          StructField("_ca", StringType), StructField("_idb", df.schema(cfg.idKey).dataType),
-          StructField("_cb", StringType)))
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
-      } else {
-        val l = withBlk.select(col("_blk"), col(cfg.idKey).as("_ida"), col("_cmp").as("_ca"))
-        val r = withBlk.select(col("_blk"), col(cfg.idKey).as("_idb"), col("_cmp").as("_cb"))
-        val all = l.join(r, Seq("_blk")).filter(col("_ida") < col("_idb"))
-        if (autoMatch) all.filter(col("_ca") =!= col("_cb")) else all
-      }
+
+    // Equality fast path: when blocking and compare coincide and equal keys
+    // auto-match, clusters ARE the (_blk) equality groups — no pairwise LLM
+    // round, no edge list, no label-propagation loop. component = min id per
+    // group, one window. (The general path below reduces to this same
+    // answer; at scale this saves the CC loop's per-iteration shuffles.)
+    if (autoMatch && cfg.blockExpr.trim == cfg.compareExpr.trim) {
+      val eqW = org.apache.spark.sql.expressions.Window.partitionBy(col("_blk"))
+      val labels = withBlk
+        .withColumn("component", min(col(cfg.idKey)).over(eqW).cast("long"))
+      val resolvedFast = canonicalizeLabeled(labels, cfg, client)
+      withBlk.unpersist()
+      return resolvedFast.drop("_blk", "_cmp")
+    }
+
+    val pairBase = {
+      val l = withBlk.select(col("_blk"), col(cfg.idKey).as("_ida"), col("_cmp").as("_ca"))
+      val r = withBlk.select(col("_blk"), col(cfg.idKey).as("_idb"), col("_cmp").as("_cb"))
+      val all = l.join(r, Seq("_blk")).filter(col("_ida") < col("_idb"))
+      if (autoMatch) all.filter(col("_ca") =!= col("_cb")) else all
+    }
     val cSchema = pairBase.schema
     val (iCa, iCb) = (cSchema.fieldIndex("_ca"), cSchema.fieldIndex("_cb"))
     val (iIda, iIdb) = (cSchema.fieldIndex("_ida"), cSchema.fieldIndex("_idb"))
@@ -150,20 +155,25 @@ object ResolveOp {
     * onto the members. */
   private def clusterAndCanonicalize(
       df: DataFrame, cfg: Config, edges: DataFrame, client: LlmClient): DataFrame = {
-    val model = cfg.model
     // 3. Clusters.
     val labels = ConnectedComponents.run(
       edges, df.select(col(cfg.idKey).cast("long").as("id")), cfg.maxIter)
-
-    // 4. Canonical values per cluster: LLM resolution over MULTI-member
-    // clusters only (reference resolve.py:717-719 gates on len(cluster)>1);
-    // singletons pass through unchanged — at scale most clusters are
-    // singletons and must not cost an LLM call each, nor let a real client
-    // rewrite values on rows that matched nothing. The deterministic mock
-    // picks the lexicographically-smallest member rendering per key
-    // (MockLlmClient `canonical` rule), real clients summarize.
     val withCluster = df.join(
       labels.withColumnRenamed("id", cfg.idKey), Seq(cfg.idKey))
+    canonicalizeLabeled(withCluster, cfg, client)
+  }
+
+  /** Stage 4 over a DataFrame that already carries a `component` column:
+    * canonical values per MULTI-member cluster only (reference
+    * resolve.py:717-719 gates on len(cluster)>1); singletons pass through
+    * unchanged — at scale most clusters are singletons and must not cost an
+    * LLM call each, nor let a real client rewrite values on rows that
+    * matched nothing. The deterministic mock picks the lexicographically-
+    * smallest member rendering per key (MockLlmClient `canonical` rule),
+    * real clients summarize. */
+  private def canonicalizeLabeled(
+      withCluster: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
+    val model = cfg.model
     val memberSchema = StructType(Seq(StructField("canonical", StringType)))
     val canonCols = cfg.resolveKeys.map { k =>
       sort_array(collect_list(col(k).cast("string"))).as(s"_vals_$k")
@@ -194,7 +204,7 @@ object ResolveOp {
     }
     val joined = preserved.join(broadcast(canon), Seq("component"), "left")
     val resolved = cfg.resolveKeys.foldLeft(joined) { (d, k) =>
-      val origType = df.schema(k).dataType
+      val origType = withCluster.schema(k).dataType
       d.withColumn(k,
           coalesce(col(s"${k}_resolved").cast(origType), col(k)))
         .drop(s"${k}_resolved")

@@ -42,11 +42,33 @@ object SampleOp {
   /** Stratified: n rows per `stratifyKey` group, deterministic order within
     * the stratum (reference sample.py samples_per_group). Single window, one
     * shuffle on the stratify key. */
+  /** Per-stratum head of `nPerGroup` in `orderCols` order, as a two-phase
+    * top-k: phase 1 takes the per-(stratum, input-partition) top-n with a
+    * window keyed on `spark_partition_id()` — parallelism stays at the input
+    * partition count instead of collapsing to #strata tasks (with 3 strata a
+    * single-window plan serializes the whole table through 3 tasks; at
+    * 100 TB that's the difference between a full sort-shuffle and a
+    * survivors-only one). Phase 2 re-ranks the <= partitions * strata * n
+    * survivors globally per stratum — exact, since any row in a stratum's
+    * global top-n is in its partition's top-n. */
   def stratified(df: DataFrame, stratifyKey: String, nPerGroup: Int, orderCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col(stratifyKey)).orderBy(orderCols.map(col): _*)
-    df.withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") <= nPerGroup)
-      .drop("_graft_rn")
+    val global = Window.partitionBy(col(stratifyKey)).orderBy(orderCols.map(col): _*)
+    // Single-partition inputs (small files, one parquet row group) gain
+    // nothing from pre-aggregation — one window, one sort.
+    if (df.rdd.getNumPartitions <= 1)
+      df.withColumn("_graft_rn", row_number().over(global))
+        .filter(col("_graft_rn") <= nPerGroup)
+        .drop("_graft_rn")
+    else {
+      val local = Window.partitionBy(col(stratifyKey), col("_graft_pid"))
+        .orderBy(orderCols.map(col): _*)
+      df.withColumn("_graft_pid", spark_partition_id())
+        .withColumn("_graft_rn", row_number().over(local))
+        .filter(col("_graft_rn") <= nPerGroup)
+        .withColumn("_graft_rn", row_number().over(global))
+        .filter(col("_graft_rn") <= nPerGroup)
+        .drop("_graft_rn", "_graft_pid")
+    }
   }
 
   /** `outliers` method (reference sample.py:465-545): distance of each row's
