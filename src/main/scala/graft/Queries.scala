@@ -940,6 +940,27 @@ object Queries {
         FROM documents""")
     ),
     (
+      "q52_map_attach",
+      // pdf_url_key analog: binary payload base64-attached to every prompt;
+      // the mock's generic int rule (prompt length) makes the attachment
+      // arithmetic oracle-checkable: len(text) + len("\nATTACHMENT:") +
+      // len(base64(bytes)).
+      (s: SparkSession, dir: String) =>
+        SemanticMap(
+          t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+          SemanticMapConfig(
+            name = "q52", prompt = "{{ input.text }}",
+            outputSchema = Seq("prompt_len" -> "int"),
+            binaryAttachCol = Some("payload")),
+          client)
+          .select("doc_id", "prompt_len"),
+      Some("""
+        SELECT doc_id,
+               CAST(len(text) + 12 + len(to_base64(encode(text))) AS BIGINT)
+                 AS prompt_len
+        FROM documents""")
+    ),
+    (
       "q46_cascade_filter",
       // Proxy and oracle share the mock, so the cascade's output equals the
       // plain filter regardless of the calibrated threshold — which is

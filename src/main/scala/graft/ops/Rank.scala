@@ -66,6 +66,45 @@ object RankOp {
     withGlobalRank(rated, ordered)
   }
 
+  /** Calibrated-embedding ranking (reference rank.py:1013
+    * `_execute_calibrated_embedding_*`): LLM-rate a small deterministic
+    * sample, then score every row as the similarity-weighted average of the
+    * sample ratings — O(sample) LLM calls total, the full ordering is one
+    * distributed pass of `sampleSize` cosine expressions. */
+  def byCalibratedEmbedding(
+      df: DataFrame,
+      name: String,
+      embeddingCol: String,
+      promptExpr: String,
+      client: LlmClient,
+      model: String = "mock",
+      sampleSize: Int = 10,
+      direction: String = "desc",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val sample = df
+      .select(expr(promptExpr).cast("string").as("_p"),
+        transform(col(embeddingCol), _.cast("double")).as("_e"))
+      .limit(sampleSize).collect()
+    require(sample.nonEmpty, "calibrated rank needs a non-empty sample")
+    val ratingSchema = StructType(Seq(StructField("rating", LongType)))
+    val anchors = sample.map { r =>
+      val rating = client.complete(model, r.getString(0), ratingSchema)
+        .values("rating").asInstanceOf[Long].toDouble
+      (r.getSeq[Double](1).toArray, rating)
+    }
+    val embD = transform(col(embeddingCol), _.cast("double"))
+    val sims = anchors.map { case (vec, _) =>
+      graft.functions.CosineSimilarity(embD, array(vec.map(lit): _*))
+    }
+    val weighted = anchors.zip(sims).map { case ((_, r), s) => s * lit(r) }
+      .reduce(_ + _)
+    val absSum = sims.map(abs).reduce(_ + _) + lit(1e-9)
+    val scored = df.withColumn("_score", round(weighted / absSum, 6))
+    val ordered = (if (direction == "desc") col("_score").desc
+                   else col("_score").asc) +: tieBreak.map(col(_).asc)
+    withGlobalRank(scored, ordered)
+  }
+
   /** Picky-window refinement over the current top `sliceSize` rows: windows
     * of `windowSize` walked from the back, the client re-rates each window's
     * members, `numTopPerWindow` best bubble up, overlapping by

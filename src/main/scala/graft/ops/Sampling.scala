@@ -194,4 +194,17 @@ object TopKOp {
       .orderBy(col(scoreName).desc +: tieBreak.map(col(_).asc): _*)
       .limit(k)
   }
+
+  /** `llm_compare` method (reference topk.py:208+ delegates to rank with k):
+    * Likert-rate every row, keep the global top k. */
+  def llmCompare(
+      df: DataFrame,
+      name: String,
+      promptTemplate: String,
+      k: Int,
+      client: graft.llm.LlmClient,
+      model: String = "mock",
+      tieBreak: Seq[String] = Nil): DataFrame =
+    RankOp.byLikert(df, name, promptTemplate, client, model, "desc", tieBreak)
+      .filter(col("_rank") <= k)
 }

@@ -48,7 +48,15 @@ final case class SemanticMapConfig(
       * them, and prepend the anchors to every prompt. The sample is a
       * deterministic head — O(sample) driver work. */
     calibrate: Boolean = false,
-    calibrateSampleSize: Int = 5)
+    calibrateSampleSize: Int = 5,
+    /** Multimodal attach (reference map.py:415-436 `pdf_url_key`: download +
+      * base64-attach the document to the message): a binary column whose
+      * base64 rides along with every rendered prompt as an
+      * `\nATTACHMENT:<b64>` suffix. The reference fetches by URL at call
+      * time; Spark-first, the bytes are a column (read via the binaryFile
+      * source or a fetch stage) so attachment is executor-local and
+      * retry-safe. */
+    binaryAttachCol: Option[String] = None)
 
 /** LLM projection (reference docetl/operations/map.py:35-714).
   *
@@ -110,11 +118,22 @@ object SemanticMap {
       Row(out.toSeq: _*)
     }
 
+    val attachIdx = cfg.binaryAttachCol.map(base.schema.fieldIndex)
+    def renderRow(row: Row): String = {
+      val p = tpl.render(row)
+      attachIdx match {
+        case Some(i) if !row.isNullAt(i) =>
+          p + "\nATTACHMENT:" +
+            java.util.Base64.getEncoder.encodeToString(row.getAs[Array[Byte]](i))
+        case _ => p
+      }
+    }
+
     base.mapPartitions { it =>
       it.grouped(cfgB.batchSize).flatMap { batch =>
         if (cfgB.batchPrompt) {
           // One provider round-trip per batch; cache still applies per item.
-          val prompts = batch.map(tpl.render)
+          val prompts = batch.map(renderRow)
           val keys = prompts.map(p => s"${cfgB.model}|${outStruct.simpleString}|$p")
           val misses = keys.zip(prompts).filter { case (k, _) =>
             cfgB.bypassCache || LlmCache.get(k).isEmpty
@@ -138,7 +157,7 @@ object SemanticMap {
             case (row, (k, p)) => emit(row, p, LlmCache.get(k).get.values)
           }
         } else batch.iterator.flatMap { row =>
-          val prompt = tpl.render(row)
+          val prompt = renderRow(row)
           try {
             val values = LlmRunner.callWithLoops(
               clientB, cfgB.model, prompt, outStruct, cfgB.gleaning, cfgB.validate,

@@ -194,6 +194,50 @@ class ValidateSpec extends SparkSpec {
   }
 }
 
+class RankTopkExtraSpec extends SparkSpec {
+
+  private lazy val emb = {
+    val rows = (0 until 20).map { i =>
+      Row(i.toLong, s"doc number $i with text", Seq.tabulate(4)(j => (i * (j + 1)).toFloat / 20f))
+    }
+    df(StructType(Seq(StructField("id", LongType), StructField("t", StringType),
+      StructField("e", ArrayType(FloatType)))), rows: _*)
+  }
+
+  test("calibrated-embedding rank is deterministic, dense, and complete") {
+    val out = RankOp.byCalibratedEmbedding(emb, "cal", "e", "t",
+      MockLlmClient(), sampleSize = 5, tieBreak = Seq("id"))
+    val ranks = out.select("_rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to 20L))
+    val again = RankOp.byCalibratedEmbedding(emb, "cal", "e", "t",
+      MockLlmClient(), sampleSize = 5, tieBreak = Seq("id"))
+    assert(out.select("id", "_rank").collect().toSeq ==
+      again.select("id", "_rank").collect().toSeq)
+  }
+
+  test("llm_compare topk returns exactly k best-rated rows") {
+    val out = TopKOp.llmCompare(docsDf, "tk", "{{ input.text }}", k = 3,
+      MockLlmClient(), tieBreak = Seq("doc_id"))
+    assert(out.count() == 3)
+    assert(out.columns.contains("rating"))
+  }
+}
+
+class BinaryAttachSpec extends SparkSpec {
+  test("binary attach rides the prompt; mock int rule sees the full length") {
+    val d = docsDf.withColumn("payload", col("text").cast("binary"))
+    val out = SemanticMap(d, SemanticMapConfig(
+      name = "att", prompt = "{{ input.text }}",
+      outputSchema = Seq("prompt_len" -> "int"),
+      binaryAttachCol = Some("payload")), MockLlmClient())
+    val r = out.filter(col("doc_id") === 3).select("prompt_len").head().getLong(0)
+    val text = "der die und das mit window"
+    val expected = text.length + "\nATTACHMENT:".length +
+      java.util.Base64.getEncoder.encodeToString(text.getBytes("UTF-8")).length
+    assert(r == expected)
+  }
+}
+
 class ValueSamplingSpec extends SparkSpec {
 
   test("random value sampling is deterministic and bounds the prompt, not the counts") {
