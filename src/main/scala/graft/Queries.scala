@@ -961,6 +961,23 @@ object Queries {
         FROM documents""")
     ),
     (
+      "q53_equijoin_cascade",
+      // Precision cascade on the verify stage: proxy and oracle share the
+      // mock, so trusted + escalated verdicts together equal the plain
+      // verified join — while still exercising score/calibrate/escalate.
+      (s: SparkSession, dir: String) =>
+        EquijoinOp(t(s, dir, "customer"), t(s, dir, "nation"), EquijoinOp.Config(
+          name = "q53", condition = "c_nationkey = n_nationkey",
+          compareExprLeft = "cast(c_nationkey as string)",
+          compareExprRight = "cast(n_nationkey as string)",
+          llmVerify = true,
+          cascade = Some(CascadeCompare.Config())), client)
+          .select("c_custkey", "n_name"),
+      Some("""
+        SELECT c_custkey, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey""")
+    ),
+    (
       "q46_cascade_filter",
       // Proxy and oracle share the mock, so the cascade's output equals the
       // plain filter regardless of the calibrated threshold — which is

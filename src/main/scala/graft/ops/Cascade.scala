@@ -94,3 +94,78 @@ object CascadeFilter {
     }.getOrElse(1.1)
   }
 }
+
+/** Model cascade for PAIRWISE comparisons (resolve/equijoin verify stage) —
+  * the reference's precision-guarantee mode (cascade defaults:
+  * resolve/equijoin -> precision, cascade_runner.py:33-36):
+  *
+  *   1. the proxy model answers is_match + a confidence for every candidate
+  *      pair;
+  *   2. a threshold is calibrated on an oracle-labeled sample of the
+  *      proxy's ACCEPTS so that accepts at conf >= t reach `targetPrecision`;
+  *   3. confident accepts are trusted; everything else (low-confidence
+  *      accepts and all rejects) re-asks the oracle model.
+  *
+  * Returns the input filtered to matches; `clCol`/`crCol` are the two
+  * rendered compare sides. */
+object CascadeCompare {
+
+  final case class Config(
+      proxyModel: String = "proxy",
+      oracleModel: String = "oracle",
+      targetPrecision: Double = 0.9,
+      calibrationSize: Int = 100)
+
+  def apply(
+      pairs: DataFrame,
+      clCol: String,
+      crCol: String,
+      cfg: Config,
+      client: LlmClient): DataFrame = {
+    val schema = pairs.schema
+    val (iL, iR) = (schema.fieldIndex(clCol), schema.fieldIndex(crCol))
+    val scoredSchema = schema
+      .add(StructField("_graft_dec", BooleanType))
+      .add(StructField("_graft_conf", DoubleType))
+    val proxyModel = cfg.proxyModel
+    val scored = pairs.mapPartitions { it =>
+      it.map { row =>
+        val p = s"${row.getString(iL)}\n###\n${row.getString(iR)}"
+        Row.fromSeq(row.toSeq :+ client.compare(proxyModel, p)
+          :+ client.logprobConfidence(proxyModel, p))
+      }
+    }(Encoders.row(scoredSchema)).persist()
+
+    val decIdx = scoredSchema.fieldIndex("_graft_dec")
+    val confIdx = scoredSchema.fieldIndex("_graft_conf")
+    val oracleModel = cfg.oracleModel
+    val sample = scored.filter(col("_graft_dec")).limit(cfg.calibrationSize).collect()
+    val labeled = sample.map { row =>
+      val p = s"${row.getString(iL)}\n###\n${row.getString(iR)}"
+      (row.getDouble(confIdx), client.compare(oracleModel, p))
+    }
+    val threshold = calibratePrecision(labeled.toSeq, cfg.targetPrecision)
+
+    val trusted = scored.filter(col("_graft_dec") && col("_graft_conf") >= threshold)
+    val escalated = scored.filter(!col("_graft_dec") || col("_graft_conf") < threshold)
+    val escalatedMatches = escalated.mapPartitions { it =>
+      it.filter { row =>
+        client.compare(oracleModel, s"${row.getString(iL)}\n###\n${row.getString(iR)}")
+      }
+    }(Encoders.row(scoredSchema))
+    trusted.unionByName(escalatedMatches).drop("_graft_dec", "_graft_conf")
+  }
+
+  /** Smallest threshold t whose proxy-accepts at conf >= t reach the target
+    * precision on the oracle-labeled sample (below-t accepts escalate, so
+    * only the trusted band needs the guarantee). */
+  private[graft] def calibratePrecision(
+      labeled: Seq[(Double, Boolean)], targetPrecision: Double): Double = {
+    if (labeled.isEmpty) return 0.0
+    val candidates = labeled.map(_._1).distinct.sorted :+ 1.1
+    candidates.find { t =>
+      val band = labeled.filter(_._1 >= t)
+      band.isEmpty || band.count(_._2).toDouble / band.size >= targetPrecision
+    }.getOrElse(1.1)
+  }
+}

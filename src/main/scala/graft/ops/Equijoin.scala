@@ -40,7 +40,11 @@ object EquijoinOp {
         * equijoin.py:398-421 limit_comparisons) — a deterministic head by
         * the side ids (the reference's stratified sampling is thread-order
         * dependent; SURVEY.md §7.5.2). Requires leftIdKey/rightIdKey. */
-      limitComparisons: Option[Int] = None)
+      limitComparisons: Option[Int] = None,
+      /** Precision-guarantee model cascade for the verify stage (reference
+        * equijoin.py:196-239; defaults precision — cascade_runner.py:33-36).
+        * Requires llmVerify. */
+      cascade: Option[CascadeCompare.Config] = None)
 
   def apply(left: DataFrame, right: DataFrame, cfg: Config, client: LlmClient): DataFrame =
     applyWithExtra(left, right, cfg, client, None)
@@ -71,18 +75,22 @@ object EquijoinOp {
     val verified =
       if (!cfg.llmVerify) candidates
       else {
-        val schema = candidates.schema
         val withCmp = candidates
           .withColumn("_cl", expr(cfg.compareExprLeft).cast("string"))
           .withColumn("_cr", expr(cfg.compareExprRight).cast("string"))
-        val model = cfg.model
-        val s2 = withCmp.schema
-        withCmp.mapPartitions { it =>
-          it.filter { row =>
-            client.compare(model,
-              s"${row.getString(s2.fieldIndex("_cl"))}\n###\n${row.getString(s2.fieldIndex("_cr"))}")
-          }
-        }(Encoders.row(s2)).drop("_cl", "_cr")
+        val matched = cfg.cascade match {
+          case Some(cas) => CascadeCompare(withCmp, "_cl", "_cr", cas, client)
+          case None =>
+            val model = cfg.model
+            val s2 = withCmp.schema
+            withCmp.mapPartitions { it =>
+              it.filter { row =>
+                client.compare(model,
+                  s"${row.getString(s2.fieldIndex("_cl"))}\n###\n${row.getString(s2.fieldIndex("_cr"))}")
+              }
+            }(Encoders.row(s2))
+        }
+        matched.drop("_cl", "_cr")
       }
 
     val limitedL = cfg.limitLeft match {

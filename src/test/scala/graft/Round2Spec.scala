@@ -238,6 +238,51 @@ class BinaryAttachSpec extends SparkSpec {
   }
 }
 
+class CascadeCompareSpec extends SparkSpec {
+
+  test("precision calibration picks the smallest threshold meeting the target") {
+    // (conf, oracleTruth) for proxy-accepted pairs
+    val labeled = Seq((0.1, false), (0.3, false), (0.5, true), (0.7, true), (0.9, true))
+    assert(CascadeCompare.calibratePrecision(labeled, 1.0) == 0.5)
+    assert(CascadeCompare.calibratePrecision(labeled, 0.6) == 0.1)
+    assert(CascadeCompare.calibratePrecision(labeled, 0.8) == 0.5)
+  }
+
+  test("cascaded equijoin equals the plain verified join on the shared mock") {
+    val nat = df(StructType(Seq(StructField("nk", LongType), StructField("n_name", StringType))),
+      Row(0L, "FRANCE"), Row(1L, "GERMANY"))
+    val cust = df(StructType(Seq(StructField("ck", LongType), StructField("cnk", LongType))),
+      (1L to 6L).map(i => Row(i, i % 2)): _*)
+    def run(cascade: Option[CascadeCompare.Config]) =
+      EquijoinOp(cust, nat, EquijoinOp.Config(
+        name = "cc", condition = "cnk = nk",
+        compareExprLeft = "cast(cnk as string)",
+        compareExprRight = "cast(nk as string)",
+        llmVerify = true, cascade = cascade), MockLlmClient())
+        .select("ck", "n_name").orderBy("ck").collect().toSeq
+    assert(run(Some(CascadeCompare.Config())) == run(None))
+  }
+
+  test("only low-confidence pairs reach the oracle model") {
+    graft.llm.TokenTally.reset()
+    val nat = df(StructType(Seq(StructField("nk", LongType), StructField("n_name", StringType))),
+      (0L to 1L).map(i => Row(i, s"N$i")): _*)
+    val cust = df(StructType(Seq(StructField("ck", LongType), StructField("cnk", LongType))),
+      (1L to 20L).map(i => Row(i, i % 2)): _*)
+    EquijoinOp(cust, nat, EquijoinOp.Config(
+      name = "cc2", condition = "cnk = nk",
+      compareExprLeft = "cast(cnk as string)",
+      compareExprRight = "cast(nk as string)",
+      llmVerify = true,
+      cascade = Some(CascadeCompare.Config(calibrationSize = 5))), MockLlmClient())
+      .count()
+    val tally = graft.llm.TokenTally.summary
+    // proxy answered every candidate pair; oracle only calibration + escalations
+    assert(tally("proxy").calls == 20)
+    assert(tally.get("oracle").forall(_.calls < 20))
+  }
+}
+
 class ValueSamplingSpec extends SparkSpec {
 
   test("random value sampling is deterministic and bounds the prompt, not the counts") {
