@@ -63,6 +63,12 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(TopKOp.bm25(df, textCol, query.split("\\s+").toSeq, k, tieBreak))
   def rankByLikert(name: String, prompt: String, tieBreak: String*): Frame =
     next(RankOp.byLikert(df, name, prompt, client, tieBreak = tieBreak))
+  def rankCalibrated(name: String, embeddingCol: String, promptExpr: String,
+      sampleSize: Int, tieBreak: String*): Frame =
+    next(RankOp.byCalibratedEmbedding(df, name, embeddingCol, promptExpr, client,
+      sampleSize = sampleSize, tieBreak = tieBreak))
+  def topkLlmCompare(name: String, prompt: String, k: Int, tieBreak: String*): Frame =
+    next(TopKOp.llmCompare(df, name, prompt, k, client, tieBreak = tieBreak))
 
   // -- dedup family
   def dedupExact(textCol: String, tieBreak: String): Frame =
@@ -82,6 +88,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       name = name, prompt = prompt, targetRecall = targetRecall), client, client))
   def linkResolve(name: String, idKey: String, linkKey: String): Frame =
     next(LinkResolveOp(df, LinkResolveOp.Config(name, idKey, linkKey), client))
+  def agentMap(name: String, prompt: String, tools: Map[String, String => String],
+      schema: (String, String)*): Frame =
+    next(AgentMap(df, AgentMap.Config(name, prompt, schema), tools, client))
 
   // -- inspection without execution (frame.py:852-904)
   def schema: StructType = df.schema

@@ -81,7 +81,11 @@ object Registry {
       strategy = c.strOr("strategy", "batch"),
       foldBatchSize = c.intOr("fold_batch_size", 100),
       passThrough = c.get("pass_through").map(_.strList).getOrElse(Nil),
-      lineage = c.boolOr("lineage", false)), ctx.client)
+      lineage = c.boolOr("lineage", false),
+      valueSampleSize = c.get("value_sample_size").map(_.int),
+      valueSampleMode = c.strOr("value_sample_mode", "first_n"),
+      limitSmallestGroups = c.get("limit").map(_.int),
+      enableObservability = c.boolOr("enable_observability", false)), ctx.client)
   }
   register("resolve") { (df, c, ctx) =>
     ResolveOp(df, ResolveOp.Config(
@@ -91,7 +95,9 @@ object Registry {
       compareExpr = c("compare_expr").str,
       resolveKeys = c("resolve_keys").strList,
       model = c.strOr("model", "mock"),
-      autoMatchOnBlockEquality = c.boolOr("auto_match", false)), ctx.client)
+      autoMatchOnBlockEquality = c.boolOr("auto_match", false),
+      maxIter = c.intOr("max_iter", 20),
+      limitComparisons = c.get("limit_comparisons").map(_.int)), ctx.client)
   }
   register("split") { (df, c, _) =>
     c.strOr("method", "token_count") match {

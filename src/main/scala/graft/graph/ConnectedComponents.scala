@@ -23,8 +23,14 @@ object ConnectedComponents {
   def run(edges: DataFrame, vertices: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.toDF("src", "dst")
-    // Undirected: propagate both ways.
-    val undirected = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // Undirected: propagate both ways. ONE scan of the edge plan — a
+    // union(e, e.swapped) would execute the upstream twice, and the edge
+    // producer is often an LLM-verify mapPartitions whose re-execution is
+    // the single most expensive thing in a resolve.
+    val undirected = e.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("_p"))
+      .select(col("_p.src").as("src"), col("_p.dst").as("dst"))
       .distinct()
       .persist()
     var labels = vertices.toDF("id").withColumn("component", col("id")).persist()

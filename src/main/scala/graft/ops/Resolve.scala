@@ -38,7 +38,13 @@ object ResolveOp {
       resolveKeys: Seq[String], // fields canonicalized onto cluster members
       model: String = "mock",
       autoMatchOnBlockEquality: Boolean = false,
-      maxIter: Int = 20)      // connected-components iteration budget
+      maxIter: Int = 20,      // connected-components iteration budget
+      /** Cap candidate pairs sent to the pairwise LLM verdict (reference
+        * resolve.py:526-548 limit_comparisons; its code-blocked-first
+        * priority order is thread-timing dependent — ours is a
+        * deterministic (id, id) head). Auto-match star edges are NOT
+        * capped: equality merges are free. */
+      limitComparisons: Option[Int] = None)
 
   def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
     val withBlk = df
@@ -77,7 +83,11 @@ object ResolveOp {
       val l = withBlk.select(col("_blk"), col(cfg.idKey).as("_ida"), col("_cmp").as("_ca"))
       val r = withBlk.select(col("_blk"), col(cfg.idKey).as("_idb"), col("_cmp").as("_cb"))
       val all = l.join(r, Seq("_blk")).filter(col("_ida") < col("_idb"))
-      if (autoMatch) all.filter(col("_ca") =!= col("_cb")) else all
+      val filtered = if (autoMatch) all.filter(col("_ca") =!= col("_cb")) else all
+      cfg.limitComparisons match {
+        case Some(n) => filtered.orderBy(col("_ida").asc, col("_idb").asc).limit(n)
+        case None => filtered
+      }
     }
     val cSchema = pairBase.schema
     val (iCa, iCb) = (cSchema.fieldIndex("_ca"), cSchema.fieldIndex("_cb"))

@@ -50,7 +50,11 @@ object SemanticReduce {
       valueSampleMode: String = "first_n",
       /** Keep only the n smallest groups (reference reduce.py:301-305
         * `limit`), ties broken by the reduce keys. */
-      limitSmallestGroups: Option[Int] = None)
+      limitSmallestGroups: Option[Int] = None,
+      /** Adds `_observability_{name}` carrying the prompt(s) sent for the
+        * group — fold chains joined by "\n=====\n" (reference
+        * reduce.py:385-387). */
+      enableObservability: Boolean = false)
 
   def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
     val outStruct = SchemaTypes.toStruct(cfg.outputSchema)
@@ -63,8 +67,12 @@ object SemanticReduce {
       if (cfg.lineage)
         Array(StructField(s"${cfg.name}_lineage", ArrayType(StringType)))
       else Array.empty[StructField]
+    val obsFields =
+      if (cfg.enableObservability)
+        Array(StructField(s"_observability_${cfg.name}", StringType))
+      else Array.empty[StructField]
     val newSchema = StructType(
-      keyFields ++ ptFields ++ outStruct.fields ++ lineageFields :+
+      keyFields ++ ptFields ++ outStruct.fields ++ lineageFields ++ obsFields :+
         StructField(s"_counts_prereduce_${cfg.name}", LongType))
 
     val member = struct(col(cfg.orderKey).as("o"), expr(cfg.memberExpr).cast("string").as("m"))
@@ -104,7 +112,9 @@ object SemanticReduce {
             allMembers.zipWithIndex.collect { case (m, i) if keep(i) => m }
         }
         val n = row.getLong(gSchema.fieldIndex("_n"))
+        val promptsUsed = Seq.newBuilder[String]
         def call(prompt: String): Map[String, Any] = {
+          if (cfgB.enableObservability) promptsUsed += prompt
           val resp = client.complete(cfgB.model, prompt, outStruct)
           costAcc.add(resp.cost)
           callsAcc.add(1)
@@ -135,7 +145,10 @@ object SemanticReduce {
         val lineageVals =
           if (cfgB.lineage) Seq(allMembers) // reference reduce.py:410-418
           else Seq.empty[Any]
-        Row((keyVals ++ ptVals ++ outVals ++ lineageVals :+ n): _*)
+        val obsVals =
+          if (cfgB.enableObservability) Seq(promptsUsed.result().mkString("\n=====\n"))
+          else Seq.empty[Any]
+        Row((keyVals ++ ptVals ++ outVals ++ lineageVals ++ obsVals :+ n): _*)
       }
     }(Encoders.row(newSchema))
   }

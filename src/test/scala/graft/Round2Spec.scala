@@ -283,6 +283,40 @@ class CascadeCompareSpec extends SparkSpec {
   }
 }
 
+class ReduceObservabilitySpec extends SparkSpec {
+  test("reduce observability column carries the prompts used") {
+    val out = SemanticReduce(docsDf, SemanticReduce.Config(
+      name = "ob", reduceKeys = Seq("lang"), memberExpr = "text",
+      orderKey = "doc_id", outputSchema = Seq("summary" -> "str"),
+      strategy = "fold", foldBatchSize = 2, enableObservability = true),
+      MockLlmClient())
+    val en = out.filter(col("lang") === "en").head()
+    val obs = en.getString(en.fieldIndex("_observability_ob"))
+    assert(obs.contains("the fast spark join is good and fast"))
+    assert(obs.contains("ACC:")) // fold chain carried the accumulator
+    assert(obs.contains("\n=====\n")) // multiple fold prompts recorded
+  }
+}
+
+class ResolveLimitComparisonsSpec extends SparkSpec {
+  test("limit_comparisons caps the pairwise verdicts deterministically") {
+    MockLlmClient.resetCalls()
+    val d = df(StructType(Seq(StructField("id", LongType), StructField("k", StringType),
+      StructField("v", StringType))),
+      Row(1L, "a", "x1"), Row(2L, "a", "x2"), Row(3L, "a", "x3"),
+      Row(4L, "b", "y1"), Row(5L, "b", "y2"))
+    // block on k: 'a' yields 3 pairs, 'b' 1 pair; cap at 2 -> only (1,2),(1,3)
+    val client = MockLlmClient()
+    val before = client.callCount
+    ResolveOp(d, ResolveOp.Config(
+      name = "lc", idKey = "id", blockExpr = "k", compareExpr = "v",
+      resolveKeys = Seq("v"), limitComparisons = Some(2)), client).count()
+    // 2 compare calls (capped) — the canonicalize stage adds 0 because no
+    // pair matches (all renders differ under the mock equality rule)
+    assert(client.callCount - before == 2)
+  }
+}
+
 class ValueSamplingSpec extends SparkSpec {
 
   test("random value sampling is deterministic and bounds the prompt, not the counts") {
