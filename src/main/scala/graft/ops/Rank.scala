@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -64,6 +64,42 @@ object RankOp {
     val ordered = (if (direction == "desc") col("rating").desc
                    else col("rating").asc) +: tieBreak.map(col(_).asc)
     withGlobalRank(rated, ordered)
+  }
+
+  /** Pairwise-comparison ranking (reference rank.py:195, the QuRK
+    * baseline): every ordered pair gets an LLM "is A better than B?"
+    * verdict; rows rank by win count. O(n²) LLM calls — a research
+    * baseline, use on bounded inputs or samples (the reference excludes it
+    * from its default suite for the same reason). Distributed: pairs from a
+    * blocked self-join, verdicts in `mapPartitions`, wins via one groupBy. */
+  def byPairwise(
+      df: DataFrame,
+      name: String,
+      idKey: String,
+      renderExpr: String,
+      client: LlmClient,
+      model: String = "mock",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val rendered = df.select(col(idKey).as("_id"), expr(renderExpr).cast("string").as("_r"))
+    val pairs = rendered.select(col("_id").as("_ida"), col("_r").as("_ra"))
+      .join(rendered.select(col("_id").as("_idb"), col("_r").as("_rb")),
+        col("_ida") =!= col("_idb"))
+    val s = pairs.schema
+    val (iA, iRa, iRb) = (s.fieldIndex("_ida"), s.fieldIndex("_ra"), s.fieldIndex("_rb"))
+    val winSchema = StructType(Seq(StructField("_id", s("_ida").dataType)))
+    val wins = pairs.mapPartitions { it =>
+      it.flatMap { row =>
+        if (client.compare(model, s"${row.getString(iRa)}\n###\n${row.getString(iRb)}"))
+          Iterator.single(Row(row.get(iA)))
+        else Iterator.empty
+      }
+    }(Encoders.row(winSchema))
+      .groupBy("_id").agg(count(lit(1)).as("_wins"))
+    val scored = df.join(
+      wins.withColumnRenamed("_id", idKey), Seq(idKey), "left")
+      .withColumn("_wins", coalesce(col("_wins"), lit(0L)))
+    val ordered = col("_wins").desc +: tieBreak.map(col(_).asc)
+    withGlobalRank(scored, ordered).drop("_wins")
   }
 
   /** Calibrated-embedding ranking (reference rank.py:1013

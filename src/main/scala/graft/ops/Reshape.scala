@@ -134,7 +134,14 @@ object GatherOp {
         * outside the rendered window (reference gather.py skipped-content
         * markers). Computed with two more bounded window sums — no extra
         * shuffle (same window spec). */
-      skipMarkers: Boolean = false): DataFrame = {
+      skipMarkers: Boolean = false,
+      /** Markdown header-hierarchy breadcrumbs (reference gather.py
+        * `doc_header_key`): a column of array<struct<level:int,
+        * header:string>> per chunk; the rendering is prefixed with the most
+        * recent header at each level above the current chunk — computed with
+        * `last(_, ignoreNulls)` over the same window, no extra shuffle. */
+      headersCol: Option[String] = None,
+      maxHeaderLevel: Int = 3): DataFrame = {
     val w = Window.partitionBy(col(docIdKey)).orderBy(col(orderKey))
     val prev = collect_list(col(contentKey)).over(w.rowsBetween(-previousCount, -1))
     val next = collect_list(col(contentKey)).over(w.rowsBetween(1, nextCount))
@@ -148,8 +155,21 @@ object GatherOp {
       .over(w.rowsBetween(nextCount + 1, Window.unboundedFollowing))
     def marker(c: Column): Column =
       when(c.isNotNull && c > 0, concat(lit("[... "), c, lit(" characters skipped ...]")))
+    // Breadcrumbs: per level, the last header at that level seen up to and
+    // including this chunk (ignoreNulls over an unbounded-preceding frame).
+    val breadcrumbs = headersCol.map { hc =>
+      val levels = (1 to maxHeaderLevel).map { l =>
+        val atLevel = try_element_at(
+          filter(col(hc), h => h.getField("level") === l).getField("header"), lit(-1))
+        val carried = last(atLevel, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        when(carried.isNotNull, concat(lit("#" * l + " "), carried))
+      }
+      concat_ws("\n", levels: _*)
+    }
     val parts =
-      (if (skipMarkers) Seq(marker(skippedBefore)) else Nil) ++
+      breadcrumbs.map(b => when(length(b) > 0, b)).toSeq ++
+        (if (skipMarkers) Seq(marker(skippedBefore)) else Nil) ++
         Seq(section(prev),
           concat(lit("--- current ---\n"), col(contentKey)),
           section(next)) ++

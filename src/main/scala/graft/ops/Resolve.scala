@@ -44,7 +44,11 @@ object ResolveOp {
         * priority order is thread-timing dependent — ours is a
         * deterministic (id, id) head). Auto-match star edges are NOT
         * capped: equality merges are free. */
-      limitComparisons: Option[Int] = None)
+      limitComparisons: Option[Int] = None,
+      /** Precision-guarantee model cascade for the pairwise verdicts
+        * (reference resolve.py:627-637; precision is the resolve default —
+        * cascade_runner.py:33-36). */
+      cascade: Option[CascadeCompare.Config] = None)
 
   def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
     val withBlk = df
@@ -89,20 +93,7 @@ object ResolveOp {
         case None => filtered
       }
     }
-    val cSchema = pairBase.schema
-    val (iCa, iCb) = (cSchema.fieldIndex("_ca"), cSchema.fieldIndex("_cb"))
-    val (iIda, iIdb) = (cSchema.fieldIndex("_ida"), cSchema.fieldIndex("_idb"))
-    val edgeSchema = StructType(Seq(
-      StructField("src", LongType), StructField("dst", LongType)))
-    val llmEdges = pairBase.mapPartitions { it =>
-      it.flatMap { row =>
-        val a = row.getString(iCa)
-        val b = row.getString(iCb)
-        if (client.compare(model, s"$a\n###\n$b"))
-          Iterator.single(Row(row.getLong(iIda), row.getLong(iIdb)))
-        else Iterator.empty
-      }
-    }(Encoders.row(edgeSchema))
+    val llmEdges = verdictEdges(pairBase, cfg, client)
     val edges =
       if (!autoMatch) llmEdges
       else {
@@ -144,21 +135,34 @@ object ResolveOp {
       .join(renders.select(col("id").as("id_a"), col("render").as("_ca")), Seq("id_a"))
       .join(renders.select(col("id").as("id_b"), col("render").as("_cb")), Seq("id_b"))
       .select(col("id_a").as("_ida"), col("id_b").as("_idb"), col("_ca"), col("_cb"))
-    val s = pairBase.schema
-    val (iCa, iCb) = (s.fieldIndex("_ca"), s.fieldIndex("_cb"))
-    val (iIda, iIdb) = (s.fieldIndex("_ida"), s.fieldIndex("_idb"))
-    val model = cfg.model
-    val edges = pairBase.mapPartitions { it =>
-      it.flatMap { row =>
-        if (client.compare(model,
-          s"${row.getString(iCa)}\n###\n${row.getString(iCb)}"))
-          Iterator.single(Row(row.getLong(iIda), row.getLong(iIdb)))
-        else Iterator.empty
-      }
-    }(Encoders.row(StructType(Seq(
-      StructField("src", LongType), StructField("dst", LongType)))))
-    clusterAndCanonicalize(df, cfg, edges, client)
+    clusterAndCanonicalize(df, cfg, verdictEdges(pairBase, cfg, client), client)
   }
+
+  /** Pairwise verdicts -> (src, dst) match edges; plain per-pair compare,
+    * or the precision cascade when configured (reference resolve.py:627-637).
+    * `pairBase` columns: _ida/_idb (long-compatible) and _ca/_cb renders. */
+  private def verdictEdges(
+      pairBase: DataFrame, cfg: Config, client: LlmClient): DataFrame =
+    cfg.cascade match {
+      case Some(cas) =>
+        CascadeCompare(pairBase, "_ca", "_cb", cas, client)
+          .select(col("_ida").cast("long").as("src"),
+            col("_idb").cast("long").as("dst"))
+      case None =>
+        val s = pairBase.schema
+        val (iCa, iCb) = (s.fieldIndex("_ca"), s.fieldIndex("_cb"))
+        val (iIda, iIdb) = (s.fieldIndex("_ida"), s.fieldIndex("_idb"))
+        val model = cfg.model
+        pairBase.mapPartitions { it =>
+          it.flatMap { row =>
+            if (client.compare(model,
+              s"${row.getString(iCa)}\n###\n${row.getString(iCb)}"))
+              Iterator.single(Row(row.getLong(iIda), row.getLong(iIdb)))
+            else Iterator.empty
+          }
+        }(Encoders.row(StructType(Seq(
+          StructField("src", LongType), StructField("dst", LongType)))))
+    }
 
   /** Stages 3-4, shared by all blocking strategies: connected components
     * over the match edges, then per-cluster canonicalization broadcast back

@@ -64,6 +64,37 @@ object RetrieverOp {
     attachTopK(withId, scored, rowId, outKey, k)
   }
 
+  /** Hybrid retrieval (reference lancedb.py hybrid mode): convex blend of
+    * the cosine score and a min-max-normalized term-overlap score. One
+    * broadcast join computes both scores; weights sum to 1. */
+  def byHybrid(
+      df: DataFrame,
+      name: String,
+      queryEmbCol: String,
+      queryTextCol: String,
+      corpus: DataFrame,
+      corpusEmbCol: String,
+      corpusTextCol: String,
+      corpusRenderExpr: String,
+      k: Int = 3,
+      vectorWeight: Double = 0.5): DataFrame = {
+    require(vectorWeight >= 0 && vectorWeight <= 1, "vectorWeight in [0,1]")
+    val outKey = s"_${name}_retrieved_context"
+    val rowId = s"_graft_rid_$name"
+    val withId = df.withColumn(rowId, monotonically_increasing_id())
+    val c = corpus.select(
+      col(corpusEmbCol).as("_ce"),
+      split(col(corpusTextCol), " ").as("_ctoks"),
+      expr(corpusRenderExpr).cast("string").as("_ctext"))
+    val qToks = split(col(queryTextCol), " ")
+    val overlap = size(array_intersect(qToks, col("_ctoks"))).cast("double")
+    val scored = withId.join(broadcast(c))
+      .withColumn("_score",
+        lit(vectorWeight) * CosineSimilarity(col(queryEmbCol), col("_ce")) +
+          lit(1 - vectorWeight) * overlap / greatest(size(qToks).cast("double"), lit(1.0)))
+    attachTopK(withId, scored, rowId, outKey, k)
+  }
+
   private def attachTopK(
       base: DataFrame, scored: DataFrame, rowId: String,
       outKey: String, k: Int): DataFrame = {

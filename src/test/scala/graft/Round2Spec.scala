@@ -317,6 +317,74 @@ class ResolveLimitComparisonsSpec extends SparkSpec {
   }
 }
 
+class GatherHeadersSpec extends SparkSpec {
+  test("header breadcrumbs carry the latest header per level forward") {
+    val hdr = ArrayType(StructType(Seq(
+      StructField("level", IntegerType), StructField("header", StringType))))
+    val d = df(StructType(Seq(StructField("doc", LongType), StructField("ord", LongType),
+      StructField("chunk", StringType), StructField("hs", hdr))),
+      Row(1L, 1L, "intro text", Seq(Row(1, "Title"))),
+      Row(1L, 2L, "body text", Seq(Row(2, "Section A"))),
+      Row(1L, 3L, "more text", Seq.empty[Row]))
+    val out = GatherOp(d, "chunk", "doc", "ord", headersCol = Some("hs"))
+      .orderBy("ord").select("chunk_rendered").collect().map(_.getString(0))
+    assert(out(0).startsWith("# Title\n"))
+    assert(out(1).startsWith("# Title\n## Section A\n"))
+    assert(out(2).startsWith("# Title\n## Section A\n")) // carried forward
+  }
+}
+
+class PairwiseRankSpec extends SparkSpec {
+  /** "is A better than B" = A's render is longer. */
+  private object LongerWins extends LlmClient {
+    override def complete(model: String, prompt: String, schema: StructType) = {
+      val i = prompt.indexOf("\n###\n")
+      val win = prompt.substring(0, i).length > prompt.substring(i + 5).length
+      graft.llm.LlmResponse(Map("is_match" -> win), 0.0)
+    }
+    override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] =
+      texts.map(_ => Array.empty[Float])
+  }
+
+  test("pairwise rank orders by win count") {
+    val d = df(StructType(Seq(StructField("id", LongType), StructField("t", StringType))),
+      Row(1L, "aaaa"), Row(2L, "aaaaaaaa"), Row(3L, "aa"))
+    val out = RankOp.byPairwise(d, "pw", "id", "t", LongerWins, tieBreak = Seq("id"))
+      .select("id", "_rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 1L, 1L -> 2L, 3L -> 3L))
+  }
+}
+
+class HybridRetrieverSpec extends SparkSpec {
+  test("hybrid blends vector and lexical scores") {
+    val emb = ArrayType(FloatType)
+    val d = df(StructType(Seq(StructField("q", StringType), StructField("e", emb))),
+      Row("spark join", Seq(1.0f, 0.0f)))
+    val corpus = df(StructType(Seq(StructField("ct", StringType), StructField("ce", emb))),
+      Row("spark join text", Seq(0.0f, 1.0f)),   // lexical hit, vector miss
+      Row("unrelated words", Seq(1.0f, 0.0f)))   // vector hit, lexical miss
+    def top(vw: Double) = RetrieverOp.byHybrid(d, "h", "e", "q", corpus,
+      "ce", "ct", "ct", k = 1, vectorWeight = vw)
+      .select("_h_retrieved_context").head().getString(0)
+    assert(top(0.0) == "spark join text")
+    assert(top(1.0) == "unrelated words")
+  }
+}
+
+class ResolveCascadeSpec extends SparkSpec {
+  test("cascaded resolve equals the plain resolve on the shared mock") {
+    val d = df(StructType(Seq(StructField("id", LongType), StructField("k", StringType),
+      StructField("v", StringType))),
+      Row(1L, "a", "x"), Row(2L, "a", "x"), Row(3L, "a", "z"), Row(4L, "b", "w"))
+    def run(cascade: Option[CascadeCompare.Config]) =
+      ResolveOp(d, ResolveOp.Config(
+        name = "rc", idKey = "id", blockExpr = "k", compareExpr = "v",
+        resolveKeys = Seq("v"), cascade = cascade), MockLlmClient())
+        .select("id", "v").orderBy("id").collect().toSeq
+    assert(run(Some(CascadeCompare.Config())) == run(None))
+  }
+}
+
 class ValueSamplingSpec extends SparkSpec {
 
   test("random value sampling is deterministic and bounds the prompt, not the counts") {
