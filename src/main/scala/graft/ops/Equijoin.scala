@@ -116,6 +116,49 @@ object EquijoinOp {
   private def sideKey(key: String, collisions: Set[String], suffix: String): String =
     if (collisions.contains(key)) s"$key$suffix" else key
 
+  /** Embedding blocking with RUNTIME threshold calibration (reference
+    * equijoin.py:332-378 auto-blocking via `RuntimeBlockingOptimizer`,
+    * target recall 0.95): sketch both sides, LLM-label a deterministic
+    * sample of bucket-cofalling pairs, fit the cosine threshold that keeps
+    * `targetRecall` of the labeled matches, then run the normal
+    * embedding-blocked join at that threshold. O(sampleSize) LLM calls +
+    * driver work; everything else distributed. Returns (joined, threshold). */
+  def withAutoEmbeddingBlocking(
+      left: DataFrame,
+      right: DataFrame,
+      cfg: Config,
+      leftEmbCol: String,
+      rightEmbCol: String,
+      dim: Int,
+      client: LlmClient,
+      targetRecall: Double = 0.95,
+      sampleSize: Int = 100,
+      numPlanes: Int = 8,
+      seed: Long = 42): (DataFrame, Double) = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(numPlanes, dim)(rng.nextGaussian())
+    def sketch(embCol: String) = planes.zipWithIndex.map { case (p, i) =>
+      when(graft.functions.VectorFunctions.dot(
+        col(embCol), array(p.map(lit): _*)) > 0, 1L).otherwise(0L) * (1L << i)
+    }.reduce(_ + _)
+    val l = left.select(sketch(leftEmbCol).as("_bkt"),
+      col(leftEmbCol).as("_le"), expr(cfg.compareExprLeft).cast("string").as("_lr"))
+    val r = right.select(sketch(rightEmbCol).as("_bkt"),
+      col(rightEmbCol).as("_re"), expr(cfg.compareExprRight).cast("string").as("_rr"))
+    val sample = l.join(r, Seq("_bkt"))
+      .withColumn("_cos", graft.functions.CosineSimilarity(col("_le"), col("_re")))
+      .orderBy(col("_lr"), col("_rr")) // deterministic sample
+      .limit(sampleSize)
+      .collect()
+    val labeled = sample.map { row =>
+      (row.getAs[Double]("_cos"),
+        client.compare(cfg.model, s"${row.getAs[String]("_lr")}\n###\n${row.getAs[String]("_rr")}"))
+    }.toSeq
+    val threshold = Blocking.calibrateCosineThreshold(labeled, targetRecall)
+    (withEmbeddingBlocking(left, right, cfg, leftEmbCol, rightEmbCol, dim,
+      threshold, client, numPlanes, seed), threshold)
+  }
+
   /** Fuzzy join with embedding-similarity blocking (reference
     * equijoin.py:427-551): both sides sketch into the same hyperplane-LSH
     * buckets, candidate pairs are cosine-scored with the native expression

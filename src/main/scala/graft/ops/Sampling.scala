@@ -85,13 +85,17 @@ object SampleOp {
       stdCutoff: Option[Double],
       samples: Option[Int],
       keep: Boolean,
-      tieBreak: Seq[String]): DataFrame = {
-    val centroidRow = df
-      .select(posexplode(col(embeddingCol)).as(Seq("_i", "_v")))
-      .groupBy("_i").agg(avg("_v").as("_m"))
-      .orderBy("_i")
-      .collect()
-    val centroid = centroidRow.map(_.getDouble(1))
+      tieBreak: Seq[String],
+      /** Measure distance from this point instead of the mean embedding
+        * (reference sample.py `center` config). */
+      center: Option[Array[Double]] = None): DataFrame = {
+    val centroid = center.getOrElse {
+      df.select(posexplode(col(embeddingCol)).as(Seq("_i", "_v")))
+        .groupBy("_i").agg(avg("_v").as("_m"))
+        .orderBy("_i")
+        .collect()
+        .map(_.getDouble(1))
+    }
     val distCol = graft.functions.VectorFunctions
       .euclideanToConst(col(embeddingCol), centroid)
     val scored = df.withColumn("_graft_dist", distCol)

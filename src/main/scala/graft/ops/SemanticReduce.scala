@@ -54,7 +54,10 @@ object SemanticReduce {
       /** Adds `_observability_{name}` carrying the prompt(s) sent for the
         * group — fold chains joined by "\n=====\n" (reference
         * reduce.py:385-387). */
-      enableObservability: Boolean = false)
+      enableObservability: Boolean = false,
+      /** Judge-prompt refinement loop over the group result (reference
+        * reduce ops share the map gleaning config, api.py:365-460). */
+      gleaning: Option[GleaningConfig] = None)
 
   def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
     val outStruct = SchemaTypes.toStruct(cfg.outputSchema)
@@ -113,14 +116,23 @@ object SemanticReduce {
         }
         val n = row.getLong(gSchema.fieldIndex("_n"))
         val promptsUsed = Seq.newBuilder[String]
+        var lastPrompt = ""
+        // Responses go through the executor-local cache: a global sort ABOVE
+        // this operator runs a range-partitioner SAMPLING pass that executes
+        // the whole partition twice — without the cache every group would
+        // pay its LLM calls twice (and task retries would too).
         def call(prompt: String): Map[String, Any] = {
           if (cfgB.enableObservability) promptsUsed += prompt
-          val resp = client.complete(cfgB.model, prompt, outStruct)
+          lastPrompt = prompt
+          val key = s"${cfgB.model}|${outStruct.simpleString}|$prompt"
+          val resp = graft.llm.LlmCache.getOrCompute(key, {
+            callsAcc.add(1)
+            client.complete(cfgB.model, prompt, outStruct)
+          })
           costAcc.add(resp.cost)
-          callsAcc.add(1)
           resp.values
         }
-        val values = cfgB.strategy match {
+        val initial = cfgB.strategy match {
           case "batch" => call(members.mkString("\n"))
           case "fold" =>
             // Sequential incremental fold: each chunk's prompt carries the
@@ -132,6 +144,32 @@ object SemanticReduce {
                 Some(call(prefix + chunk.mkString("\n")))
               }.getOrElse(call(""))
           case other => throw new IllegalArgumentException(s"unknown strategy $other")
+        }
+        // Gleaning: judge the group result, refine up to numRounds times
+        // (reference api.py:365-460).
+        val values = cfgB.gleaning match {
+          case None => initial
+          case Some(g) =>
+            val judgeSchema = StructType(Seq(
+              StructField("should_refine", BooleanType),
+              StructField("improvements", StringType)))
+            var v = initial
+            var rounds = 0
+            var continue = true
+            while (continue && rounds < g.numRounds) {
+              val judgePrompt = s"${g.validationPrompt}\n${v.toSeq.sortBy(_._1).mkString(";")}"
+              val verdict = graft.llm.LlmCache.getOrCompute(
+                s"${cfgB.model}|judge|$judgePrompt", {
+                  callsAcc.add(1)
+                  client.complete(cfgB.model, judgePrompt, judgeSchema)
+                })
+              costAcc.add(verdict.cost)
+              if (verdict.values("should_refine").asInstanceOf[Boolean]) {
+                v = call(s"$lastPrompt\nRefine: ${verdict.values("improvements")}")
+                rounds += 1
+              } else continue = false
+            }
+            v
         }
         val resp = graft.llm.LlmResponse(values, 0.0)
         val keyVals = (0 until nKeys).map(row.get)

@@ -385,6 +385,62 @@ class ResolveCascadeSpec extends SparkSpec {
   }
 }
 
+class EquijoinAutoThresholdSpec extends SparkSpec {
+  test("auto blocking calibrates a threshold that keeps labeled matches") {
+    val emb = ArrayType(FloatType)
+    // matches (same nk) get near-identical vectors; non-matches opposite
+    val l = df(StructType(Seq(StructField("lid", LongType), StructField("nk", LongType),
+      StructField("le", emb))),
+      (1L to 8L).map(i => Row(i, i % 2, Seq((if (i % 2 == 0) 1.0f else -1.0f), 0.1f))): _*)
+    val r = df(StructType(Seq(StructField("rid", LongType), StructField("nk2", LongType),
+      StructField("re", emb))),
+      (0L to 1L).map(i => Row(i + 100, i, Seq((if (i == 0) 1.0f else -1.0f), 0.1f))): _*)
+    val (joined, threshold) = EquijoinOp.withAutoEmbeddingBlocking(
+      l, r, EquijoinOp.Config(
+        name = "auto", condition = "nk = nk2",
+        compareExprLeft = "cast(nk as string)",
+        compareExprRight = "cast(nk2 as string)"),
+      "le", "re", dim = 2, MockLlmClient())
+    assert(threshold > 0.9) // same-bucket matches are near-identical vectors
+    assert(joined.count() == 8) // every left row finds its nk partner
+  }
+}
+
+/** Judge always refines; the answer schema follows the mock rules.
+  * (Top-level so the closure doesn't drag the spec instance; delegates to
+  * the mock so the global call counter survives serialization.) */
+case class AlwaysRefineClient(inner: MockLlmClient = MockLlmClient()) extends LlmClient {
+  override def complete(model: String, prompt: String, schema: StructType) =
+    if (schema.fieldNames.contains("should_refine")) {
+      inner.complete(model, prompt, schema) // counted
+      graft.llm.LlmResponse(Map("should_refine" -> true, "improvements" -> "more"), 0.0)
+    } else inner.complete(model, prompt, schema)
+  override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] =
+    inner.embed(model, texts)
+}
+
+class ReduceGleaningSpec extends SparkSpec {
+  test("reduce gleaning refines up to numRounds then stops") {
+    val client = AlwaysRefineClient()
+    def run(gleaning: Option[GleaningConfig]) = {
+      MockLlmClient.resetCalls()
+      graft.llm.LlmCache.clear() // isolate the two runs
+      val rows = SemanticReduce(docsDf, SemanticReduce.Config(
+        name = "gl", reduceKeys = Seq("lang"), memberExpr = "text",
+        orderKey = "doc_id", outputSchema = Seq("summary" -> "str"),
+        gleaning = gleaning), client).orderBy("lang").collect()
+      (rows, client.inner.callCount)
+    }
+    val (plain, plainCalls) = run(None)
+    val (gleaned, gleanedCalls) = run(Some(GleaningConfig("complete?", numRounds = 2)))
+    assert(plainCalls == 2) // one answer per group
+    // per group: 1 initial + 2 x (judge + refined answer) = 5 -> 10 total
+    assert(gleanedCalls == 10)
+    // the refined prompt is longer, so the mock summary differs
+    assert(gleaned.map(_.getString(1)).toSeq != plain.map(_.getString(1)).toSeq)
+  }
+}
+
 class ValueSamplingSpec extends SparkSpec {
 
   test("random value sampling is deterministic and bounds the prompt, not the counts") {

@@ -126,6 +126,7 @@ class SemanticReduceSpec extends SparkSpec {
   }
   test("fold strategy issues one call per chunk") {
     MockLlmClient.resetCalls()
+    graft.llm.LlmCache.clear() // counts would dedupe against earlier suites
     SemanticReduce(docsDf, SemanticReduce.Config(
       name = "r", reduceKeys = Seq("_all"), memberExpr = "text",
       orderKey = "doc_id", outputSchema = Seq("summary" -> "str"),
