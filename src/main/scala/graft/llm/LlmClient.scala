@@ -86,6 +86,22 @@ final case class RateLimitedClient(inner: LlmClient, key: String, permitsPerMinu
     inner.logprobConfidence(model, prompt)
 }
 
+/** Cache-through call helpers for executor-side LLM invocations. EVERY
+  * executor call site should go through these (the analog of the
+  * reference's disk LLM cache, cache.py:17-23): Spark re-executes partitions
+  * for task retries, speculation, AND the range-partitioner sampling pass a
+  * global sort runs over its child — without the cache each of those pays
+  * the provider calls again. */
+object Cached {
+  def complete(client: LlmClient, model: String, prompt: String, schema: StructType): LlmResponse =
+    LlmCache.getOrCompute(s"$model|${schema.simpleString}|$prompt",
+      client.complete(model, prompt, schema))
+
+  def compare(client: LlmClient, model: String, prompt: String): Boolean =
+    complete(client, model, prompt, MockLlmClient.boolSchema)
+      .values("is_match").asInstanceOf[Boolean]
+}
+
 /** Model-fallback decorator (reference docetl/runner.py:39-88: LiteLLM
   * Router `fallbacks` chains): a failed completion for model M retries down
   * `chains(M)` in order before rethrowing the last failure. Embeddings and

@@ -64,7 +64,7 @@ object AgentMap {
         var turns = 0
         var done = false
         while (!done && turns < cfgB.maxTurns) {
-          val resp = client.complete(cfgB.model, transcript, actionSchema)
+          val resp = graft.llm.Cached.complete(client, cfgB.model, transcript, actionSchema)
           costAcc.add(resp.cost); callsAcc.add(1)
           val action = resp.values("action").asInstanceOf[String]
           if (action == "final") done = true
@@ -76,7 +76,7 @@ object AgentMap {
             turns += 1
           }
         }
-        val fin = client.complete(cfgB.model, transcript, outStruct)
+        val fin = graft.llm.Cached.complete(client, cfgB.model, transcript, outStruct)
         costAcc.add(fin.cost); callsAcc.add(1)
         val out = keptIdx.map(row.get) ++
           outStruct.fields.map(f => LlmRunner.coerce(fin.values.get(f.name), f.dataType))

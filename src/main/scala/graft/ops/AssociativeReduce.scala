@@ -52,12 +52,12 @@ object AssociativeSemanticReduce {
     def foldCall(current: String, members: Seq[String]): String = {
       val prompt =
         (if (current == null) "" else s"ACC:$current\n") + members.mkString("\n")
-      val resp = client.complete(model, prompt, accSchema)
+      val resp = graft.llm.Cached.complete(client, model, prompt, accSchema)
       costAcc.add(resp.cost); callsAcc.add(1)
       resp.values("acc").toString
     }
     def mergeCall(a: String, b: String): String = {
-      val resp = client.complete(model, s"MERGE:$a\n###\n$b", accSchema)
+      val resp = graft.llm.Cached.complete(client, model, s"MERGE:$a\n###\n$b", accSchema)
       costAcc.add(resp.cost); callsAcc.add(1)
       resp.values("acc").toString
     }

@@ -131,7 +131,7 @@ object CascadeCompare {
     val scored = pairs.mapPartitions { it =>
       it.map { row =>
         val p = s"${row.getString(iL)}\n###\n${row.getString(iR)}"
-        Row.fromSeq(row.toSeq :+ client.compare(proxyModel, p)
+        Row.fromSeq(row.toSeq :+ graft.llm.Cached.compare(client, proxyModel, p)
           :+ client.logprobConfidence(proxyModel, p))
       }
     }(Encoders.row(scoredSchema)).persist()
@@ -142,7 +142,7 @@ object CascadeCompare {
     val sample = scored.filter(col("_graft_dec")).limit(cfg.calibrationSize).collect()
     val labeled = sample.map { row =>
       val p = s"${row.getString(iL)}\n###\n${row.getString(iR)}"
-      (row.getDouble(confIdx), client.compare(oracleModel, p))
+      (row.getDouble(confIdx), graft.llm.Cached.compare(client, oracleModel, p))
     }
     val threshold = calibratePrecision(labeled.toSeq, cfg.targetPrecision)
 
@@ -150,7 +150,7 @@ object CascadeCompare {
     val escalated = scored.filter(!col("_graft_dec") || col("_graft_conf") < threshold)
     val escalatedMatches = escalated.mapPartitions { it =>
       it.filter { row =>
-        client.compare(oracleModel, s"${row.getString(iL)}\n###\n${row.getString(iR)}")
+        graft.llm.Cached.compare(client, oracleModel, s"${row.getString(iL)}\n###\n${row.getString(iR)}")
       }
     }(Encoders.row(scoredSchema))
     trusted.unionByName(escalatedMatches).drop("_graft_dec", "_graft_conf")

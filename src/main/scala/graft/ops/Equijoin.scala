@@ -85,7 +85,7 @@ object EquijoinOp {
             val s2 = withCmp.schema
             withCmp.mapPartitions { it =>
               it.filter { row =>
-                client.compare(model,
+                graft.llm.Cached.compare(client, model,
                   s"${row.getString(s2.fieldIndex("_cl"))}\n###\n${row.getString(s2.fieldIndex("_cr"))}")
               }
             }(Encoders.row(s2))

@@ -52,7 +52,7 @@ object ExtractOp {
         val lines = Option(text).getOrElse("").grouped(width).toArray
         val numbered = lines.zipWithIndex
           .map { case (l, i) => s"${i + 1}: $l" }.mkString("\n")
-        val resp = client.complete(model, s"$prompt\n$numbered", rangeSchema)
+        val resp = graft.llm.Cached.complete(client, model, s"$prompt\n$numbered", rangeSchema)
         val spans = resp.values("ranges").toString.split(",").flatMap { r =>
           r.trim.split("-") match {
             case Array(a, b) =>

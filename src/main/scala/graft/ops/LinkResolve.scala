@@ -46,7 +46,7 @@ object LinkResolveOp {
     val mappingSchema = StructType(Seq(
       StructField("_lv", StringType), StructField("_cid", StringType)))
     val confirmed = cands.mapPartitions { it =>
-      it.filter(row => client.compare(model,
+      it.filter(row => graft.llm.Cached.compare(client, model,
         s"${row.getString(0).trim.toLowerCase}\n###\n${row.getString(1).trim.toLowerCase}"))
     }(Encoders.row(mappingSchema))
       // one canonical target per dangling value: smallest id wins

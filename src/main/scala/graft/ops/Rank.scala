@@ -89,7 +89,7 @@ object RankOp {
     val winSchema = StructType(Seq(StructField("_id", s("_ida").dataType)))
     val wins = pairs.mapPartitions { it =>
       it.flatMap { row =>
-        if (client.compare(model, s"${row.getString(iRa)}\n###\n${row.getString(iRb)}"))
+        if (graft.llm.Cached.compare(client, model, s"${row.getString(iRa)}\n###\n${row.getString(iRb)}"))
           Iterator.single(Row(row.get(iA)))
         else Iterator.empty
       }

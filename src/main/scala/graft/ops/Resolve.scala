@@ -155,7 +155,7 @@ object ResolveOp {
         val model = cfg.model
         pairBase.mapPartitions { it =>
           it.flatMap { row =>
-            if (client.compare(model,
+            if (graft.llm.Cached.compare(client, model,
               s"${row.getString(iCa)}\n###\n${row.getString(iCb)}"))
               Iterator.single(Row(row.getLong(iIda), row.getLong(iIdb)))
             else Iterator.empty
@@ -201,7 +201,7 @@ object ResolveOp {
         val comp = row.getLong(0)
         val canonVals = cfg.resolveKeys.zipWithIndex.map { case (k, i) =>
           val members = row.getSeq[String](i + 1)
-          val resp = client.complete(model, members.mkString("\n"), memberSchema)
+          val resp = graft.llm.Cached.complete(client, model, members.mkString("\n"), memberSchema)
           resp.values("canonical").asInstanceOf[String]
         }
         Row((comp +: canonVals): _*)

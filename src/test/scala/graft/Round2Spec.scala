@@ -263,8 +263,9 @@ class CascadeCompareSpec extends SparkSpec {
     assert(run(Some(CascadeCompare.Config())) == run(None))
   }
 
-  test("only low-confidence pairs reach the oracle model") {
+  test("response cache dedupes verify calls per unique pair render") {
     graft.llm.TokenTally.reset()
+    graft.llm.LlmCache.clear()
     val nat = df(StructType(Seq(StructField("nk", LongType), StructField("n_name", StringType))),
       (0L to 1L).map(i => Row(i, s"N$i")): _*)
     val cust = df(StructType(Seq(StructField("ck", LongType), StructField("cnk", LongType))),
@@ -277,9 +278,11 @@ class CascadeCompareSpec extends SparkSpec {
       cascade = Some(CascadeCompare.Config(calibrationSize = 5))), MockLlmClient())
       .count()
     val tally = graft.llm.TokenTally.summary
-    // proxy answered every candidate pair; oracle only calibration + escalations
-    assert(tally("proxy").calls == 20)
-    assert(tally.get("oracle").forall(_.calls < 20))
+    // 20 candidate pairs but only 2 unique renders ("0###0", "1###1") — the
+    // executor-local cache absorbs the rest (getOrCompute may double-compute
+    // a key when partitions race, so the bound is loose but far below 20).
+    assert(tally("proxy").calls <= 4)
+    assert(tally.get("oracle").forall(_.calls <= 4))
   }
 }
 
@@ -301,6 +304,7 @@ class ReduceObservabilitySpec extends SparkSpec {
 class ResolveLimitComparisonsSpec extends SparkSpec {
   test("limit_comparisons caps the pairwise verdicts deterministically") {
     MockLlmClient.resetCalls()
+    graft.llm.LlmCache.clear() // counts must not dedupe against other suites
     val d = df(StructType(Seq(StructField("id", LongType), StructField("k", StringType),
       StructField("v", StringType))),
       Row(1L, "a", "x1"), Row(2L, "a", "x2"), Row(3L, "a", "x3"),
