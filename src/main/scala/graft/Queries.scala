@@ -746,12 +746,42 @@ object Queries {
     ),
     (
       "q41_cluster",
+      // Fixed literal centroids make the nearest-centroid assignment AND the
+      // mock per-cluster summaries pure SQL; the k-means-trained path stays
+      // ScalaTested (DedupAnnSpec / HierarchicalClusterSpec).
       (s: SparkSession, dir: String) =>
-        ClusterOp(t(s, dir, "embeddings"), "embedding", "cast(vec_id as string)",
-          numClusters = 8, client)
+        ClusterOp(
+          t(s, dir, "embeddings")
+            .withColumn("embedding", transform(col("embedding"), _.cast("double"))),
+          "embedding", "cast(vec_id as string)",
+          numClusters = 8, client,
+          explicitCentroids = Some(clusterCentroids))
           .select(col("vec_id"), element_at(col("clusters"), 1).as("cluster_summary")),
-      None // KMeans assignment is engine-internal; covered by ScalaTest.
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        ctr(cell, c) AS (VALUES $clusterCentroidsSql),
+        d AS (SELECT vec_id, cell, list_distance(emb, c) AS dist FROM e CROSS JOIN ctr),
+        a AS (SELECT vec_id, cell FROM d
+              QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        m AS (SELECT cell, list_sort(list(CAST(vec_id AS VARCHAR))) AS vs
+              FROM a GROUP BY cell),
+        s AS (SELECT cell,
+                'docs=' || least(len(vs), 20) || ' chars=' ||
+                  (CAST(list_sum(list_transform(vs[1:20], x -> len(x))) AS BIGINT) +
+                   least(len(vs), 20) - 1) AS summary
+              FROM m)
+        SELECT a.vec_id, s.summary AS cluster_summary
+        FROM a JOIN s USING (cell)""")
     ))
+
+  /** Fixed centroids for q41 (8 x 64), generated from the same doubles on
+    * both engines. */
+  private lazy val clusterCentroids: Array[Array[Double]] =
+    Array.tabulate(8, 64)((c, j) => math.sin(c * 64.0 + j + 1.0))
+  private lazy val clusterCentroidsSql: String =
+    clusterCentroids.zipWithIndex.map { case (ctr, i) =>
+      s"($i, ${ctr.map(v => f"$v%.17g").mkString("[", ",", "]")}::DOUBLE[])"
+    }.mkString(",\n          ")
 
   // ---------------------------------------------------------------- multimodal
 

@@ -28,13 +28,16 @@ object ClusterOp {
       outputKey: String = "clusters",
       maxSummaryMembers: Int = 20,
       seed: Long = 42,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 10,
+      /** Fixed centroids instead of k-means training — for reproducible
+        * grids or externally-trained quantizers. */
+      explicitCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     // Centroids train on a driver-side sample (graft.ann.Ann.trainCentroids
     // — the coarse-quantizer recipe); ASSIGNMENT is fully distributed, a
     // codegen'd nearest-centroid expression over every row. No per-iteration
     // Spark jobs, no ML pipeline in the hot path.
-    val centroids = graft.ann.Ann.trainCentroids(
-      df, embeddingCol, numClusters, maxIter, seed)
+    val centroids = explicitCentroids.getOrElse(
+      graft.ann.Ann.trainCentroids(df, embeddingCol, numClusters, maxIter, seed))
     val assigned = graft.ann.Ann.ivfAssign(df, embeddingCol, centroids)
       .withColumnRenamed("_cell", "_graft_cluster")
 
