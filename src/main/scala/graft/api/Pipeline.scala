@@ -34,8 +34,15 @@ object Pipeline {
     // invalidation key (reference runner.py:241-282).
     val hashes = scala.collection.mutable.Map[String, String]()
     conf.get("datasets").foreach(_.asMap.foreach { case (name, d) =>
-      datasets(name) = read(spark, d("path").str)
-      hashes(name) = CheckpointStore.sha256("dataset|" + d("path").str)
+      // Optional `format` overrides extension dispatch — e.g. `binaryFile`
+      // for opaque image/audio/pdf payloads (the reference's parsing-tools
+      // load path, dataset.py:361-368) or `text` for line files.
+      datasets(name) = d.get("format") match {
+        case Some(f) => spark.read.format(f.str).load(d("path").str)
+        case None    => read(spark, d("path").str)
+      }
+      hashes(name) = CheckpointStore.sha256(
+        "dataset|" + d.strOr("format", "") + "|" + d("path").str)
     })
     val store = conf.get("checkpoint_dir").map(d => new CheckpointStore(d.str))
     val planRewrites = conf.boolOr("plan_rewrites", true)

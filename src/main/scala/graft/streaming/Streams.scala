@@ -66,6 +66,34 @@ object Streams {
     }
   }
 
+  /** Streaming exact dedup with keyed state (`flatMapGroupsWithState`):
+    * the FIRST row per normalized-text fingerprint passes, every later
+    * duplicate is dropped — the always-on analog of
+    * [[graft.dedup.ExactDedup]]. State per fingerprint is one boolean; on a
+    * real deployment bound it with a TTL/watermark policy. Input needs
+    * (id: Long, text: String) columns.
+    */
+  def dedupExact(rows: Dataset[Row]): Dataset[(Long, String)] = {
+    import rows.sparkSession.implicits._
+    def fingerprint(text: String): String = {
+      val normalized = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(normalized.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    rows.selectExpr("id", "text")
+      .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .groupByKey { case (_, text) => fingerprint(text) }
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, items, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            items.take(1) // first occurrence in this batch wins
+          }
+      }
+  }
+
   /** Streaming sink helper: run a streaming DataFrame to memory and return
     * the table name (tests / interactive inspection). */
   def toMemorySink(df: DataFrame, name: String, outputMode: OutputMode): Unit = {

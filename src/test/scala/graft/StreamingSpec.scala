@@ -62,4 +62,22 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(rows == Set("very fast ride" -> "positive", "so slow today" -> "negative"))
   }
+
+  test("stateful streaming dedup passes only the first row per fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+    val deduped = Streams.dedupExact(docs.toDF())
+    val q = deduped.toDF("id", "text").writeStream.format("memory")
+      .queryName("stream_dedup").outputMode(OutputMode.Append()).start()
+    input.addData((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+    q.processAllAvailable()
+    input.addData((4L, "HELLO world"), (5L, "fresh text")) // dup across batches
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT id FROM stream_dedup")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids == Set(1L, 3L, 5L)) // 2 deduped in-batch, 4 across batches
+  }
 }
