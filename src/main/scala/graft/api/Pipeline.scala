@@ -218,6 +218,13 @@ object Pipeline {
                   issues += s"step $stepName/$opName: filter schema must declare exactly one bool " +
                     s"(got ${bools.size}) — reference filter.py:59-69"
               }
+              // A later op re-creating a dropped field makes it live again.
+              val written =
+                o.get("outputs").map(_.asOrderedMap.map(_._1).toSet)
+                  .getOrElse(Set.empty) ++
+                  o.get("output").flatMap(_.get("schema"))
+                    .map(_.asOrderedMap.map(_._1).toSet).getOrElse(Set.empty)
+              removed --= written
               removed ++= o.get("drop_keys").map(_.strList.toSet).getOrElse(Set.empty)
             }
           }

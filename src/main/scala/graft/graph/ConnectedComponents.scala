@@ -36,7 +36,7 @@ object ConnectedComponents {
     var labels = vertices.toDF("id").withColumn("component", col("id")).persist()
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    def round(): Unit = {
       // Candidate labels flowing along edges.
       val nbr = undirected
         .join(labels, undirected("src") === labels("id"))
@@ -49,8 +49,15 @@ object ConnectedComponents {
         .filter(col("component") < col("old")).count()
       labels.unpersist()
       labels = next
+    }
+    while (changed > 0 && iter < maxIter) {
+      round()
       iter += 1
     }
+    // A graph that applies its last changes in exactly round maxIter is
+    // CONVERGED — that's only observable with one more (no-change) round, so
+    // give the boundary case a confirmation pass before declaring failure.
+    if (changed > 0) round()
     undirected.unpersist()
     if (changed > 0)
       throw new IllegalStateException(

@@ -100,6 +100,14 @@ object Cached {
   def compare(client: LlmClient, model: String, prompt: String): Boolean =
     complete(client, model, prompt, MockLlmClient.boolSchema)
       .values("is_match").asInstanceOf[Boolean]
+
+  /** Cached logprob confidence — a recomputed partition must see the SAME
+    * confidence or rows can cross a calibrated threshold between two scans
+    * of the same frame (classified into neither or both sides). */
+  def confidence(client: LlmClient, model: String, prompt: String): Double =
+    LlmCache.getOrCompute(s"$model|logprob|$prompt",
+      LlmResponse(Map("confidence" -> client.logprobConfidence(model, prompt)), 0.0))
+      .values("confidence").asInstanceOf[Double]
 }
 
 /** Model-fallback decorator (reference docetl/runner.py:39-88: LiteLLM

@@ -69,9 +69,10 @@ object AgentMap {
           val action = resp.values("action").asInstanceOf[String]
           if (action == "final") done = true
           else {
-            // Unknown tool names fall back to the first tool — a real client
-            // is prompted with the tool list; the deterministic mock is not.
-            val tool = toolsB.getOrElse(action, toolsB.head._2)
+            // Unknown tool names fall back to the alphabetically-first tool
+            // (Map iteration order is hash-order above 4 entries) — a real
+            // client is prompted with the tool list; the mock is not.
+            val tool = toolsB.getOrElse(action, toolsB.minBy(_._1)._2)
             transcript += s"\nOBS:${tool(transcript)}"
             turns += 1
           }

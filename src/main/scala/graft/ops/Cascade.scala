@@ -44,9 +44,9 @@ object CascadeFilter {
     val scored = df.mapPartitions { it =>
       it.map { row =>
         val p = tpl.render(row)
-        val dec = proxy.complete(proxyModel, p, boolSchema)
+        val dec = graft.llm.Cached.complete(proxy, proxyModel, p, boolSchema)
           .values(cfg.decisionKey).asInstanceOf[Boolean]
-        val conf = proxy.logprobConfidence(proxyModel, p)
+        val conf = graft.llm.Cached.confidence(proxy, proxyModel, p)
         Row.fromSeq(row.toSeq :+ dec :+ conf)
       }
     }(Encoders.row(scoredSchema)).persist()
@@ -132,7 +132,7 @@ object CascadeCompare {
       it.map { row =>
         val p = s"${row.getString(iL)}\n###\n${row.getString(iR)}"
         Row.fromSeq(row.toSeq :+ graft.llm.Cached.compare(client, proxyModel, p)
-          :+ client.logprobConfidence(proxyModel, p))
+          :+ graft.llm.Cached.confidence(client, proxyModel, p))
       }
     }(Encoders.row(scoredSchema)).persist()
 

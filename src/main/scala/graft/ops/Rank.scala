@@ -120,6 +120,7 @@ object RankOp {
     val sample = df
       .select(expr(promptExpr).cast("string").as("_p"),
         transform(col(embeddingCol), _.cast("double")).as("_e"))
+      .orderBy(col("_p")) // deterministic anchors regardless of partitioning
       .limit(sampleSize).collect()
     require(sample.nonEmpty, "calibrated rank needs a non-empty sample")
     val ratingSchema = StructType(Seq(StructField("rating", LongType)))

@@ -193,10 +193,16 @@ object LlmRunner {
 
     def oneCall(p: String): Map[String, Any] = {
       val key = s"$model|${schema.simpleString}|$p"
+      // cost counted only on real calls: cache hits are free provider-side
+      def real(): graft.llm.LlmResponse = {
+        callsAcc.add(1)
+        val r = client.complete(model, p, schema)
+        costAcc.add(r.cost)
+        r
+      }
       val resp =
-        if (bypassCache) { callsAcc.add(1); client.complete(model, p, schema) }
-        else LlmCache.getOrCompute(key, { callsAcc.add(1); client.complete(model, p, schema) })
-      costAcc.add(resp.cost)
+        if (bypassCache) real()
+        else LlmCache.getOrCompute(key, real())
       resp.values
     }
 
@@ -236,13 +242,14 @@ object LlmRunner {
   private def oneCall2(
       client: LlmClient, model: String, prompt: String, schema: StructType,
       costAcc: DoubleAccumulator,
-      callsAcc: org.apache.spark.util.LongAccumulator): Map[String, Any] = {
-    val resp = LlmCache.getOrCompute(
-      s"$model|${schema.simpleString}|$prompt",
-      { callsAcc.add(1); client.complete(model, prompt, schema) })
-    costAcc.add(resp.cost)
-    resp.values
-  }
+      callsAcc: org.apache.spark.util.LongAccumulator): Map[String, Any] =
+    LlmCache.getOrCompute(
+      s"$model|${schema.simpleString}|$prompt", {
+        callsAcc.add(1)
+        val r = client.complete(model, prompt, schema)
+        costAcc.add(r.cost)
+        r
+      }).values
 
   /** Coerce a mock/parsed value to the declared Spark type (the analog of the
     * reference's response type-checking, validation.py:184-240). */

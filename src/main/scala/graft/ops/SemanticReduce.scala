@@ -107,6 +107,9 @@ object SemanticReduce {
         val members = cfgB.valueSampleSize match {
           case None => allMembers
           case Some(k) if cfgB.valueSampleMode == "first_n" => allMembers.take(k)
+          case Some(_) if cfgB.valueSampleMode != "random" =>
+            throw new IllegalArgumentException(
+              s"unknown value_sample_mode '${cfgB.valueSampleMode}' (first_n | random)")
           case Some(k) => // "random": seeded stable pick, original order kept
             val keep = allMembers.zipWithIndex
               .sortBy { case (m, i) =>
@@ -125,11 +128,14 @@ object SemanticReduce {
           if (cfgB.enableObservability) promptsUsed += prompt
           lastPrompt = prompt
           val key = s"${cfgB.model}|${outStruct.simpleString}|$prompt"
+          // cost counted only on the real call — cache hits are free, so the
+          // cost accumulator matches actual provider spend under replays
           val resp = graft.llm.LlmCache.getOrCompute(key, {
             callsAcc.add(1)
-            client.complete(cfgB.model, prompt, outStruct)
+            val r = client.complete(cfgB.model, prompt, outStruct)
+            costAcc.add(r.cost)
+            r
           })
-          costAcc.add(resp.cost)
           resp.values
         }
         val initial = cfgB.strategy match {
@@ -161,9 +167,10 @@ object SemanticReduce {
               val verdict = graft.llm.LlmCache.getOrCompute(
                 s"${cfgB.model}|judge|$judgePrompt", {
                   callsAcc.add(1)
-                  client.complete(cfgB.model, judgePrompt, judgeSchema)
+                  val r = client.complete(cfgB.model, judgePrompt, judgeSchema)
+                  costAcc.add(r.cost)
+                  r
                 })
-              costAcc.add(verdict.cost)
               if (verdict.values("should_refine").asInstanceOf[Boolean]) {
                 v = call(s"$lastPrompt\nRefine: ${verdict.values("improvements")}")
                 rounds += 1

@@ -89,7 +89,10 @@ object Streams {
           if (state.exists) Iterator.empty
           else {
             state.update(true)
-            items.take(1) // first occurrence in this batch wins
+            // The group iterator's order after the shuffle is partition
+            // order, not arrival order — pick the min id so the surviving
+            // record is deterministic across runs and parallelism.
+            Iterator.single(items.minBy(_._1))
           }
       }
   }

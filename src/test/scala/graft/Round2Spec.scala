@@ -183,6 +183,20 @@ class ValidateSpec extends SparkSpec {
     assert(issues.exists(_.contains("exactly one bool")))
   }
 
+  test("a field re-created after a drop is live again") {
+    val conf = Conf.fromYaml(
+      """datasets: { docs: { path: /tmp/docs.parquet } }
+        |operations:
+        |  - { name: m, type: code_map, outputs: { a: "1" }, drop_keys: [text] }
+        |  - { name: remake, type: code_map, outputs: { text: "'x'" } }
+        |  - { name: f, type: code_filter, predicate: "length(text) > 3" }
+        |pipeline:
+        |  steps:
+        |    - { name: s1, input: docs, operations: [m, remake, f] }
+        |""".stripMargin)
+    assert(Pipeline.validate(conf).isEmpty)
+  }
+
   test("join-headed steps validate their sides") {
     val conf = Conf.fromYaml(
       """datasets: { l: { path: /tmp/l.parquet } }
