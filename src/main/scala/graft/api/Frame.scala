@@ -97,6 +97,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def explain(): Unit = df.explain("formatted")
   def plan: String = df.queryExecution.toString()
 
+  /** Accumulated dollar cost across all models this JVM has called —
+    * the reference's `df.semantic.total_cost` (pd_accessors.py:397). */
+  def totalCost: Double = graft.llm.TokenTally.summary.values.map(_.cost).sum
+
   // -- execution
   def collect(): Array[org.apache.spark.sql.Row] = df.collect()
   def count(): Long = df.count()
