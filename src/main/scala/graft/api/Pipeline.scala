@@ -98,7 +98,16 @@ object Pipeline {
           val input = step("input").str
           val df0 = datasets.getOrElse(input,
             throw new IllegalArgumentException(s"unknown step input '$input'"))
-          applyOps(df0, hashes(input), step, ctx)
+          // `sample: n` truncates the step input — the optimizer's
+          // run-on-sample hook (reference containers.py:454-455); Catalyst
+          // pushes the limit into the scan.
+          val sampled = step.get("sample").map(n => df0.limit(n.int)).getOrElse(df0)
+          // the truncation participates in the checkpoint key: a sampled
+          // step must never reuse (or poison) a full-run checkpoint
+          val baseHash = step.get("sample")
+            .map(n => CheckpointStore.sha256(hashes(input) + "|sample=" + n.int))
+            .getOrElse(hashes(input))
+          applyOps(sampled, baseHash, step, ctx)
       }
       val persisted = if (step.boolOr("persist", false)) out.persist() else out
       datasets(step("name").str) = persisted

@@ -197,6 +197,24 @@ class ValidateSpec extends SparkSpec {
     assert(Pipeline.validate(conf).isEmpty)
   }
 
+  test("step-level sample truncates the input and forks the checkpoint key") {
+    val dir = java.nio.file.Files.createTempDirectory("stepsample").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    def conf(sample: Option[Int]) = Conf.fromYaml(
+      s"""checkpoint_dir: $dir/ckpt
+         |datasets: { docs: { path: $dir/docs.parquet } }
+         |operations:
+         |  - { name: stats, type: code_map, outputs: { n: "length(text)" } }
+         |pipeline:
+         |  steps:
+         |    - { name: s1, input: docs${sample.map(n => s", sample: $n").getOrElse("")},
+         |        operations: [stats] }
+         |""".stripMargin)
+    assert(Pipeline.run(conf(Some(2)), spark).count() == 2)
+    // the full run must not reuse the sampled run's checkpoint
+    assert(Pipeline.run(conf(None), spark).count() == docsDf.count())
+  }
+
   test("join-headed steps validate their sides") {
     val conf = Conf.fromYaml(
       """datasets: { l: { path: /tmp/l.parquet } }
