@@ -110,6 +110,57 @@ object Cached {
       .values("confidence").asInstanceOf[Double]
 }
 
+/** Timeout + retry decorator (reference map.py:476-477: 120 s LLM call
+  * timeout, 2 retries per timeout; api.py:588 retry loop). Each provider
+  * round-trip runs on a daemon thread and is abandoned at `timeoutMs`;
+  * failures and timeouts retry up to `maxRetries` times with the given
+  * backoff. Wrap INSIDE RateLimitedClient so retries re-acquire permits. */
+final case class RetryingClient(
+    inner: LlmClient,
+    timeoutMs: Long = 120000,
+    maxRetries: Int = 2,
+    backoffMs: Long = 100) extends LlmClient {
+
+  private def withRetry[A](f: => A): A = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt <= maxRetries) {
+      try return withTimeout(f)
+      catch {
+        case e: Exception =>
+          last = e
+          attempt += 1
+          if (attempt <= maxRetries && backoffMs > 0) Thread.sleep(backoffMs * attempt)
+      }
+    }
+    throw last
+  }
+
+  private def withTimeout[A](f: => A): A = {
+    val task = new java.util.concurrent.FutureTask(() => f)
+    val t = new Thread(task, "graft-llm-call")
+    t.setDaemon(true)
+    t.start()
+    try task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case e: java.util.concurrent.TimeoutException =>
+        task.cancel(true)
+        throw new java.util.concurrent.TimeoutException(
+          s"LLM call exceeded ${timeoutMs}ms")
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
+  }
+
+  override def complete(model: String, prompt: String, schema: StructType): LlmResponse =
+    withRetry(inner.complete(model, prompt, schema))
+  override def completeBatch(model: String, prompts: Seq[String], schema: StructType): Seq[LlmResponse] =
+    withRetry(inner.completeBatch(model, prompts, schema))
+  override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] =
+    withRetry(inner.embed(model, texts))
+  override def logprobConfidence(model: String, prompt: String): Double =
+    withRetry(inner.logprobConfidence(model, prompt))
+}
+
 /** Model-fallback decorator (reference docetl/runner.py:39-88: LiteLLM
   * Router `fallbacks` chains): a failed completion for model M retries down
   * `chains(M)` in order before rethrowing the last failure. Embeddings and
@@ -168,9 +219,45 @@ object LlmCache {
   private val map = new java.util.concurrent.ConcurrentHashMap[String, LlmResponse]()
   private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  def get(key: String): Option[LlmResponse] = Option(map.get(key))
+  /** Optional second tier on local disk (the direct analog of the
+    * reference's diskcache directory, cache.py:17-23): survives memory
+    * eviction and executor JVM restarts; per-executor, no coordination.
+    * Best-effort — IO failures fall back to compute. */
+  @volatile private var diskDir: Option[java.nio.file.Path] = None
 
-  def put(key: String, v: LlmResponse): Unit =
+  def enableDisk(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    diskDir = Some(p)
+  }
+  def disableDisk(): Unit = diskDir = None
+
+  private def diskPath(key: String): Option[java.nio.file.Path] = diskDir.map { d =>
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    d.resolve(s"$h.llm")
+  }
+
+  private def diskGet(key: String): Option[LlmResponse] =
+    diskPath(key).filter(java.nio.file.Files.exists(_)).flatMap { p =>
+      try {
+        val in = new java.io.ObjectInputStream(java.nio.file.Files.newInputStream(p))
+        try Some(in.readObject().asInstanceOf[LlmResponse]) finally in.close()
+      } catch { case _: Exception => None }
+    }
+
+  private def diskPut(key: String, v: LlmResponse): Unit =
+    diskPath(key).foreach { p =>
+      try {
+        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+        val out = new java.io.ObjectOutputStream(java.nio.file.Files.newOutputStream(tmp))
+        try out.writeObject(v) finally out.close()
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: Exception => () }
+    }
+
+  private def remember(key: String, v: LlmResponse): Unit =
     if (map.putIfAbsent(key, v) == null) {
       order.add(key)
       while (map.size() > maxEntries) {
@@ -179,21 +266,25 @@ object LlmCache {
       }
     }
 
-  def getOrCompute(key: String, compute: => LlmResponse): LlmResponse = {
-    val hit = map.get(key)
-    if (hit != null) hit
-    else {
+  def get(key: String): Option[LlmResponse] =
+    Option(map.get(key)).orElse {
+      val fromDisk = diskGet(key)
+      fromDisk.foreach(remember(key, _))
+      fromDisk
+    }
+
+  def put(key: String, v: LlmResponse): Unit = {
+    remember(key, v)
+    diskPut(key, v)
+  }
+
+  def getOrCompute(key: String, compute: => LlmResponse): LlmResponse =
+    get(key).getOrElse {
       val v = compute
-      if (map.putIfAbsent(key, v) == null) {
-        order.add(key)
-        while (map.size() > maxEntries) {
-          val evict = order.poll()
-          if (evict != null) map.remove(evict) else return v
-        }
-      }
+      remember(key, v)
+      diskPut(key, v)
       v
     }
-  }
 
   def clear(): Unit = { map.clear(); order.clear() }
 }

@@ -44,10 +44,15 @@ object SemanticReduce {
         * count/lineage columns still reflect the FULL group (sampling only
         * bounds prompt size). */
       valueSampleSize: Option[Int] = None,
-      /** `first_n` (head in orderKey order) or `random` (deterministic
-        * seeded pick — reference value_sampling method "random" with
-        * random_state; members keep their orderKey order). */
+      /** `first_n` (head in orderKey order), `random` (deterministic seeded
+        * pick), `sem_sim` (top-k members by embedding cosine to
+        * `valueSampleQuery` — reference "semantic_similarity"), or
+        * `diverse` (farthest-first over member embeddings — the
+        * cluster-representative analog). Members keep their orderKey order
+        * in every mode. */
       valueSampleMode: String = "first_n",
+      valueSampleQuery: Option[String] = None,
+      valueSampleEmbedModel: String = "mock-embed",
       /** Keep only the n smallest groups (reference reduce.py:301-305
         * `limit`), ties broken by the reduce keys. */
       limitSmallestGroups: Option[Int] = None,
@@ -106,16 +111,9 @@ object SemanticReduce {
         val allMembers = row.getSeq[Row](gSchema.fieldIndex("_members")).map(_.getString(1))
         val members = cfgB.valueSampleSize match {
           case None => allMembers
-          case Some(k) if cfgB.valueSampleMode == "first_n" => allMembers.take(k)
-          case Some(_) if cfgB.valueSampleMode != "random" =>
-            throw new IllegalArgumentException(
-              s"unknown value_sample_mode '${cfgB.valueSampleMode}' (first_n | random)")
-          case Some(k) => // "random": seeded stable pick, original order kept
-            val keep = allMembers.zipWithIndex
-              .sortBy { case (m, i) =>
-                (graft.functions.MinHashSignature.fmix64(m.hashCode.toLong), i) }
-              .take(k).map(_._2).toSet
-            allMembers.zipWithIndex.collect { case (m, i) if keep(i) => m }
+          case Some(k) => ValueSampling(
+            allMembers, k, cfgB.valueSampleMode, cfgB.valueSampleQuery,
+            cfgB.valueSampleEmbedModel, client)
         }
         val n = row.getLong(gSchema.fieldIndex("_n"))
         val promptsUsed = Seq.newBuilder[String]
@@ -196,5 +194,66 @@ object SemanticReduce {
         Row((keyVals ++ ptVals ++ outVals ++ lineageVals ++ obsVals :+ n): _*)
       }
     }(Encoders.row(newSchema))
+  }
+}
+
+/** Within-group member sampling strategies (reference reduce.py:143-161
+  * `value_sampling`: random / first_n / cluster / semantic-similarity).
+  * Every mode preserves the members' original (orderKey) order. */
+private[ops] object ValueSampling {
+
+  def apply(
+      allMembers: Seq[String],
+      k: Int,
+      mode: String,
+      query: Option[String],
+      embedModel: String,
+      client: LlmClient): Seq[String] = mode match {
+    case "first_n" => allMembers.take(k)
+    case "random" => // seeded stable pick
+      keepByIndex(allMembers,
+        allMembers.zipWithIndex
+          .sortBy { case (m, i) =>
+            (graft.functions.MinHashSignature.fmix64(m.hashCode.toLong), i) }
+          .take(k).map(_._2))
+    case "sem_sim" =>
+      val q = query.getOrElse(throw new IllegalArgumentException(
+        "sem_sim value sampling needs value_sample_query"))
+      if (allMembers.size <= k) allMembers
+      else {
+        val embs = client.embed(embedModel, allMembers)
+        val qe = client.embed(embedModel, Seq(q)).head
+        keepByIndex(allMembers,
+          allMembers.indices.sortBy(i => (-cosine(embs(i), qe), i)).take(k))
+      }
+    case "diverse" => // farthest-first representatives
+      if (allMembers.size <= k) allMembers
+      else {
+        val embs = client.embed(embedModel, allMembers)
+        val selected = scala.collection.mutable.ArrayBuffer(0)
+        while (selected.size < k) {
+          val next = allMembers.indices
+            .filterNot(selected.contains)
+            .maxBy(i => (selected.map(s => -cosine(embs(i), embs(s))).max, -i))
+          selected += next
+        }
+        keepByIndex(allMembers, selected.toSeq)
+      }
+    case other => throw new IllegalArgumentException(
+      s"unknown value_sample_mode '$other' (first_n | random | sem_sim | diverse)")
+  }
+
+  private def keepByIndex(members: Seq[String], idx: Seq[Int]): Seq[String] = {
+    val keep = idx.toSet
+    members.zipWithIndex.collect { case (m, i) if keep(i) => m }
+  }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length && i < b.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
   }
 }

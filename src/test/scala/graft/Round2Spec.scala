@@ -477,7 +477,92 @@ class ReduceGleaningSpec extends SparkSpec {
   }
 }
 
+class RetryingClientSpec extends SparkSpec {
+  private class FlakyNTimes(n: Int) extends LlmClient {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def complete(model: String, prompt: String, schema: StructType) = {
+      if (attempts.incrementAndGet() <= n) throw new RuntimeException("transient")
+      graft.llm.LlmResponse(Map("rating" -> 5L), 0.0)
+    }
+    override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] =
+      texts.map(_ => Array.empty[Float])
+  }
+  private val ratingSchema = StructType(Seq(StructField("rating", LongType)))
+
+  test("retries transient failures up to maxRetries") {
+    val flaky = new FlakyNTimes(2)
+    val client = graft.llm.RetryingClient(flaky, maxRetries = 2, backoffMs = 1)
+    assert(client.complete("m", "p", ratingSchema).values("rating") == 5L)
+    assert(flaky.attempts.get() == 3)
+  }
+
+  test("gives up after maxRetries and rethrows") {
+    val flaky = new FlakyNTimes(10)
+    val client = graft.llm.RetryingClient(flaky, maxRetries = 1, backoffMs = 1)
+    intercept[RuntimeException] { client.complete("m", "p", ratingSchema) }
+    assert(flaky.attempts.get() == 2)
+  }
+
+  test("abandons calls that exceed the timeout") {
+    val slow = new LlmClient {
+      override def complete(model: String, prompt: String, schema: StructType) = {
+        Thread.sleep(10000); graft.llm.LlmResponse(Map.empty, 0.0)
+      }
+      override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] = Nil
+    }
+    val client = graft.llm.RetryingClient(slow, timeoutMs = 50, maxRetries = 0)
+    intercept[java.util.concurrent.TimeoutException] {
+      client.complete("m", "p", ratingSchema)
+    }
+  }
+}
+
+class DiskCacheSpec extends SparkSpec {
+  test("disk tier survives a memory clear") {
+    val dir = java.nio.file.Files.createTempDirectory("llmdisk").toString
+    graft.llm.LlmCache.clear()
+    graft.llm.LlmCache.enableDisk(dir)
+    try {
+      val r = graft.llm.LlmResponse(Map("summary" -> "cached!"), 0.01, 10, 5)
+      graft.llm.LlmCache.put("k1", r)
+      graft.llm.LlmCache.clear() // memory gone, disk remains
+      val hit = graft.llm.LlmCache.get("k1")
+      assert(hit.exists(_.values("summary") == "cached!"))
+      assert(hit.exists(_.inputTokens == 10))
+      // getOrCompute must NOT recompute
+      var computed = false
+      graft.llm.LlmCache.clear()
+      val v = graft.llm.LlmCache.getOrCompute("k1", {
+        computed = true; graft.llm.LlmResponse(Map.empty, 0.0)
+      })
+      assert(!computed && v.values("summary") == "cached!")
+    } finally {
+      graft.llm.LlmCache.disableDisk()
+      graft.llm.LlmCache.clear()
+    }
+  }
+}
+
 class ValueSamplingSpec extends SparkSpec {
+
+  test("sem_sim and diverse sampling bound the members deterministically") {
+    import graft.ops.SemanticReduce
+    def run(mode: String, query: Option[String]) =
+      SemanticReduce(docsDf, SemanticReduce.Config(
+        name = "vs2", reduceKeys = Seq("lang"), memberExpr = "text",
+        orderKey = "doc_id", outputSchema = Seq("summary" -> "str"),
+        valueSampleSize = Some(2), valueSampleMode = mode,
+        valueSampleQuery = query), MockLlmClient())
+        .orderBy("lang").collect().toSeq
+    val s1 = run("sem_sim", Some("spark join"))
+    assert(s1 == run("sem_sim", Some("spark join"))) // deterministic
+    val en = s1.find(_.getString(0) == "en").get
+    assert(en.getString(en.fieldIndex("summary")).startsWith("docs=2 "))
+    val d1 = run("diverse", None)
+    assert(d1 == run("diverse", None))
+    intercept[org.apache.spark.SparkException] { run("sem_sim", None) } // needs query
+    intercept[org.apache.spark.SparkException] { run("typo", None) }
+  }
 
   test("random value sampling is deterministic and bounds the prompt, not the counts") {
     val cfg = SemanticReduce.Config(
