@@ -15,6 +15,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE skew-join splitting: semantic pipelines group/join on content-
+      // derived keys (fingerprints, blocking buckets, LSH bands) whose
+      // distribution is data-dependent — skew is the norm, not the edge case.
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def getOrCreate(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
