@@ -79,11 +79,20 @@ object ClusterOp {
       model: String = "mock",
       outputKey: String = "clusters",
       maxSummaryMembers: Int = 10,
-      seed: Long = 42): DataFrame = {
+      seed: Long = 42,
+      /** Collapse near-degenerate levels (reference cluster.py `collapse`
+        * by relative distance): an internal node whose own split is at
+        * least `ratio` x its parent's split distance adds little hierarchy
+        * — its summary is dropped from every row's path (root and leaves
+        * always stay). */
+      collapse: Option[Double] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(depth >= 1, "depth must be >= 1")
 
+    // splitDist(path) = distance between the two child centroids of the
+    // k=2 split performed AT that node.
+    val splitDist = scala.collection.mutable.Map[String, Double]()
     var assigned = df
       .withColumn("_graft_vec", array_to_vector(transform(col(embeddingCol), _.cast("double"))))
       .withColumn("_graft_path", lit(""))
@@ -98,6 +107,9 @@ object ClusterOp {
         else {
           val km = new KMeans().setK(2).setSeed(seed + level)
             .setFeaturesCol("_graft_vec").fit(part)
+          val Array(c0, c1) = km.clusterCenters.map(_.toArray)
+          splitDist(p) = math.sqrt(c0.zip(c1).map { case (a, b) =>
+            (a - b) * (a - b) }.sum)
           km.transform(part)
             .withColumn("_graft_path",
               concat(col("_graft_path"), lit("/"), col("prediction")))
@@ -106,6 +118,17 @@ object ClusterOp {
       }.reduce(_ unionByName _).persist()
       assigned.unpersist()
       assigned = next
+    }
+    // Collapsed internal nodes: split nearly as wide as the parent's.
+    val collapsed: Set[String] = collapse match {
+      case None => Set.empty
+      case Some(ratio) =>
+        splitDist.keySet.filter { p =>
+          p.nonEmpty && {
+            val parent = p.substring(0, p.lastIndexOf('/'))
+            splitDist.get(parent).exists(pd => pd > 0 && splitDist(p) >= ratio * pd)
+          }
+        }.toSet
     }
 
     // Bottom-up summaries: leaves from member samples, ancestors from
@@ -136,12 +159,15 @@ object ClusterOp {
     })
     leafSamples.keys.foreach(summarize)
     summarize("") // root
-    // Per-leaf path-of-summaries arrays, broadcast back as a literal map.
+    // Per-leaf path-of-summaries arrays, broadcast back as a literal map;
+    // collapsed internal nodes drop out of the path (root + leaf kept).
     val pathArrays = leafSamples.keys.map { leaf =>
       val segs = leaf.split('/').filter(_.nonEmpty)
       val ancestors = (0 to segs.length).map(i =>
         segs.take(i).map("/" + _).mkString)
-      leaf -> ancestors.map(summaries)
+      val kept = ancestors.filter(a =>
+        a == "" || a == leaf || !collapsed.contains(a))
+      leaf -> kept.map(summaries)
     }.toMap
     val pathMap = typedLit(pathArrays)
     assigned

@@ -106,6 +106,19 @@ class HierarchicalClusterSpec extends SparkSpec {
     assert(out.select(element_at(col("clusters"), 3)).distinct().count() == 4)
     // all rows share the root summary
     assert(out.select(element_at(col("clusters"), 1)).distinct().count() == 1)
+
+    // collapse: level-2 corner splits are about as wide as the level-1
+    // split, so ratio 0.9 collapses the intermediate node for at least one
+    // branch (which branches depends on the k=2 split shape); paths shrink
+    // to 2 entries (root + leaf) there and never below
+    val collapsed = ClusterOp.hierarchical(d, "e", "repeat('x', cast(id as int))",
+      depth = 2, client, collapse = Some(0.9))
+    assert(collapsed.filter(size(col("clusters")) === 2).count() > 0)
+    assert(collapsed.filter(size(col("clusters")) < 2 || size(col("clusters")) > 3).count() == 0)
+    // ...while an unreachable ratio keeps the full hierarchy everywhere
+    val kept = ClusterOp.hierarchical(d, "e", "repeat('x', cast(id as int))",
+      depth = 2, client, collapse = Some(5.0))
+    assert(kept.filter(size(col("clusters")) === 3).count() == 40)
   }
 }
 
