@@ -47,6 +47,12 @@ object Template {
     case seg :: rest => value match {
       case null => null
       case r: Row => descend(r.get(r.schema.fieldIndex(seg)), rest)
+      case s: Seq[_] if seg.nonEmpty && seg.forall(_.isDigit) =>
+        // numeric segments index into arrays ("a.0.b" — reference
+        // lookup_field, validation.py:15); out of range -> null (lenient,
+        // like dict.get-chains in the reference)
+        val i = seg.toInt
+        if (i < s.length) descend(s(i), rest) else null
       case other =>
         throw new IllegalArgumentException(s"Cannot descend into $other with .$seg")
     }

@@ -54,6 +54,12 @@ class TemplateSpec extends AnyFunSuite {
   test("referencedFields") {
     assert(Template.referencedFields("{{ input.a }} {{ input.n.b }}") == Seq("a", "n"))
   }
+  test("numeric path segments index into arrays (reference lookup_field)") {
+    val s = StructType(Seq(StructField("xs", ArrayType(StringType))))
+    val row = Row(Seq("p", "q"))
+    assert(Template("{{ input.xs.1 }}", s).render(row) == "q")
+    assert(Template("{{ input.xs.9 }}", s).render(row) == "") // out of range -> empty
+  }
 }
 
 class MockLlmClientSpec extends AnyFunSuite {
