@@ -69,10 +69,20 @@ object Rewrites {
       .map(_.toLowerCase).filterNot(SqlKeywords).toSet
 
   private def isPushableFilter(op: Conf): Boolean =
-    op("type").str == "code_filter" && op.get("limit").isEmpty
+    (op("type").str == "code_filter" || op("type").str == "filter") &&
+      op.get("limit").isEmpty
 
   private def isPushableLimit(op: Conf): Boolean =
     op("type").str == "limit"
+
+  /** Fields a filter op reads: the SQL predicate's identifiers for
+    * code_filter, the prompt template's referenced fields for a semantic
+    * filter (reference rewrite.py pushes both, :95-139). */
+  private def filterReads(op: Conf): Set[String] = op("type").str match {
+    case "code_filter" => referencedIdentifiers(op("predicate").str)
+    case _ => graft.llm.Template.referencedFields(op.strOr("prompt", ""))
+      .map(_.toLowerCase).toSet
+  }
 
   /** One pass: push each pushable op one hop left when legal. */
   private def pass(ops: Seq[Conf]): (Seq[Conf], Boolean) = {
@@ -85,9 +95,8 @@ object Rewrites {
       val t = traitsOf(prev)
       val legal =
         if (isPushableFilter(cur)) {
-          val reads = referencedIdentifiers(cur("predicate").str)
           t.oneToOne && t.rowLocal &&
-            t.fieldsWritten.map(_.toLowerCase).intersect(reads).isEmpty
+            t.fieldsWritten.map(_.toLowerCase).intersect(filterReads(cur)).isEmpty
         } else if (isPushableLimit(cur)) {
           t.oneToOne && t.rowLocal && t.preservesOrder
         } else false

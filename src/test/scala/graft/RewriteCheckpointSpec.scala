@@ -21,6 +21,18 @@ class RewritesSpec extends SparkSpec {
       op("""{ name: f, type: code_filter, predicate: "sentiment = 'positive'" }"""))
     assert(Rewrites(ops).map(_("name").str) == Seq("m", "f"))
   }
+  test("semantic filter hops an LLM map when its prompt fields are disjoint") {
+    val ops = Seq(
+      op("""{ name: m, type: map, prompt: "{{ input.text }}", output: { schema: { sentiment: str } } }"""),
+      op("""{ name: f, type: filter, prompt: "{{ input.doc_id }}", output: { schema: { keep: bool } } }"""))
+    assert(Rewrites(ops).map(_("name").str) == Seq("f", "m"))
+  }
+  test("semantic filter reading the map's output stays put") {
+    val ops = Seq(
+      op("""{ name: m, type: map, prompt: "p", output: { schema: { sentiment: str } } }"""),
+      op("""{ name: f, type: filter, prompt: "{{ input.sentiment }}", output: { schema: { keep: bool } } }"""))
+    assert(Rewrites(ops).map(_("name").str) == Seq("m", "f"))
+  }
   test("no pushdown past non-LLM ops (nothing to save)") {
     val ops = Seq(
       op("""{ name: c, type: code_map, outputs: { n: "1" } }"""),
