@@ -79,9 +79,9 @@ object Pipeline {
         case Some(j) =>
           val left = datasets(j("left").str)
           val right = datasets(j("right").str)
-          val joined = EquijoinOp(left, right, EquijoinOp.Config(
+          val jCfg = EquijoinOp.Config(
             name = step("name").str,
-            condition = j("condition").str,
+            condition = j.strOr("condition", "true"),
             compareExprLeft = j.strOr("compare_left", ""),
             compareExprRight = j.strOr("compare_right", ""),
             llmVerify = j.boolOr("llm_verify", false),
@@ -90,7 +90,29 @@ object Pipeline {
             limitRight = j.get("limit_right").map(_.int),
             leftIdKey = j.strOr("left_id", ""),
             rightIdKey = j.strOr("right_id", ""),
-            limitComparisons = j.get("limit_comparisons").map(_.int)), client)
+            limitComparisons = j.get("limit_comparisons").map(_.int),
+            cascade = j.get("cascade").map(c => graft.ops.CascadeCompare.Config(
+              proxyModel = c.strOr("proxy_model", "proxy"),
+              oracleModel = c.strOr("oracle_model", "oracle"),
+              targetPrecision = c.dblOr("target_precision", 0.9),
+              calibrationSize = c.intOr("calibration_size", 100))))
+          // `blocking: { method: embedding, ... }` switches candidate
+          // generation to hyperplane-LSH cosine blocking; without a fixed
+          // `threshold` the recall-targeted runtime calibration fits one.
+          val joined = j.get("blocking") match {
+            case Some(b) if b.strOr("method", "") == "embedding" =>
+              val (lEmb, rEmb, dim) = (b("left_emb").str, b("right_emb").str, b("dim").int)
+              b.get("threshold") match {
+                case Some(t) => EquijoinOp.withEmbeddingBlocking(
+                  left, right, jCfg, lEmb, rEmb, dim, t.dbl, client,
+                  b.intOr("num_planes", 8))
+                case None => EquijoinOp.withAutoEmbeddingBlocking(
+                  left, right, jCfg, lEmb, rEmb, dim, client,
+                  b.dblOr("target_recall", 0.95), b.intOr("sample_size", 100),
+                  b.intOr("num_planes", 8))._1
+              }
+            case _ => EquijoinOp(left, right, jCfg, client)
+          }
           val baseHash = CheckpointStore.rollingHash(
             hashes(j("left").str) + "+" + hashes(j("right").str), j)
           applyOps(joined, baseHash, step, ctx)

@@ -135,6 +135,40 @@ class LazyFrameSpec extends SparkSpec {
   }
 }
 
+class PipelineJoinBlockingSpec extends SparkSpec {
+  test("YAML join with embedding blocking + cascade runs end to end") {
+    val dir = java.nio.file.Files.createTempDirectory("joinblk").toString
+    val emb = ArrayType(FloatType)
+    val l = df(StructType(Seq(StructField("lid", LongType), StructField("lk", LongType),
+      StructField("le", emb))),
+      (1L to 8L).map(i => Row(i, i % 2, Seq((if (i % 2 == 0) 1.0f else -1.0f), 0.2f))): _*)
+    val r = df(StructType(Seq(StructField("rid", LongType), StructField("rk", LongType),
+      StructField("re", emb))),
+      (0L to 1L).map(i => Row(i + 100, i, Seq((if (i == 0) 1.0f else -1.0f), 0.2f))): _*)
+    l.write.mode("overwrite").parquet(s"$dir/l.parquet")
+    r.write.mode("overwrite").parquet(s"$dir/r.parquet")
+    val out = Pipeline.runYaml(
+      s"""datasets:
+         |  l: { path: $dir/l.parquet }
+         |  r: { path: $dir/r.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: j
+         |      join:
+         |        left: l
+         |        right: r
+         |        condition: "lk = rk"
+         |        compare_left: "cast(lk as string)"
+         |        compare_right: "cast(rk as string)"
+         |        llm_verify: true
+         |        cascade: { calibration_size: 4 }
+         |        blocking: { method: embedding, left_emb: le, right_emb: re,
+         |                    dim: 2, threshold: 0.9 }
+         |""".stripMargin, spark)
+    assert(out.count() == 8) // every left row matches its rk partner
+  }
+}
+
 class ValidateSpec extends SparkSpec {
 
   test("clean pipeline yields no issues") {
