@@ -159,8 +159,13 @@ object Registry {
   }
   register("extract") { (df, c, ctx) =>
     c.strOr("extraction_method", "regex") match {
-      case "regex" => ExtractOp.regex(df, c("name").str, c("document_key").str,
-        c("pattern").str, c.boolOr("format_extraction", true))
+      case "regex" =>
+        // document_keys (list) or document_key (single) — reference
+        // extract.py takes a list.
+        val keys = c.get("document_keys").map(_.strList)
+          .getOrElse(Seq(c("document_key").str))
+        ExtractOp.regexMulti(df, c("name").str, keys,
+          c("pattern").str, c.boolOr("format_extraction", true))
       case "line_number" => ExtractOp.lineNumber(df, c("name").str, c("document_key").str,
         c("prompt").str, ctx.client, c.strOr("model", "mock"))
       case m => throw new IllegalArgumentException(s"unknown extraction method $m")

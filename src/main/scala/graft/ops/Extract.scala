@@ -29,6 +29,18 @@ object ExtractOp {
     df.withColumn(outKey, value)
   }
 
+  /** Multi-key regex extraction (reference `document_keys` is a LIST,
+    * extract.py:45-56: each key gets its own `{key}{suffix}` column). */
+  def regexMulti(
+      df: DataFrame,
+      name: String,
+      documentKeys: Seq[String],
+      pattern: String,
+      formatExtraction: Boolean = true,
+      suffix: Option[String] = None): DataFrame =
+    documentKeys.foldLeft(df)((d, k) =>
+      regex(d, name, k, pattern, formatExtraction, suffix))
+
   /** Line-number extraction path: text is re-wrapped to `width` columns, the
     * LLM is prompted with the numbered lines and returns ranges "a-b"; the
     * ranges resolve to literal substrings (extract.py line_number method). */
