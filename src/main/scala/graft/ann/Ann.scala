@@ -52,7 +52,7 @@ object Ann {
       struct(VectorFunctions.euclideanToConst(col(embCol), ctr).as("d"),
         lit(i).as("cell"))
     }
-    corpus.withColumn("_cell", least(dists: _*).getField("cell"))
+    corpus.withColumn("_cell", least(dists.toIndexedSeq: _*).getField("cell"))
   }
 
   /** Train `nCentroids` k-means centroids on a SAMPLE of the corpus,

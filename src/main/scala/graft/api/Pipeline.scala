@@ -141,7 +141,38 @@ object Pipeline {
     val result = last.getOrElse(
       throw new IllegalArgumentException("pipeline has no steps"))
     conf("pipeline").get("output").foreach { o =>
-      write(result, o("path").str, o.strOr("mode", "overwrite"))
+      (o.get("table"), o.get("path")) match {
+        case (Some(tbl), _) =>
+          // Managed-table sink with optional bucketing: bucketed tables
+          // co-locate join keys so later equi-joins/aggs on the bucket
+          // columns skip the shuffle entirely (SCALE.md; at 100 TB this is
+          // the difference between a map-side join and a full exchange).
+          val w0 = result.write.mode(o.strOr("mode", "overwrite"))
+            .format(o.strOr("format", "parquet"))
+          val w1 = o.get("bucket_by") match {
+            case Some(cols) =>
+              val bs = cols.strList
+              w0.bucketBy(o.intOr("num_buckets", 32), bs.head, bs.tail: _*)
+                .sortBy(bs.head, bs.tail: _*)
+            case None => w0
+          }
+          w1.saveAsTable(tbl.str)
+        case (None, Some(p)) =>
+          // Path sink with optional hive-style partitioning: partition
+          // pruning on the listed columns is free for every later reader.
+          o.get("partition_by") match {
+            case Some(cols) =>
+              result.write.mode(o.strOr("mode", "overwrite"))
+                .partitionBy(cols.strList: _*)
+                .format(ext(p.str) match {
+                  case "json" => "json"; case "csv" => "csv"; case _ => "parquet"
+                })
+                .save(p.str)
+            case None => write(result, p.str, o.strOr("mode", "overwrite"))
+          }
+        case (None, None) =>
+          throw new IllegalArgumentException("output needs `path` or `table`")
+      }
     }
     (result, stepOutputs.toSeq)
   }

@@ -24,7 +24,7 @@ object VectorFunctions {
   def euclidean(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
 
-  private def constArray(v: Array[Double]): Column = array(v.map(lit): _*)
+  private def constArray(v: Array[Double]): Column = array(v.toIndexedSeq.map(lit): _*)
 
   /** Cosine similarity to a constant query vector (broadcast as a literal —
     * zero shuffle, evaluated inside codegen'd projection). */

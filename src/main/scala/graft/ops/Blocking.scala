@@ -33,7 +33,7 @@ object Blocking {
     val planes = Array.fill(numPlanes, dim)(rng.nextGaussian())
     val sketch = planes.zipWithIndex.map { case (p, i) =>
       when(graft.functions.VectorFunctions.dot(
-        col(embCol), array(p.map(lit): _*)) > 0, 1L).otherwise(0L) * (1L << i)
+        col(embCol), array(p.toIndexedSeq.map(lit): _*)) > 0, 1L).otherwise(0L) * (1L << i)
     }.reduce(_ + _)
     val docs = df.select(col(idCol).as("_id"), col(embCol).as("_e"), sketch.as("_b"))
     val l = docs.select(col("_b"), col("_id").as("id_a"), col("_e").as("_ea"))

@@ -63,7 +63,7 @@ object CascadeFilter {
         .values(cfg.decisionKey).asInstanceOf[Boolean]
       (row.getBoolean(tplIdx), row.getDouble(confIdx), truth)
     }
-    val threshold = calibrate(labeled, cfg.targetRecall)
+    val threshold = calibrate(labeled.toSeq, cfg.targetRecall)
 
     // Pass 2: confident rows keep the proxy verdict; the rest escalate.
     val confident = scored.filter(col("_graft_conf") >= threshold)

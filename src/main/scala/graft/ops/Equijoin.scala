@@ -139,7 +139,7 @@ object EquijoinOp {
     val planes = Array.fill(numPlanes, dim)(rng.nextGaussian())
     def sketch(embCol: String) = planes.zipWithIndex.map { case (p, i) =>
       when(graft.functions.VectorFunctions.dot(
-        col(embCol), array(p.map(lit): _*)) > 0, 1L).otherwise(0L) * (1L << i)
+        col(embCol), array(p.toIndexedSeq.map(lit): _*)) > 0, 1L).otherwise(0L) * (1L << i)
     }.reduce(_ + _)
     val l = left.select(sketch(leftEmbCol).as("_bkt"),
       col(leftEmbCol).as("_le"), expr(cfg.compareExprLeft).cast("string").as("_lr"))
@@ -180,7 +180,7 @@ object EquijoinOp {
     val planes = Array.fill(numPlanes, dim)(rng.nextGaussian())
     def sketch(embCol: String) = planes.zipWithIndex.map { case (p, i) =>
       when(graft.functions.VectorFunctions.dot(
-        col(embCol), array(p.map(lit): _*)) > 0, 1L).otherwise(0L) * (1L << i)
+        col(embCol), array(p.toIndexedSeq.map(lit): _*)) > 0, 1L).otherwise(0L) * (1L << i)
     }.reduce(_ + _)
     val l = left.withColumn("_graft_bkt", sketch(leftEmbCol))
     val r = right.withColumn("_graft_bkt", sketch(rightEmbCol))

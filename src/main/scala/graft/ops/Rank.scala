@@ -31,7 +31,7 @@ object RankOp {
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column]): DataFrame = {
     val sorted = df.orderBy(sortCols: _*)
     val schema = sorted.schema.add(StructField("_rank", LongType))
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ (i + 1L))
     }
     df.sparkSession.createDataFrame(rdd, schema)
@@ -131,7 +131,7 @@ object RankOp {
     }
     val embD = transform(col(embeddingCol), _.cast("double"))
     val sims = anchors.map { case (vec, _) =>
-      graft.functions.CosineSimilarity(embD, array(vec.map(lit): _*))
+      graft.functions.CosineSimilarity(embD, array(vec.toIndexedSeq.map(lit): _*))
     }
     val weighted = anchors.zip(sims).map { case ((_, r), s) => s * lit(r) }
       .reduce(_ + _)

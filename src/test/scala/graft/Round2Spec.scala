@@ -169,6 +169,63 @@ class PipelineJoinBlockingSpec extends SparkSpec {
   }
 }
 
+class SinkSpec extends SparkSpec {
+  test("partitioned path sink prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    docsDf.createOrReplaceTempView("sink_docs")
+    Pipeline.runYaml(
+      s"""datasets: { docs: { path: $dir/in.parquet } }
+         |operations:
+         |  - { name: keep, type: code_filter, predicate: "true" }
+         |pipeline:
+         |  steps:
+         |    - { name: s1, input: docs, operations: [keep] }
+         |  output: { path: $dir/out.parquet, partition_by: [lang] }
+         |""".stripMargin.replace(s"$dir/in.parquet", writeDocs(dir)), spark)
+    val back = spark.read.parquet(s"$dir/out.parquet").filter(col("lang") === "de")
+    assert(back.count() == 1)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("lang#"))
+  }
+
+  test("bucketed table sink co-locates joins: no shuffle on the bucket key") {
+    // DROP alone misses stale warehouse dirs from previous JVMs (the derby
+    // metastore does not survive the fork, the directory does)
+    Seq("graft_bkt_a", "graft_bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("bkt").toString
+    def sink(table: String) = Pipeline.runYaml(
+      s"""datasets: { docs: { path: ${writeDocs(dir)} } }
+         |operations:
+         |  - { name: keep, type: code_filter, predicate: "true" }
+         |pipeline:
+         |  steps:
+         |    - { name: s1, input: docs, operations: [keep] }
+         |  output: { table: $table, bucket_by: [doc_id], num_buckets: 4 }
+         |""".stripMargin, spark)
+    sink("graft_bkt_a")
+    sink("graft_bkt_b")
+    val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "doc_id")
+    assert(joined.count() == docsDf.count())
+    // both sides bucketed on the join key -> no Exchange in the plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"))
+  }
+
+  private def writeDocs(dir: String): String = {
+    val p = s"$dir/docs.parquet"
+    docsDf.write.mode("overwrite").parquet(p)
+    p
+  }
+}
+
 class ValidateSpec extends SparkSpec {
 
   test("clean pipeline yields no issues") {
