@@ -62,7 +62,10 @@ object SemanticReduce {
       enableObservability: Boolean = false,
       /** Judge-prompt refinement loop over the group result (reference
         * reduce ops share the map gleaning config, api.py:365-460). */
-      gleaning: Option[GleaningConfig] = None)
+      gleaning: Option[GleaningConfig] = None,
+      /** Drop a GROUP whose LLM call fails instead of failing the query
+        * (reference base.py skip_on_error). */
+      skipOnError: Boolean = false)
 
   def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
     val outStruct = SchemaTypes.toStruct(cfg.outputSchema)
@@ -107,7 +110,7 @@ object SemanticReduce {
     val gSchema = grouped.schema
 
     grouped.mapPartitions { it =>
-      it.map { row =>
+      def reduceGroup(row: Row): Row = {
         val allMembers = row.getSeq[Row](gSchema.fieldIndex("_members")).map(_.getString(1))
         val members = cfgB.valueSampleSize match {
           case None => allMembers
@@ -192,6 +195,11 @@ object SemanticReduce {
           if (cfgB.enableObservability) Seq(promptsUsed.result().mkString("\n=====\n"))
           else Seq.empty[Any]
         Row((keyVals ++ ptVals ++ outVals ++ lineageVals ++ obsVals :+ n): _*)
+      }
+      it.flatMap { row =>
+        try Iterator.single(reduceGroup(row)) catch {
+          case _: Exception if cfgB.skipOnError => Iterator.empty
+        }
       }
     }(Encoders.row(newSchema))
   }

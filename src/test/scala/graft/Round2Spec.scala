@@ -634,6 +634,31 @@ class DiskCacheSpec extends SparkSpec {
   }
 }
 
+class ReduceSkipOnErrorSpec extends SparkSpec {
+  test("a failing group is dropped when skipOnError is set, kept groups survive") {
+    val failDe = new LlmClient {
+      private val inner = MockLlmClient()
+      override def complete(model: String, prompt: String, schema: StructType) = {
+        if (prompt.contains("der die und das")) throw new RuntimeException("boom")
+        inner.complete(model, prompt, schema)
+      }
+      override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] =
+        inner.embed(model, texts)
+    }
+    def cfg(skip: Boolean) = SemanticReduce.Config(
+      name = "se", reduceKeys = Seq("lang"), memberExpr = "text",
+      orderKey = "doc_id", outputSchema = Seq("summary" -> "str"),
+      skipOnError = skip)
+    graft.llm.LlmCache.clear()
+    val out = SemanticReduce(docsDf, cfg(skip = true), failDe).collect()
+    assert(out.map(_.getString(0)).toSet == Set("en")) // de group dropped
+    graft.llm.LlmCache.clear()
+    intercept[org.apache.spark.SparkException] {
+      SemanticReduce(docsDf, cfg(skip = false), failDe).collect()
+    }
+  }
+}
+
 class ValueSamplingSpec extends SparkSpec {
 
   test("sem_sim and diverse sampling bound the members deterministically") {
