@@ -79,9 +79,18 @@ object Pipeline {
         case Some(j) =>
           val left = datasets(j("left").str)
           val right = datasets(j("right").str)
+          val hasEmbBlocking =
+            j.get("blocking").exists(_.strOr("method", "") == "embedding")
+          // Without embedding blocking a missing condition would silently
+          // cross-join — the all-pairs stage SCALE.md forbids. Fail loudly.
+          val condition = j.get("condition").map(_.str).getOrElse {
+            if (hasEmbBlocking) "true"
+            else throw new IllegalArgumentException(
+              s"join step '${step("name").str}' needs `condition` (or embedding blocking)")
+          }
           val jCfg = EquijoinOp.Config(
             name = step("name").str,
-            condition = j.strOr("condition", "true"),
+            condition = condition,
             compareExprLeft = j.strOr("compare_left", ""),
             compareExprRight = j.strOr("compare_right", ""),
             llmVerify = j.boolOr("llm_verify", false),
@@ -99,22 +108,34 @@ object Pipeline {
           // `blocking: { method: embedding, ... }` switches candidate
           // generation to hyperplane-LSH cosine blocking; without a fixed
           // `threshold` the recall-targeted runtime calibration fits one.
-          val joined = j.get("blocking") match {
-            case Some(b) if b.strOr("method", "") == "embedding" =>
-              val (lEmb, rEmb, dim) = (b("left_emb").str, b("right_emb").str, b("dim").int)
-              b.get("threshold") match {
-                case Some(t) => EquijoinOp.withEmbeddingBlocking(
-                  left, right, jCfg, lEmb, rEmb, dim, t.dbl, client,
-                  b.intOr("num_planes", 8))
-                case None => EquijoinOp.withAutoEmbeddingBlocking(
-                  left, right, jCfg, lEmb, rEmb, dim, client,
-                  b.dblOr("target_recall", 0.95), b.intOr("sample_size", 100),
-                  b.intOr("num_planes", 8))._1
-              }
-            case _ => EquijoinOp(left, right, jCfg, client)
+          val joinedBase = j.get("blocking") match {
+            case Some(b) => b.strOr("method", "") match {
+              case "embedding" =>
+                val (lEmb, rEmb, dim) = (b("left_emb").str, b("right_emb").str, b("dim").int)
+                b.get("threshold") match {
+                  case Some(t) => EquijoinOp.withEmbeddingBlocking(
+                    left, right, jCfg, lEmb, rEmb, dim, t.dbl, client,
+                    b.intOr("num_planes", 8))
+                  case None => EquijoinOp.withAutoEmbeddingBlocking(
+                    left, right, jCfg, lEmb, rEmb, dim, client,
+                    b.dblOr("target_recall", 0.95), b.intOr("sample_size", 100),
+                    b.intOr("num_planes", 8))._1
+                }
+              case other => throw new IllegalArgumentException(
+                s"unknown join blocking method '$other' (embedding)")
+            }
+            case None => EquijoinOp(left, right, jCfg, client)
           }
-          val baseHash = CheckpointStore.rollingHash(
+          // Step-level `sample:` applies to join-headed steps too (the
+          // joined result truncates before the op chain).
+          val joined = step.get("sample").map(n => joinedBase.limit(n.int))
+            .getOrElse(joinedBase)
+          val joinHash = CheckpointStore.rollingHash(
             hashes(j("left").str) + "+" + hashes(j("right").str), j)
+          // sample participates in the checkpoint key (see input-headed case)
+          val baseHash = step.get("sample")
+            .map(n => CheckpointStore.sha256(joinHash + "|sample=" + n.int))
+            .getOrElse(joinHash)
           applyOps(joined, baseHash, step, ctx)
         case None =>
           val input = step("input").str
@@ -162,12 +183,15 @@ object Pipeline {
           // pruning on the listed columns is free for every later reader.
           o.get("partition_by") match {
             case Some(cols) =>
-              result.write.mode(o.strOr("mode", "overwrite"))
+              val w = result.write.mode(o.strOr("mode", "overwrite"))
                 .partitionBy(cols.strList: _*)
-                .format(ext(p.str) match {
-                  case "json" => "json"; case "csv" => "csv"; case _ => "parquet"
-                })
-                .save(p.str)
+              ext(p.str) match {
+                case "json"    => w.json(p.str)
+                case "csv"     => w.option("header", "true").csv(p.str)
+                case "parquet" => w.parquet(p.str)
+                case e => throw new IllegalArgumentException(
+                  s"unsupported output extension .$e (${p.str})")
+              }
             case None => write(result, p.str, o.strOr("mode", "overwrite"))
           }
         case (None, None) =>

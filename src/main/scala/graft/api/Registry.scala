@@ -84,8 +84,13 @@ object Registry {
       lineage = c.boolOr("lineage", false),
       valueSampleSize = c.get("value_sample_size").map(_.int),
       valueSampleMode = c.strOr("value_sample_mode", "first_n"),
+      valueSampleQuery = c.get("value_sample_query").map(_.str),
+      valueSampleEmbedModel = c.strOr("value_sample_embed_model", "mock-embed"),
       limitSmallestGroups = c.get("limit").map(_.int),
-      enableObservability = c.boolOr("enable_observability", false)), ctx.client)
+      enableObservability = c.boolOr("enable_observability", false),
+      gleaning = c.get("gleaning").map(g => GleaningConfig(
+        g("validation_prompt").str, g.intOr("num_rounds", 2))),
+      skipOnError = c.boolOr("skip_on_error", false)), ctx.client)
   }
   register("resolve") { (df, c, ctx) =>
     ResolveOp(df, ResolveOp.Config(

@@ -25,29 +25,39 @@ object Rewrites {
       rowLocal: Boolean,
       preservesOrder: Boolean,
       isLlm: Boolean,
-      fieldsWritten: Set[String])
+      fieldsWritten: Set[String],
+      fieldsRead: Set[String] = Set.empty)
 
   def traitsOf(op: Conf): Traits = {
     val tpe = op("type").str
     def outKeys(c: Conf): Set[String] =
       c.get("output").flatMap(_.get("schema")).map(_.asOrderedMap.map(_._1).toSet)
         .getOrElse(Set.empty)
+    def promptReads(c: Conf): Set[String] =
+      graft.llm.Template.referencedFields(c.strOr("prompt", ""))
+        .map(_.toLowerCase).toSet
     val base = tpe match {
       case "code_map" => Traits(oneToOne = true, rowLocal = true, preservesOrder = true,
         isLlm = false,
-        op.get("outputs").map(_.asOrderedMap.map(_._1).toSet).getOrElse(Set.empty))
+        op.get("outputs").map(_.asOrderedMap.map(_._1).toSet).getOrElse(Set.empty),
+        op.get("outputs").map(_.asOrderedMap
+          .flatMap(kv => referencedIdentifiers(kv._2.str)).toSet).getOrElse(Set.empty))
       case "map" => Traits(oneToOne = true, rowLocal = true, preservesOrder = true,
-        isLlm = true, outKeys(op))
+        isLlm = true, outKeys(op), promptReads(op))
       case "parallel_map" => Traits(oneToOne = true, rowLocal = true, preservesOrder = true,
         isLlm = true,
         op.get("prompts").map(_.asList.flatMap(p =>
-          p("schema").asOrderedMap.map(_._1)).toSet).getOrElse(Set.empty))
+          p("schema").asOrderedMap.map(_._1)).toSet).getOrElse(Set.empty),
+        op.get("prompts").map(_.asList.flatMap(p =>
+          graft.llm.Template.referencedFields(p.strOr("prompt", ""))
+            .map(_.toLowerCase)).toSet).getOrElse(Set.empty))
       case "add_uuid" => Traits(oneToOne = true, rowLocal = true, preservesOrder = true,
         isLlm = false,
         Set(op.get("id_key").map(_.str).getOrElse(op.strOr("name", "") + "_id")))
       case "extract" => Traits(oneToOne = true, rowLocal = true, preservesOrder = true,
         isLlm = op.strOr("extraction_method", "regex") == "line_number",
-        Set.empty) // written key is derived; treated as fresh (never read upstream)
+        Set.empty, // written key is derived; treated as fresh (never read upstream)
+        op.get("document_key").map(k => Set(k.str.toLowerCase)).getOrElse(Set.empty))
       case _ => Traits(oneToOne = false, rowLocal = false, preservesOrder = false,
         isLlm = tpe == "filter" || tpe == "reduce" || tpe == "resolve" || tpe == "rank",
         Set.empty)
@@ -84,6 +94,17 @@ object Rewrites {
       .map(_.toLowerCase).toSet
   }
 
+  /** Fields a filter op WRITES while it runs: a semantic filter materializes
+    * its declared schema (the decision bool is consumed, but it overwrites a
+    * same-named input column in the process, plus any `_short_explanation`);
+    * code_filter writes nothing. A pushed filter must not clobber a column
+    * the hopped op reads. */
+  private def filterWrites(op: Conf): Set[String] = op("type").str match {
+    case "code_filter" => Set.empty
+    case _ => op.get("output").flatMap(_.get("schema"))
+      .map(_.asOrderedMap.map(_._1.toLowerCase).toSet).getOrElse(Set.empty)
+  }
+
   /** One pass: push each pushable op one hop left when legal. */
   private def pass(ops: Seq[Conf]): (Seq[Conf], Boolean) = {
     val arr = ops.toBuffer
@@ -96,7 +117,8 @@ object Rewrites {
       val legal =
         if (isPushableFilter(cur)) {
           t.oneToOne && t.rowLocal &&
-            t.fieldsWritten.map(_.toLowerCase).intersect(filterReads(cur)).isEmpty
+            t.fieldsWritten.map(_.toLowerCase).intersect(filterReads(cur)).isEmpty &&
+            t.fieldsRead.intersect(filterWrites(cur)).isEmpty
         } else if (isPushableLimit(cur)) {
           t.oneToOne && t.rowLocal && t.preservesOrder
         } else false

@@ -108,24 +108,50 @@ object Cached {
     LlmCache.getOrCompute(s"$model|logprob|$prompt",
       LlmResponse(Map("confidence" -> client.logprobConfidence(model, prompt)), 0.0))
       .values("confidence").asInstanceOf[Double]
+
+  /** Cached embeddings: only cache misses reach the provider, batched in
+    * one call. */
+  def embed(client: LlmClient, model: String, texts: Seq[String]): Seq[Array[Float]] = {
+    def key(t: String) = s"$model|embed|$t"
+    val hits = texts.map(t => LlmCache.get(key(t)))
+    val missIdx = texts.indices.filter(i => hits(i).isEmpty)
+    val computed: Map[Int, Array[Float]] =
+      if (missIdx.isEmpty) Map.empty
+      else {
+        val embs = client.embed(model, missIdx.map(texts))
+        missIdx.zip(embs).map { case (i, e) =>
+          LlmCache.put(key(texts(i)), LlmResponse(Map("e" -> e), 0.0))
+          i -> e
+        }.toMap
+      }
+    texts.indices.map(i =>
+      computed.getOrElse(i, hits(i).get.values("e").asInstanceOf[Array[Float]]))
+  }
 }
 
 /** Timeout + retry decorator (reference map.py:476-477: 120 s LLM call
-  * timeout, 2 retries per timeout; api.py:588 retry loop). Each provider
-  * round-trip runs on a daemon thread and is abandoned at `timeoutMs`;
-  * failures and timeouts retry up to `maxRetries` times with the given
-  * backoff. Wrap INSIDE RateLimitedClient so retries re-acquire permits. */
+  * timeout, 2 retries per timeout; api.py:588 retry loop). Provider
+  * round-trips run on a shared daemon pool and are abandoned at the
+  * timeout; failures and timeouts retry up to `maxRetries` times with
+  * linear backoff. Batch calls scale the timeout by batch size (a 200-item
+  * batch legitimately takes longer than one call).
+  *
+  * Compose as `RetryingClient(RateLimitedClient(inner))` — the limiter
+  * INSIDE the retry loop — so every retry attempt re-acquires a permit
+  * rather than bursting unthrottled at a failing provider. An abandoned
+  * timed-out call may still complete (and bill) provider-side — the
+  * response cache absorbs the duplicate if it lands. */
 final case class RetryingClient(
     inner: LlmClient,
     timeoutMs: Long = 120000,
     maxRetries: Int = 2,
     backoffMs: Long = 100) extends LlmClient {
 
-  private def withRetry[A](f: => A): A = {
+  private def withRetry[A](budgetMs: Long)(f: => A): A = {
     var attempt = 0
     var last: Throwable = null
     while (attempt <= maxRetries) {
-      try return withTimeout(f)
+      try return withTimeout(budgetMs)(f)
       catch {
         case e: Exception =>
           last = e
@@ -136,29 +162,38 @@ final case class RetryingClient(
     throw last
   }
 
-  private def withTimeout[A](f: => A): A = {
-    val task = new java.util.concurrent.FutureTask(() => f)
-    val t = new Thread(task, "graft-llm-call")
-    t.setDaemon(true)
-    t.start()
-    try task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+  private def withTimeout[A](budgetMs: Long)(f: => A): A = {
+    val task = RetryingClient.pool.submit(() => f)
+    try task.get(budgetMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     catch {
-      case e: java.util.concurrent.TimeoutException =>
+      case _: java.util.concurrent.TimeoutException =>
         task.cancel(true)
         throw new java.util.concurrent.TimeoutException(
-          s"LLM call exceeded ${timeoutMs}ms")
+          s"LLM call exceeded ${budgetMs}ms")
       case e: java.util.concurrent.ExecutionException => throw e.getCause
     }
   }
 
   override def complete(model: String, prompt: String, schema: StructType): LlmResponse =
-    withRetry(inner.complete(model, prompt, schema))
+    withRetry(timeoutMs)(inner.complete(model, prompt, schema))
   override def completeBatch(model: String, prompts: Seq[String], schema: StructType): Seq[LlmResponse] =
-    withRetry(inner.completeBatch(model, prompts, schema))
+    withRetry(timeoutMs * math.max(1, prompts.size))(
+      inner.completeBatch(model, prompts, schema))
   override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] =
-    withRetry(inner.embed(model, texts))
+    withRetry(timeoutMs)(inner.embed(model, texts))
   override def logprobConfidence(model: String, prompt: String): Double =
-    withRetry(inner.logprobConfidence(model, prompt))
+    withRetry(timeoutMs)(inner.logprobConfidence(model, prompt))
+}
+
+object RetryingClient {
+  /** Shared daemon pool for timed calls (a thread per call would leak
+    * threads under heavy per-row usage). */
+  private lazy val pool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-llm-call")
+      t.setDaemon(true)
+      t
+    })
 }
 
 /** Model-fallback decorator (reference docetl/runner.py:39-88: LiteLLM

@@ -197,7 +197,10 @@ object SemanticReduce {
         Row((keyVals ++ ptVals ++ outVals ++ lineageVals ++ obsVals :+ n): _*)
       }
       it.flatMap { row =>
+        // deterministic config errors (bad mode, missing query) must still
+        // fail loudly — skip_on_error is for per-group RUNTIME failures
         try Iterator.single(reduceGroup(row)) catch {
+          case e: IllegalArgumentException => throw e
           case _: Exception if cfgB.skipOnError => Iterator.empty
         }
       }
@@ -208,7 +211,7 @@ object SemanticReduce {
 /** Within-group member sampling strategies (reference reduce.py:143-161
   * `value_sampling`: random / first_n / cluster / semantic-similarity).
   * Every mode preserves the members' original (orderKey) order. */
-private[ops] object ValueSampling {
+private[graft] object ValueSampling {
 
   def apply(
       allMembers: Seq[String],
@@ -229,20 +232,23 @@ private[ops] object ValueSampling {
         "sem_sim value sampling needs value_sample_query"))
       if (allMembers.size <= k) allMembers
       else {
-        val embs = client.embed(embedModel, allMembers)
-        val qe = client.embed(embedModel, Seq(q)).head
+        val embs = graft.llm.Cached.embed(client, embedModel, allMembers)
+        val qe = graft.llm.Cached.embed(client, embedModel, Seq(q)).head
         keepByIndex(allMembers,
           allMembers.indices.sortBy(i => (-cosine(embs(i), qe), i)).take(k))
       }
     case "diverse" => // farthest-first representatives
       if (allMembers.size <= k) allMembers
       else {
-        val embs = client.embed(embedModel, allMembers)
+        val embs = graft.llm.Cached.embed(client, embedModel, allMembers)
         val selected = scala.collection.mutable.ArrayBuffer(0)
         while (selected.size < k) {
+          // maximize the MINIMUM distance to the selected set (classic
+          // farthest-first); maximizing the max would re-admit near-
+          // duplicates of already-selected members
           val next = allMembers.indices
             .filterNot(selected.contains)
-            .maxBy(i => (selected.map(s => -cosine(embs(i), embs(s))).max, -i))
+            .maxBy(i => (selected.map(s => -cosine(embs(i), embs(s))).min, -i))
           selected += next
         }
         keepByIndex(allMembers, selected.toSeq)

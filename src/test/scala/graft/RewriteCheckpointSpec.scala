@@ -33,6 +33,14 @@ class RewritesSpec extends SparkSpec {
       op("""{ name: f, type: filter, prompt: "{{ input.sentiment }}", output: { schema: { keep: bool } } }"""))
     assert(Rewrites(ops).map(_("name").str) == Seq("m", "f"))
   }
+  test("no pushdown when the filter would clobber a column the map reads") {
+    // the filter writes `keep` (consumed, but it overwrites the input
+    // column while running); the map reads `keep` -> swap is illegal
+    val ops = Seq(
+      op("""{ name: m, type: map, prompt: "{{ input.keep }}", output: { schema: { sentiment: str } } }"""),
+      op("""{ name: f, type: filter, prompt: "{{ input.text }}", output: { schema: { keep: bool } } }"""))
+    assert(Rewrites(ops).map(_("name").str) == Seq("m", "f"))
+  }
   test("no pushdown past non-LLM ops (nothing to save)") {
     val ops = Seq(
       op("""{ name: c, type: code_map, outputs: { n: "1" } }"""),

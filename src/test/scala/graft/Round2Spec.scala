@@ -135,7 +135,44 @@ class LazyFrameSpec extends SparkSpec {
   }
 }
 
+class DiverseSamplingSpec extends SparkSpec {
+  test("farthest-first rejects near-duplicates of selected members") {
+    // embed client with fixed vectors keyed by member text
+    val vecs = Map(
+      "a"   -> Array(1f, 0f),
+      "a2"  -> Array(1f, 0f),   // duplicate direction of a
+      "b"   -> Array(0f, 1f),
+      "mid" -> Array(0.7f, 0.7f))
+    val fixed = new LlmClient {
+      override def complete(model: String, prompt: String, schema: StructType) =
+        graft.llm.LlmResponse(Map.empty, 0.0)
+      override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] =
+        texts.map(vecs)
+    }
+    graft.llm.LlmCache.clear()
+    val out = graft.ops.ValueSampling(
+      Seq("a", "a2", "b", "mid"), 3, "diverse", None, "m", fixed)
+    // a (seed), then b (farthest), then mid — never the duplicate a2
+    assert(out == Seq("a", "b", "mid"))
+  }
+}
+
 class PipelineJoinBlockingSpec extends SparkSpec {
+  test("a join step without condition or blocking fails loudly (no cross join)") {
+    val dir = java.nio.file.Files.createTempDirectory("nojoin").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/d.parquet")
+    intercept[IllegalArgumentException] {
+      Pipeline.runYaml(
+        s"""datasets:
+           |  l: { path: $dir/d.parquet }
+           |  r: { path: $dir/d.parquet }
+           |pipeline:
+           |  steps:
+           |    - { name: j, join: { left: l, right: r } }
+           |""".stripMargin, spark)
+    }
+  }
+
   test("YAML join with embedding blocking + cascade runs end to end") {
     val dir = java.nio.file.Files.createTempDirectory("joinblk").toString
     val emb = ArrayType(FloatType)
