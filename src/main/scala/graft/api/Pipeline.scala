@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
 
-import graft.llm.{LlmClient, MockLlmClient}
+import graft.llm.{FallbackClient, HttpLlmClient, LlmClient, MockLlmClient, RateLimitedClient, RetryingClient}
 import graft.ops.EquijoinOp
 
 /** Config-driven pipeline runner — the YAML surface (reference
@@ -25,10 +25,55 @@ object Pipeline {
   def run(conf: Conf, spark: SparkSession, client: LlmClient = MockLlmClient()): DataFrame =
     runWithSteps(conf, spark, client)._1
 
+  /** Build the LLM client stack a config's top-level `llm:` block declares
+    * (the analog of the reference's model/router config, runner.py:39-88 +
+    * rate_limits). Composition order — retry OUTSIDE fallback OUTSIDE the
+    * rate limiter — means each fallback attempt re-acquires a permit and the
+    * whole chain shares one retry/timeout budget:
+    *
+    * ```yaml
+    * llm:
+    *   provider: openai            # or `mock` (default)
+    *   base_url: http://host/v1
+    *   api_key_env: OPENAI_API_KEY
+    *   calls_per_minute: 600       # optional per-executor throttle
+    *   fallbacks: {gpt-main: [gpt-backup]}
+    *   timeout_ms: 120000
+    *   max_retries: 2
+    * ```
+    */
+  def clientFor(conf: Conf, default: LlmClient = MockLlmClient()): LlmClient =
+    conf.get("llm") match {
+      case None => default
+      case Some(l) =>
+        val base: LlmClient = l.strOr("provider", "mock") match {
+          case "mock" => MockLlmClient()
+          case "openai" | "http" => HttpLlmClient(
+            baseUrl = l("base_url").str,
+            apiKeyEnv = l.strOr("api_key_env", ""),
+            requestTimeoutMs = l.intOr("request_timeout_ms", 110000).toLong,
+            pricePerMTokIn = l.dblOr("price_per_mtok_in", 0.0),
+            pricePerMTokOut = l.dblOr("price_per_mtok_out", 0.0))
+          case other => throw new IllegalArgumentException(
+            s"unknown llm provider '$other' (mock|openai)")
+        }
+        val limited = l.get("calls_per_minute")
+          .map(r => RateLimitedClient(base, "llm:global", r.dbl): LlmClient).getOrElse(base)
+        val chained = l.get("fallbacks")
+          .map(f => FallbackClient(limited,
+            f.asMap.map { case (m, c) => m -> c.strList }): LlmClient)
+          .getOrElse(limited)
+        RetryingClient(chained,
+          timeoutMs = l.intOr("timeout_ms", 120000).toLong,
+          maxRetries = l.intOr("max_retries", 2))
+    }
+
   /** Like [[run]] but also returns every named step's output, for
     * inspection (schemas, intermediate sampling). */
   def runWithSteps(conf: Conf, spark: SparkSession,
-      client: LlmClient = MockLlmClient()): (DataFrame, Seq[(String, DataFrame)]) = {
+      client0: LlmClient = MockLlmClient()): (DataFrame, Seq[(String, DataFrame)]) = {
+    // An `llm:` block in the config wins over the caller's default client.
+    val client = clientFor(conf, client0)
     val datasets = scala.collection.mutable.Map[String, DataFrame]()
     // Rolling config hash per named dataset/step — the checkpoint
     // invalidation key (reference runner.py:241-282).

@@ -44,7 +44,13 @@ object Registry {
       bypassCache = c.boolOr("bypass_cache", false),
       gleaning = c.get("gleaning").map(g => GleaningConfig(
         g("validation_prompt").str, g.intOr("num_rounds", 2))),
-      enableObservability = c.boolOr("enable_observability", false))
+      enableObservability = c.boolOr("enable_observability", false),
+      batchPrompt = c.boolOr("batch_prompt", false),
+      callsPerMinute = c.dblOr("calls_per_minute", 0),
+      calibrate = c.boolOr("calibrate", false),
+      calibrateSampleSize = c.intOr("calibrate_sample_size", 5),
+      binaryAttachCol = c.get("binary_attach").map(_.str),
+      concurrency = c.intOr("concurrency", 1))
 
   // ---- registrations (SURVEY.md §2 op inventory) ----
 

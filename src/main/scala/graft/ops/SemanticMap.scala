@@ -56,7 +56,12 @@ final case class SemanticMapConfig(
       * time; Spark-first, the bytes are a column (read via the binaryFile
       * source or a fetch stage) so attachment is executor-local and
       * retry-safe. */
-    binaryAttachCol: Option[String] = None)
+    binaryAttachCol: Option[String] = None,
+    /** In-partition async fan-out: up to this many provider calls in flight
+      * per partition (reference runner.py:156 `4 * cpu_count` thread pool).
+      * 1 = serial. Results stay in input order; per-row error semantics
+      * (skip_on_error, validate retries) are unchanged. */
+    concurrency: Int = 1)
 
 /** LLM projection (reference docetl/operations/map.py:35-714).
   *
@@ -156,7 +161,7 @@ object SemanticMap {
           } else batch.iterator.zip(keys.iterator.zip(prompts.iterator)).map {
             case (row, (k, p)) => emit(row, p, LlmCache.get(k).get.values)
           }
-        } else batch.iterator.flatMap { row =>
+        } else graft.llm.Concurrency.flatMapOrdered(batch.iterator, cfgB.concurrency) { row =>
           val prompt = renderRow(row)
           try {
             val values = LlmRunner.callWithLoops(
