@@ -30,10 +30,12 @@ object Ann {
       excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(queryId).as("query_id"), col(queryEmb).as("_qe"))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("_ce"))
-    val scored = c.join(broadcast(q),
-        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      .withColumn("score",
-        round(graft.functions.CosineSimilarity(col("_qe"), col("_ce")), 6))
+    val crossed = graft.core.Joins.boundedCrossBroadcast(
+      c, q, col("neighbor_id"), col("query_id"))
+    val scored =
+      (if (excludeSelf) crossed.filter(col("neighbor_id") =!= col("query_id")) else crossed)
+        .withColumn("score",
+          round(graft.functions.CosineSimilarity(col("_qe"), col("_ce")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("_rn", row_number().over(w))

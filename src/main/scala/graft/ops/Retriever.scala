@@ -39,7 +39,7 @@ object RetrieverOp {
     val c = corpus.select(
       col(corpusEmbCol).as("_ce"),
       expr(corpusRenderExpr).cast("string").as("_ctext"))
-    val scored = withId.join(broadcast(c))
+    val scored = graft.core.Joins.boundedCrossBroadcast(withId, c, col(rowId), col("_ctext"))
       .withColumn("_score", CosineSimilarity(col(queryEmbCol), col("_ce")))
     attachTopK(withId, scored, rowId, outKey, k)
   }
@@ -58,7 +58,7 @@ object RetrieverOp {
     val c = corpus.select(
       split(col(corpusTextCol), " ").as("_ctoks"),
       expr(corpusRenderExpr).cast("string").as("_ctext"))
-    val scored = withId.join(broadcast(c))
+    val scored = graft.core.Joins.boundedCrossBroadcast(withId, c, col(rowId), col("_ctext"))
       .withColumn("_score",
         size(array_intersect(split(col(queryTextCol), " "), col("_ctoks"))).cast("double"))
     attachTopK(withId, scored, rowId, outKey, k)
@@ -88,7 +88,7 @@ object RetrieverOp {
       expr(corpusRenderExpr).cast("string").as("_ctext"))
     val qToks = split(col(queryTextCol), " ")
     val overlap = size(array_intersect(qToks, col("_ctoks"))).cast("double")
-    val scored = withId.join(broadcast(c))
+    val scored = graft.core.Joins.boundedCrossBroadcast(withId, c, col(rowId), col("_ctext"))
       .withColumn("_score",
         lit(vectorWeight) * CosineSimilarity(col(queryEmbCol), col("_ce")) +
           lit(1 - vectorWeight) * overlap / greatest(size(qToks).cast("double"), lit(1.0)))
