@@ -71,9 +71,12 @@ object Ann {
       maxIter: Int = 10,
       seed: Long = 42,
       sampleSize: Int = 20000): Array[Array[Double]] = {
-    val rows = corpus
-      .select(transform(col(embCol), _.cast("double")).as("_e"))
-      .limit(sampleSize)
+    // Seeded-hash head, NOT `.limit` — a plain limit takes whichever
+    // partition lists first (one file's distribution at 100 TB); the hash
+    // head is a uniform sample invariant to partitioning and file order.
+    val rows = graft.ops.SampleOp.seededHead(
+        corpus.select(transform(col(embCol), _.cast("double")).as("_e")),
+        sampleSize, seed)
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(rows.nonEmpty, "cannot train centroids on an empty corpus")

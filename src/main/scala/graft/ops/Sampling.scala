@@ -39,6 +39,21 @@ object SampleOp {
   def custom(df: DataFrame, samples: DataFrame): DataFrame =
     df.join(broadcast(samples), samples.columns.toSeq, "left_semi")
 
+  /** Order-invariant "take n" for calibration/training samples: the n rows
+    * with the smallest seeded xxhash64 over `hashCols` (default: all
+    * columns). Unlike `.limit(n)` — which takes whatever partition lists
+    * first, i.e. ONE FILE's distribution at 100 TB — this is a uniform
+    * without-replacement sample that is identical under any partitioning or
+    * file order. Compiles to TakeOrderedAndProject: per-partition top-n,
+    * driver merge, no full sort. */
+  def seededHead(df: DataFrame, n: Int, seed: Long = 42, hashCols: Seq[Column] = Nil): DataFrame = {
+    val cols = if (hashCols.nonEmpty) hashCols else df.columns.toSeq.map(col)
+    df.withColumn("_graft_sh", xxhash64((lit(seed) +: cols): _*))
+      .orderBy(col("_graft_sh"))
+      .limit(n)
+      .drop("_graft_sh")
+  }
+
   /** Stratified: n rows per `stratifyKey` group, deterministic order within
     * the stratum (reference sample.py samples_per_group). Single window, one
     * shuffle on the stratify key. */

@@ -107,7 +107,10 @@ object SemanticMap {
       if (!cfg.calibrate) cfg.prompt
       else {
         val sampleTpl = Template(cfg.prompt, base.schema)
-        val samplePrompts = base.limit(cfg.calibrateSampleSize).collect().map(sampleTpl.render)
+        // Seeded-hash sample (order-invariant), not a head of the first file.
+        val samplePrompts = graft.ops.SampleOp
+          .seededHead(base, cfg.calibrateSampleSize)
+          .collect().map(sampleTpl.render).sorted
         val anchorSchema = StructType(Seq(StructField("anchors", StringType)))
         val resp = clientB.complete(cfg.model, samplePrompts.mkString("\n"), anchorSchema)
         s"CALIBRATION:\n${resp.values("anchors")}\n\n${cfg.prompt}"

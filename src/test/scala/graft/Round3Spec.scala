@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.llm.MockLlmClient
@@ -28,6 +29,38 @@ class PairwiseGuardSpec extends SparkSpec {
     // maxRows=5 is NOT enforced when blocked — the join is keyed.
     assert(out.count() == 40)
     assert(out.columns.contains("_rank"))
+  }
+}
+
+/** Head-bias fixes: calibration/training samples must be invariant to how
+  * the input happens to be partitioned (VERDICT r2 "What's wrong" #2 — a
+  * `.limit(n)` sample trains on one file's distribution at 100 TB). */
+class SeededSampleSpec extends SparkSpec {
+
+  private def embDf(n: Int) = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("e", ArrayType(DoubleType))))
+    df(schema, (1 to n).map(i =>
+      Row(i.toLong, Seq(math.sin(i * 1.7), math.cos(i * 0.9), (i % 13).toDouble))): _*)
+  }
+
+  test("trainCentroids is invariant under partition reordering") {
+    val base = embDf(300)
+    val a = graft.ann.Ann.trainCentroids(base, "e", 4, sampleSize = 50)
+    val b = graft.ann.Ann.trainCentroids(
+      base.repartition(7, col("id")).sortWithinPartitions(col("id").desc), "e", 4, sampleSize = 50)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
+  test("seededHead is a fixed row set regardless of partitioning") {
+    val base = embDf(200)
+    val a = graft.ops.SampleOp.seededHead(base, 20).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val b = graft.ops.SampleOp.seededHead(base.repartition(9), 20).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 20)
+    // and it is not just the positional head
+    assert(a != (1L to 20L).toSet)
   }
 }
 
