@@ -40,10 +40,16 @@ object Bench {
     suite.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    graft.core.PersistScope.unpersistAll()
     val results = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Flush op-internal persists between queries (untimed): each query
+      // re-persists its own frames anyway, so this only stops storage
+      // blocks accumulating across the suite.
+      graft.core.PersistScope.unpersistAll()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

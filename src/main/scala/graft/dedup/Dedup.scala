@@ -59,9 +59,10 @@ object MinHashDedup {
     // string Jaccard up to 64-bit collisions (negligible).
     val sh = array_sort(array_distinct(transform(
       TextFunctions.shingles(col(textCol), shingleSize), s => xxhash64(s))))
-    val docs = df.select(col(idCol).as("_id"), sh.as("_sh"))
-      .filter(size(col("_sh")) > 0)
-      .persist()
+    val docs = graft.core.PersistScope.register(
+      df.select(col(idCol).as("_id"), sh.as("_sh"))
+        .filter(size(col("_sh")) > 0)
+        .persist())
 
     // Signature: numPerms permutation minima in one fused codegen'd loop
     // (graft.functions.MinHashSignature) — the interpreted HOF equivalent
@@ -187,8 +188,9 @@ object NgramJaccardDedup {
     // MinHashDedup note on collision odds).
     val sh = array_distinct(transform(
       TextFunctions.shingles(col(textCol), n), s => xxhash64(s)))
-    val docs = df.select(col(idCol).as("_id"), expr(blockExpr).as("_blk"), sh.as("_sh"))
-      .persist()
+    val docs = graft.core.PersistScope.register(
+      df.select(col(idCol).as("_id"), expr(blockExpr).as("_blk"), sh.as("_sh"))
+        .persist())
     val sizes = docs.select(col("_id"), size(col("_sh")).cast("long").as("_sz"))
     val ex = docs.select(col("_blk"), col("_id"), explode(col("_sh")).as("_s"))
     val co = ex.select(col("_blk"), col("_s"), col("_id").as("id_a"))

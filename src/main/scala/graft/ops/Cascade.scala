@@ -41,7 +41,7 @@ object CascadeFilter {
     val proxyModel = cfg.proxyModel
 
     // Pass 1: proxy decision + confidence for every row.
-    val scored = df.mapPartitions { it =>
+    val scored = graft.core.PersistScope.register(df.mapPartitions { it =>
       it.map { row =>
         val p = tpl.render(row)
         val dec = graft.llm.Cached.complete(proxy, proxyModel, p, boolSchema)
@@ -49,7 +49,7 @@ object CascadeFilter {
         val conf = graft.llm.Cached.confidence(proxy, proxyModel, p)
         Row.fromSeq(row.toSeq :+ dec :+ conf)
       }
-    }(Encoders.row(scoredSchema)).persist()
+    }(Encoders.row(scoredSchema)).persist())
 
     // Calibration: oracle-label a deterministic sample, pick the smallest
     // threshold whose proxy decisions reach targetRecall on it.
@@ -128,13 +128,13 @@ object CascadeCompare {
       .add(StructField("_graft_dec", BooleanType))
       .add(StructField("_graft_conf", DoubleType))
     val proxyModel = cfg.proxyModel
-    val scored = pairs.mapPartitions { it =>
+    val scored = graft.core.PersistScope.register(pairs.mapPartitions { it =>
       it.map { row =>
         val p = s"${row.getString(iL)}\n###\n${row.getString(iR)}"
         Row.fromSeq(row.toSeq :+ graft.llm.Cached.compare(client, proxyModel, p)
           :+ graft.llm.Cached.confidence(client, proxyModel, p))
       }
-    }(Encoders.row(scoredSchema)).persist()
+    }(Encoders.row(scoredSchema)).persist())
 
     val decIdx = scoredSchema.fieldIndex("_graft_dec")
     val confIdx = scoredSchema.fieldIndex("_graft_conf")

@@ -216,7 +216,10 @@ object ResolveOp {
     val preserved = cfg.resolveKeys.foldLeft(withCluster) { (d, k) =>
       d.withColumn(s"_kv_pairs_preresolve_${cfg.name}_$k", col(k))
     }
-    val joined = preserved.join(broadcast(canon), Seq("component"), "left")
+    // No forced broadcast: with 10⁸ multi-member clusters the canon side is
+    // executor-OOM territory. AQE picks broadcast when the runtime size
+    // qualifies; otherwise this is a keyed shuffle join on `component`.
+    val joined = preserved.join(canon, Seq("component"), "left")
     val resolved = cfg.resolveKeys.foldLeft(joined) { (d, k) =>
       val origType = withCluster.schema(k).dataType
       d.withColumn(k,
