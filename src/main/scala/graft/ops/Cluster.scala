@@ -62,13 +62,23 @@ object ClusterOp {
 
   /** Hierarchical variant (reference cluster.py:14-310 builds a full binary
     * tree agglomeratively on the driver — O(n²)): recursive bisecting
-    * k-means, level by level. Each level is one pass over the data (the
-    * clusters partition it), so depth d costs d distributed scans plus
-    * 2^d - 1 tiny k=2 fits. Every internal node gets an LLM summary
-    * bottom-up (leaves from bounded member samples, internal nodes from
-    * their children's summaries), and each row is annotated with its
-    * root→leaf PATH of summaries under `outputKey` — the reference's
-    * `clusters` column shape.
+    * k-means, level by level, at O(depth) SPARK JOBS TOTAL — not one per
+    * tree node. Each level runs exactly two jobs:
+    *
+    *   1. a grouped seeded-hash sample: the top `sampleSizePerNode` rows
+    *      per path by hash (one window pass) collect to the driver, which
+    *      runs a tiny k=2 Lloyd per path locally;
+    *   2. assignment: the per-path child centroids broadcast-join back on
+    *      `_graft_path` and every row picks its nearer child — fully
+    *      distributed, codegen'd array math, then materializes for the
+    *      next level.
+    *
+    * (The r2 version drove a KMeans.fit + count per PATH: 2^d - 1 ML fits,
+    * each several jobs — a depth-8 tree was 255 sequential Spark jobs.)
+    * Every internal node gets an LLM summary bottom-up (leaves from bounded
+    * member samples, internal nodes from their children's summaries), and
+    * each row is annotated with its root→leaf PATH of summaries under
+    * `outputKey` — the reference's `clusters` column shape.
     */
   def hierarchical(
       df: DataFrame,
@@ -85,39 +95,60 @@ object ClusterOp {
         * least `ratio` x its parent's split distance adds little hierarchy
         * — its summary is dropped from every row's path (root and leaves
         * always stay). */
-      collapse: Option[Double] = None): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      collapse: Option[Double] = None,
+      sampleSizePerNode: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(depth >= 1, "depth must be >= 1")
+    val spark = df.sparkSession
 
     // splitDist(path) = distance between the two child centroids of the
     // k=2 split performed AT that node.
     val splitDist = scala.collection.mutable.Map[String, Double]()
     var assigned = df
-      .withColumn("_graft_vec", array_to_vector(transform(col(embeddingCol), _.cast("double"))))
+      .withColumn("_graft_vecd", transform(col(embeddingCol), _.cast("double")))
       .withColumn("_graft_path", lit(""))
       .persist()
     (1 to depth).foreach { level =>
-      val paths = assigned.select("_graft_path").distinct()
-        .collect().map(_.getString(0)).sorted
-      val next = paths.map { p =>
-        val part = assigned.filter(col("_graft_path") === p)
-        val n = part.count()
-        if (n < 2) part // too small to bisect; stays a leaf early
-        else {
-          val km = new KMeans().setK(2).setSeed(seed + level)
-            .setFeaturesCol("_graft_vec").fit(part)
-          val Array(c0, c1) = km.clusterCenters.map(_.toArray)
+      // Job 1: grouped sample — up to sampleSizePerNode rows per path by
+      // seeded hash (order-invariant, like SampleOp.seededHead but keyed).
+      val w = Window.partitionBy(col("_graft_path")).orderBy(col("_graft_h"))
+      val sampleRows = assigned
+        .withColumn("_graft_h", xxhash64(lit(seed + level), col("_graft_vecd")))
+        .withColumn("_graft_rn", row_number().over(w))
+        .filter(col("_graft_rn") <= sampleSizePerNode)
+        .select(col("_graft_path"), col("_graft_vecd"))
+        .collect()
+      val byPath = sampleRows.groupBy(_.getString(0)).map { case (p, rs) =>
+        p -> rs.map(_.getSeq[Double](1).toArray)
+          .sortBy(_.toIndexedSeq)(Ordering.Implicits.seqOrdering[IndexedSeq, Double])
+      }
+      // Driver: k=2 Lloyd per path over its sample (tiny, local).
+      val centroids = byPath.toSeq.sortBy(_._1).flatMap { case (p, pts) =>
+        bisect(pts).map { case (c0, c1) =>
           splitDist(p) = math.sqrt(c0.zip(c1).map { case (a, b) =>
             (a - b) * (a - b) }.sum)
-          km.transform(part)
-            .withColumn("_graft_path",
-              concat(col("_graft_path"), lit("/"), col("prediction")))
-            .drop("prediction")
+          (p, c0.toSeq, c1.toSeq)
         }
-      }.reduce(_ unionByName _).persist()
-      assigned.unpersist()
-      assigned = next
+      }
+      if (centroids.nonEmpty) {
+        // Job 2: distributed assignment via a broadcast join on the path.
+        val centDf = spark.createDataFrame(centroids)
+          .toDF("_graft_path", "_c0", "_c1")
+        def sqDist(c: String) = aggregate(
+          zip_with(col("_graft_vecd"), col(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+        val next = assigned
+          .join(broadcast(centDf), Seq("_graft_path"), "left")
+          .withColumn("_graft_path",
+            when(col("_c0").isNull, col("_graft_path")) // unsplittable node
+              .otherwise(concat(col("_graft_path"), lit("/"),
+                when(sqDist("_c0") <= sqDist("_c1"), lit(0)).otherwise(lit(1)))))
+          .drop("_c0", "_c1")
+          .persist()
+        next.count() // materialize BEFORE dropping the parent's cache
+        assigned.unpersist()
+        assigned = next
+      }
     }
     // Collapsed internal nodes: split nearly as wide as the parent's.
     val collapsed: Set[String] = collapse match {
@@ -172,6 +203,40 @@ object ClusterOp {
     val pathMap = typedLit(pathArrays)
     assigned
       .withColumn(outputKey, element_at(pathMap, col("_graft_path")))
-      .drop("_graft_vec", "_graft_path")
+      .drop("_graft_vecd", "_graft_path")
+  }
+
+  /** Local k=2 Lloyd over a node's sample: deterministic farthest-first
+    * init (first point + its farthest), <=20 refinement iterations.
+    * None when the sample cannot split (fewer than 2 distinct points). */
+  private def bisect(
+      pts: Array[Array[Double]],
+      maxIter: Int = 20): Option[(Array[Double], Array[Double])] = {
+    if (pts.length < 2) return None
+    val dim = pts.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val a0 = pts.head
+    val b0 = pts.maxBy(p => d2(a0, p))
+    if (d2(a0, b0) == 0) return None // all points identical
+    var c0 = a0.clone(); var c1 = b0.clone()
+    var iter = 0; var moved = true
+    while (iter < maxIter && moved) {
+      val s0 = new Array[Double](dim); val s1 = new Array[Double](dim)
+      var n0 = 0L; var n1 = 0L
+      pts.foreach { p =>
+        if (d2(p, c0) <= d2(p, c1)) { n0 += 1; var i = 0; while (i < dim) { s0(i) += p(i); i += 1 } }
+        else { n1 += 1; var i = 0; while (i < dim) { s1(i) += p(i); i += 1 } }
+      }
+      val m0 = if (n0 > 0) s0.map(_ / n0) else c0
+      val m1 = if (n1 > 0) s1.map(_ / n1) else c1
+      moved = !java.util.Arrays.equals(m0, c0) || !java.util.Arrays.equals(m1, c1)
+      c0 = m0; c1 = m1
+      iter += 1
+    }
+    Some((c0, c1))
   }
 }
