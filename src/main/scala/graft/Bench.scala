@@ -22,6 +22,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The generated-class cache defaults to 100 entries; a 53-query suite
+      // generates several hundred codegen classes, so with the default every
+      // measured query re-pays Janino compilation its warm-up already did.
+      // Any long-lived multi-query session (a real cluster job server) wants
+      // this sized to its working set.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Session bring-up warm-ups (scan, shuffle, object-operator encoders).

@@ -53,16 +53,21 @@ object MinHashDedup {
       jaccardThreshold: Double = 0.8): DataFrame = {
     require(numPerms % numBands == 0, "numPerms must be divisible by numBands")
     val rowsPerBand = numPerms / numBands
-    // Shingles are hashed to 64-bit longs ONCE (xxhash64 over the string);
-    // the P permutation hashes re-hash that long, not the string — ~20x
-    // cheaper per (perm, shingle). Jaccard over hashed shingles equals
-    // string Jaccard up to 64-bit collisions (negligible).
-    val sh = array_sort(array_distinct(transform(
-      TextFunctions.shingles(col(textCol), shingleSize), s => xxhash64(s))))
+    // Shingles are hashed to 64-bit longs ONCE (fused byte-range XXH64,
+    // graft.functions.ShingleHashes); the P permutation hashes re-hash that
+    // long, not the string — ~20x cheaper per (perm, shingle). Jaccard over
+    // hashed shingles equals string Jaccard up to 64-bit collisions
+    // (negligible).
+    val sh = graft.functions.ShingleHashes(col(textCol), shingleSize)
     val docs = graft.core.PersistScope.register(
       df.select(col(idCol).as("_id"), sh.as("_sh"))
         .filter(size(col("_sh")) > 0)
         .persist())
+    // Materialize the cache before fanning out: the signature branch and the
+    // two verify-side lookups otherwise race to compute the same partitions
+    // concurrently (each paying the shingle scan) before any of them has
+    // populated the storage blocks.
+    docs.count()
 
     // Signature: numPerms permutation minima in one fused codegen'd loop
     // (graft.functions.MinHashSignature) — the interpreted HOF equivalent
@@ -186,11 +191,11 @@ object NgramJaccardDedup {
     require(threshold > 0, "ngram threshold must be positive")
     // Hashed shingles: long intersection counting beats string (see
     // MinHashDedup note on collision odds).
-    val sh = array_distinct(transform(
-      TextFunctions.shingles(col(textCol), n), s => xxhash64(s)))
+    val sh = graft.functions.ShingleHashes(col(textCol), n)
     val docs = graft.core.PersistScope.register(
       df.select(col(idCol).as("_id"), expr(blockExpr).as("_blk"), sh.as("_sh"))
         .persist())
+    docs.count() // populate the cache before the three downstream branches
     val sizes = docs.select(col("_id"), size(col("_sh")).cast("long").as("_sz"))
     val ex = docs.select(col("_blk"), col("_id"), explode(col("_sh")).as("_s"))
     val co = ex.select(col("_blk"), col("_s"), col("_id").as("id_a"))
