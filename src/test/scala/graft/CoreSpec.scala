@@ -60,6 +60,75 @@ class TemplateSpec extends AnyFunSuite {
     assert(Template("{{ input.xs.1 }}", s).render(row) == "q")
     assert(Template("{{ input.xs.9 }}", s).render(row) == "") // out of range -> empty
   }
+
+  // --- Jinja subset: {% for %}, {% if %}, filters (reference reduce/resolve
+  // prompts, docs/concepts/operators.md) ---
+
+  private val memberSchema = StructType(Seq(
+    StructField("title", StringType), StructField("score", LongType)))
+  private val groupSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("inputs", ArrayType(memberSchema))))
+  private def member(t: String, s: Long) =
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](t, s), memberSchema)
+  private val groupRow = Row("k1", Seq(member("alpha", 3L), member("beta", 5L)))
+
+  test("for loop over member list (reference reduce fold prompt shape)") {
+    val t = Template(
+      "Summarize:{% for item in input.inputs %}\n- {{ item.title }} ({{ item.score }}){% endfor %}",
+      groupSchema)
+    assert(t.render(groupRow) == "Summarize:\n- alpha (3)\n- beta (5)")
+  }
+  test("loop.index / first / last / length") {
+    val t = Template(
+      "{% for x in input.inputs %}{{ loop.index }}/{{ loop.length }}{% if loop.last %}.{% else %},{% endif %}{% endfor %}",
+      groupSchema)
+    assert(t.render(groupRow) == "1/2,2/2.")
+  }
+  test("schema-less member rows render via static element type") {
+    // rows out of mapPartitions lose their schema; element struct ordinals
+    // must come from the plan-time ArrayType element schema
+    val row = Row("k1", Seq(Row("gamma", 9L)))
+    val t = Template("{% for m in input.inputs %}{{ m.title }}={{ m.score }}{% endfor %}", groupSchema)
+    assert(t.render(row) == "gamma=9")
+  }
+  test("if / else with truthiness and comparison") {
+    val s = StructType(Seq(StructField("lang", StringType), StructField("n", LongType)))
+    val t = Template("{% if input.lang == 'en' %}EN{% else %}other{% endif %}{% if input.n %}+{% endif %}", s)
+    assert(t.render(Row("en", 1L)) == "EN+")
+    assert(t.render(Row("fr", 0L)) == "other")
+  }
+  test("filters: upper, join, truncate, default, length, tojson") {
+    val s = StructType(Seq(
+      StructField("a", StringType), StructField("xs", ArrayType(StringType)),
+      StructField("miss", StringType)))
+    val row = Row("hello world", Seq("x", "y", "z"), null)
+    assert(Template("{{ input.a | upper }}", s).render(row) == "HELLO WORLD")
+    assert(Template("{{ input.xs | join(', ') }}", s).render(row) == "x, y, z")
+    assert(Template("{{ input.a | truncate(5) }}", s).render(row) == "hello...")
+    assert(Template("{{ input.miss | default('n/a') }}", s).render(row) == "n/a")
+    assert(Template("{{ input.xs | length }}", s).render(row) == "3")
+    assert(Template("{{ input.xs | tojson }}", s).render(row) == "[\"x\", \"y\", \"z\"]")
+  }
+  test("whole loop var renders as json (reference {{ item }} in prompts)") {
+    val t = Template("{% for item in input.inputs %}{{ item }};{% endfor %}", groupSchema)
+    assert(t.render(groupRow) ==
+      "{\"title\": \"alpha\", \"score\": 3};{\"title\": \"beta\", \"score\": 5};")
+  }
+  test("unclosed block and unknown filter are strict") {
+    intercept[IllegalArgumentException](Template("{% for x in input.inputs %}oops", groupSchema))
+    intercept[IllegalArgumentException](
+      Template("{{ input.key | frobnicate }}", groupSchema).render(groupRow))
+  }
+  test("undefined loop var field is strict at plan time") {
+    intercept[Exception](Template("{% for m in input.inputs %}{{ m.nope }}{% endfor %}", groupSchema))
+  }
+  test("referencedFields sees for-loop sources and conditions") {
+    assert(Template.referencedFields(
+      "{% for x in input.items %}{{ x.a }}{% endfor %}{% if input.flag %}y{% endif %}") ==
+      Seq("items", "flag"))
+  }
 }
 
 class MockLlmClientSpec extends AnyFunSuite {
