@@ -31,7 +31,63 @@ object Queries {
 
   /** (name, query, optional oracle SQL). Ordering = rough SURVEY §2 order. */
   lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
-    sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++ apiSurface
+    sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
+    apiSurface ++ parsing
+
+  // ---------------------------------------------------------------- parsing
+
+  /** Office-format parsers (reference parsing_tools.py:100-226): rows of the
+    * parquet tables are re-encoded as real .docx/.pptx/.xlsx archives on
+    * disk (once, see [[graft.sources.ParseFixtures]]), then read back
+    * through `binaryFile` → parse → explode — so the oracle is the original
+    * table expression the parsed text must round-trip to. */
+  private def parsing: Seq[(String, Q, Option[String])] = Seq(
+    (
+      "q54_parse_docx",
+      (s: SparkSession, dir: String) => {
+        val fix = graft.sources.ParseFixtures.docxDir(s, dir)
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.docx").load(fix)
+        graft.sources.ParseOp(files, graft.sources.ParseOp.Config(function = "docx"))
+          .withColumn("doc_id",
+            regexp_extract(col("path"), raw"doc_(\d+)\.docx", 1).cast("bigint"))
+          .select("doc_id", "text")
+      },
+      Some("SELECT doc_id, text FROM documents")
+    ),
+    (
+      "q55_parse_xlsx",
+      (s: SparkSession, dir: String) => {
+        val fix = graft.sources.ParseFixtures.xlsxDir(s, dir)
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.xlsx").load(fix)
+        graft.sources.ParseOp(files,
+          graft.sources.ParseOp.Config(function = "xlsx", orientation = "row"))
+          .select("text")
+      },
+      Some("""
+        SELECT string_agg(
+                 'n_nationkey: ' || CAST(n_nationkey AS VARCHAR) ||
+                 ' | n_name: ' || n_name ||
+                 ' | n_regionkey: ' || CAST(n_regionkey AS VARCHAR),
+                 chr(10) ORDER BY n_nationkey) AS text
+        FROM nation""")
+    ),
+    (
+      "q56_parse_pptx",
+      (s: SparkSession, dir: String) => {
+        val fix = graft.sources.ParseFixtures.pptxDir(s, dir, 40)
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.pptx").load(fix)
+        graft.sources.ParseOp(files, graft.sources.ParseOp.Config(
+          function = "pptx", docPerSlide = true, posKey = Some("slide")))
+          .select(col("slide").cast("bigint").as("slide"), col("text"))
+      },
+      Some("""
+        SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS slide,
+               text
+        FROM documents WHERE doc_id < 40""")
+    ))
 
   // ---------------------------------------------------------------- relational
 

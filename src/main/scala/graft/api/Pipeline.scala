@@ -82,12 +82,28 @@ object Pipeline {
       // Optional `format` overrides extension dispatch — e.g. `binaryFile`
       // for opaque image/audio/pdf payloads (the reference's parsing-tools
       // load path, dataset.py:361-368) or `text` for line files.
-      datasets(name) = d.get("format") match {
+      val loaded = d.get("format") match {
         case Some(f) => spark.read.format(f.str).load(d("path").str)
         case None    => read(spark, d("path").str)
       }
+      // Dataset-level `parsing:` list (reference dataset.py
+      // `_apply_parsing_tools`): each tool maps a file column to one row per
+      // parsed document, applied in order.
+      datasets(name) = d.get("parsing").map(_.asList).getOrElse(Nil)
+        .foldLeft(loaded) { (df, p) =>
+          graft.sources.ParseOp(df, graft.sources.ParseOp.Config(
+            function = p("function").str,
+            inputKey = p.strOr("input_key", "content"),
+            outputKey = p.strOr("output_key", "text"),
+            orientation = p.strOr("orientation", "col"),
+            docPerSheet = p.boolOr("doc_per_sheet", false),
+            docPerSlide = p.boolOr("doc_per_slide", false)))
+        }
       hashes(name) = CheckpointStore.sha256(
-        "dataset|" + d.strOr("format", "") + "|" + d("path").str)
+        "dataset|" + d.strOr("format", "") + "|" + d("path").str +
+          d.get("parsing").map(p => "|parsing:" + p.asList.map(t =>
+            t("function").str + ":" + t.strOr("input_key", "content") + ":" +
+              t.strOr("output_key", "text")).mkString(",")).getOrElse(""))
     })
     val store = conf.get("checkpoint_dir").map(d => new CheckpointStore(d.str))
     val planRewrites = conf.boolOr("plan_rewrites", true)

@@ -242,6 +242,15 @@ object Registry {
       model = c.strOr("model", "mock"),
       maxTurns = c.intOr("max_turns", 4)), tools, ctx.client)
   }
+  register("parse") { (df, c, _) =>
+    graft.sources.ParseOp(df, graft.sources.ParseOp.Config(
+      function = c("function").str,
+      inputKey = c.strOr("input_key", "content"),
+      outputKey = c.strOr("output_key", "text"),
+      orientation = c.strOr("orientation", "col"),
+      docPerSheet = c.boolOr("doc_per_sheet", false),
+      docPerSlide = c.boolOr("doc_per_slide", false)))
+  }
   register("limit") { (df, c, _) => df.limit(c("n").int) }
   register("select") { (df, c, _) => df.selectExpr(c("columns").strList: _*) }
 }

@@ -1,0 +1,71 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic office-file fixtures for the parse-operator oracle queries:
+  * re-encode rows of the driver's parquet tables as real .docx/.pptx/.xlsx
+  * archives on local disk, so the `binaryFile` load → parse path runs
+  * against genuine zip+XML bytes while staying DuckDB-checkable (the parsed
+  * text round-trips to expressions over the original tables).
+  *
+  * Generation is test scaffolding, not an operator: it collects the (small)
+  * source slice once per (scale factor, kind) into the JVM temp dir and is
+  * skipped via a success marker afterwards — the benched work is the
+  * distributed read+parse, never this writer.
+  */
+object ParseFixtures {
+
+  /** One .docx per `documents` row (`doc_<id>.docx`, body = the whole text
+    * as a single paragraph). */
+  def docxDir(spark: SparkSession, sfDir: String): String =
+    cached(sfDir, "docx") { out =>
+      docRows(spark, sfDir, None).foreach { case (id, text) =>
+        Files.write(out.resolve(s"doc_$id.docx"), ParsingTools.makeDocx(Seq(text)))
+      }
+    }
+
+  /** A single deck with one slide per `documents` row with doc_id < `n`,
+    * slides in doc_id order. */
+  def pptxDir(spark: SparkSession, sfDir: String, n: Int): String =
+    cached(sfDir, s"pptx$n") { out =>
+      val slides = docRows(spark, sfDir, Some(n)).map { case (_, text) => Seq(text) }
+      Files.write(out.resolve("deck.pptx"), ParsingTools.makePptx(slides))
+    }
+
+  /** A single workbook of the `nation` table (key, name, regionkey), rows in
+    * n_nationkey order. */
+  def xlsxDir(spark: SparkSession, sfDir: String): String =
+    cached(sfDir, "xlsx") { out =>
+      val rows = spark.read.parquet(s"$sfDir/nation.parquet")
+        .selectExpr("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+        .collect()
+        .map(r => Seq(r.get(0).toString, r.get(1).toString, r.get(2).toString))
+        .toSeq
+      Files.write(out.resolve("nation.xlsx"),
+        ParsingTools.makeXlsx(Seq("n_nationkey", "n_name", "n_regionkey"), rows))
+    }
+
+  private def docRows(spark: SparkSession, sfDir: String, limitId: Option[Int]): Seq[(Long, String)] = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val slice = limitId.map(n => docs.filter(s"doc_id < $n")).getOrElse(docs)
+    slice.selectExpr("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+  }
+
+  /** tmpdir/graft_parsefix_<sf>_<kind>; generated once, marker-guarded. */
+  private def cached(sfDir: String, kind: String)(gen: Path => Unit): String =
+    synchronized {
+      val sf = Paths.get(sfDir).getFileName.toString
+      val out = Paths.get(sys.props("java.io.tmpdir"), s"graft_parsefix_${sf}_$kind")
+      val marker = out.resolve("_SUCCESS")
+      if (!Files.exists(marker)) {
+        Files.createDirectories(out)
+        gen(out)
+        Files.write(marker, Array.emptyByteArray)
+      }
+      out.toString
+    }
+}

@@ -1,0 +1,278 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+/** Pure-JVM document parsers — the JVM-feasible subset of the reference's
+  * parsing tools (reference docetl/parsing_tools.py:100-226: txt_to_string,
+  * docx_to_string, xlsx_to_string, pptx_to_string). Office OOXML formats are
+  * zip archives of XML parts, so `java.util.zip` + the JDK's StAX reader
+  * cover them with no external codecs. Audio (whisper) and OCR parsers need
+  * native models and are out of sandbox scope — their load path
+  * (`binaryFile` datasets) is shared with these.
+  *
+  * Every parser maps one file's bytes to a list of documents, mirroring the
+  * reference contract where each returned string becomes its own item copy
+  * (dataset.py `_apply_parsing_tools`).
+  *
+  * The matching `make*` writers build minimal valid archives for the same
+  * parts the parsers read. They exist for round-trip tests and fixtures, and
+  * double as simple sinks.
+  */
+object ParsingTools {
+
+  // -------------------------------------------------------------- readers
+
+  /** UTF-8 decode, one document (parsing_tools.py:157). */
+  def txtToString(bytes: Array[Byte]): Seq[String] = Seq(new String(bytes, UTF_8))
+
+  /** Word: paragraphs of `word/document.xml` (`<w:p>`, runs' `<w:t>` text)
+    * joined by newline, one document (parsing_tools.py:172-186). */
+  def docxToString(bytes: Array[Byte]): Seq[String] = {
+    val xml = zipEntry(bytes, "word/document.xml").getOrElse(return Seq(""))
+    Seq(paragraphText(xml, para = "p", text = "t").mkString("\n"))
+  }
+
+  /** PowerPoint: slides in `ppt/slides/slideN.xml` numeric order; per slide
+    * the text-body paragraphs (`<a:p>` of each `<p:txBody>`) joined by
+    * newline (parsing_tools.py:189-226). `docPerSlide` returns one document
+    * per slide instead of one for the deck. */
+  def pptxToString(bytes: Array[Byte], docPerSlide: Boolean = false): Seq[String] = {
+    val SlideName = raw"ppt/slides/slide(\d+)\.xml".r
+    val slides = zipEntries(bytes) { name =>
+      name match { case SlideName(n) => Some(n.toInt); case _ => None }
+    }.sortBy(_._1).map { case (_, xml) => paragraphText(xml, para = "p", text = "t").mkString("\n") }
+    if (docPerSlide) slides else Seq(slides.mkString("\n"))
+  }
+
+  /** Excel: cell grid of each `xl/worksheets/sheetN.xml` (shared-string,
+    * inline-string and literal cells), rendered like the reference
+    * (parsing_tools.py:100-153): first row is the header row; `col`
+    * orientation emits "header: v1\nv2…" blocks separated by blank lines,
+    * `row` orientation emits one "h1: v1 | h2: v2" line per data row.
+    * Default is the first sheet only; `docPerSheet` yields one document per
+    * sheet. */
+  def xlsxToString(bytes: Array[Byte], orientation: String = "col",
+      docPerSheet: Boolean = false): Seq[String] = {
+    val shared: IndexedSeq[String] =
+      zipEntry(bytes, "xl/sharedStrings.xml")
+        .map(xml => paragraphText(xml, para = "si", text = "t").toIndexedSeq)
+        .getOrElse(IndexedSeq.empty)
+    val SheetName = raw"xl/worksheets/sheet(\d+)\.xml".r
+    val sheets = zipEntries(bytes) { name =>
+      name match { case SheetName(n) => Some(n.toInt); case _ => None }
+    }.sortBy(_._1).map { case (_, xml) => renderSheet(parseSheet(xml, shared), orientation) }
+    if (docPerSheet) sheets else sheets.take(1)
+  }
+
+  private def renderSheet(grid: Seq[Map[Int, String]], orientation: String): String = {
+    if (grid.isEmpty) return ""
+    val headerRow = grid.head
+    val nCols = (grid.iterator.flatMap(_.keys) ++ Iterator(-1)).max + 1
+    val headers = (0 until nCols).map(i => headerRow.getOrElse(i, ""))
+    val data = grid.tail
+    if (orientation == "row")
+      data.map { r =>
+        headers.zipWithIndex.collect {
+          case (h, i) if h.nonEmpty => s"$h: ${r.getOrElse(i, "")}"
+        }.mkString(" | ")
+      }.mkString("\n")
+    else
+      headers.zipWithIndex.flatMap { case (h, i) =>
+        Seq(s"$h: " + data.map(_.getOrElse(i, "")).mkString("\n"), "")
+      }.mkString("\n")
+  }
+
+  /** Sheet XML -> row-major sparse grid of rendered cell values. */
+  private def parseSheet(xml: Array[Byte], shared: IndexedSeq[String]): Seq[Map[Int, String]] = {
+    val rows = Seq.newBuilder[Map[Int, String]]
+    var row: Map[Int, String] = null
+    var cellCol = -1; var cellType = ""; var inV = false; var inIsT = false
+    val sb = new StringBuilder
+    val r = reader(xml)
+    try while (r.hasNext) r.next() match {
+      case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+        case "row" => row = Map.empty
+        case "c" =>
+          val ref = attr(r, "r")
+          cellCol = if (ref == null) (if (row == null) 0 else row.size)
+                    else colIndex(ref.takeWhile(_.isLetter))
+          cellType = Option(attr(r, "t")).getOrElse("")
+          sb.clear()
+        case "v" => inV = true
+        case "t" if cellType == "inlineStr" => inIsT = true
+        case _ =>
+      }
+      case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+        if (inV || inIsT) sb.append(r.getText)
+      case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+        case "v" => inV = false
+        case "t" => inIsT = false
+        case "c" if cellCol >= 0 =>
+          val raw = sb.toString
+          val value = cellType match {
+            case "s" => raw.toIntOption.flatMap(shared.lift).getOrElse("")
+            case "b" => if (raw == "1") "true" else "false"
+            case _ => raw // n, str, inlineStr accumulate the same way
+          }
+          if (row != null && value.nonEmpty) row += cellCol -> value
+          cellCol = -1
+        case "row" => rows += row; row = null
+        case _ =>
+      }
+      case _ =>
+    } finally r.close()
+    rows.result()
+  }
+
+  /** "AB" -> 27: spreadsheet column letters to 0-based index. */
+  private[graft] def colIndex(letters: String): Int =
+    letters.foldLeft(0)((acc, c) => acc * 26 + (c.toUpper - 'A' + 1)) - 1
+
+  // ------------------------------------------------------- xml/zip helpers
+
+  private def factory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    // Documents are untrusted bytes: no DTDs, no external entities.
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
+  private def reader(xml: Array[Byte]) =
+    factory.createXMLStreamReader(new ByteArrayInputStream(xml), "UTF-8")
+
+  private def attr(r: javax.xml.stream.XMLStreamReader, name: String): String = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      if (r.getAttributeLocalName(i) == name) return r.getAttributeValue(i)
+      i += 1
+    }
+    null
+  }
+
+  /** Concatenated text of every `<text>` descendant, grouped per `<para>`
+    * element — the shared shape of docx paragraphs, pptx text bodies and
+    * xlsx shared strings (namespace-insensitive by local name). */
+  private def paragraphText(xml: Array[Byte], para: String, text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0 // nesting count of `para` elements (w:p never nests, a:p can't either)
+    var inText = false
+    val r = reader(xml)
+    try while (r.hasNext) r.next() match {
+      case XMLStreamConstants.START_ELEMENT =>
+        val n = r.getLocalName
+        if (n == para) { if (depth == 0) sb.clear(); depth += 1 }
+        else if (n == text && depth > 0) inText = true
+        else if ((n == "br" || n == "tab") && depth > 0)
+          sb.append(if (n == "tab") '\t' else '\n')
+      case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+        if (inText) sb.append(r.getText)
+      case XMLStreamConstants.END_ELEMENT =>
+        val n = r.getLocalName
+        if (n == para) { depth -= 1; if (depth == 0) out += sb.toString }
+        else if (n == text) inText = false
+      case _ =>
+    } finally r.close()
+    out.result()
+  }
+
+  private def zipEntry(bytes: Array[Byte], name: String): Option[Array[Byte]] =
+    zipEntries(bytes)(n => if (n == name) Some(0) else None).headOption.map(_._2)
+
+  /** All zip entries whose name `select`s, with the selector's key. */
+  private def zipEntries[K](bytes: Array[Byte])(select: String => Option[K]): Seq[(K, Array[Byte])] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = Seq.newBuilder[(K, Array[Byte])]
+    try {
+      var e: ZipEntry = zin.getNextEntry
+      while (e != null) {
+        select(e.getName).foreach(k => out += k -> zin.readAllBytes())
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.result()
+  }
+
+  // -------------------------------------------------------------- writers
+
+  private def esc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    .replace("\"", "&quot;")
+
+  private def zip(entries: (String, String)*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    entries.foreach { case (name, content) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes(UTF_8))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private val ContentTypes =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+      |<Default Extension="xml" ContentType="application/xml"/>
+      |</Types>""".stripMargin
+
+  /** One paragraph per element. */
+  def makeDocx(paragraphs: Seq[String]): Array[Byte] = {
+    val body = paragraphs.map(p =>
+      s"<w:p><w:r><w:t xml:space=\"preserve\">${esc(p)}</w:t></w:r></w:p>").mkString
+    zip(
+      "[Content_Types].xml" -> ContentTypes,
+      "word/document.xml" ->
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+           |<w:body>$body</w:body></w:document>""".stripMargin)
+  }
+
+  /** One slide per outer element; inner elements are the slide's paragraphs
+    * (all in a single text body). */
+  def makePptx(slides: Seq[Seq[String]]): Array[Byte] = {
+    val slideEntries = slides.zipWithIndex.map { case (paras, i) =>
+      val body = paras.map(p =>
+        s"<a:p><a:r><a:t>${esc(p)}</a:t></a:r></a:p>").mkString
+      s"ppt/slides/slide${i + 1}.xml" ->
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"
+           | xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">
+           |<p:cSld><p:spTree><p:sp><p:txBody>$body</p:txBody></p:sp></p:spTree></p:cSld></p:sld>""".stripMargin
+    }
+    zip(("[Content_Types].xml" -> ContentTypes) +: slideEntries: _*)
+  }
+
+  /** Single sheet; first row is the header row. Cells are written as inline
+    * strings, so the archive needs no shared-string part. */
+  def makeXlsx(headers: Seq[String], rows: Seq[Seq[String]]): Array[Byte] = {
+    def cellRef(rowIdx: Int, colIdx: Int): String = {
+      var c = colIdx + 1; val sb = new StringBuilder
+      while (c > 0) { sb.insert(0, ('A' + (c - 1) % 26).toChar); c = (c - 1) / 26 }
+      sb.toString + (rowIdx + 1)
+    }
+    val allRows = headers +: rows
+    val body = allRows.zipWithIndex.map { case (cells, ri) =>
+      val cs = cells.zipWithIndex.map { case (v, ci) =>
+        s"""<c r="${cellRef(ri, ci)}" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>"""
+      }.mkString
+      s"""<row r="${ri + 1}">$cs</row>"""
+    }.mkString
+    zip(
+      "[Content_Types].xml" -> ContentTypes,
+      "xl/workbook.xml" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |<sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+           |<sheetData>$body</sheetData></worksheet>""".stripMargin)
+  }
+}
