@@ -32,7 +32,7 @@ object Queries {
   /** (name, query, optional oracle SQL). Ordering = rough SURVEY §2 order. */
   lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
-    apiSurface ++ parsing
+    apiSurface ++ parsing ++ round5
 
   // ---------------------------------------------------------------- parsing
 
@@ -1075,6 +1075,63 @@ object Queries {
           targetRecall = 0.9), client, client)
           .select("doc_id"),
       Some("SELECT doc_id FROM documents WHERE len(text) % 2 = 0")
+    ))
+
+  // ---------------------------------------------------------------- round 5
+
+  /** Round-5 surface: enum-constrained outputs, custom key-subset sampling,
+    * stratified top-k retrieval. */
+  private def round5: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // enum[...] output schema (reference validation.py:155-160): allowed
+      // values ride the StructField metadata; the mock picks
+      // allowed[len(prompt) mod n], mirrored by list_extract below.
+      "q57_enum_map",
+      (s: SparkSession, dir: String) =>
+        SemanticMap(t(s, dir, "documents"), SemanticMapConfig(
+          name = "q57", prompt = "{{ input.text }}",
+          outputSchema = Seq("urgency" -> "enum[low, medium, high]")), client)
+          .select("doc_id", "urgency"),
+      Some("""
+        SELECT doc_id,
+               list_extract(['low','medium','high'], 1 + len(text) % 3) AS urgency
+        FROM documents""")
+    ),
+    (
+      // `custom` sampling (reference sample.py:262): keep rows matching any
+      // of the given key subsets — a broadcast semi-join, not a driver loop.
+      "q58_sample_custom",
+      (s: SparkSession, dir: String) => {
+        val nation = t(s, dir, "nation")
+        import s.implicits._
+        val samples = Seq(1, 3, 5, 9).toDF("n_nationkey")
+          .select(col("n_nationkey").cast(nation.schema("n_nationkey").dataType))
+        SampleOp.custom(nation, samples)
+          .select(col("n_nationkey").cast("long"), col("n_name"))
+      },
+      Some("""
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+        FROM nation WHERE n_nationkey IN (1, 3, 5, 9)""")
+    ),
+    (
+      // Per-stratum top-k (reference topk.py:184-188 stratify_key): one
+      // window keyed on (label, score) — the stratified variant of q18.
+      "q59_topk_stratified",
+      (s: SparkSession, dir: String) =>
+        TopKOp.embeddingStratified(t(s, dir, "embeddings"), "embedding",
+          queryVec, 3, "label", tieBreak = Seq("vec_id"))
+          .select(col("vec_id"), col("label").cast("long"),
+            round(col("_score"), 6).as("score")),
+      Some(s"""
+        WITH s AS (SELECT vec_id, label,
+          list_dot_product(CAST(embedding AS DOUBLE[]), $queryVecSql)
+            / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * $queryNormSql) AS raw
+          FROM embeddings),
+        r AS (SELECT vec_id, label, raw,
+          row_number() OVER (PARTITION BY label ORDER BY raw DESC, vec_id) AS rn FROM s)
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(round(raw, 6) AS DOUBLE) AS score
+        FROM r WHERE rn <= 3""")
     ))
 
 }

@@ -68,10 +68,32 @@ object Pipeline {
           maxRetries = l.intOr("max_retries", 2))
     }
 
+  /** Per-op row-count record (reference containers.py:466 captures per-op
+    * selectivities during optimizer sample runs). */
+  final case class OpStat(step: String, op: String, rowsIn: Long, rowsOut: Long) {
+    def selectivity: Double = if (rowsIn == 0) 0.0 else rowsOut.toDouble / rowsIn
+  }
+
   /** Like [[run]] but also returns every named step's output, for
     * inspection (schemas, intermediate sampling). */
   def runWithSteps(conf: Conf, spark: SparkSession,
       client0: LlmClient = MockLlmClient()): (DataFrame, Seq[(String, DataFrame)]) = {
+    val (r, s, _) = runImpl(conf, spark, client0, track = false)
+    (r, s)
+  }
+
+  /** Instrumented run: additionally counts rows in/out of EVERY op and
+    * returns the per-op selectivities — the run-on-sample feedback the
+    * reference's optimizer records (containers.py:454-466). Counting forces
+    * each op's output to materialize (it is persisted first, so the chain
+    * executes once, not quadratically); use on samples, not the full corpus.
+    * The instrumentation caches are dropped before returning. */
+  def runInstrumented(conf: Conf, spark: SparkSession,
+      client0: LlmClient = MockLlmClient()): (DataFrame, Seq[(String, DataFrame)], Seq[OpStat]) =
+    runImpl(conf, spark, client0, track = true)
+
+  private def runImpl(conf: Conf, spark: SparkSession,
+      client0: LlmClient, track: Boolean): (DataFrame, Seq[(String, DataFrame)], Seq[OpStat]) = {
     // An `llm:` block in the config wins over the caller's default client.
     val client = clientFor(conf, client0)
     val datasets = scala.collection.mutable.Map[String, DataFrame]()
@@ -122,15 +144,30 @@ object Pipeline {
       if (planRewrites) Rewrites(resolved) else resolved
     }
 
-    def applyOps(df0: DataFrame, baseHash: String, step: Conf, ctx: OpContext): (DataFrame, String) =
+    val opStats = scala.collection.mutable.ArrayBuffer[OpStat]()
+    val instrCaches = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+    def applyOps(df0: DataFrame, baseHash: String, step: Conf, ctx: OpContext): (DataFrame, String) = {
+      var rowsIn = if (track) df0.count() else -1L
       resolveOps(step).foldLeft((df0, baseHash)) { case ((df, h), opConf) =>
         val h2 = CheckpointStore.rollingHash(h, opConf)
         val out = store.flatMap(_.load(spark, h2)).getOrElse {
           val computed = Registry(opConf("type").str)(df, opConf, ctx)
           store.map(_.save(computed, h2)).getOrElse(computed)
         }
-        (out, h2)
+        if (track) {
+          // Persist before counting so each op executes once (the next op's
+          // count reads this cache instead of re-running the whole prefix).
+          val cached = out.persist()
+          instrCaches += cached
+          val n = cached.count()
+          opStats += OpStat(step("name").str,
+            opConf.strOr("name", opConf("type").str), rowsIn, n)
+          rowsIn = n
+          (cached, h2)
+        } else (out, h2)
       }
+    }
 
     var last: Option[DataFrame] = None
     val stepOutputs = scala.collection.mutable.ArrayBuffer[(String, DataFrame)]()
@@ -259,7 +296,10 @@ object Pipeline {
           throw new IllegalArgumentException("output needs `path` or `table`")
       }
     }
-    (result, stepOutputs.toSeq)
+    // Instrumentation caches served their purpose (single execution per op);
+    // don't leak them past the run — recomputation is the caller's choice.
+    instrCaches.foreach(_.unpersist())
+    (result, stepOutputs.toSeq, opStats.toSeq)
   }
 
   def runYaml(yaml: String, spark: SparkSession,

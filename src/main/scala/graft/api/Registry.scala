@@ -43,7 +43,7 @@ object Registry {
       skipOnError = c.boolOr("skip_on_error", false),
       bypassCache = c.boolOr("bypass_cache", false),
       gleaning = c.get("gleaning").map(g => GleaningConfig(
-        g("validation_prompt").str, g.intOr("num_rounds", 2))),
+        g("validation_prompt").str, g.intOr("num_rounds", 2), g.get("if").map(_.str))),
       enableObservability = c.boolOr("enable_observability", false),
       batchPrompt = c.boolOr("batch_prompt", false),
       callsPerMinute = c.dblOr("calls_per_minute", 0),
@@ -95,20 +95,35 @@ object Registry {
       limitSmallestGroups = c.get("limit").map(_.int),
       enableObservability = c.boolOr("enable_observability", false),
       gleaning = c.get("gleaning").map(g => GleaningConfig(
-        g("validation_prompt").str, g.intOr("num_rounds", 2))),
+        g("validation_prompt").str, g.intOr("num_rounds", 2), g.get("if").map(_.str))),
       skipOnError = c.boolOr("skip_on_error", false)), ctx.client)
   }
   register("resolve") { (df, c, ctx) =>
-    ResolveOp(df, ResolveOp.Config(
+    val cfg = ResolveOp.Config(
       name = c("name").str,
       idKey = c("id_key").str,
-      blockExpr = c("block_expr").str,
+      // with embedding blocking the block_expr is unused (candidates come
+      // from LSH buckets) — allow omitting it
+      blockExpr = c.strOr("block_expr", "NULL"),
       compareExpr = c("compare_expr").str,
       resolveKeys = c("resolve_keys").strList,
       model = c.strOr("model", "mock"),
       autoMatchOnBlockEquality = c.boolOr("auto_match", false),
       maxIter = c.intOr("max_iter", 20),
-      limitComparisons = c.get("limit_comparisons").map(_.int)), ctx.client)
+      limitComparisons = c.get("limit_comparisons").map(_.int),
+      cascade = c.get("cascade").map(cas => CascadeCompare.Config(
+        proxyModel = cas.strOr("proxy_model", "proxy"),
+        oracleModel = cas.strOr("oracle_model", "oracle"),
+        targetPrecision = cas.dblOr("target_precision", 0.9),
+        calibrationSize = cas.intOr("calibration_size", 100))))
+    c.get("blocking") match {
+      case Some(b) if b.strOr("method", "") == "embedding" =>
+        ResolveOp.withEmbeddingBlocking(df, cfg, b("embedding_key").str, b("dim").int,
+          ctx.client, b.dblOr("target_recall", 0.95), b.intOr("sample_size", 100))
+      case Some(b) => throw new IllegalArgumentException(
+        s"unknown resolve blocking method '${b.strOr("method", "")}' (embedding)")
+      case None => ResolveOp(df, cfg, ctx.client)
+    }
   }
   register("split") { (df, c, _) =>
     c.strOr("method", "token_count") match {
@@ -144,27 +159,57 @@ object Registry {
       case "outliers" => SampleOp.outliers(df, c("embedding_key").str,
         c.get("std").map(_.dbl), c.get("samples").map(_.int),
         c.boolOr("keep", true), c.get("tie_break").map(_.strList).getOrElse(Nil))
+      case "custom" =>
+        // `samples:` is an inline list of key-subset rows (reference
+        // sample.py:262,:49-51); values arrive as YAML scalars and cast to
+        // the matched columns' types, then keep = broadcast semi-join.
+        val samplesList = c("samples").asList
+        require(samplesList.nonEmpty, "custom sampling needs a non-empty `samples` list")
+        val keys = samplesList.head.asOrderedMap.map(_._1)
+        val rows = samplesList.map(m =>
+          org.apache.spark.sql.Row(keys.map(k => String.valueOf(m(k).value)): _*))
+        val strSchema = org.apache.spark.sql.types.StructType(keys.map(k =>
+          org.apache.spark.sql.types.StructField(k, org.apache.spark.sql.types.StringType)))
+        val sdf0 = ctx.spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), strSchema)
+        val sdf = keys.foldLeft(sdf0)((d, k) =>
+          d.withColumn(k, org.apache.spark.sql.functions.col(k).cast(df.schema(k).dataType)))
+        SampleOp.custom(df, sdf)
       case m => throw new IllegalArgumentException(s"unknown sample method $m")
     }
   }
-  register("topk") { (df, c, _) =>
+  register("topk") { (df, c, ctx) =>
+    val tieBreak = c.get("tie_break").map(_.strList).getOrElse(Nil)
     c("method").str match {
-      case "embedding" => TopKOp.embedding(df, c("embedding_key").str,
-        c("query_vector").asList.map(_.dbl).toArray, c("k").int,
-        c.get("tie_break").map(_.strList).getOrElse(Nil))
+      case "embedding" => c.get("stratify_key") match {
+        case Some(sk) => TopKOp.embeddingStratified(df, c("embedding_key").str,
+          c("query_vector").asList.map(_.dbl).toArray, c("k").int, sk.str, tieBreak)
+        case None => TopKOp.embedding(df, c("embedding_key").str,
+          c("query_vector").asList.map(_.dbl).toArray, c("k").int, tieBreak)
+      }
       case "fts" => TopKOp.bm25(df, c("text_key").str, c("query").str.split("\\s+").toSeq,
-        c("k").int, c.get("tie_break").map(_.strList).getOrElse(Nil))
+        c("k").int, tieBreak)
+      case "llm_compare" => TopKOp.llmCompare(df, c("name").str, c("prompt").str,
+        c("k").int, ctx.client, c.strOr("model", "mock"), tieBreak)
       case m => throw new IllegalArgumentException(s"unknown topk method $m")
     }
   }
   register("rank") { (df, c, ctx) =>
+    val tieBreak = c.get("tie_break").map(_.strList).getOrElse(Nil)
     c("method").str match {
       case "embedding" => RankOp.byEmbedding(df, c("embedding_key").str,
         c("query_vector").asList.map(_.dbl).toArray, c.strOr("direction", "desc"),
-        c.get("tie_break").map(_.strList).getOrElse(Nil))
+        tieBreak)
       case "likert" => RankOp.byLikert(df, c("name").str, c("prompt").str, ctx.client,
-        c.strOr("model", "mock"), c.strOr("direction", "desc"),
-        c.get("tie_break").map(_.strList).getOrElse(Nil))
+        c.strOr("model", "mock"), c.strOr("direction", "desc"), tieBreak)
+      case "calibrated" => RankOp.byCalibratedEmbedding(df, c("name").str,
+        c("embedding_key").str, c("prompt_expr").str, ctx.client,
+        c.strOr("model", "mock"), c.intOr("sample_size", 10),
+        c.strOr("direction", "desc"), tieBreak)
+      case "pairwise" => RankOp.byPairwise(df, c("name").str, c("id_key").str,
+        c("render_expr").str, ctx.client, c.strOr("model", "mock"), tieBreak,
+        c.strOr("block_expr", ""), c.intOr("max_rows", 1000))
       case m => throw new IllegalArgumentException(s"unknown rank method $m")
     }
   }
@@ -186,9 +231,17 @@ object Registry {
     AddUuid(df, c("name").str, c.get("id_key").map(_.str))
   }
   register("cluster") { (df, c, ctx) =>
-    ClusterOp(df, c("embedding_key").str, c("render_expr").str,
-      c.intOr("num_clusters", 8), ctx.client, c.strOr("model", "mock"),
-      c.strOr("output_key", "clusters"))
+    c.strOr("method", "flat") match {
+      case "flat" => ClusterOp(df, c("embedding_key").str, c("render_expr").str,
+        c.intOr("num_clusters", 8), ctx.client, c.strOr("model", "mock"),
+        c.strOr("output_key", "clusters"))
+      case "hierarchical" => ClusterOp.hierarchical(df, c("embedding_key").str,
+        c("render_expr").str, c.intOr("depth", 3), ctx.client,
+        c.strOr("model", "mock"), c.strOr("output_key", "clusters"),
+        c.intOr("max_summary_members", 10), c.intOr("seed", 42).toLong,
+        c.get("collapse").map(_.dbl), c.intOr("sample_size_per_node", 1000))
+      case m => throw new IllegalArgumentException(s"unknown cluster method $m (flat | hierarchical)")
+    }
   }
   register("dedup") { (df, c, _) =>
     c("method").str match {

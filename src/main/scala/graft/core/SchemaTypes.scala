@@ -52,9 +52,29 @@ object SchemaTypes {
     else None
   }
 
-  /** A declared output schema (name -> type-string) as a StructType. */
+  /** Metadata key carrying an enum field's allowed values through the
+    * StructType — the channel by which clients (mock, HTTP json-schema)
+    * learn the constraint, since Spark has no enum DataType. */
+  val EnumMetadataKey = "graft.enum"
+
+  /** A declared output schema (name -> type-string) as a StructType.
+    * `enum[...]` fields become StringType with the allowed values attached
+    * as field metadata (reference validation.py:155-160 emits a JSON-schema
+    * enum; clients read [[EnumMetadataKey]] to apply the same constraint). */
   def toStruct(schema: Seq[(String, String)]): StructType =
-    StructType(schema.map { case (k, v) => StructField(k, parse(v)) })
+    StructType(schema.map { case (k, v) =>
+      enumValues(v) match {
+        case Some(vals) => StructField(k, StringType, nullable = true,
+          new MetadataBuilder().putStringArray(EnumMetadataKey, vals.toArray).build())
+        case None => StructField(k, parse(v))
+      }
+    })
+
+  /** Allowed enum values attached to a field, if any. */
+  def enumOf(f: StructField): Option[Seq[String]] =
+    if (f.metadata.contains(EnumMetadataKey))
+      Some(f.metadata.getStringArray(EnumMetadataKey).toSeq)
+    else None
 
   /** Split on commas that are not nested inside [], {} (for struct bodies). */
   private def splitTopLevel(s: String): Seq[String] = {

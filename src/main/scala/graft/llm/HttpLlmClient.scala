@@ -90,7 +90,11 @@ final case class HttpLlmClient(
         st.fields.map(f => s"${f.name}: ${tpe(f.dataType)}").mkString("object {", ", ", "}")
       case other                 => other.simpleString
     }
-    schema.fields.map(f => s""""${f.name}" (${tpe(f.dataType)})""").mkString(
+    schema.fields.map { f =>
+      val constraint = graft.core.SchemaTypes.enumOf(f)
+        .map(vs => s", one of: ${vs.mkString("\"", "\" | \"", "\"")}").getOrElse("")
+      s""""${f.name}" (${tpe(f.dataType)}$constraint)"""
+    }.mkString(
       "Respond with a single JSON object with exactly these fields: ", ", ", ".")
   }
 

@@ -22,6 +22,7 @@ import org.apache.spark.sql.types._
   *   - any other float:    len(prompt) / 10.0
   *   - any other str:      "mock:" + first 16 chars of prompt
   *   - list[str]:          first 3 whitespace tokens of the prompt
+  *   - enum[...] fields (via StructField metadata): allowed[len(prompt) mod n]
   *
   * `costPerCall` is accumulated by the runner exactly like the reference's
   * per-op float cost (reference docetl/operations/base.py:190-205).
@@ -52,7 +53,14 @@ final case class MockLlmClient(costPerCall: Double = 1e-4) extends LlmClient {
   }
 
   private def respond(model: String, prompt: String, schema: StructType): LlmResponse = {
-    val values = schema.fields.map(f => f.name -> mockValue(f.name, f.dataType, prompt)).toMap
+    val values = schema.fields.map { f =>
+      f.name -> (graft.core.SchemaTypes.enumOf(f) match {
+        // enum fields: a constrained deterministic pick, SQL-mirrorable as
+        // list_extract(values, 1 + len(prompt) % n)
+        case Some(vals) => vals(prompt.length % vals.length)
+        case None => mockValue(f.name, f.dataType, prompt)
+      })
+    }.toMap
     LlmResponse(values, costPerCall,
       inputTokens = prompt.length / 4 + 1, outputTokens = schema.fields.length * 4L)
   }

@@ -18,7 +18,107 @@ import graft.llm.{LlmCache, LlmClient, Template}
   */
 final case class GleaningConfig(
     validationPrompt: String,
-    numRounds: Int = 2)
+    numRounds: Int = 2,
+    /** Optional boolean expression over the current output gating each
+      * gleaning round (reference base.py:49-53 `if`, api.py:1543-1570
+      * `should_glean`): rounds run only while it evaluates true; evaluation
+      * errors skip gleaning (the reference's safe_eval returns False on
+      * failure). Grammar: `output.<field> <op> <literal>` with
+      * == != < <= > >=, bare `output.<field>` truthiness, combined with
+      * `and` / `or` / `not`. */
+    ifCondition: Option[String] = None) {
+
+  /** Should a gleaning round run for this output? */
+  def shouldGlean(output: Map[String, Any]): Boolean = ifCondition match {
+    case None => true
+    case Some(cond) =>
+      try GleanCondition.eval(cond, output) catch { case _: Exception => false }
+  }
+}
+
+/** Tiny boolean-expression evaluator for gleaning `if` conditions — the
+  * sandboxed analog of the reference's asteval-based safe_eval
+  * (reference validation.py:125-134), restricted to comparisons over
+  * `output.*` fields. */
+private[ops] object GleanCondition {
+
+  def eval(cond: String, output: Map[String, Any]): Boolean = orExpr(cond.trim, output)
+
+  private def orExpr(s: String, out: Map[String, Any]): Boolean =
+    splitTop(s, " or ").exists(andExpr(_, out))
+  private def andExpr(s: String, out: Map[String, Any]): Boolean =
+    splitTop(s, " and ").forall(notExpr(_, out))
+  private def notExpr(s: String, out: Map[String, Any]): Boolean = {
+    val t = s.trim
+    if (t.startsWith("not ")) !atom(t.substring(4).trim, out) else atom(t, out)
+  }
+
+  private val CmpRe = raw"(?s)(.+?)\s*(==|!=|<=|>=|<|>)\s*(.+)".r
+
+  private def atom(s: String, out: Map[String, Any]): Boolean = s match {
+    case CmpRe(lhs, op, rhs) =>
+      val l = value(lhs.trim, out)
+      val r = value(rhs.trim, out)
+      (l, r) match {
+        case (a: Number, b: Number) =>
+          val (x, y) = (a.doubleValue, b.doubleValue)
+          op match {
+            case "==" => x == y; case "!=" => x != y
+            case "<" => x < y; case "<=" => x <= y
+            case ">" => x > y; case ">=" => x >= y
+          }
+        case (a, b) => op match {
+          case "==" => String.valueOf(a) == String.valueOf(b)
+          case "!=" => String.valueOf(a) != String.valueOf(b)
+          case other => throw new IllegalArgumentException(
+            s"ordering comparison $other needs numeric operands (got $a, $b)")
+        }
+      }
+    case _ => truthy(value(s, out))
+  }
+
+  private def value(s: String, out: Map[String, Any]): Any = s match {
+    case _ if s.startsWith("output.") => out.getOrElse(s.substring(7), null)
+    case "output" => out
+    case "True" | "true" => true
+    case "False" | "false" => false
+    case "None" | "null" => null
+    case _ if s.length >= 2 &&
+      ((s.head == '\'' && s.last == '\'') || (s.head == '"' && s.last == '"')) =>
+      s.substring(1, s.length - 1)
+    case _ if s.matches(raw"-?\d+") => s.toLong
+    case _ if s.matches(raw"-?\d*\.\d+") => s.toDouble
+    case other => throw new IllegalArgumentException(s"unsupported condition term: $other")
+  }
+
+  private def truthy(v: Any): Boolean = v match {
+    case null => false
+    case b: Boolean => b
+    case s: String => s.nonEmpty
+    case n: Number => n.doubleValue != 0.0
+    case s: Seq[_] => s.nonEmpty
+    case m: Map[_, _] => m.nonEmpty
+    case _ => true
+  }
+
+  /** Split on a lowercase keyword separator outside quotes. */
+  private def splitTop(s: String, sep: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    var i = 0
+    var start = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; i += 1 }
+      else if (s.regionMatches(i, sep, 0, sep.length)) {
+        parts += s.substring(start, i); start = i + sep.length; i = start
+      } else i += 1
+    }
+    parts += s.substring(start)
+    parts.result()
+  }
+}
 
 final case class SemanticMapConfig(
     name: String,
@@ -219,7 +319,7 @@ object LlmRunner {
       gleaning.foreach { g =>
         var rounds = 0
         var continue = true
-        while (continue && rounds < g.numRounds) {
+        while (continue && rounds < g.numRounds && g.shouldGlean(values)) {
           val judgePrompt = s"${g.validationPrompt}\n${values.toSeq.sortBy(_._1).mkString(";")}"
           val judgeSchema = StructType(Seq(
             StructField("should_refine", BooleanType),

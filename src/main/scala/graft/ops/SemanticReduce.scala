@@ -47,9 +47,10 @@ object SemanticReduce {
       /** `first_n` (head in orderKey order), `random` (deterministic seeded
         * pick), `sem_sim` (top-k members by embedding cosine to
         * `valueSampleQuery` — reference "semantic_similarity"), or
-        * `diverse` (farthest-first over member embeddings — the
-        * cluster-representative analog). Members keep their orderKey order
-        * in every mode. */
+        * `diverse` (farthest-first over member embeddings), or `cluster`
+        * (k-means the members, one representative per cluster — reference
+        * "cluster" mode, reduce.py:457-492). Members keep their orderKey
+        * order in every mode. */
       valueSampleMode: String = "first_n",
       valueSampleQuery: Option[String] = None,
       valueSampleEmbedModel: String = "mock-embed",
@@ -163,7 +164,7 @@ object SemanticReduce {
             var v = initial
             var rounds = 0
             var continue = true
-            while (continue && rounds < g.numRounds) {
+            while (continue && rounds < g.numRounds && g.shouldGlean(v)) {
               val judgePrompt = s"${g.validationPrompt}\n${v.toSeq.sortBy(_._1).mkString(";")}"
               val verdict = graft.llm.LlmCache.getOrCompute(
                 s"${cfgB.model}|judge|$judgePrompt", {
@@ -237,6 +238,23 @@ private[graft] object ValueSampling {
         keepByIndex(allMembers,
           allMembers.indices.sortBy(i => (-cosine(embs(i), qe), i)).take(k))
       }
+    case "cluster" =>
+      // Cluster-representative sampling (reference reduce.py:457-492
+      // `_cluster_based_sampling`: k-means the members into k clusters, one
+      // member per cluster). Deterministic analog of the reference's
+      // random-per-cluster pick: each cluster contributes the member nearest
+      // its centroid (ties -> lowest index). Runs executor-local over the
+      // group's members — the embeddings never leave the task.
+      if (allMembers.size <= k) allMembers
+      else {
+        val embs = graft.llm.Cached.embed(client, embedModel, allMembers)
+        val assign = localKMeans(embs, k)
+        val reps = assign.zipWithIndex.groupBy(_._1._1).values.map { cluster =>
+          // (cluster id, dist to centroid) with original index
+          cluster.minBy { case ((_, d), i) => (d, i) }._2
+        }.toSeq
+        keepByIndex(allMembers, reps.sorted)
+      }
     case "diverse" => // farthest-first representatives
       if (allMembers.size <= k) allMembers
       else {
@@ -254,7 +272,51 @@ private[graft] object ValueSampling {
         keepByIndex(allMembers, selected.toSeq)
       }
     case other => throw new IllegalArgumentException(
-      s"unknown value_sample_mode '$other' (first_n | random | sem_sim | diverse)")
+      s"unknown value_sample_mode '$other' (first_n | random | sem_sim | diverse | cluster)")
+  }
+
+  /** Local Lloyd over the member embeddings: deterministic farthest-first
+    * init (first point, then repeatedly the point farthest from the chosen
+    * set), <=15 iterations. Returns per-point (cluster id, distance to its
+    * centroid). Members are O(group) and already in memory — this is the
+    * in-task analog of the reference's sklearn KMeans. */
+  private def localKMeans(
+      embs: Seq[Array[Float]], k: Int, maxIter: Int = 15): Seq[(Int, Double)] = {
+    def d2(a: Array[Float], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    var centroids: Array[Array[Double]] = {
+      val chosen = scala.collection.mutable.ArrayBuffer(0)
+      while (chosen.size < k) {
+        val next = embs.indices.filterNot(chosen.contains)
+          .maxBy(i => (chosen.map(c => d2(embs(i), embs(c).map(_.toDouble))).min, -i))
+        chosen += next
+      }
+      chosen.map(i => embs(i).map(_.toDouble)).toArray
+    }
+    var assign = Array.fill(embs.size)(0)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val next = embs.map(e => centroids.indices.minBy(c => (d2(e, centroids(c)), c))).toArray
+      moved = !java.util.Arrays.equals(next, assign)
+      assign = next
+      centroids = centroids.indices.map { c =>
+        val mine = embs.indices.filter(assign(_) == c)
+        if (mine.isEmpty) centroids(c)
+        else {
+          val dim = embs(mine.head).length
+          val sum = new Array[Double](dim)
+          mine.foreach { i => var j = 0; while (j < dim) { sum(j) += embs(i)(j); j += 1 } }
+          sum.map(_ / mine.size)
+        }
+      }.toArray
+      iter += 1
+    }
+    embs.indices.map(i => (assign(i), d2(embs(i), centroids(assign(i)))))
   }
 
   private def keepByIndex(members: Seq[String], idx: Seq[Int]): Seq[String] = {

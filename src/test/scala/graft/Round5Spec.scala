@@ -1,0 +1,362 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, size}
+import org.apache.spark.sql.types._
+
+import graft.api.Pipeline
+import graft.core.SchemaTypes
+import graft.llm.{LlmClient, MockLlmClient}
+import graft.ops.{GleaningConfig, SemanticMap, SemanticMapConfig, ValueSampling}
+
+/** Round-5: gleaning `if` gates, enum schemas, cluster value-sampling, the
+  * YAML surface for previously Scala-only methods, and instrumented runs. */
+class GleanConditionSpec extends SparkSpec {
+
+  private def gc(cond: String) = GleaningConfig("judge", 2, Some(cond))
+
+  test("comparisons over output fields") {
+    val out = Map[String, Any]("score" -> 3L, "label" -> "bad", "ok" -> true)
+    assert(gc("output.score < 5").shouldGlean(out))
+    assert(!gc("output.score >= 5").shouldGlean(out))
+    assert(gc("output.label == 'bad'").shouldGlean(out))
+    assert(!gc("output.label != 'bad'").shouldGlean(out))
+    assert(gc("output.score == 3.0").shouldGlean(out))
+  }
+
+  test("boolean combinators and truthiness") {
+    val out = Map[String, Any]("score" -> 3L, "label" -> "", "ok" -> true)
+    assert(gc("output.ok").shouldGlean(out))
+    assert(!gc("output.label").shouldGlean(out)) // empty string falsy
+    assert(gc("output.ok and output.score < 5").shouldGlean(out))
+    assert(!gc("output.ok and output.label").shouldGlean(out))
+    assert(gc("output.label or output.score == 3").shouldGlean(out))
+    assert(gc("not output.label").shouldGlean(out))
+  }
+
+  test("missing fields and evaluation errors skip gleaning (safe_eval parity)") {
+    val out = Map[String, Any]("score" -> 3L)
+    assert(!gc("output.nope").shouldGlean(out)) // missing -> null -> falsy
+    assert(!gc("output.score < 'x'").shouldGlean(out)) // type error -> false
+    assert(!gc("garbage !!").shouldGlean(out)) // parse error -> false
+    assert(GleaningConfig("judge", 2, None).shouldGlean(out)) // no gate -> glean
+  }
+}
+
+class GleaningIfGateSpec extends SparkSpec {
+
+  private def docs(prefix: String) = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    df(schema, (1 to 6).map(i => Row(i.toLong, s"$prefix doc nr $i")): _*)
+  }
+
+  test("a false if-condition suppresses every judge call") {
+    val client = MockLlmClient()
+    graft.llm.LlmCache.clear()
+    val before = client.callCount
+    // texts contain neither "fast" nor "slow" -> sentiment = neutral -> gate
+    // (sentiment == positive) is false -> exactly one call per row.
+    val out = SemanticMap(docs("r5gate-off"), SemanticMapConfig(
+      name = "g5a", prompt = "{{ input.text }}",
+      outputSchema = Seq("sentiment" -> "str"),
+      gleaning = Some(GleaningConfig("check quality", 2,
+        Some("output.sentiment == 'positive'")))), client)
+    assert(out.count() == 6)
+    assert(client.callCount - before == 6)
+  }
+
+  test("a true if-condition lets gleaning run") {
+    val client = MockLlmClient()
+    graft.llm.LlmCache.clear()
+    val before = client.callCount
+    val out = SemanticMap(docs("r5gate-on fast"), SemanticMapConfig(
+      name = "g5b", prompt = "{{ input.text }}",
+      outputSchema = Seq("sentiment" -> "str"),
+      gleaning = Some(GleaningConfig("check quality", 1,
+        Some("output.sentiment == 'positive'")))), client)
+    assert(out.count() == 6)
+    // every row pays at least the judge call on top of the initial one
+    assert(client.callCount - before >= 12)
+  }
+}
+
+class EnumOutputSpec extends SparkSpec {
+
+  test("enum[...] becomes StringType with allowed values in metadata") {
+    val st = SchemaTypes.toStruct(Seq("urgency" -> "enum[low, medium, high]"))
+    assert(st("urgency").dataType == StringType)
+    assert(SchemaTypes.enumOf(st("urgency")).contains(Seq("low", "medium", "high")))
+    assert(SchemaTypes.enumOf(StructField("x", StringType)).isEmpty)
+  }
+
+  test("mock client picks only allowed values, deterministically") {
+    val st = SchemaTypes.toStruct(Seq("c" -> "enum[red, green]"))
+    val client = MockLlmClient()
+    assert(client.complete("mock", "abc", st).values("c") == "green") // len 3 % 2
+    assert(client.complete("mock", "abcd", st).values("c") == "red")  // len 4 % 2
+  }
+
+  test("semantic map end-to-end constrains the output column") {
+    val schema = StructType(Seq(StructField("t", StringType)))
+    val d = df(schema, Row("aa"), Row("bbb"), Row("cccc"), Row("ddddd"))
+    val out = SemanticMap(d, SemanticMapConfig(
+      name = "e5", prompt = "{{ input.t }}",
+      outputSchema = Seq("level" -> "enum[a, b, c]")), MockLlmClient())
+    val got = out.select("level").collect().map(_.getString(0)).toSet
+    assert(got.subsetOf(Set("a", "b", "c")))
+  }
+}
+
+class ClusterValueSamplingSpec extends SparkSpec {
+  test("cluster mode picks one representative per embedding cluster") {
+    val vecs = Map(
+      "a1" -> Array(1f, 0f), "a2" -> Array(0.99f, 0.01f), "a3" -> Array(0.98f, 0f),
+      "b1" -> Array(0f, 1f), "b2" -> Array(0.01f, 0.99f))
+    val fixed = new LlmClient {
+      override def complete(model: String, prompt: String, schema: StructType) =
+        graft.llm.LlmResponse(Map.empty, 0.0)
+      override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] =
+        texts.map(vecs)
+    }
+    graft.llm.LlmCache.clear()
+    val out = ValueSampling(Seq("a1", "a2", "a3", "b1", "b2"), 2, "cluster", None, "m", fixed)
+    assert(out.size == 2)
+    // one member from the a-cluster, one from the b-cluster
+    assert(out.count(_.startsWith("a")) == 1 && out.count(_.startsWith("b")) == 1)
+    // deterministic across calls
+    val again = ValueSampling(Seq("a1", "a2", "a3", "b1", "b2"), 2, "cluster", None, "m", fixed)
+    assert(out == again)
+  }
+
+  test("groups at or below k pass through untouched") {
+    val fixed = new LlmClient {
+      override def complete(model: String, prompt: String, schema: StructType) =
+        graft.llm.LlmResponse(Map.empty, 0.0)
+      override def embed(model: String, texts: Seq[String]): Seq[Array[Float]] =
+        texts.map(_ => Array(1f))
+    }
+    assert(ValueSampling(Seq("x", "y"), 5, "cluster", None, "m", fixed) == Seq("x", "y"))
+  }
+}
+
+/** YAML/registry exposure for methods that were Scala-API-only (VERDICT r2
+  * "missing" #5): each config round-trips through Pipeline.runYaml. */
+class Round5YamlSpec extends SparkSpec {
+
+  private def writeDocs(name: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(name).toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/d.parquet")
+    s"$dir/d.parquet"
+  }
+
+  private def writeEmb(name: String, n: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory(name).toString
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("grp", LongType), StructField("emb", ArrayType(FloatType)),
+      StructField("t", StringType)))
+    val rows = (1 to n).map { i =>
+      val c = i % 2
+      Row(i.toLong, (i % 3).toLong,
+        Seq((c * 2.0 + (i % 5) * 0.01).toFloat, ((1 - c) * 2.0).toFloat),
+        s"member $i of cluster $c")
+    }
+    df(schema, rows: _*).write.mode("overwrite").parquet(s"$dir/d.parquet")
+    s"$dir/d.parquet"
+  }
+
+  test("rank calibrated via YAML matches the direct call") {
+    val path = writeEmb("r5rankcal", 30)
+    val out = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $path }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - { type: rank, name: rc, method: calibrated, embedding_key: emb,
+         |            prompt_expr: "t", sample_size: 4, tie_break: [id] }
+         |""".stripMargin, spark)
+    val direct = graft.ops.RankOp.byCalibratedEmbedding(
+      spark.read.parquet(path), "rc", "emb", "t", MockLlmClient(),
+      sampleSize = 4, tieBreak = Seq("id"))
+    assert(out.select("id", "_rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      direct.select("id", "_rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("rank pairwise via YAML (blocked) assigns ranks") {
+    val path = writeEmb("r5rankpw", 12)
+    val out = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $path }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - { type: rank, name: pw, method: pairwise, id_key: id,
+         |            render_expr: "t", block_expr: "id % 3", tie_break: [id] }
+         |""".stripMargin, spark)
+    assert(out.count() == 12 && out.columns.contains("_rank"))
+  }
+
+  test("topk llm_compare and stratified embedding via YAML") {
+    val path = writeEmb("r5topk", 20)
+    val lc = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $path }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - { type: topk, name: tk, method: llm_compare, k: 3,
+         |            prompt: "{{ input.t }}", tie_break: [id] }
+         |""".stripMargin, spark)
+    assert(lc.count() == 3)
+    val strat = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $path }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - { type: topk, name: tks, method: embedding, k: 2,
+         |            embedding_key: emb, query_vector: [1.0, 0.0],
+         |            stratify_key: grp, tie_break: [id] }
+         |""".stripMargin, spark)
+    // 3 strata x 2 per stratum
+    assert(strat.count() == 6)
+    assert(strat.groupBy("grp").count().collect().forall(_.getLong(1) == 2))
+  }
+
+  test("hierarchical cluster via YAML annotates root-to-leaf paths") {
+    val path = writeEmb("r5hier", 40)
+    val out = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $path }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - { type: cluster, name: hc, method: hierarchical, depth: 2,
+         |            embedding_key: emb, render_expr: "t" }
+         |""".stripMargin, spark)
+    // depth 2 -> root + 2 levels of summaries per row
+    assert(out.filter(size(col("clusters")) === 3).count() == 40)
+  }
+
+  test("custom sampling via YAML keeps only the listed key subsets") {
+    val path = writeDocs("r5custom")
+    val out = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $path }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - type: sample
+         |          name: sc
+         |          method: custom
+         |          samples:
+         |            - { doc_id: 1 }
+         |            - { doc_id: 3 }
+         |""".stripMargin, spark)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("resolve with embedding blocking via YAML merges exact duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("r5resblk").toString
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("emb", ArrayType(FloatType))))
+    // ids 1/2 identical (same name+embedding), 3/4 identical, 5 unique
+    val rows = Seq(
+      Row(1L, "acme corp", Seq(1f, 0f, 0f, 0f)),
+      Row(2L, "acme corp", Seq(1f, 0f, 0f, 0f)),
+      Row(3L, "globex", Seq(0f, 1f, 0f, 0f)),
+      Row(4L, "globex", Seq(0f, 1f, 0f, 0f)),
+      Row(5L, "initech", Seq(0f, 0f, 1f, 0f)))
+    df(schema, rows: _*).write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val out = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $dir/d.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - type: resolve
+         |          name: rb
+         |          id_key: id
+         |          compare_expr: "name"
+         |          resolve_keys: [name]
+         |          blocking: { method: embedding, embedding_key: emb, dim: 4,
+         |                      sample_size: 10 }
+         |""".stripMargin, spark)
+    // 1:1 cardinality, names canonicalized within duplicate pairs
+    assert(out.count() == 5)
+    val names = out.select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(names(1L) == names(2L) && names(3L) == names(4L))
+    assert(names(5L) == "initech")
+  }
+
+  test("reduce value_sample_mode cluster via YAML bounds the prompt") {
+    val path = writeDocs("r5redclu")
+    val out = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $path }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - type: reduce
+         |          name: rc5
+         |          reduce_key: [lang]
+         |          member_expr: "text"
+         |          order_key: doc_id
+         |          value_sample_size: 2
+         |          value_sample_mode: cluster
+         |          output: { schema: { summary: str } }
+         |""".stripMargin, spark)
+    val en = out.filter(col("lang") === "en").select("summary").head().getString(0)
+    // 5 en docs sampled down to 2 members -> summary reports docs=2
+    assert(en.startsWith("docs=2 "))
+    // counts still reflect the full group
+    val full = out.filter(col("lang") === "en")
+      .select(s"_counts_prereduce_rc5").head().getLong(0)
+    assert(full == 5L)
+  }
+}
+
+class InstrumentedRunSpec extends SparkSpec {
+  test("runInstrumented records per-op rows in/out and selectivity") {
+    val dir = java.nio.file.Files.createTempDirectory("r5instr").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val conf = graft.api.Conf.fromYaml(
+      s"""datasets:
+         |  d: { path: $dir/d.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - { type: code_map, name: m, outputs: { n_tok: "size(split(text, ' '))" } }
+         |        - { type: code_filter, name: f, predicate: "n_tok > 6" }
+         |""".stripMargin)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val (_, _, stats) = Pipeline.runInstrumented(conf, spark)
+    assert(stats.map(s => (s.step, s.op)) == Seq(("s", "m"), ("s", "f")))
+    val Seq(m, f) = stats
+    assert(m.rowsIn == 6 && m.rowsOut == 6 && m.selectivity == 1.0)
+    assert(f.rowsIn == 6 && f.rowsOut < 6)
+    assert(f.selectivity == f.rowsOut.toDouble / 6)
+    // instrumentation caches are released after the run
+    assert(spark.sparkContext.getPersistentRDDs.size <= persistedBefore)
+  }
+}
