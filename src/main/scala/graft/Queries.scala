@@ -1132,6 +1132,22 @@ object Queries {
         SELECT vec_id, CAST(label AS BIGINT) AS label,
                CAST(round(raw, 6) AS DOUBLE) AS score
         FROM r WHERE rn <= 3""")
+    ),
+    (
+      // Born-digital PDF text extraction (the JVM-feasible slice of the
+      // reference's pdf parsers): documents rows re-encoded as real
+      // FlateDecode PDFs, read back through binaryFile -> parse -> text.
+      "q60_parse_pdf",
+      (s: SparkSession, dir: String) => {
+        val fix = graft.sources.ParseFixtures.pdfDir(s, dir, 200)
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.pdf").load(fix)
+        graft.sources.ParseOp(files, graft.sources.ParseOp.Config(function = "pdf"))
+          .withColumn("doc_id",
+            regexp_extract(col("path"), raw"doc_(\d+)\.pdf", 1).cast("bigint"))
+          .select("doc_id", "text")
+      },
+      Some("SELECT doc_id, text FROM documents WHERE doc_id < 200")
     ))
 
 }

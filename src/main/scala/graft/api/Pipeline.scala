@@ -119,7 +119,8 @@ object Pipeline {
             outputKey = p.strOr("output_key", "text"),
             orientation = p.strOr("orientation", "col"),
             docPerSheet = p.boolOr("doc_per_sheet", false),
-            docPerSlide = p.boolOr("doc_per_slide", false)))
+            docPerSlide = p.boolOr("doc_per_slide", false),
+            docPerPage = p.boolOr("doc_per_page", false)))
         }
       hashes(name) = CheckpointStore.sha256(
         "dataset|" + d.strOr("format", "") + "|" + d("path").str +

@@ -96,6 +96,7 @@ object Registry {
       enableObservability = c.boolOr("enable_observability", false),
       gleaning = c.get("gleaning").map(g => GleaningConfig(
         g("validation_prompt").str, g.intOr("num_rounds", 2), g.get("if").map(_.str))),
+      persistIntermediates = c.boolOr("persist_intermediates", false),
       skipOnError = c.boolOr("skip_on_error", false)), ctx.client)
   }
   register("resolve") { (df, c, ctx) =>
@@ -302,7 +303,8 @@ object Registry {
       outputKey = c.strOr("output_key", "text"),
       orientation = c.strOr("orientation", "col"),
       docPerSheet = c.boolOr("doc_per_sheet", false),
-      docPerSlide = c.boolOr("doc_per_slide", false)))
+      docPerSlide = c.boolOr("doc_per_slide", false),
+      docPerPage = c.boolOr("doc_per_page", false)))
   }
   register("limit") { (df, c, _) => df.limit(c("n").int) }
   register("select") { (df, c, _) => df.selectExpr(c("columns").strList: _*) }

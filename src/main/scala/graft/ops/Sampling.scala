@@ -157,7 +157,13 @@ object TopKOp {
       .limit(k)
   }
 
-  /** Per-stratum top-k: row_number over a (stratum, score) window. */
+  /** Per-stratum top-k, two-phase like [[SampleOp.stratified]]: phase 1
+    * keeps the per-(stratum, input-partition) top-k — parallelism stays at
+    * the input partition count instead of collapsing to #strata tasks (with
+    * a handful of strata a single-window plan funnels the whole corpus
+    * through that many tasks); phase 2 re-ranks the
+    * <= partitions * strata * k survivors per stratum. Exact: a stratum's
+    * global top-k row is in its partition's top-k. */
   def embeddingStratified(
       df: DataFrame,
       embeddingCol: String,
@@ -167,12 +173,22 @@ object TopKOp {
       tieBreak: Seq[String],
       scoreName: String = "_score"): DataFrame = {
     val score = graft.functions.VectorFunctions.cosineToConst(col(embeddingCol), query)
-    val w = Window.partitionBy(col(stratifyKey))
-      .orderBy(col(scoreName).desc +: tieBreak.map(col(_).asc): _*)
-    df.withColumn(scoreName, score)
-      .withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") <= k)
-      .drop("_graft_rn")
+    val scored = df.withColumn(scoreName, score)
+    val order = col(scoreName).desc +: tieBreak.map(col(_).asc)
+    val global = Window.partitionBy(col(stratifyKey)).orderBy(order: _*)
+    if (df.rdd.getNumPartitions <= 1)
+      scored.withColumn("_graft_rn", row_number().over(global))
+        .filter(col("_graft_rn") <= k)
+        .drop("_graft_rn")
+    else {
+      val local = Window.partitionBy(col(stratifyKey), col("_graft_pid")).orderBy(order: _*)
+      scored.withColumn("_graft_pid", spark_partition_id())
+        .withColumn("_graft_rn", row_number().over(local))
+        .filter(col("_graft_rn") <= k)
+        .withColumn("_graft_rn", row_number().over(global))
+        .filter(col("_graft_rn") <= k)
+        .drop("_graft_rn", "_graft_pid")
+    }
   }
 
   /** BM25 top-k (reference sample.py:547-672 fts method). Distributed: doc

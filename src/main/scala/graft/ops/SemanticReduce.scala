@@ -64,6 +64,12 @@ object SemanticReduce {
       /** Judge-prompt refinement loop over the group result (reference
         * reduce ops share the map gleaning config, api.py:365-460). */
       gleaning: Option[GleaningConfig] = None,
+      /** Keep every fold step's output under `_{name}_intermediates`
+        * (reference reduce.py:444-450,567-594: a list of
+        * {iter, intermediate} entries per group). Rendered as
+        * "iter=<i>;k=v;..." strings; batch-strategy groups get an empty
+        * list (the reference only records intermediates on fold paths). */
+      persistIntermediates: Boolean = false,
       /** Drop a GROUP whose LLM call fails instead of failing the query
         * (reference base.py skip_on_error). */
       skipOnError: Boolean = false)
@@ -83,8 +89,13 @@ object SemanticReduce {
       if (cfg.enableObservability)
         Array(StructField(s"_observability_${cfg.name}", StringType))
       else Array.empty[StructField]
+    val intermediateFields =
+      if (cfg.persistIntermediates)
+        Array(StructField(s"_${cfg.name}_intermediates", ArrayType(StringType)))
+      else Array.empty[StructField]
     val newSchema = StructType(
-      keyFields ++ ptFields ++ outStruct.fields ++ lineageFields ++ obsFields :+
+      keyFields ++ ptFields ++ outStruct.fields ++ lineageFields ++ obsFields ++
+        intermediateFields :+
         StructField(s"_counts_prereduce_${cfg.name}", LongType))
 
     val member = struct(col(cfg.orderKey).as("o"), expr(cfg.memberExpr).cast("string").as("m"))
@@ -140,16 +151,24 @@ object SemanticReduce {
           })
           resp.values
         }
+        val intermediates = Seq.newBuilder[String]
         val initial = cfgB.strategy match {
           case "batch" => call(members.mkString("\n"))
           case "fold" =>
             // Sequential incremental fold: each chunk's prompt carries the
             // prior accumulator output (reference reduce.py:684-793).
+            var iter = 0
             members.grouped(cfgB.foldBatchSize)
               .foldLeft(Option.empty[Map[String, Any]]) { (acc, chunk) =>
                 val prefix = acc.map(a =>
                   s"ACC:${a.toSeq.sortBy(_._1).mkString(",")}\n").getOrElse("")
-                Some(call(prefix + chunk.mkString("\n")))
+                val out = call(prefix + chunk.mkString("\n"))
+                if (cfgB.persistIntermediates) {
+                  intermediates += s"iter=$iter;" +
+                    out.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
+                  iter += 1
+                }
+                Some(out)
               }.getOrElse(call(""))
           case other => throw new IllegalArgumentException(s"unknown strategy $other")
         }
@@ -195,7 +214,10 @@ object SemanticReduce {
         val obsVals =
           if (cfgB.enableObservability) Seq(promptsUsed.result().mkString("\n=====\n"))
           else Seq.empty[Any]
-        Row((keyVals ++ ptVals ++ outVals ++ lineageVals ++ obsVals :+ n): _*)
+        val interVals =
+          if (cfgB.persistIntermediates) Seq(intermediates.result())
+          else Seq.empty[Any]
+        Row((keyVals ++ ptVals ++ outVals ++ lineageVals ++ obsVals ++ interVals :+ n): _*)
       }
       it.flatMap { row =>
         // deterministic config errors (bad mode, missing query) must still

@@ -34,6 +34,15 @@ object ParseFixtures {
       Files.write(out.resolve("deck.pptx"), ParsingTools.makePptx(slides))
     }
 
+  /** One .pdf per `documents` row with doc_id < `n` (`doc_<id>.pdf`, body =
+    * the whole text as a single line on one page). */
+  def pdfDir(spark: SparkSession, sfDir: String, n: Int): String =
+    cached(sfDir, s"pdf$n") { out =>
+      docRows(spark, sfDir, Some(n)).foreach { case (id, text) =>
+        Files.write(out.resolve(s"doc_$id.pdf"), ParsingTools.makePdf(Seq(Seq(text))))
+      }
+    }
+
   /** A single workbook of the `nation` table (key, name, regionkey), rows in
     * n_nationkey order. */
   def xlsxDir(spark: SparkSession, sfDir: String): String =

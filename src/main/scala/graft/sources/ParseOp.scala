@@ -19,13 +19,14 @@ import org.apache.spark.sql.functions._
 object ParseOp {
 
   final case class Config(
-      function: String, // txt | docx | pptx | xlsx (reference *_to_string)
+      function: String, // txt | docx | pptx | xlsx | pdf (reference *_to_string)
       inputKey: String = "content",
       outputKey: String = "text",
       // function_kwargs (reference parsing_tools.py signatures):
       orientation: String = "col", // xlsx: col | row
       docPerSheet: Boolean = false, // xlsx
       docPerSlide: Boolean = false, // pptx
+      docPerPage: Boolean = false, // pdf
       dropInput: Boolean = true, // drop the (large) binary column after parse
       posKey: Option[String] = None) // also emit the doc's index within its file
 
@@ -33,9 +34,9 @@ object ParseOp {
     * aliases (parsing_tools.py:100-226). */
   private def canonical(name: String): String =
     name.stripSuffix("_to_string") match {
-      case f @ ("txt" | "docx" | "pptx" | "xlsx") => f
+      case f @ ("txt" | "docx" | "pptx" | "xlsx" | "pdf") => f
       case other => throw new IllegalArgumentException(
-        s"unknown parsing function '$other'; known: txt, docx, pptx, xlsx " +
+        s"unknown parsing function '$other'; known: txt, docx, pptx, xlsx, pdf " +
           "(whisper/OCR/azure parsers need native runtimes outside this library)")
     }
 
@@ -52,6 +53,7 @@ object ParseOp {
       case "docx" => docxUdf(in)
       case "pptx" => pptxUdf(lit(cfg.docPerSlide))(in)
       case "xlsx" => xlsxUdf(lit(cfg.orientation), lit(cfg.docPerSheet))(in)
+      case "pdf" => pdfUdf(lit(cfg.docPerPage))(in)
     }
     val kept = df.columns
       .filter(c => !(cfg.dropInput && c == cfg.inputKey) && c != cfg.outputKey)
@@ -76,4 +78,7 @@ object ParseOp {
     udf((b: Array[Byte], o: String, s: Boolean) =>
       if (b == null) Seq.empty[String] else ParsingTools.xlsxToString(b, o, s))
       .apply(_: Column, orientation, perSheet)
+  private def pdfUdf(perPage: Column) = udf((b: Array[Byte], pp: Boolean) =>
+    if (b == null) Seq.empty[String] else ParsingTools.pdfToString(b, pp))
+    .apply(_: Column, perPage)
 }

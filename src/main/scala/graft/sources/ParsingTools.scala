@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
 
@@ -66,6 +67,119 @@ object ParsingTools {
       name match { case SheetName(n) => Some(n.toInt); case _ => None }
     }.sortBy(_._1).map { case (_, xml) => renderSheet(parseSheet(xml, shared), orientation) }
     if (docPerSheet) sheets else sheets.take(1)
+  }
+
+  /** PDF: text runs of every page content stream, in file order — the
+    * JVM-feasible slice of the reference's pdf parsers
+    * (parsing_tools.py azure/docling/paddle pdf paths all reduce to
+    * "bytes -> page texts"; those need cloud/OCR runtimes, this covers the
+    * born-digital case). Supports FlateDecode (JDK Inflater) and
+    * uncompressed streams; text comes from the `Tj` / `'` / `"` / `TJ`
+    * show operators, one output line per show op. Streams are located by
+    * their `<<dict>> stream...endstream` framing, so object order == page
+    * order (true for the writer below and linearly-written PDFs).
+    * `docPerPage` yields one document per page content stream. */
+  def pdfToString(bytes: Array[Byte], docPerPage: Boolean = false): Seq[String] = {
+    val pages = pdfStreams(bytes)
+      .map(s => new String(s, StandardCharsets.ISO_8859_1))
+      .filter(_.contains("BT")) // text-bearing content streams only
+      .map(extractPdfText)
+    if (docPerPage) pages else Seq(pages.mkString("\n"))
+  }
+
+  /** Decoded bytes of every `stream ... endstream` object. */
+  private def pdfStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    val hay = new String(bytes, StandardCharsets.ISO_8859_1)
+    var from = 0
+    while ({ val i = hay.indexOf("stream", from); i >= 0 && {
+      // dict immediately before this `stream` keyword
+      val dictEnd = hay.lastIndexOf(">>", i)
+      val dictStart = if (dictEnd >= 0) hay.lastIndexOf("<<", dictEnd) else -1
+      val dict = if (dictStart >= 0) hay.substring(dictStart, dictEnd + 2) else ""
+      var dataStart = i + "stream".length
+      if (dataStart < hay.length && hay.charAt(dataStart) == '\r') dataStart += 1
+      if (dataStart < hay.length && hay.charAt(dataStart) == '\n') dataStart += 1
+      val end = hay.indexOf("endstream", dataStart)
+      if (end < 0) false
+      else {
+        var dataEnd = end
+        if (dataEnd > dataStart && hay.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+        if (dataEnd > dataStart && hay.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+        val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+        out += (if (dict.contains("FlateDecode")) inflate(raw) else raw)
+        from = end + "endstream".length
+        true
+      }
+    }}) ()
+    out.result()
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val bos = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) bos.write(buf, 0, n) else if (n == 0 && !inf.finished()) return bos.toByteArray
+      }
+      bos.toByteArray
+    } catch { case _: java.util.zip.DataFormatException => Array.emptyByteArray }
+    finally inf.end()
+  }
+
+  /** Text of one content stream: PDF strings consumed by the show operators,
+    * one line per show op (`TJ` concatenates its array's strings). */
+  private def extractPdfText(cs: String): String = {
+    val lines = Seq.newBuilder[String]
+    var i = 0
+    var pending = List.empty[String] // strings seen since the last operator
+    def readString(start: Int): (String, Int) = {
+      val sb = new StringBuilder
+      var depth = 1
+      var j = start + 1
+      while (j < cs.length && depth > 0) {
+        cs.charAt(j) match {
+          case '\\' if j + 1 < cs.length =>
+            cs.charAt(j + 1) match {
+              case 'n' => sb.append('\n'); j += 2
+              case 'r' => sb.append('\r'); j += 2
+              case 't' => sb.append('\t'); j += 2
+              case 'b' => sb.append('\b'); j += 2
+              case 'f' => sb.append('\f'); j += 2
+              case '(' => sb.append('('); j += 2
+              case ')' => sb.append(')'); j += 2
+              case '\\' => sb.append('\\'); j += 2
+              case '\n' => j += 2 // line continuation
+              case d if d >= '0' && d <= '7' =>
+                val oct = cs.substring(j + 1, math.min(j + 4, cs.length)).takeWhile(c => c >= '0' && c <= '7')
+                sb.append(Integer.parseInt(oct, 8).toChar); j += 1 + oct.length
+              case other => sb.append(other); j += 2
+            }
+          case '(' => depth += 1; sb.append('('); j += 1
+          case ')' => depth -= 1; if (depth > 0) sb.append(')'); j += 1
+          case c => sb.append(c); j += 1
+        }
+      }
+      (sb.toString, j)
+    }
+    while (i < cs.length) {
+      cs.charAt(i) match {
+        case '(' =>
+          val (s, j) = readString(i); pending ::= s; i = j
+        case 'T' if i + 1 < cs.length && (cs.charAt(i + 1) == 'j' || cs.charAt(i + 1) == 'J') =>
+          if (pending.nonEmpty) lines += pending.reverse.mkString
+          pending = Nil; i += 2
+        case '\'' | '"' =>
+          if (pending.nonEmpty) lines += pending.reverse.mkString
+          pending = Nil; i += 1
+        case '[' => pending = Nil; i += 1 // TJ array begins: collect its strings
+        case _ => i += 1
+      }
+    }
+    lines.result().mkString("\n")
   }
 
   private def renderSheet(grid: Seq[Map[Int, String]], orientation: String): String = {
@@ -247,6 +361,64 @@ object ParsingTools {
            |<p:cSld><p:spTree><p:sp><p:txBody>$body</p:txBody></p:sp></p:spTree></p:cSld></p:sld>""".stripMargin
     }
     zip(("[Content_Types].xml" -> ContentTypes) +: slideEntries: _*)
+  }
+
+  /** Minimal valid PDF: one page per outer element, inner elements are the
+    * page's text lines (one `Tj` each). Content streams are FlateDecode-
+    * compressed so the reader's inflate path round-trips; xref offsets are
+    * real, so standard viewers open the output. */
+  def makePdf(pages: Seq[Seq[String]]): Array[Byte] = {
+    def pdfEsc(s: String): String =
+      s.flatMap { case '\\' => "\\\\"; case '(' => "\\("; case ')' => "\\)"
+                  case c if c > 255 => "?" // Latin-1 strings only in this writer
+                  case c => c.toString }
+    val n = pages.length
+    val fontObj = 3 + 2 * n
+    val kids = (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
+    val objects = Seq.newBuilder[(Int, Array[Byte])]
+    objects += 1 -> s"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
+    objects += 2 -> s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val pageId = 3 + 2 * i
+      val contentId = pageId + 1
+      objects += pageId -> (s"$pageId 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Resources << /Font << /F1 $fontObj 0 R >> >> " +
+        s"/Contents $contentId 0 R >>\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
+      val text = lines.zipWithIndex.map { case (l, j) =>
+        (if (j == 0) "" else "0 -14 Td\n") + s"(${pdfEsc(l)}) Tj\n"
+      }.mkString
+      val cs = s"BT\n/F1 12 Tf\n72 720 Td\n${text}ET\n".getBytes(StandardCharsets.ISO_8859_1)
+      val deflated = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(cs); d.finish()
+        val bos = new ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) { val k = d.deflate(buf); bos.write(buf, 0, k) }
+        d.end()
+        bos.toByteArray
+      }
+      val head = (s"$contentId 0 obj\n<< /Length ${deflated.length} /Filter /FlateDecode >>\n" +
+        "stream\n").getBytes(StandardCharsets.ISO_8859_1)
+      val tail = "\nendstream\nendobj\n".getBytes(StandardCharsets.ISO_8859_1)
+      objects += contentId -> (head ++ deflated ++ tail)
+    }
+    objects += fontObj -> (s"$fontObj 0 obj\n<< /Type /Font /Subtype /Type1 " +
+      "/BaseFont /Helvetica >>\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
+
+    val bos = new ByteArrayOutputStream()
+    bos.write("%PDF-1.4\n".getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.Map[Int, Int]()
+    objects.result().sortBy(_._1).foreach { case (id, body) =>
+      offsets(id) = bos.size()
+      bos.write(body)
+    }
+    val xrefPos = bos.size()
+    val total = fontObj + 1
+    val xref = new StringBuilder(s"xref\n0 $total\n0000000000 65535 f \n")
+    (1 until total).foreach(id => xref.append(f"${offsets(id)}%010d 00000 n \n"))
+    xref.append(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    bos.write(xref.toString.getBytes(StandardCharsets.ISO_8859_1))
+    bos.toByteArray
   }
 
   /** Single sheet; first row is the header row. Cells are written as inline

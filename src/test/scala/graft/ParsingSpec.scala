@@ -110,6 +110,30 @@ class ParseOpSpec extends SparkSpec {
     assert(out.select("body", "text").collect().toSeq == Seq(Row("plain", "plain")))
   }
 
+  test("pdf round-trips text through FlateDecode streams") {
+    val pages = Seq(
+      Seq("first line", "second (with parens)", "back\\slash"),
+      Seq("page two"))
+    val bytes = PT.makePdf(pages)
+    // whole-doc mode: pages joined by newline
+    assert(PT.pdfToString(bytes) ==
+      Seq("first line\nsecond (with parens)\nback\\slash\npage two"))
+    // per-page mode
+    assert(PT.pdfToString(bytes, docPerPage = true) ==
+      Seq("first line\nsecond (with parens)\nback\\slash", "page two"))
+    // the output is a structurally valid PDF: header, xref, trailer
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(s.startsWith("%PDF-1.4") && s.contains("xref") && s.endsWith("%%EOF\n"))
+  }
+
+  test("pdf parse op explodes pages to rows") {
+    val schema = StructType(Seq(StructField("content", BinaryType)))
+    val bytes = PT.makePdf(Seq(Seq("alpha"), Seq("beta")))
+    val out = ParseOp(df(schema, Row(bytes)),
+      ParseOp.Config(function = "pdf", docPerPage = true))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("alpha", "beta"))
+  }
+
   test("unknown function fails loudly") {
     val schema = StructType(Seq(StructField("content", BinaryType)))
     intercept[IllegalArgumentException] {

@@ -305,6 +305,53 @@ class Round5YamlSpec extends SparkSpec {
     assert(names(5L) == "initech")
   }
 
+  test("reduce persist_intermediates records each fold step") {
+    val path = writeDocs("r5interm")
+    val out = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $path }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - type: reduce
+         |          name: pi5
+         |          reduce_key: [lang]
+         |          member_expr: "text"
+         |          order_key: doc_id
+         |          strategy: fold
+         |          fold_batch_size: 2
+         |          persist_intermediates: true
+         |          output: { schema: { summary: str } }
+         |""".stripMargin, spark)
+    val en = out.filter(col("lang") === "en")
+      .select("_pi5_intermediates").head().getSeq[String](0)
+    // 5 en docs at fold_batch_size 2 -> 3 fold steps, each tagged and
+    // carrying the step's output values
+    assert(en.size == 3)
+    assert(en.zipWithIndex.forall { case (s, i) =>
+      s.startsWith(s"iter=$i;") && s.contains("summary=") })
+    // batch-strategy groups emit an empty list, not a missing column
+    val out2 = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $path }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - type: reduce
+         |          name: pi5b
+         |          reduce_key: [lang]
+         |          member_expr: "text"
+         |          order_key: doc_id
+         |          persist_intermediates: true
+         |          output: { schema: { summary: str } }
+         |""".stripMargin, spark)
+    assert(out2.select("_pi5b_intermediates").head().getSeq[String](0).isEmpty)
+  }
+
   test("reduce value_sample_mode cluster via YAML bounds the prompt") {
     val path = writeDocs("r5redclu")
     val out = Pipeline.runYaml(
