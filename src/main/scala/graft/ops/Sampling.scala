@@ -54,36 +54,21 @@ object SampleOp {
       .drop("_graft_sh")
   }
 
-  /** Stratified: n rows per `stratifyKey` group, deterministic order within
-    * the stratum (reference sample.py samples_per_group). Single window, one
-    * shuffle on the stratify key. */
-  /** Per-stratum head of `nPerGroup` in `orderCols` order, as a two-phase
-    * top-k: phase 1 takes the per-(stratum, input-partition) top-n with a
-    * window keyed on `spark_partition_id()` — parallelism stays at the input
-    * partition count instead of collapsing to #strata tasks (with 3 strata a
-    * single-window plan serializes the whole table through 3 tasks; at
-    * 100 TB that's the difference between a full sort-shuffle and a
-    * survivors-only one). Phase 2 re-ranks the <= partitions * strata * n
-    * survivors globally per stratum — exact, since any row in a stratum's
-    * global top-n is in its partition's top-n. */
+  /** Stratified: n rows per `stratifyKey` group in `orderCols` order
+    * (reference sample.py samples_per_group). Deliberately a PLAIN window +
+    * row_number filter: Catalyst's InferWindowGroupLimit rewrites it into
+    * the two-phase top-k — a *Partial* WindowGroupLimit keeps each input
+    * partition's per-stratum top-n BEFORE the exchange (map-side, after
+    * column pruning), so only <= partitions * strata * n survivors shuffle
+    * and the final window ranks those. Hand-rolling the phases (a
+    * pid-keyed window, or a mapPartitions head filter) is strictly worse:
+    * the former adds a full-table exchange, the latter is an object
+    * operator that blocks column pruning through the op. */
   def stratified(df: DataFrame, stratifyKey: String, nPerGroup: Int, orderCols: Seq[String]): DataFrame = {
     val global = Window.partitionBy(col(stratifyKey)).orderBy(orderCols.map(col): _*)
-    // Single-partition inputs (small files, one parquet row group) gain
-    // nothing from pre-aggregation — one window, one sort.
-    if (df.rdd.getNumPartitions <= 1)
-      df.withColumn("_graft_rn", row_number().over(global))
-        .filter(col("_graft_rn") <= nPerGroup)
-        .drop("_graft_rn")
-    else {
-      val local = Window.partitionBy(col(stratifyKey), col("_graft_pid"))
-        .orderBy(orderCols.map(col): _*)
-      df.withColumn("_graft_pid", spark_partition_id())
-        .withColumn("_graft_rn", row_number().over(local))
-        .filter(col("_graft_rn") <= nPerGroup)
-        .withColumn("_graft_rn", row_number().over(global))
-        .filter(col("_graft_rn") <= nPerGroup)
-        .drop("_graft_rn", "_graft_pid")
-    }
+    df.withColumn("_graft_rn", row_number().over(global))
+      .filter(col("_graft_rn") <= nPerGroup)
+      .drop("_graft_rn")
   }
 
   /** `outliers` method (reference sample.py:465-545): distance of each row's
@@ -157,13 +142,10 @@ object TopKOp {
       .limit(k)
   }
 
-  /** Per-stratum top-k, two-phase like [[SampleOp.stratified]]: phase 1
-    * keeps the per-(stratum, input-partition) top-k — parallelism stays at
-    * the input partition count instead of collapsing to #strata tasks (with
-    * a handful of strata a single-window plan funnels the whole corpus
-    * through that many tasks); phase 2 re-ranks the
-    * <= partitions * strata * k survivors per stratum. Exact: a stratum's
-    * global top-k row is in its partition's top-k. */
+  /** Per-stratum top-k. Like [[SampleOp.stratified]], a plain window +
+    * row_number filter on purpose: InferWindowGroupLimit plans the map-side
+    * per-stratum top-k (Partial WindowGroupLimit) before the exchange, so
+    * only survivors shuffle. */
   def embeddingStratified(
       df: DataFrame,
       embeddingCol: String,
@@ -173,22 +155,12 @@ object TopKOp {
       tieBreak: Seq[String],
       scoreName: String = "_score"): DataFrame = {
     val score = graft.functions.VectorFunctions.cosineToConst(col(embeddingCol), query)
-    val scored = df.withColumn(scoreName, score)
     val order = col(scoreName).desc +: tieBreak.map(col(_).asc)
     val global = Window.partitionBy(col(stratifyKey)).orderBy(order: _*)
-    if (df.rdd.getNumPartitions <= 1)
-      scored.withColumn("_graft_rn", row_number().over(global))
-        .filter(col("_graft_rn") <= k)
-        .drop("_graft_rn")
-    else {
-      val local = Window.partitionBy(col(stratifyKey), col("_graft_pid")).orderBy(order: _*)
-      scored.withColumn("_graft_pid", spark_partition_id())
-        .withColumn("_graft_rn", row_number().over(local))
-        .filter(col("_graft_rn") <= k)
-        .withColumn("_graft_rn", row_number().over(global))
-        .filter(col("_graft_rn") <= k)
-        .drop("_graft_rn", "_graft_pid")
-    }
+    df.withColumn(scoreName, score)
+      .withColumn("_graft_rn", row_number().over(global))
+      .filter(col("_graft_rn") <= k)
+      .drop("_graft_rn")
   }
 
   /** BM25 top-k (reference sample.py:547-672 fts method). Distributed: doc
