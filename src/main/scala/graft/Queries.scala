@@ -1148,6 +1148,24 @@ object Queries {
           .select("doc_id", "text")
       },
       Some("SELECT doc_id, text FROM documents WHERE doc_id < 200")
+    ),
+    (
+      // Per-stratum uniform sampling (reference sample.py:294-312
+      // samples_per_group + uniform): the portable-LCG pick makes the
+      // "random" choice reproducible and SQL-expressible.
+      "q61_sample_stratified_uniform",
+      (s: SparkSession, dir: String) =>
+        SampleOp.stratifiedUniform(t(s, dir, "lineitem"), "l_returnflag",
+          "l_orderkey * 10 + l_linenumber", 40, seed = 7)
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber").cast("long")),
+      Some(s"""
+        SELECT l_returnflag, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+        FROM lineitem
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY ((l_orderkey * 10 + l_linenumber) * 9301 + 49297 +
+                    ${SampleOp.seedRotation(7)}) % 233280,
+                   l_orderkey * 10 + l_linenumber) <= 40""")
     ))
 
 }

@@ -152,6 +152,19 @@ object Registry {
   register("sample") { (df, c, ctx) =>
     c("method").str match {
       case "first" => SampleOp.first(df, c("samples").int, c("order_by").strList)
+      // stratify_key composes with uniform (reference sample.py:279-339):
+      // samples_per_group -> exact n per stratum; samples -> proportional
+      // allocation across strata. Both need a numeric key_expr for the
+      // portable deterministic pick.
+      case "uniform" if c.get("stratify_key").isDefined =>
+        (c.get("samples_per_group"), c.get("samples")) match {
+          case (Some(n), _) => SampleOp.stratifiedUniform(df, c("stratify_key").str,
+            c("key_expr").str, n.int, c.intOr("random_state", 0).toLong)
+          case (None, Some(t)) => SampleOp.stratifiedProportional(df, c("stratify_key").str,
+            c("key_expr").str, t.int, c.intOr("random_state", 0).toLong)
+          case _ => throw new IllegalArgumentException(
+            "stratified uniform sampling needs samples_per_group or samples")
+        }
       case "uniform" => SampleOp.uniform(df, c("fraction").dbl, c.intOr("random_state", 42))
       case "hash" => SampleOp.uniformHash(df, c("key_expr").str, c("fraction").dbl,
         c.intOr("random_state", 0))

@@ -71,6 +71,65 @@ object SampleOp {
       .drop("_graft_rn")
   }
 
+  /** Per-group uniform sample: exactly `nPerGroup` rows per stratum, chosen
+    * by the portable LCG over `keyExpr` (reference sample.py:294-312
+    * `samples_per_group` with method uniform). Same plan shape as
+    * [[stratified]] — row_number window, map-side WindowGroupLimit — with
+    * the hash as the order, so the pick is uniform AND reproducible across
+    * engines/cluster sizes. */
+  def stratifiedUniform(
+      df: DataFrame, stratifyKey: String, keyExpr: String,
+      nPerGroup: Int, seed: Long = 0): DataFrame = {
+    val ord = pmod(expr(keyExpr) * 9301L + 49297L + seedRotation(seed), lit(233280L))
+    val w = Window.partitionBy(col(stratifyKey)).orderBy(ord, expr(keyExpr))
+    df.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") <= nPerGroup)
+      .drop("_graft_rn")
+  }
+
+  /** Driver-side seed mixing for the LCG-ordered samplers: the raw seed
+    * enters the LCG additively, so nearby seeds would rotate the ordering
+    * by only a few positions and pick near-identical samples. A golden-ratio
+    * multiply spreads any seed to a large rotation while staying a plain
+    * constant the oracle SQL can embed. */
+  private[graft] def seedRotation(seed: Long): Long =
+    java.lang.Long.remainderUnsigned(seed * 0x9E3779B97F4A7C15L, 233280L)
+
+  /** Proportional stratified sampling (reference sample.py:314-339
+    * `_sample_stratified_proportional`): `total` rows allocated across
+    * strata by group size with largest-remainder rounding, picked uniformly
+    * within each stratum by the portable LCG. Driver state is O(#strata)
+    * (one count aggregation); the per-group quota rides back as a literal
+    * map, and a constant `max quota` filter first keeps the window
+    * WindowGroupLimit-optimizable. */
+  def stratifiedProportional(
+      df: DataFrame, stratifyKey: String, keyExpr: String,
+      total: Int, seed: Long = 0): DataFrame = {
+    val counts = df.groupBy(col(stratifyKey).cast("string").as("_k"))
+      .agg(count(lit(1)).as("_n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalRows = counts.values.sum
+    require(totalRows > 0, "proportional sampling needs a non-empty input")
+    val exact = counts.view.mapValues(n => total.toDouble * n / totalRows).toMap
+    val floors = exact.view.mapValues(_.toInt).toMap
+    val remaining = total - floors.values.sum
+    val bumped = exact.toSeq
+      .map { case (k, e) => (k, e - e.toInt) }
+      .sortBy { case (k, frac) => (-frac, k) }
+      .take(math.max(0, remaining)).map(_._1).toSet
+    val quotas = floors.map { case (k, q) =>
+      k -> math.min(counts(k), (q + (if (bumped(k)) 1 else 0)).toLong) }
+    val maxQuota = (quotas.values ++ Seq(0L)).max
+    val quotaMap = typedLit(quotas)
+    val ord = pmod(expr(keyExpr) * 9301L + 49297L + seedRotation(seed), lit(233280L))
+    val w = Window.partitionBy(col(stratifyKey)).orderBy(ord, expr(keyExpr))
+    df.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") <= maxQuota) // constant bound -> group limit
+      .filter(col("_graft_rn") <=
+        coalesce(element_at(quotaMap, col(stratifyKey).cast("string")), lit(0L)))
+      .drop("_graft_rn")
+  }
+
   /** `outliers` method (reference sample.py:465-545): distance of each row's
     * embedding from the mean embedding; keep (or drop) rows beyond
     * `stdCutoff` standard deviations, or the `samples` farthest.

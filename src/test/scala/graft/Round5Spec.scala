@@ -381,6 +381,76 @@ class Round5YamlSpec extends SparkSpec {
   }
 }
 
+class StratifiedCompositionSpec extends SparkSpec {
+
+  private def grid(n: Int) = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType)))
+    // group sizes 60/30/10 out of n=100
+    df(schema, (1 to n).map { i =>
+      Row(i.toLong, if (i <= n * 6 / 10) "a" else if (i <= n * 9 / 10) "b" else "c")
+    }: _*)
+  }
+
+  test("stratifiedUniform returns exactly n per group, seed-stable") {
+    val d = grid(100)
+    val out = graft.ops.SampleOp.stratifiedUniform(d, "grp", "id", 5, seed = 3)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("a" -> 5L, "b" -> 5L, "c" -> 5L))
+    // same seed -> same rows, regardless of partitioning
+    val again = graft.ops.SampleOp.stratifiedUniform(
+      d.repartition(7), "grp", "id", 5, seed = 3)
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+    // different seed -> (almost surely) different rows
+    val other = graft.ops.SampleOp.stratifiedUniform(d, "grp", "id", 5, seed = 99)
+    assert(out.select("id").collect().map(_.getLong(0)).toSet !=
+      other.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("stratifiedProportional allocates by group size with exact total") {
+    val d = grid(100) // groups 60/30/10
+    val out = graft.ops.SampleOp.stratifiedProportional(d, "grp", "id", 10)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("a" -> 6L, "b" -> 3L, "c" -> 1L))
+    assert(out.count() == 10)
+    // largest-remainder: total not divisible -> still sums to total
+    val out2 = graft.ops.SampleOp.stratifiedProportional(d, "grp", "id", 7)
+    assert(out2.count() == 7)
+  }
+
+  test("YAML: uniform + stratify_key dispatches both modes") {
+    val dir = java.nio.file.Files.createTempDirectory("r5strat").toString
+    grid(100).write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val per = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $dir/d.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - { type: sample, name: su, method: uniform, stratify_key: grp,
+         |            key_expr: id, samples_per_group: 4 }
+         |""".stripMargin, spark)
+    assert(per.count() == 12)
+    val prop = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $dir/d.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - { type: sample, name: sp, method: uniform, stratify_key: grp,
+         |            key_expr: id, samples: 20 }
+         |""".stripMargin, spark)
+    assert(prop.count() == 20)
+  }
+}
+
 class InstrumentedRunSpec extends SparkSpec {
   test("runInstrumented records per-op rows in/out and selectivity") {
     val dir = java.nio.file.Files.createTempDirectory("r5instr").toString
