@@ -173,6 +173,20 @@ object Registry {
       case "outliers" => SampleOp.outliers(df, c("embedding_key").str,
         c.get("std").map(_.dbl), c.get("samples").map(_.int),
         c.boolOr("keep", true), c.get("tie_break").map(_.strList).getOrElse(Nil))
+      // reference sample.py:34 exposes retrieval as sampling methods too;
+      // these alias the topk family (with stratify_key -> per-group top-k).
+      case "top_embedding" =>
+        val tb = c.get("tie_break").map(_.strList).getOrElse(Nil)
+        val qv = c("query_vector").asList.map(_.dbl).toArray
+        c.get("stratify_key") match {
+          case Some(sk) => TopKOp.embeddingStratified(df, c("embedding_key").str,
+            qv, c("samples").int, sk.str, tb).drop("_score")
+          case None => TopKOp.embedding(df, c("embedding_key").str,
+            qv, c("samples").int, tb).drop("_score")
+        }
+      case "top_fts" => TopKOp.bm25(df, c("text_key").str,
+        c("query").str.split("\\s+").toSeq, c("samples").int,
+        c.get("tie_break").map(_.strList).getOrElse(Nil)).drop("_score")
       case "custom" =>
         // `samples:` is an inline list of key-subset rows (reference
         // sample.py:262,:49-51); values arrive as YAML scalars and cast to

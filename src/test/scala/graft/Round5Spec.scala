@@ -421,6 +421,46 @@ class StratifiedCompositionSpec extends SparkSpec {
     assert(out2.count() == 7)
   }
 
+  test("YAML: top_embedding / top_fts sample methods alias the topk family") {
+    val dir = java.nio.file.Files.createTempDirectory("r5topalias").toString
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("grp", LongType), StructField("emb", ArrayType(FloatType)),
+      StructField("t", StringType)))
+    val rows = (1 to 20).map { i =>
+      Row(i.toLong, (i % 2).toLong, Seq((i * 0.1).toFloat, 1f),
+        if (i % 3 == 0) "spark fast join" else "slow scan table")
+    }
+    df(schema, rows: _*).write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val emb = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $dir/d.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - { type: sample, name: te, method: top_embedding, samples: 3,
+         |            embedding_key: emb, query_vector: [1.0, 0.0],
+         |            stratify_key: grp, tie_break: [id] }
+         |""".stripMargin, spark)
+    assert(emb.count() == 6) // 2 strata x 3
+    assert(!emb.columns.contains("_score"))
+    val fts = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $dir/d.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - { type: sample, name: tf, method: top_fts, samples: 4,
+         |            text_key: t, query: "fast join", tie_break: [id] }
+         |""".stripMargin, spark)
+    assert(fts.count() == 4)
+    // BM25 favors the rows containing the query terms
+    assert(fts.select("t").collect().forall(_.getString(0).contains("fast")))
+  }
+
   test("YAML: uniform + stratify_key dispatches both modes") {
     val dir = java.nio.file.Files.createTempDirectory("r5strat").toString
     grid(100).write.mode("overwrite").parquet(s"$dir/d.parquet")
