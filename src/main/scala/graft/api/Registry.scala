@@ -68,7 +68,30 @@ object Registry {
       c("aggs").asOrderedMap.map { case (k, v) => k -> v.str },
       c.strOr("name", "reduce"), c.boolOr("counts", true))
   }
-  register("map") { (df, c, ctx) => SemanticMap(df, mapConfig(c("name").str, c), ctx.client) }
+  register("map") { (df, c, ctx) =>
+    val base = mapConfig(c("name").str, c)
+    c.get("retriever") match {
+      case None => SemanticMap(df, base, ctx.client)
+      case Some(r) =>
+        // Retrieval-augmented map (reference map.py:404-411): retrieved
+        // context is joined on as a column, and — like the reference when
+        // the template doesn't use `retrieval_context` — prepended under a
+        // standard header. Spark-first: the retriever is a distributed
+        // top-k join against a corpus dataset, not a vector-store call.
+        val name = c("name").str
+        val corpus = ctx.datasets.getOrElse(r("corpus").str,
+          throw new IllegalArgumentException(s"unknown retriever corpus '${r("corpus").str}'"))
+        val ctxCol = s"_${name}_retrieved_context"
+        val withCtx = RetrieverOp.byTermOverlap(df, name, r("query_key").str,
+          corpus, r("corpus_text_key").str,
+          r.strOr("render_expr", r("corpus_text_key").str), r.intOr("k", 3))
+        val prompt =
+          if (base.prompt.contains("retrieved_context")) base.prompt
+          else s"Here is some extra context:\n{{ input.$ctxCol }}\n\n${base.prompt}"
+        val out = SemanticMap(withCtx, base.copy(prompt = prompt), ctx.client)
+        if (c.boolOr("save_retriever_output", false)) out else out.drop(ctxCol)
+    }
+  }
   register("filter") { (df, c, ctx) => SemanticFilter(df, mapConfig(c("name").str, c), ctx.client) }
   register("parallel_map") { (df, c, ctx) =>
     ParallelMap(df, c("name").str,
@@ -77,6 +100,18 @@ object Registry {
       ctx.client)
   }
   register("reduce") { (df, c, ctx) =>
+    // `associative: true` (reference reduce.py config key): the group fold
+    // is commutative+associative, so it runs as Spark partial aggregation —
+    // map-side folds, merge prompts combine partials (no giant-group task).
+    if (c.boolOr("associative", false))
+      AssociativeSemanticReduce(df, AssociativeSemanticReduce.Config(
+        name = c("name").str,
+        reduceKeys = c("reduce_key").strList,
+        memberExpr = c("member_expr").str,
+        outputSchema = c.get("output").flatMap(_.get("schema")).map(schemaOf).getOrElse(Nil),
+        model = c.strOr("model", "mock"),
+        foldBatchSize = c.intOr("fold_batch_size", 20)), ctx.client)
+    else
     SemanticReduce(df, SemanticReduce.Config(
       name = c("name").str,
       reduceKeys = c("reduce_key").strList,
@@ -108,10 +143,11 @@ object Registry {
       blockExpr = c.strOr("block_expr", "NULL"),
       compareExpr = c("compare_expr").str,
       resolveKeys = c("resolve_keys").strList,
-      model = c.strOr("model", "mock"),
+      model = c.strOr("comparison_model", c.strOr("model", "mock")),
       autoMatchOnBlockEquality = c.boolOr("auto_match", false),
       maxIter = c.intOr("max_iter", 20),
       limitComparisons = c.get("limit_comparisons").map(_.int),
+      resolutionModel = c.get("resolution_model").map(_.str),
       cascade = c.get("cascade").map(cas => CascadeCompare.Config(
         proxyModel = cas.strOr("proxy_model", "proxy"),
         oracleModel = cas.strOr("oracle_model", "oracle"),

@@ -48,7 +48,11 @@ object ResolveOp {
       /** Precision-guarantee model cascade for the pairwise verdicts
         * (reference resolve.py:627-637; precision is the resolve default —
         * cascade_runner.py:33-36). */
-      cascade: Option[CascadeCompare.Config] = None)
+      cascade: Option[CascadeCompare.Config] = None,
+      /** Model for stage-4 canonicalization, when different from the
+        * pairwise `model` (reference resolve.py `resolution_model` vs
+        * `comparison_model` — cheap compares, stronger summarizer). */
+      resolutionModel: Option[String] = None)
 
   def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
     val withBlk = df
@@ -187,7 +191,7 @@ object ResolveOp {
     * real clients summarize. */
   private def canonicalizeLabeled(
       withCluster: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
-    val model = cfg.model
+    val model = cfg.resolutionModel.getOrElse(cfg.model)
     val memberSchema = StructType(Seq(StructField("canonical", StringType)))
     val canonCols = cfg.resolveKeys.map { k =>
       sort_array(collect_list(col(k).cast("string"))).as(s"_vals_$k")

@@ -305,6 +305,89 @@ class Round5YamlSpec extends SparkSpec {
     assert(names(5L) == "initech")
   }
 
+  test("map with retriever injects corpus context into the prompt") {
+    val dir = java.nio.file.Files.createTempDirectory("r5retr").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/d.parquet")
+    // corpus where every document mentions "fast": any retrieved context
+    // flips the mock sentiment rule to positive for every row
+    val corpus = df(StructType(Seq(StructField("ctext", StringType))),
+      Row("everything is fast here"), Row("fast fast fast"))
+    corpus.write.mode("overwrite").parquet(s"$dir/c.parquet")
+    val out = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $dir/d.parquet }
+         |  c: { path: $dir/c.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - type: map
+         |          name: rm
+         |          prompt: "{{ input.text }}"
+         |          retriever: { corpus: c, query_key: text, corpus_text_key: ctext, k: 1 }
+         |          save_retriever_output: true
+         |          output: { schema: { sentiment: str } }
+         |""".stripMargin, spark)
+    val rows = out.collect()
+    // context prepended -> every prompt contains "fast" -> all positive
+    assert(rows.forall(_.getAs[String]("sentiment") == "positive"))
+    assert(rows.forall(_.getAs[String]("_rm_retrieved_context").nonEmpty))
+    // without save_retriever_output the column is dropped
+    val out2 = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $dir/d.parquet }
+         |  c: { path: $dir/c.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - type: map
+         |          name: rm2
+         |          prompt: "{{ input.text }}"
+         |          retriever: { corpus: c, query_key: text, corpus_text_key: ctext, k: 1 }
+         |          output: { schema: { sentiment: str } }
+         |""".stripMargin, spark)
+    assert(!out2.columns.contains("_rm2_retrieved_context"))
+  }
+
+  test("reduce associative: true dispatches to partial-aggregation fold") {
+    val path = writeDocs("r5assoc")
+    val out = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $path }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - type: reduce
+         |          name: ar5
+         |          reduce_key: [lang]
+         |          member_expr: "text"
+         |          associative: true
+         |          output: { schema: { acc: str } }
+         |""".stripMargin, spark)
+    // mock `acc` rule counts members associatively: en group has 5 docs
+    val accs = out.collect().map(r => r.getAs[String]("lang") -> r.getAs[String]("acc")).toMap
+    assert(accs("en") == "n=5" && accs("de") == "n=1")
+  }
+
+  test("resolve resolution_model canonicalizes with the separate model") {
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val d = df(schema, Row(1L, "b corp"), Row(2L, "a corp"), Row(3L, "zeta"))
+    val out = graft.ops.ResolveOp(d, graft.ops.ResolveOp.Config(
+      name = "rr", idKey = "id", blockExpr = "substring(name, -4)",
+      compareExpr = "substring(name, -4)", resolveKeys = Seq("name"),
+      autoMatchOnBlockEquality = true,
+      resolutionModel = Some("strong-model")), MockLlmClient())
+    val names = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ids 1,2 share the block ("corp") -> canonical = lexicographically
+    // smallest member (mock `canonical` rule), via the resolution model
+    assert(names(1L) == "a corp" && names(2L) == "a corp" && names(3L) == "zeta")
+  }
+
   test("reduce persist_intermediates records each fold step") {
     val path = writeDocs("r5interm")
     val out = Pipeline.runYaml(
