@@ -172,8 +172,30 @@ object Registry {
     }
   }
   register("gather") { (df, c, _) =>
-    GatherOp(df, c("content_key").str, c("doc_id_key").str, c("order_key").str,
-      c.intOr("previous_count", 1), c.intOr("next_count", 1))
+    c.get("peripheral_chunks") match {
+      case Some(p) =>
+        // Reference config shape (gather.py:26-43): previous/next each with
+        // head/middle/tail sections carrying count and optional content_key.
+        def spec(side: Option[Conf]): GatherOp.SectionSpec = side match {
+          case None => GatherOp.SectionSpec()
+          case Some(s) => GatherOp.SectionSpec(
+            headCount = s.get("head").map(_.intOr("count", 0)).getOrElse(0),
+            headContentKey = s.get("head").flatMap(_.get("content_key")).map(_.str),
+            hasMiddle = s.get("middle").isDefined,
+            middleContentKey = s.get("middle").flatMap(_.get("content_key")).map(_.str),
+            tailCount = s.get("tail").map(_.intOr("count", 0)).getOrElse(0),
+            tailContentKey = s.get("tail").flatMap(_.get("content_key")).map(_.str))
+        }
+        GatherOp.withPeripheralSections(df, c("content_key").str,
+          c("doc_id_key").str, c("order_key").str,
+          previous = spec(p.get("previous")), next = spec(p.get("next")),
+          mainChunkStart = c.strOr("main_chunk_start", "--- Begin Main Chunk ---"),
+          mainChunkEnd = c.strOr("main_chunk_end", "--- End Main Chunk ---"),
+          docHeaderKey = c.get("doc_header_key").map(_.str))
+      case None =>
+        GatherOp(df, c("content_key").str, c("doc_id_key").str, c("order_key").str,
+          c.intOr("previous_count", 1), c.intOr("next_count", 1))
+    }
   }
   register("unnest") { (df, c, _) =>
     c.get("expand_fields") match {

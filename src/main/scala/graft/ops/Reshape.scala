@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -175,5 +175,150 @@ object GatherOp {
           section(next)) ++
         (if (skipMarkers) Seq(marker(skippedAfter)) else Nil)
     df.withColumn(s"${contentKey}_rendered", concat_ws("\n", parts: _*))
+  }
+
+  /** One side's peripheral sections (reference gather.py:234-292
+    * `process_peripheral_chunks`): `head` = the first `headCount` chunks of
+    * the side's list, `tail` = its last `tailCount`, `middle` = everything
+    * between rendered with an alternate (summary) content key when
+    * configured; un-sectioned chunks collapse into
+    * "[... N characters skipped ...]" runs. Each section may use its own
+    * content key; a non-default key tags the chunk "(Summary)". */
+  final case class SectionSpec(
+      headCount: Int = 0, headContentKey: Option[String] = None,
+      hasMiddle: Boolean = false, middleContentKey: Option[String] = None,
+      tailCount: Int = 0, tailContentKey: Option[String] = None)
+
+  /** Full-fidelity peripheral rendering (reference gather.py:144-292): the
+    * "--- Previous Context --- / --- End Previous Context ---" framing,
+    * "[Chunk <order>]" prefixes, per-section content keys with "(Summary)"
+    * tags, skipped-character runs, and `_Current Section:_` hierarchy
+    * headers from `docHeaderKey`.
+    *
+    * Plan shape: ONE window (docId, order) producing each row's whole
+    * preceding/following side as a collected struct array, assembled by an
+    * executor-local UDF. The per-row side arrays make the rendered output
+    * O(chunks²) characters per document — inherent to the semantics (the
+    * reference renders the same); keep documents bounded (they are chunk
+    * groups of one source doc) or configure head/tail counts without
+    * `middle` so the skip runs replace the body. */
+  def withPeripheralSections(
+      df: DataFrame,
+      contentKey: String,
+      docIdKey: String,
+      orderKey: String,
+      previous: SectionSpec = SectionSpec(),
+      next: SectionSpec = SectionSpec(),
+      mainChunkStart: String = "--- Begin Main Chunk ---",
+      mainChunkEnd: String = "--- End Main Chunk ---",
+      docHeaderKey: Option[String] = None): DataFrame = {
+    val w = Window.partitionBy(col(docIdKey)).orderBy(col(orderKey))
+    // Scala UDFs cannot take struct (Row) inputs — chunks pack into
+    // array<string> [order, content, headC, midC, tailC], headers into
+    // "levelheader" strings.
+    def sideChunk(spec: SectionSpec) = array(
+      col(orderKey).cast("string"),
+      col(contentKey).cast("string"),
+      col(spec.headContentKey.getOrElse(contentKey)).cast("string"),
+      col(spec.middleContentKey.getOrElse(contentKey)).cast("string"),
+      col(spec.tailContentKey.getOrElse(contentKey)).cast("string"))
+    val prevSide = collect_list(sideChunk(previous))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val nextSide = collect_list(sideChunk(next))
+      .over(w.rowsBetween(1, Window.unboundedFollowing))
+    val headersUpTo = docHeaderKey match {
+      case Some(hk) => collect_list(coalesce(
+          transform(col(hk), h => concat_ws("",
+            h.getField("level").cast("string"), h.getField("header"))),
+          array().cast("array<string>")))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+      case None => lit(null).cast("array<array<string>>")
+    }
+    val prevB = previous; val nextB = next
+    val ck = contentKey
+    val renderUdf = udf((prev: Seq[Seq[String]], nxt: Seq[Seq[String]], content: String,
+        headers: Seq[Seq[String]]) => {
+      val parts = Seq.newBuilder[String]
+      parts += "--- Previous Context ---"
+      parts ++= renderSide(prev, prevB, ck)
+      parts += "--- End Previous Context ---\n"
+      val hdr = renderHierarchyHeaders(headers)
+      if (hdr.nonEmpty) parts += hdr
+      parts += mainChunkStart
+      parts += content
+      parts += mainChunkEnd
+      parts += "\n--- Next Context ---"
+      parts ++= renderSide(nxt, nextB, ck)
+      parts += "--- End Next Context ---"
+      parts.result().mkString("\n")
+    })
+    df.withColumn(s"${contentKey}_rendered",
+      renderUdf(prevSide, nextSide, col(contentKey).cast("string"), headersUpTo))
+  }
+
+  /** Port of process_peripheral_chunks (gather.py:234-292). Chunk layout
+    * (fixed at construction): [order, content, headC, midC, tailC] —
+    * content (index 1) is the skip-char counting basis. */
+  private def renderSide(chunks: Seq[Seq[String]], spec: SectionSpec, contentKey: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val total = if (chunks == null) 0 else chunks.length
+    var inSkip = false
+    var skipChars = 0L
+    var i = 0
+    while (i < total) {
+      val chunk = chunks(i)
+      val sectionOpt =
+        if (i < spec.headCount) Some((2, spec.headContentKey))
+        else if (i >= total - spec.tailCount) Some((4, spec.tailContentKey))
+        else if (spec.hasMiddle) Some((3, spec.middleContentKey))
+        else None
+      sectionOpt match {
+        case None =>
+          val skipped = Option(chunk(1)).map(_.length).getOrElse(0)
+          if (!inSkip) { skipChars = skipped; inSkip = true } else skipChars += skipped
+        case Some((fieldIdx, keyOpt)) =>
+          if (inSkip) {
+            out += s"[... $skipChars characters skipped ...]"
+            inSkip = false; skipChars = 0
+          }
+          val isSummary = keyOpt.exists(_ != contentKey)
+          val suffix = if (isSummary) " (Summary)" else ""
+          out += s"[Chunk ${chunk.head}$suffix]"
+          out += String.valueOf(chunk(fieldIdx))
+      }
+      i += 1
+    }
+    if (inSkip) out += s"[... $skipChars characters skipped ...]"
+    out.result()
+  }
+
+  /** Port of render_hierarchy_headers (gather.py:294-363): hierarchy of the
+    * most recent header per level across all chunks up to the current one,
+    * rendered above the main chunk for levels higher than the current
+    * chunk's own highest header. Headers arrive packed as
+    * "<level><header>" strings. */
+  private def renderHierarchyHeaders(headersUpTo: Seq[Seq[String]]): String = {
+    if (headersUpTo == null || headersUpTo.isEmpty) return ""
+    def unpack(s: String): Option[(Int, String)] = {
+      val i = if (s == null) -1 else s.indexOf('')
+      if (i <= 0) None
+      else s.substring(0, i).toIntOption.map(_ -> s.substring(i + 1))
+    }
+    val currentHeaders = Option(headersUpTo.last).getOrElse(Seq.empty).flatMap(unpack)
+    if (currentHeaders.isEmpty) return ""
+    val highest = currentHeaders.map(_._1).min
+    val hierarchy = scala.collection.mutable.SortedMap[Int, String]()
+    headersUpTo.foreach { hs =>
+      Option(hs).getOrElse(Seq.empty).flatMap(unpack).foreach { case (l, h) =>
+        if (h.nonEmpty && l > 0) {
+          hierarchy(l) = h
+          hierarchy.keys.filter(_ > l).toSeq.foreach(hierarchy.remove)
+        }
+      }
+    }
+    val rendered = hierarchy.toSeq.collect {
+      case (l, h) if l < highest => s"${"#" * l} $h"
+    }.mkString(" > ")
+    if (rendered.nonEmpty) s"_Current Section:_ $rendered" else ""
   }
 }

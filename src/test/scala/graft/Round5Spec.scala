@@ -574,6 +574,92 @@ class StratifiedCompositionSpec extends SparkSpec {
   }
 }
 
+class PeripheralGatherSpec extends SparkSpec {
+
+  private def chunks(n: Int) = {
+    val schema = StructType(Seq(
+      StructField("doc", LongType), StructField("ord", LongType),
+      StructField("chunk", StringType), StructField("sum", StringType)))
+    df(schema, (1 to n).map(i =>
+      Row(1L, i.toLong, s"content-$i", s"s$i")): _*)
+  }
+
+  test("head/tail sections with skip runs match the reference framing") {
+    val out = graft.ops.GatherOp.withPeripheralSections(
+      chunks(8), "chunk", "doc", "ord",
+      previous = graft.ops.GatherOp.SectionSpec(headCount = 1, tailCount = 1),
+      next = graft.ops.GatherOp.SectionSpec(tailCount = 1))
+    val r5 = out.filter(col("ord") === 5).head().getAs[String]("chunk_rendered")
+    // previous side (chunks 1-4): head keeps 1, tail keeps 4, 2+3 skipped
+    assert(r5.contains("--- Previous Context ---"))
+    assert(r5.contains("[Chunk 1]\ncontent-1"))
+    assert(r5.contains(s"[... ${"content-2".length + "content-3".length} characters skipped ...]"))
+    assert(r5.contains("[Chunk 4]\ncontent-4"))
+    assert(r5.contains("--- Begin Main Chunk ---\ncontent-5\n--- End Main Chunk ---"))
+    // next side (chunks 6-8): only tail=1 keeps 8; 6+7 skipped
+    assert(r5.contains("[Chunk 8]\ncontent-8"))
+    assert(r5.contains(s"[... ${"content-6".length + "content-7".length} characters skipped ...]"))
+    assert(r5.contains("--- End Next Context ---"))
+  }
+
+  test("middle section renders the summary content key with a (Summary) tag") {
+    val out = graft.ops.GatherOp.withPeripheralSections(
+      chunks(4), "chunk", "doc", "ord",
+      previous = graft.ops.GatherOp.SectionSpec(
+        hasMiddle = true, middleContentKey = Some("sum")))
+    val r3 = out.filter(col("ord") === 3).head().getAs[String]("chunk_rendered")
+    assert(r3.contains("[Chunk 1 (Summary)]\ns1"))
+    assert(r3.contains("[Chunk 2 (Summary)]\ns2"))
+    // the middle section replaced the full content, not skipped it
+    val prevSection = r3.substring(0, r3.indexOf("--- End Previous Context ---"))
+    assert(!prevSection.contains("characters skipped") && !prevSection.contains("content-1"))
+  }
+
+  test("hierarchy headers render above the main chunk") {
+    val hdrType = ArrayType(StructType(Seq(
+      StructField("header", StringType), StructField("level", IntegerType))))
+    val schema = StructType(Seq(
+      StructField("doc", LongType), StructField("ord", LongType),
+      StructField("chunk", StringType), StructField("hdrs", hdrType)))
+    val d = df(schema,
+      Row(1L, 1L, "intro", Seq(Row("Title", 1))),
+      Row(1L, 2L, "body", Seq(Row("Section A", 2))),
+      Row(1L, 3L, "detail", Seq(Row("Sub A1", 3))))
+    val out = graft.ops.GatherOp.withPeripheralSections(
+      d, "chunk", "doc", "ord",
+      previous = graft.ops.GatherOp.SectionSpec(tailCount = 1),
+      docHeaderKey = Some("hdrs"))
+    val r3 = out.filter(col("ord") === 3).head().getAs[String]("chunk_rendered")
+    // current chunk's own level is 3 -> levels 1 and 2 render as hierarchy
+    assert(r3.contains("_Current Section:_ # Title > ## Section A"))
+  }
+
+  test("YAML gather with peripheral_chunks dispatches the full renderer") {
+    val dir = java.nio.file.Files.createTempDirectory("r5gather").toString
+    chunks(6).write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val out = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $dir/d.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - type: gather
+         |          content_key: chunk
+         |          doc_id_key: doc
+         |          order_key: ord
+         |          peripheral_chunks:
+         |            previous: { head: { count: 1 }, tail: { count: 1 } }
+         |            next: { tail: { count: 1 } }
+         |""".stripMargin, spark)
+    assert(out.count() == 6)
+    assert(out.columns.contains("chunk_rendered"))
+    val r4 = out.filter(col("ord") === 4).head().getAs[String]("chunk_rendered")
+    assert(r4.contains("[Chunk 1]") && r4.contains("[Chunk 3]") && r4.contains("[Chunk 6]"))
+  }
+}
+
 class InstrumentedRunSpec extends SparkSpec {
   test("runInstrumented records per-op rows in/out and selectivity") {
     val dir = java.nio.file.Files.createTempDirectory("r5instr").toString
