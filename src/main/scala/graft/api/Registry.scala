@@ -31,6 +31,18 @@ object Registry {
   private def schemaOf(c: Conf): Seq[(String, String)] =
     c.asOrderedMap.map { case (k, v) => k -> v.str }
 
+  /** Per-op client wrapper for `timeout` (seconds, reference base.py) and
+    * `max_retries_per_timeout`: the op's calls get their own retry/timeout
+    * budget on top of whatever global stack the pipeline's `llm:` block
+    * built. No keys -> the shared client, untouched. */
+  private def opClient(c: Conf, base: graft.llm.LlmClient): graft.llm.LlmClient =
+    (c.get("timeout"), c.get("max_retries_per_timeout")) match {
+      case (None, None) => base
+      case (t, r) => graft.llm.RetryingClient(base,
+        timeoutMs = t.map(_.int * 1000L).getOrElse(120000L),
+        maxRetries = r.map(_.int).getOrElse(2))
+    }
+
   private def mapConfig(name: String, c: Conf): SemanticMapConfig =
     SemanticMapConfig(
       name = name,
@@ -71,7 +83,7 @@ object Registry {
   register("map") { (df, c, ctx) =>
     val base = mapConfig(c("name").str, c)
     c.get("retriever") match {
-      case None => SemanticMap(df, base, ctx.client)
+      case None => SemanticMap(df, base, opClient(c, ctx.client))
       case Some(r) =>
         // Retrieval-augmented map (reference map.py:404-411): retrieved
         // context is joined on as a column, and — like the reference when
@@ -88,11 +100,11 @@ object Registry {
         val prompt =
           if (base.prompt.contains("retrieved_context")) base.prompt
           else s"Here is some extra context:\n{{ input.$ctxCol }}\n\n${base.prompt}"
-        val out = SemanticMap(withCtx, base.copy(prompt = prompt), ctx.client)
+        val out = SemanticMap(withCtx, base.copy(prompt = prompt), opClient(c, ctx.client))
         if (c.boolOr("save_retriever_output", false)) out else out.drop(ctxCol)
     }
   }
-  register("filter") { (df, c, ctx) => SemanticFilter(df, mapConfig(c("name").str, c), ctx.client) }
+  register("filter") { (df, c, ctx) => SemanticFilter(df, mapConfig(c("name").str, c), opClient(c, ctx.client)) }
   register("parallel_map") { (df, c, ctx) =>
     ParallelMap(df, c("name").str,
       c("prompts").asList.map(p => ParallelMap.SubPrompt(
@@ -132,7 +144,7 @@ object Registry {
       gleaning = c.get("gleaning").map(g => GleaningConfig(
         g("validation_prompt").str, g.intOr("num_rounds", 2), g.get("if").map(_.str))),
       persistIntermediates = c.boolOr("persist_intermediates", false),
-      skipOnError = c.boolOr("skip_on_error", false)), ctx.client)
+      skipOnError = c.boolOr("skip_on_error", false)), opClient(c, ctx.client))
   }
   register("resolve") { (df, c, ctx) =>
     val cfg = ResolveOp.Config(
@@ -307,7 +319,8 @@ object Registry {
         val keys = c.get("document_keys").map(_.strList)
           .getOrElse(Seq(c("document_key").str))
         ExtractOp.regexMulti(df, c("name").str, keys,
-          c("pattern").str, c.boolOr("format_extraction", true))
+          c("pattern").str, c.boolOr("format_extraction", true),
+          c.get("extraction_key_suffix").map(_.str))
       case "line_number" => ExtractOp.lineNumber(df, c("name").str, c("document_key").str,
         c("prompt").str, ctx.client, c.strOr("model", "mock"))
       case m => throw new IllegalArgumentException(s"unknown extraction method $m")
@@ -317,15 +330,19 @@ object Registry {
     AddUuid(df, c("name").str, c.get("id_key").map(_.str))
   }
   register("cluster") { (df, c, ctx) =>
+    val sPrompt = c.get("summary_prompt").map(_.str)
+    val sSchema = c.get("summary_schema").map(schemaOf).getOrElse(Seq("summary" -> "str"))
     c.strOr("method", "flat") match {
       case "flat" => ClusterOp(df, c("embedding_key").str, c("render_expr").str,
         c.intOr("num_clusters", 8), ctx.client, c.strOr("model", "mock"),
-        c.strOr("output_key", "clusters"))
+        c.strOr("output_key", "clusters"),
+        summaryPrompt = sPrompt, summarySchema = sSchema)
       case "hierarchical" => ClusterOp.hierarchical(df, c("embedding_key").str,
         c("render_expr").str, c.intOr("depth", 3), ctx.client,
         c.strOr("model", "mock"), c.strOr("output_key", "clusters"),
         c.intOr("max_summary_members", 10), c.intOr("seed", 42).toLong,
-        c.get("collapse").map(_.dbl), c.intOr("sample_size_per_node", 1000))
+        c.get("collapse").map(_.dbl), c.intOr("sample_size_per_node", 1000),
+        summaryPrompt = sPrompt, summarySchema = sSchema)
       case m => throw new IllegalArgumentException(s"unknown cluster method $m (flat | hierarchical)")
     }
   }

@@ -31,7 +31,15 @@ object ClusterOp {
       maxIter: Int = 10,
       /** Fixed centroids instead of k-means training — for reproducible
         * grids or externally-trained quantizers. */
-      explicitCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+      explicitCentroids: Option[Array[Array[Double]]] = None,
+      /** Custom node-summary prompt (reference cluster.py `summary_prompt`,
+        * rendered with the members as `inputs`): `{{ inputs }}` is replaced
+        * by the member block, otherwise the block is appended. */
+      summaryPrompt: Option[String] = None,
+      /** Declared summary output schema (reference `summary_schema`); a
+        * single field labels nodes with its value, multiple fields render
+        * "k=v" pairs. */
+      summarySchema: Seq[(String, String)] = Seq("summary" -> "str")): DataFrame = {
     // Centroids train on a driver-side sample (graft.ann.Ann.trainCentroids
     // — the coarse-quantizer recipe); ASSIGNMENT is fully distributed, a
     // codegen'd nearest-centroid expression over every row. No per-iteration
@@ -42,7 +50,7 @@ object ClusterOp {
       .withColumnRenamed("_cell", "_graft_cluster")
 
     // Per-cluster summary over a bounded member sample (deterministic order).
-    val summarySchema = StructType(Seq(StructField("summary", StringType)))
+    val outStruct = graft.core.SchemaTypes.toStruct(summarySchema)
     val samples = assigned
       .withColumn("_graft_render", expr(renderExpr).cast("string"))
       .groupBy("_graft_cluster")
@@ -51,8 +59,9 @@ object ClusterOp {
       .collect()
     val summaries = samples.map { r =>
       val cid = r.getInt(0)
-      val resp = client.complete(model, r.getSeq[String](1).mkString("\n"), summarySchema)
-      cid -> resp.values("summary").asInstanceOf[String]
+      val prompt = renderSummaryPrompt(summaryPrompt, r.getSeq[String](1).mkString("\n"))
+      val resp = client.complete(model, prompt, outStruct)
+      cid -> renderSummaryValues(resp.values, outStruct)
     }.toMap
     val summaryMap = typedLit(summaries)
     assigned
@@ -96,7 +105,9 @@ object ClusterOp {
         * — its summary is dropped from every row's path (root and leaves
         * always stay). */
       collapse: Option[Double] = None,
-      sampleSizePerNode: Int = 1000): DataFrame = {
+      sampleSizePerNode: Int = 1000,
+      summaryPrompt: Option[String] = None,
+      summarySchema: Seq[(String, String)] = Seq("summary" -> "str")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(depth >= 1, "depth must be >= 1")
     val spark = df.sparkSession
@@ -164,7 +175,7 @@ object ClusterOp {
 
     // Bottom-up summaries: leaves from member samples, ancestors from
     // children. Only O(#nodes) strings ever reach the driver.
-    val summarySchema = StructType(Seq(StructField("summary", StringType)))
+    val outStruct = graft.core.SchemaTypes.toStruct(summarySchema)
     val leafSamples = assigned
       .withColumn("_graft_render", expr(renderExpr).cast("string"))
       .groupBy("_graft_path")
@@ -185,8 +196,8 @@ object ClusterOp {
             .filter(_.nonEmpty).head).distinct.sorted.map(c => s"$path/$c")
           childPaths.map(summarize).mkString("\n")
       }
-      val resp = client.complete(model, input, summarySchema)
-      resp.values("summary").asInstanceOf[String]
+      val resp = client.complete(model, renderSummaryPrompt(summaryPrompt, input), outStruct)
+      renderSummaryValues(resp.values, outStruct)
     })
     leafSamples.keys.foreach(summarize)
     summarize("") // root
@@ -205,6 +216,24 @@ object ClusterOp {
       .withColumn(outputKey, element_at(pathMap, col("_graft_path")))
       .drop("_graft_vecd", "_graft_path")
   }
+
+  /** `{{ inputs }}` substitution for a custom summary prompt; without a
+    * custom prompt the member block IS the prompt (the mock-oracle path). */
+  private def renderSummaryPrompt(summaryPrompt: Option[String], members: String): String =
+    summaryPrompt match {
+      case Some(p) if p.contains("{{ inputs }}") => p.replace("{{ inputs }}", members)
+      case Some(p) => s"$p\n$members"
+      case None => members
+    }
+
+  /** Node label from the declared summary schema: a single field labels the
+    * node with its value (the reference's common shape), multiple fields
+    * render sorted "k=v" pairs. */
+  private def renderSummaryValues(
+      values: Map[String, Any],
+      outStruct: org.apache.spark.sql.types.StructType): String =
+    if (outStruct.fields.length == 1) String.valueOf(values(outStruct.fields.head.name))
+    else outStruct.fieldNames.sorted.map(f => s"$f=${values(f)}").mkString("; ")
 
   /** Local k=2 Lloyd over a node's sample: deterministic farthest-first
     * init (first point + its farthest), <=20 refinement iterations.

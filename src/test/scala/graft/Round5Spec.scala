@@ -249,6 +249,49 @@ class Round5YamlSpec extends SparkSpec {
     assert(out.filter(size(col("clusters")) === 3).count() == 40)
   }
 
+  test("cluster summary_prompt and summary_schema shape node labels") {
+    val path = writeEmb("r5csum", 20)
+    val out = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $path }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - type: cluster
+         |          name: cs
+         |          embedding_key: emb
+         |          render_expr: "t"
+         |          num_clusters: 2
+         |          summary_prompt: "Summarize these members: {{ inputs }}"
+         |          summary_schema: { summary: str }
+         |""".stripMargin, spark)
+    assert(out.count() == 20)
+    // mock summary rule sees the custom prompt: docs=N counts the prompt's
+    // lines, which now include the instruction line
+    val labels = out.selectExpr("clusters[0]").distinct().collect().map(_.getString(0))
+    assert(labels.forall(_.startsWith("docs=")))
+    // multi-field schema renders k=v pairs
+    val multi = Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $path }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - type: cluster
+         |          name: cm
+         |          embedding_key: emb
+         |          render_expr: "t"
+         |          num_clusters: 2
+         |          summary_schema: { summary: str, size_estimate: int }
+         |""".stripMargin, spark)
+    val ml = multi.selectExpr("clusters[0]").head().getString(0)
+    assert(ml.contains("size_estimate=") && ml.contains("summary="))
+  }
+
   test("custom sampling via YAML keeps only the listed key subsets") {
     val path = writeDocs("r5custom")
     val out = Pipeline.runYaml(
