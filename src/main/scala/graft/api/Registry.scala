@@ -286,8 +286,12 @@ object Registry {
         case None => TopKOp.embedding(df, c("embedding_key").str,
           c("query_vector").asList.map(_.dbl).toArray, c("k").int, tieBreak)
       }
-      case "fts" => TopKOp.bm25(df, c("text_key").str, c("query").str.split("\\s+").toSeq,
-        c("k").int, tieBreak)
+      case "fts" => c.get("stratify_key") match {
+        case Some(sk) => TopKOp.bm25Stratified(df, c("text_key").str,
+          c("query").str.split("\\s+").toSeq, c("k").int, sk.str, tieBreak)
+        case None => TopKOp.bm25(df, c("text_key").str,
+          c("query").str.split("\\s+").toSeq, c("k").int, tieBreak)
+      }
       case "llm_compare" => TopKOp.llmCompare(df, c("name").str, c("prompt").str,
         c("k").int, ctx.client, c.strOr("model", "mock"), tieBreak)
       case m => throw new IllegalArgumentException(s"unknown topk method $m")

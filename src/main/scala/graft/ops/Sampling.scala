@@ -261,6 +261,47 @@ object TopKOp {
       .limit(k)
   }
 
+  /** Per-stratum BM25 top-k (reference topk.py:183-188: stratify_key makes
+    * every method per-group). Corpus statistics (N, avgdl, per-term df)
+    * aggregate PER STRATUM in one pass — O(#strata) rows — and broadcast
+    * back; scoring is the same per-row expression and the per-stratum top-k
+    * is a WindowGroupLimit-optimized row_number filter. */
+  def bm25Stratified(
+      df: DataFrame,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      stratifyKey: String,
+      tieBreak: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      scoreName: String = "_score"): DataFrame = {
+    val tokens = split(col(textCol), " ")
+    val withLen = df.withColumn("_graft_dl", size(tokens))
+    val statCols = Seq(
+      count(lit(1)).cast("double").as("_graft_n"),
+      avg(col("_graft_dl")).as("_graft_avgdl")) ++
+      queryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(tokens, t), 1L).otherwise(0L)).cast("double").as(s"_graft_df_$i")
+      }
+    val stats = withLen.groupBy(col(stratifyKey)).agg(statCols.head, statCols.tail: _*)
+    val joined = withLen.join(broadcast(stats), Seq(stratifyKey))
+    val score = queryTerms.zipWithIndex.map { case (t, i) =>
+      val dfT = col(s"_graft_df_$i")
+      val idf = log((col("_graft_n") - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      val tf = size(filter(tokens, x => x === t)).cast("double")
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_graft_dl").cast("double") / col("_graft_avgdl")))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col(stratifyKey))
+      .orderBy(col(scoreName).desc +: tieBreak.map(col(_).asc): _*)
+    joined.withColumn(scoreName, score)
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") <= k)
+      .drop(("_graft_rn" +: "_graft_dl" +: "_graft_n" +: "_graft_avgdl" +:
+        queryTerms.indices.map(i => s"_graft_df_$i")): _*)
+  }
+
   /** `llm_compare` method (reference topk.py:208+ delegates to rank with k):
     * Likert-rate every row, keep the global top k. */
   def llmCompare(
