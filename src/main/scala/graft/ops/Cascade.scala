@@ -51,9 +51,12 @@ object CascadeFilter {
       }
     }(Encoders.row(scoredSchema)).persist())
 
-    // Calibration: oracle-label a deterministic sample, pick the smallest
-    // threshold whose proxy decisions reach targetRecall on it.
-    val sample = scored.limit(cfg.calibrationSize).collect()
+    // Calibration: oracle-label an order-invariant sample, pick the smallest
+    // threshold whose proxy decisions reach targetRecall on it. seededHead
+    // (not .limit) — a head sample is whatever file lists first, so at scale
+    // the recall guarantee would be calibrated on one file's distribution
+    // (same fix as SemanticMap calibrate / Ann.trainCentroids).
+    val sample = SampleOp.seededHead(scored, cfg.calibrationSize).collect()
     val oracleModel = cfg.oracleModel
     val tplIdx = scoredSchema.fieldIndex("_graft_dec")
     val confIdx = scoredSchema.fieldIndex("_graft_conf")
@@ -139,7 +142,11 @@ object CascadeCompare {
     val decIdx = scoredSchema.fieldIndex("_graft_dec")
     val confIdx = scoredSchema.fieldIndex("_graft_conf")
     val oracleModel = cfg.oracleModel
-    val sample = scored.filter(col("_graft_dec")).limit(cfg.calibrationSize).collect()
+    // Order-invariant sample of the proxy's accepts (not .limit: head order
+    // is partition-list order, which would calibrate the precision band on
+    // the first file at scale).
+    val sample = SampleOp.seededHead(
+      scored.filter(col("_graft_dec")), cfg.calibrationSize).collect()
     val labeled = sample.map { row =>
       val p = s"${row.getString(iL)}\n###\n${row.getString(iR)}"
       (row.getDouble(confIdx), graft.llm.Cached.compare(client, oracleModel, p))
