@@ -32,7 +32,7 @@ object Queries {
   /** (name, query, optional oracle SQL). Ordering = rough SURVEY §2 order. */
   lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
-    apiSurface ++ parsing ++ round5
+    apiSurface ++ parsing ++ round5 ++ round7
 
   // ---------------------------------------------------------------- parsing
 
@@ -1166,6 +1166,46 @@ object Queries {
           ORDER BY ((l_orderkey * 10 + l_linenumber) * 9301 + 49297 +
                     ${SampleOp.seedRotation(7)}) % 233280,
                    l_orderkey * 10 + l_linenumber) <= 40""")
+    ))
+
+  private def round7: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // BM25-backed FTS retrieval (reference lancedb.py fts mode is
+      // BM25-backed): each document's top-2 BM25-scoring corpus rows via
+      // the inverted-index term join — no cross product at any corpus size.
+      "q62_retriever_bm25",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") < 5).select(col("text").as("ctext"))
+        RetrieverOp.byBm25(docs, "q62", "text", corpus, "ctext", "ctext", k = 2)
+          .select(col("doc_id"), col("_q62_retrieved_context"))
+      },
+      Some("""
+        WITH cs AS (SELECT text AS ctext, string_split(text, ' ') AS ctoks
+                    FROM documents WHERE doc_id < 5),
+        cst AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       avg(CAST(len(ctoks) AS DOUBLE)) AS avgdl FROM cs),
+        tf AS (SELECT ctext, CAST(len(ctoks) AS DOUBLE) AS dl, term,
+                      CAST(count(*) AS DOUBLE) AS tf
+               FROM (SELECT ctext, ctoks, unnest(ctoks) AS term FROM cs)
+               GROUP BY ALL),
+        dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfr FROM tf GROUP BY term),
+        q AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+              FROM documents),
+        contrib AS (SELECT q.doc_id, tf.ctext,
+              ln((cst.n - dfreq.dfr + 0.5)/(dfreq.dfr + 0.5) + 1.0) * tf.tf * 2.2 /
+                (tf.tf + 1.2*(0.25 + 0.75*tf.dl/cst.avgdl)) AS c
+            FROM q JOIN tf USING (term) JOIN dfreq USING (term), cst),
+        scored AS (SELECT doc_id, ctext, sum(c) AS score FROM contrib
+                   GROUP BY doc_id, ctext),
+        topk AS (SELECT * FROM scored
+                 QUALIFY row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, ctext) <= 2),
+        agg AS (SELECT doc_id, string_agg(ctext, chr(10)||'---'||chr(10)
+                         ORDER BY score DESC, ctext) AS ctx
+                FROM topk GROUP BY doc_id)
+        SELECT d.doc_id, agg.ctx AS "_q62_retrieved_context"
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""")
     ))
 
 }

@@ -94,9 +94,26 @@ object Registry {
         val corpus = ctx.datasets.getOrElse(r("corpus").str,
           throw new IllegalArgumentException(s"unknown retriever corpus '${r("corpus").str}'"))
         val ctxCol = s"_${name}_retrieved_context"
-        val withCtx = RetrieverOp.byTermOverlap(df, name, r("query_key").str,
-          corpus, r("corpus_text_key").str,
-          r.strOr("render_expr", r("corpus_text_key").str), r.intOr("k", 3))
+        val renderExpr = r.strOr("render_expr", r("corpus_text_key").str)
+        val kk = r.intOr("k", 3)
+        // Retrieval modes mirror reference lancedb.py ("fts" is BM25-backed
+        // there, so `fts` routes to the inverted-index BM25 join here;
+        // `term_overlap` keeps the statistics-free lexical scorer).
+        val withCtx = r.strOr("method", "term_overlap") match {
+          case "fts" | "bm25" =>
+            RetrieverOp.byBm25(df, name, r("query_key").str,
+              corpus, r("corpus_text_key").str, renderExpr, kk)
+          case "embedding" =>
+            RetrieverOp.byEmbedding(df, name, r("query_key").str,
+              corpus, r("corpus_embedding_key").str, renderExpr, kk)
+          case "hybrid" =>
+            RetrieverOp.byHybrid(df, name, r("query_embedding_key").str,
+              r("query_key").str, corpus, r("corpus_embedding_key").str,
+              r("corpus_text_key").str, renderExpr, kk)
+          case _ =>
+            RetrieverOp.byTermOverlap(df, name, r("query_key").str,
+              corpus, r("corpus_text_key").str, renderExpr, kk)
+        }
         val prompt =
           if (base.prompt.contains("retrieved_context")) base.prompt
           else s"Here is some extra context:\n{{ input.$ctxCol }}\n\n${base.prompt}"

@@ -18,10 +18,22 @@ object Joins {
     * side); what changes is that the suite-wide plan audit (PlanAuditSpec)
     * can now statically separate "bounded broadcast side by design" from an
     * accidental nested loop, and the join participates in whole-stage
-    * codegen. */
+    * codegen.
+    *
+    * "Bounded by construction" is also a CHECK, not just a comment: the
+    * small side is counted with an O(maxRows) limited count (same guard
+    * shape as Rank.byPairwise) and the call throws if it exceeds `maxRows` —
+    * a corpus that outgrew its broadcast budget must be routed through a
+    * scale path (e.g. Ann.ivf) by the caller, never silently broadcast. */
   def boundedCrossBroadcast(
       big: DataFrame, small: DataFrame,
-      bigKey: Column, smallKey: Column): DataFrame = {
+      bigKey: Column, smallKey: Column,
+      maxRows: Int = 500000,
+      context: String = "boundedCrossBroadcast"): DataFrame = {
+    val n = small.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"$context: broadcast side exceeds maxRows=$maxRows rows; " +
+        "route through a partitioned/indexed path (e.g. Ann.ivf) instead of broadcasting")
     val b = big.withColumn("_graft_bx", pmod(xxhash64(bigKey), lit(1)))
     val s = small.withColumn("_graft_bx", pmod(xxhash64(smallKey), lit(1)))
     b.join(broadcast(s), Seq("_graft_bx")).drop("_graft_bx")

@@ -32,15 +32,45 @@ object RetrieverOp {
       corpus: DataFrame,
       corpusEmbCol: String,
       corpusRenderExpr: String,
-      k: Int = 3): DataFrame = {
+      k: Int = 3,
+      /** Corpus rows above which the broadcast-cross is refused and retrieval
+        * routes through the IVF index (train centroids on a sample, probe the
+        * nProbe nearest cells per query row). Checked with an O(gate) limited
+        * count. */
+      corpusGate: Int = 100000,
+      nCentroids: Int = 64,
+      nProbe: Int = 8): DataFrame = {
     val outKey = s"_${name}_retrieved_context"
     val rowId = s"_graft_rid_$name"
     val withId = df.withColumn(rowId, monotonically_increasing_id())
     val c = corpus.select(
       col(corpusEmbCol).as("_ce"),
       expr(corpusRenderExpr).cast("string").as("_ctext"))
-    val scored = graft.core.Joins.boundedCrossBroadcast(withId, c, col(rowId), col("_ctext"))
-      .withColumn("_score", CosineSimilarity(col(queryEmbCol), col("_ce")))
+    val small = c.limit(corpusGate + 1).count() <= corpusGate
+    val scored =
+      if (small)
+        graft.core.Joins.boundedCrossBroadcast(withId, c, col(rowId), col("_ctext"),
+            maxRows = corpusGate, context = s"retriever '$name'")
+          .withColumn("_score", CosineSimilarity(col(queryEmbCol), col("_ce")))
+      else {
+        // Large-corpus path: IVF (Ann.scala shapes). Centroids train on an
+        // order-invariant sample; the corpus partitions by cell; each query
+        // row probes only its nProbe nearest cells, so the join is a cell-key
+        // hash join (AQE picks broadcast vs shuffle), never a cross.
+        val centroids = graft.ann.Ann.trainCentroids(c, "_ce", nCentroids)
+        val assigned = graft.ann.Ann.ivfAssign(c, "_ce", centroids)
+        val sortedCells = array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
+          struct(VectorFunctions.euclideanToConst(col(queryEmbCol), ctr).as("d"),
+            lit(i).as("cell"))
+        }.toIndexedSeq: _*))
+        val probeCells = transform(
+          slice(sortedCells, 1, math.min(nProbe, centroids.length)),
+          s => s.getField("cell"))
+        val q = withId.withColumn("_cell", explode(probeCells))
+        assigned.join(q, Seq("_cell"))
+          .withColumn("_score", CosineSimilarity(col(queryEmbCol), col("_ce")))
+          .drop("_cell")
+      }
     attachTopK(withId, scored, rowId, outKey, k)
   }
 
@@ -61,6 +91,58 @@ object RetrieverOp {
     val scored = graft.core.Joins.boundedCrossBroadcast(withId, c, col(rowId), col("_ctext"))
       .withColumn("_score",
         size(array_intersect(split(col(queryTextCol), " "), col("_ctoks"))).cast("double"))
+    attachTopK(withId, scored, rowId, outKey, k)
+  }
+
+  /** BM25 full-text retrieval (reference lancedb.py fts mode is BM25-backed;
+    * scoring identical to TopKOp.bm25, ops/Sampling.scala, but with a
+    * per-row query instead of a constant term list). Distributed shape: an
+    * inverted-index join — corpus explodes to (term, doc, tf, dl) postings,
+    * query rows explode to (row, term), the two join ON TERM, and per-(row,
+    * doc) BM25 contributions sum. No cross product at any corpus size; only
+    * rows sharing at least one term ever meet, which is also why docs with
+    * zero overlap are never retrieved (BM25 score 0). */
+  def byBm25(
+      df: DataFrame,
+      name: String,
+      queryTextCol: String,
+      corpus: DataFrame,
+      corpusTextCol: String,
+      corpusRenderExpr: String,
+      k: Int = 3,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val outKey = s"_${name}_retrieved_context"
+    val rowId = s"_graft_rid_$name"
+    val withId = df.withColumn(rowId, monotonically_increasing_id())
+    val c = corpus.select(
+      split(col(corpusTextCol), " ").as("_ctoks"),
+      expr(corpusRenderExpr).cast("string").as("_ctext"))
+      .withColumn("_cdid", monotonically_increasing_id())
+    // Corpus stats: N and avgdl — two doubles to the driver.
+    val statsRow = c.agg(
+      count(lit(1)).cast("double"), avg(size(col("_ctoks")).cast("double"))).collect()(0)
+    val n = statsRow.getDouble(0)
+    val avgdl = statsRow.getDouble(1)
+    val postings = c
+      .select(col("_cdid"), col("_ctext"),
+        size(col("_ctoks")).cast("double").as("_dl"),
+        explode(col("_ctoks")).as("_term"))
+      .groupBy("_term", "_cdid", "_ctext", "_dl")
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val docfreq = postings.groupBy("_term")
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val queryTerms = withId.select(col(rowId),
+      explode(array_distinct(split(col(queryTextCol), " "))).as("_term"))
+    val contrib = queryTerms
+      .join(postings, Seq("_term"))
+      .join(docfreq, Seq("_term"))
+      .withColumn("_c",
+        log((lit(n) - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0) *
+          col("_tf") * (k1 + 1.0) /
+          (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / avgdl)))
+    val scored = contrib.groupBy(col(rowId), col("_cdid"), col("_ctext"))
+      .agg(sum(col("_c")).as("_score"))
     attachTopK(withId, scored, rowId, outKey, k)
   }
 

@@ -142,6 +142,37 @@ class LinkResolveSpec extends SparkSpec {
     assert(m("Alice") == Seq("Alice", "Bob", "ghost"))
     assert(m("Bob") == Seq("Alice")) // already canonical, untouched
   }
+  test("join path (mapping over gate) matches the broadcast-literal path") {
+    // 40 canonical ids, each referenced via a lowercased dangling alias →
+    // 40 confirmed mapping entries; mappingGate=1 forces the distributed
+    // explode/join/re-group rewrite, which must match the literal path.
+    val ids = (0 until 40).map(i => s"Node$i")
+    val rows = ids.zipWithIndex.map { case (id, i) =>
+      Row(id, Seq(s"node${(i + 1) % 40}", "ghost", s"node${(i + 7) % 40}"))
+    }
+    val d = df(StructType(Seq(
+      StructField("id", StringType),
+      StructField("links", ArrayType(StringType)))), rows: _*)
+    def run(gate: Long) = LinkResolveOp(d, LinkResolveOp.Config(
+      name = "lr", idKey = "id", linkKey = "links", mappingGate = gate), client)
+      .orderBy("id").collect().map(r => r.getString(0) -> r.getSeq[String](1)).toSeq
+    val viaLiteral = run(100000L)
+    val viaJoin = run(1L)
+    assert(viaJoin == viaLiteral)
+    assert(viaJoin.head._2 == Seq("Node1", "ghost", "Node7"))
+  }
+  test("join path preserves empty and null link arrays") {
+    val d = df(StructType(Seq(
+      StructField("id", StringType),
+      StructField("links", ArrayType(StringType)))),
+      Row("A", Seq("a", "B")), Row("B", Seq.empty[String]), Row("C", null))
+    val out = LinkResolveOp(d, LinkResolveOp.Config(
+      name = "lr", idKey = "id", linkKey = "links", mappingGate = 0L), client)
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[String](1))).toMap
+    assert(out("A").get == Seq("A", "B"))
+    assert(out("B").get == Seq.empty[String])
+    assert(out("C").isEmpty)
+  }
 }
 
 class ObservabilitySpec extends SparkSpec {

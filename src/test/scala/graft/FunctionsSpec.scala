@@ -61,6 +61,50 @@ class RetrieverSpec extends SparkSpec {
     val out = RetrieverOp.byEmbedding(base, "rag", "e", corpus, "ce", "t", k = 1)
     assert(out.select("_rag_retrieved_context").collect()(0).getString(0) == "close")
   }
+  test("embedding retriever over corpusGate routes through IVF, same result") {
+    // 60 corpus vectors on a 2-D circle; 3 query rows. corpusGate=10 forces
+    // the IVF path; nProbe = nCentroids makes IVF exhaustive, so its output
+    // must equal the small-corpus broadcast path exactly.
+    val corpusRows = (0 until 60).map { i =>
+      val a = i * 2 * math.Pi / 60
+      Row(Seq(math.cos(a), math.sin(a)), f"doc$i%02d")
+    }
+    val corpus = df(StructType(Seq(
+      StructField("ce", ArrayType(DoubleType)), StructField("t", StringType))),
+      corpusRows: _*)
+    val base = df(
+      StructType(Seq(StructField("id", LongType), StructField("e", ArrayType(DoubleType)))),
+      Row(1L, Seq(1.0, 0.0)), Row(2L, Seq(0.0, 1.0)), Row(3L, Seq(-1.0, 0.0)))
+    def ctx(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").select("_rag_retrieved_context").collect().map(_.getString(0)).toSeq
+    val viaBroadcast = ctx(RetrieverOp.byEmbedding(base, "rag", "e", corpus, "ce", "t", k = 3))
+    val viaIvf = ctx(RetrieverOp.byEmbedding(base, "rag", "e", corpus, "ce", "t", k = 3,
+      corpusGate = 10, nCentroids = 4, nProbe = 4))
+    assert(viaIvf == viaBroadcast)
+  }
+  test("boundedCrossBroadcast refuses an over-budget small side") {
+    val big = spark.range(10).toDF("a")
+    val small = spark.range(50).toDF("b")
+    val err = intercept[IllegalArgumentException] {
+      graft.core.Joins.boundedCrossBroadcast(big, small, col("a"), col("b"),
+        maxRows = 20, context = "test")
+    }
+    assert(err.getMessage.contains("maxRows=20"))
+  }
+  test("bm25 retriever scores with corpus statistics, not raw overlap") {
+    // Both corpus docs share one term with the query; "rare" appears in only
+    // one corpus doc so its idf dominates the common term's.
+    val corpus = df(
+      StructType(Seq(StructField("ctext", StringType))),
+      Row("common rare"), Row("common common filler"), Row("other words"))
+    val base = df(StructType(Seq(
+      StructField("id", LongType), StructField("qtext", StringType))),
+      Row(1L, "common rare"), Row(2L, "zzz-no-overlap"))
+    val out = RetrieverOp.byBm25(base, "rag", "qtext", corpus, "ctext", "ctext", k = 1)
+      .orderBy("id").select("_rag_retrieved_context").collect()
+    assert(out(0).getString(0) == "common rare") // idf(rare) >> idf(common)
+    assert(out(1).isNullAt(0)) // zero overlap -> nothing retrieved
+  }
 }
 
 class WebOpsSpec extends SparkSpec {
