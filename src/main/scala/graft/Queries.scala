@@ -1206,6 +1206,41 @@ object Queries {
                 FROM topk GROUP BY doc_id)
         SELECT d.doc_id, agg.ctx AS "_q62_retrieved_context"
         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""")
+    ),
+    (
+      // Stratified-by-length limit_comparisons (reference equijoin.py:723-778):
+      // left renders are padded longer than right, so pairs group by
+      // c_custkey; per-group quota = 2000/nGroups with the remainder going
+      // to the smallest group keys; within a group the longest right
+      // renders (o_orderkey % 5 padding) win, o_orderkey breaking ties.
+      "q63_equijoin_stratified",
+      (s: SparkSession, dir: String) =>
+        EquijoinOp(t(s, dir, "customer"), t(s, dir, "orders"), EquijoinOp.Config(
+          name = "q63", condition = "c_custkey = o_custkey",
+          compareExprLeft = "concat(cast(c_custkey as string), repeat(' ', 10))",
+          compareExprRight =
+            "concat(cast(o_custkey as string), repeat(' ', cast(o_orderkey % 5 as int)))",
+          llmVerify = true, leftIdKey = "c_custkey", rightIdKey = "o_orderkey",
+          limitComparisons = Some(2000)), client)
+          .select("c_custkey", "o_orderkey"),
+      Some("""
+        WITH pairs AS (
+          SELECT c_custkey, o_orderkey,
+                 length(CAST(o_custkey AS VARCHAR)) + (o_orderkey % 5) AS rlen
+          FROM customer JOIN orders ON c_custkey = o_custkey),
+        g AS (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS ng FROM pairs),
+        ranked AS (
+          SELECT c_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY c_custkey
+                   ORDER BY rlen DESC, o_orderkey) AS rn
+          FROM pairs),
+        krank AS (
+          SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS kr
+          FROM (SELECT DISTINCT c_custkey FROM pairs))
+        SELECT r.c_custkey, r.o_orderkey
+        FROM ranked r JOIN krank k ON r.c_custkey = k.c_custkey, g
+        WHERE r.rn <= (2000 // g.ng) +
+              (CASE WHEN k.kr <= (2000 % g.ng) THEN 1 ELSE 0 END)""")
     ))
 
 }

@@ -53,7 +53,8 @@ object Pipeline {
             apiKeyEnv = l.strOr("api_key_env", ""),
             requestTimeoutMs = l.intOr("request_timeout_ms", 110000).toLong,
             pricePerMTokIn = l.dblOr("price_per_mtok_in", 0.0),
-            pricePerMTokOut = l.dblOr("price_per_mtok_out", 0.0))
+            pricePerMTokOut = l.dblOr("price_per_mtok_out", 0.0),
+            outputMode = l.strOr("output_mode", "tools"))
           case other => throw new IllegalArgumentException(
             s"unknown llm provider '$other' (mock|openai)")
         }

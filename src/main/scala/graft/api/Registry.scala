@@ -35,13 +35,18 @@ object Registry {
     * `max_retries_per_timeout`: the op's calls get their own retry/timeout
     * budget on top of whatever global stack the pipeline's `llm:` block
     * built. No keys -> the shared client, untouched. */
-  private def opClient(c: Conf, base: graft.llm.LlmClient): graft.llm.LlmClient =
+  private def opClient(c: Conf, base: graft.llm.LlmClient): graft.llm.LlmClient = {
+    // Per-op structured-output mode (reference api.py:316-318 reads
+    // op_config["output"]["mode"]; tools vs structured_output).
+    val moded = c.get("output").flatMap(_.get("mode"))
+      .map(m => base.withOutputMode(m.str)).getOrElse(base)
     (c.get("timeout"), c.get("max_retries_per_timeout")) match {
-      case (None, None) => base
-      case (t, r) => graft.llm.RetryingClient(base,
+      case (None, None) => moded
+      case (t, r) => graft.llm.RetryingClient(moded,
         timeoutMs = t.map(_.int * 1000L).getOrElse(120000L),
         maxRetries = r.map(_.int).getOrElse(2))
     }
+  }
 
   private def mapConfig(name: String, c: Conf): SemanticMapConfig =
     SemanticMapConfig(

@@ -30,12 +30,19 @@ final class LlmHttpException(val status: Int, body: String)
   * lambdas); the HttpClient and ObjectMapper are `@transient lazy`, rebuilt
   * per executor JVM.
   *
-  * Structured output: the declared Spark schema is rendered as a JSON-object
-  * instruction in a system message plus `response_format: json_object`
-  * (reference api.py:588 passes `response_format={"type":"json_schema"}`);
-  * the returned content is parsed and coerced field-by-field; a missing
-  * required field throws, which surfaces to RetryingClient / the op's
-  * validation loop exactly like the reference's parse-and-retry.
+  * Structured output, two modes (reference api.py:59-64 OutputMode):
+  *   - `"tools"` (default, as in the reference): the declared schema is
+  *     compiled to a JSON Schema and sent as an OpenAI `tools` entry named
+  *     `send_output` with `tool_choice` forcing it (api.py:790-817); the
+  *     reply is read from `tool_calls[0].function.arguments`, falling back
+  *     to message content when the provider answered without a tool call.
+  *   - `"structured_output"`: `response_format: json_object` plus a
+  *     field-list instruction in the system message; the reply is the
+  *     message content.
+  * Either way the JSON is parsed and coerced field-by-field; a missing
+  * required field (or an out-of-set `enum[...]` value) throws, which
+  * surfaces to RetryingClient / the op's validation loop exactly like the
+  * reference's parse-and-retry.
   *
   * Compose as `RetryingClient(FallbackClient(RateLimitedClient(http)))` and
   * run inside `Concurrency.mapOrdered` for in-partition parallelism — see
@@ -51,7 +58,13 @@ final case class HttpLlmClient(
     requestTimeoutMs: Long = 110000,
     pricePerMTokIn: Double = 0.0,
     pricePerMTokOut: Double = 0.0,
-    temperature: Double = 0.0) extends LlmClient {
+    temperature: Double = 0.0,
+    outputMode: String = "tools") extends LlmClient {
+
+  require(outputMode == "tools" || outputMode == "structured_output",
+    s"outputMode must be 'tools' or 'structured_output', got '$outputMode'")
+
+  override def withOutputMode(mode: String): LlmClient = copy(outputMode = mode)
 
   @transient private lazy val http: HttpClient =
     HttpClient.newBuilder()
@@ -98,14 +111,59 @@ final case class HttpLlmClient(
       "Respond with a single JSON object with exactly these fields: ", ", ", ".")
   }
 
-  private def chatBody(model: String, system: String, user: String): ObjectNode = {
+  /** Spark DataType -> JSON Schema node, for the `tools` parameters object
+    * (the shape api.py:790-817 builds for `send_output`). */
+  private def jsonSchemaNode(dt: DataType, enumVals: Option[Seq[String]] = None): ObjectNode = {
+    val n = mapper.createObjectNode()
+    dt match {
+      case StringType =>
+        n.put("type", "string")
+        enumVals.foreach { vs => val a = n.putArray("enum"); vs.foreach(a.add) }
+      case LongType | IntegerType => n.put("type", "integer")
+      case DoubleType | FloatType => n.put("type", "number")
+      case BooleanType            => n.put("type", "boolean")
+      case ArrayType(et, _) =>
+        n.put("type", "array")
+        n.set[ObjectNode]("items", jsonSchemaNode(et))
+      case st: StructType =>
+        n.put("type", "object")
+        val props = n.putObject("properties")
+        val req = n.putArray("required")
+        st.fields.foreach { f =>
+          props.set[ObjectNode](f.name,
+            jsonSchemaNode(f.dataType, graft.core.SchemaTypes.enumOf(f)))
+          req.add(f.name)
+        }
+        n.put("additionalProperties", false)
+      case _ => n.put("type", "string")
+    }
+    n
+  }
+
+  private def chatBody(
+      model: String, system: String, user: String,
+      schema: Option[StructType] = None): ObjectNode = {
     val body = mapper.createObjectNode()
     body.put("model", model)
     body.put("temperature", temperature)
     val messages = body.putArray("messages")
     messages.addObject().put("role", "system").put("content", system)
     messages.addObject().put("role", "user").put("content", user)
-    body.putObject("response_format").put("type", "json_object")
+    schema match {
+      case Some(st) if outputMode == "tools" =>
+        val fn = body.putArray("tools").addObject()
+        fn.put("type", "function")
+        val f = fn.putObject("function")
+        f.put("name", "send_output")
+        f.put("description", "Send output back to the user")
+        f.set[ObjectNode]("parameters", jsonSchemaNode(st))
+        f.put("strict", true)
+        val tc = body.putObject("tool_choice")
+        tc.put("type", "function")
+        tc.putObject("function").put("name", "send_output")
+      case _ =>
+        body.putObject("response_format").put("type", "json_object")
+    }
     body
   }
 
@@ -121,6 +179,16 @@ final case class HttpLlmClient(
     if (c.isMissingNode || c.isNull)
       throw new LlmHttpException(502, s"no choices[0].message.content in ${root.toString.take(200)}")
     c.asText()
+  }
+
+  /** The structured JSON payload of a completion: the forced tool call's
+    * arguments when present (api.py:477-478), else the message content —
+    * the reference's tools-then-structured-output fallback order. */
+  private def structuredPayload(root: JsonNode): String = {
+    val args = root.path("choices").path(0).path("message")
+      .path("tool_calls").path(0).path("function").path("arguments")
+    if (!args.isMissingNode && !args.isNull && args.asText().nonEmpty) args.asText()
+    else content(root)
   }
 
   /** Tolerate the common fenced-JSON reply shape (```json ... ```). */
@@ -162,13 +230,26 @@ final case class HttpLlmClient(
       val node = obj.get(f.name)
       if (node == null)
         throw new LlmHttpException(502, s"response missing declared field '${f.name}': ${obj.toString.take(200)}")
-      f.name -> jsonToValue(node, f.dataType)
+      val v = jsonToValue(node, f.dataType)
+      // enum[...] is enforced on parse, not just prompted for (reference
+      // validation.py convert_val emits a json_schema enum) — an out-of-set
+      // value throws so RetryingClient / validation loops can retry.
+      graft.core.SchemaTypes.enumOf(f).foreach { allowed =>
+        v match {
+          case s: String if !allowed.contains(s) =>
+            throw new LlmHttpException(502,
+              s"field '${f.name}' value '$s' not in enum ${allowed.mkString("[", ", ", "]")}")
+          case _ => ()
+        }
+      }
+      f.name -> v
     }.toMap
 
   override def complete(model: String, prompt: String, schema: StructType): LlmResponse = {
-    val root = post("/chat/completions", chatBody(model, schemaInstruction(schema), prompt))
+    val root = post("/chat/completions",
+      chatBody(model, schemaInstruction(schema), prompt, Some(schema)))
     val (tin, tout, cost) = usageCost(root)
-    val r = LlmResponse(toValues(parseJsonObject(content(root)), schema), cost, tin, tout)
+    val r = LlmResponse(toValues(parseJsonObject(structuredPayload(root)), schema), cost, tin, tout)
     TokenTally.record(model, r)
     r
   }
@@ -184,9 +265,11 @@ final case class HttpLlmClient(
       s"""You will receive ${prompts.size} numbered items. Respond with a single JSON object {"results": [...]} whose array holds one object per item, in order. Each object has exactly these fields: """)
     val user = prompts.zipWithIndex
       .map { case (p, i) => s"### Item ${i + 1}\n$p" }.mkString("\n\n")
-    val root = post("/chat/completions", chatBody(model, sys, user))
+    val batchSchema = StructType(Seq(
+      StructField("results", ArrayType(schema), nullable = false)))
+    val root = post("/chat/completions", chatBody(model, sys, user, Some(batchSchema)))
     val (tin, tout, cost) = usageCost(root)
-    val results = parseJsonObject(content(root)).path("results")
+    val results = parseJsonObject(structuredPayload(root)).path("results")
     if (!results.isArray || results.size() != prompts.size)
       throw new LlmHttpException(502,
         s"batch expected ${prompts.size} results, got ${if (results.isArray) results.size() else "none"}")

@@ -36,6 +36,13 @@ trait LlmClient extends Serializable {
   /** Single-token logprob confidence for cascade routing
     * (reference api.py:1004 `classify_with_logprob`). */
   def logprobConfidence(model: String, prompt: String): Double = 1.0
+
+  /** Return a client using the given structured-output mode —
+    * `"tools"` (function-calling, the reference default, api.py:59-64) or
+    * `"structured_output"` (json_object response_format). Ops select it via
+    * `output: {mode: ...}` (api.py:316-318); clients that don't distinguish
+    * (mock) return themselves. */
+  def withOutputMode(mode: String): LlmClient = this
 }
 
 final case class LlmResponse(
@@ -84,6 +91,8 @@ final case class RateLimitedClient(inner: LlmClient, key: String, permitsPerMinu
   }
   override def logprobConfidence(model: String, prompt: String): Double =
     inner.logprobConfidence(model, prompt)
+  override def withOutputMode(mode: String): LlmClient =
+    copy(inner = inner.withOutputMode(mode))
 }
 
 /** Cache-through call helpers for executor-side LLM invocations. EVERY
@@ -183,6 +192,8 @@ final case class RetryingClient(
     withRetry(timeoutMs)(inner.embed(model, texts))
   override def logprobConfidence(model: String, prompt: String): Double =
     withRetry(timeoutMs)(inner.logprobConfidence(model, prompt))
+  override def withOutputMode(mode: String): LlmClient =
+    copy(inner = inner.withOutputMode(mode))
 }
 
 object RetryingClient {
@@ -222,6 +233,8 @@ final case class FallbackClient(inner: LlmClient, chains: Map[String, Seq[String
     withChain(model)(inner.embed(_, texts))
   override def logprobConfidence(model: String, prompt: String): Double =
     withChain(model)(inner.logprobConfidence(_, prompt))
+  override def withOutputMode(mode: String): LlmClient =
+    copy(inner = inner.withOutputMode(mode))
 }
 
 /** Blocking token-bucket rate limiter, one bucket per key per executor JVM

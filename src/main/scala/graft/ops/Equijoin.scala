@@ -37,9 +37,13 @@ object EquijoinOp {
       leftIdKey: String = "",
       rightIdKey: String = "",
       /** Cap the candidate pairs sent to the LLM verify (reference
-        * equijoin.py:398-421 limit_comparisons) — a deterministic head by
-        * the side ids (the reference's stratified sampling is thread-order
-        * dependent; SURVEY.md §7.5.2). Requires leftIdKey/rightIdKey. */
+        * equijoin.py:398-421 limit_comparisons), stratified as in
+        * equijoin.py:723-778: pairs group by the side whose rendered compare
+        * string is longer on average, each group gets an equal quota
+        * (remainder to the first groups in key order — the deterministic
+        * analog of the reference's thread-order-dependent insertion order),
+        * and within a group the longest other-side renders win. Requires
+        * leftIdKey/rightIdKey. */
       limitComparisons: Option[Int] = None,
       /** Precision-guarantee model cascade for the verify stage (reference
         * equijoin.py:196-239; defaults precision — cascade_runner.py:33-36).
@@ -68,7 +72,7 @@ object EquijoinOp {
       case Some(n) if cfg.llmVerify =>
         val lid = sideKey(cfg.leftIdKey, collisions, "_left")
         val rid = sideKey(cfg.rightIdKey, collisions, "_right")
-        joined.orderBy(col(lid).asc, col(rid).asc).limit(n)
+        stratifiedLengthHead(joined, n, lid, rid, cfg)
       case _ => joined
     }
 
@@ -115,6 +119,44 @@ object EquijoinOp {
 
   private def sideKey(key: String, collisions: Set[String], suffix: String): String =
     if (collisions.contains(key)) s"$key$suffix" else key
+
+  /** Stratified-by-length candidate sampling (reference equijoin.py:723-778
+    * `stratified_length_sample`), distributively:
+    *   1. one aggregation decides the grouping side (higher average rendered
+    *      compare length — `use_left_as_key = left_length > right_length`);
+    *   2. group quota = n / nGroups, remainder +1 to the `extra` smallest
+    *      group keys (a distributed sort-limit + broadcast semi-join, never
+    *      a global window over all keys);
+    *   3. within a group, pairs rank by the OTHER side's rendered length
+    *      descending ("prioritize longer matches"), other-side id as the
+    *      deterministic tie-break.
+    * Driver state is two scalars + the `extra`-row key head; everything else
+    * is joins/windows. Like the reference, a group smaller than its quota
+    * under-fills (no redistribution), so the result can be < n pairs. */
+  private def stratifiedLengthHead(
+      joined: DataFrame, n: Int, lid: String, rid: String, cfg: Config): DataFrame = {
+    val lLen = length(expr(cfg.compareExprLeft).cast("string")).cast("double")
+    val rLen = length(expr(cfg.compareExprRight).cast("string")).cast("double")
+    val avgs = joined.agg(avg(lLen), avg(rLen)).collect()(0)
+    def avgOr0(i: Int) = if (avgs.isNullAt(i)) 0.0 else avgs.getDouble(i)
+    val useLeftAsKey = avgOr0(0) > avgOr0(1)
+    val (keyCol, otherLen, otherId) =
+      if (useLeftAsKey) (col(lid), rLen, col(rid)) else (col(rid), lLen, col(lid))
+    val keys = joined.select(keyCol.as("_graft_gk")).distinct()
+    val nGroups = keys.count()
+    if (nGroups == 0) return joined.limit(0)
+    val base = (n / nGroups).toInt
+    val extra = (n % nGroups).toInt
+    val extraKeys = keys.orderBy(col("_graft_gk").asc).limit(extra)
+      .withColumn("_graft_extra", lit(1))
+    val w = Window.partitionBy(col("_graft_gk"))
+      .orderBy(otherLen.desc, otherId.asc)
+    joined.withColumn("_graft_gk", keyCol)
+      .join(broadcast(extraKeys), Seq("_graft_gk"), "left")
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") <= lit(base) + when(col("_graft_extra").isNotNull, 1).otherwise(0))
+      .drop("_graft_gk", "_graft_extra", "_graft_rn")
+  }
 
   /** Embedding blocking with RUNTIME threshold calibration (reference
     * equijoin.py:332-378 auto-blocking via `RuntimeBlockingOptimizer`,

@@ -23,6 +23,7 @@ object FakeLlmServer {
     val maxInFlight = new AtomicInteger(0)
     val failuresRemaining = new AtomicInteger(0)
     @volatile var latencyMs: Long = 0
+    @volatile var lastBody: String = ""
   }
 
   def withServer[A](f: (String, State) => A): A = {
@@ -57,6 +58,11 @@ object FakeLlmServer {
        |"logprobs":{"content":[{"logprob":-0.5}]}}],
        |"usage":{"prompt_tokens":10,"completion_tokens":5}}""".stripMargin.replace("\n", "")
 
+  private def toolReply(args: String): String =
+    s"""{"choices":[{"message":{"tool_calls":[{"type":"function",
+       |"function":{"name":"send_output","arguments":"${jsonEscape(args)}"}}]}}],
+       |"usage":{"prompt_tokens":10,"completion_tokens":5}}""".stripMargin.replace("\n", "")
+
   private def handle(ex: HttpExchange, st: State): Unit = {
     val n = st.inFlight.incrementAndGet()
     st.maxInFlight.accumulateAndGet(n, math.max)
@@ -64,10 +70,15 @@ object FakeLlmServer {
     try {
       if (st.latencyMs > 0) Thread.sleep(st.latencyMs)
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      st.lastBody = body
       val path = ex.getRequestURI.getPath
       val model = """"model"\s*:\s*"([^"]+)"""".r
         .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
       if (model == "always-500") respond(ex, 500, """{"error":"boom"}""")
+      else if (model == "tooly")
+        respond(ex, 200, toolReply("""{"label":"via-tool","score":3,"urgency":"low"}"""))
+      else if (model == "bad-enum")
+        respond(ex, 200, chatReply("""{"urgency":"catastrophic"}"""))
       else if (model == "flaky" && st.failuresRemaining.getAndDecrement() > 0)
         respond(ex, 503, """{"error":"overloaded"}""")
       else if (path.endsWith("/embeddings")) {
@@ -108,6 +119,63 @@ class HttpLlmSpec extends AnyFunSuite {
       assert(r.values("score") == 7L)
       assert(r.inputTokens == 10 && r.outputTokens == 5)
       assert(math.abs(r.cost - (10 * 1.0 + 5 * 2.0) / 1e6) < 1e-12)
+    }
+  }
+
+  test("tools mode sends send_output tool spec and parses tool_calls arguments") {
+    FakeLlmServer.withServer { (url, st) =>
+      val client = HttpLlmClient(url) // default outputMode = "tools"
+      val enumSchema = graft.core.SchemaTypes.toStruct(
+        Seq("label" -> "str", "score" -> "int", "urgency" -> "enum[low, high]"))
+      val r = client.complete("tooly", "classify", enumSchema)
+      assert(r.values("label") == "via-tool" && r.values("score") == 3L)
+      val b = st.lastBody
+      assert(b.contains(""""tools""""))
+      assert(b.contains(""""name":"send_output""""))
+      assert(b.contains(""""tool_choice""""))
+      assert(b.contains(""""parameters""""))
+      assert(b.contains(""""enum":["low","high"]"""))
+      assert(b.contains(""""required":["label","score","urgency"]"""))
+      assert(!b.contains("response_format"))
+    }
+  }
+
+  test("structured_output mode keeps json_object response_format, no tools") {
+    FakeLlmServer.withServer { (url, st) =>
+      val client = HttpLlmClient(url).withOutputMode("structured_output")
+      val r = client.complete("good", "classify", schema)
+      assert(r.values("label") == "ok-good")
+      assert(st.lastBody.contains(""""response_format""""))
+      assert(!st.lastBody.contains(""""tools""""))
+    }
+  }
+
+  test("tools mode falls back to message content when no tool call returned") {
+    FakeLlmServer.withServer { (url, _) =>
+      // "good" replies with plain content; the tools-mode client must still
+      // parse it (reference tools -> structured-output fallback order).
+      val r = HttpLlmClient(url).complete("good", "classify", schema)
+      assert(r.values("label") == "ok-good")
+    }
+  }
+
+  test("out-of-enum value throws so the retry/validation loop can catch it") {
+    FakeLlmServer.withServer { (url, _) =>
+      val enumSchema = graft.core.SchemaTypes.toStruct(Seq("urgency" -> "enum[low, high]"))
+      val e = intercept[LlmHttpException] {
+        HttpLlmClient(url).complete("bad-enum", "how urgent?", enumSchema)
+      }
+      assert(e.getMessage.contains("not in enum"))
+    }
+  }
+
+  test("per-op output.mode rewraps through decorator stacks") {
+    FakeLlmServer.withServer { (url, st) =>
+      val stack = RetryingClient(FallbackClient(HttpLlmClient(url), Map.empty))
+        .withOutputMode("structured_output")
+      stack.complete("good", "x", schema)
+      assert(st.lastBody.contains(""""response_format""""))
+      assert(!st.lastBody.contains(""""tools""""))
     }
   }
 

@@ -135,9 +135,33 @@ class LimitComparisonsSpec extends SparkSpec {
       compareExprLeft = "k", compareExprRight = "k2", llmVerify = true,
       leftIdKey = "id", rightIdKey = "rid", limitComparisons = Some(7)), client)
     assert(out.count() == 7) // 25 candidates capped to 7, all match (k == k2)
-    // deterministic head: the first rows by (id, rid)
+    // equal render lengths -> group by the right side; 5 groups, base quota
+    // 7/5 = 1, the 2 smallest group keys (rid 1, 2) get +1; within a group
+    // ties rank by the other side's id.
     val got = out.select("id", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-    assert(got == Set((1L,1L),(1L,2L),(1L,3L),(1L,4L),(1L,5L),(2L,1L),(2L,2L)))
+    assert(got == Set((1L,1L),(2L,1L),(1L,2L),(2L,2L),(1L,3L),(1L,4L),(1L,5L)))
+  }
+
+  test("limit_comparisons stratifies by the longer side with per-group quotas") {
+    // All renders trim to "xxxxxxxxxx" (so the mock verify matches every
+    // pair) but differ in raw length via trailing spaces: left avg 20 >
+    // right avg ~12.5 -> pairs group by LEFT id (reference:
+    // use_left_as_key = left_length > right_length).
+    val l = df(StructType(Seq(StructField("id", LongType), StructField("k", StringType))),
+      (1L to 3L).map(i => Row(i, "x" * 10 + " " * 10)): _*)
+    val r = df(StructType(Seq(StructField("rid", LongType), StructField("k2", StringType))),
+      (1L to 4L).map(i => Row(i, "x" * 10 + " " * i.toInt)): _*)
+    val out = EquijoinOp(l, r, EquijoinOp.Config(
+      name = "lc2", condition = "length(k) >= 0", // cross: 12 candidate pairs
+      compareExprLeft = "k", compareExprRight = "k2", llmVerify = true,
+      leftIdKey = "id", rightIdKey = "rid", limitComparisons = Some(7)), client)
+      .select("id", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    // 3 groups (left ids), base 7/3 = 2, remainder 1 -> group id=1 gets 3;
+    // within a group the LONGEST right renders win: rid 4, then 3 (then 2).
+    val byGroup = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byGroup(1L) == Set(4L, 3L, 2L))
+    assert(byGroup(2L) == Set(4L, 3L))
+    assert(byGroup(3L) == Set(4L, 3L))
   }
 }
 
