@@ -1241,6 +1241,29 @@ object Queries {
         FROM ranked r JOIN krank k ON r.c_custkey = k.c_custkey, g
         WHERE r.rn <= (2000 // g.ng) +
               (CASE WHEN k.kr <= (2000 % g.ng) THEN 1 ELSE 0 END)""")
+    ),
+    (
+      // Sliding-window rank (reference rank.py:389): embedding initial
+      // ordering, then LLM-rated windows reorder the top. windowSize >= n
+      // makes the walk a single whole-list window, so the oracle is the
+      // stable re-sort by mock rating (1 + (vec_id % 11) % 7) with the
+      // embedding rank as tie-break.
+      "q64_rank_sliding",
+      (s: SparkSession, dir: String) =>
+        RankOp.bySlidingWindow(t(s, dir, "embeddings"), "q64", "embedding",
+          queryVec, "repeat('x', cast(vec_id % 11 as int))", client,
+          k = 40, windowSize = 1000, tieBreak = Seq("vec_id"))
+          .select(col("vec_id"), col("_rank")),
+      Some(s"""
+        WITH init AS (SELECT vec_id,
+          row_number() OVER (ORDER BY
+            round(list_dot_product(CAST(embedding AS DOUBLE[]), $queryVecSql)
+              / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * $queryNormSql), 6) DESC,
+            vec_id) AS r0
+          FROM embeddings)
+        SELECT vec_id, CAST(row_number() OVER (ORDER BY
+          (1 + (vec_id % 11) % 7) DESC, r0) AS BIGINT) AS "_rank"
+        FROM init""")
     ))
 
 }

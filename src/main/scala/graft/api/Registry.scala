@@ -334,6 +334,11 @@ object Registry {
       case "pairwise" => RankOp.byPairwise(df, c("name").str, c("id_key").str,
         c("render_expr").str, ctx.client, c.strOr("model", "mock"), tieBreak,
         c.strOr("block_expr", ""), c.intOr("max_rows", 1000))
+      case "sliding_window" => RankOp.bySlidingWindow(df, c("name").str,
+        c("embedding_key").str, c("query_vector").asList.map(_.dbl).toArray,
+        c("render_expr").str, ctx.client, c.strOr("model", "mock"),
+        c.intOr("k", 50), c.intOr("batch_size", 10),
+        c.strOr("direction", "desc"), tieBreak)
       case m => throw new IllegalArgumentException(s"unknown rank method $m")
     }
   }

@@ -165,6 +165,66 @@ object RankOp {
     withGlobalRank(scored, ordered)
   }
 
+  /** Sliding-window rank (reference rank.py:389 `_execute_sliding_window_qurk`,
+    * the human-powered-sort QuRK baseline): an initial embedding ordering,
+    * then overlapping windows of `windowSize` advancing by `windowSize/2`
+    * from the TOP of the list are LLM re-rated and reordered in place; the
+    * walk stops after the first window starting at or past `k` (reference
+    * breaks after processing that window). The window pass is inherently
+    * sequential, so it runs on the collected top `k + windowSize` slice —
+    * O(k) driver state, correct at scale because rows below the slice keep
+    * their initial rank (same shape as [[refineTopSlice]]). */
+  def bySlidingWindow(
+      df: DataFrame,
+      name: String,
+      embeddingCol: String,
+      query: Array[Double],
+      renderExpr: String,
+      client: LlmClient,
+      model: String = "mock",
+      k: Int = 50,
+      windowSize: Int = 10,
+      direction: String = "desc",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val initial = byEmbedding(df, embeddingCol, query, direction, tieBreak)
+    val spark = initial.sparkSession
+    val sliceSize = k + windowSize
+    val slice = initial.filter(col("_rank") <= sliceSize)
+      .withColumn("_graft_render", expr(renderExpr).cast("string"))
+      .orderBy(col("_rank"))
+      .collect()
+    if (slice.length <= 1) return initial
+    val renderIdx = slice.head.fieldIndex("_graft_render")
+    val ratingSchema = StructType(Seq(StructField("rating", LongType)))
+    var items = slice.toVector
+    val step = math.max(1, windowSize / 2)
+    var start = 0
+    var done = false
+    while (!done) {
+      val window = items.slice(start, math.min(start + windowSize, items.length))
+      val rated = window.map { r =>
+        val rating = graft.llm.Cached.complete(client, model,
+          r.getString(renderIdx), ratingSchema).values("rating").asInstanceOf[Long]
+        (r, rating)
+      }
+      // Stable sort: equal ratings keep their current relative order, like
+      // the reference applying the batch ranking permutation.
+      val reordered =
+        (if (direction == "desc") rated.sortBy(-_._2) else rated.sortBy(_._2)).map(_._1)
+      items = items.patch(start, reordered, window.length)
+      if (start >= k || start + windowSize >= items.length) done = true
+      else start += step
+    }
+    val rankIdx = slice.head.fieldIndex("_rank")
+    val refined = items.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq.updated(rankIdx, i + 1L))
+    }
+    val sliceDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(refined), slice.head.schema.asInstanceOf[StructType])
+      .drop("_graft_render")
+    initial.filter(col("_rank") > sliceSize).unionByName(sliceDf)
+  }
+
   /** Picky-window refinement over the current top `sliceSize` rows: windows
     * of `windowSize` walked from the back, the client re-rates each window's
     * members, `numTopPerWindow` best bubble up, overlapping by

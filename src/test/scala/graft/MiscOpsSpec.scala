@@ -33,6 +33,32 @@ class RankSpec extends SparkSpec {
     assert(refined.select("_rank").collect().map(_.getLong(0)).sorted.toSeq ==
       (1L to 6L).toSeq)
   }
+  test("bySlidingWindow matches a driver-side simulation of the window walk") {
+    // 8 rows on a line: initial embedding order = id order (cosine to
+    // [1,0] decreasing). Render "x"*(id%5) -> mock rating 1+(id%5)%7.
+    val rows = (0 until 8).map { i =>
+      Row(i.toLong, Seq(1.0, i * 0.1))
+    }
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(DoubleType)))), rows: _*)
+    val out = RankOp.bySlidingWindow(d, "sw", "e", Array(1.0, 0.0),
+      "repeat('x', cast(id % 5 as int))", client,
+      k = 4, windowSize = 4, tieBreak = Seq("id"))
+      .orderBy("_rank").select("id").collect().map(_.getLong(0)).toSeq
+    // Simulate: initial order ids 0..7; windows of 4, step 2, stable sort
+    // by rating desc; stop after the first window with start >= k=4.
+    def rating(id: Long) = 1 + (id % 5) % 7
+    var items = (0L to 7L).toVector
+    var start = 0
+    var done = false
+    while (!done) {
+      val w = items.slice(start, math.min(start + 4, items.length))
+      items = items.patch(start, w.sortBy(id => -rating(id)), w.length)
+      if (start >= 4 || start + 4 >= items.length) done = true else start += 2
+    }
+    assert(out == items)
+    assert(out.toSet == (0L to 7L).toSet)
+  }
 }
 
 class ExtractSpec extends SparkSpec {
