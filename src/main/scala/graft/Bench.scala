@@ -7,10 +7,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Measures STEADY-STATE throughput, JMH-style: one unmeasured warm-up
   * iteration of the full workload first (compiling every whole-stage-codegen
-  * class and heating the JIT on real loop trip counts), then the timed
-  * iteration re-runs everything end-to-end. At the 100 TB design point a
-  * query's one-time ~0.5 s codegen+JIT compile is noise; on a 5 k-row bench
-  * table it would otherwise be 80% of the measurement.
+  * class and heating the JIT on real loop trip counts), then
+  * `SPARK_GRAFT_ITERS` (default 3) timed full-suite sweeps; each query
+  * reports its MIN across sweeps plus a max-min `spread` field, so a plan
+  * regression is distinguishable from single-run jitter. At the 100 TB
+  * design point a query's one-time ~0.5 s codegen+JIT compile is noise; on
+  * a 5 k-row bench table it would otherwise be 80% of the measurement.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,20 +49,32 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     graft.core.PersistScope.unpersistAll()
-    val results = suite.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Flush op-internal persists between queries (untimed): each query
-      // re-persists its own frames anyway, so this only stops storage
-      // blocks accumulating across the suite.
-      graft.core.PersistScope.unpersistAll()
-      name -> dt
+    // Timed: `iters` full-suite sweeps on the warmed session; per-query MIN
+    // is reported (the steady-state estimate least polluted by GC/compile
+    // jitter) plus the max-min spread so a regression can be told from a
+    // noisy run without re-benching.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
+    val times = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    (1 to iters).foreach { _ =>
+      suite.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Flush op-internal persists between queries (untimed): each query
+        // re-persists its own frames anyway, so this only stops storage
+        // blocks accumulating across the suite.
+        graft.core.PersistScope.unpersistAll()
+        times(name) = times.getOrElse(name, Vector.empty) :+ dt
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = times.toSeq.map { case (name, ts) => (name, ts.min, ts.max - ts.min) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + f"$s%.4f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""iterations":$iters,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
