@@ -123,11 +123,15 @@ object Pipeline {
             docPerSlide = p.boolOr("doc_per_slide", false),
             docPerPage = p.boolOr("doc_per_page", false)))
         }
+      // ALL parsing kwargs participate in the hash — toggling e.g.
+      // doc_per_page must invalidate a checkpointed dataset, not reuse it.
       hashes(name) = CheckpointStore.sha256(
         "dataset|" + d.strOr("format", "") + "|" + d("path").str +
           d.get("parsing").map(p => "|parsing:" + p.asList.map(t =>
             t("function").str + ":" + t.strOr("input_key", "content") + ":" +
-              t.strOr("output_key", "text")).mkString(",")).getOrElse(""))
+              t.strOr("output_key", "text") + ":" + t.strOr("orientation", "col") + ":" +
+              t.boolOr("doc_per_sheet", false) + ":" + t.boolOr("doc_per_slide", false) + ":" +
+              t.boolOr("doc_per_page", false)).mkString(",")).getOrElse(""))
     })
     val store = conf.get("checkpoint_dir").map(d => new CheckpointStore(d.str))
     val planRewrites = conf.boolOr("plan_rewrites", true)

@@ -286,8 +286,14 @@ object Registry {
         val samplesList = c("samples").asList
         require(samplesList.nonEmpty, "custom sampling needs a non-empty `samples` list")
         val keys = samplesList.head.asOrderedMap.map(_._1)
+        // Null YAML values stay SQL NULL (String.valueOf would turn them
+        // into the literal string "null"). Note a NULL key never matches in
+        // the semi-join — SQL equality semantics, same as the reference's
+        // pandas merge dropping NaN keys.
         val rows = samplesList.map(m =>
-          org.apache.spark.sql.Row(keys.map(k => String.valueOf(m(k).value)): _*))
+          org.apache.spark.sql.Row(keys.map { k =>
+            m(k).value match { case null => null; case v => String.valueOf(v) }
+          }: _*))
         val strSchema = org.apache.spark.sql.types.StructType(keys.map(k =>
           org.apache.spark.sql.types.StructField(k, org.apache.spark.sql.types.StringType)))
         val sdf0 = ctx.spark.createDataFrame(

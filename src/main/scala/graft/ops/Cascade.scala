@@ -32,7 +32,15 @@ object CascadeFilter {
       targetRecall: Double = 0.9,
       calibrationSize: Int = 100)
 
-  def apply(df: DataFrame, cfg: Config, proxy: LlmClient, oracle: LlmClient): DataFrame = {
+  def apply(df: DataFrame, cfg: Config, proxy: LlmClient, oracle: LlmClient): DataFrame =
+    applyWithThreshold(df, cfg, proxy, oracle)._1
+
+  /** Like [[apply]] but also returns the calibrated threshold — the
+    * testable seam for the partition-invariance guarantee (the sample is a
+    * seeded hash head, so the threshold must not change under
+    * `repartition`). */
+  private[graft] def applyWithThreshold(
+      df: DataFrame, cfg: Config, proxy: LlmClient, oracle: LlmClient): (DataFrame, Double) = {
     val tpl = Template(cfg.prompt, df.schema)
     val boolSchema = StructType(Seq(StructField(cfg.decisionKey, BooleanType)))
     val scoredSchema = df.schema
@@ -78,7 +86,7 @@ object CascadeFilter {
       name = cfg.name, prompt = cfg.prompt,
       outputSchema = Seq(cfg.decisionKey -> "bool"),
       model = cfg.oracleModel), oracle)
-    confident.unionByName(escalatedKept)
+    (confident.unionByName(escalatedKept), threshold)
   }
 
   /** Smallest confidence threshold t such that, on the labeled sample,
@@ -124,7 +132,17 @@ object CascadeCompare {
       clCol: String,
       crCol: String,
       cfg: Config,
-      client: LlmClient): DataFrame = {
+      client: LlmClient): DataFrame =
+    applyWithThreshold(pairs, clCol, crCol, cfg, client)._1
+
+  /** Like [[apply]] but also returns the calibrated threshold (see
+    * [[CascadeFilter.applyWithThreshold]]). */
+  private[graft] def applyWithThreshold(
+      pairs: DataFrame,
+      clCol: String,
+      crCol: String,
+      cfg: Config,
+      client: LlmClient): (DataFrame, Double) = {
     val schema = pairs.schema
     val (iL, iR) = (schema.fieldIndex(clCol), schema.fieldIndex(crCol))
     val scoredSchema = schema
@@ -160,7 +178,7 @@ object CascadeCompare {
         graft.llm.Cached.compare(client, oracleModel, s"${row.getString(iL)}\n###\n${row.getString(iR)}")
       }
     }(Encoders.row(scoredSchema))
-    trusted.unionByName(escalatedMatches).drop("_graft_dec", "_graft_conf")
+    (trusted.unionByName(escalatedMatches).drop("_graft_dec", "_graft_conf"), threshold)
   }
 
   /** Smallest threshold t whose proxy-accepts at conf >= t reach the target

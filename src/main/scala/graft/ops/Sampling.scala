@@ -111,14 +111,21 @@ object SampleOp {
     val totalRows = counts.values.sum
     require(totalRows > 0, "proportional sampling needs a non-empty input")
     val exact = counts.view.mapValues(n => total.toDouble * n / totalRows).toMap
-    val floors = exact.view.mapValues(_.toInt).toMap
-    val remaining = total - floors.values.sum
-    val bumped = exact.toSeq
-      .map { case (k, e) => (k, e - e.toInt) }
-      .sortBy { case (k, frac) => (-frac, k) }
-      .take(math.max(0, remaining)).map(_._1).toSet
-    val quotas = floors.map { case (k, q) =>
-      k -> math.min(counts(k), (q + (if (bumped(k)) 1 else 0)).toLong) }
+    // Capacity-aware largest-remainder allocation: start from capped floors,
+    // then hand out the remaining slots one at a time to the stratum with
+    // spare capacity and the largest deficit (exact - quota), key breaking
+    // ties. With total <= #rows this is exactly classic largest-remainder
+    // (a floor can only exceed its stratum's size when total > #rows);
+    // beyond that it degrades gracefully to "every row" instead of
+    // stranding slots on full strata.
+    var quotas = exact.map { case (k, e) => k -> math.min(counts(k), e.toLong) }
+    var remaining = total - quotas.values.sum
+    while (remaining > 0 && quotas.exists { case (k, q) => q < counts(k) }) {
+      val k = quotas.toSeq.filter { case (k0, q) => q < counts(k0) }
+        .minBy { case (k0, q) => (q - exact(k0), k0) }._1
+      quotas = quotas.updated(k, quotas(k) + 1)
+      remaining -= 1
+    }
     val maxQuota = (quotas.values ++ Seq(0L)).max
     val quotaMap = typedLit(quotas)
     val ord = pmod(expr(keyExpr) * 9301L + 49297L + seedRotation(seed), lit(233280L))

@@ -87,10 +87,15 @@ object ParsingTools {
     if (docPerPage) pages else Seq(pages.mkString("\n"))
   }
 
-  /** Decoded bytes of every `stream ... endstream` object. */
+  /** Decoded bytes of every `stream ... endstream` object. When the stream
+    * dict carries a direct `/Length N` (not an indirect `n g R` reference),
+    * N delimits the data — an uncompressed stream whose CONTENT contains
+    * "endstream" would otherwise truncate. The endstream scan remains the
+    * fallback for indirect/absent lengths. */
   private def pdfStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val out = Seq.newBuilder[Array[Byte]]
     val hay = new String(bytes, StandardCharsets.ISO_8859_1)
+    val LenRe = raw"/Length\s+(\d+)(\s+\d+\s+R)?".r
     var from = 0
     while ({ val i = hay.indexOf("stream", from); i >= 0 && {
       // dict immediately before this `stream` keyword
@@ -100,15 +105,30 @@ object ParsingTools {
       var dataStart = i + "stream".length
       if (dataStart < hay.length && hay.charAt(dataStart) == '\r') dataStart += 1
       if (dataStart < hay.length && hay.charAt(dataStart) == '\n') dataStart += 1
-      val end = hay.indexOf("endstream", dataStart)
-      if (end < 0) false
+      val scanEnd = hay.indexOf("endstream", dataStart)
+      if (scanEnd < 0) false
       else {
-        var dataEnd = end
-        if (dataEnd > dataStart && hay.charAt(dataEnd - 1) == '\n') dataEnd -= 1
-        if (dataEnd > dataStart && hay.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+        // Direct /Length, sanity-checked: `endstream` (after EOL padding)
+        // must actually follow dataStart + N, else the length is stale and
+        // the scan wins.
+        val byLength = LenRe.findFirstMatchIn(dict)
+          .filter(_.group(2) == null).map(_.group(1).toLong)
+          .collect { case n if dataStart + n <= hay.length => (dataStart + n).toInt }
+          .flatMap { e =>
+            var p = e
+            while (p < hay.length &&
+              (hay.charAt(p) == '\r' || hay.charAt(p) == '\n' || hay.charAt(p) == ' ')) p += 1
+            if (hay.startsWith("endstream", p)) Some((e, p + "endstream".length)) else None
+          }
+        val (dataEnd, next) = byLength.getOrElse {
+          var de = scanEnd
+          if (de > dataStart && hay.charAt(de - 1) == '\n') de -= 1
+          if (de > dataStart && hay.charAt(de - 1) == '\r') de -= 1
+          (de, scanEnd + "endstream".length)
+        }
         val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
         out += (if (dict.contains("FlateDecode")) inflate(raw) else raw)
-        from = end + "endstream".length
+        from = next
         true
       }
     }}) ()

@@ -5,14 +5,24 @@ import org.apache.spark.sql.SparkSession
 /** CLI entry point for YAML pipelines — the analog of the reference's
   * `docetl run pipeline.yaml` (reference docetl/cli.py:168).
   *
-  * Usage: runMain graft.tools.RunPipeline <pipeline.yaml> [showRows|--describe]
+  * Usage: runMain graft.tools.RunPipeline <pipeline.yaml> [showRows|--describe] [--no-stats]
   * `--describe` prints each step's output schema without writing the sink.
+  *
+  * After a run, an execution summary is printed (reference runner.py:572-581
+  * prints per-op costs and the total): one line per op with rows in/out and
+  * selectivity, one line per model with calls/tokens/accumulated cost, and
+  * the total cost. `--no-stats` skips the per-op row counting (which forces
+  * an extra materialization pass — fine on samples and bench tables, worth
+  * skipping on a full-corpus run whose sink already materialized once).
   */
 object RunPipeline {
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: RunPipeline <pipeline.yaml> [showRows|--describe]")
-    val describe = args.length > 1 && args(1) == "--describe"
-    val showRows = if (args.length > 1 && !describe) args(1).toInt else 5
+    require(args.nonEmpty, "usage: RunPipeline <pipeline.yaml> [showRows|--describe] [--no-stats]")
+    val flags = args.drop(1).toSet
+    val describe = flags.contains("--describe")
+    val stats = !flags.contains("--no-stats")
+    val showRows = args.drop(1).find(a => !a.startsWith("--")).map(_.toInt).getOrElse(5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,10 +38,38 @@ object RunPipeline {
         println(s"[pipeline] step $name: ${schema.simpleString}")
       }
     } else {
-      val out = graft.api.Pipeline.runYamlFile(args(0), spark)
-      println(s"[pipeline] output rows: ${out.count()}")
-      out.show(showRows, truncate = false)
+      runAndReport(args(0), spark, showRows, stats).foreach(println)
     }
     spark.stop()
+  }
+
+  /** Run the pipeline and return the report lines (separated from [[main]]
+    * so tests can drive it on a shared session without `spark.stop()`). */
+  private[graft] def runAndReport(
+      yamlPath: String, spark: SparkSession,
+      showRows: Int = 5, stats: Boolean = true): Seq[String] = {
+    graft.llm.TokenTally.reset()
+    val conf = graft.api.Conf.fromYamlFile(yamlPath)
+    val lines = Seq.newBuilder[String]
+    val out =
+      if (stats) {
+        val (result, _, opStats) = graft.api.Pipeline.runInstrumented(conf, spark)
+        opStats.foreach { s =>
+          lines += f"[pipeline] op ${s.step}/${s.op}: rows_in=${s.rowsIn} " +
+            f"rows_out=${s.rowsOut} selectivity=${s.selectivity}%.4f"
+        }
+        result
+      } else graft.api.Pipeline.run(conf, spark)
+    lines += s"[pipeline] output rows: ${out.count()}"
+    out.show(showRows, truncate = false)
+    // Per-model LLM usage accumulated over the run (local mode: the
+    // executor-local tally IS the global tally; see TokenTally docs).
+    val tallies = graft.llm.TokenTally.summary.toSeq.sortBy(_._1)
+    tallies.foreach { case (model, t) =>
+      lines += f"[pipeline] llm model=$model calls=${t.calls} " +
+        f"input_tokens=${t.inputTokens} output_tokens=${t.outputTokens} cost=$$${t.cost}%.6f"
+    }
+    lines += f"[pipeline] total llm cost: $$${tallies.map(_._2.cost).sum}%.6f"
+    lines.result()
   }
 }

@@ -126,6 +126,32 @@ class CascadeSpec extends SparkSpec {
     assert(CascadeFilter.calibrate(labeled, 0.9) == 0.9)
     assert(CascadeFilter.calibrate(labeled, 0.6) == 0.2)
   }
+  test("calibrated threshold is invariant under repartition") {
+    // 40 rows with distinct text lengths -> distinct mock confidences;
+    // calibrationSize=10 < n, so the sample is a real subset and a
+    // partition-order-dependent sample (a .limit head) would move the
+    // threshold. The seeded hash head must not.
+    val rows = (0 until 40).map(i => Row(i.toLong, "w" * (i + 1)))
+    val d = df(StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))), rows: _*)
+    def threshFilter(in: org.apache.spark.sql.DataFrame) =
+      CascadeFilter.applyWithThreshold(in, CascadeFilter.Config(
+        name = "ci", prompt = "{{ input.text }}", decisionKey = "keep",
+        calibrationSize = 10), client, client)._2
+    val base = threshFilter(d)
+    assert(threshFilter(d.repartition(7)) == base)
+    assert(threshFilter(d.coalesce(1)) == base)
+
+    val pairRows = (0 until 40).map(i => Row("p" * (i + 1), "p" * (i + 1)))
+    val pairs = df(StructType(Seq(
+      StructField("_cl", StringType), StructField("_cr", StringType))), pairRows: _*)
+    def threshCompare(in: org.apache.spark.sql.DataFrame) =
+      CascadeCompare.applyWithThreshold(in, "_cl", "_cr",
+        CascadeCompare.Config(calibrationSize = 10), client)._2
+    val cbase = threshCompare(pairs)
+    assert(threshCompare(pairs.repartition(7)) == cbase)
+    assert(threshCompare(pairs.coalesce(1)) == cbase)
+  }
 }
 
 class LinkResolveSpec extends SparkSpec {

@@ -126,6 +126,22 @@ class ParseOpSpec extends SparkSpec {
     assert(s.startsWith("%PDF-1.4") && s.contains("xref") && s.endsWith("%%EOF\n"))
   }
 
+  test("pdf /Length delimits an uncompressed stream containing 'endstream'") {
+    // An uncompressed content stream whose TEXT contains the word
+    // "endstream": the declared /Length must frame it (the keyword scan
+    // alone would truncate the stream mid-string).
+    val content = "BT (before endstream after) Tj ET"
+    val pdf = s"%PDF-1.4\n1 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+      content + "\nendstream\nendobj\n%%EOF\n"
+    val bytes = pdf.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PT.pdfToString(bytes) == Seq("before endstream after"))
+    // A stale /Length (no endstream at the declared offset) falls back to
+    // the scan instead of mis-framing.
+    val bad = s"%PDF-1.4\n1 0 obj\n<< /Length 9999 >>\nstream\nBT (ok) Tj ET\nendstream\nendobj\n"
+    assert(PT.pdfToString(bad.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ==
+      Seq("ok"))
+  }
+
   test("pdf parse op explodes pages to rows") {
     val schema = StructType(Seq(StructField("content", BinaryType)))
     val bytes = PT.makePdf(Seq(Seq("alpha"), Seq("beta")))

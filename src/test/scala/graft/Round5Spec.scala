@@ -545,6 +545,10 @@ class StratifiedCompositionSpec extends SparkSpec {
     // largest-remainder: total not divisible -> still sums to total
     val out2 = graft.ops.SampleOp.stratifiedProportional(d, "grp", "id", 7)
     assert(out2.count() == 7)
+    // capacity-aware: total beyond the row count degrades to every row
+    // (full strata never strand slots)
+    val out3 = graft.ops.SampleOp.stratifiedProportional(d, "grp", "id", 150)
+    assert(out3.count() == 100)
   }
 
   test("YAML: top_embedding / top_fts sample methods alias the topk family") {
@@ -614,6 +618,43 @@ class StratifiedCompositionSpec extends SparkSpec {
          |            key_expr: id, samples: 20 }
          |""".stripMargin, spark)
     assert(prop.count() == 20)
+  }
+}
+
+class RunPipelineReportSpec extends SparkSpec {
+  test("execution summary reports per-op rows, selectivity, and llm cost") {
+    val path = {
+      val dir = java.nio.file.Files.createTempDirectory("rp").toString
+      docsDf.write.mode("overwrite").parquet(s"$dir/d.parquet")
+      s"$dir/d.parquet"
+    }
+    val yaml = java.nio.file.Files.createTempFile("rp", ".yaml")
+    java.nio.file.Files.writeString(yaml,
+      s"""datasets:
+         |  d: { path: $path }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - type: map
+         |          name: m
+         |          prompt: "{{ input.text }}"
+         |          output: { schema: { sentiment: str } }
+         |        - { type: code_filter, predicate: "sentiment = 'positive'" }
+         |""".stripMargin)
+    val lines = graft.tools.RunPipeline.runAndReport(yaml.toString, spark, showRows = 0)
+    val opLines = lines.filter(_.startsWith("[pipeline] op "))
+    assert(opLines.size == 2)
+    assert(opLines.head.contains("rows_in=6") && opLines.head.contains("rows_out=6"))
+    assert(opLines.head.contains("selectivity=1.0000"))
+    // docsDf: 3 "fast" texts -> positive; filter keeps 3 of 6
+    assert(opLines(1).contains("rows_out=3") && opLines(1).contains("selectivity=0.5000"))
+    assert(lines.exists(l => l.startsWith("[pipeline] llm model=") &&
+      l.contains("calls=") && l.contains("cost=$")))
+    val total = lines.last
+    assert(total.startsWith("[pipeline] total llm cost: $") &&
+      !total.endsWith("$0.000000")) // 6 mock calls at 1e-4 accumulate
   }
 }
 
