@@ -1264,6 +1264,83 @@ object Queries {
         SELECT vec_id, CAST(row_number() OVER (ORDER BY
           (1 + (vec_id % 11) % 7) DESC, r0) AS BIGINT) AS "_rank"
         FROM init""")
+    ),
+    (
+      // Set-op-headed steps (SURVEY §2.7 — absent from the reference, native
+      // in Spark): `union:` with SQL UNION (distinct) semantics over two
+      // overlapping filtered key sets. Zero-shuffle concatenation + one
+      // distinct exchange; no driver state at any scale.
+      "q65_set_union",
+      (s: SparkSession, dir: String) =>
+        graft.api.Pipeline.runYaml(
+          s"""
+             |datasets:
+             |  cust: { path: $dir/customer.parquet }
+             |operations:
+             |  - { name: fa, type: code_filter, predicate: "c_mktsegment = 'BUILDING'" }
+             |  - { name: fb, type: code_filter, predicate: "c_acctbal > 5000" }
+             |  - { name: keysel, type: select, columns: ["c_custkey"] }
+             |pipeline:
+             |  steps:
+             |    - { name: a, input: cust, operations: [fa, keysel] }
+             |    - { name: b, input: cust, operations: [fb, keysel] }
+             |    - { name: u, union: [a, b] }
+             |""".stripMargin, s, client),
+      Some("""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000""")
+    ),
+    (
+      // `intersect:` step — SQL INTERSECT (distinct) of customer keys in a
+      // segment with customer keys holding an urgent order; the right side
+      // realigns by column name, so the rename happens in its select op.
+      "q66_set_intersect",
+      (s: SparkSession, dir: String) =>
+        graft.api.Pipeline.runYaml(
+          s"""
+             |datasets:
+             |  cust: { path: $dir/customer.parquet }
+             |  ord:  { path: $dir/orders.parquet }
+             |operations:
+             |  - { name: fa, type: code_filter, predicate: "c_mktsegment = 'BUILDING'" }
+             |  - { name: keysel, type: select, columns: ["c_custkey"] }
+             |  - { name: fo, type: code_filter, predicate: "o_orderpriority = '1-URGENT'" }
+             |  - { name: okeysel, type: select, columns: ["o_custkey as c_custkey"] }
+             |pipeline:
+             |  steps:
+             |    - { name: a, input: cust, operations: [fa, keysel] }
+             |    - { name: b, input: ord, operations: [fo, okeysel] }
+             |    - { name: i, intersect: [a, b] }
+             |""".stripMargin, s, client),
+      Some("""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""")
+    ),
+    (
+      // `except:` step — SQL EXCEPT (distinct): customers with no orders
+      // (the classic anti-join shape expressed as a set op).
+      "q67_set_except",
+      (s: SparkSession, dir: String) =>
+        graft.api.Pipeline.runYaml(
+          s"""
+             |datasets:
+             |  cust: { path: $dir/customer.parquet }
+             |  ord:  { path: $dir/orders.parquet }
+             |operations:
+             |  - { name: keysel, type: select, columns: ["c_custkey"] }
+             |  - { name: okeysel, type: select, columns: ["o_custkey as c_custkey"] }
+             |pipeline:
+             |  steps:
+             |    - { name: a, input: cust, operations: [keysel] }
+             |    - { name: b, input: ord, operations: [okeysel] }
+             |    - { name: e, except: [a, b] }
+             |""".stripMargin, s, client),
+      Some("""
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey FROM orders""")
     ))
 
 }

@@ -1,12 +1,13 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 import graft.llm.{LlmClient, MockLlmClient}
 
 /** Lazy, config-building fluent API — the analog of the reference's `Frame`
   * (reference docetl/apis/frame.py:169,337-851 `_append_op` + fluent ops;
-  * round-trips at frame.py:1183-1386 `from_yaml`/`to_yaml`).
+  * two-frame merging at frame.py:239-335 `_merge_pipeline`; round-trips at
+  * frame.py:1183-1386 `from_yaml`/`to_yaml`).
   *
   * Unlike [[Frame]] (which wraps an eager `DataFrame` and applies operators
   * immediately — still lazy in the Spark sense, but bound to a session),
@@ -16,19 +17,116 @@ import graft.llm.{LlmClient, MockLlmClient}
   * three-surface contract: YAML, fluent builder, and DataFrame-wrapper all
   * lower to the same config and the same execution path.
   *
-  * Op auto-naming is `{type}_{index}` (≅ frame.py auto-naming).
+  * Structure: `priorOps`+`steps` hold already-closed steps (each step
+  * references its ops by name); `head`+`stepName`+`ops` are the open step
+  * being built. Binary combinators ([[equijoin]], [[union]], [[intersect]],
+  * [[except_]]) close both sides and merge their pipelines, renaming the
+  * right side's steps/ops/datasets on collision (≅ frame.py `ref()`
+  * suffixing).
+  *
+  * Op auto-naming is `{type}_{index}` with a pipeline-global index
+  * (≅ frame.py auto-naming).
   */
 final case class LazyFrame(
-    datasetName: String,
-    datasetPath: String,
+    datasets: Vector[(String, String)],
+    priorOps: Vector[java.util.LinkedHashMap[String, Any]],
+    steps: Vector[java.util.LinkedHashMap[String, Any]],
+    head: Vector[(String, Any)],
+    stepName: String,
     ops: Vector[java.util.LinkedHashMap[String, Any]]) {
 
-  import LazyFrame.{jlist, jmap}
+  import LazyFrame.{jlist, jmap, copyMap}
 
-  private def append(tpe: String, fields: (String, Any)*): LazyFrame = {
-    val m = jmap("name" -> s"${tpe}_${ops.length}", "type" -> tpe)
+  /** Primary (first) dataset name — kept for single-source convenience. */
+  def datasetName: String = datasets.head._1
+  def datasetPath: String = datasets.head._2
+
+  private def append(tpe: String, fields: (String, Any)*): LazyFrame =
+    appendNamed(s"${tpe}_${priorOps.length + ops.length}", tpe, fields: _*)
+
+  private def appendNamed(name: String, tpe: String, fields: (String, Any)*): LazyFrame = {
+    val m = jmap("name" -> name, "type" -> tpe)
     fields.foreach { case (k, v) => m.put(k, v) }
     copy(ops = ops :+ m)
+  }
+
+  /** Close the open step and start a new one headed by `nextHead`. */
+  private def close(nextName: String, nextHead: (String, Any)*): LazyFrame = {
+    val stepMap = jmap("name" -> stepName)
+    head.foreach { case (k, v) => stepMap.put(k, v) }
+    stepMap.put("operations", jlist(ops.map(_.get("name"))))
+    copy(priorOps = priorOps ++ ops, steps = steps :+ stepMap,
+      head = nextHead.toVector, stepName = nextName, ops = Vector.empty)
+  }
+
+  /** Merge `right`'s pipeline into this one (≅ frame.py:239-335
+    * `_merge_pipeline`): both open steps close; the right side's dataset /
+    * step / op names get a `__r` suffix wherever they'd collide (identical
+    * name→path datasets dedupe instead). Returns the merged state plus the
+    * two step refs the caller's new head should point at. */
+  private def merged(right: LazyFrame): (LazyFrame, String, String) = {
+    val l = this.close(s"${stepName}_next")
+    val r = right.close(s"${right.stepName}_next")
+
+    val usedNames = scala.collection.mutable.Set[String](
+      l.datasets.map(_._1) ++ l.steps.map(_.get("name").toString) ++
+        l.priorOps.map(_.get("name").toString): _*)
+    def fresh(n: String): String = {
+      var c = n
+      while (usedNames.contains(c)) c = c + "__r"
+      usedNames += c
+      c
+    }
+
+    // Dataset renames: same (name, path) merges; same name, different path
+    // gets a fresh name on the right.
+    val lDs = l.datasets.toMap
+    val dsRename = scala.collection.mutable.Map[String, String]()
+    val newDs = r.datasets.flatMap { case (n, p) =>
+      lDs.get(n) match {
+        case Some(lp) if lp == p => dsRename(n) = n; None
+        case _ => val nn = fresh(n); dsRename(n) = nn; Some(nn -> p)
+      }
+    }
+    val stepRename = scala.collection.mutable.Map[String, String]()
+    val opRename = scala.collection.mutable.Map[String, String]()
+    r.steps.foreach(s => stepRename(s.get("name").toString) = fresh(s.get("name").toString))
+    r.priorOps.foreach(o => opRename(o.get("name").toString) = fresh(o.get("name").toString))
+    def ref(n: String): String =
+      stepRename.getOrElse(n, dsRename.getOrElse(n, n))
+
+    val newOps = r.priorOps.map { o =>
+      val m = copyMap(o); m.put("name", opRename(o.get("name").toString)); m
+    }
+    val newSteps = r.steps.map { s =>
+      val m = copyMap(s)
+      m.put("name", stepRename(s.get("name").toString))
+      if (m.containsKey("input")) m.put("input", ref(m.get("input").toString))
+      Seq("union", "intersect", "except").foreach { k =>
+        if (m.containsKey(k)) {
+          val refs = m.get(k).asInstanceOf[java.util.List[Any]]
+          m.put(k, jlist(scala.jdk.CollectionConverters.ListHasAsScala(refs)
+            .asScala.toSeq.map(x => ref(x.toString))))
+        }
+      }
+      if (m.containsKey("join")) {
+        val j = copyMap(m.get("join").asInstanceOf[java.util.LinkedHashMap[String, Any]])
+        j.put("left", ref(j.get("left").toString))
+        j.put("right", ref(j.get("right").toString))
+        m.put("join", j)
+      }
+      if (m.containsKey("operations")) {
+        val names = m.get("operations").asInstanceOf[java.util.List[Any]]
+        m.put("operations", jlist(scala.jdk.CollectionConverters.ListHasAsScala(names)
+          .asScala.toSeq.map(x => opRename.getOrElse(x.toString, x.toString))))
+      }
+      m
+    }
+    val lastLeft = l.steps.last.get("name").toString
+    val lastRight = stepRename(r.steps.last.get("name").toString)
+    val m = l.copy(datasets = l.datasets ++ newDs,
+      priorOps = l.priorOps ++ newOps, steps = l.steps ++ newSteps)
+    (m, lastLeft, lastRight)
   }
 
   // ---- code (native relational) ops ----
@@ -43,6 +141,7 @@ final case class LazyFrame(
   def select(columns: String*): LazyFrame =
     append("select", "columns" -> jlist(columns))
   def limit(n: Int): LazyFrame = append("limit", "n" -> n)
+  def addUuid(idKey: String): LazyFrame = append("add_uuid", "id_key" -> idKey)
 
   // ---- semantic (LLM) ops ----
 
@@ -57,30 +156,153 @@ final case class LazyFrame(
     append("reduce", "reduce_key" -> jlist(keys), "member_expr" -> memberExpr,
       "order_key" -> orderKey,
       "output" -> jmap("schema" -> jmap(schema.map { case (k, v) => k -> (v: Any) }: _*)))
+  def parallelMap(prompts: (String, Seq[(String, String)])*): LazyFrame =
+    append("parallel_map", "prompts" -> jlist(prompts.map { case (p, sch) =>
+      jmap("prompt" -> p, "schema" -> jmap(sch.map { case (k, v) => k -> (v: Any) }: _*))
+    }))
   def agentMap(prompt: String, tools: Seq[String], schema: (String, String)*): LazyFrame =
     append("agent_map", "prompt" -> prompt, "tools" -> jlist(tools),
       "output" -> jmap("schema" -> jmap(schema.map { case (k, v) => k -> (v: Any) }: _*)))
+  def extractRegex(documentKeys: Seq[String], pattern: String,
+      keySuffix: Option[String] = None): LazyFrame = {
+    val base = Seq[(String, Any)]("extraction_method" -> "regex",
+      "document_keys" -> jlist(documentKeys), "pattern" -> pattern)
+    append("extract", (base ++ keySuffix.map("extraction_key_suffix" -> (_: Any))): _*)
+  }
+  def extractLineNumbers(documentKey: String, prompt: String): LazyFrame =
+    append("extract", "extraction_method" -> "line_number",
+      "document_key" -> documentKey, "prompt" -> prompt)
+  def resolve(idKey: String, compareExpr: String, resolveKeys: Seq[String],
+      blockExpr: String = "NULL", autoMatch: Boolean = false): LazyFrame =
+    append("resolve", "id_key" -> idKey, "compare_expr" -> compareExpr,
+      "resolve_keys" -> jlist(resolveKeys), "block_expr" -> blockExpr,
+      "auto_match" -> autoMatch)
+  def linkResolve(idKey: String, linkKey: String): LazyFrame =
+    append("link_resolve", "id_key" -> idKey, "link_key" -> linkKey)
+  def cluster(embeddingKey: String, renderExpr: String, numClusters: Int = 8,
+      outputKey: String = "clusters"): LazyFrame =
+    append("cluster", "method" -> "flat", "embedding_key" -> embeddingKey,
+      "render_expr" -> renderExpr, "num_clusters" -> numClusters,
+      "output_key" -> outputKey)
+  def rankEmbedding(embeddingKey: String, queryVector: Seq[Double],
+      direction: String = "desc", tieBreak: Seq[String] = Nil): LazyFrame =
+    append("rank", "method" -> "embedding", "embedding_key" -> embeddingKey,
+      "query_vector" -> jlist(queryVector), "direction" -> direction,
+      "tie_break" -> jlist(tieBreak))
+  def topkEmbedding(embeddingKey: String, queryVector: Seq[Double], k: Int,
+      tieBreak: Seq[String] = Nil): LazyFrame =
+    append("topk", "method" -> "embedding", "embedding_key" -> embeddingKey,
+      "query_vector" -> jlist(queryVector), "k" -> k, "tie_break" -> jlist(tieBreak))
+  def topkFts(textKey: String, query: String, k: Int,
+      tieBreak: Seq[String] = Nil): LazyFrame =
+    append("topk", "method" -> "fts", "text_key" -> textKey, "query" -> query,
+      "k" -> k, "tie_break" -> jlist(tieBreak))
+  def embed(textExpr: String, outputKey: String = "embedding"): LazyFrame =
+    append("embed", "text_expr" -> textExpr, "output_key" -> outputKey)
+  def webSearch(prompt: String, maxResults: Int = 3): LazyFrame =
+    append("web_search", "prompt" -> prompt, "max_results" -> maxResults)
+  def webFetch(urlKey: String): LazyFrame = append("web_fetch", "url_key" -> urlKey)
 
   // ---- reshape ----
 
   def split(splitKey: String, numTokens: Int, docIdExpr: String = "uuid()"): LazyFrame =
     append("split", "split_key" -> splitKey, "num_tokens" -> numTokens,
       "doc_id_expr" -> docIdExpr)
+  def splitDelimiter(splitKey: String, delimiter: String,
+      numSplitsToGroup: Int = 1, docIdExpr: String = "uuid()"): LazyFrame =
+    append("split", "method" -> "delimiter", "split_key" -> splitKey,
+      "delimiter" -> delimiter, "num_splits_to_group" -> numSplitsToGroup,
+      "doc_id_expr" -> docIdExpr)
+  def gather(contentKey: String, docIdKey: String, orderKey: String,
+      previousCount: Int = 1, nextCount: Int = 1): LazyFrame =
+    append("gather", "content_key" -> contentKey, "doc_id_key" -> docIdKey,
+      "order_key" -> orderKey, "previous_count" -> previousCount,
+      "next_count" -> nextCount)
   def unnest(key: String): LazyFrame = append("unnest", "unnest_key" -> key)
+  def unnestColumns(column: String, keys: String*): LazyFrame =
+    if (keys.isEmpty) append("unnest_columns", "column" -> column)
+    else append("unnest_columns", "column" -> column, "keys" -> jlist(keys))
+
+  // ---- sampling / dedup ----
+
   def sampleFirst(n: Int, orderBy: Seq[String]): LazyFrame =
     append("sample", "method" -> "first", "samples" -> n, "order_by" -> jlist(orderBy))
+  def sampleUniform(fraction: Double, seed: Int = 42): LazyFrame =
+    append("sample", "method" -> "uniform", "fraction" -> fraction,
+      "random_state" -> seed)
+  def sampleHash(keyExpr: String, fraction: Double, seed: Int = 0): LazyFrame =
+    append("sample", "method" -> "hash", "key_expr" -> keyExpr,
+      "fraction" -> fraction, "random_state" -> seed)
+  def sampleStratified(stratifyKey: String, samplesPerGroup: Int,
+      orderBy: Seq[String]): LazyFrame =
+    append("sample", "method" -> "stratified", "stratify_key" -> stratifyKey,
+      "samples_per_group" -> samplesPerGroup, "order_by" -> jlist(orderBy))
+  def sampleOutliers(embeddingKey: String, std: Option[Double] = None,
+      samples: Option[Int] = None, keep: Boolean = true,
+      tieBreak: Seq[String] = Nil): LazyFrame = {
+    val base = Seq[(String, Any)]("method" -> "outliers",
+      "embedding_key" -> embeddingKey, "keep" -> keep, "tie_break" -> jlist(tieBreak))
+    append("sample", (base ++ std.map("std" -> (_: Any)) ++
+      samples.map("samples" -> (_: Any))): _*)
+  }
+  def dedupExact(textKey: String, tieBreak: String): LazyFrame =
+    append("dedup", "method" -> "exact", "text_key" -> textKey, "tie_break" -> tieBreak)
+  def dedupMinhash(idKey: String, textKey: String, threshold: Double = 0.8): LazyFrame =
+    append("dedup", "method" -> "minhash", "id_key" -> idKey,
+      "text_key" -> textKey, "threshold" -> threshold)
 
-  // ---- lower / run ----
+  // ---- binary combinators (two-frame merge, frame.py:239-335) ----
 
-  /** The full pipeline config — one step listing every accumulated op. */
+  /** LLM-verified fuzzy join against another frame (join-headed step). */
+  def equijoin(right: LazyFrame, condition: String,
+      llmVerify: Boolean = false,
+      compareLeft: String = "", compareRight: String = "",
+      limitLeft: Option[Int] = None, limitRight: Option[Int] = None,
+      leftIdKey: String = "", rightIdKey: String = "",
+      limitComparisons: Option[Int] = None): LazyFrame = {
+    val (m, lRef, rRef) = merged(right)
+    val j = jmap("left" -> lRef, "right" -> rRef, "condition" -> condition)
+    if (llmVerify) {
+      j.put("llm_verify", true)
+      j.put("compare_left", compareLeft); j.put("compare_right", compareRight)
+      j.put("left_id", leftIdKey); j.put("right_id", rightIdKey)
+    }
+    limitLeft.foreach(j.put("limit_left", _))
+    limitRight.foreach(j.put("limit_right", _))
+    limitComparisons.foreach(j.put("limit_comparisons", _))
+    m.copy(head = Vector("join" -> j),
+      stepName = s"equijoin_${m.steps.length}")
+  }
+
+  /** SQL UNION (distinct = true, the SQL default) / UNION ALL. */
+  def union(right: LazyFrame, distinct: Boolean = true): LazyFrame =
+    setOp(right, "union", "distinct" -> distinct)
+  /** SQL INTERSECT / INTERSECT ALL. */
+  def intersect(right: LazyFrame, all: Boolean = false): LazyFrame =
+    setOp(right, "intersect", "all" -> all)
+  /** SQL EXCEPT / EXCEPT ALL (named `except_` — `except` is a keyword). */
+  def except_(right: LazyFrame, all: Boolean = false): LazyFrame =
+    setOp(right, "except", "all" -> all)
+
+  private def setOp(right: LazyFrame, kind: String, flag: (String, Boolean)): LazyFrame = {
+    val (m, lRef, rRef) = merged(right)
+    m.copy(head = Vector(kind -> jlist(Seq(lRef, rRef)), flag),
+      stepName = s"${kind}_${m.steps.length}")
+  }
+
+  // ---- lower / run / actions ----
+
+  /** The full pipeline config: merged datasets, every closed step plus the
+    * open one, ops referenced by (pipeline-globally unique) name. */
   def toConf: Conf = {
+    val dsm = jmap(datasets.map { case (n, p) => n -> (jmap("path" -> p): Any) }: _*)
+    val openStep = jmap("name" -> stepName)
+    head.foreach { case (k, v) => openStep.put(k, v) }
+    openStep.put("operations", jlist(ops.map(_.get("name"))))
     val root = jmap(
-      "datasets" -> jmap(datasetName -> jmap("path" -> datasetPath)),
-      "operations" -> jlist(ops),
-      "pipeline" -> jmap("steps" -> jlist(Seq(jmap(
-        "name" -> s"${datasetName}_out",
-        "input" -> datasetName,
-        "operations" -> jlist(ops.map(_.get("name"))))))))
+      "datasets" -> dsm,
+      "operations" -> jlist(priorOps ++ ops),
+      "pipeline" -> jmap("steps" -> jlist(steps :+ openStep)))
     Conf(root)
   }
 
@@ -98,27 +320,63 @@ final case class LazyFrame(
   /** Propagated output schemas per step without writing output. */
   def describe(spark: SparkSession, client: LlmClient = MockLlmClient()): Seq[(String, org.apache.spark.sql.types.StructType)] =
     Pipeline.describe(toConf, spark, client)
+
+  // Actions (≅ frame.py:940-1119 show/count/collect/to_pandas/write_*) —
+  // each triggers one pipeline execution; Spark's own laziness means the
+  // plan only materializes what the action needs (count prunes columns,
+  // show limits rows).
+  def count(spark: SparkSession, client: LlmClient = MockLlmClient()): Long =
+    run(spark, client).count()
+  def collect(spark: SparkSession, client: LlmClient = MockLlmClient()): Seq[Row] =
+    run(spark, client).collect().toSeq
+  def show(spark: SparkSession, max: Int = 5, client: LlmClient = MockLlmClient()): Unit =
+    run(spark, client).show(max, truncate = false)
+  def writeParquet(path: String, spark: SparkSession,
+      client: LlmClient = MockLlmClient()): Unit =
+    Pipeline.write(run(spark, client), path)
+  def writeJson(path: String, spark: SparkSession,
+      client: LlmClient = MockLlmClient()): Unit =
+    Pipeline.write(run(spark, client), path)
+  def writeCsv(path: String, spark: SparkSession,
+      client: LlmClient = MockLlmClient()): Unit =
+    Pipeline.write(run(spark, client), path)
 }
 
 object LazyFrame {
 
   def read(datasetName: String, path: String): LazyFrame =
-    LazyFrame(datasetName, path, Vector.empty)
+    LazyFrame(Vector(datasetName -> path), Vector.empty, Vector.empty,
+      Vector("input" -> datasetName), s"${datasetName}_out", Vector.empty)
 
-  /** Rebuild a LazyFrame from YAML emitted by [[LazyFrame.toYaml]] (single
-    * linear step). General multi-step YAML runs via [[Pipeline]] directly. */
+  /** Rebuild a LazyFrame from YAML emitted by [[LazyFrame.toYaml]] — any
+    * number of datasets/steps; the last step reopens as the frame's open
+    * step. Ops must be declared in the top-level `operations` block (the
+    * shape `toYaml` emits). */
   def fromYaml(yaml: String): LazyFrame = {
     val conf = Conf.fromYaml(yaml)
-    val (dsName, ds) = conf("datasets").asOrderedMap.head
-    val opsByName = conf("operations").asList.map(o => o("name").str -> o).toMap
-    val step = conf("pipeline")("steps").asList.head
-    val ops = step("operations").asList.map(ref => opsByName(ref.str)).map { o =>
-      val m = new java.util.LinkedHashMap[String, Any]()
-      o.asOrderedMap.foreach { case (k, v) => m.put(k, v.value) }
-      m
-    }
-    LazyFrame(dsName, ds("path").str, ops.toVector)
+    val ds = conf("datasets").asOrderedMap.map { case (n, d) => n -> d("path").str }
+    val allOps = conf.get("operations").map(_.asList).getOrElse(Nil)
+      .map(o => rawMap(o)).toVector
+    val opsByName = allOps.map(o => o.get("name").toString -> o).toMap
+    val stepConfs = conf("pipeline")("steps").asList.toVector
+    val (closed, open) = (stepConfs.init, stepConfs.last)
+    val openOpNames = open.get("operations").map(_.asList.map(_.str)).getOrElse(Nil)
+    val openOps = openOpNames.map(opsByName).toVector
+    val headFields = open.asOrderedMap.collect {
+      case (k, v) if k != "name" && k != "operations" => k -> v.value
+    }.toVector
+    LazyFrame(ds.toVector, allOps.filterNot(openOps.contains),
+      closed.map(rawMap), headFields, open("name").str, openOps)
   }
+
+  private def rawMap(c: Conf): java.util.LinkedHashMap[String, Any] = {
+    val m = new java.util.LinkedHashMap[String, Any]()
+    c.asOrderedMap.foreach { case (k, v) => m.put(k, v.value) }
+    m
+  }
+
+  private[api] def copyMap(src: java.util.LinkedHashMap[String, Any]): java.util.LinkedHashMap[String, Any] =
+    new java.util.LinkedHashMap[String, Any](src)
 
   private[api] def jmap(pairs: (String, Any)*): java.util.LinkedHashMap[String, Any] = {
     val m = new java.util.LinkedHashMap[String, Any]()

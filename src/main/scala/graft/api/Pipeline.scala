@@ -15,6 +15,11 @@ import graft.ops.EquijoinOp
   *     (lift.py:72-83); step outputs become named datasets.
   *   - a step with `join:` is join-headed (lift.py:109-137): `left`/`right`
   *     refer to datasets/steps, the equijoin config drives [[EquijoinOp]].
+  *   - a step with `union:`/`intersect:`/`except:` is set-op-headed
+  *     (SURVEY §2.7 — the reference has no set ops; Spark does): `union`
+  *     takes >=2 refs (SQL UNION; `distinct: false` = UNION ALL),
+  *     `intersect`/`except` take exactly 2 (`all: true` = INTERSECT ALL /
+  *     EXCEPT ALL). Columns align by NAME across inputs.
   *   - `pipeline.output` writes by extension (runner.py:91-113).
   *
   * Spark keeps everything lazy across steps; `persist: true` on a step is
@@ -175,6 +180,44 @@ object Pipeline {
       }
     }
 
+    // A step headed by `union:` / `intersect:` / `except:` is a set-op step
+    // (SURVEY §2.7 — the reference has no set operations; each step output
+    // is only reachable as another step's single `input`. Spark provides
+    // them natively, so the pipeline surface exposes them). Inputs combine
+    // by column NAME (unionByName), so step outputs whose select order
+    // differs still line up. Set ops are pure exchanges — no driver state,
+    // no collect — so they hold at any scale; `intersect`/`except` shuffle
+    // both sides on the full row (SQL distinct semantics), `union` is a
+    // zero-shuffle concatenation of child plans.
+    def setOpHead(step: Conf): Option[(DataFrame, String)] = {
+      def inputs(refs: Seq[String]): Seq[DataFrame] = refs.map(r =>
+        datasets.getOrElse(r, throw new IllegalArgumentException(
+          s"step '${step("name").str}': unknown set-op input '$r'")))
+      def binary(kind: String, isIntersect: Boolean, refs: Seq[String]): (DataFrame, String) = {
+        require(refs.size == 2, s"step '${step("name").str}': $kind needs exactly 2 inputs")
+        val Seq(l, r0) = inputs(refs)
+        // Align the right side by name so positional set semantics can't
+        // silently pair mismatched columns.
+        val r = r0.select(l.columns.map(org.apache.spark.sql.functions.col): _*)
+        val all = step.boolOr("all", false) // INTERSECT ALL / EXCEPT ALL
+        val out =
+          if (isIntersect) { if (all) l.intersectAll(r) else l.intersect(r) }
+          else { if (all) l.exceptAll(r) else l.except(r) }
+        out -> CheckpointStore.sha256(
+          kind + "|" + refs.map(hashes).mkString("+") + "|all=" + all)
+      }
+      step.get("union").map(_.strList).map { refs =>
+        require(refs.size >= 2, s"step '${step("name").str}': union needs >= 2 inputs")
+        val unioned = inputs(refs).reduce(_.unionByName(_))
+        // SQL default is UNION (distinct); `distinct: false` = UNION ALL.
+        val out = if (step.boolOr("distinct", true)) unioned.distinct() else unioned
+        out -> CheckpointStore.sha256(
+          "union|" + refs.map(hashes).mkString("+") +
+            "|distinct=" + step.boolOr("distinct", true))
+      }.orElse(step.get("intersect").map(_.strList).map(binary("intersect", true, _)))
+        .orElse(step.get("except").map(_.strList).map(binary("except", false, _)))
+    }
+
     var last: Option[DataFrame] = None
     val stepOutputs = scala.collection.mutable.ArrayBuffer[(String, DataFrame)]()
     conf("pipeline")("steps").asList.foreach { step =>
@@ -241,20 +284,28 @@ object Pipeline {
             .map(n => CheckpointStore.sha256(joinHash + "|sample=" + n.int))
             .getOrElse(joinHash)
           applyOps(joined, baseHash, step, ctx)
-        case None =>
-          val input = step("input").str
-          val df0 = datasets.getOrElse(input,
-            throw new IllegalArgumentException(s"unknown step input '$input'"))
-          // `sample: n` truncates the step input — the optimizer's
-          // run-on-sample hook (reference containers.py:454-455); Catalyst
-          // pushes the limit into the scan.
-          val sampled = step.get("sample").map(n => df0.limit(n.int)).getOrElse(df0)
-          // the truncation participates in the checkpoint key: a sampled
-          // step must never reuse (or poison) a full-run checkpoint
-          val baseHash = step.get("sample")
-            .map(n => CheckpointStore.sha256(hashes(input) + "|sample=" + n.int))
-            .getOrElse(hashes(input))
-          applyOps(sampled, baseHash, step, ctx)
+        case None => setOpHead(step) match {
+          case Some((setDf, setHash)) =>
+            val sampled = step.get("sample").map(n => setDf.limit(n.int)).getOrElse(setDf)
+            val baseHash = step.get("sample")
+              .map(n => CheckpointStore.sha256(setHash + "|sample=" + n.int))
+              .getOrElse(setHash)
+            applyOps(sampled, baseHash, step, ctx)
+          case None =>
+            val input = step("input").str
+            val df0 = datasets.getOrElse(input,
+              throw new IllegalArgumentException(s"unknown step input '$input'"))
+            // `sample: n` truncates the step input — the optimizer's
+            // run-on-sample hook (reference containers.py:454-455); Catalyst
+            // pushes the limit into the scan.
+            val sampled = step.get("sample").map(n => df0.limit(n.int)).getOrElse(df0)
+            // the truncation participates in the checkpoint key: a sampled
+            // step must never reuse (or poison) a full-run checkpoint
+            val baseHash = step.get("sample")
+              .map(n => CheckpointStore.sha256(hashes(input) + "|sample=" + n.int))
+              .getOrElse(hashes(input))
+            applyOps(sampled, baseHash, step, ctx)
+        }
       }
       val persisted = if (step.boolOr("persist", false)) out.persist() else out
       datasets(step("name").str) = persisted
@@ -371,11 +422,26 @@ object Pipeline {
               }
             }
           case None =>
-            step.get("input") match {
-              case None => issues += s"step $stepName: missing input"
-              case Some(i) if !known.contains(i.str) =>
-                issues += s"step $stepName: unknown input '${i.str}'"
-              case _ => ()
+            val setRefs = Seq("union", "intersect", "except")
+              .flatMap(k => step.get(k).map(k -> _.strList))
+            setRefs match {
+              case Seq((kind, refs)) =>
+                refs.filterNot(known.contains).foreach(r =>
+                  issues += s"step $stepName: unknown $kind input '$r'")
+                if (kind == "union" && refs.size < 2)
+                  issues += s"step $stepName: union needs >= 2 inputs"
+                if (kind != "union" && refs.size != 2)
+                  issues += s"step $stepName: $kind needs exactly 2 inputs"
+              case Seq() =>
+                step.get("input") match {
+                  case None => issues += s"step $stepName: missing input"
+                  case Some(i) if !known.contains(i.str) =>
+                    issues += s"step $stepName: unknown input '${i.str}'"
+                  case _ => ()
+                }
+              case multi =>
+                issues += s"step $stepName: multiple set-op heads (" +
+                  multi.map(_._1).mkString(", ") + ") — pick one"
             }
         }
         // Walk the op chain tracking definitely-removed fields

@@ -87,6 +87,56 @@ class PipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("code_map"))
   }
+  test("set-op-headed steps: union/intersect/except with name alignment") {
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    def run(stepYaml: String) = Pipeline.runYaml(
+      s"""
+         |datasets:
+         |  docs: { path: $dir/docs.parquet }
+         |operations:
+         |  - { name: en, type: code_filter, predicate: "lang = 'en'" }
+         |  - { name: dup, type: code_filter, predicate: "doc_id in (1, 4, 5)" }
+         |  - { name: ksel, type: select, columns: ["doc_id", "text"] }
+         |  - { name: ksel_flipped, type: select, columns: ["text", "doc_id"] }
+         |pipeline:
+         |  steps:
+         |    - { name: a, input: docs, operations: [en, ksel] }
+         |    - { name: b, input: docs, operations: [dup, ksel_flipped] }
+         |$stepYaml
+         |""".stripMargin, spark)
+    // union distinct (default): en docs {1,2,4,5,6} ∪ {1,4,5} = 5 rows;
+    // b's flipped column order must align by name, not position.
+    assert(run("    - { name: u, union: [a, b] }").count() == 5)
+    // UNION ALL keeps duplicates: 5 + 3 = 8
+    assert(run("    - { name: u, union: [a, b], distinct: false }").count() == 8)
+    // INTERSECT: {1,4,5}; ops chain onto the set-headed step
+    val i = run(
+      """    - name: i
+        |      intersect: [a, b]
+        |      operations:
+        |        - { type: code_map, outputs: { n: "length(text)" } }""".stripMargin)
+    assert(i.count() == 3 && i.columns.contains("n"))
+    // EXCEPT: en minus dups = {2, 6}
+    assert(run("    - { name: e, except: [a, b] }")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 6L))
+  }
+  test("validate flags set-op issues statically") {
+    val conf = Conf.fromYaml(
+      """datasets:
+        |  d: { path: /tmp/x.parquet }
+        |pipeline:
+        |  steps:
+        |    - { name: a, input: d }
+        |    - { name: u, union: [a, ghost] }
+        |    - { name: v, union: [a] }
+        |    - { name: w, intersect: [a, u], except: [a, u] }
+        |""".stripMargin)
+    val issues = Pipeline.validate(conf)
+    assert(issues.exists(_.contains("unknown union input 'ghost'")))
+    assert(issues.exists(_.contains("union needs >= 2")))
+    assert(issues.exists(_.contains("multiple set-op heads")))
+  }
 }
 
 class FrameSpec extends SparkSpec {

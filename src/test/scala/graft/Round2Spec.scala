@@ -133,6 +133,53 @@ class LazyFrameSpec extends SparkSpec {
     val fields = schemas.head._2.fieldNames.toSet
     assert(fields.contains("n_tok") && !fields.contains("keep"))
   }
+
+  test("equijoin merges two pipelines into a join-headed step") {
+    val path = writeDocs()
+    val left = LazyFrame.read("docs", path).codeFilter("lang = 'en'")
+    val right = LazyFrame.read("docs", path)
+      .codeMap("rid" -> "doc_id").select("rid", "lang")
+    val joined = left.equijoin(right, "doc_id = rid")
+      .codeMap("k" -> "doc_id * 10")
+    val out = joined.run(spark)
+    assert(out.count() == 5 && out.columns.contains("k"))
+    // the merged pipeline still round-trips through YAML
+    assert(Pipeline.runYaml(joined.toYaml, spark).count() == 5)
+  }
+
+  test("set-op combinators rename colliding right-side steps/ops") {
+    val path = writeDocs()
+    // both sides use the same dataset name+path (dedupes) and both start
+    // their op auto-names at code_filter_0 (right side must rename)
+    val a = LazyFrame.read("docs", path).codeFilter("lang = 'en'").select("doc_id")
+    val b = LazyFrame.read("docs", path).codeFilter("doc_id in (1, 3)").select("doc_id")
+    assert(a.union(b).run(spark).count() == 6)          // {1,2,4,5,6} ∪ {1,3}
+    assert(a.union(b, distinct = false).run(spark).count() == 7)
+    assert(a.intersect(b).run(spark).collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(a.except_(b).run(spark).collect().map(_.getLong(0)).toSet ==
+      Set(2L, 4L, 5L, 6L))
+    val conf = a.union(b).toConf
+    assert(conf("datasets").asOrderedMap.size == 1) // identical dataset deduped
+  }
+
+  test("multi-step frames round-trip through from_yaml") {
+    val path = writeDocs()
+    val lf = LazyFrame.read("docs", path).codeFilter("lang = 'en'")
+      .union(LazyFrame.read("docs", path).codeFilter("doc_id = 3"))
+      .codeMap("n" -> "length(text)")
+    val reparsed = LazyFrame.fromYaml(lf.toYaml)
+    assert(reparsed.toYaml == lf.toYaml) // fixpoint
+    assert(reparsed.run(spark).count() == lf.run(spark).count())
+  }
+
+  test("actions: count and writeParquet") {
+    val path = writeDocs()
+    val lf = LazyFrame.read("docs", path).codeFilter("lang = 'de'")
+    assert(lf.count(spark) == 1)
+    val out = java.nio.file.Files.createTempDirectory("lfout").toString + "/o.parquet"
+    lf.writeParquet(out, spark)
+    assert(spark.read.parquet(out).count() == 1)
+  }
 }
 
 class DiverseSamplingSpec extends SparkSpec {
