@@ -1319,8 +1319,11 @@ object Queries {
         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""")
     ),
     (
-      // `except:` step — SQL EXCEPT (distinct): customers with no orders
-      // (the classic anti-join shape expressed as a set op).
+      // `except:` step — SQL EXCEPT (distinct): customers holding no URGENT
+      // order (the classic anti-join shape expressed as a set op). The right
+      // side is restricted to urgent orders so the result is NON-empty in the
+      // generated testdata — every customer has some order, so an unfiltered
+      // EXCEPT would pass vacuously on 0 = 0 rows.
       "q67_set_except",
       (s: SparkSession, dir: String) =>
         graft.api.Pipeline.runYaml(
@@ -1330,17 +1333,18 @@ object Queries {
              |  ord:  { path: $dir/orders.parquet }
              |operations:
              |  - { name: keysel, type: select, columns: ["c_custkey"] }
+             |  - { name: fo, type: code_filter, predicate: "o_orderpriority = '1-URGENT'" }
              |  - { name: okeysel, type: select, columns: ["o_custkey as c_custkey"] }
              |pipeline:
              |  steps:
              |    - { name: a, input: cust, operations: [keysel] }
-             |    - { name: b, input: ord, operations: [okeysel] }
+             |    - { name: b, input: ord, operations: [fo, okeysel] }
              |    - { name: e, except: [a, b] }
              |""".stripMargin, s, client),
       Some("""
         SELECT c_custkey FROM customer
         EXCEPT
-        SELECT o_custkey FROM orders""")
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""")
     ))
 
 }

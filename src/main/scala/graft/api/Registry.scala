@@ -110,14 +110,21 @@ object Registry {
               corpus, r("corpus_text_key").str, renderExpr, kk)
           case "embedding" =>
             RetrieverOp.byEmbedding(df, name, r("query_key").str,
-              corpus, r("corpus_embedding_key").str, renderExpr, kk)
+              corpus, r("corpus_embedding_key").str, renderExpr, kk,
+              corpusGate = r.intOr("corpus_gate", 100000),
+              nCentroids = r.intOr("n_centroids", 64),
+              nProbe = r.intOr("n_probe", 8))
           case "hybrid" =>
             RetrieverOp.byHybrid(df, name, r("query_embedding_key").str,
               r("query_key").str, corpus, r("corpus_embedding_key").str,
-              r("corpus_text_key").str, renderExpr, kk)
+              r("corpus_text_key").str, renderExpr, kk,
+              corpusGate = r.intOr("corpus_gate", 100000),
+              nCentroids = r.intOr("n_centroids", 64),
+              nProbe = r.intOr("n_probe", 8))
           case _ =>
             RetrieverOp.byTermOverlap(df, name, r("query_key").str,
-              corpus, r("corpus_text_key").str, renderExpr, kk)
+              corpus, r("corpus_text_key").str, renderExpr, kk,
+              corpusGate = r.intOr("corpus_gate", 100000))
         }
         val prompt =
           if (base.prompt.contains("retrieved_context")) base.prompt

@@ -20,8 +20,10 @@ import graft.functions.{CosineSimilarity, VectorFunctions}
   *     tokens|, the degenerate-but-cheap BM25 cousin that needs no corpus
   *     statistics at plan time.
   *
-  * Both are a broadcast join + window — linear in the input, never a
-  * collect of the input side.
+  * Every method has BOTH a small-corpus broadcast shape and a large-corpus
+  * indexed shape (inverted-index postings join for lexical, IVF cell join
+  * for vector, their union for hybrid), selected by an O(gate) limited
+  * count — no corpus size makes a retriever throw or cross-product.
   */
 object RetrieverOp {
 
@@ -81,17 +83,52 @@ object RetrieverOp {
       corpus: DataFrame,
       corpusTextCol: String,
       corpusRenderExpr: String,
-      k: Int = 3): DataFrame = {
+      k: Int = 3,
+      /** Corpus rows above which the broadcast is refused and scoring routes
+        * through the inverted-index join (same postings shape as byBm25 with
+        * the idf/tf weighting dropped). The indexed path never materializes
+        * zero-overlap pairs, so rows whose query shares no token with any
+        * corpus doc get a null context instead of k arbitrary score-0 docs —
+        * at retrieval semantics level those docs carry no signal either way. */
+      corpusGate: Int = 100000): DataFrame = {
     val outKey = s"_${name}_retrieved_context"
     val rowId = s"_graft_rid_$name"
     val withId = df.withColumn(rowId, monotonically_increasing_id())
     val c = corpus.select(
       split(col(corpusTextCol), " ").as("_ctoks"),
       expr(corpusRenderExpr).cast("string").as("_ctext"))
-    val scored = graft.core.Joins.boundedCrossBroadcast(withId, c, col(rowId), col("_ctext"))
-      .withColumn("_score",
-        size(array_intersect(split(col(queryTextCol), " "), col("_ctoks"))).cast("double"))
+    val small = c.limit(corpusGate + 1).count() <= corpusGate
+    val scored =
+      if (small)
+        graft.core.Joins.boundedCrossBroadcast(withId, c, col(rowId), col("_ctext"),
+            maxRows = corpusGate, context = s"retriever '$name'")
+          .withColumn("_score",
+            size(array_intersect(split(col(queryTextCol), " "), col("_ctoks"))).cast("double"))
+      else {
+        // Large-corpus path: |query ∩ doc| = count of matched postings after
+        // per-side distinct — a term-key hash join, no cross at any size.
+        val cid = c.withColumn("_cdid", monotonically_increasing_id())
+        termOverlapPairs(withId, rowId, queryTextCol, cid)
+          .withColumnRenamed("_ov", "_score")
+          .join(cid.select(col("_cdid"), col("_ctext")), Seq("_cdid"))
+      }
     attachTopK(withId, scored, rowId, outKey, k)
+  }
+
+  /** Distinct-term-overlap counts per (query row, corpus doc) as an
+    * inverted-index join: corpus explodes to (term, doc) postings, queries
+    * explode to (row, term), join ON TERM, count per pair. Only pairs sharing
+    * ≥1 token are ever materialized. */
+  private def termOverlapPairs(
+      queries: DataFrame, rowId: String, queryTextCol: String,
+      corpusWithId: DataFrame): DataFrame = {
+    val postings = corpusWithId.select(
+      col("_cdid"), explode(array_distinct(col("_ctoks"))).as("_term"))
+    val qTerms = queries.select(
+      col(rowId), explode(array_distinct(split(col(queryTextCol), " "))).as("_term"))
+    qTerms.join(postings, Seq("_term"))
+      .groupBy(col(rowId), col("_cdid"))
+      .agg(count(lit(1)).cast("double").as("_ov"))
   }
 
   /** BM25 full-text retrieval (reference lancedb.py fts mode is BM25-backed;
@@ -147,8 +184,14 @@ object RetrieverOp {
   }
 
   /** Hybrid retrieval (reference lancedb.py hybrid mode): convex blend of
-    * the cosine score and a min-max-normalized term-overlap score. One
-    * broadcast join computes both scores; weights sum to 1. */
+    * the cosine score and a min-max-normalized term-overlap score. Below
+    * `corpusGate` one broadcast join computes both scores exactly; above it,
+    * the candidate set is the UNION of the inverted-index term matches and
+    * the IVF-probed cells, and both score components are computed exactly on
+    * those candidates (cosine from the joined-back embeddings, overlap
+    * coalesced to 0 for vector-only candidates). A doc is missed only if it
+    * shares no token AND sits outside every probed cell — i.e. it scores
+    * near-zero on both components. */
   def byHybrid(
       df: DataFrame,
       name: String,
@@ -159,7 +202,10 @@ object RetrieverOp {
       corpusTextCol: String,
       corpusRenderExpr: String,
       k: Int = 3,
-      vectorWeight: Double = 0.5): DataFrame = {
+      vectorWeight: Double = 0.5,
+      corpusGate: Int = 100000,
+      nCentroids: Int = 64,
+      nProbe: Int = 8): DataFrame = {
     require(vectorWeight >= 0 && vectorWeight <= 1, "vectorWeight in [0,1]")
     val outKey = s"_${name}_retrieved_context"
     val rowId = s"_graft_rid_$name"
@@ -169,11 +215,44 @@ object RetrieverOp {
       split(col(corpusTextCol), " ").as("_ctoks"),
       expr(corpusRenderExpr).cast("string").as("_ctext"))
     val qToks = split(col(queryTextCol), " ")
-    val overlap = size(array_intersect(qToks, col("_ctoks"))).cast("double")
-    val scored = graft.core.Joins.boundedCrossBroadcast(withId, c, col(rowId), col("_ctext"))
-      .withColumn("_score",
-        lit(vectorWeight) * CosineSimilarity(col(queryEmbCol), col("_ce")) +
-          lit(1 - vectorWeight) * overlap / greatest(size(qToks).cast("double"), lit(1.0)))
+    val small = c.limit(corpusGate + 1).count() <= corpusGate
+    val scored =
+      if (small) {
+        val overlap = size(array_intersect(qToks, col("_ctoks"))).cast("double")
+        graft.core.Joins.boundedCrossBroadcast(withId, c, col(rowId), col("_ctext"),
+            maxRows = corpusGate, context = s"retriever '$name'")
+          .withColumn("_score",
+            lit(vectorWeight) * CosineSimilarity(col(queryEmbCol), col("_ce")) +
+              lit(1 - vectorWeight) * overlap / greatest(size(qToks).cast("double"), lit(1.0)))
+      } else {
+        val cid = c.withColumn("_cdid", monotonically_increasing_id())
+        val termPairs = termOverlapPairs(withId, rowId, queryTextCol, cid)
+        val centroids = graft.ann.Ann.trainCentroids(cid, "_ce", nCentroids)
+        val assigned = graft.ann.Ann.ivfAssign(cid, "_ce", centroids)
+          .select(col("_cdid"), col("_cell"))
+        val sortedCells = array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
+          struct(VectorFunctions.euclideanToConst(col(queryEmbCol), ctr).as("d"),
+            lit(i).as("cell"))
+        }.toIndexedSeq: _*))
+        val probeCells = transform(
+          slice(sortedCells, 1, math.min(nProbe, centroids.length)),
+          s => s.getField("cell"))
+        val ivfPairs = withId
+          .select(col(rowId), explode(probeCells).as("_cell"))
+          .join(assigned, Seq("_cell"))
+          .select(col(rowId), col("_cdid"))
+        val cands = termPairs
+          .join(ivfPairs.distinct(), Seq(rowId, "_cdid"), "full_outer")
+          .na.fill(0.0, Seq("_ov"))
+        cands
+          .join(cid.select(col("_cdid"), col("_ce"), col("_ctext")), Seq("_cdid"))
+          .join(withId.select(col(rowId), col(queryEmbCol).as("_qe"),
+            qToks.as("_qtoks")), Seq(rowId))
+          .withColumn("_score",
+            lit(vectorWeight) * CosineSimilarity(col("_qe"), col("_ce")) +
+              lit(1 - vectorWeight) * col("_ov") /
+                greatest(size(col("_qtoks")).cast("double"), lit(1.0)))
+      }
     attachTopK(withId, scored, rowId, outKey, k)
   }
 

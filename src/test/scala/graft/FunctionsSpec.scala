@@ -82,6 +82,51 @@ class RetrieverSpec extends SparkSpec {
       corpusGate = 10, nCentroids = 4, nProbe = 4))
     assert(viaIvf == viaBroadcast)
   }
+  test("term-overlap retriever over corpusGate routes through postings join, same result") {
+    // 60 docs, each sharing "common" with every query plus one unique token;
+    // corpusGate=10 forces the inverted-index path. Every query overlaps all
+    // docs (via "common"), so the indexed path sees the full candidate set
+    // and must equal the broadcast path exactly, ties and all.
+    val corpus = df(
+      StructType(Seq(StructField("ctext", StringType))),
+      (0 until 60).map(i => Row(f"w$i%02d common")): _*)
+    val base = df(StructType(Seq(
+      StructField("id", LongType), StructField("qtext", StringType))),
+      Row(1L, "w01 w02 w03 common"), Row(2L, "w10 common"), Row(3L, "common"))
+    def ctx(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").select("_rag_retrieved_context").collect().map(_.getString(0)).toSeq
+    val viaBroadcast = ctx(RetrieverOp.byTermOverlap(
+      base, "rag", "qtext", corpus, "ctext", "ctext", k = 3))
+    val viaIndex = ctx(RetrieverOp.byTermOverlap(
+      base, "rag", "qtext", corpus, "ctext", "ctext", k = 3, corpusGate = 10))
+    assert(viaIndex == viaBroadcast)
+    assert(viaIndex(0).startsWith("w01 common")) // overlap-2 docs outrank overlap-1
+  }
+  test("hybrid retriever over corpusGate routes through postings+IVF union, same result") {
+    // Circle embeddings + per-doc unique token + shared "common" token.
+    // nProbe = nCentroids makes the IVF arm exhaustive and "common" puts
+    // every doc in the lexical arm, so the union candidate set is total and
+    // the blended scores must match the broadcast path exactly.
+    val corpusRows = (0 until 60).map { i =>
+      val a = i * 2 * math.Pi / 60
+      Row(Seq(math.cos(a), math.sin(a)), f"w$i%02d common")
+    }
+    val corpus = df(StructType(Seq(
+      StructField("ce", ArrayType(DoubleType)), StructField("ctext", StringType))),
+      corpusRows: _*)
+    val base = df(StructType(Seq(
+      StructField("id", LongType), StructField("e", ArrayType(DoubleType)),
+      StructField("qtext", StringType))),
+      Row(1L, Seq(1.0, 0.0), "w30 common"), Row(2L, Seq(0.0, 1.0), "w00 w01 common"))
+    def ctx(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").select("_rag_retrieved_context").collect().map(_.getString(0)).toSeq
+    val viaBroadcast = ctx(RetrieverOp.byHybrid(base, "rag", "e", "qtext",
+      corpus, "ce", "ctext", "ctext", k = 3, vectorWeight = 0.5))
+    val viaIndex = ctx(RetrieverOp.byHybrid(base, "rag", "e", "qtext",
+      corpus, "ce", "ctext", "ctext", k = 3, vectorWeight = 0.5,
+      corpusGate = 10, nCentroids = 4, nProbe = 4))
+    assert(viaIndex == viaBroadcast)
+  }
   test("boundedCrossBroadcast refuses an over-budget small side") {
     val big = spark.range(10).toDF("a")
     val small = spark.range(50).toDF("b")
