@@ -781,12 +781,18 @@ object Queries {
     ),
     (
       "q39_extract_lines",
+      // document_keys is a LIST in the reference (extract.py:45-56) for
+      // line_number too: each key resolves its own ranges into its own
+      // `{key}_extracted_{name}` column.
       (s: SparkSession, dir: String) =>
-        ExtractOp.lineNumber(t(s, dir, "documents"), "q39", "text",
+        ExtractOp.lineNumberMulti(t(s, dir, "documents"), "q39", Seq("text", "source"),
           "pick the relevant lines", client)
-          .select("doc_id", "text_extracted_q39"),
+          .select("doc_id", "text_extracted_q39", "source_extracted_q39"),
       // Mock returns ranges "1-2" over 80-col lines -> first 160 chars.
-      Some("SELECT doc_id, substr(text, 1, 160) AS text_extracted_q39 FROM documents")
+      Some("""
+        SELECT doc_id, substr(text, 1, 160) AS text_extracted_q39,
+               substr(source, 1, 160) AS source_extracted_q39
+        FROM documents""")
     ),
     (
       "q40_rank_likert",

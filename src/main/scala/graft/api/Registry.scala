@@ -189,6 +189,7 @@ object Registry {
       maxIter = c.intOr("max_iter", 20),
       limitComparisons = c.get("limit_comparisons").map(_.int),
       resolutionModel = c.get("resolution_model").map(_.str),
+      maxPairsPerBucket = c.get("max_pairs_per_bucket").map(_.int.toLong),
       cascade = c.get("cascade").map(cas => CascadeCompare.Config(
         proxyModel = cas.strOr("proxy_model", "proxy"),
         oracleModel = cas.strOr("oracle_model", "oracle"),
@@ -365,8 +366,11 @@ object Registry {
         ExtractOp.regexMulti(df, c("name").str, keys,
           c("pattern").str, c.boolOr("format_extraction", true),
           c.get("extraction_key_suffix").map(_.str))
-      case "line_number" => ExtractOp.lineNumber(df, c("name").str, c("document_key").str,
-        c("prompt").str, ctx.client, c.strOr("model", "mock"))
+      case "line_number" =>
+        val keys = c.get("document_keys").map(_.strList)
+          .getOrElse(Seq(c("document_key").str))
+        ExtractOp.lineNumberMulti(df, c("name").str, keys,
+          c("prompt").str, ctx.client, c.strOr("model", "mock"))
       case m => throw new IllegalArgumentException(s"unknown extraction method $m")
     }
   }

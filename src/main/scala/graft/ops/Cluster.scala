@@ -106,11 +106,21 @@ object ClusterOp {
         * always stay). */
       collapse: Option[Double] = None,
       sampleSizePerNode: Int = 1000,
+      /** Cap on the TOTAL rows collected per level across all nodes. The
+        * tree doubles per level, so a constant per-NODE sample is
+        * O(2^level × sampleSizePerNode × dim) on the driver — ~2 GB at
+        * depth 8 × 1000 samples × 1k-dim. As the level widens past
+        * `maxDriverSampleRowsPerLevel / sampleSizePerNode` nodes, the
+        * per-node sample shrinks proportionally (floor 2 — a bisection
+        * needs two points), keeping driver memory bounded by
+        * max(cap, 2 × #nodes) rows regardless of depth. */
+      maxDriverSampleRowsPerLevel: Int = 65536,
       summaryPrompt: Option[String] = None,
       summarySchema: Seq[(String, String)] = Seq("summary" -> "str")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(depth >= 1, "depth must be >= 1")
     val spark = df.sparkSession
+    lastSampleRowsPerLevel = Vector.empty
 
     // splitDist(path) = distance between the two child centroids of the
     // k=2 split performed AT that node.
@@ -119,16 +129,27 @@ object ClusterOp {
       .withColumn("_graft_vecd", transform(col(embeddingCol), _.cast("double")))
       .withColumn("_graft_path", lit(""))
       .persist()
+    // Nodes at the CURRENT level (paths still being split). Tracked on the
+    // driver — splittable nodes double, unsplittable ones carry through — so
+    // sizing the next level's sample costs no extra Spark job.
+    var activePaths = 1L
     (1 to depth).foreach { level =>
-      // Job 1: grouped sample — up to sampleSizePerNode rows per path by
-      // seeded hash (order-invariant, like SampleOp.seededHead but keyed).
+      // Job 1: grouped sample — up to perNode rows per path by seeded hash
+      // (order-invariant, like SampleOp.seededHead but keyed). The per-node
+      // quota shrinks as the level widens so the level's total collect stays
+      // under maxDriverSampleRowsPerLevel.
+      val perNode = math.max(2,
+        math.min(sampleSizePerNode.toLong,
+          maxDriverSampleRowsPerLevel / math.max(1L, activePaths)).toInt)
       val w = Window.partitionBy(col("_graft_path")).orderBy(col("_graft_h"))
       val sampleRows = assigned
         .withColumn("_graft_h", xxhash64(lit(seed + level), col("_graft_vecd")))
         .withColumn("_graft_rn", row_number().over(w))
-        .filter(col("_graft_rn") <= sampleSizePerNode)
+        .filter(col("_graft_rn") <= perNode)
         .select(col("_graft_path"), col("_graft_vecd"))
         .collect()
+      lastSampleRowsPerLevel =
+        lastSampleRowsPerLevel :+ ((sampleRows.length.toLong, activePaths))
       val byPath = sampleRows.groupBy(_.getString(0)).map { case (p, rs) =>
         p -> rs.map(_.getSeq[Double](1).toArray)
           .sortBy(_.toIndexedSeq)(Ordering.Implicits.seqOrdering[IndexedSeq, Double])
@@ -160,6 +181,7 @@ object ClusterOp {
         assigned.unpersist()
         assigned = next
       }
+      activePaths += centroids.size // each split node became two
     }
     // Collapsed internal nodes: split nearly as wide as the parent's.
     val collapsed: Set[String] = collapse match {
@@ -216,6 +238,12 @@ object ClusterOp {
       .withColumn(outputKey, element_at(pathMap, col("_graft_path")))
       .drop("_graft_vecd", "_graft_path")
   }
+
+  /** (rows collected, active paths) per level of the last `hierarchical`
+    * run — test observability for the driver-sample bound, which is
+    * max(maxDriverSampleRowsPerLevel, 2 × active paths) because a bisection
+    * needs at least two points per node. No logger dependency. */
+  @volatile private[graft] var lastSampleRowsPerLevel: Vector[(Long, Long)] = Vector.empty
 
   /** `{{ inputs }}` substitution for a custom summary prompt; without a
     * custom prompt the member block IS the prompt (the mock-oracle path). */

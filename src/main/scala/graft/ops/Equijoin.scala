@@ -66,6 +66,7 @@ object EquijoinOp {
     val r = collisions.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"${c}_right"))
     val lp = l.alias("l")
     val rp = r.alias("r")
+    if (cfg.llmVerify) diagnoseSkew(l, r, cfg)
     val joinedBase = lp.join(rp, expr(cfg.condition))
     val joined = extraBlocking.fold(joinedBase)(joinedBase.filter)
     val candidates = cfg.limitComparisons match {
@@ -119,6 +120,44 @@ object EquijoinOp {
 
   private def sideKey(key: String, collisions: Set[String], suffix: String): String =
     if (collisions.contains(key)) s"$key$suffix" else key
+
+  /** Pre-join skew diagnostic for the LLM-verify path: parse the join
+    * condition, pull out its `l.x = r.y` equi conjuncts, and estimate the
+    * hottest key's candidate-pair product from per-side key counts — two
+    * O(rows) aggs plus a distinct-key-sized join, never the pairs
+    * themselves. A skewed key on a verified join silently multiplies LLM
+    * calls; this makes it a loud warning before the join runs. Non-equi
+    * conditions (no extractable key) skip the check. Diagnostics must never
+    * fail the operator, hence the Try. */
+  private def diagnoseSkew(l: DataFrame, r: DataFrame, cfg: Config): Unit =
+    scala.util.Try {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+      val parsed = l.sparkSession.sessionState.sqlParser.parseExpression(cfg.condition)
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(a, b) => conjuncts(a) ++ conjuncts(b)
+        case other => Seq(other)
+      }
+      def side(a: UnresolvedAttribute): Option[(String, String)] =
+        a.nameParts match {
+          case Seq(q, n) if q == "l" || q == "r" => Some((q, n))
+          case _ => None
+        }
+      val equi = conjuncts(parsed).flatMap {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+          (side(a), side(b)) match {
+            case (Some(("l", ln)), Some(("r", rn))) => Some((ln, rn))
+            case (Some(("r", rn)), Some(("l", ln))) => Some((ln, rn))
+            case _ => None
+          }
+        case _ => None
+      }
+      if (equi.nonEmpty &&
+          equi.forall { case (ln, rn) => l.columns.contains(ln) && r.columns.contains(rn) })
+        graft.core.PairBudget.warnIfSkewed(
+          graft.core.PairBudget.equiJoinStats(l, equi.map(_._1), r, equi.map(_._2)),
+          s"equijoin '${cfg.name}'")
+    }.getOrElse(())
 
   /** Stratified-by-length candidate sampling (reference equijoin.py:723-778
     * `stratified_length_sample`), distributively:

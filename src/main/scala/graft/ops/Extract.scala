@@ -81,4 +81,21 @@ object ExtractOp {
       }
     }(Encoders.row(newSchema))
   }
+
+  /** Multi-key line-number extraction — `document_keys` is a LIST for both
+    * methods in the reference (extract.py:45-56); each key gets its own
+    * `{key}{suffix}` column and its own per-row range query. The folds chain
+    * as narrow object operators (no shuffle between keys). */
+  def lineNumberMulti(
+      df: DataFrame,
+      name: String,
+      documentKeys: Seq[String],
+      prompt: String,
+      client: LlmClient,
+      model: String = "mock",
+      width: Int = 80,
+      formatExtraction: Boolean = true,
+      suffix: Option[String] = None): DataFrame =
+    documentKeys.foldLeft(df)((d, k) =>
+      lineNumber(d, name, k, prompt, client, model, width, formatExtraction, suffix))
 }

@@ -52,7 +52,18 @@ object ResolveOp {
       /** Model for stage-4 canonicalization, when different from the
         * pairwise `model` (reference resolve.py `resolution_model` vs
         * `comparison_model` — cheap compares, stronger summarizer). */
-      resolutionModel: Option[String] = None)
+      resolutionModel: Option[String] = None,
+      /** Hard per-bucket candidate-pair budget: buckets past it keep only a
+        * deterministic (id, id)-ordered head of their pairs. A degenerate
+        * user blocking key can make ONE bucket quadratic; the cap bounds the
+        * LLM verify calls and the downstream shuffle it would silently cost
+        * (reference analog: the 500-pair batch solver, resolve.py:592-613).
+        * Recall lost to the cap is observable via the skew warning. */
+      maxPairsPerBucket: Option[Long] = None,
+      /** Hottest-bucket pair count above which a skew warning is emitted
+        * (one O(rows) agg on the bucketed side — pairs are never counted by
+        * materializing them). */
+      warnPairsPerBucket: Long = graft.core.PairBudget.DefaultWarnPairs)
 
   def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
     val withBlk = df
@@ -87,14 +98,32 @@ object ResolveOp {
       return resolvedFast.drop("_blk", "_cmp")
     }
 
+    // Skew diagnostic BEFORE the pair join: the hottest bucket's pair count
+    // from an O(rows) agg over the (persisted) bucketed side. A quadratic
+    // bucket must be observable without first paying for its pairs.
+    graft.core.PairBudget.warnIfSkewed(
+      graft.core.PairBudget.selfJoinStats(withBlk, "_blk"),
+      s"resolve '${cfg.name}'", cfg.warnPairsPerBucket)
+
     val pairBase = {
       val l = withBlk.select(col("_blk"), col(cfg.idKey).as("_ida"), col("_cmp").as("_ca"))
       val r = withBlk.select(col("_blk"), col(cfg.idKey).as("_idb"), col("_cmp").as("_cb"))
       val all = l.join(r, Seq("_blk")).filter(col("_ida") < col("_idb"))
       val filtered = if (autoMatch) all.filter(col("_ca") =!= col("_cb")) else all
-      cfg.limitComparisons match {
-        case Some(n) => filtered.orderBy(col("_ida").asc, col("_idb").asc).limit(n)
+      val capped = cfg.maxPairsPerBucket match {
+        case Some(budget) =>
+          // Rank-limit filter → Catalyst plans WindowGroupLimit, so partial
+          // limits apply map-side and the hot bucket's tail pairs never
+          // reach the LLM verify stage.
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_blk")).orderBy(col("_ida").asc, col("_idb").asc)
+          filtered.withColumn("_graft_pn", row_number().over(w))
+            .filter(col("_graft_pn") <= budget).drop("_graft_pn")
         case None => filtered
+      }
+      cfg.limitComparisons match {
+        case Some(n) => capped.orderBy(col("_ida").asc, col("_idb").asc).limit(n)
+        case None => capped
       }
     }
     val llmEdges = verdictEdges(pairBase, cfg, client)

@@ -10,7 +10,7 @@ import java.nio.charset.StandardCharsets
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 import graft.llm._
-import graft.ops.{SemanticMap, SemanticMapConfig}
+import graft.ops.{GleaningConfig, SemanticMap, SemanticMapConfig}
 
 /** A local OpenAI-shaped fake provider: routes on the request's `model`
   * field to exercise retries, timeouts, fallback chains, batch mode, and
@@ -24,6 +24,8 @@ object FakeLlmServer {
     val failuresRemaining = new AtomicInteger(0)
     @volatile var latencyMs: Long = 0
     @volatile var lastBody: String = ""
+    /** Every /chat/completions request body, for output-mode audits. */
+    val chatBodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   }
 
   def withServer[A](f: (String, State) => A): A = {
@@ -72,6 +74,7 @@ object FakeLlmServer {
       val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       st.lastBody = body
       val path = ex.getRequestURI.getPath
+      if (path.endsWith("/chat/completions")) st.chatBodies.add(body)
       val model = """"model"\s*:\s*"([^"]+)"""".r
         .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
       if (model == "always-500") respond(ex, 500, """{"error":"boom"}""")
@@ -97,6 +100,14 @@ object FakeLlmServer {
         respond(ex, 200, chatReply(s"""{"results":[$results]}"""))
       } else if (body.contains("Answer with a single word")) {
         respond(ex, 200, chatReply("yes"))
+      } else if (body.contains("should_refine")) {
+        // gleaning judge schema (quotes around the field name are
+        // backslash-escaped inside the JSON-encoded system message, so
+        // match the bare name) -> one round, no refinement
+        respond(ex, 200, chatReply("""{"should_refine":false,"improvements":""}"""))
+      } else if (body.contains("keep")) {
+        // cascade filter decision schema
+        respond(ex, 200, chatReply("""{"keep":true}"""))
       } else {
         respond(ex, 200, chatReply(s"""{"label":"ok-$model","score":7}"""))
       }
@@ -261,6 +272,49 @@ class HttpLlmSpec extends AnyFunSuite {
     }
     assert(out.next() == 10 && out.next() == 20 && out.next() == 30)
     intercept[IllegalStateException](out.next())
+  }
+
+  test("output mode survives Retrying/Fallback/RateLimited rewrap under gleaning + cascade") {
+    // Each decorator hand-rolls its withOutputMode rewrap — the likeliest
+    // silent-drop site. Drive ONE flow through the FULL stack (retry on a
+    // transient 503, fallback off a dead model, rate-limit permits) with a
+    // gleaning judge AND a cascade filter on top, and audit EVERY request
+    // the provider saw. "tools" is the client default, so the
+    // structured_output leg is the one that proves the rewrap: a dropped
+    // mode silently reverts to tools there.
+    def run(mode: String): Seq[String] = FakeLlmServer.withServer { (url, st) =>
+      val spark = TestSpark.spark
+      LlmCache.clear()
+      st.failuresRemaining.set(1) // first "flaky" request 503s -> retry leg
+      val stack = RetryingClient(
+        FallbackClient(
+          RateLimitedClient(HttpLlmClient(url), key = s"e2e-$mode", permitsPerMinute = 1e9),
+          Map("always-500" -> Seq("good"))), // fallback leg
+        timeoutMs = 5000, maxRetries = 2, backoffMs = 1).withOutputMode(mode)
+      val data = spark.createDataFrame(
+        java.util.Arrays.asList((1 to 6).map(i => Row(i.toLong, s"doc $i")): _*),
+        StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+      val mapped = SemanticMap(data,
+        SemanticMapConfig("e2e_map", "label {{ input.text }}",
+          Seq("label" -> "str", "score" -> "int"), model = "flaky",
+          gleaning = Some(GleaningConfig("good enough?", numRounds = 1))), stack)
+      val filtered = graft.ops.CascadeFilter(mapped, graft.ops.CascadeFilter.Config(
+        "e2e_filter", "retain {{ input.text }}?", decisionKey = "keep",
+        proxyModel = "always-500", oracleModel = "good", calibrationSize = 4),
+        stack, stack)
+      assert(filtered.count() == 6) // decisions are keep:true throughout
+      import scala.jdk.CollectionConverters._
+      st.chatBodies.iterator().asScala.toSeq
+    }
+    def structured(bodies: Seq[String]) = // logprob probes carry no output mode
+      bodies.filterNot(_.contains("Answer with a single word"))
+    val toolBodies = structured(run("tools"))
+    // map + judge per row, decision calls, calibration: well past row count
+    assert(toolBodies.size >= 15, s"only ${toolBodies.size} structured calls")
+    assert(toolBodies.forall(b => b.contains("\"send_output\"") && !b.contains("response_format")))
+    val soBodies = structured(run("structured_output"))
+    assert(soBodies.size >= 15, s"only ${soBodies.size} structured calls")
+    assert(soBodies.forall(b => b.contains("response_format") && !b.contains("\"tools\"")))
   }
 
   test("SemanticMap with concurrency>1 over the HTTP stack matches serial output") {

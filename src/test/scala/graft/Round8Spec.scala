@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.PairBudget
+import graft.llm.MockLlmClient
+import graft.ops.{ClusterOp, EquijoinOp, ResolveOp}
+
+class PairBudgetSpec extends SparkSpec {
+  private val client = MockLlmClient()
+
+  test("selfJoinStats reports the hottest bucket and the total pair count") {
+    val d = df(StructType(Seq(StructField("b", StringType))),
+      (Seq.fill(4)(Row("hot")) ++ Seq.fill(2)(Row("cold"))): _*)
+    val s = PairBudget.selfJoinStats(d, "b").get
+    assert(s.bucket == "hot" && s.rows == 4 && s.pairs == 6)
+    assert(s.totalPairs == 7) // 6 + 1
+    assert(PairBudget.selfJoinStats(d.limit(0), "b").isEmpty)
+  }
+
+  test("warnIfSkewed fires only past the pair threshold") {
+    val stats = Some(PairBudget.BucketStats("k", 5, 10, 12))
+    PairBudget.lastWarning = None
+    PairBudget.warnIfSkewed(stats, "ctx-quiet", warnPairs = 10)
+    assert(PairBudget.lastWarning.isEmpty) // 10 is not > 10
+    PairBudget.warnIfSkewed(stats, "ctx-loud", warnPairs = 9)
+    assert(PairBudget.lastWarning.exists(m =>
+      m.contains("ctx-loud") && m.contains("10 candidate pairs")))
+  }
+
+  test("resolve warns on a quadratic bucket and maxPairsPerBucket caps verify calls") {
+    // 12 rows in ONE bucket with pairwise-distinct renders: 66 candidate
+    // pairs. The cap keeps a deterministic 5-pair head; the mock matches
+    // nothing (distinct renders), so callCount == verified pairs exactly.
+    val rows = (1 to 12).map(i => Row(i.toLong, f"pb8u-$i%02d"))
+    val d = df(StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))), rows: _*)
+    PairBudget.lastWarning = None
+    MockLlmClient.resetCalls()
+    val out = ResolveOp(d, ResolveOp.Config(
+      name = "hotres", idKey = "id", blockExpr = "'one'", compareExpr = "v",
+      resolveKeys = Seq("v"),
+      maxPairsPerBucket = Some(5L), warnPairsPerBucket = 10L), client)
+    assert(out.count() == 12) // cardinality preserved
+    assert(client.callCount == 5) // 66 pairs capped to 5
+    assert(PairBudget.lastWarning.exists(m =>
+      m.contains("resolve 'hotres'") && m.contains("66 candidate pairs")))
+  }
+
+  test("resolve stays quiet and uncapped below the thresholds") {
+    val rows = (1 to 4).map(i => Row(i.toLong, f"pb8q-$i%02d"))
+    val d = df(StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))), rows: _*)
+    PairBudget.lastWarning = None
+    MockLlmClient.resetCalls()
+    ResolveOp(d, ResolveOp.Config(
+      name = "quietres", idKey = "id", blockExpr = "'one'", compareExpr = "v",
+      resolveKeys = Seq("v")), client).count()
+    assert(client.callCount == 6) // all 4*3/2 pairs verified, no cap
+    assert(PairBudget.lastWarning.isEmpty)
+  }
+
+  test("auto-blocking calibrated threshold is invariant under repartition/coalesce") {
+    // The calibration sample is a global sort-limit over rendered compare
+    // strings — the fitted threshold (and hence the join) must not depend on
+    // how either side happens to be partitioned (the 100 TB analog: file
+    // listing order). Mirrors CascadeSpec's threshold-invariance check.
+    val emb = ArrayType(FloatType)
+    val l = df(StructType(Seq(StructField("lid", LongType), StructField("nk", LongType),
+      StructField("le", emb))),
+      (1L to 12L).map(i => Row(i, i % 3, Seq(
+        (if (i % 3 == 0) 1.0f else if (i % 3 == 1) -1.0f else 0.0f),
+        (if (i % 3 == 2) 1.0f else 0.1f)))): _*)
+    val r = df(StructType(Seq(StructField("rid", LongType), StructField("nk2", LongType),
+      StructField("re", emb))),
+      (0L to 2L).map(i => Row(i + 100, i, Seq(
+        (if (i == 0) 1.0f else if (i == 1) -1.0f else 0.0f),
+        (if (i == 2) 1.0f else 0.1f)))): _*)
+    def run(lt: org.apache.spark.sql.DataFrame, rt: org.apache.spark.sql.DataFrame) = {
+      val (joined, threshold) = EquijoinOp.withAutoEmbeddingBlocking(
+        lt, rt, EquijoinOp.Config(
+          name = "autoinv", condition = "nk = nk2",
+          compareExprLeft = "cast(nk as string)",
+          compareExprRight = "cast(nk2 as string)"),
+        "le", "re", dim = 2, client)
+      (threshold,
+        joined.select("lid", "rid").orderBy("lid", "rid").collect().toSeq)
+    }
+    val base = run(l, r)
+    assert(run(l.repartition(7), r.repartition(5)) == base)
+    assert(run(l.coalesce(1), r.coalesce(1)) == base)
+  }
+
+  test("deep hierarchical clustering bounds the per-level driver sample") {
+    // 512 rows, depth 8: an unbounded 1000-per-node sample would collect the
+    // whole input at every level. Every level must stay under
+    // max(cap, 2 x active nodes) — the floor of 2 points per node is the
+    // only thing allowed to lift the cap — and the unbounded default would
+    // blow through it from level 1 (512 > 64). Output must still be a valid
+    // depth<=8 clustering.
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 512).map { i =>
+      Row(i.toLong, Seq.fill(4)((rng.nextGaussian() * (1 + i % 8)).toFloat))
+    }
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(FloatType)))), rows: _*)
+    val out = ClusterOp.hierarchical(d, "e", "cast(id as string)",
+      depth = 8, client, maxDriverSampleRowsPerLevel = 64)
+    assert(out.count() == 512)
+    assert(ClusterOp.lastSampleRowsPerLevel.length == 8)
+    assert(ClusterOp.lastSampleRowsPerLevel.forall { case (rows, nodes) =>
+      rows <= math.max(64L, 2L * nodes)
+    }, s"level (rows, nodes) ${ClusterOp.lastSampleRowsPerLevel} exceed max(cap, 2*nodes)")
+    assert(ClusterOp.lastSampleRowsPerLevel.head._1 <= 64) // cap binds at the root
+    assert(out.filter(size(col("clusters")) < 1 || size(col("clusters")) > 9).count() == 0)
+  }
+
+  test("default driver-sample cap leaves small-scale clustering unchanged") {
+    // With the 65536-row default the cap never binds at this scale, so the
+    // capped code path must reproduce the pre-cap behavior bit-for-bit.
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 40).map { i =>
+      val (cx, cy) = (i % 4) match {
+        case 0 => (1.0, 1.0); case 1 => (1.0, -1.0)
+        case 2 => (-1.0, 1.0); case _ => (-1.0, -1.0)
+      }
+      Row(i.toLong, Seq((cx + rng.nextGaussian() * 0.05).toFloat,
+        (cy + rng.nextGaussian() * 0.05).toFloat))
+    }
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(FloatType)))), rows: _*)
+    def paths(cap: Int) = ClusterOp.hierarchical(d, "e", "cast(id as string)",
+        depth = 2, client, maxDriverSampleRowsPerLevel = cap)
+      .select(col("id"), col("clusters")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(paths(65536) == paths(1 << 30))
+  }
+
+  test("llm-verified equijoin warns when one equi key would explode") {
+    // 2000 left x 600 right rows on the same key: 1.2M pairs > the 1M
+    // default. The diagnostic runs at plan-build time from per-side key
+    // counts — the join itself is never executed here.
+    val l = spark.range(2000).select(col("id"), lit("k").as("jk"), lit("x").as("cl"))
+    val r = spark.range(600).select(col("id").as("rid"), lit("k").as("jk2"),
+      lit("y").as("cr"))
+    PairBudget.lastWarning = None
+    EquijoinOp(l, r, EquijoinOp.Config(
+      name = "hotej", condition = "l.jk = r.jk2",
+      compareExprLeft = "cl", compareExprRight = "cr", llmVerify = true), client)
+    assert(PairBudget.lastWarning.exists(m =>
+      m.contains("equijoin 'hotej'") && m.contains("1200000 candidate pairs")))
+    // Unverified joins skip the diagnostic: Catalyst/AQE own pure-relational
+    // skew, and no LLM budget is at stake.
+    PairBudget.lastWarning = None
+    EquijoinOp(l, r, EquijoinOp.Config(name = "coldej", condition = "l.jk = r.jk2"),
+      client)
+    assert(PairBudget.lastWarning.isEmpty)
+  }
+}
