@@ -50,12 +50,19 @@ object ClusterOp {
       .withColumnRenamed("_cell", "_graft_cluster")
 
     // Per-cluster summary over a bounded member sample (deterministic order).
+    // The cap is a rank-limit window BEFORE the collect_list — Catalyst
+    // plans WindowGroupLimit, so a giant cluster never materializes its full
+    // member array in an agg buffer (slice-after-collect_list would). Result
+    // is identical: the lexicographically-smallest maxSummaryMembers.
     val outStruct = graft.core.SchemaTypes.toStruct(summarySchema)
+    val sampleW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_graft_cluster")).orderBy(col("_graft_render"))
     val samples = assigned
       .withColumn("_graft_render", expr(renderExpr).cast("string"))
+      .withColumn("_graft_rn", row_number().over(sampleW))
+      .filter(col("_graft_rn") <= maxSummaryMembers)
       .groupBy("_graft_cluster")
-      .agg(slice(sort_array(collect_list(col("_graft_render"))), 1, maxSummaryMembers)
-        .as("_members"))
+      .agg(sort_array(collect_list(col("_graft_render"))).as("_members"))
       .collect()
     val summaries = samples.map { r =>
       val cid = r.getInt(0)
@@ -198,11 +205,15 @@ object ClusterOp {
     // Bottom-up summaries: leaves from member samples, ancestors from
     // children. Only O(#nodes) strings ever reach the driver.
     val outStruct = graft.core.SchemaTypes.toStruct(summarySchema)
+    // Rank-limit window before collect_list (same shape as the flat op):
+    // bounded agg buffers at any leaf size, identical member sample.
+    val leafW = Window.partitionBy(col("_graft_path")).orderBy(col("_graft_render"))
     val leafSamples = assigned
       .withColumn("_graft_render", expr(renderExpr).cast("string"))
+      .withColumn("_graft_rn", row_number().over(leafW))
+      .filter(col("_graft_rn") <= maxSummaryMembers)
       .groupBy("_graft_path")
-      .agg(slice(sort_array(collect_list(col("_graft_render"))), 1, maxSummaryMembers)
-        .as("_members"))
+      .agg(sort_array(collect_list(col("_graft_render"))).as("_members"))
       .collect()
       .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     val summaries = scala.collection.mutable.Map[String, String]()

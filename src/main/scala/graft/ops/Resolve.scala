@@ -63,7 +63,16 @@ object ResolveOp {
       /** Hottest-bucket pair count above which a skew warning is emitted
         * (one O(rows) agg on the bucketed side — pairs are never counted by
         * materializing them). */
-      warnPairsPerBucket: Long = graft.core.PairBudget.DefaultWarnPairs)
+      warnPairsPerBucket: Long = graft.core.PairBudget.DefaultWarnPairs,
+      /** Canonicalization member budget per cluster. The reference passes
+        * EVERY member's values into the resolution prompt
+        * (resolve.py:717-836) — at a 10^7-row mega-cluster that is a
+        * gigabyte prompt and an executor-OOM collect_list. Members are
+        * rank-limited (deterministic: first resolve key, then id) before
+        * collection, so a cluster canonicalizes from a bounded sample. The
+        * mock's `canonical` rule (lexicographic min of the FIRST key) is
+        * unaffected because ranking keeps that key's smallest values. */
+      maxCanonicalMembers: Int = 1000)
 
   def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
     val withBlk = df
@@ -225,7 +234,22 @@ object ResolveOp {
     val canonCols = cfg.resolveKeys.map { k =>
       sort_array(collect_list(col(k).cast("string"))).as(s"_vals_$k")
     }
-    val clusters = withCluster.groupBy(col("component"))
+    // Member cap BEFORE the collect_list aggs (rank-limit window ->
+    // WindowGroupLimit): bounds the per-cluster agg buffers and the
+    // canonicalization prompt at any cluster size. The multi-member gate
+    // stays correct on capped counts: the cap is >= 2, so capped _sz > 1
+    // iff the true size > 1.
+    val capped = cfg.resolveKeys match {
+      case Seq() => withCluster // nothing to canonicalize, nothing to cap
+      case firstKey +: _ =>
+        val capW = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+          .orderBy(col(firstKey).cast("string").asc, col(cfg.idKey).asc)
+        withCluster
+          .withColumn("_graft_cn", row_number().over(capW))
+          .filter(col("_graft_cn") <= math.max(2, cfg.maxCanonicalMembers))
+          .drop("_graft_cn")
+    }
+    val clusters = capped.groupBy(col("component"))
       .agg(count(lit(1)).as("_sz"), canonCols: _*)
       .filter(col("_sz") > 1)
       .drop("_sz")

@@ -138,6 +138,61 @@ class PairBudgetSpec extends SparkSpec {
     assert(paths(65536) == paths(1 << 30))
   }
 
+  test("canonicalization member cap keeps the canonical value and cardinality") {
+    // 5-member cluster, cap 2: the mock canonical (lexicographic min of the
+    // resolve key) is inside any rank-limited head, so the result must equal
+    // the uncapped run; all rows keep their cluster's canonical value.
+    val rows = (1 to 5).map(i => Row(i.toLong, "blk", f"name-$i%02d")) :+
+      Row(9L, "other", "loner")
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("b", StringType), StructField("v", StringType))), rows: _*)
+    def run(cap: Int) = ResolveOp(d, ResolveOp.Config(
+      name = "cc", idKey = "id", blockExpr = "b", compareExpr = "b",
+      resolveKeys = Seq("v"), autoMatchOnBlockEquality = true,
+      maxCanonicalMembers = cap), client)
+      .select("id", "v").orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val capped = run(2)
+    assert(capped == run(1000))
+    assert(capped.take(5).forall(_._2 == "name-01")) // min member canonicalizes
+    assert(capped.last == ((9L, "loner"))) // singleton untouched
+  }
+
+  test("large-corpus retriever plans are free of nested-loop and cartesian joins") {
+    // Force every retriever's indexed path (corpusGate below the corpus
+    // size) and audit the PHYSICAL plan — the scale guarantee is that no
+    // corpus size ever plans an all-pairs stage (PlanAuditSpec's rule,
+    // extended to the above-gate code paths the suite queries don't reach).
+    import graft.ops.RetrieverOp
+    val corpusRows = (0 until 40).map { i =>
+      val a = i * 2 * math.Pi / 40
+      Row(Seq(math.cos(a), math.sin(a)), f"tok$i%02d shared")
+    }
+    val corpus = df(StructType(Seq(
+      StructField("ce", ArrayType(DoubleType)), StructField("ctext", StringType))),
+      corpusRows: _*)
+    val base = df(StructType(Seq(
+      StructField("id", LongType), StructField("e", ArrayType(DoubleType)),
+      StructField("qtext", StringType))),
+      Row(1L, Seq(1.0, 0.0), "tok03 shared"))
+    val plans = Map(
+      "term_overlap" -> RetrieverOp.byTermOverlap(base, "r1", "qtext",
+        corpus, "ctext", "ctext", k = 2, corpusGate = 10),
+      "embedding" -> RetrieverOp.byEmbedding(base, "r2", "e",
+        corpus, "ce", "ctext", k = 2, corpusGate = 10, nCentroids = 4, nProbe = 2),
+      "hybrid" -> RetrieverOp.byHybrid(base, "r3", "e", "qtext",
+        corpus, "ce", "ctext", "ctext", k = 2, corpusGate = 10,
+        nCentroids = 4, nProbe = 2),
+      "bm25" -> RetrieverOp.byBm25(base, "r4", "qtext",
+        corpus, "ctext", "ctext", k = 2))
+    val offenders = plans.toSeq.flatMap { case (name, d) =>
+      val plan = d.queryExecution.executedPlan.toString
+      Seq("BroadcastNestedLoopJoin", "CartesianProduct").collect {
+        case op if plan.contains(op) => s"$name: $op"
+      }
+    }
+    assert(offenders.isEmpty, s"all-pairs operators:\n${offenders.mkString("\n")}")
+  }
+
   test("llm-verified equijoin warns when one equi key would explode") {
     // 2000 left x 600 right rows on the same key: 1.2M pairs > the 1M
     // default. The diagnostic runs at plan-build time from per-side key
