@@ -162,6 +162,7 @@ object Registry {
       model = c.strOr("model", "mock"),
       strategy = c.strOr("strategy", "batch"),
       foldBatchSize = c.intOr("fold_batch_size", 100),
+      streamingFold = c.boolOr("streaming_fold", true),
       passThrough = c.get("pass_through").map(_.strList).getOrElse(Nil),
       lineage = c.boolOr("lineage", false),
       valueSampleSize = c.get("value_sample_size").map(_.int),

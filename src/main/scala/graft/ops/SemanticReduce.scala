@@ -72,7 +72,15 @@ object SemanticReduce {
       persistIntermediates: Boolean = false,
       /** Drop a GROUP whose LLM call fails instead of failing the query
         * (reference base.py skip_on_error). */
-      skipOnError: Boolean = false)
+      skipOnError: Boolean = false,
+      /** Use the streaming shape for `fold` strategy (repartition by keys +
+        * sorted single pass): peak per-group state is one foldBatchSize
+        * chunk + the accumulator, never the whole member array. On by
+        * default; automatically skipped when a feature that intrinsically
+        * needs the full member list is configured (value_sampling, lineage,
+        * limit-smallest-groups). Off = the collect_list shape (also the
+        * test baseline the streaming path is verified against). */
+      streamingFold: Boolean = true)
 
   def apply(df: DataFrame, cfg: Config, client: LlmClient): DataFrame = {
     val outStruct = SchemaTypes.toStruct(cfg.outputSchema)
@@ -98,17 +106,41 @@ object SemanticReduce {
         intermediateFields :+
         StructField(s"_counts_prereduce_${cfg.name}", LongType))
 
+    if (cfg.strategy == "fold" && cfg.streamingFold && cfg.valueSampleSize.isEmpty &&
+        !cfg.lineage && cfg.limitSmallestGroups.isEmpty)
+      return streamingFold(df, cfg, client, outStruct, newSchema, global)
+
     val member = struct(col(cfg.orderKey).as("o"), expr(cfg.memberExpr).cast("string").as("m"))
+    // first_n value-sampling pushdown: the sampled head is order-defined, so
+    // a rank-limit window (WindowGroupLimit) bounds the collected array at k
+    // BY CONSTRUCTION instead of sampling after a full-group collect. Other
+    // modes (and lineage) need the complete member list, so they keep the
+    // unbounded collect. The in-task first_n take(k) below then no-ops.
+    val firstNPushdown = cfg.valueSampleSize.isDefined &&
+      cfg.valueSampleMode == "first_n" && !cfg.lineage
+    val dfA =
+      if (!firstNPushdown) df
+      else {
+        val pcols: Seq[org.apache.spark.sql.Column] =
+          if (global) Seq(lit(0)) else cfg.reduceKeys.map(col)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pcols: _*)
+          .orderBy(col(cfg.orderKey), expr(cfg.memberExpr).cast("string"))
+        df.withColumn("_graft_vsrn", row_number().over(w))
+      }
+    val memberCol =
+      if (firstNPushdown) when(col("_graft_vsrn") <= cfg.valueSampleSize.get, member)
+      else member
     val ptStruct =
       if (cfg.passThrough.isEmpty) lit(null).cast("string").as("_pt")
       else min(struct(col(cfg.orderKey) +: cfg.passThrough.map(col): _*)).as("_pt")
     val aggCols = Seq(
-      sort_array(collect_list(member)).as("_members"),
+      sort_array(collect_list(memberCol)).as("_members"),
       count(lit(1)).as("_n"),
       ptStruct)
     val groupedAll =
-      if (global) df.agg(aggCols.head, aggCols.tail: _*)
-      else df.groupBy(cfg.reduceKeys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      if (global) dfA.agg(aggCols.head, aggCols.tail: _*)
+      else dfA.groupBy(cfg.reduceKeys.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
     val grouped = cfg.limitSmallestGroups match {
       case Some(n) if !global =>
         groupedAll.orderBy(col("_n").asc +: cfg.reduceKeys.map(col(_).asc): _*).limit(n)
@@ -225,6 +257,146 @@ object SemanticReduce {
         try Iterator.single(reduceGroup(row)) catch {
           case e: IllegalArgumentException => throw e
           case _: Exception if cfgB.skipOnError => Iterator.empty
+        }
+      }
+    }(Encoders.row(newSchema))
+  }
+
+  /** Scale shape for `strategy = "fold"`: repartition by the reduce keys,
+    * sort within partitions by (keys, orderKey, member) — the same total
+    * order `sort_array(struct(o, m))` yields — then fold each group in ONE
+    * streaming pass over the sorted rows. Peak per-group state is one
+    * foldBatchSize chunk plus the accumulator, regardless of group size;
+    * the collect_list shape holds the ENTIRE group in an agg buffer first,
+    * which a mega-group turns into an executor OOM. Results are identical
+    * (same chunking, same prompts, same cache keys — ReduceStreamingSpec
+    * pins the equivalence). */
+  private def streamingFold(
+      df: DataFrame, cfg: Config, client: LlmClient,
+      outStruct: StructType, newSchema: StructType, global: Boolean): DataFrame = {
+    val costAcc = SemanticMap.costAccumulator(df, s"graft.llm.cost.${cfg.name}")
+    val callsAcc = df.sparkSession.sparkContext.longAccumulator(s"graft.llm.calls.${cfg.name}")
+    val cfgB = cfg
+    val keyNames = if (global) Seq.empty[String] else cfg.reduceKeys
+    val projected = df.select(
+      keyNames.map(col) ++ Seq(
+        col(cfg.orderKey).as("_graft_ord"),
+        expr(cfg.memberExpr).cast("string").as("_graft_m")) ++
+        cfg.passThrough.map(col): _*)
+    val parts =
+      // the global group is ONE sequential fold chain by definition
+      // (reference reduce.py:684-793) — a single partition is its true shape
+      if (global) projected.repartition(1)
+      else projected.repartition(keyNames.map(col): _*)
+    val sorted = parts.sortWithinPartitions(
+      (keyNames ++ Seq("_graft_ord", "_graft_m")).map(col): _*)
+    val nk = keyNames.length
+    val iM = nk + 1
+    val ptStart = nk + 2
+
+    sorted.mapPartitions { it =>
+      val buf = it.buffered
+      // Consume one whole group; None = group dropped by skip_on_error.
+      def foldGroup(): Option[Row] = {
+        val first = buf.head
+        val keyVals = (0 until nk).map(first.get)
+        val ptVals = cfgB.passThrough.indices.map(i => first.get(ptStart + i))
+        def sameGroup(r: Row): Boolean =
+          (0 until nk).forall(i => r.get(i) == first.get(i))
+        var n = 0L
+        var acc = Option.empty[Map[String, Any]]
+        var failed = Option.empty[Throwable]
+        var iter = 0
+        var lastPrompt = ""
+        val promptsUsed = Seq.newBuilder[String]
+        val intermediates = Seq.newBuilder[String]
+        def call(prompt: String): Map[String, Any] = {
+          if (cfgB.enableObservability) promptsUsed += prompt
+          lastPrompt = prompt
+          val key = s"${cfgB.model}|${outStruct.simpleString}|$prompt"
+          graft.llm.LlmCache.getOrCompute(key, {
+            callsAcc.add(1)
+            val r = client.complete(cfgB.model, prompt, outStruct)
+            costAcc.add(r.cost)
+            r
+          }).values
+        }
+        val chunk = new scala.collection.mutable.ArrayBuffer[String](cfgB.foldBatchSize)
+        def flush(): Unit = if (chunk.nonEmpty && failed.isEmpty) {
+          val prefix = acc.map(a =>
+            s"ACC:${a.toSeq.sortBy(_._1).mkString(",")}\n").getOrElse("")
+          try {
+            val out = call(prefix + chunk.mkString("\n"))
+            if (cfgB.persistIntermediates) {
+              intermediates += s"iter=$iter;" +
+                out.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(";")
+              iter += 1
+            }
+            acc = Some(out)
+          } catch {
+            case e: IllegalArgumentException => throw e
+            case e: Exception if cfgB.skipOnError => failed = Some(e)
+          }
+          chunk.clear()
+        }
+        while (buf.hasNext && sameGroup(buf.head)) {
+          val r = buf.next()
+          n += 1
+          chunk += r.getString(iM)
+          if (chunk.size >= cfgB.foldBatchSize) flush()
+        }
+        flush()
+        if (failed.isDefined) return None
+        try {
+          val initial = acc.getOrElse(call(""))
+          val values = cfgB.gleaning match {
+            case None => initial
+            case Some(g) =>
+              val judgeSchema = StructType(Seq(
+                StructField("should_refine", BooleanType),
+                StructField("improvements", StringType)))
+              var v = initial
+              var rounds = 0
+              var continue = true
+              while (continue && rounds < g.numRounds && g.shouldGlean(v)) {
+                val judgePrompt = s"${g.validationPrompt}\n${v.toSeq.sortBy(_._1).mkString(";")}"
+                val verdict = graft.llm.LlmCache.getOrCompute(
+                  s"${cfgB.model}|judge|$judgePrompt", {
+                    callsAcc.add(1)
+                    val r = client.complete(cfgB.model, judgePrompt, judgeSchema)
+                    costAcc.add(r.cost)
+                    r
+                  })
+                if (verdict.values("should_refine").asInstanceOf[Boolean]) {
+                  v = call(s"$lastPrompt\nRefine: ${verdict.values("improvements")}")
+                  rounds += 1
+                } else continue = false
+              }
+              v
+          }
+          val outVals = outStruct.fields.map(f => LlmRunner.coerce(values.get(f.name), f.dataType))
+          val obsVals =
+            if (cfgB.enableObservability) Seq(promptsUsed.result().mkString("\n=====\n"))
+            else Seq.empty[Any]
+          val interVals =
+            if (cfgB.persistIntermediates) Seq(intermediates.result())
+            else Seq.empty[Any]
+          Some(Row((keyVals ++ ptVals ++ outVals ++ obsVals ++ interVals :+ n): _*))
+        } catch {
+          case e: IllegalArgumentException => throw e
+          case _: Exception if cfgB.skipOnError => None
+        }
+      }
+      new Iterator[Row] {
+        private var pending: Option[Row] = None
+        private def advance(): Unit =
+          while (pending.isEmpty && buf.hasNext) pending = foldGroup()
+        def hasNext: Boolean = { advance(); pending.isDefined }
+        def next(): Row = {
+          advance()
+          val r = pending.getOrElse(throw new NoSuchElementException("empty"))
+          pending = None
+          r
         }
       }
     }(Encoders.row(newSchema))

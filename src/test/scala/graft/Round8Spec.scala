@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.PairBudget
 import graft.llm.MockLlmClient
-import graft.ops.{ClusterOp, EquijoinOp, ResolveOp}
+import graft.ops.{ClusterOp, EquijoinOp, ResolveOp, SemanticReduce}
 
 class PairBudgetSpec extends SparkSpec {
   private val client = MockLlmClient()
@@ -136,6 +136,72 @@ class PairBudgetSpec extends SparkSpec {
       .select(col("id"), col("clusters")).collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(paths(65536) == paths(1 << 30))
+  }
+
+  test("streaming fold reduce equals the collect_list shape, feature by feature") {
+    // The streaming path must reproduce the array path bit-for-bit: same
+    // chunking, same ACC-carrying prompts, same pass-through, counts,
+    // intermediates, observability, and gleaning behavior. 3 groups x
+    // uneven sizes, foldBatchSize 2 -> multi-chunk chains everywhere.
+    val rows = (1 to 17).map(i =>
+      Row(i.toLong, s"g${i % 3}", s"member-$i%02d".format(i), s"pt-${i % 3}"))
+    val d = df(StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("m", StringType), StructField("p", StringType))), rows: _*)
+    def run(streaming: Boolean, extras: SemanticReduce.Config => SemanticReduce.Config) = {
+      graft.llm.LlmCache.clear()
+      val cfg = extras(SemanticReduce.Config(
+        name = "sf", reduceKeys = Seq("g"), memberExpr = "m", orderKey = "id",
+        outputSchema = Seq("acc" -> "str"), strategy = "fold",
+        foldBatchSize = 2, streamingFold = streaming))
+      SemanticReduce(d, cfg, client).orderBy("g").collect().map(_.toSeq).toSeq
+    }
+    assert(run(true, identity) == run(false, identity))
+    assert(run(true, _.copy(passThrough = Seq("p"), persistIntermediates = true,
+      enableObservability = true)) ==
+      run(false, _.copy(passThrough = Seq("p"), persistIntermediates = true,
+        enableObservability = true)))
+    assert(run(true, _.copy(gleaning = Some(graft.ops.GleaningConfig("ok?", 1)))) ==
+      run(false, _.copy(gleaning = Some(graft.ops.GleaningConfig("ok?", 1)))))
+    // features needing the full member list silently keep the array shape
+    val sampled = run(true, _.copy(valueSampleSize = Some(3), lineage = true))
+    assert(sampled == run(false, _.copy(valueSampleSize = Some(3), lineage = true)))
+    // the streaming result must also be partition-invariant
+    graft.llm.LlmCache.clear()
+    val repart = SemanticReduce(d.repartition(7), SemanticReduce.Config(
+      name = "sf", reduceKeys = Seq("g"), memberExpr = "m", orderKey = "id",
+      outputSchema = Seq("acc" -> "str"), strategy = "fold",
+      foldBatchSize = 2), client).orderBy("g").collect().map(_.toSeq).toSeq
+    assert(repart == run(false, identity))
+  }
+
+  test("first_n value sampling pushes the cap below the member collect") {
+    // Pushdown keeps results identical to in-task sampling, and the
+    // collect_list becomes CONDITIONAL on the window rank — the agg buffer
+    // holds at most k members per group instead of the whole group (the
+    // full-group count still aggregates every row).
+    val rows = (1 to 12).map(i => Row(i.toLong, s"g${i % 2}", f"m-$i%02d"))
+    val d = df(StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("m", StringType))), rows: _*)
+    val cfg = SemanticReduce.Config(
+      name = "fp", reduceKeys = Seq("g"), memberExpr = "m", orderKey = "id",
+      outputSchema = Seq("summary" -> "str"), strategy = "batch",
+      valueSampleSize = Some(2))
+    val out = SemanticReduce(d, cfg, client)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("collect_list(CASE WHEN (_graft_vsrn"))
+    val got = out.orderBy("g").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[String]("summary"),
+        r.getAs[Long]("_counts_prereduce_fp"))).toSeq
+    // mock summary over the 2 smallest-ordered members; counts = FULL group
+    assert(got.map(_._3) == Seq(6L, 6L))
+    assert(got.forall(_._2.startsWith("docs=2 ")))
+    // lineage needs every member -> pushdown must stay off
+    val lin = SemanticReduce(d, cfg.copy(lineage = true), client)
+    assert(!lin.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    assert(lin.select(org.apache.spark.sql.functions.size(col("fp_lineage")))
+      .collect().forall(_.getInt(0) == 6))
   }
 
   test("canonicalization member cap keeps the canonical value and cardinality") {
