@@ -241,8 +241,11 @@ object RetrieverOp {
           .select(col(rowId), explode(probeCells).as("_cell"))
           .join(assigned, Seq("_cell"))
           .select(col(rowId), col("_cdid"))
+        // ivfPairs is duplicate-free by construction (probeCells are
+        // distinct cells and each doc sits in exactly one cell), so no
+        // distinct() — it would cost a full extra shuffle.
         val cands = termPairs
-          .join(ivfPairs.distinct(), Seq(rowId, "_cdid"), "full_outer")
+          .join(ivfPairs, Seq(rowId, "_cdid"), "full_outer")
           .na.fill(0.0, Seq("_ov"))
         cands
           .join(cid.select(col("_cdid"), col("_ce"), col("_ctext")), Seq("_cdid"))

@@ -81,10 +81,39 @@ object SampleOp {
       df: DataFrame, stratifyKey: String, keyExpr: String,
       nPerGroup: Int, seed: Long = 0): DataFrame = {
     val ord = pmod(expr(keyExpr) * 9301L + 49297L + seedRotation(seed), lit(233280L))
+    val filtered = ordThresholdFilter(df, stratifyKey, ord, _ => lit(nPerGroup.toLong))
     val w = Window.partitionBy(col(stratifyKey)).orderBy(ord, expr(keyExpr))
-    df.withColumn("_graft_rn", row_number().over(w))
+    filtered.withColumn("_graft_rn", row_number().over(w))
       .filter(col("_graft_rn") <= nPerGroup)
       .drop("_graft_rn")
+  }
+
+  /** EXACT pre-filter for the LCG-ordered samplers: the rank window's sort
+    * is the scale cost (the whole table sorts per stratum before
+    * WindowGroupLimit trims it), but the LCG ord is bounded in [0, 233280),
+    * so per-(stratum, ord) counts form a BOUNDED histogram regardless of row
+    * count. A cumulative sum over that histogram yields, per stratum, the
+    * smallest ord threshold containing >= quota rows; only rows at or below
+    * their stratum's threshold (~quota + ties, not the full table) reach the
+    * sort. Thresholds are O(#strata) and broadcast. Rows in strata without a
+    * threshold row (null-keyed strata fail the equi-join) skip the
+    * pre-filter and stay exact via the rank window. */
+  private def ordThresholdFilter(
+      df: DataFrame, stratifyKey: String,
+      ord: org.apache.spark.sql.Column,
+      quotaOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val hist = df.select(col(stratifyKey).as("_graft_s"), ord.as("_graft_o"))
+      .groupBy("_graft_s", "_graft_o").agg(count(lit(1)).as("_graft_c"))
+    val cw = Window.partitionBy(col("_graft_s")).orderBy(col("_graft_o"))
+    val thresh = hist
+      .withColumn("_graft_cum", sum(col("_graft_c")).over(cw))
+      // keep ord values whose PRECEDING cumulative count is still short of
+      // the quota; the max of those is the exact threshold
+      .filter(col("_graft_cum") - col("_graft_c") < quotaOf(col("_graft_s")))
+      .groupBy("_graft_s").agg(max(col("_graft_o")).as("_graft_t"))
+    df.join(broadcast(thresh), col(stratifyKey) === col("_graft_s"), "left")
+      .filter(col("_graft_t").isNull || ord <= col("_graft_t"))
+      .drop("_graft_s", "_graft_t")
   }
 
   /** Driver-side seed mixing for the LCG-ordered samplers: the raw seed
@@ -129,8 +158,10 @@ object SampleOp {
     val maxQuota = (quotas.values ++ Seq(0L)).max
     val quotaMap = typedLit(quotas)
     val ord = pmod(expr(keyExpr) * 9301L + 49297L + seedRotation(seed), lit(233280L))
+    val filtered = ordThresholdFilter(df, stratifyKey, ord,
+      s => coalesce(element_at(quotaMap, s.cast("string")), lit(0L)))
     val w = Window.partitionBy(col(stratifyKey)).orderBy(ord, expr(keyExpr))
-    df.withColumn("_graft_rn", row_number().over(w))
+    filtered.withColumn("_graft_rn", row_number().over(w))
       .filter(col("_graft_rn") <= maxQuota) // constant bound -> group limit
       .filter(col("_graft_rn") <=
         coalesce(element_at(quotaMap, col(stratifyKey).cast("string")), lit(0L)))

@@ -204,6 +204,34 @@ class PairBudgetSpec extends SparkSpec {
       .collect().forall(_.getInt(0) == 6))
   }
 
+  test("LCG sampler ord-threshold pre-filter stays exact and partition-invariant") {
+    // The bounded-histogram threshold must not change WHAT is sampled —
+    // only how many rows reach the rank window. Expected set computed
+    // independently in Scala from the same LCG.
+    val seed = 7L
+    val rot = java.lang.Long.remainderUnsigned(seed * 0x9E3779B97F4A7C15L, 233280L)
+    def lcg(k: Long) = math.floorMod(k * 9301L + 49297L + rot, 233280L)
+    val rows = (1L to 500L).map(i => Row(i, s"g${i % 3}"))
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType))), rows: _*)
+    val expected = rows.map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy { case (id, _) => (lcg(id), id) }.take(8)
+      }.map(_._1).toSet
+    def got(input: org.apache.spark.sql.DataFrame) =
+      graft.ops.SampleOp.stratifiedUniform(input, "g", "id", 8, seed)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(got(d) == expected)
+    assert(got(d.repartition(11)) == expected)
+    assert(got(d.coalesce(1)) == expected)
+    // proportional variant: full quota allocation still lands exactly
+    val prop = graft.ops.SampleOp.stratifiedProportional(d, "g", "id", 30, seed)
+    assert(prop.count() == 30)
+    assert(graft.ops.SampleOp.stratifiedProportional(d.repartition(5), "g", "id", 30, seed)
+      .select("id").collect().map(_.getLong(0)).toSet ==
+      prop.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("canonicalization member cap keeps the canonical value and cardinality") {
     // 5-member cluster, cap 2: the mock canonical (lexicographic min of the
     // resolve key) is inside any rank-limited head, so the result must equal
