@@ -232,6 +232,33 @@ class PairBudgetSpec extends SparkSpec {
       prop.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("max_pairs_per_bucket reaches resolve through the YAML registry") {
+    val dir = java.nio.file.Files.createTempDirectory("r8cap").toString
+    val rows = (1 to 10).map(i => Row(i.toLong, "one", f"yv-$i%02d"))
+    df(StructType(Seq(StructField("id", LongType), StructField("b", StringType),
+      StructField("v", StringType))), rows: _*)
+      .write.mode("overwrite").parquet(s"$dir/d.parquet")
+    MockLlmClient.resetCalls()
+    val out = graft.api.Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $dir/d.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - type: resolve
+         |          name: ycap
+         |          id_key: id
+         |          block_expr: "b"
+         |          compare_expr: "v"
+         |          resolve_keys: [v]
+         |          max_pairs_per_bucket: 3
+         |""".stripMargin, spark)
+    assert(out.count() == 10)
+    assert(MockLlmClient().callCount == 3) // 45 bucket pairs, capped head of 3
+  }
+
   test("canonicalization member cap keeps the canonical value and cardinality") {
     // 5-member cluster, cap 2: the mock canonical (lexicographic min of the
     // resolve key) is inside any rank-limited head, so the result must equal
