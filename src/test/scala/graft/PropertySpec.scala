@@ -119,4 +119,54 @@ class PropertySpec extends SparkSpec {
       assert(r.getString(1).contains(r.getString(0)))
     }
   }
+
+  test("property: PairBudget.selfJoinStats matches the naive bucket math") {
+    val assignments = samples(Gen.listOfN(60, Gen.choose(0, 7)), 1).head
+    val d = df(StructType(Seq(StructField("b", LongType))),
+      assignments.map(a => Row(a.toLong)): _*)
+    val naive = assignments.groupBy(identity).view
+      .mapValues(g => g.size.toLong * (g.size - 1) / 2).toMap
+    val s = graft.core.PairBudget.selfJoinStats(d, "b").get
+    assert(s.totalPairs == naive.values.sum)
+    assert(s.pairs == naive.values.max)
+    assert(naive(s.bucket.toInt) == s.pairs)
+    assert(s.rows.toInt == assignments.count(_ == s.bucket.toInt))
+  }
+
+  test("property: stratifiedUniform equals the naive LCG pick for random seeds/quotas") {
+    // One DataFrame, several (seed, k) cases — the histogram threshold path
+    // must reproduce the naive per-group sort-take for every combination.
+    val ids = samples(Gen.choose(1L, 100000L), 120).distinct
+    val d = df(StructType(Seq(StructField("id", LongType), StructField("g", StringType))),
+      ids.map(i => Row(i, s"g${i % 4}")): _*)
+    Seq((0L, 3), (7L, 11), (12345L, 1), (-3L, 25)).foreach { case (seed, k) =>
+      val rot = java.lang.Long.remainderUnsigned(seed * 0x9E3779B97F4A7C15L, 233280L)
+      val expected = ids.groupBy(i => i % 4).values.flatMap { g =>
+        g.sortBy(i => (math.floorMod(i * 9301L + 49297L + rot, 233280L), i)).take(k)
+      }.toSet
+      val got = SampleOp.stratifiedUniform(d, "g", "id", k, seed)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"seed=$seed k=$k")
+    }
+  }
+
+  test("property: streaming fold equals the array fold across batch sizes") {
+    val sizes = samples(Gen.choose(1, 9), 8) // 8 groups of 1..9 members
+    val rows = sizes.zipWithIndex.flatMap { case (sz, g) =>
+      (1 to sz).map(i => Row((g * 100 + i).toLong, s"g$g", s"m-$g-$i"))
+    }
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType), StructField("m", StringType))), rows: _*)
+    Seq(1, 2, 5, 100).foreach { bs =>
+      def run(streaming: Boolean) = {
+        graft.llm.LlmCache.clear()
+        SemanticReduce(d, SemanticReduce.Config(
+          name = "pf", reduceKeys = Seq("g"), memberExpr = "m", orderKey = "id",
+          outputSchema = Seq("acc" -> "str"), strategy = "fold",
+          foldBatchSize = bs, streamingFold = streaming), MockLlmClient())
+          .orderBy("g").collect().map(_.toSeq).toSeq
+      }
+      assert(run(true) == run(false), s"foldBatchSize=$bs")
+    }
+  }
 }
