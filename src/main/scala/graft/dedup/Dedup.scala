@@ -31,6 +31,29 @@ object ExactDedup {
   }
 }
 
+/** Shared hot-bucket guard for the LSH dedup families. An intra-bucket pair
+  * join is quadratic in its hottest bucket; one degenerate key (boilerplate
+  * text, a stopword-like shingle, an all-zeros sketch) silently turns a
+  * linear stage into n²/2 pairs. `maxBucketSize` applies the standard LSH
+  * common-bucket ban: buckets larger than the cap are excluded from
+  * candidate generation entirely. Recall note: a banned pair usually
+  * co-occurs in a less-common bucket (minhash has numBands chances, simhash
+  * four quarters, ngram every other shingle); only pairs whose EVERY shared
+  * bucket is over the cap are lost, which is exactly the
+  * everything-matches-everything boilerplate an aggressive dedup wants
+  * handled by exact dedup first. Default None = unchanged semantics. */
+private[dedup] object BucketGuard {
+  def cap(d: DataFrame, bucketCols: Seq[String], maxBucketSize: Option[Int]): DataFrame =
+    maxBucketSize.fold(d) { c =>
+      // count window, no ordering: one shuffle by the bucket key — the same
+      // partitioning the candidate self-join needs anyway.
+      val w = Window.partitionBy(bucketCols.map(col): _*)
+      d.withColumn("_graft_bn", count(lit(1)).over(w))
+        .filter(col("_graft_bn") <= c)
+        .drop("_graft_bn")
+    }
+}
+
 object MinHashDedup {
 
   /** MinHash + LSH near-duplicate candidate pairs.
@@ -50,7 +73,8 @@ object MinHashDedup {
       shingleSize: Int = 3,
       numPerms: Int = 64,
       numBands: Int = 16,
-      jaccardThreshold: Double = 0.8): DataFrame = {
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(numPerms % numBands == 0, "numPerms must be divisible by numBands")
     val rowsPerBand = numPerms / numBands
     // Shingles are hashed to 64-bit longs ONCE (fused byte-range XXH64,
@@ -79,8 +103,10 @@ object MinHashDedup {
     val bands = posexplode(transform(
       sequence(lit(0), lit(numBands - 1)),
       b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-    val banded = docs.withColumn("_sig", sig)
-      .select(col("_id"), bands.as(Seq("_band", "_bkey")))
+    val banded = BucketGuard.cap(
+      docs.withColumn("_sig", sig)
+        .select(col("_id"), bands.as(Seq("_band", "_bkey"))),
+      Seq("_band", "_bkey"), maxBucketSize)
 
     // Bucket self-join -> distinct candidate id pairs (idA < idB).
     val l = banded.select(col("_band"), col("_bkey"), col("_id").as("id_a"))
@@ -111,9 +137,11 @@ object MinHashDedup {
       shingleSize: Int = 3,
       numPerms: Int = 64,
       numBands: Int = 16,
-      jaccardThreshold: Double = 0.8): DataFrame = {
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val dupIds = candidatePairs(df, idCol, textCol, shingleSize, numPerms,
-      numBands, jaccardThreshold).select(col("id_b").as(idCol)).distinct()
+      numBands, jaccardThreshold, maxBucketSize)
+      .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 }
@@ -146,15 +174,17 @@ object SimHashDedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val bandBits = Bits / 4
     val mask = (1L << bandBits) - 1
     val docs = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sh"))
-    val banded = docs.select(
+    val banded = BucketGuard.cap(docs.select(
       col("_id"), col("_sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         q => call_function("shiftright", col("_sh"), q * bandBits)
-          .bitwiseAND(lit(mask)))).as(Seq("_q", "_qk")))
+          .bitwiseAND(lit(mask)))).as(Seq("_q", "_qk"))),
+      Seq("_q", "_qk"), maxBucketSize)
     val l = banded.select(col("_q"), col("_qk"), col("_id").as("id_a"), col("_sh").as("_sha"))
     val r = banded.select(col("_q"), col("_qk"), col("_id").as("id_b"), col("_sh").as("_shb"))
     l.join(r, Seq("_q", "_qk"))
@@ -187,7 +217,12 @@ object NgramJaccardDedup {
       textCol: String,
       blockExpr: String,
       n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      /** Ban shingles whose posting list exceeds this many docs (idf-floor
+        * pruning). Banned shingles stop generating candidate pairs AND stop
+        * counting toward |A∩B|, so Jaccard is underestimated for pairs
+        * sharing them — the accepted trade of stopword-shingle pruning. */
+      maxPostingSize: Option[Int] = None): DataFrame = {
     require(threshold > 0, "ngram threshold must be positive")
     // Hashed shingles: long intersection counting beats string (see
     // MinHashDedup note on collision odds).
@@ -197,7 +232,9 @@ object NgramJaccardDedup {
         .persist())
     docs.count() // populate the cache before the three downstream branches
     val sizes = docs.select(col("_id"), size(col("_sh")).cast("long").as("_sz"))
-    val ex = docs.select(col("_blk"), col("_id"), explode(col("_sh")).as("_s"))
+    val ex = BucketGuard.cap(
+      docs.select(col("_blk"), col("_id"), explode(col("_sh")).as("_s")),
+      Seq("_blk", "_s"), maxPostingSize)
     val co = ex.select(col("_blk"), col("_s"), col("_id").as("id_a"))
       .join(ex.select(col("_blk"), col("_s"), col("_id").as("id_b")), Seq("_blk", "_s"))
       .filter(col("id_a") < col("id_b"))
@@ -242,14 +279,17 @@ object EmbeddingDedup {
       numPlanes: Int = 8,
       cosineThreshold: Double = 0.95,
       seed: Long = 42,
-      explicitPlanes: Option[Array[Array[Double]]] = None): DataFrame = {
+      explicitPlanes: Option[Array[Array[Double]]] = None,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val rng = new scala.util.Random(seed)
     val planes = explicitPlanes.getOrElse(Array.fill(numPlanes, dim)(rng.nextGaussian()))
     val sketch = planes.zipWithIndex.map { case (p, i) =>
       when(graft.functions.VectorFunctions.dot(
         col(embCol), array(p.toIndexedSeq.map(lit): _*)) > 0, 1L).otherwise(0L) * (1L << i)
     }.reduce(_ + _)
-    val docs = df.select(col(idCol).as("_id"), col(embCol).as("_e"), sketch.as("_b"))
+    val docs = BucketGuard.cap(
+      df.select(col(idCol).as("_id"), col(embCol).as("_e"), sketch.as("_b")),
+      Seq("_b"), maxBucketSize)
     val l = docs.select(col("_b"), col("_id").as("id_a"), col("_e").as("_ea"))
     val r = docs.select(col("_b"), col("_id").as("id_b"), col("_e").as("_eb"))
     l.join(r, Seq("_b"))

@@ -232,6 +232,28 @@ class PairBudgetSpec extends SparkSpec {
       prop.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("dedup maxBucketSize bans hot buckets without touching cold ones") {
+    // 30 identical boilerplate docs (one hot band bucket per band) + one
+    // genuine near-dup pair of a distinct text. Cap 10: the boilerplate
+    // rows' buckets are banned (pairs vanish), the cold pair survives.
+    val boiler = (1 to 30).map(i =>
+      Row(i.toLong, "the same boilerplate text repeated in every document here"))
+    val pairDocs = Seq(
+      Row(100L, "unique salmon document about spark window aggregation semantics"),
+      Row(101L, "unique salmon document about spark window aggregation semantic"))
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType))), (boiler ++ pairDocs): _*)
+    val uncapped = graft.dedup.MinHashDedup.candidatePairs(
+      d, "id", "text", jaccardThreshold = 0.5)
+    val capped = graft.dedup.MinHashDedup.candidatePairs(
+      d, "id", "text", jaccardThreshold = 0.5, maxBucketSize = Some(10))
+    def pairsOf(x: org.apache.spark.sql.DataFrame) =
+      x.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(uncapped).contains((100L, 101L)))
+    assert(pairsOf(uncapped).size == 30 * 29 / 2 + 1) // boilerplate all-pairs
+    assert(pairsOf(capped) == Set((100L, 101L))) // hot buckets banned, cold kept
+  }
+
   test("max_pairs_per_bucket reaches resolve through the YAML registry") {
     val dir = java.nio.file.Files.createTempDirectory("r8cap").toString
     val rows = (1 to 10).map(i => Row(i.toLong, "one", f"yv-$i%02d"))
