@@ -424,11 +424,28 @@ object Registry {
       normalizeExpr = c.strOr("normalize_expr", "lower(trim(x))"),
       model = c.strOr("model", "mock")), ctx.client)
   }
+  // `http_client` (optional): fully-qualified class name of a zero-arg
+  // graft.ops.HttpClient implementation — the YAML-level seam for swapping
+  // the offline stub for a real search/fetch backend without recompiling
+  // pipelines. The instance is constructed on the DRIVER and serialized into
+  // the mapPartitions closure (HttpClient is Serializable by contract).
+  private def httpClientOf(c: Conf): graft.ops.HttpClient =
+    c.get("http_client").map(_.str) match {
+      case None => graft.ops.StubHttpClient()
+      case Some(cls) =>
+        try Class.forName(cls).getDeclaredConstructor()
+          .newInstance().asInstanceOf[graft.ops.HttpClient]
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"http_client '$cls' is not a constructible graft.ops.HttpClient: ${e.getMessage}", e)
+        }
+    }
   register("web_search") { (df, c, ctx) =>
-    WebSearchOp(df, c("name").str, c("prompt").str, c.intOr("max_results", 3))
+    WebSearchOp(df, c("name").str, c("prompt").str, c.intOr("max_results", 3),
+      httpClientOf(c))
   }
   register("web_fetch") { (df, c, ctx) =>
-    WebFetchOp(df, c("name").str, c("url_key").str)
+    WebFetchOp(df, c("name").str, c("url_key").str, httpClientOf(c))
   }
   register("cascade_filter") { (df, c, ctx) =>
     CascadeFilter(df, CascadeFilter.Config(

@@ -8,6 +8,14 @@ import graft.core.PairBudget
 import graft.llm.MockLlmClient
 import graft.ops.{ClusterOp, EquijoinOp, ResolveOp, SemanticReduce}
 
+/** Top-level so Class.forName can zero-arg construct it (YAML http_client
+  * seam test). */
+final class TestHttpClient extends graft.ops.HttpClient {
+  def search(query: String, maxResults: Int): Seq[(String, String, String)] =
+    Seq(("t", "d", s"custom:$query"))
+  def fetch(url: String): String = s"custom:$url"
+}
+
 class PairBudgetSpec extends SparkSpec {
   private val client = MockLlmClient()
 
@@ -252,6 +260,38 @@ class PairBudgetSpec extends SparkSpec {
     assert(pairsOf(uncapped).contains((100L, 101L)))
     assert(pairsOf(uncapped).size == 30 * 29 / 2 + 1) // boilerplate all-pairs
     assert(pairsOf(capped) == Set((100L, 101L))) // hot buckets banned, cold kept
+  }
+
+  test("web ops accept a custom HttpClient class from YAML") {
+    val dir = java.nio.file.Files.createTempDirectory("r8http").toString
+    df(StructType(Seq(StructField("id", LongType), StructField("u", StringType))),
+      Row(1L, "https://a.invalid/x")).write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val out = graft.api.Pipeline.runYaml(
+      s"""datasets:
+         |  d: { path: $dir/d.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - { type: web_fetch, name: wf, url_key: u,
+         |            http_client: graft.TestHttpClient }
+         |""".stripMargin, spark)
+    assert(out.select("wf_content").collect()(0).getString(0) ==
+      "custom:https://a.invalid/x")
+    val err = intercept[IllegalArgumentException] {
+      graft.api.Pipeline.runYaml(
+        s"""datasets:
+           |  d: { path: $dir/d.parquet }
+           |pipeline:
+           |  steps:
+           |    - name: s
+           |      input: d
+           |      operations:
+           |        - { type: web_fetch, name: wf, url_key: u, http_client: no.such.Cls }
+           |""".stripMargin, spark)
+    }
+    assert(err.getMessage.contains("no.such.Cls"))
   }
 
   test("max_pairs_per_bucket reaches resolve through the YAML registry") {
