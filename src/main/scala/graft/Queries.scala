@@ -32,7 +32,7 @@ object Queries {
   /** (name, query, optional oracle SQL). Ordering = rough SURVEY §2 order. */
   lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
-    apiSurface ++ parsing ++ round5 ++ round7
+    apiSurface ++ parsing ++ round5 ++ round7 ++ round8
 
   // ---------------------------------------------------------------- parsing
 
@@ -1351,6 +1351,54 @@ object Queries {
         SELECT c_custkey FROM customer
         EXCEPT
         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""")
+    ))
+
+  private def round8: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // Hybrid retrieval (reference lancedb.py hybrid mode): convex blend of
+      // cosine and normalized term overlap, top-k per query row. Corpus =
+      // first 100 embedding rows with a derived two-token text; queries =
+      // the first 5. DuckDB mirrors the blend with
+      // list_cosine_similarity/list_intersect; scores separate by distinct
+      // embeddings, so rank order is float-stable across engines.
+      "q68_retriever_hybrid",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") < 100).selectExpr(
+          "cast(embedding as array<double>) as ce",
+          "concat('w', vec_id % 50, ' common') as ctext")
+        val queries = e.filter(col("vec_id") < 5).selectExpr(
+          "vec_id",
+          "cast(embedding as array<double>) as qe",
+          "concat('w', vec_id % 50, ' common') as qtext")
+        graft.ops.RetrieverOp.byHybrid(queries, "q68", "qe", "qtext",
+          corpus, "ce", "ctext", "ctext", k = 2, vectorWeight = 0.5)
+          .select(col("vec_id"), col("_q68_retrieved_context"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS ce,
+                 'w' || (vec_id % 50) || ' common' AS ctext
+          FROM embeddings WHERE vec_id < 100),
+        q AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe,
+                 'w' || (vec_id % 50) || ' common' AS qtext
+          FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.vec_id, c.ctext,
+                 0.5 * list_cosine_similarity(q.qe, c.ce) +
+                 0.5 * len(list_intersect(string_split(q.qtext, ' '),
+                                          string_split(c.ctext, ' '))) /
+                   greatest(len(string_split(q.qtext, ' ')), 1) AS s
+          FROM q CROSS JOIN c),
+        ranked AS (
+          SELECT vec_id, ctext,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ctext ASC) AS rn
+          FROM scored)
+        SELECT vec_id,
+               string_agg(ctext, chr(10) || '---' || chr(10) ORDER BY rn)
+                 AS _q68_retrieved_context
+        FROM ranked WHERE rn <= 2 GROUP BY vec_id""")
     ))
 
 }
