@@ -1399,6 +1399,22 @@ object Queries {
                string_agg(ctext, chr(10) || '---' || chr(10) ORDER BY rn)
                  AS _q68_retrieved_context
         FROM ranked WHERE rn <= 2 GROUP BY vec_id""")
+    ),
+    (
+      // BPE-ish token estimate (word pieces + digit/punct runs) — the
+      // subword-tokenizer approximation q20's whitespace count doesn't
+      // cover; both engines run the identical regex.
+      "q69_token_count_regex",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          graft.functions.TextFunctions.tokenCountRegex(col("text"))
+            .cast("long").as("n_bpe_tok")),
+      Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                 AS BIGINT) AS n_bpe_tok
+        FROM documents""")
     ))
 
 }
