@@ -262,6 +262,30 @@ class PairBudgetSpec extends SparkSpec {
     assert(pairsOf(capped) == Set((100L, 101L))) // hot buckets banned, cold kept
   }
 
+  test("column pruning reaches the parquet scans of projecting suite queries") {
+    // A scan that reads all 11 lineitem columns for a 4-column projection
+    // wastes IO linearly with table width at 100 TB. Parse each query's
+    // physical plan for FileScan ReadSchema field counts and pin the
+    // expected pruned width (small slack for op-internal key columns).
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val caps = Map(
+      "q15_sample_stratified" -> 5, // 4 selected + stratify key overlap
+      "q61_sample_stratified_uniform" -> 5,
+      "q05_tpch3_topk" -> 8, // 3 tables' pruned scans, widest one
+      "q20_text_stats" -> 2, // doc_id + text
+      "q01_code_reduce_tpch1" -> 4)
+    val readSchema = """ReadSchema: struct<([^>]*)>""".r
+    val offenders = caps.toSeq.flatMap { case (name, cap) =>
+      val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      readSchema.findAllMatchIn(plan).toSeq.flatMap { m =>
+        val n = m.group(1).count(_ == ':') // fields = "name:type" pairs
+        if (n > cap) Some(s"$name: scan reads $n cols (cap $cap)") else None
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("web ops accept a custom HttpClient class from YAML") {
     val dir = java.nio.file.Files.createTempDirectory("r8http").toString
     df(StructType(Seq(StructField("id", LongType), StructField("u", StringType))),
