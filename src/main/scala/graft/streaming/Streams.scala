@@ -97,6 +97,78 @@ object Streams {
       }
   }
 
+  /** Per-bucket LSH state: parallel seqs of member ids and their MinHash
+    * signatures (Product encoder-friendly). */
+  final case class BucketMembers(ids: Seq[Long], sigs: Seq[Seq[Long]])
+
+  /** Streaming NEAR-duplicate detection with keyed LSH state — the always-on
+    * analog of [[graft.dedup.MinHashDedup]].
+    *
+    * Each document's MinHash signature (the same fused codegen expressions
+    * as the batch op — Catalyst expressions compose onto streams) is split
+    * into band keys; the stream groups by (band, key) and each bucket's
+    * state holds up to `maxBucketState` (id, signature) members — the
+    * streaming form of the hot-bucket ban, which also bounds total state at
+    * `maxBucketState x #buckets`. A new document emits one
+    * (earlier_id, id, est_jaccard) event per bucket member whose
+    * matching-perm fraction reaches `threshold` (the standard MinHash
+    * Jaccard estimator — no shingle arrays ever enter state).
+    *
+    * A pair co-falling in several bands emits once per band; pipe through
+    * `dropDuplicates("id_a", "id_b")` (with a watermark for bounded state)
+    * when unique pair events are required. Input needs (id: Long,
+    * text: String) columns.
+    */
+  def dedupNearMinhash(
+      rows: Dataset[Row],
+      shingleSize: Int = 3,
+      numPerms: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucketState: Int = 64): Dataset[(Long, Long, Double)] = {
+    require(numPerms % numBands == 0, "numPerms must be divisible by numBands")
+    val rowsPerBand = numPerms / numBands
+    val sh = graft.functions.ShingleHashes(col("text"), shingleSize)
+    val sig = graft.functions.MinHashSignature(col("_sh"), numPerms)
+    val bands = posexplode(transform(
+      sequence(lit(0), lit(numBands - 1)),
+      b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+    val banded = rows
+      .select(col("id").cast("long").as("id"), sh.as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .select(col("id"), sig.as("_sig"))
+      .select(col("id"), col("_sig"), bands.as(Seq("_band", "_bkey")))
+    import rows.sparkSession.implicits._
+    banded
+      .as[(Long, Seq[Long], Int, Long)]
+      .groupByKey { case (_, _, band, bkey) => (band, bkey) }
+      .flatMapGroupsWithState[BucketMembers, (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, items, state: GroupState[BucketMembers]) =>
+          var members = state.getOption.getOrElse(BucketMembers(Nil, Nil))
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          // id order, not arrival order: deterministic across partitions
+          items.toSeq.sortBy(_._1).foreach { case (id, sigSeq, _, _) =>
+            val s = sigSeq.toArray
+            members.ids.indices.foreach { i =>
+              if (members.ids(i) != id) {
+                val other = members.sigs(i)
+                var eq = 0
+                var p = 0
+                while (p < s.length) { if (s(p) == other(p)) eq += 1; p += 1 }
+                val est = eq.toDouble / s.length
+                if (est >= threshold)
+                  out += ((math.min(members.ids(i), id), math.max(members.ids(i), id), est))
+              }
+            }
+            if (members.ids.length < maxBucketState && !members.ids.contains(id))
+              members = BucketMembers(members.ids :+ id, members.sigs :+ s.toSeq)
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+
   /** Streaming sink helper: run a streaming DataFrame to memory and return
     * the table name (tests / interactive inspection). */
   def toMemorySink(df: DataFrame, name: String, outputMode: OutputMode): Unit = {

@@ -63,6 +63,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set("very fast ride" -> "positive", "so slow today" -> "negative"))
   }
 
+  test("streaming minhash near-dedup flags pairs within and across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank " +
+      "while birds sing in tall green trees during a calm bright summer morning"
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+    val pairs = Streams.dedupNearMinhash(docs.toDF(), threshold = 0.5)
+    val q = pairs.toDF("id_a", "id_b", "est").writeStream.format("memory")
+      .queryName("stream_neardup").outputMode(OutputMode.Append()).start()
+    input.addData(
+      (1L, base),
+      (2L, base.replace("calm", "quiet")), // near-dup of 1 in the same batch
+      (3L, "completely different content about spark structured streaming state"))
+    q.processAllAvailable()
+    input.addData((4L, base + " extra")) // near-dup of 1/2 across batches
+    q.processAllAvailable()
+    val got = spark.sql("SELECT DISTINCT id_a, id_b FROM stream_neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got.contains((1L, 2L))) // in-batch pair
+    assert(got.contains((1L, 4L)) || got.contains((2L, 4L))) // cross-batch pair
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc clean
+  }
+
   test("stateful streaming dedup passes only the first row per fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
