@@ -445,7 +445,8 @@ object Registry {
       httpClientOf(c))
   }
   register("web_fetch") { (df, c, ctx) =>
-    WebFetchOp(df, c("name").str, c("url_key").str, httpClientOf(c))
+    WebFetchOp(df, c("name").str, c("url_key").str, httpClientOf(c),
+      convertToMarkdown = c.boolOr("convert_to_markdown", false))
   }
   register("cascade_filter") { (df, c, ctx) =>
     CascadeFilter(df, CascadeFilter.Config(

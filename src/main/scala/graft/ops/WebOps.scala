@@ -63,18 +63,27 @@ object WebSearchOp {
 object WebFetchOp {
 
   /** Fetches the URL in `urlKey` per row, appending `{name}_content`
-    * (reference web_fetch.py). */
+    * (reference web_fetch.py). `convertToMarkdown` mirrors the reference's
+    * `convert_to_markdown` stage (web_fetch.py:48-52,185): HTML-looking
+    * responses (web_fetch.py:166 heuristic) convert via the pure-JVM
+    * [[graft.sources.HtmlToMarkdown]]; non-HTML content passes through. */
   def apply(
       df: DataFrame,
       name: String,
       urlKey: String,
-      http: HttpClient = StubHttpClient()): DataFrame = {
+      http: HttpClient = StubHttpClient(),
+      convertToMarkdown: Boolean = false): DataFrame = {
     val idx = df.schema.fieldIndex(urlKey)
     val newSchema = df.schema.add(StructField(s"${name}_content", StringType))
     df.mapPartitions { it =>
       it.map { row =>
         val url = if (row.isNullAt(idx)) "" else row.getString(idx)
-        Row.fromSeq(row.toSeq :+ http.fetch(url))
+        val raw = http.fetch(url)
+        val content =
+          if (convertToMarkdown && graft.sources.HtmlToMarkdown.looksLikeHtml(raw))
+            graft.sources.HtmlToMarkdown(raw)
+          else raw
+        Row.fromSeq(row.toSeq :+ content)
       }
     }(Encoders.row(newSchema))
   }

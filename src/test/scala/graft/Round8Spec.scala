@@ -16,6 +16,48 @@ final class TestHttpClient extends graft.ops.HttpClient {
   def fetch(url: String): String = s"custom:$url"
 }
 
+/** Serves a fixed HTML page — convert_to_markdown test double. */
+final class HtmlHttpClient extends graft.ops.HttpClient {
+  def search(query: String, maxResults: Int): Seq[(String, String, String)] = Nil
+  def fetch(url: String): String =
+    """<!DOCTYPE html><html><head><title>x</title><style>p{color:red}</style></head>
+      |<body><h1>Title &amp; More</h1><p>Hello <b>bold</b> and
+      |<a href="https://x.invalid/a">a link</a>.</p>
+      |<ul><li>one</li><li>two</li></ul>
+      |<pre><code>val x = 1</code></pre></body></html>""".stripMargin
+}
+
+class HtmlToMarkdownSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.sources.HtmlToMarkdown
+
+  test("converts the common article shapes to ATX markdown") {
+    val md = HtmlToMarkdown(new HtmlHttpClient().fetch(""))
+    assert(md.contains("# Title & More"))
+    assert(md.contains("**bold**"))
+    assert(md.contains("[a link](https://x.invalid/a)"))
+    assert(md.contains("- one") && md.contains("- two"))
+    assert(md.contains("```\nval x = 1\n```"))
+    assert(!md.contains("<") && !md.contains("color:red")) // tags+css gone
+  }
+
+  test("ordered lists number per list; blockquotes and tables flatten") {
+    val md = HtmlToMarkdown(
+      "<ol><li>first</li><li>second</li></ol><ol><li>again</li></ol>" +
+        "<blockquote>quoted\nlines</blockquote>" +
+        "<table><tr><th>a</th><th>b</th></tr><tr><td>1</td><td>2</td></tr></table>")
+    assert(md.contains("1. first") && md.contains("2. second"))
+    assert(md.contains("1. again")) // numbering resets per <ol>
+    assert(md.contains("> quoted"))
+    assert(md.contains("| a | b |") && md.contains("| 1 | 2 |"))
+  }
+
+  test("entities decode safely and non-HTML is detected") {
+    assert(HtmlToMarkdown("<p>&amp;lt; stays</p>") == "&lt; stays")
+    assert(HtmlToMarkdown.looksLikeHtml("<!DOCTYPE html><html>"))
+    assert(!HtmlToMarkdown.looksLikeHtml("# already markdown"))
+  }
+}
+
 class PairBudgetSpec extends SparkSpec {
   private val client = MockLlmClient()
 
@@ -316,6 +358,19 @@ class PairBudgetSpec extends SparkSpec {
            |""".stripMargin, spark)
     }
     assert(err.getMessage.contains("no.such.Cls"))
+  }
+
+  test("web_fetch converts HTML to markdown when convert_to_markdown is set") {
+    val d = df(StructType(Seq(StructField("id", LongType), StructField("u", StringType))),
+      Row(1L, "https://x.invalid/page"))
+    val out = graft.ops.WebFetchOp(d, "wf", "u", new HtmlHttpClient(),
+      convertToMarkdown = true)
+    val md = out.select("wf_content").collect()(0).getString(0)
+    assert(md.contains("# Title & More") && !md.contains("<html"))
+    // flag off -> raw passthrough
+    val raw = graft.ops.WebFetchOp(d, "wf", "u", new HtmlHttpClient())
+      .select("wf_content").collect()(0).getString(0)
+    assert(raw.contains("<html"))
   }
 
   test("max_pairs_per_bucket reaches resolve through the YAML registry") {
