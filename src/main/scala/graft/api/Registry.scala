@@ -442,11 +442,15 @@ object Registry {
     }
   register("web_search") { (df, c, ctx) =>
     WebSearchOp(df, c("name").str, c("prompt").str, c.intOr("max_results", 3),
-      httpClientOf(c))
+      httpClientOf(c), outputField = c.get("output_field").map(_.str))
   }
   register("web_fetch") { (df, c, ctx) =>
-    WebFetchOp(df, c("name").str, c("url_key").str, httpClientOf(c),
-      convertToMarkdown = c.boolOr("convert_to_markdown", false))
+    WebFetchOp(df, c("name").str, c.strOr("url_key", ""), httpClientOf(c),
+      convertToMarkdown = c.boolOr("convert_to_markdown", false),
+      bodyOnly = c.boolOr("body_only", false),
+      outputField = c.get("output_field").map(_.str),
+      staticUrl = c.get("url").map(_.str),
+      maxWorkers = c.intOr("max_workers", 1))
   }
   register("cascade_filter") { (df, c, ctx) =>
     CascadeFilter(df, CascadeFilter.Config(

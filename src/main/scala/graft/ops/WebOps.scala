@@ -40,16 +40,19 @@ object WebSearchOp {
     StructField("description", StringType),
     StructField("url", StringType))))
 
-  /** Appends `search_results` (reference web_search.py result shape, capped
-    * at `maxResults`). */
+  /** Appends the search results array (reference web_search.py result shape,
+    * capped at `maxResults`; `output_field` defaults to `search_results`,
+    * web_search.py:163). */
   def apply(
       df: DataFrame,
       name: String,
       queryTemplate: String,
       maxResults: Int = 3,
-      http: HttpClient = StubHttpClient()): DataFrame = {
+      http: HttpClient = StubHttpClient(),
+      outputField: Option[String] = None): DataFrame = {
     val tpl = Template(queryTemplate, df.schema)
-    val newSchema = df.schema.add(StructField("search_results", resultType))
+    val outKey = outputField.getOrElse("search_results")
+    val newSchema = df.schema.add(StructField(outKey, resultType))
     df.mapPartitions { it =>
       it.map { row =>
         val results = http.search(tpl.render(row), maxResults)
@@ -62,28 +65,53 @@ object WebSearchOp {
 
 object WebFetchOp {
 
-  /** Fetches the URL in `urlKey` per row, appending `{name}_content`
-    * (reference web_fetch.py). `convertToMarkdown` mirrors the reference's
-    * `convert_to_markdown` stage (web_fetch.py:48-52,185): HTML-looking
-    * responses (web_fetch.py:166 heuristic) convert via the pure-JVM
-    * [[graft.sources.HtmlToMarkdown]]; non-HTML content passes through. */
+  /** Fetches URLs per row (reference web_fetch.py:170-233 surface):
+    *   - `urlKey` names a string column (one fetch per row) OR an
+    *     array<string> column (one fetch per element, array result aligned
+    *     by index — the reference's list-URL mode);
+    *   - `staticUrl` fetches the same URL for every row instead
+    *     (web_fetch.py `url` config);
+    *   - `outputField` overrides the default `{name}_content` column;
+    *   - `bodyOnly` keeps only <body> content of HTML pages
+    *     (web_fetch.py:39-45);
+    *   - `convertToMarkdown` converts HTML-looking responses via the
+    *     pure-JVM [[graft.sources.HtmlToMarkdown]] (web_fetch.py:48-52);
+    *   - `maxWorkers` fetches that many URLs concurrently per partition
+    *     (the reference's thread pool; in-partition, order-preserving).
+    */
   def apply(
       df: DataFrame,
       name: String,
       urlKey: String,
       http: HttpClient = StubHttpClient(),
-      convertToMarkdown: Boolean = false): DataFrame = {
-    val idx = df.schema.fieldIndex(urlKey)
-    val newSchema = df.schema.add(StructField(s"${name}_content", StringType))
+      convertToMarkdown: Boolean = false,
+      bodyOnly: Boolean = false,
+      outputField: Option[String] = None,
+      staticUrl: Option[String] = None,
+      maxWorkers: Int = 1): DataFrame = {
+    import graft.sources.HtmlToMarkdown
+    val outKey = outputField.getOrElse(s"${name}_content")
+    val isList = staticUrl.isEmpty &&
+      df.schema(urlKey).dataType.isInstanceOf[ArrayType]
+    val idx = if (staticUrl.isEmpty) df.schema.fieldIndex(urlKey) else -1
+    val newSchema = df.schema.add(
+      StructField(outKey, if (isList) ArrayType(StringType) else StringType))
     df.mapPartitions { it =>
-      it.map { row =>
-        val url = if (row.isNullAt(idx)) "" else row.getString(idx)
+      def one(url: String): String = {
         val raw = http.fetch(url)
-        val content =
-          if (convertToMarkdown && graft.sources.HtmlToMarkdown.looksLikeHtml(raw))
-            graft.sources.HtmlToMarkdown(raw)
-          else raw
-        Row.fromSeq(row.toSeq :+ content)
+        val isHtml = HtmlToMarkdown.looksLikeHtml(raw)
+        val body = if (bodyOnly && isHtml) HtmlToMarkdown.extractBody(raw) else raw
+        if (convertToMarkdown && isHtml) HtmlToMarkdown(body) else body
+      }
+      graft.llm.Concurrency.mapOrdered(it, math.max(1, maxWorkers)) { row =>
+        val fetched: Any = staticUrl match {
+          case Some(u) => one(u)
+          case None if row.isNullAt(idx) => if (isList) Seq.empty[String] else null
+          case None if isList =>
+            row.getSeq[String](idx).map(u => if (u == null || u.isEmpty) null else one(u))
+          case None => one(row.getString(idx))
+        }
+        Row.fromSeq(row.toSeq :+ fetched)
       }
     }(Encoders.row(newSchema))
   }

@@ -108,4 +108,10 @@ object HtmlToMarkdown {
     val t = if (content == null) "" else content.trim.toLowerCase
     t.startsWith("<!") || t.startsWith("<html")
   }
+
+  /** `body_only` (reference web_fetch.py:39-45): keep only the <body>
+    * content; pages without a body tag pass through whole. */
+  def extractBody(html: String): String =
+    raw"(?is)<body\b[^>]*>(.*?)</body\s*>".r.findFirstMatchIn(html)
+      .map(_.group(1)).getOrElse(html)
 }

@@ -373,6 +373,28 @@ class PairBudgetSpec extends SparkSpec {
     assert(raw.contains("<html"))
   }
 
+  test("web_fetch supports static url, url lists, output_field, and parallel fetch") {
+    val stub = graft.ops.StubHttpClient()
+    // static url: every row fetches the same page into a custom field
+    val d1 = df(StructType(Seq(StructField("id", LongType))), Row(1L), Row(2L))
+    val s1 = graft.ops.WebFetchOp(d1, "wf", "", stub,
+      outputField = Some("page"), staticUrl = Some("https://x.invalid/s"))
+    assert(s1.columns.contains("page"))
+    assert(s1.select("page").collect().map(_.getString(0)).distinct.toSeq ==
+      Seq("# stub page\nfetched: https://x.invalid/s\n"))
+    // url list column: array-aligned results, nulls/empties preserved
+    val d2 = df(StructType(Seq(StructField("id", LongType),
+      StructField("us", ArrayType(StringType)))),
+      Row(1L, Seq("https://a.invalid/1", null, "https://a.invalid/2")),
+      Row(2L, null))
+    val s2 = graft.ops.WebFetchOp(d2, "wf", "us", stub, maxWorkers = 4)
+      .orderBy("id").select("wf_content").collect()
+    val r1 = s2(0).getSeq[String](0)
+    assert(r1.length == 3 && r1(1) == null)
+    assert(r1(0).contains("https://a.invalid/1") && r1(2).contains("https://a.invalid/2"))
+    assert(s2(1).getSeq[String](0).isEmpty) // null url list -> empty result
+  }
+
   test("max_pairs_per_bucket reaches resolve through the YAML registry") {
     val dir = java.nio.file.Files.createTempDirectory("r8cap").toString
     val rows = (1 to 10).map(i => Row(i.toLong, "one", f"yv-$i%02d"))
