@@ -109,6 +109,7 @@ object Template {
     val nodes = Seq.newBuilder[PNode]
     var rest = toks
     while (rest.nonEmpty) rest match {
+      case Nil => rest = Nil // unreachable (loop guard); keeps the match total
       case TText(s) :: tl => nodes += PText(s); rest = tl
       case TOut(e) :: tl => nodes += POut(e); rest = tl
       case TTag(tag) :: tl => tag match {
@@ -176,7 +177,6 @@ object Template {
       case r: Row => r.get(r.schema.fieldIndex(name))
       case m: scala.collection.Map[_, _] =>
         m.asInstanceOf[scala.collection.Map[Any, Any]].getOrElse(name, null)
-      case loop: Map[_, _] => loop.asInstanceOf[Map[String, Any]].getOrElse(name, null)
       case other => throw new IllegalArgumentException(s"Cannot descend into $other with .$name")
     }
   }
