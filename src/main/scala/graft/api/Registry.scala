@@ -441,8 +441,12 @@ object Registry {
         }
     }
   register("web_search") { (df, c, ctx) =>
-    WebSearchOp(df, c("name").str, c("prompt").str, c.intOr("max_results", 3),
-      httpClientOf(c), outputField = c.get("output_field").map(_.str))
+    // `query_template` is the reference key (web_search.py:162); `prompt`
+    // stays as the established alias.
+    val queryTpl = c.get("query_template").map(_.str).getOrElse(c("prompt").str)
+    WebSearchOp(df, c("name").str, queryTpl, c.intOr("max_results", 3),
+      httpClientOf(c), outputField = c.get("output_field").map(_.str),
+      engine = c.strOr("search_engine", "brave"))
   }
   register("web_fetch") { (df, c, ctx) =>
     WebFetchOp(df, c("name").str, c.strOr("url_key", ""), httpClientOf(c),

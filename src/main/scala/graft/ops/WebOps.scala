@@ -19,6 +19,11 @@ import graft.llm.Template
 trait HttpClient extends Serializable {
   /** Search: returns (title, description, url) triples. */
   def search(query: String, maxResults: Int): Seq[(String, String, String)]
+  /** Engine-aware search (reference web_search.py `search_engine`:
+    * brave | bing | google | duckduckgo). Default ignores the engine so
+    * existing clients keep working; engine-aware backends override. */
+  def search(query: String, maxResults: Int, engine: String): Seq[(String, String, String)] =
+    search(query, maxResults)
   /** Fetch: returns the page body as markdown-ish text. */
   def fetch(url: String): String
 }
@@ -42,21 +47,30 @@ object WebSearchOp {
 
   /** Appends the search results array (reference web_search.py result shape,
     * capped at `maxResults`; `output_field` defaults to `search_results`,
-    * web_search.py:163). */
+    * web_search.py:163). Reference row semantics preserved: an empty
+    * rendered query searches nothing (web_search.py:181), and a per-row
+    * search failure becomes one ("ERROR", message, "") result instead of
+    * failing the query (web_search.py:192) — on a long job one bad row must
+    * not kill the stage. */
   def apply(
       df: DataFrame,
       name: String,
       queryTemplate: String,
       maxResults: Int = 3,
       http: HttpClient = StubHttpClient(),
-      outputField: Option[String] = None): DataFrame = {
+      outputField: Option[String] = None,
+      engine: String = "brave"): DataFrame = {
     val tpl = Template(queryTemplate, df.schema)
     val outKey = outputField.getOrElse("search_results")
     val newSchema = df.schema.add(StructField(outKey, resultType))
     df.mapPartitions { it =>
       it.map { row =>
-        val results = http.search(tpl.render(row), maxResults)
-          .map { case (t, d, u) => Row(t, d, u) }
+        val query = tpl.render(row).trim
+        val results =
+          if (query.isEmpty) Seq.empty[Row]
+          else
+            try http.search(query, maxResults, engine).map { case (t, d, u) => Row(t, d, u) }
+            catch { case e: Exception => Seq(Row("ERROR", String.valueOf(e.getMessage), "")) }
         Row.fromSeq(row.toSeq :+ results)
       }
     }(Encoders.row(newSchema))

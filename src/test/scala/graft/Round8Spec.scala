@@ -395,6 +395,24 @@ class PairBudgetSpec extends SparkSpec {
     assert(s2(1).getSeq[String](0).isEmpty) // null url list -> empty result
   }
 
+  test("web_search: empty query searches nothing, row errors become ERROR rows") {
+    val failing = new graft.ops.HttpClient {
+      def search(q: String, n: Int): Seq[(String, String, String)] =
+        if (q.contains("boom")) throw new RuntimeException("engine down")
+        else Seq(("t", "d", s"u:$q"))
+      def fetch(url: String): String = ""
+    }
+    val d = df(StructType(Seq(StructField("id", LongType), StructField("t", StringType))),
+      Row(1L, "fine"), Row(2L, ""), Row(3L, "boom"))
+    val out = graft.ops.WebSearchOp(d, "ws", "{{ input.t }}", 3, failing)
+      .orderBy("id").select("search_results").collect()
+    assert(out(0).getSeq[Row](0).head.getString(2) == "u:fine")
+    assert(out(1).getSeq[Row](0).isEmpty) // empty query -> no search
+    val err = out(2).getSeq[Row](0)
+    assert(err.length == 1 && err.head.getString(0) == "ERROR" &&
+      err.head.getString(1).contains("engine down"))
+  }
+
   test("max_pairs_per_bucket reaches resolve through the YAML registry") {
     val dir = java.nio.file.Files.createTempDirectory("r8cap").toString
     val rows = (1 to 10).map(i => Row(i.toLong, "one", f"yv-$i%02d"))
