@@ -1415,6 +1415,41 @@ object Queries {
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
                  AS BIGINT) AS n_bpe_tok
         FROM documents""")
+    ),
+    (
+      // INDEXED term-overlap retrieval: corpus_gate below the corpus size
+      // forces the inverted-index postings join (the 100 TB path), putting
+      // that code path itself under the DuckDB oracle. Indexed semantics:
+      // only docs sharing >= 1 token are candidates, so the oracle filters
+      // zero-overlap docs before ranking and LEFT JOINs context back onto
+      // the query rows.
+      "q70_retriever_indexed",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.selectExpr("text as ctext")
+        graft.ops.RetrieverOp.byTermOverlap(
+          docs.filter(col("doc_id") < 5).selectExpr("doc_id", "text as qtext"),
+          "q70", "qtext", corpus, "ctext", "ctext", k = 2, corpusGate = 10)
+          .select(col("doc_id"), col("_q70_retrieved_context"))
+      },
+      Some("""
+        WITH c AS (SELECT text AS ctext FROM documents),
+        q AS (SELECT doc_id, text AS qtext FROM documents WHERE doc_id < 5),
+        scored AS (
+          SELECT q.doc_id, c.ctext,
+                 len(list_intersect(string_split(q.qtext, ' '),
+                                    string_split(c.ctext, ' '))) AS s
+          FROM q CROSS JOIN c),
+        ranked AS (
+          SELECT doc_id, ctext,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, ctext ASC) AS rn
+          FROM scored WHERE s > 0),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(ctext, chr(10) || '---' || chr(10) ORDER BY rn) AS ctx
+          FROM ranked WHERE rn <= 2 GROUP BY doc_id)
+        SELECT q.doc_id, agg.ctx AS _q70_retrieved_context
+        FROM q LEFT JOIN agg USING (doc_id)""")
     ))
 
 }
