@@ -191,6 +191,8 @@ object Registry {
       limitComparisons = c.get("limit_comparisons").map(_.int),
       resolutionModel = c.get("resolution_model").map(_.str),
       maxPairsPerBucket = c.get("max_pairs_per_bucket").map(_.int.toLong),
+      warnPairsPerBucket = c.get("warn_pairs_per_bucket").map(_.int.toLong)
+        .getOrElse(graft.core.PairBudget.DefaultWarnPairs),
       cascade = c.get("cascade").map(cas => CascadeCompare.Config(
         proxyModel = cas.strOr("proxy_model", "proxy"),
         oracleModel = cas.strOr("oracle_model", "oracle"),

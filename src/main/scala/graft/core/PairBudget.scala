@@ -26,6 +26,19 @@ object PairBudget {
     * engine has no logger dependency by design). */
   @volatile var lastWarning: Option[String] = None
 
+  /** Bounded queue of recent warnings so runners can surface them in their
+    * execution summary (RunPipeline does) without scraping stderr. */
+  private val recent = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val RecentMax = 32
+
+  /** Drain and return the warnings accumulated since the last drain. */
+  def drainWarnings(): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    var w = recent.poll()
+    while (w != null) { b += w; w = recent.poll() }
+    b.result()
+  }
+
   /** Hottest bucket of a self-join candidate stage, from one O(rows) agg:
     * per-bucket row counts n → pairs n(n-1)/2, max + sum. Returns None on an
     * empty input. */
@@ -83,6 +96,8 @@ object PairBudget {
         s"${s.rows} rows (${s.totalPairs} pairs total); consider a finer " +
         "blocking key, limit_comparisons, or max_pairs_per_bucket"
       lastWarning = Some(msg)
+      recent.add(msg)
+      while (recent.size() > RecentMax) recent.poll()
       System.err.println(msg)
     }
     stats

@@ -49,6 +49,7 @@ object RunPipeline {
       yamlPath: String, spark: SparkSession,
       showRows: Int = 5, stats: Boolean = true): Seq[String] = {
     graft.llm.TokenTally.reset()
+    graft.core.PairBudget.drainWarnings() // drop warnings from earlier runs
     val conf = graft.api.Conf.fromYamlFile(yamlPath)
     val lines = Seq.newBuilder[String]
     val out =
@@ -70,6 +71,11 @@ object RunPipeline {
         f"input_tokens=${t.inputTokens} output_tokens=${t.outputTokens} cost=$$${t.cost}%.6f"
     }
     lines += f"[pipeline] total llm cost: $$${tallies.map(_._2.cost).sum}%.6f"
+    // Skew diagnostics raised during the run (hot blocking buckets) — the
+    // summary is where a user actually sees them, not buried in stderr.
+    graft.core.PairBudget.drainWarnings().foreach { w =>
+      lines += s"[pipeline] skew: $w"
+    }
     lines.result()
   }
 }

@@ -440,6 +440,34 @@ class PairBudgetSpec extends SparkSpec {
     assert(MockLlmClient().callCount == 3) // 45 bucket pairs, capped head of 3
   }
 
+  test("run summary surfaces skew warnings raised during the run") {
+    val dir = java.nio.file.Files.createTempDirectory("r8skewsum").toString
+    val rows = (1 to 8).map(i => Row(i.toLong, "hot", f"sv-$i%02d"))
+    df(StructType(Seq(StructField("id", LongType), StructField("b", StringType),
+      StructField("v", StringType))), rows: _*)
+      .write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val yaml = java.nio.file.Paths.get(dir, "p.yaml")
+    java.nio.file.Files.writeString(yaml,
+      s"""datasets:
+         |  d: { path: $dir/d.parquet }
+         |pipeline:
+         |  steps:
+         |    - name: s
+         |      input: d
+         |      operations:
+         |        - type: resolve
+         |          name: skres
+         |          id_key: id
+         |          block_expr: "b"
+         |          compare_expr: "v"
+         |          resolve_keys: [v]
+         |          warn_pairs_per_bucket: 10
+         |""".stripMargin)
+    val lines = graft.tools.RunPipeline.runAndReport(yaml.toString, spark, showRows = 0)
+    assert(lines.exists(l => l.startsWith("[pipeline] skew:") &&
+      l.contains("resolve 'skres'") && l.contains("28 candidate pairs")))
+  }
+
   test("canonicalization member cap keeps the canonical value and cardinality") {
     // 5-member cluster, cap 2: the mock canonical (lexicographic min of the
     // resolve key) is inside any rank-limited head, so the result must equal
