@@ -107,7 +107,8 @@ object Registry {
         val withCtx = r.strOr("method", "term_overlap") match {
           case "fts" | "bm25" =>
             RetrieverOp.byBm25(df, name, r("query_key").str,
-              corpus, r("corpus_text_key").str, renderExpr, kk)
+              corpus, r("corpus_text_key").str, renderExpr, kk,
+              maxPostingSize = r.get("max_posting_size").map(_.int))
           case "embedding" =>
             RetrieverOp.byEmbedding(df, name, r("query_key").str,
               corpus, r("corpus_embedding_key").str, renderExpr, kk,
@@ -124,7 +125,8 @@ object Registry {
           case _ =>
             RetrieverOp.byTermOverlap(df, name, r("query_key").str,
               corpus, r("corpus_text_key").str, renderExpr, kk,
-              corpusGate = r.intOr("corpus_gate", 100000))
+              corpusGate = r.intOr("corpus_gate", 100000),
+              maxPostingSize = r.get("max_posting_size").map(_.int))
         }
         val prompt =
           if (base.prompt.contains("retrieved_context")) base.prompt

@@ -90,7 +90,8 @@ object RetrieverOp {
         * zero-overlap pairs, so rows whose query shares no token with any
         * corpus doc get a null context instead of k arbitrary score-0 docs —
         * at retrieval semantics level those docs carry no signal either way. */
-      corpusGate: Int = 100000): DataFrame = {
+      corpusGate: Int = 100000,
+      maxPostingSize: Option[Int] = None): DataFrame = {
     val outKey = s"_${name}_retrieved_context"
     val rowId = s"_graft_rid_$name"
     val withId = df.withColumn(rowId, monotonically_increasing_id())
@@ -108,7 +109,7 @@ object RetrieverOp {
         // Large-corpus path: |query ∩ doc| = count of matched postings after
         // per-side distinct — a term-key hash join, no cross at any size.
         val cid = c.withColumn("_cdid", monotonically_increasing_id())
-        termOverlapPairs(withId, rowId, queryTextCol, cid)
+        termOverlapPairs(withId, rowId, queryTextCol, cid, maxPostingSize)
           .withColumnRenamed("_ov", "_score")
           .join(cid.select(col("_cdid"), col("_ctext")), Seq("_cdid"))
       }
@@ -118,12 +119,21 @@ object RetrieverOp {
   /** Distinct-term-overlap counts per (query row, corpus doc) as an
     * inverted-index join: corpus explodes to (term, doc) postings, queries
     * explode to (row, term), join ON TERM, count per pair. Only pairs sharing
-    * ≥1 token are ever materialized. */
+    * ≥1 token are ever materialized. `maxPostingSize` bans terms whose
+    * posting list exceeds the cap (stopword pruning — the hot-posting analog
+    * of the dedup bucket ban): a stopword shared by every corpus doc would
+    * otherwise join each query row against the whole corpus. Banned terms
+    * stop counting toward overlap, the accepted idf-floor trade. */
   private def termOverlapPairs(
       queries: DataFrame, rowId: String, queryTextCol: String,
-      corpusWithId: DataFrame): DataFrame = {
-    val postings = corpusWithId.select(
+      corpusWithId: DataFrame, maxPostingSize: Option[Int] = None): DataFrame = {
+    val postings0 = corpusWithId.select(
       col("_cdid"), explode(array_distinct(col("_ctoks"))).as("_term"))
+    val postings = maxPostingSize.fold(postings0) { cap =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_term"))
+      postings0.withColumn("_graft_pn", count(lit(1)).over(w))
+        .filter(col("_graft_pn") <= cap).drop("_graft_pn")
+    }
     val qTerms = queries.select(
       col(rowId), explode(array_distinct(split(col(queryTextCol), " "))).as("_term"))
     qTerms.join(postings, Seq("_term"))
@@ -148,7 +158,12 @@ object RetrieverOp {
       corpusRenderExpr: String,
       k: Int = 3,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      /** Ban terms whose posting list exceeds this many docs (stopword
+        * pruning): such terms join every query against most of the corpus
+        * while their idf contribution is near zero. Opt-in; None preserves
+        * exact BM25. */
+      maxPostingSize: Option[Int] = None): DataFrame = {
     val outKey = s"_${name}_retrieved_context"
     val rowId = s"_graft_rid_$name"
     val withId = df.withColumn(rowId, monotonically_increasing_id())
@@ -161,12 +176,17 @@ object RetrieverOp {
       count(lit(1)).cast("double"), avg(size(col("_ctoks")).cast("double"))).collect()(0)
     val n = statsRow.getDouble(0)
     val avgdl = statsRow.getDouble(1)
-    val postings = c
+    val postings0 = c
       .select(col("_cdid"), col("_ctext"),
         size(col("_ctoks")).cast("double").as("_dl"),
         explode(col("_ctoks")).as("_term"))
       .groupBy("_term", "_cdid", "_ctext", "_dl")
       .agg(count(lit(1)).cast("double").as("_tf"))
+    val postings = maxPostingSize.fold(postings0) { cap =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_term"))
+      postings0.withColumn("_graft_pn", count(lit(1)).over(w))
+        .filter(col("_graft_pn") <= cap).drop("_graft_pn")
+    }
     val docfreq = postings.groupBy("_term")
       .agg(count(lit(1)).cast("double").as("_df"))
     val queryTerms = withId.select(col(rowId),

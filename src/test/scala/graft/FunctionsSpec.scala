@@ -102,6 +102,23 @@ class RetrieverSpec extends SparkSpec {
     assert(viaIndex == viaBroadcast)
     assert(viaIndex(0).startsWith("w01 common")) // overlap-2 docs outrank overlap-1
   }
+  test("indexed term-overlap maxPostingSize bans stopword postings, keeps rare terms") {
+    // "common" appears in all 60 docs; cap 30 bans it. Queries then retrieve
+    // only via their rare token: doc w10 for query 2; query 3 ("common"
+    // alone) loses all candidates and gets a null context.
+    val corpus = df(
+      StructType(Seq(StructField("ctext", StringType))),
+      (0 until 60).map(i => Row(f"w$i%02d common")): _*)
+    val base = df(StructType(Seq(
+      StructField("id", LongType), StructField("qtext", StringType))),
+      Row(2L, "w10 common"), Row(3L, "common"))
+    val out = RetrieverOp.byTermOverlap(base, "rag", "qtext", corpus,
+        "ctext", "ctext", k = 1, corpusGate = 10, maxPostingSize = Some(30))
+      .orderBy("id").select("_rag_retrieved_context").collect()
+    assert(out(0).getString(0) == "w10 common")
+    assert(out(1).isNullAt(0))
+  }
+
   test("hybrid retriever over corpusGate routes through postings+IVF union, same result") {
     // Circle embeddings + per-doc unique token + shared "common" token.
     // nProbe = nCentroids makes the IVF arm exhaustive and "common" puts
