@@ -1450,6 +1450,41 @@ object Queries {
           FROM ranked WHERE rn <= 2 GROUP BY doc_id)
         SELECT q.doc_id, agg.ctx AS _q70_retrieved_context
         FROM q LEFT JOIN agg USING (doc_id)""")
+    ),
+    (
+      // Proportional stratified sampling under the oracle: with total <<
+      // rows the capacity caps never bind, so the driver's capacity-aware
+      // allocation reduces to classic largest-remainder — expressible in
+      // SQL (floor quotas + one extra to the largest fractional deficits,
+      // ties by key; same double arithmetic order as the driver:
+      // (total * n) / N).
+      "q71_sample_proportional",
+      (s: SparkSession, dir: String) =>
+        SampleOp.stratifiedProportional(t(s, dir, "lineitem"), "l_returnflag",
+          "l_orderkey * 10 + l_linenumber", 100, seed = 3)
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber").cast("long")),
+      Some(s"""
+        WITH n AS (
+          SELECT l_returnflag AS k, CAST(count(*) AS DOUBLE) AS cnt
+          FROM lineitem GROUP BY 1),
+        tot AS (SELECT sum(cnt) AS total_rows FROM n),
+        fl AS (
+          SELECT k, (100.0 * cnt) / total_rows AS ex,
+                 floor((100.0 * cnt) / total_rows) AS fq
+          FROM n, tot),
+        extra AS (SELECT CAST(100 - sum(fq) AS BIGINT) AS r FROM fl),
+        quota AS (
+          SELECT k, CAST(fq + CASE
+              WHEN row_number() OVER (ORDER BY ex - fq DESC, k ASC) <= r
+              THEN 1 ELSE 0 END AS BIGINT) AS q
+          FROM fl, extra)
+        SELECT l_returnflag, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+        FROM lineitem JOIN quota ON l_returnflag = quota.k
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY ((l_orderkey * 10 + l_linenumber) * 9301 + 49297 +
+                    ${SampleOp.seedRotation(3)}) % 233280,
+                   l_orderkey * 10 + l_linenumber) <= q""")
     ))
 
 }
