@@ -33,3 +33,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// LocalClusterSpec starts/stops SparkContexts (including a multi-JVM
+// local-cluster one), which would poison the session every other suite
+// shares — run it in its own forked JVM group.
+Test / testGrouping := {
+  // SPARK_HOME lets local-cluster mode build executor launch commands (it
+  // resolves the distribution's jars dir); harmless for plain local mode.
+  val opts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withEnvVars(Map(
+      "SPARK_HOME" -> "/opt/spark",
+      // normally exported by load-spark-env.sh; the in-JVM launcher local-
+      // cluster workers use needs it to skip the source-build dir probe
+      "SPARK_SCALA_VERSION" -> "2.13"))
+  val (cluster, rest) = (Test / definedTests).value
+    .partition(_.name == "graft.LocalClusterSpec")
+  Seq(
+    Tests.Group("cluster", cluster, Tests.SubProcess(opts)),
+    Tests.Group("default", rest, Tests.SubProcess(opts)))
+}

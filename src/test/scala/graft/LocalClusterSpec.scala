@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-JVM execution proof: `local[32]` shares one JVM, so closure
+  * serialization bugs, driver-state dependence in executor code, and
+  * encoder boundary issues can hide. `local-cluster[2,2,*]` launches two
+  * REAL executor JVMs (driver-separate), which is the closest a single
+  * machine gets to cluster semantics. Representative queries — a native
+  * aggregation, the minhash dedup fan-out (persist + codegen expressions),
+  * and a semantic reduce (LLM client closures + object operators) — must
+  * produce the same results as a plain local-mode run.
+  *
+  * Executors load the engine from the compiled class directories via
+  * extraClassPath — no packaging step, but the dirs must exist (always true
+  * under sbt test). Sessions run sequentially (one SparkContext at a time).
+  */
+class LocalClusterSpec extends AnyFunSuite {
+
+  private val names = Seq("q01_code_reduce_tpch1", "q24_dedup_minhash", "q33_sem_reduce")
+
+  private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
+    names.map { name =>
+      name -> SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    }.toMap
+
+  test("representative queries run identically across separate executor JVMs") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory)
+    val classDirs = Seq(
+      "/root/repo/target/scala-2.13/classes",
+      "/root/repo/target/scala-2.13/test-classes")
+    assume(classDirs.forall(d => new java.io.File(d).isDirectory))
+
+    def session(master: String, extra: Map[String, String]): SparkSession = {
+      val b = SparkSession.builder()
+        .master(master)
+        .appName(s"graft-$master")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      extra.foreach { case (k, v) => b.config(k, v) }
+      b.getOrCreate()
+    }
+
+    val local = session("local[4]", Map.empty)
+    val expected =
+      try runAll(local, sfDir)
+      finally local.stop()
+
+    // Executor JVMs are launched fresh and need the same JDK17 module opens
+    // spark-submit would inject (build.sbt provides them for the driver).
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+    val cluster = session("local-cluster[2,2,1024]",
+      Map(
+        "spark.executor.extraClassPath" -> classDirs.mkString(":"),
+        "spark.executor.extraJavaOptions" -> addOpens))
+    val got =
+      try runAll(cluster, sfDir)
+      finally cluster.stop()
+
+    names.foreach { name =>
+      assert(got(name).nonEmpty, s"$name returned no rows under local-cluster")
+      assert(got(name) == expected(name),
+        s"$name differs between local-cluster and local mode")
+    }
+  }
+}
