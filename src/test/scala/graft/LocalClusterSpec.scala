@@ -75,5 +75,35 @@ class LocalClusterSpec extends AnyFunSuite {
       assert(got(name) == expected(name),
         s"$name differs between local-cluster and local mode")
     }
+
+    // The production HTTP LLM stack across the JVM boundary: the client is
+    // Serializable with @transient lazy HttpClient/ObjectMapper — executor
+    // JVMs must rebuild them and reach the driver-hosted provider. This is
+    // the seam a real cluster deployment exercises on every semantic op.
+    FakeLlmServer.withServer { (url, st) =>
+      val cluster2 = session("local-cluster[2,2,1024]",
+        Map(
+          "spark.executor.extraClassPath" -> classDirs.mkString(":"),
+          "spark.executor.extraJavaOptions" -> addOpens))
+      try {
+        val stack = graft.llm.RetryingClient(
+          graft.llm.FallbackClient(
+            graft.llm.HttpLlmClient(url),
+            Map("always-500" -> Seq("good"))),
+          timeoutMs = 10000, maxRetries = 2, backoffMs = 10)
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val data = cluster2.createDataFrame(
+          java.util.Arrays.asList((1 to 8).map(i => Row(i.toLong, s"doc $i")): _*),
+          StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+        val out = graft.ops.SemanticMap(data,
+          graft.ops.SemanticMapConfig("lc_map", "label {{ input.text }}",
+            Seq("label" -> "str", "score" -> "int"), model = "always-500",
+            bypassCache = true), stack)
+          .select("id", "label").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(out.size == 8 && out.values.forall(_ == "ok-good")) // fallback engaged
+        assert(st.requests.get() >= 16) // every row: 1 failed primary + 1 fallback
+      } finally cluster2.stop()
+    }
   }
 }
