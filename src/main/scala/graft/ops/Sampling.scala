@@ -134,9 +134,17 @@ object SampleOp {
   def stratifiedProportional(
       df: DataFrame, stratifyKey: String, keyExpr: String,
       total: Int, seed: Long = 0): DataFrame = {
-    val counts = df.groupBy(col(stratifyKey).cast("string").as("_k"))
-      .agg(count(lit(1)).as("_n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ord = pmod(expr(keyExpr) * 9301L + 49297L + seedRotation(seed), lit(233280L))
+    // ONE bounded (stratum, ord) histogram serves both driver needs: the
+    // per-stratum row counts (quota allocation) roll up from it, and the
+    // exact ord thresholds (pre-filter, see ordThresholdFilter) derive from
+    // its cumulative sums — one scan of the data instead of two.
+    val hist = graft.core.PersistScope.register(
+      df.select(col(stratifyKey).cast("string").as("_graft_s"), ord.as("_graft_o"))
+        .groupBy("_graft_s", "_graft_o").agg(count(lit(1)).as("_graft_c"))
+        .persist())
+    val counts = hist.groupBy("_graft_s").agg(sum("_graft_c").as("_n")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
     val totalRows = counts.values.sum
     require(totalRows > 0, "proportional sampling needs a non-empty input")
     val exact = counts.view.mapValues(n => total.toDouble * n / totalRows).toMap
@@ -156,10 +164,18 @@ object SampleOp {
       remaining -= 1
     }
     val maxQuota = (quotas.values ++ Seq(0L)).max
-    val quotaMap = typedLit(quotas)
-    val ord = pmod(expr(keyExpr) * 9301L + 49297L + seedRotation(seed), lit(233280L))
-    val filtered = ordThresholdFilter(df, stratifyKey, ord,
-      s => coalesce(element_at(quotaMap, s.cast("string")), lit(0L)))
+    val quotaMap = typedLit(quotas.filter(_._1 != null))
+    val cw = Window.partitionBy(col("_graft_s")).orderBy(col("_graft_o"))
+    val thresh = hist
+      .withColumn("_graft_cum", sum(col("_graft_c")).over(cw))
+      .filter(col("_graft_cum") - col("_graft_c") <
+        coalesce(element_at(quotaMap, col("_graft_s")), lit(0L)))
+      .groupBy("_graft_s").agg(max(col("_graft_o")).as("_graft_t"))
+    val filtered = df
+      .join(broadcast(thresh),
+        col(stratifyKey).cast("string") === col("_graft_s"), "left")
+      .filter(col("_graft_t").isNull || ord <= col("_graft_t"))
+      .drop("_graft_s", "_graft_t")
     val w = Window.partitionBy(col(stratifyKey)).orderBy(ord, expr(keyExpr))
     filtered.withColumn("_graft_rn", row_number().over(w))
       .filter(col("_graft_rn") <= maxQuota) // constant bound -> group limit
