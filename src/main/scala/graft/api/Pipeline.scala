@@ -126,7 +126,8 @@ object Pipeline {
             orientation = p.strOr("orientation", "col"),
             docPerSheet = p.boolOr("doc_per_sheet", false),
             docPerSlide = p.boolOr("doc_per_slide", false),
-            docPerPage = p.boolOr("doc_per_page", false)))
+            docPerPage = p.boolOr("doc_per_page", false),
+            skipOnError = p.boolOr("skip_on_error", false)))
         }
       // ALL parsing kwargs participate in the hash — toggling e.g.
       // doc_per_page must invalidate a checkpointed dataset, not reuse it.
@@ -136,7 +137,8 @@ object Pipeline {
             t("function").str + ":" + t.strOr("input_key", "content") + ":" +
               t.strOr("output_key", "text") + ":" + t.strOr("orientation", "col") + ":" +
               t.boolOr("doc_per_sheet", false) + ":" + t.boolOr("doc_per_slide", false) + ":" +
-              t.boolOr("doc_per_page", false)).mkString(",")).getOrElse(""))
+              t.boolOr("doc_per_page", false) + ":" +
+              t.boolOr("skip_on_error", false)).mkString(",")).getOrElse(""))
     })
     val store = conf.get("checkpoint_dir").map(d => new CheckpointStore(d.str))
     val planRewrites = conf.boolOr("plan_rewrites", true)

@@ -488,7 +488,8 @@ object Registry {
       orientation = c.strOr("orientation", "col"),
       docPerSheet = c.boolOr("doc_per_sheet", false),
       docPerSlide = c.boolOr("doc_per_slide", false),
-      docPerPage = c.boolOr("doc_per_page", false)))
+      docPerPage = c.boolOr("doc_per_page", false),
+      skipOnError = c.boolOr("skip_on_error", false)))
   }
   register("limit") { (df, c, _) => df.limit(c("n").int) }
   register("select") { (df, c, _) => df.selectExpr(c("columns").strList: _*) }

@@ -28,7 +28,12 @@ object ParseOp {
       docPerSlide: Boolean = false, // pptx
       docPerPage: Boolean = false, // pdf
       dropInput: Boolean = true, // drop the (large) binary column after parse
-      posKey: Option[String] = None) // also emit the doc's index within its file
+      posKey: Option[String] = None, // also emit the doc's index within its file
+      /** Corrupt-file policy: a file whose parse throws yields ZERO rows
+        * instead of failing the query. Off by default (fail loudly); at
+        * 100 TB one truncated archive in a million files must not kill a
+        * day-long job, so batch-ingest pipelines turn this on. */
+      skipOnError: Boolean = false)
 
   /** Canonical function names, accepting the reference's `*_to_string`
     * aliases (parsing_tools.py:100-226). */
@@ -48,12 +53,13 @@ object ParseOp {
       case other => throw new IllegalArgumentException(
         s"parse input '${cfg.inputKey}' must be binary (got $other)")
     }
+    val skip = lit(cfg.skipOnError)
     val docs: Column = f match {
-      case "txt" => txtUdf(in)
-      case "docx" => docxUdf(in)
-      case "pptx" => pptxUdf(lit(cfg.docPerSlide))(in)
-      case "xlsx" => xlsxUdf(lit(cfg.orientation), lit(cfg.docPerSheet))(in)
-      case "pdf" => pdfUdf(lit(cfg.docPerPage))(in)
+      case "txt" => txtUdf(skip)(in)
+      case "docx" => docxUdf(skip)(in)
+      case "pptx" => pptxUdf(lit(cfg.docPerSlide), skip)(in)
+      case "xlsx" => xlsxUdf(lit(cfg.orientation), lit(cfg.docPerSheet), skip)(in)
+      case "pdf" => pdfUdf(lit(cfg.docPerPage), skip)(in)
     }
     val kept = df.columns
       .filter(c => !(cfg.dropInput && c == cfg.inputKey) && c != cfg.outputKey)
@@ -67,18 +73,25 @@ object ParseOp {
   // Plain Scala UDFs: the parsers allocate (zip inflate, XML events) per
   // file, so codegen'd Expressions would buy nothing — the work is the
   // parse itself, not the row plumbing.
-  private val txtUdf = udf((b: Array[Byte]) =>
-    if (b == null) Seq.empty[String] else ParsingTools.txtToString(b))
-  private val docxUdf = udf((b: Array[Byte]) =>
-    if (b == null) Seq.empty[String] else ParsingTools.docxToString(b))
-  private def pptxUdf(perSlide: Column) = udf((b: Array[Byte], ps: Boolean) =>
-    if (b == null) Seq.empty[String] else ParsingTools.pptxToString(b, ps))
-    .apply(_: Column, perSlide)
-  private def xlsxUdf(orientation: Column, perSheet: Column) =
-    udf((b: Array[Byte], o: String, s: Boolean) =>
-      if (b == null) Seq.empty[String] else ParsingTools.xlsxToString(b, o, s))
-      .apply(_: Column, orientation, perSheet)
-  private def pdfUdf(perPage: Column) = udf((b: Array[Byte], pp: Boolean) =>
-    if (b == null) Seq.empty[String] else ParsingTools.pdfToString(b, pp))
-    .apply(_: Column, perPage)
+  private def guarded(skip: Boolean)(parse: => Seq[String]): Seq[String] =
+    if (!skip) parse
+    else try parse catch { case _: Exception => Seq.empty[String] }
+  private def txtUdf(skip: Column) = udf((b: Array[Byte], sk: Boolean) =>
+    if (b == null) Seq.empty[String] else guarded(sk)(ParsingTools.txtToString(b)))
+    .apply(_: Column, skip)
+  private def docxUdf(skip: Column) = udf((b: Array[Byte], sk: Boolean) =>
+    if (b == null) Seq.empty[String] else guarded(sk)(ParsingTools.docxToString(b)))
+    .apply(_: Column, skip)
+  private def pptxUdf(perSlide: Column, skip: Column) =
+    udf((b: Array[Byte], ps: Boolean, sk: Boolean) =>
+      if (b == null) Seq.empty[String] else guarded(sk)(ParsingTools.pptxToString(b, ps)))
+      .apply(_: Column, perSlide, skip)
+  private def xlsxUdf(orientation: Column, perSheet: Column, skip: Column) =
+    udf((b: Array[Byte], o: String, s: Boolean, sk: Boolean) =>
+      if (b == null) Seq.empty[String] else guarded(sk)(ParsingTools.xlsxToString(b, o, s)))
+      .apply(_: Column, orientation, perSheet, skip)
+  private def pdfUdf(perPage: Column, skip: Column) =
+    udf((b: Array[Byte], pp: Boolean, sk: Boolean) =>
+      if (b == null) Seq.empty[String] else guarded(sk)(ParsingTools.pdfToString(b, pp)))
+      .apply(_: Column, perPage, skip)
 }

@@ -56,6 +56,19 @@ class HtmlToMarkdownSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(HtmlToMarkdown.looksLikeHtml("<!DOCTYPE html><html>"))
     assert(!HtmlToMarkdown.looksLikeHtml("# already markdown"))
   }
+
+  test("never throws on adversarial tag soup") {
+    val rng = new scala.util.Random(13)
+    val frags = Seq("<div>", "</p>", "<a href='x", "<pre>", "</code>", "<h3", ">",
+      "&#x;", "&amp", "<!--", "<li>", "</ol>", "text ", "<script>boom", "\"", "'")
+    (1 to 200).foreach { _ =>
+      val soup = (1 to 20).map(_ => frags(rng.nextInt(frags.length))).mkString
+      val out = HtmlToMarkdown(soup) // must not throw
+      assert(out != null)
+    }
+    // unterminated blocks degrade to text, never exceptions
+    assert(HtmlToMarkdown("<blockquote>open forever") contains "open forever")
+  }
 }
 
 class PairBudgetSpec extends SparkSpec {
@@ -371,6 +384,30 @@ class PairBudgetSpec extends SparkSpec {
     val raw = graft.ops.WebFetchOp(d, "wf", "u", new HtmlHttpClient())
       .select("wf_content").collect()(0).getString(0)
     assert(raw.contains("<html"))
+  }
+
+  test("parse skip_on_error drops corrupt files instead of failing the query") {
+    // One valid docx (fixture writer) + one valid ZIP whose document.xml is
+    // malformed XML — the StAX parse throws (plain garbage bytes degrade to
+    // an empty doc without error: no zip entry found).
+    val good = graft.sources.ParsingTools.makeDocx(Seq("hello world"))
+    val junk = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      zos.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+      zos.write("<w:document><w:p><w:t>unclosed".getBytes("UTF-8"))
+      zos.closeEntry(); zos.close()
+      bos.toByteArray
+    }
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("content", BinaryType))),
+      Row(1L, good), Row(2L, junk))
+    val ok = graft.sources.ParseOp(d, graft.sources.ParseOp.Config(
+      function = "docx", skipOnError = true))
+    val rows = ok.select("id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "hello world"))) // corrupt file -> zero rows
+    val strict = graft.sources.ParseOp(d, graft.sources.ParseOp.Config(function = "docx"))
+    intercept[org.apache.spark.SparkException] { strict.count() } // default: loud
   }
 
   test("web_fetch supports static url, url lists, output_field, and parallel fetch") {
