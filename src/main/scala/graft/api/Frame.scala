@@ -73,8 +73,20 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   // -- dedup family
   def dedupExact(textCol: String, tieBreak: String): Frame =
     next(graft.dedup.ExactDedup(df, textCol, tieBreak))
-  def dedupMinhash(idCol: String, textCol: String, threshold: Double = 0.8): Frame =
-    next(graft.dedup.MinHashDedup(df, idCol, textCol, jaccardThreshold = threshold))
+  def dedupMinhash(idCol: String, textCol: String, threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None): Frame =
+    next(graft.dedup.MinHashDedup(df, idCol, textCol,
+      jaccardThreshold = threshold, maxBucketSize = maxBucketSize))
+
+  // -- document parsing / web I/O
+  def parse(cfg: graft.sources.ParseOp.Config): Frame =
+    next(graft.sources.ParseOp(df, cfg))
+  def webSearch(name: String, queryTemplate: String, maxResults: Int = 3,
+      http: HttpClient = StubHttpClient()): Frame =
+    next(WebSearchOp(df, name, queryTemplate, maxResults, http))
+  def webFetch(name: String, urlKey: String, http: HttpClient = StubHttpClient(),
+      convertToMarkdown: Boolean = false): Frame =
+    next(WebFetchOp(df, name, urlKey, http, convertToMarkdown))
 
   // -- embeddings / retrieval / cascades
   def embed(textExpr: String, outCol: String = "embedding"): Frame =

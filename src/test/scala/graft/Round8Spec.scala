@@ -560,6 +560,27 @@ class PairBudgetSpec extends SparkSpec {
     assert(offenders.isEmpty, s"all-pairs operators:\n${offenders.mkString("\n")}")
   }
 
+  test("Frame fluent API chains parse, web ops, and capped minhash dedup") {
+    val docx = graft.sources.ParsingTools.makeDocx(Seq("alpha beta gamma delta"))
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("content", BinaryType))), Row(1L, docx))
+    val out = graft.api.Frame(d, MockLlmClient())
+      .parse(graft.sources.ParseOp.Config(function = "docx"))
+      .webSearch("ws", "{{ input.text }}", maxResults = 1)
+      .addUuid("u")
+      .toDF
+    val r = out.collect()(0)
+    assert(r.getAs[String]("text") == "alpha beta gamma delta")
+    assert(r.getSeq[Row](r.fieldIndex("search_results")).nonEmpty)
+    // capped minhash on the fluent surface compiles + runs
+    val many = df(StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType))),
+      (1 to 6).map(i => Row(i.toLong, "identical boilerplate text here body")): _*)
+    assert(graft.api.Frame(many, MockLlmClient())
+      .dedupMinhash("id", "text", threshold = 0.5, maxBucketSize = Some(2))
+      .count() == 6) // all buckets hot -> banned -> nothing deduped
+  }
+
   test("llm-verified equijoin warns when one equi key would explode") {
     // 2000 left x 600 right rows on the same key: 1.2M pairs > the 1M
     // default. The diagnostic runs at plan-build time from per-side key
