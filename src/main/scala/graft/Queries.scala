@@ -32,7 +32,7 @@ object Queries {
   /** (name, query, optional oracle SQL). Ordering = rough SURVEY §2 order. */
   lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
-    apiSurface ++ parsing ++ round5 ++ round7 ++ round8
+    apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9
 
   // ---------------------------------------------------------------- parsing
 
@@ -925,7 +925,9 @@ object Queries {
       // Term-overlap RAG retrieval: for each document, the 2 most
       // token-overlapping docs from a 5-doc corpus, rendered into
       // _rag_retrieved_context. Fully SQL-expressible (set-intersection
-      // scoring + ordered string_agg).
+      // scoring + ordered string_agg). Zero-overlap docs are never
+      // retrieved (same semantics as the indexed path, q70), so the oracle
+      // filters score 0 and LEFT JOINs context back onto all query rows.
       (s: SparkSession, dir: String) => {
         val docs = t(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") < 5).select(col("text").as("ctext"))
@@ -940,13 +942,16 @@ object Queries {
                                          string_split(c.ctext, ' '))) AS DOUBLE) AS score
           FROM documents d, corpus c),
         topk AS (
-          SELECT * FROM scored
+          SELECT * FROM scored WHERE score > 0
           QUALIFY row_number() OVER (PARTITION BY doc_id
-            ORDER BY score DESC, ctext) <= 2)
-        SELECT doc_id,
-               string_agg(ctext, chr(10) || '---' || chr(10)
-                 ORDER BY score DESC, ctext) AS "_rag_retrieved_context"
-        FROM topk GROUP BY doc_id""")
+            ORDER BY score DESC, ctext) <= 2),
+        agg AS (
+          SELECT doc_id,
+                 string_agg(ctext, chr(10) || '---' || chr(10)
+                   ORDER BY score DESC, ctext) AS ctx
+          FROM topk GROUP BY doc_id)
+        SELECT d.doc_id, agg.ctx AS "_rag_retrieved_context"
+        FROM documents d LEFT JOIN agg USING (doc_id)""")
     ),
     (
       "q49_web_search",
@@ -1485,6 +1490,58 @@ object Queries {
           ORDER BY ((l_orderkey * 10 + l_linenumber) * 9301 + 49297 +
                     ${SampleOp.seedRotation(3)}) % 233280,
                    l_orderkey * 10 + l_linenumber) <= q""")
+    ))
+
+  private def round9: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // INDEXED hybrid retrieval under the oracle: corpus_gate below the
+      // corpus size forces the union-of-arms path (term postings ∪ probed
+      // IVF cells — the 100 TB shape, Retriever.scala byHybrid large
+      // branch), and nProbe = nCentroids makes the IVF arm exhaustive, so
+      // the candidate union is total and the indexed result must equal the
+      // exact blend DuckDB computes. Docs 40-79 share NO token with any
+      // query ("solo" texts): they are reachable only through the IVF arm
+      // and exercise the full_outer + overlap-coalesce path row-for-row.
+      "q72_retriever_hybrid_indexed",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") < 80).selectExpr(
+          "cast(embedding as array<double>) as ce",
+          "concat('w', vec_id % 40, case when vec_id < 40 then ' shared' else ' solo' end) as ctext")
+        val queries = e.filter(col("vec_id") < 5).selectExpr(
+          "vec_id",
+          "cast(embedding as array<double>) as qe",
+          "concat('w', vec_id, ' shared') as qtext")
+        graft.ops.RetrieverOp.byHybrid(queries, "q72", "qe", "qtext",
+          corpus, "ce", "ctext", "ctext", k = 3, vectorWeight = 0.5,
+          corpusGate = 10, nCentroids = 4, nProbe = 4)
+          .select(col("vec_id"), col("_q72_retrieved_context"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS ce,
+                 'w' || (vec_id % 40) ||
+                   (CASE WHEN vec_id < 40 THEN ' shared' ELSE ' solo' END) AS ctext
+          FROM embeddings WHERE vec_id < 80),
+        q AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe,
+                 'w' || vec_id || ' shared' AS qtext
+          FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.vec_id, c.ctext,
+                 0.5 * list_cosine_similarity(q.qe, c.ce) +
+                 0.5 * len(list_intersect(string_split(q.qtext, ' '),
+                                          string_split(c.ctext, ' '))) /
+                   greatest(len(string_split(q.qtext, ' ')), 1) AS s
+          FROM q CROSS JOIN c),
+        ranked AS (
+          SELECT vec_id, ctext,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ctext ASC) AS rn
+          FROM scored)
+        SELECT vec_id,
+               string_agg(ctext, chr(10) || '---' || chr(10) ORDER BY rn)
+                 AS _q72_retrieved_context
+        FROM ranked WHERE rn <= 3 GROUP BY vec_id""")
     ))
 
 }

@@ -249,6 +249,7 @@ object Pipeline {
             leftIdKey = j.strOr("left_id", ""),
             rightIdKey = j.strOr("right_id", ""),
             limitComparisons = j.get("limit_comparisons").map(_.int),
+            maxPairsPerKey = j.get("max_pairs_per_key").map(_.int.toLong),
             cascade = j.get("cascade").map(c => graft.ops.CascadeCompare.Config(
               proxyModel = c.strOr("proxy_model", "proxy"),
               oracleModel = c.strOr("oracle_model", "oracle"),

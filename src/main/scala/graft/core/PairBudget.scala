@@ -85,20 +85,27 @@ object PairBudget {
     }
   }
 
+  /** Emit a message through the engine's notice channel (stderr +
+    * `lastWarning` + the bounded queue RunPipeline drains into its summary).
+    * Used for skew warnings and for no-silent-caps events like an operator
+    * switching to its indexed large-corpus path. */
+  def notice(msg: String): Unit = {
+    lastWarning = Some(msg)
+    recent.add(msg)
+    while (recent.size() > RecentMax) recent.poll()
+    System.err.println(msg)
+  }
+
   /** Warn (stderr + `lastWarning`) when the hottest bucket exceeds
     * `warnPairs`; pass through the stats either way. */
   def warnIfSkewed(
       stats: Option[BucketStats], context: String,
       warnPairs: Long = DefaultWarnPairs): Option[BucketStats] = {
     stats.filter(_.pairs > warnPairs).foreach { s =>
-      val msg = s"[graft] $context: hottest blocking bucket " +
+      notice(s"[graft] $context: hottest blocking bucket " +
         s"'${s.bucket.take(80)}' yields ${s.pairs} candidate pairs from " +
         s"${s.rows} rows (${s.totalPairs} pairs total); consider a finer " +
-        "blocking key, limit_comparisons, or max_pairs_per_bucket"
-      lastWarning = Some(msg)
-      recent.add(msg)
-      while (recent.size() > RecentMax) recent.poll()
-      System.err.println(msg)
+        "blocking key, limit_comparisons, or max_pairs_per_bucket")
     }
     stats
   }

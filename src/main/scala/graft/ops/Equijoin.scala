@@ -48,7 +48,17 @@ object EquijoinOp {
       /** Precision-guarantee model cascade for the verify stage (reference
         * equijoin.py:196-239; defaults precision — cascade_runner.py:33-36).
         * Requires llmVerify. */
-      cascade: Option[CascadeCompare.Config] = None)
+      cascade: Option[CascadeCompare.Config] = None,
+      /** Hard per-equi-key candidate-pair budget for the LLM verify stage —
+        * the equijoin mirror of resolve's `max_pairs_per_bucket`. Keys come
+        * from the condition's `l.x = r.y` conjuncts; each key keeps only a
+        * deterministic (leftId, rightId)-ordered head of its pairs, so ONE
+        * degenerate key on two large sides cannot silently emit |L|x|R|
+        * verify calls (the skew diagnostic warns; this bounds). When the
+        * condition has no extractable equi key the cap degrades to a global
+        * sorted head of `budget` pairs. Requires leftIdKey/rightIdKey.
+        * Recall lost to the cap is observable via the skew warning. */
+      maxPairsPerKey: Option[Long] = None)
 
   def apply(left: DataFrame, right: DataFrame, cfg: Config, client: LlmClient): DataFrame =
     applyWithExtra(left, right, cfg, client, None)
@@ -68,7 +78,32 @@ object EquijoinOp {
     val rp = r.alias("r")
     if (cfg.llmVerify) diagnoseSkew(l, r, cfg)
     val joinedBase = lp.join(rp, expr(cfg.condition))
-    val joined = extraBlocking.fold(joinedBase)(joinedBase.filter)
+    val joinedAll = extraBlocking.fold(joinedBase)(joinedBase.filter)
+    val joined = cfg.maxPairsPerKey match {
+      case Some(budget) if cfg.llmVerify =>
+        require(cfg.leftIdKey.nonEmpty && cfg.rightIdKey.nonEmpty,
+          s"equijoin '${cfg.name}': max_pairs_per_key needs left_id_key/right_id_key")
+        val lid = sideKey(cfg.leftIdKey, collisions, "_left")
+        val rid = sideKey(cfg.rightIdKey, collisions, "_right")
+        val equi = equiConjuncts(left.sparkSession, cfg.condition)
+          .filter { case (ln, rn) => l.columns.contains(ln) && r.columns.contains(rn) }
+        if (equi.nonEmpty) {
+          // Rank-limit filter → Catalyst plans WindowGroupLimit, so partial
+          // limits apply map-side and a hot key's tail pairs never reach
+          // the verify stage (same shape as resolve's per-bucket cap).
+          val w = Window.partitionBy(equi.map { case (ln, _) => col(s"l.$ln") }: _*)
+            .orderBy(col(lid).asc, col(rid).asc)
+          joinedAll.withColumn("_graft_pb", row_number().over(w))
+            .filter(col("_graft_pb") <= budget).drop("_graft_pb")
+        } else {
+          graft.core.PairBudget.notice(
+            s"[graft] equijoin '${cfg.name}': no equi key extractable from " +
+              s"condition — max_pairs_per_key applies as a global head of $budget pairs")
+          joinedAll.orderBy(col(lid).asc, col(rid).asc).limit(
+            math.min(budget, Int.MaxValue.toLong).toInt)
+        }
+      case _ => joinedAll
+    }
     val candidates = cfg.limitComparisons match {
       case Some(n) if cfg.llmVerify =>
         val lid = sideKey(cfg.leftIdKey, collisions, "_left")
@@ -131,9 +166,23 @@ object EquijoinOp {
     * fail the operator, hence the Try. */
   private def diagnoseSkew(l: DataFrame, r: DataFrame, cfg: Config): Unit =
     scala.util.Try {
+      val equi = equiConjuncts(l.sparkSession, cfg.condition)
+      if (equi.nonEmpty &&
+          equi.forall { case (ln, rn) => l.columns.contains(ln) && r.columns.contains(rn) })
+        graft.core.PairBudget.warnIfSkewed(
+          graft.core.PairBudget.equiJoinStats(l, equi.map(_._1), r, equi.map(_._2)),
+          s"equijoin '${cfg.name}'")
+    }.getOrElse(())
+
+  /** `l.x = r.y` conjuncts of a join condition as (leftName, rightName)
+    * pairs; empty when the condition has no such conjunct (or fails to
+    * parse — callers treat that as "no extractable key"). */
+  private def equiConjuncts(
+      spark: org.apache.spark.sql.SparkSession, condition: String): Seq[(String, String)] =
+    scala.util.Try {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
       import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-      val parsed = l.sparkSession.sessionState.sqlParser.parseExpression(cfg.condition)
+      val parsed = spark.sessionState.sqlParser.parseExpression(condition)
       def conjuncts(e: Expression): Seq[Expression] = e match {
         case And(a, b) => conjuncts(a) ++ conjuncts(b)
         case other => Seq(other)
@@ -143,7 +192,7 @@ object EquijoinOp {
           case Seq(q, n) if q == "l" || q == "r" => Some((q, n))
           case _ => None
         }
-      val equi = conjuncts(parsed).flatMap {
+      conjuncts(parsed).flatMap {
         case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
           (side(a), side(b)) match {
             case (Some(("l", ln)), Some(("r", rn))) => Some((ln, rn))
@@ -152,12 +201,7 @@ object EquijoinOp {
           }
         case _ => None
       }
-      if (equi.nonEmpty &&
-          equi.forall { case (ln, rn) => l.columns.contains(ln) && r.columns.contains(rn) })
-        graft.core.PairBudget.warnIfSkewed(
-          graft.core.PairBudget.equiJoinStats(l, equi.map(_._1), r, equi.map(_._2)),
-          s"equijoin '${cfg.name}'")
-    }.getOrElse(())
+    }.getOrElse(Seq.empty)
 
   /** Stratified-by-length candidate sampling (reference equijoin.py:723-778
     * `stratified_length_sample`), distributively:

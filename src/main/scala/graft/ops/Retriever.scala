@@ -49,6 +49,10 @@ object RetrieverOp {
       col(corpusEmbCol).as("_ce"),
       expr(corpusRenderExpr).cast("string").as("_ctext"))
     val small = c.limit(corpusGate + 1).count() <= corpusGate
+    if (!small) graft.core.PairBudget.notice(
+      s"[graft] retriever '$name': corpus exceeds corpusGate=$corpusGate — " +
+        s"switching to the IVF-indexed path (approximate: only the $nProbe " +
+        "probed cells per query are scored)")
     val scored =
       if (small)
         graft.core.Joins.boundedCrossBroadcast(withId, c, col(rowId), col("_ctext"),
@@ -86,10 +90,12 @@ object RetrieverOp {
       k: Int = 3,
       /** Corpus rows above which the broadcast is refused and scoring routes
         * through the inverted-index join (same postings shape as byBm25 with
-        * the idf/tf weighting dropped). The indexed path never materializes
-        * zero-overlap pairs, so rows whose query shares no token with any
-        * corpus doc get a null context instead of k arbitrary score-0 docs —
-        * at retrieval semantics level those docs carry no signal either way. */
+        * the idf/tf weighting dropped). Zero-overlap (query, doc) pairs are
+        * excluded on BOTH sides of the gate — the indexed path never
+        * materializes them and the broadcast path filters `_score > 0` to
+        * match — so a query sharing no token with any corpus doc gets a null
+        * context regardless of corpus size, and crossing the gate never
+        * changes retrieval output (Round9Spec pins the A/B equality). */
       corpusGate: Int = 100000,
       maxPostingSize: Option[Int] = None): DataFrame = {
     val outKey = s"_${name}_retrieved_context"
@@ -99,12 +105,17 @@ object RetrieverOp {
       split(col(corpusTextCol), " ").as("_ctoks"),
       expr(corpusRenderExpr).cast("string").as("_ctext"))
     val small = c.limit(corpusGate + 1).count() <= corpusGate
+    if (!small) graft.core.PairBudget.notice(
+      s"[graft] retriever '$name': corpus exceeds corpusGate=$corpusGate — " +
+        "switching to the inverted-index postings path" +
+        maxPostingSize.fold("")(cap => s" (postings over $cap docs banned)"))
     val scored =
       if (small)
         graft.core.Joins.boundedCrossBroadcast(withId, c, col(rowId), col("_ctext"),
             maxRows = corpusGate, context = s"retriever '$name'")
           .withColumn("_score",
             size(array_intersect(split(col(queryTextCol), " "), col("_ctoks"))).cast("double"))
+          .filter(col("_score") > 0)
       else {
         // Large-corpus path: |query ∩ doc| = count of matched postings after
         // per-side distinct — a term-key hash join, no cross at any size.
@@ -236,6 +247,10 @@ object RetrieverOp {
       expr(corpusRenderExpr).cast("string").as("_ctext"))
     val qToks = split(col(queryTextCol), " ")
     val small = c.limit(corpusGate + 1).count() <= corpusGate
+    if (!small) graft.core.PairBudget.notice(
+      s"[graft] retriever '$name': corpus exceeds corpusGate=$corpusGate — " +
+        "switching to the union-of-arms indexed path (candidates = term " +
+        s"matches ∪ $nProbe probed IVF cells; both-zero-signal docs are not scored)")
     val scored =
       if (small) {
         val overlap = size(array_intersect(qToks, col("_ctoks"))).cast("double")

@@ -300,7 +300,25 @@ object SemanticReduce {
       def foldGroup(): Option[Row] = {
         val first = buf.head
         val keyVals = (0 until nk).map(first.get)
-        val ptVals = cfgB.passThrough.indices.map(i => first.get(ptStart + i))
+        // _pt must match the collect_list baseline's
+        // min(struct(orderKey, passThrough...)): among rows sharing the
+        // minimal orderKey, the minimal pass-through tuple wins. The
+        // partition sort is (keys, ord, member), so the first row is only
+        // minimal in (ord, member) — track the (ord, pt...) minimum
+        // explicitly (ReduceStreamingSpec pins the tie-break equivalence).
+        def ptTuple(r: Row): Seq[Any] =
+          r.get(nk) +: cfgB.passThrough.indices.map(i => r.get(ptStart + i))
+        def cmpAny(a: Any, b: Any): Int = (a, b) match {
+          case (null, null) => 0
+          case (null, _) => -1 // ascending struct ordering: null first
+          case (_, null) => 1
+          case (x: Comparable[_], _) => x.asInstanceOf[Comparable[Any]].compareTo(b)
+          case _ => 0 // non-Comparable pass-through type: keep first-seen
+        }
+        def cmpSeq(a: Seq[Any], b: Seq[Any]): Int =
+          a.iterator.zip(b.iterator).map { case (x, y) => cmpAny(x, y) }
+            .find(_ != 0).getOrElse(0)
+        var bestPt = ptTuple(first)
         def sameGroup(r: Row): Boolean =
           (0 until nk).forall(i => r.get(i) == first.get(i))
         var n = 0L
@@ -342,11 +360,22 @@ object SemanticReduce {
         while (buf.hasNext && sameGroup(buf.head)) {
           val r = buf.next()
           n += 1
-          chunk += r.getString(iM)
-          if (chunk.size >= cfgB.foldBatchSize) flush()
+          // Once skip_on_error marks the group failed we still drain its
+          // rows to reach the next group, but stop buffering members —
+          // otherwise chunk grows O(group size), the exact unbounded state
+          // this streaming shape exists to prevent.
+          if (failed.isEmpty) {
+            if (cfgB.passThrough.nonEmpty) {
+              val cand = ptTuple(r)
+              if (cmpSeq(cand, bestPt) < 0) bestPt = cand
+            }
+            chunk += r.getString(iM)
+            if (chunk.size >= cfgB.foldBatchSize) flush()
+          }
         }
         flush()
         if (failed.isDefined) return None
+        val ptVals = bestPt.tail
         try {
           val initial = acc.getOrElse(call(""))
           val values = cfgB.gleaning match {

@@ -111,12 +111,16 @@ object WebFetchOp {
     val newSchema = df.schema.add(
       StructField(outKey, if (isList) ArrayType(StringType) else StringType))
     df.mapPartitions { it =>
-      def one(url: String): String = {
-        val raw = http.fetch(url)
-        val isHtml = HtmlToMarkdown.looksLikeHtml(raw)
-        val body = if (bodyOnly && isHtml) HtmlToMarkdown.extractBody(raw) else raw
-        if (convertToMarkdown && isHtml) HtmlToMarkdown(body) else body
-      }
+      // Per-URL failure becomes the row's content, not a stage failure
+      // (reference web_fetch.py:214 returns "ERROR: {e}" for the failing
+      // URL) — same policy WebSearchOp applies to bad search rows.
+      def one(url: String): String =
+        try {
+          val raw = http.fetch(url)
+          val isHtml = HtmlToMarkdown.looksLikeHtml(raw)
+          val body = if (bodyOnly && isHtml) HtmlToMarkdown.extractBody(raw) else raw
+          if (convertToMarkdown && isHtml) HtmlToMarkdown(body) else body
+        } catch { case e: Exception => s"ERROR: ${String.valueOf(e.getMessage)}" }
       graft.llm.Concurrency.mapOrdered(it, math.max(1, maxWorkers)) { row =>
         val fetched: Any = staticUrl match {
           case Some(u) => one(u)

@@ -98,8 +98,17 @@ object HtmlToMarkdown {
     val named = s
       .replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'").replace("&apos;", "'")
-    val numeric = raw"&#(\d+);".r.replaceAllIn(named,
-      m => java.util.regex.Matcher.quoteReplacement(m.group(1).toInt.toChar.toString))
+    // Out-of-range entities pass through unchanged; supplementary
+    // codepoints (> 0xFFFF) decode to surrogate pairs, not a truncated char.
+    val numeric = raw"&#(\d+);".r.replaceAllIn(named, { m =>
+      val digits = m.group(1)
+      val cp = if (digits.length <= 8) digits.toLong else Long.MaxValue
+      val decoded =
+        if (cp >= 0 && cp <= Character.MAX_CODE_POINT && Character.isValidCodePoint(cp.toInt))
+          new String(Character.toChars(cp.toInt))
+        else m.matched
+      java.util.regex.Matcher.quoteReplacement(decoded)
+    })
     numeric.replace("&amp;", "&") // last, so &amp;lt; decodes to &lt; not <
   }
 

@@ -13,6 +13,14 @@ import org.apache.spark.sql.types._
   * swaps in, the operator code is identical (the semantic mapPartitions ops
   * compose with streams too — they are object operators, legal in
   * append-mode streams).
+  *
+  * The stateful ops accept a `stateTtl` (processing-time duration string):
+  * groups idle past it are evicted, so total state is bounded by the TTL
+  * window's activity instead of the stream's lifetime. Note Spark schedules
+  * extra (possibly empty) micro-batches to fire processing-time timeouts:
+  * run TTL'd queries with a real `Trigger.ProcessingTime` interval, and
+  * poll the sink rather than `processAllAvailable()` in tests (the engine
+  * never reports a TTL'd stream quiescent).
   */
 object Streams {
 
@@ -40,55 +48,88 @@ object Streams {
     * snapshot (Update-mode consumers keep the latest row per user). The
     * batch analog is q06_sessionize; this is the always-on form.
     *
+    * `stateTtl` bounds state over an infinite stream: a user idle past the
+    * TTL (processing time) has their state evicted — the final session
+    * snapshot is emitted once more on eviction, and a later event starts a
+    * fresh session. Without a TTL the per-user state set grows with the
+    * number of EVER-seen users, which an always-on pipeline cannot afford.
+    *
     * Input must have columns (user_id: Long, ts_seconds: Long).
     */
   def sessionize(
       events: Dataset[Row],
-      gapSeconds: Long): Dataset[SessionInfo] = {
+      gapSeconds: Long,
+      stateTtl: Option[String] = None): Dataset[SessionInfo] = {
     import events.sparkSession.implicits._
     val byUser = events
       .selectExpr("user_id", "ts_seconds")
       .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       .groupByKey(_._1)
-    byUser.mapGroupsWithState[SessionState, SessionInfo](
-      GroupStateTimeout.NoTimeout) {
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    byUser.mapGroupsWithState[SessionState, SessionInfo](timeoutConf) {
       case (userId, rows, state: GroupState[SessionState]) =>
-        val ts = rows.map(_._2).toSeq.sorted
-        val merged = ts.foldLeft(state.getOption) {
-          case (None, t) => Some(SessionState(t, t, 1))
-          case (Some(s), t) if t - s.last <= gapSeconds =>
-            Some(SessionState(s.start, t, s.n + 1))
-          case (Some(_), t) => Some(SessionState(t, t, 1)) // gap exceeded
+        if (state.hasTimedOut) {
+          // Idle past TTL: emit the closing snapshot, drop the state.
+          val s = state.get
+          state.remove()
+          SessionInfo(userId, s.start, s.last, s.n)
+        } else {
+          val ts = rows.map(_._2).toSeq.sorted
+          val merged = ts.foldLeft(state.getOption) {
+            case (None, t) => Some(SessionState(t, t, 1))
+            case (Some(s), t) if t - s.last <= gapSeconds =>
+              Some(SessionState(s.start, t, s.n + 1))
+            case (Some(_), t) => Some(SessionState(t, t, 1)) // gap exceeded
+          }
+          merged.foreach(state.update)
+          stateTtl.foreach(state.setTimeoutDuration)
+          val s = merged.get
+          SessionInfo(userId, s.start, s.last, s.n)
         }
-        merged.foreach(state.update)
-        val s = merged.get
-        SessionInfo(userId, s.start, s.last, s.n)
     }
   }
 
   /** Streaming exact dedup with keyed state (`flatMapGroupsWithState`):
     * the FIRST row per normalized-text fingerprint passes, every later
     * duplicate is dropped — the always-on analog of
-    * [[graft.dedup.ExactDedup]]. State per fingerprint is one boolean; on a
-    * real deployment bound it with a TTL/watermark policy. Input needs
+    * [[graft.dedup.ExactDedup]]. State per fingerprint is one boolean;
+    * `stateTtl` (processing time) evicts fingerprints idle past the TTL, so
+    * total state is bounded by the TTL window's distinct-fingerprint count
+    * instead of the stream's lifetime count. The recall trade: a duplicate
+    * arriving after its original's state expired passes again. Input needs
     * (id: Long, text: String) columns.
     */
-  def dedupExact(rows: Dataset[Row]): Dataset[(Long, String)] = {
+  def dedupExact(
+      rows: Dataset[Row],
+      stateTtl: Option[String] = None): Dataset[(Long, String)] = {
     import rows.sparkSession.implicits._
     def fingerprint(text: String): String = {
       val normalized = text.trim.toLowerCase.replaceAll("\\s+", " ")
       java.security.MessageDigest.getInstance("MD5")
         .digest(normalized.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     rows.selectExpr("id", "text")
       .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
       .groupByKey { case (_, text) => fingerprint(text) }
       .flatMapGroupsWithState[Boolean, (Long, String)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
         case (_, items, state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) {
+            state.remove() // fingerprint idle past TTL: evict
+            Iterator.empty
+          } else if (state.exists) {
+            // Seen before: refresh the TTL (sliding policy — duplicates of a
+            // live fingerprint keep it live) and drop the duplicates.
+            stateTtl.foreach(state.setTimeoutDuration)
+            Iterator.empty
+          } else {
             state.update(true)
+            stateTtl.foreach(state.setTimeoutDuration)
             // The group iterator's order after the shuffle is partition
             // order, not arrival order — pick the min id so the surviving
             // record is deterministic across runs and parallelism.
@@ -116,7 +157,14 @@ object Streams {
     *
     * A pair co-falling in several bands emits once per band; pipe through
     * `dropDuplicates("id_a", "id_b")` (with a watermark for bounded state)
-    * when unique pair events are required. Input needs (id: Long,
+    * when unique pair events are required.
+    *
+    * `maxBucketState` bounds each bucket, but over an infinite stream the
+    * NUMBER of (band, key) buckets grows without bound — `stateTtl`
+    * (processing time) evicts buckets idle past the TTL so total state is
+    * `maxBucketState x (buckets active within one TTL window)`. The recall
+    * trade: a near-duplicate arriving after every band bucket it shares
+    * with its original expired is not flagged. Input needs (id: Long,
     * text: String) columns.
     */
   def dedupNearMinhash(
@@ -125,7 +173,8 @@ object Streams {
       numPerms: Int = 64,
       numBands: Int = 16,
       threshold: Double = 0.8,
-      maxBucketState: Int = 64): Dataset[(Long, Long, Double)] = {
+      maxBucketState: Int = 64,
+      stateTtl: Option[String] = None): Dataset[(Long, Long, Double)] = {
     require(numPerms % numBands == 0, "numPerms must be divisible by numBands")
     val rowsPerBand = numPerms / numBands
     val sh = graft.functions.ShingleHashes(col("text"), shingleSize)
@@ -139,11 +188,17 @@ object Streams {
       .select(col("id"), sig.as("_sig"))
       .select(col("id"), col("_sig"), bands.as(Seq("_band", "_bkey")))
     import rows.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .as[(Long, Seq[Long], Int, Long)]
       .groupByKey { case (_, _, band, bkey) => (band, bkey) }
       .flatMapGroupsWithState[BucketMembers, (Long, Long, Double)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[BucketMembers]) if state.hasTimedOut =>
+          state.remove() // bucket idle past TTL: evict its members
+          Iterator.empty
         case (_, items, state: GroupState[BucketMembers]) =>
           var members = state.getOption.getOrElse(BucketMembers(Nil, Nil))
           val out = Seq.newBuilder[(Long, Long, Double)]
@@ -165,6 +220,7 @@ object Streams {
               members = BucketMembers(members.ids :+ id, members.sigs :+ s.toSeq)
           }
           state.update(members)
+          stateTtl.foreach(state.setTimeoutDuration)
           out.result().iterator
       }
   }

@@ -352,7 +352,9 @@ class Round5YamlSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("r5retr").toString
     docsDf.write.mode("overwrite").parquet(s"$dir/d.parquet")
     // corpus where every document mentions "fast": any retrieved context
-    // flips the mock sentiment rule to positive for every row
+    // flips the mock sentiment rule to positive — but ONLY rows sharing at
+    // least one token retrieve anything (zero-overlap rows get null
+    // context on both sides of the corpus gate, round 9 unification)
     val corpus = df(StructType(Seq(StructField("ctext", StringType))),
       Row("everything is fast here"), Row("fast fast fast"))
     corpus.write.mode("overwrite").parquet(s"$dir/c.parquet")
@@ -373,9 +375,17 @@ class Round5YamlSpec extends SparkSpec {
          |          output: { schema: { sentiment: str } }
          |""".stripMargin, spark)
     val rows = out.collect()
-    // context prepended -> every prompt contains "fast" -> all positive
-    assert(rows.forall(_.getAs[String]("sentiment") == "positive"))
-    assert(rows.forall(_.getAs[String]("_rm_retrieved_context").nonEmpty))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("sentiment"), Option(r.getAs[String]("_rm_retrieved_context")))).toMap
+    // overlapping rows (docs 1/4/5 share "fast"/"is", doc 6 shares "here"):
+    // context prepended -> prompt contains "fast" -> positive
+    Seq(1L, 4L, 5L, 6L).foreach { id =>
+      assert(byId(id)._1 == "positive" && byId(id)._2.exists(_.nonEmpty), s"doc $id")
+    }
+    // zero-overlap rows retrieve nothing: the prompt is the bare text, so
+    // the mock rule sees "slow" (doc 2) / neither (doc 3)
+    assert(byId(2L) == ("negative", None))
+    assert(byId(3L) == ("neutral", None))
     // without save_retriever_output the column is dropped
     val out2 = Pipeline.runYaml(
       s"""datasets:

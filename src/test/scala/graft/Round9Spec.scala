@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.PairBudget
+import graft.llm.MockLlmClient
+import graft.ops.{EquijoinOp, RetrieverOp, SemanticReduce, WebFetchOp}
+
+/** Always-throwing fetch double — per-URL error policy test. */
+final class ExplodingHttpClient extends graft.ops.HttpClient {
+  def search(query: String, maxResults: Int): Seq[(String, String, String)] = Nil
+  def fetch(url: String): String =
+    if (url.contains("bad")) throw new RuntimeException(s"boom:$url")
+    else s"ok:$url"
+}
+
+/** Mock that throws on prompts containing "poison"; counts every attempt
+  * (including the throwing ones — the mock's own counter only sees
+  * successes). */
+final case class PoisonLlmClient(inner: MockLlmClient = MockLlmClient())
+    extends graft.llm.LlmClient {
+  def complete(model: String, prompt: String, schema: StructType): graft.llm.LlmResponse = {
+    PoisonLlmClient.attempts.incrementAndGet()
+    if (prompt.contains("poison")) throw new RuntimeException("bad group")
+    inner.complete(model, prompt, schema)
+  }
+  def embed(model: String, texts: Seq[String]): Seq[Array[Float]] = inner.embed(model, texts)
+}
+object PoisonLlmClient {
+  val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+class Round9Spec extends SparkSpec {
+  private val client = MockLlmClient()
+
+  // ---------------------------------------------------------------- equijoin
+
+  test("equijoin maxPairsPerKey caps verify calls per hot key") {
+    // Key "hot": 10 x 12 = 120 pairs; key "cold": 2 x 2 = 4 pairs. Budget 7
+    // bounds the hot key's verify calls at 7 while the cold key keeps all 4
+    // — per-key, not global. Renders are pairwise distinct, so with a clean
+    // cache callCount == verified pairs exactly.
+    val l = spark.range(10).select(col("id"), lit("hot").as("jk"),
+        concat(lit("l9h"), col("id")).as("cl"))
+      .union(spark.range(2).select(col("id") + 100, lit("cold").as("jk"),
+        concat(lit("l9c"), col("id")).as("cl")))
+    val r = spark.range(12).select(col("id").as("rid"), lit("hot").as("jk2"),
+        concat(lit("r9h"), col("id")).as("cr"))
+      .union(spark.range(2).select((col("id") + 100).as("rid"), lit("cold").as("jk2"),
+        concat(lit("r9c"), col("id")).as("cr")))
+    graft.llm.LlmCache.clear()
+    MockLlmClient.resetCalls()
+    val out = EquijoinOp(l, r, EquijoinOp.Config(
+      name = "capej", condition = "l.jk = r.jk2",
+      compareExprLeft = "cl", compareExprRight = "cr", llmVerify = true,
+      leftIdKey = "id", rightIdKey = "rid",
+      maxPairsPerKey = Some(7L)), client)
+    out.count()
+    assert(client.callCount == 7 + 4)
+  }
+
+  test("equijoin maxPairsPerKey keeps a deterministic head and preserves matches in it") {
+    // Renders collide (mock is_match = equality) only for the pair (0, 0),
+    // which sorts first in the (leftId, rightId) head — the cap must keep it.
+    val l = spark.range(6).select(col("id"), lit("k").as("jk"),
+      when(col("id") === 0, lit("same9")).otherwise(concat(lit("L"), col("id"))).as("cl"))
+    val r = spark.range(6).select(col("id").as("rid"), lit("k").as("jk2"),
+      when(col("rid") === 0, lit("same9")).otherwise(concat(lit("R"), col("rid"))).as("cr"))
+    graft.llm.LlmCache.clear()
+    val out = EquijoinOp(l, r, EquijoinOp.Config(
+      name = "headej", condition = "l.jk = r.jk2",
+      compareExprLeft = "cl", compareExprRight = "cr", llmVerify = true,
+      leftIdKey = "id", rightIdKey = "rid",
+      maxPairsPerKey = Some(10L)), client)
+    val rowsOut = out.select("id", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(rowsOut.toSeq == Seq((0L, 0L))) // the matching pair survived the head
+  }
+
+  test("equijoin maxPairsPerKey without an equi key degrades to a loud global head") {
+    val l = spark.range(5).select(col("id"), concat(lit("a"), col("id")).as("cl"))
+    val r = spark.range(5).select(col("id").as("rid"), concat(lit("b"), col("id")).as("cr"))
+    graft.llm.LlmCache.clear()
+    MockLlmClient.resetCalls()
+    PairBudget.lastWarning = None
+    EquijoinOp(l, r, EquijoinOp.Config(
+      name = "globej", condition = "l.id < r.rid",
+      compareExprLeft = "cl", compareExprRight = "cr", llmVerify = true,
+      leftIdKey = "id", rightIdKey = "rid",
+      maxPairsPerKey = Some(3L)), client).count()
+    assert(client.callCount == 3) // 10 candidate pairs, global head of 3
+    assert(PairBudget.lastWarning.exists(m =>
+      m.contains("globej") && m.contains("global head")))
+  }
+
+  test("equijoin maxPairsPerKey requires side ids") {
+    val l = spark.range(2).select(col("id"), lit("x").as("cl"))
+    val r = spark.range(2).select(col("id").as("rid"), lit("y").as("cr"))
+    val err = intercept[IllegalArgumentException] {
+      EquijoinOp(l, r, EquijoinOp.Config(
+        name = "noid", condition = "l.id = r.rid",
+        compareExprLeft = "cl", compareExprRight = "cr", llmVerify = true,
+        maxPairsPerKey = Some(3L)), client).count()
+    }
+    assert(err.getMessage.contains("left_id_key"))
+  }
+
+  // ---------------------------------------------------------------- retriever
+
+  test("term-overlap retrieval is identical across the corpus gate, zero-overlap included") {
+    // Query 3 shares no token with any corpus doc: BOTH the broadcast and
+    // the indexed path must give it a null context (score-0 docs are never
+    // retrieved on either side of the gate).
+    val corpus = df(
+      StructType(Seq(StructField("ctext", StringType))),
+      (0 until 40).map(i => Row(f"w$i%02d common")): _*)
+    val base = df(StructType(Seq(
+      StructField("id", LongType), StructField("qtext", StringType))),
+      Row(1L, "w01 w02 common"), Row(2L, "w10"), Row(3L, "zzz qqq"))
+    def ctx(d: org.apache.spark.sql.DataFrame): Seq[Option[String]] =
+      d.orderBy("id").select("_rag_retrieved_context").collect()
+        .map(r => Option(r.getString(0))).toSeq
+    val viaBroadcast = ctx(RetrieverOp.byTermOverlap(
+      base, "rag", "qtext", corpus, "ctext", "ctext", k = 2))
+    val viaIndex = ctx(RetrieverOp.byTermOverlap(
+      base, "rag", "qtext", corpus, "ctext", "ctext", k = 2, corpusGate = 10))
+    assert(viaBroadcast == viaIndex)
+    assert(viaBroadcast(2).isEmpty) // zero overlap -> null, not k score-0 docs
+    assert(viaBroadcast(0).nonEmpty)
+  }
+
+  test("retrievers announce the switch to their indexed path") {
+    val corpus = df(
+      StructType(Seq(StructField("ctext", StringType))),
+      (0 until 20).map(i => Row(f"w$i%02d common")): _*)
+    val base = df(StructType(Seq(
+      StructField("id", LongType), StructField("qtext", StringType))),
+      Row(1L, "w01 common"))
+    PairBudget.lastWarning = None
+    RetrieverOp.byTermOverlap(base, "r9n", "qtext", corpus, "ctext", "ctext",
+      k = 1, corpusGate = 10)
+    assert(PairBudget.lastWarning.exists(m =>
+      m.contains("retriever 'r9n'") && m.contains("corpusGate=10")))
+    PairBudget.lastWarning = None
+    RetrieverOp.byTermOverlap(base, "r9q", "qtext", corpus, "ctext", "ctext", k = 1)
+    assert(PairBudget.lastWarning.isEmpty) // below the gate: quiet broadcast
+  }
+
+  // ---------------------------------------------------------------- web fetch
+
+  test("web_fetch turns a per-URL failure into the row's ERROR content") {
+    val d = df(StructType(Seq(StructField("u", StringType))),
+      Row("https://x.invalid/bad1"), Row("https://x.invalid/fine"))
+    val out = WebFetchOp(d, "wf9", "u", http = new ExplodingHttpClient())
+      .orderBy("u").select("wf9_content").collect().map(_.getString(0))
+    assert(out(0).startsWith("ERROR: boom:"))
+    assert(out(1) == "ok:https://x.invalid/fine")
+  }
+
+  test("web_fetch list mode fails per element, not per row") {
+    val d = df(StructType(Seq(StructField("us", ArrayType(StringType)))),
+      Row(Seq("https://x.invalid/fine", "https://x.invalid/bad2", null)))
+    val out = WebFetchOp(d, "wf9l", "us", http = new ExplodingHttpClient())
+      .select("wf9l_content").collect()(0).getSeq[String](0)
+    assert(out(0) == "ok:https://x.invalid/fine")
+    assert(out(1).startsWith("ERROR: boom:"))
+    assert(out(2) == null) // null/empty URLs stay null (reference alignment)
+  }
+
+  // ---------------------------------------------------------------- html
+
+  test("numeric entities decode supplementary planes and survive junk") {
+    import graft.sources.HtmlToMarkdown
+    assert(HtmlToMarkdown("<p>pile &#128169; of</p>") == "pile 💩 of")
+    assert(HtmlToMarkdown("<p>big &#99999999999; stays</p>") == "big &#99999999999; stays")
+    assert(HtmlToMarkdown("<p>huge &#99999999999999999999; stays</p>")
+      == "huge &#99999999999999999999; stays")
+    assert(HtmlToMarkdown("<p>hi &#65;</p>") == "hi A")
+  }
+
+  // ---------------------------------------------------------------- reduce
+
+  test("streaming fold pass-through matches the min-struct tie-break on tied order keys") {
+    // Three rows share the minimal orderKey with DIFFERENT pass-through
+    // values; the member strings sort differently from the pass-through
+    // values, so first-row-in-(ord, member)-order would pick the WRONG one.
+    // Baseline _pt = min(struct(ord, p)) -> p = "a".
+    val rows = Seq(
+      Row(1L, "g1", "zz-member", "a"),
+      Row(1L, "g1", "aa-member", "z"),
+      Row(1L, "g1", "mm-member", "m"),
+      Row(2L, "g1", "later", "q"),
+      Row(1L, "g2", "solo", "s"))
+    val d = df(StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("m", StringType), StructField("p", StringType))), rows: _*)
+    def run(streaming: Boolean) = {
+      graft.llm.LlmCache.clear()
+      SemanticReduce(d, SemanticReduce.Config(
+        name = "tb", reduceKeys = Seq("g"), memberExpr = "m", orderKey = "id",
+        outputSchema = Seq("acc" -> "str"), strategy = "fold",
+        foldBatchSize = 2, streamingFold = streaming,
+        passThrough = Seq("p")), client)
+        .orderBy("g").collect().map(_.toSeq).toSeq
+    }
+    val streamingOut = run(true)
+    assert(streamingOut == run(false))
+    assert(streamingOut(0)(1) == "a") // min (ord, p) tuple, not first member order
+  }
+
+  test("streaming fold stops buffering a group once skip_on_error fails it") {
+    // Group g0's members make the client throw; the group must drop while
+    // g1 still reduces, and g0 pays exactly ONE attempt (first chunk) —
+    // after the failure no more chunks are built or flushed.
+    val poisoned = PoisonLlmClient()
+    val rows = (1 to 8).map(i => Row(i.toLong, "g0", s"poison-$i")) ++
+      (1 to 3).map(i => Row(i.toLong, "g1", s"fine-$i"))
+    val d = df(StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("m", StringType))), rows: _*)
+    graft.llm.LlmCache.clear()
+    PoisonLlmClient.attempts.set(0)
+    val out = SemanticReduce(d, SemanticReduce.Config(
+      name = "sk", reduceKeys = Seq("g"), memberExpr = "m", orderKey = "id",
+      outputSchema = Seq("acc" -> "str"), strategy = "fold",
+      foldBatchSize = 2, skipOnError = true), poisoned)
+      .select("g").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("g1"))
+    // g0: 1 failing attempt, then the group stops flushing; g1: ceil(3/2)
+    // = 2 chunk calls. Total attempts = 3.
+    assert(PoisonLlmClient.attempts.get() == 3)
+  }
+}

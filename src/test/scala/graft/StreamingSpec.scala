@@ -105,4 +105,98 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(ids == Set(1L, 3L, 5L)) // 2 deduped in-batch, 4 across batches
   }
+
+  // With ProcessingTimeTimeout the engine keeps scheduling timeout-check
+  // batches, so `processAllAvailable` never sees a quiescent stream — the
+  // TTL tests poll the sink instead (a real trigger interval paces the
+  // timeout batches; state evicts on the first empty batch past the TTL).
+  private def eventually(what: String, timeoutMs: Long = 30000)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (!cond) {
+      assert(System.currentTimeMillis < deadline, s"timed out waiting for: $what")
+      Thread.sleep(100)
+    }
+  }
+
+  test("dedupExact stateTtl evicts idle fingerprints so state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+    val deduped = Streams.dedupExact(docs.toDF(), stateTtl = Some("50 milliseconds"))
+    val q = deduped.toDF("id", "text").writeStream.format("memory")
+      .queryName("ttl_dedup").outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def ids() = spark.sql("SELECT id FROM ttl_dedup").collect().map(_.getLong(0)).toSet
+    input.addData((1L, "ttl doc"))
+    eventually("first copy passes")(ids().contains(1L))
+    Thread.sleep(500) // idle past the TTL: the empty batches evict the state
+    input.addData((2L, "ttl doc"))
+    // without eviction this duplicate would be dropped forever — it passing
+    // again IS the proof the fingerprint state was removed (the documented
+    // recall trade)
+    eventually("post-TTL duplicate passes again")(ids().contains(2L))
+    eventually("state drained")(q.lastProgress != null &&
+      q.lastProgress.stateOperators(0).numRowsTotal <= 1L)
+    q.stop()
+    assert(ids() == Set(1L, 2L))
+  }
+
+  test("dedupNearMinhash stateTtl evicts idle buckets (bounded state, documented recall trade)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank " +
+      "while birds sing in tall green trees during a calm bright summer morning"
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+    val pairs = Streams.dedupNearMinhash(docs.toDF(), threshold = 0.5,
+      stateTtl = Some("50 milliseconds"))
+    val q = pairs.toDF("id_a", "id_b", "est").writeStream.format("memory")
+      .queryName("ttl_neardup").outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def got() = spark.sql("SELECT DISTINCT id_a, id_b FROM ttl_neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    input.addData((1L, base), (2L, base.replace("calm", "quiet")))
+    eventually("live in-batch pair flagged")(got().contains((1L, 2L)))
+    Thread.sleep(500) // docs 1/2's band buckets idle past TTL -> evicted
+    // doc 3 is a near-dup of 1/2 but arrives after eviction; docs 7/8 are a
+    // fresh in-batch pair in the SAME batch — their pair appearing proves
+    // doc 3's batch fully processed, so the absence of any (x, 3) pair is
+    // eviction, not lag.
+    val other = "some entirely separate piece of writing about query engines " +
+      "and the cost of shuffles in distributed execution plans at scale"
+    input.addData((3L, base + " extra"), (7L, other), (8L, other.replace("cost", "price")))
+    eventually("post-eviction batch processed")(got().contains((7L, 8L)))
+    val pairsWith3 = got().filter(p => p._1 == 3L || p._2 == 3L)
+    q.stop()
+    assert(pairsWith3.isEmpty) // state was gone: late near-dup not flagged
+    assert(got() == Set((1L, 2L), (7L, 8L)))
+  }
+
+  test("sessionize stateTtl closes idle sessions and restarts on return") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("user_id", "ts_seconds")
+    val sessions = Streams.sessionize(events.toDF(), gapSeconds = 60,
+      stateTtl = Some("50 milliseconds"))
+    val q = sessions.toDF().writeStream.format("memory").queryName("ttl_sessions")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def rows() = spark.sql(
+      "SELECT user_id, session_start, session_end, n_events FROM ttl_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    input.addData((1L, 100L))
+    eventually("first event sessionized")(rows().contains((1L, 100L, 100L, 1L)))
+    Thread.sleep(500) // user 1 idle past TTL: closing snapshot, state evicted
+    // event-time 130 is within gapSeconds of 100, but the state is gone ->
+    // a FRESH session starts instead of extending the old one
+    input.addData((1L, 130L))
+    eventually("fresh session after eviction")(rows().contains((1L, 130L, 130L, 1L)))
+    q.stop()
+    assert(!rows().contains((1L, 100L, 130L, 2L)))
+  }
 }
