@@ -73,8 +73,20 @@ object Bench {
     val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + f"$s%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Run-quality self-report: identical binaries have swung 1.3-1.7x per
+    // query under ambient machine load (round 8's committed artifact read as
+    // a phantom 1.7x regression). When the MEDIAN max-min spread exceeds
+    // half the median min, the run is load-noise — say so in the artifact
+    // instead of leaving the reader to re-bench.
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
+    val noisy = results.nonEmpty &&
+      median(results.map(_._3)) > 0.5 * median(results.map(_._2))
+    if (noisy) System.err.println(
+      "[graft] bench: median spread exceeds 50% of median min — this run " +
+        "was taken under load; treat per-query numbers as upper bounds")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""iterations":$iters,"spread":$spreads,"sf":"$sfDir"}"""
+      s""""iterations":$iters,"spread":$spreads,"noisy_run":$noisy,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout, and a 67-query 3-iteration
     // JSON line is long enough to lose its head to that window (it did in
     // round 7 — the judge had to re-run the bench). Persist the full line to
@@ -82,6 +94,19 @@ object Bench {
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    // Driver rounds bench at sf0.1 with the full suite: also write the round
+    // artifact itself (next BENCH_rNN.json after the largest committed one),
+    // so the repo copy is never a truncated stdout tail. Local sf0.01 /
+    // filtered iterations skip this — they must not masquerade as round
+    // artifacts.
+    if (sfDir.replaceAll("/+$", "").endsWith("sf0.1") && only.isEmpty) {
+      val rePat = "BENCH_r(\\d+)\\.json".r
+      val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => rePat.unapplySeq(f.getName).map(_.head.toInt))
+      val next = (prev :+ 0).max + 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"BENCH_r$next%02d.json"), json.getBytes("UTF-8"))
+    }
     println(json)
     spark.stop()
   }

@@ -59,10 +59,45 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def sampleFirst(n: Int, orderCols: String*): Frame = next(SampleOp.first(df, n, orderCols))
   def sampleHash(keyExpr: String, fraction: Double, seed: Long = 0): Frame =
     next(SampleOp.uniformHash(df, keyExpr, fraction, seed))
+  def sampleStratified(stratifyKey: String, nPerGroup: Int, orderCols: String*): Frame =
+    next(SampleOp.stratified(df, stratifyKey, nPerGroup, orderCols))
+  def sampleStratifiedUniform(stratifyKey: String, keyExpr: String,
+      nPerGroup: Int, seed: Long = 0): Frame =
+    next(SampleOp.stratifiedUniform(df, stratifyKey, keyExpr, nPerGroup, seed))
+  def sampleProportional(stratifyKey: String, keyExpr: String,
+      total: Int, seed: Long = 0): Frame =
+    next(SampleOp.stratifiedProportional(df, stratifyKey, keyExpr, total, seed))
+  def sampleOutliers(embeddingCol: String, stdCutoff: Option[Double] = None,
+      samples: Option[Int] = None, keep: Boolean = true,
+      tieBreak: Seq[String] = Nil): Frame =
+    next(SampleOp.outliers(df, embeddingCol, stdCutoff, samples, keep, tieBreak))
+  def sampleCustom(samples: Frame): Frame = next(SampleOp.custom(df, samples.df))
   def topkBm25(textCol: String, query: String, k: Int, tieBreak: String*): Frame =
     next(TopKOp.bm25(df, textCol, query.split("\\s+").toSeq, k, tieBreak))
+  def topkBm25Stratified(textCol: String, query: String, k: Int,
+      stratifyKey: String, tieBreak: String*): Frame =
+    next(TopKOp.bm25Stratified(df, textCol, query.split("\\s+").toSeq, k,
+      stratifyKey, tieBreak))
+  def topkEmbedding(embeddingCol: String, query: Array[Double], k: Int,
+      tieBreak: String*): Frame =
+    next(TopKOp.embedding(df, embeddingCol, query, k, tieBreak))
+  def topkEmbeddingStratified(embeddingCol: String, query: Array[Double], k: Int,
+      stratifyKey: String, tieBreak: String*): Frame =
+    next(TopKOp.embeddingStratified(df, embeddingCol, query, k, stratifyKey, tieBreak))
   def rankByLikert(name: String, prompt: String, tieBreak: String*): Frame =
     next(RankOp.byLikert(df, name, prompt, client, tieBreak = tieBreak))
+  def rankByEmbedding(embeddingCol: String, query: Array[Double],
+      direction: String = "desc", tieBreak: Seq[String] = Nil): Frame =
+    next(RankOp.byEmbedding(df, embeddingCol, query, direction, tieBreak))
+  def rankPairwise(name: String, idKey: String, renderExpr: String,
+      blockExpr: String = "", tieBreak: Seq[String] = Nil): Frame =
+    next(RankOp.byPairwise(df, name, idKey, renderExpr, client,
+      blockExpr = blockExpr, tieBreak = tieBreak))
+  def rankSlidingWindow(name: String, embeddingCol: String, query: Array[Double],
+      renderExpr: String, k: Int = 50, windowSize: Int = 10,
+      tieBreak: Seq[String] = Nil): Frame =
+    next(RankOp.bySlidingWindow(df, name, embeddingCol, query, renderExpr, client,
+      k = k, windowSize = windowSize, tieBreak = tieBreak))
   def rankCalibrated(name: String, embeddingCol: String, promptExpr: String,
       sampleSize: Int, tieBreak: String*): Frame =
     next(RankOp.byCalibratedEmbedding(df, name, embeddingCol, promptExpr, client,
@@ -70,13 +105,41 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def topkLlmCompare(name: String, prompt: String, k: Int, tieBreak: String*): Frame =
     next(TopKOp.llmCompare(df, name, prompt, k, client, tieBreak = tieBreak))
 
+  // -- clustering (§2.10)
+  def cluster(embeddingCol: String, renderExpr: String, numClusters: Int,
+      outputKey: String = "clusters"): Frame =
+    next(ClusterOp(df, embeddingCol, renderExpr, numClusters, client,
+      outputKey = outputKey))
+  def clusterHierarchical(embeddingCol: String, renderExpr: String, depth: Int,
+      outputKey: String = "clusters"): Frame =
+    next(ClusterOp.hierarchical(df, embeddingCol, renderExpr, depth, client,
+      outputKey = outputKey))
+
+  // -- set operations (same name-aligned semantics as the YAML step heads:
+  // union is by column name and distinct unless asked otherwise; the right
+  // side of intersect/except re-selects the left's column order so
+  // positional semantics can't pair mismatched columns)
+  def union(other: Frame, distinct: Boolean = true): Frame = {
+    val u = df.unionByName(other.df)
+    next(if (distinct) u.distinct() else u)
+  }
+  def intersect(other: Frame, all: Boolean = false): Frame = {
+    val r = other.df.select(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    next(if (all) df.intersectAll(r) else df.intersect(r))
+  }
+  def except(other: Frame, all: Boolean = false): Frame = {
+    val r = other.df.select(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    next(if (all) df.exceptAll(r) else df.except(r))
+  }
+
   // -- dedup family
   def dedupExact(textCol: String, tieBreak: String): Frame =
     next(graft.dedup.ExactDedup(df, textCol, tieBreak))
   def dedupMinhash(idCol: String, textCol: String, threshold: Double = 0.8,
-      maxBucketSize: Option[Int] = None): Frame =
+      maxBucketSize: Option[Int] = None, maxBucketHead: Option[Int] = None): Frame =
     next(graft.dedup.MinHashDedup(df, idCol, textCol,
-      jaccardThreshold = threshold, maxBucketSize = maxBucketSize))
+      jaccardThreshold = threshold, maxBucketSize = maxBucketSize,
+      maxBucketHead = maxBucketHead))
 
   // -- document parsing / web I/O
   def parse(cfg: graft.sources.ParseOp.Config): Frame =
@@ -95,6 +158,19 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       corpusTextCol: String, k: Int = 3): Frame =
     next(RetrieverOp.byTermOverlap(df, name, queryTextCol, corpus.df,
       corpusTextCol, corpusTextCol, k))
+  def withRetrievedContextBm25(name: String, queryTextCol: String, corpus: Frame,
+      corpusTextCol: String, k: Int = 3): Frame =
+    next(RetrieverOp.byBm25(df, name, queryTextCol, corpus.df,
+      corpusTextCol, corpusTextCol, k))
+  def withRetrievedContextEmbedding(name: String, queryEmbCol: String, corpus: Frame,
+      corpusEmbCol: String, corpusRenderExpr: String, k: Int = 3): Frame =
+    next(RetrieverOp.byEmbedding(df, name, queryEmbCol, corpus.df,
+      corpusEmbCol, corpusRenderExpr, k))
+  def withRetrievedContextHybrid(name: String, queryEmbCol: String,
+      queryTextCol: String, corpus: Frame, corpusEmbCol: String,
+      corpusTextCol: String, k: Int = 3, vectorWeight: Double = 0.5): Frame =
+    next(RetrieverOp.byHybrid(df, name, queryEmbCol, queryTextCol, corpus.df,
+      corpusEmbCol, corpusTextCol, corpusTextCol, k, vectorWeight))
   def cascadeFilter(name: String, prompt: String, targetRecall: Double = 0.9): Frame =
     next(CascadeFilter(df, CascadeFilter.Config(
       name = name, prompt = prompt, targetRecall = targetRecall), client, client))

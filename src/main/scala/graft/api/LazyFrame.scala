@@ -193,10 +193,19 @@ final case class LazyFrame(
       tieBreak: Seq[String] = Nil): LazyFrame =
     append("topk", "method" -> "embedding", "embedding_key" -> embeddingKey,
       "query_vector" -> jlist(queryVector), "k" -> k, "tie_break" -> jlist(tieBreak))
+  def topkEmbeddingStratified(embeddingKey: String, queryVector: Seq[Double],
+      k: Int, stratifyKey: String, tieBreak: Seq[String] = Nil): LazyFrame =
+    append("topk", "method" -> "embedding", "embedding_key" -> embeddingKey,
+      "query_vector" -> jlist(queryVector), "k" -> k,
+      "stratify_key" -> stratifyKey, "tie_break" -> jlist(tieBreak))
   def topkFts(textKey: String, query: String, k: Int,
       tieBreak: Seq[String] = Nil): LazyFrame =
     append("topk", "method" -> "fts", "text_key" -> textKey, "query" -> query,
       "k" -> k, "tie_break" -> jlist(tieBreak))
+  def topkFtsStratified(textKey: String, query: String, k: Int,
+      stratifyKey: String, tieBreak: Seq[String] = Nil): LazyFrame =
+    append("topk", "method" -> "fts", "text_key" -> textKey, "query" -> query,
+      "k" -> k, "stratify_key" -> stratifyKey, "tie_break" -> jlist(tieBreak))
   def embed(textExpr: String, outputKey: String = "embedding"): LazyFrame =
     append("embed", "text_expr" -> textExpr, "output_key" -> outputKey)
   def webSearch(prompt: String, maxResults: Int = 3): LazyFrame =
@@ -245,11 +254,24 @@ final case class LazyFrame(
     append("sample", (base ++ std.map("std" -> (_: Any)) ++
       samples.map("samples" -> (_: Any))): _*)
   }
+  def sampleStratifiedUniform(stratifyKey: String, keyExpr: String,
+      samplesPerGroup: Int, seed: Int = 0): LazyFrame =
+    append("sample", "method" -> "uniform", "stratify_key" -> stratifyKey,
+      "key_expr" -> keyExpr, "samples_per_group" -> samplesPerGroup,
+      "random_state" -> seed)
+  def sampleProportional(stratifyKey: String, keyExpr: String,
+      total: Int, seed: Int = 0): LazyFrame =
+    append("sample", "method" -> "uniform", "stratify_key" -> stratifyKey,
+      "key_expr" -> keyExpr, "samples" -> total, "random_state" -> seed)
   def dedupExact(textKey: String, tieBreak: String): LazyFrame =
     append("dedup", "method" -> "exact", "text_key" -> textKey, "tie_break" -> tieBreak)
-  def dedupMinhash(idKey: String, textKey: String, threshold: Double = 0.8): LazyFrame =
-    append("dedup", "method" -> "minhash", "id_key" -> idKey,
+  def dedupMinhash(idKey: String, textKey: String, threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None, maxBucketHead: Option[Int] = None): LazyFrame = {
+    val base = Seq[(String, Any)]("method" -> "minhash", "id_key" -> idKey,
       "text_key" -> textKey, "threshold" -> threshold)
+    append("dedup", (base ++ maxBucketSize.map("max_bucket_size" -> (_: Any)) ++
+      maxBucketHead.map("max_bucket_head" -> (_: Any))): _*)
+  }
 
   // ---- binary combinators (two-frame merge, frame.py:239-335) ----
 

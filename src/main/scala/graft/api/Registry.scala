@@ -404,17 +404,19 @@ object Registry {
       case "exact" => graft.dedup.ExactDedup(df, c("text_key").str, c("tie_break").str)
       case "minhash" => graft.dedup.MinHashDedup(df, c("id_key").str, c("text_key").str,
         c.intOr("shingle_size", 3), c.intOr("num_perms", 64), c.intOr("num_bands", 16),
-        c.dblOr("threshold", 0.8), c.get("max_bucket_size").map(_.int))
+        c.dblOr("threshold", 0.8), c.get("max_bucket_size").map(_.int),
+        c.get("max_bucket_head").map(_.int))
       case "ngram_pairs" => graft.dedup.NgramJaccardDedup.pairs(df, c("id_key").str,
         c("text_key").str, c("block_expr").str, c.intOr("n", 3), c.dblOr("threshold", 0.5),
-        c.get("max_posting_size").map(_.int))
+        c.get("max_posting_size").map(_.int), c.get("max_posting_head").map(_.int))
       case "simhash_pairs" => graft.dedup.SimHashDedup.candidatePairs(df,
         c("id_key").str, c("text_key").str, c.intOr("max_hamming", 3),
-        c.get("max_bucket_size").map(_.int))
+        c.get("max_bucket_size").map(_.int), c.get("max_bucket_head").map(_.int))
       case "embedding_pairs" => graft.dedup.EmbeddingDedup.pairs(df, c("id_key").str,
         c("embedding_key").str, c("dim").int, c.intOr("num_planes", 8),
         c.dblOr("threshold", 0.95),
-        maxBucketSize = c.get("max_bucket_size").map(_.int))
+        maxBucketSize = c.get("max_bucket_size").map(_.int),
+        maxBucketHead = c.get("max_bucket_head").map(_.int))
       case m => throw new IllegalArgumentException(s"unknown dedup method $m")
     }
   }

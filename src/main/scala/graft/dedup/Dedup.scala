@@ -52,6 +52,24 @@ private[dedup] object BucketGuard {
         .filter(col("_graft_bn") <= c)
         .drop("_graft_bn")
     }
+
+  /** Softer hot-bucket guard: instead of BANNING an over-cap bucket, keep a
+    * deterministic id-ordered head of its members, so the bucket still
+    * yields up to h(h-1)/2 candidate pairs (resolve's `max_pairs_per_bucket`
+    * analog for the dedup families). The rank-limit filter plans as
+    * WindowGroupLimit, so a hot bucket's tail drops map-side before the
+    * pair join. Members past the head lose only THIS bucket's chance at
+    * candidacy — the other bands/quarters/shingles still offer theirs.
+    * Composable with `cap` (ban what is hopeless, head what is merely hot). */
+  def head(
+      d: DataFrame, bucketCols: Seq[String], idCol: String,
+      maxBucketHead: Option[Int]): DataFrame =
+    maxBucketHead.fold(d) { h =>
+      val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol).asc)
+      d.withColumn("_graft_bh", row_number().over(w))
+        .filter(col("_graft_bh") <= h)
+        .drop("_graft_bh")
+    }
 }
 
 object MinHashDedup {
@@ -74,7 +92,8 @@ object MinHashDedup {
       numPerms: Int = 64,
       numBands: Int = 16,
       jaccardThreshold: Double = 0.8,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      maxBucketHead: Option[Int] = None): DataFrame = {
     require(numPerms % numBands == 0, "numPerms must be divisible by numBands")
     val rowsPerBand = numPerms / numBands
     // Shingles are hashed to 64-bit longs ONCE (fused byte-range XXH64,
@@ -103,10 +122,12 @@ object MinHashDedup {
     val bands = posexplode(transform(
       sequence(lit(0), lit(numBands - 1)),
       b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-    val banded = BucketGuard.cap(
-      docs.withColumn("_sig", sig)
-        .select(col("_id"), bands.as(Seq("_band", "_bkey"))),
-      Seq("_band", "_bkey"), maxBucketSize)
+    val banded = BucketGuard.head(
+      BucketGuard.cap(
+        docs.withColumn("_sig", sig)
+          .select(col("_id"), bands.as(Seq("_band", "_bkey"))),
+        Seq("_band", "_bkey"), maxBucketSize),
+      Seq("_band", "_bkey"), "_id", maxBucketHead)
 
     // Bucket self-join -> distinct candidate id pairs (idA < idB).
     val l = banded.select(col("_band"), col("_bkey"), col("_id").as("id_a"))
@@ -138,9 +159,10 @@ object MinHashDedup {
       numPerms: Int = 64,
       numBands: Int = 16,
       jaccardThreshold: Double = 0.8,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      maxBucketHead: Option[Int] = None): DataFrame = {
     val dupIds = candidatePairs(df, idCol, textCol, shingleSize, numPerms,
-      numBands, jaccardThreshold, maxBucketSize)
+      numBands, jaccardThreshold, maxBucketSize, maxBucketHead)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
@@ -175,16 +197,19 @@ object SimHashDedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      maxBucketHead: Option[Int] = None): DataFrame = {
     val bandBits = Bits / 4
     val mask = (1L << bandBits) - 1
     val docs = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sh"))
-    val banded = BucketGuard.cap(docs.select(
-      col("_id"), col("_sh"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        q => call_function("shiftright", col("_sh"), q * bandBits)
-          .bitwiseAND(lit(mask)))).as(Seq("_q", "_qk"))),
-      Seq("_q", "_qk"), maxBucketSize)
+    val banded = BucketGuard.head(
+      BucketGuard.cap(docs.select(
+        col("_id"), col("_sh"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          q => call_function("shiftright", col("_sh"), q * bandBits)
+            .bitwiseAND(lit(mask)))).as(Seq("_q", "_qk"))),
+        Seq("_q", "_qk"), maxBucketSize),
+      Seq("_q", "_qk"), "_id", maxBucketHead)
     val l = banded.select(col("_q"), col("_qk"), col("_id").as("id_a"), col("_sh").as("_sha"))
     val r = banded.select(col("_q"), col("_qk"), col("_id").as("id_b"), col("_sh").as("_shb"))
     l.join(r, Seq("_q", "_qk"))
@@ -222,7 +247,11 @@ object NgramJaccardDedup {
         * pruning). Banned shingles stop generating candidate pairs AND stop
         * counting toward |A∩B|, so Jaccard is underestimated for pairs
         * sharing them — the accepted trade of stopword-shingle pruning. */
-      maxPostingSize: Option[Int] = None): DataFrame = {
+      maxPostingSize: Option[Int] = None,
+      /** Keep only this many id-ordered docs per posting instead of (or in
+        * addition to) banning: intersection counts are then underestimated
+        * for docs past a hot posting's head — same trade, softer knob. */
+      maxPostingHead: Option[Int] = None): DataFrame = {
     require(threshold > 0, "ngram threshold must be positive")
     // Hashed shingles: long intersection counting beats string (see
     // MinHashDedup note on collision odds).
@@ -232,9 +261,11 @@ object NgramJaccardDedup {
         .persist())
     docs.count() // populate the cache before the three downstream branches
     val sizes = docs.select(col("_id"), size(col("_sh")).cast("long").as("_sz"))
-    val ex = BucketGuard.cap(
-      docs.select(col("_blk"), col("_id"), explode(col("_sh")).as("_s")),
-      Seq("_blk", "_s"), maxPostingSize)
+    val ex = BucketGuard.head(
+      BucketGuard.cap(
+        docs.select(col("_blk"), col("_id"), explode(col("_sh")).as("_s")),
+        Seq("_blk", "_s"), maxPostingSize),
+      Seq("_blk", "_s"), "_id", maxPostingHead)
     val co = ex.select(col("_blk"), col("_s"), col("_id").as("id_a"))
       .join(ex.select(col("_blk"), col("_s"), col("_id").as("id_b")), Seq("_blk", "_s"))
       .filter(col("id_a") < col("id_b"))
@@ -280,16 +311,19 @@ object EmbeddingDedup {
       cosineThreshold: Double = 0.95,
       seed: Long = 42,
       explicitPlanes: Option[Array[Array[Double]]] = None,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      maxBucketHead: Option[Int] = None): DataFrame = {
     val rng = new scala.util.Random(seed)
     val planes = explicitPlanes.getOrElse(Array.fill(numPlanes, dim)(rng.nextGaussian()))
     val sketch = planes.zipWithIndex.map { case (p, i) =>
       when(graft.functions.VectorFunctions.dot(
         col(embCol), array(p.toIndexedSeq.map(lit): _*)) > 0, 1L).otherwise(0L) * (1L << i)
     }.reduce(_ + _)
-    val docs = BucketGuard.cap(
-      df.select(col(idCol).as("_id"), col(embCol).as("_e"), sketch.as("_b")),
-      Seq("_b"), maxBucketSize)
+    val docs = BucketGuard.head(
+      BucketGuard.cap(
+        df.select(col(idCol).as("_id"), col(embCol).as("_e"), sketch.as("_b")),
+        Seq("_b"), maxBucketSize),
+      Seq("_b"), "_id", maxBucketHead)
     val l = docs.select(col("_b"), col("_id").as("id_a"), col("_e").as("_ea"))
     val r = docs.select(col("_b"), col("_id").as("id_b"), col("_e").as("_eb"))
     l.join(r, Seq("_b"))

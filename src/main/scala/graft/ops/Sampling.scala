@@ -124,6 +124,37 @@ object SampleOp {
   private[graft] def seedRotation(seed: Long): Long =
     java.lang.Long.remainderUnsigned(seed * 0x9E3779B97F4A7C15L, 233280L)
 
+  /** Capacity-aware largest-remainder quota allocation (driver-side,
+    * O(#strata²) worst case over the stratum MAP, never the data): start
+    * from capped floors of the exact proportional shares, then hand the
+    * remaining slots one at a time to the stratum with spare capacity and
+    * the largest deficit (exact - quota), key ascending breaking ties. With
+    * total <= #rows this is exactly classic largest-remainder (a floor can
+    * only exceed its stratum's size when total > #rows); beyond that it
+    * degrades gracefully to "every row" instead of stranding slots on full
+    * strata. Null-keyed and empty strata take no quota (the reference's
+    * pandas groupby drops null groups, sample.py:314-339) and do not dilute
+    * the proportional shares of live strata. PropertySpec checks the
+    * invariants (quota sum, per-stratum caps, classic-LR agreement) against
+    * a brute-force reference allocator. */
+  private[graft] def allocateProportional(
+      counts: Map[String, Long], total: Int): Map[String, Long] = {
+    val live = counts.filter { case (k, n) => k != null && n > 0 }
+    if (live.isEmpty || total <= 0)
+      return counts.view.mapValues(_ => 0L).toMap
+    val totalRows = live.values.sum
+    val exact = live.view.mapValues(n => total.toDouble * n / totalRows).toMap
+    var quotas = exact.map { case (k, e) => k -> math.min(live(k), e.toLong) }
+    var remaining = total - quotas.values.sum
+    while (remaining > 0 && quotas.exists { case (k, q) => q < live(k) }) {
+      val k = quotas.toSeq.filter { case (k0, q) => q < live(k0) }
+        .minBy { case (k0, q) => (q - exact(k0), k0) }._1
+      quotas = quotas.updated(k, quotas(k) + 1)
+      remaining -= 1
+    }
+    counts.map { case (k, _) => k -> quotas.getOrElse(k, 0L) }
+  }
+
   /** Proportional stratified sampling (reference sample.py:314-339
     * `_sample_stratified_proportional`): `total` rows allocated across
     * strata by group size with largest-remainder rounding, picked uniformly
@@ -145,24 +176,8 @@ object SampleOp {
         .persist())
     val counts = hist.groupBy("_graft_s").agg(sum("_graft_c").as("_n")).collect()
       .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
-    val totalRows = counts.values.sum
-    require(totalRows > 0, "proportional sampling needs a non-empty input")
-    val exact = counts.view.mapValues(n => total.toDouble * n / totalRows).toMap
-    // Capacity-aware largest-remainder allocation: start from capped floors,
-    // then hand out the remaining slots one at a time to the stratum with
-    // spare capacity and the largest deficit (exact - quota), key breaking
-    // ties. With total <= #rows this is exactly classic largest-remainder
-    // (a floor can only exceed its stratum's size when total > #rows);
-    // beyond that it degrades gracefully to "every row" instead of
-    // stranding slots on full strata.
-    var quotas = exact.map { case (k, e) => k -> math.min(counts(k), e.toLong) }
-    var remaining = total - quotas.values.sum
-    while (remaining > 0 && quotas.exists { case (k, q) => q < counts(k) }) {
-      val k = quotas.toSeq.filter { case (k0, q) => q < counts(k0) }
-        .minBy { case (k0, q) => (q - exact(k0), k0) }._1
-      quotas = quotas.updated(k, quotas(k) + 1)
-      remaining -= 1
-    }
+    require(counts.values.sum > 0, "proportional sampling needs a non-empty input")
+    val quotas = allocateProportional(counts, total)
     val maxQuota = (quotas.values ++ Seq(0L)).max
     val quotaMap = typedLit(quotas.filter(_._1 != null))
     val cw = Window.partitionBy(col("_graft_s")).orderBy(col("_graft_o"))

@@ -153,6 +153,76 @@ class FrameSpec extends SparkSpec {
     val f = Graft.fromDF(docsDf).codeFilter("doc_id > 3")
     assert(f.plan.nonEmpty)
   }
+
+  test("frame surface: sampling, topk, rank, cluster, set ops, retrievers on sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Graft.readParquet(spark, s"$sf/documents.parquet")
+    val nLangs = docs.toDF.select("lang").distinct().count()
+
+    // sampling family
+    assert(docs.sampleStratified("lang", 2, "doc_id").count() <= nLangs * 2)
+    assert(docs.sampleStratifiedUniform("lang", "doc_id", 2).count() <= nLangs * 2)
+    assert(docs.sampleProportional("lang", "doc_id", 20).count() == 20)
+    val keys = Graft.fromDF(docs.toDF.select("lang").distinct().limit(1))
+    assert(docs.sampleCustom(keys).toDF.select("lang").distinct().count() == 1)
+
+    // embeddings: topk / rank / cluster / outliers
+    val query = Array.tabulate(64)(i => math.sin(i + 1.0))
+    val emb = Graft.readParquet(spark, s"$sf/embeddings.parquet")
+      .codeMap("e" -> "cast(embedding as array<double>)", "grp" -> "vec_id % 3")
+    assert(emb.topkEmbedding("e", query, 5, "vec_id").count() == 5)
+    assert(emb.topkEmbeddingStratified("e", query, 2, "grp", "vec_id")
+      .count() == 6) // 3 strata x 2
+    val ranked = emb.rankByEmbedding("e", query, tieBreak = Seq("vec_id"))
+    assert(ranked.toDF.select(org.apache.spark.sql.functions.max("_rank"))
+      .collect()(0).getLong(0) == emb.count())
+    assert(emb.sampleOutliers("e", samples = Some(4), tieBreak = Seq("vec_id")).count() == 4)
+    val clustered = emb.cluster("e", "cast(vec_id as string)", numClusters = 2)
+    assert(clustered.toDF.select("clusters").distinct().count() <= 2)
+    assert(emb.clusterHierarchical("e", "cast(vec_id as string)", depth = 2)
+      .count() == emb.count())
+
+    // bm25 stratified + llm-free rank variants over documents
+    assert(docs.topkBm25Stratified("text", "the and of", 2, "lang", "doc_id")
+      .count() <= nLangs * 2)
+
+    // set ops (name-aligned)
+    val odd = Graft.fromDF(docs.toDF.filter("doc_id % 2 = 1"))
+    val even = Graft.fromDF(docs.toDF.filter("doc_id % 2 = 0"))
+    assert(odd.union(even).count() == docs.count())
+    assert(odd.intersect(even).count() == 0)
+    assert(odd.except(even).count() == odd.count())
+
+    // retriever variants: every method attaches a context column and keeps
+    // row cardinality (left join semantics)
+    val corpus = Graft.fromDF(docs.toDF.limit(5)
+      .selectExpr("text as ctext"))
+    val ecorpus = Graft.fromDF(emb.toDF.limit(20).selectExpr("e as ce", "vec_id as cid"))
+    val qdocs = Graft.fromDF(docs.toDF.limit(10))
+    assert(qdocs.withRetrievedContextBm25("rb", "text", corpus, "ctext", k = 2)
+      .count() == 10)
+    val eq = Graft.fromDF(emb.toDF.limit(10))
+    assert(eq.withRetrievedContextEmbedding("re", "e", ecorpus, "ce",
+      "cast(cid as string)", k = 2).count() == 10)
+    val hq = Graft.fromDF(emb.toDF.limit(10).selectExpr("e", "concat('w', vec_id) as t"))
+    val hcorpus = Graft.fromDF(emb.toDF.limit(20)
+      .selectExpr("e as ce", "concat('w', vec_id) as ct"))
+    assert(hq.withRetrievedContextHybrid("rh", "e", "t", hcorpus, "ce", "ct", k = 2)
+      .count() == 10)
+  }
+
+  test("frame rank pairwise and sliding window chain on small frames") {
+    val emb = Graft.readParquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+      .codeMap("e" -> "cast(embedding as array<double>)")
+      .limit(12)
+    val query = Array.tabulate(64)(i => math.cos(i + 1.0))
+    val slid = emb.rankSlidingWindow("rs", "e", query, "cast(vec_id as string)",
+      k = 5, windowSize = 4, tieBreak = Seq("vec_id"))
+    assert(slid.count() == 12)
+    val pw = emb.rankPairwise("rp", "vec_id", "cast(vec_id as string)",
+      blockExpr = "vec_id % 2", tieBreak = Seq("vec_id"))
+    assert(pw.toDF.columns.contains("_rank") && pw.count() == 12)
+  }
 }
 
 class CascadeSpec extends SparkSpec {

@@ -150,6 +150,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: capacity-aware allocator vs brute-force largest remainder") {
+    // Independent reference: classic largest remainder — floors of the
+    // exact shares, then +1 to the strata with the largest fractional
+    // parts (key ascending on ties). Valid only when no capacity binds.
+    def classicLR(live: Map[String, Long], total: Int): Map[String, Long] = {
+      val n = live.values.sum.toDouble
+      val exact = live.map { case (k, c) => k -> (total.toDouble * c / n) }
+      var q = exact.view.mapValues(_.toLong).toMap
+      val rem = (total - q.values.sum).toInt
+      exact.toSeq.sortBy { case (k, e) => (-(e - math.floor(e)), k) }
+        .take(rem).foreach { case (k, _) => q = q.updated(k, q(k) + 1) }
+      q
+    }
+    val cases: Gen[(Map[String, Long], Int)] = for {
+      nStrata <- Gen.choose(1, 12)
+      sizes <- Gen.listOfN(nStrata, Gen.choose(0L, 40L))
+      withNull <- Gen.oneOf(true, false)
+      total <- Gen.choose(0, 120) // includes total > rows and total = 0
+    } yield {
+      val m = sizes.zipWithIndex.map { case (s, i) => f"s$i%02d" -> s }.toMap
+      (if (withNull) m + (null.asInstanceOf[String] -> 7L) else m, total)
+    }
+    samples(cases, 200).foreach { case (counts, total) =>
+      val quotas = SampleOp.allocateProportional(counts, total)
+      val live = counts.filter { case (k, n) => k != null && n > 0 }
+      val ctx = s"counts=$counts total=$total quotas=$quotas"
+      // every stratum appears; null/empty strata take nothing
+      assert(quotas.keySet == counts.keySet, ctx)
+      counts.foreach { case (k, n) =>
+        assert(quotas(k) >= 0 && quotas(k) <= (if (k == null) 0L else n), ctx)
+      }
+      // the sample is as large as the data allows, never larger
+      assert(quotas.values.sum == math.min(total.toLong, live.values.sum), ctx)
+      // when no capacity binds, the capacity-aware path IS classic LR
+      if (live.nonEmpty && total > 0) {
+        val classic = classicLR(live, total)
+        if (classic.forall { case (k, q) => q <= live(k) })
+          assert(live.keys.forall(k => quotas(k) == classic(k)),
+            s"$ctx classic=$classic")
+      }
+    }
+  }
+
   test("property: streaming fold equals the array fold across batch sizes") {
     val sizes = samples(Gen.choose(1, 9), 8) // 8 groups of 1..9 members
     val rows = sizes.zipWithIndex.flatMap { case (sz, g) =>

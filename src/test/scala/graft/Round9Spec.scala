@@ -147,6 +147,64 @@ class Round9Spec extends SparkSpec {
     assert(PairBudget.lastWarning.isEmpty) // below the gate: quiet broadcast
   }
 
+  // ---------------------------------------------------------------- dedup
+
+  test("maxBucketHead caps a hot dedup bucket to its head instead of banning it") {
+    // 10 near-identical docs land in the same LSH buckets everywhere. The
+    // BAN (maxBucketSize=5) drops the whole bucket -> zero pairs; the HEAD
+    // (maxBucketHead=5) keeps ids 1..5 per bucket -> exactly C(5,2) pairs
+    // among the head, none involving ids 6..10.
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val rows = (1 to 10).map(i => Row(i.toLong, base))
+    val d = df(StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType))), rows: _*)
+    def pairs(ban: Option[Int], head: Option[Int]) =
+      graft.dedup.MinHashDedup.candidatePairs(d, "id", "text",
+        jaccardThreshold = 0.5, maxBucketSize = ban, maxBucketHead = head)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Some(5), None).isEmpty) // ban: bucket dropped wholesale
+    val headed = pairs(None, Some(5))
+    assert(headed == (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)).toSet)
+    assert(pairs(None, None).size == 45) // uncapped: all C(10,2)
+  }
+
+  test("maxPostingHead bounds ngram postings but keeps head pairs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = (1 to 8).map(i => Row(i.toLong, base))
+    val d = df(StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType))), rows: _*)
+    val headed = graft.dedup.NgramJaccardDedup.pairs(d, "id", "text", "1",
+        threshold = 0.5, maxPostingHead = Some(3))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(headed == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  // ---------------------------------------------------------------- lazy frame
+
+  test("LazyFrame round-9 builders round-trip through YAML and run") {
+    import graft.api.{LazyFrame, Pipeline}
+    val dir = java.nio.file.Files.createTempDirectory("lf9").toString
+    val path = s"$dir/docs.parquet"
+    docsDf.write.mode("overwrite").parquet(path)
+    def roundTrips(lf: LazyFrame): Long = {
+      val reparsed = LazyFrame.fromYaml(lf.toYaml)
+      assert(reparsed.toYaml == lf.toYaml) // fixpoint
+      val direct = lf.run(spark).count()
+      assert(Pipeline.runYaml(lf.toYaml, spark).count() == direct)
+      direct
+    }
+    // proportional: en 5/6 and de 1/6 of 4 slots -> 3 + 1 (largest remainder)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .sampleProportional("lang", "doc_id", 4)) == 4)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .sampleStratifiedUniform("lang", "doc_id", 1)) == 2) // one per lang
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .topkFtsStratified("text", "the fast", 1, "lang", Seq("doc_id"))) == 2)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .dedupMinhash("doc_id", "text", threshold = 0.5,
+        maxBucketHead = Some(3))) > 0)
+  }
+
   // ---------------------------------------------------------------- web fetch
 
   test("web_fetch turns a per-URL failure into the row's ERROR content") {
