@@ -1542,6 +1542,29 @@ object Queries {
                string_agg(ctext, chr(10) || '---' || chr(10) ORDER BY rn)
                  AS _q72_retrieved_context
         FROM ranked WHERE rn <= 3 GROUP BY vec_id""")
+    ),
+    (
+      // The round-9 hard per-key pair cap for LLM-verified equijoins under
+      // the oracle: every nation key fans out to ~60 customers at sf0.01,
+      // max_pairs_per_key=10 keeps the deterministic (c_custkey,
+      // n_nationkey)-ordered head per key BEFORE the verify stage
+      // (Equijoin.scala). Compare renders are equal within a key, so the
+      // mock verify keeps the whole head and the oracle is a plain QUALIFY
+      // head over the native join.
+      "q73_equijoin_pair_cap",
+      (s: SparkSession, dir: String) =>
+        EquijoinOp(t(s, dir, "customer"), t(s, dir, "nation"), EquijoinOp.Config(
+          name = "q73", condition = "c_nationkey = n_nationkey",
+          compareExprLeft = "cast(c_nationkey as string)",
+          compareExprRight = "cast(n_nationkey as string)",
+          llmVerify = true, leftIdKey = "c_custkey", rightIdKey = "n_nationkey",
+          maxPairsPerKey = Some(10L)), client)
+          .select("c_custkey", "c_name", "n_name"),
+      Some("""
+        SELECT c_custkey, c_name, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        QUALIFY row_number() OVER (PARTITION BY c_nationkey
+          ORDER BY c_custkey, n_nationkey) <= 10""")
     ))
 
 }

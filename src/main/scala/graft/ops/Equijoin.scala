@@ -85,8 +85,8 @@ object EquijoinOp {
           s"equijoin '${cfg.name}': max_pairs_per_key needs left_id_key/right_id_key")
         val lid = sideKey(cfg.leftIdKey, collisions, "_left")
         val rid = sideKey(cfg.rightIdKey, collisions, "_right")
-        val equi = equiConjuncts(left.sparkSession, cfg.condition)
-          .filter { case (ln, rn) => l.columns.contains(ln) && r.columns.contains(rn) }
+        val equi = equiConjuncts(left.sparkSession, cfg.condition,
+          l.columns.toSet, r.columns.toSet)
         if (equi.nonEmpty) {
           // Rank-limit filter → Catalyst plans WindowGroupLimit, so partial
           // limits apply map-side and a hot key's tail pairs never reach
@@ -166,19 +166,24 @@ object EquijoinOp {
     * fail the operator, hence the Try. */
   private def diagnoseSkew(l: DataFrame, r: DataFrame, cfg: Config): Unit =
     scala.util.Try {
-      val equi = equiConjuncts(l.sparkSession, cfg.condition)
-      if (equi.nonEmpty &&
-          equi.forall { case (ln, rn) => l.columns.contains(ln) && r.columns.contains(rn) })
+      val equi = equiConjuncts(l.sparkSession, cfg.condition,
+        l.columns.toSet, r.columns.toSet)
+      if (equi.nonEmpty)
         graft.core.PairBudget.warnIfSkewed(
           graft.core.PairBudget.equiJoinStats(l, equi.map(_._1), r, equi.map(_._2)),
           s"equijoin '${cfg.name}'")
     }.getOrElse(())
 
-  /** `l.x = r.y` conjuncts of a join condition as (leftName, rightName)
-    * pairs; empty when the condition has no such conjunct (or fails to
-    * parse — callers treat that as "no extractable key"). */
+  /** Equi conjuncts of a join condition as (leftName, rightName) pairs.
+    * Attributes resolve by `l.` / `r.` qualifier, or — the common
+    * unqualified style, `c_nationkey = n_nationkey` — by which side owns
+    * the column name (collision renaming makes side column sets disjoint,
+    * so unqualified membership is unambiguous). Empty when the condition
+    * has no such conjunct or fails to parse — callers treat that as "no
+    * extractable key". */
   private def equiConjuncts(
-      spark: org.apache.spark.sql.SparkSession, condition: String): Seq[(String, String)] =
+      spark: org.apache.spark.sql.SparkSession, condition: String,
+      lCols: Set[String], rCols: Set[String]): Seq[(String, String)] =
     scala.util.Try {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
       import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
@@ -189,7 +194,10 @@ object EquijoinOp {
       }
       def side(a: UnresolvedAttribute): Option[(String, String)] =
         a.nameParts match {
-          case Seq(q, n) if q == "l" || q == "r" => Some((q, n))
+          case Seq(q, n) if (q == "l" && lCols(n)) || (q == "r" && rCols(n)) =>
+            Some((q, n))
+          case Seq(n) if lCols(n) && !rCols(n) => Some(("l", n))
+          case Seq(n) if rCols(n) && !lCols(n) => Some(("r", n))
           case _ => None
         }
       conjuncts(parsed).flatMap {

@@ -106,6 +106,30 @@ class Round9Spec extends SparkSpec {
     assert(err.getMessage.contains("left_id_key"))
   }
 
+  test("pair-cap and bucket-head rank limits plan as WindowGroupLimit") {
+    // The 100 TB argument for both caps is that the rank-limit filter
+    // rewrites to WindowGroupLimit (map-side partial top-k before the
+    // exchange) — a hot key's tail pairs drop before they shuffle. Pin the
+    // physical plan so a Catalyst-idiom regression is caught here, not in a
+    // cluster profile.
+    val l = spark.range(60).select(col("id"),
+      (col("id") % 3).cast("string").as("jk"), concat(lit("L"), col("id")).as("cl"))
+    val r = spark.range(60).select(col("id").as("rid"),
+      (col("rid") % 3).cast("string").as("jk2"), concat(lit("R"), col("rid")).as("cr"))
+    val capped = EquijoinOp(l, r, EquijoinOp.Config(
+      name = "planej", condition = "l.jk = r.jk2",
+      compareExprLeft = "cl", compareExprRight = "cr", llmVerify = true,
+      leftIdKey = "id", rightIdKey = "rid", maxPairsPerKey = Some(5L)), client)
+    assert(capped.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+
+    val docs = df(StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType))),
+      (1 to 8).map(i => Row(i.toLong, "same words repeated here again and again")): _*)
+    val headed = graft.dedup.MinHashDedup.candidatePairs(docs, "id", "text",
+      jaccardThreshold = 0.5, maxBucketHead = Some(3))
+    assert(headed.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   // ---------------------------------------------------------------- retriever
 
   test("term-overlap retrieval is identical across the corpus gate, zero-overlap included") {
