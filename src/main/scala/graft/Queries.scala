@@ -1565,6 +1565,44 @@ object Queries {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         QUALIFY row_number() OVER (PARTITION BY c_nationkey
           ORDER BY c_custkey, n_nationkey) <= 10""")
+    ),
+    (
+      // INDEXED vector retrieval under the oracle: corpus_gate below the
+      // corpus size forces the IVF path (centroid training, cell assign,
+      // probed-cell join — Retriever.scala byEmbedding large branch), and
+      // nProbe = nCentroids makes the probe exhaustive, so the cell-join
+      // result must equal DuckDB's exact per-query cosine ranking. This
+      // completes the retriever family: every indexed arm (term q70,
+      // hybrid q72, vector q74) is now oracle-checked.
+      "q74_retriever_embedding_indexed",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") < 80).selectExpr(
+          "cast(embedding as array<double>) as ce",
+          "concat('d', vec_id) as ctext")
+        val queries = e.filter(col("vec_id") < 5).selectExpr(
+          "vec_id", "cast(embedding as array<double>) as qe")
+        graft.ops.RetrieverOp.byEmbedding(queries, "q74", "qe",
+          corpus, "ce", "ctext", k = 3,
+          corpusGate = 10, nCentroids = 4, nProbe = 4)
+          .select(col("vec_id"), col("_q74_retrieved_context"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS ce, 'd' || vec_id AS ctext
+          FROM embeddings WHERE vec_id < 80),
+        q AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 5),
+        ranked AS (
+          SELECT q.vec_id, c.ctext,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.ctext ASC) AS rn
+          FROM q CROSS JOIN c)
+        SELECT vec_id,
+               string_agg(ctext, chr(10) || '---' || chr(10) ORDER BY rn)
+                 AS _q74_retrieved_context
+        FROM ranked WHERE rn <= 3 GROUP BY vec_id""")
     ))
 
 }
