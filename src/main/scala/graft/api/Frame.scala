@@ -132,7 +132,8 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(if (all) df.exceptAll(r) else df.except(r))
   }
 
-  // -- dedup family
+  // -- dedup family (candidate-pair frames for the *Pairs entries; the
+  // dedup verbs drop the larger id of each near-dup pair like dedupMinhash)
   def dedupExact(textCol: String, tieBreak: String): Frame =
     next(graft.dedup.ExactDedup(df, textCol, tieBreak))
   def dedupMinhash(idCol: String, textCol: String, threshold: Double = 0.8,
@@ -140,6 +141,34 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(graft.dedup.MinHashDedup(df, idCol, textCol,
       jaccardThreshold = threshold, maxBucketSize = maxBucketSize,
       maxBucketHead = maxBucketHead))
+  def simhashPairs(idCol: String, textCol: String, maxHamming: Int = 3,
+      maxBucketSize: Option[Int] = None, maxBucketHead: Option[Int] = None): Frame =
+    next(graft.dedup.SimHashDedup.candidatePairs(df, idCol, textCol, maxHamming,
+      maxBucketSize, maxBucketHead))
+  def ngramJaccardPairs(idCol: String, textCol: String, blockExpr: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxPostingSize: Option[Int] = None, maxPostingHead: Option[Int] = None): Frame =
+    next(graft.dedup.NgramJaccardDedup.pairs(df, idCol, textCol, blockExpr, n,
+      threshold, maxPostingSize, maxPostingHead))
+  def embeddingDedupPairs(idCol: String, embCol: String, dim: Int,
+      threshold: Double = 0.95, numPlanes: Int = 8,
+      maxBucketSize: Option[Int] = None, maxBucketHead: Option[Int] = None): Frame =
+    next(graft.dedup.EmbeddingDedup.pairs(df, idCol, embCol, dim, numPlanes,
+      threshold, maxBucketSize = maxBucketSize, maxBucketHead = maxBucketHead))
+
+  // -- approximate nearest neighbors (this frame = the query side)
+  def annBruteForce(queryId: String, queryEmb: String, corpus: Frame,
+      corpusId: String, corpusEmb: String, k: Int): Frame =
+    next(graft.ann.Ann.bruteForce(corpus.df, corpusId, corpusEmb,
+      df, queryId, queryEmb, k))
+  def annIvf(queryId: String, queryEmb: String, corpus: Frame,
+      corpusId: String, corpusEmb: String, k: Int,
+      nCentroids: Int = 64, nProbe: Int = 8): Frame = {
+    val centroids = graft.ann.Ann.trainCentroids(corpus.df, corpusEmb, nCentroids)
+    val assigned = graft.ann.Ann.ivfAssign(corpus.df, corpusEmb, centroids)
+    next(graft.ann.Ann.ivfSearch(assigned, corpusId, corpusEmb,
+      df, queryId, queryEmb, centroids, k, nProbe))
+  }
 
   // -- document parsing / web I/O
   def parse(cfg: graft.sources.ParseOp.Config): Frame =

@@ -211,6 +211,30 @@ class FrameSpec extends SparkSpec {
       .count() == 10)
   }
 
+  test("frame dedup-pair and ANN entries chain on sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Graft.readParquet(spark, s"$sf/documents.parquet")
+    // pair frames return (id_a, id_b, metric) shapes
+    assert(docs.simhashPairs("doc_id", "text").schema.fieldNames.toSet ==
+      Set("id_a", "id_b", "hamming"))
+    assert(docs.ngramJaccardPairs("doc_id", "text", "lang", threshold = 0.9)
+      .schema.fieldNames.toSet == Set("id_a", "id_b", "jaccard"))
+    val emb = Graft.readParquet(spark, s"$sf/embeddings.parquet")
+      .codeMap("e" -> "cast(embedding as array<double>)")
+    assert(emb.embeddingDedupPairs("vec_id", "e", dim = 64, threshold = 0.99)
+      .schema.fieldNames.toSet == Set("id_a", "id_b", "cosine"))
+    // ANN: 5 queries x top-3 neighbors; IVF with exhaustive probe = brute force
+    val queries = Graft.fromDF(emb.toDF.filter("vec_id < 5"))
+    val brute = queries.annBruteForce("vec_id", "e", emb, "vec_id", "e", k = 3)
+    assert(brute.count() == 15)
+    val ivf = queries.annIvf("vec_id", "e", emb, "vec_id", "e", k = 3,
+      nCentroids = 4, nProbe = 4)
+    assert(ivf.toDF.select("query_id", "neighbor_id").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet ==
+      brute.toDF.select("query_id", "neighbor_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("frame rank pairwise and sliding window chain on small frames") {
     val emb = Graft.readParquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
       .codeMap("e" -> "cast(embedding as array<double>)")
