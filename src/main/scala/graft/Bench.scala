@@ -96,10 +96,10 @@ object Bench {
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     // Driver rounds bench at sf0.1 with the full suite: also write the round
     // artifact itself (next BENCH_rNN.json after the largest committed one),
-    // so the repo copy is never a truncated stdout tail. Local sf0.01 /
-    // filtered iterations skip this — they must not masquerade as round
-    // artifacts.
-    if (sfDir.replaceAll("/+$", "").endsWith("sf0.1") && only.isEmpty) {
+    // so the repo copy is never a truncated stdout tail. Local sf0.01 runs,
+    // filtered suites, and reduced-iteration profiling runs skip this —
+    // they must not masquerade as round artifacts.
+    if (sfDir.replaceAll("/+$", "").endsWith("sf0.1") && only.isEmpty && iters >= 3) {
       val rePat = "BENCH_r(\\d+)\\.json".r
       val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .flatMap(f => rePat.unapplySeq(f.getName).map(_.head.toInt))

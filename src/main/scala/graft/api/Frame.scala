@@ -124,11 +124,11 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(if (distinct) u.distinct() else u)
   }
   def intersect(other: Frame, all: Boolean = false): Frame = {
-    val r = other.df.select(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val r = graft.core.Joins.alignByName(df, other.df)
     next(if (all) df.intersectAll(r) else df.intersect(r))
   }
   def except(other: Frame, all: Boolean = false): Frame = {
-    val r = other.df.select(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val r = graft.core.Joins.alignByName(df, other.df)
     next(if (all) df.exceptAll(r) else df.except(r))
   }
 

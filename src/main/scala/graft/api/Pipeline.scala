@@ -198,9 +198,7 @@ object Pipeline {
       def binary(kind: String, isIntersect: Boolean, refs: Seq[String]): (DataFrame, String) = {
         require(refs.size == 2, s"step '${step("name").str}': $kind needs exactly 2 inputs")
         val Seq(l, r0) = inputs(refs)
-        // Align the right side by name so positional set semantics can't
-        // silently pair mismatched columns.
-        val r = r0.select(l.columns.map(org.apache.spark.sql.functions.col): _*)
+        val r = graft.core.Joins.alignByName(l, r0)
         val all = step.boolOr("all", false) // INTERSECT ALL / EXCEPT ALL
         val out =
           if (isIntersect) { if (all) l.intersectAll(r) else l.intersect(r) }

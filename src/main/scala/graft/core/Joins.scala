@@ -7,6 +7,13 @@ import org.apache.spark.sql.functions._
   * rule at the PLAN level, not just by convention. */
 object Joins {
 
+  /** Re-select `right` in `left`'s column order so positional set-op
+    * semantics (intersect/except) can't silently pair mismatched columns.
+    * The single definition both the YAML set-op steps and the Frame API
+    * use — the two surfaces must stay alignment-identical. */
+  def alignByName(left: DataFrame, right: DataFrame): DataFrame =
+    right.select(left.columns.map(col).toIndexedSeq: _*)
+
   /** A cross product whose small side is bounded BY CONSTRUCTION (a query
     * set, a retrieval index), expressed as a broadcast HASH join on a
     * degenerate key instead of a BroadcastNestedLoopJoin.

@@ -76,7 +76,15 @@ object EquijoinOp {
     val r = collisions.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"${c}_right"))
     val lp = l.alias("l")
     val rp = r.alias("r")
-    if (cfg.llmVerify) diagnoseSkew(l, r, cfg)
+    // One equi-conjunct extraction serves both the skew diagnostic and the
+    // pair cap — the two consumers must agree on what "the key" is.
+    lazy val equi = equiConjuncts(left.sparkSession, cfg.condition,
+      l.columns.toSeq, r.columns.toSeq)
+    if (cfg.llmVerify) diagnoseSkew(l, r, cfg, equi)
+    require(cfg.maxPairsPerKey.isEmpty || cfg.llmVerify,
+      s"equijoin '${cfg.name}': max_pairs_per_key bounds the LLM verify " +
+        "stage and needs llm_verify: true — for pure-relational joins " +
+        "Catalyst/AQE own skew handling")
     val joinedBase = lp.join(rp, expr(cfg.condition))
     val joinedAll = extraBlocking.fold(joinedBase)(joinedBase.filter)
     val joined = cfg.maxPairsPerKey match {
@@ -85,8 +93,6 @@ object EquijoinOp {
           s"equijoin '${cfg.name}': max_pairs_per_key needs left_id_key/right_id_key")
         val lid = sideKey(cfg.leftIdKey, collisions, "_left")
         val rid = sideKey(cfg.rightIdKey, collisions, "_right")
-        val equi = equiConjuncts(left.sparkSession, cfg.condition,
-          l.columns.toSet, r.columns.toSet)
         if (equi.nonEmpty) {
           // Rank-limit filter → Catalyst plans WindowGroupLimit, so partial
           // limits apply map-side and a hot key's tail pairs never reach
@@ -164,40 +170,46 @@ object EquijoinOp {
     * calls; this makes it a loud warning before the join runs. Non-equi
     * conditions (no extractable key) skip the check. Diagnostics must never
     * fail the operator, hence the Try. */
-  private def diagnoseSkew(l: DataFrame, r: DataFrame, cfg: Config): Unit =
+  private def diagnoseSkew(
+      l: DataFrame, r: DataFrame, cfg: Config, equi: Seq[(String, String)]): Unit =
     scala.util.Try {
-      val equi = equiConjuncts(l.sparkSession, cfg.condition,
-        l.columns.toSet, r.columns.toSet)
       if (equi.nonEmpty)
         graft.core.PairBudget.warnIfSkewed(
           graft.core.PairBudget.equiJoinStats(l, equi.map(_._1), r, equi.map(_._2)),
           s"equijoin '${cfg.name}'")
     }.getOrElse(())
 
-  /** Equi conjuncts of a join condition as (leftName, rightName) pairs.
-    * Attributes resolve by `l.` / `r.` qualifier, or — the common
-    * unqualified style, `c_nationkey = n_nationkey` — by which side owns
-    * the column name (collision renaming makes side column sets disjoint,
-    * so unqualified membership is unambiguous). Empty when the condition
-    * has no such conjunct or fails to parse — callers treat that as "no
-    * extractable key". */
+  /** Equi conjuncts of a join condition as (leftName, rightName) pairs,
+    * returning the ACTUAL side column names. Attributes resolve by `l.` /
+    * `r.` qualifier, or — the common unqualified style, `c_nationkey =
+    * n_nationkey` — by which side owns the column name (collision renaming
+    * makes side column sets disjoint, so unqualified membership is
+    * unambiguous). Matching is case-insensitive like Spark's default
+    * analyzer resolution, so a condition the join resolves also yields its
+    * key here. Empty when the condition has no such conjunct or fails to
+    * parse — callers treat that as "no extractable key". */
   private def equiConjuncts(
       spark: org.apache.spark.sql.SparkSession, condition: String,
-      lCols: Set[String], rCols: Set[String]): Seq[(String, String)] =
+      lCols: Seq[String], rCols: Seq[String]): Seq[(String, String)] =
     scala.util.Try {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
       import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+      val lByLower = lCols.map(c => c.toLowerCase -> c).toMap
+      val rByLower = rCols.map(c => c.toLowerCase -> c).toMap
       val parsed = spark.sessionState.sqlParser.parseExpression(condition)
       def conjuncts(e: Expression): Seq[Expression] = e match {
         case And(a, b) => conjuncts(a) ++ conjuncts(b)
         case other => Seq(other)
       }
       def side(a: UnresolvedAttribute): Option[(String, String)] =
-        a.nameParts match {
-          case Seq(q, n) if (q == "l" && lCols(n)) || (q == "r" && rCols(n)) =>
-            Some((q, n))
-          case Seq(n) if lCols(n) && !rCols(n) => Some(("l", n))
-          case Seq(n) if rCols(n) && !lCols(n) => Some(("r", n))
+        a.nameParts.map(_.toLowerCase) match {
+          case Seq("l", n) => lByLower.get(n).map(("l", _))
+          case Seq("r", n) => rByLower.get(n).map(("r", _))
+          case Seq(n) => (lByLower.get(n), rByLower.get(n)) match {
+            case (Some(c), None) => Some(("l", c))
+            case (None, Some(c)) => Some(("r", c))
+            case _ => None
+          }
           case _ => None
         }
       conjuncts(parsed).flatMap {

@@ -312,6 +312,17 @@ object SemanticReduce {
           case (null, null) => 0
           case (null, _) => -1 // ascending struct ordering: null first
           case (_, null) => 1
+          // Strings must compare like Spark's internal UTF8String binary
+          // ordering (unsigned UTF-8 bytes), NOT Java's UTF-16 compareTo —
+          // they disagree on supplementary characters (e.g. U+FFFD sorts
+          // after emoji in UTF-16 but before in UTF-8), and the baseline's
+          // min(struct(...)) uses the binary order.
+          case (x: String, y: String) =>
+            val ab = x.getBytes("UTF-8"); val bb = y.getBytes("UTF-8")
+            var i = 0; var c = 0
+            val n = math.min(ab.length, bb.length)
+            while (i < n && c == 0) { c = (ab(i) & 0xff) - (bb(i) & 0xff); i += 1 }
+            if (c != 0) c else ab.length - bb.length
           case (x: Comparable[_], _) => x.asInstanceOf[Comparable[Any]].compareTo(b)
           case _ => 0 // non-Comparable pass-through type: keep first-seen
         }

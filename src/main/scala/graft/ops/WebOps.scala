@@ -70,7 +70,10 @@ object WebSearchOp {
           if (query.isEmpty) Seq.empty[Row]
           else
             try http.search(query, maxResults, engine).map { case (t, d, u) => Row(t, d, u) }
-            catch { case e: Exception => Seq(Row("ERROR", String.valueOf(e.getMessage), "")) }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                Seq(Row("ERROR", String.valueOf(e.getMessage), ""))
+            }
         Row.fromSeq(row.toSeq :+ results)
       }
     }(Encoders.row(newSchema))
@@ -113,14 +116,18 @@ object WebFetchOp {
     df.mapPartitions { it =>
       // Per-URL failure becomes the row's content, not a stage failure
       // (reference web_fetch.py:214 returns "ERROR: {e}" for the failing
-      // URL) — same policy WebSearchOp applies to bad search rows.
+      // URL) — same policy WebSearchOp applies to bad search rows. NonFatal
+      // only: an InterruptedException must propagate so task cancellation
+      // (speculative kill, job abort) actually stops the fetch worker.
       def one(url: String): String =
         try {
           val raw = http.fetch(url)
           val isHtml = HtmlToMarkdown.looksLikeHtml(raw)
           val body = if (bodyOnly && isHtml) HtmlToMarkdown.extractBody(raw) else raw
           if (convertToMarkdown && isHtml) HtmlToMarkdown(body) else body
-        } catch { case e: Exception => s"ERROR: ${String.valueOf(e.getMessage)}" }
+        } catch {
+          case scala.util.control.NonFatal(e) => s"ERROR: ${String.valueOf(e.getMessage)}"
+        }
       graft.llm.Concurrency.mapOrdered(it, math.max(1, maxWorkers)) { row =>
         val fetched: Any = staticUrl match {
           case Some(u) => one(u)

@@ -99,12 +99,16 @@ object HtmlToMarkdown {
       .replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&#39;", "'").replace("&apos;", "'")
     // Out-of-range entities pass through unchanged; supplementary
-    // codepoints (> 0xFFFF) decode to surrogate pairs, not a truncated char.
+    // codepoints (> 0xFFFF) decode to surrogate pairs, not a truncated
+    // char; surrogate-range references (U+D800..U+DFFF) become U+FFFD like
+    // HTML5 mandates — toChars would emit an ill-formed lone surrogate
+    // that corrupts on the next UTF-8 encode.
     val numeric = raw"&#(\d+);".r.replaceAllIn(named, { m =>
       val digits = m.group(1)
       val cp = if (digits.length <= 8) digits.toLong else Long.MaxValue
       val decoded =
-        if (cp >= 0 && cp <= Character.MAX_CODE_POINT && Character.isValidCodePoint(cp.toInt))
+        if (cp >= 0xD800 && cp <= 0xDFFF) "�"
+        else if (cp >= 0 && cp <= Character.MAX_CODE_POINT)
           new String(Character.toChars(cp.toInt))
         else m.matched
       java.util.regex.Matcher.quoteReplacement(decoded)

@@ -94,6 +94,36 @@ class Round9Spec extends SparkSpec {
       m.contains("globej") && m.contains("global head")))
   }
 
+  test("equijoin pair cap resolves case-mismatched equi keys like the analyzer does") {
+    // Spark resolves "JK = JK2" against lowercase columns (default
+    // case-insensitive analysis); the cap's key extraction must agree, or a
+    // case-mismatched condition silently collapses per-key heads into a
+    // tiny global head.
+    val l = spark.range(12).select(col("id"),
+      (col("id") % 2).cast("string").as("jk"), concat(lit("cl9"), col("id")).as("cl"))
+    val r = spark.range(12).select(col("id").as("rid"),
+      (col("rid") % 2).cast("string").as("jk2"), concat(lit("cr9"), col("rid")).as("cr"))
+    graft.llm.LlmCache.clear()
+    MockLlmClient.resetCalls()
+    EquijoinOp(l, r, EquijoinOp.Config(
+      name = "caseej", condition = "JK = JK2",
+      compareExprLeft = "cl", compareExprRight = "cr", llmVerify = true,
+      leftIdKey = "id", rightIdKey = "rid",
+      maxPairsPerKey = Some(4L)), client).count()
+    assert(client.callCount == 8) // 2 keys x 4-pair head, NOT a global 4
+  }
+
+  test("equijoin maxPairsPerKey without llm verify fails loudly") {
+    val l = spark.range(2).select(col("id"), lit("x").as("cl"))
+    val r = spark.range(2).select(col("id").as("rid"), lit("y").as("cr"))
+    val err = intercept[IllegalArgumentException] {
+      EquijoinOp(l, r, EquijoinOp.Config(
+        name = "npk", condition = "l.id = r.rid",
+        maxPairsPerKey = Some(3L)), client).count()
+    }
+    assert(err.getMessage.contains("llm_verify"))
+  }
+
   test("equijoin maxPairsPerKey requires side ids") {
     val l = spark.range(2).select(col("id"), lit("x").as("cl"))
     val r = spark.range(2).select(col("id").as("rid"), lit("y").as("cr"))
@@ -259,6 +289,9 @@ class Round9Spec extends SparkSpec {
     assert(HtmlToMarkdown("<p>huge &#99999999999999999999; stays</p>")
       == "huge &#99999999999999999999; stays")
     assert(HtmlToMarkdown("<p>hi &#65;</p>") == "hi A")
+    // surrogate-range references become U+FFFD (HTML5), never a lone
+    // surrogate that would corrupt on the next UTF-8 encode
+    assert(HtmlToMarkdown("<p>bad &#55296; cp</p>") == "bad � cp")
   }
 
   // ---------------------------------------------------------------- reduce
