@@ -101,15 +101,16 @@ object Streams {
     * arriving after its original's state expired passes again. Input needs
     * (id: Long, text: String) columns.
     */
+  private def fingerprint(text: String): String = {
+    val normalized = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(normalized.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   def dedupExact(
       rows: Dataset[Row],
       stateTtl: Option[String] = None): Dataset[(Long, String)] = {
     import rows.sparkSession.implicits._
-    def fingerprint(text: String): String = {
-      val normalized = text.trim.toLowerCase.replaceAll("\\s+", " ")
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(normalized.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    }
     val timeoutConf =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -134,6 +135,59 @@ object Streams {
             // order, not arrival order — pick the min id so the surviving
             // record is deterministic across runs and parallelism.
             Iterator.single(items.minBy(_._1))
+          }
+      }
+  }
+
+  /** Event-time variant of [[dedupExact]]'s TTL: fingerprints are evicted
+    * when the WATERMARK passes their last-seen event time + `stateTtl` —
+    * wall-clock independent, so replaying a checkpointed stream (or
+    * reprocessing a backlog at full speed) evicts at exactly the same
+    * points as the original run. Prefer this over the processing-time TTL
+    * for always-on pipelines whose input carries a usable event time; the
+    * processing-time form remains for sources without one. Also avoids the
+    * perpetual timeout-check batches of ProcessingTimeTimeout — batches
+    * (and evictions) happen only when data advances the watermark, so
+    * `processAllAvailable()` works normally.
+    *
+    * Input needs (id: Long, text: String) plus the `tsCol` timestamp
+    * column. The recall trade is the same: a duplicate arriving after its
+    * original's eviction passes again; duplicates of a live fingerprint
+    * slide its TTL forward.
+    */
+  def dedupExactEventTime(
+      rows: Dataset[Row],
+      tsCol: String,
+      watermarkDelay: String,
+      stateTtl: String): Dataset[(Long, String)] = {
+    import rows.sparkSession.implicits._
+    // The watermarked timestamp column must reach the stateful operator
+    // itself (the analyzer rejects event-time timeouts otherwise) — project
+    // it through and take .getTime inside the function.
+    rows
+      .withWatermark(tsCol, watermarkDelay)
+      .selectExpr("id", "text", tsCol)
+      .as[(Long, String, java.sql.Timestamp)](Encoders.tuple(
+        Encoders.scalaLong, Encoders.STRING, Encoders.TIMESTAMP))
+      .groupByKey { case (_, text, _) => fingerprint(text) }
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (_, items, state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed last-seen + TTL: evict
+            Iterator.empty
+          } else {
+            val seq = items.toSeq
+            // Late rows can carry event times at or below the watermark; the
+            // timeout base must stay ahead of it or setting the timeout throws.
+            val base = math.max(seq.iterator.map(_._3.getTime).max,
+              state.getCurrentWatermarkMs())
+            val first =
+              if (state.exists) None
+              else Some(seq.minBy(_._1)) // min id: deterministic survivor
+            state.update(true)
+            state.setTimeoutTimestamp(base, stateTtl)
+            first.map(t => (t._1, t._2)).iterator
           }
       }
   }

@@ -143,6 +143,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids() == Set(1L, 2L))
   }
 
+  test("dedupExactEventTime evicts when the watermark passes last-seen + TTL") {
+    // Event-time TTL is wall-clock free: eviction points are a pure
+    // function of the data's timestamps, so this test needs no sleeps and
+    // replays identically.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("id", "text", "ts")
+    val out = Streams.dedupExactEventTime(docs.toDF(), "ts",
+      watermarkDelay = "10 minutes", stateTtl = "30 minutes")
+    val q = out.toDF("id", "text").writeStream.format("memory")
+      .queryName("evt_dedup").outputMode(OutputMode.Append()).start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData((1L, "evt doc", ts(10, 0)))
+    q.processAllAvailable()
+    input.addData((2L, "evt doc", ts(10, 5))) // dup of a LIVE fingerprint: dropped
+    q.processAllAvailable()
+    input.addData((50L, "advance a", ts(11, 20))) // end-of-batch watermark -> 11:10
+    q.processAllAvailable()
+    // 11:10 > last-seen 10:05 + 30min TTL: this batch fires the eviction
+    input.addData((51L, "advance b", ts(11, 21)))
+    q.processAllAvailable()
+    input.addData((3L, "evt doc", ts(11, 25))) // state evicted -> passes AGAIN
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT id FROM evt_dedup").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids == Set(1L, 50L, 51L, 3L)) // 2 deduped while live; 3 after eviction
+  }
+
   test("dedupNearMinhash stateTtl evicts idle buckets (bounded state, documented recall trade)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
