@@ -221,6 +221,55 @@ object Streams {
     * with its original expired is not flagged. Input needs (id: Long,
     * text: String) columns.
     */
+  /** Banded projection shared by the near-dup variants: id, MinHash
+    * signature, and one (band, bandkey) row per band (plus `extraCols`
+    * carried through, e.g. the watermarked event-time column). */
+  private def bandedSignatures(
+      rows: Dataset[Row], shingleSize: Int, numPerms: Int, numBands: Int,
+      extraCols: Seq[String]): DataFrame = {
+    require(numPerms % numBands == 0, "numPerms must be divisible by numBands")
+    val rowsPerBand = numPerms / numBands
+    val sh = graft.functions.ShingleHashes(col("text"), shingleSize)
+    val sig = graft.functions.MinHashSignature(col("_sh"), numPerms)
+    val bands = posexplode(transform(
+      sequence(lit(0), lit(numBands - 1)),
+      b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+    val extras = extraCols.map(col)
+    rows
+      .select(col("id").cast("long").as("id") +: sh.as("_sh") +: extras: _*)
+      .filter(size(col("_sh")) > 0)
+      .select(col("id") +: sig.as("_sig") +: extras: _*)
+      .select(col("id") +: col("_sig") +: bands.as(Seq("_band", "_bkey")) +: extras: _*)
+  }
+
+  /** One bucket invocation: compare this batch's docs (id order —
+    * deterministic across partitions) against the held members, emit
+    * >= threshold pairs, admit new members up to `maxBucketState`. */
+  private def bucketStep(
+      docs: Seq[(Long, Seq[Long])], members0: BucketMembers,
+      threshold: Double, maxBucketState: Int)
+      : (BucketMembers, Seq[(Long, Long, Double)]) = {
+    var members = members0
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    docs.sortBy(_._1).foreach { case (id, sigSeq) =>
+      val s = sigSeq.toArray
+      members.ids.indices.foreach { i =>
+        if (members.ids(i) != id) {
+          val other = members.sigs(i)
+          var eq = 0
+          var p = 0
+          while (p < s.length) { if (s(p) == other(p)) eq += 1; p += 1 }
+          val est = eq.toDouble / s.length
+          if (est >= threshold)
+            out += ((math.min(members.ids(i), id), math.max(members.ids(i), id), est))
+        }
+      }
+      if (members.ids.length < maxBucketState && !members.ids.contains(id))
+        members = BucketMembers(members.ids :+ id, members.sigs :+ s.toSeq)
+    }
+    (members, out.result())
+  }
+
   def dedupNearMinhash(
       rows: Dataset[Row],
       shingleSize: Int = 3,
@@ -229,18 +278,7 @@ object Streams {
       threshold: Double = 0.8,
       maxBucketState: Int = 64,
       stateTtl: Option[String] = None): Dataset[(Long, Long, Double)] = {
-    require(numPerms % numBands == 0, "numPerms must be divisible by numBands")
-    val rowsPerBand = numPerms / numBands
-    val sh = graft.functions.ShingleHashes(col("text"), shingleSize)
-    val sig = graft.functions.MinHashSignature(col("_sh"), numPerms)
-    val bands = posexplode(transform(
-      sequence(lit(0), lit(numBands - 1)),
-      b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-    val banded = rows
-      .select(col("id").cast("long").as("id"), sh.as("_sh"))
-      .filter(size(col("_sh")) > 0)
-      .select(col("id"), sig.as("_sig"))
-      .select(col("id"), col("_sig"), bands.as(Seq("_band", "_bkey")))
+    val banded = bandedSignatures(rows, shingleSize, numPerms, numBands, Nil)
     import rows.sparkSession.implicits._
     val timeoutConf =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
@@ -254,28 +292,53 @@ object Streams {
           state.remove() // bucket idle past TTL: evict its members
           Iterator.empty
         case (_, items, state: GroupState[BucketMembers]) =>
-          var members = state.getOption.getOrElse(BucketMembers(Nil, Nil))
-          val out = Seq.newBuilder[(Long, Long, Double)]
-          // id order, not arrival order: deterministic across partitions
-          items.toSeq.sortBy(_._1).foreach { case (id, sigSeq, _, _) =>
-            val s = sigSeq.toArray
-            members.ids.indices.foreach { i =>
-              if (members.ids(i) != id) {
-                val other = members.sigs(i)
-                var eq = 0
-                var p = 0
-                while (p < s.length) { if (s(p) == other(p)) eq += 1; p += 1 }
-                val est = eq.toDouble / s.length
-                if (est >= threshold)
-                  out += ((math.min(members.ids(i), id), math.max(members.ids(i), id), est))
-              }
-            }
-            if (members.ids.length < maxBucketState && !members.ids.contains(id))
-              members = BucketMembers(members.ids :+ id, members.sigs :+ s.toSeq)
-          }
+          val (members, out) = bucketStep(
+            items.map { case (id, sig, _, _) => (id, sig) }.toSeq,
+            state.getOption.getOrElse(BucketMembers(Nil, Nil)),
+            threshold, maxBucketState)
           state.update(members)
           stateTtl.foreach(state.setTimeoutDuration)
-          out.result().iterator
+          out.iterator
+      }
+  }
+
+  /** Event-time variant of [[dedupNearMinhash]]'s TTL: a band bucket is
+    * evicted when the watermark passes its last-seen event time + `stateTtl`
+    * — wall-clock free (see [[dedupExactEventTime]] for why that matters on
+    * checkpoint replay), and no perpetual timeout-check batches. Input
+    * needs (id, text, `tsCol`) columns. */
+  def dedupNearMinhashEventTime(
+      rows: Dataset[Row],
+      tsCol: String,
+      watermarkDelay: String,
+      stateTtl: String,
+      shingleSize: Int = 3,
+      numPerms: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucketState: Int = 64): Dataset[(Long, Long, Double)] = {
+    val banded = bandedSignatures(rows.toDF().withWatermark(tsCol, watermarkDelay),
+      shingleSize, numPerms, numBands, Seq(tsCol))
+    import rows.sparkSession.implicits._
+    banded
+      .as[(Long, Seq[Long], Int, Long, java.sql.Timestamp)]
+      .groupByKey { case (_, _, band, bkey, _) => (band, bkey) }
+      .flatMapGroupsWithState[BucketMembers, (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state: GroupState[BucketMembers]) if state.hasTimedOut =>
+          state.remove() // watermark passed last-seen + TTL: evict bucket
+          Iterator.empty
+        case (_, items, state: GroupState[BucketMembers]) =>
+          val seq = items.toSeq
+          val (members, out) = bucketStep(
+            seq.map { case (id, sig, _, _, _) => (id, sig) },
+            state.getOption.getOrElse(BucketMembers(Nil, Nil)),
+            threshold, maxBucketState)
+          state.update(members)
+          val base = math.max(seq.iterator.map(_._5.getTime).max,
+            state.getCurrentWatermarkMs())
+          state.setTimeoutTimestamp(base, stateTtl)
+          out.iterator
       }
   }
 

@@ -204,6 +204,36 @@ class StreamingSpec extends SparkSpec {
     assert(got() == Set((1L, 2L), (7L, 8L)))
   }
 
+  test("dedupNearMinhashEventTime evicts buckets by watermark, no sleeps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank " +
+      "while birds sing in tall green trees during a calm bright summer morning"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("id", "text", "ts")
+    val pairs = Streams.dedupNearMinhashEventTime(docs.toDF(), "ts",
+      watermarkDelay = "10 minutes", stateTtl = "30 minutes", threshold = 0.5)
+    val q = pairs.toDF("id_a", "id_b", "est").writeStream.format("memory")
+      .queryName("evt_neardup").outputMode(OutputMode.Append()).start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def got() = spark.sql("SELECT DISTINCT id_a, id_b FROM evt_neardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    input.addData((1L, base, ts(10, 0)),
+      (2L, base.replace("calm", "quiet"), ts(10, 1))) // live pair flags
+    q.processAllAvailable()
+    input.addData((50L, "completely different filler text", ts(11, 40))) // wm -> 11:30
+    q.processAllAvailable()
+    input.addData((51L, "more unrelated words entirely", ts(11, 41))) // eviction fires
+    q.processAllAvailable()
+    // docs 1/2's buckets evicted (last seen 10:01 + 30min << 11:30): the
+    // late near-dup is NOT flagged — the documented recall trade
+    input.addData((3L, base + " extra", ts(11, 45)))
+    q.processAllAvailable()
+    val result = got()
+    q.stop()
+    assert(result == Set((1L, 2L)))
+  }
+
   test("sessionize stateTtl closes idle sessions and restarts on return") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
