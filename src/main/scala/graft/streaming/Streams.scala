@@ -38,6 +38,29 @@ object Streams {
       .groupBy(window(col(tsCol), windowDuration), col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Gap-based sessionization as a NATIVE session-window aggregation —
+    * `session_window` + watermark, so the engine owns the state: sessions
+    * close (and their state evicts) when the watermark passes session end +
+    * gap, with no custom state function at all. Emits one row per CLOSED
+    * session in append mode — the right shape for an always-on pipeline
+    * writing finished sessions to a sink. [[sessionize]] remains the
+    * custom-state form for consumers that want live per-event snapshots
+    * (update mode) or a processing-time TTL. */
+  def sessionWindows(
+      events: DataFrame,
+      tsCol: String,
+      gapDuration: String,
+      watermarkDelay: String,
+      keyCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gapDuration), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   final case class SessionInfo(
       user_id: Long, session_start: Long, session_end: Long, n_events: Long)
   final case class SessionState(start: Long, last: Long, n: Long)

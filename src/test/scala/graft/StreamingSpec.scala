@@ -27,6 +27,33 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((2L, 1L, 4.0)))
   }
 
+  test("native session windows close sessions when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val sessions = Streams.sessionWindows(events, "ts",
+      gapDuration = "1 minute", watermarkDelay = "5 minutes", keyCol = "user_id")
+    val q = sessions.writeStream.format("memory").queryName("native_sessions")
+      .outputMode(OutputMode.Append()).start()
+    def ts(m: Int, s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    // user 1: two events 30s apart (one session); user 2: one event
+    input.addData((1L, ts(0, 0)), (1L, ts(0, 30)), (2L, ts(2, 0)))
+    q.processAllAvailable()
+    // advance the watermark past both sessions' end + gap so they CLOSE
+    input.addData((9L, ts(30, 0)))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT user_id, session_start, session_end, n_events FROM native_sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    q.stop()
+    val byUser = rows.map(r => r._1 -> r).toMap
+    // session end = last event + gap (session_window semantics)
+    assert(byUser(1L) == ((1L, ts(0, 0), ts(1, 30), 2L)))
+    assert(byUser(2L) == ((2L, ts(2, 0), ts(3, 0), 1L)))
+    assert(!byUser.contains(9L)) // its session is still open (append mode)
+  }
+
   test("stateful sessionization tracks per-user sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
