@@ -1603,6 +1603,69 @@ object Queries {
                string_agg(ctext, chr(10) || '---' || chr(10) ORDER BY rn)
                  AS _q74_retrieved_context
         FROM ranked WHERE rn <= 3 GROUP BY vec_id""")
+    ),
+    (
+      // Gopher-style repetition quality signals (dup/top token + 2-gram
+      // fractions) as pure codegen'd Column expressions — per-row compute
+      // inside the scan stage, no shuffle at any corpus size. The oracle
+      // recomputes each fraction from first principles with DuckDB list
+      // lambdas (dup_2gram via distinct gram strings vs Spark's hashed
+      // ShingleHashes distinct count — equal up to 64-bit collisions, the
+      // dedup-family convention).
+      "q75_repetition_stats",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TF.dupTokenFraction(col("text")).as("dup_word_frac"),
+          TF.topTokenFraction(col("text")).as("top_word_frac"),
+          TF.dupNgramFraction(col("text"), 2).as("dup_2gram_frac"),
+          TF.topNgramFraction(col("text"), 2).as("top_2gram_frac")),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT doc_id, w,
+                [array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))] AS g2
+              FROM t)
+        SELECT doc_id,
+          round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6) AS dup_word_frac,
+          round(list_max(list_transform(list_distinct(w),
+            x -> len(list_filter(w, y -> y = x))))::DOUBLE / len(w), 6)
+            AS top_word_frac,
+          round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6)
+            AS dup_2gram_frac,
+          round(list_max(list_transform(list_distinct(g2),
+            x -> len(list_filter(g2, y -> y = x))))::DOUBLE / len(g2), 6)
+            AS top_2gram_frac
+        FROM g""")
+    ),
+    (
+      // Benchmark decontamination (GPT-3 appendix-C-style n-gram overlap
+      // filter): every 20th doc plays the held-out eval set; corpus docs
+      // sharing any word 4-gram with it are flagged with their distinct-gram
+      // hit count. The Spark plan broadcasts the benchmark's hashed gram
+      // set, so the corpus side streams map-side — the 100 TB shape (the
+      // oracle joins the same distinct gram sets as strings).
+      "q76_decontaminate",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        graft.dedup.Decontaminate.hits(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "text", n = 4)
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id % 20 <> 0),
+        bench AS (
+          SELECT string_split(text, ' ') AS w
+          FROM documents WHERE doc_id % 20 = 0),
+        bg AS (
+          SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS g
+          FROM bench, UNNEST(range(1, len(w)-2)) AS t(i)),
+        cg AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
+          FROM corpus, UNNEST(range(1, len(w)-2)) AS t(i))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+        FROM cg JOIN bg USING (g) GROUP BY doc_id""")
     ))
 
 }

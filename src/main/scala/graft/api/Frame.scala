@@ -156,6 +156,15 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(graft.dedup.EmbeddingDedup.pairs(df, idCol, embCol, dim, numPlanes,
       threshold, maxBucketSize = maxBucketSize, maxBucketHead = maxBucketHead))
 
+  def contaminationHits(idCol: String, textCol: String, benchmark: Frame,
+      benchTextCol: String, n: Int = 8, broadcastBenchmark: Boolean = true): Frame =
+    next(graft.dedup.Decontaminate.hits(df, idCol, textCol, benchmark.df,
+      benchTextCol, n, broadcastBenchmark))
+  def decontaminate(idCol: String, textCol: String, benchmark: Frame,
+      benchTextCol: String, n: Int = 8, broadcastBenchmark: Boolean = true): Frame =
+    next(graft.dedup.Decontaminate.clean(df, idCol, textCol, benchmark.df,
+      benchTextCol, n, broadcastBenchmark))
+
   // -- approximate nearest neighbors (this frame = the query side)
   def annBruteForce(queryId: String, queryEmb: String, corpus: Frame,
       corpusId: String, corpusEmb: String, k: Int): Frame =

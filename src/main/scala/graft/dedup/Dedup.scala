@@ -283,6 +283,65 @@ object NgramJaccardDedup {
   }
 }
 
+/** Benchmark decontamination: flag (or drop) corpus documents that share any
+  * word n-gram with a held-out benchmark/eval corpus — the standard
+  * contamination control in pretraining pipelines (publicly described in the
+  * GPT-3 paper's appendix C 13-gram filter and the open Dolma/RedPajama
+  * toolkits).
+  *
+  * Scale design (100 TB corpus, benchmark suites are MBs–GBs):
+  *   - Both sides reduce to their DISTINCT hashed n-gram sets via the fused
+  *     zero-allocation [[graft.functions.ShingleHashes]] pass — only (gram
+  *     hash, id) longs ever move, never token arrays or text.
+  *   - The benchmark gram set is tiny relative to the corpus, so the default
+  *     plan BROADCASTS it: the corpus side streams map-side through the hash
+  *     join with no shuffle of exploded grams at all, and the only shuffle
+  *     is the final per-doc count (partial-aggregated map-side).
+  *   - With `broadcastBenchmark = false` it degrades gracefully to a
+  *     shuffled hash join on the gram hash. Either way output cardinality is
+  *     bounded by the corpus's exploded gram count (both join sides are
+  *     distinct), so there is no quadratic bucket anywhere — unlike the
+  *     near-dup families, contamination needs no pair budget.
+  */
+object Decontaminate {
+
+  /** Per-doc contamination hits: (idCol, n_contaminated) where
+    * `n_contaminated` = number of DISTINCT word n-grams of the doc that also
+    * occur anywhere in `benchmark`. Docs with zero shared grams are absent. */
+  def hits(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val bg0 = benchmark
+      .select(explode(graft.functions.ShingleHashes(col(benchTextCol), n)).as("_g"))
+      .distinct()
+    val bg = if (broadcastBenchmark) broadcast(bg0) else bg0
+    corpus
+      .select(col(idCol), explode(graft.functions.ShingleHashes(col(textCol), n)).as("_g"))
+      .join(bg, Seq("_g"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_contaminated"))
+  }
+
+  /** The corpus minus every contaminated document (left-anti on hits). */
+  def clean(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8,
+      broadcastBenchmark: Boolean = true): DataFrame =
+    corpus.join(
+      hits(corpus, idCol, textCol, benchmark, benchTextCol, n, broadcastBenchmark)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+}
+
 object EmbeddingDedup {
 
   /** Axis-aligned planes: plane i = unit vector on dimension i (sketch bit i

@@ -84,6 +84,46 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(trim(lower(c)), "\\s+", " "))
 
+  // --- repetition / duplication signals (Gopher-style quality rules,
+  // publicly described in the Gopher paper's MassiveText filters and the
+  // open Dolma toolkit). All pure Column expressions: per-row compute,
+  // embarrassingly parallel, no shuffle — they run inside the scan stage at
+  // any corpus size. The O(distinct × tokens) mode computation is per-row
+  // and bounded by document length, not data size.
+
+  /** Fraction of whitespace tokens that are repeats of an earlier token:
+    * 1 - distinct/total. High values mark degenerate boilerplate. */
+  def dupTokenFraction(c: Column): Column = {
+    val toks = split(c, " ")
+    round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 6)
+  }
+
+  /** Frequency share of the single most common token (mode / total). */
+  def topTokenFraction(c: Column): Column = {
+    val toks = split(c, " ")
+    round(array_max(transform(array_distinct(toks),
+      t => size(filter(toks, y => y === t)))).cast("double") / size(toks), 6)
+  }
+
+  /** Fraction of word n-grams that are repeats: 1 - distinct/total. Distinct
+    * counting rides the fused [[ShingleHashes]] pass (64-bit-collision
+    * equivalence, as everywhere in the dedup family). Docs with fewer than n
+    * tokens have one whole-text gram -> 0.0. */
+  def dupNgramFraction(c: Column, n: Int): Column = {
+    val total = greatest(size(split(c, " ")) - (n - 1), lit(1))
+    round(lit(1.0) -
+      size(ShingleHashes(c, n)).cast("double") / total, 6)
+  }
+
+  /** Frequency share of the most common word n-gram. Docs with fewer than n
+    * tokens collapse to one whole-text gram -> 1.0 (maximally repetitive by
+    * convention; filter short docs first). */
+  def topNgramFraction(c: Column, n: Int): Column = {
+    val grams = shingles(c, n)
+    round(array_max(transform(array_distinct(grams),
+      g => size(filter(grams, y => y === g)))).cast("double") / size(grams), 6)
+  }
+
   /** Word n-gram shingles as an array column (dedup building block). */
   def shingles(c: Column, n: Int): Column = {
     val toks = split(c, " ")

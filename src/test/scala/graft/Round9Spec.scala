@@ -346,4 +346,83 @@ class Round9Spec extends SparkSpec {
     // = 2 chunk calls. Total attempts = 3.
     assert(PoisonLlmClient.attempts.get() == 3)
   }
+
+  // ------------------------------------------------- repetition signals
+
+  test("repetition fractions match hand counts, including short-doc edges") {
+    import graft.functions.{TextFunctions => TF}
+    val d = df(StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType))),
+      Row(1L, "a b a b a"), // toks: 3×a 2×b; 2-grams: 2×"a b", 2×"b a"
+      Row(2L, "x y z w"),   // all distinct
+      Row(3L, "q"))         // 1 token < n: one whole-text gram
+    val out = d.select(col("id"),
+      TF.dupTokenFraction(col("text")).as("dw"),
+      TF.topTokenFraction(col("text")).as("tw"),
+      TF.dupNgramFraction(col("text"), 2).as("dg"),
+      TF.topNgramFraction(col("text"), 2).as("tg"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((0.6, 0.6, 0.5, 0.5)))
+    assert(out(2L) == ((0.0, 0.25, 0.0, 0.333333))) // round(1/3, 6)
+    // 1 token: dup fractions 0 (one distinct of one), top gram 1.0 by
+    // convention (single whole-text gram)
+    assert(out(3L) == ((0.0, 1.0, 0.0, 1.0)))
+  }
+
+  // ------------------------------------------------- decontamination
+
+  test("decontamination flags exactly the docs sharing a benchmark n-gram") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val corpus = df(schema,
+      Row(1L, "the capital of france is paris indeed"),  // contains bench 4-gram
+      Row(2L, "totally novel words nothing shared here"),
+      Row(3L, "capital of france is lyon they claim"))   // shares the 4-gram too
+    val bench = df(schema,
+      Row(100L, "quiz answer the capital of france is paris"))
+    val hits = graft.dedup.Decontaminate.hits(
+      corpus, "doc_id", "text", bench, "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "the capital of france", "capital of france is",
+    // "of france is paris"; doc 3 shares "capital of france is"
+    assert(hits == Map(1L -> 3L, 3L -> 1L))
+    val clean = graft.dedup.Decontaminate.clean(
+      corpus, "doc_id", "text", bench, "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L))
+  }
+
+  test("decontamination broadcasts the benchmark gram set by default") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val corpus = df(schema, Row(1L, "a b c d e f g h"))
+    val bench = df(schema, Row(2L, "c d e f g h i j"))
+    val plan = graft.dedup.Decontaminate.hits(
+      corpus, "doc_id", "text", bench, "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    val shuffled = graft.dedup.Decontaminate.hits(
+      corpus, "doc_id", "text", bench, "text", n = 4,
+      broadcastBenchmark = false)
+      .queryExecution.executedPlan.toString
+    assert(!shuffled.contains("BroadcastNestedLoop"))
+  }
+
+  test("Frame decontaminate chains on the fluent API") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val corpus = graft.api.Frame(df(schema,
+      Row(1L, "one two three four five"), Row(2L, "six seven eight nine ten")),
+      MockLlmClient())
+    val bench = graft.api.Frame(df(schema, Row(9L, "one two three four")),
+      MockLlmClient())
+    val kept = corpus.decontaminate("doc_id", "text", bench, "text", n = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+    val hits = corpus.contaminationHits("doc_id", "text", bench, "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 1L)))
+  }
 }
