@@ -1666,6 +1666,33 @@ object Queries {
           FROM corpus, UNNEST(range(1, len(w)-2)) AS t(i))
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
         FROM cg JOIN bg USING (g) GROUP BY doc_id""")
+    ),
+    (
+      // Greedy sequence packing (token-budget training batches): per-lang
+      // doc_id-ordered greedy fill at budget 200. The Spark shape is one
+      // streaming pass per group partition with two scalars of state; the
+      // oracle replays the same greedy recurrence as a recursive CTE.
+      "q77_pack",
+      (s: SparkSession, dir: String) =>
+        PackOp(t(s, dir, "documents"), Seq("lang"), "doc_id",
+          "size(split(text, ' '))", budget = 200)
+          .select(col("lang"), col("doc_id"), col("pack_id")),
+      Some("""
+        WITH RECURSIVE docs AS (
+          SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS tok,
+                 row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+          FROM documents),
+        packed AS (
+          SELECT lang, doc_id, tok, rn, 0::BIGINT AS pack_id, tok AS fill
+          FROM docs WHERE rn = 1
+          UNION ALL
+          SELECT d.lang, d.doc_id, d.tok, d.rn,
+                 CASE WHEN p.fill + d.tok > 200 THEN p.pack_id + 1
+                      ELSE p.pack_id END,
+                 CASE WHEN p.fill + d.tok > 200 THEN d.tok
+                      ELSE p.fill + d.tok END
+          FROM docs d JOIN packed p ON d.lang = p.lang AND d.rn = p.rn + 1)
+        SELECT lang, doc_id, pack_id FROM packed""")
     ))
 
 }

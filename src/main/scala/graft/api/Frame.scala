@@ -54,6 +54,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def unnest(key: String, keepEmpty: Boolean = false): Frame =
     next(UnnestOp.list(df, key, keepEmpty))
   def unnestColumns(column: String): Frame = next(UnnestColumnsOp(df, column))
+  def pack(groupCols: Seq[String], orderCol: String, tokenExpr: String,
+      budget: Long): Frame =
+    next(PackOp(df, groupCols, orderCol, tokenExpr, budget))
 
   // -- sampling / retrieval (§2.6)
   def sampleFirst(n: Int, orderCols: String*): Frame = next(SampleOp.first(df, n, orderCols))

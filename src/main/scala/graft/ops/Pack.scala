@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Greedy in-order sequence packing — the training-prep step that groups
+  * documents into fixed token-budget batches (one "pack" ≈ one training
+  * sequence). Publicly standard in LLM data pipelines (e.g. the T5 /
+  * GPT-NeoX packing recipes); the reference engine has no analog, but a 100
+  * TB training-data engine needs it, so it is first-class here.
+  *
+  * Semantics: within each group (`groupCols`), rows in ascending `orderCol`
+  * order append to the current pack while the pack's token total stays
+  * within `budget`; a row that would overflow starts the next pack. A row
+  * larger than the whole budget gets a pack of its own (never split, never
+  * dropped — flag or split upstream with `SplitOp` if needed). Output = the
+  * input columns plus `pack_id`, the 0-based per-group pack sequence.
+  *
+  * Scale design: packing is order-dependent, so each GROUP is inherently
+  * sequential — the group key is the parallelism unit, exactly how
+  * production pipelines pack per output shard. The plan is repartition by
+  * group, sort within partitions by (group, order), then ONE streaming pass
+  * per partition holding two scalars (current fill, pack counter) — no
+  * group materialization, constant memory at any group size. Choose group
+  * granularity (shard id, language × shard, …) to size the sequential unit;
+  * there is no global coordination between groups.
+  */
+object PackOp {
+
+  def apply(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      tokenExpr: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "pack budget must be positive")
+    require(groupCols.nonEmpty, "pack needs at least one group column")
+    require(!df.columns.contains("pack_id"), "input already has pack_id")
+
+    val projected = df.withColumn("_graft_tok", expr(tokenExpr).cast("long"))
+    val parts = projected.repartition(groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols :+ orderCol).map(col): _*)
+
+    // Plan-time positional indices (executor rows may be schema-less
+    // GenericRows when object operators chain — see graft.llm.Template).
+    val schema = projected.schema
+    val gIdx = groupCols.map(schema.fieldIndex)
+    val tokIdx = schema.fieldIndex("_graft_tok")
+    val budgetB = budget
+
+    val newSchema = StructType(
+      df.schema.fields :+ StructField("pack_id", LongType, nullable = false))
+
+    parts.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var packId = 0L
+      var fill = 0L
+      it.map { r =>
+        val key = gIdx.map(r.get)
+        if (key != curKey) { curKey = key; packId = 0L; fill = 0L }
+        val tok = if (r.isNullAt(tokIdx)) 0L else r.getLong(tokIdx)
+        if (fill > 0 && fill + tok > budgetB) { packId += 1; fill = tok }
+        else fill += tok
+        Row.fromSeq(r.toSeq.dropRight(1) :+ packId)
+      }
+    }(Encoders.row(newSchema))
+  }
+}

@@ -410,6 +410,44 @@ class Round9Spec extends SparkSpec {
     assert(!shuffled.contains("BroadcastNestedLoop"))
   }
 
+  // ------------------------------------------------- sequence packing
+
+  test("greedy packing fills token budgets per group and never splits a row") {
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("id", LongType),
+      StructField("tok", LongType)))
+    val d = df(schema,
+      Row("a", 1L, 60L), Row("a", 2L, 30L), Row("a", 3L, 20L), // 60+30 fit, 20 overflows
+      Row("a", 4L, 150L),                                      // oversized: own pack
+      Row("a", 5L, 10L),
+      Row("b", 1L, 99L), Row("b", 2L, 1L))                     // fresh counter per group
+    val out = graft.ops.PackOp(d, Seq("g"), "id", "tok", budget = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(out == Map(
+      ("a", 1L) -> 0L, ("a", 2L) -> 0L, // 90 <= 100
+      ("a", 3L) -> 1L,                  // 90+20 > 100 -> new pack
+      ("a", 4L) -> 2L,                  // 20+150 > 100 -> own (oversized) pack
+      ("a", 5L) -> 3L,                  // 150+10 > 100 -> next pack
+      ("b", 1L) -> 0L, ("b", 2L) -> 0L))
+  }
+
+  test("packing keeps all input columns, appends pack_id, stays streaming") {
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("id", LongType),
+      StructField("text", StringType)))
+    val d = df(schema,
+      (1 to 50).map(i => Row(if (i % 2 == 0) "x" else "y", i.toLong, ("w " * i).trim)): _*)
+    val out = graft.ops.PackOp(d, Seq("g"), "id", "size(split(text, ' '))", 64)
+    assert(out.columns.toSeq == Seq("g", "id", "text", "pack_id"))
+    // every pack except a group's last is filled past budget by its
+    // successor's first row: check budget is never exceeded within a pack
+    val fills = out.withColumn("tok", size(split(col("text"), " ")))
+      .groupBy("g", "pack_id").agg(sum("tok").as("fill"), count(lit(1)).as("n"))
+      .collect()
+    assert(fills.forall(r => r.getLong(2) <= 64 || r.getLong(3) == 1))
+    assert(out.count() == 50)
+  }
+
   test("Frame decontaminate chains on the fluent API") {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
