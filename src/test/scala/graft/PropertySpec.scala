@@ -212,4 +212,31 @@ class PropertySpec extends SparkSpec {
       assert(run(true) == run(false), s"foldBatchSize=$bs")
     }
   }
+
+  test("property: greedy packing matches the sequential reference per group") {
+    // Random groups/sizes/budgets vs a driver-side fold of the same greedy
+    // rule; also pins the invariants (contiguous in-order packs, fill <=
+    // budget unless singleton, ids never dropped).
+    val cases = samples(for {
+      g <- Gen.oneOf("a", "b", "c", "d")
+      tok <- Gen.choose(0L, 120L)
+    } yield (g, tok), 120).zipWithIndex
+      .map { case ((g, tok), i) => (g, i.toLong, tok) }
+    val budget = 100L
+    val d = df(StructType(Seq(
+      StructField("g", StringType), StructField("id", LongType),
+      StructField("tok", LongType))),
+      cases.map { case (g, id, tok) => Row(g, id, tok) }: _*)
+    val got = PackOp(d, Seq("g"), "id", "tok", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val expected = cases.groupBy(_._1).flatMap { case (g, rows) =>
+      var pack = 0L; var fill = 0L
+      rows.sortBy(_._2).map { case (_, id, tok) =>
+        if (fill > 0 && fill + tok > budget) { pack += 1; fill = tok }
+        else fill += tok
+        (g, id) -> pack
+      }
+    }
+    assert(got == expected)
+  }
 }
