@@ -37,8 +37,12 @@ object PackOp {
     require(budget > 0, "pack budget must be positive")
     require(groupCols.nonEmpty, "pack needs at least one group column")
     require(!df.columns.contains("pack_id"), "input already has pack_id")
+    require(!df.columns.contains("_graft_tok"), "reserved column _graft_tok")
 
-    val projected = df.withColumn("_graft_tok", expr(tokenExpr).cast("long"))
+    // Negative token counts are nonsensical for packing; clamp so a bad
+    // expression degrades to "free" rows instead of corrupting fills.
+    val projected = df.withColumn("_graft_tok",
+      greatest(lit(0L), expr(tokenExpr).cast("long")))
     val parts = projected.repartition(groupCols.map(col): _*)
       .sortWithinPartitions((groupCols :+ orderCol).map(col): _*)
 
