@@ -1693,6 +1693,27 @@ object Queries {
                       ELSE p.fill + d.tok END
           FROM docs d JOIN packed p ON d.lang = p.lang AND d.rn = p.rn + 1)
         SELECT lang, doc_id, pack_id FROM packed""")
+    ),
+    (
+      // Corpus-level TF-IDF top terms: explode → two keyed aggs → term join
+      // → per-doc top-k window (WindowGroupLimit-optimizable). Both engines
+      // rank by the ROUNDED score with the term as tie-break, so sub-1e-6
+      // float noise cannot reorder the result.
+      "q78_tfidf_topterms",
+      (s: SparkSession, dir: String) =>
+        TfIdfOp.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+        n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+        dfq AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+        SELECT doc_id, t AS term, round(tf * ln(nd / df), 6) AS tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY round(tf * ln(nd / df), 6) DESC, t ASC)::BIGINT
+                 AS term_rank
+        FROM tf JOIN dfq USING (t), n
+        QUALIFY term_rank <= 3""")
     ))
 
 }

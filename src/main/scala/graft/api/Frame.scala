@@ -159,6 +159,8 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(graft.dedup.EmbeddingDedup.pairs(df, idCol, embCol, dim, numPlanes,
       threshold, maxBucketSize = maxBucketSize, maxBucketHead = maxBucketHead))
 
+  def tfidfTopTerms(idCol: String, textCol: String, k: Int): Frame =
+    next(graft.ops.TfIdfOp.topTerms(df, idCol, textCol, k))
   def contaminationHits(idCol: String, textCol: String, benchmark: Frame,
       benchTextCol: String, n: Int = 8, broadcastBenchmark: Boolean = true): Frame =
     next(graft.dedup.Decontaminate.hits(df, idCol, textCol, benchmark.df,

@@ -114,6 +114,31 @@ object Streams {
     }
   }
 
+  /** STATELESS streaming decontamination: drop stream rows sharing any word
+    * n-gram with a static benchmark corpus (the streaming face of
+    * [[graft.dedup.Decontaminate]]). The benchmark's distinct gram hashes —
+    * benchmark/eval suites are MBs, not corpus-scale — collect once at plan
+    * time and ship to executors as one array literal, so the per-row check
+    * is a pure `arrays_overlap` against the fused
+    * [[graft.functions.ShingleHashes]] pass: no state store, no join, legal
+    * in any output mode, and identical semantics batch vs stream. For a
+    * benchmark too large to broadcast as a literal, decontaminate the batch
+    * corpus with `Decontaminate.clean` instead — the streaming filter is
+    * deliberately the small-benchmark shape. */
+  def decontaminate(
+      stream: DataFrame,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    val grams = benchmark
+      .select(explode(graft.functions.ShingleHashes(col(benchTextCol), n)).as("_g"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (grams.isEmpty) stream
+    else stream.filter(!arrays_overlap(
+      graft.functions.ShingleHashes(col(textCol), n), typedlit(grams)))
+  }
+
   /** Streaming exact dedup with keyed state (`flatMapGroupsWithState`):
     * the FIRST row per normalized-text fingerprint passes, every later
     * duplicate is dropped — the always-on analog of

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.PairBudget
 import graft.llm.MockLlmClient
-import graft.ops.{EquijoinOp, RetrieverOp, SemanticReduce, WebFetchOp}
+import graft.ops.{EquijoinOp, RetrieverOp, SemanticReduce, TfIdfOp, WebFetchOp}
 
 /** Always-throwing fetch double — per-URL error policy test. */
 final class ExplodingHttpClient extends graft.ops.HttpClient {
@@ -446,6 +446,26 @@ class Round9Spec extends SparkSpec {
       .collect()
     assert(fills.forall(r => r.getLong(2) <= 64 || r.getLong(3) == 1))
     assert(out.count() == 50)
+  }
+
+  // ------------------------------------------------- tf-idf
+
+  test("tf-idf top terms match hand computation and plan a window group limit") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    // "rare" appears only in doc 1; "common" in all three (idf = ln(1) = 0)
+    val d = df(schema,
+      Row(1L, "rare common common"),
+      Row(2L, "common mid"),
+      Row(3L, "common mid"))
+    val out = TfIdfOp.topTerms(d, "id", "text", k = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+    val top = out.collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(top(1L) == (("rare", math.rint(math.log(3.0) * 1e6) / 1e6)))
+    val midScore = math.rint(math.log(3.0 / 2.0) * 1e6) / 1e6
+    assert(top(2L) == (("mid", midScore)))
+    assert(top(3L) == (("mid", midScore)))
   }
 
   test("Frame decontaminate chains on the fluent API") {

@@ -54,6 +54,27 @@ class StreamingSpec extends SparkSpec {
     assert(!byUser.contains(9L)) // its session is still open (append mode)
   }
 
+  test("stateless streaming decontamination drops rows sharing a benchmark n-gram") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bench = Seq("quiz answer the capital of france is paris")
+      .toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val cleaned = Streams.decontaminate(docs, "text", bench, "text", n = 4)
+    val q = cleaned.writeStream.format("memory").queryName("decontam")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      (1L, "the capital of france is lyon they say"), // shares a 4-gram
+      (2L, "totally novel words nothing shared here"),
+      (3L, "of course answer the capital question"))  // no shared 4-gram
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM decontam")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept == Set(2L, 3L))
+  }
+
   test("stateful sessionization tracks per-user sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
