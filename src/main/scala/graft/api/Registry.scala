@@ -420,6 +420,31 @@ object Registry {
       case m => throw new IllegalArgumentException(s"unknown dedup method $m")
     }
   }
+  // Training-data prep beyond the reference surface: benchmark
+  // decontamination, greedy sequence packing, corpus tf-idf.
+  register("decontaminate") { (df, c, ctx) =>
+    val bench = ctx.datasets.getOrElse(c("benchmark").str,
+      throw new IllegalArgumentException(
+        s"unknown decontaminate benchmark dataset '${c("benchmark").str}'"))
+    val benchKey = c.strOr("benchmark_text_key", c("text_key").str)
+    c.strOr("mode", "clean") match {
+      case "clean" => graft.dedup.Decontaminate.clean(df, c("id_key").str,
+        c("text_key").str, bench, benchKey, c.intOr("n", 8),
+        c.boolOr("broadcast_benchmark", true))
+      case "hits" => graft.dedup.Decontaminate.hits(df, c("id_key").str,
+        c("text_key").str, bench, benchKey, c.intOr("n", 8),
+        c.boolOr("broadcast_benchmark", true))
+      case m => throw new IllegalArgumentException(
+        s"unknown decontaminate mode $m (clean | hits)")
+    }
+  }
+  register("pack") { (df, c, _) =>
+    PackOp(df, c("group_keys").strList, c("order_key").str,
+      c("token_expr").str, c("budget").long)
+  }
+  register("tfidf") { (df, c, _) =>
+    TfIdfOp.topTerms(df, c("id_key").str, c("text_key").str, c.intOr("k", 10))
+  }
   register("embed") { (df, c, ctx) =>
     EmbedOp(df, c("text_expr").str, c.strOr("output_key", "embedding"),
       ctx.client, c.strOr("model", "mock-embed"), c.intOr("batch_size", 1000))

@@ -468,6 +468,58 @@ class Round9Spec extends SparkSpec {
     assert(top(3L) == (("mid", midScore)))
   }
 
+  test("decontaminate, pack, and tfidf run from YAML pipelines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("g", StringType),
+      StructField("text", StringType)))
+    df(schema,
+      Row(1L, "a", "one two three four five"),
+      Row(2L, "a", "six seven eight nine ten"),
+      Row(3L, "b", "totally different words here now"))
+      .write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    df(schema, Row(9L, "z", "one two three four"))
+      .write.mode("overwrite").parquet(s"$dir/bench.parquet")
+    val out = graft.api.Pipeline.runYaml(
+      s"""
+         |datasets:
+         |  docs: { path: $dir/docs.parquet }
+         |  bench: { path: $dir/bench.parquet }
+         |operations:
+         |  - name: scrub
+         |    type: decontaminate
+         |    benchmark: bench
+         |    id_key: doc_id
+         |    text_key: text
+         |    n: 4
+         |  - name: batch
+         |    type: pack
+         |    group_keys: [g]
+         |    order_key: doc_id
+         |    token_expr: "size(split(text, ' '))"
+         |    budget: 10
+         |pipeline:
+         |  steps:
+         |    - { name: s1, input: docs, operations: [scrub, batch] }
+         |""".stripMargin, spark)
+    // doc 1 is contaminated; 2 and 3 pack into pack 0 of their groups
+    assert(out.select("doc_id", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 0L), (3L, 0L)))
+
+    val tf = graft.api.Pipeline.runYaml(
+      s"""
+         |datasets:
+         |  docs: { path: $dir/docs.parquet }
+         |operations:
+         |  - { name: terms, type: tfidf, id_key: doc_id, text_key: text, k: 2 }
+         |pipeline:
+         |  steps:
+         |    - { name: s1, input: docs, operations: [terms] }
+         |""".stripMargin, spark)
+    assert(tf.columns.toSeq == Seq("doc_id", "term", "tfidf", "term_rank"))
+    assert(tf.count() == 6) // 3 docs x k=2, all terms distinct per doc
+  }
+
   test("Frame decontaminate chains on the fluent API") {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
