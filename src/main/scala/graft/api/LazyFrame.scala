@@ -273,7 +273,29 @@ final case class LazyFrame(
       maxBucketHead.map("max_bucket_head" -> (_: Any))): _*)
   }
 
+  def pack(groupKeys: Seq[String], orderKey: String, tokenExpr: String,
+      budget: Long): LazyFrame =
+    append("pack", "group_keys" -> jlist(groupKeys), "order_key" -> orderKey,
+      "token_expr" -> tokenExpr, "budget" -> budget)
+  def tfidfTopTerms(idKey: String, textKey: String, k: Int = 10): LazyFrame =
+    append("tfidf", "id_key" -> idKey, "text_key" -> textKey, "k" -> k)
+
   // ---- binary combinators (two-frame merge, frame.py:239-335) ----
+
+  /** Decontaminate this frame against `benchmark` (a binary merge like
+    * equijoin; the op references the benchmark's final step by name). */
+  def decontaminate(benchmark: LazyFrame, idKey: String, textKey: String,
+      benchmarkTextKey: String = "", n: Int = 8,
+      mode: String = "clean"): LazyFrame = {
+    val (m, lRef, rRef) = merged(benchmark)
+    val fields = Seq[(String, Any)]("benchmark" -> rRef, "id_key" -> idKey,
+      "text_key" -> textKey, "n" -> n, "mode" -> mode) ++
+      (if (benchmarkTextKey.nonEmpty) Seq("benchmark_text_key" -> benchmarkTextKey)
+       else Nil)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"decontaminate_${m.steps.length}")
+      .append("decontaminate", fields: _*)
+  }
 
   /** LLM-verified fuzzy join against another frame (join-headed step). */
   def equijoin(right: LazyFrame, condition: String,

@@ -257,6 +257,15 @@ class Round9Spec extends SparkSpec {
     assert(roundTrips(LazyFrame.read("docs", path)
       .dedupMinhash("doc_id", "text", threshold = 0.5,
         maxBucketHead = Some(3))) > 0)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .pack(Seq("lang"), "doc_id", "size(split(text, ' '))", 64))
+      == docsDf.count())
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .tfidfTopTerms("doc_id", "text", k = 2)) == docsDf.count() * 2)
+    // self-decontamination via a merged benchmark frame: everything drops
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .decontaminate(LazyFrame.read("docs", path).codeFilter("doc_id >= 0"),
+        "doc_id", "text", n = 3)) == 0)
   }
 
   // ---------------------------------------------------------------- web fetch
