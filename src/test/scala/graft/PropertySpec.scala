@@ -213,6 +213,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: repetition fractions match brute-force counts") {
+    import graft.functions.{TextFunctions => TF}
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // skew toward a tiny vocabulary so duplicates actually occur
+    val repDoc: Gen[String] = for {
+      n <- Gen.choose(1, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "eee"))
+    } yield ws.mkString(" ")
+    val docs = samples(repDoc, 60).zipWithIndex
+    val d = df(StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType))),
+      docs.map { case (t, i) => Row(i.toLong, t) }: _*)
+    val got = d.select(col("id"),
+      TF.dupTokenFraction(col("text")), TF.topTokenFraction(col("text")),
+      TF.dupNgramFraction(col("text"), 2), TF.topNgramFraction(col("text"), 2))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    docs.foreach { case (t, i) =>
+      val toks = t.split(" ", -1).toSeq
+      val grams = if (toks.length < 2) Seq(t)
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      def dup(xs: Seq[String]) = r6(1.0 - xs.distinct.size.toDouble / xs.size)
+      def top(xs: Seq[String]) =
+        r6(xs.groupBy(identity).values.map(_.size).max.toDouble / xs.size)
+      assert(got(i.toLong) == ((dup(toks), top(toks), dup(grams), top(grams))),
+        s"doc $i: '$t'")
+    }
+  }
+
   test("property: greedy packing matches the sequential reference per group") {
     // Random groups/sizes/budgets vs a driver-side fold of the same greedy
     // rule; also pins the invariants (contiguous in-order packs, fill <=
