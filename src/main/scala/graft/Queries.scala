@@ -1714,6 +1714,41 @@ object Queries {
                  AS term_rank
         FROM tf JOIN dfq USING (t), n
         QUALIFY term_rank <= 3""")
+    ),
+    (
+      // Weighted-mixture stratified sampling (domain reweighting): target
+      // shares 3:2:1 across l_returnflag instead of the empirical mix.
+      // Capacities never bind at total=100 ≪ stratum sizes, so the
+      // capacity-aware allocator reduces to largest remainder over the
+      // weights; integer-valued weights make the share arithmetic (sum,
+      // 100·w/Σw) bit-identical across engines. Same LCG pick and
+      // histogram threshold pre-filter as q71.
+      "q79_sample_weighted",
+      (s: SparkSession, dir: String) =>
+        SampleOp.stratifiedWeighted(t(s, dir, "lineitem"), "l_returnflag",
+          "l_orderkey * 10 + l_linenumber", 100,
+          Map("A" -> 3.0, "N" -> 2.0, "R" -> 1.0), seed = 7)
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber").cast("long")),
+      Some(s"""
+        WITH w AS (SELECT * FROM (VALUES ('A', 3.0), ('N', 2.0), ('R', 1.0))
+                     AS t(k, wt)),
+        sw AS (SELECT sum(wt) AS s FROM w),
+        fl AS (
+          SELECT k, (100.0 * wt) / s AS ex, floor((100.0 * wt) / s) AS fq
+          FROM w, sw),
+        extra AS (SELECT CAST(100 - sum(fq) AS BIGINT) AS r FROM fl),
+        quota AS (
+          SELECT k, CAST(fq + CASE
+              WHEN row_number() OVER (ORDER BY ex - fq DESC, k ASC) <= r
+              THEN 1 ELSE 0 END AS BIGINT) AS q
+          FROM fl, extra)
+        SELECT l_returnflag, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+        FROM lineitem JOIN quota ON l_returnflag = quota.k
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY ((l_orderkey * 10 + l_linenumber) * 9301 + 49297 +
+                    ${SampleOp.seedRotation(7)}) % 233280,
+                   l_orderkey * 10 + l_linenumber) <= q""")
     ))
 
 }

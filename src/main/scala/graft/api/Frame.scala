@@ -67,6 +67,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def sampleStratifiedUniform(stratifyKey: String, keyExpr: String,
       nPerGroup: Int, seed: Long = 0): Frame =
     next(SampleOp.stratifiedUniform(df, stratifyKey, keyExpr, nPerGroup, seed))
+  def sampleWeighted(stratifyKey: String, keyExpr: String, total: Int,
+      weights: Map[String, Double], seed: Long = 0): Frame =
+    next(SampleOp.stratifiedWeighted(df, stratifyKey, keyExpr, total, weights, seed))
   def sampleProportional(stratifyKey: String, keyExpr: String,
       total: Int, seed: Long = 0): Frame =
     next(SampleOp.stratifiedProportional(df, stratifyKey, keyExpr, total, seed))

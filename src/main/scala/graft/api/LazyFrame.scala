@@ -263,6 +263,12 @@ final case class LazyFrame(
       total: Int, seed: Int = 0): LazyFrame =
     append("sample", "method" -> "uniform", "stratify_key" -> stratifyKey,
       "key_expr" -> keyExpr, "samples" -> total, "random_state" -> seed)
+  def sampleWeighted(stratifyKey: String, keyExpr: String, total: Int,
+      weights: Seq[(String, Double)], seed: Int = 0): LazyFrame =
+    append("sample", "method" -> "weighted", "stratify_key" -> stratifyKey,
+      "key_expr" -> keyExpr, "samples" -> total,
+      "weights" -> jmap(weights.map { case (k, v) => k -> (v: Any) }: _*),
+      "random_state" -> seed)
   def dedupExact(textKey: String, tieBreak: String): LazyFrame =
     append("dedup", "method" -> "exact", "text_key" -> textKey, "tie_break" -> tieBreak)
   def dedupMinhash(idKey: String, textKey: String, threshold: Double = 0.8,

@@ -270,6 +270,10 @@ object Registry {
           case _ => throw new IllegalArgumentException(
             "stratified uniform sampling needs samples_per_group or samples")
         }
+      case "weighted" => SampleOp.stratifiedWeighted(df, c("stratify_key").str,
+        c("key_expr").str, c("samples").int,
+        c("weights").asOrderedMap.map { case (k, v) => k -> v.dbl }.toMap,
+        c.intOr("random_state", 0).toLong)
       case "uniform" => SampleOp.uniform(df, c("fraction").dbl, c.intOr("random_state", 42))
       case "hash" => SampleOp.uniformHash(df, c("key_expr").str, c("fraction").dbl,
         c.intOr("random_state", 0))

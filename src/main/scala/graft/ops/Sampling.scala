@@ -137,13 +137,13 @@ object SampleOp {
     * the proportional shares of live strata. PropertySpec checks the
     * invariants (quota sum, per-stratum caps, classic-LR agreement) against
     * a brute-force reference allocator. */
-  private[graft] def allocateProportional(
-      counts: Map[String, Long], total: Int): Map[String, Long] = {
-    val live = counts.filter { case (k, n) => k != null && n > 0 }
-    if (live.isEmpty || total <= 0)
-      return counts.view.mapValues(_ => 0L).toMap
-    val totalRows = live.values.sum
-    val exact = live.view.mapValues(n => total.toDouble * n / totalRows).toMap
+  /** Capacity-aware largest-remainder fill shared by the proportional and
+    * weighted allocators: floor quotas capped at stratum capacity, then the
+    * remainder goes one-by-one to the largest fractional deficit (ties by
+    * key) among strata with headroom. */
+  private def fillLargestRemainder(
+      live: Map[String, Long], exact: Map[String, Double], total: Int,
+      counts: Map[String, Long]): Map[String, Long] = {
     var quotas = exact.map { case (k, e) => k -> math.min(live(k), e.toLong) }
     var remaining = total - quotas.values.sum
     while (remaining > 0 && quotas.exists { case (k, q) => q < live(k) }) {
@@ -155,6 +155,35 @@ object SampleOp {
     counts.map { case (k, _) => k -> quotas.getOrElse(k, 0L) }
   }
 
+  private[graft] def allocateProportional(
+      counts: Map[String, Long], total: Int): Map[String, Long] = {
+    val live = counts.filter { case (k, n) => k != null && n > 0 }
+    if (live.isEmpty || total <= 0)
+      return counts.view.mapValues(_ => 0L).toMap
+    val totalRows = live.values.sum
+    val exact = live.view.mapValues(n => total.toDouble * n / totalRows).toMap
+    fillLargestRemainder(live, exact, total, counts)
+  }
+
+  /** Explicit-mixture allocation (domain reweighting, cf. the public DoReMi
+    * / data-mixture literature): shares follow the TARGET `weights` instead
+    * of the empirical distribution, capped at each stratum's capacity with
+    * the overflow redistributed by largest remainder. Strata without a
+    * positive weight get zero. Integer-valued weights keep the share
+    * arithmetic bit-identical across engines (their sum is exact in
+    * binary). */
+  private[graft] def allocateWeighted(
+      counts: Map[String, Long], weights: Map[String, Double],
+      total: Int): Map[String, Long] = {
+    val live = counts.filter { case (k, n) =>
+      k != null && n > 0 && weights.getOrElse(k, 0.0) > 0 }
+    if (live.isEmpty || total <= 0)
+      return counts.view.mapValues(_ => 0L).toMap
+    val sumW = live.keys.toSeq.sorted.map(weights).sum // fixed order: stable sum
+    val exact = live.map { case (k, _) => k -> (total * weights(k) / sumW) }
+    fillLargestRemainder(live, exact, total, counts)
+  }
+
   /** Proportional stratified sampling (reference sample.py:314-339
     * `_sample_stratified_proportional`): `total` rows allocated across
     * strata by group size with largest-remainder rounding, picked uniformly
@@ -164,7 +193,27 @@ object SampleOp {
     * WindowGroupLimit-optimizable. */
   def stratifiedProportional(
       df: DataFrame, stratifyKey: String, keyExpr: String,
-      total: Int, seed: Long = 0): DataFrame = {
+      total: Int, seed: Long = 0): DataFrame =
+    lcgQuotaStratified(df, stratifyKey, keyExpr, seed,
+      counts => allocateProportional(counts, total),
+      "proportional sampling needs a non-empty input")
+
+  /** Weighted-mixture stratified sampling: like [[stratifiedProportional]]
+    * but quotas follow explicit target `weights` ([[allocateWeighted]]) —
+    * the resample step that retargets a corpus's domain mixture. Same
+    * single-histogram scan, O(#strata) driver state, and exact LCG
+    * threshold pre-filter as the proportional path. */
+  def stratifiedWeighted(
+      df: DataFrame, stratifyKey: String, keyExpr: String,
+      total: Int, weights: Map[String, Double], seed: Long = 0): DataFrame =
+    lcgQuotaStratified(df, stratifyKey, keyExpr, seed,
+      counts => allocateWeighted(counts, weights, total),
+      "weighted sampling needs a non-empty input")
+
+  private def lcgQuotaStratified(
+      df: DataFrame, stratifyKey: String, keyExpr: String, seed: Long,
+      allocate: Map[String, Long] => Map[String, Long],
+      emptyMsg: String): DataFrame = {
     val ord = pmod(expr(keyExpr) * 9301L + 49297L + seedRotation(seed), lit(233280L))
     // ONE bounded (stratum, ord) histogram serves both driver needs: the
     // per-stratum row counts (quota allocation) roll up from it, and the
@@ -176,8 +225,8 @@ object SampleOp {
         .persist())
     val counts = hist.groupBy("_graft_s").agg(sum("_graft_c").as("_n")).collect()
       .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
-    require(counts.values.sum > 0, "proportional sampling needs a non-empty input")
-    val quotas = allocateProportional(counts, total)
+    require(counts.values.sum > 0, emptyMsg)
+    val quotas = allocate(counts)
     val maxQuota = (quotas.values ++ Seq(0L)).max
     val quotaMap = typedLit(quotas.filter(_._1 != null))
     val cw = Window.partitionBy(col("_graft_s")).orderBy(col("_graft_o"))

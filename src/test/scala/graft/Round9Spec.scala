@@ -457,6 +457,37 @@ class Round9Spec extends SparkSpec {
     assert(out.count() == 50)
   }
 
+  // ------------------------------------------------- weighted mixture
+
+  test("allocateWeighted follows target weights, caps at capacity, zero-weights drop") {
+    import graft.ops.SampleOp
+    // capacity binds on 'a' (wants ~42 of 50, has 5); overflow spreads b/c
+    val q = SampleOp.allocateWeighted(
+      Map("a" -> 5L, "b" -> 100L, "c" -> 100L),
+      Map("a" -> 10.0, "b" -> 1.0, "c" -> 1.0), 50)
+    assert(q.values.sum == 50L)
+    assert(q("a") == 5L)
+    assert(math.abs(q("b") - q("c")) <= 1)
+    // stratum with no weight gets nothing; weight with no stratum is ignored
+    val q2 = SampleOp.allocateWeighted(
+      Map("x" -> 10L, "y" -> 10L), Map("x" -> 1.0, "ghost" -> 9.0), 8)
+    assert(q2 == Map("x" -> 8L, "y" -> 0L))
+    // null stratum never takes quota
+    val q3 = SampleOp.allocateWeighted(
+      Map((null: String) -> 10L, "x" -> 3L), Map("x" -> 1.0), 5)
+    assert(q3 == Map((null: String) -> 0L, "x" -> 3L))
+  }
+
+  test("stratifiedWeighted returns exactly the weighted quotas") {
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("id", LongType)))
+    val rows = (1 to 60).map(i => Row(Seq("p", "q", "r")(i % 3), i.toLong))
+    val out = graft.ops.SampleOp.stratifiedWeighted(
+      df(schema, rows: _*), "g", "id", 12, Map("p" -> 2.0, "q" -> 1.0, "r" -> 1.0))
+    val byG = out.collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byG == Map("p" -> 6, "q" -> 3, "r" -> 3))
+  }
+
   // ------------------------------------------------- tf-idf
 
   test("tf-idf top terms match hand computation and plan a window group limit") {
