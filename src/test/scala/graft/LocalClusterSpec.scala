@@ -18,7 +18,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class LocalClusterSpec extends AnyFunSuite {
 
-  private val names = Seq("q01_code_reduce_tpch1", "q24_dedup_minhash", "q33_sem_reduce")
+  private val names = Seq("q01_code_reduce_tpch1", "q24_dedup_minhash",
+    "q33_sem_reduce", "q77_pack") // pack: Row mapPartitions closure + indices
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     names.map { name =>
