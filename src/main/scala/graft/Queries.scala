@@ -1749,6 +1749,48 @@ object Queries {
           ORDER BY ((l_orderkey * 10 + l_linenumber) * 9301 + 49297 +
                     ${SampleOp.seedRotation(7)}) % 233280,
                    l_orderkey * 10 + l_linenumber) <= q""")
+    ),
+    (
+      // Upsampling mixture (epoch repetition): region 0 takes 4/5 of 12
+      // slots but has only 5 nations, so its quota (10) realizes as 2 full
+      // epochs per row; region 1's quota (2) is a plain LCG downsample at
+      // epoch 0. Regions without weight drop. The oracle replays quota
+      // allocation (caps don't bind: 10 <= 5*maxEpochs), the q/n | q%n
+      // epoch split, and the per-row range fan-out.
+      "q80_sample_epochs",
+      (s: SparkSession, dir: String) =>
+        SampleOp.stratifiedWeightedEpochs(t(s, dir, "nation"), "n_regionkey",
+          "n_nationkey", 12, Map("0" -> 4.0, "1" -> 1.0), seed = 5,
+          maxEpochs = 4)
+          .select(col("n_nationkey"), col("epoch")),
+      Some(s"""
+        WITH w AS (SELECT * FROM (VALUES ('0', 4.0), ('1', 1.0)) AS t(k, wt)),
+        sw AS (SELECT sum(wt) AS s FROM w),
+        n AS (SELECT CAST(n_regionkey AS VARCHAR) AS k, count(*) AS cnt
+              FROM nation GROUP BY 1),
+        fl AS (SELECT w.k, n.cnt, (12.0 * wt) / s AS ex,
+                      floor((12.0 * wt) / s) AS fq
+               FROM w JOIN n USING (k), sw),
+        extra AS (SELECT CAST(12 - sum(fq) AS BIGINT) AS r FROM fl),
+        quota AS (
+          SELECT k, cnt, CAST(fq + CASE
+              WHEN row_number() OVER (ORDER BY ex - fq DESC, k ASC) <= r
+              THEN 1 ELSE 0 END AS BIGINT) AS q
+          FROM fl, extra),
+        fr AS (SELECT k, cnt, q // cnt AS fullep, q % cnt AS rem FROM quota),
+        ranked AS (
+          SELECT n_nationkey, CAST(n_regionkey AS VARCHAR) AS k,
+                 row_number() OVER (PARTITION BY n_regionkey
+                   ORDER BY (n_nationkey * 9301 + 49297 +
+                             ${SampleOp.seedRotation(5)}) % 233280,
+                            n_nationkey) AS rn
+          FROM nation),
+        reps AS (
+          SELECT n_nationkey,
+                 fr.fullep + CASE WHEN rn <= fr.rem THEN 1 ELSE 0 END AS nrep
+          FROM ranked JOIN fr USING (k))
+        SELECT n_nationkey, CAST(t.e AS BIGINT) AS epoch
+        FROM reps, UNNEST(range(0, nrep)) AS t(e)""")
     ))
 
 }

@@ -70,6 +70,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def sampleWeighted(stratifyKey: String, keyExpr: String, total: Int,
       weights: Map[String, Double], seed: Long = 0): Frame =
     next(SampleOp.stratifiedWeighted(df, stratifyKey, keyExpr, total, weights, seed))
+  def sampleWeightedEpochs(stratifyKey: String, keyExpr: String, total: Int,
+      weights: Map[String, Double], seed: Long = 0, maxEpochs: Int = 4): Frame =
+    next(SampleOp.stratifiedWeightedEpochs(df, stratifyKey, keyExpr, total,
+      weights, seed, maxEpochs))
   def sampleProportional(stratifyKey: String, keyExpr: String,
       total: Int, seed: Long = 0): Frame =
     next(SampleOp.stratifiedProportional(df, stratifyKey, keyExpr, total, seed))

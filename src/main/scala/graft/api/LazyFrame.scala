@@ -269,6 +269,13 @@ final case class LazyFrame(
       "key_expr" -> keyExpr, "samples" -> total,
       "weights" -> jmap(weights.map { case (k, v) => k -> (v: Any) }: _*),
       "random_state" -> seed)
+  def sampleWeightedEpochs(stratifyKey: String, keyExpr: String, total: Int,
+      weights: Seq[(String, Double)], seed: Int = 0,
+      maxEpochs: Int = 4): LazyFrame =
+    append("sample", "method" -> "weighted_epochs", "stratify_key" -> stratifyKey,
+      "key_expr" -> keyExpr, "samples" -> total,
+      "weights" -> jmap(weights.map { case (k, v) => k -> (v: Any) }: _*),
+      "random_state" -> seed, "max_epochs" -> maxEpochs)
   def dedupExact(textKey: String, tieBreak: String): LazyFrame =
     append("dedup", "method" -> "exact", "text_key" -> textKey, "tie_break" -> tieBreak)
   def dedupMinhash(idKey: String, textKey: String, threshold: Double = 0.8,

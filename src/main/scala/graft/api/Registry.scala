@@ -274,6 +274,10 @@ object Registry {
         c("key_expr").str, c("samples").int,
         c("weights").asOrderedMap.map { case (k, v) => k -> v.dbl }.toMap,
         c.intOr("random_state", 0).toLong)
+      case "weighted_epochs" => SampleOp.stratifiedWeightedEpochs(df,
+        c("stratify_key").str, c("key_expr").str, c("samples").int,
+        c("weights").asOrderedMap.map { case (k, v) => k -> v.dbl }.toMap,
+        c.intOr("random_state", 0).toLong, c.intOr("max_epochs", 4))
       case "uniform" => SampleOp.uniform(df, c("fraction").dbl, c.intOr("random_state", 42))
       case "hash" => SampleOp.uniformHash(df, c("key_expr").str, c("fraction").dbl,
         c.intOr("random_state", 0))

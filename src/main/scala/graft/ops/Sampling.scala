@@ -210,6 +210,75 @@ object SampleOp {
       counts => allocateWeighted(counts, weights, total),
       "weighted sampling needs a non-empty input")
 
+  /** Weighted mixture WITH upsampling: when a stratum's target share
+    * exceeds its row count, its rows repeat across epochs (capped at
+    * `maxEpochs` — the standard way training pipelines oversample a small
+    * high-value domain). Each output row carries an `epoch` column
+    * (0-based). Quota realization per stratum of n rows and quota q:
+    * every row appears `q / n` times, and the LCG-first `q % n` rows once
+    * more. Capacity = n × maxEpochs; if the weights demand more, the
+    * allocator redistributes by largest remainder (the result under-fills
+    * `total` only when EVERY weighted stratum hits maxEpochs).
+    *
+    * Scale: same single (stratum, ord) histogram scan as the proportional
+    * sampler; pure-downsample strata (zero full epochs) are pre-filtered by
+    * the exact ord threshold before the rank window, upsampled strata keep
+    * all rows (every row is emitted anyway). Driver state stays O(#strata);
+    * the epoch fan-out is an explode of a bounded constant-length slice. */
+  def stratifiedWeightedEpochs(
+      df: DataFrame, stratifyKey: String, keyExpr: String,
+      total: Int, weights: Map[String, Double], seed: Long = 0,
+      maxEpochs: Int = 4): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    require(!df.columns.contains("epoch"), "input already has epoch")
+    val ord = pmod(expr(keyExpr) * 9301L + 49297L + seedRotation(seed), lit(233280L))
+    val hist = graft.core.PersistScope.register(
+      df.select(col(stratifyKey).cast("string").as("_graft_s"), ord.as("_graft_o"))
+        .groupBy("_graft_s", "_graft_o").agg(count(lit(1)).as("_graft_c"))
+        .persist())
+    val counts = hist.groupBy("_graft_s").agg(sum("_graft_c").as("_n")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
+    require(counts.values.sum > 0, "weighted epoch sampling needs a non-empty input")
+    val capacities = counts.view.mapValues(_ * maxEpochs).toMap
+    val quotas = allocateWeighted(capacities, weights, total)
+    val live = quotas.filter { case (k, q) => k != null && q > 0 }
+    val fulls = live.map { case (k, q) => k -> q / counts(k) }
+    val rems = live.map { case (k, q) => k -> q % counts(k) }
+    // Pre-filter BEFORE the rank window, but only where it is sound: a
+    // stratum with zero full epochs keeps just its LCG-first `rem` rows
+    // (exact ord threshold, as in the proportional path); a stratum with
+    // full epochs >= 1 emits every row, so it takes no threshold.
+    val filterQuota = fulls.map { case (k, f) =>
+      k -> (if (f >= 1) counts(k) else rems(k)) }
+    val quotaMapF = typedLit(filterQuota)
+    val cw = Window.partitionBy(col("_graft_s")).orderBy(col("_graft_o"))
+    val thresh = hist
+      .withColumn("_graft_cum", sum(col("_graft_c")).over(cw))
+      .filter(col("_graft_cum") - col("_graft_c") <
+        coalesce(element_at(quotaMapF, col("_graft_s")), lit(0L)))
+      .groupBy("_graft_s").agg(max(col("_graft_o")).as("_graft_t"))
+    val filtered = df
+      .filter(col(stratifyKey).cast("string").isin(live.keys.toSeq: _*))
+      .join(broadcast(thresh),
+        col(stratifyKey).cast("string") === col("_graft_s"), "left")
+      .filter(col("_graft_t").isNull || ord <= col("_graft_t"))
+      .drop("_graft_s", "_graft_t")
+    val fullMap = typedLit(fulls)
+    val remMap = typedLit(rems)
+    val w = Window.partitionBy(col(stratifyKey)).orderBy(ord, expr(keyExpr))
+    val reps =
+      coalesce(element_at(fullMap, col(stratifyKey).cast("string")), lit(0L)) +
+        when(row_number().over(w) <=
+          coalesce(element_at(remMap, col(stratifyKey).cast("string")), lit(0L)),
+          1L).otherwise(0L)
+    filtered
+      .withColumn("_graft_reps", reps)
+      .withColumn("epoch",
+        explode(slice(sequence(lit(0L), lit(maxEpochs.toLong)), lit(1),
+          col("_graft_reps").cast("int"))))
+      .drop("_graft_reps")
+  }
+
   private def lcgQuotaStratified(
       df: DataFrame, stratifyKey: String, keyExpr: String, seed: Long,
       allocate: Map[String, Long] => Map[String, Long],

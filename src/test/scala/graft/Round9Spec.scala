@@ -266,6 +266,13 @@ class Round9Spec extends SparkSpec {
     assert(roundTrips(LazyFrame.read("docs", path)
       .decontaminate(LazyFrame.read("docs", path).codeFilter("doc_id >= 0"),
         "doc_id", "text", n = 3)) == 0)
+    // weighted: en 2, de 1 over 3 slots; epochs: en 6 of 8 needs a second
+    // epoch for one row (5 en docs), de's 2 slots take 2 epochs of its one
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .sampleWeighted("lang", "doc_id", 3, Seq("en" -> 2.0, "de" -> 1.0))) == 3)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .sampleWeightedEpochs("lang", "doc_id", 8,
+        Seq("en" -> 1.0, "de" -> 1.0), maxEpochs = 2)) == 8)
   }
 
   // ---------------------------------------------------------------- web fetch
@@ -486,6 +493,29 @@ class Round9Spec extends SparkSpec {
       df(schema, rows: _*), "g", "id", 12, Map("p" -> 2.0, "q" -> 1.0, "r" -> 1.0))
     val byG = out.collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
     assert(byG == Map("p" -> 6, "q" -> 3, "r" -> 3))
+  }
+
+  test("stratifiedWeightedEpochs upsamples small strata across epochs") {
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("id", LongType)))
+    // g=p has 2 rows, g=q has 10; weights 4:1 over total 10 ->
+    // exact p = 8 (capacity 2*4=8 binds at nothing: 8 <= 8), q = 2
+    val rows = (1L to 2L).map(Row("p", _)) ++ (11L to 20L).map(Row("q", _))
+    val out = graft.ops.SampleOp.stratifiedWeightedEpochs(
+      df(schema, rows: _*), "g", "id", 10, Map("p" -> 4.0, "q" -> 1.0),
+      maxEpochs = 4)
+    val collected = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // p: quota 8 over 2 rows -> 4 full epochs each, epochs 0..3
+    assert(collected.count(_._1 == "p") == 8)
+    assert(collected.filter(_._1 == "p").map(_._3).toSet == Set(0L, 1L, 2L, 3L))
+    // q: quota 2 over 10 rows -> 2 rows at epoch 0
+    val qRows = collected.filter(_._1 == "q")
+    assert(qRows.length == 2 && qRows.forall(_._3 == 0L))
+    // capacity bind: weights demand more than maxEpochs allows -> under-fill
+    val bound = graft.ops.SampleOp.stratifiedWeightedEpochs(
+      df(schema, (1L to 3L).map(Row("p", _)): _*), "g", "id", 10,
+      Map("p" -> 1.0), maxEpochs = 2)
+    assert(bound.count() == 6) // 3 rows x 2 epochs, not 10
   }
 
   // ------------------------------------------------- tf-idf
