@@ -1791,6 +1791,24 @@ object Queries {
           FROM ranked JOIN fr USING (k))
         SELECT n_nationkey, CAST(t.e AS BIGINT) AS epoch
         FROM reps, UNNEST(range(0, nrep)) AS t(e)""")
+    ),
+    (
+      // Unigram-LM surprisal quality score (CCNet-style perplexity filter,
+      // unigram stand-in for KenLM offline): avg -ln p(w) per doc under the
+      // corpus's own token distribution. Total token count is an exact
+      // integer sum in both engines; the per-doc average accumulates a
+      // bounded number of doubles (document length), the same float-noise
+      // class as the cosine/ln queries elsewhere in the suite.
+      "q81_unigram_surprisal",
+      (s: SparkSession, dir: String) =>
+        UnigramScore.perDoc(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        freq AS (SELECT t, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
+        tot AS (SELECT sum(c) AS n FROM freq)
+        SELECT doc_id, round(avg(-ln(c / n)), 6) AS nll
+        FROM toks JOIN freq USING (t), tot GROUP BY doc_id""")
     ))
 
 }

@@ -168,6 +168,8 @@ final case class Frame(df: DataFrame, client: LlmClient) {
 
   def tfidfTopTerms(idCol: String, textCol: String, k: Int): Frame =
     next(graft.ops.TfIdfOp.topTerms(df, idCol, textCol, k))
+  def unigramSurprisal(idCol: String, textCol: String): Frame =
+    next(graft.ops.UnigramScore(df, idCol, textCol))
   def contaminationHits(idCol: String, textCol: String, benchmark: Frame,
       benchTextCol: String, n: Int = 8, broadcastBenchmark: Boolean = true): Frame =
     next(graft.dedup.Decontaminate.hits(df, idCol, textCol, benchmark.df,

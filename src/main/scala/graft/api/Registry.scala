@@ -453,6 +453,9 @@ object Registry {
   register("tfidf") { (df, c, _) =>
     TfIdfOp.topTerms(df, c("id_key").str, c("text_key").str, c.intOr("k", 10))
   }
+  register("unigram_surprisal") { (df, c, _) =>
+    UnigramScore(df, c("id_key").str, c("text_key").str)
+  }
   register("embed") { (df, c, ctx) =>
     EmbedOp(df, c("text_expr").str, c.strOr("output_key", "embedding"),
       ctx.client, c.strOr("model", "mock-embed"), c.intOr("batch_size", 1000))

@@ -518,6 +518,25 @@ class Round9Spec extends SparkSpec {
     assert(bound.count() == 6) // 3 rows x 2 epochs, not 10
   }
 
+  // ------------------------------------------------- unigram surprisal
+
+  test("unigram surprisal matches hand computation; rare tokens score high") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    // corpus tokens: a a a b -> p(a)=3/4, p(b)=1/4
+    val d = df(schema, Row(1L, "a a a"), Row(2L, "b"))
+    val out = graft.ops.UnigramScore.perDoc(d, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == r6(-math.log(0.75)))
+    assert(out(2L) == r6(-math.log(0.25)))
+    assert(out(2L) > out(1L)) // the rare-token doc is more surprising
+    // passthrough form keeps input columns
+    assert(graft.ops.UnigramScore(d, "id", "text").columns.toSeq ==
+      Seq("id", "text", "nll"))
+  }
+
   // ------------------------------------------------- tf-idf
 
   test("tf-idf top terms match hand computation and plan a window group limit") {
