@@ -1809,6 +1809,26 @@ object Queries {
         tot AS (SELECT sum(c) AS n FROM freq)
         SELECT doc_id, round(avg(-ln(c / n)), 6) AS nll
         FROM toks JOIN freq USING (t), tot GROUP BY doc_id""")
+    ),
+    (
+      // Stratified round-robin interleave (training-order anti-clustering):
+      // round r of every lang precedes round r+1, langs lexicographic
+      // within a round. The Spark global position is a range-partitioned
+      // sort + per-partition offset (RankOp.withGlobalRank), never a
+      // single-task empty-window row_number.
+      "q82_interleave",
+      (s: SparkSession, dir: String) =>
+        InterleaveOp(t(s, dir, "documents"), "lang", "doc_id")
+          .select(col("doc_id"), col("interleave_rank")),
+      Some("""
+        WITH r AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS sr
+          FROM documents)
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY sr, lang) AS BIGINT)
+                 AS interleave_rank
+        FROM r""")
     ))
 
 }

@@ -170,6 +170,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(graft.ops.TfIdfOp.topTerms(df, idCol, textCol, k))
   def unigramSurprisal(idCol: String, textCol: String): Frame =
     next(graft.ops.UnigramScore(df, idCol, textCol))
+  def interleave(stratifyCol: String, orderExpr: String,
+      outCol: String = "interleave_rank"): Frame =
+    next(graft.ops.InterleaveOp(df, stratifyCol, orderExpr, outCol))
   def contaminationHits(idCol: String, textCol: String, benchmark: Frame,
       benchTextCol: String, n: Int = 8, broadcastBenchmark: Boolean = true): Frame =
     next(graft.dedup.Decontaminate.hits(df, idCol, textCol, benchmark.df,

@@ -456,6 +456,10 @@ object Registry {
   register("unigram_surprisal") { (df, c, _) =>
     UnigramScore(df, c("id_key").str, c("text_key").str)
   }
+  register("interleave") { (df, c, _) =>
+    InterleaveOp(df, c("stratify_key").str, c("order_expr").str,
+      c.strOr("output_key", "interleave_rank"))
+  }
   register("embed") { (df, c, ctx) =>
     EmbedOp(df, c("text_expr").str, c.strOr("output_key", "embedding"),
       ctx.client, c.strOr("model", "mock-embed"), c.intOr("batch_size", 1000))

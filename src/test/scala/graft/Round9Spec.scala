@@ -518,6 +518,23 @@ class Round9Spec extends SparkSpec {
     assert(bound.count() == 6) // 3 rows x 2 epochs, not 10
   }
 
+  // ------------------------------------------------- interleave
+
+  test("interleave round-robins strata deterministically") {
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("id", LongType)))
+    val d = df(schema,
+      Row("b", 1L), Row("b", 2L), Row("b", 3L), Row("a", 10L), Row("a", 20L))
+    val out = graft.ops.InterleaveOp(d, "g", "id")
+      .orderBy("interleave_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // rounds: (a10, b1), (a20, b2), (b3)
+    assert(out == Seq(
+      ("a", 10L, 1L), ("b", 1L, 2L),
+      ("a", 20L, 3L), ("b", 2L, 4L),
+      ("b", 3L, 5L)))
+  }
+
   // ------------------------------------------------- unigram surprisal
 
   test("unigram surprisal matches hand computation; rare tokens score high") {
