@@ -626,6 +626,36 @@ class Round9Spec extends SparkSpec {
     assert(tf.count() == 6) // 3 docs x k=2, all terms distinct per doc
   }
 
+  test("new Frame entries chain into one training-prep flow") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val rows = (1 to 30).map { i =>
+      Row(i.toLong, if (i % 3 == 0) "de" else "en",
+        s"w$i common tokens appear here plus w${i % 7} and w${i % 5}")
+    }
+    val corpus = graft.api.Frame(df(schema, rows: _*), MockLlmClient())
+    val bench = graft.api.Frame(
+      df(schema, Row(99L, "en", "w1 common tokens appear")), MockLlmClient())
+    val out = corpus
+      .decontaminate("doc_id", "text", bench, "text", n = 4)
+      .unigramSurprisal("doc_id", "text") // doc cols + nll
+      .interleave("lang", "doc_id")
+      .pack(Seq("lang"), "interleave_rank", "8", budget = 16)
+      .collect()
+    assert(out.nonEmpty)
+    val cols = corpus.decontaminate("doc_id", "text", bench, "text", n = 4)
+      .unigramSurprisal("doc_id", "text").interleave("lang", "doc_id")
+      .pack(Seq("lang"), "interleave_rank", "8", budget = 16).df.columns.toSeq
+    assert(cols == Seq("doc_id", "lang", "text", "nll", "interleave_rank", "pack_id"))
+    // tfidf + weighted sampling entries compose too
+    assert(corpus.tfidfTopTerms("doc_id", "text", 2).collect().length == 60)
+    assert(corpus.sampleWeighted("lang", "doc_id", 6,
+      Map("en" -> 1.0, "de" -> 1.0)).collect().length == 6)
+    assert(corpus.sampleWeightedEpochs("lang", "doc_id", 50,
+      Map("de" -> 1.0), maxEpochs = 2).collect().length == 20) // 10 de x 2
+  }
+
   test("Frame decontaminate chains on the fluent API") {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
