@@ -213,6 +213,73 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: weighted allocator invariants over random weights and caps") {
+    val cases: Gen[(Map[String, Long], Map[String, Double], Int)] = for {
+      nStrata <- Gen.choose(1, 10)
+      sizes <- Gen.listOfN(nStrata, Gen.choose(0L, 40L))
+      ws <- Gen.listOfN(nStrata, Gen.choose(0, 5))
+      ghostW <- Gen.oneOf(true, false) // a weight naming no stratum
+      total <- Gen.choose(0, 150)
+    } yield {
+      val keys = sizes.indices.map(i => f"s$i%02d")
+      val counts = keys.zip(sizes).toMap + (null.asInstanceOf[String] -> 9L)
+      val weights = keys.zip(ws.map(_.toDouble)).toMap ++
+        (if (ghostW) Map("ghost" -> 3.0) else Map.empty)
+      (counts, weights, total)
+    }
+    samples(cases, 200).foreach { case (counts, weights, total) =>
+      val quotas = SampleOp.allocateWeighted(counts, weights, total)
+      val live = counts.filter { case (k, n) =>
+        k != null && n > 0 && weights.getOrElse(k, 0.0) > 0 }
+      val ctx = s"counts=$counts weights=$weights total=$total quotas=$quotas"
+      assert(quotas.keySet == counts.keySet, ctx)
+      counts.foreach { case (k, n) =>
+        val cap = if (k == null || weights.getOrElse(k, 0.0) <= 0) 0L else n
+        assert(quotas(k) >= 0 && quotas(k) <= cap, ctx)
+      }
+      // fills to min(total, weighted capacity); zero-weight strata take 0
+      assert(quotas.values.sum == math.min(total.toLong, live.values.sum), ctx)
+      // monotone in weight when capacities are slack: double every weight
+      // changes nothing (shares are scale-invariant)
+      assert(SampleOp.allocateWeighted(counts,
+        weights.view.mapValues(_ * 2).toMap, total) == quotas, ctx)
+    }
+  }
+
+  test("property: epoch sampler emits exactly the allocated quota per stratum") {
+    val cases: Gen[(Seq[(String, Long)], Int, Int)] = for {
+      nStrata <- Gen.choose(1, 4)
+      sizes <- Gen.listOfN(nStrata, Gen.choose(1, 12))
+      total <- Gen.choose(1, 80)
+      maxE <- Gen.choose(1, 3)
+    } yield {
+      val rows = sizes.zipWithIndex.flatMap { case (s, i) =>
+        (1 to s).map(j => (f"s$i%02d", (i * 100 + j).toLong)) }
+      (rows, total, maxE)
+    }
+    samples(cases, 12).foreach { case (rows, total, maxE) =>
+      val strata = rows.map(_._1).distinct
+      val weights = strata.zipWithIndex.map { case (k, i) => k -> (i + 1.0) }.toMap
+      val d = df(StructType(Seq(
+        StructField("g", StringType), StructField("id", LongType))),
+        rows.map { case (g, id) => Row(g, id) }: _*)
+      val out = SampleOp.stratifiedWeightedEpochs(d, "g", "id", total, weights,
+        maxEpochs = maxE).collect()
+      val counts = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val quotas = SampleOp.allocateWeighted(
+        counts.view.mapValues(_ * maxE).toMap, weights, total)
+      val got = out.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+      val ctx = s"rows=${rows.size} total=$total maxE=$maxE quotas=$quotas got=$got"
+      quotas.filter(_._2 > 0).foreach { case (k, q) => assert(got(k) == q, ctx) }
+      // per-row repetition never exceeds maxEpochs, epochs are 0-based runs
+      out.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rs) =>
+        val epochs = rs.map(_.getLong(2)).sorted.toSeq
+        assert(epochs == (0L until epochs.length.toLong), ctx)
+        assert(epochs.length <= maxE, ctx)
+      }
+    }
+  }
+
   test("property: repetition fractions match brute-force counts") {
     import graft.functions.{TextFunctions => TF}
     def r6(x: Double): Double =
