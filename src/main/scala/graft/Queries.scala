@@ -1829,6 +1829,44 @@ object Queries {
                CAST(row_number() OVER (ORDER BY sr, lang) AS BIGINT)
                  AS interleave_rank
         FROM r""")
+    ),
+    (
+      // Multiprobe hyperplane-LSH ANN (the train-free indexed arm next to
+      // IVF q29): axis planes keep the bucketing SQL-reproducible (bit i =
+      // sign of dim i+1, as in q27); multiProbe=1 probes the query's bucket
+      // plus its 4 Hamming-1 neighbors. Both engines rank the ROUNDED
+      // cosine with neighbor id as tie-break.
+      "q83_ann_lsh",
+      (s: SparkSession, dir: String) => {
+        val e = t(s, dir, "embeddings")
+          .withColumn("embedding", transform(col("embedding"), _.cast("double")))
+        graft.ann.Ann.lshSearch(
+          e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          dim = 64, k = 3, numPlanes = 4, multiProbe = 1,
+          explicitPlanes = Some(graft.dedup.EmbeddingDedup.axisPlanes(4, 64)))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        b AS (SELECT vec_id, emb,
+                (CASE WHEN emb[1]>0 THEN 1 ELSE 0 END) +
+                (CASE WHEN emb[2]>0 THEN 2 ELSE 0 END) +
+                (CASE WHEN emb[3]>0 THEN 4 ELSE 0 END) +
+                (CASE WHEN emb[4]>0 THEN 8 ELSE 0 END) AS bkt
+              FROM e),
+        q AS (SELECT vec_id AS query_id, emb AS qe, xor(bkt, m) AS pb
+              FROM b, UNNEST([0, 1, 2, 4, 8]) AS t(m) WHERE vec_id < 5),
+        cand AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 CAST(round(list_dot_product(q.qe, c.emb) /
+                   (sqrt(list_dot_product(q.qe, q.qe)) *
+                    sqrt(list_dot_product(c.emb, c.emb))), 6) AS DOUBLE) AS score
+          FROM q JOIN b c ON c.bkt = q.pb AND c.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, score
+        FROM cand
+        QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, neighbor_id ASC) <= 3""")
     ))
 
 }

@@ -118,6 +118,63 @@ object Ann {
     centroids
   }
 
+  /** Hyperplane-LSH bucketed ANN — the second indexed path besides IVF
+    * (no training pass at all): corpus rows bucket by the sign sketch of
+    * `numPlanes` hyperplanes (the [[graft.dedup.EmbeddingDedup]] sketch),
+    * and each query probes its own bucket plus every bucket within Hamming
+    * distance `multiProbe` (standard multiprobe LSH). Cost is the probed
+    * buckets' population — sum over C(numPlanes, <=multiProbe) of
+    * ~|corpus| / 2^numPlanes — never the corpus; recall tunes via
+    * numPlanes (granularity) and multiProbe (radius). A (query, neighbor)
+    * pair can match through at most one probe (each corpus row has exactly
+    * one bucket), so no candidate dedup stage is needed. `explicitPlanes`
+    * (e.g. [[graft.dedup.EmbeddingDedup.axisPlanes]]) makes the bucketing
+    * reproducible by an external SQL oracle. */
+  def lshSearch(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      dim: Int,
+      k: Int,
+      numPlanes: Int = 8,
+      multiProbe: Int = 1,
+      seed: Long = 42,
+      explicitPlanes: Option[Array[Array[Double]]] = None,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(numPlanes >= 1 && numPlanes <= 20, "numPlanes in [1, 20]")
+    require(multiProbe >= 0 && multiProbe <= numPlanes, "multiProbe in [0, numPlanes]")
+    val rng = new scala.util.Random(seed)
+    val planes = explicitPlanes.getOrElse(Array.fill(numPlanes, dim)(rng.nextGaussian()))
+    def sketch(embCol: org.apache.spark.sql.Column) =
+      planes.zipWithIndex.map { case (p, i) =>
+        when(VectorFunctions.dot(embCol, array(p.toIndexedSeq.map(lit): _*)) > 0, 1L)
+          .otherwise(0L) * (1L << i)
+      }.reduce(_ + _)
+    val masks = (0L until (1L << planes.length))
+      .filter(m => java.lang.Long.bitCount(m) <= multiProbe)
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+      col(corpusEmb).as("_ce"), sketch(col(corpusEmb)).as("_b"))
+    val q = queries
+      .select(col(queryId).as("query_id"), col(queryEmb).as("_qe"),
+        sketch(col(queryEmb)).as("_qb"))
+      .withColumn("_b", explode(transform(
+        array(masks.map(lit): _*), m => col("_qb").bitwiseXOR(m))))
+    val joined = c.join(broadcast(q), Seq("_b"))
+    val scored =
+      (if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))
+       else joined)
+        .withColumn("score",
+          round(graft.functions.CosineSimilarity(col("_qe"), col("_ce")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "score")
+  }
+
   /** IVF query: for each query, scan only the `nProbe` nearest cells. */
   def ivfSearch(
       assignedCorpus: DataFrame, // output of ivfAssign, has _cell

@@ -187,6 +187,11 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       corpusId: String, corpusEmb: String, k: Int): Frame =
     next(graft.ann.Ann.bruteForce(corpus.df, corpusId, corpusEmb,
       df, queryId, queryEmb, k))
+  def annLsh(queryId: String, queryEmb: String, corpus: Frame,
+      corpusId: String, corpusEmb: String, dim: Int, k: Int,
+      numPlanes: Int = 8, multiProbe: Int = 1): Frame =
+    next(graft.ann.Ann.lshSearch(corpus.df, corpusId, corpusEmb,
+      df, queryId, queryEmb, dim, k, numPlanes, multiProbe))
   def annIvf(queryId: String, queryEmb: String, corpus: Frame,
       corpusId: String, corpusEmb: String, k: Int,
       nCentroids: Int = 64, nProbe: Int = 8): Frame = {

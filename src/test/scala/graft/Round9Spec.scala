@@ -518,6 +518,32 @@ class Round9Spec extends SparkSpec {
     assert(bound.count() == 6) // 3 rows x 2 epochs, not 10
   }
 
+  // ------------------------------------------------- lsh ann
+
+  test("multiprobe LSH ANN finds cross-bucket neighbors a plain probe misses") {
+    // 2D axis planes -> 4 buckets by quadrant. Query sits in quadrant (+,+);
+    // its nearest neighbor sits just across the x-axis in (+,-): probe 0
+    // misses it, Hamming-1 multiprobe finds it.
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("e", ArrayType(DoubleType))))
+    val corpus = df(schema,
+      Row(1L, Seq(1.0, 0.9)),    // same quadrant, farther in angle
+      Row(2L, Seq(1.0, -0.05)),  // adjacent quadrant, nearly parallel
+      Row(3L, Seq(-1.0, -1.0)))  // opposite quadrant
+    val queries = df(schema, Row(10L, Seq(1.0, 0.05)))
+    val planes = graft.dedup.EmbeddingDedup.axisPlanes(2, 2)
+    def run(probe: Int) = graft.ann.Ann.lshSearch(
+      corpus, "id", "e", queries, "id", "e", dim = 2, k = 2,
+      numPlanes = 2, multiProbe = probe, explicitPlanes = Some(planes))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(run(0).map(_._1) == Seq(1L))           // own bucket only
+    assert(run(1).map(_._1) == Seq(2L, 1L))       // Hamming-1 reaches id 2
+    val plan = graft.ann.Ann.lshSearch(corpus, "id", "e", queries, "id", "e",
+      dim = 2, k = 2, numPlanes = 2, multiProbe = 1,
+      explicitPlanes = Some(planes)).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+  }
+
   // ------------------------------------------------- interleave
 
   test("interleave round-robins strata deterministically") {
