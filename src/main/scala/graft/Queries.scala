@@ -32,7 +32,7 @@ object Queries {
   /** (name, query, optional oracle SQL). Ordering = rough SURVEY §2 order. */
   lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
-    apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9
+    apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b
 
   // ---------------------------------------------------------------- parsing
 
@@ -1868,5 +1868,110 @@ object Queries {
         QUALIFY row_number() OVER (PARTITION BY query_id
           ORDER BY score DESC, neighbor_id ASC) <= 3""")
     ))
+
+  /** Round-9 second wave: the pre-release corpus hygiene passes (PII scrub,
+    * boilerplate line removal) and the data-selection / training-order steps
+    * (DSIR importance weights, seeded epoch shuffle). */
+  private def round9b: Seq[(String, Q, Option[String])] = {
+    // The synthetic corpus carries no PII, so the query plants a
+    // deterministic contact block per row — IDENTICAL string expression on
+    // both engines — and redacts it. The op itself is general.
+    val plantSpark = concat(
+      col("text"),
+      lit(" reach user"), col("doc_id").cast("string"),
+      lit("@mail.example.com from 10.2."),
+      (col("doc_id") % 200).cast("string"),
+      lit(".7 call (415) 555-01"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+      lit(" ssn 123-45-6789"))
+    val plantSql =
+      "text || ' reach user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example.com from 10.2.' || CAST(doc_id % 200 AS VARCHAR) || " +
+        "'.7 call (415) 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') " +
+        "|| ' ssn 123-45-6789'"
+    // The oracle's regexp_replace chain is BUILT FROM TextFunctions
+    // .PiiPatterns, so the SQL can never drift from the Column chain
+    // (backslashes pass through SQL single-quote literals untouched).
+    val redactSql = graft.functions.TextFunctions.PiiPatterns.foldLeft(plantSql) {
+      case (inner, (_, re, tok)) => s"regexp_replace($inner, '$re', '$tok', 'g')"
+    }
+    Seq(
+    (
+      // PII scrub (Dolma/ROOTS-style email/IP/SSN/phone redaction): a pure
+      // codegen'd regexp_replace chain — per-row compute inside the scan
+      // stage, no shuffle at any corpus size, RE2-compatible patterns.
+      "q84_redact_pii",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TF.redactPii(plantSpark).as("text_redacted")),
+      Some(s"SELECT doc_id, $redactSql AS text_redacted FROM documents")
+    ),
+    (
+      // Corpus-frequency segment removal (RefinedWeb/CCNet boilerplate-line
+      // dedup, word-granularity here because the synthetic docs are
+      // single-line): segments whose document frequency exceeds 390 of the
+      // 500 sf0.01 docs are boilerplate. The banned set shuffles as 64-bit
+      // hashes and joins back LEFT ANTI; the rebuild preserves original
+      // segment order.
+      "q85_dedup_lines",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.LineDedup.clean(
+          t(s, dir, "documents"), "doc_id", "text", " ", maxDocFreq = 390),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        segs AS (SELECT doc_id, w[i] AS seg, i AS ord
+                 FROM t, UNNEST(range(1, len(w)+1)) AS u(i)),
+        banned AS (SELECT seg FROM segs GROUP BY seg
+                   HAVING count(DISTINCT doc_id) > 390),
+        kept AS (SELECT s.doc_id, s.seg, s.ord
+                 FROM segs s ANTI JOIN banned b USING (seg))
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY ord) AS text_clean
+        FROM kept GROUP BY doc_id""")
+    ),
+    (
+      // Seeded deterministic global shuffle (epoch training order): rank of
+      // md5(doc_id ":" seed) via the range-partitioned zipWithIndex — the
+      // permutation is reproducible from (data, seed) and never serializes
+      // through a single-task window.
+      "q86_shuffle",
+      (s: SparkSession, dir: String) =>
+        InterleaveOp.shuffle(t(s, dir, "documents"), "doc_id", seed = 17)
+          .select(col("doc_id"), col("shuffle_rank")),
+      Some("""
+        SELECT doc_id, CAST(row_number() OVER (
+          ORDER BY md5(CAST(doc_id AS VARCHAR) || ':17'), doc_id) AS BIGINT)
+          AS shuffle_rank
+        FROM documents""")
+    ),
+    (
+      // DSIR importance weights (target = the non-English slice): per-doc
+      // mean log-ratio of target vs corpus unigram LMs, Laplace-smoothed
+      // over the joint vocab. Global scalars ride a broadcast one-row cross
+      // join — no driver collect anywhere in the plan.
+      "q87_importance_weight",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        ImportanceWeightOp.logRatio(docs, "doc_id", "text",
+          docs.filter(col("lang") =!= "en"), "text")
+      },
+      Some("""
+        WITH ct AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+        tt AS (SELECT unnest(string_split(text, ' ')) AS tok
+               FROM documents WHERE lang <> 'en'),
+        cc AS (SELECT tok, count(*)::DOUBLE AS c FROM ct GROUP BY 1),
+        tc AS (SELECT tok, count(*)::DOUBLE AS tcnt FROM tt GROUP BY 1),
+        vocab AS (SELECT coalesce(cc.tok, tc.tok) AS tok,
+                         coalesce(c, 0) AS c, coalesce(tcnt, 0) AS tcnt
+                  FROM cc FULL JOIN tc ON cc.tok = tc.tok),
+        st AS (SELECT count(*)::DOUBLE AS v, sum(c) AS nc, sum(tcnt) AS nt
+               FROM vocab),
+        w AS (SELECT tok, ln((tcnt + 1) / (nt + v)) - ln((c + 1) / (nc + v))
+                AS w FROM vocab, st)
+        SELECT doc_id, round(avg(w), 6) AS importance_weight
+        FROM ct JOIN w USING (tok) GROUP BY doc_id""")
+    ))
+  }
 
 }

@@ -173,6 +173,20 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def interleave(stratifyCol: String, orderExpr: String,
       outCol: String = "interleave_rank"): Frame =
     next(graft.ops.InterleaveOp(df, stratifyCol, orderExpr, outCol))
+  def shuffle(idExpr: String, seed: Long,
+      outCol: String = "shuffle_rank"): Frame =
+    next(graft.ops.InterleaveOp.shuffle(df, idExpr, seed, outCol))
+  def redactPii(textCol: String, outCol: Option[String] = None): Frame =
+    next(df.withColumn(outCol.getOrElse(textCol),
+      graft.functions.TextFunctions.redactPii(
+        org.apache.spark.sql.functions.col(textCol))))
+  def dedupLines(idCol: String, textCol: String, delim: String = "\n",
+      maxDocFreq: Long = 1000): Frame =
+    next(graft.dedup.LineDedup.clean(df, idCol, textCol, delim, maxDocFreq))
+  def importanceWeight(idCol: String, textCol: String, target: Frame,
+      targetTextCol: String, outCol: String = "importance_weight"): Frame =
+    next(graft.ops.ImportanceWeightOp.logRatio(df, idCol, textCol,
+      target.df, targetTextCol, outCol))
   def contaminationHits(idCol: String, textCol: String, benchmark: Frame,
       benchTextCol: String, n: Int = 8, broadcastBenchmark: Boolean = true): Frame =
     next(graft.dedup.Decontaminate.hits(df, idCol, textCol, benchmark.df,

@@ -292,6 +292,32 @@ final case class LazyFrame(
       "token_expr" -> tokenExpr, "budget" -> budget)
   def tfidfTopTerms(idKey: String, textKey: String, k: Int = 10): LazyFrame =
     append("tfidf", "id_key" -> idKey, "text_key" -> textKey, "k" -> k)
+  def shuffle(idExpr: String, seed: Long,
+      outputKey: String = "shuffle_rank"): LazyFrame =
+    append("shuffle", "id_expr" -> idExpr, "seed" -> seed,
+      "output_key" -> outputKey)
+  def redactPii(textKey: String, outputKey: String = ""): LazyFrame =
+    append("redact_pii", (Seq[(String, Any)]("text_key" -> textKey) ++
+      (if (outputKey.nonEmpty) Seq("output_key" -> outputKey) else Nil)): _*)
+  def dedupLines(idKey: String, textKey: String, delimiter: String = "\n",
+      maxDocFreq: Long = 1000): LazyFrame =
+    append("dedup_lines", "id_key" -> idKey, "text_key" -> textKey,
+      "delimiter" -> delimiter, "max_doc_freq" -> maxDocFreq)
+
+  /** DSIR importance weights against `target` (a binary merge like
+    * decontaminate; the op references the target's final step by name). */
+  def importanceWeight(target: LazyFrame, idKey: String, textKey: String,
+      targetTextKey: String = "",
+      outputKey: String = "importance_weight"): LazyFrame = {
+    val (m, lRef, rRef) = merged(target)
+    val fields = Seq[(String, Any)]("target" -> rRef, "id_key" -> idKey,
+      "text_key" -> textKey, "output_key" -> outputKey) ++
+      (if (targetTextKey.nonEmpty) Seq("target_text_key" -> targetTextKey)
+       else Nil)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"importance_weight_${m.steps.length}")
+      .append("importance_weight", fields: _*)
+  }
 
   // ---- binary combinators (two-frame merge, frame.py:239-335) ----
 

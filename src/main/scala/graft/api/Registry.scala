@@ -460,6 +460,27 @@ object Registry {
     InterleaveOp(df, c("stratify_key").str, c("order_expr").str,
       c.strOr("output_key", "interleave_rank"))
   }
+  register("shuffle") { (df, c, _) =>
+    InterleaveOp.shuffle(df, c("id_expr").str, c("seed").long,
+      c.strOr("output_key", "shuffle_rank"))
+  }
+  register("redact_pii") { (df, c, _) =>
+    val key = c("text_key").str
+    df.withColumn(c.strOr("output_key", key),
+      graft.functions.TextFunctions.redactPii(org.apache.spark.sql.functions.col(key)))
+  }
+  register("dedup_lines") { (df, c, _) =>
+    graft.dedup.LineDedup.clean(df, c("id_key").str, c("text_key").str,
+      c.strOr("delimiter", "\n"), c.get("max_doc_freq").map(_.long).getOrElse(1000L))
+  }
+  register("importance_weight") { (df, c, ctx) =>
+    val target = ctx.datasets.getOrElse(c("target").str,
+      throw new IllegalArgumentException(
+        s"unknown importance_weight target dataset '${c("target").str}'"))
+    ImportanceWeightOp.logRatio(df, c("id_key").str, c("text_key").str,
+      target, c.strOr("target_text_key", c("text_key").str),
+      c.strOr("output_key", "importance_weight"))
+  }
   register("embed") { (df, c, ctx) =>
     EmbedOp(df, c("text_expr").str, c.strOr("output_key", "embedding"),
       ctx.client, c.strOr("model", "mock-embed"), c.intOr("batch_size", 1000))

@@ -342,6 +342,57 @@ object Decontaminate {
       Seq(idCol), "left_anti")
 }
 
+/** Corpus-frequency segment removal — the line-level dedup pass of the
+  * public web-corpus pipelines (CCNet groups by line hash; RefinedWeb /
+  * Falcon drop lines repeated across many pages as boilerplate: nav bars,
+  * cookie banners, footers). A "segment" is any `delim`-separated unit —
+  * line, sentence, or word — so the same operator serves boilerplate-line
+  * removal and corpus-stopword stripping.
+  *
+  * Scale shape: segments explode once; the document-frequency aggregation
+  * shuffles 64-bit `xxhash64` segment keys, never the segment strings; the
+  * banned set is at most (total segment occurrences) / maxDocFreq entries —
+  * small for any meaningful threshold — and joins back LEFT ANTI on the
+  * hash (AQE broadcasts it when it fits); the rebuild is one groupBy(id)
+  * whose per-doc state is the document's own segment list, bounded by
+  * document length. No stage holds more than one document's segments in a
+  * single aggregation buffer. 64-bit hash collisions can conflate two
+  * distinct segments — the standing dedup-family convention.
+  */
+object LineDedup {
+
+  /** Documents with every segment occurring in more than `maxDocFreq`
+    * distinct documents removed, text rebuilt in original segment order as
+    * `{textCol}_clean`. Documents whose segments are ALL banned drop from
+    * the output (no empty-text rows); other columns re-join via idCol. */
+  def clean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n",
+      maxDocFreq: Long = 1000): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val segs = df.select(
+      col(idCol),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(delim))).as(Seq("_pos", "_seg")))
+    val banned = segs
+      .groupBy(xxhash64(col("_seg")).as("_segh"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select("_segh")
+    segs
+      .withColumn("_segh", xxhash64(col("_seg")))
+      .join(banned, Seq("_segh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("_pos"), col("_seg")))),
+          s => s("_seg")),
+        delim).as(s"${textCol}_clean"))
+  }
+}
+
 object EmbeddingDedup {
 
   /** Axis-aligned planes: plane i = unit vector on dimension i (sketch bit i

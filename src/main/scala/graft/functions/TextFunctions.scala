@@ -132,4 +132,46 @@ object TextFunctions {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
+
+  // --- PII scrubbing (the pre-release redaction pass every public corpus
+  // pipeline runs — cf. the open Dolma toolkit's email/phone/IP taggers and
+  // BigScience ROOTS PII filtering). Pure regexp_replace chains: codegen'd,
+  // per-row, no shuffle, and every pattern stays inside the RE2-compatible
+  // subset (no lookbehind/backrefs) so the DuckDB oracle replays them
+  // byte-identically with regexp_replace(..., 'g').
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  // Optional +CC prefix, then (415)- or 415- style area code, then 555-0100.
+  // No leading \b: "(" sits on a non-word boundary, which would unmatch
+  // parenthesised area codes.
+  private val PhoneRe =
+    "(?:\\+?\\d{1,2}[ .-])?(?:\\(\\d{3}\\)[ .-]?|\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b"
+
+  def redactEmails(c: Column, token: String = "<EMAIL>"): Column =
+    regexp_replace(c, EmailRe, token)
+  def redactIpv4(c: Column, token: String = "<IP>"): Column =
+    regexp_replace(c, Ipv4Re, token)
+  def redactSsns(c: Column, token: String = "<SSN>"): Column =
+    regexp_replace(c, SsnRe, token)
+  def redactPhones(c: Column, token: String = "<PHONE>"): Column =
+    regexp_replace(c, PhoneRe, token)
+
+  /** Full scrub. Order matters and is part of the contract: emails first
+    * (their domains may contain dotted digits), then IPv4 (before phones —
+    * both are digit runs, but IP octets are dot-separated), then SSNs
+    * (xxx-xx-xxxx would half-match the looser phone pattern), then phones.
+    * Idempotent: the placeholder tokens contain no redactable substrings. */
+  def redactPii(c: Column): Column =
+    redactPhones(redactSsns(redactIpv4(redactEmails(c))))
+
+  /** The same four patterns as (name, regex, replacement) rows — the oracle
+    * and YAML layers consume this so the SQL chain can never drift from the
+    * Column chain. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", EmailRe, "<EMAIL>"),
+    ("ipv4", Ipv4Re, "<IP>"),
+    ("ssn", SsnRe, "<SSN>"),
+    ("phone", PhoneRe, "<PHONE>"))
 }

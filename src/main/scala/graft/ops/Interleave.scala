@@ -34,4 +34,28 @@ object InterleaveOp {
       .withColumnRenamed("_rank", outCol)
       .drop("_graft_sr")
   }
+
+  /** Deterministic global shuffle — the epoch-seeded random training order.
+    * Position = 1-based rank of md5(idExpr ":" seed), id as tie-break, so
+    * the permutation is reproducible from (data, seed) alone and changes
+    * completely between epochs by bumping the seed; md5 hex is engine-stable
+    * (same SQL on DuckDB orders identically).
+    *
+    * Scale shape: one range-partitioned sort on the hash key
+    * ([[RankOp.withGlobalRank]]) — never a row_number over an empty window,
+    * which would serialize the corpus through one task. Hash keys are
+    * uniform by construction, so the range partitioner cannot skew. */
+  def shuffle(
+      df: DataFrame,
+      idExpr: String,
+      seed: Long,
+      outCol: String = "shuffle_rank"): DataFrame = {
+    require(!df.columns.contains(outCol), s"input already has $outCol")
+    val key = md5(concat(expr(idExpr).cast("string"), lit(":" + seed)))
+    RankOp.withGlobalRank(
+      df.withColumn("_graft_shuf", key),
+      Seq(col("_graft_shuf").asc, expr(idExpr).asc))
+      .withColumnRenamed("_rank", outCol)
+      .drop("_graft_shuf")
+  }
 }

@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.LineDedup
+import graft.functions.{TextFunctions => TF}
+import graft.ops.{ImportanceWeightOp, InterleaveOp}
+
+/** Round-9 second-wave ops: PII scrubbing, corpus-frequency line dedup,
+  * seeded global shuffle, DSIR importance weighting. */
+class Round9bSpec extends SparkSpec {
+
+  private def redact(s: String): String = {
+    val schema = StructType(Seq(StructField("t", StringType)))
+    df(schema, Row(s)).select(TF.redactPii(col("t")).as("r"))
+      .collect()(0).getString(0)
+  }
+
+  // ------------------------------------------------------------- redact_pii
+
+  test("redactPii scrubs emails, IPv4, SSNs and phone formats") {
+    assert(redact("reach user42@mail.example.com or 10.2.142.7 " +
+      "call (415) 555-0142 ssn 123-45-6789") ===
+      "reach <EMAIL> or <IP> call <PHONE> ssn <SSN>")
+    assert(redact("a.b+c_d%e@sub.domain.co and 255.255.255.255 end") ===
+      "<EMAIL> and <IP> end")
+    assert(redact("call +1 415-555-0100 or 415.555.0100 or (212) 555-0199") ===
+      "call <PHONE> or <PHONE> or <PHONE>")
+  }
+
+  test("redactPii leaves clean text alone and is idempotent") {
+    val clean = "no pii here just words 1234 and 12.5 percent"
+    assert(redact(clean) === clean)
+    val once = redact("mail me: a@b.io from 1.2.3.4")
+    assert(redact(once) === once)
+  }
+
+  test("redactPii order: SSN wins over the looser phone pattern") {
+    assert(redact("ssn 987-65-4321 then phone 555-123-4567") ===
+      "ssn <SSN> then phone <PHONE>")
+  }
+
+  // ------------------------------------------------------------ dedup_lines
+
+  private val lineSchema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  test("LineDedup removes over-frequent segments and preserves order") {
+    val d = df(lineSchema,
+      Row(1L, "cookie banner\nreal content one\nfooter"),
+      Row(2L, "cookie banner\nreal content two\nfooter"),
+      Row(3L, "cookie banner\nunique insight\nfooter"),
+      Row(4L, "only original text here"))
+    val out = LineDedup.clean(d, "id", "text", "\n", maxDocFreq = 2)
+      .orderBy("id").collect()
+    // "cookie banner" and "footer" occur in 3 docs > 2 -> banned everywhere.
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq(
+      (1L, "real content one"),
+      (2L, "real content two"),
+      (3L, "unique insight"),
+      (4L, "only original text here")))
+  }
+
+  test("LineDedup drops documents whose segments are all boilerplate") {
+    val d = df(lineSchema,
+      Row(1L, "x\ny"), Row(2L, "x\ny"), Row(3L, "x\ny"),
+      Row(4L, "x\nkeep me"))
+    val out = LineDedup.clean(d, "id", "text", "\n", maxDocFreq = 2)
+      .orderBy("id").collect()
+    // "x" (df 4) and "y" (df 3) both exceed 2 -> docs 1-3 have nothing
+    // left and drop; doc 4 keeps its unique line.
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((4L, "keep me")))
+  }
+
+  test("LineDedup keeps repeated segments WITHIN one document") {
+    val d = df(lineSchema, Row(1L, "a\na\nb"), Row(2L, "c\nd"))
+    val out = LineDedup.clean(d, "id", "text", "\n", maxDocFreq = 1)
+      .orderBy("id").collect()
+    // "a" repeats in doc 1 only -> document frequency 1, not banned.
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq === Seq(
+      (1L, "a\na\nb"), (2L, "c\nd")))
+  }
+
+  test("LineDedup validates maxDocFreq") {
+    val d = df(lineSchema, Row(1L, "a"))
+    intercept[IllegalArgumentException] {
+      LineDedup.clean(d, "id", "text", "\n", maxDocFreq = 0)
+    }
+  }
+
+  // ---------------------------------------------------------------- shuffle
+
+  test("shuffle emits a deterministic seed-keyed permutation") {
+    val d = spark.range(1, 101).toDF("id")
+    val a = InterleaveOp.shuffle(d, "id", seed = 7)
+      .select("id", "shuffle_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a.values.toSeq.sorted === (1L to 100L))
+    val b = InterleaveOp.shuffle(d, "id", seed = 7)
+      .select("id", "shuffle_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a === b)
+    val c = InterleaveOp.shuffle(d, "id", seed = 8)
+      .select("id", "shuffle_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(c.values.toSeq.sorted === (1L to 100L))
+    assert(a !== c) // 100! permutations; seeds colliding would be a bug
+    // not the identity order either
+    assert(a.toSeq.count { case (id, rk) => id == rk } < 20)
+  }
+
+  test("shuffle refuses an output-column collision") {
+    val d = spark.range(5).toDF("shuffle_rank")
+    intercept[IllegalArgumentException] {
+      InterleaveOp.shuffle(d, "shuffle_rank", seed = 1)
+    }
+  }
+
+  // ----------------------------------------------------- importance weights
+
+  test("importance weights match a brute-force reference and rank target-like docs first") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val corpus = df(schema,
+      Row(1L, "paris lyon paris wine"),
+      Row(2L, "code code bug stack"),
+      Row(3L, "paris wine cheese"),
+      Row(4L, "bug stack trace code"))
+    val target = df(schema, Row(10L, "paris wine paris cheese wine"))
+
+    val got = ImportanceWeightOp.logRatio(corpus, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // Brute-force reference: joint-vocab Laplace-smoothed unigram log-ratio.
+    val cToks = Seq("paris", "lyon", "paris", "wine", "code", "code", "bug",
+      "stack", "paris", "wine", "cheese", "bug", "stack", "trace", "code")
+    val tToks = Seq("paris", "wine", "paris", "cheese", "wine")
+    val cCnt = cToks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val tCnt = tToks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val vocab = (cCnt.keySet ++ tCnt.keySet)
+    val v = vocab.size.toDouble
+    val nc = cToks.size.toDouble
+    val nt = tToks.size.toDouble
+    def w(tok: String): Double =
+      math.log((tCnt.getOrElse(tok, 0.0) + 1) / (nt + v)) -
+        math.log((cCnt.getOrElse(tok, 0.0) + 1) / (nc + v))
+    val expect = Map(
+      1L -> Seq("paris", "lyon", "paris", "wine"),
+      2L -> Seq("code", "code", "bug", "stack"),
+      3L -> Seq("paris", "wine", "cheese"),
+      4L -> Seq("bug", "stack", "trace", "code")
+    ).view.mapValues(ts => ts.map(w).sum / ts.size).toMap
+
+    for ((id, e) <- expect)
+      assert(math.abs(got(id) - e) < 1e-6, s"doc $id")
+    // Wine-and-paris docs must out-score the code docs.
+    assert(got(3L) > got(2L) && got(1L) > got(4L))
+    assert(got(3L) > 0 && got(2L) < 0)
+  }
+
+  // --------------------------------------------- Frame / YAML / LazyFrame
+
+  test("Frame chains the hygiene and training-order entries") {
+    val f = graft.api.Graft.fromDF(docsDf)
+    val cleaned = f.redactPii("text")
+      .dedupLines("doc_id", "text", " ", maxDocFreq = 4)
+    assert(cleaned.schema.fieldNames.toSeq === Seq("doc_id", "text_clean"))
+    assert(cleaned.count() > 0)
+    val ordered = f.shuffle("doc_id", seed = 3).toDF
+    assert(ordered.select("shuffle_rank").collect().map(_.getLong(0)).sorted
+      === (1L to 6L).toArray)
+    val iw = f.importanceWeight("doc_id", "text",
+      graft.api.Graft.fromDF(docsDf.filter(col("lang") === "de")), "text")
+    assert(iw.count() === 6)
+  }
+
+  test("LazyFrame round-9b builders round-trip through YAML and run") {
+    import graft.api.{LazyFrame, Pipeline}
+    val dir = java.nio.file.Files.createTempDirectory("lf9b").toString
+    val path = s"$dir/docs.parquet"
+    docsDf.write.mode("overwrite").parquet(path)
+    def roundTrips(lf: LazyFrame): Long = {
+      val reparsed = LazyFrame.fromYaml(lf.toYaml)
+      assert(reparsed.toYaml == lf.toYaml) // fixpoint
+      val direct = lf.run(spark).count()
+      assert(Pipeline.runYaml(lf.toYaml, spark).count() == direct)
+      direct
+    }
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .redactPii("text").shuffle("doc_id", seed = 17)) == 6)
+    // "the" (docs 1,2,4,5) and "fast" (1,4,5) survive maxDocFreq=3; "and"
+    // appears in 3 docs -> kept. maxDocFreq=2 bans the/fast/and/is/good...
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .dedupLines("doc_id", "text", " ", maxDocFreq = 2)) > 0)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .importanceWeight(LazyFrame.read("target", path), "doc_id", "text")) == 6)
+  }
+}
