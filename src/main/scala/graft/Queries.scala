@@ -1971,6 +1971,72 @@ object Queries {
                 AS w FROM vocab, st)
         SELECT doc_id, round(avg(w), 6) AS importance_weight
         FROM ct JOIN w USING (tok) GROUP BY doc_id""")
+    ),
+    (
+      // Interpolated bigram-LM surprisal (one order up from q81's unigram —
+      // the closer KenLM/CCNet stand-in): lambda 0.75 bigram MLE + 0.25
+      // unigram backoff. Three vocab-sized count aggs + hash joins back to
+      // the bigram stream; bigrams come from arrays_zip of adjacent slices,
+      // never a self-join.
+      "q88_bigram_surprisal",
+      (s: SparkSession, dir: String) =>
+        BigramScore.perDoc(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        tok AS (SELECT w[i] AS tk FROM t, UNNEST(range(1, len(w)+1)) AS u(i)),
+        uni AS (SELECT tk, count(*)::DOUBLE AS cu FROM tok GROUP BY 1),
+        n AS (SELECT sum(cu) AS n FROM uni),
+        bg AS (SELECT doc_id, w[i] AS ctx, w[i+1] AS nxt
+               FROM t, UNNEST(range(1, len(w))) AS u(i)),
+        bc AS (SELECT ctx, nxt, count(*)::DOUBLE AS cb FROM bg GROUP BY 1, 2),
+        cc AS (SELECT ctx, sum(cb) AS cctx FROM bc GROUP BY 1)
+        SELECT doc_id,
+               round(avg(-ln(0.75 * cb / cctx + 0.25 * cu / n)), 6)
+                 AS bigram_nll
+        FROM bg JOIN bc USING (ctx, nxt) JOIN cc USING (ctx)
+             JOIN uni ON uni.tk = bg.nxt, n
+        GROUP BY doc_id""")
+    ),
+    (
+      // URL/domain blocklist filter (C4/RefinedWeb-style source filtering):
+      // synthetic per-row URLs (identical CASE on both engines), then drop
+      // rows whose host matches a blocked domain or any subdomain of it —
+      // suffix explode + broadcast anti-join, corpus side never shuffles.
+      "q89_url_blocklist",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val planted = t(s, dir, "documents").withColumn("url",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("https://mirror"), (col("doc_id") % 7).cast("string"),
+              lit(".spam-site.org/p/"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("https://ads.example.com/banner?id="),
+              col("doc_id").cast("string")))
+          .otherwise(
+            concat(lit("https://good"), (col("doc_id") % 5).cast("string"),
+              lit(".example.net/a/"), col("doc_id").cast("string"))))
+        graft.functions.UrlFunctions.filterBlockedDomains(planted, "url",
+          Seq("spam-site.org", "ads.example.com").toDF("domain"))
+          .select(col("doc_id"), col("url"))
+      },
+      Some("""
+        WITH u AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 'https://mirror' ||
+                   CAST(doc_id % 7 AS VARCHAR) || '.spam-site.org/p/' ||
+                   CAST(doc_id AS VARCHAR)
+                 WHEN doc_id % 3 = 1 THEN 'https://ads.example.com/banner?id='
+                   || CAST(doc_id AS VARCHAR)
+                 ELSE 'https://good' || CAST(doc_id % 5 AS VARCHAR) ||
+                   '.example.net/a/' || CAST(doc_id AS VARCHAR) END AS url
+          FROM documents),
+        dom AS (SELECT doc_id, url, string_split(lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), '.') AS l
+                FROM u),
+        sfx AS (SELECT doc_id, array_to_string(l[i:], '.') AS s
+                FROM dom, UNNEST(range(1, len(l)+1)) AS t(i)),
+        bad AS (SELECT DISTINCT doc_id FROM sfx
+                WHERE s IN ('spam-site.org', 'ads.example.com'))
+        SELECT doc_id, url FROM u ANTI JOIN bad USING (doc_id)""")
     ))
   }
 

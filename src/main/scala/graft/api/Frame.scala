@@ -187,6 +187,13 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       targetTextCol: String, outCol: String = "importance_weight"): Frame =
     next(graft.ops.ImportanceWeightOp.logRatio(df, idCol, textCol,
       target.df, targetTextCol, outCol))
+  def bigramSurprisal(idCol: String, textCol: String,
+      lambda: Double = 0.75): Frame =
+    next(graft.ops.BigramScore(df, idCol, textCol, lambda))
+  def filterBlockedDomains(urlCol: String, blocked: Seq[String]): Frame =
+    next(graft.functions.UrlFunctions.filterBlockedDomains(df, urlCol, blocked))
+  def filterBlockedDomains(urlCol: String, blocklist: Frame): Frame =
+    next(graft.functions.UrlFunctions.filterBlockedDomains(df, urlCol, blocklist.df))
   def contaminationHits(idCol: String, textCol: String, benchmark: Frame,
       benchTextCol: String, n: Int = 8, broadcastBenchmark: Boolean = true): Frame =
     next(graft.dedup.Decontaminate.hits(df, idCol, textCol, benchmark.df,

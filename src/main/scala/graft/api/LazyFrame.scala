@@ -303,6 +303,12 @@ final case class LazyFrame(
       maxDocFreq: Long = 1000): LazyFrame =
     append("dedup_lines", "id_key" -> idKey, "text_key" -> textKey,
       "delimiter" -> delimiter, "max_doc_freq" -> maxDocFreq)
+  def bigramSurprisal(idKey: String, textKey: String,
+      lambda: Double = 0.75): LazyFrame =
+    append("bigram_surprisal", "id_key" -> idKey, "text_key" -> textKey,
+      "lambda" -> lambda)
+  def urlFilter(urlKey: String, blocked: Seq[String]): LazyFrame =
+    append("url_filter", "url_key" -> urlKey, "blocked" -> jlist(blocked))
 
   /** DSIR importance weights against `target` (a binary merge like
     * decontaminate; the op references the target's final step by name). */

@@ -473,6 +473,23 @@ object Registry {
     graft.dedup.LineDedup.clean(df, c("id_key").str, c("text_key").str,
       c.strOr("delimiter", "\n"), c.get("max_doc_freq").map(_.long).getOrElse(1000L))
   }
+  register("bigram_surprisal") { (df, c, _) =>
+    BigramScore(df, c("id_key").str, c("text_key").str,
+      c.dblOr("lambda", 0.75))
+  }
+  register("url_filter") { (df, c, ctx) =>
+    c.get("blocklist") match {
+      case Some(name) =>
+        val bl = ctx.datasets.getOrElse(name.str,
+          throw new IllegalArgumentException(
+            s"unknown url_filter blocklist dataset '${name.str}'"))
+        graft.functions.UrlFunctions.filterBlockedDomains(
+          df, c("url_key").str, bl)
+      case None =>
+        graft.functions.UrlFunctions.filterBlockedDomains(
+          df, c("url_key").str, c("blocked").strList)
+    }
+  }
   register("importance_weight") { (df, c, ctx) =>
     val target = ctx.datasets.getOrElse(c("target").str,
       throw new IllegalArgumentException(

@@ -33,3 +33,58 @@ object UnigramScore {
   def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.join(perDoc(df, idCol, textCol), Seq(idCol))
 }
+
+/** Interpolated bigram-LM surprisal — one order up from [[UnigramScore]],
+  * the closer deterministic stand-in for CCNet's KenLM perplexity filter:
+  *
+  *   p(w_i | w_{i-1}) = lambda * c(w_{i-1} w_i) / c(w_{i-1} *)
+  *                      + (1 - lambda) * c(w_i) / N
+  *
+  * (Jelinek-Mercer interpolation, public textbook smoothing) — the unigram
+  * backoff keeps every observed-in-corpus continuation finite. Documents
+  * with fewer than two tokens have no bigram and are absent from the
+  * output; filter or score them with the unigram model.
+  *
+  * Scale shape: one bigram explode (arrays_zip of adjacent slices — never a
+  * self-join), three keyed count aggregations (bigram, context, unigram —
+  * each vocabulary-sized), then hash joins back to the exploded stream and
+  * a per-doc average. The only driver scalar is the exact integer token
+  * total. Linear in corpus token count at any scale.
+  */
+object BigramScore {
+
+  /** (idCol, bigram_nll): average -ln p(w_i | w_{i-1}), rounded to 6dp. */
+  def perDoc(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda <= 1, s"lambda must be in (0,1], got $lambda")
+    val toksCol = split(col(textCol), " ")
+    val pairs = df.select(col(idCol),
+      explode(arrays_zip(
+        slice(toksCol, lit(1), size(toksCol) - 1),
+        slice(toksCol, lit(2), size(toksCol) - 1))).as("_p"))
+      .select(col(idCol), col("_p")("0").as("_ctx"), col("_p")("1").as("_nxt"))
+    val bigramCnt = pairs.groupBy(col("_ctx"), col("_nxt"))
+      .agg(count(lit(1)).cast("double").as("_cb"))
+    val ctxCnt = bigramCnt.groupBy(col("_ctx")).agg(sum("_cb").as("_cctx"))
+    val toks = df.select(explode(split(col(textCol), " ")).as("_nxt"))
+    val uni = toks.groupBy(col("_nxt")).agg(count(lit(1)).cast("double").as("_cu"))
+    val total = uni.agg(sum("_cu")).collect()(0).getDouble(0)
+    pairs
+      .join(bigramCnt, Seq("_ctx", "_nxt"))
+      .join(ctxCnt, Seq("_ctx"))
+      .join(uni, Seq("_nxt"))
+      .groupBy(col(idCol))
+      .agg(round(avg(-log(
+        col("_cb") / col("_cctx") * lambda +
+          col("_cu") / total * (1 - lambda))), 6).as("bigram_nll"))
+  }
+
+  /** The input rows with `bigram_nll` attached; sub-two-token docs drop
+    * (inner join — they have no bigram to score). */
+  def apply(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame =
+    df.join(perDoc(df, idCol, textCol, lambda), Seq(idCol))
+}

@@ -161,6 +161,82 @@ class Round9bSpec extends SparkSpec {
     assert(got(3L) > 0 && got(2L) < 0)
   }
 
+  // ------------------------------------------------------ bigram surprisal
+
+  test("bigram surprisal matches a brute-force interpolated model") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val corpus = df(schema,
+      Row(1L, "a b a b"),
+      Row(2L, "a b c"),
+      Row(3L, "c"))  // single token: no bigram, absent from output
+    val got = graft.ops.BigramScore.perDoc(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(3L))
+
+    // corpus bigrams: (a,b)x3 (doc1 twice, doc2 once), (b,a)x1, (b,c)x1
+    // ctx totals: a->3, b->2 ; unigrams: a:3 b:3 c:2, N=8
+    def p(cb: Double, cctx: Double, cu: Double): Double =
+      0.75 * cb / cctx + 0.25 * cu / 8.0
+    val d1 = Seq(p(3, 3, 3), p(1, 2, 3), p(3, 3, 3)).map(x => -math.log(x))
+    val d2 = Seq(p(3, 3, 3), p(1, 2, 2)).map(x => -math.log(x))
+    assert(math.abs(got(1L) - d1.sum / 3) < 1e-6)
+    assert(math.abs(got(2L) - d2.sum / 2) < 1e-6)
+    // repetitive doc 1 must be LESS surprising than doc 2's novel ending
+    assert(got(1L) < got(2L))
+  }
+
+  test("bigram surprisal validates lambda") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    intercept[IllegalArgumentException] {
+      graft.ops.BigramScore.perDoc(df(schema, Row(1L, "a b")), "doc_id",
+        "text", lambda = 0.0)
+    }
+  }
+
+  // ------------------------------------------------------------ url filter
+
+  test("domain extraction and suffix expansion") {
+    import graft.functions.UrlFunctions
+    val schema = StructType(Seq(StructField("u", StringType)))
+    val d = df(schema,
+      Row("https://A.B.Example.ORG:8080/path?q=1"),
+      Row("ftp://files.example.net/x"),
+      Row("not a url"))
+    val got = d.select(
+      UrlFunctions.domain(col("u")).as("d"),
+      UrlFunctions.domainSuffixes(col("u")).as("s")).collect()
+    assert(got(0).getString(0) === "a.b.example.org")
+    assert(got(0).getSeq[String](1) ===
+      Seq("a.b.example.org", "b.example.org", "example.org", "org"))
+    assert(got(1).getString(0) === "files.example.net")
+    assert(got(2).getString(0) === "")
+  }
+
+  test("blocklist filtering blocks exact hosts and subdomains, both variants") {
+    import graft.functions.UrlFunctions
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("url", StringType)))
+    val d = df(schema,
+      Row(1L, "https://spam-site.org/a"),
+      Row(2L, "https://mirror7.spam-site.org/b"),
+      Row(3L, "https://notspam-site.org/c"),     // suffix match must be label-aligned
+      Row(4L, "https://good.example.net/d"),
+      Row(5L, "https://ads.example.com/e"))
+    val expected = Set(3L, 4L)
+    val viaSeq = UrlFunctions.filterBlockedDomains(d, "url",
+      Seq("spam-site.org", "ads.example.com"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaSeq === expected)
+    import org.apache.spark.sql.types.StringType
+    val bl = df(StructType(Seq(StructField("domain", StringType))),
+      Row("spam-site.org"), Row("ads.example.com"))
+    val viaJoin = UrlFunctions.filterBlockedDomains(d, "url", bl)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaJoin === expected)
+  }
+
   // --------------------------------------------- Frame / YAML / LazyFrame
 
   test("Frame chains the hygiene and training-order entries") {
@@ -197,5 +273,12 @@ class Round9bSpec extends SparkSpec {
       .dedupLines("doc_id", "text", " ", maxDocFreq = 2)) > 0)
     assert(roundTrips(LazyFrame.read("docs", path)
       .importanceWeight(LazyFrame.read("target", path), "doc_id", "text")) == 6)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .bigramSurprisal("doc_id", "text")) == 6)
+    // plant a URL column, then block the de-doc host and every subdomain
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .codeMap("url" ->
+        "concat('https://d', cast(doc_id as string), '.', lang, '.example.org/p')")
+      .urlFilter("url", Seq("de.example.org"))) == 5)
   }
 }
