@@ -182,7 +182,7 @@ final case class Frame(df: DataFrame, client: LlmClient) {
         org.apache.spark.sql.functions.col(textCol))))
   def dedupLines(idCol: String, textCol: String, delim: String = "\n",
       maxDocFreq: Long = 1000): Frame =
-    next(graft.dedup.LineDedup.clean(df, idCol, textCol, delim, maxDocFreq))
+    next(graft.dedup.LineDedup(df, idCol, textCol, delim, maxDocFreq))
   def importanceWeight(idCol: String, textCol: String, target: Frame,
       targetTextCol: String, outCol: String = "importance_weight"): Frame =
     next(graft.ops.ImportanceWeightOp.logRatio(df, idCol, textCol,

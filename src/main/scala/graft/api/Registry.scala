@@ -470,8 +470,11 @@ object Registry {
       graft.functions.TextFunctions.redactPii(org.apache.spark.sql.functions.col(key)))
   }
   register("dedup_lines") { (df, c, _) =>
-    graft.dedup.LineDedup.clean(df, c("id_key").str, c("text_key").str,
-      c.strOr("delimiter", "\n"), c.get("max_doc_freq").map(_.long).getOrElse(1000L))
+    val f =
+      if (c.boolOr("replace_text", true)) graft.dedup.LineDedup.apply _
+      else graft.dedup.LineDedup.clean _
+    f(df, c("id_key").str, c("text_key").str, c.strOr("delimiter", "\n"),
+      c.get("max_doc_freq").map(_.long).getOrElse(1000L))
   }
   register("bigram_surprisal") { (df, c, _) =>
     BigramScore(df, c("id_key").str, c("text_key").str,

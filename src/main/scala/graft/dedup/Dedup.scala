@@ -391,6 +391,22 @@ object LineDedup {
           s => s("_seg")),
         delim).as(s"${textCol}_clean"))
   }
+
+  /** Pipeline-composable shape: the input rows with `textCol` REPLACED by
+    * its cleaned text, all other columns passing through (inner join on
+    * idCol — all-boilerplate documents still drop). */
+  def apply(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n",
+      maxDocFreq: Long = 1000): DataFrame = {
+    val cleaned = clean(df, idCol, textCol, delim, maxDocFreq)
+      .withColumnRenamed(s"${textCol}_clean", textCol)
+    // Preserve the input column order; idCol joins, textCol substitutes.
+    df.drop(textCol).join(cleaned, Seq(idCol))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }
 
 object EmbeddingDedup {

@@ -243,7 +243,8 @@ class Round9bSpec extends SparkSpec {
     val f = graft.api.Graft.fromDF(docsDf)
     val cleaned = f.redactPii("text")
       .dedupLines("doc_id", "text", " ", maxDocFreq = 4)
-    assert(cleaned.schema.fieldNames.toSeq === Seq("doc_id", "text_clean"))
+    // passthrough shape: text replaced in place, other columns intact
+    assert(cleaned.schema.fieldNames.toSeq === Seq("doc_id", "text", "lang"))
     assert(cleaned.count() > 0)
     val ordered = f.shuffle("doc_id", seed = 3).toDF
     assert(ordered.select("shuffle_rank").collect().map(_.getLong(0)).sorted
@@ -280,5 +281,19 @@ class Round9bSpec extends SparkSpec {
       .codeMap("url" ->
         "concat('https://d', cast(doc_id as string), '.', lang, '.example.org/p')")
       .urlFilter("url", Seq("de.example.org"))) == 5)
+  }
+
+  test("the training-prep example pipeline runs end to end") {
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/training_prep_pipeline.yaml")))
+    val out = graft.api.Pipeline.runYaml(yaml, spark)
+    assert(out.count() > 0)
+    // the full prep chain must preserve doc identity and emit the
+    // training-order and pack assignments
+    val cols = out.columns.toSet
+    assert(Set("doc_id", "text", "pack_id", "interleave_rank")
+      .subsetOf(cols), cols.toString)
+    // PII scrub ran over clean text: nothing redacted, text non-empty
+    assert(out.filter(col("text").contains("<EMAIL>")).count() === 0)
   }
 }
