@@ -1947,8 +1947,8 @@ object Queries {
     (
       // DSIR importance weights (target = the non-English slice): per-doc
       // mean log-ratio of target vs corpus unigram LMs, Laplace-smoothed
-      // over the joint vocab. Global scalars ride a broadcast one-row cross
-      // join — no driver collect anywhere in the plan.
+      // over the joint vocab. Driver state = one row of global scalars from
+      // the persisted vocab frame (the UnigramScore O(1) convention).
       "q87_importance_weight",
       (s: SparkSession, dir: String) => {
         val docs = t(s, dir, "documents")
