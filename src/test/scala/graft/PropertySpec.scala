@@ -336,4 +336,97 @@ class PropertySpec extends SparkSpec {
     }
     assert(got == expected)
   }
+
+  test("property: LineDedup keeps exactly the under-threshold segments in order") {
+    // Small segment alphabet so document frequencies actually cross the
+    // threshold; reference = per-doc filter of segments by a brute-force
+    // docfreq map.
+    val seg: Gen[String] = Gen.oneOf("s0", "s1", "s2", "s3", "s4", "s5", "s6")
+    val docGen: Gen[Seq[String]] = for {
+      n <- Gen.choose(1, 12)
+      ss <- Gen.listOfN(n, seg)
+    } yield ss
+    val docs = samples(docGen, 40)
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType))),
+      docs.zipWithIndex.map { case (ss, i) => Row(i.toLong, ss.mkString("\n")) }: _*)
+    for (threshold <- Seq(1L, 5L, 15L)) {
+      val docFreq = docs.zipWithIndex
+        .flatMap { case (ss, i) => ss.distinct.map(_ -> i) }
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val expected = docs.zipWithIndex.flatMap { case (ss, i) =>
+        val kept = ss.filter(s => docFreq(s) <= threshold)
+        if (kept.isEmpty) None else Some(i.toLong -> kept.mkString("\n"))
+      }.toMap
+      val got = graft.dedup.LineDedup.clean(d, "id", "text", "\n", threshold)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected, s"threshold $threshold")
+    }
+  }
+
+  test("property: redactPii is idempotent and leaves alphanumeric text unchanged") {
+    val docs = samples(doc, 40) // alphanumeric words: no @ . - digits-only runs
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType))),
+      docs.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }: _*)
+    import graft.functions.{TextFunctions => TF}
+    val once = d.select(col("id"), TF.redactPii(col("text")).as("r1"))
+    val twice = once.withColumn("r2", TF.redactPii(col("r1")))
+    assert(twice.filter(col("r1") =!= col("r2")).count() == 0)
+    // pure alphanumeric-word docs may contain digit words like "42" but no
+    // dotted/qualified shapes -> IP/email/SSN/phone patterns cannot match
+    // ... except digit-only word sequences that phone-match ("12 555 1234").
+    // Assert the targeted property instead: every redaction token present
+    // in the output corresponds to a pattern hit in the input.
+    val joined = d.join(once, Seq("id"))
+    val silent = joined.filter(col("r1") =!= col("text") &&
+      !col("r1").contains("<PHONE>") && !col("r1").contains("<IP>") &&
+      !col("r1").contains("<EMAIL>") && !col("r1").contains("<SSN>"))
+    assert(silent.count() == 0) // a change always leaves a placeholder
+  }
+
+  test("property: seeded shuffle is a permutation uncorrelated with input order") {
+    val d = spark.range(0, 200).toDF("id")
+    for (seed <- Seq(1L, 99L, 12345L)) {
+      val ranks = InterleaveOp.shuffle(d, "id", seed)
+        .select("id", "shuffle_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(ranks.map(_._2).sorted.toSeq == (1L to 200L))
+      // Spearman-ish check: the permutation must not preserve input order
+      val sameOrder = ranks.count { case (id, rk) => id + 1 == rk }
+      assert(sameOrder < 20, s"seed $seed looks like identity")
+    }
+  }
+
+  test("property: bigram surprisal equals the brute-force interpolated model") {
+    val seg: Gen[String] = Gen.oneOf("w0", "w1", "w2", "w3")
+    val docGen: Gen[Seq[String]] = for {
+      n <- Gen.choose(1, 10)
+      ss <- Gen.listOfN(n, seg)
+    } yield ss
+    val docs = samples(docGen, 30)
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType))),
+      docs.zipWithIndex.map { case (ss, i) => Row(i.toLong, ss.mkString(" ")) }: _*)
+    val lambda = 0.75
+    val bigrams = docs.flatMap(ss => ss.zip(ss.drop(1)))
+    val bCnt = bigrams.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val ctxCnt = bigrams.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val toks = docs.flatten
+    val uCnt = toks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val n = toks.size.toDouble
+    val expected = docs.zipWithIndex.flatMap { case (ss, i) =>
+      val ps = ss.zip(ss.drop(1)).map { case (a, b) =>
+        -math.log(lambda * bCnt((a, b)) / ctxCnt(a) + (1 - lambda) * uCnt(b) / n)
+      }
+      if (ps.isEmpty) None
+      else Some(i.toLong -> BigDecimal(ps.sum / ps.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = BigramScore.perDoc(d, "id", "text", lambda)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    for ((k, e) <- expected)
+      assert(math.abs(got(k) - e) < 2e-6, s"doc $k: ${got(k)} vs $e")
+  }
 }

@@ -75,6 +75,32 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("stateless hygiene ops run on streams: PII scrub + URL blocklist") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "text", "url")
+    // Both are narrow (codegen'd Column expressions / a filter), so they
+    // compose with a stream without any state store.
+    val scrubbed = graft.functions.UrlFunctions.filterBlockedDomains(
+      docs.withColumn("text",
+        graft.functions.TextFunctions.redactPii(org.apache.spark.sql.functions.col("text"))),
+      "url", Seq("spam-site.org"))
+    val q = scrubbed.writeStream.format("memory").queryName("hygiene")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      (1L, "mail a@b.io now", "https://ok.example.net/a"),
+      (2L, "clean text", "https://x.spam-site.org/b"),
+      (3L, "ping 10.0.0.1", "https://fine.example.org/c"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT doc_id, text FROM hygiene")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    q.stop()
+    assert(rows.keySet == Set(1L, 3L)) // spam-site subdomain dropped
+    assert(rows(1L) == "mail <EMAIL> now")
+    assert(rows(3L) == "ping <IP>")
+  }
+
   test("stateful sessionization tracks per-user sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
