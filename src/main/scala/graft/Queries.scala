@@ -2037,6 +2037,35 @@ object Queries {
         bad AS (SELECT DISTINCT doc_id FROM sfx
                 WHERE s IN ('spam-site.org', 'ads.example.com'))
         SELECT doc_id, url FROM u ANTI JOIN bad USING (doc_id)""")
+    ),
+    (
+      // Temperature-flattened mixture (mC4/XLM-R alpha-sampling, alpha=0.5):
+      // shares follow sqrt(n) so low-resource langs gain. sqrt is correctly
+      // rounded in both engines (pow is not — the op routes alpha=0.5
+      // through sqrt for exactly this reason); allocation replays q79's
+      // largest-remainder SQL with sqrt shares and the same LCG pick.
+      "q90_sample_temperature",
+      (s: SparkSession, dir: String) =>
+        SampleOp.stratifiedTemperature(t(s, dir, "documents"), "lang",
+          "doc_id", 50, alpha = 0.5, seed = 11)
+          .select(col("lang"), col("doc_id")),
+      Some(s"""
+        WITH cnt AS (SELECT lang AS k, count(*) AS n FROM documents GROUP BY 1),
+        sw AS (SELECT sum(sqrt(n::DOUBLE)) AS s FROM cnt),
+        fl AS (SELECT k, (50.0 * sqrt(n::DOUBLE)) / s AS ex,
+                      floor((50.0 * sqrt(n::DOUBLE)) / s) AS fq
+               FROM cnt, sw),
+        extra AS (SELECT CAST(50 - sum(fq) AS BIGINT) AS r FROM fl),
+        quota AS (
+          SELECT k, CAST(fq + CASE
+              WHEN row_number() OVER (ORDER BY ex - fq DESC, k ASC) <= r
+              THEN 1 ELSE 0 END AS BIGINT) AS q
+          FROM fl, extra)
+        SELECT lang, doc_id
+        FROM documents JOIN quota ON lang = quota.k
+        QUALIFY row_number() OVER (PARTITION BY lang
+          ORDER BY (doc_id * 9301 + 49297 + ${SampleOp.seedRotation(11)})
+                     % 233280, doc_id) <= q""")
     ))
   }
 

@@ -77,6 +77,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def sampleProportional(stratifyKey: String, keyExpr: String,
       total: Int, seed: Long = 0): Frame =
     next(SampleOp.stratifiedProportional(df, stratifyKey, keyExpr, total, seed))
+  def sampleTemperature(stratifyKey: String, keyExpr: String, total: Int,
+      alpha: Double = 0.3, seed: Long = 0): Frame =
+    next(SampleOp.stratifiedTemperature(df, stratifyKey, keyExpr, total, alpha, seed))
   def sampleOutliers(embeddingCol: String, stdCutoff: Option[Double] = None,
       samples: Option[Int] = None, keep: Boolean = true,
       tieBreak: Seq[String] = Nil): Frame =

@@ -276,6 +276,11 @@ final case class LazyFrame(
       "key_expr" -> keyExpr, "samples" -> total,
       "weights" -> jmap(weights.map { case (k, v) => k -> (v: Any) }: _*),
       "random_state" -> seed, "max_epochs" -> maxEpochs)
+  def sampleTemperature(stratifyKey: String, keyExpr: String, total: Int,
+      alpha: Double = 0.3, seed: Int = 0): LazyFrame =
+    append("sample", "method" -> "temperature", "stratify_key" -> stratifyKey,
+      "key_expr" -> keyExpr, "samples" -> total, "alpha" -> alpha,
+      "random_state" -> seed)
   def dedupExact(textKey: String, tieBreak: String): LazyFrame =
     append("dedup", "method" -> "exact", "text_key" -> textKey, "tie_break" -> tieBreak)
   def dedupMinhash(idKey: String, textKey: String, threshold: Double = 0.8,

@@ -278,6 +278,9 @@ object Registry {
         c("stratify_key").str, c("key_expr").str, c("samples").int,
         c("weights").asOrderedMap.map { case (k, v) => k -> v.dbl }.toMap,
         c.intOr("random_state", 0).toLong, c.intOr("max_epochs", 4))
+      case "temperature" => SampleOp.stratifiedTemperature(df,
+        c("stratify_key").str, c("key_expr").str, c("samples").int,
+        c.dblOr("alpha", 0.3), c.intOr("random_state", 0).toLong)
       case "uniform" => SampleOp.uniform(df, c("fraction").dbl, c.intOr("random_state", 42))
       case "hash" => SampleOp.uniformHash(df, c("key_expr").str, c("fraction").dbl,
         c.intOr("random_state", 0))

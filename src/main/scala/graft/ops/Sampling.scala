@@ -210,6 +210,34 @@ object SampleOp {
       counts => allocateWeighted(counts, weights, total),
       "weighted sampling needs a non-empty input")
 
+  /** Temperature-flattened mixture sampling — the public mC4 / XLM-R
+    * alpha-sampling recipe: stratum shares follow n_i^alpha instead of n_i,
+    * with alpha = 1/temperature in (0, 1]. alpha = 1 reduces to
+    * [[stratifiedProportional]]; alpha -> 0 approaches uniform-across-
+    * strata; the usual 0.2–0.5 range boosts low-resource strata (languages,
+    * domains) without letting any dominate. Delegates to
+    * [[allocateWeighted]] with the powered counts as weights, so capacity
+    * caps and largest-remainder redistribution behave identically to the
+    * explicit-weights path. Same single-histogram scan and O(#strata)
+    * driver state as every quota sampler. */
+  def stratifiedTemperature(
+      df: DataFrame, stratifyKey: String, keyExpr: String,
+      total: Int, alpha: Double, seed: Long = 0): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    // IEEE-754 guarantees sqrt correctly rounded but NOT pow: routing the
+    // common alpha = 0.5 through sqrt makes the shares bit-identical to a
+    // SQL engine's sqrt (the oracle checks this path).
+    val pw: Double => Double =
+      if (alpha == 0.5) math.sqrt else x => math.pow(x, alpha)
+    lcgQuotaStratified(df, stratifyKey, keyExpr, seed,
+      counts => {
+        val w = counts.collect { case (k, n) if k != null && n > 0 =>
+          k -> pw(n.toDouble) }
+        allocateWeighted(counts, w, total)
+      },
+      "temperature sampling needs a non-empty input")
+  }
+
   /** Weighted mixture WITH upsampling: when a stratum's target share
     * exceeds its row count, its rows repeat across epochs (capped at
     * `maxEpochs` — the standard way training pipelines oversample a small

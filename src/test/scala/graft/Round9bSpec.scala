@@ -237,6 +237,43 @@ class Round9bSpec extends SparkSpec {
     assert(viaJoin === expected)
   }
 
+  // ---------------------------------------------------- temperature sample
+
+  test("temperature sampling flattens the mixture toward low-resource strata") {
+    import graft.ops.SampleOp
+    val schema = StructType(Seq(
+      StructField("lang", StringType), StructField("k", LongType)))
+    // 80 en / 16 fr / 4 zh — heavily skewed
+    val rows = (1 to 80).map(i => Row("en", i.toLong)) ++
+      (1 to 16).map(i => Row("fr", 100L + i)) ++
+      (1 to 4).map(i => Row("zh", 200L + i))
+    val d = df(schema, rows: _*)
+    def quotas(alpha: Double): Map[String, Long] =
+      SampleOp.stratifiedTemperature(d, "lang", "k", 25, alpha, seed = 3)
+        .groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha = 1: proportional (80:16:4 of 25 -> 20:4:1)
+    assert(quotas(1.0) === Map("en" -> 20L, "fr" -> 4L, "zh" -> 1L))
+    // alpha = 0.5: sqrt shares 8.94:4:2 -> low-resource strata gain
+    val t = quotas(0.5)
+    assert(t.values.sum === 25L)
+    assert(t("zh") > 1L && t("fr") > 4L && t("en") < 20L)
+    // brute-force check of the allocation itself
+    val w = Map("en" -> math.sqrt(80.0), "fr" -> math.sqrt(16.0),
+      "zh" -> math.sqrt(4.0))
+    val sumW = w.values.sum
+    val exact = w.view.mapValues(25 * _ / sumW).toMap
+    val floors = exact.view.mapValues(_.toLong).toMap
+    var rem = (25L - floors.values.sum).toInt
+    var q = floors
+    exact.toSeq.sortBy { case (k, e) => (-(e - floors(k)), k) }
+      .take(rem).foreach { case (k, _) => q = q.updated(k, q(k) + 1) }
+    assert(t === q)
+    intercept[IllegalArgumentException] {
+      SampleOp.stratifiedTemperature(d, "lang", "k", 5, alpha = 0.0)
+    }
+  }
+
   // --------------------------------------------- Frame / YAML / LazyFrame
 
   test("Frame chains the hygiene and training-order entries") {
@@ -281,6 +318,8 @@ class Round9bSpec extends SparkSpec {
       .codeMap("url" ->
         "concat('https://d', cast(doc_id as string), '.', lang, '.example.org/p')")
       .urlFilter("url", Seq("de.example.org"))) == 5)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .sampleTemperature("lang", "doc_id", 3, alpha = 0.5)) == 3)
   }
 
   test("the training-prep example pipeline runs end to end") {
