@@ -154,6 +154,12 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(graft.dedup.MinHashDedup(df, idCol, textCol,
       jaccardThreshold = threshold, maxBucketSize = maxBucketSize,
       maxBucketHead = maxBucketHead))
+  def dedupMinhashKeepBest(idCol: String, textCol: String,
+      qualityExpr: String = "", threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None, maxBucketHead: Option[Int] = None): Frame =
+    next(graft.dedup.MinHashDedup.keepBest(df, idCol, textCol, qualityExpr,
+      jaccardThreshold = threshold, maxBucketSize = maxBucketSize,
+      maxBucketHead = maxBucketHead))
   def simhashPairs(idCol: String, textCol: String, maxHamming: Int = 3,
       maxBucketSize: Option[Int] = None, maxBucketHead: Option[Int] = None): Frame =
     next(graft.dedup.SimHashDedup.candidatePairs(df, idCol, textCol, maxHamming,

@@ -291,6 +291,14 @@ final case class LazyFrame(
       maxBucketHead.map("max_bucket_head" -> (_: Any))): _*)
   }
 
+  def dedupMinhashKeepBest(idKey: String, textKey: String,
+      qualityExpr: String = "", threshold: Double = 0.8): LazyFrame = {
+    val base = Seq[(String, Any)]("method" -> "minhash_keep_best",
+      "id_key" -> idKey, "text_key" -> textKey, "threshold" -> threshold)
+    append("dedup", (base ++
+      (if (qualityExpr.nonEmpty) Seq("quality_expr" -> qualityExpr) else Nil)): _*)
+  }
+
   def pack(groupKeys: Seq[String], orderKey: String, tokenExpr: String,
       budget: Long): LazyFrame =
     append("pack", "group_keys" -> jlist(groupKeys), "order_key" -> orderKey,

@@ -166,6 +166,49 @@ object MinHashDedup {
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  /** Cluster-exact dedup keeping the BEST row per near-dup cluster: pairs
+    * close into connected components (near-duplicate similarity is not
+    * transitive, so the pair-greedy `apply` can drop a chain's middle while
+    * keeping both ends; components make the survivor set one-per-cluster
+    * exactly), then each component keeps its `qualityExpr`-argmax row, id
+    * ascending as tie-break. Default quality = text length — the public
+    * pipelines' "keep the longest variant" heuristic; pass a quality-score
+    * or surprisal column for smarter retention.
+    *
+    * Scale: components run over the (small) pair list, never the documents
+    * ([[graft.graph.ConnectedComponents]]); the survivor pick is one keyed
+    * window whose partitions are near-dup clusters — bounded by the same
+    * hot-bucket guards that bound the pair stage. Unpaired rows keep their
+    * own id as the partition key and survive untouched. */
+  def keepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      qualityExpr: String = "",
+      shingleSize: Int = 3,
+      numPerms: Int = 64,
+      numBands: Int = 16,
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None,
+      maxBucketHead: Option[Int] = None): DataFrame = {
+    val quality =
+      if (qualityExpr.isEmpty) length(col(textCol)) else expr(qualityExpr)
+    val pairs = candidatePairs(df, idCol, textCol, shingleSize, numPerms,
+      numBands, jaccardThreshold, maxBucketSize, maxBucketHead)
+      .select("id_a", "id_b")
+    val verts = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val comp = graft.graph.ConnectedComponents.run(pairs, verts)
+      .withColumnRenamed("id", idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(coalesce(col("component"), col(idCol)))
+      .orderBy(quality.desc, col(idCol).asc)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn", "component")
+  }
 }
 
 object SimHashDedup {

@@ -237,6 +237,36 @@ class Round9bSpec extends SparkSpec {
     assert(viaJoin === expected)
   }
 
+  // -------------------------------------------------- minhash keepBest
+
+  test("keepBest keeps the cluster-wide quality argmax, not the pair-greedy survivor") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("q", LongType)))
+    // A chain of near-identical docs (one cluster) plus an unrelated doc.
+    // Quality column ranks doc 3 highest; the pair-greedy dedup would keep
+    // doc 1 (min id). All chain texts share nearly all shingles.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = df(schema,
+      Row(1L, base + " one", 10L),
+      Row(2L, base + " two", 20L),
+      Row(3L, base + " three", 99L),
+      Row(4L, "completely different words about very other things entirely", 5L))
+    val kept = graft.dedup.MinHashDedup.keepBest(d, "id", "text",
+        qualityExpr = "q", jaccardThreshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L))
+    // default quality = text length -> "three" is longest in the cluster
+    val keptLen = graft.dedup.MinHashDedup.keepBest(d, "id", "text",
+        jaccardThreshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptLen === Set(3L, 4L))
+    // schema passes through unchanged
+    val out = graft.dedup.MinHashDedup.keepBest(d, "id", "text", "q",
+      jaccardThreshold = 0.5)
+    assert(out.columns.toSeq === Seq("id", "text", "q"))
+  }
+
   // ---------------------------------------------------- temperature sample
 
   test("temperature sampling flattens the mixture toward low-resource strata") {
