@@ -2066,6 +2066,42 @@ object Queries {
         QUALIFY row_number() OVER (PARTITION BY lang
           ORDER BY (doc_id * 9301 + 49297 + ${SampleOp.seedRotation(11)})
                      % 233280, doc_id) <= q""")
+    ),
+    (
+      // Cluster-exact keep-best dedup: candidate pairs close into connected
+      // components, each cluster keeps its longest text (id asc tie-break).
+      // Oracle replays q24's brute-force pair predicate, closes it with a
+      // recursive reachability CTE (component = min reachable id), and picks
+      // the same survivor with one window. LSH recall at the planted-dup
+      // j~0.95+ is effectively 1 (q24's argument), so pair sets — and hence
+      // components — agree between the engines.
+      "q91_dedup_keep_best",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.MinHashDedup.keepBest(t(s, dir, "documents"),
+          "doc_id", "text", jaccardThreshold = 0.8)
+          .select("doc_id"),
+      Some("""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   range(1, len(string_split(text,' ')) - 1),
+                   i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+          FROM documents),
+        p AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+              FROM t a JOIN t b ON a.doc_id <> b.doc_id
+              WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+                    >= 0.8),
+        reach(src, dst) AS (
+          SELECT ida, ida FROM p
+          UNION
+          SELECT r.src, p.idb FROM reach r JOIN p ON r.dst = p.ida),
+        comp AS (SELECT src AS doc_id, min(dst) AS component
+                 FROM reach GROUP BY src)
+        SELECT d.doc_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+        QUALIFY row_number() OVER (
+          PARTITION BY coalesce(c.component, d.doc_id)
+          ORDER BY length(d.text) DESC, d.doc_id ASC) = 1""")
     ))
   }
 
