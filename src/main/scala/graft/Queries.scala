@@ -32,7 +32,8 @@ object Queries {
   /** (name, query, optional oracle SQL). Ordering = rough SURVEY §2 order. */
   lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
-    apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b
+    apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b ++
+    round9c
 
   // ---------------------------------------------------------------- parsing
 
@@ -2104,5 +2105,123 @@ object Queries {
           ORDER BY length(d.text) DESC, d.doc_id ASC) = 1""")
     ))
   }
+
+  private def round9c: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // Backward as-of join (the temporal join Spark lacks natively): each
+      // purchase picks up the latest preceding view's (ts, value) for the
+      // same user within 7 days. The Spark shape is union → one hash
+      // repartition by user → one sorted pass with O(1) carried state (the
+      // merge-join ASOF compiles to in columnar engines); the oracle
+      // replays identical semantics with last_value(IGNORE NULLS) over the
+      // same (ts, tag) order. Views pre-aggregate to one row per (user, ts)
+      // on BOTH engines so tie-break order never matters here (the op's own
+      // same-timestamp tie rule is pinned in TemporalSpec instead).
+      "q92_asof_join",
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+        // Timestamps truncate to MICROseconds on both engines before any
+        // arithmetic: DuckDB stores TIMESTAMP_NS parquet at µs precision,
+        // Spark's nanosAsLong keeps full ns — equal-input parity requires
+        // feeding both the same truncation. Views pre-aggregate to one row
+        // per (user, µs) so tie-break order never matters here (the op's
+        // own same-timestamp tie rule is pinned in TemporalSpec instead).
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), expr("ts div 1000").as("ts_us"))
+          .agg(max("value").as("value"))
+        TemporalOps.asofJoin(purchases, views, "user_id", "user_id",
+          "ts_us", "ts_us", rightPayload = Seq("ts_us", "value"),
+          tolerance = Some(604800000000L))
+          // "ts_us" collides with a left column -> suffixed; "value" does
+          // not. The µs gap (≤ 7 days = 6.05e11) stays exactly
+          // representable even after pandas' nullable-int -> float64
+          // coercion; a raw ns-epoch would not.
+          .select(col("event_id"), col("user_id"),
+            (col("ts_us") - col("ts_us_asof")).as("asof_gap_us"),
+            round(col("value"), 4).as("value_asof"))
+      },
+      Some("""
+        WITH v AS (SELECT user_id, epoch_us(ts) AS t, max(value) AS value
+                   FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+              FROM events WHERE event_type = 'purchase'),
+        u AS (
+          SELECT user_id, t, 0 AS tag, NULL::BIGINT AS event_id,
+                 struct_pack(t := t, v := value) AS pay FROM v
+          UNION ALL
+          SELECT user_id, t, 1, event_id, NULL FROM p),
+        f AS (
+          SELECT *, last_value(pay IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY t, tag
+              ROWS UNBOUNDED PRECEDING) AS lastpay
+          FROM u)
+        SELECT event_id, user_id,
+          CASE WHEN lastpay IS NOT NULL AND t - (lastpay).t <= 604800000000
+               THEN t - (lastpay).t END AS asof_gap_us,
+          CASE WHEN lastpay IS NOT NULL AND t - (lastpay).t <= 604800000000
+               THEN round((lastpay).v, 4) END AS value_asof
+        FROM f WHERE tag = 1""")
+    ),
+    (
+      // Banded time-window join: clicks within ±4 h of each error by the
+      // same user, aggregated per error. The band predicate never runs as
+      // an inequality join — the right side explodes to bucket±1 (3×,
+      // linear) and the join is a pure (user, bucket) equi-join
+      // (TemporalSpec audits the plan for BNLJ/cartesian absence); the
+      // oracle states the predicate directly, which DuckDB plans as its
+      // IEJoin.
+      "q93_window_join",
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+        // µs-truncated on both engines — q92's parity note applies: the
+        // band boundary must compare the same integers on both sides.
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("value"))
+        TemporalOps.windowJoin(errors, clicks, "user_id", "user_id",
+          "ts_us", "ts_us", window = 14400000000L, rightPayload = Seq("value"))
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_nearby"),
+            expr("cast(round(sum(value), 2) as double)").as("sum_value"))
+      },
+      Some("""
+        WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'error'),
+        c AS (SELECT user_id, epoch_us(ts) AS t, value
+              FROM events WHERE event_type = 'click')
+        SELECT e.event_id, CAST(count(*) AS BIGINT) AS n_nearby,
+               CAST(round(sum(c.value), 2) AS DOUBLE) AS sum_value
+        FROM e JOIN c ON e.user_id = c.user_id
+                     AND abs(e.t - c.t) <= 14400000000
+        GROUP BY e.event_id""")
+    ),
+    (
+      // Token-budget corpus selection ("take the best 12k tokens"): keep
+      // the n_chars-ranked prefix whose cumulative whitespace token count
+      // fits the budget. The Spark shape is one range-partitioned sort +
+      // O(#partitions) driver prefix sums — never sum() OVER a global
+      // order, which would serialize the corpus through one task. The
+      // oracle IS that global window, which DuckDB can afford at sf0.01.
+      "q94_budget_select",
+      (s: SparkSession, dir: String) =>
+        BudgetSelect(t(s, dir, "documents"), "n_chars",
+          "size(split(text, ' '))", budget = 12000L, tieBreak = "doc_id")
+          .select("doc_id"),
+      Some("""
+        WITH t AS (SELECT doc_id, n_chars,
+                          len(string_split(text, ' '))::BIGINT AS tok
+                   FROM documents),
+        c AS (SELECT doc_id, sum(tok) OVER (
+                ORDER BY n_chars DESC, doc_id ASC
+                ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT doc_id FROM c WHERE cum <= 12000""")
+    ))
 
 }

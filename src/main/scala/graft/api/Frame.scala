@@ -57,6 +57,21 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def pack(groupCols: Seq[String], orderCol: String, tokenExpr: String,
       budget: Long): Frame =
     next(PackOp(df, groupCols, orderCol, tokenExpr, budget))
+  def budgetSelect(scoreExpr: String, costExpr: String, budget: Long,
+      tieBreak: String): Frame =
+    next(BudgetSelect(df, scoreExpr, costExpr, budget, tieBreak))
+
+  // -- temporal joins (this frame = the left/probe side)
+  def asofJoin(right: Frame, leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String, rightPayload: Seq[String],
+      tolerance: Option[Long] = None, suffix: String = "_asof"): Frame =
+    next(TemporalOps.asofJoin(df, right.df, leftKey, rightKey, leftTs,
+      rightTs, rightPayload, tolerance, suffix))
+  def windowJoin(right: Frame, leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String, window: Long,
+      rightPayload: Seq[String], suffix: String = "_near"): Frame =
+    next(TemporalOps.windowJoin(df, right.df, leftKey, rightKey, leftTs,
+      rightTs, window, rightPayload, suffix))
 
   // -- sampling / retrieval (§2.6)
   def sampleFirst(n: Int, orderCols: String*): Frame = next(SampleOp.first(df, n, orderCols))

@@ -322,6 +322,37 @@ final case class LazyFrame(
       "lambda" -> lambda)
   def urlFilter(urlKey: String, blocked: Seq[String]): LazyFrame =
     append("url_filter", "url_key" -> urlKey, "blocked" -> jlist(blocked))
+  def budgetSelect(scoreExpr: String, costExpr: String, budget: Long,
+      tieBreak: String): LazyFrame =
+    append("budget_select", "score_expr" -> scoreExpr, "cost_expr" -> costExpr,
+      "budget" -> budget, "tie_break" -> tieBreak)
+
+  /** Backward as-of join against `right` (a binary merge like
+    * decontaminate; the op references the right's final step by name). */
+  def asofJoin(right: LazyFrame, leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String, payload: Seq[String],
+      tolerance: Option[Long] = None, suffix: String = "_asof"): LazyFrame = {
+    val (m, lRef, rRef) = merged(right)
+    val fields = Seq[(String, Any)]("right" -> rRef, "left_key" -> leftKey,
+      "right_key" -> rightKey, "left_ts" -> leftTs, "right_ts" -> rightTs,
+      "payload" -> jlist(payload), "suffix" -> suffix) ++
+      tolerance.map(t => "tolerance" -> (t: Any)).toSeq
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"asof_join_${m.steps.length}")
+      .append("asof_join", fields: _*)
+  }
+
+  /** Banded ±window time join against `right` (binary merge). */
+  def windowJoin(right: LazyFrame, leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String, window: Long, payload: Seq[String],
+      suffix: String = "_near"): LazyFrame = {
+    val (m, lRef, rRef) = merged(right)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"window_join_${m.steps.length}")
+      .append("window_join", "right" -> rRef, "left_key" -> leftKey,
+        "right_key" -> rightKey, "left_ts" -> leftTs, "right_ts" -> rightTs,
+        "window" -> window, "payload" -> jlist(payload), "suffix" -> suffix)
+  }
 
   /** DSIR importance weights against `target` (a binary merge like
     * decontaminate; the op references the target's final step by name). */

@@ -584,4 +584,30 @@ object Registry {
   }
   register("limit") { (df, c, _) => df.limit(c("n").int) }
   register("select") { (df, c, _) => df.selectExpr(c("columns").strList: _*) }
+  // Temporal joins + budget selection (ops/TemporalOps.scala,
+  // ops/BudgetSelect.scala). The right side resolves like decontaminate's
+  // benchmark: a named dataset from the pipeline context.
+  register("asof_join") { (df, c, ctx) =>
+    val right = ctx.datasets.getOrElse(c("right").str,
+      throw new IllegalArgumentException(
+        s"unknown asof_join right dataset '${c("right").str}'"))
+    TemporalOps.asofJoin(df, right,
+      c("left_key").str, c.strOr("right_key", c("left_key").str),
+      c("left_ts").str, c.strOr("right_ts", c("left_ts").str),
+      c("payload").strList, c.get("tolerance").map(_.long),
+      c.strOr("suffix", "_asof"))
+  }
+  register("window_join") { (df, c, ctx) =>
+    val right = ctx.datasets.getOrElse(c("right").str,
+      throw new IllegalArgumentException(
+        s"unknown window_join right dataset '${c("right").str}'"))
+    TemporalOps.windowJoin(df, right,
+      c("left_key").str, c.strOr("right_key", c("left_key").str),
+      c("left_ts").str, c.strOr("right_ts", c("left_ts").str),
+      c("window").long, c("payload").strList, c.strOr("suffix", "_near"))
+  }
+  register("budget_select") { (df, c, _) =>
+    BudgetSelect(df, c("score_expr").str, c("cost_expr").str,
+      c("budget").long, c("tie_break").str)
+  }
 }

@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Temporal joins the reference expresses imperatively over event streams
+  * (reference docetl pipelines join per-entity timelines row-by-row in
+  * Python; SURVEY.md §2.4 covers the relational joins) — re-expressed as
+  * the two standard distributed shapes:
+  *
+  *   - [[asofJoin]]: for every left row, the LATEST right row at-or-before
+  *     its timestamp with the same key (optionally within a tolerance).
+  *     The naive formulation is an inequality join (quadratic per key); the
+  *     scale shape is union → repartition by key → one sorted pass per
+  *     partition carrying O(1) state — the merge-join an ASOF JOIN compiles
+  *     to in columnar engines, expressed on Spark's shuffle machinery.
+  *
+  *   - [[windowJoin]]: all (left, right) pairs with the same key whose
+  *     timestamps lie within ±window of each other. The naive |L|×|R|
+  *     band predicate becomes an equi-join by BANDING: the right side
+  *     explodes to its bucket and both neighbors (3× one side, never
+  *     pairs), the join key is (key, bucket), and the exact band predicate
+  *     filters the bucket-collocated candidates. Every qualifying pair is
+  *     produced exactly once (left keeps its single bucket; a pair within
+  *     ±w spans at most adjacent buckets, so exactly one exploded copy of
+  *     the right row lands in the left row's bucket).
+  *
+  * Both are deterministic under ties: asof resolves equal timestamps by the
+  * larger payload struct (documented below), windowJoin is a set join with
+  * no order sensitivity.
+  */
+object TemporalOps {
+
+  /** Backward as-of join.
+    *
+    * For each left row, append the payload of the latest right row with
+    * `right(rightTs) <= left(leftTs)` and equal key; null payload when no
+    * right row qualifies (left rows are always kept — LEFT OUTER shape).
+    * `tolerance` (same unit as the timestamp columns — the benchmark tables
+    * carry int64 nanoseconds) additionally requires
+    * `left.ts - right.ts <= tolerance`.
+    *
+    * Tie semantics, fully deterministic: among right rows sharing the
+    * maximal qualifying timestamp, the one with the LARGEST payload struct
+    * (field-wise comparison in `rightPayload` order) wins — the sorted pass
+    * overwrites in (ts, payload) order, so the last writer is the max.
+    *
+    * Scale shape: both sides project to (key, ts, tag, payload) and union —
+    * a shuffle-free concatenation; ONE hash repartition by key co-locates
+    * each key's timeline; a per-partition sort by (key, ts, tag, payload)
+    * and a single forward pass with two variables of carried state (current
+    * key + last right payload) produce every match. Per-key state never
+    * materializes more than one right row, so a 100 TB timeline streams
+    * through constant memory; skewed keys cost sort time, not memory. Right
+    * rows sort BEFORE left rows at equal timestamps (tag 0 < 1), which is
+    * what makes the join inclusive (`<=`).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      tolerance: Option[Long] = None,
+      suffix: String = "_asof"): DataFrame = {
+    require(rightPayload.nonEmpty, "asofJoin: rightPayload must name at least one column")
+    val keyType = left.schema(leftKey).dataType
+    require(right.schema(rightKey).dataType == keyType,
+      s"asofJoin: key types differ (${keyType.simpleString} vs " +
+        right.schema(rightKey).dataType.simpleString)
+
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rStruct = struct(rightPayload.map(col).toIndexedSeq: _*)
+    val lStructType = StructType(left.schema.fields.toIndexedSeq)
+    val rStructType = StructType(rightPayload.map(p => right.schema(p)))
+
+    val lTagged = left.select(
+      col(leftKey).as("_graft_k"),
+      col(leftTs).cast("long").as("_graft_t"),
+      lit(1).as("_graft_tag"),
+      lStruct.as("_graft_l"),
+      lit(null).cast(rStructType).as("_graft_r"))
+    val rTagged = right.select(
+      col(rightKey).as("_graft_k"),
+      col(rightTs).cast("long").as("_graft_t"),
+      lit(0).as("_graft_tag"),
+      lit(null).cast(lStructType).as("_graft_l"),
+      rStruct.as("_graft_r"))
+
+    val timeline = lTagged.unionByName(rTagged)
+      .repartition(col("_graft_k"))
+      .sortWithinPartitions(
+        col("_graft_k"), col("_graft_t"), col("_graft_tag"), col("_graft_r"))
+
+    // Output: every left column, then each payload column (suffixed on
+    // collision with a left name) — the join must never shadow left data.
+    val lNames = left.columns
+    val outPayloadNames = rightPayload.map(p =>
+      if (lNames.contains(p)) s"$p$suffix" else p)
+    val outSchema = StructType(
+      left.schema.fields.toIndexedSeq ++
+        outPayloadNames.zip(rStructType.fields).map { case (n, f) =>
+          StructField(n, f.dataType, nullable = true)
+        })
+    val nPayload = rightPayload.length
+    val tol = tolerance
+
+    timeline.mapPartitions { it =>
+      var curKey: Any = null
+      var haveKey = false
+      var lastR: Row = null
+      var lastT = 0L
+      it.flatMap { row =>
+        val k = row.get(0)
+        if (!haveKey || k != curKey) { curKey = k; haveKey = true; lastR = null }
+        if (row.getInt(2) == 0) { // right row: advance carried state
+          lastR = row.getStruct(4)
+          lastT = row.getLong(1)
+          Iterator.empty
+        } else {
+          val l = row.getStruct(3)
+          val inTol = lastR != null && tol.forall(row.getLong(1) - lastT <= _)
+          val payload =
+            if (inTol) lastR.toSeq
+            else Seq.fill[Any](nPayload)(null)
+          Iterator(Row.fromSeq(l.toSeq ++ payload))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Banded time-window join: all (left, right) pairs with equal key and
+    * `|left.ts - right.ts| <= window`. Output = left columns + payload
+    * columns (suffixed on collision).
+    *
+    * Scale shape: the RIGHT side explodes to buckets {b-1, b, b+1} of width
+    * `window` (3× right, linear — never pairs), the join is a pure
+    * equi-join on (key, bucket) that Catalyst plans as a shuffled hash /
+    * sort-merge join (no BroadcastNestedLoopJoin at any size), and the
+    * exact band predicate prunes bucket neighbors that miss the window.
+    * Bucket width = window keeps candidate inflation at most 3×; a skewed
+    * (key, bucket) is a data hot spot the AQE skew-join split handles —
+    * the band predicate itself never multiplies it.
+    */
+  def windowJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      window: Long,
+      rightPayload: Seq[String],
+      suffix: String = "_near"): DataFrame = {
+    require(window > 0, s"windowJoin: window must be positive, got $window")
+    require(rightPayload.nonEmpty, "windowJoin: rightPayload must name at least one column")
+    // Exact floored bucket in INTEGER arithmetic: ns-epoch timestamps
+    // (~1.7e18) exceed double's 53-bit exact range, so floor(t / w) through
+    // double division can mis-bucket rows near a boundary — and a
+    // mis-bucket on the band join is a silently DROPPED pair. pmod keeps
+    // everything in long: (t - pmod(t, w)) is an exact multiple of w, so
+    // truncating `div` on it IS floor division for any sign.
+    def bucket(name: String) =
+      expr(s"($name - pmod($name, ${window}L)) div ${window}L")
+    val lNames = left.columns
+    val l = left
+      .withColumn("_graft_lt", col(leftTs).cast("long"))
+      .withColumn("_graft_b", bucket("_graft_lt"))
+    val rPayloadCols = rightPayload.map { p =>
+      val out = if (lNames.contains(p)) s"$p$suffix" else p
+      col(p).as(out)
+    }
+    val r = right
+      .select((col(rightKey).as("_graft_rk") +:
+        col(rightTs).cast("long").as("_graft_rt") +: rPayloadCols): _*)
+      .withColumn("_graft_rb", bucket("_graft_rt"))
+      .withColumn("_graft_rbk",
+        explode(array(col("_graft_rb") - 1, col("_graft_rb"), col("_graft_rb") + 1)))
+      .drop("_graft_rb")
+    l.join(r,
+      col(leftKey) === col("_graft_rk") &&
+        col("_graft_b") === col("_graft_rbk") &&
+        abs(col("_graft_lt") - col("_graft_rt")) <= window)
+      .drop("_graft_b", "_graft_rbk", "_graft_lt", "_graft_rk", "_graft_rt")
+  }
+}
