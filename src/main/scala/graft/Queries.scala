@@ -2222,6 +2222,77 @@ object Queries {
                 ROWS UNBOUNDED PRECEDING) AS cum
               FROM t)
         SELECT doc_id FROM c WHERE cum <= 12000""")
+    ),
+    (
+      // Per-session aggregates from the first-class sessionize op (the
+      // batch analog of streaming/Streams.sessionize): 30-min gap sessions
+      // per user, one row per session with start/end/count/duration. Two
+      // KEYED windows + one keyed agg — work distributes across users, no
+      // global order exists. µs-truncated like q92; µs epochs (~1.7e15)
+      // also stay under float64's 2^53 exact-integer ceiling, so the
+      // start/end columns survive dataframe coercion bit-exact.
+      "q95_sessionize",
+      (s: SparkSession, dir: String) =>
+        TemporalOps.sessions(
+          t(s, dir, "events").select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us")),
+          key = "user_id", ts = "ts_us", gap = 1800000000L,
+          tieBreak = "event_id"),
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_id, epoch_us(ts) AS t,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w
+                         > 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        s AS (
+          SELECT user_id, t,
+                 CAST(sum(is_new) OVER (PARTITION BY user_id
+                   ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+          FROM g)
+        SELECT user_id, session_id,
+               min(t) AS session_start, max(t) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(t) - min(t) AS duration
+        FROM s GROUP BY 1, 2""")
+    ),
+    (
+      // Substring-span dedup (windowed exact-substring dedup, Lee et al.
+      // 2022): every duplicated 8-token window keeps only its first
+      // (doc, pos) occurrence; other occurrences mask their tokens and
+      // documents rebuild from what survives (fully-masked docs drop).
+      // Catches the copy-paste spans delimiter-aligned line dedup cannot
+      // see. Duplicate detection is ONE hash aggregation (counting, never
+      // pair joins); the oracle replays the same mask with gram strings —
+      // equal up to 64-bit collisions, the dedup-family convention.
+      "q96_dedup_spans",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.SpanDedup.clean(t(s, dir, "documents"),
+          "doc_id", "text", n = 8),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        wins AS (
+          SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g
+          FROM t, UNNEST(range(1, len(w) - 6)) AS u(i)
+          WHERE len(w) >= 8),
+        dups AS (
+          SELECT g, min(struct_pack(d := doc_id, p := pos)) AS keeper
+          FROM wins GROUP BY g HAVING count(*) > 1),
+        masked AS (
+          SELECT DISTINCT wins.doc_id AS doc_id, pos + off AS mpos
+          FROM wins JOIN dups USING (g), UNNEST(range(0, 8)) AS o(off)
+          WHERE NOT (wins.doc_id = (keeper).d AND wins.pos = (keeper).p)),
+        toks AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS tok
+          FROM t, UNNEST(range(1, len(w) + 1)) AS u(i)),
+        kept AS (
+          SELECT toks.doc_id AS doc_id, toks.pos AS pos, tok
+          FROM toks ANTI JOIN masked
+            ON toks.doc_id = masked.doc_id AND toks.pos = masked.mpos)
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        FROM kept GROUP BY doc_id""")
     ))
 
 }

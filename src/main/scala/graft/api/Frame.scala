@@ -72,6 +72,11 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       rightPayload: Seq[String], suffix: String = "_near"): Frame =
     next(TemporalOps.windowJoin(df, right.df, leftKey, rightKey, leftTs,
       rightTs, window, rightPayload, suffix))
+  def sessionize(key: String, ts: String, gap: Long, tieBreak: String,
+      outCol: String = "session_id"): Frame =
+    next(TemporalOps.sessionize(df, key, ts, gap, tieBreak, outCol))
+  def sessions(key: String, ts: String, gap: Long, tieBreak: String): Frame =
+    next(TemporalOps.sessions(df, key, ts, gap, tieBreak))
 
   // -- sampling / retrieval (§2.6)
   def sampleFirst(n: Int, orderCols: String*): Frame = next(SampleOp.first(df, n, orderCols))
@@ -207,6 +212,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def dedupLines(idCol: String, textCol: String, delim: String = "\n",
       maxDocFreq: Long = 1000): Frame =
     next(graft.dedup.LineDedup(df, idCol, textCol, delim, maxDocFreq))
+  def dedupSpans(idCol: String, textCol: String, n: Int = 50,
+      delim: String = " "): Frame =
+    next(graft.dedup.SpanDedup(df, idCol, textCol, n, delim))
   def importanceWeight(idCol: String, textCol: String, target: Frame,
       targetTextCol: String, outCol: String = "importance_weight"): Frame =
     next(graft.ops.ImportanceWeightOp.logRatio(df, idCol, textCol,

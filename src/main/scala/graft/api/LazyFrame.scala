@@ -316,6 +316,10 @@ final case class LazyFrame(
       maxDocFreq: Long = 1000): LazyFrame =
     append("dedup_lines", "id_key" -> idKey, "text_key" -> textKey,
       "delimiter" -> delimiter, "max_doc_freq" -> maxDocFreq)
+  def dedupSpans(idKey: String, textKey: String, n: Int = 50,
+      delimiter: String = " "): LazyFrame =
+    append("dedup_spans", "id_key" -> idKey, "text_key" -> textKey,
+      "n" -> n, "delimiter" -> delimiter)
   def bigramSurprisal(idKey: String, textKey: String,
       lambda: Double = 0.75): LazyFrame =
     append("bigram_surprisal", "id_key" -> idKey, "text_key" -> textKey,
@@ -326,6 +330,12 @@ final case class LazyFrame(
       tieBreak: String): LazyFrame =
     append("budget_select", "score_expr" -> scoreExpr, "cost_expr" -> costExpr,
       "budget" -> budget, "tie_break" -> tieBreak)
+  def sessionize(key: String, ts: String, gap: Long, tieBreak: String,
+      aggregate: Boolean = false,
+      outputKey: String = "session_id"): LazyFrame =
+    append("sessionize", "key" -> key, "ts" -> ts, "gap" -> gap,
+      "tie_break" -> tieBreak, "aggregate" -> aggregate,
+      "output_key" -> outputKey)
 
   /** Backward as-of join against `right` (a binary merge like
     * decontaminate; the op references the right's final step by name). */

@@ -484,6 +484,13 @@ object Registry {
     f(df, c("id_key").str, c("text_key").str, c.strOr("delimiter", "\n"),
       c.get("max_doc_freq").map(_.long).getOrElse(1000L))
   }
+  register("dedup_spans") { (df, c, _) =>
+    val f =
+      if (c.boolOr("replace_text", true)) graft.dedup.SpanDedup.apply _
+      else graft.dedup.SpanDedup.clean _
+    f(df, c("id_key").str, c("text_key").str, c.intOr("n", 50),
+      c.strOr("delimiter", " "))
+  }
   register("bigram_surprisal") { (df, c, _) =>
     BigramScore(df, c("id_key").str, c("text_key").str,
       c.dblOr("lambda", 0.75))
@@ -609,5 +616,16 @@ object Registry {
   register("budget_select") { (df, c, _) =>
     BudgetSelect(df, c("score_expr").str, c("cost_expr").str,
       c("budget").long, c("tie_break").str)
+  }
+  register("sessionize") { (df, c, _) =>
+    val f =
+      if (c.boolOr("aggregate", false))
+        TemporalOps.sessions(df, c("key").str, c("ts").str,
+          c("gap").long, c("tie_break").str)
+      else
+        TemporalOps.sessionize(df, c("key").str, c("ts").str,
+          c("gap").long, c("tie_break").str,
+          c.strOr("output_key", "session_id"))
+    f
   }
 }

@@ -452,6 +452,92 @@ object LineDedup {
   }
 }
 
+/** Substring-span dedup — the windowed form of exact substring
+  * deduplication ("Deduplicating Training Data Makes Language Models
+  * Better", Lee et al. 2022: suffix-array duplicate spans): every n-token
+  * window that occurs more than once in the corpus keeps ONLY its first
+  * occurrence (minimal (doc, position)); the tokens every other occurrence
+  * covers are masked out and documents rebuild from the surviving tokens.
+  * Catches copy-paste spans that cross segment boundaries — the case
+  * delimiter-aligned [[LineDedup]] cannot see.
+  *
+  * Scale shape: windows explode as (doc, pos, 64-bit hash) — stride-1, so
+  * |tokens| rows per doc, linear; ONE hash aggregation finds each window's
+  * first occurrence and count; only duplicated occurrences (bounded by the
+  * duplicated volume, not the corpus) explode to covered positions for the
+  * anti-join; rebuild is the same per-doc regroup LineDedup uses. Never a
+  * pair join — duplicate detection is counting, exactly like
+  * decontaminate. Hash note: spans compare by xxhash64 (the dedup-family
+  * 64-bit collision convention).
+  */
+object SpanDedup {
+
+  /** (idCol, `{textCol}_clean`): text with duplicated spans masked.
+    * Documents reduced to zero tokens drop from the output. */
+  def clean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      delim: String = " "): DataFrame = {
+    require(n >= 2, s"span window must be >= 2 tokens, got $n")
+    val q = java.util.regex.Pattern.quote(delim)
+    // The delimiter reaches SQL-literal position only inside concat_ws
+    // (split stays in the Column API, where Pattern.quote needs no
+    // escaping); backslashes and quotes escape for the SQL parser.
+    val delimSql = delim.replace("\\", "\\\\").replace("'", "\\'")
+    val withToks = df.select(col(idCol), split(col(textCol), q).as("_toks"))
+    val toks = withToks.select(col(idCol),
+      posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+    // (doc, pos, window-hash) for every stride-1 n-token window.
+    val wins = withToks
+      .filter(size(col("_toks")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(
+              sequence(0, size(_toks) - $n),
+              i -> xxhash64(concat_ws('$delimSql',
+                     slice(_toks, i + 1, $n))))"""))
+        .as(Seq("_pos", "_wh")))
+    // First occurrence = min (doc, pos) struct; duplicated = count > 1.
+    val dups = wins
+      .groupBy(col("_wh"))
+      .agg(min(struct(col(idCol), col("_pos"))).as("_keeper"),
+        count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") > 1)
+      .select(col("_wh"), col("_keeper"))
+    // Every non-keeper occurrence masks its n covered token positions.
+    val masked = wins
+      .join(dups, Seq("_wh"))
+      .filter(struct(col(idCol), col("_pos")) =!= col("_keeper"))
+      .select(col(idCol),
+        explode(sequence(col("_pos"), col("_pos") + lit(n - 1))).as("_pos"))
+      .distinct()
+    toks
+      .join(masked, Seq(idCol, "_pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          s => s("_tok")),
+        delim).as(s"${textCol}_clean"))
+  }
+
+  /** Pipeline-composable shape: `textCol` replaced by the masked text,
+    * other columns passing through (inner join on idCol — fully-duplicated
+    * documents still drop). */
+  def apply(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      delim: String = " "): DataFrame = {
+    val cleaned = clean(df, idCol, textCol, n, delim)
+      .withColumnRenamed(s"${textCol}_clean", textCol)
+    df.drop(textCol).join(cleaned, Seq(idCol))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+}
+
 object EmbeddingDedup {
 
   /** Axis-aligned planes: plane i = unit vector on dimension i (sketch bit i

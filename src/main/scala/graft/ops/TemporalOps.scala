@@ -132,6 +132,52 @@ object TemporalOps {
     }(Encoders.row(outSchema))
   }
 
+  /** Gap-based batch sessionization: a new session starts whenever the
+    * time since the key's previous event exceeds `gap` (same unit as the
+    * timestamp column). Appends `outCol` = the 1-based per-key session
+    * ordinal. The streaming analog (with bounded keyed state and TTL
+    * eviction) is [[graft.streaming.Streams.sessionize]]; this is the
+    * batch shape: two windows PARTITIONED BY the key — lag to detect gaps,
+    * running sum to number sessions — so work distributes across keys and
+    * no global ordering ever exists. Event ties at the same timestamp are
+    * ordered by `tieBreak` for a deterministic lag.
+    */
+  def sessionize(
+      df: DataFrame,
+      key: String,
+      ts: String,
+      gap: Long,
+      tieBreak: String,
+      outCol: String = "session_id"): DataFrame = {
+    require(gap > 0, s"sessionize: gap must be positive, got $gap")
+    require(!df.columns.contains(outCol), s"input already has $outCol")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    val delta = col(ts).cast("long") - lag(col(ts).cast("long"), 1).over(w)
+    df.withColumn("_graft_new",
+        when(delta.isNull || delta > gap, 1L).otherwise(0L))
+      .withColumn(outCol,
+        sum(col("_graft_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("_graft_new")
+  }
+
+  /** Per-session aggregate view: one row per (key, session) with start/end
+    * timestamps, event count, and duration. Same two keyed windows as
+    * [[sessionize]] plus one keyed aggregation — never a global sort. */
+  def sessions(
+      df: DataFrame,
+      key: String,
+      ts: String,
+      gap: Long,
+      tieBreak: String): DataFrame =
+    sessionize(df, key, ts, gap, tieBreak)
+      .groupBy(col(key), col("session_id"))
+      .agg(
+        min(col(ts).cast("long")).as("session_start"),
+        max(col(ts).cast("long")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration", col("session_end") - col("session_start"))
+
   /** Banded time-window join: all (left, right) pairs with equal key and
     * `|left.ts - right.ts| <= window`. Output = left columns + payload
     * columns (suffixed on collision).

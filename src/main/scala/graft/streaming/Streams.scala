@@ -392,6 +392,39 @@ object Streams {
 
   /** Streaming sink helper: run a streaming DataFrame to memory and return
     * the table name (tests / interactive inspection). */
+  /** Stream-stream time-interval join — Structured Streaming's NATIVE
+    * watermarked join, the streaming analog of
+    * [[graft.ops.TemporalOps.windowJoin]]: every (left, right) pair with
+    * equal keys whose right timestamp lies in
+    * `[left.ts - before, left.ts + after]`. Both sides carry watermarks and
+    * the join condition bounds the time range, which is exactly what lets
+    * the engine EVICT buffered rows once the watermark passes the interval
+    * bound — state is a sliding time window of each side, not the stream's
+    * history. Column names must be disjoint across sides (rename before
+    * joining); `before`/`after` are SQL interval strings ("4 hours").
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      before: String,
+      after: String,
+      watermarkDelay: String): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalJoin: column names must be disjoint across sides, shared: " +
+        overlap.mkString(", "))
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, expr(
+      s"$leftKey = $rightKey AND " +
+        s"$rightTs >= $leftTs - interval '$before' AND " +
+        s"$rightTs <= $leftTs + interval '$after'"))
+  }
+
   def toMemorySink(df: DataFrame, name: String, outputMode: OutputMode): Unit = {
     df.writeStream
       .format("memory")

@@ -332,4 +332,39 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(!rows().contains((1L, 100L, 130L, 2L)))
   }
+
+  test("stream-stream interval join pairs rows within the time bound, native state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rIn = MemoryStream[(Long, Double, java.sql.Timestamp)]
+    val purchases = lIn.toDF().toDF("p_id", "p_user", "p_ts")
+    val clicks = rIn.toDF().toDF("c_user", "c_value", "c_ts")
+    val joined = Streams.intervalJoin(purchases, clicks,
+      "p_user", "c_user", "p_ts", "c_ts",
+      before = "10 minutes", after = "10 minutes",
+      watermarkDelay = "5 minutes")
+    val q = joined.select("p_id", "c_value").writeStream.format("memory")
+      .queryName("ivj").outputMode(OutputMode.Append()).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    rIn.addData((1L, 1.5, ts(0)), (1L, 2.5, ts(25)), (2L, 9.9, ts(5)))
+    lIn.addData((100L, 1L, ts(5))) // pairs with click@10:00 only (25 too far)
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT p_id, c_value FROM ivj")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    q.stop()
+    assert(rows === Set((100L, 1.5)))
+  }
+
+  test("interval join refuses overlapping column names") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val d = in.toDF().toDF("k", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Streams.intervalJoin(d, d, "k", "k", "ts", "ts",
+        "1 minute", "1 minute", "1 minute")
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
 }

@@ -167,6 +167,47 @@ class TemporalSpec extends SparkSpec {
     assert(e.getMessage.contains("negative"))
   }
 
+  // ------------------------------------------------------------ sessionize
+
+  test("sessionize numbers gap-separated sessions per key") {
+    val d = df(evSchema,
+      Row(1L, "a", 100L, 0.0), Row(2L, "a", 150L, 0.0), // session 1
+      Row(3L, "a", 400L, 0.0),                          // gap 250 > 100 -> 2
+      Row(4L, "b", 100L, 0.0))                          // own key -> 1
+    val out = TemporalOps.sessionize(d, "k", "t", gap = 100L, tieBreak = "id")
+      .select("id", "session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 1L), (2L, 1L), (3L, 2L), (4L, 1L)))
+  }
+
+  test("sessionize boundary: a gap exactly equal to the threshold continues") {
+    val d = df(evSchema, Row(1L, "a", 100L, 0.0), Row(2L, "a", 200L, 0.0))
+    val ids = TemporalOps.sessionize(d, "k", "t", gap = 100L, tieBreak = "id")
+      .select("session_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L)) // delta 100 is NOT > 100
+  }
+
+  test("sessions aggregates start/end/count/duration per session") {
+    val d = df(evSchema,
+      Row(1L, "a", 100L, 0.0), Row(2L, "a", 150L, 0.0), Row(3L, "a", 400L, 0.0))
+    val out = TemporalOps.sessions(d, "k", "t", gap = 100L, tieBreak = "id")
+      .orderBy("session_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq((1L, 100L, 150L, 2L, 50L), (2L, 400L, 400L, 1L, 0L)))
+  }
+
+  test("sessionize rejects non-positive gaps and output collisions") {
+    val d = df(evSchema, Row(1L, "a", 100L, 0.0))
+    intercept[IllegalArgumentException] {
+      TemporalOps.sessionize(d, "k", "t", gap = 0L, tieBreak = "id")
+    }
+    intercept[IllegalArgumentException] {
+      TemporalOps.sessionize(d, "k", "t", gap = 10L, tieBreak = "id",
+        outCol = "v")
+    }
+  }
+
   // ---------------------------------------------------- API surface wiring
 
   test("Frame chains asofJoin, windowJoin, and budgetSelect") {
@@ -209,6 +250,21 @@ class TemporalSpec extends SparkSpec {
     assert(roundTrips(LazyFrame.read("docs", docsPath)
       .budgetSelect("length(text)", "size(split(text, ' '))", 15L,
         "doc_id")) > 0)
+    assert(roundTrips(LazyFrame.read("l", lPath)
+      .sessionize("k", "t", gap = 150L, tieBreak = "id")) == 2)
+    assert(roundTrips(LazyFrame.read("l", lPath)
+      .sessionize("k", "t", gap = 150L, tieBreak = "id",
+        aggregate = true)) == 2)
+  }
+
+  test("the events-sessions example pipeline runs end to end") {
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/events_sessions_pipeline.yaml")))
+    val out = graft.api.Pipeline.runYaml(yaml, spark)
+    assert(out.count() > 0)
+    // purchases enriched with both the as-of view value and nearby clicks
+    assert(out.columns.contains("value_view") &&
+      out.columns.contains("value_click"))
   }
 
   test("budgetSelect matches the window-cumsum oracle on a sf0.001 table") {
