@@ -2293,6 +2293,40 @@ object Queries {
             ON toks.doc_id = masked.doc_id AND toks.pos = masked.mpos)
         SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
         FROM kept GROUP BY doc_id""")
+    ),
+    (
+      // Linear quality-classifier scoring (the fastText/logistic stand-in:
+      // external (token, weight) model + bias -> sigmoid score per doc,
+      // fastText-normalized mean features). The weight table here derives
+      // deterministically from the corpus vocabulary (token-length hash —
+      // quarter-step weights, exact in double) so BOTH engines build the
+      // identical model; a real deployment joins a trained table through
+      // the same seam. Three keyed single-pass stages, model broadcast.
+      "q97_linear_score",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val vocab = docs
+          .select(explode(split(col("text"), " ")).as("token")).distinct()
+          .select(col("token"),
+            ((length(col("token")) % 7 - 3) * 0.25).as("weight"))
+        LinearScore(docs, "doc_id", "text", vocab,
+          bias = -0.5, mode = "mean")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+        len AS (SELECT doc_id, count(*)::DOUBLE AS l FROM toks GROUP BY 1),
+        w AS (SELECT tok, (length(tok) % 7 - 3) * 0.25 AS wt
+              FROM (SELECT DISTINCT tok FROM toks)),
+        cnt AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf
+                FROM toks GROUP BY 1, 2),
+        dot AS (SELECT cnt.doc_id, sum(wt * tf / l) AS d
+                FROM cnt JOIN w USING (tok) JOIN len ON cnt.doc_id = len.doc_id
+                GROUP BY cnt.doc_id)
+        SELECT d.doc_id,
+               round(1.0 / (1.0 + exp(-(coalesce(dot.d, 0) - 0.5))), 6)
+                 AS quality_score
+        FROM documents d LEFT JOIN dot ON d.doc_id = dot.doc_id""")
     ))
 
 }

@@ -219,6 +219,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       targetTextCol: String, outCol: String = "importance_weight"): Frame =
     next(graft.ops.ImportanceWeightOp.logRatio(df, idCol, textCol,
       target.df, targetTextCol, outCol))
+  def linearScore(idCol: String, textCol: String, weights: Frame,
+      bias: Double = 0.0, mode: String = "binary",
+      outCol: String = "quality_score"): Frame =
+    next(LinearScore.withScore(df, idCol, textCol, weights.df, bias, mode, outCol))
   def bigramSurprisal(idCol: String, textCol: String,
       lambda: Double = 0.75): Frame =
     next(graft.ops.BigramScore(df, idCol, textCol, lambda))

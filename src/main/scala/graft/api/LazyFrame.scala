@@ -364,6 +364,19 @@ final case class LazyFrame(
         "window" -> window, "payload" -> jlist(payload), "suffix" -> suffix)
   }
 
+  /** Linear classifier scoring against a `weights` frame (binary merge —
+    * the (token, weight) model table resolves by step name). */
+  def linearScore(weights: LazyFrame, idKey: String, textKey: String,
+      bias: Double = 0.0, mode: String = "binary",
+      outputKey: String = "quality_score"): LazyFrame = {
+    val (m, lRef, rRef) = merged(weights)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"linear_score_${m.steps.length}")
+      .append("linear_score", "weights" -> rRef, "id_key" -> idKey,
+        "text_key" -> textKey, "bias" -> bias, "mode" -> mode,
+        "output_key" -> outputKey)
+  }
+
   /** DSIR importance weights against `target` (a binary merge like
     * decontaminate; the op references the target's final step by name). */
   def importanceWeight(target: LazyFrame, idKey: String, textKey: String,

@@ -516,6 +516,14 @@ object Registry {
       target, c.strOr("target_text_key", c("text_key").str),
       c.strOr("output_key", "importance_weight"))
   }
+  register("linear_score") { (df, c, ctx) =>
+    val weights = ctx.datasets.getOrElse(c("weights").str,
+      throw new IllegalArgumentException(
+        s"unknown linear_score weights dataset '${c("weights").str}'"))
+    LinearScore.withScore(df, c("id_key").str, c("text_key").str, weights,
+      c.dblOr("bias", 0.0), c.strOr("mode", "binary"),
+      c.strOr("output_key", "quality_score"))
+  }
   register("embed") { (df, c, ctx) =>
     EmbedOp(df, c("text_expr").str, c.strOr("output_key", "embedding"),
       ctx.client, c.strOr("model", "mock-embed"), c.intOr("batch_size", 1000))
