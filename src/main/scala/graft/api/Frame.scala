@@ -306,12 +306,18 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     * the reference's `df.semantic.total_cost` (pd_accessors.py:397). */
   def totalCost: Double = graft.llm.TokenTally.summary.values.map(_.cost).sum
 
+  /** Per-model call/token/cost tallies — the reference's
+    * `frame.token_usage` (frame.py:1093). */
+  def tokenUsage: Map[String, graft.llm.TokenTally.Tally] =
+    graft.llm.TokenTally.summary
+
   // -- execution
   def collect(): Array[org.apache.spark.sql.Row] = df.collect()
   def count(): Long = df.count()
   def show(n: Int = 5): Unit = df.show(n, truncate = false)
   def writeParquet(path: String): Unit = Pipeline.write(df, path)
   def writeJson(path: String): Unit = Pipeline.write(df, path)
+  def writeCsv(path: String): Unit = Pipeline.write(df, path)
   def toDF: DataFrame = df
 }
 

@@ -487,10 +487,11 @@ object SpanDedup {
     // escaping); backslashes and quotes escape for the SQL parser.
     val delimSql = delim.replace("\\", "\\\\").replace("'", "\\'")
     val withToks = df.select(col(idCol), split(col(textCol), q).as("_toks"))
-    val toks = withToks.select(col(idCol),
-      posexplode(col("_toks")).as(Seq("_pos", "_tok")))
-    // (doc, pos, window-hash) for every stride-1 n-token window.
-    val wins = withToks
+    // (doc, pos, window-hash) for every stride-1 n-token window. Consumed
+    // twice (duplicate counting, then the occurrence join) — persisted as
+    // the narrow (id, pos, hash) projection so the explode+hash pass runs
+    // once, the dedup-family convention (released via PersistScope).
+    val wins = graft.core.PersistScope.register(withToks
       .filter(size(col("_toks")) >= n)
       .select(col(idCol), posexplode(expr(
         s"""transform(
@@ -498,6 +499,7 @@ object SpanDedup {
               i -> xxhash64(concat_ws('$delimSql',
                      slice(_toks, i + 1, $n))))"""))
         .as(Seq("_pos", "_wh")))
+      .persist())
     // First occurrence = min (doc, pos) struct; duplicated = count > 1.
     val dups = wins
       .groupBy(col("_wh"))
@@ -505,21 +507,32 @@ object SpanDedup {
         count(lit(1)).as("_cnt"))
       .filter(col("_cnt") > 1)
       .select(col("_wh"), col("_keeper"))
-    // Every non-keeper occurrence masks its n covered token positions.
+    // Every non-keeper occurrence masks its n covered token positions;
+    // positions aggregate to ONE small array per affected doc.
     val masked = wins
       .join(dups, Seq("_wh"))
       .filter(struct(col(idCol), col("_pos")) =!= col("_keeper"))
       .select(col(idCol),
         explode(sequence(col("_pos"), col("_pos") + lit(n - 1))).as("_pos"))
       .distinct()
-    toks
-      .join(masked, Seq(idCol, "_pos"), "left_anti")
       .groupBy(col(idCol))
-      .agg(array_join(
-        transform(
-          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
-          s => s("_tok")),
-        delim).as(s"${textCol}_clean"))
+      .agg(collect_list(col("_pos")).as("_mask"))
+    // Rebuild is a per-row codegen'd array filter against the (usually
+    // absent) mask — tokens themselves never explode or shuffle; only
+    // masked POSITIONS move, bounded by the duplicated volume. Docs whose
+    // every position is masked drop (matching the regroup shape this
+    // replaces); original empty/short docs are never masked, so they pass.
+    withToks
+      .join(masked, Seq(idCol), "left")
+      .filter(col("_mask").isNull || size(col("_mask")) < size(col("_toks")))
+      .select(col(idCol), expr(
+        s"""array_join(
+              transform(
+                filter(
+                  transform(_toks, (t, i) -> struct(i AS i, t AS t)),
+                  s -> _mask IS NULL OR NOT array_contains(_mask, s.i)),
+                s -> s.t),
+              '$delimSql')""").as(s"${textCol}_clean"))
   }
 
   /** Pipeline-composable shape: `textCol` replaced by the masked text,

@@ -85,4 +85,16 @@ class LinearScoreSpec extends SparkSpec {
     assert(reparsed.toYaml == lf.toYaml)
     assert(Pipeline.runYaml(lf.toYaml, spark).count() == lf.run(spark).count())
   }
+
+  test("Frame exposes tokenUsage tallies and CSV writes") {
+    val f = graft.api.Graft.fromDF(df(docSchema, Row(1L, "good")))
+    // a semantic call records a tally for the mock model
+    f.semanticMap("lsu", "{{ input.text }}", "sentiment" -> "str").count()
+    val usage = f.tokenUsage
+    assert(usage.nonEmpty && usage.values.forall(_.calls > 0))
+    assert(f.totalCost >= 0.0)
+    val out = java.nio.file.Files.createTempDirectory("fcsv").toString + "/o.csv"
+    f.writeCsv(out)
+    assert(spark.read.option("header", "true").csv(out).count() === 1)
+  }
 }
