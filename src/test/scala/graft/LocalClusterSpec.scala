@@ -19,7 +19,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class LocalClusterSpec extends AnyFunSuite {
 
   private val names = Seq("q01_code_reduce_tpch1", "q24_dedup_minhash",
-    "q33_sem_reduce", "q77_pack") // pack: Row mapPartitions closure + indices
+    "q33_sem_reduce", "q77_pack", // pack: Row mapPartitions closure + indices
+    // asof: tagged-union mapPartitions carrying cross-row state;
+    // budget select: driver-computed offsets broadcast into RDD closures
+    "q92_asof_join", "q94_budget_select")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     names.map { name =>

@@ -429,4 +429,66 @@ class PropertySpec extends SparkSpec {
     for ((k, e) <- expected)
       assert(math.abs(got(k) - e) < 2e-6, s"doc $k: ${got(k)} vs $e")
   }
+
+  private val evSchema = StructType(Seq(
+    StructField("id", LongType), StructField("k", StringType),
+    StructField("t", LongType), StructField("v", DoubleType)))
+
+  // Small domains on purpose: few keys and a narrow timestamp range force
+  // same-key collisions, same-timestamp ties, and cross-partition key
+  // boundaries — the cases a sorted-pass implementation can get wrong.
+  private val eventGen: Gen[(String, Long, Double)] = for {
+    k <- Gen.oneOf("a", "b", "c")
+    t <- Gen.choose(0L, 40L)
+    v <- Gen.choose(0, 99).map(_.toDouble)
+  } yield (k, t, v)
+
+  test("property: asofJoin equals the brute-force latest-at-or-before scan") {
+    val lefts = samples(eventGen, 60).zipWithIndex
+      .map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+    val rights = samples(eventGen, 60).zipWithIndex
+      .map { case ((k, t, v), i) => (1000L + i, k, t, v) }
+    val tol = 15L
+    val out = graft.ops.TemporalOps.asofJoin(
+      df(evSchema, lefts.map(e => Row(e._1, e._2, e._3, e._4)): _*),
+      df(evSchema, rights.map(e => Row(e._1, e._2, e._3, e._4)): _*),
+      "k", "k", "t", "t", rightPayload = Seq("t", "v"),
+      tolerance = Some(tol))
+      .select("id", "t_asof", "v_asof").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getLong(1), r.getDouble(2))))).toMap
+    lefts.foreach { case (id, k, t, _) =>
+      // brute force: all qualifying rights, max by (t, payload struct) —
+      // payload here is (t, v), so the v-max wins among timestamp ties
+      val cands = rights.filter(r => r._2 == k && r._3 <= t && t - r._3 <= tol)
+      val expected = if (cands.isEmpty) None
+        else Some { val m = cands.map(r => (r._3, r._4)).max; m }
+      assert(out(id) === expected, s"left $id ($k, $t)")
+    }
+  }
+
+  test("property: windowJoin emits exactly the brute-force band pairs, once each") {
+    val lefts = samples(eventGen, 50).zipWithIndex
+      .map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+    val rights = samples(eventGen, 50).zipWithIndex
+      .map { case ((k, t, v), i) => (1000L + i, k, t, v) }
+    val w = 7L
+    val rightsDf = df(StructType(Seq(StructField("rid", LongType),
+      StructField("k", StringType), StructField("t", LongType),
+      StructField("v", DoubleType))),
+      rights.map(e => Row(e._1, e._2, e._3, e._4)): _*)
+    val got = graft.ops.TemporalOps.windowJoin(
+      df(evSchema, lefts.map(e => Row(e._1, e._2, e._3, e._4)): _*),
+      rightsDf, "k", "k", "t", "t", window = w,
+      rightPayload = Seq("rid"))
+      .select("id", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = for {
+      l <- lefts
+      r <- rights
+      if l._2 == r._2 && math.abs(l._3 - r._3) <= w
+    } yield (l._1, r._1)
+    // multiset equality: every qualifying pair exactly once, none invented
+    assert(got.sorted === expected.sorted)
+  }
 }
