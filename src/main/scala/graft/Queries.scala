@@ -2327,6 +2327,42 @@ object Queries {
                round(1.0 / (1.0 + exp(-(coalesce(dot.d, 0) - 0.5))), 6)
                  AS quality_score
         FROM documents d LEFT JOIN dot ON d.doc_id = dot.doc_id""")
+    ),
+    (
+      // SemDeDup (k-means-clustered semantic dedup) in its cluster-exact
+      // mode: nClusters = 1 puts every vector in one cell, so the
+      // in-cluster pair stage is exact brute force on this 120-vector
+      // slice and the oracle can replay it: cosine pairs >= 0.35 ->
+      // recursive-CTE connected components -> lowest-id survivor per
+      // component. Real corpora size nClusters so cells stay LSH-bucket
+      // sized (the clustering path is spec-tested; the pair/CC/survivor
+      // machinery is what this oracle pins).
+      "q98_semdedup",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.SemDedup.keepBest(
+          t(s, dir, "embeddings").filter(col("vec_id") < 120)
+            .select(col("vec_id"),
+              transform(col("embedding"), _.cast("double")).as("embedding")),
+          "vec_id", "embedding", nClusters = 1, cosineThreshold = 0.35)
+          .select("vec_id"),
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 120),
+        p AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+        reach(src, dst) AS (
+          SELECT ida, ida FROM p
+          UNION
+          SELECT r.src, p.idb FROM reach r JOIN p ON r.dst = p.ida),
+        comp AS (SELECT src AS vec_id, min(dst) AS component
+                 FROM reach GROUP BY src)
+        SELECT e.vec_id
+        FROM e LEFT JOIN comp USING (vec_id)
+        QUALIFY row_number() OVER (
+          PARTITION BY coalesce(component, e.vec_id)
+          ORDER BY e.vec_id ASC) = 1""")
     ))
 
 }

@@ -180,6 +180,12 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(graft.dedup.MinHashDedup.keepBest(df, idCol, textCol, qualityExpr,
       jaccardThreshold = threshold, maxBucketSize = maxBucketSize,
       maxBucketHead = maxBucketHead))
+  def semdedup(idCol: String, embCol: String, nClusters: Int,
+      threshold: Double = 0.95, qualityExpr: String = "",
+      maxClusterSize: Option[Int] = None,
+      maxClusterHead: Option[Int] = None): Frame =
+    next(graft.dedup.SemDedup.keepBest(df, idCol, embCol, nClusters,
+      threshold, qualityExpr, maxClusterSize, maxClusterHead))
   def simhashPairs(idCol: String, textCol: String, maxHamming: Int = 3,
       maxBucketSize: Option[Int] = None, maxBucketHead: Option[Int] = None): Frame =
     next(graft.dedup.SimHashDedup.candidatePairs(df, idCol, textCol, maxHamming,

@@ -299,6 +299,15 @@ final case class LazyFrame(
       (if (qualityExpr.nonEmpty) Seq("quality_expr" -> qualityExpr) else Nil)): _*)
   }
 
+  def semdedup(idKey: String, embeddingKey: String, nClusters: Int,
+      threshold: Double = 0.95, qualityExpr: String = ""): LazyFrame = {
+    val base = Seq[(String, Any)]("method" -> "semdedup", "id_key" -> idKey,
+      "embedding_key" -> embeddingKey, "n_clusters" -> nClusters,
+      "threshold" -> threshold)
+    append("dedup", (base ++
+      (if (qualityExpr.nonEmpty) Seq("quality_expr" -> qualityExpr) else Nil)): _*)
+  }
+
   def pack(groupKeys: Seq[String], orderKey: String, tokenExpr: String,
       budget: Long): LazyFrame =
     append("pack", "group_keys" -> jlist(groupKeys), "order_key" -> orderKey,

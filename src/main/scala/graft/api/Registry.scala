@@ -417,6 +417,11 @@ object Registry {
         c.intOr("shingle_size", 3), c.intOr("num_perms", 64), c.intOr("num_bands", 16),
         c.dblOr("threshold", 0.8), c.get("max_bucket_size").map(_.int),
         c.get("max_bucket_head").map(_.int))
+      case "semdedup" => graft.dedup.SemDedup.keepBest(df,
+        c("id_key").str, c("embedding_key").str, c("n_clusters").int,
+        c.dblOr("threshold", 0.95), c.strOr("quality_expr", ""),
+        c.get("max_cluster_size").map(_.int),
+        c.get("max_cluster_head").map(_.int))
       case "minhash_keep_best" => graft.dedup.MinHashDedup.keepBest(df,
         c("id_key").str, c("text_key").str, c.strOr("quality_expr", ""),
         c.intOr("shingle_size", 3), c.intOr("num_perms", 64),

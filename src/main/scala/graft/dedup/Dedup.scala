@@ -452,6 +452,88 @@ object LineDedup {
   }
 }
 
+/** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  * web-scale through semantic deduplication"): cluster the embedding space
+  * with k-means, compare cosine similarity only WITHIN each cluster, close
+  * above-threshold pairs into connected components, and keep one
+  * representative per component. The clustering is what makes web-scale
+  * semantic dedup tractable — candidate pairs are bounded by cluster sizes,
+  * never |corpus|².
+  *
+  * Scale shape: centroids train on a seeded-hash driver sample
+  * ([[graft.ann.Ann.trainCentroids]], the FAISS recipe — O(sample·k·dim)
+  * driver work); assignment is a distributed codegen nearest-centroid
+  * expression; the in-cluster pair join takes the same hot-bucket guards as
+  * the LSH families (`maxClusterSize` ban / `maxClusterHead` id-ordered
+  * head); components close over the pair EDGE LIST (never documents); the
+  * survivor window is one keyed rank. `nClusters = 1` degrades to exact
+  * all-pairs — the oracle-checkable small-corpus mode; real corpora size
+  * `nClusters` so clusters stay comparable to an LSH bucket.
+  */
+object SemDedup {
+
+  /** Rows minus semantic near-duplicates: per component, the highest
+    * `qualityExpr` row survives (id ascending tie-break; empty quality =
+    * keep the lowest id). */
+  def keepBest(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      nClusters: Int,
+      cosineThreshold: Double = 0.95,
+      qualityExpr: String = "",
+      maxClusterSize: Option[Int] = None,
+      maxClusterHead: Option[Int] = None,
+      seed: Long = 42): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    val pairs = candidatePairs(df, idCol, embCol, nClusters, cosineThreshold,
+      maxClusterSize, maxClusterHead, seed)
+      .select("id_a", "id_b")
+    val verts = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val comp = graft.graph.ConnectedComponents.run(pairs, verts)
+      .withColumnRenamed("id", idCol)
+    val quality =
+      if (qualityExpr.isEmpty) lit(0) else expr(qualityExpr)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(coalesce(col("component"), col(idCol)))
+      .orderBy(quality.desc, col(idCol).asc)
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn", "component")
+  }
+
+  /** The in-cluster near-duplicate pair list (id_a < id_b, rounded cosine). */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      nClusters: Int,
+      cosineThreshold: Double = 0.95,
+      maxClusterSize: Option[Int] = None,
+      maxClusterHead: Option[Int] = None,
+      seed: Long = 42): DataFrame = {
+    val projected = df.select(col(idCol).as("_id"), col(embCol).as("_e"))
+    val assigned =
+      if (nClusters == 1) projected.withColumn("_cell", lit(0)) // exact mode
+      else graft.ann.Ann.ivfAssign(projected, "_e",
+        graft.ann.Ann.trainCentroids(df.select(col(embCol)), embCol,
+          nClusters, seed = seed))
+    val docs = BucketGuard.head(
+      BucketGuard.cap(assigned, Seq("_cell"), maxClusterSize),
+      Seq("_cell"), "_id", maxClusterHead)
+    val l = docs.select(col("_cell"), col("_id").as("id_a"), col("_e").as("_ea"))
+    val r = docs.select(col("_cell"), col("_id").as("id_b"), col("_e").as("_eb"))
+    l.join(r, Seq("_cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(graft.functions.CosineSimilarity(col("_ea"), col("_eb")), 6))
+      .filter(col("cosine") >= cosineThreshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}
+
 /** Substring-span dedup — the windowed form of exact substring
   * deduplication ("Deduplicating Training Data Makes Language Models
   * Better", Lee et al. 2022: suffix-array duplicate spans): every n-token
