@@ -2363,6 +2363,27 @@ object Queries {
         QUALIFY row_number() OVER (
           PARTITION BY coalesce(component, e.vec_id)
           ORDER BY e.vec_id ASC) = 1""")
+    ),
+    (
+      // Per-domain corpus report (docs, tokens, length quantiles — the
+      // summary mixture weights and packing budgets derive from). Spark's
+      // EXACT percentile aggregate interpolates at rank (n-1)·q, the same
+      // definition as DuckDB's quantile_cont, so the two engines agree to
+      // the rounding digit. One keyed aggregation, no driver state.
+      "q99_corpus_stats",
+      (s: SparkSession, dir: String) =>
+        CorpusStats(t(s, dir, "documents"), Seq("lang"),
+          "size(split(text, ' '))", Seq(0.5, 0.9, 0.99)),
+      Some("""
+        WITH t AS (SELECT lang, len(string_split(text, ' '))::DOUBLE AS tok
+                   FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS total_tokens,
+               round(avg(tok), 4) AS mean_tokens,
+               round(quantile_cont(tok, 0.5), 4) AS p50,
+               round(quantile_cont(tok, 0.9), 4) AS p90,
+               round(quantile_cont(tok, 0.99), 4) AS p99
+        FROM t GROUP BY lang""")
     ))
 
 }

@@ -59,6 +59,10 @@ final case class Conf(value: Any) {
     case s: String => Seq(s)
     case _ => asList.map(_.str)
   }
+  def dblList: Seq[Double] = value match {
+    case n: Number => Seq(n.doubleValue())
+    case _ => asList.map(_.dbl)
+  }
   def get(key: String): Option[Conf] = asMap.get(key)
   def apply(key: String): Conf = asMap.getOrElse(key,
     throw new IllegalArgumentException(s"missing config key: $key"))

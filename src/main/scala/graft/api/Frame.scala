@@ -229,6 +229,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       bias: Double = 0.0, mode: String = "binary",
       outCol: String = "quality_score"): Frame =
     next(LinearScore.withScore(df, idCol, textCol, weights.df, bias, mode, outCol))
+  def corpusStats(groupCols: Seq[String], tokenExpr: String,
+      quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): Frame =
+    next(CorpusStats(df, groupCols, tokenExpr, quantiles))
   def bigramSurprisal(idCol: String, textCol: String,
       lambda: Double = 0.75): Frame =
     next(graft.ops.BigramScore(df, idCol, textCol, lambda))

@@ -339,6 +339,11 @@ final case class LazyFrame(
       tieBreak: String): LazyFrame =
     append("budget_select", "score_expr" -> scoreExpr, "cost_expr" -> costExpr,
       "budget" -> budget, "tie_break" -> tieBreak)
+  def corpusStats(groupKeys: Seq[String], tokenExpr: String,
+      quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): LazyFrame =
+    append("corpus_stats", "group_keys" -> jlist(groupKeys),
+      "token_expr" -> tokenExpr,
+      "quantiles" -> jlist(quantiles.map(q => q: Any)))
   def sessionize(key: String, ts: String, gap: Long, tieBreak: String,
       aggregate: Boolean = false,
       outputKey: String = "session_id"): LazyFrame =

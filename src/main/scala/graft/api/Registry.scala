@@ -630,6 +630,11 @@ object Registry {
     BudgetSelect(df, c("score_expr").str, c("cost_expr").str,
       c("budget").long, c("tie_break").str)
   }
+  register("corpus_stats") { (df, c, _) =>
+    CorpusStats(df, c.get("group_keys").map(_.strList).getOrElse(Nil),
+      c("token_expr").str,
+      c.get("quantiles").map(_.dblList).getOrElse(Seq(0.5, 0.9, 0.99)))
+  }
   register("sessionize") { (df, c, _) =>
     val f =
       if (c.boolOr("aggregate", false))

@@ -516,7 +516,12 @@ object SemDedup {
       seed: Long = 42): DataFrame = {
     val projected = df.select(col(idCol).as("_id"), col(embCol).as("_e"))
     val assigned =
-      if (nClusters == 1) projected.withColumn("_cell", lit(0)) // exact mode
+      // Exact mode: one cell. The cell value must stay NON-FOLDABLE
+      // (pmod(hash, 1) = 0 per row) — a literal 0 would let Catalyst fold
+      // the join condition to `true` and plan the forbidden
+      // BroadcastNestedLoopJoin instead of a keyed join.
+      if (nClusters == 1)
+        projected.withColumn("_cell", pmod(xxhash64(col("_id")), lit(1L)))
       else graft.ann.Ann.ivfAssign(projected, "_e",
         graft.ann.Ann.trainCentroids(df.select(col(embCol)), embCol,
           nClusters, seed = seed))
