@@ -46,6 +46,16 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("the curation-scoring example pipeline runs end to end") {
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/curation_scoring_pipeline.yaml")))
+    val out = graft.api.Pipeline.runYaml(yaml, spark)
+    val rows = out.collect()
+    // one stats row per language that survived the budget cut
+    assert(rows.nonEmpty && out.columns.contains("p90"))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum > 0)
+  }
+
   test("Frame and LazyFrame wire corpusStats with YAML round-trip") {
     assert(graft.api.Graft.fromDF(d)
       .corpusStats(Seq("lang"), "size(split(text, ' '))").count() === 2)
