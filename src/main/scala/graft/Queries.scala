@@ -2384,6 +2384,40 @@ object Queries {
                round(quantile_cont(tok, 0.9), 4) AS p90,
                round(quantile_cont(tok, 0.99), 4) AS p99
         FROM t GROUP BY lang""")
+    ),
+    (
+      // Corpus drift: Jensen-Shannon divergence between the English and
+      // non-English slices' unigram distributions, Laplace-smoothed over
+      // the joint vocab (each smoothed distribution sums to exactly 1, so
+      // JSD is finite and ≤ ln 2 on any vocab overlap). Two vocab-sized
+      // aggs + one full-outer join; the three scalars ride to the driver
+      // as one row — never a cross join.
+      "q100_corpus_drift",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        CorpusDrift.jensenShannon(
+          docs.filter(col("lang") === "en"), "text",
+          docs.filter(col("lang") =!= "en"), "text")
+      },
+      Some("""
+        WITH ta AS (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents WHERE lang = 'en'),
+        tb AS (SELECT unnest(string_split(text, ' ')) AS tok
+               FROM documents WHERE lang <> 'en'),
+        ca AS (SELECT tok, count(*)::DOUBLE AS c FROM ta GROUP BY 1),
+        cb AS (SELECT tok, count(*)::DOUBLE AS c FROM tb GROUP BY 1),
+        vocab AS (SELECT coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+                  FROM ca FULL JOIN cb ON ca.tok = cb.tok),
+        sc AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*)::DOUBLE AS v
+               FROM vocab),
+        terms AS (SELECT (ca+1)/(na+v) AS p, (cb+1)/(nb+v) AS q,
+                         ((ca+1)/(na+v) + (cb+1)/(nb+v))/2 AS mm, na, nb, v
+                  FROM vocab, sc)
+        SELECT round(sum(0.5*p*ln(p/mm) + 0.5*q*ln(q/mm)), 6) AS js_divergence,
+               CAST(max(v) AS BIGINT) AS vocab_size,
+               CAST(max(na) AS BIGINT) AS tokens_a,
+               CAST(max(nb) AS BIGINT) AS tokens_b
+        FROM terms""")
     ))
 
 }

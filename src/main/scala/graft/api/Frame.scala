@@ -232,6 +232,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def corpusStats(groupCols: Seq[String], tokenExpr: String,
       quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): Frame =
     next(CorpusStats(df, groupCols, tokenExpr, quantiles))
+  def corpusDrift(textCol: String, other: Frame,
+      otherTextCol: String = ""): Frame =
+    next(CorpusDrift.jensenShannon(df, textCol, other.df,
+      if (otherTextCol.isEmpty) textCol else otherTextCol))
   def bigramSurprisal(idCol: String, textCol: String,
       lambda: Double = 0.75): Frame =
     next(graft.ops.BigramScore(df, idCol, textCol, lambda))

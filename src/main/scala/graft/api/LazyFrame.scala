@@ -378,6 +378,17 @@ final case class LazyFrame(
         "window" -> window, "payload" -> jlist(payload), "suffix" -> suffix)
   }
 
+  /** Jensen-Shannon drift against another corpus (binary merge). */
+  def corpusDrift(other: LazyFrame, textKey: String,
+      otherTextKey: String = ""): LazyFrame = {
+    val (m, lRef, rRef) = merged(other)
+    val fields = Seq[(String, Any)]("other" -> rRef, "text_key" -> textKey) ++
+      (if (otherTextKey.nonEmpty) Seq("other_text_key" -> otherTextKey) else Nil)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"corpus_drift_${m.steps.length}")
+      .append("corpus_drift", fields: _*)
+  }
+
   /** Linear classifier scoring against a `weights` frame (binary merge —
     * the (token, weight) model table resolves by step name). */
   def linearScore(weights: LazyFrame, idKey: String, textKey: String,

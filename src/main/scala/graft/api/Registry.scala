@@ -630,6 +630,13 @@ object Registry {
     BudgetSelect(df, c("score_expr").str, c("cost_expr").str,
       c("budget").long, c("tie_break").str)
   }
+  register("corpus_drift") { (df, c, ctx) =>
+    val other = ctx.datasets.getOrElse(c("other").str,
+      throw new IllegalArgumentException(
+        s"unknown corpus_drift other dataset '${c("other").str}'"))
+    CorpusDrift.jensenShannon(df, c("text_key").str,
+      other, c.strOr("other_text_key", c("text_key").str))
+  }
   register("corpus_stats") { (df, c, _) =>
     CorpusStats(df, c.get("group_keys").map(_.strList).getOrElse(Nil),
       c("token_expr").str,
