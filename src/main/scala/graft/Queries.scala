@@ -2418,6 +2418,36 @@ object Queries {
                CAST(max(na) AS BIGINT) AS tokens_a,
                CAST(max(nb) AS BIGINT) AS tokens_b
         FROM terms""")
+    ),
+    (
+      // GPT-style fixed-length sequence chunking (per-lang doc streams cut
+      // at exactly 128 tokens, straddling docs split across chunks): one
+      // keyed running-sum window gives each doc its stream offset, then
+      // the (doc, chunk) fan-out is closed-form arithmetic + a bounded
+      // sequence explode — no sequential pass, unlike greedy packing. The
+      // oracle replays the same window and arithmetic.
+      "q101_chunk_fixed",
+      (s: SparkSession, dir: String) =>
+        PackOp.chunkFixed(t(s, dir, "documents"), Seq("lang"), "doc_id",
+          "size(split(text, ' '))", seqLen = 128L)
+          .select("lang", "doc_id", "chunk_id", "tok_start", "tok_len"),
+      Some("""
+        WITH t AS (SELECT lang, doc_id,
+                          len(string_split(text, ' '))::BIGINT AS tok
+                   FROM documents),
+        o AS (SELECT lang, doc_id, tok,
+                CAST(coalesce(sum(tok) OVER (
+                  PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+              FROM t)
+        SELECT lang, doc_id, chunk_id,
+               greatest(0, chunk_id * 128 - off) AS tok_start,
+               least(off + tok, (chunk_id + 1) * 128)
+                 - greatest(off, chunk_id * 128) AS tok_len
+        FROM o, UNNEST(generate_series(off // 128, (off + tok - 1) // 128))
+               AS g(chunk_id)
+        WHERE tok > 0""")
     ))
 
 }

@@ -60,6 +60,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def budgetSelect(scoreExpr: String, costExpr: String, budget: Long,
       tieBreak: String): Frame =
     next(BudgetSelect(df, scoreExpr, costExpr, budget, tieBreak))
+  def chunkFixed(groupCols: Seq[String], orderCol: String, tokenExpr: String,
+      seqLen: Long): Frame =
+    next(PackOp.chunkFixed(df, groupCols, orderCol, tokenExpr, seqLen))
 
   // -- temporal joins (this frame = the left/probe side)
   def asofJoin(right: Frame, leftKey: String, rightKey: String,

@@ -312,6 +312,11 @@ final case class LazyFrame(
       budget: Long): LazyFrame =
     append("pack", "group_keys" -> jlist(groupKeys), "order_key" -> orderKey,
       "token_expr" -> tokenExpr, "budget" -> budget)
+  def chunkFixed(groupKeys: Seq[String], orderKey: String, tokenExpr: String,
+      seqLen: Long): LazyFrame =
+    append("chunk_fixed", "group_keys" -> jlist(groupKeys),
+      "order_key" -> orderKey, "token_expr" -> tokenExpr,
+      "seq_len" -> seqLen)
   def tfidfTopTerms(idKey: String, textKey: String, k: Int = 10): LazyFrame =
     append("tfidf", "id_key" -> idKey, "text_key" -> textKey, "k" -> k)
   def shuffle(idExpr: String, seed: Long,

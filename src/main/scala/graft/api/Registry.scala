@@ -463,6 +463,10 @@ object Registry {
     PackOp(df, c("group_keys").strList, c("order_key").str,
       c("token_expr").str, c("budget").long)
   }
+  register("chunk_fixed") { (df, c, _) =>
+    PackOp.chunkFixed(df, c("group_keys").strList, c("order_key").str,
+      c("token_expr").str, c("seq_len").long)
+  }
   register("tfidf") { (df, c, _) =>
     TfIdfOp.topTerms(df, c("id_key").str, c("text_key").str, c.intOr("k", 10))
   }

@@ -70,4 +70,55 @@ object PackOp {
       }
     }(Encoders.row(newSchema))
   }
+
+  /** Fixed-length sequence chunking — the GPT-style pretraining shape that
+    * [[apply]]'s greedy packing is NOT: documents concatenate in
+    * (`groupCols`, `orderCol`) order into one token stream per group, the
+    * stream cuts at EXACTLY every `seqLen` tokens, and a document
+    * straddling a cut is SPLIT across the adjacent chunks (no padding, no
+    * waste). Output = one row per (document, chunk) overlap with
+    * `chunk_id` (0-based per group), `tok_start` (offset within the
+    * document), and `tok_len` — the slice of the document that lands in
+    * that chunk. Downstream slices the text/token array with these
+    * offsets; emitting offsets instead of materialized slices keeps the
+    * shuffle payload to three longs per overlap.
+    *
+    * Scale shape: each document's stream offset is a keyed running-sum
+    * window (partitioned by group — distributes across groups); the
+    * (doc, chunk) fan-out is a bounded `sequence()` explode
+    * (ceil(tokens/seqLen)+1 rows per doc). No sequential pass at all — the
+    * chunk arithmetic is closed-form from the offset, so unlike greedy
+    * packing this shape has no per-group serial dependency beyond the
+    * window sum.
+    */
+  def chunkFixed(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      tokenExpr: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, "chunkFixed seqLen must be positive")
+    require(groupCols.nonEmpty, "chunkFixed needs at least one group column")
+    Seq("chunk_id", "tok_start", "tok_len", "_graft_tok", "_graft_off")
+      .foreach(c => require(!df.columns.contains(c), s"reserved column $c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withOff = df
+      .withColumn("_graft_tok", greatest(lit(0L), expr(tokenExpr).cast("long")))
+      .withColumn("_graft_off",
+        coalesce(sum(col("_graft_tok")).over(w), lit(0L)))
+    withOff
+      .filter(col("_graft_tok") > 0)
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"_graft_off div ${seqLen}L"),
+        expr(s"(_graft_off + _graft_tok - 1) div ${seqLen}L"))))
+      .withColumn("tok_start",
+        greatest(lit(0L), col("chunk_id") * seqLen - col("_graft_off")))
+      .withColumn("tok_len",
+        least(col("_graft_off") + col("_graft_tok"), (col("chunk_id") + 1) * seqLen)
+          - greatest(col("_graft_off"), col("chunk_id") * seqLen))
+      .drop("_graft_tok", "_graft_off")
+  }
 }

@@ -491,4 +491,41 @@ class PropertySpec extends SparkSpec {
     // multiset equality: every qualifying pair exactly once, none invented
     assert(got.sorted === expected.sorted)
   }
+
+  test("property: SpanDedup equals the brute-force first-occurrence mask") {
+    // Tiny alphabet + short docs force window collisions within and across
+    // documents, including overlapping duplicated windows.
+    val tinyDoc: Gen[String] = for {
+      n <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield ws.mkString(" ")
+    val docs = samples(tinyDoc, 25)
+    val n = 3
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType))),
+      docs.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }: _*)
+    val got = graft.dedup.SpanDedup.clean(d, "id", "text", n)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // brute force: first (doc, pos) occurrence of each duplicated window
+    // keeps its tokens; every other occurrence masks pos..pos+n-1
+    val wins = docs.zipWithIndex.flatMap { case (t, id) =>
+      val toks = t.split(" ")
+      (0 to toks.length - n).map(p => (toks.slice(p, p + n).mkString(" "), id.toLong, p))
+    }
+    val keepers = wins.groupBy(_._1).collect {
+      case (g, occ) if occ.size > 1 => g -> occ.map(o => (o._2, o._3)).min
+    }
+    val maskedPos = wins.flatMap { case (g, id, p) =>
+      keepers.get(g) match {
+        case Some(k) if k != ((id, p)) => (p until p + n).map(id -> _)
+        case _ => Nil
+      }
+    }.toSet
+    val expected = docs.zipWithIndex.flatMap { case (t, id) =>
+      val kept = t.split(" ").zipWithIndex
+        .collect { case (tok, p) if !maskedPos((id.toLong, p)) => tok }
+      if (kept.isEmpty) None else Some(id.toLong -> kept.mkString(" "))
+    }.toMap
+    assert(got === expected)
+  }
 }
