@@ -33,7 +33,7 @@ object Queries {
   lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
     apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b ++
-    round9c
+    round9c ++ round9d
 
   // ---------------------------------------------------------------- parsing
 
@@ -2448,6 +2448,115 @@ object Queries {
         FROM o, UNNEST(generate_series(off // 128, (off + tok - 1) // 128))
                AS g(chunk_id)
         WHERE tok > 0""")
+    ))
+
+  private def round9d: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // Unicode canonicalization ahead of hash-keyed dedup: the native
+      // UnicodeNormalize expression (NFC) plus the cleanText chain (strip
+      // control chars, collapse space runs, trim). The prepended decomposed
+      // accent (e + U+0301) and embedded BEL make the normalization do real
+      // work on every row — ASCII-only inputs would vacuously pass.
+      "q102_normalize_text",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TF.cleanText(concat(lit("Cafe\u0301 \u0007 "), col("text")))
+            .as("text_clean"),
+          length(TF.normalize(concat(lit("e\u0301"), col("text")), "NFC"))
+            .cast("long").as("n_chars_nfc")),
+      Some("""
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(
+            nfc_normalize('Cafe' || chr(769) || ' ' || chr(7) || ' ' || text),
+            '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'), '[ \t]+', ' ', 'g')) AS text_clean,
+          CAST(length(nfc_normalize('e' || chr(769) || text)) AS BIGINT) AS n_chars_nfc
+        FROM documents""")
+    ),
+    (
+      // Hard-negative mining (DPR/SimCSE recipe): per query, the top-3
+      // most-cosine-similar embeddings whose label differs — brute-force
+      // oracle over the label-filtered cross product.
+      "q103_hard_negatives",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        graft.ann.Ann.hardNegatives(
+          emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label", k = 3)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+                          label AS ql
+                   FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce,
+                     label AS cl FROM embeddings),
+        s AS (SELECT qid, cid,
+                CAST(round(list_dot_product(qe, ce) /
+                  (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS DOUBLE) AS score
+              FROM q, c WHERE cl <> ql)
+        SELECT qid AS query_id, cid AS neighbor_id, score FROM s
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) <= 3""")
+    ),
+    (
+      // The eval-side contamination audit: per benchmark item (every 20th
+      // doc), how many of its distinct 4-grams appear anywhere in the
+      // corpus (the rest of the table) — the report published alongside
+      // benchmark results, the reverse direction of q76's per-doc hits.
+      "q104_contamination_report",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        graft.dedup.Decontaminate.benchmarkHits(
+          docs.filter(col("doc_id") % 20 =!= 0), "text",
+          docs.filter(col("doc_id") % 20 === 0)
+            .select(col("doc_id").as("bench_id"), col("text")),
+          "bench_id", "text", n = 4)
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT string_split(text, ' ') AS w
+          FROM documents WHERE doc_id % 20 <> 0),
+        bench AS (
+          SELECT doc_id AS bench_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id % 20 = 0),
+        cg AS (
+          SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS g
+          FROM corpus, UNNEST(range(1, len(w)-2)) AS t(i)),
+        bg AS (
+          SELECT DISTINCT bench_id, array_to_string(w[i:i+3], ' ') AS g
+          FROM bench, UNNEST(range(1, len(w)-2)) AS t(i)),
+        tot AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM bg GROUP BY bench_id),
+        hit AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_hit
+                FROM bg JOIN cg USING (g) GROUP BY bench_id)
+        SELECT bench_id, n_grams,
+               CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+               CAST(round(coalesce(n_hit, 0)::DOUBLE / n_grams, 6) AS DOUBLE)
+                 AS hit_frac
+        FROM tot LEFT JOIN hit USING (bench_id)""")
+    ),
+    (
+      // Leakage-safe train/val/test split keyed on the document's source
+      // domain: every row of a source gets the same split via a portable
+      // md5 bucket, so near-dups within a domain can never straddle train
+      // and eval. The oracle recomputes the 4-hex-digit bucket with instr
+      // digit arithmetic and the same 80/10/10 cut points.
+      "q105_train_split",
+      (s: SparkSession, dir: String) =>
+        SampleOp.assignSplit(t(s, dir, "documents"), col("source"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
+          .select("doc_id", "source", "split"),
+      Some("""
+        WITH h AS (SELECT doc_id, source,
+          (instr('0123456789abcdef', substring(md5(source || ':7'), 1, 1))-1)*4096 +
+          (instr('0123456789abcdef', substring(md5(source || ':7'), 2, 1))-1)*256 +
+          (instr('0123456789abcdef', substring(md5(source || ':7'), 3, 1))-1)*16 +
+          (instr('0123456789abcdef', substring(md5(source || ':7'), 4, 1))-1) AS b
+          FROM documents)
+        SELECT doc_id, source,
+          CASE WHEN b < 52429 THEN 'train'
+               WHEN b < 58983 THEN 'val'
+               ELSE 'test' END AS split
+        FROM h""")
     ))
 
 }

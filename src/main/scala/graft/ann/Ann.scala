@@ -43,6 +43,47 @@ object Ann {
       .select("query_id", "neighbor_id", "score")
   }
 
+  /** Hard-negative mining for retrieval/classifier training: for each query,
+    * the top-k most-similar corpus rows whose `label` DIFFERS from the
+    * query's — the near-misses that teach an encoder its decision boundary,
+    * per the public DPR/SimCSE recipes (random negatives are too easy; the
+    * highest-scoring wrong-label rows are the signal).
+    *
+    * Same plan shape as [[bruteForce]] — queries broadcast, corpus streams,
+    * per-query top-k window — with the label-mismatch filter applied BEFORE
+    * ranking, so positives never consume candidate slots. The filter also
+    * subsumes self-exclusion (a row shares its own label). For corpora past
+    * the broadcast-product budget, mine from an ANN candidate pool instead:
+    * `ivfSearch`/`lshSearch` with k' > k, then filter labels and re-rank —
+    * the same candidates-then-verify shape as the dedup families.
+    * Output: (query_id, neighbor_id, score), k rows per query. */
+  def hardNegatives(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      corpusLabel: String,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      queryLabel: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryEmb).as("_qe"),
+      col(queryLabel).as("_ql"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("_ce"),
+      col(corpusLabel).as("_cl"))
+    val crossed = graft.core.Joins.boundedCrossBroadcast(
+      c, q, col("neighbor_id"), col("query_id"))
+    val scored = crossed
+      .filter(!(col("_cl") <=> col("_ql")))
+      .withColumn("score",
+        round(graft.functions.CosineSimilarity(col("_qe"), col("_ce")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "score")
+  }
+
   /** IVF index: assign each corpus row to its nearest centroid (cell).
     * Centroids come from k-means over a sample (Spark ML), collected to the
     * driver (O(nCentroids * dim)) and broadcast as literals. */

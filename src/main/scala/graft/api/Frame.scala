@@ -254,12 +254,34 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       benchTextCol: String, n: Int = 8, broadcastBenchmark: Boolean = true): Frame =
     next(graft.dedup.Decontaminate.clean(df, idCol, textCol, benchmark.df,
       benchTextCol, n, broadcastBenchmark))
+  def contaminationReport(textCol: String, benchmark: Frame,
+      benchIdCol: String, benchTextCol: String, n: Int = 8): Frame =
+    next(graft.dedup.Decontaminate.benchmarkHits(df, textCol, benchmark.df,
+      benchIdCol, benchTextCol, n))
+  def cleanText(textCol: String, outCol: Option[String] = None): Frame =
+    next(df.withColumn(outCol.getOrElse(textCol),
+      graft.functions.TextFunctions.cleanText(
+        org.apache.spark.sql.functions.col(textCol))))
+  def normalizeText(textCol: String, form: String = "NFC",
+      outCol: Option[String] = None): Frame =
+    next(df.withColumn(outCol.getOrElse(textCol),
+      graft.functions.TextFunctions.normalize(
+        org.apache.spark.sql.functions.col(textCol), form)))
+  def assignSplit(groupKeyExpr: String, splits: Seq[(String, Double)],
+      seed: Long = 0): Frame =
+    next(graft.ops.SampleOp.assignSplit(df,
+      org.apache.spark.sql.functions.expr(groupKeyExpr), splits, seed))
 
   // -- approximate nearest neighbors (this frame = the query side)
   def annBruteForce(queryId: String, queryEmb: String, corpus: Frame,
       corpusId: String, corpusEmb: String, k: Int): Frame =
     next(graft.ann.Ann.bruteForce(corpus.df, corpusId, corpusEmb,
       df, queryId, queryEmb, k))
+  def annHardNegatives(queryId: String, queryEmb: String, queryLabel: String,
+      corpus: Frame, corpusId: String, corpusEmb: String, corpusLabel: String,
+      k: Int): Frame =
+    next(graft.ann.Ann.hardNegatives(corpus.df, corpusId, corpusEmb,
+      corpusLabel, df, queryId, queryEmb, queryLabel, k))
   def annLsh(queryId: String, queryEmb: String, corpus: Frame,
       corpusId: String, corpusEmb: String, dim: Int, k: Int,
       numPlanes: Int = 8, multiProbe: Int = 1): Frame =

@@ -459,6 +459,39 @@ object Registry {
         s"unknown decontaminate mode $m (clean | hits)")
     }
   }
+  register("contamination_report") { (df, c, ctx) =>
+    val bench = ctx.datasets.getOrElse(c("benchmark").str,
+      throw new IllegalArgumentException(
+        s"unknown contamination_report benchmark dataset '${c("benchmark").str}'"))
+    graft.dedup.Decontaminate.benchmarkHits(df, c("text_key").str,
+      bench, c("benchmark_id_key").str,
+      c.strOr("benchmark_text_key", c("text_key").str), c.intOr("n", 8))
+  }
+  register("hard_negatives") { (df, c, ctx) =>
+    val corpus = ctx.datasets.getOrElse(c("corpus").str,
+      throw new IllegalArgumentException(
+        s"unknown hard_negatives corpus dataset '${c("corpus").str}'"))
+    graft.ann.Ann.hardNegatives(
+      corpus, c.strOr("corpus_id_key", c("id_key").str),
+      c.strOr("corpus_embedding_key", c("embedding_key").str),
+      c.strOr("corpus_label_key", c("label_key").str),
+      df, c("id_key").str, c("embedding_key").str, c("label_key").str,
+      c.intOr("k", 10))
+  }
+  register("normalize_text") { (df, c, _) =>
+    val key = c("text_key").str
+    val out = c.strOr("output_key", key)
+    val src = org.apache.spark.sql.functions.col(key)
+    df.withColumn(out,
+      if (c.boolOr("clean", true)) graft.functions.TextFunctions.cleanText(src)
+      else graft.functions.TextFunctions.normalize(src, c.strOr("form", "NFC")))
+  }
+  register("assign_split") { (df, c, _) =>
+    SampleOp.assignSplit(df,
+      org.apache.spark.sql.functions.expr(c("group_key_expr").str),
+      c("splits").asOrderedMap.map { case (k, v) => k -> v.dbl }.toSeq,
+      c.intOr("random_state", 0).toLong)
+  }
   register("pack") { (df, c, _) =>
     PackOp(df, c("group_keys").strList, c("order_key").str,
       c("token_expr").str, c("budget").long)

@@ -370,6 +370,52 @@ object Decontaminate {
       .agg(count(lit(1)).cast("long").as("n_contaminated"))
   }
 
+  /** The audit direction: per BENCHMARK item, how much of it leaked into the
+    * corpus — `(benchIdCol, n_grams, n_hit, hit_frac)` where `n_grams` is the
+    * item's distinct n-gram count and `n_hit` how many of those occur
+    * anywhere in the corpus. This is the report eval teams publish
+    * ("x% of benchmark Y's n-grams appear in the training set"); `hits`/
+    * `clean` answer the corpus-side question, this answers the eval-side one.
+    * Every benchmark item with at least one n-gram appears in the output,
+    * including zero-HIT ones (items shorter than n words have no gram set
+    * to audit and are absent).
+    *
+    * Scale shape (corpus 100 TB, benchmark MBs): the benchmark's
+    * (id, gram) pairs are tiny and BROADCAST; the corpus reduces to its
+    * distinct gram-hash set — one linear aggregation on 64-bit longs, the
+    * same shape as `hits` — and streams map-side through the broadcast hash
+    * join. Each (id, gram) pair matches at most once because BOTH sides are
+    * distinct, so the per-item count needs no second dedup. The final
+    * groupBy keys on benchmark ids (bounded by the benchmark's size). */
+  def benchmarkHits(
+      corpus: DataFrame,
+      textCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    val bg = benchmark
+      .select(col(benchIdCol),
+        explode(graft.functions.ShingleHashes(col(benchTextCol), n)).as("_g"))
+      .distinct()
+    // Spark cannot build a LEFT-outer hash join from a broadcast LEFT side,
+    // so the big-small join is INNER (corpus streams through the broadcast
+    // benchmark grams map-side) and the zero-hit items re-enter via a
+    // small-side left join between two benchmark-bounded aggregates.
+    val hitCounts = corpus
+      .select(explode(graft.functions.ShingleHashes(col(textCol), n)).as("_g"))
+      .distinct()
+      .join(broadcast(bg), Seq("_g"))
+      .groupBy(benchIdCol)
+      .agg(count(lit(1)).cast("long").as("n_hit"))
+    val totals = bg.groupBy(benchIdCol)
+      .agg(count(lit(1)).cast("long").as("n_grams"))
+    totals.join(hitCounts, Seq(benchIdCol), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("hit_frac",
+        round(col("n_hit").cast("double") / col("n_grams"), 6))
+  }
+
   /** The corpus minus every contaminated document (left-anti on hits). */
   def clean(
       corpus: DataFrame,

@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Unicode normalization — see [[UnicodeNormalize]] (native codegen'd
+    * expression; NFC|NFD|NFKC|NFKD). */
+  def normalize(c: Column, form: String = "NFC"): Column = UnicodeNormalize(c, form)
+
+  /** The standard pre-hash text canonicalization chain: NFC normalize, strip
+    * C0/DEL control characters (newline survives), collapse space/tab runs,
+    * trim. Run this before any hash-keyed dedup/decontamination pass so that
+    * byte-level encoding noise (decomposed accents, stray control bytes,
+    * ragged spacing) cannot split one logical document into many hash keys.
+    * Pure codegen'd expressions — the chain fuses into the corpus scan. */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(normalize(c, "NFC"), "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   /** Whitespace token count (the BPE-ish regex variant is `tokenCountRegex`). */
   def tokenCount(c: Column): Column = size(split(c, " "))
 

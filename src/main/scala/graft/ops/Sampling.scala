@@ -34,6 +34,35 @@ object SampleOp {
     df.filter(pmod(expr(keyExpr) * 9301L + 49297L + seed, lit(233280L)) < thresh)
   }
 
+  /** Leakage-safe train/val/test assignment: adds a `split` column that is a
+    * pure function of `groupKey` (any Column, e.g. a domain or author id), so
+    * EVERY row of a group lands in the same split — near-duplicate documents
+    * from one site can never straddle train and eval. `splits` are
+    * (name, fraction) pairs summing to ~1; assignment hashes the group key
+    * with a portable md5 bucket (65536 buckets, so fractions resolve to
+    * ~0.002%): stable under any partitioning, cluster size, data order, or
+    * corpus growth — a group keeps its split forever as new members arrive,
+    * which a rank-quantile split cannot promise. Pure codegen'd expressions;
+    * no shuffle, no driver state. */
+  def assignSplit(
+      df: DataFrame, groupKey: Column,
+      splits: Seq[(String, Double)], seed: Long = 0): DataFrame = {
+    require(splits.nonEmpty, "assignSplit needs at least one (name, fraction)")
+    require(splits.forall(_._2 >= 0), "split fractions must be >= 0")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-6, s"split fractions must sum to 1, got $total")
+    val bucket = conv(
+      substring(md5(concat(groupKey.cast("string"), lit(":" + seed))), 1, 4),
+      16, 10).cast("int")
+    val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 65536)
+    }.tail
+    val assigned = splits.zip(cuts).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), cut), rest) => when(bucket < cut, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** `custom` method: keep rows matching any of the given key-subset samples
     * (reference sample.py:421) — a broadcast left-semi join, not a driver loop. */
   def custom(df: DataFrame, samples: DataFrame): DataFrame =
