@@ -439,6 +439,50 @@ final case class LazyFrame(
       .append("decontaminate", fields: _*)
   }
 
+  /** Eval-side contamination audit against `benchmark` (a binary merge
+    * like decontaminate): per benchmark item, gram total / hits / frac. */
+  def contaminationReport(benchmark: LazyFrame, textKey: String,
+      benchmarkIdKey: String, benchmarkTextKey: String = "",
+      n: Int = 8): LazyFrame = {
+    val (m, lRef, rRef) = merged(benchmark)
+    val fields = Seq[(String, Any)]("benchmark" -> rRef,
+      "text_key" -> textKey, "benchmark_id_key" -> benchmarkIdKey,
+      "n" -> n) ++
+      (if (benchmarkTextKey.nonEmpty) Seq("benchmark_text_key" -> benchmarkTextKey)
+       else Nil)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"contamination_report_${m.steps.length}")
+      .append("contamination_report", fields: _*)
+  }
+
+  /** Unicode canonicalization: the full cleanText chain by default, or a
+    * bare NFC/NFD/NFKC/NFKD normalize with `clean = false`. */
+  def normalizeText(textKey: String, form: String = "NFC",
+      clean: Boolean = true, outputKey: String = ""): LazyFrame =
+    append("normalize_text", (Seq[(String, Any)]("text_key" -> textKey,
+      "form" -> form, "clean" -> clean) ++
+      (if (outputKey.nonEmpty) Seq("output_key" -> outputKey) else Nil)): _*)
+
+  /** Leakage-safe train/val/test assignment keyed on a group expression. */
+  def assignSplit(groupKeyExpr: String, splits: Seq[(String, Double)],
+      randomState: Long = 0): LazyFrame = {
+    val m = jmap()
+    splits.foreach { case (k, v) => m.put(k, v: Any) }
+    append("assign_split", "group_key_expr" -> groupKeyExpr,
+      "splits" -> m, "random_state" -> randomState)
+  }
+
+  /** Hard-negative mining against `corpus` (a binary merge): per row of
+    * this frame, top-k most-similar corpus rows with a DIFFERENT label. */
+  def hardNegatives(corpus: LazyFrame, idKey: String, embeddingKey: String,
+      labelKey: String, k: Int = 10): LazyFrame = {
+    val (m, lRef, rRef) = merged(corpus)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"hard_negatives_${m.steps.length}")
+      .append("hard_negatives", "corpus" -> rRef, "id_key" -> idKey,
+        "embedding_key" -> embeddingKey, "label_key" -> labelKey, "k" -> k)
+  }
+
   /** LLM-verified fuzzy join against another frame (join-headed step). */
   def equijoin(right: LazyFrame, condition: String,
       llmVerify: Boolean = false,

@@ -201,13 +201,26 @@ object MinHashDedup {
       .union(pairs.select(col("id_b").as("id"))).distinct()
     val comp = graft.graph.ConnectedComponents.run(pairs, verts)
       .withColumnRenamed("id", idCol)
+    keepBestByComponent(df, idCol, comp, quality)
+  }
+
+  /** Survivor selection shared by the keep-best dedup variants: rank ONLY
+    * the rows that belong to a near-dup component and anti-join the losers
+    * back out. The windowed sort touches just the duplicated subset (and
+    * the rank scan prunes to the id + quality columns), and the final
+    * anti-join streams the corpus through once — vs. windowing the whole
+    * table partitioned by coalesce(component, id), which shuffles and sorts
+    * 100% of a 100 TB corpus to rank the ~few-% that have a duplicate. */
+  private[dedup] def keepBestByComponent(
+      df: DataFrame, idCol: String, comp: DataFrame,
+      quality: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(coalesce(col("component"), col(idCol)))
-      .orderBy(quality.desc, col(idCol).asc)
-    df.join(comp, Seq(idCol), "left")
+      .partitionBy(col("component")).orderBy(quality.desc, col(idCol).asc)
+    val losers = df.join(comp, Seq(idCol))
       .withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") === 1)
-      .drop("_graft_rn", "component")
+      .filter(col("_graft_rn") =!= 1)
+      .select(idCol)
+    df.join(losers, Seq(idCol), "left_anti")
   }
 }
 
@@ -541,13 +554,7 @@ object SemDedup {
       .withColumnRenamed("id", idCol)
     val quality =
       if (qualityExpr.isEmpty) lit(0) else expr(qualityExpr)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(coalesce(col("component"), col(idCol)))
-      .orderBy(quality.desc, col(idCol).asc)
-    df.join(comp, Seq(idCol), "left")
-      .withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") === 1)
-      .drop("_graft_rn", "component")
+    MinHashDedup.keepBestByComponent(df, idCol, comp, quality)
   }
 
   /** The in-cluster near-duplicate pair list (id_a < id_b, rounded cosine). */

@@ -194,4 +194,60 @@ class Round9dSpec extends SparkSpec {
     val report = docs.contaminationReport("text", bench, "bench_id", "text", n = 3)
     assert(report.count() == 1)
   }
+
+  test("LazyFrame wires the round9d ops through YAML end to end") {
+    import graft.api.{LazyFrame, Pipeline}
+    val dir = java.nio.file.Files.createTempDirectory("r9d").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    docsDf.select(col("doc_id").as("bench_id"), col("text"))
+      .filter(col("bench_id") === 1L)
+      .write.mode("overwrite").parquet(s"$dir/bench.parquet")
+    val docs = LazyFrame.read("docs", s"$dir/docs.parquet")
+    val bench = LazyFrame.read("bench", s"$dir/bench.parquet")
+
+    val lf = docs.normalizeText("text")
+      .assignSplit("lang", splits, randomState = 2)
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    val out = Pipeline.runYaml(lf.toYaml, spark)
+    assert(out.count() == 6 && out.columns.contains("split"))
+
+    val rep = docs.contaminationReport(bench, "text", "bench_id", n = 3)
+    assert(LazyFrame.fromYaml(rep.toYaml).toYaml == rep.toYaml)
+    assert(Pipeline.runYaml(rep.toYaml, spark).count() == 1)
+
+    val embDir = java.nio.file.Files.createTempDirectory("r9de").toString
+    embDf.write.mode("overwrite").parquet(s"$embDir/emb.parquet")
+    val q = LazyFrame.read("q", s"$embDir/emb.parquet")
+    val hn = q.hardNegatives(LazyFrame.read("c", s"$embDir/emb.parquet"),
+      "vid", "emb", "label", k = 2)
+    assert(LazyFrame.fromYaml(hn.toYaml).toYaml == hn.toYaml)
+    val hnOut = Pipeline.runYaml(hn.toYaml, spark)
+    assert(hnOut.count() == 12 && hnOut.columns.sorted.toSeq ==
+      Seq("neighbor_id", "query_id", "score"))
+  }
+
+  // ------------------------------------------- keepBest survivor selection
+
+  test("keepBest ranks only the duplicated subset and anti-joins losers") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("q", LongType)))
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = df(schema,
+      Row(1L, base + " one", 10L),
+      Row(2L, base + " two", 20L),
+      Row(3L, base + " three", 99L),
+      Row(4L, "unrelated words about other things entirely and at length", 5L),
+      Row(5L, "another fully distinct document with its own vocabulary", 7L))
+    val kept = graft.dedup.MinHashDedup.keepBest(d, "id", "text",
+      qualityExpr = "q", jaccardThreshold = 0.5)
+    // semantics: cluster {1,2,3} keeps quality-argmax 3; singletons survive
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == Set(3L, 4L, 5L))
+    // plan shape: survivors come from a LEFT ANTI join against the loser
+    // set, and the rank window partitions by component — never by a
+    // whole-table coalesce(component, id) key
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("coalesce(component"), plan.take(2000))
+  }
 }
