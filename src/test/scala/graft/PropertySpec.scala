@@ -528,4 +528,51 @@ class PropertySpec extends SparkSpec {
     }.toMap
     assert(got === expected)
   }
+
+  test("property: assignSplit matches the brute-force md5-bucket reference") {
+    val keys = samples(word, 60).distinct
+    val splits = Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1)
+    val seed = 11L
+    val d = df(StructType(Seq(StructField("k", StringType))),
+      keys.map(Row(_)): _*)
+    val got = SampleOp.assignSplit(d, col("k"), splits, seed)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // reference: first 4 hex digits of md5("<key>:<seed>") as a 16-bit
+    // bucket, cut at round(cumFraction * 65536)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cuts = splits.scanLeft(0L) { case (a, (_, f)) =>
+      a + math.round(f * 65536) }.tail
+    keys.foreach { k =>
+      val hex = md.digest(s"$k:$seed".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      val bucket = java.lang.Integer.parseInt(hex, 16)
+      val expected = splits.map(_._1).zip(cuts)
+        .collectFirst { case (name, cut) if bucket < cut => name }
+        .getOrElse(splits.last._1)
+      assert(got(k) == expected, s"key=$k bucket=$bucket")
+    }
+  }
+
+  test("property: unicode normalization is idempotent and form-correct") {
+    // random strings seeded with the troublesome families: combining marks,
+    // ligatures, fullwidth forms, supplementary planes
+    val tricky = Gen.oneOf(
+      "é", "é", "ﬁ", "Ａ", "💩",
+      "Å", "Å", " ", "x")
+    val s: Gen[String] = Gen.listOf(tricky).map(_.mkString)
+    val strs = samples(s, 60).distinct
+    val d = df(StructType(Seq(StructField("t", StringType))),
+      strs.map(Row(_)): _*)
+    for (form <- Seq("NFC", "NFKC")) {
+      val once = graft.functions.TextFunctions.normalize(col("t"), form)
+      val twice = graft.functions.TextFunctions.normalize(once, form)
+      val rows = d.select(col("t"), once.as("a"), twice.as("b")).collect()
+      rows.foreach { r =>
+        val expected = java.text.Normalizer.normalize(
+          r.getString(0), java.text.Normalizer.Form.valueOf(form))
+        assert(r.getString(1) == expected)   // matches the JDK reference
+        assert(r.getString(2) == r.getString(1)) // idempotent
+      }
+    }
+  }
 }

@@ -75,6 +75,32 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("stateless normalization + split assignment run on streams") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "text", "source")
+    // cleanText is a codegen'd expression chain and assignSplit a pure
+    // function of the group key — both compose with a stream statelessly,
+    // and a source keeps its split across batches by construction.
+    val out = graft.ops.SampleOp.assignSplit(
+      docs.withColumn("text", graft.functions.TextFunctions.cleanText(
+        org.apache.spark.sql.functions.col("text"))),
+      org.apache.spark.sql.functions.col("source"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
+    val q = out.writeStream.format("memory").queryName("normsplit")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1L, "a  b", "siteA"), (2L, "cd", "siteB"))
+    q.processAllAvailable()
+    input.addData((3L, "later row", "siteA")) // same source, later batch
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT doc_id, text, split FROM normsplit")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    q.stop()
+    assert(rows(1L)._1 == "a b" && rows(2L)._1 == "cd")
+    assert(rows(1L)._2 == rows(3L)._2) // same source -> same split, any batch
+  }
+
   test("stateless hygiene ops run on streams: PII scrub + URL blocklist") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
