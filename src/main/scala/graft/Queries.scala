@@ -2557,6 +2557,70 @@ object Queries {
                WHEN b < 58983 THEN 'val'
                ELSE 'test' END AS split
         FROM h""")
+    ),
+    (
+      // Pairwise drift matrix: smoothed Jensen-Shannon divergence between
+      // every pair of language slices in ONE plan (shared (group, token)
+      // count agg; driver state = O(N) totals + O(N^2) pair-vocab scalars).
+      // Each cell equals the two-corpus q100 op on those slices.
+      "q106_drift_matrix",
+      (s: SparkSession, dir: String) =>
+        CorpusDrift.jensenShannonMatrix(t(s, dir, "documents"), "lang", "text"),
+      Some("""
+        WITH c AS (
+          SELECT g, tok, count(*)::DOUBLE AS c
+          FROM (SELECT lang AS g, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY 1, 2),
+        tot AS (SELECT g, sum(c) AS n FROM c GROUP BY g),
+        pairs AS (SELECT a.g AS ga, b.g AS gb FROM tot a, tot b WHERE a.g < b.g),
+        ptok AS (SELECT DISTINCT p.ga, p.gb, c.tok
+                 FROM pairs p JOIN c ON c.g IN (p.ga, p.gb)),
+        pr AS (SELECT pt.ga, pt.gb, pt.tok,
+                      coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+               FROM ptok pt
+               LEFT JOIN c a ON a.g = pt.ga AND a.tok = pt.tok
+               LEFT JOIN c b ON b.g = pt.gb AND b.tok = pt.tok),
+        v AS (SELECT ga, gb, count(*)::DOUBLE AS v FROM pr GROUP BY 1, 2),
+        terms AS (SELECT pr.ga, pr.gb,
+                         (ca + 1) / (ta.n + v.v) AS p,
+                         (cb + 1) / (tb.n + v.v) AS q,
+                         v.v AS v, ta.n AS na, tb.n AS nb
+                  FROM pr JOIN v USING (ga, gb)
+                       JOIN tot ta ON ta.g = pr.ga
+                       JOIN tot tb ON tb.g = pr.gb)
+        SELECT ga AS group_a, gb AS group_b,
+               round(sum(0.5*p*ln(p/((p+q)/2)) + 0.5*q*ln(q/((p+q)/2))), 6)
+                 AS js_divergence,
+               CAST(max(v) AS BIGINT) AS vocab_size,
+               CAST(max(na) AS BIGINT) AS tokens_a,
+               CAST(max(nb) AS BIGINT) AS tokens_b
+        FROM terms GROUP BY 1, 2""")
+    ),
+    (
+      // Curriculum training order: easy -> hard by n_chars in 4 exact
+      // equal-frequency difficulty bands, deterministic seeded shuffle
+      // within each band. Bucket membership is closed-form rank arithmetic
+      // (two range-partitioned sorts, no quantile sketch); the oracle
+      // replays both windows.
+      "q107_curriculum",
+      (s: SparkSession, dir: String) =>
+        InterleaveOp.curriculum(t(s, dir, "documents"), "n_chars", "doc_id",
+          nBuckets = 4, seed = 5)
+          .select("doc_id", "difficulty_bucket", "curriculum_rank"),
+      Some("""
+        WITH r AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+                          count(*) OVER () AS total
+                   FROM documents),
+        b AS (SELECT doc_id,
+                     CAST(((rk - 1) * 4) // total AS INT) AS difficulty_bucket
+              FROM r)
+        SELECT doc_id, difficulty_bucket,
+               CAST(row_number() OVER (ORDER BY difficulty_bucket,
+                    md5(CAST(doc_id AS VARCHAR) || ':5'), doc_id) AS BIGINT)
+                 AS curriculum_rank
+        FROM b""")
     ))
 
 }

@@ -239,6 +239,11 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       otherTextCol: String = ""): Frame =
     next(CorpusDrift.jensenShannon(df, textCol, other.df,
       if (otherTextCol.isEmpty) textCol else otherTextCol))
+  def corpusDriftMatrix(groupCol: String, textCol: String): Frame =
+    next(CorpusDrift.jensenShannonMatrix(df, groupCol, textCol))
+  def curriculum(scoreExpr: String, idExpr: String, nBuckets: Int,
+      seed: Long = 0): Frame =
+    next(graft.ops.InterleaveOp.curriculum(df, scoreExpr, idExpr, nBuckets, seed))
   def bigramSurprisal(idCol: String, textCol: String,
       lambda: Double = 0.75): Frame =
     next(graft.ops.BigramScore(df, idCol, textCol, lambda))

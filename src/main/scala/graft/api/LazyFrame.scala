@@ -349,6 +349,13 @@ final case class LazyFrame(
     append("corpus_stats", "group_keys" -> jlist(groupKeys),
       "token_expr" -> tokenExpr,
       "quantiles" -> jlist(quantiles.map(q => q: Any)))
+  def corpusDriftMatrix(groupKey: String, textKey: String): LazyFrame =
+    append("corpus_drift_matrix", "group_key" -> groupKey,
+      "text_key" -> textKey)
+  def curriculum(scoreExpr: String, idExpr: String, nBuckets: Int = 4,
+      randomState: Long = 0): LazyFrame =
+    append("curriculum", "score_expr" -> scoreExpr, "id_expr" -> idExpr,
+      "n_buckets" -> nBuckets, "random_state" -> randomState)
   def sessionize(key: String, ts: String, gap: Long, tieBreak: String,
       aggregate: Boolean = false,
       outputKey: String = "session_id"): LazyFrame =

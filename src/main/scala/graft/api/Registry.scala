@@ -674,6 +674,13 @@ object Registry {
     CorpusDrift.jensenShannon(df, c("text_key").str,
       other, c.strOr("other_text_key", c("text_key").str))
   }
+  register("corpus_drift_matrix") { (df, c, _) =>
+    CorpusDrift.jensenShannonMatrix(df, c("group_key").str, c("text_key").str)
+  }
+  register("curriculum") { (df, c, _) =>
+    InterleaveOp.curriculum(df, c("score_expr").str, c("id_expr").str,
+      c.intOr("n_buckets", 4), c.intOr("random_state", 0).toLong)
+  }
   register("corpus_stats") { (df, c, _) =>
     CorpusStats(df, c.get("group_keys").map(_.strList).getOrElse(Nil),
       c("token_expr").str,

@@ -35,6 +35,42 @@ object InterleaveOp {
       .drop("_graft_sr")
   }
 
+  /** Curriculum training order: sort by a difficulty score (easy -> hard),
+    * cut the sorted stream into `nBuckets` equal-frequency difficulty
+    * bands, and shuffle deterministically WITHIN each band — the standard
+    * curriculum-learning order (monotone difficulty at the band level,
+    * decorrelated examples inside a band so batches are not sorted runs).
+    * Adds `difficulty_bucket` (0-based) and `curriculum_rank` (1-based).
+    *
+    * Scale shape: two range-partitioned sorts ([[RankOp.withGlobalRank]]'s
+    * zipWithIndex — never a row_number over an empty window, which would
+    * serialize the corpus through one task) plus one count scalar on the
+    * driver; bucket membership is closed-form rank arithmetic, so bands are
+    * exactly equal-frequency without any quantile sketch. */
+  def curriculum(
+      df: DataFrame,
+      scoreExpr: String,
+      idExpr: String,
+      nBuckets: Int,
+      seed: Long = 0): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    Seq("difficulty_bucket", "curriculum_rank").foreach(c =>
+      require(!df.columns.contains(c), s"input already has $c"))
+    val total = df.count()
+    val ranked = RankOp.withGlobalRank(df,
+      Seq(expr(scoreExpr).asc, expr(idExpr).asc))
+      .withColumn("difficulty_bucket",
+        expr(s"CAST(((_rank - 1) * $nBuckets) DIV ${math.max(total, 1L)} AS INT)"))
+      .drop("_rank")
+    val key = md5(concat(expr(idExpr).cast("string"), lit(":" + seed)))
+    RankOp.withGlobalRank(
+      ranked.withColumn("_graft_cur", key),
+      Seq(col("difficulty_bucket").asc, col("_graft_cur").asc,
+        expr(idExpr).asc))
+      .withColumnRenamed("_rank", "curriculum_rank")
+      .drop("_graft_cur")
+  }
+
   /** Deterministic global shuffle — the epoch-seeded random training order.
     * Position = 1-based rank of md5(idExpr ":" seed), id as tie-break, so
     * the permutation is reproducible from (data, seed) alone and changes
