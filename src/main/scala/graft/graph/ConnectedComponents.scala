@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Iterative connected components over an edge DataFrame — the distributed
   * replacement for the reference's driver-resident union-find
@@ -18,9 +19,20 @@ object ConnectedComponents {
 
   /** @param edges   two-column DataFrame (src, dst) of Long-compatible ids
     * @param vertices single-column DataFrame (id) incl. isolated vertices
+    * @param driverEdgeGate when the DEDUPED UNDIRECTED edge list has at most
+    *        this many rows (and ids are integral), skip label propagation and
+    *        union-find the edges on the driver instead. Match/near-dup edge
+    *        lists are tiny relative to the documents they connect (the
+    *        pairwise stages upstream are all capped/banned), and each
+    *        propagation round costs ~4 Spark jobs — on a small edge list the
+    *        job-scheduling overhead dwarfs the work. The fast path collects
+    *        ONLY edges (never vertices: the component map broadcast-joins
+    *        back onto them), so it is safe however large the vertex side is.
+    *        2M undirected rows = 1M edges ≈ 32 MB on the driver.
     * @return (id, component) where component = min id reachable
     */
-  def run(edges: DataFrame, vertices: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(edges: DataFrame, vertices: DataFrame, maxIter: Int = 20,
+      driverEdgeGate: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.toDF("src", "dst")
     // Undirected: propagate both ways. ONE scan of the edge plan — a
@@ -33,6 +45,23 @@ object ConnectedComponents {
       .select(col("_p.src").as("src"), col("_p.dst").as("dst"))
       .distinct()
       .persist()
+    val integralIds = e.schema.fields.take(2).forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    })
+    // One job; also materializes the persist the first round needs anyway.
+    val undirectedCount = undirected.count()
+    if (integralIds && undirectedCount <= driverEdgeGate) {
+      val mapping = driverUnionFind(
+        undirected.select(col("src").cast("long"), col("dst").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      undirected.unpersist()
+      val mapDf = broadcast(
+        spark.createDataFrame(mapping.toSeq).toDF("id", "_cc"))
+      return vertices.toDF("id").join(mapDf, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("_cc"), col("id").cast("long")).as("component"))
+    }
     var labels = vertices.toDF("id").withColumn("component", col("id")).persist()
     var iter = 0
     var changed = 1L
@@ -64,5 +93,34 @@ object ConnectedComponents {
         s"ConnectedComponents did not converge after $maxIter iterations " +
           s"($changed labels still changing); raise maxIter (long match chains)")
     labels
+  }
+
+  /** Path-halving union-find over a collected edge list; O(E α(E)). Returns
+    * id -> min id in its component for every id that appears in an edge
+    * (isolated vertices are handled by the caller's left join + coalesce).
+    * Exact, so — unlike label propagation — no iteration cap applies. */
+  private[graft] def driverUnionFind(
+      edges: Array[(Long, Long)]): collection.Map[Long, Long] = {
+    val parent = collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElseUpdate(x, x)
+      while (p != x) {
+        val gp = parent.getOrElseUpdate(p, p)
+        parent(x) = gp // path halving
+        x = gp
+        p = parent.getOrElseUpdate(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      // Union by MIN root so the representative is already the min id.
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    // find() compresses paths in-place; snapshot keys before re-walking.
+    parent.keys.toArray.map(k => k -> find(k)).toMap
   }
 }

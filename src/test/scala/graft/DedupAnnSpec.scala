@@ -73,6 +73,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels(4L) == 4L && labels(5L) == 4L)
     assert(labels(6L) == 6L)
   }
+
+  test("driver union-find fast path agrees with distributed label propagation") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 300).map(_ =>
+      Row(rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+    val edges = df(StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType))), rows: _*)
+    val vertices = spark.range(0, 140).toDF("id") // includes isolated ids
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = toMap(ConnectedComponents.run(edges, vertices))
+    val dist = toMap(ConnectedComponents.run(edges, vertices, driverEdgeGate = 0L))
+    assert(fast == dist)
+    assert(fast.size == 140)
+  }
+
+  test("fast path still gates out non-integral ids") {
+    val edges = df(StructType(Seq(
+      StructField("src", StringType), StructField("dst", StringType))),
+      Row("a", "b"), Row("b", "c"))
+    val vertices = df(StructType(Seq(StructField("id", StringType))),
+      Row("a"), Row("b"), Row("c"), Row("z"))
+    val labels = ConnectedComponents.run(edges, vertices)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
+  }
 }
 
 class AnnSpec extends SparkSpec {
