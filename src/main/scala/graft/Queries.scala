@@ -200,13 +200,14 @@ object Queries {
     ),
     (
       "q06_sessionize",
-      // `ts` is nanosecond parquet -> read as Long ns (nanosAsLong); the gap
-      // test is integer ns arithmetic, bit-identical on both engines.
+      // `ts` arrives from Tables normalized to BIGINT epoch µs (whatever
+      // the parquet era stored); the gap test is integer µs arithmetic,
+      // bit-identical on both engines (oracle: epoch_us on the raw column).
       (s: SparkSession, dir: String) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         val gap = col("ts") - lag(col("ts"), 1).over(w)
         t(s, dir, "events")
-          .withColumn("_new", when(gap.isNull || gap > 300000000000L, 1L).otherwise(0L))
+          .withColumn("_new", when(gap.isNull || gap > 300000000L, 1L).otherwise(0L))
           .withColumn("session_id",
             sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
           .select("event_id", "user_id", "session_id")
@@ -214,10 +215,10 @@ object Queries {
       Some("""
         WITH g AS (
           SELECT event_id, user_id, ts,
-                 epoch_ns(ts) - lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                 epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
           FROM events)
         SELECT event_id, user_id,
-               CAST(sum(CASE WHEN gap IS NULL OR gap > 300000000000 THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN gap IS NULL OR gap > 300000000 THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
                  AS BIGINT) AS session_id
         FROM g""")
@@ -2120,17 +2121,17 @@ object Queries {
       "q92_asof_join",
       (s: SparkSession, dir: String) => {
         val ev = t(s, dir, "events")
-        // Timestamps truncate to MICROseconds on both engines before any
-        // arithmetic: DuckDB stores TIMESTAMP_NS parquet at µs precision,
-        // Spark's nanosAsLong keeps full ns — equal-input parity requires
-        // feeding both the same truncation. Views pre-aggregate to one row
+        // Timestamps are epoch MICROseconds on both engines (Tables
+        // normalizes whatever the parquet era stored; DuckDB reads the
+        // same values via epoch_us) — equal-input parity by construction.
+        // Views pre-aggregate to one row
         // per (user, µs) so tie-break order never matters here (the op's
         // own same-timestamp tie rule is pinned in TemporalSpec instead).
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("ts_us"))
+            col("ts").as("ts_us"))
         val views = ev.filter(col("event_type") === "view")
-          .groupBy(col("user_id"), expr("ts div 1000").as("ts_us"))
+          .groupBy(col("user_id"), col("ts").as("ts_us"))
           .agg(max("value").as("value"))
         TemporalOps.asofJoin(purchases, views, "user_id", "user_id",
           "ts_us", "ts_us", rightPayload = Seq("ts_us", "value"),
@@ -2180,9 +2181,9 @@ object Queries {
         // band boundary must compare the same integers on both sides.
         val errors = ev.filter(col("event_type") === "error")
           .select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("ts_us"))
+            col("ts").as("ts_us"))
         val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          .select(col("user_id"), col("ts").as("ts_us"),
             col("value"))
         TemporalOps.windowJoin(errors, clicks, "user_id", "user_id",
           "ts_us", "ts_us", window = 14400000000L, rightPayload = Seq("value"))
@@ -2235,7 +2236,7 @@ object Queries {
       (s: SparkSession, dir: String) =>
         TemporalOps.sessions(
           t(s, dir, "events").select(col("event_id"), col("user_id"),
-            expr("ts div 1000").as("ts_us")),
+            col("ts").as("ts_us")),
           key = "user_id", ts = "ts_us", gap = 1800000000L,
           tieBreak = "event_id"),
       Some("""
@@ -2621,6 +2622,34 @@ object Queries {
                     md5(CAST(doc_id AS VARCHAR) || ':5'), doc_id) AS BIGINT)
                  AS curriculum_rank
         FROM b""")
+    ),
+    (
+      // Per-domain token-budget selection (DoReMi/Pile-style mixture
+      // composition): each language gets its own budget; within a language
+      // keep the best-scored prefix that fits. The engine runs ONE
+      // range-partitioned sort + two O(#partitions + #groups) passes —
+      // never a per-group window (one hot domain would serialize through a
+      // single task). Oracle replays the per-group running sum exactly.
+      "q108_budget_select_grouped",
+      (s: SparkSession, dir: String) =>
+        graft.ops.BudgetSelect.grouped(t(s, dir, "documents"), "lang",
+          "n_chars", "size(split(text, ' '))",
+          budgets = Map[Any, Long]("en" -> 9000L, "de" -> 4000L, "fr" -> 2500L),
+          tieBreak = "doc_id")
+          .select("doc_id", "lang"),
+      Some("""
+        WITH t AS (SELECT doc_id, lang, n_chars,
+                          len(string_split(text, ' '))::BIGINT AS tok
+                   FROM documents),
+        c AS (SELECT doc_id, lang,
+                     sum(tok) OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT doc_id, lang FROM c
+        WHERE cum <= CASE lang WHEN 'en' THEN 9000
+                               WHEN 'de' THEN 4000
+                               WHEN 'fr' THEN 2500 ELSE 0 END""")
     ))
 
 }

@@ -1,6 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-provided benchmark tables (TESTDATA.md).
   *
@@ -13,6 +15,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(d) else d
+  }
+
+  /** The driver's `events.ts` has shipped in two physical forms across
+    * rounds: parquet TIMESTAMP(NANOS) (read as Long NANOseconds under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and parquet TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ). Every suite query does integer time
+    * arithmetic, so both normalize here to ONE contract: `ts` = BIGINT
+    * epoch MICROseconds. Sessions pin timeZone=UTC, making the NTZ→epoch
+    * conversion deterministic (and equal to DuckDB's `epoch_us(ts)` on the
+    * same naive values). µs epochs (~1.7e15) also stay under float64's
+    * 2^53 exact-integer ceiling, so oracle dataframe coercion is bit-exact
+    * — a raw ns epoch would not be. */
+  private def normalizeEventTs(d: DataFrame): DataFrame = {
+    val tsCol: Option[Column] = d.schema.fields.find(_.name == "ts").map {
+      f => f.dataType match {
+        case TimestampType    => unix_micros(col("ts"))
+        case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+        case LongType         => expr("ts div 1000") // legacy ns-as-long
+        case _                => col("ts").cast("long")
+      }
+    }
+    tsCol.fold(d)(c => d.withColumn("ts", c))
+  }
 }

@@ -32,6 +32,19 @@ import org.apache.spark.sql.types._
   */
 object TemporalOps {
 
+  /** Timestamp column as a BIGINT the integer gap/window/tolerance
+    * arithmetic can run on: numeric columns cast straight through (the
+    * caller owns the unit), TIMESTAMP/TIMESTAMP_NTZ columns convert to
+    * epoch MICROseconds (NTZ via the session time zone — pin it to UTC for
+    * determinism, as every graft entry point does). Without this, a parquet
+    * TIMESTAMP(MICROS) column fails analysis on `cast(ts as bigint)`. */
+  private def tsLong(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case TimestampType    => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case _                => col(c).cast("long")
+    }
+
   /** Backward as-of join.
     *
     * For each left row, append the payload of the latest right row with
@@ -79,13 +92,13 @@ object TemporalOps {
 
     val lTagged = left.select(
       col(leftKey).as("_graft_k"),
-      col(leftTs).cast("long").as("_graft_t"),
+      tsLong(left, leftTs).as("_graft_t"),
       lit(1).as("_graft_tag"),
       lStruct.as("_graft_l"),
       lit(null).cast(rStructType).as("_graft_r"))
     val rTagged = right.select(
       col(rightKey).as("_graft_k"),
-      col(rightTs).cast("long").as("_graft_t"),
+      tsLong(right, rightTs).as("_graft_t"),
       lit(0).as("_graft_tag"),
       lit(null).cast(lStructType).as("_graft_l"),
       rStruct.as("_graft_r"))
@@ -152,8 +165,9 @@ object TemporalOps {
     require(gap > 0, s"sessionize: gap must be positive, got $gap")
     require(!df.columns.contains(outCol), s"input already has $outCol")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
-    val delta = col(ts).cast("long") - lag(col(ts).cast("long"), 1).over(w)
+    val t = tsLong(df, ts)
+    val w = Window.partitionBy(col(key)).orderBy(t, col(tieBreak))
+    val delta = t - lag(t, 1).over(w)
     df.withColumn("_graft_new",
         when(delta.isNull || delta > gap, 1L).otherwise(0L))
       .withColumn(outCol,
@@ -173,8 +187,8 @@ object TemporalOps {
     sessionize(df, key, ts, gap, tieBreak)
       .groupBy(col(key), col("session_id"))
       .agg(
-        min(col(ts).cast("long")).as("session_start"),
-        max(col(ts).cast("long")).as("session_end"),
+        min(tsLong(df, ts)).as("session_start"),
+        max(tsLong(df, ts)).as("session_end"),
         count(lit(1)).as("n_events"))
       .withColumn("duration", col("session_end") - col("session_start"))
 
@@ -213,7 +227,7 @@ object TemporalOps {
       expr(s"($name - pmod($name, ${window}L)) div ${window}L")
     val lNames = left.columns
     val l = left
-      .withColumn("_graft_lt", col(leftTs).cast("long"))
+      .withColumn("_graft_lt", tsLong(left, leftTs))
       .withColumn("_graft_b", bucket("_graft_lt"))
     val rPayloadCols = rightPayload.map { p =>
       val out = if (lNames.contains(p)) s"$p$suffix" else p
@@ -221,7 +235,7 @@ object TemporalOps {
     }
     val r = right
       .select((col(rightKey).as("_graft_rk") +:
-        col(rightTs).cast("long").as("_graft_rt") +: rPayloadCols): _*)
+        tsLong(right, rightTs).as("_graft_rt") +: rPayloadCols): _*)
       .withColumn("_graft_rb", bucket("_graft_rt"))
       .withColumn("_graft_rbk",
         explode(array(col("_graft_rb") - 1, col("_graft_rb"), col("_graft_rb") + 1)))
