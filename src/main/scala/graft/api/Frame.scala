@@ -60,6 +60,11 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def budgetSelect(scoreExpr: String, costExpr: String, budget: Long,
       tieBreak: String): Frame =
     next(BudgetSelect(df, scoreExpr, costExpr, budget, tieBreak))
+  def budgetSelectGrouped(groupCol: String, scoreExpr: String,
+      costExpr: String, budgets: Map[Any, Long], tieBreak: String,
+      defaultBudget: Long = 0L): Frame =
+    next(BudgetSelect.grouped(df, groupCol, scoreExpr, costExpr, budgets,
+      tieBreak, defaultBudget))
   def chunkFixed(groupCols: Seq[String], orderCol: String, tokenExpr: String,
       seqLen: Long): Frame =
     next(PackOp.chunkFixed(df, groupCols, orderCol, tokenExpr, seqLen))

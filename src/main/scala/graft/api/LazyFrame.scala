@@ -344,6 +344,14 @@ final case class LazyFrame(
       tieBreak: String): LazyFrame =
     append("budget_select", "score_expr" -> scoreExpr, "cost_expr" -> costExpr,
       "budget" -> budget, "tie_break" -> tieBreak)
+  def budgetSelectGrouped(groupKey: String, scoreExpr: String,
+      costExpr: String, budgets: Map[String, Long], tieBreak: String,
+      defaultBudget: Long = 0L): LazyFrame =
+    append("budget_select_grouped", "group_key" -> groupKey,
+      "score_expr" -> scoreExpr, "cost_expr" -> costExpr,
+      "budgets" -> LazyFrame.jmap(budgets.toSeq.map {
+        case (k, v) => k -> (v: Any) }: _*),
+      "tie_break" -> tieBreak, "default_budget" -> defaultBudget)
   def corpusStats(groupKeys: Seq[String], tokenExpr: String,
       quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): LazyFrame =
     append("corpus_stats", "group_keys" -> jlist(groupKeys),

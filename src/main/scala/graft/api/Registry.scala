@@ -667,6 +667,16 @@ object Registry {
     BudgetSelect(df, c("score_expr").str, c("cost_expr").str,
       c("budget").long, c("tie_break").str)
   }
+  // YAML budgets key on the group's STRING value (YAML map keys are
+  // strings), so the grouped variant's YAML surface requires a string
+  // group column; the Scala API takes Map[Any, Long] directly.
+  register("budget_select_grouped") { (df, c, _) =>
+    BudgetSelect.grouped(df, c("group_key").str, c("score_expr").str,
+      c("cost_expr").str,
+      c("budgets").asMap.map { case (k, v) => (k: Any) -> v.long },
+      c("tie_break").str,
+      c.get("default_budget").map(_.long).getOrElse(0L))
+  }
   register("corpus_drift") { (df, c, ctx) =>
     val other = ctx.datasets.getOrElse(c("other").str,
       throw new IllegalArgumentException(

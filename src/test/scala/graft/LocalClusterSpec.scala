@@ -22,7 +22,9 @@ class LocalClusterSpec extends AnyFunSuite {
     "q33_sem_reduce", "q77_pack", // pack: Row mapPartitions closure + indices
     // asof: tagged-union mapPartitions carrying cross-row state;
     // budget select: driver-computed offsets broadcast into RDD closures
-    "q92_asof_join", "q94_budget_select")
+    // (the grouped variant additionally ships offset + budget MAPS keyed
+    // by Any group values across the executor boundary)
+    "q92_asof_join", "q94_budget_select", "q108_budget_select_grouped")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     names.map { name =>

@@ -273,6 +273,11 @@ class Round9Spec extends SparkSpec {
     assert(roundTrips(LazyFrame.read("docs", path)
       .sampleWeightedEpochs("lang", "doc_id", 8,
         Seq("en" -> 1.0, "de" -> 1.0), maxEpochs = 2)) == 8)
+    // grouped budgets: en picks 6(7)->5(8)->4(8)=23 then stops; de's one
+    // doc costs 6 > 5 -> dropped.
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .budgetSelectGrouped("lang", "doc_id", "size(split(text, ' '))",
+        Map("en" -> 23L, "de" -> 5L), "doc_id")) == 3)
   }
 
   // ---------------------------------------------------------------- web fetch

@@ -167,6 +167,69 @@ class TemporalSpec extends SparkSpec {
     assert(e.getMessage.contains("negative"))
   }
 
+  // --------------------------------------------------- grouped budgetSelect
+
+  private val grpSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("grp", StringType),
+    StructField("score", LongType), StructField("tok", LongType)))
+
+  test("grouped budgetSelect applies each group's own budget independently") {
+    val d = df(grpSchema,
+      Row(1L, "a", 90L, 10L), Row(2L, "a", 80L, 10L), Row(3L, "a", 70L, 10L),
+      Row(4L, "b", 95L, 20L), Row(5L, "b", 85L, 20L),
+      Row(6L, "c", 99L, 1L))
+    // a budget 25: 1(10) -> 2(20) -> 3 overflows; b budget 20: 4 only;
+    // c absent from budgets -> defaultBudget 0 -> dropped.
+    val kept = BudgetSelect.grouped(d, "grp", "score", "tok",
+      Map[Any, Long]("a" -> 25L, "b" -> 20L), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L))
+  }
+
+  test("grouped budgetSelect agrees with a per-group window replay") {
+    val rng = new scala.util.Random(3)
+    val rows = (1L to 400L).map(i =>
+      Row(i, s"g${rng.nextInt(5)}", rng.nextInt(100).toLong,
+        (rng.nextInt(9) + 1).toLong))
+    val d = df(grpSchema, rows: _*).repartition(7)
+    val budgets = Map[Any, Long](
+      "g0" -> 60L, "g1" -> 0L, "g2" -> 37L, "g3" -> 10000L, "g4" -> 1L)
+    val got = BudgetSelect.grouped(d, "grp", "score", "tok", budgets, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // Reference: cumulative sum over (score desc, doc_id asc) within group.
+    val expected = rows.groupBy(_.getString(1)).flatMap { case (g, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (-r.getLong(2), r.getLong(0))).takeWhile { r =>
+        cum += r.getLong(3); cum <= budgets(g)
+      }.map(_.getLong(0))
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("grouped budgetSelect: uniform budget caps every group the same") {
+    val d = df(grpSchema,
+      Row(1L, "a", 9L, 5L), Row(2L, "a", 8L, 5L), Row(3L, "a", 7L, 5L),
+      Row(4L, "b", 9L, 5L), Row(5L, "b", 8L, 5L))
+    val kept = BudgetSelect.groupedUniform(d, "grp", "score", "tok",
+      budgetPerGroup = 10L, tieBreak = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L, 5L))
+  }
+
+  test("grouped budgetSelect rejects negative costs and budgets loudly") {
+    val d = df(grpSchema, Row(1L, "a", 1L, -5L))
+    val e = intercept[IllegalArgumentException] {
+      BudgetSelect.grouped(d, "grp", "score", "tok",
+        Map[Any, Long]("a" -> 10L), "doc_id").count()
+    }
+    assert(e.getMessage.contains("negative"))
+    val e2 = intercept[IllegalArgumentException] {
+      BudgetSelect.grouped(d, "grp", "score", "tok",
+        Map[Any, Long]("a" -> -1L), "doc_id")
+    }
+    assert(e2.getMessage.contains("non-negative"))
+  }
+
   // ------------------------------------------------------------ sessionize
 
   test("sessionize numbers gap-separated sessions per key") {
@@ -221,6 +284,10 @@ class TemporalSpec extends SparkSpec {
       .budgetSelect("length(text)", "size(split(text, ' '))",
         budget = 15L, tieBreak = "doc_id")
     assert(kept.count() > 0 && kept.count() < docsDf.count())
+    val keptGrouped = graft.api.Graft.fromDF(docsDf)
+      .budgetSelectGrouped("lang", "doc_id", "size(split(text, ' '))",
+        Map[Any, Long]("en" -> 23L, "de" -> 5L), "doc_id")
+    assert(keptGrouped.count() === 3) // en: 6,5,4 fit 23; de's doc costs 6 > 5
   }
 
   test("LazyFrame temporal builders round-trip through YAML and run") {
