@@ -2650,6 +2650,32 @@ object Queries {
         WHERE cum <= CASE lang WHEN 'en' THEN 9000
                                WHEN 'de' THEN 4000
                                WHEN 'fr' THEN 2500 ELSE 0 END""")
+    ),
+    (
+      // Incremental near-dup pairs: odd-id docs (the "new crawl") against
+      // even-id docs (the "already-ingested corpus") — the CCNet/Dolma
+      // dedup-against-prior-dumps shape. LSH bands join new×ref (never a
+      // self-join, never all pairs); the oracle brute-forces cross-side
+      // Jaccard, exact at sf0.01 where 16×4 band recall at j>=0.8 is ~1.
+      "q109_dedup_against",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        graft.dedup.MinHashDedup.crossPairs(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          jaccardThreshold = 0.8)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, list_distinct(list_transform(
+                     range(1, len(string_split(text,' ')) - 1),
+                     i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+                   FROM documents),
+        j AS (SELECT n.doc_id AS id_new, r.doc_id AS id_ref,
+                     round(CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE) /
+                       (len(n.sh) + len(r.sh) - len(list_intersect(n.sh, r.sh))),
+                       6) AS jaccard
+              FROM t n JOIN t r ON n.doc_id % 2 = 1 AND r.doc_id % 2 = 0)
+        SELECT id_new, id_ref, jaccard FROM j WHERE jaccard >= 0.8""")
     ))
 
 }

@@ -188,6 +188,17 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(graft.dedup.MinHashDedup.keepBest(df, idCol, textCol, qualityExpr,
       jaccardThreshold = threshold, maxBucketSize = maxBucketSize,
       maxBucketHead = maxBucketHead))
+  def dedupAgainst(reference: Frame, idCol: String, textCol: String,
+      refIdCol: String = "", refTextCol: String = "",
+      threshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None,
+      maxBucketHead: Option[Int] = None): Frame =
+    next(graft.dedup.MinHashDedup.cleanAgainstReference(df, idCol, textCol,
+      reference.df,
+      if (refIdCol.isEmpty) idCol else refIdCol,
+      if (refTextCol.isEmpty) textCol else refTextCol,
+      jaccardThreshold = threshold,
+      maxBucketSize = maxBucketSize, maxBucketHead = maxBucketHead))
   def semdedup(idCol: String, embCol: String, nClusters: Int,
       threshold: Double = 0.95, qualityExpr: String = "",
       maxClusterSize: Option[Int] = None,

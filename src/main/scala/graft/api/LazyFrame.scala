@@ -454,6 +454,24 @@ final case class LazyFrame(
       .append("decontaminate", fields: _*)
   }
 
+  /** Incremental near-dup filter against `reference` (a binary merge like
+    * decontaminate): drop this frame's rows that near-duplicate any
+    * reference row (mode "pairs" emits the (id_new, id_ref, jaccard)
+    * hits instead). */
+  def dedupAgainst(reference: LazyFrame, idKey: String, textKey: String,
+      refIdKey: String = "", refTextKey: String = "",
+      threshold: Double = 0.8, mode: String = "clean"): LazyFrame = {
+    val (m, lRef, rRef) = merged(reference)
+    val fields = Seq[(String, Any)]("reference" -> rRef, "id_key" -> idKey,
+      "text_key" -> textKey, "threshold" -> threshold, "mode" -> mode) ++
+      (if (refIdKey.nonEmpty) Seq("reference_id_key" -> refIdKey) else Nil) ++
+      (if (refTextKey.nonEmpty) Seq("reference_text_key" -> refTextKey)
+       else Nil)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"dedup_against_${m.steps.length}")
+      .append("dedup_against", fields: _*)
+  }
+
   /** Eval-side contamination audit against `benchmark` (a binary merge
     * like decontaminate): per benchmark item, gram total / hits / frac. */
   def contaminationReport(benchmark: LazyFrame, textKey: String,

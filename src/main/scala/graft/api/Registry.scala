@@ -459,6 +459,29 @@ object Registry {
         s"unknown decontaminate mode $m (clean | hits)")
     }
   }
+  // Incremental near-dup filter: the current step's rows against a named
+  // REFERENCE dataset (prior dumps / already-ingested corpus).
+  register("dedup_against") { (df, c, ctx) =>
+    val ref = ctx.datasets.getOrElse(c("reference").str,
+      throw new IllegalArgumentException(
+        s"unknown dedup_against reference dataset '${c("reference").str}'"))
+    val refId = c.strOr("reference_id_key", c("id_key").str)
+    val refText = c.strOr("reference_text_key", c("text_key").str)
+    val args = (c("id_key").str, c("text_key").str, ref, refId, refText,
+      c.intOr("shingle_size", 3), c.intOr("num_perms", 64),
+      c.intOr("num_bands", 16), c.dblOr("threshold", 0.8),
+      c.get("max_bucket_size").map(_.int), c.get("max_bucket_head").map(_.int))
+    c.strOr("mode", "clean") match {
+      case "clean" => graft.dedup.MinHashDedup.cleanAgainstReference(df,
+        args._1, args._2, args._3, args._4, args._5, args._6, args._7,
+        args._8, args._9, args._10, args._11)
+      case "pairs" => graft.dedup.MinHashDedup.crossPairs(df,
+        args._1, args._2, args._3, args._4, args._5, args._6, args._7,
+        args._8, args._9, args._10, args._11)
+      case m => throw new IllegalArgumentException(
+        s"unknown dedup_against mode $m (clean | pairs)")
+    }
+  }
   register("contamination_report") { (df, c, ctx) =>
     val bench = ctx.datasets.getOrElse(c("benchmark").str,
       throw new IllegalArgumentException(

@@ -84,23 +84,24 @@ object MinHashDedup {
     * Everything is native expressions; the only shuffles are the band-key
     * groupBy and the verify join.
     */
-  def candidatePairs(
+  /** Shared prep for the self- and cross-corpus pair stages: hashed
+    * shingle table (persisted + materialized) and its guarded band keys.
+    * Shingles are hashed to 64-bit longs ONCE (fused byte-range XXH64,
+    * graft.functions.ShingleHashes); the P permutation hashes re-hash that
+    * long, not the string — ~20x cheaper per (perm, shingle). Jaccard over
+    * hashed shingles equals string Jaccard up to 64-bit collisions
+    * (negligible). */
+  private def prepBanded(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 3,
-      numPerms: Int = 64,
-      numBands: Int = 16,
-      jaccardThreshold: Double = 0.8,
-      maxBucketSize: Option[Int] = None,
-      maxBucketHead: Option[Int] = None): DataFrame = {
+      shingleSize: Int,
+      numPerms: Int,
+      numBands: Int,
+      maxBucketSize: Option[Int],
+      maxBucketHead: Option[Int]): (DataFrame, DataFrame) = {
     require(numPerms % numBands == 0, "numPerms must be divisible by numBands")
     val rowsPerBand = numPerms / numBands
-    // Shingles are hashed to 64-bit longs ONCE (fused byte-range XXH64,
-    // graft.functions.ShingleHashes); the P permutation hashes re-hash that
-    // long, not the string — ~20x cheaper per (perm, shingle). Jaccard over
-    // hashed shingles equals string Jaccard up to 64-bit collisions
-    // (negligible).
     val sh = graft.functions.ShingleHashes(col(textCol), shingleSize)
     val docs = graft.core.PersistScope.register(
       df.select(col(idCol).as("_id"), sh.as("_sh"))
@@ -128,6 +129,21 @@ object MinHashDedup {
           .select(col("_id"), bands.as(Seq("_band", "_bkey"))),
         Seq("_band", "_bkey"), maxBucketSize),
       Seq("_band", "_bkey"), "_id", maxBucketHead)
+    (docs, banded)
+  }
+
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numPerms: Int = 64,
+      numBands: Int = 16,
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None,
+      maxBucketHead: Option[Int] = None): DataFrame = {
+    val (docs, banded) = prepBanded(df, idCol, textCol, shingleSize,
+      numPerms, numBands, maxBucketSize, maxBucketHead)
 
     // Bucket self-join -> distinct candidate id pairs (idA < idB).
     val l = banded.select(col("_band"), col("_bkey"), col("_id").as("id_a"))
@@ -165,6 +181,79 @@ object MinHashDedup {
       numBands, jaccardThreshold, maxBucketSize, maxBucketHead)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental (cross-corpus) near-duplicate pairs: each NEW document
+    * against a REFERENCE corpus — the "dedup this crawl against everything
+    * we already have" step of the public web-corpus pipelines (CCNet /
+    * Dolma dedup new dumps against prior dumps; the reference engine has
+    * no incremental shape — its resolve re-pairs the whole input,
+    * reference docetl/operations/resolve.py:523-548).
+    *
+    * Returns (id_new, id_ref, jaccard >= threshold). Same LSH machinery as
+    * [[candidatePairs]], but the band join is new×ref instead of a
+    * self-join: signatures/bands compute once per side, only (band, key,
+    * id) shuffle, and the hot-bucket guards apply per side — a bucket
+    * capped at h on each side emits at most h² candidates. At scale the
+    * reference side's banded keys are the natural thing to precompute and
+    * store once per accumulated corpus; this recomputes them from text,
+    * which is one linear pass. */
+  def crossPairs(
+      newDf: DataFrame,
+      newIdCol: String,
+      newTextCol: String,
+      refDf: DataFrame,
+      refIdCol: String,
+      refTextCol: String,
+      shingleSize: Int = 3,
+      numPerms: Int = 64,
+      numBands: Int = 16,
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None,
+      maxBucketHead: Option[Int] = None): DataFrame = {
+    val (newDocs, newBanded) = prepBanded(newDf, newIdCol, newTextCol,
+      shingleSize, numPerms, numBands, maxBucketSize, maxBucketHead)
+    val (refDocs, refBanded) = prepBanded(refDf, refIdCol, refTextCol,
+      shingleSize, numPerms, numBands, maxBucketSize, maxBucketHead)
+    val cands = newBanded.select(col("_band"), col("_bkey"), col("_id").as("id_new"))
+      .join(refBanded.select(col("_band"), col("_bkey"), col("_id").as("id_ref")),
+        Seq("_band", "_bkey"))
+      .select("id_new", "id_ref")
+      .dropDuplicates("id_new", "id_ref")
+    val withSh = cands
+      .join(newDocs.select(col("_id").as("id_new"), col("_sh").as("_sha")),
+        Seq("id_new"))
+      .join(refDocs.select(col("_id").as("id_ref"), col("_sh").as("_shb")),
+        Seq("id_ref"))
+    withSh
+      .withColumn("jaccard",
+        round(graft.functions.JaccardSimilarity(col("_sha"), col("_shb")), 6))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_new"), col("id_ref"), col("jaccard"))
+  }
+
+  /** The new corpus minus every document near-duplicating the reference
+    * corpus (left-anti on [[crossPairs]] hits). The reference corpus is
+    * never modified — this is a one-directional membership filter, not a
+    * symmetric dedup. */
+  def cleanAgainstReference(
+      newDf: DataFrame,
+      newIdCol: String,
+      newTextCol: String,
+      refDf: DataFrame,
+      refIdCol: String,
+      refTextCol: String,
+      shingleSize: Int = 3,
+      numPerms: Int = 64,
+      numBands: Int = 16,
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None,
+      maxBucketHead: Option[Int] = None): DataFrame = {
+    val hit = crossPairs(newDf, newIdCol, newTextCol, refDf, refIdCol,
+      refTextCol, shingleSize, numPerms, numBands, jaccardThreshold,
+      maxBucketSize, maxBucketHead)
+      .select(col("id_new").as(newIdCol)).distinct()
+    newDf.join(hit, Seq(newIdCol), "left_anti")
   }
 
   /** Cluster-exact dedup keeping the BEST row per near-dup cluster: pairs

@@ -18,6 +18,24 @@ class DedupSpec extends SparkSpec {
       Row(1L, "Hello  World"), Row(2L, "hello world"), Row(3L, "other"))
     assert(ExactDedup(d, "t", "id").count() == 2)
   }
+  test("crossPairs flags new docs against the reference corpus only") {
+    val ref = docsDf.filter("doc_id <= 3")   // holds doc 1
+    val fresh = docsDf.filter("doc_id >= 4") // 4 = exact dup, 5 = near dup of 1
+    val pairs = MinHashDedup.crossPairs(fresh, "doc_id", "text",
+      ref, "doc_id", "text", jaccardThreshold = 0.5)
+      .select("id_new", "id_ref").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((4L, 1L)) && pairs.contains((5L, 1L)))
+    assert(pairs.forall { case (n, r) => n >= 4L && r <= 3L }) // one-directional
+    val clean = MinHashDedup.cleanAgainstReference(fresh, "doc_id", "text",
+      ref, "doc_id", "text", jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean === Set(6L)) // 4 and 5 dropped, unrelated 6 kept
+    // Ref-side rows are never dropped; fresh docs with no ref match survive.
+    assert(MinHashDedup.cleanAgainstReference(ref, "doc_id", "text",
+      fresh, "doc_id", "text", jaccardThreshold = 0.5).count() === 2L)
+  }
+
   test("minhash finds the planted near-dup pair") {
     val pairs = MinHashDedup.candidatePairs(docsDf, "doc_id", "text",
       shingleSize = 2, numPerms = 64, numBands = 32, jaccardThreshold = 0.5)

@@ -278,6 +278,11 @@ class Round9Spec extends SparkSpec {
     assert(roundTrips(LazyFrame.read("docs", path)
       .budgetSelectGrouped("lang", "doc_id", "size(split(text, ' '))",
         Map("en" -> 23L, "de" -> 5L), "doc_id")) == 3)
+    // incremental dedup: docs 4/5 near-dup ref doc 1 -> only 6 survives
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .codeFilter("doc_id >= 4")
+      .dedupAgainst(LazyFrame.read("docs", path).codeFilter("doc_id <= 3"),
+        "doc_id", "text", threshold = 0.5)) == 1)
   }
 
   // ---------------------------------------------------------------- web fetch
