@@ -467,17 +467,26 @@ object Registry {
         s"unknown dedup_against reference dataset '${c("reference").str}'"))
     val refId = c.strOr("reference_id_key", c("id_key").str)
     val refText = c.strOr("reference_text_key", c("text_key").str)
-    val args = (c("id_key").str, c("text_key").str, ref, refId, refText,
-      c.intOr("shingle_size", 3), c.intOr("num_perms", 64),
-      c.intOr("num_bands", 16), c.dblOr("threshold", 0.8),
+    val (shingle, perms, bands) = (c.intOr("shingle_size", 3),
+      c.intOr("num_perms", 64), c.intOr("num_bands", 16))
+    val (thr, cap, head) = (c.dblOr("threshold", 0.8),
       c.get("max_bucket_size").map(_.int), c.get("max_bucket_head").map(_.int))
+    // precomputed: the reference dataset IS a stored signatureTable
+    // (written once per ingested dump), not raw text.
+    val pairs =
+      if (c.boolOr("precomputed", false))
+        graft.dedup.MinHashDedup.crossPairsPrecomputed(df, c("id_key").str,
+          c("text_key").str, ref, shingle, perms, bands, thr, cap, head)
+      else
+        graft.dedup.MinHashDedup.crossPairs(df, c("id_key").str,
+          c("text_key").str, ref, refId, refText,
+          shingle, perms, bands, thr, cap, head)
     c.strOr("mode", "clean") match {
-      case "clean" => graft.dedup.MinHashDedup.cleanAgainstReference(df,
-        args._1, args._2, args._3, args._4, args._5, args._6, args._7,
-        args._8, args._9, args._10, args._11)
-      case "pairs" => graft.dedup.MinHashDedup.crossPairs(df,
-        args._1, args._2, args._3, args._4, args._5, args._6, args._7,
-        args._8, args._9, args._10, args._11)
+      case "clean" =>
+        val idKey = c("id_key").str
+        df.join(pairs.select(org.apache.spark.sql.functions.col("id_new")
+          .as(idKey)).distinct(), Seq(idKey), "left_anti")
+      case "pairs" => pairs
       case m => throw new IllegalArgumentException(
         s"unknown dedup_against mode $m (clean | pairs)")
     }

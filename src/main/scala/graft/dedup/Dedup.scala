@@ -232,6 +232,75 @@ object MinHashDedup {
       .select(col("id_new"), col("id_ref"), col("jaccard"))
   }
 
+  /** Storable per-document LSH state for an accumulating corpus:
+    * `(_id, _sh, _bands: array<struct<_band,_bkey>>)`. Write this once per
+    * ingested dump (parquet), and each new crawl's [[crossPairs]] overload
+    * below joins against it WITHOUT touching the reference text again —
+    * the 100 TB shape, where re-shingling the accumulated corpus per crawl
+    * would dwarf the crawl itself. Size ≈ the distinct shingle hashes +
+    * numBands longs per doc. Guards don't apply here (membership of a
+    * bucket is decided at JOIN time against the crawl, where the per-side
+    * cap/head guards run). */
+  def signatureTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numPerms: Int = 64,
+      numBands: Int = 16): DataFrame = {
+    require(numPerms % numBands == 0, "numPerms must be divisible by numBands")
+    val rowsPerBand = numPerms / numBands
+    val sh = graft.functions.ShingleHashes(col(textCol), shingleSize)
+    val sig = graft.functions.MinHashSignature(col("_sh"), numPerms)
+    df.select(col(idCol).as("_id"), sh.as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .withColumn("_sig", sig)
+      .select(col("_id"), col("_sh"),
+        transform(sequence(lit(0), lit(numBands - 1)), b => struct(
+          b.cast("int").as("_band"),
+          xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand))).as("_bkey"))).as("_bands"))
+  }
+
+  /** [[crossPairs]] against a precomputed reference [[signatureTable]]:
+    * identical semantics (given identical shingle/perm/band parameters),
+    * but the reference side's linear text pass is replaced by a scan of
+    * the stored state. Guards still bound the join: cap/head on the NEW
+    * side, and the candidate set is deduped before the verify join. */
+  def crossPairsPrecomputed(
+      newDf: DataFrame,
+      newIdCol: String,
+      newTextCol: String,
+      refSignatures: DataFrame,
+      shingleSize: Int = 3,
+      numPerms: Int = 64,
+      numBands: Int = 16,
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None,
+      maxBucketHead: Option[Int] = None): DataFrame = {
+    val (newDocs, newBanded) = prepBanded(newDf, newIdCol, newTextCol,
+      shingleSize, numPerms, numBands, maxBucketSize, maxBucketHead)
+    val refBanded = refSignatures
+      .select(col("_id").as("id_ref"), explode(col("_bands")).as("_b"))
+      .select(col("id_ref"), col("_b._band").as("_band"),
+        col("_b._bkey").as("_bkey"))
+    val cands = newBanded
+      .select(col("_band"), col("_bkey"), col("_id").as("id_new"))
+      .join(refBanded, Seq("_band", "_bkey"))
+      .select("id_new", "id_ref")
+      .dropDuplicates("id_new", "id_ref")
+    val withSh = cands
+      .join(newDocs.select(col("_id").as("id_new"), col("_sh").as("_sha")),
+        Seq("id_new"))
+      .join(refSignatures.select(col("_id").as("id_ref"), col("_sh").as("_shb")),
+        Seq("id_ref"))
+    withSh
+      .withColumn("jaccard",
+        round(graft.functions.JaccardSimilarity(col("_sha"), col("_shb")), 6))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_new"), col("id_ref"), col("jaccard"))
+  }
+
   /** The new corpus minus every document near-duplicating the reference
     * corpus (left-anti on [[crossPairs]] hits). The reference corpus is
     * never modified — this is a one-directional membership filter, not a

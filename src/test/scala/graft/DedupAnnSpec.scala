@@ -36,6 +36,21 @@ class DedupSpec extends SparkSpec {
       fresh, "doc_id", "text", jaccardThreshold = 0.5).count() === 2L)
   }
 
+  test("precomputed signature table reproduces crossPairs through parquet") {
+    val ref = docsDf.filter("doc_id <= 3")
+    val fresh = docsDf.filter("doc_id >= 4")
+    val dir = java.nio.file.Files.createTempDirectory("sigtab").toString
+    MinHashDedup.signatureTable(ref, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val direct = MinHashDedup.crossPairs(fresh, "doc_id", "text",
+      ref, "doc_id", "text", jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val precomp = MinHashDedup.crossPairsPrecomputed(fresh, "doc_id", "text",
+      spark.read.parquet(dir), jaccardThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(precomp === direct && direct.nonEmpty)
+  }
+
   test("minhash finds the planted near-dup pair") {
     val pairs = MinHashDedup.candidatePairs(docsDf, "doc_id", "text",
       shingleSize = 2, numPerms = 64, numBands = 32, jaccardThreshold = 0.5)
