@@ -34,6 +34,10 @@ class DedupSpec extends SparkSpec {
     // Ref-side rows are never dropped; fresh docs with no ref match survive.
     assert(MinHashDedup.cleanAgainstReference(ref, "doc_id", "text",
       fresh, "doc_id", "text", jaccardThreshold = 0.5).count() === 2L)
+    // Frame surface delegates with defaulted ref column names.
+    assert(graft.api.Graft.fromDF(fresh)
+      .dedupAgainst(graft.api.Graft.fromDF(ref), "doc_id", "text",
+        threshold = 0.5).count() === 1L)
   }
 
   test("precomputed signature table reproduces crossPairs through parquet") {
