@@ -125,6 +125,67 @@ object Streams {
     * benchmark too large to broadcast as a literal, decontaminate the batch
     * corpus with `Decontaminate.clean` instead — the streaming filter is
     * deliberately the small-benchmark shape. */
+  /** Streaming incremental near-dup detection: every (stream doc, reference
+    * doc) pair whose exact Jaccard ≥ threshold, where the reference is a
+    * STATIC stored [[graft.dedup.MinHashDedup.signatureTable]] (the
+    * accumulated corpus's LSH state) — the always-on face of
+    * `crossPairsPrecomputed`, for flagging near-dups of already-ingested
+    * data at ingest time.
+    *
+    * Entirely STATELESS (stream-static joins buffer nothing across
+    * batches; legal in append mode): the stream side computes shingles +
+    * band keys in one pass and probes the static banded keys; exact
+    * Jaccard verifies candidates; and because a stream row lives in
+    * exactly ONE micro-batch, the multi-band duplicates of a pair are
+    * intra-batch only — a hash repartition by pair + per-partition seen-set
+    * is exact global pair dedup with no state store. Stream-side shingle
+    * arrays ride through the band explode (×numBands within a micro-batch
+    * — bounded by batch size, the trade for avoiding a stream-stream
+    * self-join, which would need unbounded join state); reference shingles
+    * join in thin, candidates-only. Re-flagging across restarts is
+    * idempotent by construction (no state to lose). Persist/cache the
+    * signature table DataFrame if the per-batch static scan matters. */
+  def nearDupHitsAgainstReference(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      refSignatures: DataFrame,
+      shingleSize: Int = 3,
+      numPerms: Int = 64,
+      numBands: Int = 16,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    require(numPerms % numBands == 0, "numPerms must be divisible by numBands")
+    val rowsPerBand = numPerms / numBands
+    val sh = graft.functions.ShingleHashes(col(textCol), shingleSize)
+    val sig = graft.functions.MinHashSignature(col("_sha"), numPerms)
+    val bands = posexplode(transform(
+      sequence(lit(0), lit(numBands - 1)),
+      b => xxhash64(b, slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+    val banded = stream
+      .select(col(idCol).as("id_new"), sh.as("_sha"))
+      .filter(size(col("_sha")) > 0)
+      .withColumn("_sig", sig)
+      .select(col("id_new"), col("_sha"), bands.as(Seq("_band", "_bkey")))
+    val refBanded = refSignatures
+      .select(col("_id").as("id_ref"), explode(col("_bands")).as("_b"))
+      .select(col("id_ref"), col("_b._band").as("_band"),
+        col("_b._bkey").as("_bkey"))
+    val verified = banded
+      .join(refBanded, Seq("_band", "_bkey")) // stream-static: stateless
+      .join(refSignatures.select(col("_id").as("id_ref"), col("_sh").as("_shb")),
+        Seq("id_ref"))
+      .withColumn("jaccard",
+        round(graft.functions.JaccardSimilarity(col("_sha"), col("_shb")), 6))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_new"), col("id_ref"), col("jaccard"))
+    val schema = org.apache.spark.sql.types.StructType(verified.schema.fields.toIndexedSeq)
+    verified.repartition(col("id_new"), col("id_ref"))
+      .mapPartitions { it =>
+        val seen = collection.mutable.HashSet.empty[(Any, Any)]
+        it.filter(r => seen.add((r.get(0), r.get(1))))
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   def decontaminate(
       stream: DataFrame,
       textCol: String,

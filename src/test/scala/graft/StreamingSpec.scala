@@ -75,6 +75,36 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("streaming near-dup hits against a static reference signature table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val refSigs = graft.dedup.MinHashDedup.signatureTable(
+      docsDf.filter("doc_id <= 3"), "doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val hits = Streams.nearDupHitsAgainstReference(docs, "doc_id", "text",
+      refSigs, jaccardThreshold = 0.5)
+    val q = hits.writeStream.format("memory").queryName("ref_hits")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      (4L, "the fast spark join is good and fast"),  // exact dup of ref 1
+      (5L, "the fast spark join is good and quick"), // near dup of ref 1
+      (6L, "completely different words about databases here"))
+    q.processAllAvailable()
+    input.addData( // second batch: re-probing is stateless and still exact
+      (7L, "the fast spark join is good and fast"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT id_new, id_ref FROM ref_hits")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    // Each pair exactly ONCE despite matching in many LSH bands.
+    assert(rows.length == rows.toSet.size)
+    val pairs = rows.toSet
+    assert(pairs.contains((4L, 1L)) && pairs.contains((5L, 1L)) &&
+      pairs.contains((7L, 1L)))
+    assert(!pairs.exists(_._1 == 6L))
+  }
+
   test("stateless normalization + split assignment run on streams") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
