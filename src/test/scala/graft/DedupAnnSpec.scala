@@ -40,6 +40,25 @@ class DedupSpec extends SparkSpec {
         threshold = 0.5).count() === 1L)
   }
 
+  test("the incremental-ingest example pipeline runs end to end") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/incremental_ingest_pipeline.yaml")))
+    val out = graft.api.Pipeline.runYaml(yaml, spark)
+    val langs = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // es has no budget row -> dropped; every budgeted language survives
+    assert(!langs.contains("es"))
+    assert(Set("en", "de", "fr", "zh").subsetOf(langs.keySet))
+    // each language's kept token mass fits its budget
+    val budgets = Map("en" -> 3000L, "de" -> 2000L, "fr" -> 1500L, "zh" -> 1500L)
+    val toks = out.groupBy("lang")
+      .agg(sum(expr("size(split(text, ' '))")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    toks.foreach { case (l, t) => assert(t <= budgets(l), s"$l: $t") }
+    assert(out.columns.contains("bigram_nll"))
+  }
+
   test("precomputed signature table reproduces crossPairs through parquet") {
     val ref = docsDf.filter("doc_id <= 3")
     val fresh = docsDf.filter("doc_id >= 4")

@@ -24,7 +24,8 @@ class LocalClusterSpec extends AnyFunSuite {
     // budget select: driver-computed offsets broadcast into RDD closures
     // (the grouped variant additionally ships offset + budget MAPS keyed
     // by Any group values across the executor boundary)
-    "q92_asof_join", "q94_budget_select", "q108_budget_select_grouped")
+    "q92_asof_join", "q94_budget_select", "q108_budget_select_grouped",
+    "q109_dedup_against") // cross-corpus LSH: persist/count + codegen exprs
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     names.map { name =>
