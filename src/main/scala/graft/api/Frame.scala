@@ -381,6 +381,20 @@ final case class Frame(df: DataFrame, client: LlmClient) {
 }
 
 /** Entry points (reference `docetl.read_json` etc., frame.py:1404). */
+/** The pandas `.semantic` accessor analog (reference
+  * docetl/apis/pd_accessors.py:36-132): `import graft.api.implicits._`
+  * lifts any plain DataFrame into the fluent semantic surface in place —
+  * `df.semantic.map(...)` in the reference is `df.semantic.semanticMap(...)`
+  * here, and every Frame verb (dedup, sampling, temporal, curation) rides
+  * along. Same object as [[Graft.fromDF]]; this is syntax, not a new
+  * lifecycle. */
+object implicits {
+  implicit class SemanticDataFrame(private val df: DataFrame) {
+    def semantic: Frame = Frame(df, MockLlmClient())
+    def semantic(client: LlmClient): Frame = Frame(df, client)
+  }
+}
+
 object Graft {
   def readParquet(spark: SparkSession, path: String,
       client: LlmClient = MockLlmClient()): Frame =

@@ -154,6 +154,19 @@ class FrameSpec extends SparkSpec {
     assert(f.plan.nonEmpty)
   }
 
+  test(".semantic accessor lifts a plain DataFrame into the fluent surface") {
+    import graft.api.implicits._
+    val out = docsDf.semantic
+      .codeMap("n" -> "length(text)")
+      .semanticMap("m", "{{ input.text }}", "sentiment" -> "str")
+      .dedupExact("text", "doc_id")
+    assert(out.count() === 5) // doc 4 is the exact dup
+    assert(out.schema.fieldNames.toSet.contains("sentiment"))
+    // explicit-client form shares the same chain
+    assert(docsDf.semantic(graft.llm.MockLlmClient())
+      .semanticFilter("f", "{{ input.text }}").count() > 0)
+  }
+
   test("frame surface: sampling, topk, rank, cluster, set ops, retrievers on sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val docs = Graft.readParquet(spark, s"$sf/documents.parquet")
