@@ -334,6 +334,13 @@ object Pipeline {
             case None => w0
           }
           w1.saveAsTable(tbl.str)
+        case (None, Some(p)) if o.get("shards").isDefined =>
+          // Sharded training-data export: deterministic id-hash routing +
+          // per-shard manifest (rows / tokens / order-free checksum) — the
+          // layout a training loader schedules from (ShardedSink).
+          graft.sources.ShardedSink.write(result, p.str, o("id_expr").str,
+            o.strOr("token_expr", "1"), o("shards").int,
+            o.strOr("mode", "overwrite"))
         case (None, Some(p)) =>
           // Path sink with optional hive-style partitioning: partition
           // pruning on the listed columns is free for every later reader.

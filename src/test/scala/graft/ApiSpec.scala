@@ -80,6 +80,20 @@ class PipelineSpec extends SparkSpec {
          |  output: { path: $dir/out.parquet }
          |""".stripMargin, spark)
     assert(spark.read.parquet(s"$dir/out.parquet").count() == 3)
+    // sharded sink variant: data + manifest layout, totals intact
+    Pipeline.runYaml(
+      s"""
+         |datasets:
+         |  docs: { path: $dir/docs.parquet }
+         |pipeline:
+         |  steps:
+         |    - { name: s1, input: docs, operations: [] }
+         |  output: { path: $dir/sharded, shards: 3, id_expr: doc_id,
+         |            token_expr: "size(split(text, ' '))" }
+         |""".stripMargin, spark)
+    assert(spark.read.parquet(s"$dir/sharded/data").count() == docsDf.count())
+    assert(spark.read.parquet(s"$dir/sharded/manifest")
+      .selectExpr("sum(n_rows)").head().getLong(0) == docsDf.count())
   }
   test("unknown op type names the known registry") {
     val e = intercept[IllegalArgumentException] {
