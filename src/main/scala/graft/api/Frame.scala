@@ -65,6 +65,11 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       defaultBudget: Long = 0L): Frame =
     next(BudgetSelect.grouped(df, groupCol, scoreExpr, costExpr, budgets,
       tieBreak, defaultBudget))
+  def budgetSelectFractions(groupCol: String, scoreExpr: String,
+      costExpr: String, totalBudget: Long, fractions: Map[Any, Double],
+      tieBreak: String): Frame =
+    next(BudgetSelect.groupedFractions(df, groupCol, scoreExpr, costExpr,
+      totalBudget, fractions, tieBreak))
   def chunkFixed(groupCols: Seq[String], orderCol: String, tokenExpr: String,
       seqLen: Long): Frame =
     next(PackOp.chunkFixed(df, groupCols, orderCol, tokenExpr, seqLen))

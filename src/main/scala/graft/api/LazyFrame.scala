@@ -352,6 +352,15 @@ final case class LazyFrame(
       "budgets" -> LazyFrame.jmap(budgets.toSeq.map {
         case (k, v) => k -> (v: Any) }: _*),
       "tie_break" -> tieBreak, "default_budget" -> defaultBudget)
+  def budgetSelectFractions(groupKey: String, scoreExpr: String,
+      costExpr: String, totalBudget: Long, fractions: Map[String, Double],
+      tieBreak: String): LazyFrame =
+    append("budget_select_grouped", "group_key" -> groupKey,
+      "score_expr" -> scoreExpr, "cost_expr" -> costExpr,
+      "total_budget" -> totalBudget,
+      "fractions" -> LazyFrame.jmap(fractions.toSeq.map {
+        case (k, v) => k -> (v: Any) }: _*),
+      "tie_break" -> tieBreak)
   def corpusStats(groupKeys: Seq[String], tokenExpr: String,
       quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): LazyFrame =
     append("corpus_stats", "group_keys" -> jlist(groupKeys),

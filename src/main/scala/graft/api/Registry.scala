@@ -703,11 +703,21 @@ object Registry {
   // strings), so the grouped variant's YAML surface requires a string
   // group column; the Scala API takes Map[Any, Long] directly.
   register("budget_select_grouped") { (df, c, _) =>
-    BudgetSelect.grouped(df, c("group_key").str, c("score_expr").str,
-      c("cost_expr").str,
-      c("budgets").asMap.map { case (k, v) => (k: Any) -> v.long },
-      c("tie_break").str,
-      c.get("default_budget").map(_.long).getOrElse(0L))
+    (c.get("budgets"), c.get("fractions")) match {
+      case (Some(b), _) =>
+        BudgetSelect.grouped(df, c("group_key").str, c("score_expr").str,
+          c("cost_expr").str,
+          b.asMap.map { case (k, v) => (k: Any) -> v.long },
+          c("tie_break").str,
+          c.get("default_budget").map(_.long).getOrElse(0L))
+      case (None, Some(fr)) => // DoReMi form: total budget × mixture weights
+        BudgetSelect.groupedFractions(df, c("group_key").str,
+          c("score_expr").str, c("cost_expr").str, c("total_budget").long,
+          fr.asMap.map { case (k, v) => (k: Any) -> v.dbl },
+          c("tie_break").str)
+      case (None, None) => throw new IllegalArgumentException(
+        "budget_select_grouped needs `budgets` or `fractions` + `total_budget`")
+    }
   }
   register("corpus_drift") { (df, c, ctx) =>
     val other = ctx.datasets.getOrElse(c("other").str,

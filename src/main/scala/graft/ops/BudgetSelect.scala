@@ -189,6 +189,32 @@ object BudgetSelect {
       .select(base.map(col).toIndexedSeq: _*)
   }
 
+  /** Per-group budgets from a TOTAL budget and target mixture fractions
+    * (the DoReMi form — domain weights are published as fractions of the
+    * training token budget, not absolute counts). Fractions need not sum
+    * to 1 (they are used as given: budget(g) = floor(frac(g) × total));
+    * groups without a fraction get 0. Delegates to [[grouped]] — same one
+    * sort, same O(#partitions + #groups) driver state. A group whose
+    * documents cannot fill its budget simply yields fewer tokens;
+    * reallocating its slack is a second pass the caller owns (keeping this
+    * op a one-sort primitive). */
+  def groupedFractions(
+      df: DataFrame,
+      groupCol: String,
+      scoreExpr: String,
+      costExpr: String,
+      totalBudget: Long,
+      fractions: Map[Any, Double],
+      tieBreak: String): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be non-negative, got $totalBudget")
+    require(fractions.values.forall(f => f >= 0.0 && !f.isNaN && !f.isInfinite),
+      "fractions must be finite and non-negative")
+    val budgets = fractions.map { case (g, f) =>
+      g -> math.floor(f * totalBudget).toLong
+    }
+    grouped(df, groupCol, scoreExpr, costExpr, budgets, tieBreak)
+  }
+
   /** Uniform per-group budget: every group present in the data gets the
     * same cap (the "at most N tokens per domain" balancing shape). */
   def groupedUniform(

@@ -283,6 +283,11 @@ class Round9Spec extends SparkSpec {
       .codeFilter("doc_id >= 4")
       .dedupAgainst(LazyFrame.read("docs", path).codeFilter("doc_id <= 3"),
         "doc_id", "text", threshold = 0.5)) == 1)
+    // fractions form: en floor(0.6*40)=24 fits docs 6+5+4 (23 tok), de
+    // floor(0.2*40)=8 fits its one 6-token doc
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .budgetSelectFractions("lang", "doc_id", "size(split(text, ' '))",
+        40L, Map("en" -> 0.6, "de" -> 0.2), "doc_id")) == 4)
   }
 
   // ---------------------------------------------------------------- web fetch

@@ -216,6 +216,18 @@ class TemporalSpec extends SparkSpec {
     assert(kept === Set(1L, 2L, 4L, 5L))
   }
 
+  test("groupedFractions converts mixture weights into per-group budgets") {
+    val d = df(grpSchema,
+      Row(1L, "a", 90L, 10L), Row(2L, "a", 80L, 10L), Row(3L, "a", 70L, 10L),
+      Row(4L, "b", 95L, 10L), Row(5L, "b", 85L, 10L))
+    // total 40: a -> floor(0.6*40)=24 (two docs), b -> floor(0.25*40)=10
+    // (one doc); unlisted groups get nothing.
+    val kept = BudgetSelect.groupedFractions(d, "grp", "score", "tok",
+      totalBudget = 40L, Map[Any, Double]("a" -> 0.6, "b" -> 0.25), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L))
+  }
+
   test("grouped budgetSelect rejects negative costs and budgets loudly") {
     val d = df(grpSchema, Row(1L, "a", 1L, -5L))
     val e = intercept[IllegalArgumentException] {
