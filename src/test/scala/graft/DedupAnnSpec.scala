@@ -82,6 +82,12 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     toks.foreach { case (l, t) => assert(t <= budgets(l), s"$l: $t") }
     assert(out.columns.contains("bigram_nll"))
+    // the sharded export wrote data + a manifest whose totals agree
+    val exported = graft.sources.ShardedSink.readData(
+      spark, "/tmp/graft_incremental_ingest")
+    assert(exported.count() === out.count())
+    assert(graft.sources.ShardedSink.validate(
+      spark, "/tmp/graft_incremental_ingest", "doc_id").count() === 0)
   }
 
   test("precomputed signature table reproduces crossPairs through parquet") {
