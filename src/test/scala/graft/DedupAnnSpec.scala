@@ -40,6 +40,34 @@ class DedupSpec extends SparkSpec {
         threshold = 0.5).count() === 1L)
   }
 
+  test("incremental scan: ledger skips ingested files, sees new and changed ones") {
+    import graft.sources.IncrementalScan
+    val root = java.nio.file.Files.createTempDirectory("incr").toString
+    val data = s"$root/in"
+    val ledger = s"$root/ledger"
+    docsDf.filter("doc_id <= 3").coalesce(1)
+      .write.mode("overwrite").parquet(data)
+    // first run sees everything; commit records it
+    val (d1, p1) = IncrementalScan.readNew(spark, data, ledger)
+    assert(p1.nonEmpty && d1.count() === 3)
+    IncrementalScan.commit(spark, ledger, p1)
+    // second run: nothing new
+    val (_, p2) = IncrementalScan.readNew(spark, data, ledger)
+    assert(p2.isEmpty)
+    // a new dump file arrives -> only IT is read
+    val extra = java.nio.file.Files.createTempDirectory("extra").toString
+    docsDf.filter("doc_id >= 4").coalesce(1)
+      .write.mode("overwrite").parquet(extra)
+    Option(new java.io.File(extra).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f => java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(data, "dump2-" + f.getName)) }
+    val (d3, p3) = IncrementalScan.readNew(spark, data, ledger)
+    assert(p3.length === 1 && d3.count() === 3)
+    IncrementalScan.commit(spark, ledger, p3)
+    assert(IncrementalScan.newFiles(spark, data, ledger).isEmpty)
+  }
+
   test("sharded sink: stable routing, manifest totals, integrity check") {
     import graft.sources.ShardedSink
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
