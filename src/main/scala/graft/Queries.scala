@@ -2676,6 +2676,27 @@ object Queries {
                        6) AS jaccard
               FROM t n JOIN t r ON n.doc_id % 2 = 1 AND r.doc_id % 2 = 0)
         SELECT id_new, id_ref, jaccard FROM j WHERE jaccard >= 0.8""")
+    ),
+    (
+      // Per-ROW weighted sampling without replacement (Efraimidis–Spirakis
+      // A-ES): u from a portable md5 hash (52 bits — float64-exact), keep
+      // the k smallest -ln(u)/weight keys. Spark plans TakeOrdered
+      // (per-partition heaps), never a full sort; the oracle replays the
+      // identical float64 arithmetic. Weight here = document length, the
+      // "sample proportional to tokens" shape.
+      "q110_sample_weighted_rows",
+      (s: SparkSession, dir: String) =>
+        graft.ops.SampleOp.weightedByRow(t(s, dir, "documents"),
+          "n_chars", k = 60, idExpr = "doc_id", seed = 7)
+          .select("doc_id", "lang"),
+      Some("""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                       1, 13))::UBIGINT + 1) / 4503599627370496.0)
+                   / CAST(n_chars AS DOUBLE) AS aes
+          FROM documents WHERE n_chars > 0)
+        ORDER BY aes, doc_id LIMIT 60""")
     ))
 
 }

@@ -110,6 +110,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def sampleProportional(stratifyKey: String, keyExpr: String,
       total: Int, seed: Long = 0): Frame =
     next(SampleOp.stratifiedProportional(df, stratifyKey, keyExpr, total, seed))
+  def sampleWeightedRows(weightExpr: String, k: Int, idExpr: String,
+      seed: Long = 0): Frame =
+    next(SampleOp.weightedByRow(df, weightExpr, k, idExpr, seed))
   def sampleTemperature(stratifyKey: String, keyExpr: String, total: Int,
       alpha: Double = 0.3, seed: Long = 0): Frame =
     next(SampleOp.stratifiedTemperature(df, stratifyKey, keyExpr, total, alpha, seed))

@@ -281,6 +281,10 @@ final case class LazyFrame(
     append("sample", "method" -> "temperature", "stratify_key" -> stratifyKey,
       "key_expr" -> keyExpr, "samples" -> total, "alpha" -> alpha,
       "random_state" -> seed)
+  def sampleWeightedRows(weightExpr: String, k: Int, idExpr: String,
+      seed: Int = 0): LazyFrame =
+    append("sample", "method" -> "weighted_rows", "weight_expr" -> weightExpr,
+      "samples" -> k, "key_expr" -> idExpr, "random_state" -> seed)
   def dedupExact(textKey: String, tieBreak: String): LazyFrame =
     append("dedup", "method" -> "exact", "text_key" -> textKey, "tie_break" -> tieBreak)
   def dedupMinhash(idKey: String, textKey: String, threshold: Double = 0.8,

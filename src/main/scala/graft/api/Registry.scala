@@ -281,6 +281,8 @@ object Registry {
       case "temperature" => SampleOp.stratifiedTemperature(df,
         c("stratify_key").str, c("key_expr").str, c("samples").int,
         c.dblOr("alpha", 0.3), c.intOr("random_state", 0).toLong)
+      case "weighted_rows" => SampleOp.weightedByRow(df, c("weight_expr").str,
+        c("samples").int, c("key_expr").str, c.intOr("random_state", 0).toLong)
       case "uniform" => SampleOp.uniform(df, c("fraction").dbl, c.intOr("random_state", 42))
       case "hash" => SampleOp.uniformHash(df, c("key_expr").str, c("fraction").dbl,
         c.intOr("random_state", 0))

@@ -25,6 +25,40 @@ object SampleOp {
   def uniform(df: DataFrame, fraction: Double, seed: Long): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
 
+  /** Weighted sampling WITHOUT replacement by PER-ROW weight — the
+    * Efraimidis–Spirakis A-ES scheme, the standard distributed form
+    * (each row draws u ~ U(0,1) from a portable md5 hash of its id and
+    * keeps key = -ln(u)/w; the k SMALLEST keys are a weighted sample
+    * without replacement). Complements the weighted-MIXTURE samplers
+    * (group-level weights): here every row carries its own weight, e.g. a
+    * quality-classifier score steering corpus selection.
+    *
+    * Deterministic and portable: u is md5-derived (13 hex chars = 52 bits,
+    * exact in float64), so any engine replaying the formula selects the
+    * same rows. Rows with weight <= 0 or null are excluded (they have no
+    * sampling mass; -ln(u)/0 would be +inf anyway). Scale shape: the
+    * selection is orderBy(key).limit(k) — Spark plans TakeOrdered (per-
+    * partition top-k heaps, one k-row merge on the driver), never a full
+    * sort; weights/keys are codegen'd expressions inside the scan. */
+  def weightedByRow(
+      df: DataFrame,
+      weightExpr: String,
+      k: Int,
+      idExpr: String,
+      seed: Long = 0): DataFrame = {
+    require(k >= 0, s"weightedByRow: k must be non-negative, got $k")
+    val u = (conv(substring(md5(concat(expr(idExpr).cast("string"),
+        lit(":" + seed))), 1, 13), 16, 10).cast("double") + 1.0) /
+      4503599627370496.0 // 2^52; +1 keeps u in (0, 1]
+    val w = expr(weightExpr).cast("double")
+    val key = -log(u) / w
+    df.filter(w > 0)
+      .withColumn("_graft_aes", key)
+      .orderBy(col("_graft_aes").asc, expr(idExpr).asc)
+      .limit(k)
+      .drop("_graft_aes")
+  }
+
   /** Deterministic hash-based sample on a key expression: keeps rows where
     * ((key*9301+49297+seed) mod 233280) < fraction*233280. Portable LCG —
     * reproducible across engines and cluster sizes, the right tool when a

@@ -553,6 +553,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: A-ES weighted row sampling matches a driver replay of its keys") {
+    val rows = (1L to 300L).map { i =>
+      Row(i, ((i * 7919) % 97 + 1).toDouble) // deterministic varied weights
+    }
+    val d = df(StructType(Seq(
+      StructField("id", LongType), StructField("w", DoubleType))), rows: _*)
+      .repartition(5)
+    for (seed <- Seq(0L, 7L); k <- Seq(1, 25, 300, 500)) {
+      val got = SampleOp.weightedByRow(d, "w", k, "id", seed)
+        .select("id").collect().map(_.getLong(0)).toSet
+      // Driver replay of the exact md5 -> u -> -ln(u)/w key.
+      def key(i: Long, w: Double): Double = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$i:$seed".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(13)
+        val u = (java.lang.Long.parseLong(h, 16) + 1.0) / 4503599627370496.0
+        -math.log(u) / w
+      }
+      val expected = rows.map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (i, w) => (key(i, w), i) }.take(k).map(_._1).toSet
+      assert(got === expected, s"seed=$seed k=$k")
+    }
+    // zero/negative weights carry no mass and never appear
+    val withZero = df(StructType(Seq(
+      StructField("id", LongType), StructField("w", DoubleType))),
+      Row(1L, 0.0), Row(2L, -3.0), Row(3L, 1.0))
+    assert(SampleOp.weightedByRow(withZero, "w", 10, "id")
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
   test("property: unicode normalization is idempotent and form-correct") {
     // random strings seeded with the troublesome families: combining marks,
     // ligatures, fullwidth forms, supplementary planes

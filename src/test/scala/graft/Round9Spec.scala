@@ -288,6 +288,8 @@ class Round9Spec extends SparkSpec {
     assert(roundTrips(LazyFrame.read("docs", path)
       .budgetSelectFractions("lang", "doc_id", "size(split(text, ' '))",
         40L, Map("en" -> 0.6, "de" -> 0.2), "doc_id")) == 4)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .sampleWeightedRows("length(text)", 3, "doc_id")) == 3)
   }
 
   // ---------------------------------------------------------------- web fetch
