@@ -33,7 +33,7 @@ object Queries {
   lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
     apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b ++
-    round9c ++ round9d
+    round9c ++ round9d ++ round9e
 
   // ---------------------------------------------------------------- parsing
 
@@ -2697,6 +2697,50 @@ object Queries {
                    / CAST(n_chars AS DOUBLE) AS aes
           FROM documents WHERE n_chars > 0)
         ORDER BY aes, doc_id LIMIT 60""")
+    ))
+
+  private def round9e: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // Gopher/MassiveText-style rule-based quality filter: five codegen'd
+      // per-row signals + composite keep flag, rounded BEFORE comparison on
+      // both engines. No shuffle — the whole report fuses into the scan.
+      // Thresholds chosen so every individual rule prunes rows at sf0.01
+      // (keep = 146/500): the query is a real multi-rule decision, not a
+      // vacuous pass-through.
+      "q111_quality_rules",
+      (s: SparkSession, dir: String) =>
+        QualityRules.signals(t(s, dir, "documents"), "text",
+          QualityRules.Config(minWords = 25, maxWords = 90,
+            minAvgWordLen = 3.0, maxAvgWordLen = 4.8, maxDupWordFrac = 0.6,
+            maxTop2gramFrac = 0.08, minDistinctStopwords = 2))
+          .select("doc_id", "n_words", "avg_word_len", "dup_word_frac",
+            "top_2gram_frac", "n_stopwords", "keep"),
+      Some("""
+        WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+                          string_split(lower(text), ' ') AS lw
+                   FROM documents),
+        g AS (SELECT *, [array_to_string(w[i:i+1], ' ')
+                         FOR i IN range(1, len(w))] AS g2 FROM t),
+        s AS (SELECT doc_id,
+                len(w)::BIGINT AS n_words,
+                round(len(replace(text, ' ', ''))::DOUBLE / len(w), 6)
+                  AS avg_word_len,
+                round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6)
+                  AS dup_word_frac,
+                round(list_max(list_transform(list_distinct(g2),
+                    x -> len(list_filter(g2, y -> y = x))))::DOUBLE / len(g2),
+                  6) AS top_2gram_frac,
+                len(list_intersect(list_distinct(lw),
+                  ['the','a','an','and','or','of','to','in','is','are','was',
+                   'for','on','with','as','at','by','it','that','this']))::BIGINT
+                  AS n_stopwords
+              FROM g)
+        SELECT *,
+               (n_words BETWEEN 25 AND 90
+                AND avg_word_len BETWEEN 3.0 AND 4.8
+                AND dup_word_frac <= 0.6 AND top_2gram_frac <= 0.08
+                AND n_stopwords >= 2) AS keep
+        FROM s""")
     ))
 
 }

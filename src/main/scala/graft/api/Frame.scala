@@ -256,6 +256,12 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       bias: Double = 0.0, mode: String = "binary",
       outCol: String = "quality_score"): Frame =
     next(LinearScore.withScore(df, idCol, textCol, weights.df, bias, mode, outCol))
+  def qualitySignals(textCol: String,
+      cfg: QualityRules.Config = QualityRules.Config()): Frame =
+    next(QualityRules.signals(df, textCol, cfg))
+  def qualityFilter(textCol: String,
+      cfg: QualityRules.Config = QualityRules.Config()): Frame =
+    next(QualityRules.filter(df, textCol, cfg))
   def corpusStats(groupCols: Seq[String], tokenExpr: String,
       quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): Frame =
     next(CorpusStats(df, groupCols, tokenExpr, quantiles))

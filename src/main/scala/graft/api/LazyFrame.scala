@@ -327,6 +327,18 @@ final case class LazyFrame(
       outputKey: String = "shuffle_rank"): LazyFrame =
     append("shuffle", "id_expr" -> idExpr, "seed" -> seed,
       "output_key" -> outputKey)
+  def qualityRules(textKey: String, minWords: Long = 50,
+      maxWords: Long = 100000, minAvgWordLen: Double = 3.0,
+      maxAvgWordLen: Double = 10.0, maxDupWordFrac: Double = 0.95,
+      maxTop2gramFrac: Double = 0.2, minDistinctStopwords: Int = 2,
+      signalsOnly: Boolean = false): LazyFrame =
+    append("quality_rules", "text_key" -> textKey, "min_words" -> minWords,
+      "max_words" -> maxWords, "min_avg_word_len" -> minAvgWordLen,
+      "max_avg_word_len" -> maxAvgWordLen,
+      "max_dup_word_frac" -> maxDupWordFrac,
+      "max_top_2gram_frac" -> maxTop2gramFrac,
+      "min_distinct_stopwords" -> minDistinctStopwords,
+      "signals_only" -> signalsOnly)
   def redactPii(textKey: String, outputKey: String = ""): LazyFrame =
     append("redact_pii", (Seq[(String, Any)]("text_key" -> textKey) ++
       (if (outputKey.nonEmpty) Seq("output_key" -> outputKey) else Nil)): _*)

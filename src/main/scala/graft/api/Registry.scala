@@ -592,6 +592,23 @@ object Registry {
       target, c.strOr("target_text_key", c("text_key").str),
       c.strOr("output_key", "importance_weight"))
   }
+  // Gopher/MassiveText-style rule filter (§2.14 engine extension). With
+  // `signals_only: true` it appends the audit columns instead of filtering.
+  register("quality_rules") { (df, c, _) =>
+    val cfg = QualityRules.Config(
+      minWords = c.intOr("min_words", 50).toLong,
+      maxWords = c.intOr("max_words", 100000).toLong,
+      minAvgWordLen = c.dblOr("min_avg_word_len", 3.0),
+      maxAvgWordLen = c.dblOr("max_avg_word_len", 10.0),
+      maxDupWordFrac = c.dblOr("max_dup_word_frac", 0.95),
+      maxTop2gramFrac = c.dblOr("max_top_2gram_frac", 0.2),
+      minDistinctStopwords = c.intOr("min_distinct_stopwords", 2),
+      stopwords = c.get("stopwords").map(_.strList)
+        .getOrElse(graft.functions.TextFunctions.EnglishStopwords))
+    if (c.boolOr("signals_only", false))
+      QualityRules.signals(df, c("text_key").str, cfg)
+    else QualityRules.filter(df, c("text_key").str, cfg)
+  }
   register("linear_score") { (df, c, ctx) =>
     val weights = ctx.datasets.getOrElse(c("weights").str,
       throw new IllegalArgumentException(
