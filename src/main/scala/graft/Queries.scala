@@ -2741,6 +2741,31 @@ object Queries {
                 AND dup_word_frac <= 0.6 AND top_2gram_frac <= 0.08
                 AND n_stopwords >= 2) AS keep
         FROM s""")
+    ),
+    (
+      // Z-order (Morton) layout key over (n_chars, doc_id): equi-width
+      // 8-bit buckets from each column's observed min/max, bits interleaved
+      // by a fully-unrolled codegen'd shift/or chain. Driver state = 4
+      // scalars; the oracle replays the identical integer arithmetic.
+      "q112_zorder_key",
+      (s: SparkSession, dir: String) =>
+        graft.ops.ZOrder.zvalue(t(s, dir, "documents"),
+          Seq("n_chars", "doc_id"), bits = 8)
+          .select("doc_id", "zvalue"),
+      Some("""
+        WITH mm AS (SELECT min(n_chars)::BIGINT AS mn1,
+                           max(n_chars)::BIGINT AS mx1,
+                           min(doc_id)::BIGINT AS mn2,
+                           max(doc_id)::BIGINT AS mx2 FROM documents),
+        b AS (SELECT doc_id,
+                ((n_chars - mn1) * 256) // (mx1 - mn1 + 1) AS b1,
+                ((doc_id  - mn2) * 256) // (mx2 - mn2 + 1) AS b2
+              FROM documents, mm)
+        SELECT doc_id,
+               list_sum([(((b1 >> i) & 1) << (2*i)) +
+                         (((b2 >> i) & 1) << (2*i+1))
+                         FOR i IN range(0, 8)])::BIGINT AS zvalue
+        FROM b""")
     ))
 
 }

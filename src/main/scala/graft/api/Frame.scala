@@ -256,6 +256,12 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       bias: Double = 0.0, mode: String = "binary",
       outCol: String = "quality_score"): Frame =
     next(LinearScore.withScore(df, idCol, textCol, weights.df, bias, mode, outCol))
+  def zorder(cols: Seq[String], bits: Int = 8,
+      outCol: String = "zvalue"): Frame =
+    next(ZOrder.zvalue(df, cols, bits, outCol))
+  def zorderLayout(cols: Seq[String], numFiles: Int, bits: Int = 8,
+      outCol: String = "zvalue"): Frame =
+    next(ZOrder.layout(df, cols, numFiles, bits, outCol))
   def qualitySignals(textCol: String,
       cfg: QualityRules.Config = QualityRules.Config()): Frame =
     next(QualityRules.signals(df, textCol, cfg))

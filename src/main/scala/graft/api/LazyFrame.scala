@@ -327,6 +327,11 @@ final case class LazyFrame(
       outputKey: String = "shuffle_rank"): LazyFrame =
     append("shuffle", "id_expr" -> idExpr, "seed" -> seed,
       "output_key" -> outputKey)
+  def zorder(cols: Seq[String], bits: Int = 8, numFiles: Int = 0,
+      outputKey: String = "zvalue"): LazyFrame =
+    append("zorder", (Seq[(String, Any)]("cols" -> cols, "bits" -> bits,
+      "output_key" -> outputKey) ++
+      (if (numFiles > 0) Seq("num_files" -> numFiles) else Nil)): _*)
   def qualityRules(textKey: String, minWords: Long = 50,
       maxWords: Long = 100000, minAvgWordLen: Double = 3.0,
       maxAvgWordLen: Double = 10.0, maxDupWordFrac: Double = 0.95,

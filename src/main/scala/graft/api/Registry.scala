@@ -592,6 +592,18 @@ object Registry {
       target, c.strOr("target_text_key", c("text_key").str),
       c.strOr("output_key", "importance_weight"))
   }
+  // Z-order layout key (§2.14): multi-dimension file-skipping sort key.
+  // With `num_files` it also range-partitions + sorts (the full layout
+  // pass); without, it just appends the z-value column.
+  register("zorder") { (df, c, _) =>
+    val cols = c("cols").strList
+    val bits = c.intOr("bits", 8)
+    val out = c.strOr("output_key", "zvalue")
+    c.get("num_files") match {
+      case Some(n) => ZOrder.layout(df, cols, n.int, bits, out)
+      case None => ZOrder.zvalue(df, cols, bits, out)
+    }
+  }
   // Gopher/MassiveText-style rule filter (§2.14 engine extension). With
   // `signals_only: true` it appends the audit columns instead of filtering.
   register("quality_rules") { (df, c, _) =>

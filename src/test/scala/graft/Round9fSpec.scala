@@ -52,4 +52,47 @@ class Round9fSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  // ---------------------------------------------------------------- z-order
+
+  test("zorder interleave: known bit patterns") {
+    val schema = StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType)))
+    val d = df(schema, Row(3L, 1L), Row(0L, 0L), Row(2L, 3L))
+    val out = d.select(graft.ops.ZOrder.interleave(
+      Seq(col("x"), col("y")), bits = 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // x bits land at even positions, y at odd:
+    // (3,1)=0b0111=7, (0,0)=0, (2,3)=x:_1_0 y:1_1_ =0b1110=14
+    assert(out == Seq(7L, 0L, 14L))
+  }
+
+  test("zorder zvalue: locality — near points share high bits") {
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    val rows = for (a <- 0L until 16L; b <- 0L until 16L) yield Row(a, b)
+    val z = graft.ops.ZOrder.zvalue(df(schema, rows: _*), Seq("a", "b"),
+      bits = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 16 values x 4 bits: bucket = value itself; z is a bijection on
+    // [0, 256) and the quadrant (high bit of each dim) is the top 2 bits.
+    assert(z.values.toSet.size == 256 && z.values.forall(v => v >= 0 && v < 256))
+    for (((a, b), v) <- z)
+      assert((v >> 6) == ((b >> 3) << 1 | (a >> 3)), s"($a,$b)")
+  }
+
+  test("zorder layout: range-partitioned, sorted, disjoint z ranges") {
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    val rows = (0L until 200L).map(i => Row(i % 17L, (i * 13L) % 23L))
+    val laid = graft.ops.ZOrder.layout(df(schema, rows: _*), Seq("a", "b"),
+      numFiles = 4, bits = 4)
+    val parts = laid.select(spark_partition_id().as("p"), col("zvalue"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val byPart = parts.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byPart.keys.size > 1)
+    for ((_, zs) <- byPart) assert(zs == zs.sorted)
+    val ranges = byPart.toSeq.sortBy(_._1).map { case (_, zs) => (zs.min, zs.max) }
+    for (Seq((_, hi), (lo, _)) <- ranges.sliding(2)) assert(hi <= lo)
+  }
 }
