@@ -2766,6 +2766,30 @@ object Queries {
                          (((b2 >> i) & 1) << (2*i+1))
                          FOR i IN range(0, 8)])::BIGINT AS zvalue
         FROM b""")
+    ),
+    (
+      // CCNet head/middle/tail perplexity bucketing: unigram surprisal
+      // (q81's model) -> EXACT equal-frequency tertiles via rank arithmetic
+      // over a range-partitioned sort — no quantile sketch, deterministic.
+      "q113_ppl_buckets",
+      (s: SparkSession, dir: String) =>
+        UnigramScore.ccnetBuckets(t(s, dir, "documents"), "doc_id", "text")
+          .select("doc_id", "nll", "ppl_bucket"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        freq AS (SELECT t, count(*)::DOUBLE AS c FROM toks GROUP BY 1),
+        tot AS (SELECT sum(c) AS n FROM freq),
+        nll AS (SELECT doc_id, round(avg(-ln(c / n)), 6) AS nll
+                FROM toks JOIN freq USING (t), tot GROUP BY doc_id),
+        r AS (SELECT doc_id, nll,
+                     row_number() OVER (ORDER BY nll, doc_id) AS rk,
+                     count(*) OVER () AS total
+              FROM nll)
+        SELECT doc_id, nll,
+               CASE ((rk - 1) * 3) // total WHEN 0 THEN 'head'
+                    WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        FROM r""")
     ))
 
 }

@@ -232,6 +232,8 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(graft.ops.TfIdfOp.topTerms(df, idCol, textCol, k))
   def unigramSurprisal(idCol: String, textCol: String): Frame =
     next(graft.ops.UnigramScore(df, idCol, textCol))
+  def pplBuckets(idCol: String, textCol: String, nBuckets: Int = 3): Frame =
+    next(graft.ops.UnigramScore.ccnetBuckets(df, idCol, textCol, nBuckets))
   def interleave(stratifyCol: String, orderExpr: String,
       outCol: String = "interleave_rank"): Frame =
     next(graft.ops.InterleaveOp(df, stratifyCol, orderExpr, outCol))

@@ -359,6 +359,10 @@ final case class LazyFrame(
       lambda: Double = 0.75): LazyFrame =
     append("bigram_surprisal", "id_key" -> idKey, "text_key" -> textKey,
       "lambda" -> lambda)
+  def pplBuckets(idKey: String, textKey: String,
+      nBuckets: Int = 3): LazyFrame =
+    append("ppl_buckets", "id_key" -> idKey, "text_key" -> textKey,
+      "n_buckets" -> nBuckets)
   def urlFilter(urlKey: String, blocked: Seq[String]): LazyFrame =
     append("url_filter", "url_key" -> urlKey, "blocked" -> jlist(blocked))
   def budgetSelect(scoreExpr: String, costExpr: String, budget: Long,

@@ -540,6 +540,11 @@ object Registry {
   register("unigram_surprisal") { (df, c, _) =>
     UnigramScore(df, c("id_key").str, c("text_key").str)
   }
+  // CCNet head/middle/tail perplexity bucketing (§2.14).
+  register("ppl_buckets") { (df, c, _) =>
+    UnigramScore.ccnetBuckets(df, c("id_key").str, c("text_key").str,
+      c.intOr("n_buckets", 3))
+  }
   register("interleave") { (df, c, _) =>
     InterleaveOp(df, c("stratify_key").str, c("order_expr").str,
       c.strOr("output_key", "interleave_rank"))

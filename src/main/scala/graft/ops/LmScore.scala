@@ -32,6 +32,37 @@ object UnigramScore {
   /** The input rows with `nll` attached (passthrough join on `idCol`). */
   def apply(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.join(perDoc(df, idCol, textCol), Seq(idCol))
+
+  /** CCNet-style head/middle/tail perplexity bucketing (public: the CCNet
+    * paper splits each language by LM perplexity tertile; head = best LM
+    * fit, tail = noise — downstream pipelines keep head+middle or reweight
+    * by bucket). Buckets are EXACT equal-frequency tertiles by rank
+    * arithmetic — `(rank-1)*n DIV total` over a range-partitioned sort
+    * ([[RankOp.withGlobalRank]], never a single-task empty-window
+    * row_number, no approximate quantile sketch), so bucket membership is
+    * deterministic and oracle-replayable. Driver state = one exact count.
+    *
+    * With `nBuckets = 3` the label column is head/middle/tail; other sizes
+    * get the numeric bucket as a string. */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    Seq("nll", "ppl_bucket").foreach(c =>
+      require(!df.columns.contains(c), s"input already has $c"))
+    val scored = apply(df, idCol, textCol)
+    val total = math.max(scored.count(), 1L)
+    val ranked = RankOp.withGlobalRank(scored,
+      Seq(col("nll").asc, col(idCol).asc))
+      .withColumn("_b", expr(s"CAST(((_rank - 1) * $nBuckets) DIV $total AS INT)"))
+      .drop("_rank")
+    val labeled =
+      if (nBuckets == 3)
+        ranked.withColumn("ppl_bucket",
+          when(col("_b") === 0, "head")
+            .when(col("_b") === 1, "middle").otherwise("tail"))
+      else ranked.withColumn("ppl_bucket", col("_b").cast("string"))
+    labeled.drop("_b")
+  }
 }
 
 /** Interpolated bigram-LM surprisal — one order up from [[UnigramScore]],

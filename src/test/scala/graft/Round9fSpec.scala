@@ -95,4 +95,29 @@ class Round9fSpec extends SparkSpec {
     val ranges = byPart.toSeq.sortBy(_._1).map { case (_, zs) => (zs.min, zs.max) }
     for (Seq((_, hi), (lo, _)) <- ranges.sliding(2)) assert(hi <= lo)
   }
+
+  // ------------------------------------------------------------ ppl buckets
+
+  test("ccnet buckets: equal-frequency tertiles ordered by surprisal") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    // 9 docs: common words -> low surprisal, rare words -> high.
+    val rows = (1L to 9L).map { i =>
+      val word = if (i <= 3) "common" else s"rare$i"
+      Row(i, s"$word common common")
+    }
+    val out = graft.ops.UnigramScore.ccnetBuckets(df(schema, rows: _*),
+      "id", "text")
+      .select("id", "nll", "ppl_bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val byBucket = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byBucket == Map("head" -> 3, "middle" -> 3, "tail" -> 3))
+    // every head nll <= every middle nll <= every tail nll
+    val h = out.filter(_._3 == "head").map(_._2).max
+    val m = out.filter(_._3 == "middle").map(_._2)
+    val t = out.filter(_._3 == "tail").map(_._2).min
+    assert(h <= m.min && m.max <= t)
+    // the three all-common docs are the head
+    assert(out.filter(_._3 == "head").map(_._1).toSet == Set(1L, 2L, 3L))
+  }
 }
