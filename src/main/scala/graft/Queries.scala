@@ -2790,6 +2790,48 @@ object Queries {
                CASE ((rk - 1) * 3) // total WHEN 0 THEN 'head'
                     WHEN 1 THEN 'middle' ELSE 'tail' END AS ppl_bucket
         FROM r""")
+    ),
+    (
+      // Bloom-filter decontamination: odd docs' distinct word 4-grams
+      // probed against an m=2^20-bit / k=3 filter built from even docs.
+      // The reference corpus collapses to a FIXED 128 KB bit array (driver
+      // state = m/64 longs, probe = pure per-row expression, no join) — the
+      // fixed-memory incremental-ingest shape. Hashes are md5-derived and
+      // portable, so the oracle replays bit-exact membership: a gram hits
+      // iff all 3 of its positions are in the reference's position set.
+      "q114_bloom_decontaminate",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        graft.dedup.BloomFilter.gramHits(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          docs.filter(col("doc_id") % 2 === 0), "text",
+          n = 4, m = 1L << 20, k = 3)
+      },
+      Some("""
+        WITH refg AS (
+          SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS g
+          FROM (SELECT string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % 2 = 0),
+               UNNEST(range(1, len(w)-2)) AS t(i)),
+        refpos AS (
+          SELECT DISTINCT
+            ('0x' || substr(md5(g || ':' || i), 1, 13))::UBIGINT % 1048576 AS p
+          FROM refg, UNNEST(range(0, 3)) AS t(i)),
+        newg AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % 2 = 1),
+               UNNEST(range(1, len(w)-2)) AS t(i)),
+        gp AS (
+          SELECT doc_id, g,
+            ('0x' || substr(md5(g || ':' || i), 1, 13))::UBIGINT % 1048576 AS p
+          FROM newg, UNNEST(range(0, 3)) AS t(i)),
+        gh AS (
+          SELECT doc_id, g, bool_and(p IN (SELECT p FROM refpos)) AS hit
+          FROM gp GROUP BY 1, 2)
+        SELECT doc_id, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_hits
+        FROM gh GROUP BY 1""")
     ))
 
 }

@@ -289,6 +289,16 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(graft.functions.UrlFunctions.filterBlockedDomains(df, urlCol, blocked))
   def filterBlockedDomains(urlCol: String, blocklist: Frame): Frame =
     next(graft.functions.UrlFunctions.filterBlockedDomains(df, urlCol, blocklist.df))
+  def bloomHits(idCol: String, textCol: String, reference: Frame,
+      refTextCol: String, n: Int = 4, bits: Long = 1L << 22,
+      hashes: Int = 3): Frame =
+    next(graft.dedup.BloomFilter.gramHits(df, idCol, textCol, reference.df,
+      refTextCol, n, bits, hashes))
+  def bloomClean(idCol: String, textCol: String, reference: Frame,
+      refTextCol: String, n: Int = 4, bits: Long = 1L << 22,
+      hashes: Int = 3, maxHits: Long = 0L): Frame =
+    next(graft.dedup.BloomFilter.cleanAgainstReference(df, idCol, textCol,
+      reference.df, refTextCol, n, bits, hashes, maxHits))
   def contaminationHits(idCol: String, textCol: String, benchmark: Frame,
       benchTextCol: String, n: Int = 8, broadcastBenchmark: Boolean = true): Frame =
     next(graft.dedup.Decontaminate.hits(df, idCol, textCol, benchmark.df,

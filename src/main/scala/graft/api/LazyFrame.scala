@@ -492,6 +492,22 @@ final case class LazyFrame(
     * decontaminate): drop this frame's rows that near-duplicate any
     * reference row (mode "pairs" emits the (id_new, id_ref, jaccard)
     * hits instead). */
+  def bloomDecontaminate(reference: LazyFrame, idKey: String,
+      textKey: String, referenceTextKey: String = "", n: Int = 4,
+      bits: Long = 1L << 22, hashes: Int = 3,
+      mode: String = "clean"): LazyFrame = {
+    val (m, lRef, rRef) = merged(reference)
+    val fields = Seq[(String, Any)]("reference" -> rRef, "id_key" -> idKey,
+      "text_key" -> textKey, "n" -> n, "bits" -> bits, "hashes" -> hashes,
+      "mode" -> mode) ++
+      (if (referenceTextKey.nonEmpty)
+         Seq("reference_text_key" -> referenceTextKey)
+       else Nil)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"bloom_decontaminate_${m.steps.length}")
+      .append("bloom_decontaminate", fields: _*)
+  }
+
   def dedupAgainst(reference: LazyFrame, idKey: String, textKey: String,
       refIdKey: String = "", refTextKey: String = "",
       threshold: Double = 0.8, mode: String = "clean"): LazyFrame = {

@@ -461,6 +461,26 @@ object Registry {
         s"unknown decontaminate mode $m (clean | hits)")
     }
   }
+  // Fixed-memory bloom variant of decontaminate/dedup_against (§2.14):
+  // the reference collapses to an m-bit filter instead of a broadcast gram
+  // set or a band join — memory is config-bounded at ANY reference size.
+  register("bloom_decontaminate") { (df, c, ctx) =>
+    val ref = ctx.datasets.getOrElse(c("reference").str,
+      throw new IllegalArgumentException(
+        s"unknown bloom_decontaminate reference dataset '${c("reference").str}'"))
+    val refKey = c.strOr("reference_text_key", c("text_key").str)
+    val m = c.get("bits").map(_.long).getOrElse(1L << 22)
+    val k = c.intOr("hashes", 3)
+    c.strOr("mode", "clean") match {
+      case "clean" => graft.dedup.BloomFilter.cleanAgainstReference(df,
+        c("id_key").str, c("text_key").str, ref, refKey, c.intOr("n", 4),
+        m, k, c.get("max_hits").map(_.long).getOrElse(0L))
+      case "hits" => graft.dedup.BloomFilter.gramHits(df, c("id_key").str,
+        c("text_key").str, ref, refKey, c.intOr("n", 4), m, k)
+      case mo => throw new IllegalArgumentException(
+        s"unknown bloom_decontaminate mode $mo (clean | hits)")
+    }
+  }
   // Incremental near-dup filter: the current step's rows against a named
   // REFERENCE dataset (prior dumps / already-ingested corpus).
   register("dedup_against") { (df, c, ctx) =>

@@ -120,4 +120,51 @@ class Round9fSpec extends SparkSpec {
     // the three all-common docs are the head
     assert(out.filter(_._3 == "head").map(_._1).toSet == Set(1L, 2L, 3L))
   }
+
+  // ----------------------------------------------------------- bloom filter
+
+  test("bloom: no false negatives, and probe matches driver-side math") {
+    import graft.dedup.BloomFilter
+    val schema = StructType(Seq(StructField("k", StringType)))
+    val ref = df(schema, (1 to 50).map(i => Row(s"key$i")): _*)
+    val f = BloomFilter.build(ref, "k", m = 4096, k = 3)
+    // every inserted key must probe true (bloom guarantee)
+    val probed = BloomFilter.probe(ref, "k", f).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(probed.values.forall(identity))
+    // driver-side probe agrees with the distributed expression
+    val novel = df(schema, (100 to 120).map(i => Row(s"other$i")): _*)
+    val dist = BloomFilter.probe(novel, "k", f).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    for ((key, hit) <- dist) assert(f.mightContain(key) == hit, key)
+    // 21 novel keys in a 4096-bit filter holding 150 positions: expect
+    // mostly misses (fp rate ~ (150/4096)^3 ~ 5e-5)
+    assert(dist.values.count(!_) >= 20)
+  }
+
+  test("bloom probe plan: no join, no shuffle") {
+    import graft.dedup.BloomFilter
+    val schema = StructType(Seq(StructField("k", StringType)))
+    val ref = df(schema, Row("a"), Row("b"))
+    val f = BloomFilter.build(ref, "k", m = 256, k = 2)
+    val plan = BloomFilter.probe(df(schema, Row("a"), Row("z")), "k", f)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+
+  test("bloom gram clean: contaminated rows drop, disjoint rows survive") {
+    import graft.dedup.BloomFilter
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val ref = df(schema, Row(100L, "alpha beta gamma delta epsilon zeta"))
+    val corpus = df(schema,
+      Row(1L, "alpha beta gamma delta other words here"), // shares a 4-gram
+      Row(2L, "totally disjoint vocabulary with novel tokens"))
+    val hits = BloomFilter.gramHits(corpus, "id", "text", ref, "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hits(1L) >= 1L && hits(2L) == 0L)
+    val clean = BloomFilter.cleanAgainstReference(corpus, "id", "text",
+      ref, "text", n = 4)
+    assert(clean.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }
