@@ -33,7 +33,7 @@ object Queries {
   lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
     apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b ++
-    round9c ++ round9d ++ round9e
+    round9c ++ round9d ++ round9e ++ round9f
 
   // ---------------------------------------------------------------- parsing
 
@@ -2832,6 +2832,214 @@ object Queries {
         SELECT doc_id, count(*)::BIGINT AS n_grams,
                sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_hits
         FROM gh GROUP BY 1""")
+    ))
+
+  private def round9f: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // SQ8 scalar quantization: per-dim global min/max (one narrow keyed
+      // agg, driver state = 2x64 doubles) -> affine 8-bit codes via a pure
+      // codegen'd transform. round-before-floor pins the engine-boundary
+      // case so DuckDB replays identical integer codes.
+      "q115_sq8_codes",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val (mn, mx) = graft.ann.VectorQuantize.trainSq(emb, "embedding")
+        graft.ann.VectorQuantize.sqEncode(emb, "embedding", mn, mx)
+          .select(col("vec_id"),
+            posexplode(col("codes")).as(Seq("dim", "code")))
+          .withColumn("dim", col("dim").cast("bigint"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        d AS (SELECT vec_id, i AS dim, e[i+1] AS v
+              FROM e, UNNEST(range(0, len(e))) AS t(i)),
+        mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM d GROUP BY 1)
+        SELECT vec_id, dim,
+               CASE WHEN mx - mn <= 0 THEN 0
+                    ELSE greatest(0, least(255,
+                      floor(round((v - mn) / (mx - mn) * 256, 6)))) END::BIGINT
+                 AS code
+        FROM d JOIN mm USING (dim)""")
+    ),
+    (
+      // Asymmetric quantized ANN: float queries vs the DEQUANTIZED 8-bit
+      // corpus (bucket midpoints) — the corpus ships 4x smaller while the
+      // search keeps bruteForce's broadcast-queries top-k shape. Oracle
+      // replays quantize -> dequantize -> cosine bit-for-bit.
+      "q116_ann_sq8",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val (mn, mx) = graft.ann.VectorQuantize.trainSq(emb, "embedding")
+        val codes = graft.ann.VectorQuantize.sqEncode(emb, "embedding", mn, mx)
+          .select("vec_id", "codes")
+        graft.ann.VectorQuantize.searchSq(codes, "vec_id", "codes", mn, mx,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        d AS (SELECT vec_id, i AS dim, e[i+1] AS v
+              FROM e, UNNEST(range(0, len(e))) AS t(i)),
+        mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM d GROUP BY 1),
+        codes AS (
+          SELECT vec_id, dim, mn, mx,
+                 CASE WHEN mx - mn <= 0 THEN 0
+                      ELSE greatest(0, least(255,
+                        floor(round((v - mn) / (mx - mn) * 256, 6)))) END
+                   AS code
+          FROM d JOIN mm USING (dim)),
+        deq AS (
+          SELECT vec_id,
+                 list(mn + (code + 0.5) * (mx - mn) / 256 ORDER BY dim) AS de
+          FROM codes GROUP BY 1),
+        q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 5),
+        s AS (SELECT qid, vec_id AS cid,
+                CAST(round(list_dot_product(qe, de) /
+                  (sqrt(list_dot_product(qe, qe)) *
+                   sqrt(list_dot_product(de, de))), 6) AS DOUBLE) AS score
+              FROM q, deq WHERE cid <> qid)
+        SELECT qid AS query_id, cid AS neighbor_id, score FROM s
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, cid) <= 3""")
+    ),
+    (
+      // URL canonicalization + host/domain parsing over a deterministic
+      // URL built from document fields (messy on purpose: uppercase
+      // scheme/host, default port, utm_ param, fragment, trailing slash).
+      // Pure RE2-safe regexp chain — both engines replay it byte-identically.
+      "q117_url_canonicalize",
+      (s: SparkSession, dir: String) =>
+        graft.ops.UrlOps.parse(
+          t(s, dir, "documents").withColumn("url",
+            concat(lit("HTTPS://WWW."), col("source"),
+              lit(".Example.CO.UK:443/"), col("lang"), lit("/doc/"),
+              col("doc_id"), lit("/?utm_source=feed&ref="), col("doc_id"),
+              lit("#sec"))), "url")
+          .select("doc_id", "url_canon", "host", "domain", "path_depth"),
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 'HTTPS://WWW.' || source || '.Example.CO.UK:443/' || lang ||
+                 '/doc/' || doc_id || '/?utm_source=feed&ref=' || doc_id ||
+                 '#sec' AS url
+          FROM documents),
+        c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf
+               FROM u),
+        c2 AS (SELECT *,
+                 lower(regexp_extract(nf,
+                   '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+                 regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+                   AS lo
+               FROM c1),
+        c3 AS (SELECT *,
+                 regexp_replace(regexp_replace(lo,
+                   '^(https://[^/:?#]*):443([/?]|$)', '\1\2'),
+                   '^(http://[^/:?#]*):80([/?]|$)', '\1\2') AS np
+               FROM c2),
+        c4 AS (SELECT *,
+                 regexp_replace(regexp_replace(regexp_replace(np,
+                   'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]$', ''),
+                   '\?&', '?') AS nu
+               FROM c3),
+        c5 AS (SELECT *,
+                 regexp_replace(regexp_replace(nu, '/+\?', '?'), '/+$', '')
+                   AS url_canon,
+                 lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+               FROM c4),
+        c6 AS (SELECT *, string_split(host, '.') AS labels,
+                 regexp_replace(regexp_replace(regexp_replace(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                   '[?#].*$', ''), '^/|/$', '', 'g') AS path
+               FROM c5)
+        SELECT doc_id, url_canon, host,
+               CASE WHEN len(labels) <= 1 THEN host
+                    WHEN len(labels) >= 3 AND len(labels[-1]) = 2
+                         AND labels[-2] IN
+                           ('co','com','net','org','gov','ac','edu')
+                    THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                    ELSE labels[-2] || '.' || labels[-1] END AS domain,
+               len(list_filter(string_split(path, '/'), x -> x <> ''))::BIGINT
+                 AS path_depth
+        FROM c6""")
+    ),
+    (
+      // Per-registered-domain corpus stats (page count, distinct hosts,
+      // mean path depth) — the table per-site quotas read. One keyed agg.
+      "q118_url_host_stats",
+      (s: SparkSession, dir: String) =>
+        graft.ops.UrlOps.hostStats(
+          t(s, dir, "documents").withColumn("url",
+            concat(lit("https://"), col("source"), lit(".example.com/"),
+              col("lang"), lit("/"), col("doc_id") % 7)), "url"),
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 'https://' || source || '.example.com/' || lang || '/' ||
+                 (doc_id % 7) AS url
+          FROM documents),
+        p AS (SELECT doc_id,
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+                len(list_filter(string_split(regexp_replace(regexp_replace(
+                  url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                  '[?#].*$', ''), '/'), x -> x <> '')) AS path_depth
+              FROM u),
+        d AS (SELECT *, string_split(host, '.') AS labels FROM p)
+        SELECT CASE WHEN len(labels) <= 1 THEN host
+                    WHEN len(labels) >= 3 AND len(labels[-1]) = 2
+                         AND labels[-2] IN
+                           ('co','com','net','org','gov','ac','edu')
+                    THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                    ELSE labels[-2] || '.' || labels[-1] END AS domain,
+               count(*)::BIGINT AS n_pages,
+               count(DISTINCT host)::BIGINT AS n_hosts,
+               round(avg(path_depth), 6) AS avg_path_depth
+        FROM d GROUP BY 1""")
+    ),
+    (
+      // BPE training statistics: ONE corpus-sized word-count agg, then
+      // adjacent char-pair counts over the VOCAB only (corpus-size-
+      // independent) — why tokenizer induction is feasible at 100 TB.
+      "q119_bpe_pairs",
+      (s: SparkSession, dir: String) =>
+        graft.ops.BpeTrain.pairCounts(t(s, dir, "documents"), "text"),
+      Some("""
+        WITH w AS (
+          SELECT t AS word, count(*)::BIGINT AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+          WHERE t <> '' GROUP BY 1),
+        p AS (
+          SELECT substring(word, i, 1) AS l, substring(word, i+1, 1) AS r,
+                 cnt
+          FROM w, UNNEST(range(1, len(word))) AS t(i)
+          WHERE len(word) >= 2)
+        SELECT l AS left, r AS right, sum(cnt)::BIGINT AS pair_cnt
+        FROM p GROUP BY 1, 2""")
+    ),
+    (
+      // distinct-n diversity per corpus slice: exact distinct-over-total
+      // word-3gram ratio per source — the mode-collapse / template-spam
+      // signal. Grams fuse into the scan; one keyed agg per slice.
+      "q120_distinct_ngrams",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Diversity.distinctN(t(s, dir, "documents"), "source",
+          "text", n = 3),
+      Some("""
+        WITH g AS (
+          SELECT source,
+                 CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                      ELSE [array_to_string(w[i+1:i+3], ' ')
+                            FOR i IN range(0, len(w) - 2)] END AS grams
+          FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+        x AS (SELECT source, unnest(grams) AS g FROM g)
+        SELECT source, count(*)::BIGINT AS n_grams,
+               count(DISTINCT g)::BIGINT AS n_distinct,
+               round(count(DISTINCT g)::DOUBLE / count(*), 6)
+                 AS distinct_ratio
+        FROM x GROUP BY 1""")
     ))
 
 }

@@ -270,6 +270,18 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def qualityFilter(textCol: String,
       cfg: QualityRules.Config = QualityRules.Config()): Frame =
     next(QualityRules.filter(df, textCol, cfg))
+  def urlParse(urlCol: String): Frame =
+    next(UrlOps.parse(df, urlCol))
+  def urlHostStats(urlCol: String): Frame =
+    next(UrlOps.hostStats(df, urlCol))
+  def bpePairCounts(textCol: String): Frame =
+    next(BpeTrain.pairCounts(df, textCol))
+  def distinctNgrams(sliceCol: String, textCol: String, n: Int = 3): Frame =
+    next(Diversity.distinctN(df, sliceCol, textCol, n))
+  def sq8Encode(embCol: String, outCol: String = "codes"): Frame = {
+    val (mn, mx) = graft.ann.VectorQuantize.trainSq(df, embCol)
+    next(graft.ann.VectorQuantize.sqEncode(df, embCol, mn, mx, outCol = outCol))
+  }
   def corpusStats(groupCols: Seq[String], tokenExpr: String,
       quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): Frame =
     next(CorpusStats(df, groupCols, tokenExpr, quantiles))

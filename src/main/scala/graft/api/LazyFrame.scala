@@ -365,6 +365,17 @@ final case class LazyFrame(
       "n_buckets" -> nBuckets)
   def urlFilter(urlKey: String, blocked: Seq[String]): LazyFrame =
     append("url_filter", "url_key" -> urlKey, "blocked" -> jlist(blocked))
+  def urlParse(urlKey: String, stats: Boolean = false): LazyFrame =
+    append("url_parse", "url_key" -> urlKey, "stats" -> stats)
+  def bpePairCounts(textKey: String): LazyFrame =
+    append("bpe_pairs", "text_key" -> textKey)
+  def distinctNgrams(sliceKey: String, textKey: String, n: Int = 3): LazyFrame =
+    append("distinct_ngrams", "slice_key" -> sliceKey, "text_key" -> textKey,
+      "n" -> n)
+  def sq8Encode(embeddingKey: String, levels: Int = 256,
+      outputKey: String = "codes"): LazyFrame =
+    append("sq8_encode", "embedding_key" -> embeddingKey,
+      "levels" -> levels, "output_key" -> outputKey)
   def budgetSelect(scoreExpr: String, costExpr: String, budget: Long,
       tieBreak: String): LazyFrame =
     append("budget_select", "score_expr" -> scoreExpr, "cost_expr" -> costExpr,

@@ -646,6 +646,30 @@ object Registry {
       QualityRules.signals(df, c("text_key").str, cfg)
     else QualityRules.filter(df, c("text_key").str, cfg)
   }
+  // URL canonicalization / host+domain parse (§2.14 curation). With
+  // `stats: true` it emits the per-registered-domain quota table instead.
+  register("url_parse") { (df, c, _) =>
+    if (c.boolOr("stats", false)) UrlOps.hostStats(df, c("url_key").str)
+    else UrlOps.parse(df, c("url_key").str)
+  }
+  // BPE tokenizer-training statistics (§2.14): corpus-weighted adjacent
+  // symbol-pair counts — one corpus-sized word count, then vocab-only work.
+  register("bpe_pairs") { (df, c, _) =>
+    BpeTrain.pairCounts(df, c("text_key").str)
+  }
+  // distinct-n diversity per corpus slice (§2.14 corpus statistics).
+  register("distinct_ngrams") { (df, c, _) =>
+    Diversity.distinctN(df, c("slice_key").str, c("text_key").str,
+      c.intOr("n", 3))
+  }
+  // SQ8 scalar quantization of an embedding column (§2.14 similarity
+  // search): trains per-dim min/max on THIS frame, appends integer codes.
+  register("sq8_encode") { (df, c, _) =>
+    val emb = c("embedding_key").str
+    val (mn, mx) = graft.ann.VectorQuantize.trainSq(df, emb)
+    graft.ann.VectorQuantize.sqEncode(df, emb, mn, mx,
+      c.intOr("levels", 256), c.strOr("output_key", "codes"))
+  }
   register("linear_score") { (df, c, ctx) =>
     val weights = ctx.datasets.getOrElse(c("weights").str,
       throw new IllegalArgumentException(

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and host/domain analytics — the first step of every
+  * web-corpus curation pipeline (publicly described for C4/Common Crawl
+  * processing, RefinedWeb's URL filtering, and Dolma's URL taggers; the
+  * reference's web ops fetch URLs but never normalize them — §2.14 engine
+  * extension alongside the PII/blocklist curation family).
+  *
+  * Why it matters at 100 TB: crawl corpora key dedup, blocklists, and
+  * per-site quotas on the URL. Un-normalized URLs split one logical page
+  * into many keys (`HTTP://Host:80/a/#frag` vs `http://host/a`), silently
+  * defeating exact dedup and per-domain budgets.
+  *
+  * Every function is a pure codegen'd regexp/array expression — no UDF, no
+  * shuffle, fused into the scan; [[hostStats]] adds the one keyed agg its
+  * output needs. Patterns avoid lookaround so any RE2-class engine (and the
+  * DuckDB oracle) replays them.
+  *
+  * Canonical form = lowercase scheme+host, fragment stripped, default ports
+  * (:80/:443) stripped, `utm_*` tracking params stripped (empty `?` cleaned
+  * up), trailing slashes stripped. Deliberately NOT done: query-param
+  * sorting (reorders semantics on some sites) and percent-decoding (changes
+  * byte identity) — both belong to site-specific policy, not the engine.
+  */
+object UrlOps {
+
+  /** Lowercased host (no port): the authority between `://` and the first
+    * `/ : ? #`. Empty string when the input has no scheme-ed authority. */
+  def host(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+
+  /** Registered domain: last two host labels, or last three when the TLD is
+    * 2 letters and the second-level label is a common public-suffix prefix
+    * (`co`, `com`, `net`, `org`, `gov`, `ac`, `edu`) — the `example.co.uk`
+    * case. A full public-suffix list is policy data the caller can swap in;
+    * this heuristic covers the overwhelming bulk of crawl traffic. */
+  def registeredDomain(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val tld = element_at(labels, -1)
+    val sld = when(n >= 2, element_at(labels, -2)).otherwise(lit(""))
+    val three = n >= 3 && length(tld) === 2 &&
+      sld.isin("co", "com", "net", "org", "gov", "ac", "edu")
+    when(n <= 1, hostCol)
+      .when(three, concat_ws(".", element_at(labels, -3), sld, tld))
+      .otherwise(concat_ws(".", sld, tld))
+  }
+
+  /** Number of non-empty path segments (`https://h/a/b/` -> 2). */
+  def pathDepth(url: Column): Column = {
+    val afterHost = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val path = regexp_replace(afterHost, "[?#].*$", "")
+    size(filter(split(path, "/"), s => s =!= ""))
+  }
+
+  /** Canonical URL (see object doc for the exact rule set). */
+  def canonicalize(url: Column): Column = {
+    // 1. strip fragment
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // 2. lowercase scheme + authority (only that prefix)
+    val auth = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val lowered = concat(lower(auth), rest)
+    // 3. strip default ports (host ends the authority, so :80/:443 sit
+    //    directly before /, ? or end — capture the boundary, no lookahead)
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:?#]*):443([/?]|$)", "$1$2"),
+      "^(http://[^/:?#]*):80([/?]|$)", "$1$2")
+    // 4. drop utm_* tracking params, then tidy separators left behind
+    val noUtm = regexp_replace(noPort, "utm_[a-z]+=[^&#]*&?", "")
+    val tidied = regexp_replace(regexp_replace(noUtm, "[?&]$", ""), "\\?&", "?")
+    // 5. strip trailing slashes (before the query string, or at the end)
+    regexp_replace(regexp_replace(tidied, "/+\\?", "?"), "/+$", "")
+  }
+
+  /** Append `url_canon`, `host`, `domain`, `path_depth`. */
+  def parse(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val h = host(u)
+    df.withColumn("url_canon", canonicalize(u))
+      .withColumn("host", h)
+      .withColumn("domain", registeredDomain(h))
+      .withColumn("path_depth", pathDepth(u).cast("bigint"))
+  }
+
+  /** Per-registered-domain corpus stats: page count, distinct hosts, mean
+    * path depth — the table per-site quotas and blocklist audits read. */
+  def hostStats(df: DataFrame, urlCol: String): DataFrame =
+    parse(df, urlCol)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_pages"),
+        countDistinct(col("host")).as("n_hosts"),
+        round(avg(col("path_depth")), 6).as("avg_path_depth"))
+}

@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-9g additions: SQ8 vector quantization, URL canonicalization,
+  * BPE training statistics, distinct-n diversity. */
+class Round9gSpec extends SparkSpec {
+
+  // ------------------------------------------------------------ quantize
+
+  private val embSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("e", ArrayType(DoubleType))))
+
+  test("sq8: codes round-trip within one bucket width per dimension") {
+    import graft.ann.VectorQuantize
+    val d = df(embSchema,
+      Row(1L, Seq(0.0, -1.0, 10.0)), Row(2L, Seq(0.5, 0.0, 20.0)),
+      Row(3L, Seq(1.0, 1.0, 30.0)))
+    val (mn, mx) = VectorQuantize.trainSq(d, "e")
+    assert(mn.toSeq == Seq(0.0, -1.0, 10.0) && mx.toSeq == Seq(1.0, 1.0, 30.0))
+    val enc = VectorQuantize.sqEncode(d, "e", mn, mx)
+    val deq = enc.withColumn("deq",
+      VectorQuantize.dequantizeCol(col("codes"), mn, mx))
+    deq.select("e", "deq").collect().foreach { r =>
+      val orig = r.getSeq[Double](0)
+      val rec = r.getSeq[Double](1)
+      orig.indices.foreach { i =>
+        val width = (mx(i) - mn(i)) / 256
+        assert(math.abs(orig(i) - rec(i)) <= width, s"dim $i: $orig vs $rec")
+      }
+    }
+  }
+
+  test("sq8: codes stay in [0,255]; extremes map to the end buckets") {
+    import graft.ann.VectorQuantize
+    val d = df(embSchema, Row(1L, Seq(0.0)), Row(2L, Seq(100.0)))
+    val (mn, mx) = VectorQuantize.trainSq(d, "e")
+    val codes = VectorQuantize.sqEncode(d, "e", mn, mx)
+      .orderBy("id").collect().map(_.getSeq[Long](2).head)
+    assert(codes.toSeq == Seq(0L, 255L))
+  }
+
+  test("sq8: zero-width dimension codes to 0, does not divide by zero") {
+    import graft.ann.VectorQuantize
+    val d = df(embSchema, Row(1L, Seq(7.0)), Row(2L, Seq(7.0)))
+    val (mn, mx) = VectorQuantize.trainSq(d, "e")
+    val codes = VectorQuantize.sqEncode(d, "e", mn, mx)
+      .collect().map(_.getSeq[Long](2).head)
+    assert(codes.toSeq == Seq(0L, 0L))
+  }
+
+  test("sq8 search: asymmetric top-k recovers the true neighbor on separated data") {
+    import graft.ann.VectorQuantize
+    val corpus = df(embSchema,
+      Row(1L, Seq(1.0, 0.0)), Row(2L, Seq(0.0, 1.0)),
+      Row(3L, Seq(0.9, 0.1)), Row(4L, Seq(-1.0, 0.0)))
+    val (mn, mx) = VectorQuantize.trainSq(corpus, "e")
+    val codes = VectorQuantize.sqEncode(corpus, "e", mn, mx)
+      .select("id", "codes")
+    val queries = df(embSchema, Row(10L, Seq(1.0, 0.05)))
+    val top = VectorQuantize.searchSq(codes, "id", "codes", mn, mx,
+      queries, "id", "e", k = 2).orderBy(col("score").desc)
+      .collect().map(_.getLong(1))
+    assert(top.toSeq == Seq(1L, 3L))
+  }
+
+  test("sq8 encode plan: pure narrow transform — no exchange, no join") {
+    import graft.ann.VectorQuantize
+    val d = df(embSchema, Row(1L, Seq(1.0, 2.0)), Row(2L, Seq(3.0, 4.0)))
+    val (mn, mx) = VectorQuantize.trainSq(d, "e")
+    val plan = VectorQuantize.sqEncode(d, "e", mn, mx)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
+  // ------------------------------------------------------------ url ops
+
+  private val urlSchema = StructType(Seq(
+    StructField("id", LongType), StructField("url", StringType)))
+
+  test("url canonicalize: case, port, utm, fragment, trailing slash") {
+    import graft.ops.UrlOps
+    val cases = Seq(
+      "HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&ref=1#frag" ->
+        "https://www.example.com/A/b?ref=1",
+      "http://Host.org:80/path/" -> "http://host.org/path",
+      "https://h.io/p?utm_campaign=z" -> "https://h.io/p",
+      "https://h.io/?utm_a=1&utm_b=2" -> "https://h.io",
+      "https://h.io/a//" -> "https://h.io/a",
+      "https://h.io" -> "https://h.io")
+    val d = df(urlSchema,
+      cases.zipWithIndex.map { case ((u, _), i) => Row(i.toLong, u) }: _*)
+    val got = UrlOps.parse(d, "url").orderBy("id")
+      .select("url_canon").collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("url host + registered domain: public-suffix heuristic") {
+    import graft.ops.UrlOps
+    val d = df(urlSchema,
+      Row(1L, "https://a.b.Example.CO.uk/x"),
+      Row(2L, "https://www.example.com/x"),
+      Row(3L, "https://localhost/x"),
+      Row(4L, "https://deep.sub.site.org/x"))
+    val got = UrlOps.parse(d, "url").orderBy("id")
+      .select("host", "domain").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      ("a.b.example.co.uk", "example.co.uk"),
+      ("www.example.com", "example.com"),
+      ("localhost", "localhost"),
+      ("deep.sub.site.org", "site.org")))
+  }
+
+  test("url path depth ignores query and fragment") {
+    import graft.ops.UrlOps
+    val d = df(urlSchema,
+      Row(1L, "https://h/a/b/c?x=/y/z"),
+      Row(2L, "https://h/"),
+      Row(3L, "https://h#/a/b"))
+    val got = UrlOps.parse(d, "url").orderBy("id")
+      .select("path_depth").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(3L, 0L, 0L))
+  }
+
+  test("url parse plan is narrow; hostStats is one aggregation") {
+    import graft.ops.UrlOps
+    val d = df(urlSchema, Row(1L, "https://a.com/x"), Row(2L, "https://b.com/y"))
+    val parsePlan = UrlOps.parse(d, "url").queryExecution.executedPlan.toString
+    assert(!parsePlan.contains("Exchange"), parsePlan)
+    val stats = UrlOps.hostStats(d, "url")
+    assert(stats.collect().length == 2)
+  }
+
+  // ------------------------------------------------------------ bpe
+
+  test("bpe pair counts weight by corpus word frequency") {
+    import graft.ops.BpeTrain
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    // "ab" x3 (2 + 1 via 'abc'), plus 'bc' x1
+    val d = df(schema, Row(1L, "ab ab abc"), Row(2L, "x"))
+    val counts = BpeTrain.pairCounts(d, "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts(("a", "b")) == 3L)
+    assert(counts(("b", "c")) == 1L)
+    assert(!counts.contains(("x", "x"))) // single-char words emit no pairs
+    val (l, r0, c) = BpeTrain.topMerge(BpeTrain.wordCounts(d, "text"))
+    assert((l, r0, c) == ("a", "b", 3L))
+  }
+
+  test("bpe pair stage reads the vocab, not the corpus") {
+    import graft.ops.BpeTrain
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val d = df(schema, (1L to 50L).map(i => Row(i, "same words each row")): _*)
+    val vocab = BpeTrain.wordCounts(d, "text")
+    assert(vocab.count() == 4) // corpus collapses to 4 vocab rows
+    // pairCounts over the vocab table never re-references the corpus plan
+    val pc = BpeTrain.pairCounts(vocab)
+    assert(pc.filter(col("left") === "a" && col("right") === "m")
+      .head().getLong(2) == 50L) // "same" x50 weights its pairs
+  }
+
+  // ------------------------------------------------------------ diversity
+
+  test("distinct-n: repeated slice scores lower than diverse slice") {
+    import graft.ops.Diversity
+    val schema = StructType(Seq(
+      StructField("src", StringType), StructField("text", StringType)))
+    val d = df(schema,
+      Row("spam", "buy now buy now buy now buy now"),
+      Row("spam", "buy now buy now"),
+      Row("rich", "the quick brown fox jumps over lazy dogs"))
+    val got = Diversity.distinctN(d, "src", "text", 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("rich") == 1.0)
+    assert(got("spam") < 0.5)
+  }
+
+  test("distinct-n: sub-n docs contribute their truncated shingle") {
+    import graft.ops.Diversity
+    val schema = StructType(Seq(
+      StructField("src", StringType), StructField("text", StringType)))
+    val d = df(schema, Row("s", "one two"))
+    val r = Diversity.distinctN(d, "s" + "rc", "text", 3).collect()(0)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getDouble(3) == 1.0)
+  }
+
+  // ------------------------------------------------------------ api surface
+
+  test("Frame + LazyFrame/YAML wire url, bpe, diversity, sq8 end-to-end") {
+    import graft.api.{Graft, LazyFrame, Pipeline}
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("url", StringType),
+      StructField("text", StringType),
+      StructField("e", ArrayType(DoubleType))))
+    val d = df(schema,
+      Row(1L, "HTTP://A.com:80/x/", "ab ab cd", Seq(0.0, 1.0)),
+      Row(2L, "https://b.co.uk/y#f", "ab cd cd", Seq(1.0, 0.0)))
+
+    assert(Graft.fromDF(d).urlParse("url").df.columns.contains("url_canon"))
+    assert(Graft.fromDF(d).urlHostStats("url").count() == 2)
+    assert(Graft.fromDF(d).bpePairCounts("text").count() == 2) // ab, cd
+    assert(Graft.fromDF(d).distinctNgrams("id", "text", 2).count() == 2)
+    assert(Graft.fromDF(d).sq8Encode("e").df.columns.contains("codes"))
+
+    val dir = java.nio.file.Files.createTempDirectory("r9g").toString
+    d.write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val lf = LazyFrame.read("d", s"$dir/d.parquet")
+      .urlParse("url").sq8Encode("e").distinctNgrams("domain", "text", 2)
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    val out = Pipeline.runYaml(lf.toYaml, spark)
+    assert(out.count() == 2 && out.columns.contains("distinct_ratio"))
+    val lf2 = LazyFrame.read("d", s"$dir/d.parquet")
+      .urlParse("url", stats = true)
+    assert(Pipeline.runYaml(lf2.toYaml, spark).count() == 2)
+    val lf3 = LazyFrame.read("d", s"$dir/d.parquet").bpePairCounts("text")
+    assert(LazyFrame.fromYaml(lf3.toYaml).toYaml == lf3.toYaml)
+    assert(Pipeline.runYaml(lf3.toYaml, spark).count() == 2)
+  }
+}
