@@ -3040,6 +3040,81 @@ object Queries {
                round(count(DISTINCT g)::DOUBLE / count(*), 6)
                  AS distinct_ratio
         FROM x GROUP BY 1""")
+    ),
+    (
+      // PQ encode under a deterministic codebook (the external-codebook
+      // seam: entries = embeddings of vec_id<4, 8 subspaces x 8 dims):
+      // per-subspace argmin over the broadcast codebook literal, a pure
+      // native array expression — no UDF, no shuffle, no join. k-means
+      // codebook TRAINING is covered by Round9gSpec (seeded, driver-sample).
+      "q121_pq_encode",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = pqTestCodebook(emb)
+        graft.ann.ProductQuantize.encode(emb, "embedding", cb)
+          .select(col("vec_id"),
+            posexplode(col("pq_codes")).as(Seq("sub", "code")))
+          .withColumn("sub", col("sub").cast("bigint"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS code, e AS ce FROM e WHERE vec_id < 4),
+        d AS (SELECT v.vec_id, s.s AS sub, cb.code,
+                list_sum([ (v.e[s.s*8+i+1] - cb.ce[s.s*8+i+1])^2
+                           FOR i IN range(0, 8)]) AS dist
+              FROM e v, UNNEST(range(0, 8)) AS s(s), cb)
+        SELECT vec_id, sub, code::BIGINT AS code
+        FROM d
+        QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                   ORDER BY dist, code) = 1""")
+    ),
+    (
+      // ADC top-k on the PQ codes: float queries score coded vectors by
+      // summed per-subspace query->centroid distance (corpus never
+      // reconstructed), rounded BEFORE ranking so cross-engine order is
+      // tie-stable. Smallest distance first, neighbor id tie-break.
+      "q122_ann_pq_adc",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = pqTestCodebook(emb)
+        val coded = graft.ann.ProductQuantize.encode(emb, "embedding", cb)
+          .select("vec_id", "pq_codes")
+        graft.ann.ProductQuantize.adcSearch(coded, "vec_id", "pq_codes", cb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS code, e AS ce FROM e WHERE vec_id < 4),
+        d AS (SELECT v.vec_id, s.s AS sub, cb.code,
+                list_sum([ (v.e[s.s*8+i+1] - cb.ce[s.s*8+i+1])^2
+                           FOR i IN range(0, 8)]) AS dist
+              FROM e v, UNNEST(range(0, 8)) AS s(s), cb),
+        codes AS (
+          SELECT vec_id, sub, code FROM d
+          QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist, code) = 1),
+        q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 5),
+        sc AS (SELECT q.qid, c.vec_id AS cid,
+                 round(sum(list_sum(
+                   [ (q.qe[c.sub*8+i+1] - cb.ce[c.sub*8+i+1])^2
+                     FOR i IN range(0, 8)])), 6) AS adc_dist
+               FROM q, codes c JOIN cb USING (code)
+               WHERE c.vec_id <> q.qid
+               GROUP BY 1, 2)
+        SELECT qid AS query_id, cid AS neighbor_id, adc_dist FROM sc
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY adc_dist, cid) <= 3""")
     ))
+
+  /** Deterministic 8-subspace codebook for q121/q122: entry `code` of every
+    * subspace is the matching slice of embedding row `vec_id = code`. */
+  private def pqTestCodebook(emb: DataFrame): graft.ann.ProductQuantize.Codebook = {
+    val rows = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(transform(col("embedding"), _.cast("double")).as("_e"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    Array.tabulate(8)(s0 => rows.map(r => r.slice(s0 * 8, s0 * 8 + 8)))
+  }
 
 }

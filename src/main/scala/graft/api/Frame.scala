@@ -282,6 +282,19 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     val (mn, mx) = graft.ann.VectorQuantize.trainSq(df, embCol)
     next(graft.ann.VectorQuantize.sqEncode(df, embCol, mn, mx, outCol = outCol))
   }
+  def pqEncode(embCol: String, nSub: Int, nCodes: Int,
+      outCol: String = "pq_codes"): Frame = {
+    val cb = graft.ann.ProductQuantize.trainPq(df, embCol, nSub, nCodes)
+    next(graft.ann.ProductQuantize.encode(df, embCol, cb, outCol))
+  }
+  def annPq(queryId: String, queryEmb: String, corpus: Frame,
+      corpusId: String, corpusEmb: String, nSub: Int, nCodes: Int,
+      k: Int): Frame = {
+    val cb = graft.ann.ProductQuantize.trainPq(corpus.df, corpusEmb, nSub, nCodes)
+    val coded = graft.ann.ProductQuantize.encode(corpus.df, corpusEmb, cb)
+    next(graft.ann.ProductQuantize.adcSearch(coded, corpusId, "pq_codes", cb,
+      df, queryId, queryEmb, k))
+  }
   def corpusStats(groupCols: Seq[String], tokenExpr: String,
       quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): Frame =
     next(CorpusStats(df, groupCols, tokenExpr, quantiles))

@@ -376,6 +376,11 @@ final case class LazyFrame(
       outputKey: String = "codes"): LazyFrame =
     append("sq8_encode", "embedding_key" -> embeddingKey,
       "levels" -> levels, "output_key" -> outputKey)
+  def pqEncode(embeddingKey: String, nSub: Int, nCodes: Int = 256,
+      randomState: Int = 42, outputKey: String = "pq_codes"): LazyFrame =
+    append("pq_encode", "embedding_key" -> embeddingKey, "n_sub" -> nSub,
+      "n_codes" -> nCodes, "random_state" -> randomState,
+      "output_key" -> outputKey)
   def budgetSelect(scoreExpr: String, costExpr: String, budget: Long,
       tieBreak: String): LazyFrame =
     append("budget_select", "score_expr" -> scoreExpr, "cost_expr" -> costExpr,

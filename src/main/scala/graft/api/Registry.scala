@@ -670,6 +670,18 @@ object Registry {
     graft.ann.VectorQuantize.sqEncode(df, emb, mn, mx,
       c.intOr("levels", 256), c.strOr("output_key", "codes"))
   }
+  // Product quantization (§2.14 similarity search): per-subspace k-means
+  // codebooks trained on THIS frame (seeded driver sample), appends the
+  // nSub-length integer code array. An externally-trained codebook enters
+  // through the Scala API's codebook seam.
+  register("pq_encode") { (df, c, _) =>
+    val emb = c("embedding_key").str
+    val cb = graft.ann.ProductQuantize.trainPq(df, emb,
+      c("n_sub").int, c.intOr("n_codes", 256),
+      seed = c.intOr("random_state", 42).toLong)
+    graft.ann.ProductQuantize.encode(df, emb, cb,
+      c.strOr("output_key", "pq_codes"))
+  }
   register("linear_score") { (df, c, ctx) =>
     val weights = ctx.datasets.getOrElse(c("weights").str,
       throw new IllegalArgumentException(

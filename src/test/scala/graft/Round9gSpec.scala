@@ -76,6 +76,71 @@ class Round9gSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  // ------------------------------------------------------------ pq
+
+  test("pq: encode against a fixed codebook picks the nearest entry per subspace") {
+    import graft.ann.ProductQuantize
+    // 2 subspaces x 2 dims, 2 codes each
+    val cb: ProductQuantize.Codebook = Array(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+      Array(Array(5.0, 5.0), Array(-5.0, -5.0)))
+    val d = df(embSchema,
+      Row(1L, Seq(1.0, -1.0, 4.0, 6.0)), // sub0 -> code0, sub1 -> code0
+      Row(2L, Seq(9.0, 11.0, -4.0, -6.0))) // sub0 -> code1, sub1 -> code1
+    val got = ProductQuantize.encode(d, "e", cb).orderBy("id")
+      .collect().map(_.getSeq[Long](2))
+    assert(got.toSeq.map(_.toSeq) == Seq(Seq(0L, 0L), Seq(1L, 1L)))
+  }
+
+  test("pq: trainPq is deterministic and codebooks reconstruct separated clusters") {
+    import graft.ann.ProductQuantize
+    val rows = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 100.0
+      val jit = (i % 3) * 0.01
+      Row(i, Seq(base + jit, base - jit, -base + jit, -base - jit))
+    }
+    val d = df(embSchema, rows: _*)
+    val cb1 = ProductQuantize.trainPq(d, "e", nSub = 2, nCodes = 2)
+    val cb2 = ProductQuantize.trainPq(d, "e", nSub = 2, nCodes = 2)
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb2.map(_.map(_.toSeq).toSeq).toSeq)
+    // two well-separated clusters per subspace -> distinct codes per parity
+    val codes = ProductQuantize.encode(d, "e", cb1)
+      .select(col("id") % 2, col("pq_codes")).distinct().collect()
+    assert(codes.length == 2)
+  }
+
+  test("pq: adc search recovers the true neighbor on separated data") {
+    import graft.ann.ProductQuantize
+    val corpus = df(embSchema,
+      Row(1L, Seq(0.0, 0.0, 0.0, 0.0)), Row(2L, Seq(10.0, 10.0, 10.0, 10.0)),
+      Row(3L, Seq(0.5, 0.5, 0.5, 0.5)), Row(4L, Seq(20.0, 20.0, 20.0, 20.0)))
+    val cb = ProductQuantize.trainPq(corpus, "e", nSub = 2, nCodes = 4)
+    val coded = ProductQuantize.encode(corpus, "e", cb).select("id", "pq_codes")
+    val q = df(embSchema, Row(99L, Seq(0.4, 0.4, 0.4, 0.4)))
+    val top = ProductQuantize.adcSearch(coded, "id", "pq_codes", cb,
+      q, "id", "e", k = 2).orderBy("adc_dist").collect().map(_.getLong(1))
+    assert(top.toSeq.sorted == Seq(1L, 3L)) // the two near-origin rows
+  }
+
+  test("pq encode plan: pure narrow expression — no exchange, no join") {
+    import graft.ann.ProductQuantize
+    val cb: ProductQuantize.Codebook =
+      Array(Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+    val d = df(embSchema, Row(1L, Seq(0.1, 0.2)))
+    val plan = ProductQuantize.encode(d, "e", cb)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
+  test("pq: trainPq rejects a dimension that does not divide into nSub") {
+    import graft.ann.ProductQuantize
+    val d = df(embSchema, Row(1L, Seq(1.0, 2.0, 3.0)))
+    intercept[IllegalArgumentException] {
+      ProductQuantize.trainPq(d, "e", nSub = 2, nCodes = 2)
+    }
+  }
+
   // ------------------------------------------------------------ url ops
 
   private val urlSchema = StructType(Seq(
@@ -207,6 +272,10 @@ class Round9gSpec extends SparkSpec {
     assert(Graft.fromDF(d).bpePairCounts("text").count() == 2) // ab, cd
     assert(Graft.fromDF(d).distinctNgrams("id", "text", 2).count() == 2)
     assert(Graft.fromDF(d).sq8Encode("e").df.columns.contains("codes"))
+    assert(Graft.fromDF(d).pqEncode("e", nSub = 1, nCodes = 2).df.columns
+      .contains("pq_codes"))
+    assert(Graft.fromDF(d).annPq("id", "e", Graft.fromDF(d), "id", "e",
+      nSub = 1, nCodes = 2, k = 1).count() == 2)
 
     val dir = java.nio.file.Files.createTempDirectory("r9g").toString
     d.write.mode("overwrite").parquet(s"$dir/d.parquet")
@@ -221,5 +290,9 @@ class Round9gSpec extends SparkSpec {
     val lf3 = LazyFrame.read("d", s"$dir/d.parquet").bpePairCounts("text")
     assert(LazyFrame.fromYaml(lf3.toYaml).toYaml == lf3.toYaml)
     assert(Pipeline.runYaml(lf3.toYaml, spark).count() == 2)
+    val lf4 = LazyFrame.read("d", s"$dir/d.parquet")
+      .pqEncode("e", nSub = 1, nCodes = 2)
+    assert(LazyFrame.fromYaml(lf4.toYaml).toYaml == lf4.toYaml)
+    assert(Pipeline.runYaml(lf4.toYaml, spark).columns.contains("pq_codes"))
   }
 }
