@@ -79,6 +79,21 @@ object BloomFilter {
       .drop("_bf_words")
   }
 
+  /** Column-level probe of every element of an array column: returns
+    * array<boolean>, one membership verdict per key, against the broadcast
+    * word-array literal. Mirrors [[probe]]'s hash chain exactly but stays a
+    * pure expression over arrays — usable per-row in streaming plans where
+    * an explode + re-aggregate would force stateful append-mode machinery. */
+  def probeValues(keys: Column, filter: Filter): Column = {
+    val words = typedlit(filter.words.toSeq)
+    transform(keys, key => (0 until filter.k).map { i =>
+      val p = conv(substring(md5(concat(key.cast("string"), lit(s":$i"))),
+        1, 13), 16, 10).cast("bigint") % filter.m
+      call_function("shiftright", element_at(words, (p / 64).cast("int") + 1),
+        (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _))
+  }
+
   /** Per-document n-gram hit counts against a reference corpus's gram
     * filter — bloom-based decontamination/ingest dedup: `n_grams` distinct
     * word n-grams, `n_hits` of them (possibly) present in the reference.

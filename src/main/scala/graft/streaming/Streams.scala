@@ -145,6 +145,40 @@ object Streams {
     * join in thin, candidates-only. Re-flagging across restarts is
     * idempotent by construction (no state to lose). Persist/cache the
     * signature table DataFrame if the per-batch static scan matters. */
+  /** Streaming bloom-filter decontamination against an accumulated
+    * reference corpus: keep rows whose word n-grams hit the reference's
+    * [[graft.dedup.BloomFilter]] at most `maxHits` times. The filter builds
+    * ONCE from the static reference (one narrow agg → fixed m-bit word
+    * array) and the probe is a pure per-row expression over that broadcast
+    * literal — stateless, no stream-static join, so restarts/replays are
+    * idempotent and per-batch cost never grows with reference size. Bloom
+    * guarantees carry over: nothing contaminated survives (no false
+    * negatives); false positives drop clean rows at the configured rate.
+    * The always-on analog of `BloomFilter.cleanAgainstReference`. */
+  def bloomClean(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      reference: DataFrame,
+      refTextCol: String,
+      n: Int = 4,
+      m: Long = 1L << 22,
+      k: Int = 3,
+      maxHits: Long = 0L): DataFrame = {
+    val refGrams = reference.select(
+      explode(array_distinct(
+        graft.functions.TextFunctions.shingles(col(refTextCol), n))).as("_g"))
+    val filter = graft.dedup.BloomFilter.build(refGrams, "_g", m, k)
+    val hitCount = aggregate(
+      graft.dedup.BloomFilter.probeValues(
+        array_distinct(
+          graft.functions.TextFunctions.shingles(col(textCol), n)), filter),
+      lit(0L), (acc, h) => acc + when(h, 1L).otherwise(0L))
+    stream.withColumn("_bloom_hits", hitCount)
+      .filter(col("_bloom_hits") <= maxHits)
+      .drop("_bloom_hits")
+  }
+
   def nearDupHitsAgainstReference(
       stream: DataFrame,
       idCol: String,

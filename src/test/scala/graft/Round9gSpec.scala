@@ -255,6 +255,18 @@ class Round9gSpec extends SparkSpec {
     assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getDouble(3) == 1.0)
   }
 
+  // ------------------------------------------------------------ examples
+
+  test("the web-curation example pipeline runs end to end") {
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/web_curation_pipeline.yaml")))
+    val out = graft.api.Pipeline.runYaml(yaml, spark)
+    val rows = out.collect()
+    assert(rows.nonEmpty && out.columns.contains("distinct_ratio"))
+    // every slice key collapses to the single canonical registered domain
+    assert(rows.forall(_.getAs[String]("domain") == "example.com"))
+  }
+
   // ------------------------------------------------------------ api surface
 
   test("Frame + LazyFrame/YAML wire url, bpe, diversity, sq8 end-to-end") {

@@ -423,4 +423,44 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("disjoint"))
   }
+
+  test("streaming bloom decontamination: stateless per-row probe, no join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ref = Seq("alpha beta gamma delta epsilon zeta eta").toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val cleaned = Streams.bloomClean(docs, "doc_id", "text", ref, "text",
+      n = 4, m = 1L << 12, k = 3)
+    // plan has no stream-static join and no stateful operator
+    val planStr = cleaned.queryExecution.analyzed.toString
+    assert(!planStr.toLowerCase.contains("join"), planStr)
+    val q = cleaned.writeStream.format("memory").queryName("bloomclean")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      (1L, "alpha beta gamma delta brand new ending"), // shares a ref 4-gram
+      (2L, "совершенно novel tokens nothing shared at all"),
+      (3L, "zeta eta and then something else entirely")) // no shared 4-gram
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT doc_id FROM bloomclean")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("bloom probeValues matches the per-row probe on the same filter") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ref = (1 to 50).map(i => s"key$i").toDF("k")
+    val f = graft.dedup.BloomFilter.build(ref, "k", m = 4096, k = 3)
+    val probeDf = (40 to 60).map(i => s"key$i").toDF("k")
+    val viaProbe = graft.dedup.BloomFilter.probe(probeDf, "k", f)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val viaValues = probeDf.select(col("k"),
+      element_at(graft.dedup.BloomFilter.probeValues(array(col("k")), f), 1)
+        .as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(viaProbe == viaValues)
+    assert((40 to 50).forall(i => viaValues(s"key$i"))) // no false negatives
+  }
 }
