@@ -3106,6 +3106,47 @@ object Queries {
         SELECT qid AS query_id, cid AS neighbor_id, adc_dist FROM sc
         QUALIFY row_number() OVER (PARTITION BY qid
                                    ORDER BY adc_dist, cid) <= 3""")
+    ),
+    (
+      // IVFPQ with nProbe = nCells: probing every cell makes the composed
+      // coarse-quantizer + PQ machinery EXACT (the q29 trick), so the
+      // oracle is q122's ADC ranking — the whole assign/probe/ADC/merge
+      // path sits under the gate. Sub-linear nProbe recall is spec-covered.
+      "q123_ann_ivfpq",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val cb = pqTestCodebook(emb)
+        val centroids = graft.ann.Ann.trainCentroids(emb, "embedding", 8)
+        val assigned = graft.ann.Ann.ivfAssign(emb, "embedding", centroids)
+        val coded = graft.ann.ProductQuantize.encode(assigned, "embedding", cb)
+          .select("vec_id", "_cell", "pq_codes")
+        graft.ann.ProductQuantize.ivfPqSearch(coded, "vec_id", "pq_codes",
+          cb, centroids, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, nProbe = 8)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        cb AS (SELECT vec_id AS code, e AS ce FROM e WHERE vec_id < 4),
+        d AS (SELECT v.vec_id, s.s AS sub, cb.code,
+                list_sum([ (v.e[s.s*8+i+1] - cb.ce[s.s*8+i+1])^2
+                           FOR i IN range(0, 8)]) AS dist
+              FROM e v, UNNEST(range(0, 8)) AS s(s), cb),
+        codes AS (
+          SELECT vec_id, sub, code FROM d
+          QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY dist, code) = 1),
+        q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 5),
+        sc AS (SELECT q.qid, c.vec_id AS cid,
+                 round(sum(list_sum(
+                   [ (q.qe[c.sub*8+i+1] - cb.ce[c.sub*8+i+1])^2
+                     FOR i IN range(0, 8)])), 6) AS adc_dist
+               FROM q, codes c JOIN cb USING (code)
+               WHERE c.vec_id <> q.qid
+               GROUP BY 1, 2)
+        SELECT qid AS query_id, cid AS neighbor_id, adc_dist FROM sc
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY adc_dist, cid) <= 3""")
     ))
 
   /** Deterministic 8-subspace codebook for q121/q122: entry `code` of every

@@ -95,6 +95,47 @@ object ProductQuantize {
       })
   }
 
+  /** IVFPQ: the standard billion-scale recipe (FAISS `IndexIVFPQ`) — the
+    * coarse quantizer ([[Ann.ivfAssign]] cells) bounds which corpus rows a
+    * query touches, PQ codes bound what each touched row costs. The corpus
+    * carries only (id, cell, codes); queries broadcast-join their `nProbe`
+    * nearest cells and ADC-score candidates, so scan cost drops by
+    * ~nCells/nProbe AND the scanned payload is codes, not floats. With
+    * `nProbe = nCells` results are exactly [[adcSearch]]'s (the q29-style
+    * correctness gate); sub-linear probes trade recall, covered by spec. */
+  def ivfPqSearch(
+      assignedCodes: DataFrame, // has _cell (ivfAssign) + PQ codes
+      corpusId: String,
+      codesColName: String,
+      cb: Codebook,
+      centroids: Array[Array[Double]],
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val sortedCells = array_sort(array(centroids.zipWithIndex.map {
+      case (ctr, i) =>
+        struct(graft.functions.VectorFunctions
+          .euclideanToConst(col(queryEmb), ctr).as("d"), lit(i).as("cell"))
+    }.toIndexedSeq: _*))
+    val probeCells =
+      transform(slice(sortedCells, 1, nProbe), s => s.getField("cell"))
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryEmb).as("_qe"), explode(probeCells).as("_cell"))
+    val c = assignedCodes.select(col(corpusId).as("neighbor_id"),
+      col(codesColName).as("_codes"), col("_cell"))
+    val scored = c.join(broadcast(q), Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        round(adcScore(col("_qe"), col("_codes"), cb), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "adc_dist")
+  }
+
   /** Asymmetric top-k: float queries against the PQ-coded corpus, smallest
     * ADC distance first. Broadcast-queries shape, k rows per query. */
   def adcSearch(

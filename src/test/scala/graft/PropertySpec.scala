@@ -605,4 +605,39 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: url canonicalize is idempotent and keeps host/depth stable") {
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "https", "HTTP")
+      labels <- Gen.choose(1, 4)
+      host <- Gen.listOfN(labels,
+        Gen.listOfN(3, Gen.alphaChar).map(_.mkString)).map(_.mkString("."))
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      segs <- Gen.choose(0, 3)
+      path <- Gen.listOfN(segs, word).map(w =>
+        if (w.isEmpty) "" else "/" + w.mkString("/"))
+      slash <- Gen.oneOf("", "/", "//")
+      query <- Gen.oneOf("", "?a=1", "?utm_source=x", "?utm_a=1&b=2", "?b=2&utm_x=3")
+      frag <- Gen.oneOf("", "#f", "#a/b")
+    } yield s"$scheme://$host$port$path$slash$query$frag"
+    val urls = samples(urlGen, 300)
+    val schema = StructType(Seq(StructField("url", StringType)))
+    val d = df(schema, urls.map(Row(_)): _*)
+    val once = graft.ops.UrlOps.parse(d, "url")
+      .withColumnRenamed("url_canon", "c1")
+      .withColumnRenamed("host", "h1")
+      .withColumnRenamed("path_depth", "d1")
+      .drop("domain")
+    val twice = graft.ops.UrlOps.parse(
+      once.withColumnRenamed("c1", "url0").withColumn("url",
+        org.apache.spark.sql.functions.col("url0")), "url")
+    twice.select("url0", "url_canon", "h1", "host", "d1", "path_depth")
+      .collect().foreach { r =>
+        assert(r.getString(1) == r.getString(0),
+          s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}")
+        assert(r.getString(3) == r.getString(2)) // host survives canon
+        // depth can only shrink via the stripped trailing slashes, never grow
+        assert(r.getLong(5) <= r.getLong(4))
+      }
+  }
 }

@@ -133,6 +133,49 @@ class Round9gSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("ivfpq: probing all cells equals plain adc search; fewer cells trades recall") {
+    import graft.ann.{Ann, ProductQuantize}
+    val rows = (0L until 60L).map { i =>
+      val a = (i % 6).toDouble; val b = ((i * 7) % 11).toDouble
+      Row(i, Seq(a, b, a - b, a + b))
+    }
+    val corpus = df(embSchema, rows: _*)
+    val cb = ProductQuantize.trainPq(corpus, "e", nSub = 2, nCodes = 4)
+    val centroids = Ann.trainCentroids(corpus, "e", 4)
+    val coded = ProductQuantize.encode(
+      Ann.ivfAssign(corpus, "e", centroids), "e", cb)
+      .select(col("id"), col("_cell"), col("pq_codes"))
+    val queries = df(embSchema,
+      Row(100L, Seq(2.0, 3.0, -1.0, 5.0)), Row(101L, Seq(5.0, 1.0, 4.0, 6.0)))
+    def rank(d: org.apache.spark.sql.DataFrame) = d.orderBy("query_id", "adc_dist", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = rank(ProductQuantize.adcSearch(coded, "id", "pq_codes", cb,
+      queries, "id", "e", k = 3))
+    val all = rank(ProductQuantize.ivfPqSearch(coded, "id", "pq_codes", cb,
+      centroids, queries, "id", "e", k = 3, nProbe = 4))
+    assert(all == exact)
+    val sub = ProductQuantize.ivfPqSearch(coded, "id", "pq_codes", cb,
+      centroids, queries, "id", "e", k = 3, nProbe = 1)
+    // sub-linear probe returns at most k per query, drawn from exact's pool
+    assert(sub.count() <= 6)
+  }
+
+  test("ivfpq plan: keyed broadcast join on cells, no cartesian product") {
+    import graft.ann.{Ann, ProductQuantize}
+    val corpus = df(embSchema,
+      (0L until 20L).map(i => Row(i, Seq(i.toDouble, -i.toDouble))): _*)
+    val cb = ProductQuantize.trainPq(corpus, "e", nSub = 1, nCodes = 2)
+    val centroids = Ann.trainCentroids(corpus, "e", 2)
+    val coded = ProductQuantize.encode(
+      Ann.ivfAssign(corpus, "e", centroids), "e", cb)
+      .select(col("id"), col("_cell"), col("pq_codes"))
+    val plan = ProductQuantize.ivfPqSearch(coded, "id", "pq_codes", cb,
+      centroids, corpus.limit(2), "id", "e", k = 2, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("pq: trainPq rejects a dimension that does not divide into nSub") {
     import graft.ann.ProductQuantize
     val d = df(embSchema, Row(1L, Seq(1.0, 2.0, 3.0)))
