@@ -3147,6 +3147,44 @@ object Queries {
         SELECT qid AS query_id, cid AS neighbor_id, adc_dist FROM sc
         QUALIFY row_number() OVER (PARTITION BY qid
                                    ORDER BY adc_dist, cid) <= 3""")
+    ),
+    (
+      // Snapshot diff between two ingests: prev = docs except doc_id%5==0,
+      // next = docs except doc_id%7==0 with doc_id%3==0 texts rewritten.
+      // Both sides reduce to (id, md5) in the scan; ONE id-keyed full outer
+      // join ships 16-byte hashes; output is delta-sized (unchanged rows
+      // are implicit — emitting them would make the diff corpus-sized).
+      "q124_snapshot_diff",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val prev = docs.filter(col("doc_id") % 5 =!= 0)
+        val next = docs.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text", when(col("doc_id") % 3 === 0,
+            concat(lit("edited: "), col("text"))).otherwise(col("text")))
+        graft.ops.SnapshotDiff(prev, next, "doc_id", "text")
+      },
+      Some("""
+        WITH p AS (SELECT doc_id, md5(text) AS prev_hash FROM documents
+                   WHERE doc_id % 5 <> 0),
+        n AS (SELECT doc_id,
+                md5(CASE WHEN doc_id % 3 = 0 THEN 'edited: ' || text
+                         ELSE text END) AS next_hash
+              FROM documents WHERE doc_id % 7 <> 0),
+        j AS (SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
+                     prev_hash, next_hash
+              FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id)
+        SELECT doc_id,
+               CASE WHEN prev_hash IS NULL THEN 'added'
+                    WHEN next_hash IS NULL THEN 'removed'
+                    WHEN prev_hash <> next_hash THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               coalesce(prev_hash, '') AS prev_hash,
+               coalesce(next_hash, '') AS next_hash
+        FROM j
+        WHERE CASE WHEN prev_hash IS NULL THEN 'added'
+                   WHEN next_hash IS NULL THEN 'removed'
+                   WHEN prev_hash <> next_hash THEN 'changed'
+                   ELSE 'unchanged' END <> 'unchanged'""")
     ))
 
   /** Deterministic 8-subspace codebook for q121/q122: entry `code` of every

@@ -287,6 +287,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     val cb = graft.ann.ProductQuantize.trainPq(df, embCol, nSub, nCodes)
     next(graft.ann.ProductQuantize.encode(df, embCol, cb, outCol))
   }
+  def snapshotDiff(prev: Frame, idCol: String, contentExpr: String): Frame =
+    next(SnapshotDiff(prev.df, df, idCol, contentExpr))
+  def reprocessAgainst(prev: Frame, idCol: String, contentExpr: String): Frame =
+    next(SnapshotDiff.reprocessSet(prev.df, df, idCol, contentExpr))
   def annPq(queryId: String, queryEmb: String, corpus: Frame,
       corpusId: String, corpusEmb: String, nSub: Int, nCodes: Int,
       k: Int): Frame = {

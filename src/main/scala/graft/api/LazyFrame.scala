@@ -487,6 +487,18 @@ final case class LazyFrame(
       .append("importance_weight", fields: _*)
   }
 
+  /** Snapshot diff of this frame (the NEW ingest) against `prev` (a binary
+    * merge; the op references prev's final step by name). `reprocess`
+    * returns this frame's added/changed rows instead of the delta table. */
+  def snapshotDiff(prev: LazyFrame, idKey: String, contentExpr: String,
+      reprocess: Boolean = false): LazyFrame = {
+    val (m, lRef, rRef) = merged(prev)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"snapshot_diff_${m.steps.length}")
+      .append("snapshot_diff", "prev" -> rRef, "id_key" -> idKey,
+        "content_expr" -> contentExpr, "reprocess" -> reprocess)
+  }
+
   // ---- binary combinators (two-frame merge, frame.py:239-335) ----
 
   /** Decontaminate this frame against `benchmark` (a binary merge like

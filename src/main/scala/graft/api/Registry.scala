@@ -682,6 +682,17 @@ object Registry {
     graft.ann.ProductQuantize.encode(df, emb, cb,
       c.strOr("output_key", "pq_codes"))
   }
+  // Snapshot diff (§2.14 incremental ingest): delta of THIS frame vs a
+  // previous snapshot dataset — added/removed/changed by content hash.
+  // `reprocess: true` instead returns this frame's rows needing re-work.
+  register("snapshot_diff") { (df, c, ctx) =>
+    val prev = ctx.datasets.getOrElse(c("prev").str,
+      throw new IllegalArgumentException(
+        s"unknown snapshot_diff prev dataset '${c("prev").str}'"))
+    if (c.boolOr("reprocess", false))
+      SnapshotDiff.reprocessSet(prev, df, c("id_key").str, c("content_expr").str)
+    else SnapshotDiff(prev, df, c("id_key").str, c("content_expr").str)
+  }
   register("linear_score") { (df, c, ctx) =>
     val weights = ctx.datasets.getOrElse(c("weights").str,
       throw new IllegalArgumentException(

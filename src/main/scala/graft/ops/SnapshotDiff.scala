@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Content-hash diff of two corpus snapshots — the audit step between
+  * incremental ingests (what changed since the last dump?) that decides
+  * which rows re-enter the dedup/decontaminate/export pipeline (publicly
+  * standard lakehouse practice — cf. Delta Lake CDF / Iceberg snapshot
+  * diffs; the reference has no snapshot story — §2.14 engine extension
+  * alongside the file-ledger incremental scan and `dedup_against`).
+  *
+  * Scale shape: each side reduces to (id, md5(content)) in its scan stage
+  * — the join ships 16-byte hashes, never content — then ONE full outer
+  * join on the id. Output is `added` / `removed` / `changed` rows only
+  * (`unchanged` is the bulk at 100 TB and is implicit; emitting it would
+  * make the diff corpus-sized instead of delta-sized). Downstream,
+  * `added ∪ changed` is exactly the re-process set.
+  */
+object SnapshotDiff {
+
+  /** Diff `next` against `prev` by `idCol` identity and `contentExpr`
+    * content hash. Output: (id, status ∈ added|removed|changed,
+    * prev_hash, next_hash). */
+  def apply(prev: DataFrame, next: DataFrame, idCol: String,
+      contentExpr: String): DataFrame = {
+    val p = prev.select(col(idCol).as("_id"),
+      md5(expr(contentExpr).cast("string")).as("prev_hash"))
+    val n = next.select(col(idCol).as("_id"),
+      md5(expr(contentExpr).cast("string")).as("next_hash"))
+    p.join(n, Seq("_id"), "full_outer")
+      .withColumn("status",
+        when(col("prev_hash").isNull, "added")
+          .when(col("next_hash").isNull, "removed")
+          .when(col("prev_hash") =!= col("next_hash"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      // absent sides surface as '' (not NULL): the delta table is an
+      // export/report artifact and downstream exact-compare tooling
+      // (including the oracle gate) treats NULL as unequal to itself
+      .select(col("_id").as(idCol), col("status"),
+        coalesce(col("prev_hash"), lit("")).as("prev_hash"),
+        coalesce(col("next_hash"), lit("")).as("next_hash"))
+  }
+
+  /** The rows of `next` that need re-processing: content is new or changed
+    * since `prev`. One broadcast-able semi-join of the delta ids. */
+  def reprocessSet(prev: DataFrame, next: DataFrame, idCol: String,
+      contentExpr: String): DataFrame = {
+    val delta = apply(prev, next, idCol, contentExpr)
+      .filter(col("status").isin("added", "changed"))
+      .select(col(idCol))
+    next.join(delta, Seq(idCol), "left_semi")
+  }
+}

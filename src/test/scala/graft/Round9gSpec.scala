@@ -298,6 +298,51 @@ class Round9gSpec extends SparkSpec {
     assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getDouble(3) == 1.0)
   }
 
+  // ------------------------------------------------------------ snapshot diff
+
+  private val snapSchema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  test("snapshot diff classifies added/removed/changed and hides unchanged") {
+    import graft.ops.SnapshotDiff
+    val prev = df(snapSchema, Row(1L, "a"), Row(2L, "b"), Row(3L, "c"))
+    val nxt = df(snapSchema, Row(2L, "b"), Row(3L, "C!"), Row(4L, "d"))
+    val got = SnapshotDiff(prev, nxt, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    val re = SnapshotDiff.reprocessSet(prev, nxt, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(re == Set(3L, 4L)) // changed + added, with full next-side rows
+  }
+
+  test("snapshot diff ships hashes, not content, through the join") {
+    import graft.ops.SnapshotDiff
+    val prev = df(snapSchema, Row(1L, "x" * 1000))
+    val nxt = df(snapSchema, Row(1L, "y" * 1000))
+    val plan = SnapshotDiff(prev, nxt, "id", "text")
+      .queryExecution.optimizedPlan.toString
+    // the text column is pruned before the join: only id + md5 survive
+    assert(!plan.split("Join").last.contains("text#") ||
+      plan.indexOf("md5") < plan.indexOf("Join"), plan)
+  }
+
+  test("Frame + LazyFrame/YAML wire snapshot_diff through the binary merge") {
+    import graft.api.{Graft, LazyFrame, Pipeline}
+    val prev = df(snapSchema, Row(1L, "a"), Row(2L, "b"))
+    val nxt = df(snapSchema, Row(2L, "B"), Row(3L, "c"))
+    assert(Graft.fromDF(nxt).snapshotDiff(Graft.fromDF(prev), "id", "text")
+      .count() == 3)
+    assert(Graft.fromDF(nxt).reprocessAgainst(Graft.fromDF(prev), "id", "text")
+      .df.columns.toSeq == Seq("id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("r9gsnap").toString
+    prev.write.mode("overwrite").parquet(s"$dir/prev.parquet")
+    nxt.write.mode("overwrite").parquet(s"$dir/next.parquet")
+    val lf = LazyFrame.read("next", s"$dir/next.parquet")
+      .snapshotDiff(LazyFrame.read("prev", s"$dir/prev.parquet"), "id", "text")
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    assert(Pipeline.runYaml(lf.toYaml, spark).count() == 3)
+  }
+
   // ------------------------------------------------------------ examples
 
   test("the web-curation example pipeline runs end to end") {
