@@ -223,6 +223,20 @@ class Round9gSpec extends SparkSpec {
       ("deep.sub.site.org", "site.org")))
   }
 
+  test("url ops pass scheme-less strings through without crashing") {
+    import graft.ops.UrlOps
+    val d = df(urlSchema,
+      Row(1L, "not a url at all"),
+      Row(2L, "www.example.com/path"), // no scheme: no authority match
+      Row(3L, ""))
+    val got = UrlOps.parse(d, "url").orderBy("id")
+      .select("url_canon", "host", "domain").collect()
+    assert(got(0).getString(1) == "" && got(2).getString(1) == "")
+    assert(got(1).getString(1) == "") // host requires a scheme'd authority
+    // canonicalize leaves unparseable inputs structurally intact
+    assert(got(0).getString(0) == "not a url at all")
+  }
+
   test("url path depth ignores query and fragment") {
     import graft.ops.UrlOps
     val d = df(urlSchema,
