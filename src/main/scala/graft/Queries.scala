@@ -2796,9 +2796,10 @@ object Queries {
       // probed against an m=2^20-bit / k=3 filter built from even docs.
       // The reference corpus collapses to a FIXED 128 KB bit array (driver
       // state = m/64 longs, probe = pure per-row expression, no join) — the
-      // fixed-memory incremental-ingest shape. Hashes are md5-derived and
-      // portable, so the oracle replays bit-exact membership: a gram hits
-      // iff all 3 of its positions are in the reference's position set.
+      // fixed-memory incremental-ingest shape. Positions use Kirsch-
+      // Mitzenmacher double hashing from ONE md5 per gram (h1 + i*h2 mod m,
+      // h2 forced odd), so the oracle replays bit-exact membership: a gram
+      // hits iff all 3 of its positions are in the reference's position set.
       "q114_bloom_decontaminate",
       (s: SparkSession, dir: String) => {
         val docs = t(s, dir, "documents")
@@ -2815,7 +2816,8 @@ object Queries {
                UNNEST(range(1, len(w)-2)) AS t(i)),
         refpos AS (
           SELECT DISTINCT
-            ('0x' || substr(md5(g || ':' || i), 1, 13))::UBIGINT % 1048576 AS p
+            (('0x' || substr(md5(g), 1, 13))::UBIGINT +
+             i * (('0x' || substr(md5(g), 14, 13))::UBIGINT | 1)) % 1048576 AS p
           FROM refg, UNNEST(range(0, 3)) AS t(i)),
         newg AS (
           SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
@@ -2824,7 +2826,8 @@ object Queries {
                UNNEST(range(1, len(w)-2)) AS t(i)),
         gp AS (
           SELECT doc_id, g,
-            ('0x' || substr(md5(g || ':' || i), 1, 13))::UBIGINT % 1048576 AS p
+            (('0x' || substr(md5(g), 1, 13))::UBIGINT +
+             i * (('0x' || substr(md5(g), 14, 13))::UBIGINT | 1)) % 1048576 AS p
           FROM newg, UNNEST(range(0, 3)) AS t(i)),
         gh AS (
           SELECT doc_id, g, bool_and(p IN (SELECT p FROM refpos)) AS hit

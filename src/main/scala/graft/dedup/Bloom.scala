@@ -20,9 +20,15 @@ import graft.functions.TextFunctions
   *
   * Semantics (standard Bloom guarantees): `false` = key definitely NOT in
   * the reference (no false negatives); `true` = key present OR a false
-  * positive, rate ≈ (1 - e^{-k·n/m})^k for n inserted keys. Hashes are
-  * md5-derived (13 hex chars = 52 bits, engine-portable), so the DuckDB
-  * oracle replays bit-exact membership.
+  * positive, rate ≈ (1 - e^{-k·n/m})^k for n inserted keys.
+  *
+  * Hashing is Kirsch–Mitzenmacher double hashing (the standard k-from-2
+  * construction, asymptotically the same FP rate as k independent hashes):
+  * ONE md5 per key yields h1 (hex chars 1-13) and h2 (chars 14-26, forced
+  * odd so the stride is invertible mod the power-of-two m), and position i
+  * is `(h1 + i·h2) % m` — so per-key hash cost is one digest regardless of
+  * k, and the scheme stays engine-portable (the DuckDB oracle replays
+  * bit-exact membership from the same two hex substrings).
   */
 object BloomFilter {
 
@@ -31,19 +37,26 @@ object BloomFilter {
     /** Driver-side probe (tests / spot checks). */
     def mightContain(key: String): Boolean = {
       val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(13, 26), 16) | 1L
       (0 until k).forall { i =>
-        val hex = md.digest(s"$key:$i".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(13)
-        val p = java.lang.Long.parseLong(hex, 16) % m
+        val p = (h1 + i * h2) % m
         (words((p / 64).toInt) >> (p % 64).toInt & 1L) == 1L
       }
     }
   }
 
-  /** SQL for hash position `i` of `keyExpr` in [0, m). */
-  private def posSql(keyExpr: String, m: Long, i: Int): String =
-    s"(CAST(conv(substring(md5(concat(CAST(($keyExpr) AS STRING), ':$i')), " +
-      s"1, 13), 16, 10) AS BIGINT) % $m)"
+  /** SQL for hash position `i` of `keyExpr` in [0, m): double hashing —
+    * h1/h2 are substrings of one md5 (repeated md5 subexpressions collapse
+    * in codegen's subexpression elimination, so each key digests once). */
+  private def posSql(keyExpr: String, m: Long, i: Int): String = {
+    val key = s"CAST(($keyExpr) AS STRING)"
+    val h1 = s"CAST(conv(substring(md5($key), 1, 13), 16, 10) AS BIGINT)"
+    val h2 = s"(CAST(conv(substring(md5($key), 14, 13), 16, 10) AS BIGINT) | 1)"
+    s"(($h1 + $i * $h2) % $m)"
+  }
 
   /** Build a filter over every value of `keyExpr` in `ref`. One explode +
     * (word, bit_or) aggregation; at most `m/64` rows reach the driver. */
@@ -86,12 +99,17 @@ object BloomFilter {
     * an explode + re-aggregate would force stateful append-mode machinery. */
   def probeValues(keys: Column, filter: Filter): Column = {
     val words = typedlit(filter.words.toSeq)
-    transform(keys, key => (0 until filter.k).map { i =>
-      val p = conv(substring(md5(concat(key.cast("string"), lit(s":$i"))),
-        1, 13), 16, 10).cast("bigint") % filter.m
-      call_function("shiftright", element_at(words, (p / 64).cast("int") + 1),
-        (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1L
-    }.reduce(_ && _))
+    transform(keys, key => {
+      val digest = md5(key.cast("string"))
+      val h1 = conv(substring(digest, 1, 13), 16, 10).cast("bigint")
+      val h2 = conv(substring(digest, 14, 13), 16, 10).cast("bigint")
+        .bitwiseOR(lit(1L))
+      (0 until filter.k).map { i =>
+        val p = (h1 + lit(i.toLong) * h2) % filter.m
+        call_function("shiftright", element_at(words, (p / 64).cast("int") + 1),
+          (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1L
+      }.reduce(_ && _)
+    })
   }
 
   /** Per-document n-gram hit counts against a reference corpus's gram
