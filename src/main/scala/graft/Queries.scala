@@ -33,7 +33,7 @@ object Queries {
   lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
     apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b ++
-    round9c ++ round9d ++ round9e ++ round9f
+    round9c ++ round9d ++ round9e ++ round9f ++ round9h
 
   // ---------------------------------------------------------------- parsing
 
@@ -3188,6 +3188,85 @@ object Queries {
                    WHEN next_hash IS NULL THEN 'removed'
                    WHEN prev_hash <> next_hash THEN 'changed'
                    ELSE 'unchanged' END <> 'unchanged'""")
+    ))
+
+  // ------------------------------------------------------------- round9h
+
+  private def round9h: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // PII audit report: per-row occurrence counts for the four scrub
+      // categories, counted SEQUENTIALLY on the partially-scrubbed text so
+      // each character is attributed to exactly one category (the same
+      // disambiguation redactPii performs). PII is synthesized
+      // deterministically (the test tables carry none); a real corpus
+      // feeds its text column straight in. Pure regexp_count, no shuffle.
+      "q125_pii_report",
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents").withColumn("text",
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit(" contact a.b@example.com or c@d.org")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              lit(" from 10.0.0.1")).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              lit(" ssn 123-45-6789 call (415) 555-0100")).otherwise(lit(""))))
+        TF.piiCounts(col("text")).foldLeft(d) { case (acc, (name, c)) =>
+          acc.withColumn(name, c)
+        }.select("doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone")
+      },
+      Some("""
+        WITH t0 AS (
+          SELECT doc_id,
+                 text ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN ' contact a.b@example.com or c@d.org' ELSE '' END ||
+                 CASE WHEN doc_id % 5 = 0
+                      THEN ' from 10.0.0.1' ELSE '' END ||
+                 CASE WHEN doc_id % 7 = 0
+                      THEN ' ssn 123-45-6789 call (415) 555-0100' ELSE '' END
+                   AS s0
+          FROM documents),
+        t1 AS (SELECT doc_id,
+                 len(regexp_extract_all(s0,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                   AS n_email,
+                 regexp_replace(s0,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS s1
+               FROM t0),
+        t2 AS (SELECT doc_id, n_email,
+                 len(regexp_extract_all(s1,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT
+                   AS n_ipv4,
+                 regexp_replace(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                   '<IP>', 'g') AS s2
+               FROM t1),
+        t3 AS (SELECT doc_id, n_email, n_ipv4,
+                 len(regexp_extract_all(s2, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT
+                   AS n_ssn,
+                 regexp_replace(s2, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')
+                   AS s3
+               FROM t2)
+        SELECT doc_id, n_email, n_ipv4, n_ssn,
+               len(regexp_extract_all(s3,
+                 '(?:\+?\d{1,2}[ .-])?(?:\(\d{3}\)[ .-]?|\d{3}[ .-])\d{3}[ .-]\d{4}\b'))::BIGINT
+                 AS n_phone
+        FROM t3""")
+    ),
+    (
+      // C4-style word-blocklist screen: exact lowercase token membership
+      // against a caller-supplied policy list (never substring — 'class'
+      // cannot trip an 'ass' entry). Report mode: the per-row flag.
+      "q126_word_blocklist",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents").select(col("doc_id"),
+          TF.containsBlockedWord(col("text"), Seq("slow", "error"))
+            .as("blocked")),
+      Some("""
+        SELECT doc_id,
+               len(list_intersect(string_split(lower(text), ' '),
+                   ['slow', 'error'])) > 0 AS blocked
+        FROM documents""")
     ))
 
   /** Deterministic 8-subspace codebook for q121/q122: entry `code` of every

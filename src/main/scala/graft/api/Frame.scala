@@ -287,6 +287,16 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     val cb = graft.ann.ProductQuantize.trainPq(df, embCol, nSub, nCodes)
     next(graft.ann.ProductQuantize.encode(df, embCol, cb, outCol))
   }
+  def piiReport(textCol: String): Frame =
+    next(graft.functions.TextFunctions.piiCounts(
+      org.apache.spark.sql.functions.col(textCol))
+      .foldLeft(df) { case (acc, (name, c)) => acc.withColumn(name, c) })
+  def blocklistWords(textCol: String, words: Seq[String],
+      report: Boolean = false): Frame = {
+    val blocked = graft.functions.TextFunctions.containsBlockedWord(
+      org.apache.spark.sql.functions.col(textCol), words)
+    next(if (report) df.withColumn("blocked", blocked) else df.filter(!blocked))
+  }
   def snapshotDiff(prev: Frame, idCol: String, contentExpr: String): Frame =
     next(SnapshotDiff(prev.df, df, idCol, contentExpr))
   def reprocessAgainst(prev: Frame, idCol: String, contentExpr: String): Frame =

@@ -365,6 +365,12 @@ final case class LazyFrame(
       "n_buckets" -> nBuckets)
   def urlFilter(urlKey: String, blocked: Seq[String]): LazyFrame =
     append("url_filter", "url_key" -> urlKey, "blocked" -> jlist(blocked))
+  def piiReport(textKey: String): LazyFrame =
+    append("pii_report", "text_key" -> textKey)
+  def blocklistWords(textKey: String, words: Seq[String],
+      report: Boolean = false): LazyFrame =
+    append("word_blocklist", "text_key" -> textKey,
+      "words" -> jlist(words), "report" -> report)
   def urlParse(urlKey: String, stats: Boolean = false): LazyFrame =
     append("url_parse", "url_key" -> urlKey, "stats" -> stats)
   def bpePairCounts(textKey: String): LazyFrame =

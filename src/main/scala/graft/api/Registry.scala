@@ -682,6 +682,21 @@ object Registry {
     graft.ann.ProductQuantize.encode(df, emb, cb,
       c.strOr("output_key", "pq_codes"))
   }
+  // PII audit report (§2.14 curation): per-row counts for the four scrub
+  // categories, sequentially attributed like redact_pii itself.
+  register("pii_report") { (df, c, _) =>
+    graft.functions.TextFunctions.piiCounts(
+      org.apache.spark.sql.functions.col(c("text_key").str))
+      .foldLeft(df) { case (acc, (name, cnt)) => acc.withColumn(name, cnt) }
+  }
+  // C4-style word blocklist (§2.14 curation): drop rows containing any
+  // listed token; `report: true` appends the flag instead of filtering.
+  register("word_blocklist") { (df, c, _) =>
+    val blocked = graft.functions.TextFunctions.containsBlockedWord(
+      org.apache.spark.sql.functions.col(c("text_key").str), c("words").strList)
+    if (c.boolOr("report", false)) df.withColumn("blocked", blocked)
+    else df.filter(!blocked)
+  }
   // Snapshot diff (§2.14 incremental ingest): delta of THIS frame vs a
   // previous snapshot dataset — added/removed/changed by content hash.
   // `reprocess: true` instead returns this frame's rows needing re-work.

@@ -189,4 +189,30 @@ object TextFunctions {
     ("ipv4", Ipv4Re, "<IP>"),
     ("ssn", SsnRe, "<SSN>"),
     ("phone", PhoneRe, "<PHONE>"))
+
+  /** Per-row PII occurrence counts (the compliance AUDIT side of
+    * [[redactPii]]: what a release report tallies before the scrub runs).
+    * Counts apply sequentially in the redaction chain's order on the
+    * partially-scrubbed text, so each character is attributed to exactly
+    * one category — the same disambiguation the scrub itself performs
+    * (IP octets never double-count as phones, SSNs never half-match the
+    * looser phone pattern). Returns (name -> count Column) pairs; pure
+    * codegen'd regexp_count, no shuffle. */
+  def piiCounts(c: Column): Seq[(String, Column)] = {
+    var cur = c
+    PiiPatterns.map { case (name, re, token) =>
+      val cnt = size(regexp_extract_all(cur, lit(re), lit(0))).cast("bigint")
+      cur = regexp_replace(cur, re, token)
+      (s"n_$name", cnt)
+    }
+  }
+
+  /** C4-style word blocklist test: true iff any whitespace token of the
+    * lowercased text is in `words` (the public C4 recipe removes pages
+    * containing listed words; the list itself is caller-supplied policy
+    * data). Exact token match, not substring — "class" never trips an
+    * "ass" entry. */
+  def containsBlockedWord(c: Column, words: Seq[String]): Column =
+    arrays_overlap(split(lower(c), " "),
+      array(words.map(w => lit(w.toLowerCase)): _*))
 }

@@ -312,6 +312,58 @@ class Round9gSpec extends SparkSpec {
     assert(r.getLong(1) == 1L && r.getLong(2) == 1L && r.getDouble(3) == 1.0)
   }
 
+  // ------------------------------------------------------------ pii / blocklist
+
+  test("pii counts attribute each span to exactly one category") {
+    import graft.functions.{TextFunctions => TF}
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val d = df(schema,
+      Row(1L, "mail a@b.com twice a@b.com ip 10.0.0.1 ssn 123-45-6789 tel (415) 555-0100"),
+      Row(2L, "no pii here"))
+    val out = TF.piiCounts(col("text")).foldLeft(d.toDF()) {
+      case (acc, (n, c)) => acc.withColumn(n, c)
+    }.orderBy("id").collect()
+    assert(out(0).getLong(2) == 2L) // emails
+    assert(out(0).getLong(3) == 1L) // ipv4 (not double-counted as phone)
+    assert(out(0).getLong(4) == 1L) // ssn (not half-matched as phone)
+    assert(out(0).getLong(5) == 1L) // phone
+    assert((2 to 5).forall(i => out(1).getLong(i) == 0L))
+  }
+
+  test("word blocklist matches exact tokens, never substrings") {
+    import graft.functions.{TextFunctions => TF}
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val d = df(schema,
+      Row(1L, "the class is great"), // 'class' must NOT trip 'ass'
+      Row(2L, "what an Ass he was"), // case-insensitive exact token
+      Row(3L, "clean text entirely"))
+    val flags = d.select(col("id"),
+      TF.containsBlockedWord(col("text"), Seq("ass")).as("b"))
+      .orderBy("id").collect().map(_.getBoolean(1))
+    assert(flags.toSeq == Seq(false, true, false))
+  }
+
+  test("Frame + YAML wire pii_report and word_blocklist") {
+    import graft.api.{Graft, LazyFrame, Pipeline}
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val d = df(schema, Row(1L, "mail a@b.com"), Row(2L, "bad word here"))
+    assert(Graft.fromDF(d).piiReport("text").df.columns.contains("n_email"))
+    assert(Graft.fromDF(d).blocklistWords("text", Seq("bad")).count() == 1)
+    val dir = java.nio.file.Files.createTempDirectory("r9h").toString
+    d.write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val lf = LazyFrame.read("d", s"$dir/d.parquet")
+      .piiReport("text").blocklistWords("text", Seq("bad"), report = true)
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    val out = Pipeline.runYaml(lf.toYaml, spark)
+    assert(out.count() == 2 && out.columns.contains("blocked"))
+    val lf2 = LazyFrame.read("d", s"$dir/d.parquet")
+      .blocklistWords("text", Seq("bad"))
+    assert(Pipeline.runYaml(lf2.toYaml, spark).count() == 1)
+  }
+
   // ------------------------------------------------------------ snapshot diff
 
   private val snapSchema = StructType(Seq(
