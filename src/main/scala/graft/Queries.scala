@@ -3267,6 +3267,19 @@ object Queries {
                len(list_intersect(string_split(lower(text), ' '),
                    ['slow', 'error'])) > 0 AS blocked
         FROM documents""")
+    ),
+    (
+      // Row-level source provenance: _source_file from input_file_name()
+      // inside the scan (zero cost, no shuffle). The sf tables are single
+      // files so the oracle is the constant basename; the multi-file
+      // behavior (distinct files -> distinct values) is pinned in
+      // Round9gSpec.
+      "q127_provenance",
+      (s: SparkSession, dir: String) =>
+        graft.sources.Provenance.withSourceFile(
+          s.read.parquet(s"$dir/documents.parquet"))
+          .select("doc_id", "_source_file"),
+      Some("SELECT doc_id, 'documents.parquet' AS _source_file FROM documents")
     ))
 
   /** Deterministic 8-subspace codebook for q121/q122: entry `code` of every

@@ -110,10 +110,16 @@ object Pipeline {
       // Optional `format` overrides extension dispatch — e.g. `binaryFile`
       // for opaque image/audio/pdf payloads (the reference's parsing-tools
       // load path, dataset.py:361-368) or `text` for line files.
-      val loaded = d.get("format") match {
+      val loaded0 = d.get("format") match {
         case Some(f) => spark.read.format(f.str).load(d("path").str)
         case None    => read(spark, d("path").str)
       }
+      // Optional `provenance: true` appends `_source_file` at the scan
+      // (it must attach before any shuffle — see graft.sources.Provenance).
+      val loaded =
+        if (d.boolOr("provenance", false))
+          graft.sources.Provenance.withSourceFile(loaded0)
+        else loaded0
       // Dataset-level `parsing:` list (reference dataset.py
       // `_apply_parsing_tools`): each tool maps a file column to one row per
       // parsed document, applied in order.
@@ -133,6 +139,7 @@ object Pipeline {
       // doc_per_page must invalidate a checkpointed dataset, not reuse it.
       hashes(name) = CheckpointStore.sha256(
         "dataset|" + d.strOr("format", "") + "|" + d("path").str +
+          "|prov:" + d.boolOr("provenance", false) +
           d.get("parsing").map(p => "|parsing:" + p.asList.map(t =>
             t("function").str + ":" + t.strOr("input_key", "content") + ":" +
               t.strOr("output_key", "text") + ":" + t.strOr("orientation", "col") + ":" +

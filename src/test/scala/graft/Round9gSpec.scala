@@ -409,6 +409,33 @@ class Round9gSpec extends SparkSpec {
     assert(Pipeline.runYaml(lf.toYaml, spark).count() == 3)
   }
 
+  // ------------------------------------------------------------ provenance
+
+  test("provenance: rows from different files carry different _source_file") {
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("r9prov").toString
+    df(schema, (1L to 10L).map(Row(_)): _*).repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/multi.parquet")
+    val got = graft.sources.Provenance.withSourceFile(
+      spark.read.parquet(s"$dir/multi.parquet"))
+    val files = got.select("_source_file").distinct()
+      .collect().map(_.getString(0))
+    assert(files.length == 2 && files.forall(_.endsWith(".parquet")))
+    assert(files.forall(!_.contains("/"))) // basename only
+    // YAML surface: provenance: true on the dataset
+    val yaml =
+      s"""datasets:
+         |  d: { path: $dir/multi.parquet, provenance: true }
+         |operations:
+         |  - { name: keep, type: code_filter, predicate: "id > 0" }
+         |pipeline:
+         |  steps:
+         |    - { name: s1, input: d, operations: [keep] }
+         |""".stripMargin
+    val out = graft.api.Pipeline.runYaml(yaml, spark)
+    assert(out.columns.contains("_source_file") && out.count() == 10)
+  }
+
   // ------------------------------------------------------------ examples
 
   test("the web-curation example pipeline runs end to end") {
