@@ -25,7 +25,10 @@ class LocalClusterSpec extends AnyFunSuite {
     // (the grouped variant additionally ships offset + budget MAPS keyed
     // by Any group values across the executor boundary)
     "q92_asof_join", "q94_budget_select", "q108_budget_select_grouped",
-    "q109_dedup_against") // cross-corpus LSH: persist/count + codegen exprs
+    "q109_dedup_against", // cross-corpus LSH: persist/count + codegen exprs
+    // bloom: driver-built word array shipped as a typedlit into executors;
+    // ivfpq: nested codebook + centroid literals through a keyed join
+    "q114_bloom_decontaminate", "q123_ann_ivfpq")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     names.map { name =>

@@ -448,6 +448,38 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("windowed quality monitor: rule signals aggregate per event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // QualityRules signals are stateless codegen'd columns, so they fuse
+    // straight onto a stream; a watermarked window then tracks keep rate
+    // over time — the live ingest-quality dashboard shape.
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val signalled = graft.ops.QualityRules.signals(docs, "text",
+      graft.ops.QualityRules.Config(minWords = 3, maxWords = 100,
+        minAvgWordLen = 1.0, maxAvgWordLen = 20.0, maxDupWordFrac = 1.0,
+        maxTop2gramFrac = 1.0, minDistinctStopwords = 0))
+    val monitored = signalled
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    val q = monitored.writeStream.format("memory").queryName("qmon")
+      .outputMode(OutputMode.Complete()).start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    input.addData(
+      (ts(1), "the quick brown fox jumps clean"),
+      (ts(2), "ok"), // below minWords -> dropped by the rules
+      (ts(14), "another perfectly reasonable document here"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT n_docs, n_keep FROM qmon ORDER BY n_docs DESC")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(rows.toSeq == Seq((2L, 1L), (1L, 1L)))
+  }
+
   test("bloom probeValues matches the per-row probe on the same filter") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
