@@ -1,0 +1,114 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+
+import graft.llm.{LlmClient, MockLlmClient, TokenTally}
+
+/** Pre-flight pipeline estimation — run the pipeline on a bounded sample of
+  * every input dataset, record per-op selectivities and the LLM call/token
+  * tally, and extrapolate linearly to the full inputs. The 100 TB
+  * pre-flight question is "how many LLM calls and rows will this pipeline
+  * actually produce?", and the answer must not cost a full run (the
+  * reference's optimizer answers it the same way: sample runs with
+  * recorded selectivities, containers.py:454-466).
+  *
+  * Method: the per-dataset `limit(sampleRows)` pushes into the scan (a
+  * 100 TB source reads ~sampleRows rows); full row counts come from
+  * `count()` on the raw load — parquet answers from footer metadata
+  * without scanning data. Extrapolation is LINEAR per step chain (an op's
+  * scale is its root input dataset's full/sample ratio): exact for
+  * row-local ops, a documented approximation for joins and group-bys,
+  * whose output grows non-linearly; treat join/reduce row estimates as
+  * order-of-magnitude. LLM totals scale by the largest dataset ratio — a
+  * deliberate upper bound. Estimation never touches checkpoints (the
+  * sample size is part of the dataset hash identity).
+  */
+object Estimate {
+
+  final case class OpEstimate(
+      step: String, op: String,
+      sampleRowsIn: Long, sampleRowsOut: Long,
+      scale: Double, estRowsOut: Long) {
+    def selectivity: Double =
+      if (sampleRowsIn == 0) 0.0 else sampleRowsOut.toDouble / sampleRowsIn
+  }
+
+  final case class Report(
+      sampleRows: Int,
+      datasetRows: Map[String, Long],
+      datasetScales: Map[String, Double],
+      ops: Seq[OpEstimate],
+      llmScale: Double,
+      estLlm: Map[String, TokenTally.Tally]) {
+    def render: String = {
+      val opLines = ops.map { o =>
+        f"  ${o.step}%-20s ${o.op}%-24s sel=${o.selectivity}%6.3f est_rows≈${o.estRowsOut}%,d"
+      }
+      val llmLines = estLlm.toSeq.sortBy(_._1).map { case (m, t) =>
+        f"  $m%-24s calls≈${t.calls}%,d in_tok≈${t.inputTokens}%,d " +
+          f"out_tok≈${t.outputTokens}%,d cost≈$$${t.cost}%.2f"
+      }
+      (Seq(s"estimate from sample of $sampleRows rows/dataset " +
+        s"(scales: ${datasetScales.map { case (k, v) => f"$k=$v%.1fx" }.mkString(", ")})",
+        "per-op (linear extrapolation; join/reduce rows are order-of-magnitude):") ++
+        opLines ++ Seq(f"llm totals (scaled ${llmScale}%.1fx, upper bound):") ++
+        llmLines).mkString("\n")
+    }
+  }
+
+  def apply(conf: Conf, spark: SparkSession,
+      client: LlmClient = MockLlmClient(), sampleRows: Int = 200): Report = {
+    // Full row counts per dataset: parquet/csv/json count on the raw load
+    // (parquet = footer metadata only; no parsing tools applied — the
+    // dataset's FILE rows are the scale unit).
+    val datasetRows: Map[String, Long] =
+      conf.get("datasets").map(_.asMap.map { case (name, d) =>
+        val full = d.get("format") match {
+          case Some(f) => spark.read.format(f.str).load(d("path").str)
+          case None    => Pipeline.read(spark, d("path").str)
+        }
+        name -> full.count()
+      }.toMap).getOrElse(Map.empty)
+    val datasetScales = datasetRows.map { case (k, n) =>
+      k -> math.max(1.0, n.toDouble / sampleRows)
+    }
+
+    // Step -> root input dataset (steps can chain through other steps).
+    val stepInputs: Map[String, String] =
+      conf.get("pipeline").flatMap(_.get("steps")).map(_.asList.map { s =>
+        s("name").str -> s.strOr("input", "")
+      }.toMap).getOrElse(Map.empty)
+    @annotation.tailrec
+    def root(name: String): String =
+      stepInputs.get(name) match {
+        case Some(parent) if parent.nonEmpty => root(parent)
+        case _ => name
+      }
+    def scaleFor(step: String): Double =
+      datasetScales.getOrElse(root(step), datasetScales.values.foldLeft(1.0)(math.max))
+
+    TokenTally.reset()
+    val (_, _, stats) =
+      Pipeline.runImpl(conf, spark, client, track = true, Some(sampleRows))
+    val sampleTally = TokenTally.summary
+
+    val ops = stats.map { s =>
+      val sc = scaleFor(s.step)
+      OpEstimate(s.step, s.op, s.rowsIn, s.rowsOut, sc,
+        math.round(s.rowsOut * sc))
+    }
+    val llmScale = datasetScales.values.foldLeft(1.0)(math.max)
+    val estLlm = sampleTally.map { case (m, t) =>
+      m -> TokenTally.Tally(
+        math.round(t.calls * llmScale),
+        math.round(t.inputTokens * llmScale),
+        math.round(t.outputTokens * llmScale),
+        t.cost * llmScale)
+    }
+    Report(sampleRows, datasetRows, datasetScales, ops, llmScale, estLlm)
+  }
+
+  def fromYaml(yaml: String, spark: SparkSession,
+      client: LlmClient = MockLlmClient(), sampleRows: Int = 200): Report =
+    apply(Conf.fromYaml(yaml), spark, client, sampleRows)
+}

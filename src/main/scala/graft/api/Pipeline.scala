@@ -98,8 +98,9 @@ object Pipeline {
       client0: LlmClient = MockLlmClient()): (DataFrame, Seq[(String, DataFrame)], Seq[OpStat]) =
     runImpl(conf, spark, client0, track = true)
 
-  private def runImpl(conf: Conf, spark: SparkSession,
-      client0: LlmClient, track: Boolean): (DataFrame, Seq[(String, DataFrame)], Seq[OpStat]) = {
+  private[api] def runImpl(conf: Conf, spark: SparkSession,
+      client0: LlmClient, track: Boolean,
+      sampleRows: Option[Int] = None): (DataFrame, Seq[(String, DataFrame)], Seq[OpStat]) = {
     // An `llm:` block in the config wins over the caller's default client.
     val client = clientFor(conf, client0)
     val datasets = scala.collection.mutable.Map[String, DataFrame]()
@@ -123,8 +124,11 @@ object Pipeline {
       // Dataset-level `parsing:` list (reference dataset.py
       // `_apply_parsing_tools`): each tool maps a file column to one row per
       // parsed document, applied in order.
+      // Estimation mode: bound every input dataset (the limit pushes into
+      // the scan, so a 100 TB source reads ~sampleRows rows, not 100 TB).
+      val bounded = sampleRows.fold(loaded)(loaded.limit)
       datasets(name) = d.get("parsing").map(_.asList).getOrElse(Nil)
-        .foldLeft(loaded) { (df, p) =>
+        .foldLeft(bounded) { (df, p) =>
           graft.sources.ParseOp(df, graft.sources.ParseOp.Config(
             function = p("function").str,
             inputKey = p.strOr("input_key", "content"),
@@ -140,6 +144,9 @@ object Pipeline {
       hashes(name) = CheckpointStore.sha256(
         "dataset|" + d.strOr("format", "") + "|" + d("path").str +
           "|prov:" + d.boolOr("provenance", false) +
+          // sampled (estimate) runs must never reuse or pollute full-run
+          // checkpoints — the sample size is part of the identity
+          sampleRows.map(n => s"|sample:$n").getOrElse("") +
           d.get("parsing").map(p => "|parsing:" + p.asList.map(t =>
             t("function").str + ":" + t.strOr("input_key", "content") + ":" +
               t.strOr("output_key", "text") + ":" + t.strOr("orientation", "col") + ":" +

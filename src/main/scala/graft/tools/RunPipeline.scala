@@ -5,8 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** CLI entry point for YAML pipelines — the analog of the reference's
   * `docetl run pipeline.yaml` (reference docetl/cli.py:168).
   *
-  * Usage: runMain graft.tools.RunPipeline <pipeline.yaml> [showRows|--describe] [--no-stats]
+  * Usage: runMain graft.tools.RunPipeline <pipeline.yaml> [showRows|--describe|--estimate[=N]] [--no-stats]
   * `--describe` prints each step's output schema without writing the sink.
+  * `--estimate[=N]` runs the pre-flight cost estimate on an N-row sample
+  * per dataset (default 200) and prints extrapolated rows/calls/cost
+  * instead of executing the full pipeline.
   *
   * After a run, an execution summary is printed (reference runner.py:572-581
   * prints per-op costs and the total): one line per op with rows in/out and
@@ -32,11 +35,19 @@ object RunPipeline {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val estimateArg = args.drop(1).find(_.startsWith("--estimate"))
     if (describe) {
       val conf = graft.api.Conf.fromYamlFile(args(0))
       graft.api.Pipeline.describe(conf, spark).foreach { case (name, schema) =>
         println(s"[pipeline] step $name: ${schema.simpleString}")
       }
+    } else if (estimateArg.isDefined) {
+      val n = estimateArg.get.split('=') match {
+        case Array(_, v) => v.toInt
+        case _ => 200
+      }
+      val conf = graft.api.Conf.fromYamlFile(args(0))
+      println(graft.api.Estimate(conf, spark, sampleRows = n).render)
     } else {
       runAndReport(args(0), spark, showRows, stats).foreach(println)
     }

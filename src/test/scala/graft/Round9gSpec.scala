@@ -409,6 +409,41 @@ class Round9gSpec extends SparkSpec {
     assert(Pipeline.runYaml(lf.toYaml, spark).count() == 3)
   }
 
+  // ------------------------------------------------------------ estimate
+
+  test("pipeline estimate extrapolates rows and llm calls from a sample") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val rows = (1L to 400L).map(i => Row(i, s"doc $i body"))
+    val dir = java.nio.file.Files.createTempDirectory("r9est").toString
+    df(schema, rows: _*).write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val yaml =
+      s"""datasets:
+         |  d: { path: $dir/d.parquet }
+         |operations:
+         |  - { name: keep_half, type: code_filter, predicate: "id % 2 = 0" }
+         |  - name: classify
+         |    type: map
+         |    prompt: "{{ input.text }}"
+         |    output: { schema: { sentiment: str } }
+         |pipeline:
+         |  steps:
+         |    - { name: s1, input: d, operations: [keep_half, classify] }
+         |""".stripMargin
+    val rep = graft.api.Estimate.fromYaml(yaml, spark, sampleRows = 100)
+    assert(rep.datasetRows == Map("d" -> 400L))
+    assert(rep.datasetScales("d") == 4.0)
+    val byOp = rep.ops.map(o => o.op -> o).toMap
+    // the sample's filter selectivity extrapolates by the dataset scale
+    assert(byOp("keep_half").sampleRowsIn == 100)
+    assert(byOp("keep_half").estRowsOut ==
+      byOp("keep_half").sampleRowsOut * 4)
+    // llm calls observed on the sample, scaled 4x
+    val (_, tally) = rep.estLlm.head
+    assert(tally.calls == byOp("classify").sampleRowsIn * 4)
+    assert(rep.render.contains("4.0x"))
+  }
+
   // ------------------------------------------------------------ provenance
 
   test("provenance: rows from different files carry different _source_file") {
