@@ -82,4 +82,20 @@ object UnicodeNormalize {
 
   def apply(text: Column, form: String): Column =
     ColumnBridge.column(UnicodeNormalize(ColumnBridge.expression(text), form))
+
+  /** SQL-registration constructor: `unicode_normalize(s[, 'NFKC'])` — the
+    * form must be a string literal (it parameterizes codegen). */
+  def fromExpressions(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(child) => UnicodeNormalize(child, "NFC")
+    case Seq(child, form) =>
+      val f = form match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType)
+            if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize form must be a string literal, got $other")
+      }
+      UnicodeNormalize(child, f)
+    case _ => throw new IllegalArgumentException(
+      "unicode_normalize takes (text[, form])")
+  }
 }

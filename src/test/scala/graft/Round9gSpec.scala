@@ -409,6 +409,37 @@ class Round9gSpec extends SparkSpec {
     assert(Pipeline.runYaml(lf.toYaml, spark).count() == 3)
   }
 
+  // ------------------------------------------------------------ extensions
+
+  test("GraftExtensions injects SQL functions via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    spark.sparkContext // ensure the shared context exists first
+    val old = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // Reuses the existing SparkContext; the extensions hook runs when the
+      // NEW SparkSession object is instantiated. (`spark.sql.extensions` is
+      // a STATIC conf read from the SparkContext at startup — on a live
+      // test context only builder.withExtensions can attach, which invokes
+      // the exact same GraftExtensions.apply the config path invokes.)
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions())
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
+          "unicode_normalize('é', 'NFC') n").head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(r.getString(1) == "é")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      old.foreach { o =>
+        SparkSession.setDefaultSession(o); SparkSession.setActiveSession(o)
+      }
+    }
+  }
+
   // ------------------------------------------------------------ estimate
 
   test("pipeline estimate extrapolates rows and llm calls from a sample") {
