@@ -3280,6 +3280,48 @@ object Queries {
           s.read.parquet(s"$dir/documents.parquet"))
           .select("doc_id", "_source_file"),
       Some("SELECT doc_id, 'documents.parquet' AS _source_file FROM documents")
+    ),
+    (
+      // Release datacard: the constant-row (metric, value) summary a
+      // dataset release publishes — three linear aggregations (row stats +
+      // PII fused into one scan; slice concentration; global 3-gram
+      // diversity), no pass quadratic.
+      "q128_datacard",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Datacard(t(s, dir, "documents"), "text", "source"),
+      Some("""
+        WITH base AS (
+          SELECT 'n_docs' AS metric, count(*)::DOUBLE AS value FROM documents
+          UNION ALL
+          SELECT 'n_tokens', sum(len(string_split(text, ' ')))::DOUBLE
+          FROM documents
+          UNION ALL
+          SELECT 'avg_doc_tokens',
+                 round(avg(len(string_split(text, ' '))), 6) FROM documents
+          UNION ALL
+          SELECT 'exact_dup_rate',
+                 round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6)
+          FROM documents
+          UNION ALL
+          SELECT 'pii_total', 0.0::DOUBLE), -- synthetic corpus carries none
+        sl AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        slices AS (
+          SELECT 'n_slices' AS metric, count(*)::DOUBLE AS value FROM sl
+          UNION ALL
+          SELECT 'top_slice_share',
+                 round(max(n)::DOUBLE / sum(n), 6) FROM sl),
+        g AS (
+          SELECT unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                   ELSE [array_to_string(w[i+1:i+3], ' ')
+                         FOR i IN range(0, len(w) - 2)] END) AS gram
+          FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+        grams AS (
+          SELECT 'distinct_3gram_ratio' AS metric,
+                 round(count(DISTINCT gram)::DOUBLE / count(*), 6) AS value
+          FROM g)
+        SELECT * FROM base
+        UNION ALL SELECT * FROM slices
+        UNION ALL SELECT * FROM grams""")
     ))
 
   /** Deterministic 8-subspace codebook for q121/q122: entry `code` of every

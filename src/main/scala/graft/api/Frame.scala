@@ -287,6 +287,8 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     val cb = graft.ann.ProductQuantize.trainPq(df, embCol, nSub, nCodes)
     next(graft.ann.ProductQuantize.encode(df, embCol, cb, outCol))
   }
+  def datacard(textCol: String, sliceCol: String): Frame =
+    next(Datacard(df, textCol, sliceCol))
   def piiReport(textCol: String): Frame =
     next(graft.functions.TextFunctions.piiCounts(
       org.apache.spark.sql.functions.col(textCol))

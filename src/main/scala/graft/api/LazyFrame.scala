@@ -365,6 +365,8 @@ final case class LazyFrame(
       "n_buckets" -> nBuckets)
   def urlFilter(urlKey: String, blocked: Seq[String]): LazyFrame =
     append("url_filter", "url_key" -> urlKey, "blocked" -> jlist(blocked))
+  def datacard(textKey: String, sliceKey: String): LazyFrame =
+    append("datacard", "text_key" -> textKey, "slice_key" -> sliceKey)
   def piiReport(textKey: String): LazyFrame =
     append("pii_report", "text_key" -> textKey)
   def blocklistWords(textKey: String, words: Seq[String],

@@ -682,6 +682,10 @@ object Registry {
     graft.ann.ProductQuantize.encode(df, emb, cb,
       c.strOr("output_key", "pq_codes"))
   }
+  // Release datacard (§2.14 reporting): constant-row (metric, value) table.
+  register("datacard") { (df, c, _) =>
+    Datacard(df, c("text_key").str, c("slice_key").str)
+  }
   // PII audit report (§2.14 curation): per-row counts for the four scrub
   // categories, sequentially attributed like redact_pii itself.
   register("pii_report") { (df, c, _) =>

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Corpus release datacard — the one-call summary table a dataset release
+  * publishes (publicly standard practice: HuggingFace dataset cards, the
+  * Dolma/RedPajama release reports; composes this engine's own metric
+  * families into one artifact; the reference has no reporting story —
+  * §2.14 engine extension capping [[CorpusStats]]/[[Diversity]]/PII).
+  *
+  * Output: (metric, value) rows — documents, tokens, slice concentration,
+  * exact-duplicate rate, PII totals, global distinct-3gram diversity.
+  *
+  * Scale shape: three linear aggregations (row stats + PII fused into one
+  * scan pass; a (slice) keyed agg for concentration; a gram explode + agg
+  * for diversity), unioned as single-row frames — no pass is ever
+  * quadratic, and the report's row count is a constant. Exact distincts
+  * plan as two-phase partial dedups; swap approx_count_distinct for the
+  * diversity pass if a ±2% estimate is acceptable on the 100 TB run.
+  */
+object Datacard {
+
+  def apply(df: DataFrame, textCol: String, sliceCol: String): DataFrame = {
+    val t = col(textCol)
+    val piiTotal = TF.piiCounts(t)
+      .map(_._2).reduce(_ + _)
+    // Pass 1 (one scan): row stats + exact-dup rate + PII totals.
+    val base = df.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(TF.tokenCount(t)).cast("double").as("n_tokens"),
+      round(avg(TF.tokenCount(t)), 6).as("avg_doc_tokens"),
+      round(lit(1.0) - countDistinct(md5(t)).cast("double") / count(lit(1)), 6)
+        .as("exact_dup_rate"),
+      sum(piiTotal).cast("double").as("pii_total"))
+    // Pass 2: slice concentration (how much of the corpus the largest
+    // slice holds — the mixture-skew headline number).
+    val slices = df.groupBy(col(sliceCol)).agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).cast("double").as("n_slices"),
+        round(max(col("_n")).cast("double") / sum(col("_n")), 6)
+          .as("top_slice_share"))
+    // Pass 3: global distinct-3gram diversity.
+    val grams = df.select(explode(TF.shingles(t, 3)).as("_g"))
+      .agg(round(countDistinct(col("_g")).cast("double") / count(lit(1)), 6)
+        .as("distinct_3gram_ratio"))
+
+    def melt(d: DataFrame): DataFrame = {
+      val cols = d.columns
+      d.select(explode(array(cols.toIndexedSeq.map(c =>
+        struct(lit(c).as("metric"), col(c).as("value"))): _*)).as("kv"))
+        .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+    }
+    melt(base).union(melt(slices)).union(melt(grams))
+  }
+}

@@ -409,6 +409,34 @@ class Round9gSpec extends SparkSpec {
     assert(Pipeline.runYaml(lf.toYaml, spark).count() == 3)
   }
 
+  // ------------------------------------------------------------ datacard
+
+  test("datacard reports duplication, concentration, pii, and diversity") {
+    val schema = StructType(Seq(
+      StructField("text", StringType), StructField("src", StringType)))
+    val d = df(schema,
+      Row("one two three", "a"), Row("one two three", "a"), // exact dup
+      Row("four five six mail a@b.com", "a"),
+      Row("seven eight nine", "b"))
+    val got = graft.ops.Datacard(d, "text", "src")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("n_docs") == 4.0)
+    assert(got("n_tokens") == 14.0)
+    assert(got("exact_dup_rate") == 0.25)
+    assert(got("pii_total") == 1.0)
+    assert(got("n_slices") == 2.0)
+    assert(got("top_slice_share") == 0.75)
+    assert(got("distinct_3gram_ratio") > 0.0)
+    // api surfaces
+    import graft.api.{Graft, LazyFrame, Pipeline}
+    assert(Graft.fromDF(d).datacard("text", "src").count() == 8)
+    val dir = java.nio.file.Files.createTempDirectory("r9dc").toString
+    d.write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val lf = LazyFrame.read("d", s"$dir/d.parquet").datacard("text", "src")
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    assert(Pipeline.runYaml(lf.toYaml, spark).count() == 8)
+  }
+
   // ------------------------------------------------------------ extensions
 
   test("GraftExtensions injects SQL functions via spark.sql.extensions") {
