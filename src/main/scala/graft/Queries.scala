@@ -3322,6 +3322,62 @@ object Queries {
         SELECT * FROM base
         UNION ALL SELECT * FROM slices
         UNION ALL SELECT * FROM grams""")
+    ),
+    (
+      // Chat-template render + loss-mask spans: a 4-turn conversation is
+      // built deterministically per document, folded into one training
+      // string by a pure aggregate lambda (no explode/shuffle), and each
+      // assistant turn's content yields a [start, end) span. Output
+      // explodes the spans so the oracle compares scalars.
+      "q129_chat_render",
+      (s: SparkSession, dir: String) => {
+        val msgs = array(
+          struct(lit("user").as("role"), col("text").as("content")),
+          struct(lit("assistant").as("role"), col("lang").as("content")),
+          struct(lit("user").as("role"), col("source").as("content")),
+          struct(lit("assistant").as("role"),
+            concat(col("lang"), lit("-"), col("source")).as("content")))
+        graft.ops.ChatOps.renderWithSpans(
+          t(s, dir, "documents").withColumn("_msgs", msgs)
+            .select("doc_id", "_msgs"), "_msgs")
+          .select(col("doc_id"), col("text"),
+            posexplode(col("mask_spans")).as(Seq("span_idx", "span")))
+          .select(col("doc_id"), col("text"),
+            col("span_idx").cast("bigint").as("span_idx"),
+            col("span.s").as("s"), col("span.e").as("e"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 [struct_pack(role := 'user', content := text),
+                  struct_pack(role := 'assistant', content := lang),
+                  struct_pack(role := 'user', content := source),
+                  struct_pack(role := 'assistant',
+                              content := lang || '-' || source)] AS msgs
+          FROM documents),
+        x AS (
+          SELECT doc_id, i, msgs[i+1].role AS role,
+                 msgs[i+1].content AS content,
+                 '<|' || msgs[i+1].role || '|>' || chr(10) ||
+                   msgs[i+1].content || chr(10) AS piece
+          FROM m, UNNEST(range(0, len(msgs))) AS t(i)),
+        o AS (
+          SELECT doc_id, i, role, content, piece,
+                 coalesce(sum(len(piece)) OVER (PARTITION BY doc_id
+                   ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS off
+          FROM x),
+        r AS (SELECT doc_id, string_agg(piece, '' ORDER BY i) AS text
+              FROM o GROUP BY 1),
+        spans AS (
+          SELECT doc_id,
+                 (row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1)
+                   AS span_idx,
+                 off + len('<|' || role || '|>') + 1 AS s,
+                 off + len('<|' || role || '|>') + 1 + len(content) AS e
+          FROM o WHERE role = 'assistant')
+        SELECT doc_id, text, span_idx, s, e
+        FROM spans JOIN r USING (doc_id)""")
     ))
 
   /** Deterministic 8-subspace codebook for q121/q122: entry `code` of every

@@ -287,6 +287,8 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     val cb = graft.ann.ProductQuantize.trainPq(df, embCol, nSub, nCodes)
     next(graft.ann.ProductQuantize.encode(df, embCol, cb, outCol))
   }
+  def chatRender(messagesCol: String, maskRole: String = "assistant"): Frame =
+    next(ChatOps.renderWithSpans(df, messagesCol, maskRole))
   def datacard(textCol: String, sliceCol: String): Frame =
     next(Datacard(df, textCol, sliceCol))
   def piiReport(textCol: String): Frame =

@@ -365,6 +365,11 @@ final case class LazyFrame(
       "n_buckets" -> nBuckets)
   def urlFilter(urlKey: String, blocked: Seq[String]): LazyFrame =
     append("url_filter", "url_key" -> urlKey, "blocked" -> jlist(blocked))
+  def chatRender(messagesKey: String, maskRole: String = "assistant",
+      outputKey: String = "text", spansKey: String = "mask_spans"): LazyFrame =
+    append("chat_render", "messages_key" -> messagesKey,
+      "mask_role" -> maskRole, "output_key" -> outputKey,
+      "spans_key" -> spansKey)
   def datacard(textKey: String, sliceKey: String): LazyFrame =
     append("datacard", "text_key" -> textKey, "slice_key" -> sliceKey)
   def piiReport(textKey: String): LazyFrame =

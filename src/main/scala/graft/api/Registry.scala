@@ -682,6 +682,12 @@ object Registry {
     graft.ann.ProductQuantize.encode(df, emb, cb,
       c.strOr("output_key", "pq_codes"))
   }
+  // Chat-template render + loss-mask spans (§2.14 SFT prep).
+  register("chat_render") { (df, c, _) =>
+    ChatOps.renderWithSpans(df, c("messages_key").str,
+      c.strOr("mask_role", "assistant"), c.strOr("output_key", "text"),
+      c.strOr("spans_key", "mask_spans"))
+  }
   // Release datacard (§2.14 reporting): constant-row (metric, value) table.
   register("datacard") { (df, c, _) =>
     Datacard(df, c("text_key").str, c("slice_key").str)

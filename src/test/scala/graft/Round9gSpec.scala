@@ -409,6 +409,46 @@ class Round9gSpec extends SparkSpec {
     assert(Pipeline.runYaml(lf.toYaml, spark).count() == 3)
   }
 
+  // ------------------------------------------------------------ chat render
+
+  test("chat render: spans select exactly the assistant contents") {
+    import graft.ops.ChatOps
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("msgs", ArrayType(StructType(Seq(
+        StructField("role", StringType),
+        StructField("content", StringType)))))))
+    val d = df(schema,
+      Row(1L, Seq(Row("user", "hi there"), Row("assistant", "hello!"),
+        Row("user", "bye"), Row("assistant", "goodbye"))),
+      Row(2L, Seq(Row("user", "only user turns"))),
+      Row(3L, Seq.empty[Row]))
+    val out = ChatOps.renderWithSpans(d, "msgs").orderBy("id").collect()
+    val text1 = out(0).getString(2)
+    val spans1 = out(0).getSeq[Row](3)
+    assert(text1 ==
+      "<|user|>\nhi there\n<|assistant|>\nhello!\n<|user|>\nbye\n<|assistant|>\ngoodbye\n")
+    // the spans, cut out of the rendered text, are the assistant contents
+    val cut = spans1.map(sp =>
+      text1.substring(sp.getLong(0).toInt, sp.getLong(1).toInt))
+    assert(cut == Seq("hello!", "goodbye"))
+    assert(out(1).getSeq[Row](3).isEmpty) // no assistant turns -> no spans
+    assert(out(2).getString(2) == "" && out(2).getSeq[Row](3).isEmpty)
+  }
+
+  test("chat render plan is narrow: no exchange from the fold") {
+    import graft.ops.ChatOps
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("msgs", ArrayType(StructType(Seq(
+        StructField("role", StringType),
+        StructField("content", StringType)))))))
+    val d = df(schema, Row(1L, Seq(Row("user", "x"))))
+    val plan = ChatOps.renderWithSpans(d, "msgs")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   // ------------------------------------------------------------ datacard
 
   test("datacard reports duplication, concentration, pii, and diversity") {
