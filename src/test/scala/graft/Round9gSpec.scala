@@ -572,6 +572,26 @@ class Round9gSpec extends SparkSpec {
 
   // ------------------------------------------------------------ examples
 
+  test("the sft-prep example pipeline runs end to end") {
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/sft_prep_pipeline.yaml")))
+    val out = graft.api.Pipeline.runYaml(yaml, spark)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(out.columns.toSet.intersect(
+      Set("text", "mask_spans", "n_tokens")).size == 3)
+    // every surviving conversation has its assistant span, and the span
+    // cuts the rendered summary back out
+    rows.foreach { r =>
+      val text = r.getAs[String]("text")
+      val spans = r.getSeq[Row](r.fieldIndex("mask_spans"))
+      assert(spans.nonEmpty)
+      val cut = text.substring(spans.head.getLong(0).toInt,
+        spans.head.getLong(1).toInt)
+      assert(cut.startsWith("summary: "))
+    }
+  }
+
   test("the web-curation example pipeline runs end to end") {
     val yaml = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("examples/web_curation_pipeline.yaml")))
