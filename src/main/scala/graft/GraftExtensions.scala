@@ -23,8 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
         "cosine_similarity"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"cosine_similarity expects 2 arguments, got ${exprs.length}")
+        graft.functions.CosineSimilarity(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[graft.functions.UnicodeNormalize].getName,

@@ -2942,9 +2942,9 @@ object Queries {
                    '^(http://[^/:?#]*):80([/?]|$)', '\1\2') AS np
                FROM c2),
         c4 AS (SELECT *,
-                 regexp_replace(regexp_replace(regexp_replace(np,
-                   'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]$', ''),
-                   '\?&', '?') AS nu
+                 regexp_replace(regexp_replace(np,
+                   '([?&])utm_[a-z]+=[^&#]*(&utm_[a-z]+=[^&#]*)*&?',
+                   '\1', 'g'), '[?&]$', '') AS nu
                FROM c3),
         c5 AS (SELECT *,
                  regexp_replace(regexp_replace(nu, '/+\?', '?'), '/+$', '')
@@ -3264,7 +3264,7 @@ object Queries {
             .as("blocked")),
       Some("""
         SELECT doc_id,
-               len(list_intersect(string_split(lower(text), ' '),
+               len(list_intersect(regexp_split_to_array(lower(text), '\s+'),
                    ['slow', 'error'])) > 0 AS blocked
         FROM documents""")
     ),

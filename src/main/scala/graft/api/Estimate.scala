@@ -39,7 +39,8 @@ object Estimate {
       datasetScales: Map[String, Double],
       ops: Seq[OpEstimate],
       llmScale: Double,
-      estLlm: Map[String, TokenTally.Tally]) {
+      estLlm: Map[String, TokenTally.Tally],
+      cacheHits: Long = 0L) {
     def render: String = {
       val opLines = ops.map { o =>
         f"  ${o.step}%-20s ${o.op}%-24s sel=${o.selectivity}%6.3f est_rows≈${o.estRowsOut}%,d"
@@ -48,10 +49,17 @@ object Estimate {
         f"  $m%-24s calls≈${t.calls}%,d in_tok≈${t.inputTokens}%,d " +
           f"out_tok≈${t.outputTokens}%,d cost≈$$${t.cost}%.2f"
       }
+      val warn =
+        if (cacheHits > 0)
+          Seq(f"WARNING: $cacheHits%,d sample completions came from a warm " +
+            "LLM cache — calls/cost below UNDERCOUNT a cold full run; " +
+            "clear the cache (LlmCache.clear) for a cold estimate")
+        else Nil
       (Seq(s"estimate from sample of $sampleRows rows/dataset " +
         s"(scales: ${datasetScales.map { case (k, v) => f"$k=$v%.1fx" }.mkString(", ")})",
         "per-op (linear extrapolation; join/reduce rows are order-of-magnitude):") ++
-        opLines ++ Seq(f"llm totals (scaled ${llmScale}%.1fx, upper bound):") ++
+        opLines ++ warn ++
+        Seq(f"llm totals (scaled ${llmScale}%.1fx, upper bound):") ++
         llmLines).mkString("\n")
     }
   }
@@ -78,19 +86,32 @@ object Estimate {
       conf.get("pipeline").flatMap(_.get("steps")).map(_.asList.map { s =>
         s("name").str -> s.strOr("input", "")
       }.toMap).getOrElse(Map.empty)
+    // A step may legally shadow its own input dataset's name ({name: docs,
+    // input: docs}); the hop bound also breaks any accidental ref cycle.
     @annotation.tailrec
-    def root(name: String): String =
+    def root(name: String, hops: Int = 0): String =
       stepInputs.get(name) match {
-        case Some(parent) if parent.nonEmpty => root(parent)
+        case Some(parent)
+            if parent.nonEmpty && parent != name && hops < 1000 =>
+          root(parent, hops + 1)
         case _ => name
       }
     def scaleFor(step: String): Double =
       datasetScales.getOrElse(root(step), datasetScales.values.foldLeft(1.0)(math.max))
 
     TokenTally.reset()
-    val (_, _, stats) =
-      Pipeline.runImpl(conf, spark, client, track = true, Some(sampleRows))
+    graft.llm.LlmCache.resetHits()
+    // Never touch the real sink: the estimate must not overwrite a full
+    // run's output with sampled rows (same strip as Pipeline.describe).
+    // runImpl additionally disables checkpoints for sampled runs, so a
+    // cached full/previous-estimate op can never replay and zero the tally.
+    // The executor-local LLM response cache can still serve repeats (its
+    // whole point); the report counts those hits and warns that a
+    // warm-cache estimate undercounts a cold full run.
+    val (_, _, stats) = Pipeline.runImpl(Pipeline.stripOutput(conf), spark,
+      client, track = true, Some(sampleRows))
     val sampleTally = TokenTally.summary
+    val cacheHits = graft.llm.LlmCache.hits
 
     val ops = stats.map { s =>
       val sc = scaleFor(s.step)
@@ -105,7 +126,8 @@ object Estimate {
         math.round(t.outputTokens * llmScale),
         t.cost * llmScale)
     }
-    Report(sampleRows, datasetRows, datasetScales, ops, llmScale, estLlm)
+    Report(sampleRows, datasetRows, datasetScales, ops, llmScale, estLlm,
+      cacheHits)
   }
 
   def fromYaml(yaml: String, spark: SparkSession,

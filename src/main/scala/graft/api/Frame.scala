@@ -299,7 +299,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       report: Boolean = false): Frame = {
     val blocked = graft.functions.TextFunctions.containsBlockedWord(
       org.apache.spark.sql.functions.col(textCol), words)
-    next(if (report) df.withColumn("blocked", blocked) else df.filter(!blocked))
+    // NULL text contains no blocked word — keep it (see Registry note)
+    next(if (report) df.withColumn("blocked", blocked)
+    else df.filter(!org.apache.spark.sql.functions.coalesce(
+      blocked, org.apache.spark.sql.functions.lit(false))))
   }
   def snapshotDiff(prev: Frame, idCol: String, contentExpr: String): Frame =
     next(SnapshotDiff(prev.df, df, idCol, contentExpr))

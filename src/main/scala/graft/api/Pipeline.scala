@@ -154,7 +154,11 @@ object Pipeline {
               t.boolOr("doc_per_page", false) + ":" +
               t.boolOr("skip_on_error", false)).mkString(",")).getOrElse(""))
     })
-    val store = conf.get("checkpoint_dir").map(d => new CheckpointStore(d.str))
+    // Sampled (estimate) runs never read or write checkpoints: a cached
+    // sampled op would replay with zero LLM calls and falsify the tally.
+    val store =
+      if (sampleRows.isDefined) None
+      else conf.get("checkpoint_dir").map(d => new CheckpointStore(d.str))
     val planRewrites = conf.boolOr("plan_rewrites", true)
     val opsByName: Map[String, Conf] =
       conf.get("operations").map(_.asList.map(o => o("name").str -> o).toMap)
@@ -392,20 +396,23 @@ object Pipeline {
     * schema; no separate transform_schema reimplementation needed). Ops
     * that calibrate at plan time (resolve, cluster, bm25) still run their
     * small calibration jobs. */
+  /** The same conf with `pipeline.output` removed — for runs that must
+    * never touch the real sink (describe, estimate). */
+  private[api] def stripOutput(conf: Conf): Conf = {
+    val m = new java.util.LinkedHashMap[String, Any]()
+    conf.asOrderedMap.foreach {
+      case ("pipeline", p) =>
+        val pm = new java.util.LinkedHashMap[String, Any]()
+        p.asOrderedMap.foreach { case (k, v) => if (k != "output") pm.put(k, v.value) }
+        m.put("pipeline", pm)
+      case (k, v) => m.put(k, v.value)
+    }
+    Conf(m)
+  }
+
   def describe(conf: Conf, spark: SparkSession,
       client: LlmClient = MockLlmClient()): Seq[(String, org.apache.spark.sql.types.StructType)] = {
-    val noOutput = {
-      val m = new java.util.LinkedHashMap[String, Any]()
-      conf.asOrderedMap.foreach {
-        case ("pipeline", p) =>
-          val pm = new java.util.LinkedHashMap[String, Any]()
-          p.asOrderedMap.foreach { case (k, v) => if (k != "output") pm.put(k, v.value) }
-          m.put("pipeline", pm)
-        case (k, v) => m.put(k, v.value)
-      }
-      Conf(m)
-    }
-    runWithSteps(noOutput, spark, client)._2.map { case (n, d) => n -> d.schema }
+    runWithSteps(stripOutput(conf), spark, client)._2.map { case (n, d) => n -> d.schema }
   }
 
   def runYamlFile(path: String, spark: SparkSession,

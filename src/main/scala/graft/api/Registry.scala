@@ -705,7 +705,10 @@ object Registry {
     val blocked = graft.functions.TextFunctions.containsBlockedWord(
       org.apache.spark.sql.functions.col(c("text_key").str), c("words").strList)
     if (c.boolOr("report", false)) df.withColumn("blocked", blocked)
-    else df.filter(!blocked)
+    // NULL text contains no blocked word — keep it (a bare !blocked would
+    // silently drop NULL rows under three-valued logic)
+    else df.filter(!org.apache.spark.sql.functions.coalesce(
+      blocked, org.apache.spark.sql.functions.lit(false)))
   }
   // Snapshot diff (§2.14 incremental ingest): delta of THIS frame vs a
   // previous snapshot dataset — added/removed/changed by content hash.

@@ -213,6 +213,6 @@ object TextFunctions {
     * data). Exact token match, not substring — "class" never trips an
     * "ass" entry. */
   def containsBlockedWord(c: Column, words: Seq[String]): Column =
-    arrays_overlap(split(lower(c), " "),
+    arrays_overlap(split(lower(c), "\\s+"),
       array(words.map(w => lit(w.toLowerCase)): _*))
 }

@@ -327,12 +327,22 @@ object LlmCache {
   }
 
   def getOrCompute(key: String, compute: => LlmResponse): LlmResponse =
-    get(key).getOrElse {
-      val v = compute
-      remember(key, v)
-      diskPut(key, v)
-      v
+    get(key) match {
+      case Some(v) => hitCounter.incrementAndGet(); v
+      case None =>
+        val v = compute
+        remember(key, v)
+        diskPut(key, v)
+        v
     }
+
+  /** Served-from-cache completions since the last [[resetHits]] — lets a
+    * pre-flight estimate tell a cold measurement from one a warm cache
+    * silently zeroed (per-JVM: exact in local mode, per-executor on a
+    * cluster). */
+  private val hitCounter = new java.util.concurrent.atomic.AtomicLong()
+  def hits: Long = hitCounter.get()
+  def resetHits(): Unit = hitCounter.set(0L)
 
   def clear(): Unit = { map.clear(); order.clear() }
 }

@@ -69,9 +69,15 @@ object UrlOps {
     val noPort = regexp_replace(
       regexp_replace(lowered, "^(https://[^/:?#]*):443([/?]|$)", "$1$2"),
       "^(http://[^/:?#]*):80([/?]|$)", "$1$2")
-    // 4. drop utm_* tracking params, then tidy separators left behind
-    val noUtm = regexp_replace(noPort, "utm_[a-z]+=[^&#]*&?", "")
-    val tidied = regexp_replace(regexp_replace(noUtm, "[?&]$", ""), "\\?&", "?")
+    // 4. drop utm_* tracking params — anchored at a [?&] boundary so a
+    //    param merely ENDING in "utm_…" (`?xutm_a=1`) or a path segment
+    //    (`/p/utm_source=x/q`) is never touched; the run form consumes
+    //    consecutive utm params in one match (regexp_replace scans the
+    //    original string, so `?utm_a=1&utm_b=2` must fall to ONE match —
+    //    the boundary of the second was consumed by the first)
+    val noUtm = regexp_replace(noPort,
+      "([?&])utm_[a-z]+=[^&#]*(&utm_[a-z]+=[^&#]*)*&?", "$1")
+    val tidied = regexp_replace(noUtm, "[?&]$", "")
     // 5. strip trailing slashes (before the query string, or at the end)
     regexp_replace(regexp_replace(tidied, "/+\\?", "?"), "/+$", "")
   }

@@ -125,26 +125,20 @@ object Streams {
     * benchmark too large to broadcast as a literal, decontaminate the batch
     * corpus with `Decontaminate.clean` instead — the streaming filter is
     * deliberately the small-benchmark shape. */
-  /** Streaming incremental near-dup detection: every (stream doc, reference
-    * doc) pair whose exact Jaccard ≥ threshold, where the reference is a
-    * STATIC stored [[graft.dedup.MinHashDedup.signatureTable]] (the
-    * accumulated corpus's LSH state) — the always-on face of
-    * `crossPairsPrecomputed`, for flagging near-dups of already-ingested
-    * data at ingest time.
-    *
-    * Entirely STATELESS (stream-static joins buffer nothing across
-    * batches; legal in append mode): the stream side computes shingles +
-    * band keys in one pass and probes the static banded keys; exact
-    * Jaccard verifies candidates; and because a stream row lives in
-    * exactly ONE micro-batch, the multi-band duplicates of a pair are
-    * intra-batch only — a hash repartition by pair + per-partition seen-set
-    * is exact global pair dedup with no state store. Stream-side shingle
-    * arrays ride through the band explode (×numBands within a micro-batch
-    * — bounded by batch size, the trade for avoiding a stream-stream
-    * self-join, which would need unbounded join state); reference shingles
-    * join in thin, candidates-only. Re-flagging across restarts is
-    * idempotent by construction (no state to lose). Persist/cache the
-    * signature table DataFrame if the per-batch static scan matters. */
+  def decontaminate(
+      stream: DataFrame,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    val grams = benchmark
+      .select(explode(graft.functions.ShingleHashes(col(benchTextCol), n)).as("_g"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    if (grams.isEmpty) stream
+    else stream.filter(!arrays_overlap(
+      graft.functions.ShingleHashes(col(textCol), n), typedlit(grams)))
+  }
+
   /** Streaming bloom-filter decontamination against an accumulated
     * reference corpus: keep rows whose word n-grams hit the reference's
     * [[graft.dedup.BloomFilter]] at most `maxHits` times. The filter builds
@@ -157,7 +151,6 @@ object Streams {
     * The always-on analog of `BloomFilter.cleanAgainstReference`. */
   def bloomClean(
       stream: DataFrame,
-      idCol: String,
       textCol: String,
       reference: DataFrame,
       refTextCol: String,
@@ -179,6 +172,26 @@ object Streams {
       .drop("_bloom_hits")
   }
 
+  /** Streaming incremental near-dup detection: every (stream doc, reference
+    * doc) pair whose exact Jaccard ≥ threshold, where the reference is a
+    * STATIC stored [[graft.dedup.MinHashDedup.signatureTable]] (the
+    * accumulated corpus's LSH state) — the always-on face of
+    * `crossPairsPrecomputed`, for flagging near-dups of already-ingested
+    * data at ingest time.
+    *
+    * Entirely STATELESS (stream-static joins buffer nothing across
+    * batches; legal in append mode): the stream side computes shingles +
+    * band keys in one pass and probes the static banded keys; exact
+    * Jaccard verifies candidates; and because a stream row lives in
+    * exactly ONE micro-batch, the multi-band duplicates of a pair are
+    * intra-batch only — a hash repartition by pair + per-partition seen-set
+    * is exact global pair dedup with no state store. Stream-side shingle
+    * arrays ride through the band explode (×numBands within a micro-batch
+    * — bounded by batch size, the trade for avoiding a stream-stream
+    * self-join, which would need unbounded join state); reference shingles
+    * join in thin, candidates-only. Re-flagging across restarts is
+    * idempotent by construction (no state to lose). Persist/cache the
+    * signature table DataFrame if the per-batch static scan matters. */
   def nearDupHitsAgainstReference(
       stream: DataFrame,
       idCol: String,
@@ -220,19 +233,6 @@ object Streams {
       }(org.apache.spark.sql.Encoders.row(schema))
   }
 
-  def decontaminate(
-      stream: DataFrame,
-      textCol: String,
-      benchmark: DataFrame,
-      benchTextCol: String,
-      n: Int = 8): DataFrame = {
-    val grams = benchmark
-      .select(explode(graft.functions.ShingleHashes(col(benchTextCol), n)).as("_g"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    if (grams.isEmpty) stream
-    else stream.filter(!arrays_overlap(
-      graft.functions.ShingleHashes(col(textCol), n), typedlit(grams)))
-  }
 
   /** Streaming exact dedup with keyed state (`flatMapGroupsWithState`):
     * the FIRST row per normalized-text fingerprint passes, every later

@@ -430,7 +430,7 @@ class StreamingSpec extends SparkSpec {
     val ref = Seq("alpha beta gamma delta epsilon zeta eta").toDF("text")
     val input = MemoryStream[(Long, String)]
     val docs = input.toDF().toDF("doc_id", "text")
-    val cleaned = Streams.bloomClean(docs, "doc_id", "text", ref, "text",
+    val cleaned = Streams.bloomClean(docs, "text", ref, "text",
       n = 4, m = 1L << 12, k = 3)
     // plan has no stream-static join and no stateful operator
     val planStr = cleaned.queryExecution.analyzed.toString
