@@ -2758,8 +2758,8 @@ object Queries {
                            min(doc_id)::BIGINT AS mn2,
                            max(doc_id)::BIGINT AS mx2 FROM documents),
         b AS (SELECT doc_id,
-                ((n_chars - mn1) * 256) // (mx1 - mn1 + 1) AS b1,
-                ((doc_id  - mn2) * 256) // (mx2 - mn2 + 1) AS b2
+                (n_chars - mn1) // ((mx1 - mn1) // 256 + 1) AS b1,
+                (doc_id  - mn2) // ((mx2 - mn2) // 256 + 1) AS b2
               FROM documents, mm)
         SELECT doc_id,
                list_sum([(((b1 >> i) & 1) << (2*i)) +

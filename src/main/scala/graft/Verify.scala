@@ -44,7 +44,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Subset (dev) runs restrict the oracle file to the queries they
+    // dumped, so diffcheck can treat EVERY missing parquet as a hard FAIL
+    // — a query that crashed during the dump must never read as "pass".
+    // Driver runs never set the filter, so they always get the full map.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -329,7 +329,7 @@ final case class LazyFrame(
       "output_key" -> outputKey)
   def zorder(cols: Seq[String], bits: Int = 8, numFiles: Int = 0,
       outputKey: String = "zvalue"): LazyFrame =
-    append("zorder", (Seq[(String, Any)]("cols" -> cols, "bits" -> bits,
+    append("zorder", (Seq[(String, Any)]("cols" -> jlist(cols), "bits" -> bits,
       "output_key" -> outputKey) ++
       (if (numFiles > 0) Seq("num_files" -> numFiles) else Nil)): _*)
   def qualityRules(textKey: String, minWords: Long = 50,

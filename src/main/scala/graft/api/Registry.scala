@@ -505,9 +505,7 @@ object Registry {
           shingle, perms, bands, thr, cap, head)
     c.strOr("mode", "clean") match {
       case "clean" =>
-        val idKey = c("id_key").str
-        df.join(pairs.select(org.apache.spark.sql.functions.col("id_new")
-          .as(idKey)).distinct(), Seq(idKey), "left_anti")
+        graft.dedup.MinHashDedup.cleanFromPairs(df, c("id_key").str, pairs)
       case "pairs" => pairs
       case m => throw new IllegalArgumentException(
         s"unknown dedup_against mode $m (clean | pairs)")

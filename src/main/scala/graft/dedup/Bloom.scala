@@ -67,6 +67,10 @@ object BloomFilter {
     require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
     val posArr = (0 until k).map(i => posSql(keyExpr, m, i)).mkString(", ")
     val agg = ref
+      // a null key hashes to null positions; inserting nothing for it is
+      // the only sensible membership (probe of null is null too) — without
+      // the filter the (w=null) group NPEs the driver-side word fill
+      .where(s"($keyExpr) IS NOT NULL")
       .selectExpr(s"explode(array($posArr)) AS p")
       .selectExpr("CAST(p DIV 64 AS INT) AS w", "CAST(p % 64 AS INT) AS b")
       .groupBy("w")

@@ -317,13 +317,19 @@ object MinHashDedup {
       numBands: Int = 16,
       jaccardThreshold: Double = 0.8,
       maxBucketSize: Option[Int] = None,
-      maxBucketHead: Option[Int] = None): DataFrame = {
-    val hit = crossPairs(newDf, newIdCol, newTextCol, refDf, refIdCol,
-      refTextCol, shingleSize, numPerms, numBands, jaccardThreshold,
-      maxBucketSize, maxBucketHead)
-      .select(col("id_new").as(newIdCol)).distinct()
-    newDf.join(hit, Seq(newIdCol), "left_anti")
-  }
+      maxBucketHead: Option[Int] = None): DataFrame =
+    cleanFromPairs(newDf, newIdCol,
+      crossPairs(newDf, newIdCol, newTextCol, refDf, refIdCol,
+        refTextCol, shingleSize, numPerms, numBands, jaccardThreshold,
+        maxBucketSize, maxBucketHead))
+
+  /** The single definition of "clean against reference" given an already-
+    * computed (id_new, id_ref) pair list — shared by [[cleanAgainstReference]]
+    * and the YAML `dedup_against` step so the two surfaces cannot diverge. */
+  def cleanFromPairs(newDf: DataFrame, newIdCol: String,
+      pairs: DataFrame): DataFrame =
+    newDf.join(pairs.select(col("id_new").as(newIdCol)).distinct(),
+      Seq(newIdCol), "left_anti")
 
   /** Cluster-exact dedup keeping the BEST row per near-dup cluster: pairs
     * close into connected components (near-duplicate similarity is not

@@ -58,9 +58,15 @@ object ConnectedComponents {
       undirected.unpersist()
       val mapDf = broadcast(
         spark.createDataFrame(mapping.toSeq).toDF("id", "_cc"))
+      // Cast back to the original id type: component = min reachable id is
+      // always representable, and the output schema must not flip between
+      // int and long depending on which side of driverEdgeGate the data
+      // lands (the label-propagation path keeps the id's own type).
+      val idType = vertices.schema.fields.head.dataType
       return vertices.toDF("id").join(mapDf, Seq("id"), "left")
         .select(col("id"),
-          coalesce(col("_cc"), col("id").cast("long")).as("component"))
+          coalesce(col("_cc"), col("id").cast("long")).cast(idType)
+            .as("component"))
     }
     var labels = vertices.toDF("id").withColumn("component", col("id")).persist()
     var iter = 0

@@ -42,11 +42,12 @@ object ImportanceWeightOp {
     // The vocab table feeds BOTH the scalar stats and the weight projection;
     // persisting it halves the corpus scans (2 instead of 4) — without it
     // Catalyst re-derives the full-outer count join in each branch.
-    val vocab = cCnt.join(tCnt, Seq("_tok"), "full_outer")
-      .select(col("_tok"),
-        coalesce(col("_c"), lit(0L)).as("_c"),
-        coalesce(col("_t"), lit(0L)).as("_t"))
-      .persist()
+    val vocab = graft.core.PersistScope.register(
+      cCnt.join(tCnt, Seq("_tok"), "full_outer")
+        .select(col("_tok"),
+          coalesce(col("_c"), lit(0L)).as("_c"),
+          coalesce(col("_t"), lit(0L)).as("_t"))
+        .persist())
     val stats = vocab.agg(
       count(lit(1)).cast("double").as("_v"),
       sum("_c").cast("double").as("_nc"),

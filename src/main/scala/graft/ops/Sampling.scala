@@ -52,7 +52,10 @@ object SampleOp {
       4503599627370496.0 // 2^52; +1 keeps u in (0, 1]
     val w = expr(weightExpr).cast("double")
     val key = -log(u) / w
-    df.filter(w > 0)
+    // Null-id rows are excluded like null/non-positive weights: a null id
+    // makes the A-ES key null, and asc ordering would otherwise sort those
+    // rows FIRST — an unweighted free pass into every sample.
+    df.filter(w > 0 && expr(idExpr).isNotNull)
       .withColumn("_graft_aes", key)
       .orderBy(col("_graft_aes").asc, expr(idExpr).asc)
       .limit(k)

@@ -53,10 +53,23 @@ object ZOrder {
     val buckets = cols.zipWithIndex.map { case (c, j) =>
       val mn = mm.getLong(2 * j)
       val mx = mm.getLong(2 * j + 1)
-      // (v - mn) * 2^bits / (range + 1): BIGINT floor division, value in
-      // [0, 2^bits). +1 keeps v = mx inside the top bucket.
-      (col(c).cast("bigint") - lit(mn)) * lit(1L << bits) /
-        lit(mx - mn + 1L)
+      // Divisor-form equi-width bucket: width = range/2^bits + 1, bucket =
+      // (v - mn) DIV width — exact BIGINT arithmetic in [0, 2^bits) with NO
+      // multiplication, so wide-range columns cannot overflow (the
+      // (v-mn)*2^bits form wraps past range ~2^55 — e.g. ns-epoch
+      // timestamps more than ~400 days apart) and no double division can
+      // round the max value into a dropped bit. Trade: when range+1 is not
+      // a multiple of 2^bits the top buckets may sit empty — harmless for
+      // a layout key. Both engines replay the identical integer formula.
+      // The span itself is BigInt-checked: past 2^62 even (v - mn) wraps,
+      // and a column spanning most of int64 has no locality worth
+      // clustering — pre-scale it (e.g. DIV a coarse unit) instead.
+      val span = BigInt(mx) - BigInt(mn)
+      require(span <= (BigInt(1L) << 62),
+        s"zorder: column '${cols(j)}' spans $span (> 2^62) — pre-scale it " +
+          "to a coarser unit before z-ordering")
+      val width = (span / (1L << bits) + 1).toLong
+      call_function("div", col(c).cast("bigint") - lit(mn), lit(width))
     }
     df.withColumn(outCol, interleave(buckets, bits))
   }

@@ -39,7 +39,13 @@ object ShardedSink {
       mode: String = "overwrite"): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
     val shard = pmod(xxhash64(expr(idExpr)), lit(numShards)).cast("int")
-    val withShard = df.withColumn("_shard", shard)
+    // Persisted across the two actions (data write, manifest agg): without
+    // it the input plan evaluates twice, and any nondeterministic upstream
+    // (unseeded sample, live LLM) would write shards from evaluation #1
+    // while the manifest checksums evaluation #2 — validate() would then
+    // flag every shard corrupt. Also saves the second full scan.
+    val withShard = graft.core.PersistScope.register(
+      df.withColumn("_shard", shard).persist())
     withShard
       .repartition(numShards, col("_shard"))
       .write.mode(mode).partitionBy("_shard").parquet(s"$path/data")

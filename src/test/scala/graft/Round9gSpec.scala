@@ -447,6 +447,78 @@ class Round9gSpec extends SparkSpec {
     assert(Pipeline.runYaml(lf.toYaml, spark).count() == 3)
   }
 
+  // ------------------------------------------------- prior-round review fixes
+
+  test("zorder zvalue survives wide-range columns without overflow") {
+    import graft.ops.ZOrder
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    // range * 256 would wrap a long under the multiply-first form (this
+    // span ~2^61 is far past that ~2^55 wrap point)
+    val lo = -(1L << 60); val hi = (1L << 60)
+    val d = df(schema, Row(1L, lo), Row(2L, 0L), Row(3L, hi))
+    val z = ZOrder.zvalue(d, Seq("v"), bits = 8).orderBy("id")
+      .collect().map(_.getLong(2))
+    assert(z(0) == 0L)                       // min lands in bucket 0
+    assert(z(2) == 255L, z.toSeq)            // max lands in the TOP bucket
+    assert(z(1) > z(0) && z(1) < z(2))       // midpoint stays ordered
+    // past 2^62 even (v - mn) wraps: refused with a pre-scale hint
+    val full = df(schema, Row(1L, Long.MinValue + 1), Row(2L, Long.MaxValue))
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zvalue(full, Seq("v"), bits = 8).collect()
+    }
+    assert(e.getMessage.contains("pre-scale"))
+  }
+
+  test("weightedByRow: null-id rows are excluded, never free winners") {
+    import graft.ops.SampleOp
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("w", DoubleType)))
+    val d = df(schema,
+      (1L to 10L).map(i => Row(i, 1.0)) ++ Seq(Row(null, 1.0), Row(null, 9.9)): _*)
+    val got = SampleOp.weightedByRow(d, "w", 5, "id")
+      .collect().map(_.get(0))
+    assert(got.length == 5 && got.forall(_ != null))
+  }
+
+  test("LazyFrame.zorder round-trips through YAML") {
+    import graft.api.{LazyFrame, Pipeline}
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("r9zy").toString
+    df(schema, (1L to 20L).map(i => Row(i, i * 3 % 7)): _*)
+      .write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val lf = LazyFrame.read("d", s"$dir/d.parquet").zorder(Seq("a", "b"))
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    val out = Pipeline.runYaml(lf.toYaml, spark)
+    assert(out.count() == 20 && out.columns.contains("zvalue"))
+  }
+
+  test("bloom build tolerates null keys; probe of null stays null-safe") {
+    import graft.dedup.BloomFilter
+    val schema = StructType(Seq(StructField("k", StringType)))
+    val ref = df(schema, Row("a"), Row(null), Row("b"))
+    val f = BloomFilter.build(ref, "k", m = 256, k = 2) // must not NPE
+    assert(f.mightContain("a") && f.mightContain("b"))
+    assert(!f.mightContain("zzz-not-inserted"))
+  }
+
+  test("connected components: component type matches ids on BOTH paths") {
+    import graft.graph.ConnectedComponents
+    val es = StructType(Seq(
+      StructField("src", IntegerType), StructField("dst", IntegerType)))
+    val vs = StructType(Seq(StructField("id", IntegerType)))
+    val edges = df(es, Row(1, 2), Row(3, 4))
+    val verts = df(vs, (1 to 5).map(Row(_)): _*)
+    val fast = ConnectedComponents.run(edges, verts.select("id"))
+    val slow = ConnectedComponents.run(edges, verts.select("id"),
+      driverEdgeGate = 0L) // force label propagation
+    assert(fast.schema("component").dataType ==
+      slow.schema("component").dataType)
+    assert(fast.collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq ==
+      slow.collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq)
+  }
+
   // ------------------------------------------------------------ chat render
 
   test("chat render: spans select exactly the assistant contents") {

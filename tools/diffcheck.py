@@ -26,7 +26,6 @@ def canon(df):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 fails = []
-skipped = 0
 for name, sql in sorted(oracle.items()):
     try:
         e = canon(con.sql(sql).df())
@@ -44,14 +43,14 @@ for name, sql in sorted(oracle.items()):
                 ae = a.astype(object).where(pd.notnull(a), None)
                 be = b.astype(object).where(pd.notnull(b), None)
                 assert (ae == be).all(), f"col {c}"
-    except FileNotFoundError:
-        skipped += 1  # subset run (GRAFT_VERIFY_ONLY): query not dumped
     except Exception as ex:
+        # Verify filters oracle_sql.json to the queries it dumped, so a
+        # missing parquet here means the query CRASHED during the dump —
+        # that is a failure, never a skip.
         fails.append((name, f"{type(ex).__name__}: {str(ex)[:300]}"))
 
 for n, m in fails:
     print("FAIL", n, "--", m)
-checked = len(oracle) - skipped
-note = f" ({skipped} not dumped)" if skipped else ""
-print(f"{checked - len(fails)}/{checked} oracle queries pass{note}")
+checked = len(oracle)
+print(f"{checked - len(fails)}/{checked} oracle queries pass")
 sys.exit(1 if fails else 0)
