@@ -3287,24 +3287,39 @@ object Queries {
       // PII fused into one scan; slice concentration; global 3-gram
       // diversity), no pass quadratic.
       "q128_datacard",
+      // PII is synthesized for every 13th doc so pii_total is a REAL
+      // number the oracle predicts, not a vacuous zero.
       (s: SparkSession, dir: String) =>
-        graft.ops.Datacard(t(s, dir, "documents"), "text", "source"),
+        graft.ops.Datacard(
+          t(s, dir, "documents").withColumn("text",
+            concat(col("text"), when(col("doc_id") % 13 === 0,
+              lit(" reach me at a.b@example.com")).otherwise(lit("")))),
+          "text", "source"),
       Some("""
-        WITH base AS (
-          SELECT 'n_docs' AS metric, count(*)::DOUBLE AS value FROM documents
+        WITH docs AS (
+          SELECT doc_id, source,
+                 text || CASE WHEN doc_id % 13 = 0
+                              THEN ' reach me at a.b@example.com'
+                              ELSE '' END AS text
+          FROM documents),
+        base AS (
+          SELECT 'n_docs' AS metric, count(*)::DOUBLE AS value FROM docs
           UNION ALL
           SELECT 'n_tokens', sum(len(string_split(text, ' ')))::DOUBLE
-          FROM documents
+          FROM docs
           UNION ALL
           SELECT 'avg_doc_tokens',
-                 round(avg(len(string_split(text, ' '))), 6) FROM documents
+                 round(avg(len(string_split(text, ' '))), 6) FROM docs
           UNION ALL
           SELECT 'exact_dup_rate',
                  round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6)
-          FROM documents
+          FROM docs
           UNION ALL
-          SELECT 'pii_total', 0.0::DOUBLE), -- synthetic corpus carries none
-        sl AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+          SELECT 'pii_total',
+                 sum(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))::DOUBLE
+          FROM docs),
+        sl AS (SELECT source, count(*) AS n FROM docs GROUP BY 1),
         slices AS (
           SELECT 'n_slices' AS metric, count(*)::DOUBLE AS value FROM sl
           UNION ALL
@@ -3314,7 +3329,7 @@ object Queries {
           SELECT unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
                    ELSE [array_to_string(w[i+1:i+3], ' ')
                          FOR i IN range(0, len(w) - 2)] END) AS gram
-          FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+          FROM (SELECT string_split(text, ' ') AS w FROM docs)),
         grams AS (
           SELECT 'distinct_3gram_ratio' AS metric,
                  round(count(DISTINCT gram)::DOUBLE / count(*), 6) AS value
