@@ -3167,11 +3167,11 @@ object Queries {
         graft.ops.SnapshotDiff(prev, next, "doc_id", "text")
       },
       Some("""
-        WITH p AS (SELECT doc_id, md5(text) AS prev_hash FROM documents
-                   WHERE doc_id % 5 <> 0),
+        WITH p AS (SELECT doc_id, md5(coalesce(text, '')) AS prev_hash
+                   FROM documents WHERE doc_id % 5 <> 0),
         n AS (SELECT doc_id,
-                md5(CASE WHEN doc_id % 3 = 0 THEN 'edited: ' || text
-                         ELSE text END) AS next_hash
+                md5(coalesce(CASE WHEN doc_id % 3 = 0 THEN 'edited: ' || text
+                             ELSE text END, '')) AS next_hash
               FROM documents WHERE doc_id % 7 <> 0),
         j AS (SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
                      prev_hash, next_hash

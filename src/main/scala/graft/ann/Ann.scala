@@ -189,6 +189,11 @@ object Ann {
     require(multiProbe >= 0 && multiProbe <= numPlanes, "multiProbe in [0, numPlanes]")
     val rng = new scala.util.Random(seed)
     val planes = explicitPlanes.getOrElse(Array.fill(numPlanes, dim)(rng.nextGaussian()))
+    // The probe-mask enumeration below runs over planes.length — an
+    // explicitPlanes array longer than the guard-checked numPlanes would
+    // silently bypass the 2^20 bound (2^40 masks = driver OOM).
+    require(planes.length >= 1 && planes.length <= 20,
+      s"lshSearch: ${planes.length} explicit planes exceed the 20-plane bound")
     def sketch(embCol: org.apache.spark.sql.Column) =
       planes.zipWithIndex.map { case (p, i) =>
         when(VectorFunctions.dot(embCol, array(p.toIndexedSeq.map(lit): _*)) > 0, 1L)

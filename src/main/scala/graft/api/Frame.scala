@@ -292,18 +292,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def datacard(textCol: String, sliceCol: String): Frame =
     next(Datacard(df, textCol, sliceCol))
   def piiReport(textCol: String): Frame =
-    next(graft.functions.TextFunctions.piiCounts(
-      org.apache.spark.sql.functions.col(textCol))
-      .foldLeft(df) { case (acc, (name, c)) => acc.withColumn(name, c) })
+    next(Hygiene.piiReport(df, textCol))
   def blocklistWords(textCol: String, words: Seq[String],
-      report: Boolean = false): Frame = {
-    val blocked = graft.functions.TextFunctions.containsBlockedWord(
-      org.apache.spark.sql.functions.col(textCol), words)
-    // NULL text contains no blocked word — keep it (see Registry note)
-    next(if (report) df.withColumn("blocked", blocked)
-    else df.filter(!org.apache.spark.sql.functions.coalesce(
-      blocked, org.apache.spark.sql.functions.lit(false))))
-  }
+      report: Boolean = false): Frame =
+    next(Hygiene.blocklistWords(df, textCol, words, report))
   def snapshotDiff(prev: Frame, idCol: String, contentExpr: String): Frame =
     next(SnapshotDiff(prev.df, df, idCol, contentExpr))
   def reprocessAgainst(prev: Frame, idCol: String, contentExpr: String): Frame =

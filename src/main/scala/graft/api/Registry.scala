@@ -693,20 +693,13 @@ object Registry {
   // PII audit report (§2.14 curation): per-row counts for the four scrub
   // categories, sequentially attributed like redact_pii itself.
   register("pii_report") { (df, c, _) =>
-    graft.functions.TextFunctions.piiCounts(
-      org.apache.spark.sql.functions.col(c("text_key").str))
-      .foldLeft(df) { case (acc, (name, cnt)) => acc.withColumn(name, cnt) }
+    Hygiene.piiReport(df, c("text_key").str)
   }
   // C4-style word blocklist (§2.14 curation): drop rows containing any
   // listed token; `report: true` appends the flag instead of filtering.
   register("word_blocklist") { (df, c, _) =>
-    val blocked = graft.functions.TextFunctions.containsBlockedWord(
-      org.apache.spark.sql.functions.col(c("text_key").str), c("words").strList)
-    if (c.boolOr("report", false)) df.withColumn("blocked", blocked)
-    // NULL text contains no blocked word — keep it (a bare !blocked would
-    // silently drop NULL rows under three-valued logic)
-    else df.filter(!org.apache.spark.sql.functions.coalesce(
-      blocked, org.apache.spark.sql.functions.lit(false)))
+    Hygiene.blocklistWords(df, c("text_key").str, c("words").strList,
+      c.boolOr("report", false))
   }
   // Snapshot diff (§2.14 incremental ingest): delta of THIS frame vs a
   // previous snapshot dataset — added/removed/changed by content hash.

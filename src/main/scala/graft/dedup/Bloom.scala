@@ -143,9 +143,13 @@ object BloomFilter {
   def cleanAgainstReference(df: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refTextCol: String, n: Int = 4, m: Long = 1L << 22,
       k: Int = 3, maxHits: Long = 0L): DataFrame =
+    // anti-join on the CONTAMINATED ids (not semi-join on the clean ones):
+    // a null-text row produces no gram rows at all, so it is absent from
+    // gramHits — it is trivially gram-disjoint from the reference and must
+    // be KEPT, exactly as Decontaminate.clean's left_anti keeps it.
     df.join(
       gramHits(df, idCol, textCol, ref, refTextCol, n, m, k)
-        .filter(col("n_hits") <= maxHits)
+        .filter(col("n_hits") > maxHits)
         .select(col(idCol)),
-      Seq(idCol), "left_semi")
+      Seq(idCol), "left_anti")
 }

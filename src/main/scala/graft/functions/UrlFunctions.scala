@@ -59,6 +59,9 @@ object UrlFunctions {
     val dom = domain(col(urlCol))
     val bad = blocklist.map(_.toLowerCase).map(b =>
       dom === b || dom.endsWith("." + b)).reduce(_ || _)
-    df.filter(!bad)
+    // A null URL matches no blocked domain — keep it, matching the
+    // DataFrame-blocklist overload's left_anti semantics (a bare !bad
+    // would drop null-URL rows under three-valued logic).
+    df.filter(!coalesce(bad, lit(false)))
   }
 }

@@ -48,7 +48,16 @@ object QualityRules {
   }
 
   /** Append the five signal columns plus the composite `keep` flag. */
+  /** The columns [[signals]] appends (and [[filter]] consumes + drops). */
+  val SignalColumns: Seq[String] = Seq("n_words", "avg_word_len",
+    "dup_word_frac", "top_2gram_frac", "n_stopwords", "keep")
+
   def signals(df: DataFrame, textKey: String, cfg: Config = Config()): DataFrame = {
+    // Same guard convention as InterleaveOp/LinearScore/PackOp: silently
+    // clobbering (then, in filter, DROPPING) a user column named `keep`
+    // would destroy data.
+    SignalColumns.foreach(n => require(!df.columns.contains(n),
+      s"quality_rules: input already has a column named '$n'"))
     val c = col(textKey)
     val nWords = TF.tokenCount(c).cast("bigint")
     val awl = round(TF.avgWordLength(c), 6)

@@ -24,10 +24,14 @@ object SnapshotDiff {
     * prev_hash, next_hash). */
   def apply(prev: DataFrame, next: DataFrame, idCol: String,
       contentExpr: String): DataFrame = {
-    val p = prev.select(col(idCol).as("_id"),
-      md5(expr(contentExpr).cast("string")).as("prev_hash"))
-    val n = next.select(col(idCol).as("_id"),
-      md5(expr(contentExpr).cast("string")).as("next_hash"))
+    // Null content hashes like the empty string (documented collision):
+    // md5(null) would be null, and a row with null content present
+    // UNCHANGED in both snapshots would read as perpetually 'added' —
+    // reprocessSet would re-feed it into the pipeline on every ingest.
+    def h(d: DataFrame, as: String) = d.select(col(idCol).as("_id"),
+      md5(coalesce(expr(contentExpr).cast("string"), lit(""))).as(as))
+    val p = h(prev, "prev_hash")
+    val n = h(next, "next_hash")
     p.join(n, Seq("_id"), "full_outer")
       .withColumn("status",
         when(col("prev_hash").isNull, "added")

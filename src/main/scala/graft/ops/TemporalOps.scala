@@ -103,7 +103,15 @@ object TemporalOps {
       lit(null).cast(lStructType).as("_graft_l"),
       rStruct.as("_graft_r"))
 
-    val timeline = lTagged.unionByName(rTagged)
+    // Null timestamps can never satisfy an as-of comparison (SQL
+    // three-valued semantics): a null RIGHT row must not become carried
+    // state, and a null LEFT row gets the no-match payload. Filtering
+    // right-side nulls here also keeps the per-partition pass free of
+    // getLong-on-null crashes; null-ts LEFT rows re-enter with the
+    // no-match payload below.
+    val nullLeft = lTagged.filter(col("_graft_t").isNull)
+    val timeline = lTagged.filter(col("_graft_t").isNotNull)
+      .unionByName(rTagged.filter(col("_graft_t").isNotNull))
       .repartition(col("_graft_k"))
       .sortWithinPartitions(
         col("_graft_k"), col("_graft_t"), col("_graft_tag"), col("_graft_r"))
@@ -121,7 +129,7 @@ object TemporalOps {
     val nPayload = rightPayload.length
     val tol = tolerance
 
-    timeline.mapPartitions { it =>
+    val matched = timeline.mapPartitions { it =>
       var curKey: Any = null
       var haveKey = false
       var lastR: Row = null
@@ -143,6 +151,11 @@ object TemporalOps {
         }
       }
     }(Encoders.row(outSchema))
+    val nullLeftOut = nullLeft.mapPartitions(
+      _.map(row => Row.fromSeq(
+        row.getStruct(3).toSeq ++ Seq.fill[Any](nPayload)(null))))(
+      Encoders.row(outSchema))
+    matched.unionByName(nullLeftOut)
   }
 
   /** Gap-based batch sessionization: a new session starts whenever the

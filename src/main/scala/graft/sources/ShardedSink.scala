@@ -49,11 +49,19 @@ object ShardedSink {
     withShard
       .repartition(numShards, col("_shard"))
       .write.mode(mode).partitionBy("_shard").parquet(s"$path/data")
-    val manifest = withShard.groupBy("_shard").agg(
+    // In append mode the manifest must describe the UNION of all exports,
+    // so it is recomputed from the written data dir (one scan of the
+    // export) and always fully overwritten — appending per-run manifest
+    // rows would leave two partial rows per shard and validate() would
+    // flag an intact export as corrupt.
+    val manifestSource =
+      if (mode == "append") df.sparkSession.read.parquet(s"$path/data")
+      else withShard
+    val manifest = manifestSource.groupBy("_shard").agg(
       count(lit(1)).as("n_rows"),
       sum(expr(tokenExpr).cast("long")).as("n_tokens"),
       expr(s"bit_xor(xxhash64($idExpr))").as("checksum"))
-    manifest.coalesce(1).write.mode(mode).parquet(s"$path/manifest")
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
     manifest
   }
 

@@ -519,6 +519,82 @@ class Round9gSpec extends SparkSpec {
       slow.collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq)
   }
 
+  test("asof join tolerates null timestamps on either side") {
+    import graft.ops.TemporalOps
+    val ls = StructType(Seq(
+      StructField("k", LongType), StructField("t", LongType),
+      StructField("lv", StringType)))
+    val rs = StructType(Seq(
+      StructField("k", LongType), StructField("t", LongType),
+      StructField("rv", StringType)))
+    val left = df(ls, Row(1L, 10L, "a"), Row(1L, null, "b"))
+    val right = df(rs, Row(1L, 5L, "x"), Row(1L, null, "poison"))
+    val out = TemporalOps.asofJoin(left, right, "k", "k", "t", "t",
+      rightPayload = Seq("rv"))
+      .collect().map(r => (r.getString(2), r.getAs[String]("rv"))).toMap
+    assert(out("a") == "x")   // normal as-of match; null right row ignored
+    assert(out("b") == null)  // null left ts -> no-match payload, no crash
+  }
+
+  test("quality rules refuse to clobber an existing signal-named column") {
+    import graft.ops.QualityRules
+    val schema = StructType(Seq(
+      StructField("text", StringType), StructField("keep", LongType)))
+    val d = df(schema, Row("some words here", 7L))
+    val e = intercept[IllegalArgumentException] {
+      QualityRules.signals(d, "text")
+    }
+    assert(e.getMessage.contains("keep"))
+  }
+
+  test("inline url blocklist keeps null-URL rows like the dataset variant") {
+    import graft.functions.UrlFunctions
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("url", StringType)))
+    val d = df(schema,
+      Row(1L, "https://spam.org/x"), Row(2L, null),
+      Row(3L, "https://ok.com/y"))
+    val kept = UrlFunctions.filterBlockedDomains(d, "url", Seq("spam.org"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("bloom clean keeps null-text rows (gram-disjoint by definition)") {
+    import graft.dedup.BloomFilter
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val ref = df(schema, Row(0L, "alpha beta gamma delta epsilon"))
+    val corpus = df(schema,
+      Row(1L, "alpha beta gamma delta shared tail"),
+      Row(2L, null),
+      Row(3L, "completely novel vocabulary nothing shared"))
+    val clean = BloomFilter.cleanAgainstReference(corpus, "id", "text",
+      ref, "text", n = 4).collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
+  }
+
+  test("snapshot diff: unchanged null-content rows never re-enter the delta") {
+    import graft.ops.SnapshotDiff
+    val d = df(snapSchema, Row(1L, null), Row(2L, "x"))
+    assert(SnapshotDiff(d, d, "id", "text").collect().isEmpty)
+    assert(SnapshotDiff.reprocessSet(d, d, "id", "text").collect().isEmpty)
+  }
+
+  test("sharded sink append mode rebuilds a manifest validate() accepts") {
+    import graft.sources.ShardedSink
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("r9shard").toString
+    val a = df(schema, (1L to 20L).map(i => Row(i, s"t$i")): _*)
+    val b = df(schema, (21L to 40L).map(i => Row(i, s"t$i")): _*)
+    ShardedSink.write(a, dir, "id", "length(text)", numShards = 4)
+    ShardedSink.write(b, dir, "id", "length(text)", numShards = 4,
+      mode = "append")
+    assert(ShardedSink.readData(spark, dir).count() == 40)
+    assert(ShardedSink.validate(spark, dir, "id").collect().isEmpty,
+      "appended export must validate clean")
+  }
+
   // ------------------------------------------------------------ chat render
 
   test("chat render: spans select exactly the assistant contents") {
