@@ -675,6 +675,12 @@ final case class LazyFrame(
   def describe(spark: SparkSession, client: LlmClient = MockLlmClient()): Seq[(String, org.apache.spark.sql.types.StructType)] =
     Pipeline.describe(toConf, spark, client)
 
+  /** Pre-flight cost estimate on a bounded sample per dataset — see
+    * [[Estimate]]. Never touches sinks or checkpoints. */
+  def estimate(spark: SparkSession, client: LlmClient = MockLlmClient(),
+      sampleRows: Int = 200): Estimate.Report =
+    Estimate(toConf, spark, client, sampleRows)
+
   // Actions (≅ frame.py:940-1119 show/count/collect/to_pandas/write_*) —
   // each triggers one pipeline execution; Spark's own laziness means the
   // plan only materializes what the action needs (count prunes columns,

@@ -780,6 +780,19 @@ class Round9gSpec extends SparkSpec {
     assert(r2.cacheHits > 0 && r2.render.contains("WARNING"))
   }
 
+  test("LazyFrame.estimate surfaces the same report as the YAML path") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("r9lfe").toString
+    df(schema, (1L to 60L).map(i => Row(i, s"t$i")): _*)
+      .write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val rep = graft.api.LazyFrame.read("d", s"$dir/d.parquet")
+      .codeFilter("id % 2 = 0")
+      .estimate(spark, sampleRows = 30)
+    assert(rep.datasetRows("d") == 60L && rep.datasetScales("d") == 2.0)
+    assert(rep.ops.exists(o => o.op.startsWith("code_filter")))
+  }
+
   test("estimate terminates when a step shadows its input dataset's name") {
     val schema = StructType(Seq(StructField("id", LongType)))
     val dir = java.nio.file.Files.createTempDirectory("r9estloop").toString
