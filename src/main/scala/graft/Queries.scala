@@ -3393,6 +3393,34 @@ object Queries {
           FROM o WHERE role = 'assistant')
         SELECT doc_id, text, span_idx, s, e
         FROM spans JOIN r USING (doc_id)""")
+    ),
+    (
+      // Per-slice datacard: which SOURCE carries the duplication /
+      // template-spam problem. Two linear keyed aggs, output bounded by
+      // slice count.
+      "q130_datacard_per_slice",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Datacard.perSlice(t(s, dir, "documents"), "text", "source"),
+      Some("""
+        WITH rowstats AS (
+          SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+                 round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6)
+                   AS exact_dup_rate
+          FROM documents GROUP BY 1),
+        g AS (
+          SELECT source,
+                 unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                        ELSE [array_to_string(w[i+1:i+3], ' ')
+                              FOR i IN range(0, len(w) - 2)] END) AS gram
+          FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+        div AS (
+          SELECT source,
+                 round(count(DISTINCT gram)::DOUBLE / count(*), 6)
+                   AS distinct_3gram_ratio
+          FROM g GROUP BY 1)
+        SELECT source, n_docs, n_tokens, exact_dup_rate, distinct_3gram_ratio
+        FROM rowstats JOIN div USING (source)""")
     ))
 
   /** Deterministic 8-subspace codebook for q121/q122: entry `code` of every

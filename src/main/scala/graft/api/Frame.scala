@@ -291,6 +291,8 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(ChatOps.renderWithSpans(df, messagesCol, maskRole))
   def datacard(textCol: String, sliceCol: String): Frame =
     next(Datacard(df, textCol, sliceCol))
+  def datacardPerSlice(textCol: String, sliceCol: String): Frame =
+    next(Datacard.perSlice(df, textCol, sliceCol))
   def piiReport(textCol: String): Frame =
     next(Hygiene.piiReport(df, textCol))
   def blocklistWords(textCol: String, words: Seq[String],

@@ -370,8 +370,10 @@ final case class LazyFrame(
     append("chat_render", "messages_key" -> messagesKey,
       "mask_role" -> maskRole, "output_key" -> outputKey,
       "spans_key" -> spansKey)
-  def datacard(textKey: String, sliceKey: String): LazyFrame =
-    append("datacard", "text_key" -> textKey, "slice_key" -> sliceKey)
+  def datacard(textKey: String, sliceKey: String,
+      perSlice: Boolean = false): LazyFrame =
+    append("datacard", "text_key" -> textKey, "slice_key" -> sliceKey,
+      "per_slice" -> perSlice)
   def piiReport(textKey: String): LazyFrame =
     append("pii_report", "text_key" -> textKey)
   def blocklistWords(textKey: String, words: Seq[String],

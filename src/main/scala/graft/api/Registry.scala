@@ -688,7 +688,9 @@ object Registry {
   }
   // Release datacard (§2.14 reporting): constant-row (metric, value) table.
   register("datacard") { (df, c, _) =>
-    Datacard(df, c("text_key").str, c("slice_key").str)
+    if (c.boolOr("per_slice", false))
+      Datacard.perSlice(df, c("text_key").str, c("slice_key").str)
+    else Datacard(df, c("text_key").str, c("slice_key").str)
   }
   // PII audit report (§2.14 curation): per-row counts for the four scrub
   // categories, sequentially attributed like redact_pii itself.

@@ -54,4 +54,24 @@ object Datacard {
     }
     melt(base).union(melt(slices)).union(melt(grams))
   }
+
+  /** Per-slice breakdown of the headline metrics — the table that locates
+    * WHICH source is the duplication/template-spam problem the global
+    * [[apply]] numbers only hint at. Two keyed aggregations (row stats;
+    * gram diversity), both linear, output bounded by slice count. */
+  def perSlice(df: DataFrame, textCol: String, sliceCol: String): DataFrame = {
+    val t = col(textCol)
+    val rowStats = df.groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(t)).cast("bigint").as("n_tokens"),
+        round(lit(1.0) -
+          countDistinct(md5(t)).cast("double") / count(lit(1)), 6)
+          .as("exact_dup_rate"))
+    val diversity = df
+      .select(col(sliceCol), explode(TF.shingles(t, 3)).as("_g"))
+      .groupBy(col(sliceCol))
+      .agg(round(countDistinct(col("_g")).cast("double") / count(lit(1)), 6)
+        .as("distinct_3gram_ratio"))
+    rowStats.join(diversity, Seq(sliceCol))
+  }
 }

@@ -653,6 +653,11 @@ class Round9gSpec extends SparkSpec {
     assert(got("n_slices") == 2.0)
     assert(got("top_slice_share") == 0.75)
     assert(got("distinct_3gram_ratio") > 0.0)
+    // per-slice breakdown localizes the duplication to slice 'a'
+    val per = graft.ops.Datacard.perSlice(d, "text", "src")
+      .collect().map(r => r.getString(0) ->
+        r.getDouble(r.fieldIndex("exact_dup_rate"))).toMap
+    assert(per("a") > 0.0 && per("b") == 0.0)
     // api surfaces
     import graft.api.{Graft, LazyFrame, Pipeline}
     assert(Graft.fromDF(d).datacard("text", "src").count() == 8)
