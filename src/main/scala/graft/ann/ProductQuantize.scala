@@ -39,7 +39,16 @@ object ProductQuantize {
     * embedding dimension must divide evenly into `nSub`. */
   def trainPq(corpus: DataFrame, embCol: String, nSub: Int, nCodes: Int,
       maxIter: Int = 10, seed: Long = 42, sampleSize: Int = 20000): Codebook = {
-    val dim = corpus.select(size(col(embCol))).head().getInt(0)
+    // One agg instead of head(): an empty corpus gets a clear error (not a
+    // NoSuchElementException), and a RAGGED embedding column is rejected up
+    // front instead of failing later in ANSI slice/element_at with an
+    // opaque message. min==max check costs one narrow pass over `size()`.
+    val mm = corpus.agg(min(size(col(embCol))), max(size(col(embCol)))).head()
+    require(!mm.isNullAt(0), "trainPq: corpus is empty (no rows to train on)")
+    val (dimMin, dimMax) = (mm.getInt(0), mm.getInt(1))
+    require(dimMin == dimMax,
+      s"trainPq: ragged embedding lengths (min=$dimMin, max=$dimMax)")
+    val dim = dimMax
     require(dim % nSub == 0, s"dim $dim not divisible by nSub=$nSub")
     val subDim = dim / nSub
     (0 until nSub).map { s =>

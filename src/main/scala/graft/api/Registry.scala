@@ -687,10 +687,14 @@ object Registry {
       c.strOr("spans_key", "mask_spans"))
   }
   // Release datacard (§2.14 reporting): constant-row (metric, value) table.
+  // `approx: true` (+ optional `rsd`) estimates the distinct counts with
+  // HLL++ sketches instead of exact two-phase dedup — the 100 TB knob.
   register("datacard") { (df, c, _) =>
+    val approx = c.boolOr("approx", false)
+    val rsd = c.dblOr("rsd", 0.02)
     if (c.boolOr("per_slice", false))
-      Datacard.perSlice(df, c("text_key").str, c("slice_key").str)
-    else Datacard(df, c("text_key").str, c("slice_key").str)
+      Datacard.perSlice(df, c("text_key").str, c("slice_key").str, approx, rsd)
+    else Datacard(df, c("text_key").str, c("slice_key").str, approx, rsd)
   }
   // PII audit report (§2.14 curation): per-row counts for the four scrub
   // categories, sequentially attributed like redact_pii itself.

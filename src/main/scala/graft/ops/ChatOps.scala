@@ -39,10 +39,14 @@ object ChatOps {
       array().cast("array<struct<s:bigint,e:bigint>>").as("spans"))
     val folded = aggregate(msgs, zero, (acc, m) => {
       val hdr = header(m.getField("role"))
+      // A null content turn renders as EMPTY (zero-width span), not as a
+      // null that concat would propagate over the whole conversation —
+      // one poisoned message must not silently drop the rendered sample.
+      val body = coalesce(m.getField("content"), lit(""))
       val start = (length(acc.getField("txt")) + length(hdr)).cast("bigint")
-      val end = (start + length(m.getField("content"))).cast("bigint")
+      val end = (start + length(body)).cast("bigint")
       struct(
-        concat(acc.getField("txt"), hdr, m.getField("content"), lit("\n"))
+        concat(acc.getField("txt"), hdr, body, lit("\n"))
           .as("txt"),
         when(m.getField("role") === maskRole,
           concat(acc.getField("spans"),

@@ -18,13 +18,21 @@ import graft.functions.{TextFunctions => TF}
   * scan pass; a (slice) keyed agg for concentration; a gram explode + agg
   * for diversity), unioned as single-row frames — no pass is ever
   * quadratic, and the report's row count is a constant. Exact distincts
-  * plan as two-phase partial dedups; swap approx_count_distinct for the
-  * diversity pass if a ±2% estimate is acceptable on the 100 TB run.
+  * plan as two-phase partial dedups; `approx = true` swaps every distinct
+  * for `approx_count_distinct(rsd)` (HyperLogLog++), turning the dedup
+  * shuffles into fixed-size sketch merges — the trade the 100 TB run
+  * takes when a ±rsd estimate of dup-rate/diversity is acceptable.
   */
 object Datacard {
 
-  def apply(df: DataFrame, textCol: String, sliceCol: String): DataFrame = {
+  /** `approx`/`rsd`: estimate the distinct counts (dup rate, gram
+    * diversity) with HLL++ at relative std-dev `rsd` instead of exact
+    * two-phase dedup — reachable from YAML (`approx: true`) and Frame. */
+  def apply(df: DataFrame, textCol: String, sliceCol: String,
+      approx: Boolean = false, rsd: Double = 0.02): DataFrame = {
     val t = col(textCol)
+    def nDistinct(c: org.apache.spark.sql.Column) =
+      if (approx) approx_count_distinct(c, rsd) else countDistinct(c)
     val piiTotal = TF.piiCounts(t)
       .map(_._2).reduce(_ + _)
     // Pass 1 (one scan): row stats + exact-dup rate + PII totals.
@@ -32,7 +40,7 @@ object Datacard {
       count(lit(1)).cast("double").as("n_docs"),
       sum(TF.tokenCount(t)).cast("double").as("n_tokens"),
       round(avg(TF.tokenCount(t)), 6).as("avg_doc_tokens"),
-      round(lit(1.0) - countDistinct(md5(t)).cast("double") / count(lit(1)), 6)
+      round(lit(1.0) - nDistinct(md5(t)).cast("double") / count(lit(1)), 6)
         .as("exact_dup_rate"),
       sum(piiTotal).cast("double").as("pii_total"))
     // Pass 2: slice concentration (how much of the corpus the largest
@@ -43,7 +51,7 @@ object Datacard {
           .as("top_slice_share"))
     // Pass 3: global distinct-3gram diversity.
     val grams = df.select(explode(TF.shingles(t, 3)).as("_g"))
-      .agg(round(countDistinct(col("_g")).cast("double") / count(lit(1)), 6)
+      .agg(round(nDistinct(col("_g")).cast("double") / count(lit(1)), 6)
         .as("distinct_3gram_ratio"))
 
     def melt(d: DataFrame): DataFrame = {
@@ -59,18 +67,21 @@ object Datacard {
     * WHICH source is the duplication/template-spam problem the global
     * [[apply]] numbers only hint at. Two keyed aggregations (row stats;
     * gram diversity), both linear, output bounded by slice count. */
-  def perSlice(df: DataFrame, textCol: String, sliceCol: String): DataFrame = {
+  def perSlice(df: DataFrame, textCol: String, sliceCol: String,
+      approx: Boolean = false, rsd: Double = 0.02): DataFrame = {
     val t = col(textCol)
+    def nDistinct(c: org.apache.spark.sql.Column) =
+      if (approx) approx_count_distinct(c, rsd) else countDistinct(c)
     val rowStats = df.groupBy(col(sliceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(TF.tokenCount(t)).cast("bigint").as("n_tokens"),
         round(lit(1.0) -
-          countDistinct(md5(t)).cast("double") / count(lit(1)), 6)
+          nDistinct(md5(t)).cast("double") / count(lit(1)), 6)
           .as("exact_dup_rate"))
     val diversity = df
       .select(col(sliceCol), explode(TF.shingles(t, 3)).as("_g"))
       .groupBy(col(sliceCol))
-      .agg(round(countDistinct(col("_g")).cast("double") / count(lit(1)), 6)
+      .agg(round(nDistinct(col("_g")).cast("double") / count(lit(1)), 6)
         .as("distinct_3gram_ratio"))
     rowStats.join(diversity, Seq(sliceCol))
   }

@@ -78,8 +78,15 @@ object UrlOps {
     val noUtm = regexp_replace(noPort,
       "([?&])utm_[a-z]+=[^&#]*(&utm_[a-z]+=[^&#]*)*&?", "$1")
     val tidied = regexp_replace(noUtm, "[?&]$", "")
-    // 5. strip trailing slashes (before the query string, or at the end)
-    regexp_replace(regexp_replace(tidied, "/+\\?", "?"), "/+$", "")
+    // 5. strip trailing slashes of the PATH only: the run directly before
+    //    the FIRST '?' (the query delimiter), or at end-of-string when no
+    //    '?' exists. `[^?]*?` cannot cross a '?', so with a query string
+    //    present the `$` branch is unreachable and slashes inside
+    //    query-param VALUES (`?next=/home/`) stay untouched — param
+    //    semantics are deliberately not the engine's to rewrite. Anchored
+    //    at ^, so the global regexp_replace fires at most once; non-greedy
+    //    `*?` is RE2-safe (no lookaround).
+    regexp_replace(tidied, "^([^?]*?)/+([?]|$)", "$1$2")
   }
 
   /** Append `url_canon`, `host`, `domain`, `path_depth`. */

@@ -167,8 +167,12 @@ object Streams {
         array_distinct(
           graft.functions.TextFunctions.shingles(col(textCol), n)), filter),
       lit(0L), (acc, h) => acc + when(h, 1L).otherwise(0L))
+    // coalesce: shingles(null) is null, so the fold yields null hits — a
+    // null/empty-gram row is gram-DISJOINT from the reference and must be
+    // KEPT (matching BloomFilter.cleanAgainstReference), not filtered by
+    // `null <= maxHits` evaluating to null.
     stream.withColumn("_bloom_hits", hitCount)
-      .filter(col("_bloom_hits") <= maxHits)
+      .filter(coalesce(col("_bloom_hits"), lit(0L)) <= maxHits)
       .drop("_bloom_hits")
   }
 

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-10 fixes: null-safe chat render, null-safe streaming bloom clean,
+  * path-anchored URL slash stripping, trainPq input validation, datacard
+  * approx-distinct knob. */
+class Round10Spec extends SparkSpec {
+
+  // ------------------------------------------------------------- ChatOps
+
+  private val msgsSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("msgs", ArrayType(StructType(Seq(
+      StructField("role", StringType),
+      StructField("content", StringType)))))))
+
+  test("chat render: a null message content renders empty, not null") {
+    val d = df(msgsSchema,
+      Row(1L, Seq(Row("user", "hi"), Row("assistant", null),
+        Row("user", "still there?"), Row("assistant", "yes"))))
+    val out = graft.ops.ChatOps.renderWithSpans(d, "msgs").head()
+    val text = out.getAs[String]("text")
+    assert(text ==
+      "<|user|>\nhi\n<|assistant|>\n\n<|user|>\nstill there?\n<|assistant|>\nyes\n")
+    val spans = out.getSeq[Row](out.fieldIndex("mask_spans"))
+    assert(spans.size == 2)
+    // null turn: zero-width span right after its header
+    val (s0, e0) = (spans(0).getLong(0), spans(0).getLong(1))
+    assert(s0 == e0)
+    // final turn's span still lands exactly on "yes"
+    val (s1, e1) = (spans(1).getLong(0), spans(1).getLong(1))
+    assert(text.substring(s1.toInt, e1.toInt) == "yes")
+  }
+
+  // ---------------------------------------------------- Streams.bloomClean
+
+  test("bloomClean keeps null-text rows (gram-disjoint, like the batch op)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val stream = df(schema,
+      Row(1L, "alpha beta gamma delta epsilon"), // contaminated
+      Row(2L, null),                             // null text: must survive
+      Row(3L, "totally novel words nothing shared"))
+    val ref = df(schema, Row(10L, "alpha beta gamma delta epsilon"))
+    val kept = graft.streaming.Streams
+      .bloomClean(stream, "text", ref, "text", n = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  // ------------------------------------------------------------- UrlOps
+
+  test("url canonicalize: slash strip is anchored to the path, not the query") {
+    val schema = StructType(Seq(StructField("url", StringType)))
+    val cases = Seq(
+      // trailing path slash before the query: stripped
+      "https://h/a/?x=1" -> "https://h/a?x=1",
+      // slash inside a query-param VALUE at end-of-string: untouched
+      "https://h/a?next=/home/" -> "https://h/a?next=/home/",
+      // slash-question inside a query value: untouched (only the FIRST
+      // '?' delimits the path)
+      "https://h/a/?r=/a/?b" -> "https://h/a?r=/a/?b",
+      // no query: trailing slashes stripped
+      "https://h/a/b///" -> "https://h/a/b",
+      // root slash runs collapse to bare authority
+      "https://h///" -> "https://h")
+    cases.foreach { case (in, want) =>
+      val got = df(schema, Row(in))
+        .select(graft.ops.UrlOps.canonicalize(col("url"))).head().getString(0)
+      assert(got == want, s"canonicalize($in) = $got, want $want")
+    }
+  }
+
+  test("url canonicalize stays idempotent on query-slash inputs") {
+    val schema = StructType(Seq(StructField("url", StringType)))
+    val d = df(schema, Row("https://H.example.com:443/a/?next=/home/&utm_x=1"))
+    val once = d.select(graft.ops.UrlOps.canonicalize(col("url")).as("u"))
+    val twice = once.select(graft.ops.UrlOps.canonicalize(col("u")).as("u"))
+    assert(once.head().getString(0) == twice.head().getString(0))
+    assert(once.head().getString(0) == "https://h.example.com/a?next=/home/")
+  }
+
+  // -------------------------------------------------------------- trainPq
+
+  private val embSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("e", ArrayType(DoubleType))))
+
+  test("trainPq rejects an empty corpus with a clear message") {
+    val empty = df(embSchema)
+    val ex = intercept[IllegalArgumentException] {
+      graft.ann.ProductQuantize.trainPq(empty, "e", nSub = 1, nCodes = 2)
+    }
+    assert(ex.getMessage.contains("empty"))
+  }
+
+  test("trainPq rejects ragged embedding lengths") {
+    val ragged = df(embSchema,
+      Row(1L, Seq(1.0, 2.0)), Row(2L, Seq(1.0, 2.0, 3.0)))
+    val ex = intercept[IllegalArgumentException] {
+      graft.ann.ProductQuantize.trainPq(ragged, "e", nSub = 1, nCodes = 2)
+    }
+    assert(ex.getMessage.contains("ragged"))
+  }
+
+  // ------------------------------------------------------------- Datacard
+
+  test("datacard approx knob estimates the exact distinct metrics") {
+    val schema = StructType(Seq(
+      StructField("text", StringType), StructField("src", StringType)))
+    val rows = (1 to 200).map(i =>
+      Row(s"document number ${i % 50} about topic ${i % 7}", s"s${i % 3}"))
+    val d = df(schema, rows: _*)
+    def metrics(approx: Boolean): Map[String, Double] =
+      graft.ops.Datacard(d, "text", "src", approx = approx, rsd = 0.02)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = metrics(approx = false)
+    val est = metrics(approx = true)
+    assert(exact.keySet == est.keySet)
+    // non-distinct metrics are identical; distinct-based ones within ~3x rsd
+    assert(est("n_docs") == exact("n_docs"))
+    assert(est("n_tokens") == exact("n_tokens"))
+    assert(math.abs(est("exact_dup_rate") - exact("exact_dup_rate")) < 0.1)
+    assert(math.abs(est("distinct_3gram_ratio") - exact("distinct_3gram_ratio")) < 0.1)
+  }
+
+  test("datacard perSlice approx keeps the slice join shape") {
+    val schema = StructType(Seq(
+      StructField("text", StringType), StructField("src", StringType)))
+    val rows = (1 to 90).map(i => Row(s"text piece ${i % 10} filler", s"s${i % 3}"))
+    val d = df(schema, rows: _*)
+    val out = graft.ops.Datacard.perSlice(d, "text", "src", approx = true)
+    assert(out.columns.toSeq == Seq("src", "n_docs", "n_tokens",
+      "exact_dup_rate", "distinct_3gram_ratio"))
+    assert(out.count() == 3)
+  }
+}
