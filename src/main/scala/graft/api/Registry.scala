@@ -655,6 +655,32 @@ object Registry {
   register("bpe_pairs") { (df, c, _) =>
     BpeTrain.pairCounts(df, c("text_key").str)
   }
+  // Full BPE vocabulary induction (§2.14): `num_merges` iterations of
+  // (pair count -> argmax -> fuse) on the vocab table; emits the
+  // (rank, left, right, pair_cnt) merge table.
+  register("bpe_train") { (df, c, _) =>
+    BpeTrain.mergeTable(df.sparkSession,
+      BpeTrain.train(df, c("text_key").str, c("num_merges").int))
+  }
+  // BPE tokenizer APPLY (§2.14): merges either given inline
+  // (`merges: [[l, r], ...]`) or trained on THIS frame (`num_merges`).
+  // `greedy: true` uses the broadcast rank-map encoder (the 32k-merge
+  // path); default is the pure expression chain for bounded lists.
+  register("bpe_encode") { (df, c, _) =>
+    val text = c("text_key").str
+    val merges = c.get("merges") match {
+      case Some(ms) => ms.asList.map { m =>
+        val pair = m.strList
+        require(pair.size == 2, s"each merge must be [left, right], got $pair")
+        BpeTrain.Merge(pair(0), pair(1), 0L)
+      }
+      case None => BpeTrain.train(df, text, c("num_merges").int)
+    }
+    val out = c.strOr("output_key", "tokens")
+    if (c.boolOr("greedy", merges.size > 256))
+      BpeTrain.encodeGreedy(df, text, merges, out)
+    else BpeTrain.encode(df, text, merges, out)
+  }
   // distinct-n diversity per corpus slice (§2.14 corpus statistics).
   register("distinct_ngrams") { (df, c, _) =>
     Diversity.distinctN(df, c("slice_key").str, c("text_key").str,

@@ -126,7 +126,15 @@ object BloomFilter {
     val refGrams = ref.select(
       explode(array_distinct(TextFunctions.shingles(col(refTextCol), n)))
         .as("_g"))
-    val filter = build(refGrams, "_g", m, k)
+    gramHits(df, idCol, textCol, build(refGrams, "_g", m, k), n)
+  }
+
+  /** [[gramHits]] against an ALREADY-BUILT filter — the deployment shape:
+    * the reference filter is static state built once and probed by every
+    * ingest batch, so callers (and benchmarks) shouldn't re-pay the build
+    * per probe pass. */
+  def gramHits(df: DataFrame, idCol: String, textCol: String,
+      filter: Filter, n: Int): DataFrame = {
     val newGrams = df.select(col(idCol),
       explode(array_distinct(TextFunctions.shingles(col(textCol), n)))
         .as("_g"))

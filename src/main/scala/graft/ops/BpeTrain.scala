@@ -59,4 +59,159 @@ object BpeTrain {
       .head()
     (r.getString(0), r.getString(1), r.getLong(2))
   }
+
+  // ------------------------------------------------------- full training
+
+  /** One learned merge: `left`+`right` fuse into one symbol; `count` is the
+    * corpus-weighted pair frequency at the iteration that chose it. */
+  final case class Merge(left: String, right: String, count: Long)
+
+  /** `word` split into single-character symbols (codegen'd, no UDF). */
+  private def charSyms(word: Column): Column =
+    transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1)))
+
+  /** Adjacent symbol pairs of a symbol ARRAY (vs [[charPairs]]'s raw
+    * word form) — the post-first-iteration pair statistics, where symbols
+    * are multi-character. */
+  def pairCountsSym(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("symbols")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("symbols")) - 1), i =>
+          struct(element_at(col("symbols"), i).as("left"),
+            element_at(col("symbols"), i + 1).as("right")))).as("pair"))
+      .groupBy(col("pair.left").as("left"), col("pair.right").as("right"))
+      .agg(sum(col("cnt")).as("pair_cnt"))
+
+  /** Left-to-right NON-OVERLAPPING application of merge (l, r) to a symbol
+    * array — the standard BPE scan ("aaa" + (a,a) -> [aa, a]): a fold whose
+    * accumulator appends, or fuses the current symbol into the previous one
+    * when (previous, current) == (l, r). A just-fused symbol is l+r and can
+    * never equal l again (r is non-empty), which is exactly what makes the
+    * scan non-overlapping. Pure native expression, so the DuckDB oracle
+    * replays it (as a sep-joined `list_reduce` string fold). */
+  def applyMergeCol(symbols: Column, l: String, r: String): Column =
+    aggregate(symbols, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) >= 1 && element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Full BPE vocabulary induction: `numMerges` iterations of (count pairs
+    * -> pick argmax -> fuse) — Sennrich et al. 2016, distributed.
+    *
+    * Scale shape: the corpus is scanned ONCE ([[wordCounts]]); every
+    * iteration after that runs on the word-vocabulary table only (pair agg
+    * = vocab-sized shuffle; argmax = single driver row; fuse = narrow
+    * map), so training cost is `numMerges × O(vocab)`, corpus-size-
+    * independent. Driver state = the merge list (bounded by `numMerges`).
+    * The vocab is localCheckpoint'ed each iteration to keep the loop's
+    * lineage flat (on a real cluster with dynamic allocation, swap for a
+    * reliable `checkpoint` dir). Ties break (count desc, left, right asc)
+    * so induction is deterministic. Stops early when no pair remains. */
+  def train(df: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1 && numMerges <= 65536,
+      s"numMerges must be in [1, 65536], got $numMerges")
+    var vocab = wordCounts(df, textCol)
+      .select(charSyms(col("word")).as("symbols"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    while (!exhausted && merges.size < numMerges) {
+      val top = pairCountsSym(vocab)
+        .orderBy(col("pair_cnt").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val m = Merge(top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += m
+        vocab = vocab
+          .select(applyMergeCol(col("symbols"), m.left, m.right).as("symbols"),
+            col("cnt"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The learned merges as a (rank, left, right, pair_cnt) table. */
+  def mergeTable(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case (m, i) => (i.toLong, m.left, m.right, m.count) }
+      .toDF("rank", "left", "right", "pair_cnt")
+  }
+
+  /** Tokenize `text` by applying `merges` in rank order to each
+    * whitespace word — as a pure expression chain (one [[applyMergeCol]]
+    * fold per merge), so a BOUNDED merge list stays codegen'd and
+    * oracle-replayable. The expression tree grows linearly with the merge
+    * count; past a few hundred merges use [[encodeGreedy]], whose cost is
+    * rank-map lookups instead of expression depth. */
+  def tokensCol(text: Column, merges: Seq[Merge]): Column = {
+    val words = filter(split(text, " "), w => length(w) > 0)
+    flatten(transform(words, w =>
+      merges.foldLeft(charSyms(w))((syms, m) =>
+        applyMergeCol(syms, m.left, m.right))))
+  }
+
+  /** Expression-chain tokenizer: appends `outCol` = array of BPE tokens. */
+  def encode(df: DataFrame, textCol: String, merges: Seq[Merge],
+      outCol: String = "tokens"): DataFrame =
+    df.withColumn(outCol, tokensCol(col(textCol), merges))
+
+  /** Production-size tokenizer: greedy lowest-rank merging per word with
+    * the merge RANKS as one broadcast map — the standard BPE encode
+    * algorithm (equivalent to applying the merges sequentially in rank
+    * order, which Round10bSpec property-checks against [[encode]]). A
+    * Scala UDF by necessity: the per-word loop is dictionary-driven and
+    * unbounded in depth, which no fixed Catalyst expression tree can
+    * express for a 32k-merge vocabulary; cost is O(word_len²·log) worst
+    * case per word with a 32k-entry broadcast map, per-row, no shuffle. */
+  def encodeGreedy(df: DataFrame, textCol: String, merges: Seq[Merge],
+      outCol: String = "tokens"): DataFrame = {
+    val spark = df.sparkSession
+    val pairsB = spark.sparkContext.broadcast(
+      merges.map(m => (m.left, m.right)).toIndexedSeq)
+    val rankB = spark.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (m, i) => (m.left, m.right) -> i }.toMap)
+    val tok = udf { (text: String) =>
+      if (text == null) null
+      else text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
+        encodeWordGreedy(w, pairsB.value, rankB.value)
+      }
+    }
+    df.withColumn(outCol, tok(col(textCol)))
+  }
+
+  /** Greedy BPE on one word: repeatedly fuse every left-to-right
+    * non-overlapping occurrence of the LOWEST-RANK adjacent pair present. */
+  private[graft] def encodeWordGreedy(word: String,
+      pairs: IndexedSeq[(String, String)],
+      rank: Map[(String, String), Int]): Seq[String] = {
+    var syms = word.map(_.toString).toVector
+    var done = syms.size < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.size - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (l, r) = pairs(best)
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.size) {
+          if (j < syms.size - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        done = syms.size < 2
+      }
+    }
+    syms
+  }
 }
