@@ -3543,6 +3543,61 @@ object Queries {
         SELECT doc_id, len(toks)::BIGINT AS n_tokens,
                array_to_string(toks, ' ') AS tokens
         FROM enc""")
+    ),
+    (
+      // Registered domain under an explicit public-suffix TABLE (the
+      // swappable-policy path; longest match wins, host==suffix stays
+      // itself, unmatched falls back to the PSL '*' default rule). Plan:
+      // maxLabels BROADCAST hash joins, no explode, no re-agg shuffle.
+      // Hosts exercise all arms: multi-label suffix, single-label suffix,
+      // exact-suffix host, unmatched fallback, longest-over-shorter.
+      "q133_url_psl_domain",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val host = when(col("doc_id") % 5 === 0, concat(col("source"), lit(".co.uk")))
+          .when(col("doc_id") % 5 === 1, concat(lit("a."), col("source"), lit(".com")))
+          .when(col("doc_id") % 5 === 2, concat(col("source"), lit(".github.io")))
+          .when(col("doc_id") % 5 === 3, concat(lit("x.y."), col("source"), lit(".zz")))
+          .otherwise(lit("co.uk"))
+        val sfx = Seq("com", "co.uk", "github.io", "uk").toDF("suffix")
+        graft.ops.UrlOps.registeredDomainViaTable(
+          t(s, dir, "documents").withColumn("host", host)
+            .select("doc_id", "host"), "host", sfx)
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN source || '.co.uk'
+                   WHEN 1 THEN 'a.' || source || '.com'
+                   WHEN 2 THEN source || '.github.io'
+                   WHEN 3 THEN 'x.y.' || source || '.zz'
+                   ELSE 'co.uk' END AS host
+          FROM documents),
+        l AS (SELECT doc_id, host, string_split(host, '.') AS labels,
+                     len(string_split(host, '.')) AS n
+              FROM h),
+        sfx(s) AS (VALUES ('com'), ('co.uk'), ('github.io'), ('uk')),
+        c AS (SELECT *,
+                array_to_string(labels[-1:], '.') AS c1,
+                array_to_string(labels[-2:], '.') AS c2,
+                array_to_string(labels[-3:], '.') AS c3,
+                array_to_string(labels[-4:], '.') AS c4
+              FROM l)
+        SELECT doc_id, host,
+          CASE
+            WHEN n >= 4 AND c4 IN (SELECT s FROM sfx) THEN
+              CASE WHEN n > 4 THEN labels[-5] || '.' || c4 ELSE host END
+            WHEN n >= 3 AND c3 IN (SELECT s FROM sfx) THEN
+              CASE WHEN n > 3 THEN labels[-4] || '.' || c3 ELSE host END
+            WHEN n >= 2 AND c2 IN (SELECT s FROM sfx) THEN
+              CASE WHEN n > 2 THEN labels[-3] || '.' || c2 ELSE host END
+            WHEN n >= 1 AND c1 IN (SELECT s FROM sfx) THEN
+              CASE WHEN n > 1 THEN labels[-2] || '.' || c1 ELSE host END
+            ELSE CASE WHEN n <= 1 THEN host
+                      ELSE labels[-2] || '.' || labels[-1] END
+          END AS domain
+        FROM c""")
     ))
 
   /** Deterministic 8-subspace codebook for q121/q122: entry `code` of every

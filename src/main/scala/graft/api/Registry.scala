@@ -646,9 +646,20 @@ object Registry {
   }
   // URL canonicalization / host+domain parse (§2.14 curation). With
   // `stats: true` it emits the per-registered-domain quota table instead.
+  // `suffixes: [com, co.uk, ...]` swaps the built-in domain heuristic for
+  // an explicit public-suffix table (longest match, broadcast joins).
   register("url_parse") { (df, c, _) =>
-    if (c.boolOr("stats", false)) UrlOps.hostStats(df, c("url_key").str)
-    else UrlOps.parse(df, c("url_key").str)
+    val sfx = c.get("suffixes").map { s =>
+      val spark = df.sparkSession
+      import spark.implicits._
+      s.strList.toDF("suffix")
+    }
+    if (c.boolOr("stats", false)) UrlOps.hostStats(df, c("url_key").str, sfx)
+    else {
+      val parsed = UrlOps.parse(df, c("url_key").str)
+      sfx.fold(parsed)(
+        UrlOps.registeredDomainViaTable(parsed, "host", _, "domain"))
+    }
   }
   // BPE tokenizer-training statistics (§2.14): corpus-weighted adjacent
   // symbol-pair counts — one corpus-sized word count, then vocab-only work.

@@ -49,6 +49,58 @@ object UrlOps {
       .otherwise(concat_ws(".", sld, tld))
   }
 
+  /** Registered domain under an explicit PUBLIC-SUFFIX TABLE — the
+    * swappable-policy form of [[registeredDomain]] (whose 7-prefix
+    * heuristic stays the zero-config default). `suffixes` is one string
+    * column of suffixes ("com", "co.uk", "ac.jp", ... — the
+    * publicsuffix.org list minus wildcard/exception rules, which are <1%
+    * of entries; a caller needing them pre-expands against its hosts).
+    *
+    * Longest-match semantics: the registered domain is one label plus the
+    * LONGEST listed suffix that tail-matches the host; a host that IS a
+    * suffix stays itself; a host matching nothing falls back to the PSL
+    * default rule (`*` — last label is the suffix, so last two labels).
+    *
+    * Scale shape: `maxLabels` BROADCAST hash joins (the suffix table is
+    * ~9k rows), one per candidate tail length, longest first — no explode,
+    * no re-aggregation shuffle, runs map-side in the scan stage. */
+  def registeredDomainViaTable(df: DataFrame, hostCol: String,
+      suffixes: DataFrame, outCol: String = "domain",
+      maxLabels: Int = 4): DataFrame = {
+    require(suffixes.columns.length == 1,
+      s"suffix table must have exactly one column, got ${suffixes.columns.toSeq}")
+    val sfxCol = suffixes.columns.head
+    val host = col(hostCol)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    // candidate tail of k labels (null when the host is too short — a null
+    // join key matches nothing)
+    def cand(k: Int): Column =
+      when(n >= k, concat_ws(".", slice(labels, -k, k))).otherwise(lit(null))
+    val withCands = (1 to maxLabels).foldLeft(df) { (d, k) =>
+      d.withColumn(s"_cand_$k", cand(k))
+    }
+    val joined = (1 to maxLabels).foldLeft(withCands) { (d, k) =>
+      d.join(
+        broadcast(suffixes.select(col(sfxCol).as(s"_sfx_$k")).distinct()),
+        d(s"_cand_$k") === col(s"_sfx_$k"), "left")
+    }
+    // longest matched suffix wins; one label in front of it if there is one
+    val matched = (maxLabels to 1 by -1).map { k =>
+      val dom = when(n > k,
+        concat_ws(".", element_at(labels, -(k + 1)), col(s"_cand_$k")))
+        .otherwise(host)
+      (col(s"_sfx_$k").isNotNull, dom)
+    }
+    val fallback = when(n <= 1, host)
+      .otherwise(concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+    val domain = matched.foldRight(fallback) { case ((hit, dom), rest) =>
+      when(hit, dom).otherwise(rest)
+    }
+    joined.withColumn(outCol, domain)
+      .drop((1 to maxLabels).flatMap(k => Seq(s"_cand_$k", s"_sfx_$k")): _*)
+  }
+
   /** Number of non-empty path segments (`https://h/a/b/` -> 2). */
   def pathDepth(url: Column): Column = {
     val afterHost = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
@@ -100,11 +152,17 @@ object UrlOps {
   }
 
   /** Per-registered-domain corpus stats: page count, distinct hosts, mean
-    * path depth — the table per-site quotas and blocklist audits read. */
-  def hostStats(df: DataFrame, urlCol: String): DataFrame =
-    parse(df, urlCol)
+    * path depth — the table per-site quotas and blocklist audits read.
+    * `suffixes`: optional public-suffix table re-deriving `domain` via
+    * [[registeredDomainViaTable]] before the aggregation. */
+  def hostStats(df: DataFrame, urlCol: String,
+      suffixes: Option[DataFrame] = None): DataFrame = {
+    val parsed = parse(df, urlCol)
+    suffixes.fold(parsed)(s =>
+      registeredDomainViaTable(parsed, "host", s, "domain"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_pages"),
         countDistinct(col("host")).as("n_hosts"),
         round(avg(col("path_depth")), 6).as("avg_path_depth"))
+  }
 }

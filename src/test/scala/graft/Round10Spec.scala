@@ -83,6 +83,55 @@ class Round10Spec extends SparkSpec {
     assert(once.head().getString(0) == "https://h.example.com/a?next=/home/")
   }
 
+  // ------------------------------------------- registeredDomainViaTable
+
+  test("psl domain: longest match, exact-suffix host, fallback") {
+    import spark.implicits._
+    val hosts = df(StructType(Seq(StructField("host", StringType))),
+      Row("www.example.co.uk"), // co.uk beats uk -> example.co.uk
+      Row("example.co.uk"),     // -> example.co.uk
+      Row("co.uk"),             // host IS a suffix -> itself
+      Row("uk"),                // single label, IS a suffix -> itself
+      Row("a.b.unknown.zz"),    // nothing matches -> default rule
+      Row("solo"))              // single unmatched label -> itself
+    val sfx = Seq("com", "co.uk", "uk", "github.io").toDF("suffix")
+    val out = graft.ops.UrlOps
+      .registeredDomainViaTable(hosts, "host", sfx)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      "www.example.co.uk" -> "example.co.uk",
+      "example.co.uk" -> "example.co.uk",
+      "co.uk" -> "co.uk",
+      "uk" -> "uk",
+      "a.b.unknown.zz" -> "unknown.zz",
+      "solo" -> "solo"))
+  }
+
+  test("psl domain: plan is broadcast joins only, no shuffle join") {
+    import spark.implicits._
+    val hosts = df(StructType(Seq(StructField("host", StringType))),
+      Row("a.example.com"))
+    val sfx = Seq("com", "co.uk").toDF("suffix")
+    val plan = graft.ops.UrlOps
+      .registeredDomainViaTable(hosts, "host", sfx)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+  }
+
+  test("url_parse registry: suffixes knob swaps the domain policy") {
+    val d = df(StructType(Seq(StructField("url", StringType))),
+      Row("https://www.shop.example.github.io/a/b"))
+    val cfg = graft.api.Conf.fromYaml(
+      "type: url_parse\nurl_key: url\nsuffixes: [github.io, com]")
+    val out = graft.api.Registry("url_parse")(d, cfg, null).head()
+    assert(out.getAs[String]("domain") == "example.github.io")
+    // heuristic default would have said github.io's last two labels
+    val noSfx = graft.api.Registry("url_parse")(d,
+      graft.api.Conf.fromYaml("type: url_parse\nurl_key: url"), null).head()
+    assert(noSfx.getAs[String]("domain") == "github.io")
+  }
+
   // -------------------------------------------------------------- trainPq
 
   private val embSchema = StructType(Seq(
