@@ -3598,6 +3598,61 @@ object Queries {
                       ELSE labels[-2] || '.' || labels[-1] END
           END AS domain
         FROM c""")
+    ),
+    (
+      // ChatML-family template render with bos/eos: spans must offset past
+      // the bos and the per-role header; same single-fold no-shuffle shape
+      // as q129, exercising the CONFIGURABLE template path. Gate column is
+      // newline-escaped like q129 (driver hash canonicalization).
+      "q134_chat_template",
+      (s: SparkSession, dir: String) => {
+        val msgs = array(
+          struct(lit("user").as("role"), col("text").as("content")),
+          struct(lit("assistant").as("role"), col("lang").as("content")))
+        graft.ops.ChatOps.render(
+          t(s, dir, "documents").withColumn("_msgs", msgs)
+            .select("doc_id", "_msgs"), "_msgs",
+          graft.ops.ChatOps.ChatTemplate.ChatML
+            .copy(bos = "<s>", eos = "</s>"))
+          .select(col("doc_id"), col("text"),
+            posexplode(col("mask_spans")).as(Seq("span_idx", "span")))
+          .select(col("doc_id"),
+            replace(col("text"), lit("\n"), lit("\\n")).as("text"),
+            col("span_idx").cast("bigint").as("span_idx"),
+            col("span.s").as("s"), col("span.e").as("e"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 [struct_pack(role := 'user', content := text),
+                  struct_pack(role := 'assistant', content := lang)] AS msgs
+          FROM documents),
+        x AS (
+          SELECT doc_id, i, msgs[i+1].role AS role,
+                 coalesce(msgs[i+1].content, '') AS content,
+                 '<|im_start|>' || msgs[i+1].role || chr(10) ||
+                   coalesce(msgs[i+1].content, '') || '<|im_end|>' ||
+                   chr(10) AS piece
+          FROM m, UNNEST(range(0, len(msgs))) AS t(i)),
+        o AS (
+          SELECT doc_id, i, role, content, piece,
+                 3 + coalesce(sum(len(piece)) OVER (PARTITION BY doc_id
+                   ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS off
+          FROM x),
+        r AS (SELECT doc_id,
+                     '<s>' || string_agg(piece, '' ORDER BY i) || '</s>'
+                       AS text
+              FROM o GROUP BY 1),
+        spans AS (
+          SELECT doc_id,
+                 (row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1)
+                   AS span_idx,
+                 off + len('<|im_start|>' || role) + 1 AS s,
+                 off + len('<|im_start|>' || role) + 1 + len(content) AS e
+          FROM o WHERE role = 'assistant')
+        SELECT doc_id, replace(text, chr(10), '\n') AS text, span_idx, s, e
+        FROM spans JOIN r USING (doc_id)""")
     ))
 
   /** Deterministic 8-subspace codebook for q121/q122: entry `code` of every

@@ -717,9 +717,26 @@ object Registry {
     graft.ann.ProductQuantize.encode(df, emb, cb,
       c.strOr("output_key", "pq_codes"))
   }
-  // Chat-template render + loss-mask spans (§2.14 SFT prep).
+  // Chat-template render + loss-mask spans (§2.14 SFT prep). `template`
+  // is a builtin name (default | chatml | alpaca) or an inline map
+  // {bos, msg_prefix, msg_suffix, eos} with `{role}` placeholders.
   register("chat_render") { (df, c, _) =>
-    ChatOps.renderWithSpans(df, c("messages_key").str,
+    val tpl = c.get("template") match {
+      case None => ChatOps.ChatTemplate.Default
+      case Some(t) => t.value match {
+        case s: String => ChatOps.ChatTemplate.builtins.getOrElse(
+          s.toLowerCase(java.util.Locale.ROOT),
+          throw new IllegalArgumentException(
+            s"unknown chat template '$s'; builtins: " +
+              ChatOps.ChatTemplate.builtins.keys.toSeq.sorted.mkString(", ")))
+        case _ => ChatOps.ChatTemplate(
+          bos = t.strOr("bos", ""),
+          msgPrefix = t.strOr("msg_prefix", "<|{role}|>\n"),
+          msgSuffix = t.strOr("msg_suffix", "\n"),
+          eos = t.strOr("eos", ""))
+      }
+    }
+    ChatOps.render(df, c("messages_key").str, tpl,
       c.strOr("mask_role", "assistant"), c.strOr("output_key", "text"),
       c.strOr("spans_key", "mask_spans"))
   }

@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * next to the packing/chunking family (spans survive [[PackOp]]'s
   * concatenation by offsetting with each document's pack position).
   *
-  * Template (ChatML-like, fixed so both engines replay it byte-identically):
-  * every message renders as `<|role|>\ncontent\n`; a span covers exactly
-  * the CONTENT of each `maskRole` message (headers and separators stay
-  * unmasked).
+  * The template is CONFIGURABLE per model family ([[ChatTemplate]]): each
+  * message renders as `msgPrefix + content + msgSuffix` (with `{role}`
+  * substituted in both), the whole conversation wrapped in `bos`/`eos`.
+  * A span covers exactly the CONTENT of each `maskRole` message (headers,
+  * separators, bos/eos stay unmasked).
   *
   * Scale shape: one `aggregate` lambda over the per-row message array —
   * pure native expressions, no UDF, no shuffle, no explode/re-group
@@ -24,21 +25,51 @@ import org.apache.spark.sql.functions._
   */
 object ChatOps {
 
-  private def header(role: Column): Column =
-    concat(lit("<|"), role, lit("|>\n"))
+  /** One model family's rendering rules. `{role}` in `msgPrefix` /
+    * `msgSuffix` is replaced by the message's role. */
+  final case class ChatTemplate(
+      bos: String = "",
+      msgPrefix: String = "<|{role}|>\n",
+      msgSuffix: String = "\n",
+      eos: String = "")
 
-  /** Render `messagesCol` (array<struct<role,content>>) into `text` and
-    * append `mask_spans` (array<struct<s,e>> — [start, end) character
-    * offsets of every `maskRole` message's content). */
-  def renderWithSpans(df: DataFrame, messagesCol: String,
+  object ChatTemplate {
+    /** The engine's original fixed template (`<|role|>\ncontent\n`). */
+    val Default: ChatTemplate = ChatTemplate()
+    /** OpenAI/Qwen-style ChatML. */
+    val ChatML: ChatTemplate =
+      ChatTemplate(msgPrefix = "<|im_start|>{role}\n", msgSuffix = "<|im_end|>\n")
+    /** Alpaca-style instruction headers. */
+    val Alpaca: ChatTemplate =
+      ChatTemplate(msgPrefix = "### {role}:\n", msgSuffix = "\n\n")
+    val builtins: Map[String, ChatTemplate] =
+      Map("default" -> Default, "chatml" -> ChatML, "alpaca" -> Alpaca)
+  }
+
+  /** `tpl` with every `{role}` placeholder replaced by the role COLUMN —
+    * a concat of literal segments and the role, stays pure codegen. */
+  private def fillRole(tpl: String, role: Column): Column = {
+    val parts = tpl.split(java.util.regex.Pattern.quote("{role}"), -1)
+    if (parts.length == 1) lit(tpl)
+    else concat(parts.toIndexedSeq.flatMap(p => Seq(lit(p), role))
+      .dropRight(1): _*)
+  }
+
+  /** Render `messagesCol` (array<struct<role,content>>) into `textOut` and
+    * append `spansOut` (array<struct<s,e>> — [start, end) character
+    * offsets of every `maskRole` message's content) under `template`. */
+  def render(df: DataFrame, messagesCol: String,
+      template: ChatTemplate,
       maskRole: String = "assistant", textOut: String = "text",
       spansOut: String = "mask_spans"): DataFrame = {
     val msgs = col(messagesCol)
     val zero = struct(
-      lit("").as("txt"),
+      lit(template.bos).as("txt"),
       array().cast("array<struct<s:bigint,e:bigint>>").as("spans"))
     val folded = aggregate(msgs, zero, (acc, m) => {
-      val hdr = header(m.getField("role"))
+      val role = m.getField("role")
+      val hdr = fillRole(template.msgPrefix, role)
+      val tail = fillRole(template.msgSuffix, role)
       // A null content turn renders as EMPTY (zero-width span), not as a
       // null that concat would propagate over the whole conversation —
       // one poisoned message must not silently drop the rendered sample.
@@ -46,16 +77,21 @@ object ChatOps {
       val start = (length(acc.getField("txt")) + length(hdr)).cast("bigint")
       val end = (start + length(body)).cast("bigint")
       struct(
-        concat(acc.getField("txt"), hdr, body, lit("\n"))
-          .as("txt"),
-        when(m.getField("role") === maskRole,
+        concat(acc.getField("txt"), hdr, body, tail).as("txt"),
+        when(role === maskRole,
           concat(acc.getField("spans"),
             array(struct(start.as("s"), end.as("e")))))
           .otherwise(acc.getField("spans")).as("spans"))
     })
     df.withColumn("_chat", folded)
-      .withColumn(textOut, col("_chat.txt"))
+      .withColumn(textOut, concat(col("_chat.txt"), lit(template.eos)))
       .withColumn(spansOut, col("_chat.spans"))
       .drop("_chat")
   }
+
+  /** [[render]] under [[ChatTemplate.Default]] (`<|role|>\ncontent\n`). */
+  def renderWithSpans(df: DataFrame, messagesCol: String,
+      maskRole: String = "assistant", textOut: String = "text",
+      spansOut: String = "mask_spans"): DataFrame =
+    render(df, messagesCol, ChatTemplate.Default, maskRole, textOut, spansOut)
 }

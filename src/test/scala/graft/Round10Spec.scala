@@ -35,6 +35,53 @@ class Round10Spec extends SparkSpec {
     assert(text.substring(s1.toInt, e1.toInt) == "yes")
   }
 
+  test("chat render: ChatML template with bos/eos, spans land on content") {
+    import graft.ops.ChatOps
+    val d = df(msgsSchema,
+      Row(1L, Seq(Row("user", "hi"), Row("assistant", "hello there"))))
+    val out = ChatOps.render(d, "msgs",
+      ChatOps.ChatTemplate.ChatML.copy(bos = "<s>", eos = "</s>")).head()
+    val text = out.getAs[String]("text")
+    assert(text == "<s><|im_start|>user\nhi<|im_end|>\n" +
+      "<|im_start|>assistant\nhello there<|im_end|>\n</s>")
+    val spans = out.getSeq[Row](out.fieldIndex("mask_spans"))
+    assert(spans.size == 1)
+    assert(text.substring(spans(0).getLong(0).toInt,
+      spans(0).getLong(1).toInt) == "hello there")
+  }
+
+  test("chat render: alpaca template and role substitution in both affixes") {
+    import graft.ops.ChatOps
+    val d = df(msgsSchema, Row(1L, Seq(Row("user", "q"), Row("assistant", "a"))))
+    val alp = ChatOps.render(d, "msgs", ChatOps.ChatTemplate.Alpaca).head()
+    assert(alp.getAs[String]("text") == "### user:\nq\n\n### assistant:\na\n\n")
+    // custom template with {role} in BOTH prefix and suffix
+    val custom = ChatOps.ChatTemplate(
+      msgPrefix = "[{role}]", msgSuffix = "[/{role}]")
+    val out = ChatOps.render(d, "msgs", custom).head()
+    val text = out.getAs[String]("text")
+    assert(text == "[user]q[/user][assistant]a[/assistant]")
+    val sp = out.getSeq[Row](out.fieldIndex("mask_spans"))
+    assert(text.substring(sp(0).getLong(0).toInt, sp(0).getLong(1).toInt) == "a")
+  }
+
+  test("chat_render registry: template name and inline map") {
+    val d = df(msgsSchema, Row(1L, Seq(Row("user", "x"), Row("assistant", "y"))))
+    val byName = graft.api.Registry("chat_render")(d, graft.api.Conf.fromYaml(
+      "type: chat_render\nmessages_key: msgs\ntemplate: chatml"), null).head()
+    assert(byName.getAs[String]("text") ==
+      "<|im_start|>user\nx<|im_end|>\n<|im_start|>assistant\ny<|im_end|>\n")
+    val inline = graft.api.Registry("chat_render")(d, graft.api.Conf.fromYaml(
+      "type: chat_render\nmessages_key: msgs\n" +
+        "template: {msg_prefix: '{role}> ', msg_suffix: \"\\n\"}"), null).head()
+    assert(inline.getAs[String]("text") == "user> x\nassistant> y\n")
+    val bad = intercept[IllegalArgumentException] {
+      graft.api.Registry("chat_render")(d, graft.api.Conf.fromYaml(
+        "type: chat_render\nmessages_key: msgs\ntemplate: nope"), null)
+    }
+    assert(bad.getMessage.contains("unknown chat template"))
+  }
+
   // ---------------------------------------------------- Streams.bloomClean
 
   test("bloomClean keeps null-text rows (gram-disjoint, like the batch op)") {
