@@ -3653,7 +3653,85 @@ object Queries {
           FROM o WHERE role = 'assistant')
         SELECT doc_id, replace(text, chr(10), '\n') AS text, span_idx, s, e
         FROM spans JOIN r USING (doc_id)""")
+    ),
+    (
+      // Content-defined chunking: boundary after every word with md5-prefix
+      // hash % 16 == 0 — chunk identity survives insertions/deletions
+      // elsewhere in the document (LBFS/Venti idea, word-level). Pure
+      // per-row fold, no shuffle; oracle replays the same marked-fold.
+      "q135_cdc_chunks",
+      (s: SparkSession, dir: String) =>
+        graft.ops.CdcChunk.explodeChunks(
+          t(s, dir, "documents"), "doc_id", "text", p = 16)
+          .select("doc_id", "chunk_idx", "n_words", "chunk_hash"),
+      Some(cdcChunkCte + """
+        SELECT doc_id, chunk_idx, n_words, chunk_hash FROM ch""")
+    ),
+    (
+      // Sub-document dedup report: chunks shared across documents (quoted
+      // passages, templated footers) — one keyed agg on the 16-byte hash.
+      "q136_cdc_dup_chunks",
+      (s: SparkSession, dir: String) =>
+        graft.ops.CdcChunk.duplicateChunkStats(
+          t(s, dir, "documents"), "doc_id", "text", p = 16),
+      Some(cdcChunkCte + """
+        SELECT chunk_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_occurrences, first(n_words) AS n_words
+        FROM ch GROUP BY 1 HAVING count(*) >= 2""")
+    ),
+    (
+      // Chunk-level dedup REWRITE: keep the first global occurrence of
+      // every chunk ((doc_id, chunk_idx)-ordered), rebuild documents from
+      // survivors. Hashes-only through the shuffle; the duplicate-sized
+      // set anti-joins back. Output hashes the rebuilt text.
+      "q137_cdc_dedup_rewrite",
+      (s: SparkSession, dir: String) =>
+        graft.ops.CdcChunk.removeDuplicateChunks(
+          t(s, dir, "documents"), "doc_id", "text", p = 16)
+          .select(col("doc_id"), md5(col("text_dedup")).as("dedup_md5"),
+            size(split(col("text_dedup"), " ")).cast("bigint")
+              .as("n_words_dedup")),
+      Some(cdcChunkCte + """,
+        rk AS (SELECT doc_id, chunk_idx, chunk,
+                      row_number() OVER (PARTITION BY chunk_hash
+                        ORDER BY doc_id, chunk_idx) AS rk
+               FROM ch),
+        kept AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx)
+                          AS txt
+                 FROM rk WHERE rk = 1 GROUP BY 1)
+        SELECT d.doc_id, md5(coalesce(k.txt, '')) AS dedup_md5,
+               len(string_split(coalesce(k.txt, ''), ' '))::BIGINT
+                 AS n_words_dedup
+        FROM documents d LEFT JOIN kept k USING (doc_id)""")
     ))
+
+  /** Shared oracle CTE: content-defined chunks of `documents.text`
+    * (p = 16) as rows (doc_id, chunk_idx, n_words, chunk_hash, chunk) —
+    * the DuckDB replay of [[graft.ops.CdcChunk.chunksCol]]. */
+  private def cdcChunkCte: String = """
+        WITH c0 AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split(text, ' '), w -> w <> ''),
+                   w -> CASE WHEN ('0x' || substr(md5(w), 1, 13))::UBIGINT
+                               % 16 = 0
+                        THEN w || chr(30) ELSE w END) AS marked
+          FROM documents),
+        c1 AS (
+          SELECT doc_id,
+                 CASE WHEN len(marked) = 0 THEN []::VARCHAR[]
+                      ELSE list_filter(string_split(
+                        list_reduce(marked, (acc, x) ->
+                          CASE WHEN ends_with(acc, chr(30)) THEN acc || x
+                               ELSE acc || ' ' || x END), chr(30)),
+                        c -> c <> '')
+                 END AS chunks
+          FROM c0),
+        ch AS (
+          SELECT doc_id, i AS chunk_idx,
+                 len(string_split(chunks[i+1], ' '))::BIGINT AS n_words,
+                 md5(chunks[i+1]) AS chunk_hash, chunks[i+1] AS chunk
+          FROM c1, UNNEST(range(0, len(chunks))) AS t(i))"""
 
   /** Deterministic 8-subspace codebook for q121/q122: entry `code` of every
     * subspace is the matching slice of embedding row `vec_id = code`. */

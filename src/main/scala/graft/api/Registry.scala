@@ -692,6 +692,24 @@ object Registry {
       BpeTrain.encodeGreedy(df, text, merges, out)
     else BpeTrain.encode(df, text, merges, out)
   }
+  // Content-defined chunking + sub-document chunk dedup (§2.14 dedup
+  // family). Modes: chunks (one row per chunk), dup_stats (cross-document
+  // duplication report), rewrite (drop all but the first occurrence of
+  // every chunk, rebuild text).
+  register("cdc_chunk") { (df, c, _) =>
+    val id = c("id_key").str
+    val text = c("text_key").str
+    val p = c.intOr("p", 16)
+    c.strOr("mode", "chunks") match {
+      case "chunks" => CdcChunk.explodeChunks(df, id, text, p)
+      case "dup_stats" => CdcChunk.duplicateChunkStats(df, id, text, p,
+        c.intOr("min_occurrences", 2).toLong)
+      case "rewrite" => CdcChunk.removeDuplicateChunks(df, id, text, p,
+        c.strOr("output_key", "text_dedup"))
+      case other => throw new IllegalArgumentException(
+        s"cdc_chunk mode must be chunks|dup_stats|rewrite, got '$other'")
+    }
+  }
   // distinct-n diversity per corpus slice (§2.14 corpus statistics).
   register("distinct_ngrams") { (df, c, _) =>
     Diversity.distinctN(df, c("slice_key").str, c("text_key").str,
