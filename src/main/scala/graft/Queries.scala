@@ -33,7 +33,7 @@ object Queries {
   lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
     apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b ++
-    round9c ++ round9d ++ round9e ++ round9f ++ round9h ++ round10
+    round9c ++ round9d ++ round9e ++ round9f ++ round9h ++ round10 ++ round10b
 
   // ---------------------------------------------------------------- parsing
 
@@ -3703,6 +3703,60 @@ object Queries {
                len(string_split(coalesce(k.txt, ''), ' '))::BIGINT
                  AS n_words_dedup
         FROM documents d LEFT JOIN kept k USING (doc_id)""")
+    ))
+
+  /** Count-min sketch trained once per sf dir (static summary state, the
+    * same build-once shape as q114's bloom filter). */
+  private val cmsCache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.sketch.CountMin.Sketch]
+
+  private def round10b: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // Count-min sketch frequency estimation: depth×width counters
+      // summarize ALL unigram counts (vocabulary-size-independent memory);
+      // probe = pure least()-of-counters expression, no join. Estimates
+      // are exact-or-over by construction; the oracle replays the same
+      // Kirsch–Mitzenmacher positions and min.
+      "q138_count_min",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val sk = cmsCache.getOrElseUpdate(dir, {
+          val words = docs.select(explode(split(col("text"), " ")).as("w"))
+            .filter(col("w") =!= "")
+          graft.sketch.CountMin.build(words, "w", width = 8192, depth = 3)
+        })
+        val cand = docs.filter(col("doc_id") % 50 === 0)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "").distinct()
+        graft.sketch.CountMin.estimate(cand, "word", sk)
+          .select(col("word"), col("est_count").cast("bigint").as("est_cnt"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT word FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> ''),
+        pos AS (
+          SELECT word, i AS r,
+            (('0x' || substr(md5(word), 1, 13))::UBIGINT +
+             i * (('0x' || substr(md5(word), 14, 13))::UBIGINT | 1)) % 8192
+              AS p
+          FROM tok, UNNEST(range(0, 3)) AS t(i)),
+        cnt AS (SELECT r, p, count(*)::BIGINT AS c FROM pos GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT word FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            WHERE doc_id % 50 = 0)
+          WHERE word <> ''),
+        cpos AS (
+          SELECT word, i AS r,
+            (('0x' || substr(md5(word), 1, 13))::UBIGINT +
+             i * (('0x' || substr(md5(word), 14, 13))::UBIGINT | 1)) % 8192
+              AS p
+          FROM cand, UNNEST(range(0, 3)) AS t(i))
+        SELECT word, min(coalesce(c, 0))::BIGINT AS est_cnt
+        FROM cpos LEFT JOIN cnt USING (r, p)
+        GROUP BY 1""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

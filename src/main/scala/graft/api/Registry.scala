@@ -692,6 +692,18 @@ object Registry {
       BpeTrain.encodeGreedy(df, text, merges, out)
     else BpeTrain.encode(df, text, merges, out)
   }
+  // Count-min sketch self-estimation (§2.14 sketches): trains a
+  // depth×width sketch over THIS frame's `key_key` values (optionally
+  // weighted by `weight_key`) and appends each row's estimated frequency
+  // — the fixed-memory heavy-hitter screen.
+  register("cms_estimate") { (df, c, _) =>
+    val key = c("key_key").str
+    val sk = graft.sketch.CountMin.build(df, key,
+      c.intOr("width", 1 << 14).toLong, c.intOr("depth", 4),
+      c.strOr("weight_key", "1"))
+    graft.sketch.CountMin.estimate(df, key, sk,
+      c.strOr("output_key", "est_count"))
+  }
   // Content-defined chunking + sub-document chunk dedup (§2.14 dedup
   // family). Modes: chunks (one row per chunk), dup_stats (cross-document
   // duplication report), rewrite (drop all but the first occurrence of
