@@ -3757,6 +3757,65 @@ object Queries {
         SELECT word, min(coalesce(c, 0))::BIGINT AS est_cnt
         FROM cpos LEFT JOIN cnt USING (r, p)
         GROUP BY 1""")
+    ),
+    (
+      // Token-budget truncation, middle-out: keep ceil(9/2)=5 head +
+      // floor(9/2)=4 tail tokens around a marker — the context-window
+      // fitting step before packing. Pure slice/concat expressions.
+      "q139_truncate_head_tail",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Truncate(
+          t(s, dir, "documents"), "text", maxTokens = 9,
+          mode = "head_tail", marker = "...")
+          .select(col("doc_id"), col("text_trunc"),
+            col("text_trunc_tokens")),
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS words
+          FROM documents),
+        k AS (
+          SELECT doc_id,
+                 CASE WHEN len(words) <= 9 THEN words
+                      ELSE words[1:5] || ['...'] || words[-4:] END AS kept
+          FROM w)
+        SELECT doc_id, array_to_string(kept, ' ') AS text_trunc,
+               len(kept)::BIGINT AS text_trunc_tokens
+        FROM k""")
+    ),
+    (
+      // Conversation-shape validation over deterministically malformed
+      // conversations: each residue class induces exactly one defect
+      // (valid / valid-with-system / unterminated / bad alternation /
+      // empty content); the oracle asserts the classification matches
+      // ground truth. Pure array-lambda expressions, no shuffle.
+      "q140_conversation_validate",
+      (s: SparkSession, dir: String) => {
+        val u = struct(lit("user").as("role"), col("text").as("content"))
+        val a = struct(lit("assistant").as("role"), col("lang").as("content"))
+        val sys = struct(lit("system").as("role"), lit("sys").as("content"))
+        val uEmpty = struct(lit("user").as("role"), lit("").as("content"))
+        val uu = struct(lit("user").as("role"), col("lang").as("content"))
+        val msgs = when(col("doc_id") % 5 === 0, array(u, a))
+          .when(col("doc_id") % 5 === 1, array(sys, u, a))
+          .when(col("doc_id") % 5 === 2, array(u))
+          .when(col("doc_id") % 5 === 3, array(u, uu))
+          .otherwise(array(uEmpty, a))
+        graft.ops.ChatOps.validate(
+          t(s, dir, "documents").withColumn("_msgs", msgs)
+            .select("doc_id", "_msgs"), "_msgs")
+          .select(col("doc_id"), col("conv_valid"),
+            coalesce(col("conv_invalid_reason"), lit("")).as("reason"))
+      },
+      Some("""
+        SELECT doc_id,
+               (doc_id % 5) IN (0, 1) AS conv_valid,
+               CASE doc_id % 5
+                 WHEN 2 THEN 'unterminated'
+                 WHEN 3 THEN 'bad_alternation'
+                 WHEN 4 THEN 'empty_content'
+                 ELSE '' END AS reason
+        FROM documents""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

@@ -692,6 +692,28 @@ object Registry {
       BpeTrain.encodeGreedy(df, text, merges, out)
     else BpeTrain.encode(df, text, merges, out)
   }
+  // Token-budget truncation (§2.14 packing family): head | tail |
+  // head_tail (middle-out, optional `marker`).
+  register("truncate") { (df, c, _) =>
+    Truncate(df, c("text_key").str, c("max_tokens").int,
+      c.strOr("mode", "head"), c.strOr("marker", ""),
+      c.strOr("output_key", "text_trunc"))
+  }
+  // Conversation normalization (§2.14 SFT prep): flat prompt/response
+  // columns -> messages array (optional `system` string).
+  register("conversation_from_pairs") { (df, c, _) =>
+    ChatOps.fromPromptResponse(df, c("prompt_key").str, c("response_key").str,
+      c.get("system").map(_.str), c.strOr("output_key", "messages"))
+  }
+  // Conversation-shape validation (§2.14 SFT prep): appends conv_valid +
+  // conv_invalid_reason. `drop_invalid: true` filters instead.
+  register("conversation_validate") { (df, c, _) =>
+    val out = ChatOps.validate(df, c("messages_key").str)
+    if (c.boolOr("drop_invalid", false))
+      out.filter(org.apache.spark.sql.functions.col("conv_valid"))
+        .drop("conv_valid", "conv_invalid_reason")
+    else out
+  }
   // Count-min sketch self-estimation (§2.14 sketches): trains a
   // depth×width sketch over THIS frame's `key_key` values (optionally
   // weighted by `weight_key`) and appends each row's estimated frequency

@@ -89,6 +89,60 @@ object ChatOps {
       .drop("_chat")
   }
 
+  /** Normalize flat (prompt, response) columns — the most common raw SFT
+    * shape — into a messages array (`[user: prompt, assistant: response]`,
+    * optionally led by a system message), feeding [[render]]/[[validate]].
+    * Pure struct construction, no shuffle. */
+  def fromPromptResponse(df: DataFrame, promptCol: String,
+      responseCol: String, system: Option[String] = None,
+      msgsOut: String = "messages"): DataFrame = {
+    val core = Seq(
+      struct(lit("user").as("role"), col(promptCol).as("content")),
+      struct(lit("assistant").as("role"), col(responseCol).as("content")))
+    val msgs = system match {
+      case Some(sys) => array(
+        (struct(lit("system").as("role"), lit(sys).as("content")) +: core): _*)
+      case None => array(core: _*)
+    }
+    df.withColumn(msgsOut, msgs)
+  }
+
+  /** Conversation-shape validation — the drop-malformed-samples gate of
+    * SFT prep: appends `conv_valid` and `conv_invalid_reason` (null when
+    * valid). Rules: non-empty; at most one LEADING system message; then
+    * strict user/assistant alternation starting at user; ends on an
+    * assistant turn; no null/empty content anywhere. All checks are pure
+    * array-lambda expressions — no UDF, no shuffle. Reason priority:
+    * empty > system_not_leading > empty_content > bad_alternation >
+    * unterminated. */
+  def validate(df: DataFrame, messagesCol: String,
+      validOut: String = "conv_valid",
+      reasonOut: String = "conv_invalid_reason"): DataFrame = {
+    val msgs = col(messagesCol)
+    val body = when(
+      size(msgs) >= 1 &&
+        element_at(msgs, 1).getField("role") === "system",
+      slice(msgs, lit(2), size(msgs) - 1)).otherwise(msgs)
+    val emptyConv = msgs.isNull || size(msgs) === 0 || size(body) === 0
+    val strayedSystem = exists(body, m => m.getField("role") === "system")
+    val emptyContent = exists(msgs, m =>
+      m.getField("content").isNull || length(m.getField("content")) === 0)
+    val altBroken = exists(
+      zip_with(body, sequence(lit(0), size(body) - 1), (m, i) =>
+        m.getField("role") =!=
+          when(i % 2 === 0, lit("user")).otherwise(lit("assistant"))),
+      b => b)
+    val unterminated = size(body) % 2 =!= 0
+    val reason = when(emptyConv, lit("empty"))
+      .when(strayedSystem, lit("system_not_leading"))
+      .when(emptyContent, lit("empty_content"))
+      .when(altBroken, lit("bad_alternation"))
+      .when(unterminated, lit("unterminated"))
+      .otherwise(lit(null).cast("string"))
+    df.withColumn(reasonOut, reason)
+      .withColumn(validOut, col(reasonOut).isNull)
+  }
+
   /** [[render]] under [[ChatTemplate.Default]] (`<|role|>\ncontent\n`). */
   def renderWithSpans(df: DataFrame, messagesCol: String,
       maskRole: String = "assistant", textOut: String = "text",
