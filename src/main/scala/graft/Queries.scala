@@ -3816,6 +3816,84 @@ object Queries {
                  WHEN 4 THEN 'empty_content'
                  ELSE '' END AS reason
         FROM documents""")
+    ),
+    (
+      // Sentence segmentation (terminal-punctuation boundary, the C4-style
+      // heuristic) over text with deterministically injected periods (the
+      // synthetic corpus carries none). Shares the CDC marked-word fold —
+      // pure per-row expressions, RE2-safe regex on both engines.
+      "q141_segment_sentences",
+      (s: SparkSession, dir: String) => {
+        val withPunct = concat_ws(" ", transform(
+          filter(split(col("text"), " "), w => length(w) > 0), w =>
+            when(conv(substring(md5(w), 1, 13), 16, 10).cast("bigint")
+              % 9 === 0, concat(w, lit("."))).otherwise(w)))
+        graft.ops.Segment.sentences(
+          t(s, dir, "documents").withColumn("_t2", withPunct)
+            .select("doc_id", "_t2"), "doc_id", "_t2")
+      },
+      Some("""
+        WITH t2 AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split(text, ' '), w -> w <> ''),
+                   w -> CASE WHEN ('0x' || substr(md5(w), 1, 13))::UBIGINT
+                               % 9 = 0
+                        THEN w || '.' ELSE w END) AS words
+          FROM documents),
+        mk AS (
+          SELECT doc_id,
+                 list_transform(words, w ->
+                   CASE WHEN regexp_matches(w, '[.!?]["'')\]]*$')
+                   THEN w || chr(30) ELSE w END) AS marked
+          FROM t2),
+        fo AS (
+          SELECT doc_id,
+                 CASE WHEN len(marked) = 0 THEN []::VARCHAR[]
+                      ELSE list_filter(string_split(
+                        list_reduce(marked, (acc, x) ->
+                          CASE WHEN ends_with(acc, chr(30)) THEN acc || x
+                               ELSE acc || ' ' || x END), chr(30)),
+                        c -> c <> '')
+                 END AS sents
+          FROM mk)
+        SELECT doc_id, i AS sent_idx,
+               len(string_split(sents[i+1], ' '))::BIGINT AS n_words,
+               sents[i+1] AS sentence
+        FROM fo, UNNEST(range(0, len(sents))) AS t(i)""")
+    ),
+    (
+      // Cross-slice corpus overlap: per-slice MinHash signatures (Broder
+      // estimator at corpus granularity) -> pairwise Jaccard-estimate
+      // matrix. One narrow (gram x seed) explode with map-side min
+      // partials; the pair join touches only the slices x seeds signature
+      // table. Oracle replays the md5-prefix min chain bit-exactly.
+      "q142_corpus_overlap",
+      (s: SparkSession, dir: String) =>
+        graft.ops.CorpusOverlap.jaccardMatrix(
+          t(s, dir, "documents"), "source", "text",
+          shingleSize = 3, numHashes = 16),
+      Some("""
+        WITH sg AS (
+          SELECT source AS slice,
+                 unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                        ELSE [array_to_string(w[i+1:i+3], ' ')
+                              FOR i IN range(0, len(w) - 2)] END) AS g
+          FROM (SELECT source, string_split(text, ' ') AS w
+                FROM documents)),
+        pos AS (
+          SELECT slice, s AS seed,
+                 (('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || g), 1, 13))
+                   ::UBIGINT)::BIGINT AS h
+          FROM sg, UNNEST(range(0, 16)) AS t(s)),
+        sig AS (SELECT slice, seed, min(h) AS min_hash
+                FROM pos GROUP BY 1, 2)
+        SELECT a.slice AS slice_a, b.slice AS slice_b,
+               round(avg(CASE WHEN a.min_hash = b.min_hash
+                              THEN 1.0 ELSE 0.0 END), 6) AS jaccard_est
+        FROM sig a JOIN sig b USING (seed)
+        WHERE a.slice < b.slice
+        GROUP BY 1, 2""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

@@ -692,6 +692,18 @@ object Registry {
       BpeTrain.encodeGreedy(df, text, merges, out)
     else BpeTrain.encode(df, text, merges, out)
   }
+  // Sentence segmentation (§2.14 reshape family): `stats: true` appends
+  // per-document sentence-shape signals instead of exploding rows.
+  register("segment") { (df, c, _) =>
+    if (c.boolOr("stats", false)) Segment.sentenceStats(df, c("text_key").str)
+    else Segment.sentences(df, c("id_key").str, c("text_key").str)
+  }
+  // Cross-slice MinHash overlap matrix (§2.14 dedup family): pairwise
+  // corpus-level Jaccard estimates between slices.
+  register("corpus_overlap") { (df, c, _) =>
+    CorpusOverlap.jaccardMatrix(df, c("slice_key").str, c("text_key").str,
+      c.intOr("shingle_size", 3), c.intOr("num_hashes", 16))
+  }
   // Token-budget truncation (§2.14 packing family): head | tail |
   // head_tail (middle-out, optional `marker`).
   register("truncate") { (df, c, _) =>

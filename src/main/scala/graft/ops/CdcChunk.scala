@@ -34,19 +34,24 @@ object CdcChunk {
   private def isBoundary(word: Column, p: Int): Column =
     conv(substring(md5(word), 1, 13), 16, 10).cast("bigint") % p === 0
 
-  /** `text` split into content-defined chunks (array<string>, each chunk
-    * a space-joined run of words). Pure expression: words get a boundary
-    * marker appended, one fold joins within chunks, one split recovers
-    * the chunk array. */
-  def chunksCol(text: Column, p: Int): Column = {
+  /** `text` split into word runs delimited AFTER every word satisfying
+    * `boundary` (array<string>, each run space-joined). Pure expression:
+    * words get a boundary marker appended, one fold joins within runs,
+    * one split recovers the array. Shared by CDC chunking (hash boundary)
+    * and [[Segment]] (punctuation boundary). */
+  def chunksByBoundary(text: Column, boundary: Column => Column): Column = {
     val words = filter(split(text, " "), w => length(w) > 0)
     val marked = transform(words, w =>
-      when(isBoundary(w, p), concat(w, lit(Sep))).otherwise(w))
+      when(boundary(w), concat(w, lit(Sep))).otherwise(w))
     val folded = aggregate(marked, lit(""), (acc, w) =>
       when(acc === "" || acc.endsWith(lit(Sep)), concat(acc, w))
         .otherwise(concat(acc, lit(" "), w)))
     filter(split(folded, Sep), c => length(c) > 0)
   }
+
+  /** `text` split into content-defined chunks (hash boundary, mod `p`). */
+  def chunksCol(text: Column, p: Int): Column =
+    chunksByBoundary(text, w => isBoundary(w, p))
 
   /** One row per chunk: (id, chunk_idx, n_words, chunk_hash, chunk). */
   def explodeChunks(df: DataFrame, idCol: String, textCol: String,

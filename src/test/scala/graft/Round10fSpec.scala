@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{CorpusOverlap, Segment}
+
+/** Round-10: sentence segmentation + corpus-overlap estimation. */
+class Round10fSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  test("segment: terminal punctuation splits; trailing quotes honored") {
+    val d = df(schema,
+      Row(1L, "Hello there. How are you? Fine! Trailing run no dot"))
+    val out = Segment.sentences(d, "id", "text").orderBy("sent_idx")
+      .collect().map(_.getAs[String]("sentence")).toSeq
+    assert(out == Seq("Hello there.", "How are you?", "Fine!",
+      "Trailing run no dot"))
+    val q = df(schema, Row(1L, """He said "stop." Then left."""))
+    val qs = Segment.sentences(q, "id", "text").orderBy("sent_idx")
+      .collect().map(_.getAs[String]("sentence")).toSeq
+    assert(qs == Seq("He said \"stop.\"", "Then left."))
+  }
+
+  test("segment: null/empty text yields no sentences; stats go null") {
+    val d = df(schema, Row(1L, null), Row(2L, ""))
+    assert(Segment.sentences(d, "id", "text").count() == 0)
+    val st = Segment.sentenceStats(df(schema, Row(1L, ""), Row(2L, "One. Two three.")),
+      "text").orderBy("id").collect()
+    assert(st(0).getAs[Long]("n_sentences") == 0 &&
+      st(0).isNullAt(st(0).fieldIndex("mean_sentence_words")))
+    assert(st(1).getAs[Long]("n_sentences") == 2 &&
+      st(1).getAs[Double]("mean_sentence_words") == 1.5 &&
+      st(1).getAs[Long]("max_sentence_words") == 2)
+  }
+
+  private val sliceSchema = StructType(Seq(
+    StructField("slice", StringType), StructField("text", StringType)))
+
+  test("corpus overlap: identical slices estimate 1, disjoint estimate 0") {
+    val shared = (1 to 60).map(i => s"w${i * 13 % 101}").mkString(" ")
+    val other = (1 to 60).map(i => s"z${i * 7 % 89}").mkString(" ")
+    val d = df(sliceSchema,
+      Row("a", shared), Row("b", shared), Row("c", other))
+    val m = CorpusOverlap.jaccardMatrix(d, "slice", "text", 3, 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(m(("a", "b")) == 1.0)
+    assert(m(("a", "c")) == 0.0 && m(("b", "c")) == 0.0)
+  }
+
+  test("corpus overlap: estimate is duplicate-insensitive") {
+    val text = (1 to 50).map(i => s"w${i * 13 % 101}").mkString(" ")
+    val d1 = df(sliceSchema, Row("a", text), Row("b", text), Row("b", text))
+    // b holds a's content twice over: gram SET identical -> estimate 1
+    val m = CorpusOverlap.jaccardMatrix(d1, "slice", "text", 3, 32).head()
+    assert(m.getDouble(2) == 1.0)
+  }
+
+  test("segment + overlap yaml registry") {
+    val d = df(schema, Row(1L, "One two. Three four."))
+    val seg = graft.api.Registry("segment")(d, graft.api.Conf.fromYaml(
+      "type: segment\nid_key: id\ntext_key: text"), null)
+    assert(seg.count() == 2)
+    val st = graft.api.Registry("segment")(d, graft.api.Conf.fromYaml(
+      "type: segment\ntext_key: text\nstats: true"), null)
+    assert(st.columns.contains("n_sentences"))
+    val ov = graft.api.Registry("corpus_overlap")(
+      df(sliceSchema, Row("a", "x y z w"), Row("b", "x y z w")),
+      graft.api.Conf.fromYaml(
+        "type: corpus_overlap\nslice_key: slice\ntext_key: text"), null)
+    assert(ov.head().getDouble(2) == 1.0)
+  }
+}
