@@ -289,10 +289,50 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   }
   def chatRender(messagesCol: String, maskRole: String = "assistant"): Frame =
     next(ChatOps.renderWithSpans(df, messagesCol, maskRole))
-  def datacard(textCol: String, sliceCol: String): Frame =
-    next(Datacard(df, textCol, sliceCol))
-  def datacardPerSlice(textCol: String, sliceCol: String): Frame =
-    next(Datacard.perSlice(df, textCol, sliceCol))
+  def chatRender(messagesCol: String, template: ChatOps.ChatTemplate): Frame =
+    next(ChatOps.render(df, messagesCol, template))
+  def conversationFromPairs(promptCol: String, responseCol: String,
+      system: Option[String] = None): Frame =
+    next(ChatOps.fromPromptResponse(df, promptCol, responseCol, system))
+  def conversationValidate(messagesCol: String): Frame =
+    next(ChatOps.validate(df, messagesCol))
+  def datacard(textCol: String, sliceCol: String,
+      approx: Boolean = false): Frame =
+    next(Datacard(df, textCol, sliceCol, approx))
+  def datacardPerSlice(textCol: String, sliceCol: String,
+      approx: Boolean = false): Frame =
+    next(Datacard.perSlice(df, textCol, sliceCol, approx))
+  def urlDomainViaSuffixes(hostCol: String, suffixes: Frame): Frame =
+    next(UrlOps.registeredDomainViaTable(df, hostCol, suffixes.df))
+  def bpeTrain(textCol: String, numMerges: Int): Seq[BpeTrain.Merge] =
+    BpeTrain.train(df, textCol, numMerges)
+  def bpeEncode(textCol: String, merges: Seq[BpeTrain.Merge],
+      greedy: Boolean = false): Frame =
+    next(if (greedy) BpeTrain.encodeGreedy(df, textCol, merges)
+    else BpeTrain.encode(df, textCol, merges))
+  def cdcChunks(idCol: String, textCol: String, p: Int = 16): Frame =
+    next(CdcChunk.explodeChunks(df, idCol, textCol, p))
+  def cdcDuplicateChunks(idCol: String, textCol: String,
+      p: Int = 16): Frame =
+    next(CdcChunk.duplicateChunkStats(df, idCol, textCol, p))
+  def cdcDedup(idCol: String, textCol: String, p: Int = 16): Frame =
+    next(CdcChunk.removeDuplicateChunks(df, idCol, textCol, p))
+  def cmsEstimate(keyCol: String, width: Long = 1L << 14,
+      depth: Int = 4): Frame = {
+    val sk = graft.sketch.CountMin.build(df, keyCol, width, depth)
+    next(graft.sketch.CountMin.estimate(df, keyCol, sk))
+  }
+  def truncateTokens(textCol: String, maxTokens: Int,
+      mode: String = "head", marker: String = ""): Frame =
+    next(Truncate(df, textCol, maxTokens, mode, marker))
+  def segmentSentences(idCol: String, textCol: String): Frame =
+    next(Segment.sentences(df, idCol, textCol))
+  def sentenceStats(textCol: String): Frame =
+    next(Segment.sentenceStats(df, textCol))
+  def corpusOverlap(sliceCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16): Frame =
+    next(CorpusOverlap.jaccardMatrix(df, sliceCol, textCol, shingleSize,
+      numHashes))
   def piiReport(textCol: String): Frame =
     next(Hygiene.piiReport(df, textCol))
   def blocklistWords(textCol: String, words: Seq[String],

@@ -370,10 +370,55 @@ final case class LazyFrame(
     append("chat_render", "messages_key" -> messagesKey,
       "mask_role" -> maskRole, "output_key" -> outputKey,
       "spans_key" -> spansKey)
+  def chatRenderTemplate(messagesKey: String, template: String,
+      maskRole: String = "assistant"): LazyFrame =
+    append("chat_render", "messages_key" -> messagesKey,
+      "template" -> template, "mask_role" -> maskRole)
+  def conversationFromPairs(promptKey: String, responseKey: String,
+      system: String = ""): LazyFrame = {
+    val base = Seq[(String, Any)]("prompt_key" -> promptKey,
+      "response_key" -> responseKey)
+    val fields = if (system.isEmpty) base else base :+ ("system" -> system)
+    append("conversation_from_pairs", fields: _*)
+  }
+  def conversationValidate(messagesKey: String,
+      dropInvalid: Boolean = false): LazyFrame =
+    append("conversation_validate", "messages_key" -> messagesKey,
+      "drop_invalid" -> dropInvalid)
   def datacard(textKey: String, sliceKey: String,
-      perSlice: Boolean = false): LazyFrame =
+      perSlice: Boolean = false, approx: Boolean = false): LazyFrame =
     append("datacard", "text_key" -> textKey, "slice_key" -> sliceKey,
-      "per_slice" -> perSlice)
+      "per_slice" -> perSlice, "approx" -> approx)
+  def urlParseWithSuffixes(urlKey: String, suffixes: Seq[String],
+      stats: Boolean = false): LazyFrame =
+    append("url_parse", "url_key" -> urlKey, "stats" -> stats,
+      "suffixes" -> jlist(suffixes))
+  def bpeTrain(textKey: String, numMerges: Int): LazyFrame =
+    append("bpe_train", "text_key" -> textKey, "num_merges" -> numMerges)
+  def bpeEncode(textKey: String, numMerges: Int,
+      greedy: Boolean = false): LazyFrame =
+    append("bpe_encode", "text_key" -> textKey, "num_merges" -> numMerges,
+      "greedy" -> greedy)
+  def cdcChunk(idKey: String, textKey: String, mode: String = "chunks",
+      p: Int = 16): LazyFrame =
+    append("cdc_chunk", "id_key" -> idKey, "text_key" -> textKey,
+      "mode" -> mode, "p" -> p)
+  def cmsEstimate(keyKey: String, width: Int = 1 << 14,
+      depth: Int = 4): LazyFrame =
+    append("cms_estimate", "key_key" -> keyKey, "width" -> width,
+      "depth" -> depth)
+  def truncateTokens(textKey: String, maxTokens: Int,
+      mode: String = "head", marker: String = ""): LazyFrame =
+    append("truncate", "text_key" -> textKey, "max_tokens" -> maxTokens,
+      "mode" -> mode, "marker" -> marker)
+  def segmentSentences(idKey: String, textKey: String): LazyFrame =
+    append("segment", "id_key" -> idKey, "text_key" -> textKey)
+  def sentenceStats(textKey: String): LazyFrame =
+    append("segment", "text_key" -> textKey, "stats" -> true)
+  def corpusOverlap(sliceKey: String, textKey: String,
+      shingleSize: Int = 3, numHashes: Int = 16): LazyFrame =
+    append("corpus_overlap", "slice_key" -> sliceKey, "text_key" -> textKey,
+      "shingle_size" -> shingleSize, "num_hashes" -> numHashes)
   def piiReport(textKey: String): LazyFrame =
     append("pii_report", "text_key" -> textKey)
   def blocklistWords(textKey: String, words: Seq[String],

@@ -202,6 +202,68 @@ class Round10Spec extends SparkSpec {
     assert(ex.getMessage.contains("ragged"))
   }
 
+  // ---------------------------------------------------- LazyFrame surface
+
+  test("LazyFrame round-10 builders round-trip through YAML and run") {
+    import graft.api.{LazyFrame, Pipeline}
+    val dir = java.nio.file.Files.createTempDirectory("lf10").toString
+    val path = s"$dir/docs.parquet"
+    docsDf.write.mode("overwrite").parquet(path)
+    def roundTrips(lf: LazyFrame): Long = {
+      val reparsed = LazyFrame.fromYaml(lf.toYaml)
+      assert(reparsed.toYaml == lf.toYaml) // fixpoint
+      val direct = lf.run(spark).count()
+      assert(Pipeline.runYaml(lf.toYaml, spark).count() == direct)
+      direct
+    }
+    val n = docsDf.count()
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .bpeTrain("text", 2)) == 2)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .bpeEncode("text", 2, greedy = true)) == n)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .cdcChunk("doc_id", "text", mode = "rewrite", p = 4)) == n)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .cmsEstimate("lang", width = 256, depth = 3)) == n)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .truncateTokens("text", 4, mode = "head_tail", marker = "...")) == n)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .sentenceStats("text")) == n)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .corpusOverlap("lang", "text")) == 1) // en vs de
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .urlParseWithSuffixes("text", Seq("com", "co.uk"))) == n)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .conversationFromPairs("text", "lang", system = "be terse")
+      .conversationValidate("messages")) == n)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .conversationFromPairs("text", "lang")
+      .chatRenderTemplate("messages", "chatml")) == n)
+    assert(roundTrips(LazyFrame.read("docs", path)
+      .datacard("text", "lang", approx = true)) == 8) // fixed metric rows
+  }
+
+  test("Frame round-10 surface composes") {
+    import graft.api.Graft
+    val f = Graft.fromDF(docsDf)
+    assert(f.cdcChunks("doc_id", "text", p = 4).count() > 0)
+    assert(f.cmsEstimate("lang").toDF.columns.contains("est_count"))
+    assert(f.truncateTokens("text", 3, "tail").toDF
+      .columns.contains("text_trunc"))
+    assert(f.sentenceStats("text").toDF.columns.contains("n_sentences"))
+    assert(f.corpusOverlap("lang", "text").count() == 1)
+    val merges = f.bpeTrain("text", 2)
+    assert(merges.size == 2)
+    assert(f.bpeEncode("text", merges, greedy = true).toDF
+      .columns.contains("tokens"))
+    val conv = f.conversationFromPairs("text", "lang", Some("sys"))
+      .conversationValidate("messages")
+    assert(conv.toDF.filter(col("conv_valid")).count() == docsDf.count())
+    assert(f.conversationFromPairs("text", "lang")
+      .chatRender("messages", graft.ops.ChatOps.ChatTemplate.ChatML)
+      .toDF.columns.contains("mask_spans"))
+  }
+
   // ------------------------------------------------------------- Datacard
 
   test("datacard approx knob estimates the exact distinct metrics") {
