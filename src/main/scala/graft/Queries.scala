@@ -3894,6 +3894,113 @@ object Queries {
         FROM sig a JOIN sig b USING (seed)
         WHERE a.slice < b.slice
         GROUP BY 1, 2""")
+    ),
+    (
+      // Embedding-space outlier scoring: cosine of each vector to its OWN
+      // slice's centroid. Centroids from one narrow (slice, dim, value)
+      // explode with map-side partial sums; the (slices x dim) centroid
+      // table broadcast-joins back; cosine is a fold expression.
+      "q143_embedding_outliers",
+      (s: SparkSession, dir: String) =>
+        graft.ops.EmbeddingStats.outlierScores(
+          t(s, dir, "embeddings").withColumn("slice", col("vec_id") % 3)
+            .select("vec_id", "slice", "embedding"),
+          "slice", "embedding")
+          .select("vec_id", "slice", "centroid_sim"),
+      Some("""
+        WITH e AS (SELECT vec_id, vec_id % 3 AS slice,
+                          CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        d AS (SELECT slice, i AS dim, v[i+1] AS x
+              FROM e, UNNEST(range(0, len(v))) AS t(i)),
+        m AS (SELECT slice, dim, avg(x) AS m FROM d GROUP BY 1, 2),
+        c AS (SELECT slice, list(m ORDER BY dim) AS cent FROM m GROUP BY 1)
+        SELECT vec_id, slice,
+               round(list_dot_product(v, cent) /
+                 (sqrt(list_dot_product(v, v)) *
+                  sqrt(list_dot_product(cent, cent))), 6) AS centroid_sim
+        FROM e JOIN c USING (slice)""")
+    ),
+    (
+      // Slice-centroid similarity matrix: are two sources embedding-space
+      // near-duplicates? Computed entirely on the (slices x dim) centroid
+      // table.
+      "q144_centroid_matrix",
+      (s: SparkSession, dir: String) =>
+        graft.ops.EmbeddingStats.centroidSimilarityMatrix(
+          t(s, dir, "embeddings").withColumn("slice", col("vec_id") % 3)
+            .select("slice", "embedding"),
+          "slice", "embedding"),
+      Some("""
+        WITH e AS (SELECT vec_id % 3 AS slice,
+                          CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        d AS (SELECT slice, i AS dim, v[i+1] AS x
+              FROM e, UNNEST(range(0, len(v))) AS t(i)),
+        m AS (SELECT slice, dim, avg(x) AS m FROM d GROUP BY 1, 2),
+        c AS (SELECT slice, list(m ORDER BY dim) AS cent FROM m GROUP BY 1)
+        SELECT a.slice AS slice_a, b.slice AS slice_b,
+               round(list_dot_product(a.cent, b.cent) /
+                 (sqrt(list_dot_product(a.cent, a.cent)) *
+                  sqrt(list_dot_product(b.cent, b.cent))), 6)
+                 AS centroid_cosine
+        FROM c a, c b WHERE a.slice < b.slice""")
+    ),
+    (
+      // Vocabulary coverage: per-document OOV rate against an external
+      // vocab table (here: the word list of every third document). One
+      // token explode + broadcast vocab join + id-keyed agg.
+      "q145_vocab_oov",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val vocab = docs.filter(col("doc_id") % 3 === 0)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "").distinct()
+        graft.ops.VocabCoverage.oovReport(docs, "doc_id", "text", vocab)
+      },
+      Some("""
+        WITH vocab AS (
+          SELECT DISTINCT w FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            WHERE doc_id % 3 = 0)
+          WHERE w <> ''),
+        tok AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+          WHERE w <> '')
+        SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN w IN (SELECT w FROM vocab)
+                        THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+               round(sum(CASE WHEN w IN (SELECT w FROM vocab)
+                              THEN 0 ELSE 1 END)::DOUBLE / count(*), 6)
+                 AS oov_rate
+        FROM tok GROUP BY 1""")
+    ),
+    (
+      // The vocab-extension worklist: top-20 most frequent OOV tokens,
+      // deterministic (count desc, token asc) sort-limit.
+      "q146_top_oov_tokens",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val vocab = docs.filter(col("doc_id") % 3 === 0)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "").distinct()
+        graft.ops.VocabCoverage.topOovTokens(docs, "text", vocab, k = 20)
+      },
+      Some("""
+        WITH vocab AS (
+          SELECT DISTINCT w FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            WHERE doc_id % 3 = 0)
+          WHERE w <> ''),
+        tok AS (
+          SELECT w FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' AND w NOT IN (SELECT w FROM vocab))
+        SELECT w AS token, count(*)::BIGINT AS cnt
+        FROM tok GROUP BY 1
+        ORDER BY cnt DESC, token LIMIT 20""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

@@ -333,6 +333,14 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       shingleSize: Int = 3, numHashes: Int = 16): Frame =
     next(CorpusOverlap.jaccardMatrix(df, sliceCol, textCol, shingleSize,
       numHashes))
+  def embeddingOutliers(sliceCol: String, embCol: String): Frame =
+    next(EmbeddingStats.outlierScores(df, sliceCol, embCol))
+  def embeddingCentroidMatrix(sliceCol: String, embCol: String): Frame =
+    next(EmbeddingStats.centroidSimilarityMatrix(df, sliceCol, embCol))
+  def oovReport(idCol: String, textCol: String, vocab: Frame): Frame =
+    next(VocabCoverage.oovReport(df, idCol, textCol, vocab.df))
+  def topOovTokens(textCol: String, vocab: Frame, k: Int = 100): Frame =
+    next(VocabCoverage.topOovTokens(df, textCol, vocab.df, k))
   def piiReport(textCol: String): Frame =
     next(Hygiene.piiReport(df, textCol))
   def blocklistWords(textCol: String, words: Seq[String],

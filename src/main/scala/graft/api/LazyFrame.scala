@@ -419,6 +419,18 @@ final case class LazyFrame(
       shingleSize: Int = 3, numHashes: Int = 16): LazyFrame =
     append("corpus_overlap", "slice_key" -> sliceKey, "text_key" -> textKey,
       "shingle_size" -> shingleSize, "num_hashes" -> numHashes)
+  def embeddingStats(sliceKey: String, embeddingKey: String,
+      mode: String = "outliers"): LazyFrame =
+    append("embedding_stats", "slice_key" -> sliceKey,
+      "embedding_key" -> embeddingKey, "mode" -> mode)
+  def vocabCoverage(idKey: String, textKey: String,
+      vocabWords: Seq[String]): LazyFrame =
+    append("vocab_coverage", "id_key" -> idKey, "text_key" -> textKey,
+      "vocab_words" -> jlist(vocabWords))
+  def topOovTokens(textKey: String, vocabWords: Seq[String],
+      k: Int = 100): LazyFrame =
+    append("vocab_coverage", "text_key" -> textKey, "mode" -> "top_oov",
+      "vocab_words" -> jlist(vocabWords), "k" -> k)
   def piiReport(textKey: String): LazyFrame =
     append("pii_report", "text_key" -> textKey)
   def blocklistWords(textKey: String, words: Seq[String],

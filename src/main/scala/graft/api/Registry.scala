@@ -692,6 +692,42 @@ object Registry {
       BpeTrain.encodeGreedy(df, text, merges, out)
     else BpeTrain.encode(df, text, merges, out)
   }
+  // Embedding-space diagnostics (§2.14 ANN family): outlier scores
+  // (default), per-slice centroids, or the slice-centroid similarity
+  // matrix.
+  register("embedding_stats") { (df, c, _) =>
+    val slice = c("slice_key").str
+    val emb = c("embedding_key").str
+    c.strOr("mode", "outliers") match {
+      case "outliers" => EmbeddingStats.outlierScores(df, slice, emb)
+      case "centroids" => EmbeddingStats.sliceCentroids(df, slice, emb)
+      case "matrix" => EmbeddingStats.centroidSimilarityMatrix(df, slice, emb)
+      case other => throw new IllegalArgumentException(
+        s"embedding_stats mode must be outliers|centroids|matrix, got '$other'")
+    }
+  }
+  // Vocabulary coverage (§2.14 tokenizer family): OOV audit against an
+  // external vocab dataset (single-column) or an inline `vocab_words`
+  // list. `mode: top_oov` emits the vocab-extension worklist instead.
+  register("vocab_coverage") { (df, c, ctx) =>
+    val vocab = c.get("vocab") match {
+      case Some(name) => ctx.datasets.getOrElse(name.str,
+        throw new IllegalArgumentException(
+          s"unknown vocab dataset '${name.str}'"))
+      case None =>
+        val spark = df.sparkSession
+        import spark.implicits._
+        c("vocab_words").strList.toDF("token")
+    }
+    c.strOr("mode", "report") match {
+      case "report" => VocabCoverage.oovReport(df, c("id_key").str,
+        c("text_key").str, vocab)
+      case "top_oov" => VocabCoverage.topOovTokens(df, c("text_key").str,
+        vocab, c.intOr("k", 100))
+      case other => throw new IllegalArgumentException(
+        s"vocab_coverage mode must be report|top_oov, got '$other'")
+    }
+  }
   // Sentence segmentation (§2.14 reshape family): `stats: true` appends
   // per-document sentence-shape signals instead of exploding rows.
   register("segment") { (df, c, _) =>
