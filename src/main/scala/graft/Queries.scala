@@ -3883,8 +3883,9 @@ object Queries {
                 FROM documents)),
         pos AS (
           SELECT slice, s AS seed,
-                 (('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || g), 1, 13))
-                   ::UBIGINT)::BIGINT AS h
+                 (('0x' || substr(md5(g), 1, 13))::UBIGINT +
+                  s * (('0x' || substr(md5(g), 14, 13))::UBIGINT | 1))
+                   ::BIGINT AS h
           FROM sg, UNNEST(range(0, 16)) AS t(s)),
         sig AS (SELECT slice, seed, min(h) AS min_hash
                 FROM pos GROUP BY 1, 2)

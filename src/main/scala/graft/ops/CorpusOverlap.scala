@@ -25,17 +25,32 @@ import graft.functions.{TextFunctions => TF}
   */
 object CorpusOverlap {
 
-  /** Per-slice MinHash signature table: (slice, seed, min_hash). */
+  /** Per-slice MinHash signature table: (slice, seed, min_hash).
+    *
+    * Hash family is Kirsch–Mitzenmacher double hashing (ONE md5 per gram;
+    * seed s's hash = h1 + s·h2) — 16× fewer digests than hashing
+    * (seed, gram) pairs. The per-DOCUMENT minimum folds inside the row
+    * (gram arrays never explode); only numHashes (seed, doc-min) rows per
+    * document enter the partial-aggregating shuffle. */
   def signatures(df: DataFrame, sliceCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16): DataFrame = {
     require(numHashes >= 1 && numHashes <= 512,
       s"numHashes must be in [1, 512], got $numHashes")
-    df.select(col(sliceCol).as("slice"),
-      explode(TF.shingles(col(textCol), shingleSize)).as("_g"))
-      .select(col("slice"),
-        posexplode(transform(sequence(lit(0), lit(numHashes - 1)), s =>
-          conv(substring(md5(concat_ws(":", s, col("_g"))), 1, 13), 16, 10)
-            .cast("bigint"))).as(Seq("seed", "h")))
+    // one digest per gram -> (h1, h2) pairs
+    val hs = transform(TF.shingles(col(textCol), shingleSize), g => {
+      val digest = md5(g)
+      struct(
+        conv(substring(digest, 1, 13), 16, 10).cast("bigint").as("h1"),
+        conv(substring(digest, 14, 13), 16, 10).cast("bigint")
+          .bitwiseOR(lit(1L)).as("h2"))
+    })
+    // per-document min per seed, folded in-row
+    val sigs = transform(sequence(lit(0), lit(numHashes - 1)), s =>
+      array_min(transform(col("_hs"), p =>
+        p.getField("h1") + s.cast("bigint") * p.getField("h2"))))
+    df.select(col(sliceCol).as("slice"), hs.as("_hs"))
+      .filter(size(col("_hs")) > 0)
+      .select(col("slice"), posexplode(sigs).as(Seq("seed", "h")))
       .groupBy(col("slice"), col("seed").cast("bigint").as("seed"))
       .agg(min(col("h")).as("min_hash"))
   }
