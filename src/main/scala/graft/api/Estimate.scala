@@ -6,7 +6,7 @@ import graft.llm.{LlmClient, MockLlmClient, TokenTally}
 
 /** Pre-flight pipeline estimation — run the pipeline on a bounded sample of
   * every input dataset, record per-op selectivities and the LLM call/token
-  * tally, and extrapolate linearly to the full inputs. The 100 TB
+  * tally, and extrapolate per-op to the full inputs. The 100 TB
   * pre-flight question is "how many LLM calls and rows will this pipeline
   * actually produce?", and the answer must not cost a full run (the
   * reference's optimizer answers it the same way: sample runs with
@@ -15,20 +15,26 @@ import graft.llm.{LlmClient, MockLlmClient, TokenTally}
   * Method: the per-dataset `limit(sampleRows)` pushes into the scan (a
   * 100 TB source reads ~sampleRows rows); full row counts come from
   * `count()` on the raw load — parquet answers from footer metadata
-  * without scanning data. Extrapolation is LINEAR per step chain (an op's
-  * scale is its root input dataset's full/sample ratio): exact for
-  * row-local ops, a documented approximation for joins and group-bys,
-  * whose output grows non-linearly; treat join/reduce row estimates as
-  * order-of-magnitude. LLM totals scale by the largest dataset ratio — a
-  * deliberate upper bound. Estimation never touches checkpoints (the
-  * sample size is part of the dataset hash identity).
+  * without scanning data. Extrapolation fits a per-op POWER LAW from two
+  * sample sizes (n and n/2): rowsOut ∝ scale^α with α =
+  * log(out_n/out_half) / log(n/half), clamped to [0, 2] — α ≈ 1 recovers
+  * the linear estimate exactly for row-local ops, α ≈ 0 captures
+  * saturating group-bys (output bounded by distinct keys), α > 1 captures
+  * super-linear joins. The two-point fit is itself an approximation
+  * (sampling noise moves α), so join/reduce row estimates stay
+  * order-of-magnitude — but they no longer systematically explode
+  * saturated aggregations the way pure linear scaling does. Disable with
+  * `fitExponent = false` for a single-run linear estimate. LLM totals
+  * scale by the largest dataset ratio — a deliberate upper bound.
+  * Estimation never touches checkpoints (the sample size is part of the
+  * dataset hash identity).
   */
 object Estimate {
 
   final case class OpEstimate(
       step: String, op: String,
       sampleRowsIn: Long, sampleRowsOut: Long,
-      scale: Double, estRowsOut: Long) {
+      scale: Double, estRowsOut: Long, alpha: Double = 1.0) {
     def selectivity: Double =
       if (sampleRowsIn == 0) 0.0 else sampleRowsOut.toDouble / sampleRowsIn
   }
@@ -43,7 +49,8 @@ object Estimate {
       cacheHits: Long = 0L) {
     def render: String = {
       val opLines = ops.map { o =>
-        f"  ${o.step}%-20s ${o.op}%-24s sel=${o.selectivity}%6.3f est_rows≈${o.estRowsOut}%,d"
+        f"  ${o.step}%-20s ${o.op}%-24s sel=${o.selectivity}%6.3f " +
+          f"α=${o.alpha}%4.2f est_rows≈${o.estRowsOut}%,d"
       }
       val llmLines = estLlm.toSeq.sortBy(_._1).map { case (m, t) =>
         f"  $m%-24s calls≈${t.calls}%,d in_tok≈${t.inputTokens}%,d " +
@@ -57,7 +64,8 @@ object Estimate {
         else Nil
       (Seq(s"estimate from sample of $sampleRows rows/dataset " +
         s"(scales: ${datasetScales.map { case (k, v) => f"$k=$v%.1fx" }.mkString(", ")})",
-        "per-op (linear extrapolation; join/reduce rows are order-of-magnitude):") ++
+        "per-op (two-point power-law fit, est ∝ scale^α; " +
+          "join/reduce rows are order-of-magnitude):") ++
         opLines ++ warn ++
         Seq(f"llm totals (scaled ${llmScale}%.1fx, upper bound):") ++
         llmLines).mkString("\n")
@@ -65,7 +73,8 @@ object Estimate {
   }
 
   def apply(conf: Conf, spark: SparkSession,
-      client: LlmClient = MockLlmClient(), sampleRows: Int = 200): Report = {
+      client: LlmClient = MockLlmClient(), sampleRows: Int = 200,
+      fitExponent: Boolean = true): Report = {
     // Full row counts per dataset: parquet/csv/json count on the raw load
     // (parquet = footer metadata only; no parsing tools applied — the
     // dataset's FILE rows are the scale unit).
@@ -113,10 +122,36 @@ object Estimate {
     val sampleTally = TokenTally.summary
     val cacheHits = graft.llm.LlmCache.hits
 
+    // Half-size pilot (when fitting): its op-level output counts give the
+    // second point of the per-op power law. Runs AFTER the measured
+    // sample — the reported LLM tally/cache-hit figures above stay those
+    // of a cold main run, and the pilot's own completions mostly hit the
+    // now-warm response cache (its row set is a subset), so its marginal
+    // LLM cost is near zero for deterministic prompts.
+    val halfRows = math.max(1, sampleRows / 2)
+    val halfStats: Map[(String, String), Long] =
+      if (!fitExponent || halfRows >= sampleRows) Map.empty
+      else {
+        val (_, _, hs) = Pipeline.runImpl(Pipeline.stripOutput(conf), spark,
+          client, track = true, Some(halfRows))
+        hs.map(s => (s.step, s.op) -> s.rowsOut).toMap
+      }
+
     val ops = stats.map { s =>
       val sc = scaleFor(s.step)
+      // α = log(out_n / out_half) / log(n / half), clamped to [0, 2]:
+      // α≈1 row-local (exactly linear), α≈0 saturated group-by, α>1
+      // super-linear join growth. Degenerate points (zero output at
+      // either size, or no pilot) fall back to linear.
+      val alpha = halfStats.get((s.step, s.op)) match {
+        case Some(halfOut) if halfOut > 0 && s.rowsOut > 0 =>
+          val a = math.log(s.rowsOut.toDouble / halfOut) /
+            math.log(sampleRows.toDouble / halfRows)
+          math.min(2.0, math.max(0.0, a))
+        case _ => 1.0
+      }
       OpEstimate(s.step, s.op, s.rowsIn, s.rowsOut, sc,
-        math.round(s.rowsOut * sc))
+        math.round(s.rowsOut * math.pow(sc, alpha)), alpha)
     }
     val llmScale = datasetScales.values.foldLeft(1.0)(math.max)
     val estLlm = sampleTally.map { case (m, t) =>
@@ -131,6 +166,7 @@ object Estimate {
   }
 
   def fromYaml(yaml: String, spark: SparkSession,
-      client: LlmClient = MockLlmClient(), sampleRows: Int = 200): Report =
-    apply(Conf.fromYaml(yaml), spark, client, sampleRows)
+      client: LlmClient = MockLlmClient(), sampleRows: Int = 200,
+      fitExponent: Boolean = true): Report =
+    apply(Conf.fromYaml(yaml), spark, client, sampleRows, fitExponent)
 }

@@ -84,6 +84,45 @@ class Round10gSpec extends SparkSpec {
     assert(top == Seq(("x", 3L), ("y", 3L))) // count desc, token asc tiebreak
   }
 
+  test("estimate: two-point fit caps saturated group-bys, keeps filters linear") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("r10est").toString
+    df(schema, (1L to 400L).map(i => Row(i, s"t$i")): _*)
+      .write.mode("overwrite").parquet(s"$dir/d.parquet")
+    val yaml =
+      s"""datasets:
+         |  d: { path: $dir/d.parquet }
+         |operations:
+         |  - { name: keep_half, type: code_filter, predicate: "id % 2 = 0" }
+         |  - { name: grp, type: code_map, outputs: { grp: "id % 3" } }
+         |  - name: by_mod
+         |    type: code_reduce
+         |    reduce_key: [grp]
+         |    aggs: { n: "count(1)" }
+         |pipeline:
+         |  steps:
+         |    - { name: s1, input: d, operations: [keep_half, grp, by_mod] }
+         |""".stripMargin
+    // group key: id % 3 has exactly 3 groups at EVERY sample size -> the
+    // half-size pilot sees the same 3 output rows -> alpha == 0 and the
+    // full-scale estimate stays 3, where linear scaling would say 3 x scale
+    val conf = graft.api.Conf.fromYaml(yaml)
+    val rep = graft.api.Estimate(conf, spark, sampleRows = 100)
+    val byOp = rep.ops.map(o => o.op -> o).toMap
+    assert(byOp("by_mod").alpha == 0.0, rep.render)
+    assert(byOp("by_mod").estRowsOut == byOp("by_mod").sampleRowsOut)
+    // the filter stays exactly linear (alpha == 1)
+    assert(byOp("keep_half").alpha == 1.0)
+    assert(byOp("keep_half").estRowsOut == byOp("keep_half").sampleRowsOut * 4)
+    // single-run mode falls back to linear everywhere
+    val lin = graft.api.Estimate(conf, spark, sampleRows = 100,
+      fitExponent = false)
+    val linReduce = lin.ops.find(_.op == "by_mod").get
+    assert(linReduce.alpha == 1.0 &&
+      linReduce.estRowsOut == linReduce.sampleRowsOut * 4)
+  }
+
   test("embedding/vocab LazyFrame builders round-trip and run") {
     import graft.api.{LazyFrame, Pipeline}
     val dir = java.nio.file.Files.createTempDirectory("lf10g").toString
