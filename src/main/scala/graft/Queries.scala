@@ -4002,6 +4002,44 @@ object Queries {
         SELECT w AS token, count(*)::BIGINT AS cnt
         FROM tok GROUP BY 1
         ORDER BY cnt DESC, token LIMIT 20""")
+    ),
+    (
+      // REAL image-header parsing (not the decode stub): payloads are
+      // genuine PNG/GIF/BMP header bytes built with doc_id-derived
+      // dimensions; the engine parses them back from the raw bytes at the
+      // formats' specified offsets (pure substring/hex expressions). The
+      // oracle asserts the closed-form ground truth — parsing is only
+      // correct if the real format layout round-trips.
+      "q147_image_headers",
+      (s: SparkSession, dir: String) => {
+        val w = (col("doc_id") % 512 + 1).cast("int")
+        val h = (col("doc_id") % 300 + 2).cast("int")
+        def be4(c: Column) = lpad(hex(c), 8, "0")
+        def le2(c: Column) = concat(
+          lpad(hex(c % 256), 2, "0"), lpad(hex(floor(c / 256).cast("int")), 2, "0"))
+        def le4(c: Column) = concat(le2(c), lit("0000"))
+        val payload = when(col("doc_id") % 3 === 0,
+          unhex(concat(lit("89504E470D0A1A0A0000000D49484452"), be4(w), be4(h))))
+          .when(col("doc_id") % 3 === 1,
+            unhex(concat(lit("474946383961"), le2(w), le2(h))))
+          .otherwise(
+            unhex(concat(lit("424D"), lit("00" * 12), lit("28000000"),
+              le4(w), le4(h))))
+        graft.multimodal.ImageHeader.parse(
+          t(s, dir, "documents").withColumn("payload", payload)
+            .select("doc_id", "payload"), "payload")
+          .select(col("doc_id"),
+            col("image_header.width").cast("long").as("width"),
+            col("image_header.height").cast("long").as("height"),
+            col("image_header.format").as("format"))
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(doc_id % 512 + 1 AS BIGINT) AS width,
+               CAST(doc_id % 300 + 2 AS BIGINT) AS height,
+               CASE doc_id % 3 WHEN 0 THEN 'png'
+                    WHEN 1 THEN 'gif' ELSE 'bmp' END AS format
+        FROM documents""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

@@ -341,6 +341,8 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(VocabCoverage.oovReport(df, idCol, textCol, vocab.df))
   def topOovTokens(textCol: String, vocab: Frame, k: Int = 100): Frame =
     next(VocabCoverage.topOovTokens(df, textCol, vocab.df, k))
+  def imageHeaders(binaryCol: String): Frame =
+    next(graft.multimodal.ImageHeader.parse(df, binaryCol))
   def piiReport(textCol: String): Frame =
     next(Hygiene.piiReport(df, textCol))
   def blocklistWords(textCol: String, words: Seq[String],

@@ -423,6 +423,8 @@ final case class LazyFrame(
       mode: String = "outliers"): LazyFrame =
     append("embedding_stats", "slice_key" -> sliceKey,
       "embedding_key" -> embeddingKey, "mode" -> mode)
+  def imageHeaders(binaryKey: String): LazyFrame =
+    append("image_header", "binary_key" -> binaryKey)
   def vocabCoverage(idKey: String, textKey: String,
       vocabWords: Seq[String]): LazyFrame =
     append("vocab_coverage", "id_key" -> idKey, "text_key" -> textKey,

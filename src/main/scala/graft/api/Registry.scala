@@ -692,6 +692,12 @@ object Registry {
       BpeTrain.encodeGreedy(df, text, merges, out)
     else BpeTrain.encode(df, text, merges, out)
   }
+  // Real image-header metadata (§2.14 multimodal): width/height/format
+  // parsed from raw PNG/GIF/BMP/JPEG header bytes — no codecs.
+  register("image_header") { (df, c, _) =>
+    graft.multimodal.ImageHeader.parse(df, c("binary_key").str,
+      c.strOr("output_key", "image_header"))
+  }
   // Embedding-space diagnostics (§2.14 ANN family): outlier scores
   // (default), per-slice centroids, or the slice-centroid similarity
   // matrix.
