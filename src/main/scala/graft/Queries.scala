@@ -4040,6 +4040,28 @@ object Queries {
                CASE doc_id % 3 WHEN 0 THEN 'png'
                     WHEN 1 THEN 'gif' ELSE 'bmp' END AS format
         FROM documents""")
+    ),
+    (
+      // REAL WARC ingestion (ISO 28500 / the Common Crawl format): the
+      // fixture is a genuine .warc archive (warcinfo + HTTP response
+      // records, byte-accurate Content-Lengths); the engine walks records
+      // by length, strips the HTTP envelope, and must round-trip every
+      // document body. Records are in doc_id order, so rec_no = the
+      // doc_id rank.
+      "q148_parse_warc",
+      (s: SparkSession, dir: String) => {
+        val fix = graft.sources.ParseFixtures.warcDir(s, dir)
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.warc").load(fix)
+        graft.sources.ParseOp(files,
+          graft.sources.ParseOp.Config(function = "warc",
+            posKey = Some("rec_no")))
+          .select(col("rec_no").cast("bigint").as("rec_no"), col("text"))
+      },
+      Some("""
+        SELECT (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS rec_no,
+               text
+        FROM documents""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

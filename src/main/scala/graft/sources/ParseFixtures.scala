@@ -43,6 +43,16 @@ object ParseFixtures {
       }
     }
 
+  /** A single .warc archive with one HTTP `response` record per
+    * `documents` row, records in doc_id order. */
+  def warcDir(spark: SparkSession, sfDir: String): String =
+    cached(sfDir, "warc") { out =>
+      val docs = docRows(spark, sfDir, None).map { case (id, text) =>
+        (s"https://example.org/doc/$id", text)
+      }
+      Files.write(out.resolve("crawl.warc"), ParsingTools.makeWarc(docs))
+    }
+
   /** A single workbook of the `nation` table (key, name, regionkey), rows in
     * n_nationkey order. */
   def xlsxDir(spark: SparkSession, sfDir: String): String =

@@ -39,9 +39,9 @@ object ParseOp {
     * aliases (parsing_tools.py:100-226). */
   private def canonical(name: String): String =
     name.stripSuffix("_to_string") match {
-      case f @ ("txt" | "docx" | "pptx" | "xlsx" | "pdf") => f
+      case f @ ("txt" | "docx" | "pptx" | "xlsx" | "pdf" | "warc") => f
       case other => throw new IllegalArgumentException(
-        s"unknown parsing function '$other'; known: txt, docx, pptx, xlsx, pdf " +
+        s"unknown parsing function '$other'; known: txt, docx, pptx, xlsx, pdf, warc " +
           "(whisper/OCR/azure parsers need native runtimes outside this library)")
     }
 
@@ -60,6 +60,7 @@ object ParseOp {
       case "pptx" => pptxUdf(lit(cfg.docPerSlide), skip)(in)
       case "xlsx" => xlsxUdf(lit(cfg.orientation), lit(cfg.docPerSheet), skip)(in)
       case "pdf" => pdfUdf(lit(cfg.docPerPage), skip)(in)
+      case "warc" => warcUdf(skip)(in)
     }
     val kept = df.columns
       .filter(c => !(cfg.dropInput && c == cfg.inputKey) && c != cfg.outputKey)
@@ -94,4 +95,7 @@ object ParseOp {
     udf((b: Array[Byte], pp: Boolean, sk: Boolean) =>
       if (b == null) Seq.empty[String] else guarded(sk)(ParsingTools.pdfToString(b, pp)))
       .apply(_: Column, perPage, skip)
+  private def warcUdf(skip: Column) = udf((b: Array[Byte], sk: Boolean) =>
+    if (b == null) Seq.empty[String] else guarded(sk)(ParsingTools.warcToString(b)))
+    .apply(_: Column, skip)
 }

@@ -30,6 +30,85 @@ object ParsingTools {
   /** UTF-8 decode, one document (parsing_tools.py:157). */
   def txtToString(bytes: Array[Byte]): Seq[String] = Seq(new String(bytes, UTF_8))
 
+  /** One parsed WARC record: lowercased header map + raw payload bytes. */
+  final case class WarcRecord(headers: Map[String, String],
+      payload: Array[Byte]) {
+    def recordType: String = headers.getOrElse("warc-type", "")
+    def targetUri: String = headers.getOrElse("warc-target-uri", "")
+  }
+
+  /** REAL WARC (ISO 28500 / Common Crawl) record parser: walk
+    * `WARC/1.x` version lines, read `Key: Value` headers to the blank
+    * line, then exactly `Content-Length` payload BYTES (never split on
+    * markers inside payloads — a page containing the literal text
+    * "WARC/1.0" must not fracture the archive). Byte-accurate and
+    * allocation-bounded by the file's own size; tolerant of leading
+    * garbage between records (resyncs on the next version line). */
+  def warcRecords(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    val n = bytes.length
+    def crlfAt(j: Int): Boolean =
+      j + 1 < n && bytes(j) == '\r' && bytes(j + 1) == '\n'
+    def lineEnd(from: Int): Int = {
+      var j = from
+      while (j < n && !crlfAt(j)) j += 1
+      j
+    }
+    def startsWith(j: Int, s: String): Boolean =
+      j + s.length <= n && s.indices.forall(k => bytes(j + k) == s.charAt(k))
+    var i = 0
+    while (i < n) {
+      if (startsWith(i, "WARC/")) {
+        var j = lineEnd(i) + 2 // past the version line
+        val headers = Map.newBuilder[String, String]
+        var blank = false
+        while (!blank && j < n) {
+          val e = lineEnd(j)
+          if (e == j) { blank = true; j += 2 } // empty line ends headers
+          else {
+            val line = new String(bytes, j, e - j, StandardCharsets.ISO_8859_1)
+            val ci = line.indexOf(':')
+            if (ci > 0)
+              headers += line.substring(0, ci).trim
+                .toLowerCase(java.util.Locale.ROOT) ->
+                line.substring(ci + 1).trim
+            j = e + 2
+          }
+        }
+        val hm = headers.result()
+        val len = hm.get("content-length").flatMap(_.toIntOption)
+          .filter(_ >= 0).getOrElse(0)
+        val end = math.min(n, j + len)
+        out += WarcRecord(hm, java.util.Arrays.copyOfRange(bytes, j, end))
+        i = end
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** HTTP message body: bytes after the first CRLFCRLF when the payload
+    * is an HTTP message, the whole payload otherwise. */
+  def httpBody(payload: Array[Byte]): Array[Byte] = {
+    val isHttp = payload.length >= 5 &&
+      new String(payload, 0, 5, StandardCharsets.ISO_8859_1) == "HTTP/"
+    if (!isHttp) return payload
+    var j = 0
+    while (j + 3 < payload.length) {
+      if (payload(j) == '\r' && payload(j + 1) == '\n' &&
+        payload(j + 2) == '\r' && payload(j + 3) == '\n')
+        return java.util.Arrays.copyOfRange(payload, j + 4, payload.length)
+      j += 1
+    }
+    payload
+  }
+
+  /** WARC -> documents: each `response` record's HTTP body as UTF-8 text,
+    * in archive order (the shape crawl-ingest pipelines read). */
+  def warcToString(bytes: Array[Byte]): Seq[String] =
+    warcRecords(bytes)
+      .filter(_.recordType == "response")
+      .map(r => new String(httpBody(r.payload), UTF_8))
+
   /** Word: paragraphs of `word/document.xml` (`<w:p>`, runs' `<w:t>` text)
     * joined by newline, one document (parsing_tools.py:172-186). */
   def docxToString(bytes: Array[Byte]): Seq[String] = {
@@ -333,6 +412,33 @@ object ParsingTools {
   }
 
   // -------------------------------------------------------------- writers
+
+  /** Minimal valid WARC file: one warcinfo record, then one `response`
+    * record per (uri, body) with an HTTP/1.1 envelope — byte-accurate
+    * Content-Lengths, so [[warcRecords]] must honor lengths (not markers)
+    * to round-trip. */
+  def makeWarc(docs: Seq[(String, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def record(tpe: String, uri: Option[String], payload: Array[Byte]): Unit = {
+      val hdr = new StringBuilder()
+        .append("WARC/1.0\r\n")
+        .append(s"WARC-Type: $tpe\r\n")
+      uri.foreach(u => hdr.append(s"WARC-Target-URI: $u\r\n"))
+      hdr.append(s"Content-Length: ${payload.length}\r\n\r\n")
+      out.write(hdr.toString.getBytes(StandardCharsets.ISO_8859_1))
+      out.write(payload)
+      out.write("\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
+    }
+    record("warcinfo", None, "software: graft-fixture\r\n".getBytes(UTF_8))
+    docs.foreach { case (uri, body) =>
+      val bodyBytes = body.getBytes(UTF_8)
+      val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
+        s"charset=utf-8\r\nContent-Length: ${bodyBytes.length}\r\n\r\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ bodyBytes
+      record("response", Some(uri), http)
+    }
+    out.toByteArray
+  }
 
   private def esc(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.sources.ParsingTools
+
+/** Round-10: WARC record parsing. */
+class Round10jSpec extends SparkSpec {
+
+  private def http(body: String): String =
+    s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n$body"
+
+  private def record(tpe: String, payload: String,
+      uri: String = "https://x.test/"): String = {
+    val p = payload.getBytes(UTF_8)
+    s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${p.length}\r\n\r\n$payload\r\n\r\n"
+  }
+
+  test("warc: records walk by Content-Length, not by markers") {
+    // the FIRST body embeds a literal "WARC/1.0" record-looking string —
+    // length-honoring parsing must keep it inside the payload
+    val trap = "page says WARC/1.0\r\nWARC-Type: fake\r\n\r\n boom"
+    val bytes = (record("warcinfo", "software: x\r\n") +
+      record("response", http(trap)) +
+      record("response", http("second page"))).getBytes(UTF_8)
+    val recs = ParsingTools.warcRecords(bytes)
+    assert(recs.map(_.recordType) == Seq("warcinfo", "response", "response"))
+    val docs = ParsingTools.warcToString(bytes)
+    assert(docs == Seq(trap, "second page"))
+  }
+
+  test("warc: request records and non-HTTP payloads") {
+    val bytes = (record("request", "GET / HTTP/1.1\r\n\r\n") +
+      record("response", "raw bytes, no http envelope") +
+      record("metadata", "k: v\r\n")).getBytes(UTF_8)
+    // only responses surface as documents; a non-HTTP payload passes whole
+    assert(ParsingTools.warcToString(bytes) ==
+      Seq("raw bytes, no http envelope"))
+    val recs = ParsingTools.warcRecords(bytes)
+    assert(recs.size == 3)
+    assert(recs(0).targetUri == "https://x.test/")
+  }
+
+  test("warc: resyncs over garbage between records; tolerates truncation") {
+    val bytes = ("some leading junk\n" + record("response", http("a")) +
+      "mid garbage" + record("response", http("b"))).getBytes(UTF_8)
+    assert(ParsingTools.warcToString(bytes) == Seq("a", "b"))
+    // truncated final record: payload clipped at EOF, no crash
+    val full = record("response", http("hello world"))
+    val truncated = full.substring(0, full.length - 10).getBytes(UTF_8)
+    val docs = ParsingTools.warcToString(truncated)
+    assert(docs.size == 1 && docs.head.startsWith("hello"))
+  }
+
+  test("warc: multi-byte UTF-8 bodies round-trip (lengths are bytes)") {
+    val body = "naïve café — 你好"
+    val bytes = record("response", http(body)).getBytes(UTF_8)
+    assert(ParsingTools.warcToString(bytes) == Seq(body))
+  }
+
+  test("warc writer/parser round-trip via the ParseOp surface") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(("https://a/1", "doc one"), ("https://a/2", "doc two"))
+    val warc = ParsingTools.makeWarc(docs)
+    val dir = java.nio.file.Files.createTempDirectory("r10warc")
+    java.nio.file.Files.write(dir.resolve("f.warc"), warc)
+    val files = spark.read.format("binaryFile").load(dir.toString)
+    val out = graft.sources.ParseOp(files,
+      graft.sources.ParseOp.Config(function = "warc", posKey = Some("i")))
+      .orderBy("i").select("text").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("doc one", "doc two"))
+  }
+}
