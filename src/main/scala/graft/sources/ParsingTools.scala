@@ -102,10 +102,26 @@ object ParsingTools {
     payload
   }
 
+  /** Inflate a (possibly multi-member) gzip stream — Common Crawl `.warc.gz`
+    * files gzip each record as its own member; `GZIPInputStream` reads
+    * concatenated members as one stream. Non-gzip bytes pass through. */
+  private def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] = {
+    val gz = bytes.length >= 2 &&
+      (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+    if (!gz) return bytes
+    val in = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(bytes))
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
   /** WARC -> documents: each `response` record's HTTP body as UTF-8 text,
-    * in archive order (the shape crawl-ingest pipelines read). */
+    * in archive order (the shape crawl-ingest pipelines read). Transparent
+    * for `.warc.gz` (gzip magic dispatch, multi-member-safe). */
   def warcToString(bytes: Array[Byte]): Seq[String] =
-    warcRecords(bytes)
+    warcRecords(gunzipIfNeeded(bytes))
       .filter(_.recordType == "response")
       .map(r => new String(httpBody(r.payload), UTF_8))
 

@@ -59,6 +59,20 @@ class Round10jSpec extends SparkSpec {
     assert(ParsingTools.warcToString(bytes) == Seq(body))
   }
 
+  test("warc.gz: per-record gzip members parse transparently (CC shape)") {
+    def gzMember(s: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(s.getBytes(UTF_8)); gz.close()
+      out.toByteArray
+    }
+    // Common Crawl gzips EACH record as its own member, concatenated
+    val bytes = gzMember(record("warcinfo", "software: x\r\n")) ++
+      gzMember(record("response", http("page one"))) ++
+      gzMember(record("response", http("page two")))
+    assert(ParsingTools.warcToString(bytes) == Seq("page one", "page two"))
+  }
+
   test("warc writer/parser round-trip via the ParseOp surface") {
     import org.apache.spark.sql.functions._
     val docs = Seq(("https://a/1", "doc one"), ("https://a/2", "doc two"))
