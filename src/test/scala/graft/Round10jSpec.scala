@@ -73,6 +73,36 @@ class Round10jSpec extends SparkSpec {
     assert(ParsingTools.warcToString(bytes) == Seq("page one", "page two"))
   }
 
+  test("the tokenizer example pipeline runs end to end") {
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/tokenizer_pipeline.yaml")))
+    val out = graft.api.Pipeline.runYaml(yaml, spark)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(out.columns.toSet == Set("doc_id", "n_tokens", "n_oov", "oov_rate"))
+    // the tiny vocab must miss something but not everything
+    val rates = rows.map(_.getAs[Double]("oov_rate"))
+    assert(rates.exists(_ > 0.0) && rates.forall(_ <= 1.0))
+  }
+
+  test("the crawl-curation example pipeline runs end to end") {
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/crawl_curation_pipeline.yaml")))
+    val out = graft.api.Pipeline.runYaml(yaml, spark)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(out.columns.toSet.intersect(Set("url_canon", "domain",
+      "text_dedup", "text_trunc", "n_sentences")).size == 5)
+    rows.foreach { r =>
+      // PSL-table domain, canonical URL, bounded token count all applied
+      assert(r.getAs[String]("domain") == "example.co.uk")
+      val u = r.getAs[String]("url_canon")
+      assert(u.startsWith("https://www.") && !u.contains("utm_") &&
+        !u.contains("#") && !u.contains(":443"))
+      assert(r.getAs[Long]("text_trunc_tokens") <= 65) // 64 + marker
+    }
+  }
+
   test("warc writer/parser round-trip via the ParseOp surface") {
     import org.apache.spark.sql.functions._
     val docs = Seq(("https://a/1", "doc one"), ("https://a/2", "doc two"))
