@@ -3873,7 +3873,7 @@ object Queries {
         graft.ops.CorpusOverlap.jaccardMatrix(
           t(s, dir, "documents"), "source", "text",
           shingleSize = 3, numHashes = 16),
-      Some("""
+      Some(s"""
         WITH sg AS (
           SELECT source AS slice,
                  unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
@@ -3881,13 +3881,17 @@ object Queries {
                               FOR i IN range(0, len(w) - 2)] END) AS g
           FROM (SELECT source, string_split(text, ' ') AS w
                 FROM documents)),
+        coeffs(seed, ca, cb) AS (
+          VALUES ${graft.ops.CorpusOverlap.coefficientSql(16)}),
+        xs AS (
+          SELECT slice,
+                 (('0x' || substr(md5(g), 1, 8))::UBIGINT
+                   % 2038074743)::BIGINT AS x
+          FROM sg),
         pos AS (
-          SELECT slice, s AS seed,
-                 (('0x' || substr(md5(g), 1, 13))::UBIGINT +
-                  s * (('0x' || substr(md5(g), 14, 13))::UBIGINT | 1))
-                   ::BIGINT AS h
-          FROM sg, UNNEST(range(0, 16)) AS t(s)),
-        sig AS (SELECT slice, seed, min(h) AS min_hash
+          SELECT slice, seed, (ca * x + cb) % 2038074743 AS h
+          FROM xs, coeffs),
+        sig AS (SELECT slice, seed::BIGINT AS seed, min(h) AS min_hash
                 FROM pos GROUP BY 1, 2)
         SELECT a.slice AS slice_a, b.slice AS slice_b,
                round(avg(CASE WHEN a.min_hash = b.min_hash

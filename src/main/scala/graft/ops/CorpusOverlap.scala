@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
@@ -15,41 +15,55 @@ import graft.functions.{TextFunctions => TF}
   * SHAPES, overlap estimates shared CONTENT mass — e.g. "is this new crawl
   * slice mostly a re-crawl of an existing one?".
   *
-  * Scale shape: ONE linear pass explodes (gram × seed) rows — narrow,
-  * and the (slice, seed) min() partial-aggregates map-side, so the shuffle
-  * carries at most |slices| × numHashes rows per mapper. No distinct is
-  * needed (min is duplicate-insensitive). The pairwise matrix joins the
-  * SIGNATURE table (slices × seeds rows) with itself — never corpus data.
-  * Hashing is the engine's md5-prefix chain, so the DuckDB oracle replays
-  * estimates bit-exactly. §2.14 engine extension in the dedup family.
+  * Hash family: each gram digests ONCE (md5 prefix -> 31-bit x), then
+  * seed s applies an affine 2-universal transform `(a_s·x + b_s) mod p`
+  * with per-seed pseudo-random coefficients — the same construction
+  * Spark's own MinHashLSH uses. (A Kirsch–Mitzenmacher `h1 + s·h2`
+  * WITHOUT the per-seed multiplier is fine for bloom bit positions but
+  * WRONG for min-wise hashing: large seeds all elect the minimum-h2 gram,
+  * collapsing the signature's independence — caught by the
+  * estimate-vs-exact property spec.)
+  *
+  * Scale shape: one digest per gram, per-DOCUMENT minima fold in-row
+  * (gram arrays never explode); only numHashes (seed, doc-min) rows per
+  * document enter the partial-aggregating shuffle, which reduces to
+  * ≤ slices × numHashes rows per mapper. min is duplicate-insensitive so
+  * no distinct pass is needed. The pairwise matrix joins only the
+  * signature table. The DuckDB oracle replays coefficients as literals,
+  * bit-exactly.
   */
 object CorpusOverlap {
 
-  /** Per-slice MinHash signature table: (slice, seed, min_hash).
-    *
-    * Hash family is Kirsch–Mitzenmacher double hashing (ONE md5 per gram;
-    * seed s's hash = h1 + s·h2) — 16× fewer digests than hashing
-    * (seed, gram) pairs. The per-DOCUMENT minimum folds inside the row
-    * (gram arrays never explode); only numHashes (seed, doc-min) rows per
-    * document enter the partial-aggregating shuffle. */
+  /** Largest prime below 2^31 (Spark MinHashLSH's HASH_PRIME): products
+    * a·x with a, x < p stay under 2^62 — no 64-bit overflow. */
+  val HashPrime: Long = 2038074743L
+
+  /** Deterministic per-seed affine coefficients (a in [1, p), b in [0, p)).
+    * java.util.Random's LCG is JVM-specified, so these are stable. */
+  def coefficients(seed: Int): (Long, Long) = {
+    val r = new java.util.Random(seed.toLong * 0x9E3779B97F4A7C15L + 41L)
+    def next(lo: Long): Long = {
+      val v = r.nextLong() % (HashPrime - lo)
+      lo + math.abs(v)
+    }
+    (next(1L), next(0L))
+  }
+
+  /** Per-slice MinHash signature table: (slice, seed, min_hash). */
   def signatures(df: DataFrame, sliceCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16): DataFrame = {
     require(numHashes >= 1 && numHashes <= 512,
       s"numHashes must be in [1, 512], got $numHashes")
-    // one digest per gram -> (h1, h2) pairs
-    val hs = transform(TF.shingles(col(textCol), shingleSize), g => {
-      val digest = md5(g)
-      struct(
-        conv(substring(digest, 1, 13), 16, 10).cast("bigint").as("h1"),
-        conv(substring(digest, 14, 13), 16, 10).cast("bigint")
-          .bitwiseOR(lit(1L)).as("h2"))
-    })
-    // per-document min per seed, folded in-row
-    val sigs = transform(sequence(lit(0), lit(numHashes - 1)), s =>
-      array_min(transform(col("_hs"), p =>
-        p.getField("h1") + s.cast("bigint") * p.getField("h2"))))
-    df.select(col(sliceCol).as("slice"), hs.as("_hs"))
-      .filter(size(col("_hs")) > 0)
+    // one digest per gram -> x in [0, p)
+    val xs = transform(TF.shingles(col(textCol), shingleSize), g =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast("bigint") % HashPrime)
+    // per-document min per seed, folded in-row under the affine family
+    val sigs = array((0 until numHashes).map { s =>
+      val (a, b) = coefficients(s)
+      array_min(transform(col("_xs"), x => (lit(a) * x + lit(b)) % HashPrime))
+    }: _*)
+    df.select(col(sliceCol).as("slice"), xs.as("_xs"))
+      .filter(size(col("_xs")) > 0)
       .select(col("slice"), posexplode(sigs).as(Seq("seed", "h")))
       .groupBy(col("slice"), col("seed").cast("bigint").as("seed"))
       .agg(min(col("h")).as("min_hash"))
@@ -70,4 +84,12 @@ object CorpusOverlap {
       .agg(round(avg(when(col("_ha") === col("_hb"), 1.0d).otherwise(0.0d)), 6)
         .as("jaccard_est"))
   }
+
+  /** The (seed, a, b) coefficient rows as a SQL VALUES list — the oracle
+    * replay seam (both engines must use identical coefficients). */
+  def coefficientSql(numHashes: Int): String =
+    (0 until numHashes).map { s =>
+      val (a, b) = coefficients(s)
+      s"($s, ${a}, ${b})"
+    }.mkString(", ")
 }

@@ -40,6 +40,19 @@ object CountMin {
     }
   }
 
+  /** Element-wise sum of two same-shape sketches — count-min is a linear
+    * sketch, so per-shard (or per-ingest-batch) sketches merge exactly:
+    * estimate(merge(a, b)) sees the union stream. The incremental-corpus
+    * story: keep one sketch per dump, merge on read. */
+  def merge(a: Sketch, b: Sketch): Sketch = {
+    require(a.depth == b.depth && a.width == b.width,
+      s"sketch shapes differ: ${a.depth}x${a.width} vs ${b.depth}x${b.width}")
+    Sketch(a.depth, a.width,
+      a.counters.zip(b.counters).map { case (ra, rb) =>
+        ra.zip(rb).map { case (x, y) => x + y }
+      })
+  }
+
   /** SQL for hash position `i` of `keyExpr` in [0, width). */
   private def posSql(keyExpr: String, width: Long, i: Int): String = {
     val key = s"CAST(($keyExpr) AS STRING)"

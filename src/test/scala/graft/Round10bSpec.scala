@@ -83,6 +83,15 @@ class Round10bSpec extends SparkSpec {
     assert(out(1).getSeq[String](out(1).fieldIndex("tokens")).isEmpty)
   }
 
+  test("bpe train is partition-order invariant") {
+    val rows = (1 to 120).map(i => Row(i.toLong,
+      s"w${i % 13} abc${i % 5} shared tokens here"))
+    val d = df(schema, rows: _*)
+    val a = BpeTrain.train(d, "text", numMerges = 4)
+    val b = BpeTrain.train(d.repartition(9), "text", numMerges = 4)
+    assert(a == b)
+  }
+
   test("bpe yaml registry: train and encode round-trip") {
     val d = df(schema, Row(1L, "aa aa ab"))
     val trainCfg = graft.api.Conf.fromYaml(

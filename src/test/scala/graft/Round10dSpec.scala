@@ -49,6 +49,34 @@ class Round10dSpec extends SparkSpec {
     est.foreach { case (k, e) => assert(e == sk.estimate(k)) }
   }
 
+  test("cms: shard sketches merge to the union-stream sketch exactly") {
+    val rows = (1 to 200).map(i => Row(s"k${i % 17}", 1L))
+    val d = df(schema, rows: _*)
+    val left = d.filter(col("w") >= 0 && expr("hash(k) % 2 = 0"))
+    val right = d.filter(expr("hash(k) % 2 != 0"))
+    def sk(x: org.apache.spark.sql.DataFrame) =
+      CountMin.build(x, "k", width = 1L << 10, depth = 3)
+    val merged = CountMin.merge(sk(left), sk(right))
+    val whole = sk(d)
+    (0 until 3).foreach { r =>
+      assert(merged.counters(r).toSeq == whole.counters(r).toSeq)
+    }
+    val bad = intercept[IllegalArgumentException] {
+      CountMin.merge(whole, CountMin.build(d, "k", width = 512, depth = 3))
+    }
+    assert(bad.getMessage.contains("shapes differ"))
+  }
+
+  test("cms: build is partition-order invariant") {
+    val rows = (1 to 300).map(i => Row(s"p${i % 29}", 1L))
+    val d = df(schema, rows: _*)
+    val a = CountMin.build(d, "k", width = 1L << 10, depth = 3)
+    val b = CountMin.build(d.repartition(7), "k", width = 1L << 10, depth = 3)
+    (0 until 3).foreach { r =>
+      assert(a.counters(r).toSeq == b.counters(r).toSeq)
+    }
+  }
+
   test("cms yaml registry: self-estimation appends est_count") {
     val d = df(schema, Row("x", 1L), Row("x", 1L), Row("y", 1L))
     val out = graft.api.Registry("cms_estimate")(d, graft.api.Conf.fromYaml(

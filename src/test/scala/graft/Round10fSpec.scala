@@ -60,6 +60,25 @@ class Round10fSpec extends SparkSpec {
     assert(m.getDouble(2) == 1.0)
   }
 
+  test("corpus overlap: estimate tracks exact Jaccard on a half-shared corpus") {
+    // slice a: grams from words 1..60; slice b: words 31..90 -> substantial
+    // but partial overlap; with 64 hashes the Broder estimate should land
+    // near the exact 3-shingle Jaccard (deterministic: fixed data + seeds)
+    val ta = (1 to 60).map(i => s"w$i").mkString(" ")
+    val tb = (31 to 90).map(i => s"w$i").mkString(" ")
+    val d = df(sliceSchema, Row("a", ta), Row("b", tb))
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val exact = {
+      val (sa, sb) = (shingles(ta), shingles(tb))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    val est = CorpusOverlap.jaccardMatrix(d, "slice", "text", 3, 64)
+      .head().getDouble(2)
+    assert(math.abs(est - exact) < 0.2,
+      s"estimate $est too far from exact $exact")
+  }
+
   test("segment + overlap yaml registry") {
     val d = df(schema, Row(1L, "One two. Three four."))
     val seg = graft.api.Registry("segment")(d, graft.api.Conf.fromYaml(
