@@ -4067,6 +4067,60 @@ object Queries {
         SELECT (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS rec_no,
                text
         FROM documents""")
+    ),
+    (
+      // Naive Bayes train + argmax classify, all as aggregations: fit on
+      // the documents' own lang labels, score every document, keep the
+      // argmax label (ties break label-ascending). Scoring = one token
+      // explode + broadcast weight join + per-(doc,label) reduce; the
+      // label fan-out explodes the collected label list (never a cross
+      // join). Oracle replays counts -> smoothed logs -> argmax.
+      "q149_nb_classify",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.ops.NaiveBayes.train(docs, "lang", "text")
+        graft.ops.NaiveBayes.classify(docs, "doc_id", "text", model)
+      },
+      Some("""
+        WITH lab AS (SELECT doc_id, CAST(lang AS VARCHAR) AS lbl, text
+                     FROM documents),
+        tok AS (SELECT lbl, w FROM (
+                  SELECT lbl, unnest(string_split(text, ' ')) AS w FROM lab)
+                WHERE w <> ''),
+        ct AS (SELECT lbl, w, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+        tot AS (SELECT lbl, sum(cnt) AS total FROM ct GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS vs FROM ct),
+        nd AS (SELECT count(*) AS n FROM lab),
+        pri AS (SELECT lbl,
+                       round(ln(count(*)::DOUBLE / (SELECT n FROM nd)), 9)
+                         AS prior
+                FROM lab GROUP BY 1),
+        dflt AS (SELECT lbl,
+                        round(ln(1.0 / (total + 1.0 * (SELECT vs FROM v))), 9)
+                          AS dv
+                 FROM tot),
+        w8 AS (SELECT lbl, w,
+                      round(ln((cnt + 1.0) /
+                        (total + 1.0 * (SELECT vs FROM v))), 9) AS wt
+               FROM ct JOIN tot USING (lbl)),
+        dtok AS (SELECT doc_id, w FROM (
+                   SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents)
+                 WHERE w <> ''),
+        ntk AS (SELECT doc_id, count(*)::BIGINT AS ntok
+                FROM dtok GROUP BY 1),
+        m AS (SELECT doc_id, lbl, sum(wt) AS msum, count(*)::BIGINT AS mcnt
+              FROM dtok JOIN w8 USING (w) GROUP BY 1, 2),
+        sc AS (SELECT ntk.doc_id, p.lbl AS label,
+                      round(p.prior + coalesce(m.msum, 0) +
+                        (ntk.ntok - coalesce(m.mcnt, 0)) * d.dv, 6) AS s
+               FROM ntk CROSS JOIN pri p
+               JOIN dflt d ON d.lbl = p.lbl
+               LEFT JOIN m ON m.doc_id = ntk.doc_id AND m.lbl = p.lbl)
+        SELECT doc_id, label AS pred_label, s AS nb_score
+        FROM sc
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY s DESC, label) = 1""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

@@ -343,6 +343,11 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(VocabCoverage.topOovTokens(df, textCol, vocab.df, k))
   def imageHeaders(binaryCol: String): Frame =
     next(graft.multimodal.ImageHeader.parse(df, binaryCol))
+  def nbTrain(labelCol: String, textCol: String,
+      alpha: Double = 1.0): Frame =
+    next(NaiveBayes.train(df, labelCol, textCol, alpha))
+  def nbClassify(idCol: String, textCol: String, model: Frame): Frame =
+    next(NaiveBayes.classify(df, idCol, textCol, model.df))
   def piiReport(textCol: String): Frame =
     next(Hygiene.piiReport(df, textCol))
   def blocklistWords(textCol: String, words: Seq[String],

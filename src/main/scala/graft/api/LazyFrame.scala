@@ -425,6 +425,10 @@ final case class LazyFrame(
       "embedding_key" -> embeddingKey, "mode" -> mode)
   def imageHeaders(binaryKey: String): LazyFrame =
     append("image_header", "binary_key" -> binaryKey)
+  def nbClassify(idKey: String, textKey: String,
+      labelKey: String): LazyFrame =
+    append("nb_classify", "id_key" -> idKey, "text_key" -> textKey,
+      "label_key" -> labelKey)
   def vocabCoverage(idKey: String, textKey: String,
       vocabWords: Seq[String]): LazyFrame =
     append("vocab_coverage", "id_key" -> idKey, "text_key" -> textKey,

@@ -692,6 +692,28 @@ object Registry {
       BpeTrain.encodeGreedy(df, text, merges, out)
     else BpeTrain.encode(df, text, merges, out)
   }
+  // Naive Bayes classifier training (§2.14 scoring): fit a (label, token,
+  // weight) model table on THIS frame's labeled rows.
+  register("nb_train") { (df, c, _) =>
+    NaiveBayes.train(df, c("label_key").str, c("text_key").str,
+      c.dblOr("alpha", 1.0))
+  }
+  // Naive Bayes scoring (§2.14 scoring): model from a dataset ref
+  // (`model: name`) or trained on THIS frame (`label_key`). Default
+  // output = per-doc argmax (pred_label, nb_score); `scores: true` emits
+  // the full (id, label, nb_score) grid.
+  register("nb_classify") { (df, c, ctx) =>
+    val model = c.get("model") match {
+      case Some(name) => ctx.datasets.getOrElse(name.str,
+        throw new IllegalArgumentException(
+          s"unknown nb model dataset '${name.str}'"))
+      case None => NaiveBayes.train(df, c("label_key").str,
+        c("text_key").str, c.dblOr("alpha", 1.0))
+    }
+    if (c.boolOr("scores", false))
+      NaiveBayes.scores(df, c("id_key").str, c("text_key").str, model)
+    else NaiveBayes.classify(df, c("id_key").str, c("text_key").str, model)
+  }
   // Real image-header metadata (§2.14 multimodal): width/height/format
   // parsed from raw PNG/GIF/BMP/JPEG header bytes — no codecs.
   register("image_header") { (df, c, _) =>

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classification, trained AND applied as
+  * pure Spark aggregations — the train-your-own-classifier loop of corpus
+  * curation (fastText-style quality filters and language identifiers are
+  * trained exactly this way at corpus scale; NB is the aggregation-only
+  * member of that family: McCallum & Nigam 1998). Complements
+  * [[LinearScore]] (which APPLIES an externally-trained binary model):
+  * here the model is FIT on labeled slices — e.g. "label wiki vs crawl,
+  * train, score everything" — and the learned table is itself the
+  * external-model seam (same (token, weight) convention, plus label).
+  *
+  * Model = one DataFrame of (label, token, weight) rows with two reserved
+  * pseudo-tokens per label: `__prior__` (log class prior) and
+  * `__default__` (the Laplace-smoothed log-probability of an UNSEEN
+  * token, applied per missing token at scoring time). One table keeps the
+  * YAML/dataset surface trivial (save as parquet, load anywhere).
+  *
+  * Scale shape: training is three keyed aggregations over the exploded
+  * token stream ((label, token) counts, label totals, global vocab size)
+  * — vocab-sized results, map-side partials everywhere. Scoring explodes
+  * tokens once, broadcast-joins the (vocab × labels)-sized weight table,
+  * reduces to one row per (doc, label), and fans the per-doc row out to
+  * the label list via an explode of the COLLECTED label set (O(labels)
+  * driver state — never a cross join, same convention as the centroid
+  * matrix). Argmax is a per-doc max_by struct — no window over a global
+  * order. Everything is count+log arithmetic, so the DuckDB oracle
+  * replays scores to 6 decimals.
+  */
+object NaiveBayes {
+
+  val PriorToken = "__prior__"
+  val DefaultToken = "__default__"
+
+  private def tokens(df: DataFrame, cols: Seq[String],
+      textCol: String): DataFrame =
+    df.select(cols.map(col) :+
+      explode(filter(split(col(textCol), " "), w => length(w) > 0))
+        .as("token"): _*)
+
+  /** Fit the model table from labeled rows. `alpha` is the Laplace
+    * smoothing mass. Labels stringify (type-stable across surfaces). */
+  def train(df: DataFrame, labelCol: String, textCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val labeled = df.withColumn("_lbl", col(labelCol).cast("string"))
+    val tok = tokens(labeled, Seq("_lbl"), textCol)
+    val counts = tok.groupBy("_lbl", "token").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("_lbl").agg(sum(col("cnt")).as("total"))
+    val vocab = counts.select("token").distinct().count()
+    val nDocs = labeled.count()
+    val priors = labeled.groupBy("_lbl").agg(count(lit(1)).as("n"))
+      .select(col("_lbl").as("label"), lit(PriorToken).as("token"),
+        round(log(col("n").cast("double") / nDocs), 9).as("weight"))
+    val defaults = totals
+      .select(col("_lbl").as("label"), lit(DefaultToken).as("token"),
+        round(log(lit(alpha) / (col("total") + lit(alpha * vocab))), 9)
+          .as("weight"))
+    val conds = counts.join(totals, "_lbl")
+      .select(col("_lbl").as("label"), col("token"),
+        round(log((col("cnt") + alpha) / (col("total") + lit(alpha * vocab))), 9)
+          .as("weight"))
+    conds.unionByName(defaults).unionByName(priors)
+  }
+
+  /** Per-(doc, label) log-likelihood scores: `prior + Σ matched token
+    * weights + (unseen token count) × default`. Output: one row per
+    * (id, label) with `nb_score`. */
+  def scores(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val weights = model.filter(!col("token").isin(PriorToken, DefaultToken))
+    val specials = model.filter(col("token").isin(PriorToken, DefaultToken))
+      .groupBy("label")
+      .agg(max(when(col("token") === PriorToken, col("weight"))).as("_prior"),
+        max(when(col("token") === DefaultToken, col("weight"))).as("_default"))
+    val labelVals = specials.select("label").collect()
+      .map(_.getString(0)).toSeq.sorted
+    require(labelVals.nonEmpty, "model has no __prior__/__default__ rows")
+    val tok = tokens(df, Seq(idCol), textCol)
+    val nTok = tok.groupBy(col(idCol)).agg(count(lit(1)).as("_n_tok"))
+    val matched = tok
+      .join(broadcast(weights), Seq("token"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("weight")).as("_msum"), count(lit(1)).as("_mcnt"))
+    nTok.withColumn("label", explode(typedlit(labelVals)))
+      .join(matched, Seq(idCol, "label"), "left")
+      .join(broadcast(specials), Seq("label"))
+      .select(col(idCol), col("label"),
+        round(col("_prior") + coalesce(col("_msum"), lit(0.0d)) +
+          (col("_n_tok") - coalesce(col("_mcnt"), lit(0L))) * col("_default"),
+          6).as("nb_score"))
+  }
+
+  /** Argmax classification: appends `pred_label` + its `nb_score` per id
+    * (ties break label-ascending — deterministic). */
+  def classify(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame =
+    scores(df, idCol, textCol, model)
+      .groupBy(col(idCol))
+      // min_by over (-score, label): highest score wins, ties break to the
+      // smallest label — deterministic, no window over a global order
+      .agg(min_by(struct(col("label"), col("nb_score")),
+        struct((col("nb_score") * -1).as("s"), col("label"))).as("_b"))
+      .select(col(idCol), col("_b.label").as("pred_label"),
+        col("_b.nb_score").as("nb_score"))
+}
