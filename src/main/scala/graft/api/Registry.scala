@@ -692,6 +692,19 @@ object Registry {
       BpeTrain.encodeGreedy(df, text, merges, out)
     else BpeTrain.encode(df, text, merges, out)
   }
+  // Winnowing fingerprints (§2.14 dedup): MOSS-style rightmost-min window
+  // selection; `mode: shared` emits the cross-document report.
+  register("winnow") { (df, c, _) =>
+    val (id, text) = (c("id_key").str, c("text_key").str)
+    val (k, w) = (c.intOr("k", 5), c.intOr("w", 4))
+    c.strOr("mode", "fingerprints") match {
+      case "fingerprints" => graft.dedup.Winnow.fingerprints(df, id, text, k, w)
+      case "shared" => graft.dedup.Winnow.sharedFingerprints(df, id, text, k, w,
+        c.intOr("min_docs", 2).toLong)
+      case other => throw new IllegalArgumentException(
+        s"winnow mode must be fingerprints|shared, got '$other'")
+    }
+  }
   // Naive Bayes classifier training (§2.14 scoring): fit a (label, token,
   // weight) model table on THIS frame's labeled rows.
   register("nb_train") { (df, c, _) =>

@@ -1,0 +1,86 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+  * the MOSS algorithm): hash every word k-gram, then from each sliding
+  * window of `w` consecutive hashes keep the minimum (rightmost on ties).
+  * The selected (position, hash) set is the document's fingerprint, with
+  * the paper's guarantee: any match of at least `w + k - 1` tokens
+  * between two documents shares at least one fingerprint — so matching
+  * fingerprints are a COMPLETE candidate generator for long shared
+  * passages at a fraction of [[SpanDedup]]'s every-window cost (density
+  * 2/(w+1) of all windows in expectation).
+  *
+  * Scale shape: fingerprint selection is a pure per-row expression over
+  * the k-gram hash array (slice + array_min per window, O(tokens × w)
+  * inside the row, no UDF); the shared-fingerprint report is one keyed
+  * agg on the 52-bit hash. The DuckDB oracle replays selection exactly
+  * (same md5-prefix hashes, same rightmost-min rule).
+  */
+object Winnow {
+
+  /** 52-bit k-gram hash (md5 prefix — the engine's portable hash). */
+  private def gramHash(g: Column): Column =
+    conv(substring(md5(g), 1, 13), 16, 10).cast("bigint")
+
+  /** Rightmost-min window selection over an ALREADY-MATERIALIZED hash
+    * array column. The hash array must be a bound column, not an inline
+    * expression: a lambda re-evaluates any expression it closes over PER
+    * ELEMENT, which would turn the one-digest-per-gram pass into
+    * O(grams²) digests (observed 60× on the oracle corpus). */
+  private def selectFromHashes(hs: Column, w: Int): Column = {
+    val m = size(hs)
+    val wEff = least(lit(w), m)
+    val nWin = m - wEff + 1
+    val sel = transform(sequence(lit(1), nWin), j => {
+      val win = slice(hs, j, wEff)
+      val mn = array_min(win)
+      // rightmost occurrence of the min: first position in the REVERSE
+      val posInWin = wEff - array_position(reverse(win), mn).cast("int")
+      struct((j - 1 + posInWin).cast("bigint").as("pos"),
+        mn.as("hash"))
+    })
+    when(m >= 1, array_distinct(sel))
+      .otherwise(array().cast("array<struct<pos:bigint,hash:bigint>>"))
+  }
+
+  /** Fingerprints of `text` (array<struct<pos, hash>>) for tests/ad-hoc
+    * use. Prefer [[fingerprints]], which stages the hash array so the
+    * selection lambda never recomputes it. */
+  def fingerprintsCol(text: Column, k: Int, w: Int): Column = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    selectFromHashes(transform(TF.shingles(text, k), g => gramHash(g)), w)
+  }
+
+  /** One row per selected fingerprint: (id, pos, fp_hash). The k-gram
+    * hash array materializes through the explode boundary (generators
+    * evaluate their child once per row), so digests stay one-per-gram. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val hashed = df.select(col(idCol),
+      explode(array(transform(TF.shingles(col(textCol), k),
+        g => gramHash(g)))).as("_hs"))
+    hashed
+      .select(col(idCol), explode(selectFromHashes(col("_hs"), w)).as("_fp"))
+      .select(col(idCol), col("_fp.pos").as("pos"),
+        col("_fp.hash").as("fp_hash"))
+  }
+
+  /** Cross-document shared-fingerprint report: fingerprints selected by
+    * at least `minDocs` distinct documents — the long-shared-passage
+    * candidate list (complete for matches ≥ w + k - 1 tokens). */
+  def sharedFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minDocs: Long = 2L): DataFrame =
+    fingerprints(df, idCol, textCol, k, w)
+      .groupBy("fp_hash")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Winnow
+
+/** Round-10: winnowing fingerprints. */
+class Round10lSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  private def fps(text: String, k: Int = 5, w: Int = 4): Seq[(Long, Long)] =
+    Winnow.fingerprints(df(schema, Row(1L, text)), "id", "text", k, w)
+      .orderBy("pos").collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("fp_hash"))).toSeq
+
+  test("winnow: selection density is ~2/(w+1), never empty") {
+    val words = (1 to 400).map(i => s"t${i * 31 % 997}").mkString(" ")
+    val sel = fps(words, k = 5, w = 4)
+    val nGrams = 400 - 4
+    assert(sel.nonEmpty)
+    // expected density 2/(w+1) = 0.4; allow a generous band
+    val density = sel.size.toDouble / nGrams
+    assert(density > 0.2 && density < 0.6, s"density $density")
+    // positions are valid gram indices, strictly increasing (distinct set)
+    assert(sel.map(_._1) == sel.map(_._1).sorted)
+    assert(sel.forall(p => p._1 >= 0 && p._1 < nGrams))
+  }
+
+  test("winnow guarantee: any shared passage >= w+k-1 tokens shares a fingerprint") {
+    val (k, w) = (5, 4)
+    // shared passage of exactly w+k-1 = 8 tokens inside different contexts
+    val passage = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val a = s"alpha beta gamma $passage delta epsilon zeta eta theta"
+    val b = s"one two three four five $passage six seven eight nine"
+    val d = df(schema, Row(1L, a), Row(2L, b))
+    val byDoc = Winnow.fingerprints(d, "id", "text", k, w)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("fp_hash")).toSet }
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+      "documents sharing an 8-token passage must share a fingerprint")
+    // and sharedFingerprints surfaces it
+    val shared = Winnow.sharedFingerprints(d, "id", "text", k, w).count()
+    assert(shared >= 1)
+  }
+
+  test("winnow: disjoint documents share nothing") {
+    val a = (1 to 60).map(i => s"a$i").mkString(" ")
+    val b = (1 to 60).map(i => s"b$i").mkString(" ")
+    val d = df(schema, Row(1L, a), Row(2L, b))
+    assert(Winnow.sharedFingerprints(d, "id", "text").count() == 0)
+  }
+
+  test("winnow: short documents (fewer grams than the window) still fingerprint") {
+    // 6 words -> 2 grams at k=5, window w=4 clamps to 2
+    val sel = fps("a b c d e f", k = 5, w = 4)
+    assert(sel.size == 1) // one window over both grams -> one selection
+    // single-gram doc (shorter than k): the whole-text fallback gram
+    assert(fps("x y", k = 5, w = 4).size == 1)
+    // null text: no rows
+    assert(Winnow.fingerprints(df(schema, Row(1L, null)), "id", "text")
+      .count() == 0)
+  }
+
+  test("winnow: rightmost tie-break (equal hashes pick the later position)") {
+    // identical gram repeated -> equal hashes everywhere; each window
+    // selects its RIGHTMOST element
+    val words = Seq.fill(10)("same word again and more").mkString(" ")
+    // build from one repeated k-gram: 'x x x x x x x x' with k=1
+    val sel = fps("x x x x x x", k = 1, w = 3)
+    // windows [0..2],[1..3],[2..4],[3..5] -> rightmost of each: 2,3,4,5
+    assert(sel.map(_._1) == Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("winnow yaml registry: both modes") {
+    val d = df(schema,
+      Row(1L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      Row(2L, (1 to 30).map(i => s"w$i").mkString(" ")))
+    val f = graft.api.Registry("winnow")(d, graft.api.Conf.fromYaml(
+      "type: winnow\nid_key: id\ntext_key: text"), null)
+    assert(f.columns.toSeq == Seq("id", "pos", "fp_hash"))
+    val s = graft.api.Registry("winnow")(d, graft.api.Conf.fromYaml(
+      "type: winnow\nid_key: id\ntext_key: text\nmode: shared"), null)
+    assert(s.collect().forall(_.getAs[Long]("n_docs") == 2L))
+  }
+}
