@@ -4205,6 +4205,50 @@ object Queries {
         SELECT fp_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
                count(*)::BIGINT AS n_occurrences
         FROM fp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""")
+    ),
+    (
+      // MOSS match report: candidate document pairs ranked by shared
+      // winnowing fingerprints, with the first co-occurring positions for
+      // localization. Uncapped here for oracle exactness; the posting-head
+      // guard is spec-covered (a boilerplate hash yields <= head^2 pairs).
+      "q152_winnow_pairs",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.Winnow.matchPairs(
+          t(s, dir, "documents"), "doc_id", "text", k = 5, w = 4,
+          maxPostingHead = None),
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                      ELSE [array_to_string(w[i+1:i+5], ' ')
+                            FOR i IN range(0, len(w) - 4)] END AS grams
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents)),
+        h AS (
+          SELECT doc_id,
+                 list_transform(grams, x ->
+                   (('0x' || substr(md5(x), 1, 13))::UBIGINT)::BIGINT) AS hs
+          FROM g),
+        sel AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(hs) - least(4, len(hs)) + 2),
+                   j -> struct_pack(
+                     pos := j - 1 + least(4, len(hs)) -
+                       list_position(
+                         list_reverse(hs[j : j + least(4, len(hs)) - 1]),
+                         list_min(hs[j : j + least(4, len(hs)) - 1])),
+                     hash := list_min(hs[j : j + least(4, len(hs)) - 1])))
+                   AS fps
+          FROM h WHERE len(hs) >= 1),
+        fp AS (SELECT DISTINCT doc_id, u.fp.pos AS pos, u.fp.hash AS fp_hash
+               FROM sel, UNNEST(fps) AS u(fp))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(DISTINCT a.fp_hash)::BIGINT AS n_shared,
+               min(struct_pack(pa := a.pos, pb := b.pos)).pa AS pos_a,
+               min(struct_pack(pa := a.pos, pb := b.pos)).pb AS pos_b
+        FROM fp a JOIN fp b USING (fp_hash)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

@@ -343,6 +343,15 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(VocabCoverage.topOovTokens(df, textCol, vocab.df, k))
   def imageHeaders(binaryCol: String): Frame =
     next(graft.multimodal.ImageHeader.parse(df, binaryCol))
+  def winnowFingerprints(idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): Frame =
+    next(graft.dedup.Winnow.fingerprints(df, idCol, textCol, k, w))
+  def winnowShared(idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): Frame =
+    next(graft.dedup.Winnow.sharedFingerprints(df, idCol, textCol, k, w))
+  def winnowPairs(idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): Frame =
+    next(graft.dedup.Winnow.matchPairs(df, idCol, textCol, k, w))
   def nbTrain(labelCol: String, textCol: String,
       alpha: Double = 1.0): Frame =
     next(NaiveBayes.train(df, labelCol, textCol, alpha))

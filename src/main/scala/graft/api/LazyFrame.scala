@@ -425,6 +425,10 @@ final case class LazyFrame(
       "embedding_key" -> embeddingKey, "mode" -> mode)
   def imageHeaders(binaryKey: String): LazyFrame =
     append("image_header", "binary_key" -> binaryKey)
+  def winnow(idKey: String, textKey: String, mode: String = "fingerprints",
+      k: Int = 5, w: Int = 4): LazyFrame =
+    append("winnow", "id_key" -> idKey, "text_key" -> textKey,
+      "mode" -> mode, "k" -> k, "w" -> w)
   def nbClassify(idKey: String, textKey: String,
       labelKey: String): LazyFrame =
     append("nb_classify", "id_key" -> idKey, "text_key" -> textKey,

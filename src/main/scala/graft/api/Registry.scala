@@ -701,8 +701,10 @@ object Registry {
       case "fingerprints" => graft.dedup.Winnow.fingerprints(df, id, text, k, w)
       case "shared" => graft.dedup.Winnow.sharedFingerprints(df, id, text, k, w,
         c.intOr("min_docs", 2).toLong)
+      case "pairs" => graft.dedup.Winnow.matchPairs(df, id, text, k, w,
+        c.get("max_posting_head").map(_.int).orElse(Some(64)))
       case other => throw new IllegalArgumentException(
-        s"winnow mode must be fingerprints|shared, got '$other'")
+        s"winnow mode must be fingerprints|shared|pairs, got '$other'")
     }
   }
   // Naive Bayes classifier training (§2.14 scoring): fit a (label, token,

@@ -83,4 +83,29 @@ object Winnow {
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
+
+  /** Candidate document pairs ranked by shared-fingerprint count — the
+    * MOSS match report: (id_a, id_b, n_shared, pos_a, pos_b) with the
+    * first (minimum-position) co-occurrence for localization. The
+    * fingerprint self-join takes the dedup family's posting-head guard
+    * (id-ordered head per hash, so a boilerplate fingerprint shared by
+    * thousands of docs yields at most head² pairs, never n²). */
+  def matchPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4,
+      maxPostingHead: Option[Int] = Some(64)): DataFrame = {
+    val fps = graft.core.PersistScope.register(
+      BucketGuard.head(fingerprints(df, idCol, textCol, k, w),
+        Seq("fp_hash"), idCol, maxPostingHead).persist())
+    val a = fps.select(col(idCol).as("id_a"), col("pos").as("_pa"),
+      col("fp_hash"))
+    val b = fps.select(col(idCol).as("id_b"), col("pos").as("_pb"),
+      col("fp_hash"))
+    a.join(b, Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct(col("fp_hash")).as("n_shared"),
+        min(struct(col("_pa"), col("_pb"))).as("_first"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("_first._pa").as("pos_a"), col("_first._pb").as("pos_b"))
+  }
 }

@@ -75,6 +75,30 @@ class Round10lSpec extends SparkSpec {
     assert(sel.map(_._1) == Seq(2L, 3L, 4L, 5L))
   }
 
+  test("winnow matchPairs: localizes the shared passage; head caps postings") {
+    val passage = (1 to 12).map(i => s"sh$i").mkString(" ")
+    val d = df(schema,
+      Row(1L, s"alpha beta gamma delta $passage tail one two"),
+      Row(2L, s"x1 x2 x3 $passage y1 y2 y3"),
+      Row(3L, "entirely different content with no overlap at all here"))
+    val pairs = Winnow.matchPairs(d, "id", "text", k = 5, w = 4,
+      maxPostingHead = None).collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    assert(p.getAs[Long]("n_shared") >= 1)
+    assert(p.getAs[Long]("pos_a") >= 0 && p.getAs[Long]("pos_b") >= 0)
+    // a fingerprint shared by ALL docs: posting head=1 kills its pairs
+    val same = (1 to 30).map(i => s"c$i").mkString(" ")
+    val many = df(schema, (1L to 6L).map(i => Row(i, same)): _*)
+    val capped = Winnow.matchPairs(many, "id", "text", k = 5, w = 4,
+      maxPostingHead = Some(1))
+    assert(capped.count() == 0) // each posting keeps one doc -> no pairs
+    val uncapped = Winnow.matchPairs(many, "id", "text", k = 5, w = 4,
+      maxPostingHead = None)
+    assert(uncapped.count() == 15) // all C(6,2) pairs
+  }
+
   test("winnow yaml registry: both modes") {
     val d = df(schema,
       Row(1L, (1 to 30).map(i => s"w$i").mkString(" ")),
