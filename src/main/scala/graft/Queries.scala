@@ -4249,6 +4249,64 @@ object Queries {
         FROM fp a JOIN fp b USING (fp_hash)
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2""")
+    ),
+    (
+      // Checksum-gated credit-card redaction: a Luhn-VALID card (plain on
+      // even docs, 4-4-4-4 grouped on odd) is planted next to a Luhn-
+      // INVALID 16-digit decoy — only the real card redacts, the decoy
+      // (an order id, say) survives. The oracle replays candidate
+      // extraction + the Luhn fold + the literal-replace fold.
+      "q153_redact_cc",
+      (s: SparkSession, dir: String) => {
+        val planted = concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" card 4539578763621486 ok"))
+            .otherwise(lit(" card 4539-5787-6362-1486 ok")),
+          lit(" order 1234567890123456 ref"))
+        t(s, dir, "documents").select(col("doc_id"),
+          graft.functions.TextFunctions.redactCreditCards(planted)
+            .as("text_cc"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 2 = 0
+                              THEN ' card 4539578763621486 ok'
+                              ELSE ' card 4539-5787-6362-1486 ok' END ||
+                 ' order 1234567890123456 ref' AS t
+          FROM documents),
+        cand AS (
+          SELECT doc_id, t,
+                 list_distinct(
+                   regexp_extract_all(t, '\b\d{13,19}\b') ||
+                   regexp_extract_all(t,
+                     '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS cands
+          FROM p),
+        v AS (
+          SELECT doc_id, t,
+                 list_filter(cands, x ->
+                   len(regexp_replace(x, '[^0-9]', '', 'g'))
+                     BETWEEN 13 AND 19 AND
+                   list_sum(list_transform(
+                     range(1, len(regexp_replace(x, '[^0-9]', '', 'g')) + 1),
+                     i -> CASE WHEN (i - 1) % 2 = 1
+                          THEN CASE WHEN 2 * substr(reverse(
+                                 regexp_replace(x, '[^0-9]', '', 'g')),
+                                 i, 1)::INT > 9
+                               THEN 2 * substr(reverse(
+                                 regexp_replace(x, '[^0-9]', '', 'g')),
+                                 i, 1)::INT - 9
+                               ELSE 2 * substr(reverse(
+                                 regexp_replace(x, '[^0-9]', '', 'g')),
+                                 i, 1)::INT END
+                          ELSE substr(reverse(
+                                 regexp_replace(x, '[^0-9]', '', 'g')),
+                                 i, 1)::INT END)) % 10 = 0) AS valid
+          FROM cand)
+        SELECT doc_id,
+               CASE WHEN len(valid) = 0 THEN t
+                    ELSE list_reduce(list_prepend(t, valid),
+                      (acc, c) -> replace(acc, c, '<CC>')) END AS text_cc
+        FROM v""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

@@ -576,6 +576,14 @@ object Registry {
     df.withColumn(c.strOr("output_key", key),
       graft.functions.TextFunctions.redactPii(org.apache.spark.sql.functions.col(key)))
   }
+  // Checksum-gated card redaction (§2.14 curation): only LUHN-VALID
+  // candidates redact — a 16-digit order id stops reading as a card.
+  register("redact_cc") { (df, c, _) =>
+    val key = c("text_key").str
+    df.withColumn(c.strOr("output_key", key),
+      graft.functions.TextFunctions.redactCreditCards(
+        org.apache.spark.sql.functions.col(key), c.strOr("token", "<CC>")))
+  }
   register("dedup_lines") { (df, c, _) =>
     val f =
       if (c.boolOr("replace_text", true)) graft.dedup.LineDedup.apply _

@@ -207,6 +207,40 @@ object TextFunctions {
     }
   }
 
+  /** Luhn checksum validity (ISO/IEC 7812) of the DIGITS of `num`
+    * (separators stripped), plus the 13–19 length gate of real card
+    * numbers. Pure fold expression over the reversed digit string — no
+    * UDF — so candidate redaction can CHECK instead of pattern-matching
+    * blindly: a 16-digit order id stops reading as a credit card. */
+  def luhnValid(num: Column): Column = {
+    val digits = reverse(regexp_replace(num, "[^0-9]", ""))
+    val n = length(digits)
+    val total = aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = digits.substr(i, lit(1)).cast("int")
+      acc + when((i - 1) % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    n >= 13 && n <= 19 && total % 10 === 0
+  }
+
+  /** Credit-card candidate patterns: contiguous 13–19 digit runs and the
+    * grouped 4-4-4-4 form (space or dash separated). Word-boundaried,
+    * RE2-safe. */
+  val CardCandidateRes: Seq[String] = Seq(
+    "\\b\\d{13,19}\\b",
+    "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b")
+
+  /** Replace every LUHN-VALID card-number candidate with `token` —
+    * checksum-gated redaction (candidates failing Luhn pass through
+    * untouched). Candidates extract per pattern, dedupe, validate, then a
+    * fold applies literal replacements — all pure expressions. */
+  def redactCreditCards(c: Column, token: String = "<CC>"): Column = {
+    val cands = array_distinct(concat(
+      CardCandidateRes.map(re => regexp_extract_all(c, lit(re), lit(0))): _*))
+    val valid = filter(cands, x => luhnValid(x))
+    aggregate(valid, c, (acc, cand) => replace(acc, cand, lit(token)))
+  }
+
   /** C4-style word blocklist test: true iff any whitespace token of the
     * lowercased text is in `words` (the public C4 recipe removes pages
     * containing listed words; the list itself is caller-supplied policy

@@ -68,6 +68,36 @@ class Round10kSpec extends SparkSpec {
     assert(pred.getString(1) == "a")
   }
 
+  test("luhn: checksum validity and length gates") {
+    import graft.functions.{TextFunctions => TF}
+    val s2 = StructType(Seq(StructField("s", StringType)))
+    def valid(s: String): Boolean =
+      df(s2, Row(s)).select(TF.luhnValid(col("s"))).head().getBoolean(0)
+    assert(valid("4539578763621486"))          // valid visa test number
+    assert(valid("4539-5787-6362-1486"))       // separators stripped
+    assert(!valid("1234567890123456"))         // checksum fails
+    assert(!valid("4111111111"))               // too short (10 digits)
+    assert(!valid("45395787636214864539578763621486")) // too long
+  }
+
+  test("redact_cc: only Luhn-valid candidates redact; idempotent") {
+    import graft.functions.{TextFunctions => TF}
+    val s2 = StructType(Seq(StructField("t", StringType)))
+    def redact(t: String): String =
+      df(s2, Row(t)).select(TF.redactCreditCards(col("t"))).head().getString(0)
+    assert(redact("pay 4539578763621486 order 1234567890123456") ==
+      "pay <CC> order 1234567890123456")
+    assert(redact("grouped 4539-5787-6362-1486 end") == "grouped <CC> end")
+    assert(redact("no cards here 12345") == "no cards here 12345")
+    // idempotent: the token contains no digits
+    assert(redact(redact("x 4539578763621486 y")) == "x <CC> y")
+    // registry surface
+    val out = graft.api.Registry("redact_cc")(
+      df(s2, Row("n 4539578763621486")), graft.api.Conf.fromYaml(
+        "type: redact_cc\ntext_key: t\ntoken: \"[CARD]\""), null)
+    assert(out.head().getString(0) == "n [CARD]")
+  }
+
   test("nb yaml registry: self-train and external model dataset") {
     val selfCfg = graft.api.Conf.fromYaml(
       "type: nb_classify\nid_key: id\ntext_key: text\nlabel_key: lbl")
