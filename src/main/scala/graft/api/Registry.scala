@@ -733,9 +733,15 @@ object Registry {
       case None => NaiveBayes.train(df, c("label_key").str,
         c("text_key").str, c.dblOr("alpha", 1.0))
     }
+    val id = c("id_key").str
     if (c.boolOr("scores", false))
-      NaiveBayes.scores(df, c("id_key").str, c("text_key").str, model)
-    else NaiveBayes.classify(df, c("id_key").str, c("text_key").str, model)
+      NaiveBayes.scores(df, id, c("text_key").str, model)
+    else {
+      val pred = NaiveBayes.classify(df, id, c("text_key").str, model)
+      // append by default: downstream pipeline steps keep their columns
+      // (rows with no tokens get no prediction -> null pred_label)
+      if (c.boolOr("append", true)) df.join(pred, Seq(id), "left") else pred
+    }
   }
   // Real image-header metadata (§2.14 multimodal): width/height/format
   // parsed from raw PNG/GIF/BMP/JPEG header bytes — no codecs.

@@ -103,6 +103,19 @@ class Round10jSpec extends SparkSpec {
     }
   }
 
+  test("the classifier-filter example pipeline runs end to end") {
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/classifier_filter_pipeline.yaml")))
+    val out = graft.api.Pipeline.runYaml(yaml, spark)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(out.columns.contains("text") && out.columns.contains("nb_score"))
+    // everything kept is predicted trusted, and the trusted slice itself
+    // classifies correctly (training-set separation)
+    assert(rows.forall(_.getAs[String]("pred_label") == "trusted"))
+    assert(rows.exists(_.getAs[String]("source") == "src0"))
+  }
+
   test("warc writer/parser round-trip via the ParseOp surface") {
     import org.apache.spark.sql.functions._
     val docs = Seq(("https://a/1", "doc one"), ("https://a/2", "doc two"))

@@ -103,7 +103,9 @@ class Round10kSpec extends SparkSpec {
       "type: nb_classify\nid_key: id\ntext_key: text\nlabel_key: lbl")
     val ctx = graft.api.OpContext(spark, graft.llm.MockLlmClient(), Map.empty)
     val self = graft.api.Registry("nb_classify")(trainingSet, selfCfg, ctx)
-    assert(self.columns.toSeq == Seq("id", "pred_label", "nb_score"))
+    // append semantics: input columns survive, prediction columns add on
+    assert(self.columns.toSeq ==
+      Seq("id", "lbl", "text", "pred_label", "nb_score"))
     val model = graft.api.Registry("nb_train")(trainingSet,
       graft.api.Conf.fromYaml(
         "type: nb_train\nlabel_key: lbl\ntext_key: text"), ctx)
@@ -112,8 +114,8 @@ class Round10kSpec extends SparkSpec {
     val viaRef = graft.api.Registry("nb_classify")(trainingSet,
       graft.api.Conf.fromYaml(
         "type: nb_classify\nid_key: id\ntext_key: text\nmodel: m"), ctx2)
-    val acc = viaRef.join(trainingSet, "id")
-      .filter(col("pred_label") === col("lbl")).count()
+    // append semantics keep lbl alongside pred_label
+    val acc = viaRef.filter(col("pred_label") === col("lbl")).count()
     assert(acc == trainingSet.count()) // training-set accuracy is perfect here
   }
 }
