@@ -4118,11 +4118,16 @@ object Queries {
                  WHERE w <> ''),
         ntk AS (SELECT doc_id, count(*)::BIGINT AS ntok
                 FROM dtok GROUP BY 1),
-        m AS (SELECT doc_id, lbl, sum(wt) AS msum, count(*)::BIGINT AS mcnt
+        m AS (SELECT doc_id, lbl,
+                     sum(CAST(round(wt * 1e9) AS BIGINT)) AS msum9,
+                     count(*)::BIGINT AS mcnt
               FROM dtok JOIN w8 USING (w) GROUP BY 1, 2),
         sc AS (SELECT ntk.doc_id, p.lbl AS label,
-                      round(p.prior + coalesce(m.msum, 0) +
-                        (ntk.ntok - coalesce(m.mcnt, 0)) * d.dv, 6) AS s
+                      round((CAST(round(p.prior * 1e9) AS BIGINT) +
+                        coalesce(m.msum9, 0) +
+                        (ntk.ntok - coalesce(m.mcnt, 0)) *
+                          CAST(round(d.dv * 1e9) AS BIGINT))::DOUBLE / 1e9,
+                        6) AS s
                FROM ntk CROSS JOIN pri p
                JOIN dflt d ON d.lbl = p.lbl
                LEFT JOIN m ON m.doc_id = ntk.doc_id AND m.lbl = p.lbl)

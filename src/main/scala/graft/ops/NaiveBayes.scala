@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Multinomial Naive Bayes text classification, trained AND applied as
@@ -68,14 +68,24 @@ object NaiveBayes {
 
   /** Per-(doc, label) log-likelihood scores: `prior + Σ matched token
     * weights + (unseen token count) × default`. Output: one row per
-    * (id, label) with `nb_score`. */
+    * (id, label) with `nb_score`.
+    *
+    * The token-weight sum runs over NANO-SCALED INTEGERS (weights are
+    * trained rounded to 9 decimals, so ×1e9 is exact): integer addition
+    * is order-independent, which makes scores bit-identical across
+    * partitionings, re-runs, and engines — a floating sum's last-ulp
+    * noise can flip the final rounding on some row of a large corpus. */
   def scores(df: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame = {
+    def nano(c: Column): Column = round(c * 1e9d).cast("bigint")
     val weights = model.filter(!col("token").isin(PriorToken, DefaultToken))
+      .select(col("label"), col("token"), nano(col("weight")).as("_w9"))
     val specials = model.filter(col("token").isin(PriorToken, DefaultToken))
       .groupBy("label")
-      .agg(max(when(col("token") === PriorToken, col("weight"))).as("_prior"),
-        max(when(col("token") === DefaultToken, col("weight"))).as("_default"))
+      .agg(max(when(col("token") === PriorToken, nano(col("weight"))))
+        .as("_prior9"),
+        max(when(col("token") === DefaultToken, nano(col("weight"))))
+          .as("_default9"))
     val labelVals = specials.select("label").collect()
       .map(_.getString(0)).toSeq.sorted
     require(labelVals.nonEmpty, "model has no __prior__/__default__ rows")
@@ -84,14 +94,14 @@ object NaiveBayes {
     val matched = tok
       .join(broadcast(weights), Seq("token"))
       .groupBy(col(idCol), col("label"))
-      .agg(sum(col("weight")).as("_msum"), count(lit(1)).as("_mcnt"))
+      .agg(sum(col("_w9")).as("_msum9"), count(lit(1)).as("_mcnt"))
     nTok.withColumn("label", explode(typedlit(labelVals)))
       .join(matched, Seq(idCol, "label"), "left")
       .join(broadcast(specials), Seq("label"))
       .select(col(idCol), col("label"),
-        round(col("_prior") + coalesce(col("_msum"), lit(0.0d)) +
-          (col("_n_tok") - coalesce(col("_mcnt"), lit(0L))) * col("_default"),
-          6).as("nb_score"))
+        round((col("_prior9") + coalesce(col("_msum9"), lit(0L)) +
+          (col("_n_tok") - coalesce(col("_mcnt"), lit(0L))) * col("_default9"))
+          .cast("double") / 1e9d, 6).as("nb_score"))
   }
 
   /** Argmax classification: appends `pred_label` + its `nb_score` per id
