@@ -78,8 +78,15 @@ object Winnow {
     * candidate list (complete for matches ≥ w + k - 1 tokens). */
   def sharedFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, minDocs: Long = 2L): DataFrame =
-    fingerprints(df, idCol, textCol, k, w)
-      .groupBy("fp_hash")
+    sharedFromFingerprints(fingerprints(df, idCol, textCol, k, w), idCol,
+      minDocs)
+
+  /** [[sharedFingerprints]] over an ALREADY-COMPUTED fingerprint table —
+    * the deployment shape: fingerprints are extracted once per corpus
+    * (or stored per ingest) and every report reads them. */
+  def sharedFromFingerprints(fps: DataFrame, idCol: String,
+      minDocs: Long = 2L): DataFrame =
+    fps.groupBy("fp_hash")
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
@@ -92,10 +99,25 @@ object Winnow {
     * thousands of docs yields at most head² pairs, never n²). */
   def matchPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4,
+      maxPostingHead: Option[Int] = Some(64)): DataFrame =
+    pairsFromFingerprints(fingerprints(df, idCol, textCol, k, w), idCol,
+      maxPostingHead)
+
+  /** [[matchPairs]] over an already-computed fingerprint table. */
+  def pairsFromFingerprints(fingerprintTable: DataFrame, idCol: String,
       maxPostingHead: Option[Int] = Some(64)): DataFrame = {
-    val fps = graft.core.PersistScope.register(
-      BucketGuard.head(fingerprints(df, idCol, textCol, k, w),
-        Seq("fp_hash"), idCol, maxPostingHead).persist())
+    val guarded = BucketGuard.head(fingerprintTable,
+      Seq("fp_hash"), idCol, maxPostingHead)
+    // The self-join consumes the table twice, so an UNCACHED input is
+    // persisted (PersistScope-released). An ALREADY-CACHED uncapped input
+    // is used as-is: Spark's unpersist removes every cache entry
+    // OCCURRING IN the unpersisted plan, so persisting a derivation of a
+    // long-lived cached table and flushing it would evict the parent too.
+    val alreadyCached = fingerprintTable.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE
+    val fps =
+      if (alreadyCached && maxPostingHead.isEmpty) guarded
+      else graft.core.PersistScope.register(guarded.persist())
     val a = fps.select(col(idCol).as("id_a"), col("pos").as("_pa"),
       col("fp_hash"))
     val b = fps.select(col(idCol).as("id_b"), col("pos").as("_pb"),
