@@ -343,6 +343,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(VocabCoverage.topOovTokens(df, textCol, vocab.df, k))
   def imageHeaders(binaryCol: String): Frame =
     next(graft.multimodal.ImageHeader.parse(df, binaryCol))
+  def groundingScore(sourceCol: String, responseCol: String,
+      n: Int = 2): Frame =
+    next(Grounding(df, sourceCol, responseCol, n))
   def winnowFingerprints(idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): Frame =
     next(graft.dedup.Winnow.fingerprints(df, idCol, textCol, k, w))

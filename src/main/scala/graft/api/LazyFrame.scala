@@ -425,6 +425,10 @@ final case class LazyFrame(
       "embedding_key" -> embeddingKey, "mode" -> mode)
   def imageHeaders(binaryKey: String): LazyFrame =
     append("image_header", "binary_key" -> binaryKey)
+  def groundingScore(sourceKey: String, responseKey: String,
+      n: Int = 2): LazyFrame =
+    append("grounding", "source_key" -> sourceKey,
+      "response_key" -> responseKey, "n" -> n)
   def winnow(idKey: String, textKey: String, mode: String = "fingerprints",
       k: Int = 5, w: Int = 4): LazyFrame =
     append("winnow", "id_key" -> idKey, "text_key" -> textKey,

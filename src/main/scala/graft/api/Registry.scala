@@ -700,6 +700,12 @@ object Registry {
       BpeTrain.encodeGreedy(df, text, merges, out)
     else BpeTrain.encode(df, text, merges, out)
   }
+  // Response-grounding score (§2.14 SFT QA): distinct-n-gram precision
+  // of a response column against its source column.
+  register("grounding") { (df, c, _) =>
+    Grounding(df, c("source_key").str, c("response_key").str,
+      c.intOr("n", 2), c.strOr("output_key", "grounding_score"))
+  }
   // Winnowing fingerprints (§2.14 dedup): MOSS-style rightmost-min window
   // selection; `mode: shared` emits the cross-document report.
   register("winnow") { (df, c, _) =>

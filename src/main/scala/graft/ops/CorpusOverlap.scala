@@ -72,8 +72,14 @@ object CorpusOverlap {
   /** Pairwise Jaccard-estimate matrix over slices: (slice_a, slice_b,
     * jaccard_est) for slice_a < slice_b. */
   def jaccardMatrix(df: DataFrame, sliceCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sig = signatures(df, sliceCol, textCol, shingleSize, numHashes)
+      shingleSize: Int = 3, numHashes: Int = 16): DataFrame =
+    matrixFromSignatures(
+      signatures(df, sliceCol, textCol, shingleSize, numHashes))
+
+  /** [[jaccardMatrix]] over an ALREADY-COMPUTED signature table — the
+    * deployment shape: signatures are a per-corpus artifact (store per
+    * dump), every pairwise report reads them. */
+  def matrixFromSignatures(sig: DataFrame): DataFrame = {
     val a = sig.select(col("slice").as("slice_a"), col("seed"),
       col("min_hash").as("_ha"))
     val b = sig.select(col("slice").as("slice_b"), col("seed"),

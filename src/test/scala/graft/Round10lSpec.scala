@@ -99,6 +99,30 @@ class Round10lSpec extends SparkSpec {
     assert(uncapped.count() == 15) // all C(6,2) pairs
   }
 
+  test("grounding: extractiveness precision with hand-checked values") {
+    import graft.ops.Grounding
+    val s2 = StructType(Seq(StructField("src", StringType),
+      StructField("resp", StringType)))
+    def score(src: String, resp: String): Option[Double] = {
+      val r = df(s2, Row(src, resp))
+        .select(Grounding.scoreCol(col("src"), col("resp"), 2)).head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    // fully extractive response -> 1.0
+    assert(score("a b c d e", "b c d") == Some(1.0))
+    // fully novel -> 0.0
+    assert(score("a b c d e", "x y z") == Some(0.0))
+    // "a b" and "b x": one of two distinct bigrams grounded -> 0.5
+    assert(score("a b c", "a b x") == Some(0.5))
+    // null/empty response -> null
+    assert(score("a b c", null).isEmpty)
+    // registry surface appends the column
+    val out = graft.api.Registry("grounding")(
+      df(s2, Row("a b c", "a b")), graft.api.Conf.fromYaml(
+        "type: grounding\nsource_key: src\nresponse_key: resp"), null)
+    assert(out.head().getAs[Double]("grounding_score") == 1.0)
+  }
+
   test("winnow yaml registry: both modes") {
     val d = df(schema,
       Row(1L, (1 to 30).map(i => s"w$i").mkString(" ")),
