@@ -143,6 +143,15 @@ object ChatOps {
       .withColumn(validOut, col(reasonOut).isNull)
   }
 
+  /** Shift every (s, e) span by `offset` characters — how loss-mask spans
+    * survive downstream concatenation: after [[PackOp]] places a rendered
+    * sample at character `offset` inside its packed sequence, the sample's
+    * spans move with it (closed-form, no re-render). */
+  def offsetSpans(spans: Column, offset: Column): Column =
+    transform(spans, sp => struct(
+      (sp.getField("s") + offset).cast("bigint").as("s"),
+      (sp.getField("e") + offset).cast("bigint").as("e")))
+
   /** [[render]] under [[ChatTemplate.Default]] (`<|role|>\ncontent\n`). */
   def renderWithSpans(df: DataFrame, messagesCol: String,
       maskRole: String = "assistant", textOut: String = "text",

@@ -91,6 +91,19 @@ object CorpusOverlap {
         .as("jaccard_est"))
   }
 
+  /** Merge signature tables from SEPARATE dumps of the same corpus —
+    * element-wise minima per (slice, seed). EXACT, not approximate: min is
+    * associative, so `merge(signatures(A), signatures(B)) ==
+    * signatures(A ∪ B)` bit-for-bit (property-tested). The incremental
+    * shape: store one signature table per ingest, merge on read — history
+    * is never re-shingled. */
+  def mergeSignatures(tables: DataFrame*): DataFrame = {
+    require(tables.nonEmpty, "mergeSignatures needs at least one table")
+    tables.reduce(_.unionByName(_))
+      .groupBy("slice", "seed")
+      .agg(min(col("min_hash")).as("min_hash"))
+  }
+
   /** The (seed, a, b) coefficient rows as a SQL VALUES list — the oracle
     * replay seam (both engines must use identical coefficients). */
   def coefficientSql(numHashes: Int): String =

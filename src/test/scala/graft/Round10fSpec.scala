@@ -79,6 +79,40 @@ class Round10fSpec extends SparkSpec {
       s"estimate $est too far from exact $exact")
   }
 
+  test("corpus overlap: per-dump signature merge equals whole-corpus signatures") {
+    val mk = (i: Int) => (1 to 40).map(j => s"w${(i * 37 + j * 13) % 211}")
+      .mkString(" ")
+    val dumpA = df(sliceSchema, Row("a", mk(1)), Row("b", mk(2)))
+    val dumpB = df(sliceSchema, Row("a", mk(3)), Row("b", mk(4)), Row("c", mk(5)))
+    val whole = dumpA.unionByName(dumpB)
+    val merged = CorpusOverlap.mergeSignatures(
+      CorpusOverlap.signatures(dumpA, "slice", "text", 3, 16),
+      CorpusOverlap.signatures(dumpB, "slice", "text", 3, 16))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = CorpusOverlap.signatures(whole, "slice", "text", 3, 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == direct) // min is associative: merge is EXACT
+  }
+
+  test("chat spans survive packing via offsetSpans") {
+    import graft.ops.ChatOps
+    val msgsSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("msgs", ArrayType(StructType(Seq(
+        StructField("role", StringType),
+        StructField("content", StringType)))))))
+    val d = df(msgsSchema,
+      Row(1L, Seq(Row("user", "hi"), Row("assistant", "yes"))))
+    val rendered = ChatOps.renderWithSpans(d, "msgs")
+    // simulate the sample landing at character 100 of a packed sequence
+    val shifted = rendered.select(col("text"),
+      ChatOps.offsetSpans(col("mask_spans"), lit(100L)).as("sp")).head()
+    val text = shifted.getString(0)
+    val sp = shifted.getSeq[Row](1).head
+    val (s, e) = (sp.getLong(0), sp.getLong(1))
+    assert(text.substring(s.toInt - 100, e.toInt - 100) == "yes")
+  }
+
   test("segment + overlap yaml registry") {
     val d = df(schema, Row(1L, "One two. Three four."))
     val seg = graft.api.Registry("segment")(d, graft.api.Conf.fromYaml(
