@@ -4374,6 +4374,44 @@ object Queries {
                     ELSE round(len(list_intersect(resp_g, src_g))::DOUBLE /
                            len(resp_g), 6) END AS grounding_score
         FROM g""")
+    ),
+    (
+      // Mixture planning: per-domain sampling rates + epoch counts for a
+      // target composition over a 200k-token budget — upsampled domains
+      // get multiple epochs, downsampled ones a fraction; the solve is
+      // arithmetic over the domain-count-sized stats table.
+      "q155_mixture_plan",
+      (s: SparkSession, dir: String) =>
+        graft.ops.MixtureSolver.planFromCorpus(
+          t(s, dir, "documents"), "source", "size(split(text, ' '))",
+          Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.1),
+          totalBudget = 200000L),
+      Some("""
+        WITH stats AS (
+          SELECT source AS domain,
+                 sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+          FROM documents GROUP BY 1),
+        w(domain, target_share) AS (
+          VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1)),
+        j AS (
+          SELECT s.domain, s.n_tokens,
+                 round(coalesce(w.target_share, 0), 9) AS target_share,
+                 CAST(round(200000.0 * coalesce(w.target_share, 0))
+                   AS BIGINT) AS want_tokens
+          FROM stats s LEFT JOIN w USING (domain)),
+        e AS (
+          SELECT *,
+                 CASE WHEN want_tokens = 0 OR n_tokens = 0 THEN 0
+                      ELSE CAST(floor((want_tokens + n_tokens - 1)::DOUBLE
+                        / n_tokens) AS BIGINT) END AS epochs
+          FROM j)
+        SELECT domain, n_tokens, target_share, want_tokens, epochs,
+               CASE WHEN epochs = 0 THEN 0.0
+                    ELSE round(want_tokens::DOUBLE / (n_tokens * epochs), 6)
+               END AS per_epoch_fraction,
+               CASE WHEN n_tokens = 0 THEN want_tokens
+                    ELSE 0 END::BIGINT AS shortfall
+        FROM e""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

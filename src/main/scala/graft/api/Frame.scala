@@ -343,6 +343,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(VocabCoverage.topOovTokens(df, textCol, vocab.df, k))
   def imageHeaders(binaryCol: String): Frame =
     next(graft.multimodal.ImageHeader.parse(df, binaryCol))
+  def mixturePlan(domainCol: String, tokenExpr: String,
+      weights: Map[String, Double], totalBudget: Long): Frame =
+    next(MixtureSolver.planFromCorpus(df, domainCol, tokenExpr, weights,
+      totalBudget))
   def groundingScore(sourceCol: String, responseCol: String,
       n: Int = 2): Frame =
     next(Grounding(df, sourceCol, responseCol, n))

@@ -425,6 +425,12 @@ final case class LazyFrame(
       "embedding_key" -> embeddingKey, "mode" -> mode)
   def imageHeaders(binaryKey: String): LazyFrame =
     append("image_header", "binary_key" -> binaryKey)
+  def mixturePlan(domainKey: String, tokenExpr: String,
+      weights: Seq[(String, Double)], totalBudget: Long): LazyFrame =
+    append("mixture_plan", "domain_key" -> domainKey,
+      "token_expr" -> tokenExpr,
+      "weights" -> jmap(weights.map { case (k, v) => k -> (v: Any) }: _*),
+      "total_budget" -> totalBudget)
   def groundingScore(sourceKey: String, responseKey: String,
       n: Int = 2): LazyFrame =
     append("grounding", "source_key" -> sourceKey,

@@ -700,6 +700,13 @@ object Registry {
       BpeTrain.encodeGreedy(df, text, merges, out)
     else BpeTrain.encode(df, text, merges, out)
   }
+  // Mixture planning (§2.14 curation): per-domain sampling rates +
+  // epoch counts for a target composition over a token budget.
+  register("mixture_plan") { (df, c, _) =>
+    val weights = c("weights").asMap.map { case (k, v) => k -> v.dbl }.toMap
+    MixtureSolver.planFromCorpus(df, c("domain_key").str,
+      c("token_expr").str, weights, c("total_budget").long)
+  }
   // Response-grounding score (§2.14 SFT QA): distinct-n-gram precision
   // of a response column against its source column.
   register("grounding") { (df, c, _) =>

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mixture planning — turn "I want this domain composition over N
+  * training tokens" into per-domain sampling rates and epoch counts
+  * (the arithmetic behind Pile/DoReMi-style mixture tables): a domain
+  * with more tokens than its share DOWNSAMPLES (fraction < 1, one
+  * epoch); a domain with fewer UPSAMPLES (multiple epochs, the last
+  * partial). The planner output feeds [[SampleOp]]'s weighted/epoch
+  * samplers; keeping the solve explicit makes the mixture table a
+  * reviewable artifact instead of arithmetic buried in a sampler.
+  *
+  * Output per domain: n_tokens (have), target_share (normalized),
+  * want_tokens, epochs (ceil(want/have)), per_epoch_fraction
+  * (want/(have·epochs) — uniform per-epoch rate whose total equals
+  * want), and shortfall (want when the domain has NO tokens — the
+  * impossible ask surfaced loudly, never silently dropped).
+  *
+  * Scale shape: one (domain)-keyed token aggregation; the solve is
+  * arithmetic over the domain-count-sized stats table. Integer epoch
+  * math `(want + have - 1) div have`, so the DuckDB oracle replays
+  * exactly.
+  */
+object MixtureSolver {
+
+  /** Plan from a raw corpus: aggregates `tokenExpr` per domain first. */
+  def planFromCorpus(df: DataFrame, domainCol: String, tokenExpr: String,
+      weights: Map[String, Double], totalBudget: Long): DataFrame =
+    plan(df.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(sum(expr(tokenExpr)).cast("bigint").as("n_tokens")),
+      weights, totalBudget)
+
+  /** Plan from an existing (domain, n_tokens) stats table. Domains absent
+    * from `weights` get share 0 (explicitly excluded, still listed). */
+  def plan(stats: DataFrame, weights: Map[String, Double],
+      totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be > 0, got $totalBudget")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0,
+      "weights must be non-negative and sum to > 0")
+    val spark = stats.sparkSession
+    import spark.implicits._
+    val wSum = weights.values.sum
+    val wTable = broadcast(
+      weights.toSeq.map { case (d, w) => (d, w / wSum) }
+        .toDF("domain", "target_share"))
+    stats
+      .join(wTable, Seq("domain"), "left")
+      .withColumn("target_share",
+        round(coalesce(col("target_share"), lit(0.0d)), 9))
+      .withColumn("want_tokens",
+        round(lit(totalBudget.toDouble) * col("target_share")).cast("bigint"))
+      .withColumn("epochs",
+        when(col("want_tokens") === 0, lit(0L))
+          .when(col("n_tokens") === 0, lit(0L))
+          // integer ceil-div (exact below 2^52, far past any token count)
+          .otherwise(floor((col("want_tokens") + col("n_tokens") - 1)
+            .cast("double") / col("n_tokens")).cast("bigint")))
+      .withColumn("per_epoch_fraction",
+        when(col("epochs") === 0, lit(0.0d))
+          .otherwise(round(col("want_tokens").cast("double") /
+            (col("n_tokens") * col("epochs")), 6)))
+      .withColumn("shortfall",
+        when(col("n_tokens") === 0, col("want_tokens")).otherwise(lit(0L)))
+  }
+}

@@ -99,6 +99,47 @@ class Round10lSpec extends SparkSpec {
     assert(uncapped.count() == 15) // all C(6,2) pairs
   }
 
+  test("mixture plan: downsample, upsample with epochs, shortfall, exclusion") {
+    import graft.ops.MixtureSolver
+    import spark.implicits._
+    val stats = Seq(
+      ("big", 1000L),   // plenty: downsampled
+      ("tiny", 50L),    // scarce: upsampled over epochs
+      ("empty", 0L),    // impossible ask: shortfall
+      ("extra", 500L))  // no weight: excluded but listed
+      .toDF("domain", "n_tokens")
+    val plan = MixtureSolver.plan(stats,
+      Map("big" -> 0.5, "tiny" -> 0.3, "empty" -> 0.2), totalBudget = 1000L)
+      .collect().map(r => r.getAs[String]("domain") -> r).toMap
+    val big = plan("big")
+    assert(big.getAs[Long]("want_tokens") == 500L &&
+      big.getAs[Long]("epochs") == 1L &&
+      big.getAs[Double]("per_epoch_fraction") == 0.5)
+    val tiny = plan("tiny")
+    assert(tiny.getAs[Long]("want_tokens") == 300L &&
+      tiny.getAs[Long]("epochs") == 6L &&
+      tiny.getAs[Double]("per_epoch_fraction") == 1.0) // 300/(50*6)
+    val empty = plan("empty")
+    assert(empty.getAs[Long]("epochs") == 0L &&
+      empty.getAs[Long]("shortfall") == 200L)
+    val extra = plan("extra")
+    assert(extra.getAs[Double]("target_share") == 0.0 &&
+      extra.getAs[Long]("want_tokens") == 0L &&
+      extra.getAs[Long]("epochs") == 0L)
+    // weights normalize: 2x the same weights give the same plan
+    val doubled = MixtureSolver.plan(stats,
+      Map("big" -> 1.0, "tiny" -> 0.6, "empty" -> 0.4), 1000L)
+      .collect().map(r => r.getAs[String]("domain") ->
+        r.getAs[Long]("want_tokens")).toMap
+    assert(doubled("big") == 500L && doubled("tiny") == 300L)
+    // registry surface
+    val docs = Seq(("a", "one two three"), ("b", "four five")).toDF("d", "text")
+    val viaYaml = graft.api.Registry("mixture_plan")(docs, graft.api.Conf.fromYaml(
+      "type: mixture_plan\ndomain_key: d\ntoken_expr: \"size(split(text, ' '))\"\n" +
+        "weights: {a: 0.5, b: 0.5}\ntotal_budget: 10"), null)
+    assert(viaYaml.count() == 2)
+  }
+
   test("grounding: extractiveness precision with hand-checked values") {
     import graft.ops.Grounding
     val s2 = StructType(Seq(StructField("src", StringType),
