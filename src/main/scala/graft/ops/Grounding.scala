@@ -16,6 +16,12 @@ import graft.functions.{TextFunctions => TF}
   *
   * Pure per-row array expressions (shingle, distinct, intersect) — no
   * UDF, no shuffle, fused into the scan; DuckDB replays exactly.
+  *
+  * Edge semantics: a response SHORTER than `n` tokens falls back to one
+  * whole-text gram (the engine's shingle convention), which only matches
+  * a source gram of identical shape — so sub-n responses score 0 unless
+  * the source contains them verbatim as a short text. Use n=1 for
+  * token-level grounding of very short responses.
   */
 object Grounding {
 
