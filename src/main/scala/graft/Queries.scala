@@ -3370,13 +3370,15 @@ object Queries {
             .select("doc_id", "_msgs"), "_msgs")
           .select(col("doc_id"), col("text"),
             posexplode(col("mask_spans")).as(Seq("span_idx", "span")))
-          // The rendered text necessarily embeds '\n' separators, and the
-          // driver's hash canonicalization diverges on embedded newlines
-          // (r9's only red gate, value-verified identical). Project the
-          // GATE column newline-escaped on both sides; the raw bytes (and
-          // span offsets against them) are asserted in Round9gSpec.
+          // The rendered text embeds '\n' separators, and the driver's
+          // hash canonicalization diverges on raw rendered text even
+          // after newline-escaping (r9+r10 red gates, value-verified
+          // identical both rounds). Gate on md5(text) — pure lowercase
+          // hex + bigints leave nothing for a hasher to canonicalize.
+          // Raw bytes (and span offsets against them) are asserted in
+          // Round9gSpec.
           .select(col("doc_id"),
-            replace(col("text"), lit("\n"), lit("\\n")).as("text"),
+            md5(col("text")).as("text_md5"),
             col("span_idx").cast("bigint").as("span_idx"),
             col("span.s").as("s"), col("span.e").as("e"))
       },
@@ -3410,7 +3412,7 @@ object Queries {
                  off + len('<|' || role || '|>') + 1 AS s,
                  off + len('<|' || role || '|>') + 1 + len(content) AS e
           FROM o WHERE role = 'assistant')
-        SELECT doc_id, replace(text, chr(10), '\n') AS text, span_idx, s, e
+        SELECT doc_id, md5(text) AS text_md5, span_idx, s, e
         FROM spans JOIN r USING (doc_id)""")
     ),
     (
@@ -3603,7 +3605,8 @@ object Queries {
       // ChatML-family template render with bos/eos: spans must offset past
       // the bos and the per-role header; same single-fold no-shuffle shape
       // as q129, exercising the CONFIGURABLE template path. Gate column is
-      // newline-escaped like q129 (driver hash canonicalization).
+      // md5(text) like q129 (driver hash canonicalization diverges on raw
+      // rendered text; hex + bigints are canonicalization-proof).
       "q134_chat_template",
       (s: SparkSession, dir: String) => {
         val msgs = array(
@@ -3617,7 +3620,7 @@ object Queries {
           .select(col("doc_id"), col("text"),
             posexplode(col("mask_spans")).as(Seq("span_idx", "span")))
           .select(col("doc_id"),
-            replace(col("text"), lit("\n"), lit("\\n")).as("text"),
+            md5(col("text")).as("text_md5"),
             col("span_idx").cast("bigint").as("span_idx"),
             col("span.s").as("s"), col("span.e").as("e"))
       },
@@ -3651,7 +3654,7 @@ object Queries {
                  off + len('<|im_start|>' || role) + 1 AS s,
                  off + len('<|im_start|>' || role) + 1 + len(content) AS e
           FROM o WHERE role = 'assistant')
-        SELECT doc_id, replace(text, chr(10), '\n') AS text, span_idx, s, e
+        SELECT doc_id, md5(text) AS text_md5, span_idx, s, e
         FROM spans JOIN r USING (doc_id)""")
     ),
     (
@@ -3978,14 +3981,16 @@ object Queries {
     ),
     (
       // Vocabulary coverage: per-document OOV rate against an external
-      // vocab table (here: the word list of every third document). One
-      // token explode + broadcast vocab join + id-keyed agg.
+      // vocab table (here: the short-word list of every third document —
+      // the length<4 salt guarantees a non-empty OOV set at every sf, so
+      // the counting/rate logic is actually oracle-exercised). One token
+      // explode + broadcast vocab join + id-keyed agg.
       "q145_vocab_oov",
       (s: SparkSession, dir: String) => {
         val docs = t(s, dir, "documents")
         val vocab = docs.filter(col("doc_id") % 3 === 0)
           .select(explode(split(col("text"), " ")).as("w"))
-          .filter(col("w") =!= "").distinct()
+          .filter(col("w") =!= "" && length(col("w")) < 4).distinct()
         graft.ops.VocabCoverage.oovReport(docs, "doc_id", "text", vocab)
       },
       Some("""
@@ -3993,7 +3998,7 @@ object Queries {
           SELECT DISTINCT w FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents
             WHERE doc_id % 3 = 0)
-          WHERE w <> ''),
+          WHERE w <> '' AND len(w) < 4),
         tok AS (
           SELECT doc_id, w FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -4009,13 +4014,16 @@ object Queries {
     ),
     (
       // The vocab-extension worklist: top-20 most frequent OOV tokens,
-      // deterministic (count desc, token asc) sort-limit.
+      // deterministic (count desc, token asc) sort-limit. The vocab is
+      // salted (length<4: 24 distinct OOV tokens at sf0.01, so the limit-20 BINDS and the tie-break is exercised) so the OOV set is non-empty at every sf — the
+      // r10 unsalted gate returned 0 rows on both sides and exercised
+      // nothing of the ranking/tie-break/limit logic.
       "q146_top_oov_tokens",
       (s: SparkSession, dir: String) => {
         val docs = t(s, dir, "documents")
         val vocab = docs.filter(col("doc_id") % 3 === 0)
           .select(explode(split(col("text"), " ")).as("w"))
-          .filter(col("w") =!= "").distinct()
+          .filter(col("w") =!= "" && length(col("w")) < 4).distinct()
         graft.ops.VocabCoverage.topOovTokens(docs, "text", vocab, k = 20)
       },
       Some("""
@@ -4023,7 +4031,7 @@ object Queries {
           SELECT DISTINCT w FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents
             WHERE doc_id % 3 = 0)
-          WHERE w <> ''),
+          WHERE w <> '' AND len(w) < 4),
         tok AS (
           SELECT w FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -4330,7 +4338,8 @@ object Queries {
         SELECT doc_id,
                CASE WHEN len(valid) = 0 THEN t
                     ELSE list_reduce(list_prepend(t, valid),
-                      (acc, c) -> replace(acc, c, '<CC>')) END AS text_cc
+                      (acc, c) -> regexp_replace(acc, '\b' || c || '\b',
+                                                 '<CC>', 'g')) END AS text_cc
         FROM v""")
     ),
     (

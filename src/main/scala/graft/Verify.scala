@@ -25,9 +25,18 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Vacuous-gate lint: a query whose engine output is empty will
+        // "pass" against an equally-empty oracle while exercising nothing
+        // (r10's q146). Warn loudly so a zero-row fixture gets salted.
+        val n = spark.read.parquet(s"$outDir/$name").count()
+        if (n == 0L)
+          System.err.println(
+            s"[verify] WARNING: $name produced 0 rows — if the oracle is " +
+              "also empty this gate is vacuous; salt the fixture")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally graft.core.PersistScope.unpersistAll() // op-internal caches

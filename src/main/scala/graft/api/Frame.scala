@@ -276,8 +276,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(UrlOps.hostStats(df, urlCol))
   def bpePairCounts(textCol: String): Frame =
     next(BpeTrain.pairCounts(df, textCol))
-  def distinctNgrams(sliceCol: String, textCol: String, n: Int = 3): Frame =
-    next(Diversity.distinctN(df, sliceCol, textCol, n))
+  def distinctNgrams(sliceCol: String, textCol: String, n: Int = 3,
+      approx: Boolean = false, rsd: Double = 0.02): Frame =
+    next(Diversity.distinctN(df, sliceCol, textCol, n, approx, rsd))
   def sq8Encode(embCol: String, outCol: String = "codes"): Frame = {
     val (mn, mx) = graft.ann.VectorQuantize.trainSq(df, embCol)
     next(graft.ann.VectorQuantize.sqEncode(df, embCol, mn, mx, outCol = outCol))

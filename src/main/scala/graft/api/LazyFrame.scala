@@ -461,9 +461,10 @@ final case class LazyFrame(
     append("url_parse", "url_key" -> urlKey, "stats" -> stats)
   def bpePairCounts(textKey: String): LazyFrame =
     append("bpe_pairs", "text_key" -> textKey)
-  def distinctNgrams(sliceKey: String, textKey: String, n: Int = 3): LazyFrame =
+  def distinctNgrams(sliceKey: String, textKey: String, n: Int = 3,
+      approx: Boolean = false, rsd: Double = 0.02): LazyFrame =
     append("distinct_ngrams", "slice_key" -> sliceKey, "text_key" -> textKey,
-      "n" -> n)
+      "n" -> n, "approx" -> approx, "rsd" -> rsd)
   def sq8Encode(embeddingKey: String, levels: Int = 256,
       outputKey: String = "codes"): LazyFrame =
     append("sq8_encode", "embedding_key" -> embeddingKey,

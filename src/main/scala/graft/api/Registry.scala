@@ -685,18 +685,31 @@ object Registry {
   // (`merges: [[l, r], ...]`) or trained on THIS frame (`num_merges`).
   // `greedy: true` uses the broadcast rank-map encoder (the 32k-merge
   // path); default is the pure expression chain for bounded lists.
+  // TRAINED merge lists auto-switch to greedy past 256 merges: greedy
+  // (lowest-rank-present) and sequential (rank-order) encoding are
+  // provably equivalent for training-ordered lists, where each pair's
+  // symbols are built only from lower-rank merges. An arbitrary INLINE
+  // list carries no such guarantee (a later merge can create an
+  // occurrence of an earlier-rank pair, which greedy re-applies but the
+  // expression chain never does), so inline lists never auto-switch —
+  // past 256 merges they must opt in with an explicit `greedy: true`,
+  // asserting training order.
   register("bpe_encode") { (df, c, _) =>
     val text = c("text_key").str
-    val merges = c.get("merges") match {
-      case Some(ms) => ms.asList.map { m =>
+    val (merges, trained) = c.get("merges") match {
+      case Some(ms) => (ms.asList.map { m =>
         val pair = m.strList
         require(pair.size == 2, s"each merge must be [left, right], got $pair")
         BpeTrain.Merge(pair(0), pair(1), 0L)
-      }
-      case None => BpeTrain.train(df, text, c("num_merges").int)
+      }, false)
+      case None => (BpeTrain.train(df, text, c("num_merges").int), true)
     }
+    require(trained || merges.size <= 256 || c.get("greedy").isDefined,
+      s"inline merge list of ${merges.size} entries (> 256) needs an " +
+        "explicit `greedy: true|false` — greedy encoding is only " +
+        "equivalent to sequential for training-ordered merge lists")
     val out = c.strOr("output_key", "tokens")
-    if (c.boolOr("greedy", merges.size > 256))
+    if (c.boolOr("greedy", trained && merges.size > 256))
       BpeTrain.encodeGreedy(df, text, merges, out)
     else BpeTrain.encode(df, text, merges, out)
   }
@@ -863,9 +876,11 @@ object Registry {
     }
   }
   // distinct-n diversity per corpus slice (§2.14 corpus statistics).
+  // `approx: true` (+ optional `rsd`) estimates the distinct-gram count
+  // with HLL++ instead of exact two-phase dedup — same knob as datacard.
   register("distinct_ngrams") { (df, c, _) =>
     Diversity.distinctN(df, c("slice_key").str, c("text_key").str,
-      c.intOr("n", 3))
+      c.intOr("n", 3), c.boolOr("approx", false), c.dblOr("rsd", 0.02))
   }
   // SQ8 scalar quantization of an embedding column (§2.14 similarity
   // search): trains per-dim min/max on THIS frame, appends integer codes.

@@ -109,14 +109,17 @@ object Winnow {
     val guarded = BucketGuard.head(fingerprintTable,
       Seq("fp_hash"), idCol, maxPostingHead)
     // The self-join consumes the table twice, so an UNCACHED input is
-    // persisted (PersistScope-released). An ALREADY-CACHED uncapped input
-    // is used as-is: Spark's unpersist removes every cache entry
-    // OCCURRING IN the unpersisted plan, so persisting a derivation of a
-    // long-lived cached table and flushing it would evict the parent too.
+    // persisted (PersistScope-released). An ALREADY-CACHED input is used
+    // as-is WHETHER OR NOT a posting-head cap applies: Spark's unpersist
+    // removes every cache entry OCCURRING IN the unpersisted plan, so
+    // persisting a derivation of a long-lived cached table and flushing
+    // it would evict the parent too — and the head guard is a cheap
+    // window over the cached blocks, fine to recompute on the second
+    // side of the join.
     val alreadyCached = fingerprintTable.storageLevel !=
       org.apache.spark.storage.StorageLevel.NONE
     val fps =
-      if (alreadyCached && maxPostingHead.isEmpty) guarded
+      if (alreadyCached) guarded
       else graft.core.PersistScope.register(guarded.persist())
     val a = fps.select(col(idCol).as("id_a"), col("pos").as("_pa"),
       col("fp_hash"))

@@ -233,12 +233,17 @@ object TextFunctions {
   /** Replace every LUHN-VALID card-number candidate with `token` —
     * checksum-gated redaction (candidates failing Luhn pass through
     * untouched). Candidates extract per pattern, dedupe, validate, then a
-    * fold applies literal replacements — all pure expressions. */
+    * fold applies WORD-BOUNDARIED regex replacements — a literal replace
+    * would also rewrite a valid candidate appearing INSIDE a longer digit
+    * run that was never a candidate (e.g. the first 16 digits of a
+    * 20-digit id), partially corrupting that non-card number. Candidates
+    * match only `[0-9 -]`, so they are regex-literal-safe unquoted. */
   def redactCreditCards(c: Column, token: String = "<CC>"): Column = {
     val cands = array_distinct(concat(
       CardCandidateRes.map(re => regexp_extract_all(c, lit(re), lit(0))): _*))
     val valid = filter(cands, x => luhnValid(x))
-    aggregate(valid, c, (acc, cand) => replace(acc, cand, lit(token)))
+    aggregate(valid, c, (acc, cand) =>
+      regexp_replace(acc, concat(lit("\\b"), cand, lit("\\b")), lit(token)))
   }
 
   /** C4-style word blocklist test: true iff any whitespace token of the

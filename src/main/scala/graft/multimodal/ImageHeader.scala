@@ -45,7 +45,12 @@ object ImageHeader {
     var i = 2
     while (i + 3 < bytes.length) {
       if ((bytes(i) & 0xff) != 0xff) return None
+      // ISO/IEC 10918 permits any number of 0xFF fill bytes before a
+      // marker: skip them, or a padded stream's real marker byte would be
+      // read as the high byte of a segment length and mis-walk the chain.
+      while (i + 3 < bytes.length && (bytes(i + 1) & 0xff) == 0xff) i += 1
       val marker = bytes(i + 1) & 0xff
+      if (marker == 0xff) return None // fill bytes ran into the buffer end
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
         i += 2 // standalone markers carry no length
       } else if (marker == 0xda) {
@@ -66,6 +71,13 @@ object ImageHeader {
     None
   }
 
+  /** The JPEG arm's full output row — a case class so the UDF returns ONE
+    * struct with the final field names, keeping a single ScalaUDF node in
+    * the plan (two per-field `jpgUdf(bin).getField` calls would evaluate
+    * the marker walk twice per row unless codegen CSE happens to fire). */
+  private case class Dims(width: Option[Int], height: Option[Int],
+      format: String)
+
   /** struct(width, height, format) parsed from real header bytes; unknown
     * or truncated payloads yield (null, null, "unknown"). */
   def dimsCol(bin: Column): Column = {
@@ -74,7 +86,12 @@ object ImageHeader {
       length(bin) >= 10
     val bmpOk = magic(bin, "424D") && length(bin) >= 26
     val jpgOk = magic(bin, "FFD8FF")
-    val jpgUdf = udf { (bytes: Array[Byte]) => jpegDims(bytes) }
+    val jpgUdf = udf { (bytes: Array[Byte]) =>
+      jpegDims(bytes) match {
+        case Some((w, h)) => Dims(Some(w), Some(h), "jpeg")
+        case None => Dims(None, None, "jpeg")
+      }
+    }
     val nullInt = lit(null).cast("int")
     when(pngOk, struct(
       be(bin, 17, 4).as("width"), be(bin, 21, 4).as("height"),
@@ -90,10 +107,7 @@ object ImageHeader {
           le(bin, 23, 4) - lit(4294967296L)).otherwise(le(bin, 23, 4)))
           .cast("int").as("height"),
         lit("bmp").as("format")))
-      .when(jpgOk, struct(
-        jpgUdf(bin).getField("_1").as("width"),
-        jpgUdf(bin).getField("_2").as("height"),
-        lit("jpeg").as("format")))
+      .when(jpgOk, jpgUdf(bin))
       .otherwise(struct(nullInt.as("width"), nullInt.as("height"),
         lit("unknown").as("format")))
   }

@@ -42,18 +42,32 @@ object NaiveBayes {
         .as("token"): _*)
 
   /** Fit the model table from labeled rows. `alpha` is the Laplace
-    * smoothing mass. Labels stringify (type-stable across surfaces). */
+    * smoothing mass. Labels stringify (type-stable across surfaces).
+    *
+    * The vocab-sized `counts` table is persisted (PersistScope-released),
+    * so the corpus is TOKENIZED EXACTLY ONCE: the vocab-count action
+    * materializes it, and totals/conds/defaults reuse the cached blocks
+    * instead of re-running the explode (the unpersisted lineage ran the
+    * tokenization three times). Priors come from one count-only scan of
+    * the labeled rows, collected label-sized to the driver (`nDocs` is
+    * the sum — no second full-table count). */
   def train(df: DataFrame, labelCol: String, textCol: String,
       alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
     val labeled = df.withColumn("_lbl", col(labelCol).cast("string"))
     val tok = tokens(labeled, Seq("_lbl"), textCol)
-    val counts = tok.groupBy("_lbl", "token").agg(count(lit(1)).as("cnt"))
+    val counts = graft.core.PersistScope.register(
+      tok.groupBy("_lbl", "token").agg(count(lit(1)).as("cnt")).persist())
     val totals = counts.groupBy("_lbl").agg(sum(col("cnt")).as("total"))
     val vocab = counts.select("token").distinct().count()
-    val nDocs = labeled.count()
-    val priors = labeled.groupBy("_lbl").agg(count(lit(1)).as("n"))
-      .select(col("_lbl").as("label"), lit(PriorToken).as("token"),
+    // Label-sized doc counts: O(labels) driver state; nDocs = their sum.
+    val labelDocs = labeled.groupBy("_lbl").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSeq
+    val nDocs = labelDocs.map(_._2).sum
+    val priors = labelDocs.toDF("label", "n")
+      .select(col("label"), lit(PriorToken).as("token"),
         round(log(col("n").cast("double") / nDocs), 9).as("weight"))
     val defaults = totals
       .select(col("_lbl").as("label"), lit(DefaultToken).as("token"),
@@ -90,7 +104,13 @@ object NaiveBayes {
       .map(_.getString(0)).toSeq.sorted
     require(labelVals.nonEmpty, "model has no __prior__/__default__ rows")
     val tok = tokens(df, Seq(idCol), textCol)
-    val nTok = tok.groupBy(col(idCol)).agg(count(lit(1)).as("_n_tok"))
+    // Token counts come from df itself (not the exploded stream): a
+    // null/empty-text row yields ZERO exploded rows, and deriving the id
+    // set from the explode would silently drop it from scores/classify —
+    // every id must score `prior + n_tok × default` even at n_tok = 0.
+    val nTok = df.groupBy(col(idCol)).agg(
+      sum(size(filter(split(coalesce(col(textCol), lit("")), " "),
+        w => length(w) > 0))).as("_n_tok"))
     val matched = tok
       .join(broadcast(weights), Seq("token"))
       .groupBy(col(idCol), col("label"))
