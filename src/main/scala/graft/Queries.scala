@@ -33,7 +33,8 @@ object Queries {
   lazy val all: Seq[(String, Q, Option[String])] = relational ++ reshape ++
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
     apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b ++
-    round9c ++ round9d ++ round9e ++ round9f ++ round9h ++ round10 ++ round10b
+    round9c ++ round9d ++ round9e ++ round9f ++ round9h ++ round10 ++
+    round10b ++ round11
 
   // ---------------------------------------------------------------- parsing
 
@@ -4421,6 +4422,79 @@ object Queries {
                CASE WHEN n_tokens = 0 THEN want_tokens
                     ELSE 0 END::BIGINT AS shortfall
         FROM e""")
+    ))
+
+  // ------------------------------------------------------------- round11
+
+  private def round11: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // IVFPQ with RESIDUAL encoding (FAISS IndexIVFPQ semantics): codes
+      // quantize `vec − coarseCentroid(cell)`, and each probed cell scores
+      // the query's residual vs that cell. Fixture is fully deterministic
+      // (centroids = embeddings 10/20, codebook = residuals of vec_id<4)
+      // and nProbe = nCells, so the whole assign/residual/encode/probe/ADC
+      // path replays exactly in SQL. Sub-linear-probe recall (residual ≥
+      // raw) is spec-covered in Round11Spec.
+      "q156_ann_ivfpq_residual",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id").isin(10, 20))
+          .orderBy("vec_id")
+          .select(transform(col("embedding"), _.cast("double")).as("_e"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val assigned = graft.ann.Ann.ivfAssign(emb, "embedding", centroids)
+        val cb = {
+          val rows = assigned.filter(col("vec_id") < 4).orderBy("vec_id")
+            .select(graft.ann.ProductQuantize.residualCol(
+              col("embedding"), col("_cell"), centroids).as("_r"))
+            .collect().map(_.getSeq[Double](0).toArray)
+          Array.tabulate(8)(s0 => rows.map(r => r.slice(s0 * 8, s0 * 8 + 8)))
+        }
+        val coded = graft.ann.ProductQuantize.encodeResidual(
+          assigned, "embedding", "_cell", cb, centroids)
+          .select("vec_id", "_cell", "pq_codes")
+        graft.ann.ProductQuantize.ivfPqSearchResidual(coded, "vec_id",
+          "pq_codes", cb, centroids, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3, nProbe = 2)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        cent AS (SELECT CASE WHEN vec_id = 10 THEN 0 ELSE 1 END AS cell,
+                        e AS c
+                 FROM e WHERE vec_id IN (10, 20)),
+        ad AS (SELECT v.vec_id, v.e, ct.cell, ct.c,
+                 list_sum([ (v.e[i+1] - ct.c[i+1])^2
+                            FOR i IN range(0, 64)]) AS d
+               FROM e v, cent ct),
+        asg AS (SELECT vec_id, e, cell, c FROM ad
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d, cell) = 1),
+        r AS (SELECT vec_id, cell,
+                [e[i+1] - c[i+1] FOR i IN range(0, 64)] AS r FROM asg),
+        cb AS (SELECT vec_id AS code, r AS ce FROM r WHERE vec_id < 4),
+        d AS (SELECT v.vec_id, s.s AS sub, cb.code,
+                list_sum([ (v.r[s.s*8+i+1] - cb.ce[s.s*8+i+1])^2
+                           FOR i IN range(0, 8)]) AS dist
+              FROM r v, UNNEST(range(0, 8)) AS s(s), cb),
+        codes AS (SELECT vec_id, sub, code FROM d
+                  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY dist, code) = 1),
+        q AS (SELECT vec_id AS qid, e AS qe FROM e WHERE vec_id < 5),
+        sc AS (SELECT q.qid, v.vec_id AS cid,
+                 round(sum(list_sum(
+                   [ (q.qe[c.sub*8+i+1] - ct.c[c.sub*8+i+1]
+                      - cb.ce[c.sub*8+i+1])^2 FOR i IN range(0, 8)])), 6)
+                   AS adc_dist
+               FROM q, r v
+                 JOIN codes c ON v.vec_id = c.vec_id
+                 JOIN cent ct ON v.cell = ct.cell
+                 JOIN cb ON c.code = cb.code
+               WHERE v.vec_id <> q.qid
+               GROUP BY 1, 2)
+        SELECT qid AS query_id, cid AS neighbor_id, adc_dist FROM sc
+        QUALIFY row_number() OVER (PARTITION BY qid
+                                   ORDER BY adc_dist, cid) <= 3""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

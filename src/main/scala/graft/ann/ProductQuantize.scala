@@ -145,6 +145,88 @@ object ProductQuantize {
       .select("query_id", "neighbor_id", "adc_dist")
   }
 
+  // ---- residual encoding (FAISS IndexIVFPQ semantics) -------------------
+  //
+  // Raw-vector PQ quantizes each vector directly; residual PQ quantizes
+  // `vec − coarseCentroid(cell)` instead. Within a cell the residuals are
+  // recentered on the origin and have strictly smaller spread than the raw
+  // vectors, so the same nSub×nCodes code budget buys lower quantization
+  // error — the accuracy trade FAISS IndexIVFPQ ships by default. Raw PQ
+  // stays the oracle-exact mode (its codes are replayable in plain SQL
+  // against a deterministic codebook; residual codes are too, given
+  // deterministic CENTROIDS — see q156's fixture).
+
+  private def lit2(m: Array[Array[Double]]): Column =
+    array(m.toIndexedSeq.map(row =>
+      array(row.toIndexedSeq.map(lit): _*)): _*)
+
+  /** `emb − centroids(cell)` as a pure array expression (the coarse
+    * centroid table is config-bounded driver state, broadcast as a nested
+    * literal like the codebook). */
+  def residualCol(emb: Column, cell: Column,
+      centroids: Array[Array[Double]]): Column =
+    zip_with(transform(emb, _.cast("double")),
+      element_at(lit2(centroids), cell.cast("int") + 1),
+      (x, c) => x - c)
+
+  /** Fit per-subspace codebooks on RESIDUALS of an ivfAssign'ed corpus
+    * (`cellCol` from [[Ann.ivfAssign]]). Same seeded driver-sample k-means
+    * as [[trainPq]], applied to `emb − centroid(cell)`. */
+  def trainPqResidual(assigned: DataFrame, embCol: String, cellCol: String,
+      centroids: Array[Array[Double]], nSub: Int, nCodes: Int,
+      maxIter: Int = 10, seed: Long = 42, sampleSize: Int = 20000): Codebook =
+    trainPq(assigned.withColumn("_res",
+      residualCol(col(embCol), col(cellCol), centroids)),
+      "_res", nSub, nCodes, maxIter, seed, sampleSize)
+
+  /** Append PQ codes of the residual vs the row's coarse centroid. */
+  def encodeResidual(df: DataFrame, embCol: String, cellCol: String,
+      cb: Codebook, centroids: Array[Array[Double]],
+      outCol: String = "pq_codes"): DataFrame =
+    df.withColumn(outCol,
+      codesCol(residualCol(col(embCol), col(cellCol), centroids), cb))
+
+  /** [[ivfPqSearch]] with residual-coded cells: each probed cell scores the
+    * QUERY'S residual against that cell's centroid (`q − centroid(cell)`)
+    * against the stored residual codes — the FAISS IndexIVFPQ search rule.
+    * Same broadcast-probe shape and cost bounds as the raw variant. */
+  def ivfPqSearchResidual(
+      assignedCodes: DataFrame, // has _cell (ivfAssign) + residual PQ codes
+      corpusId: String,
+      codesColName: String,
+      cb: Codebook,
+      centroids: Array[Array[Double]],
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val sortedCells = array_sort(array(centroids.zipWithIndex.map {
+      case (ctr, i) =>
+        struct(graft.functions.VectorFunctions
+          .euclideanToConst(col(queryEmb), ctr).as("d"), lit(i).as("cell"))
+    }.toIndexedSeq: _*))
+    val probeCells =
+      transform(slice(sortedCells, 1, nProbe), s => s.getField("cell"))
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryEmb).as("_qe"), explode(probeCells).as("_cell"))
+      // per-probed-cell query residual, computed ONCE on the small
+      // broadcast side (queries × nProbe rows), not per candidate pair
+      .withColumn("_qr", residualCol(col("_qe"), col("_cell"), centroids))
+      .select("query_id", "_qr", "_cell")
+    val c = assignedCodes.select(col(corpusId).as("neighbor_id"),
+      col(codesColName).as("_codes"), col("_cell"))
+    val scored = c.join(broadcast(q), Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist",
+        round(adcScore(col("_qr"), col("_codes"), cb), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "adc_dist")
+  }
+
   /** Asymmetric top-k: float queries against the PQ-coded corpus, smallest
     * ADC distance first. Broadcast-queries shape, k rows per query. */
   def adcSearch(

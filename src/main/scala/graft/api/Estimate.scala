@@ -46,7 +46,8 @@ object Estimate {
       ops: Seq[OpEstimate],
       llmScale: Double,
       estLlm: Map[String, TokenTally.Tally],
-      cacheHits: Long = 0L) {
+      cacheHits: Long = 0L,
+      alphaFallbacks: Seq[String] = Nil) {
     def render: String = {
       val opLines = ops.map { o =>
         f"  ${o.step}%-20s ${o.op}%-24s sel=${o.selectivity}%6.3f " +
@@ -57,11 +58,17 @@ object Estimate {
           f"out_tok≈${t.outputTokens}%,d cost≈$$${t.cost}%.2f"
       }
       val warn =
-        if (cacheHits > 0)
-          Seq(f"WARNING: $cacheHits%,d sample completions came from a warm " +
-            "LLM cache — calls/cost below UNDERCOUNT a cold full run; " +
-            "clear the cache (LlmCache.clear) for a cold estimate")
-        else Nil
+        (if (cacheHits > 0)
+           Seq(f"WARNING: $cacheHits%,d sample completions came from a warm " +
+             "LLM cache — calls/cost below UNDERCOUNT a cold full run; " +
+             "clear the cache (LlmCache.clear) for a cold estimate")
+         else Nil) ++
+        (if (alphaFallbacks.nonEmpty)
+           Seq("NOTICE: α fit fell back to linear for " +
+             alphaFallbacks.mkString(", ") + " — the two sample points are " +
+             "within ±1-row noise of a linear law (counts too small to " +
+             "support a power-law exponent)")
+         else Nil)
       (Seq(s"estimate from sample of $sampleRows rows/dataset " +
         s"(scales: ${datasetScales.map { case (k, v) => f"$k=$v%.1fx" }.mkString(", ")})",
         "per-op (two-point power-law fit, est ∝ scale^α; " +
@@ -137,17 +144,36 @@ object Estimate {
         hs.map(s => (s.step, s.op) -> s.rowsOut).toMap
       }
 
+    val fallbacks = Seq.newBuilder[String]
     val ops = stats.map { s =>
       val sc = scaleFor(s.step)
       // α = log(out_n / out_half) / log(n / half), clamped to [0, 2]:
       // α≈1 row-local (exactly linear), α≈0 saturated group-by, α>1
       // super-linear join growth. Degenerate points (zero output at
-      // either size, or no pilot) fall back to linear.
+      // either size, or no pilot) fall back to linear. NOISE GUARD: a
+      // ±1-row wobble on either point swings α wildly at tiny counts
+      // (out 3 vs half 1 → α ≈ 1.58 from pure noise), so the fit only
+      // stands when the linear law (α = 1) lies OUTSIDE the α-interval
+      // reachable by moving each point one row — at large counts that
+      // envelope is tight and real exponents survive; at tiny counts it
+      // is wide and the estimate falls back to linear with a notice. A
+      // saturated aggregate (out == half, even at 5 rows) keeps α ≈ 0:
+      // its envelope is centered on 0 and excludes 1.
+      val logScale = math.log(sampleRows.toDouble / halfRows)
       val alpha = halfStats.get((s.step, s.op)) match {
         case Some(halfOut) if halfOut > 0 && s.rowsOut > 0 =>
-          val a = math.log(s.rowsOut.toDouble / halfOut) /
-            math.log(sampleRows.toDouble / halfRows)
-          math.min(2.0, math.max(0.0, a))
+          val a = math.log(s.rowsOut.toDouble / halfOut) / logScale
+          val aLo = math.log(math.max(s.rowsOut - 1L, 1L).toDouble /
+            (halfOut + 1L)) / logScale
+          val aHi = math.log((s.rowsOut + 1L).toDouble /
+            math.max(halfOut - 1L, 1L)) / logScale
+          // STRICTLY inside: an envelope edge landing exactly on 1.0 (e.g.
+          // a 3-row saturated group-by, half = out = 3 → aHi = 1.0) is the
+          // fit's own boundary, not noise evidence for linearity.
+          if (aLo < 1.0 && 1.0 < aHi && math.abs(a - 1.0) > 1e-9) {
+            fallbacks += s"${s.step}/${s.op}"
+            1.0
+          } else math.min(2.0, math.max(0.0, a))
         case _ => 1.0
       }
       OpEstimate(s.step, s.op, s.rowsIn, s.rowsOut, sc,
@@ -162,7 +188,7 @@ object Estimate {
         t.cost * llmScale)
     }
     Report(sampleRows, datasetRows, datasetScales, ops, llmScale, estLlm,
-      cacheHits)
+      cacheHits, fallbacks.result())
   }
 
   def fromYaml(yaml: String, spark: SparkSession,

@@ -305,8 +305,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(Datacard.perSlice(df, textCol, sliceCol, approx))
   def urlDomainViaSuffixes(hostCol: String, suffixes: Frame): Frame =
     next(UrlOps.registeredDomainViaTable(df, hostCol, suffixes.df))
-  def bpeTrain(textCol: String, numMerges: Int): Seq[BpeTrain.Merge] =
-    BpeTrain.train(df, textCol, numMerges)
+  def bpeTrain(textCol: String, numMerges: Int,
+      mergesPerRound: Int = 1): Seq[BpeTrain.Merge] =
+    BpeTrain.train(df, textCol, numMerges, mergesPerRound)
   def bpeEncode(textCol: String, merges: Seq[BpeTrain.Merge],
       greedy: Boolean = false): Frame =
     next(if (greedy) BpeTrain.encodeGreedy(df, textCol, merges)

@@ -393,8 +393,10 @@ final case class LazyFrame(
       stats: Boolean = false): LazyFrame =
     append("url_parse", "url_key" -> urlKey, "stats" -> stats,
       "suffixes" -> jlist(suffixes))
-  def bpeTrain(textKey: String, numMerges: Int): LazyFrame =
-    append("bpe_train", "text_key" -> textKey, "num_merges" -> numMerges)
+  def bpeTrain(textKey: String, numMerges: Int,
+      mergesPerRound: Int = 1): LazyFrame =
+    append("bpe_train", "text_key" -> textKey, "num_merges" -> numMerges,
+      "merges_per_round" -> mergesPerRound)
   def bpeEncode(textKey: String, numMerges: Int,
       greedy: Boolean = false): LazyFrame =
     append("bpe_encode", "text_key" -> textKey, "num_merges" -> numMerges,

@@ -676,10 +676,13 @@ object Registry {
   }
   // Full BPE vocabulary induction (§2.14): `num_merges` iterations of
   // (pair count -> argmax -> fuse) on the vocab table; emits the
-  // (rank, left, right, pair_cnt) merge table.
+  // (rank, left, right, pair_cnt) merge table. `merges_per_round` > 1
+  // batches disjoint top-k picks per Spark job (documented approximation
+  // of strict Sennrich order — see BpeTrain.train).
   register("bpe_train") { (df, c, _) =>
     BpeTrain.mergeTable(df.sparkSession,
-      BpeTrain.train(df, c("text_key").str, c("num_merges").int))
+      BpeTrain.train(df, c("text_key").str, c("num_merges").int,
+        c.intOr("merges_per_round", 1)))
   }
   // BPE tokenizer APPLY (§2.14): merges either given inline
   // (`merges: [[l, r], ...]`) or trained on THIS frame (`num_merges`).

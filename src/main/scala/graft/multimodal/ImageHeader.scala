@@ -40,7 +40,7 @@ object ImageHeader {
     * SOFn marker (C0–CF minus C4/C8/CC), whose payload carries height
     * then width big-endian at +5/+7. Bounded by the header region —
     * stops at start-of-scan (DA) without touching entropy-coded data. */
-  private[multimodal] def jpegDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+  private[graft] def jpegDims(bytes: Array[Byte]): Option[(Int, Int)] = {
     if (bytes == null || bytes.length < 4) return None
     var i = 2
     while (i + 3 < bytes.length) {

@@ -106,26 +106,50 @@ object BpeTrain {
     * The vocab is localCheckpoint'ed each iteration to keep the loop's
     * lineage flat (on a real cluster with dynamic allocation, swap for a
     * reliable `checkpoint` dir). Ties break (count desc, left, right asc)
-    * so induction is deterministic. Stops early when no pair remains. */
-  def train(df: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    * so induction is deterministic. Stops early when no pair remains.
+    *
+    * `mergesPerRound` (default 1 = strict Sennrich order): one Spark job
+    * per merge is fine for oracle-scale vocabs but schedules 32k
+    * sequential jobs for a production vocabulary. At k > 1 each round
+    * applies the top-k pairs whose symbols are PAIRWISE DISJOINT (a
+    * candidate sharing a left/right/fused symbol with a higher-count pick
+    * of the same round is deferred — its count would change once that
+    * pick fuses), cutting the job count ~k× . This is a DOCUMENTED
+    * APPROXIMATION of strict rank order: counts are only re-evaluated
+    * between rounds, so a round's lower picks use slightly stale
+    * statistics; disjointness keeps every picked pair's own count exact. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      mergesPerRound: Int = 1): Seq[Merge] = {
     require(numMerges >= 1 && numMerges <= 65536,
       s"numMerges must be in [1, 65536], got $numMerges")
+    require(mergesPerRound >= 1 && mergesPerRound <= 1024,
+      s"mergesPerRound must be in [1, 1024], got $mergesPerRound")
     var vocab = wordCounts(df, textCol)
       .select(charSyms(col("word")).as("symbols"), col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     while (!exhausted && merges.size < numMerges) {
+      val want = math.min(mergesPerRound, numMerges - merges.size)
+      // Over-fetch candidates: disjointness filtering skips some.
       val top = pairCountsSym(vocab)
         .orderBy(col("pair_cnt").desc, col("left"), col("right"))
-        .limit(1).collect()
+        .limit(math.max(want * 4, 16)).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val m = Merge(top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += m
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Merge]
+        val used = scala.collection.mutable.Set.empty[String]
+        top.iterator.takeWhile(_ => chosen.size < want).foreach { r =>
+          val (l, rr) = (r.getString(0), r.getString(1))
+          if (!used(l) && !used(rr) && !used(l + rr)) {
+            chosen += Merge(l, rr, r.getLong(2))
+            used ++= Seq(l, rr, l + rr)
+          }
+        }
+        merges ++= chosen
         vocab = vocab
-          .select(applyMergeCol(col("symbols"), m.left, m.right).as("symbols"),
-            col("cnt"))
+          .select(chosen.foldLeft(col("symbols"))((s, m) =>
+            applyMergeCol(s, m.left, m.right)).as("symbols"), col("cnt"))
           .localCheckpoint()
       }
     }

@@ -18,6 +18,124 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class LocalClusterSpec extends AnyFunSuite {
 
+  private val classDirs = Seq(
+    "/root/repo/target/scala-2.13/classes",
+    "/root/repo/target/scala-2.13/test-classes")
+
+  // Executor JVMs are launched fresh and need the same JDK17 module opens
+  // spark-submit would inject (build.sbt provides them for the driver).
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+
+  private def session(master: String, extra: Map[String, String]): SparkSession = {
+    val b = SparkSession.builder()
+      .master(master)
+      .appName(s"graft-$master")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    b.getOrCreate()
+  }
+
+  private def clusterSession(): SparkSession =
+    session("local-cluster[2,2,1024]",
+      Map(
+        "spark.executor.extraClassPath" -> classDirs.mkString(":"),
+        "spark.executor.extraJavaOptions" -> addOpens))
+
+  /** Writer paths — ZOrder layout, ShardedSink write/manifest/validate,
+    * SnapshotDiff over real file round-trips — exercise the output
+    * committer (task-attempt dirs, commit protocol, rename) across
+    * separate executor JVMs, which a single-JVM local session cannot. */
+  test("writer paths produce intact artifacts across separate executor JVMs") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory)
+    assume(classDirs.forall(d => new java.io.File(d).isDirectory))
+    import org.apache.spark.sql.functions._
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lc-writers")
+      .toFile.getAbsolutePath
+    val spark = clusterSession()
+    try {
+      val docs = graft.core.Tables(spark, sfDir, "documents")
+        .withColumn("n_chars", length(coalesce(col("text"), lit(""))))
+      val nDocs = docs.count()
+
+      // -- ZOrder.layout through the committer: range partitions land in
+      // distinct files whose zvalue ranges must not overlap (the whole
+      // point of the layout), and every row must survive the round-trip.
+      graft.ops.ZOrder.layout(docs, Seq("doc_id", "n_chars"), numFiles = 4)
+        .write.mode("overwrite").parquet(s"$tmp/zorder")
+      val zBack = spark.read.parquet(s"$tmp/zorder")
+      assert(zBack.count() == nDocs)
+      val ranges = zBack
+        .groupBy(input_file_name().as("f"))
+        .agg(min("zvalue").as("lo"), max("zvalue").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(ranges.nonEmpty)
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 <= lo2, s"zvalue file ranges overlap: $ranges")
+        case _ => ()
+      }
+
+      // -- ShardedSink: hive-partitioned shard write + manifest, then
+      // validate() recomputes per-shard (rows, checksum) from the files —
+      // any committer bug (lost task output, double commit) surfaces here.
+      graft.sources.ShardedSink.write(
+        docs.select("doc_id", "text"), s"$tmp/shards",
+        idExpr = "doc_id", tokenExpr = "size(split(text, ' '))",
+        numShards = 4)
+      graft.core.PersistScope.unpersistAll()
+      assert(graft.sources.ShardedSink.readData(spark, s"$tmp/shards")
+        .count() == nDocs)
+      val manifest = graft.sources.ShardedSink
+        .readManifest(spark, s"$tmp/shards").collect()
+      assert(manifest.map(_.getAs[Long]("n_rows")).sum == nDocs)
+      assert(graft.sources.ShardedSink
+        .validate(spark, s"$tmp/shards", "doc_id").count() == 0)
+
+      // -- SnapshotDiff over REAL file round-trips: two committed parquet
+      // snapshots, read back and diffed — the delta must match the edits.
+      docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/prev")
+      docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(lit("edited: "), col("text"))).otherwise(col("text")))
+        .select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/next")
+      val diff = graft.ops.SnapshotDiff(
+        spark.read.parquet(s"$tmp/prev"), spark.read.parquet(s"$tmp/next"),
+        "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+        .toMap
+      val ids = docs.select("doc_id").collect().map(_.getLong(0))
+      ids.foreach { id =>
+        val inPrev = id % 5 != 0
+        val inNext = id % 7 != 0
+        val expectStatus =
+          if (inPrev && !inNext) Some("removed")
+          else if (!inPrev && inNext) Some("added")
+          else if (inPrev && inNext && id % 3 == 0) Some("changed")
+          else None // unchanged rows are implicit
+        assert(diff.get(id) == expectStatus,
+          s"doc $id: got ${diff.get(id)}, expected $expectStatus")
+      }
+    } finally {
+      spark.stop()
+      new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   private val names = Seq("q01_code_reduce_tpch1", "q24_dedup_minhash",
     "q33_sem_reduce", "q77_pack", // pack: Row mapPartitions closure + indices
     // asof: tagged-union mapPartitions carrying cross-row state;
@@ -43,43 +161,14 @@ class LocalClusterSpec extends AnyFunSuite {
   test("representative queries run identically across separate executor JVMs") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory)
-    val classDirs = Seq(
-      "/root/repo/target/scala-2.13/classes",
-      "/root/repo/target/scala-2.13/test-classes")
     assume(classDirs.forall(d => new java.io.File(d).isDirectory))
-
-    def session(master: String, extra: Map[String, String]): SparkSession = {
-      val b = SparkSession.builder()
-        .master(master)
-        .appName(s"graft-$master")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      extra.foreach { case (k, v) => b.config(k, v) }
-      b.getOrCreate()
-    }
 
     val local = session("local[4]", Map.empty)
     val expected =
       try runAll(local, sfDir)
       finally local.stop()
 
-    // Executor JVMs are launched fresh and need the same JDK17 module opens
-    // spark-submit would inject (build.sbt provides them for the driver).
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar")
-      .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
-    val cluster = session("local-cluster[2,2,1024]",
-      Map(
-        "spark.executor.extraClassPath" -> classDirs.mkString(":"),
-        "spark.executor.extraJavaOptions" -> addOpens))
+    val cluster = clusterSession()
     val got =
       try runAll(cluster, sfDir)
       finally cluster.stop()
@@ -95,10 +184,7 @@ class LocalClusterSpec extends AnyFunSuite {
     // JVMs must rebuild them and reach the driver-hosted provider. This is
     // the seam a real cluster deployment exercises on every semantic op.
     FakeLlmServer.withServer { (url, st) =>
-      val cluster2 = session("local-cluster[2,2,1024]",
-        Map(
-          "spark.executor.extraClassPath" -> classDirs.mkString(":"),
-          "spark.executor.extraJavaOptions" -> addOpens))
+      val cluster2 = clusterSession()
       try {
         val stack = graft.llm.RetryingClient(
           graft.llm.FallbackClient(
