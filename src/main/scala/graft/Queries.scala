@@ -4495,6 +4495,209 @@ object Queries {
         SELECT qid AS query_id, cid AS neighbor_id, adc_dist FROM sc
         QUALIFY row_number() OVER (PARTITION BY qid
                                    ORDER BY adc_dist, cid) <= 3""")
+    ),
+    (
+      // Sentence-ALIGNED chunking (max_words budget, overlap 0): greedy
+      // whole-sentence packing — never cuts inside a sentence, unlike
+      // chunk_fixed. Same planted punctuation as q141 creates sentence
+      // structure; pure per-row fold, no shuffle. Overlap > 0 is covered
+      // by Round11bSpec (the overlap fold has no clean SQL replay).
+      "q157_chunk_sentences",
+      (s: SparkSession, dir: String) => {
+        val withPunct = concat_ws(" ", transform(
+          filter(split(col("text"), " "), w => length(w) > 0), w =>
+            when(conv(substring(md5(w), 1, 13), 16, 10).cast("bigint")
+              % 9 === 0, concat(w, lit("."))).otherwise(w)))
+        graft.ops.Segment.chunkBySentences(
+          t(s, dir, "documents").withColumn("_t2", withPunct)
+            .select("doc_id", "_t2"), "doc_id", "_t2", maxWords = 25)
+      },
+      Some("""
+        WITH t2 AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split(text, ' '), w -> w <> ''),
+                   w -> CASE WHEN ('0x' || substr(md5(w), 1, 13))::UBIGINT
+                               % 9 = 0
+                        THEN w || '.' ELSE w END) AS words
+          FROM documents),
+        mk AS (
+          SELECT doc_id,
+                 list_transform(words, w ->
+                   CASE WHEN regexp_matches(w, '[.!?]["'')\]]*$')
+                   THEN w || chr(30) ELSE w END) AS marked
+          FROM t2),
+        fo AS (
+          SELECT doc_id,
+                 CASE WHEN len(marked) = 0 THEN []::VARCHAR[]
+                      ELSE list_filter(string_split(
+                        list_reduce(marked, (acc, x) ->
+                          CASE WHEN ends_with(acc, chr(30)) THEN acc || x
+                               ELSE acc || ' ' || x END), chr(30)),
+                        c -> c <> '')
+                 END AS sents
+          FROM mk),
+        ch AS (
+          SELECT doc_id,
+                 CASE WHEN len(sents) = 0 THEN []::VARCHAR[]
+                      ELSE list_filter(string_split(
+                        list_reduce(sents, (acc, s) -> CASE
+                          WHEN len(string_split(array_extract(
+                                 string_split(acc, chr(30)), -1), ' '))
+                               + len(string_split(s, ' ')) <= 25
+                          THEN acc || ' ' || s
+                          ELSE acc || chr(30) || s END), chr(30)),
+                        c -> c <> '')
+                 END AS chunks
+          FROM fo)
+        SELECT doc_id, i AS chunk_idx,
+               len(string_split(chunks[i+1], ' '))::BIGINT AS n_words,
+               chunks[i+1] AS chunk
+        FROM ch, UNNEST(range(0, len(chunks))) AS t(i)""")
+    ),
+    (
+      // Mojibake / encoding-damage detection: four codegen'd signal counts
+      // (replacement char, double-decoded UTF-8 accents, CP1252 curly
+      // punctuation, C1 controls) + length-normalized score. Fixture
+      // plants each damage class on a doc_id%4 arm; the gate excludes the
+      // planted text itself (control/unicode chars in a gate column is the
+      // chat-render lesson — counts and score are canonicalization-proof).
+      "q158_encoding_quality",
+      (s: SparkSession, dir: String) => {
+        val planted = concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" cafÃ© menu"))
+            .when(col("doc_id") % 4 === 1, lit(" itâ€™s ok"))
+            .when(col("doc_id") % 4 === 2, lit(" � lost"))
+            .otherwise(lit(" x" + 0x85.toChar + "y")))
+        graft.ops.EncodingQuality.report(
+          t(s, dir, "documents").withColumn("_t2", planted)
+            .select("doc_id", "_t2"), "_t2", threshold = 5.0)
+          .select(col("doc_id"), col("n_replacement"), col("n_double_utf8"),
+            col("n_punct_mojibake"), col("n_c1_controls"),
+            col("mojibake_score"), col("mojibake_flag"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, text || CASE doc_id % 4
+            WHEN 0 THEN ' caf' || chr(195) || chr(169) || ' menu'
+            WHEN 1 THEN ' it' || chr(226) || chr(8364) || chr(8482) || 's ok'
+            WHEN 2 THEN ' ' || chr(65533) || ' lost'
+            ELSE ' x' || chr(133) || 'y' END AS t
+          FROM documents),
+        sig AS (
+          SELECT doc_id, t,
+            len(regexp_extract_all(t, '\x{FFFD}'))::BIGINT
+              AS n_replacement,
+            len(regexp_extract_all(t, '\x{C3}[\x{80}-\x{BF}]'))::BIGINT
+              AS n_double_utf8,
+            len(regexp_extract_all(t, '\x{E2}\x{20AC}'))::BIGINT
+              AS n_punct_mojibake,
+            len(regexp_extract_all(t, '[\x{80}-\x{9F}]'))::BIGINT
+              AS n_c1_controls
+          FROM p)
+        SELECT doc_id, n_replacement, n_double_utf8, n_punct_mojibake,
+               n_c1_controls,
+               round((n_replacement + n_double_utf8 + n_punct_mojibake +
+                 n_c1_controls) * 1000.0 / greatest(length(t), 1), 6)
+                 AS mojibake_score,
+               (n_replacement + n_double_utf8 + n_punct_mojibake +
+                 n_c1_controls) * 1000.0 / greatest(length(t), 1) > 5.0
+                 AS mojibake_flag
+        FROM sig""")
+    ),
+    (
+      // Numeric column profiler: one row per column with count/nulls/
+      // distinct/min/max/mean/stddev/quartiles from ONE scan. Mean/stddev
+      // come from integer-exact sum/sum-of-squares (order-independent —
+      // the float-sum gate trap), percentiles are exact linear
+      // interpolation both engines replay.
+      "q159_profile",
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("doc_id") % 13).as("score13"))
+        graft.ops.Profile.numeric(d, Seq("doc_id", "score13"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN NULL
+                      ELSE doc_id % 13 END AS score13
+          FROM documents),
+        prof AS (
+          SELECT 'doc_id' AS col_name, count(doc_id)::BIGINT AS n,
+                 (count(*) - count(doc_id))::BIGINT AS n_null,
+                 count(DISTINCT doc_id)::BIGINT AS n_distinct,
+                 round(min(doc_id)::DOUBLE, 6) AS mn,
+                 round(max(doc_id)::DOUBLE, 6) AS mx,
+                 round(sum(doc_id::DOUBLE) / count(doc_id), 6) AS mean,
+                 round(sqrt(greatest(
+                   (sum(doc_id::DOUBLE * doc_id::DOUBLE) -
+                    sum(doc_id::DOUBLE) * sum(doc_id::DOUBLE)
+                      / count(doc_id)) / (count(doc_id) - 1), 0)), 6)
+                   AS stddev,
+                 round(quantile_cont(doc_id, 0.25), 6) AS p25,
+                 round(quantile_cont(doc_id, 0.5), 6) AS p50,
+                 round(quantile_cont(doc_id, 0.75), 6) AS p75
+          FROM d
+          UNION ALL
+          SELECT 'score13', count(score13)::BIGINT,
+                 (count(*) - count(score13))::BIGINT,
+                 count(DISTINCT score13)::BIGINT,
+                 round(min(score13)::DOUBLE, 6),
+                 round(max(score13)::DOUBLE, 6),
+                 round(sum(score13::DOUBLE) / count(score13), 6),
+                 round(sqrt(greatest(
+                   (sum(score13::DOUBLE * score13::DOUBLE) -
+                    sum(score13::DOUBLE) * sum(score13::DOUBLE)
+                      / count(score13)) / (count(score13) - 1), 0)), 6),
+                 round(quantile_cont(score13, 0.25), 6),
+                 round(quantile_cont(score13, 0.5), 6),
+                 round(quantile_cont(score13, 0.75), 6)
+          FROM d)
+        SELECT col_name AS "column", n, n_null, n_distinct, mn AS min,
+               mx AS max, mean, stddev, p25, p50, p75
+        FROM prof""")
+    ),
+    (
+      // Tokenizer fertility report for the q131-trained merges:
+      // tokens/word, chars/token, unsplit fraction — four integer-exact
+      // sums in one aggregation; oracle re-derives the merges and replays
+      // the per-word encode fold.
+      "q160_tokenizer_stats",
+      (s: SparkSession, dir: String) =>
+        graft.ops.BpeTrain.tokenizerStats(
+          t(s, dir, "documents"), "text", bpeMerges(s, dir)),
+      Some(s"""
+        $sqlBpePrefix,
+        pw AS (
+          SELECT doc_id,
+            list_transform(
+              list_filter(string_split(text, ' '), w -> w <> ''),
+              w -> len(string_split(
+                ${sqlApplyMerge(
+                  s"string_split(${sqlApplyMerge(
+                    s"string_split(${sqlApplyMerge(
+                      "list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))",
+                      "m1.lft", "m1.rgt")}, chr(31))",
+                    "m2.lft", "m2.rgt")}, chr(31))",
+                  "m3.lft", "m3.rgt")},
+                chr(31)))) AS tc,
+            list_transform(
+              list_filter(string_split(text, ' '), w -> w <> ''),
+              w -> len(w)) AS wl
+          FROM documents, m1, m2, m3),
+        ag AS (
+          SELECT sum(len(tc))::BIGINT AS n_words,
+                 sum(coalesce(list_sum(tc), 0))::BIGINT AS n_tokens,
+                 sum(coalesce(list_sum(wl), 0))::BIGINT AS n_chars,
+                 sum(len(list_filter(tc, c -> c = 1)))::BIGINT AS n_unsplit
+          FROM pw)
+        SELECT n_words, n_tokens,
+               round(n_tokens::DOUBLE / n_words, 6) AS tokens_per_word,
+               round(n_chars::DOUBLE / n_tokens, 6) AS chars_per_token,
+               round(n_unsplit::DOUBLE / n_words, 6) AS unsplit_frac
+        FROM ag""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

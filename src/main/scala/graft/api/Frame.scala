@@ -331,6 +331,17 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(Segment.sentences(df, idCol, textCol))
   def sentenceStats(textCol: String): Frame =
     next(Segment.sentenceStats(df, textCol))
+  def chunkSentences(idCol: String, textCol: String, maxWords: Int,
+      overlap: Int = 0): Frame =
+    next(Segment.chunkBySentences(df, idCol, textCol, maxWords, overlap))
+  def encodingQuality(textCol: String, threshold: Double = 5.0): Frame =
+    next(EncodingQuality.report(df, textCol, threshold))
+  def encodingClean(textCol: String, threshold: Double = 5.0): Frame =
+    next(EncodingQuality.clean(df, textCol, threshold))
+  def profile(cols: Seq[String], approx: Boolean = false): Frame =
+    next(Profile.numeric(df, cols, approx))
+  def tokenizerStats(textCol: String, merges: Seq[BpeTrain.Merge]): Frame =
+    next(BpeTrain.tokenizerStats(df, textCol, merges))
   def corpusOverlap(sliceCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16): Frame =
     next(CorpusOverlap.jaccardMatrix(df, sliceCol, textCol, shingleSize,

@@ -417,6 +417,19 @@ final case class LazyFrame(
     append("segment", "id_key" -> idKey, "text_key" -> textKey)
   def sentenceStats(textKey: String): LazyFrame =
     append("segment", "text_key" -> textKey, "stats" -> true)
+  def chunkSentences(idKey: String, textKey: String, maxWords: Int,
+      overlap: Int = 0): LazyFrame =
+    append("chunk_sentences", "id_key" -> idKey, "text_key" -> textKey,
+      "max_words" -> maxWords, "overlap" -> overlap)
+  def encodingQuality(textKey: String, threshold: Double = 5.0,
+      clean: Boolean = false): LazyFrame =
+    append("encoding_quality", "text_key" -> textKey,
+      "threshold" -> threshold, "mode" -> (if (clean) "clean" else "report"))
+  def profile(columns: Seq[String], approx: Boolean = false): LazyFrame =
+    append("profile", "columns" -> jlist(columns), "approx" -> approx)
+  def tokenizerStats(textKey: String, numMerges: Int): LazyFrame =
+    append("tokenizer_stats", "text_key" -> textKey,
+      "num_merges" -> numMerges)
   def corpusOverlap(sliceKey: String, textKey: String,
       shingleSize: Int = 3, numHashes: Int = 16): LazyFrame =
     append("corpus_overlap", "slice_key" -> sliceKey, "text_key" -> textKey,

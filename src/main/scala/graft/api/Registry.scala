@@ -943,6 +943,45 @@ object Registry {
   register("pii_report") { (df, c, _) =>
     Hygiene.piiReport(df, c("text_key").str)
   }
+  // Mojibake / encoding-damage detection (§2.14 hygiene): four codegen'd
+  // signal counts + length-normalized score; `mode: clean` filters instead.
+  register("encoding_quality") { (df, c, _) =>
+    val t = c("text_key").str
+    val thr = c.dblOr("threshold", 5.0)
+    c.strOr("mode", "report") match {
+      case "report" => EncodingQuality.report(df, t, thr)
+      case "clean" => EncodingQuality.clean(df, t, thr)
+      case other => throw new IllegalArgumentException(
+        s"encoding_quality mode must be report|clean, got '$other'")
+    }
+  }
+  // Numeric column profiler (§2.14 reporting): one row per listed column
+  // with count/nulls/distinct/min/max/mean/stddev/quartiles; `approx:
+  // true` swaps exact percentiles+distincts for GK/HLL++ sketches.
+  register("profile") { (df, c, _) =>
+    Profile.numeric(df, c("columns").strList,
+      c.boolOr("approx", false), c.dblOr("rsd", 0.02),
+      c.intOr("percentile_accuracy", 10000))
+  }
+  // Tokenizer fertility report (§2.14 tokenizer family): tokens/word,
+  // chars/token, unsplit fraction for a merge list (inline or trained).
+  register("tokenizer_stats") { (df, c, _) =>
+    val merges = c.get("merges") match {
+      case Some(ms) => ms.asList.map { m =>
+        val pair = m.strList
+        require(pair.size == 2, s"each merge must be [left, right], got $pair")
+        BpeTrain.Merge(pair(0), pair(1), 0L)
+      }
+      case None => BpeTrain.train(df, c("text_key").str, c("num_merges").int)
+    }
+    BpeTrain.tokenizerStats(df, c("text_key").str, merges)
+  }
+  // Sentence-aligned chunking (§2.14 reshape): whole-sentence chunks of at
+  // most `max_words` words with optional sentence `overlap`.
+  register("chunk_sentences") { (df, c, _) =>
+    Segment.chunkBySentences(df, c("id_key").str, c("text_key").str,
+      c("max_words").int, c.intOr("overlap", 0))
+  }
   // C4-style word blocklist (§2.14 curation): drop rows containing any
   // listed token; `report: true` appends the flag instead of filtering.
   register("word_blocklist") { (df, c, _) =>

@@ -183,6 +183,42 @@ object BpeTrain {
       outCol: String = "tokens"): DataFrame =
     df.withColumn(outCol, tokensCol(col(textCol), merges))
 
+  /** Tokenizer fertility report — the standard tokenizer-evaluation
+    * numbers (tokens/word "fertility", chars/token compression, fraction
+    * of words left unsplit) for a merge list over a corpus: ONE row out.
+    * High fertility on a language slice means the vocab underserves it
+    * (the public multilingual-tokenizer evaluations read exactly these).
+    *
+    * Scale shape: per-row arrays of per-WORD token counts (the same
+    * codegen'd fold chain as [[encode]], evaluated per word inside a
+    * `transform` — each lambda element's cost is that word's own encode,
+    * nothing shared is re-evaluated), reduced to four INTEGER sums in one
+    * aggregation — exact, order-independent, oracle-replayable. */
+  def tokenizerStats(df: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val tokCounts = transform(words, w =>
+      size(merges.foldLeft(charSyms(w))((syms, m) =>
+        applyMergeCol(syms, m.left, m.right))))
+    val perRow = df.select(
+      size(words).cast("bigint").as("_nw"),
+      coalesce(aggregate(tokCounts, lit(0L), (a, x) => a + x), lit(0L))
+        .as("_nt"),
+      coalesce(aggregate(transform(words, w => length(w)), lit(0L),
+        (a, x) => a + x), lit(0L)).as("_nc"),
+      size(filter(tokCounts, c => c === 1)).cast("bigint").as("_nu"))
+    perRow.agg(
+      sum(col("_nw")).as("n_words"), sum(col("_nt")).as("n_tokens"),
+      sum(col("_nc")).as("n_chars"), sum(col("_nu")).as("n_unsplit"))
+      .select(col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6)
+          .as("tokens_per_word"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6)
+          .as("chars_per_token"),
+        round(col("n_unsplit").cast("double") / col("n_words"), 6)
+          .as("unsplit_frac"))
+  }
+
   /** Production-size tokenizer: greedy lowest-rank merging per word with
     * the merge RANKS as one broadcast map — the standard BPE encode
     * algorithm (equivalent to applying the merges sequentially in rank
