@@ -4698,6 +4698,74 @@ object Queries {
                round(n_chars::DOUBLE / n_tokens, 6) AS chars_per_token,
                round(n_unsplit::DOUBLE / n_words, 6) AS unsplit_frac
         FROM ag""")
+    ),
+    (
+      // Per-key quota: top-50 longest documents per source — the
+      // per-domain page cap (C4/RefinedWeb recipe). The row_number <= n
+      // filter is the WindowGroupLimit shape, so map tasks pre-prune to
+      // their partial top-n per key before the one keyed shuffle.
+      "q161_quota_select",
+      (s: SparkSession, dir: String) =>
+        graft.ops.QuotaSelect(t(s, dir, "documents"), "source", n = 50,
+          orderExpr = "length(text)", desc = true, tieBreak = "doc_id")
+          .select(col("doc_id"), col("source"),
+            length(col("text")).cast("bigint").as("n_chars")),
+      Some("""
+        SELECT doc_id, source, length(text)::BIGINT AS n_chars
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source
+                                   ORDER BY length(text) DESC, doc_id)
+                <= 50"""),
+    ),
+    (
+      // Winsorize + Tukey-fence outlier flag on a heavy-tailed derived
+      // score: quantile clip bounds are two driver scalars, the clip and
+      // the flag are pure expressions fused into the scan. Fences land on
+      // binary-exact quarter fractions, so the comparisons are
+      // engine-portable.
+      "q162_winsorize",
+      (s: SparkSession, dir: String) => {
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          (col("doc_id") * col("doc_id") % 97).as("v"))
+        graft.ops.Profile.iqrOutliers(
+          graft.ops.Profile.winsorize(d, "v", pLo = 0.05, pHi = 0.95),
+          "v")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, (doc_id * doc_id) % 97 AS v
+                   FROM documents),
+        q AS (SELECT quantile_cont(v, 0.05) AS lo,
+                     quantile_cont(v, 0.95) AS hi,
+                     quantile_cont(v, 0.25) AS q1,
+                     quantile_cont(v, 0.75) AS q3
+              FROM d)
+        SELECT doc_id, v,
+               round(least(greatest(v::DOUBLE, lo), hi), 6) AS v_winsor,
+               coalesce(v::DOUBLE < q1 - 1.5 * (q3 - q1) OR
+                        v::DOUBLE > q3 + 1.5 * (q3 - q1), false)
+                 AS is_outlier
+        FROM d, q""")
+    ),
+    (
+      // Coverage-target vocabulary: the count-desc token prefix whose
+      // cumulative occurrence share stays <= 90% — frequency-cut vocab
+      // construction through BudgetSelect's distributed prefix machinery
+      // (never a single-partition window).
+      "q163_build_vocab",
+      (s: SparkSession, dir: String) =>
+        graft.ops.VocabCoverage.buildVocab(
+          t(s, dir, "documents"), "text", coverage = 0.9),
+      Some("""
+        WITH wc AS (
+          SELECT w AS token, count(*)::BIGINT AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' GROUP BY 1),
+        t AS (SELECT sum(cnt) AS total FROM wc),
+        c AS (SELECT token, cnt,
+                     sum(cnt) OVER (ORDER BY cnt DESC, token) AS cum
+              FROM wc)
+        SELECT token, cnt FROM c, t
+        WHERE cum <= floor(0.9 * total)""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

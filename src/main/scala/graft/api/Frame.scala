@@ -342,6 +342,17 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(Profile.numeric(df, cols, approx))
   def tokenizerStats(textCol: String, merges: Seq[BpeTrain.Merge]): Frame =
     next(BpeTrain.tokenizerStats(df, textCol, merges))
+  def quotaSelect(keyCol: String, n: Int, orderExpr: String,
+      desc: Boolean = true, tieBreak: String = ""): Frame =
+    next(QuotaSelect(df, keyCol, n, orderExpr, desc, tieBreak))
+  def winsorize(colName: String, pLo: Double = 0.01, pHi: Double = 0.99,
+      approx: Boolean = false): Frame =
+    next(Profile.winsorize(df, colName, pLo, pHi, approx))
+  def iqrOutliers(colName: String, k: Double = 1.5,
+      approx: Boolean = false): Frame =
+    next(Profile.iqrOutliers(df, colName, k, approx))
+  def buildVocab(textCol: String, coverage: Double): Frame =
+    next(VocabCoverage.buildVocab(df, textCol, coverage))
   def corpusOverlap(sliceCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16): Frame =
     next(CorpusOverlap.jaccardMatrix(df, sliceCol, textCol, shingleSize,

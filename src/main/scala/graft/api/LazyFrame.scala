@@ -430,6 +430,20 @@ final case class LazyFrame(
   def tokenizerStats(textKey: String, numMerges: Int): LazyFrame =
     append("tokenizer_stats", "text_key" -> textKey,
       "num_merges" -> numMerges)
+  def quotaSelect(key: String, n: Int, orderBy: String,
+      desc: Boolean = true, tieBreak: String = ""): LazyFrame =
+    append("quota_select", "key" -> key, "n" -> n, "order_by" -> orderBy,
+      "desc" -> desc, "tie_break" -> tieBreak)
+  def winsorize(key: String, pLo: Double = 0.01, pHi: Double = 0.99,
+      approx: Boolean = false): LazyFrame =
+    append("winsorize", "key" -> key, "p_lo" -> pLo, "p_hi" -> pHi,
+      "approx" -> approx)
+  def iqrOutliers(key: String, k: Double = 1.5,
+      approx: Boolean = false): LazyFrame =
+    append("winsorize", "key" -> key, "mode" -> "outliers", "k" -> k,
+      "approx" -> approx)
+  def buildVocab(textKey: String, coverage: Double): LazyFrame =
+    append("build_vocab", "text_key" -> textKey, "coverage" -> coverage)
   def corpusOverlap(sliceKey: String, textKey: String,
       shingleSize: Int = 3, numHashes: Int = 16): LazyFrame =
     append("corpus_overlap", "slice_key" -> sliceKey, "text_key" -> textKey,

@@ -982,6 +982,32 @@ object Registry {
     Segment.chunkBySentences(df, c("id_key").str, c("text_key").str,
       c("max_words").int, c.intOr("overlap", 0))
   }
+  // Per-key quota (§2.14 curation): top-n rows per key by a quality order
+  // — the per-domain page cap of the C4/RefinedWeb recipes.
+  register("quota_select") { (df, c, _) =>
+    QuotaSelect(df, c("key").str, c("n").int, c("order_by").str,
+      c.boolOr("desc", true), c.strOr("tie_break", ""))
+  }
+  // Winsorize / IQR outlier flag (§2.14 curation): quantile-based score
+  // stabilization; `mode: outliers` appends the Tukey-fence flag instead.
+  register("winsorize") { (df, c, _) =>
+    val key = c("key").str
+    val approx = c.boolOr("approx", false)
+    c.strOr("mode", "clip") match {
+      case "clip" => Profile.winsorize(df, key,
+        c.dblOr("p_lo", 0.01), c.dblOr("p_hi", 0.99), approx,
+        outCol = c.strOr("output_key", ""))
+      case "outliers" => Profile.iqrOutliers(df, key, c.dblOr("k", 1.5),
+        approx, outCol = c.strOr("output_key", "is_outlier"))
+      case other => throw new IllegalArgumentException(
+        s"winsorize mode must be clip|outliers, got '$other'")
+    }
+  }
+  // Coverage-target vocabulary (§2.14 tokenizer family): the smallest
+  // count-desc token prefix whose occurrence share stays <= `coverage`.
+  register("build_vocab") { (df, c, _) =>
+    VocabCoverage.buildVocab(df, c("text_key").str, c("coverage").dbl)
+  }
   // C4-style word blocklist (§2.14 curation): drop rows containing any
   // listed token; `report: true` appends the flag instead of filtering.
   register("word_blocklist") { (df, c, _) =>

@@ -43,6 +43,31 @@ object VocabCoverage {
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Build the coverage-target vocabulary: the count-descending token
+    * prefix whose cumulative occurrence share stays ≤ `coverage` — "the
+    * smallest word list covering ~95% of running text", the classic
+    * frequency-cut vocabulary construction (and the word-level analog of
+    * choosing a BPE vocab size). Output: (token, cnt), count desc.
+    *
+    * Scale shape: one corpus-sized word-count agg, then the cumulative cut
+    * runs through [[BudgetSelect]]'s distributed prefix machinery (range-
+    * partitioned sort + per-partition offsets) — never a global
+    * single-partition window. Ties at the cut break token-ascending, so
+    * the vocabulary is deterministic and oracle-replayable. */
+  def buildVocab(df: DataFrame, textCol: String,
+      coverage: Double): DataFrame = {
+    require(coverage > 0 && coverage <= 1,
+      s"coverage must be in (0, 1], got $coverage")
+    val counts = BpeTrain.wordCounts(df, textCol)
+    val total = counts.agg(sum(col("cnt"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val budget = math.floor(coverage * total).toLong
+    BudgetSelect(counts, "cnt", "cnt", budget, "word")
+      .select(col("word").as("token"), col("cnt"))
+  }
+
   /** The corpus's `k` most frequent out-of-vocabulary tokens — the list
     * that drives vocab extension. Deterministic order (count desc, token
     * asc). */

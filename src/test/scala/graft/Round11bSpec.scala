@@ -153,6 +153,58 @@ class Round11bSpec extends SparkSpec {
     assert(st.getAs[Double]("unsplit_frac") == math.rint(2.0 / 3 * 1e6) / 1e6)
   }
 
+  // ------------------------------------------------ quota select
+
+  test("quota select: keeps the best n per key, deterministic ties") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("host", StringType),
+      StructField("score", DoubleType)))
+    val d = df(schema,
+      Row(1L, "a.com", 0.9), Row(2L, "a.com", 0.8), Row(3L, "a.com", 0.8),
+      Row(4L, "a.com", 0.1), Row(5L, "b.com", 0.5))
+    val kept = graft.ops.QuotaSelect(d, "host", 2, "score",
+      tieBreak = "id").select("id").collect().map(_.getLong(0)).toSet
+    // a.com: 0.9 then the 0.8 tie breaks to id=2; b.com under quota
+    assert(kept == Set(1L, 2L, 5L))
+    // asc order flips the pick
+    val asc = graft.ops.QuotaSelect(d, "host", 1, "score", desc = false,
+      tieBreak = "id").select("id").collect().map(_.getLong(0)).toSet
+    assert(asc == Set(4L, 5L))
+  }
+
+  test("quota select plan carries the WindowGroupLimit pre-shuffle prune") {
+    val d = spark.range(100).select(col("id"),
+      (col("id") % 5).as("k"), (col("id") % 7).as("s"))
+    val plan = graft.ops.QuotaSelect(d, "k", 3, "s", tieBreak = "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  // ------------------------------------------------ winsorize / vocab
+
+  test("winsorize clips to quantiles; iqr flags the fences") {
+    val d = spark.range(1, 101).select(col("id").cast("long").as("v"))
+      .union(df(StructType(Seq(StructField("v", LongType))), Row(100000L)))
+    val w = graft.ops.Profile.winsorize(d, "v", 0.01, 0.99)
+    val mx = w.agg(max("v_winsor")).head().getDouble(0)
+    assert(mx < 100000.0) // the spike is clipped to ~p99
+    val o = graft.ops.Profile.iqrOutliers(d, "v")
+    val flagged = o.filter(col("is_outlier")).select("v")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(100000L))
+  }
+
+  test("build vocab: smallest count-desc prefix within the coverage share") {
+    val d = df(docSchema,
+      Row(1L, "a a a a b b b c c d")) // 10 tokens: a=4 b=3 c=2 d=1
+    val v90 = graft.ops.VocabCoverage.buildVocab(d, "text", 0.9)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(v90 == Seq(("a", 4L), ("b", 3L), ("c", 2L))) // cum 9 <= 9
+    val v50 = graft.ops.VocabCoverage.buildVocab(d, "text", 0.5)
+      .collect().map(_.getString(0)).toSeq
+    assert(v50 == Seq("a")) // cum 4 <= 5; +b would be 7 > 5
+  }
+
   // ------------------------------------------------ surfaces
 
   test("round-11 ops run from YAML registry and LazyFrame round-trips") {
@@ -192,5 +244,17 @@ class Round11bSpec extends SparkSpec {
     val lt = LazyFrame.read("docs", s"$dir/docs.parquet")
       .tokenizerStats("text", numMerges = 2)
     assert(lt.run(spark).count() == 1)
+    val lq = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .quotaSelect("lang", 2, "length(text)", tieBreak = "doc_id")
+    assert(lq.run(spark).count() > 0)
+    val lw = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .winsorize("doc_id", 0.1, 0.9)
+    assert(lw.run(spark).columns.contains("doc_id_winsor"))
+    val lo = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .iqrOutliers("doc_id")
+    assert(lo.run(spark).columns.contains("is_outlier"))
+    val lv = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .buildVocab("text", 0.8)
+    assert(lv.run(spark).count() > 0)
   }
 }
