@@ -353,6 +353,15 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(Profile.iqrOutliers(df, colName, k, approx))
   def buildVocab(textCol: String, coverage: Double): Frame =
     next(VocabCoverage.buildVocab(df, textCol, coverage))
+  def classifierEval(labelCol: String, scoreCol: String,
+      threshold: Double = 0.5): Frame =
+    next(ClassifierEval.report(df, labelCol, scoreCol, threshold))
+  def calibrationBins(labelCol: String, scoreCol: String,
+      bins: Int = 10): Frame =
+    next(ClassifierEval.calibrationBins(df, labelCol, scoreCol, bins))
+  def randomProject(embCol: String, outDim: Int, seed: String = "jl",
+      outCol: String = "embedding_jl"): Frame =
+    next(graft.ann.RandomProject.project(df, embCol, outDim, seed, outCol))
   def corpusOverlap(sliceCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16): Frame =
     next(CorpusOverlap.jaccardMatrix(df, sliceCol, textCol, shingleSize,

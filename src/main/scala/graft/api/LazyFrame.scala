@@ -444,6 +444,18 @@ final case class LazyFrame(
       "approx" -> approx)
   def buildVocab(textKey: String, coverage: Double): LazyFrame =
     append("build_vocab", "text_key" -> textKey, "coverage" -> coverage)
+  def classifierEval(labelKey: String, scoreKey: String,
+      threshold: Double = 0.5): LazyFrame =
+    append("classifier_eval", "label_key" -> labelKey,
+      "score_key" -> scoreKey, "threshold" -> threshold)
+  def calibrationBins(labelKey: String, scoreKey: String,
+      bins: Int = 10): LazyFrame =
+    append("classifier_eval", "label_key" -> labelKey,
+      "score_key" -> scoreKey, "mode" -> "calibration", "bins" -> bins)
+  def randomProject(embeddingKey: String, outDim: Int,
+      seed: String = "jl", outputKey: String = "embedding_jl"): LazyFrame =
+    append("random_project", "embedding_key" -> embeddingKey,
+      "out_dim" -> outDim, "seed" -> seed, "output_key" -> outputKey)
   def corpusOverlap(sliceKey: String, textKey: String,
       shingleSize: Int = 3, numHashes: Int = 16): LazyFrame =
     append("corpus_overlap", "slice_key" -> sliceKey, "text_key" -> textKey,

@@ -1008,6 +1008,26 @@ object Registry {
   register("build_vocab") { (df, c, _) =>
     VocabCoverage.buildVocab(df, c("text_key").str, c("coverage").dbl)
   }
+  // Classifier evaluation (§2.14 model loop): confusion + P/R/F1 + exact
+  // mid-rank AUC, or `mode: calibration` reliability bins.
+  register("classifier_eval") { (df, c, _) =>
+    c.strOr("mode", "report") match {
+      case "report" => ClassifierEval.report(df, c("label_key").str,
+        c("score_key").str, c.dblOr("threshold", 0.5))
+      case "calibration" => ClassifierEval.calibrationBins(df,
+        c("label_key").str, c("score_key").str, c.intOr("bins", 10))
+      case other => throw new IllegalArgumentException(
+        s"classifier_eval mode must be report|calibration, got '$other'")
+    }
+  }
+  // JL random projection (§2.14 similarity search): seeded ±1 sign-matrix
+  // dimension reduction; the matrix derives from md5 so any engine can
+  // reproduce it.
+  register("random_project") { (df, c, _) =>
+    graft.ann.RandomProject.project(df, c("embedding_key").str,
+      c("out_dim").int, c.strOr("seed", "jl"),
+      c.strOr("output_key", "embedding_jl"))
+  }
   // C4-style word blocklist (§2.14 curation): drop rows containing any
   // listed token; `report: true` appends the flag instead of filtering.
   register("word_blocklist") { (df, c, _) =>

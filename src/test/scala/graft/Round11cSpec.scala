@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-11: classifier evaluation (AUC/confusion/calibration) and JL
+  * random projection. */
+class Round11cSpec extends SparkSpec {
+
+  private val evalSchema = StructType(Seq(
+    StructField("lbl", LongType), StructField("s", DoubleType)))
+
+  test("classifier eval: perfect separation gives AUC 1, confusion exact") {
+    val d = df(evalSchema,
+      Row(0L, 0.1), Row(0L, 0.2), Row(0L, 0.3),
+      Row(1L, 0.7), Row(1L, 0.8), Row(1L, 0.9))
+    val r = graft.ops.ClassifierEval.report(d, "lbl", "s").head()
+    assert(r.getAs[Long]("tp") == 3 && r.getAs[Long]("tn") == 3)
+    assert(r.getAs[Long]("fp") == 0 && r.getAs[Long]("fn") == 0)
+    assert(r.getAs[Double]("auc") == 1.0)
+    assert(r.getAs[Double]("f1") == 1.0)
+  }
+
+  test("classifier eval: mid-rank tie handling matches the closed form") {
+    // scores: pos {0.5, 0.9}, neg {0.5, 0.1}; the 0.5 tie contributes 1/2.
+    // AUC = (pairs pos>neg + 0.5*ties) / 4 = (3 + 0.5) / 4 = 0.875
+    val d = df(evalSchema,
+      Row(1L, 0.5), Row(1L, 0.9), Row(0L, 0.5), Row(0L, 0.1))
+    val r = graft.ops.ClassifierEval.report(d, "lbl", "s").head()
+    assert(r.getAs[Double]("auc") == 0.875)
+  }
+
+  test("classifier eval: anti-correlated scores give AUC 0") {
+    val d = df(evalSchema,
+      Row(1L, 0.1), Row(1L, 0.2), Row(0L, 0.8), Row(0L, 0.9))
+    val r = graft.ops.ClassifierEval.report(d, "lbl", "s").head()
+    assert(r.getAs[Double]("auc") == 0.0)
+  }
+
+  test("classifier eval: degenerate single-class corpus reports null AUC") {
+    val d = df(evalSchema, Row(1L, 0.5), Row(1L, 0.9))
+    val r = graft.ops.ClassifierEval.report(d, "lbl", "s").head()
+    assert(r.isNullAt(r.fieldIndex("auc")))
+    assert(r.isNullAt(r.fieldIndex("precision")) ||
+      r.getAs[Double]("precision") == 1.0) // all predicted positive
+  }
+
+  test("calibration bins: a calibrated score tracks its positive rate") {
+    // bin 2 (scores .2x): 1 of 4 positive; bin 7: 3 of 4 positive
+    val rows = (0 until 4).map(i => Row(if (i == 0) 1L else 0L, 0.25)) ++
+      (0 until 4).map(i => Row(if (i < 3) 1L else 0L, 0.75))
+    val d = df(evalSchema, rows: _*)
+    val bins = graft.ops.ClassifierEval.calibrationBins(d, "lbl", "s")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("pos_rate"))).toMap
+    assert(bins(2L) == ((4L, 0.25)) && bins(7L) == ((4L, 0.75)))
+    // out-of-range scores clamp to edge bins
+    val e = df(evalSchema, Row(0L, -0.3), Row(1L, 1.7))
+    val eb = graft.ops.ClassifierEval.calibrationBins(e, "lbl", "s")
+      .select("bin").collect().map(_.getLong(0)).toSet
+    assert(eb == Set(0L, 9L))
+  }
+
+  test("random projection: JL approximately preserves pairwise distance") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 60)
+    val proj = graft.ann.RandomProject.project(emb, "embedding", outDim = 32)
+    val rows = proj.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"),
+      col("embedding_jl").as("p")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getSeq[Double](2).toArray))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // squared-distance ratios concentrate near 1 (JL lemma); with k=32 of
+    // 64 dims the ±1 construction stays within a loose [0.3, 3] band for
+    // every pair of this deterministic fixture
+    val ratios = for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      orig = d2(rows(i)._2, rows(j)._2) if orig > 0
+    } yield d2(rows(i)._3, rows(j)._3) / orig
+    assert(ratios.nonEmpty)
+    assert(ratios.forall(r => r > 0.3 && r < 3.0),
+      s"worst ratios: ${ratios.min} .. ${ratios.max}")
+    // and the mean ratio is near 1 (unbiasedness of the ±1 construction)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean ratio $mean")
+  }
+
+  test("random projection: seeded matrix is deterministic and portable") {
+    val m1 = graft.ann.RandomProject.signMatrix(8, 4, "seed-a")
+    val m2 = graft.ann.RandomProject.signMatrix(8, 4, "seed-a")
+    val m3 = graft.ann.RandomProject.signMatrix(8, 4, "seed-b")
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.map(_.toSeq).toSeq != m3.map(_.toSeq).toSeq)
+    assert(m1.flatten.forall(s => s == 1 || s == -1))
+    // ragged and oversize inputs are rejected up front
+    val d = df(StructType(Seq(StructField("e", ArrayType(DoubleType)))),
+      Row(Seq(1.0, 2.0)), Row(Seq(1.0, 2.0, 3.0)))
+    intercept[IllegalArgumentException] {
+      graft.ann.RandomProject.project(d, "e", 2)
+    }
+  }
+
+  test("round-11c ops run from YAML and LazyFrame") {
+    val d = docsDf.select(
+      (col("doc_id") % 2).as("lbl"),
+      (col("doc_id").cast("double") / 10).as("s"))
+    val rep = graft.api.Registry("classifier_eval")(d,
+      graft.api.Conf.fromYaml(
+        "type: classifier_eval\nlabel_key: lbl\nscore_key: s"), null)
+    assert(rep.columns.contains("auc") && rep.count() == 1)
+    val cal = graft.api.Registry("classifier_eval")(d,
+      graft.api.Conf.fromYaml(
+        "type: classifier_eval\nlabel_key: lbl\nscore_key: s\n" +
+          "mode: calibration"), null)
+    assert(cal.columns.contains("pos_rate"))
+
+    val dir = java.nio.file.Files.createTempDirectory("r11c").toString
+    d.write.mode("overwrite").parquet(s"$dir/d.parquet")
+    import graft.api.LazyFrame
+    val lf = LazyFrame.read("d", s"$dir/d.parquet").classifierEval("lbl", "s")
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    assert(lf.run(spark).count() == 1)
+
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val pr = graft.api.Registry("random_project")(emb,
+      graft.api.Conf.fromYaml(
+        "type: random_project\nembedding_key: embedding\nout_dim: 8"), null)
+    assert(pr.select(size(col("embedding_jl"))).head().getInt(0) == 8)
+  }
+}
