@@ -4875,6 +4875,51 @@ object Queries {
                     FOR i IN range(0, 64)]) * 0.25, 6) AS value
           FROM e, UNNEST(range(0, 16)) AS j(j))
         SELECT vec_id, dim, value FROM p""")
+    ),
+    (
+      // PageRank domain authority on a derived 50-vertex multigraph:
+      // ranks are NANO-SCALED INTEGERS and every update is integer
+      // arithmetic (contrib = rank // deg), so three unrolled iterations
+      // replay bit-identically — a float PageRank's per-dst sums would be
+      // shuffle-order dependent (the float-sum gate trap).
+      "q167_pagerank",
+      (s: SparkSession, dir: String) =>
+        graft.graph.PageRank.run(
+          t(s, dir, "documents").select(
+            (col("doc_id") % 50).as("src"),
+            (col("doc_id") * 7 % 50).as("dst")),
+          nIter = 3),
+      Some("""
+        WITH e AS (SELECT doc_id % 50 AS src, (doc_id * 7) % 50 AS dst
+                   FROM documents),
+        v AS (SELECT DISTINCT x AS id FROM
+                (SELECT src AS x FROM e UNION SELECT dst FROM e)),
+        nn AS (SELECT count(*)::BIGINT AS n FROM v),
+        od AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+        r0 AS (SELECT id, (SELECT 1000000000::BIGINT // n FROM nn) AS rk
+               FROM v),
+        c1 AS (SELECT e.dst AS id, sum(r0.rk // od.deg)::BIGINT AS s
+               FROM e JOIN r0 ON e.src = r0.id JOIN od ON e.src = od.src
+               GROUP BY 1),
+        r1 AS (SELECT v.id,
+                 (SELECT (15 * 1000000000::BIGINT) // (100 * n) FROM nn) +
+                 (85 * coalesce(c1.s, 0)) // 100 AS rk
+               FROM v LEFT JOIN c1 USING (id)),
+        c2 AS (SELECT e.dst AS id, sum(r1.rk // od.deg)::BIGINT AS s
+               FROM e JOIN r1 ON e.src = r1.id JOIN od ON e.src = od.src
+               GROUP BY 1),
+        r2 AS (SELECT v.id,
+                 (SELECT (15 * 1000000000::BIGINT) // (100 * n) FROM nn) +
+                 (85 * coalesce(c2.s, 0)) // 100 AS rk
+               FROM v LEFT JOIN c2 USING (id)),
+        c3 AS (SELECT e.dst AS id, sum(r2.rk // od.deg)::BIGINT AS s
+               FROM e JOIN r2 ON e.src = r2.id JOIN od ON e.src = od.src
+               GROUP BY 1),
+        r3 AS (SELECT v.id,
+                 (SELECT (15 * 1000000000::BIGINT) // (100 * n) FROM nn) +
+                 (85 * coalesce(c3.s, 0)) // 100 AS rk
+               FROM v LEFT JOIN c3 USING (id))
+        SELECT id, round(rk / 1000000000.0, 9) AS rank FROM r3""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

@@ -362,6 +362,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def randomProject(embCol: String, outDim: Int, seed: String = "jl",
       outCol: String = "embedding_jl"): Frame =
     next(graft.ann.RandomProject.project(df, embCol, outDim, seed, outCol))
+  def pagerank(srcCol: String, dstCol: String, iterations: Int = 10,
+      dampingPct: Int = 85): Frame =
+    next(graft.graph.PageRank.run(df.select(srcCol, dstCol),
+      iterations, dampingPct))
   def corpusOverlap(sliceCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16): Frame =
     next(CorpusOverlap.jaccardMatrix(df, sliceCol, textCol, shingleSize,

@@ -456,6 +456,10 @@ final case class LazyFrame(
       seed: String = "jl", outputKey: String = "embedding_jl"): LazyFrame =
     append("random_project", "embedding_key" -> embeddingKey,
       "out_dim" -> outDim, "seed" -> seed, "output_key" -> outputKey)
+  def pagerank(srcKey: String, dstKey: String, iterations: Int = 10,
+      dampingPct: Int = 85): LazyFrame =
+    append("pagerank", "src_key" -> srcKey, "dst_key" -> dstKey,
+      "iterations" -> iterations, "damping_pct" -> dampingPct)
   def corpusOverlap(sliceKey: String, textKey: String,
       shingleSize: Int = 3, numHashes: Int = 16): LazyFrame =
     append("corpus_overlap", "slice_key" -> sliceKey, "text_key" -> textKey,

@@ -1020,6 +1020,13 @@ object Registry {
         s"classifier_eval mode must be report|calibration, got '$other'")
     }
   }
+  // PageRank domain authority (§2.14 graph): deterministic nano-integer
+  // iterations over this frame's (src, dst) edge columns.
+  register("pagerank") { (df, c, _) =>
+    graft.graph.PageRank.run(
+      df.select(c("src_key").str, c("dst_key").str),
+      c.intOr("iterations", 10), c.intOr("damping_pct", 85))
+  }
   // JL random projection (§2.14 similarity search): seeded ±1 sign-matrix
   // dimension reduction; the matrix derives from md5 so any engine can
   // reproduce it.

@@ -104,6 +104,43 @@ class Round11cSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ pagerank
+
+  private val edgeSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType)))
+
+  test("pagerank: authority concentrates on the pointed-at vertex") {
+    // star: 1,2,3 all point at 0; 0 points at 1
+    val e = df(edgeSchema,
+      Row(1L, 0L), Row(2L, 0L), Row(3L, 0L), Row(0L, 1L))
+    // star mass oscillates between 0 and 1 with decay 0.85² per round —
+    // run enough iterations for the converged ordering r0 > r1 > leaves
+    val r = graft.graph.PageRank.run(e, nIter = 60)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L))
+    assert(r(0L) > r(1L) && r(1L) > r(2L))
+    assert(r(2L) == r(3L)) // symmetric leaves tie exactly (integer math)
+  }
+
+  test("pagerank: symmetric cycle is uniform, mass stays bounded") {
+    val e = df(edgeSchema, Row(0L, 1L), Row(1L, 2L), Row(2L, 0L))
+    val r = graft.graph.PageRank.run(e, nIter = 20)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // a 3-cycle is exactly uniform at every iteration
+    assert(r.values.toSet.size == 1)
+    assert(math.abs(r.values.sum - 1.0) < 1e-3) // integer-truncation leak only
+  }
+
+  test("pagerank: deterministic across reruns and partitionings") {
+    val e = df(edgeSchema, (0 until 40).map(i =>
+      Row((i % 8).toLong, ((i * 3) % 8).toLong)): _*)
+    val a = graft.graph.PageRank.run(e, nIter = 5)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = graft.graph.PageRank.run(e.repartition(7), nIter = 5)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("round-11c ops run from YAML and LazyFrame") {
     val d = docsDf.select(
       (col("doc_id") % 2).as("lbl"),
@@ -131,5 +168,14 @@ class Round11cSpec extends SparkSpec {
       graft.api.Conf.fromYaml(
         "type: random_project\nembedding_key: embedding\nout_dim: 8"), null)
     assert(pr.select(size(col("embedding_jl"))).head().getInt(0) == 8)
+
+    val edges = df(edgeSchema, Row(0L, 1L), Row(1L, 0L))
+    val prk = graft.api.Registry("pagerank")(edges,
+      graft.api.Conf.fromYaml(
+        "type: pagerank\nsrc_key: src\ndst_key: dst\niterations: 3"), null)
+    assert(prk.count() == 2)
+    val lpr = LazyFrame.read("d", s"$dir/d.parquet")
+      .pagerank("lbl", "lbl", iterations = 2)
+    assert(lpr.run(spark).count() > 0)
   }
 }
