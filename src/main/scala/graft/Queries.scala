@@ -4920,6 +4920,115 @@ object Queries {
                  (85 * coalesce(c3.s, 0)) // 100 AS rk
                FROM v LEFT JOIN c3 USING (id))
         SELECT id, round(rk / 1000000000.0, 9) AS rank FROM r3""")
+    ),
+    (
+      // Flesch Reading Ease + FK grade: words / sentences / vowel-group
+      // syllables, all pure regexp/fold counts fused into the scan. Same
+      // planted punctuation as q141 gives variable sentence counts.
+      "q168_readability",
+      (s: SparkSession, dir: String) => {
+        val withPunct = concat_ws(" ", transform(
+          filter(split(col("text"), " "), w => length(w) > 0), w =>
+            when(conv(substring(md5(w), 1, 13), 16, 10).cast("bigint")
+              % 9 === 0, concat(w, lit("."))).otherwise(w)))
+        graft.ops.Readability.report(
+          t(s, dir, "documents").withColumn("_t2", withPunct)
+            .select("doc_id", "_t2"), "_t2")
+          .select("doc_id", "n_words", "n_sentences", "n_syllables",
+            "flesch_reading_ease", "fk_grade")
+      },
+      Some("""
+        WITH t2 AS (
+          SELECT doc_id,
+                 array_to_string(list_transform(
+                   list_filter(string_split(text, ' '), w -> w <> ''),
+                   w -> CASE WHEN ('0x' || substr(md5(w), 1, 13))::UBIGINT
+                               % 9 = 0
+                        THEN w || '.' ELSE w END), ' ') AS t
+          FROM documents),
+        mk AS (
+          SELECT doc_id, t,
+                 list_transform(
+                   list_filter(string_split(t, ' '), w -> w <> ''),
+                   w -> CASE WHEN regexp_matches(w, '[.!?]["'')\]]*$')
+                        THEN w || chr(30) ELSE w END) AS marked
+          FROM t2),
+        f AS (
+          SELECT doc_id, t, len(marked)::BIGINT AS n_words,
+                 greatest(CASE WHEN len(marked) = 0 THEN 0
+                   ELSE len(list_filter(string_split(
+                     list_reduce(marked, (acc, x) ->
+                       CASE WHEN ends_with(acc, chr(30)) THEN acc || x
+                            ELSE acc || ' ' || x END), chr(30)),
+                     c -> c <> '')) END, 1)::BIGINT AS n_sentences,
+                 len(regexp_extract_all(lower(t), '[aeiouy]+'))::BIGINT
+                   AS n_syllables
+          FROM mk)
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CASE WHEN n_words > 0 THEN
+                 round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                   - 84.6 * (n_syllables::DOUBLE / n_words), 6)
+               END AS flesch_reading_ease,
+               CASE WHEN n_words > 0 THEN
+                 round(0.39 * (n_words::DOUBLE / n_sentences)
+                   + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 6)
+               END AS fk_grade
+        FROM f""")
+    ),
+    (
+      // Code-vs-prose detection: symbol density, indent ratio, keyword
+      // hits + weighted score. Fixture plants code-shaped / prose tails
+      // per doc_id%3 arm; the gate carries only numeric columns (the
+      // planted text embeds newlines — the chat-render hash lesson).
+      "q169_code_detect",
+      (s: SparkSession, dir: String) => {
+        val planted = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\ndef foo(x):\n  return (x + y);\n\tval z = {w}"))
+            .when(col("doc_id") % 3 === 1,
+              lit(" plain prose continues here with words."))
+            .otherwise(lit("\nimport os\n  let v = [1];")))
+        graft.ops.CodeDetect.report(
+          t(s, dir, "documents").withColumn("_t2", planted)
+            .select("doc_id", "_t2"), "_t2")
+          .select("doc_id", "symbol_density", "indent_ratio",
+            "keyword_hits", "code_score", "is_code")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, text || CASE doc_id % 3
+            WHEN 0 THEN chr(10) || 'def foo(x):' || chr(10) ||
+                        '  return (x + y);' || chr(10) || chr(9) ||
+                        'val z = {w}'
+            WHEN 1 THEN ' plain prose continues here with words.'
+            ELSE chr(10) || 'import os' || chr(10) || '  let v = [1];'
+            END AS t
+          FROM documents),
+        sig AS (
+          SELECT doc_id,
+            round(len(regexp_extract_all(t, '[{}();=<>\[\]#]'))::DOUBLE /
+              greatest(length(t), 1), 6) AS symbol_density,
+            round(len(list_filter(
+                list_filter(string_split(t, chr(10)), l -> l <> ''),
+                l -> l LIKE '  %' OR l LIKE chr(9) || '%'))::DOUBLE /
+              greatest(len(list_filter(string_split(t, chr(10)),
+                l -> l <> '')), 1), 6) AS indent_ratio,
+            len(list_filter(
+              string_split_regex(lower(t), '[ \n\t]+'),
+              w -> w IN ('def', 'val', 'var', 'let', 'return', 'import',
+                'class', 'func', 'fn', 'pub', 'const', 'void', 'int',
+                'elif', 'lambda', 'static', 'struct', 'impl', 'public',
+                'private')))::BIGINT AS keyword_hits
+          FROM p),
+        sc AS (
+          SELECT doc_id, symbol_density, indent_ratio, keyword_hits,
+                 round(least(symbol_density * 4, 1.0) * 0.4 +
+                   indent_ratio * 0.3 +
+                   least(keyword_hits / 5.0, 1.0) * 0.3, 6) AS code_score
+          FROM sig)
+        SELECT doc_id, symbol_density, indent_ratio, keyword_hits,
+               code_score, code_score > 0.25 AS is_code
+        FROM sc""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

@@ -366,6 +366,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       dampingPct: Int = 85): Frame =
     next(graft.graph.PageRank.run(df.select(srcCol, dstCol),
       iterations, dampingPct))
+  def readability(textCol: String): Frame =
+    next(Readability.report(df, textCol))
+  def codeDetect(textCol: String, threshold: Double = 0.25): Frame =
+    next(CodeDetect.report(df, textCol, threshold))
   def corpusOverlap(sliceCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16): Frame =
     next(CorpusOverlap.jaccardMatrix(df, sliceCol, textCol, shingleSize,

@@ -460,6 +460,10 @@ final case class LazyFrame(
       dampingPct: Int = 85): LazyFrame =
     append("pagerank", "src_key" -> srcKey, "dst_key" -> dstKey,
       "iterations" -> iterations, "damping_pct" -> dampingPct)
+  def readability(textKey: String): LazyFrame =
+    append("readability", "text_key" -> textKey)
+  def codeDetect(textKey: String, threshold: Double = 0.25): LazyFrame =
+    append("code_detect", "text_key" -> textKey, "threshold" -> threshold)
   def corpusOverlap(sliceKey: String, textKey: String,
       shingleSize: Int = 3, numHashes: Int = 16): LazyFrame =
     append("corpus_overlap", "slice_key" -> sliceKey, "text_key" -> textKey,

@@ -1020,6 +1020,16 @@ object Registry {
         s"classifier_eval mode must be report|calibration, got '$other'")
     }
   }
+  // Readability (§2.14 text quality): Flesch Reading Ease + FK grade from
+  // pure regexp/fold counts.
+  register("readability") { (df, c, _) =>
+    Readability.report(df, c("text_key").str)
+  }
+  // Code-vs-prose detection (§2.14 text quality): symbol density, indent
+  // ratio, keyword hits + weighted score and flag.
+  register("code_detect") { (df, c, _) =>
+    CodeDetect.report(df, c("text_key").str, c.dblOr("threshold", 0.25))
+  }
   // PageRank domain authority (§2.14 graph): deterministic nano-integer
   // iterations over this frame's (src, dst) edge columns.
   register("pagerank") { (df, c, _) =>

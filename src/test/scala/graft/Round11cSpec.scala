@@ -141,6 +141,51 @@ class Round11cSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  // ------------------------------------------------ readability / code
+
+  private val docSchema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  test("readability: known sentence gives the textbook FK numbers") {
+    // "the cat sat on the mat." -> 6 words, 1 sentence, 6 syllables
+    val d = df(docSchema, Row(1L, "the cat sat on the mat."))
+    val r = graft.ops.Readability.report(d, "text").head()
+    assert(r.getAs[Long]("n_words") == 6)
+    assert(r.getAs[Long]("n_sentences") == 1)
+    assert(r.getAs[Long]("n_syllables") == 6)
+    // FRE = 206.835 - 1.015*6 - 84.6*1 = 116.145
+    assert(r.getAs[Double]("flesch_reading_ease") == 116.145)
+    // FK = 0.39*6 + 11.8*1 - 15.59 = -1.45
+    assert(math.abs(r.getAs[Double]("fk_grade") - (-1.45)) < 1e-9)
+    // empty text: null scores, sentence floor of 1
+    val e = graft.ops.Readability.report(
+      df(docSchema, Row(2L, "")), "text").head()
+    assert(e.getAs[Long]("n_words") == 0)
+    assert(e.isNullAt(e.fieldIndex("flesch_reading_ease")))
+  }
+
+  test("readability: vowel-group syllables count polysyllabic words") {
+    val d = df(docSchema, Row(1L, "un be liev able."))
+    // groups: u, e, ie, a+e -> "unbelievable" split visible: u/e/ie/a,e
+    val r = graft.ops.Readability.report(d, "text").head()
+    assert(r.getAs[Long]("n_syllables") == 5)
+  }
+
+  test("code detect: code scores high, prose scores low") {
+    val code = "def foo(x):\n  return (x + y);\n  val z = {w}\n\tlet q = [1]"
+    val prose = "the quiet afternoon drifted along while children " +
+      "played outside near the old oak tree"
+    val d = df(docSchema, Row(1L, code), Row(2L, prose))
+    val out = graft.ops.CodeDetect.report(d, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("is_code"))
+    assert(!out(2L).getAs[Boolean]("is_code"))
+    assert(out(1L).getAs[Long]("keyword_hits") >= 4) // def return val let
+    assert(out(1L).getAs[Double]("indent_ratio") > 0.4)
+    assert(out(2L).getAs[Double]("symbol_density") == 0.0)
+    assert(out(2L).getAs[Long]("keyword_hits") == 0)
+  }
+
   test("round-11c ops run from YAML and LazyFrame") {
     val d = docsDf.select(
       (col("doc_id") % 2).as("lbl"),
@@ -177,5 +222,17 @@ class Round11cSpec extends SparkSpec {
     val lpr = LazyFrame.read("d", s"$dir/d.parquet")
       .pagerank("lbl", "lbl", iterations = 2)
     assert(lpr.run(spark).count() > 0)
+
+    val rd = graft.api.Registry("readability")(docsDf,
+      graft.api.Conf.fromYaml("type: readability\ntext_key: text"), null)
+    assert(rd.columns.contains("fk_grade"))
+    val cd = graft.api.Registry("code_detect")(docsDf,
+      graft.api.Conf.fromYaml("type: code_detect\ntext_key: text"), null)
+    assert(cd.columns.contains("code_score"))
+    docsDf.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    assert(LazyFrame.read("docs", s"$dir/docs.parquet")
+      .readability("text").run(spark).count() == docsDf.count())
+    assert(LazyFrame.read("docs", s"$dir/docs.parquet")
+      .codeDetect("text").run(spark).count() == docsDf.count())
   }
 }
