@@ -640,4 +640,81 @@ class PropertySpec extends SparkSpec {
         assert(r.getLong(5) <= r.getLong(4))
       }
   }
+
+  test("property: sentence chunks reassemble to the sentence stream") {
+    // overlap = 0: concatenating a doc's chunks in order recovers exactly
+    // the space-joined sentence sequence (no sentence lost or duplicated),
+    // and every chunk except possibly single-oversize-sentence ones fits
+    // the budget.
+    val punctDoc: Gen[String] = for {
+      n <- Gen.choose(1, 40)
+      ws <- Gen.listOfN(n, word)
+      marks <- Gen.listOfN(n, Gen.oneOf(true, false, false, false))
+    } yield ws.zip(marks).map { case (w, m) => if (m) w + "." else w }
+      .mkString(" ")
+    val docs = samples(punctDoc, 30).filter(_.nonEmpty)
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType))),
+      docs.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }: _*)
+    val maxWords = 6
+    val rebuilt = graft.ops.Segment.chunkBySentences(d, "id", "text",
+      maxWords).groupBy(col("id"))
+      .agg(concat_ws(" ", sort_array(collect_list(
+        struct(col("chunk_idx"), col("chunk")))).getField("chunk"))
+        .as("rebuilt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.zipWithIndex.foreach { case (t, i) =>
+      val normalized = t.split(" ").filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt(i.toLong) == normalized, s"doc $i did not round-trip")
+    }
+    // budget: a chunk over maxWords must be a single (oversize) sentence
+    graft.ops.Segment.chunkBySentences(d, "id", "text", maxWords)
+      .collect().foreach { r =>
+        val chunk = r.getString(3)
+        val words = chunk.split(" ").filter(_.nonEmpty)
+        if (words.length > maxWords) {
+          // only the final word may carry the sentence terminator
+          assert(!words.init.exists(_.matches(".*[.!?][\"')\\]]*$")),
+            s"multi-sentence chunk over budget: '$chunk'")
+        }
+      }
+  }
+
+  test("property: winsorize clamps into the quantile band order-free") {
+    val valuesGen = Gen.listOfN(60, Gen.choose(-1000L, 1000L))
+    samples(valuesGen, 5).foreach { vs =>
+      val d = df(StructType(Seq(StructField("v", LongType))),
+        vs.map(Row(_)): _*)
+      val out = graft.ops.Profile.winsorize(d, "v", 0.1, 0.9)
+        .select("v", "v_winsor").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      val sorted = vs.sorted
+      def q(p: Double): Double = {
+        val rank = p * (sorted.size - 1)
+        val lo = sorted(rank.toInt)
+        val hi = sorted(math.min(rank.toInt + 1, sorted.size - 1))
+        lo + (rank - rank.toInt) * (hi - lo)
+      }
+      val (lo, hi) = (q(0.1), q(0.9))
+      out.foreach { case (v, w) =>
+        val expect = math.rint(math.min(math.max(v.toDouble, lo), hi) * 1e6) / 1e6
+        assert(math.abs(w - expect) < 1e-9, s"v=$v got $w want $expect")
+      }
+    }
+  }
+
+  test("property: pagerank mass is conserved up to truncation leak") {
+    val edgesGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+    samples(edgesGen, 4).foreach { es =>
+      val d = df(StructType(Seq(StructField("src", LongType),
+        StructField("dst", LongType))), es.map { case (s, t) => Row(s, t) }: _*)
+      val ranks = graft.graph.PageRank.run(d, nIter = 5)
+        .collect().map(_.getDouble(1))
+      // every vertex with out-edges keeps mass; total stays in (0, 1]
+      assert(ranks.forall(_ >= 0.0))
+      assert(ranks.sum <= 1.0 + 1e-9)
+      assert(ranks.sum > 0.1) // leak is nano-truncation, not collapse
+    }
+  }
 }
