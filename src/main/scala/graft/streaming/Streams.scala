@@ -286,6 +286,53 @@ object Streams {
       }
   }
 
+  /** Streaming per-key admission quota — the live counterpart of
+    * [[graft.ops.QuotaSelect]]: admit a row only while its key has
+    * admitted fewer than `n` rows. An infinite stream has no global
+    * quality order, so admission is first-come (within a micro-batch the
+    * group's arrivals admit in id order — the shuffled iterator's order
+    * is partition order, not arrival order, and sorting by id makes the
+    * admitted set deterministic across runs and parallelism). The
+    * ingestion guard that stops one hot host from flooding a live crawl.
+    *
+    * State = ONE Long counter per key (fixed size); `stateTtl` (sliding,
+    * processing-time) resets an idle key's budget — a host quiet past
+    * the TTL earns a fresh quota, which is usually the wanted policy for
+    * rolling ingestion windows.
+    *
+    * Input needs (id: Long) plus `keyCol`; emits admitted (id, key). */
+  def quotaByKey(
+      rows: Dataset[Row],
+      keyCol: String,
+      n: Int,
+      stateTtl: Option[String] = None): Dataset[(Long, String)] = {
+    require(n >= 1, s"quota must be >= 1, got $n")
+    import rows.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.selectExpr("id", s"cast($keyCol as string) as _k")
+      .as[(Long, String)](Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String)](
+        OutputMode.Append(), timeoutConf) {
+        case (_, items, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle key: budget resets on next arrival
+            Iterator.empty
+          } else {
+            val used = state.getOption.getOrElse(0L)
+            val room = n - used.toInt
+            val admitted =
+              if (room <= 0) Seq.empty
+              else items.toSeq.sortBy(_._1).take(room)
+            state.update(used + admitted.size)
+            stateTtl.foreach(state.setTimeoutDuration)
+            admitted.iterator
+          }
+      }
+  }
+
   /** Event-time variant of [[dedupExact]]'s TTL: fingerprints are evicted
     * when the WATERMARK passes their last-seen event time + `stateTtl` —
     * wall-clock independent, so replaying a checkpointed stream (or

@@ -236,6 +236,27 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 3L, 5L)) // 2 deduped in-batch, 4 across batches
   }
 
+  test("streaming quotaByKey admits first-n per key within and across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "host")
+    val admitted = Streams.quotaByKey(docs.toDF(), "host", n = 2)
+    val q = admitted.toDF("id", "key").writeStream.format("memory")
+      .queryName("stream_quota").outputMode(OutputMode.Append()).start()
+    // batch 1: host a floods with 3, host b sends 1
+    input.addData((3L, "a"), (1L, "a"), (2L, "a"), (10L, "b"))
+    q.processAllAvailable()
+    // batch 2: a is already at quota; b admits one more then stops
+    input.addData((4L, "a"), (11L, "b"), (12L, "b"))
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT id FROM stream_quota")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    // in-batch admission is id-ordered (deterministic): a keeps {1,2}
+    assert(ids == Set(1L, 2L, 10L, 11L))
+  }
+
   // With ProcessingTimeTimeout the engine keeps scheduling timeout-check
   // batches, so `processAllAvailable` never sees a quiescent stream — the
   // TTL tests poll the sink instead (a real trigger interval paces the
