@@ -5029,6 +5029,34 @@ object Queries {
         SELECT doc_id, symbol_density, indent_ratio, keyword_hits,
                code_score, code_score > 0.25 AS is_code
         FROM sc""")
+    ),
+    (
+      // Data-contract validation report: three rules (text length floor,
+      // lang allowlist, doc_id ceiling) with NAMED violations in
+      // declaration order — every rule a pure expression fused into the
+      // scan; violations join with ';' so the report is a plain string.
+      "q170_schema_validate",
+      (s: SparkSession, dir: String) => {
+        import graft.ops.SchemaValidate._
+        graft.ops.SchemaValidate.report(t(s, dir, "documents"),
+          Seq(minLength("text", 200),
+            enumValues("lang", Seq("en", "de", "fr")),
+            maxValue("doc_id", 400)))
+          .select("doc_id", "violations", "valid")
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id,
+                 list_filter([
+                   CASE WHEN length(text) < 200 THEN 'text:min_length' END,
+                   CASE WHEN lang NOT IN ('en', 'de', 'fr')
+                        THEN 'lang:enum' END,
+                   CASE WHEN doc_id > 400 THEN 'doc_id:max' END],
+                   x -> x IS NOT NULL) AS vs
+          FROM documents)
+        SELECT doc_id, coalesce(array_to_string(vs, ';'), '') AS violations,
+               len(vs) = 0 AS valid
+        FROM v""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

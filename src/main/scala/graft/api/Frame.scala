@@ -368,6 +368,12 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       iterations, dampingPct))
   def readability(textCol: String): Frame =
     next(Readability.report(df, textCol))
+  def schemaValidate(rules: Seq[SchemaValidate.Rule]): Frame =
+    next(SchemaValidate.report(df, rules))
+  def schemaClean(rules: Seq[SchemaValidate.Rule]): Frame =
+    next(SchemaValidate.clean(df, rules))
+  def schemaSummary(rules: Seq[SchemaValidate.Rule]): Frame =
+    next(SchemaValidate.summary(df, rules))
   def codeDetect(textCol: String, threshold: Double = 0.25): Frame =
     next(CodeDetect.report(df, textCol, threshold))
   def corpusOverlap(sliceCol: String, textCol: String,

@@ -462,6 +462,21 @@ final case class LazyFrame(
       "iterations" -> iterations, "damping_pct" -> dampingPct)
   def readability(textKey: String): LazyFrame =
     append("readability", "text_key" -> textKey)
+  /** rules: (column, check, value) triples; enum values join with ','. */
+  def schemaValidate(rules: Seq[(String, String, String)],
+      mode: String = "report"): LazyFrame =
+    append("schema_validate", "mode" -> mode,
+      "rules" -> LazyFrame.jlist(rules.map { case (c, chk, v) =>
+        val m = LazyFrame.jmap("column" -> c, "check" -> chk)
+        chk match {
+          case "not_null" => ()
+          case "enum" => m.put("values", LazyFrame.jlist(v.split(',').toSeq))
+          case "min_length" | "max_length" => m.put("value", v.toInt)
+          case "min" | "max" => m.put("value", v.toDouble)
+          case _ => m.put("value", v)
+        }
+        m
+      }))
   def codeDetect(textKey: String, threshold: Double = 0.25): LazyFrame =
     append("code_detect", "text_key" -> textKey, "threshold" -> threshold)
   def corpusOverlap(sliceKey: String, textKey: String,

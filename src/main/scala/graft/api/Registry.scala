@@ -1020,6 +1020,18 @@ object Registry {
         s"classifier_eval mode must be report|calibration, got '$other'")
     }
   }
+  // Data-contract validation (§2.14 quality gate): per-column checks with
+  // named violations; modes report (default) / clean / summary.
+  register("schema_validate") { (df, c, _) =>
+    val rules = SchemaValidate.fromConf(c("rules").asList)
+    c.strOr("mode", "report") match {
+      case "report" => SchemaValidate.report(df, rules)
+      case "clean" => SchemaValidate.clean(df, rules)
+      case "summary" => SchemaValidate.summary(df, rules)
+      case other => throw new IllegalArgumentException(
+        s"schema_validate mode must be report|clean|summary, got '$other'")
+    }
+  }
   // Readability (§2.14 text quality): Flesch Reading Ease + FK grade from
   // pure regexp/fold counts.
   register("readability") { (df, c, _) =>

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-11: declarative data-contract validation. */
+class Round11dSpec extends SparkSpec {
+
+  import graft.ops.SchemaValidate
+  import graft.ops.SchemaValidate._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("score", DoubleType)))
+
+  private def fixture = df(schema,
+    Row(1L, "long enough text here", "en", 0.5),
+    Row(2L, "short", "en", 0.5),
+    Row(3L, null, "xx", 1.5),
+    Row(4L, "also long enough text", "de", -0.1),
+    Row(5L, "fine text with url http://a.b", "en", 0.0))
+
+  private val rules = Seq(
+    notNull("text"), minLength("text", 10),
+    enumValues("lang", Seq("en", "de", "fr")),
+    minValue("score", 0.0), maxValue("score", 1.0))
+
+  test("schema validate: named violations in declaration order") {
+    val out = SchemaValidate.report(fixture, rules)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("violations"), r.getAs[Boolean]("valid"))).toMap
+    assert(out(1L) == (("", true)))
+    assert(out(2L) == (("text:min_length", false)))
+    // null text: ONLY not_null fires (min_length skips nulls); enum + max
+    // fire on the other columns in declaration order
+    assert(out(3L) == (("text:not_null;lang:enum;score:max", false)))
+    assert(out(4L) == (("score:min", false)))
+    assert(out(5L) == (("", true)))
+  }
+
+  test("schema validate: clean keeps only contract-passing rows") {
+    val kept = SchemaValidate.clean(fixture, rules)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L))
+  }
+
+  test("schema validate: summary totals per violation") {
+    val sum = SchemaValidate.summary(fixture, rules)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum == Map("text:not_null" -> 1L, "text:min_length" -> 1L,
+      "lang:enum" -> 1L, "score:max" -> 1L, "score:min" -> 1L))
+  }
+
+  test("schema validate: regex and length ceilings") {
+    val d = df(schema,
+      Row(1L, "http://ok.example", "en", 0.1),
+      Row(2L, "not a url", "en", 0.1),
+      Row(3L, "x" * 50, "en", 0.1))
+    val r = Seq(regexMatch("text", "https?://.*"), maxLength("text", 40))
+    val out = SchemaValidate.report(d, r)
+      .collect().map(x => x.getLong(0) -> x.getAs[String]("violations")).toMap
+    assert(out(1L) == "")
+    assert(out(2L) == "text:regex")
+    assert(out(3L) == "text:regex;text:max_length")
+  }
+
+  test("schema validate: YAML registry modes and LazyFrame round-trip") {
+    val yaml =
+      """type: schema_validate
+        |rules:
+        |  - { column: text, check: min_length, value: 10 }
+        |  - { column: lang, check: enum, values: [en, de, fr] }
+        |""".stripMargin
+    val rep = graft.api.Registry("schema_validate")(fixture,
+      graft.api.Conf.fromYaml(yaml), null)
+    assert(rep.columns.contains("violations"))
+    val cleanDf = graft.api.Registry("schema_validate")(fixture,
+      graft.api.Conf.fromYaml(yaml + "mode: clean\n"), null)
+    assert(cleanDf.count() == 3) // 1, 4, 5 pass these two rules
+    val sm = graft.api.Registry("schema_validate")(fixture,
+      graft.api.Conf.fromYaml(yaml + "mode: summary\n"), null)
+    assert(sm.columns.toSeq == Seq("violation", "n_rows"))
+
+    val dir = java.nio.file.Files.createTempDirectory("r11d").toString
+    fixture.write.mode("overwrite").parquet(s"$dir/d.parquet")
+    import graft.api.LazyFrame
+    val lf = LazyFrame.read("d", s"$dir/d.parquet")
+      .schemaValidate(Seq(("text", "min_length", "10"),
+        ("lang", "enum", "en,de,fr")))
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    assert(lf.run(spark).count() == fixture.count())
+  }
+}
