@@ -5057,6 +5057,62 @@ object Queries {
         SELECT doc_id, coalesce(array_to_string(vs, ';'), '') AS violations,
                len(vs) = 0 AS valid
         FROM v""")
+    ),
+    (
+      // Trigram Stupid Backoff (Brants 2007): counts train on the EVEN
+      // half of the corpus, every document scores against them — odd docs
+      // hit unseen trigrams/bigrams, so all three backoff arms (and the
+      // OOV floor) are oracle-exercised. One trigram explode + three
+      // vocab-sized count aggs + left hash joins; never a self-join.
+      "q171_stupid_backoff",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        graft.ops.StupidBackoff.perDoc(docs, "doc_id", "text",
+          ref = Some(docs.filter(col("doc_id") % 2 === 0)))
+      },
+      Some("""
+        WITH ref AS (
+          SELECT list_filter(string_split(text, ' '), w -> w <> '') AS t
+          FROM documents WHERE doc_id % 2 = 0),
+        uni AS (
+          SELECT w AS w3, count(*)::DOUBLE AS c1
+          FROM (SELECT unnest(t) AS w FROM ref) GROUP BY 1),
+        tot AS (SELECT sum(c1) AS total FROM uni),
+        bi AS (
+          SELECT t[i] AS w2, t[i+1] AS w3, count(*)::DOUBLE AS c2
+          FROM ref, UNNEST(range(1, len(t))) AS x(i)
+          GROUP BY 1, 2),
+        ctx2 AS (SELECT w2, sum(c2) AS cw2 FROM bi GROUP BY 1),
+        tri AS (
+          SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3,
+                 count(*)::DOUBLE AS c3
+          FROM ref, UNNEST(range(1, len(t) - 1)) AS x(i)
+          WHERE len(t) >= 3
+          GROUP BY 1, 2, 3),
+        ctx3 AS (SELECT w1, w2, sum(c3) AS cw12 FROM tri GROUP BY 1, 2),
+        d AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS t
+          FROM documents),
+        pos AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+          FROM d, UNNEST(range(1, len(t) - 1)) AS x(i)
+          WHERE len(t) >= 3),
+        sc AS (
+          SELECT doc_id,
+                 CASE WHEN tri.c3 IS NOT NULL THEN tri.c3 / ctx3.cw12
+                      WHEN bi.c2 IS NOT NULL THEN 0.4 * bi.c2 / ctx2.cw2
+                      ELSE (0.4 * 0.4) * coalesce(uni.c1, 1.0) /
+                           (SELECT total FROM tot)
+                 END AS s
+          FROM pos
+            LEFT JOIN tri USING (w1, w2, w3)
+            LEFT JOIN ctx3 USING (w1, w2)
+            LEFT JOIN bi USING (w2, w3)
+            LEFT JOIN ctx2 USING (w2)
+            LEFT JOIN uni USING (w3))
+        SELECT doc_id, round(avg(-ln(s)), 6) AS sb_nll
+        FROM sc GROUP BY 1""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

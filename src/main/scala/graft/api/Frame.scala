@@ -370,6 +370,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(Readability.report(df, textCol))
   def schemaValidate(rules: Seq[SchemaValidate.Rule]): Frame =
     next(SchemaValidate.report(df, rules))
+  def stupidBackoff(idCol: String, textCol: String,
+      ref: Option[Frame] = None, alpha: Double = 0.4): Frame =
+    next(StupidBackoff(df, idCol, textCol, ref.map(_.df), alpha))
   def schemaClean(rules: Seq[SchemaValidate.Rule]): Frame =
     next(SchemaValidate.clean(df, rules))
   def schemaSummary(rules: Seq[SchemaValidate.Rule]): Frame =

@@ -462,6 +462,14 @@ final case class LazyFrame(
       "iterations" -> iterations, "damping_pct" -> dampingPct)
   def readability(textKey: String): LazyFrame =
     append("readability", "text_key" -> textKey)
+  def stupidBackoff(idKey: String, textKey: String,
+      reference: String = "", alpha: Double = 0.4): LazyFrame = {
+    val base = Seq[(String, Any)]("id_key" -> idKey, "text_key" -> textKey,
+      "alpha" -> alpha)
+    val fields = if (reference.nonEmpty) base :+ ("reference" -> reference)
+      else base
+    append("stupid_backoff", fields: _*)
+  }
   /** rules: (column, check, value) triples; enum values join with ','. */
   def schemaValidate(rules: Seq[(String, String, String)],
       mode: String = "report"): LazyFrame =

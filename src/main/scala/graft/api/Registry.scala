@@ -1020,6 +1020,16 @@ object Registry {
         s"classifier_eval mode must be report|calibration, got '$other'")
     }
   }
+  // Trigram Stupid Backoff LM scoring (§2.14 text quality): the web-scale
+  // LM ranking signal; `reference` names the counts corpus (default self).
+  register("stupid_backoff") { (df, c, ctx) =>
+    val ref = c.get("reference").map { r =>
+      ctx.datasets.getOrElse(r.str, throw new IllegalArgumentException(
+        s"unknown stupid_backoff reference dataset '${r.str}'"))
+    }
+    StupidBackoff(df, c("id_key").str, c("text_key").str, ref,
+      c.dblOr("alpha", 0.4))
+  }
   // Data-contract validation (§2.14 quality gate): per-column checks with
   // named violations; modes report (default) / clean / summary.
   register("schema_validate") { (df, c, _) =>

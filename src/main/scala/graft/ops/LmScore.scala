@@ -119,3 +119,84 @@ object BigramScore {
       lambda: Double = 0.75): DataFrame =
     df.join(perDoc(df, idCol, textCol, lambda), Seq(idCol))
 }
+
+/** Trigram Stupid Backoff scoring — the LM-quality signal that actually
+  * ships at web scale (publicly: Brants et al. 2007, "Large Language
+  * Models in Machine Translation": no normalized smoothing, just
+  *
+  *   S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)        if the trigram was seen
+  *                 = α · c(w2w3)/c(w2)         else if the bigram was
+  *                 = α² · c(w3)/N              else (α² / N for OOV)
+  *
+  * with α = 0.4 — a SCORE, not a probability, which is exactly why it
+  * scales: counts need no discounting pass). Counts train on a REFERENCE
+  * corpus (`ref`, default = the scored frame itself — note self-scoring
+  * never exercises the backoff arms, since every trigram of the corpus is
+  * in its own counts).
+  *
+  * Scale shape: one trigram explode (arrays_zip of three adjacent slices
+  * — never a self-join), three vocabulary-sized count aggregations on the
+  * reference, LEFT hash joins back to the exploded stream (unseen = null
+  * → next backoff arm), one per-doc average. Driver state = the exact
+  * integer reference token total.
+  */
+object StupidBackoff {
+
+  /** (idCol, sb_nll): average −ln S(w3 | w1 w2) over the doc's trigram
+    * positions, 6 decimals; sub-three-token docs are absent. */
+  def perDoc(df: DataFrame, idCol: String, textCol: String,
+      ref: Option[DataFrame] = None, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val corpus = ref.getOrElse(df)
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(c, " "), w => length(w) > 0)
+
+    val refToks = corpus.select(explode(toks(col(textCol))).as("_w3"))
+    val uni = refToks.groupBy("_w3").agg(count(lit(1)).cast("double").as("_c1"))
+    val total = refToks.count().toDouble
+    require(total > 0, "stupid backoff: empty reference corpus")
+    val refT = corpus.select(toks(col(textCol)).as("_t"))
+    val bi = refT.select(explode(arrays_zip(
+      slice(col("_t"), lit(1), size(col("_t")) - 1),
+      slice(col("_t"), lit(2), size(col("_t")) - 1))).as("_p"))
+      .select(col("_p")("0").as("_w2"), col("_p")("1").as("_w3"))
+      .groupBy("_w2", "_w3").agg(count(lit(1)).cast("double").as("_c2"))
+    val ctx2 = bi.groupBy("_w2").agg(sum("_c2").as("_cw2"))
+    val tri = refT.filter(size(col("_t")) >= 3)
+      .select(explode(arrays_zip(
+        slice(col("_t"), lit(1), size(col("_t")) - 2),
+        slice(col("_t"), lit(2), size(col("_t")) - 2),
+        slice(col("_t"), lit(3), size(col("_t")) - 2))).as("_p"))
+      .select(col("_p")("0").as("_w1"), col("_p")("1").as("_w2"),
+        col("_p")("2").as("_w3"))
+      .groupBy("_w1", "_w2", "_w3")
+      .agg(count(lit(1)).cast("double").as("_c3"))
+    val ctx3 = tri.groupBy("_w1", "_w2").agg(sum("_c3").as("_cw12"))
+
+    val scored = df.select(col(idCol), toks(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= 3)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("_t"), lit(1), size(col("_t")) - 2),
+        slice(col("_t"), lit(2), size(col("_t")) - 2),
+        slice(col("_t"), lit(3), size(col("_t")) - 2))).as("_p"))
+      .select(col(idCol), col("_p")("0").as("_w1"), col("_p")("1").as("_w2"),
+        col("_p")("2").as("_w3"))
+      .join(tri, Seq("_w1", "_w2", "_w3"), "left")
+      .join(ctx3, Seq("_w1", "_w2"), "left")
+      .join(bi, Seq("_w2", "_w3"), "left")
+      .join(ctx2, Seq("_w2"), "left")
+      .join(uni, Seq("_w3"), "left")
+    val score =
+      when(col("_c3").isNotNull, col("_c3") / col("_cw12"))
+        .when(col("_c2").isNotNull, lit(alpha) * col("_c2") / col("_cw2"))
+        .otherwise(lit(alpha * alpha) *
+          coalesce(col("_c1"), lit(1.0)) / total)
+    scored.groupBy(col(idCol))
+      .agg(round(avg(-log(score)), 6).as("sb_nll"))
+  }
+
+  /** The input rows with `sb_nll` attached; sub-three-token docs drop. */
+  def apply(df: DataFrame, idCol: String, textCol: String,
+      ref: Option[DataFrame] = None, alpha: Double = 0.4): DataFrame =
+    df.join(perDoc(df, idCol, textCol, ref, alpha), Seq(idCol))
+}

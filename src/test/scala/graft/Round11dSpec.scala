@@ -65,6 +65,49 @@ class Round11dSpec extends SparkSpec {
     assert(out(3L) == "text:regex;text:max_length")
   }
 
+  // ------------------------------------------------ stupid backoff
+
+  test("stupid backoff: all three arms match the closed form") {
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val ref = df(docSchema, Row(0L, "a b c a b d"))
+    // ref counts: tri {abc:1, bca:1, cab:1, abd:1}; bi {ab:2, bc:1, ca:1,
+    // bd:1}; uni {a:2, b:2, c:1, d:1}; N=6
+    // score "a b c": trigram seen -> c3/cw12 = 1/2
+    val seen = graft.ops.StupidBackoff.perDoc(
+      df(docSchema, Row(1L, "a b c")), "id", "text", Some(ref)).head()
+    assert(seen.getDouble(1) == math.rint(-math.log(0.5) * 1e6) / 1e6)
+    // score "c a x": tri miss, bi "a x" miss, uni x miss -> OOV floor
+    // 0.16 * 1/6
+    val oov = graft.ops.StupidBackoff.perDoc(
+      df(docSchema, Row(1L, "c a x")), "id", "text", Some(ref)).head()
+    assert(oov.getDouble(1) ==
+      math.rint(-math.log(0.4 * 0.4 * 1.0 / 6) * 1e6) / 1e6)
+    // score "d b c": tri "dbc" miss, bi "bc" seen -> 0.4 * c(bc)/c(b.) =
+    // 0.4 * 1/3  (b continues to c once of {c, d, a...}: bi from b: bc=1,
+    // bd=1 -> cw2(b)=2) -> 0.4 * 1/2
+    val bo = graft.ops.StupidBackoff.perDoc(
+      df(docSchema, Row(1L, "d b c")), "id", "text", Some(ref)).head()
+    assert(bo.getDouble(1) ==
+      math.rint(-math.log(0.4 * 1.0 / 2) * 1e6) / 1e6)
+  }
+
+  test("stupid backoff: self-scoring never leaves the trigram arm") {
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val d = df(docSchema, Row(1L, "p q r p q r"), Row(2L, "s t u v"))
+    val out = graft.ops.StupidBackoff.perDoc(d, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every trigram is in its own counts: scores are finite and the
+    // unique-trigram doc scores exactly -ln(1) = 0
+    assert(out(2L) == 0.0)
+    assert(out(1L) >= 0.0 && !out(1L).isInfinite)
+    // sub-three-token docs are absent
+    val short = graft.ops.StupidBackoff.perDoc(
+      df(docSchema, Row(9L, "a b")), "id", "text", Some(d))
+    assert(short.count() == 0)
+  }
+
   test("schema validate: YAML registry modes and LazyFrame round-trip") {
     val yaml =
       """type: schema_validate
