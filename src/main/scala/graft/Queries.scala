@@ -5113,6 +5113,27 @@ object Queries {
             LEFT JOIN uni USING (w3))
         SELECT doc_id, round(avg(-ln(s)), 6) AS sb_nll
         FROM sc GROUP BY 1""")
+    ),
+    (
+      // REAL RFC 5322 / mbox email parsing: the fixture writes one mboxo
+      // mailbox whose messages rotate 7bit / quoted-printable / base64
+      // transfer encodings by doc_id%3 — parsing is only correct if
+      // header unfolding, From-stuffing, and all three RFC 2045 decode
+      // arms round-trip the original text byte-for-byte.
+      "q172_parse_mbox",
+      (s: SparkSession, dir: String) => {
+        val fix = graft.sources.ParseFixtures.mboxDir(s, dir)
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.mbox").load(fix)
+        graft.sources.ParseOp(files,
+          graft.sources.ParseOp.Config(function = "mbox",
+            posKey = Some("msg_no")))
+          .select(col("msg_no").cast("bigint").as("msg_no"), col("text"))
+      },
+      Some("""
+        SELECT (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS msg_no,
+               text
+        FROM documents""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

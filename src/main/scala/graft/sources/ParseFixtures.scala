@@ -53,6 +53,25 @@ object ParseFixtures {
       Files.write(out.resolve("crawl.warc"), ParsingTools.makeWarc(docs))
     }
 
+  /** A single mboxo mailbox with one message per `documents` row in
+    * doc_id order — transfer encodings rotate 7bit / quoted-printable /
+    * base64 by doc_id%3, so every decode arm round-trips under the
+    * oracle. */
+  def mboxDir(spark: SparkSession, sfDir: String): String =
+    cached(sfDir, "mbox") { out =>
+      val msgs = docRows(spark, sfDir, None).map { case (id, text) =>
+        val enc = (id % 3) match {
+          case 0 => "7bit"
+          case 1 => "quoted-printable"
+          case _ => "base64"
+        }
+        ParsingTools.makeEml(Seq(
+          "From" -> s"writer$id@example.org",
+          "Subject" -> s"doc $id"), text, enc)
+      }
+      Files.write(out.resolve("corpus.mbox"), ParsingTools.makeMbox(msgs))
+    }
+
   /** A single workbook of the `nation` table (key, name, regionkey), rows in
     * n_nationkey order. */
   def xlsxDir(spark: SparkSession, sfDir: String): String =

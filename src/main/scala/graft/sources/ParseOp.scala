@@ -39,9 +39,11 @@ object ParseOp {
     * aliases (parsing_tools.py:100-226). */
   private def canonical(name: String): String =
     name.stripSuffix("_to_string") match {
-      case f @ ("txt" | "docx" | "pptx" | "xlsx" | "pdf" | "warc") => f
+      case f @ ("txt" | "docx" | "pptx" | "xlsx" | "pdf" | "warc" |
+                "eml" | "mbox") => f
       case other => throw new IllegalArgumentException(
-        s"unknown parsing function '$other'; known: txt, docx, pptx, xlsx, pdf, warc " +
+        s"unknown parsing function '$other'; known: txt, docx, pptx, xlsx, " +
+          "pdf, warc, eml, mbox " +
           "(whisper/OCR/azure parsers need native runtimes outside this library)")
     }
 
@@ -61,6 +63,8 @@ object ParseOp {
       case "xlsx" => xlsxUdf(lit(cfg.orientation), lit(cfg.docPerSheet), skip)(in)
       case "pdf" => pdfUdf(lit(cfg.docPerPage), skip)(in)
       case "warc" => warcUdf(skip)(in)
+      case "eml" => emlUdf(skip)(in)
+      case "mbox" => mboxUdf(skip)(in)
     }
     val kept = df.columns
       .filter(c => !(cfg.dropInput && c == cfg.inputKey) && c != cfg.outputKey)
@@ -97,5 +101,11 @@ object ParseOp {
       .apply(_: Column, perPage, skip)
   private def warcUdf(skip: Column) = udf((b: Array[Byte], sk: Boolean) =>
     if (b == null) Seq.empty[String] else guarded(sk)(ParsingTools.warcToString(b)))
+    .apply(_: Column, skip)
+  private def emlUdf(skip: Column) = udf((b: Array[Byte], sk: Boolean) =>
+    if (b == null) Seq.empty[String] else guarded(sk)(ParsingTools.emlToString(b)))
+    .apply(_: Column, skip)
+  private def mboxUdf(skip: Column) = udf((b: Array[Byte], sk: Boolean) =>
+    if (b == null) Seq.empty[String] else guarded(sk)(ParsingTools.mboxToString(b)))
     .apply(_: Column, skip)
 }

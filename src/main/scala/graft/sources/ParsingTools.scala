@@ -30,6 +30,162 @@ object ParsingTools {
   /** UTF-8 decode, one document (parsing_tools.py:157). */
   def txtToString(bytes: Array[Byte]): Seq[String] = Seq(new String(bytes, UTF_8))
 
+  // ---- RFC 5322 email / mbox (email corpora are a standard training-data
+  // source; formats are fully public: RFC 5322 message syntax, RFC 2045
+  // Content-Transfer-Encoding, the classic mboxo mailbox layout)
+
+  /** One parsed message: lowercased unfolded header map + DECODED body. */
+  final case class EmlMessage(headers: Map[String, String], body: String) {
+    def subject: String = headers.getOrElse("subject", "")
+    def from: String = headers.getOrElse("from", "")
+  }
+
+  /** RFC 5322 single-part message parser: headers unfold (continuation
+    * lines starting with WSP re-join), the body decodes per
+    * `Content-Transfer-Encoding` (quoted-printable / base64 / identity).
+    * Multipart messages return their raw body undecoded (the outer
+    * envelope has no transfer encoding to undo) — splitting MIME parts is
+    * the caller's policy decision. */
+  def parseEml(bytes: Array[Byte]): EmlMessage = {
+    val s = new String(bytes, UTF_8)
+    val sep =
+      if (s.indexOf("\r\n\r\n") >= 0) ("\r\n\r\n", "\r\n")
+      else ("\n\n", "\n")
+    val cut = s.indexOf(sep._1)
+    val (headText, body) =
+      if (cut < 0) (s, "") else (s.substring(0, cut), s.substring(cut + sep._1.length))
+    // unfold: a line starting with space/tab continues the previous header
+    val unfolded = scala.collection.mutable.ArrayBuffer.empty[String]
+    headText.split(sep._2, -1).foreach { line =>
+      if (line.nonEmpty && (line.head == ' ' || line.head == '\t') &&
+        unfolded.nonEmpty)
+        unfolded(unfolded.length - 1) = unfolded.last + " " + line.trim
+      else unfolded += line
+    }
+    val headers = unfolded.iterator.flatMap { line =>
+      val i = line.indexOf(':')
+      if (i <= 0) None
+      else Some(line.substring(0, i).trim.toLowerCase ->
+        line.substring(i + 1).trim)
+    }.toMap
+    val decoded =
+      headers.getOrElse("content-transfer-encoding", "").toLowerCase match {
+        case "quoted-printable" => decodeQuotedPrintable(body)
+        case "base64" => new String(
+          java.util.Base64.getMimeDecoder.decode(body.trim), UTF_8)
+        case _ => body
+      }
+    EmlMessage(headers, decoded)
+  }
+
+  /** RFC 2045 quoted-printable decode: `=XX` hex escapes + `=`‑newline
+    * soft line breaks; anything malformed passes through literally (the
+    * robustness rule the RFC prescribes for decoders). */
+  private[graft] def decodeQuotedPrintable(s: String): String = {
+    val out = new ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '=' && i + 1 < s.length && s.charAt(i + 1) == '\n') i += 2
+      else if (c == '=' && i + 2 < s.length && s.charAt(i + 1) == '\r' &&
+        s.charAt(i + 2) == '\n') i += 3
+      else if (c == '=' && i + 2 < s.length &&
+        isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { out.write(s.charAt(i).toInt & 0xff); i += 1 }
+    }
+    // QP operates on bytes; our writer only encodes ASCII inputs, and
+    // multi-byte escapes concatenate as raw UTF-8 bytes here.
+    new String(out.toByteArray, UTF_8)
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+
+  /** Split a classic mboxo mailbox into messages: separator = a line
+    * starting with `"From "`; body lines that start with `From ` are
+    * `>`-stuffed by the writer and un-stuffed here (one `>` removed from
+    * any `>...>From ` line, per the mboxo convention). */
+  def mboxMessages(bytes: Array[Byte]): Seq[EmlMessage] = {
+    val lines = new String(bytes, UTF_8).split("\n", -1)
+    val msgs = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[String]]
+    lines.foreach { line =>
+      if (line.startsWith("From "))
+        msgs += scala.collection.mutable.ArrayBuffer.empty[String]
+      else if (msgs.nonEmpty) {
+        val unstuffed =
+          if (line.matches("^>+From .*")) line.substring(1) else line
+        msgs.last += unstuffed
+      }
+    }
+    // the mailbox's final "\n" leaves one trailing empty line per split —
+    // drop it so message bytes round-trip exactly
+    msgs.toSeq.map { ls =>
+      val t = if (ls.nonEmpty && ls.last.isEmpty) ls.init else ls.toSeq
+      parseEml(t.mkString("\n").getBytes(UTF_8))
+    }
+  }
+
+  /** One document per message: decoded body text (headers reachable via
+    * [[mboxMessages]] for structured use). */
+  def mboxToString(bytes: Array[Byte]): Seq[String] =
+    mboxMessages(bytes).map(_.body)
+
+  def emlToString(bytes: Array[Byte]): Seq[String] =
+    Seq(parseEml(bytes).body)
+
+  // writers ----------------------------------------------------------
+
+  /** Build a single-part RFC 5322 message. `encoding`: `7bit` (identity),
+    * `quoted-printable` (every `=` escaped plus a deterministic extra
+    * escape per 5th char, soft-wrapped at 72), or `base64` (MIME-wrapped
+    * at 76). */
+  def makeEml(headers: Seq[(String, String)], body: String,
+      encoding: String = "7bit"): Array[Byte] = {
+    val (cte, encoded) = encoding match {
+      case "7bit" => ("7bit", body)
+      case "quoted-printable" =>
+        val sb = new StringBuilder
+        var lineLen = 0
+        body.getBytes(UTF_8).zipWithIndex.foreach { case (b, i) =>
+          val piece =
+            if (b == '='.toByte || b < 0x20 && b != '\n'.toByte || b < 0 ||
+              i % 5 == 0) f"=${b & 0xff}%02X"
+            else (b & 0xff).toChar.toString
+          if (lineLen + piece.length > 72) { sb.append("=\n"); lineLen = 0 }
+          sb.append(piece); lineLen += piece.length
+        }
+        ("quoted-printable", sb.toString)
+      case "base64" =>
+        ("base64", java.util.Base64.getMimeEncoder(76, "\n".getBytes)
+          .encodeToString(body.getBytes(UTF_8)))
+      case other => throw new IllegalArgumentException(
+        s"makeEml encoding must be 7bit|quoted-printable|base64, got '$other'")
+    }
+    val head = (headers ++ Seq(
+      "MIME-Version" -> "1.0",
+      "Content-Type" -> "text/plain; charset=utf-8",
+      "Content-Transfer-Encoding" -> cte))
+      .map { case (k, v) => s"$k: $v" }.mkString("\n")
+    (head + "\n\n" + encoded).getBytes(UTF_8)
+  }
+
+  /** Concatenate messages into a classic mboxo mailbox (`From ` separator
+    * lines, body `From `-lines `>`-stuffed). */
+  def makeMbox(messages: Seq[Array[Byte]]): Array[Byte] = {
+    val sb = new StringBuilder
+    messages.foreach { m =>
+      sb.append("From graft@localhost Thu Jan  1 00:00:00 1970\n")
+      new String(m, UTF_8).split("\n", -1).foreach { line =>
+        if (line.matches("^>*From .*")) sb.append('>')
+        sb.append(line).append('\n')
+      }
+    }
+    sb.toString.getBytes(UTF_8)
+  }
+
   /** One parsed WARC record: lowercased header map + raw payload bytes. */
   final case class WarcRecord(headers: Map[String, String],
       payload: Array[Byte]) {

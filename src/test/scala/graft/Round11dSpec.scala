@@ -65,6 +65,47 @@ class Round11dSpec extends SparkSpec {
     assert(out(3L) == "text:regex;text:max_length")
   }
 
+  // ------------------------------------------------ eml / mbox
+
+  test("eml: header unfolding, QP and base64 decode round-trip") {
+    import graft.sources.ParsingTools
+    val body = "Line one with = signs.\nSecond line spells café."
+    Seq("7bit", "quoted-printable", "base64").foreach { enc =>
+      val m = ParsingTools.parseEml(ParsingTools.makeEml(
+        Seq("Subject" -> "hello", "From" -> "a@b.c"), body, enc))
+      // 7bit keeps non-ASCII only because our fixture bytes are UTF-8 all
+      // the way; QP/base64 must decode back to the identical string
+      if (enc != "7bit") assert(m.body == body, enc)
+      assert(m.subject == "hello" && m.from == "a@b.c")
+    }
+    // folded header: continuation line re-joins with a space
+    val folded = "Subject: part one\n\tand two\nFrom: x@y.z\n\nbody"
+    val m2 = ParsingTools.parseEml(folded.getBytes("UTF-8"))
+    assert(m2.subject == "part one and two")
+    assert(m2.body == "body")
+  }
+
+  test("qp decode: malformed escapes pass through, soft breaks vanish") {
+    import graft.sources.ParsingTools
+    assert(ParsingTools.decodeQuotedPrintable("a=3Db") == "a=b")
+    assert(ParsingTools.decodeQuotedPrintable("a=\nb") == "ab")
+    assert(ParsingTools.decodeQuotedPrintable("a=zzb") == "a=zzb") // literal
+    assert(ParsingTools.decodeQuotedPrintable("tail=") == "tail=")
+  }
+
+  test("mbox: From-stuffing protects body lines, messages split exactly") {
+    import graft.sources.ParsingTools
+    val tricky = "first line\nFrom the start this looks like a separator\n" +
+      ">From an already-quoted line"
+    val msgs = Seq(
+      ParsingTools.makeEml(Seq("Subject" -> "a"), tricky),
+      ParsingTools.makeEml(Seq("Subject" -> "b"), "plain"))
+    val back = ParsingTools.mboxMessages(ParsingTools.makeMbox(msgs))
+    assert(back.size == 2)
+    assert(back(0).body == tricky) // stuffing round-trips both From-forms
+    assert(back(1).body == "plain")
+  }
+
   // ------------------------------------------------ stupid backoff
 
   test("stupid backoff: all three arms match the closed form") {
