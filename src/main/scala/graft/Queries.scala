@@ -4603,16 +4603,18 @@ object Queries {
               AS n_punct_mojibake,
             len(regexp_extract_all(t, '[\x{80}-\x{9F}]'))::BIGINT
               AS n_c1_controls
-          FROM p)
+          FROM p),
+        sc AS (
+          SELECT doc_id, n_replacement, n_double_utf8, n_punct_mojibake,
+                 n_c1_controls,
+                 round((n_replacement + n_double_utf8 + n_punct_mojibake +
+                   n_c1_controls) * 1000.0 / greatest(length(t), 1), 6)
+                   AS mojibake_score
+          FROM sig)
         SELECT doc_id, n_replacement, n_double_utf8, n_punct_mojibake,
-               n_c1_controls,
-               round((n_replacement + n_double_utf8 + n_punct_mojibake +
-                 n_c1_controls) * 1000.0 / greatest(length(t), 1), 6)
-                 AS mojibake_score,
-               (n_replacement + n_double_utf8 + n_punct_mojibake +
-                 n_c1_controls) * 1000.0 / greatest(length(t), 1) > 5.0
-                 AS mojibake_flag
-        FROM sig""")
+               n_c1_controls, mojibake_score,
+               mojibake_score > 5.0 AS mojibake_flag
+        FROM sc""")
     ),
     (
       // Numeric column profiler: one row per column with count/nulls/

@@ -42,17 +42,22 @@ object EncodingQuality {
   ).map { case (n, e) => n -> e.cast("bigint") }
 
   /** Append the four signal counts + `mojibake_score` (markers per 1000
-    * chars, 6 decimals) + `mojibake_flag` (score > `threshold`). */
+    * chars, 6 decimals) + `mojibake_flag` (score > `threshold`). The
+    * score/flag reference the APPENDED count columns, so each regexp
+    * scans the text once — not once for its column and again inside the
+    * score (codegen CSE is not guaranteed across projections). */
   def report(df: DataFrame, textCol: String,
       threshold: Double = 5.0): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
     val sigs = signals(t)
-    val total = sigs.map(_._2).reduce(_ + _)
+    val withSigs = sigs.foldLeft(df) {
+      case (acc, (n, e)) => acc.withColumn(n, e)
+    }
+    val total = sigs.map { case (n, _) => col(n) }.reduce(_ + _)
     val score = round(total.cast("double") * 1000.0 /
       greatest(length(t), lit(1)), 6)
-    sigs.foldLeft(df) { case (acc, (n, e)) => acc.withColumn(n, e) }
-      .withColumn("mojibake_score", score)
-      .withColumn("mojibake_flag", score > threshold)
+    withSigs.withColumn("mojibake_score", score)
+      .withColumn("mojibake_flag", col("mojibake_score") > threshold)
   }
 
   /** Filter mode: drop rows whose score exceeds `threshold`. */
