@@ -5136,6 +5136,29 @@ object Queries {
         SELECT (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS msg_no,
                text
         FROM documents""")
+    ),
+    (
+      // HTML main-content extraction: each document wraps in a page with
+      // a link-dense nav, a script, and a link footer — extraction must
+      // return exactly the article text (boilerplate blocks die on the
+      // link-density and length fences; the script body dies wholesale).
+      "q173_html_extract",
+      (s: SparkSession, dir: String) => {
+        val html = concat(
+          lit("<html><head><title>t</title><style>.x{}</style></head>" +
+            "<body><nav><a href='/'>Home</a> <a href='/a'>About</a> " +
+            "<a href='/c'>Contact</a></nav><script>var x = 1;</script>" +
+            "<div class='article'>"),
+          col("text"),
+          lit("</div><footer><a href='/p'>Privacy</a> " +
+            "<a href='/t'>Terms</a></footer></body></html>"))
+        graft.sources.HtmlExtract.extract(
+          t(s, dir, "documents").withColumn("_h", html)
+            .select("doc_id", "_h"), "_h", "main_content")
+          .select("doc_id", "main_content")
+      },
+      Some("""
+        SELECT doc_id, text AS main_content FROM documents""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

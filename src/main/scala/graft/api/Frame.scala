@@ -373,6 +373,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def stupidBackoff(idCol: String, textCol: String,
       ref: Option[Frame] = None, alpha: Double = 0.4): Frame =
     next(StupidBackoff(df, idCol, textCol, ref.map(_.df), alpha))
+  def htmlExtract(htmlCol: String, outCol: String = "main_content",
+      minChars: Int = 25, maxLinkDensity: Double = 0.33): Frame =
+    next(graft.sources.HtmlExtract.extract(df, htmlCol, outCol, minChars,
+      maxLinkDensity))
   def schemaClean(rules: Seq[SchemaValidate.Rule]): Frame =
     next(SchemaValidate.clean(df, rules))
   def schemaSummary(rules: Seq[SchemaValidate.Rule]): Frame =

@@ -462,6 +462,11 @@ final case class LazyFrame(
       "iterations" -> iterations, "damping_pct" -> dampingPct)
   def readability(textKey: String): LazyFrame =
     append("readability", "text_key" -> textKey)
+  def htmlExtract(htmlKey: String, outputKey: String = "main_content",
+      minChars: Int = 25, maxLinkDensity: Double = 0.33): LazyFrame =
+    append("html_extract", "html_key" -> htmlKey,
+      "output_key" -> outputKey, "min_chars" -> minChars,
+      "max_link_density" -> maxLinkDensity)
   def stupidBackoff(idKey: String, textKey: String,
       reference: String = "", alpha: Double = 0.4): LazyFrame = {
     val base = Seq[(String, Any)]("id_key" -> idKey, "text_key" -> textKey,

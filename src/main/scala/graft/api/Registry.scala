@@ -1020,6 +1020,13 @@ object Registry {
         s"classifier_eval mode must be report|calibration, got '$other'")
     }
   }
+  // HTML main-content extraction (§2.14 crawl hygiene): jusText-style
+  // block-density boilerplate removal.
+  register("html_extract") { (df, c, _) =>
+    graft.sources.HtmlExtract.extract(df, c("html_key").str,
+      c.strOr("output_key", "main_content"), c.intOr("min_chars", 25),
+      c.dblOr("max_link_density", 0.33))
+  }
   // Trigram Stupid Backoff LM scoring (§2.14 text quality): the web-scale
   // LM ranking signal; `reference` names the counts corpus (default self).
   register("stupid_backoff") { (df, c, ctx) =>

@@ -65,6 +65,42 @@ class Round11dSpec extends SparkSpec {
     assert(out(3L) == "text:regex;text:max_length")
   }
 
+  // ------------------------------------------------ html extract
+
+  test("html extract: link-dense and short blocks die, article survives") {
+    import graft.sources.HtmlExtract
+    val article = "This is a long enough paragraph of real prose that " +
+      "clearly exceeds the minimum character fence."
+    val html = "<html><body>" +
+      "<nav><a href='/'>Home</a> <a href='/x'>About</a></nav>" +
+      "<script>var boilerplate = 'nav';</script>" +
+      s"<div>$article</div>" +
+      "<p>Read more: <a href='/1'>one</a> <a href='/2'>two</a> " +
+      "<a href='/3'>three</a> <a href='/4'>four</a> <a href='/5'>five" +
+      "</a> <a href='/6'>six</a> <a href='/7'>seven</a></p>" +
+      "<footer><a>Terms</a></footer></body></html>"
+    assert(HtmlExtract.mainContent(html) == article)
+    // two content blocks join with a blank line
+    val two = s"<div>$article</div><p>$article</p>"
+    assert(HtmlExtract.mainContent(two) == s"$article\n\n$article")
+    // entity decode + null safety
+    assert(HtmlExtract.mainContent(
+      "<p>" + ("x" * 30) + " &amp; more &lt;ok&gt;</p>") ==
+      "x" * 30 + " & more <ok>")
+    assert(HtmlExtract.mainContent(null) == "")
+  }
+
+  test("html extract: link density is measured per block") {
+    import graft.sources.HtmlExtract
+    // 60 chars of prose + a short link: density well under the fence
+    val prose = "a" * 60
+    val mixed = s"<p>$prose <a href='/m'>more</a></p>"
+    assert(HtmlExtract.mainContent(mixed) == s"$prose more")
+    // the same text fully wrapped in an anchor: density 1 -> dropped
+    val allLink = s"<p><a href='/m'>$prose more</a></p>"
+    assert(HtmlExtract.mainContent(allLink) == "")
+  }
+
   // ------------------------------------------------ eml / mbox
 
   test("eml: header unfolding, QP and base64 decode round-trip") {
