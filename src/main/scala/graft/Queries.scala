@@ -3457,6 +3457,17 @@ object Queries {
     bpeMergeCache.getOrElseUpdate(dir,
       graft.ops.BpeTrain.train(t(s, dir, "documents"), "text", numMerges = 3))
 
+  /** Shared q141/q157/q168 fixture: plant a terminal period after every
+    * word whose md5-prefix hash % 9 == 0 — deterministic sentence
+    * structure for the segmentation-family oracles (ONE definition, so
+    * the Scala side cannot drift from itself; each oracle carries the
+    * matching SQL). */
+  private def plantedPunct: org.apache.spark.sql.Column =
+    concat_ws(" ", transform(
+      filter(split(col("text"), " "), w => length(w) > 0), w =>
+        when(conv(substring(md5(w), 1, 13), 16, 10).cast("bigint")
+          % 9 === 0, concat(w, lit("."))).otherwise(w)))
+
   /** The sep-string fold replay of [[graft.ops.BpeTrain.applyMergeCol]] for
     * the DuckDB oracle: apply merge (L, R) to a chr(31)-joined symbol
     * string. */
@@ -3841,10 +3852,7 @@ object Queries {
       // pure per-row expressions, RE2-safe regex on both engines.
       "q141_segment_sentences",
       (s: SparkSession, dir: String) => {
-        val withPunct = concat_ws(" ", transform(
-          filter(split(col("text"), " "), w => length(w) > 0), w =>
-            when(conv(substring(md5(w), 1, 13), 16, 10).cast("bigint")
-              % 9 === 0, concat(w, lit("."))).otherwise(w)))
+        val withPunct = plantedPunct
         graft.ops.Segment.sentences(
           t(s, dir, "documents").withColumn("_t2", withPunct)
             .select("doc_id", "_t2"), "doc_id", "_t2")
@@ -4513,10 +4521,7 @@ object Queries {
       // by Round11bSpec (the overlap fold has no clean SQL replay).
       "q157_chunk_sentences",
       (s: SparkSession, dir: String) => {
-        val withPunct = concat_ws(" ", transform(
-          filter(split(col("text"), " "), w => length(w) > 0), w =>
-            when(conv(substring(md5(w), 1, 13), 16, 10).cast("bigint")
-              % 9 === 0, concat(w, lit("."))).otherwise(w)))
+        val withPunct = plantedPunct
         graft.ops.Segment.chunkBySentences(
           t(s, dir, "documents").withColumn("_t2", withPunct)
             .select("doc_id", "_t2"), "doc_id", "_t2", maxWords = 25)
@@ -4929,10 +4934,7 @@ object Queries {
       // planted punctuation as q141 gives variable sentence counts.
       "q168_readability",
       (s: SparkSession, dir: String) => {
-        val withPunct = concat_ws(" ", transform(
-          filter(split(col("text"), " "), w => length(w) > 0), w =>
-            when(conv(substring(md5(w), 1, 13), 16, 10).cast("bigint")
-              % 9 === 0, concat(w, lit("."))).otherwise(w)))
+        val withPunct = plantedPunct
         graft.ops.Readability.report(
           t(s, dir, "documents").withColumn("_t2", withPunct)
             .select("doc_id", "_t2"), "_t2")

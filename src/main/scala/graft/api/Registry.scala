@@ -684,6 +684,19 @@ object Registry {
       BpeTrain.train(df, c("text_key").str, c("num_merges").int,
         c.intOr("merges_per_round", 1)))
   }
+  /** Inline `merges: [[l, r], ...]` list, or train on THIS frame via
+    * `num_merges` — returns (merges, trained). Shared by bpe_encode and
+    * tokenizer_stats so their parsing cannot drift. */
+  private def mergesFromConf(df: org.apache.spark.sql.DataFrame,
+      c: Conf): (Seq[BpeTrain.Merge], Boolean) = c.get("merges") match {
+    case Some(ms) => (ms.asList.map { m =>
+      val pair = m.strList
+      require(pair.size == 2, s"each merge must be [left, right], got $pair")
+      BpeTrain.Merge(pair(0), pair(1), 0L)
+    }, false)
+    case None =>
+      (BpeTrain.train(df, c("text_key").str, c("num_merges").int), true)
+  }
   // BPE tokenizer APPLY (§2.14): merges either given inline
   // (`merges: [[l, r], ...]`) or trained on THIS frame (`num_merges`).
   // `greedy: true` uses the broadcast rank-map encoder (the 32k-merge
@@ -699,14 +712,7 @@ object Registry {
   // asserting training order.
   register("bpe_encode") { (df, c, _) =>
     val text = c("text_key").str
-    val (merges, trained) = c.get("merges") match {
-      case Some(ms) => (ms.asList.map { m =>
-        val pair = m.strList
-        require(pair.size == 2, s"each merge must be [left, right], got $pair")
-        BpeTrain.Merge(pair(0), pair(1), 0L)
-      }, false)
-      case None => (BpeTrain.train(df, text, c("num_merges").int), true)
-    }
+    val (merges, trained) = mergesFromConf(df, c)
     require(trained || merges.size <= 256 || c.get("greedy").isDefined,
       s"inline merge list of ${merges.size} entries (> 256) needs an " +
         "explicit `greedy: true|false` — greedy encoding is only " +
@@ -966,15 +972,7 @@ object Registry {
   // Tokenizer fertility report (§2.14 tokenizer family): tokens/word,
   // chars/token, unsplit fraction for a merge list (inline or trained).
   register("tokenizer_stats") { (df, c, _) =>
-    val merges = c.get("merges") match {
-      case Some(ms) => ms.asList.map { m =>
-        val pair = m.strList
-        require(pair.size == 2, s"each merge must be [left, right], got $pair")
-        BpeTrain.Merge(pair(0), pair(1), 0L)
-      }
-      case None => BpeTrain.train(df, c("text_key").str, c("num_merges").int)
-    }
-    BpeTrain.tokenizerStats(df, c("text_key").str, merges)
+    BpeTrain.tokenizerStats(df, c("text_key").str, mergesFromConf(df, c)._1)
   }
   // Sentence-aligned chunking (§2.14 reshape): whole-sentence chunks of at
   // most `max_words` words with optional sentence `overlap`.

@@ -109,18 +109,21 @@ object Winnow {
     val guarded = BucketGuard.head(fingerprintTable,
       Seq("fp_hash"), idCol, maxPostingHead)
     // The self-join consumes the table twice, so an UNCACHED input is
-    // persisted (PersistScope-released). An ALREADY-CACHED input is used
-    // as-is WHETHER OR NOT a posting-head cap applies: Spark's unpersist
-    // removes every cache entry OCCURRING IN the unpersisted plan, so
-    // persisting a derivation of a long-lived cached table and flushing
-    // it would evict the parent too — and the head guard is a cheap
-    // window over the cached blocks, fine to recompute on the second
-    // side of the join.
+    // persisted (PersistScope-released). An ALREADY-CACHED input must NOT
+    // be re-persisted: Spark's unpersist removes every cache entry
+    // OCCURRING IN the unpersisted plan, so flushing a persisted
+    // derivation of a long-lived cached table would evict the parent too.
+    // But a CAPPED head over a cached input cannot simply recompute per
+    // join side either — the head's row_number ties break arbitrarily, so
+    // the two sides could keep DIFFERENT pos rows of the same tie group.
+    // localCheckpoint materializes one consistent head without touching
+    // the parent's cache entries.
     val alreadyCached = fingerprintTable.storageLevel !=
       org.apache.spark.storage.StorageLevel.NONE
     val fps =
-      if (alreadyCached) guarded
-      else graft.core.PersistScope.register(guarded.persist())
+      if (!alreadyCached) graft.core.PersistScope.register(guarded.persist())
+      else if (maxPostingHead.isEmpty) guarded
+      else guarded.localCheckpoint()
     val a = fps.select(col(idCol).as("id_a"), col("pos").as("_pa"),
       col("fp_hash"))
     val b = fps.select(col(idCol).as("id_b"), col("pos").as("_pb"),

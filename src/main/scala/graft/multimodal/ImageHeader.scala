@@ -56,6 +56,9 @@ object ImageHeader {
       } else if (marker == 0xda) {
         return None // start of scan: no SOF seen
       } else {
+        // the fill-skip may stop with the marker at the buffer's edge — a
+        // length-bearing marker there has no room for its length bytes
+        if (i + 3 >= bytes.length) return None
         val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
         if (marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {

@@ -26,9 +26,13 @@ object ClassifierEval {
     * (predict positive when score >= threshold), accuracy, precision,
     * recall, f1, and exact mid-rank ROC-AUC. `labelCol` must be 0/1.
     * Degenerate corpora (no positives or no negatives) report null AUC
-    * rather than a misleading number. */
-  def report(df: DataFrame, labelCol: String, scoreCol: String,
+    * rather than a misleading number. NULL-SCORE rows are excluded from
+    * EVERY metric consistently (n included) — a row the scorer failed on
+    * must not sit in the AUC denominator while its rank is missing from
+    * the numerator, which would silently understate AUC. */
+  def report(dfIn: DataFrame, labelCol: String, scoreCol: String,
       threshold: Double = 0.5): DataFrame = {
+    val df = dfIn.filter(col(scoreCol).isNotNull)
     val lbl = col(labelCol).cast("long")
     val score = col(scoreCol).cast("double")
     val pred = score >= threshold
@@ -38,10 +42,13 @@ object ClassifierEval {
     val ranked = RankOp.withGlobalRank(
       df.select(lbl.as("_lbl"), score.as("_s")), Seq(col("_s").asc))
     // Mid-rank per distinct score: ties share avg(rank) — the Mann-Whitney
-    // tie correction.
+    // tie correction. The positive rank sum lands as ONE driver scalar
+    // (bounded) rather than a 1×1 cross join — the suite-wide plan audit
+    // bans nested-loop joins, and a literal is cheaper anyway.
     val midrank = ranked.groupBy("_s").agg(avg(col("_rank")).as("_mid"))
-    val posRankSum = ranked.join(midrank, "_s")
-      .agg(sum(when(col("_lbl") === 1, col("_mid"))).as("_prs"))
+    val prsRow = ranked.join(midrank, "_s")
+      .agg(sum(when(col("_lbl") === 1, col("_mid")))).head()
+    val prs = if (prsRow.isNullAt(0)) 0.0 else prsRow.getDouble(0)
 
     val counts = df.agg(
       count(lit(1)).as("n"),
@@ -52,7 +59,7 @@ object ClassifierEval {
       sum(when(!pred && lbl === 0, 1L).otherwise(0L)).as("tn"),
       sum(when(!pred && lbl === 1, 1L).otherwise(0L)).as("fn"))
 
-    counts.crossJoin(posRankSum).select(
+    counts.select(
       col("n"), col("n_pos"), col("n_neg"),
       col("tp"), col("fp"), col("tn"), col("fn"),
       round((col("tp") + col("tn")).cast("double") / col("n"), 6)
@@ -66,7 +73,7 @@ object ClassifierEval {
         round(col("tp") * 2.0 / (col("tp") * 2 + col("fp") + col("fn")), 6))
         .as("f1"),
       when(col("n_pos") > 0 && col("n_neg") > 0,
-        round((col("_prs") - col("n_pos") * (col("n_pos") + 1) / 2.0) /
+        round((lit(prs) - col("n_pos") * (col("n_pos") + 1) / 2.0) /
           (col("n_pos") * col("n_neg")).cast("double"), 6)).as("auc"))
   }
 

@@ -151,14 +151,25 @@ object StupidBackoff {
     def toks(c: org.apache.spark.sql.Column) =
       filter(split(c, " "), w => length(w) > 0)
 
-    val refToks = corpus.select(explode(toks(col(textCol))).as("_w3"))
-    val uni = refToks.groupBy("_w3").agg(count(lit(1)).cast("double").as("_c1"))
-    val total = refToks.count().toDouble
+    // Tokenize the reference ONCE (PersistScope-released): uni/total/bi/
+    // tri all read the cached token arrays instead of re-running the
+    // split per consumer — the same single-pass discipline as
+    // NaiveBayes.train. Rows with fewer tokens than an n-gram needs are
+    // filtered BEFORE the adjacent-slice zips (slice length would go
+    // negative on an empty/whitespace-only document and kill the job).
+    val refT = graft.core.PersistScope.register(
+      corpus.select(toks(col(textCol)).as("_t")).persist())
+    val uni = refT.select(explode(col("_t")).as("_w3"))
+      .groupBy("_w3").agg(count(lit(1)).cast("double").as("_c1"))
+    val total = uni.agg(sum("_c1")).head() match {
+      case r if r.isNullAt(0) => 0.0
+      case r => r.getDouble(0)
+    }
     require(total > 0, "stupid backoff: empty reference corpus")
-    val refT = corpus.select(toks(col(textCol)).as("_t"))
-    val bi = refT.select(explode(arrays_zip(
-      slice(col("_t"), lit(1), size(col("_t")) - 1),
-      slice(col("_t"), lit(2), size(col("_t")) - 1))).as("_p"))
+    val bi = refT.filter(size(col("_t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1))).as("_p"))
       .select(col("_p")("0").as("_w2"), col("_p")("1").as("_w3"))
       .groupBy("_w2", "_w3").agg(count(lit(1)).cast("double").as("_c2"))
     val ctx2 = bi.groupBy("_w2").agg(sum("_c2").as("_cw2"))

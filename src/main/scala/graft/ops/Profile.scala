@@ -80,45 +80,60 @@ object Profile {
   }
 
   /** The (lo, hi) quantile pair of `colName` — one aggregation, two driver
-    * scalars. `approx` swaps in the GK sketch (constant memory). */
+    * scalars; None when the input has no non-null values (an upstream
+    * filter emptying the frame is a normal pipeline state, not a crash).
+    * `approx` swaps in the GK sketch (constant memory). */
   private def quantilePair(df: DataFrame, colName: String, pLo: Double,
-      pHi: Double, approx: Boolean, accuracy: Int): (Double, Double) = {
+      pHi: Double, approx: Boolean,
+      accuracy: Int): Option[(Double, Double)] = {
     val c = col(colName).cast("double")
     val q =
       if (approx) approx_percentile(c, array(lit(pLo), lit(pHi)),
         lit(accuracy))
       else percentile(c, array(lit(pLo), lit(pHi)))
-    val r = df.agg(q).head().getSeq[Double](0)
-    (r(0), r(1))
+    val row = df.agg(q).head()
+    if (row.isNullAt(0)) None
+    else {
+      val r = row.getSeq[Double](0)
+      Some((r(0), r(1)))
+    }
   }
 
   /** Winsorize: clip `colName` to its [pLo, pHi] quantile range — the
     * standard score-stabilization step before a quality threshold or a
     * mixture weight is derived from a heavy-tailed signal. Two driver
     * scalars, then a pure `least/greatest` expression fused into the scan
-    * (rounded to 6 decimals — the clip bounds are interpolated doubles). */
+    * (rounded to 6 decimals — the clip bounds are interpolated doubles).
+    * An empty (or all-null-column) input appends a null column. */
   def winsorize(df: DataFrame, colName: String, pLo: Double = 0.01,
       pHi: Double = 0.99, approx: Boolean = false, accuracy: Int = 10000,
       outCol: String = ""): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi,
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
-    val (lo, hi) = quantilePair(df, colName, pLo, pHi, approx, accuracy)
     val out = if (outCol.nonEmpty) outCol else s"${colName}_winsor"
-    df.withColumn(out,
-      round(least(greatest(col(colName).cast("double"), lit(lo)), lit(hi)), 6))
+    quantilePair(df, colName, pLo, pHi, approx, accuracy) match {
+      case Some((lo, hi)) => df.withColumn(out,
+        round(least(greatest(col(colName).cast("double"), lit(lo)),
+          lit(hi)), 6))
+      case None => df.withColumn(out, lit(null).cast("double"))
+    }
   }
 
   /** Tukey-fence outlier flag: `colName` outside
     * [q1 − k·IQR, q3 + k·IQR] (k = 1.5 is the classic fence). Same
     * two-scalar driver shape as [[winsorize]]; the flag is a pure
-    * expression, so downstream filters push to the scan. */
+    * expression, so downstream filters push to the scan. An empty (or
+    * all-null-column) input flags nothing. */
   def iqrOutliers(df: DataFrame, colName: String, k: Double = 1.5,
       approx: Boolean = false, accuracy: Int = 10000,
-      outCol: String = "is_outlier"): DataFrame = {
-    val (q1, q3) = quantilePair(df, colName, 0.25, 0.75, approx, accuracy)
-    val iqr = q3 - q1
-    val c = col(colName).cast("double")
-    df.withColumn(outCol,
-      coalesce(c < lit(q1 - k * iqr) || c > lit(q3 + k * iqr), lit(false)))
-  }
+      outCol: String = "is_outlier"): DataFrame =
+    quantilePair(df, colName, 0.25, 0.75, approx, accuracy) match {
+      case Some((q1, q3)) =>
+        val iqr = q3 - q1
+        val c = col(colName).cast("double")
+        df.withColumn(outCol,
+          coalesce(c < lit(q1 - k * iqr) || c > lit(q3 + k * iqr),
+            lit(false)))
+      case None => df.withColumn(outCol, lit(false))
+    }
 }

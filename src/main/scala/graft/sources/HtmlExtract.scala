@@ -61,7 +61,10 @@ object HtmlExtract {
             case Some(t) =>
               if (closing && name == t) skipUntil = None
             case None =>
-              if (!closing && (name == "script" || name == "style"))
+              // a self-closed <script .../> has no body to skip — setting
+              // skipUntil for it would swallow the rest of the page
+              if (!closing && !inner.endsWith("/") &&
+                (name == "script" || name == "style"))
                 skipUntil = Some(name)
               else if (name == "a") {
                 if (closing) linkDepth = math.max(0, linkDepth - 1)

@@ -48,8 +48,13 @@ object ParsingTools {
     * the caller's policy decision. */
   def parseEml(bytes: Array[Byte]): EmlMessage = {
     val s = new String(bytes, UTF_8)
+    // the header block ends at whichever blank line comes FIRST — an
+    // LF-terminated message whose body happens to contain a CRLF blank
+    // line must still split at its own (earlier) LF separator
+    val iCrlf = s.indexOf("\r\n\r\n")
+    val iLf = s.indexOf("\n\n")
     val sep =
-      if (s.indexOf("\r\n\r\n") >= 0) ("\r\n\r\n", "\r\n")
+      if (iCrlf >= 0 && (iLf < 0 || iCrlf <= iLf)) ("\r\n\r\n", "\r\n")
       else ("\n\n", "\n")
     val cut = s.indexOf(sep._1)
     val (headText, body) =

@@ -65,6 +65,60 @@ class Round11dSpec extends SparkSpec {
     assert(out(3L) == "text:regex;text:max_length")
   }
 
+  // ------------------------------------ review-finding regressions
+
+  test("jpeg: a real marker landing at the buffer edge rejects cleanly") {
+    // FF D8 FF FF E0 41: fill-skip stops with marker 0xE0 at the edge —
+    // its length bytes are out of range and must yield None, not AIOOBE
+    val b = Array[Int](0xFF, 0xD8, 0xFF, 0xFF, 0xE0, 0x41).map(_.toByte)
+    assert(graft.multimodal.ImageHeader.jpegDims(b).isEmpty)
+  }
+
+  test("stupid backoff: empty and whitespace-only rows don't kill the job") {
+    val docSchema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val d = df(docSchema, Row(1L, "a b c d"), Row(2L, ""), Row(3L, "   "),
+      Row(4L, null))
+    val out = graft.ops.StupidBackoff.perDoc(d, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L)) // only the >=3-token doc scores; nothing crashes
+  }
+
+  test("html extract: self-closed script does not swallow the page") {
+    import graft.sources.HtmlExtract
+    val article = "a genuinely long article paragraph that passes fences"
+    val html = s"<body><script src='x.js'/><div>$article</div></body>"
+    assert(HtmlExtract.mainContent(html) == article)
+  }
+
+  test("eml: LF message whose body contains a CRLF blank line splits first") {
+    import graft.sources.ParsingTools
+    val m = ParsingTools.parseEml(
+      "Subject: s\n\nline1\r\n\r\nline2".getBytes("UTF-8"))
+    assert(m.subject == "s")
+    assert(m.body == "line1\r\n\r\nline2")
+  }
+
+  test("winsorize/iqr: empty input appends nulls, never NPEs") {
+    val d = df(StructType(Seq(StructField("v", LongType))))
+      .filter(col("v") > 0) // provably empty after a filter
+    val w = graft.ops.Profile.winsorize(d, "v")
+    assert(w.columns.contains("v_winsor") && w.count() == 0)
+    val o = graft.ops.Profile.iqrOutliers(d, "v")
+    assert(o.columns.contains("is_outlier") && o.count() == 0)
+  }
+
+  test("classifier eval: null-score rows are excluded from every metric") {
+    val d = df(StructType(Seq(
+      StructField("lbl", LongType), StructField("s", DoubleType))),
+      Row(0L, 0.1), Row(0L, 0.2), Row(1L, 0.8), Row(1L, 0.9),
+      Row(1L, null), Row(0L, null))
+    val r = graft.ops.ClassifierEval.report(d, "lbl", "s").head()
+    assert(r.getAs[Long]("n") == 4) // null-score rows out of n too
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
+    assert(r.getAs[Double]("auc") == 1.0) // not understated by lost ranks
+  }
+
   // ------------------------------------------------ html extract
 
   test("html extract: link-dense and short blocks die, article survives") {
