@@ -150,7 +150,16 @@ class LocalClusterSpec extends AnyFunSuite {
     // bpe encode: the nested fold expression chain + merge literals in
     // executor codegen; cms: broadcast counter-array literals; warc:
     // parse UDF closure + driver-written fixture read by executor tasks
-    "q132_bpe_encode", "q138_count_min", "q148_parse_warc")
+    "q132_bpe_encode", "q138_count_min", "q148_parse_warc",
+    // round-11: residual codebook nested literals through a keyed join;
+    // WindowGroupLimit partial top-n across executors; BudgetSelect RDD
+    // prefix machinery under buildVocab; AUC's zipWithIndex rank + driver
+    // scalar; JL sign-matrix literals; pagerank's per-iteration
+    // localCheckpoint on executor blocks; stupid-backoff's persisted
+    // reference + left-join backoff arms; mbox parse UDF closure
+    "q156_ann_ivfpq_residual", "q161_quota_select", "q163_build_vocab",
+    "q164_classifier_eval", "q166_random_project", "q167_pagerank",
+    "q171_stupid_backoff", "q172_parse_mbox")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     names.map { name =>
