@@ -5161,6 +5161,52 @@ object Queries {
       },
       Some("""
         SELECT doc_id, text AS main_content FROM documents""")
+    ),
+    (
+      // Token-id mapping over a coverage-cut vocabulary: the last step of
+      // the text -> tokens -> ids tensorization path. Vocab = the 90%
+      // coverage prefix with ids assigned count-desc (ties token-asc);
+      // OOV tokens map to -1. One broadcast map, no per-token shuffle;
+      // the gate explodes (doc, pos, id) so order is oracle-checked.
+      "q174_vocab_encode",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val vocab = graft.ops.VocabCoverage
+          .buildVocab(docs, "text", coverage = 0.9)
+          .withColumn("id", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("token"))).cast("long") - 1)
+        val tokens = docs.select(col("doc_id"),
+          filter(split(col("text"), " "), w => length(w) > 0).as("_toks"))
+        graft.ops.VocabCoverage.toIds(tokens, "_toks", vocab)
+          .select(col("doc_id"),
+            posexplode(col("ids")).as(Seq("pos", "id")))
+          .withColumn("pos", col("pos").cast("bigint"))
+      },
+      Some("""
+        WITH wc AS (
+          SELECT w AS token, count(*)::BIGINT AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' GROUP BY 1),
+        t AS (SELECT sum(cnt) AS total FROM wc),
+        cum AS (SELECT token, cnt,
+                       sum(cnt) OVER (ORDER BY cnt DESC, token) AS cum
+                FROM wc),
+        vocab AS (
+          SELECT token,
+                 (row_number() OVER (ORDER BY cnt DESC, token) - 1)::BIGINT
+                   AS id
+          FROM cum, t WHERE cum <= floor(0.9 * total)),
+        tok AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS token
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '')
+                         AS w
+                FROM documents),
+               UNNEST(range(1, len(w) + 1)) AS x(i))
+        SELECT doc_id, pos::BIGINT AS pos,
+               coalesce(vocab.id, -1)::BIGINT AS id
+        FROM tok LEFT JOIN vocab USING (token)""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

@@ -353,6 +353,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(Profile.iqrOutliers(df, colName, k, approx))
   def buildVocab(textCol: String, coverage: Double): Frame =
     next(VocabCoverage.buildVocab(df, textCol, coverage))
+  def vocabEncode(tokensCol: String, vocab: Frame,
+      unkId: Long = -1L, outCol: String = "ids"): Frame =
+    next(VocabCoverage.toIds(df, tokensCol, vocab.df, unkId = unkId,
+      outCol = outCol))
   def classifierEval(labelCol: String, scoreCol: String,
       threshold: Double = 0.5): Frame =
     next(ClassifierEval.report(df, labelCol, scoreCol, threshold))

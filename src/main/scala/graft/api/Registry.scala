@@ -1006,6 +1006,17 @@ object Registry {
   register("build_vocab") { (df, c, _) =>
     VocabCoverage.buildVocab(df, c("text_key").str, c("coverage").dbl)
   }
+  // Token-id mapping (§2.14 tokenizer family): array<string> tokens ->
+  // vocab ids via a broadcast (token, id) table; OOV -> `unk_id`.
+  register("vocab_encode") { (df, c, ctx) =>
+    val vocab = ctx.datasets.getOrElse(c("vocab").str,
+      throw new IllegalArgumentException(
+        s"unknown vocab_encode vocab dataset '${c("vocab").str}'"))
+    VocabCoverage.toIds(df, c("tokens_key").str, vocab,
+      c.strOr("token_column", "token"), c.strOr("id_column", "id"),
+      c.get("unk_id").map(_.long).getOrElse(-1L),
+      c.strOr("output_key", "ids"))
+  }
   // Classifier evaluation (§2.14 model loop): confusion + P/R/F1 + exact
   // mid-rank AUC, or `mode: calibration` reliability bins.
   register("classifier_eval") { (df, c, _) =>

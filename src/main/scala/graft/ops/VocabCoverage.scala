@@ -68,6 +68,30 @@ object VocabCoverage {
       .select(col("word").as("token"), col("cnt"))
   }
 
+  /** Map an `array<string>` token column to vocabulary ids — the encode
+    * side of the vocab family and the step between tokenization
+    * ([[BpeTrain]]) and fixed-length packing ([[PackOp.chunkFixed]]):
+    * text → tokens → ids → sequences is the full pretraining
+    * tensorization path. OOV tokens map to `unkId`.
+    *
+    * Scale shape: the vocab is MODEL-sized (≤ a few M rows), so it rides
+    * as one broadcast map inside a single UDF — no per-token explode
+    * shuffle, order trivially preserved. (For a vocab too big to
+    * broadcast, posexplode + join + re-collect by position is the
+    * fallback shape — at that point the vocab is the corpus and the
+    * shuffle is honest.) */
+  def toIds(df: DataFrame, tokensCol: String, vocab: DataFrame,
+      tokenColName: String = "token", idColName: String = "id",
+      unkId: Long = -1L, outCol: String = "ids"): DataFrame = {
+    val m = vocab.select(col(tokenColName).cast("string"),
+      col(idColName).cast("long")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = df.sparkSession.sparkContext.broadcast(m)
+    val f = udf((ts: Seq[String]) =>
+      if (ts == null) null else ts.map(t => b.value.getOrElse(t, unkId)))
+    df.withColumn(outCol, f(col(tokensCol)))
+  }
+
   /** The corpus's `k` most frequent out-of-vocabulary tokens — the list
     * that drives vocab extension. Deterministic order (count desc, token
     * asc). */

@@ -65,6 +65,55 @@ class Round11dSpec extends SparkSpec {
     assert(out(3L) == "text:regex;text:max_length")
   }
 
+  // ------------------------------------------------ vocab encode
+
+  test("vocab encode: ids map in order, OOV hits unk, nulls survive") {
+    import spark.implicits._
+    val vocab = Seq(("the", 0L), ("cat", 1L), ("sat", 2L))
+      .toDF("token", "id")
+    val d = df(StructType(Seq(
+      StructField("id", LongType),
+      StructField("toks", ArrayType(StringType)))),
+      Row(1L, Seq("the", "cat", "sat", "on", "the")),
+      Row(2L, Seq.empty[String]), Row(3L, null))
+    val out = graft.ops.VocabCoverage.toIds(d, "toks", vocab)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Long](r.fieldIndex("ids")))).toMap
+    assert(out(1L).get == Seq(0L, 1L, 2L, -1L, 0L)) // order kept, OOV -1
+    assert(out(2L).get.isEmpty)
+    assert(out(3L).isEmpty) // null tokens stay null
+  }
+
+  test("tensorize path: text -> bpe tokens -> ids -> fixed-length chunks") {
+    import spark.implicits._
+    val docSchema2 = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val d = df(docSchema2,
+      Row(1L, "ab ab cd"), Row(2L, "cd ab"), Row(3L, "ab"))
+    // one merge: a+b -> "ab" becomes a single token
+    val merges = Seq(graft.ops.BpeTrain.Merge("a", "b", 0))
+    val tokens = graft.ops.BpeTrain.encode(d, "text", merges)
+    // tokens: doc1 [ab, ab, c, d], doc2 [c, d, ab], doc3 [ab]
+    val vocab = Seq(("ab", 0L), ("c", 1L), ("d", 2L)).toDF("token", "id")
+    val ids = graft.ops.VocabCoverage.toIds(tokens, "tokens", vocab)
+    // fixed-length seqLen=3 chunking over the id STREAM in id order:
+    // chunkFixed assigns (chunk_id, tok_start, tok_len) per doc
+    val chunks = graft.ops.PackOp.chunkFixed(
+      ids.withColumn("n_tok", size(col("ids"))).withColumn("grp", lit(0)),
+      Seq("grp"), "id", "n_tok", seqLen = 3)
+      .withColumn("piece",
+        slice(col("ids"), col("tok_start").cast("int") + 1,
+          col("tok_len").cast("int")))
+      .groupBy("chunk_id")
+      .agg(flatten(array_sort(collect_list(
+        struct(col("id"), col("piece")))).getField("piece")).as("seq"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // stream: [0,0,1,2 | 1,2,0 | 0] -> chunks [0,0,1], [2,1,2], [0,0]
+    assert(chunks(0L) == Seq(0L, 0L, 1L))
+    assert(chunks(1L) == Seq(2L, 1L, 2L))
+    assert(chunks(2L) == Seq(0L, 0L))
+  }
+
   // ------------------------------------ review-finding regressions
 
   test("jpeg: a real marker landing at the buffer edge rejects cleanly") {
