@@ -5207,6 +5207,38 @@ object Queries {
         SELECT doc_id, pos::BIGINT AS pos,
                coalesce(vocab.id, -1)::BIGINT AS id
         FROM tok LEFT JOIN vocab USING (token)""")
+    ),
+    (
+      // REAL WAV/RIFF audio-header parsing: fixtures are genuine RIFF
+      // bytes with doc_id-derived channels/rate/payload; the bounded
+      // chunk walk must recover them (and the integer-exact duration)
+      // from the real format layout — the audio counterpart of q147.
+      "q175_audio_headers",
+      (s: SparkSession, dir: String) => {
+        val fix = graft.sources.ParseFixtures.wavDir(s, dir)
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.wav").load(fix)
+        graft.multimodal.AudioHeader.parse(files, "content")
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+              .cast("bigint").as("doc_id"),
+            col("audio_header.format").as("format"),
+            col("audio_header.channels").as("channels"),
+            col("audio_header.sample_rate").as("sample_rate"),
+            col("audio_header.bits").as("bits"),
+            col("audio_header.duration_ms").as("duration_ms"))
+      },
+      Some("""
+        SELECT doc_id, 'wav' AS format,
+               (1 + doc_id % 2)::INT AS channels,
+               (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END)::INT AS sample_rate,
+               16::INT AS bits,
+               (((doc_id % 50) + 1) * 1000 * 1000) //
+                 ((CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                   ELSE 44100 END) * (1 + doc_id % 2) * 2)
+                 AS duration_ms
+        FROM documents""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

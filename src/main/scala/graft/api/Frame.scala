@@ -401,6 +401,8 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(VocabCoverage.topOovTokens(df, textCol, vocab.df, k))
   def imageHeaders(binaryCol: String): Frame =
     next(graft.multimodal.ImageHeader.parse(df, binaryCol))
+  def audioHeaders(binaryCol: String): Frame =
+    next(graft.multimodal.AudioHeader.parse(df, binaryCol))
   def mixturePlan(domainCol: String, tokenExpr: String,
       weights: Map[String, Double], totalBudget: Long): Frame =
     next(MixtureSolver.planFromCorpus(df, domainCol, tokenExpr, weights,

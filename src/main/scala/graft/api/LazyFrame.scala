@@ -502,6 +502,8 @@ final case class LazyFrame(
       "embedding_key" -> embeddingKey, "mode" -> mode)
   def imageHeaders(binaryKey: String): LazyFrame =
     append("image_header", "binary_key" -> binaryKey)
+  def audioHeaders(binaryKey: String): LazyFrame =
+    append("audio_header", "binary_key" -> binaryKey)
   def mixturePlan(domainKey: String, tokenExpr: String,
       weights: Seq[(String, Double)], totalBudget: Long): LazyFrame =
     append("mixture_plan", "domain_key" -> domainKey,

@@ -784,6 +784,12 @@ object Registry {
     graft.multimodal.ImageHeader.parse(df, c("binary_key").str,
       c.strOr("output_key", "image_header"))
   }
+  // Real audio-header metadata (§2.14 multimodal): WAV/RIFF chunk walk
+  // (channels/rate/bits/duration) + FLAC/OGG/MP3 magic routing.
+  register("audio_header") { (df, c, _) =>
+    graft.multimodal.AudioHeader.parse(df, c("binary_key").str,
+      c.strOr("output_key", "audio_header"))
+  }
   // Embedding-space diagnostics (§2.14 ANN family): outlier scores
   // (default), per-slice centroids, or the slice-centroid similarity
   // matrix.

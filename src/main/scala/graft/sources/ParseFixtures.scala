@@ -72,6 +72,20 @@ object ParseFixtures {
       Files.write(out.resolve("corpus.mbox"), ParsingTools.makeMbox(msgs))
     }
 
+  /** One canonical .wav per `documents` row (`doc_<id>.wav`) with
+    * doc_id-derived channels/rate/payload size — real RIFF bytes the
+    * audio-header parser must round-trip to the closed form. */
+  def wavDir(spark: SparkSession, sfDir: String): String =
+    cached(sfDir, "wav") { out =>
+      docRows(spark, sfDir, None).foreach { case (id, _) =>
+        val channels = 1 + (id % 2).toInt
+        val rate = Seq(8000, 16000, 44100)((id % 3).toInt)
+        val dataBytes = ((id % 50) + 1).toInt * 1000
+        Files.write(out.resolve(s"doc_$id.wav"),
+          graft.multimodal.AudioHeader.makeWav(channels, rate, 16, dataBytes))
+      }
+    }
+
   /** A single workbook of the `nation` table (key, name, regionkey), rows in
     * n_nationkey order. */
   def xlsxDir(spark: SparkSession, sfDir: String): String =

@@ -65,6 +65,53 @@ class Round11dSpec extends SparkSpec {
     assert(out(3L) == "text:regex;text:max_length")
   }
 
+  // ------------------------------------------------ audio headers
+
+  test("wav parse: canonical header round-trips the closed form") {
+    import graft.multimodal.AudioHeader
+    val b = AudioHeader.makeWav(channels = 2, sampleRate = 16000,
+      bits = 16, dataBytes = 64000)
+    // 64000 bytes / (16000 * 2 * 2 B/sample) = 1000 ms
+    assert(AudioHeader.wavInfo(b) == Some((2, 16000, 16, 1000L)))
+    // truncated header rejects cleanly
+    assert(AudioHeader.wavInfo(b.take(20)).isEmpty)
+    assert(AudioHeader.wavInfo(null).isEmpty)
+  }
+
+  test("wav parse: chunk walk survives a LIST chunk before fmt") {
+    import graft.multimodal.AudioHeader
+    val canonical = AudioHeader.makeWav(1, 8000, 16, 8000)
+    // splice a 7-byte (odd -> padded) LIST chunk between WAVE and fmt
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](7, 0, 0, 0) ++ new Array[Byte](7 + 1)
+    val spliced = canonical.take(12) ++ list ++ canonical.drop(12)
+    // fix the RIFF size (not read by the parser, but keep honest)
+    assert(AudioHeader.wavInfo(spliced) == Some((1, 8000, 16, 500L)))
+  }
+
+  test("audio header column: magic routing for flac/ogg/mp3/unknown") {
+    import graft.multimodal.AudioHeader
+    val rows = Seq(
+      1L -> AudioHeader.makeWav(1, 8000, 16, 4000),
+      2L -> ("fLaC" + "x" * 8).getBytes("US-ASCII"),
+      3L -> ("OggS" + "x" * 8).getBytes("US-ASCII"),
+      4L -> ("ID3" + "x" * 9).getBytes("US-ASCII"),
+      5L -> "nonsense bytes".getBytes("US-ASCII"))
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("b", BinaryType))),
+      rows.map { case (i, b) => Row(i, b) }: _*)
+    val out = AudioHeader.parse(d, "b")
+      .select(col("id"), col("audio_header.format").as("f"),
+        col("audio_header.channels").as("ch"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)))).toMap
+    assert(out(1L) == (("wav", Some(1))))
+    assert(out(2L) == (("flac", None)))
+    assert(out(3L) == (("ogg", None)))
+    assert(out(4L) == (("mp3", None)))
+    assert(out(5L) == (("unknown", None)))
+  }
+
   // ------------------------------------------------ vocab encode
 
   test("vocab encode: ids map in order, OOV hits unk, nulls survive") {
