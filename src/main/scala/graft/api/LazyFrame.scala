@@ -659,6 +659,17 @@ final case class LazyFrame(
       .append("importance_weight", fields: _*)
   }
 
+  /** Token-id mapping against a vocab frame (a binary merge; the op
+    * references the vocab's final step by name). */
+  def vocabEncode(vocab: LazyFrame, tokensKey: String,
+      unkId: Long = -1L, outputKey: String = "ids"): LazyFrame = {
+    val (m, lRef, rRef) = merged(vocab)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"vocab_encode_${m.steps.length}")
+      .append("vocab_encode", "vocab" -> rRef, "tokens_key" -> tokensKey,
+        "unk_id" -> unkId, "output_key" -> outputKey)
+  }
+
   /** Snapshot diff of this frame (the NEW ingest) against `prev` (a binary
     * merge; the op references prev's final step by name). `reprocess`
     * returns this frame's added/changed rows instead of the delta table. */

@@ -68,8 +68,8 @@ object AudioHeader {
     val wavUdf = udf { (bytes: Array[Byte]) =>
       wavInfo(bytes) match {
         case Some((ch, rate, bits, dur)) =>
-          AudioInfo("wav", Some(ch), Some(rate), Some(bits), Some(dur))
-        case None => AudioInfo("wav", None, None, None, None)
+          AudioInfo("wav", ch, rate, bits, dur)
+        case None => AudioInfo("wav", null, null, null, null)
       }
     }
     val nullInt = lit(null).cast("int")
@@ -94,9 +94,12 @@ object AudioHeader {
         nullInt.as("bits"), nullLong.as("duration_ms")))
   }
 
-  private case class AudioInfo(format: String, channels: Option[Int],
-      sample_rate: Option[Int], bits: Option[Int],
-      duration_ms: Option[Long])
+  // BYTECODE-PUBLIC (private[graft], not private) with boxed Java types
+  // for nullable fields: a private nested case class (and Option
+  // accessors) makes the generated serializer fail to compile, silently
+  // dropping every task to interpreted mode.
+  private[graft] case class AudioInfo(format: String, channels: Integer,
+      sample_rate: Integer, bits: Integer, duration_ms: java.lang.Long)
 
   /** Append parsed audio metadata for a binary column. */
   def parse(df: DataFrame, binaryCol: String,

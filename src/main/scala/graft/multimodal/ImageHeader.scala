@@ -77,9 +77,12 @@ object ImageHeader {
   /** The JPEG arm's full output row — a case class so the UDF returns ONE
     * struct with the final field names, keeping a single ScalaUDF node in
     * the plan (two per-field `jpgUdf(bin).getField` calls would evaluate
-    * the marker walk twice per row unless codegen CSE happens to fire). */
-  private case class Dims(width: Option[Int], height: Option[Int],
-      format: String)
+    * the marker walk twice per row unless codegen CSE happens to fire).
+    * The class must be BYTECODE-PUBLIC (private[graft], not private)
+    * and use boxed Java types for nullable fields: a private nested case
+    * class (and Option accessors) makes the generated serializer fail to
+    * compile, silently dropping every task to interpreted mode. */
+  private[graft] case class Dims(width: Integer, height: Integer, format: String)
 
   /** struct(width, height, format) parsed from real header bytes; unknown
     * or truncated payloads yield (null, null, "unknown"). */
@@ -91,8 +94,8 @@ object ImageHeader {
     val jpgOk = magic(bin, "FFD8FF")
     val jpgUdf = udf { (bytes: Array[Byte]) =>
       jpegDims(bytes) match {
-        case Some((w, h)) => Dims(Some(w), Some(h), "jpeg")
-        case None => Dims(None, None, "jpeg")
+        case Some((w, h)) => Dims(w, h, "jpeg")
+        case None => Dims(null, null, "jpeg")
       }
     }
     val nullInt = lit(null).cast("int")

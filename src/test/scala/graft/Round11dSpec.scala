@@ -131,6 +131,23 @@ class Round11dSpec extends SparkSpec {
     assert(out(3L).isEmpty) // null tokens stay null
   }
 
+  test("vocab encode: YAML registry + LazyFrame binary merge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11ve").toString
+    Seq(("the", 0L), ("cat", 1L)).toDF("token", "id")
+      .write.mode("overwrite").parquet(s"$dir/vocab.parquet")
+    df(StructType(Seq(StructField("id", LongType),
+      StructField("toks", ArrayType(StringType)))),
+      Row(1L, Seq("the", "cat", "xyz")))
+      .write.mode("overwrite").parquet(s"$dir/toks.parquet")
+    import graft.api.LazyFrame
+    val lf = LazyFrame.read("toks", s"$dir/toks.parquet")
+      .vocabEncode(LazyFrame.read("vocab", s"$dir/vocab.parquet"), "toks")
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    val out = lf.run(spark).select("ids").head().getSeq[Long](0)
+    assert(out == Seq(0L, 1L, -1L))
+  }
+
   test("tensorize path: text -> bpe tokens -> ids -> fixed-length chunks") {
     import spark.implicits._
     val docSchema2 = StructType(Seq(
