@@ -5239,6 +5239,27 @@ object Queries {
                    ELSE 44100 END) * (1 + doc_id % 2) * 2)
                  AS duration_ms
         FROM documents""")
+    ),
+    (
+      // REAL EPUB parsing: one OCF/OPF/XHTML book whose spine chapters
+      // are the documents in doc_id order — parsing must resolve the OPF
+      // manifest + spine and strip the XHTML back to the original text.
+      "q176_parse_epub",
+      (s: SparkSession, dir: String) => {
+        val fix = graft.sources.ParseFixtures.epubDir(s, dir)
+        val files = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.epub").load(fix)
+        graft.sources.ParseOp(files,
+          graft.sources.ParseOp.Config(function = "epub",
+            docPerChapter = true, posKey = Some("chapter_no")))
+          .select(col("chapter_no").cast("bigint").as("chapter_no"),
+            col("text"))
+      },
+      Some("""
+        SELECT (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT
+                 AS chapter_no,
+               text
+        FROM documents""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

@@ -387,6 +387,8 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(SchemaValidate.summary(df, rules))
   def codeDetect(textCol: String, threshold: Double = 0.25): Frame =
     next(CodeDetect.report(df, textCol, threshold))
+  def compressionRatio(textCol: String, threshold: Double = 0.25): Frame =
+    next(CompressionRatio.report(df, textCol, threshold))
   def corpusOverlap(sliceCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16): Frame =
     next(CorpusOverlap.jaccardMatrix(df, sliceCol, textCol, shingleSize,

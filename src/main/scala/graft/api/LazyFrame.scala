@@ -492,6 +492,10 @@ final case class LazyFrame(
       }))
   def codeDetect(textKey: String, threshold: Double = 0.25): LazyFrame =
     append("code_detect", "text_key" -> textKey, "threshold" -> threshold)
+  def compressionRatio(textKey: String,
+      threshold: Double = 0.25): LazyFrame =
+    append("compression_ratio", "text_key" -> textKey,
+      "threshold" -> threshold)
   def corpusOverlap(sliceKey: String, textKey: String,
       shingleSize: Int = 3, numHashes: Int = 16): LazyFrame =
     append("corpus_overlap", "slice_key" -> sliceKey, "text_key" -> textKey,

@@ -1064,6 +1064,12 @@ object Registry {
         s"schema_validate mode must be report|clean|summary, got '$other'")
     }
   }
+  // Compression-ratio repetition signal (§2.14 text quality): deflate
+  // size over raw size; spec-covered (no SQL deflate for an oracle).
+  register("compression_ratio") { (df, c, _) =>
+    CompressionRatio.report(df, c("text_key").str,
+      c.dblOr("threshold", 0.25))
+  }
   // Readability (§2.14 text quality): Flesch Reading Ease + FK grade from
   // pure regexp/fold counts.
   register("readability") { (df, c, _) =>

@@ -48,6 +48,44 @@ object Readability {
   }
 }
 
+/** Compression-ratio quality signal — deflate the text and report
+  * compressed/raw size: highly repetitive or templated documents compress
+  * far below prose (a published curation heuristic — RedPajama-v2 ships
+  * it as a quality signal; it catches machine-generated spam that token
+  * statistics miss). A per-row `Deflater` UDF by necessity (no SQL
+  * deflate) — deterministic for a fixed level/strategy in a JVM, but not
+  * cross-engine replayable, so coverage is spec-based like the streaming
+  * family. Per-row cost is linear in the document's own bytes; no
+  * shuffle, no driver state.
+  */
+object CompressionRatio {
+
+  /** deflate(level 6) size / raw UTF-8 size, 6 decimals; empty/null rows
+    * report null. Typical prose lands ~0.3–0.6; heavy repetition sinks
+    * well below. */
+  def ratio(text: String): Option[Double] = {
+    if (text == null || text.isEmpty) return None
+    val raw = text.getBytes("UTF-8")
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](1024)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      Some(math.rint(n.toDouble / raw.length * 1e6) / 1e6)
+    } finally d.end()
+  }
+
+  /** Append `compression_ratio` (+ `is_repetitive` = ratio < threshold). */
+  def report(df: DataFrame, textCol: String,
+      threshold: Double = 0.25): DataFrame = {
+    val f = udf((t: String) => ratio(t))
+    df.withColumn("compression_ratio", f(col(textCol)))
+      .withColumn("is_repetitive",
+        coalesce(col("compression_ratio") < threshold, lit(false)))
+  }
+}
+
 /** Code-vs-prose detection — the heuristic that separates source code
   * from natural language in web scrapes (a standard crawl-curation
   * routing decision: code goes to the code subset, prose to the text

@@ -72,6 +72,15 @@ object ParseFixtures {
       Files.write(out.resolve("corpus.mbox"), ParsingTools.makeMbox(msgs))
     }
 
+  /** A single .epub whose spine chapters are the `documents` texts in
+    * doc_id order — real OCF/OPF/XHTML bytes the parser must walk in
+    * spine order. */
+  def epubDir(spark: SparkSession, sfDir: String): String =
+    cached(sfDir, "epub") { out =>
+      val chapters = docRows(spark, sfDir, None).map(_._2)
+      Files.write(out.resolve("book.epub"), ParsingTools.makeEpub(chapters))
+    }
+
   /** One canonical .wav per `documents` row (`doc_<id>.wav`) with
     * doc_id-derived channels/rate/payload size — real RIFF bytes the
     * audio-header parser must round-trip to the closed form. */

@@ -27,6 +27,7 @@ object ParseOp {
       docPerSheet: Boolean = false, // xlsx
       docPerSlide: Boolean = false, // pptx
       docPerPage: Boolean = false, // pdf
+      docPerChapter: Boolean = false, // epub
       dropInput: Boolean = true, // drop the (large) binary column after parse
       posKey: Option[String] = None, // also emit the doc's index within its file
       /** Corrupt-file policy: a file whose parse throws yields ZERO rows
@@ -40,10 +41,10 @@ object ParseOp {
   private def canonical(name: String): String =
     name.stripSuffix("_to_string") match {
       case f @ ("txt" | "docx" | "pptx" | "xlsx" | "pdf" | "warc" |
-                "eml" | "mbox") => f
+                "eml" | "mbox" | "epub") => f
       case other => throw new IllegalArgumentException(
         s"unknown parsing function '$other'; known: txt, docx, pptx, xlsx, " +
-          "pdf, warc, eml, mbox " +
+          "pdf, warc, eml, mbox, epub " +
           "(whisper/OCR/azure parsers need native runtimes outside this library)")
     }
 
@@ -65,6 +66,7 @@ object ParseOp {
       case "warc" => warcUdf(skip)(in)
       case "eml" => emlUdf(skip)(in)
       case "mbox" => mboxUdf(skip)(in)
+      case "epub" => epubUdf(lit(cfg.docPerChapter), skip)(in)
     }
     val kept = df.columns
       .filter(c => !(cfg.dropInput && c == cfg.inputKey) && c != cfg.outputKey)
@@ -108,4 +110,9 @@ object ParseOp {
   private def mboxUdf(skip: Column) = udf((b: Array[Byte], sk: Boolean) =>
     if (b == null) Seq.empty[String] else guarded(sk)(ParsingTools.mboxToString(b)))
     .apply(_: Column, skip)
+  private def epubUdf(perChapter: Column, skip: Column) =
+    udf((b: Array[Byte], pc: Boolean, sk: Boolean) =>
+      if (b == null) Seq.empty[String]
+      else guarded(sk)(ParsingTools.epubToString(b, pc)))
+      .apply(_: Column, perChapter, skip)
 }

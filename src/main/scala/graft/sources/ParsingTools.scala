@@ -286,6 +286,79 @@ object ParsingTools {
       .filter(_.recordType == "response")
       .map(r => new String(httpBody(r.payload), UTF_8))
 
+  /** EPUB: zip of XHTML chapters ordered by the OPF spine (EPUB is a
+    * publicly specified format — OCF zip container + OPF package manifest
+    * / spine + XHTML content documents; book corpora are a standard
+    * training-data source). Chapter markup strips through
+    * [[HtmlToMarkdown]]. Falls back to name-sorted (x)html entries when
+    * no OPF resolves — real-world EPUBs occasionally lack a clean spine.
+    * `docPerChapter` yields one document per spine item. */
+  def epubToString(bytes: Array[Byte],
+      docPerChapter: Boolean = false): Seq[String] = {
+    val entries = zipEntries(bytes)(n => Some(n)).toMap
+    val opf = entries.collectFirst {
+      case (name, data) if name.endsWith(".opf") => (name, data)
+    }
+    val chapterNames: Seq[String] = opf match {
+      case Some((opfName, opfData)) =>
+        val opfXml = new String(opfData, UTF_8)
+        val dir = opfName.lastIndexOf('/') match {
+          case -1 => ""
+          case i => opfName.substring(0, i + 1)
+        }
+        val items = raw"""<item\b[^>]*>""".r.findAllIn(opfXml).toSeq
+        def attr(tag: String, name: String): Option[String] =
+          raw"""$name\s*=\s*"([^"]*)"""".r.findFirstMatchIn(tag).map(_.group(1))
+        val hrefById = items.flatMap(t =>
+          for (i <- attr(t, "id"); h <- attr(t, "href")) yield i -> h).toMap
+        val spine = raw"""<itemref\b[^>]*>""".r.findAllIn(opfXml).toSeq
+          .flatMap(t => attr(t, "idref")).flatMap(hrefById.get)
+          .map(dir + _)
+        if (spine.nonEmpty) spine
+        else entries.keys.filter(n => n.endsWith(".xhtml") ||
+          n.endsWith(".html") || n.endsWith(".htm")).toSeq.sorted
+      case None =>
+        entries.keys.filter(n => n.endsWith(".xhtml") ||
+          n.endsWith(".html") || n.endsWith(".htm")).toSeq.sorted
+    }
+    val chapters = chapterNames.flatMap(entries.get)
+      .map(data => HtmlToMarkdown(new String(data, UTF_8)))
+    if (docPerChapter) chapters else Seq(chapters.mkString("\n\n"))
+  }
+
+  /** Minimal valid EPUB (OCF container + OPF spine + XHTML chapters) —
+    * fixture writer / simple sink, mirroring the other `make*`s. */
+  def makeEpub(chapters: Seq[String]): Array[Byte] = {
+    val manifest = chapters.indices.map(i =>
+      s"""<item id="c$i" href="ch$i.xhtml" media-type="application/xhtml+xml"/>""")
+      .mkString("\n")
+    val spine = chapters.indices.map(i => s"""<itemref idref="c$i"/>""")
+      .mkString("\n")
+    val opf =
+      s"""<?xml version="1.0"?>
+         |<package xmlns="http://www.idpf.org/2007/opf" version="3.0">
+         |<manifest>
+         |$manifest
+         |</manifest>
+         |<spine>
+         |$spine
+         |</spine>
+         |</package>""".stripMargin
+    val container =
+      """<?xml version="1.0"?>
+        |<container version="1.0">
+        |<rootfiles><rootfile full-path="OEBPS/content.opf"/></rootfiles>
+        |</container>""".stripMargin
+    zip(Seq(
+      "mimetype" -> "application/epub+zip",
+      "META-INF/container.xml" -> container,
+      "OEBPS/content.opf" -> opf) ++
+      chapters.zipWithIndex.map { case (text, i) =>
+        s"OEBPS/ch$i.xhtml" ->
+          s"<html><body><p>${text}</p></body></html>"
+      }: _*)
+  }
+
   /** Word: paragraphs of `word/document.xml` (`<w:p>`, runs' `<w:t>` text)
     * joined by newline, one document (parsing_tools.py:172-186). */
   def docxToString(bytes: Array[Byte]): Seq[String] = {

@@ -65,6 +65,60 @@ class Round11dSpec extends SparkSpec {
     assert(out(3L) == "text:regex;text:max_length")
   }
 
+  // ------------------------------------------------ epub
+
+  test("epub: spine order wins over entry-name order; no-OPF falls back") {
+    import graft.sources.ParsingTools
+    val book = ParsingTools.makeEpub(Seq("chapter one", "chapter two"))
+    assert(ParsingTools.epubToString(book) ==
+      Seq("chapter one\n\nchapter two"))
+    assert(ParsingTools.epubToString(book, docPerChapter = true) ==
+      Seq("chapter one", "chapter two"))
+    // a zip with html entries but no OPF: name-sorted fallback
+    val zin = new java.util.zip.ZipOutputStream(
+      new java.io.ByteArrayOutputStream())
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    Seq("b.xhtml" -> "<p>second</p>", "a.xhtml" -> "<p>first</p>")
+      .foreach { case (n, c) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n))
+        z.write(c.getBytes("UTF-8")); z.closeEntry()
+      }
+    z.close(); zin.close()
+    assert(ParsingTools.epubToString(bos.toByteArray,
+      docPerChapter = true) == Seq("first", "second"))
+  }
+
+  // ------------------------------------------------ compression ratio
+
+  test("compression ratio: repetition sinks the ratio, prose floats it") {
+    val docSchema2 = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val varied = (1 to 60).map(i => s"w${i * 7 % 97}x$i").mkString(" ")
+    val d = df(docSchema2,
+      Row(1L, "spam " * 200), Row(2L, varied), Row(3L, ""), Row(4L, null))
+    val out = graft.ops.CompressionRatio.report(d, "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[Any]("compression_ratio"))
+          .map(_.asInstanceOf[Double]),
+          r.getAs[Boolean]("is_repetitive"))).toMap
+    val (spamR, spamFlag) = out(1L)
+    val (prosR, prosFlag) = out(2L)
+    assert(spamR.get < 0.1 && spamFlag) // 200 repeats compress to nothing
+    assert(prosR.get > 0.3 && !prosFlag)
+    assert(out(3L)._1.isEmpty && !out(3L)._2)
+    assert(out(4L)._1.isEmpty && !out(4L)._2)
+    // deterministic across calls
+    val again = graft.ops.CompressionRatio.report(d, "text")
+      .filter(col("id") === 2).head().getAs[Double]("compression_ratio")
+    assert(again == prosR.get)
+    // YAML surface
+    val y = graft.api.Registry("compression_ratio")(d,
+      graft.api.Conf.fromYaml("type: compression_ratio\ntext_key: text"),
+      null)
+    assert(y.columns.contains("compression_ratio"))
+  }
+
   // ------------------------------------------------ audio headers
 
   test("wav parse: canonical header round-trips the closed form") {
