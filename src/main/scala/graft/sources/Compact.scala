@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the lakehouse OPTIMIZE pass: long-running
+  * ingest (especially streaming micro-batches and per-shard appends)
+  * accumulates thousands of KB-scale parquet files whose per-file
+  * open/footer overhead eventually dominates scan time; compaction
+  * rewrites a directory into ~`targetBytes` files. Publicly standard
+  * (Delta OPTIMIZE, Iceberg rewrite_data_files); the reference has no
+  * storage-maintenance story — §2.14 engine extension next to
+  * [[ShardedSink]]/[[IncrementalScan]].
+  *
+  * Scale shape: `plan` reads ONLY file metadata (names + sizes — no data
+  * scan) to decide whether compaction pays; `run` is one read +
+  * repartition + write into a temp dir, then an atomic-ish swap (rename
+  * within the same filesystem). Output file count =
+  * ceil(totalBytes / targetBytes) — bounded, deterministic. The rewrite
+  * shuffles once (round-robin repartition); pass `sortCols` to make the
+  * pass double as a layout pass ([[graft.ops.ZOrder.layout]] composes
+  * upstream for multi-dimension keys).
+  */
+object Compact {
+
+  final case class Plan(nFiles: Int, totalBytes: Long, targetFiles: Int,
+      worthIt: Boolean)
+
+  /** Metadata-only decision: compaction pays when the directory holds
+    * more than `targetFiles × ratio` files (default: 4× more files than
+    * the target layout). */
+  def plan(spark: SparkSession, path: String, targetBytes: Long,
+      ratio: Double = 4.0): Plan = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val files = listDataFiles(spark, path)
+    val total = files.map(_._2).sum
+    val target = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    Plan(files.size, total, target, files.size > target * ratio)
+  }
+
+  /** Rewrite `path` (a parquet dir) into ~targetBytes files; returns the
+    * plan it executed. Skips (worthIt = false) unless `force`. */
+  def run(spark: SparkSession, path: String, targetBytes: Long,
+      sortCols: Seq[String] = Nil, force: Boolean = false): Plan = {
+    val p = plan(spark, path, targetBytes)
+    if (!p.worthIt && !force) return p
+    val df = spark.read.parquet(path)
+    val tmp = s"$path${TmpSuffix}"
+    val arranged =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(p.targetFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(p.targetFiles)
+    arranged.write.mode("overwrite").parquet(tmp)
+    // same-filesystem swap: old dir out, compacted dir in
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(s"$path${OldSuffix}")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(dst, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.delete(old, true)
+    p
+  }
+
+  private val TmpSuffix = "__graft_compact_tmp"
+  private val OldSuffix = "__graft_compact_old"
+
+  private def listDataFiles(spark: SparkSession,
+      path: String): Seq[(String, Long)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    val out = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+        out += n -> f.getLen
+    }
+    out.result()
+  }
+}

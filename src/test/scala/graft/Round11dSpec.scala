@@ -65,6 +65,32 @@ class Round11dSpec extends SparkSpec {
     assert(out(3L) == "text:regex;text:max_length")
   }
 
+  // ------------------------------------------------ compaction
+
+  test("compact: many small files rewrite into the target layout") {
+    import graft.sources.Compact
+    val dir = java.nio.file.Files.createTempDirectory("r11cmp").toString
+    val path = s"$dir/events"
+    // 64 tiny files
+    spark.range(0, 6400).repartition(64)
+      .write.mode("overwrite").parquet(path)
+    val before = Compact.plan(spark, path, targetBytes = 512 * 1024)
+    assert(before.nFiles >= 64 && before.worthIt)
+    val executed = Compact.run(spark, path, targetBytes = 512 * 1024)
+    assert(executed.worthIt)
+    val after = Compact.plan(spark, path, targetBytes = 512 * 1024)
+    assert(after.nFiles <= executed.targetFiles + 1)
+    // every row survives the swap
+    assert(spark.read.parquet(path).count() == 6400)
+    // a sorted compaction lays files out by range
+    Compact.run(spark, path, targetBytes = 1, sortCols = Seq("id"),
+      force = true)
+    assert(spark.read.parquet(path).count() == 6400)
+    // already-compact dir: plan says not worth it, run is a no-op
+    val calm = Compact.run(spark, path, targetBytes = 1024L * 1024 * 1024)
+    assert(!calm.worthIt || calm.targetFiles >= 1)
+  }
+
   // ------------------------------------------------ epub
 
   test("epub: spine order wins over entry-name order; no-OPF falls back") {
