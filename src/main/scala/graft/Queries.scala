@@ -5260,6 +5260,22 @@ object Queries {
                  AS chapter_no,
                text
         FROM documents""")
+    ),
+    (
+      // Dataset reproducibility fingerprint: order-free md5-prefix xor
+      // over (doc_id, text) — the release-manifest stamp; identical
+      // regardless of partitioning or row order, replayed bit-exactly.
+      "q177_fingerprint",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Datacard.fingerprint(
+          t(s, dir, "documents"), Seq("doc_id", "text")),
+      Some("""
+        SELECT count(*)::BIGINT AS n_rows, 2 AS n_cols,
+               coalesce(bit_xor(('0x' || substr(md5(
+                 concat_ws(chr(1), coalesce(doc_id::VARCHAR, ''),
+                           coalesce(text, ''))), 1, 15))::UBIGINT::BIGINT),
+                 0)::BIGINT AS content_checksum
+        FROM documents""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

@@ -300,6 +300,8 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def datacard(textCol: String, sliceCol: String,
       approx: Boolean = false): Frame =
     next(Datacard(df, textCol, sliceCol, approx))
+  def fingerprint(cols: Seq[String]): Frame =
+    next(Datacard.fingerprint(df, cols))
   def datacardPerSlice(textCol: String, sliceCol: String,
       approx: Boolean = false): Frame =
     next(Datacard.perSlice(df, textCol, sliceCol, approx))

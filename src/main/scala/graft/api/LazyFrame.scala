@@ -427,6 +427,8 @@ final case class LazyFrame(
       "threshold" -> threshold, "mode" -> (if (clean) "clean" else "report"))
   def profile(columns: Seq[String], approx: Boolean = false): LazyFrame =
     append("profile", "columns" -> jlist(columns), "approx" -> approx)
+  def fingerprint(columns: Seq[String]): LazyFrame =
+    append("fingerprint", "columns" -> jlist(columns))
   def tokenizerStats(textKey: String, numMerges: Int): LazyFrame =
     append("tokenizer_stats", "text_key" -> textKey,
       "num_merges" -> numMerges)

@@ -950,6 +950,11 @@ object Registry {
       Datacard.perSlice(df, c("text_key").str, c("slice_key").str, approx, rsd)
     else Datacard(df, c("text_key").str, c("slice_key").str, approx, rsd)
   }
+  // Dataset reproducibility fingerprint (§2.14 reporting): order-free
+  // content checksum + row count over the listed columns.
+  register("fingerprint") { (df, c, _) =>
+    Datacard.fingerprint(df, c("columns").strList)
+  }
   // PII audit report (§2.14 curation): per-row counts for the four scrub
   // categories, sequentially attributed like redact_pii itself.
   register("pii_report") { (df, c, _) =>

@@ -63,6 +63,27 @@ object Datacard {
     melt(base).union(melt(slices)).union(melt(grams))
   }
 
+  /** Dataset reproducibility fingerprint: one row of (n_rows, n_cols,
+    * content_checksum) where the checksum is an ORDER-FREE bit_xor of an
+    * md5-prefix hash over the listed content columns — two exports are
+    * the same dataset iff their stamps match, regardless of partitioning
+    * or row order (the corpus-level analog of [[graft.sources.ShardedSink]]'s
+    * per-shard checksums, and the number a release manifest pins). One
+    * linear aggregation, engine-portable hashing (md5, not xxhash — the
+    * oracle replays it), null columns fold as empty strings. */
+  def fingerprint(df: DataFrame, contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "fingerprint needs at least one column")
+    val joined = concat_ws("\u0001",
+      contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val rowHash = conv(substring(md5(joined), 1, 15), 16, 10).cast("bigint")
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      call_function("bit_xor", rowHash).as("content_checksum"))
+      .select(col("n_rows"),
+        lit(contentCols.size).as("n_cols"),
+        coalesce(col("content_checksum"), lit(0L)).as("content_checksum"))
+  }
+
   /** Per-slice breakdown of the headline metrics — the table that locates
     * WHICH source is the duplication/template-spam problem the global
     * [[apply]] numbers only hint at. Two keyed aggregations (row stats;

@@ -65,6 +65,32 @@ class Round11dSpec extends SparkSpec {
     assert(out(3L) == "text:regex;text:max_length")
   }
 
+  // ------------------------------------------------ fingerprint
+
+  test("fingerprint: order/partition invariant, content sensitive") {
+    val docSchema2 = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val d = df(docSchema2,
+      Row(1L, "alpha"), Row(2L, "beta"), Row(3L, null))
+    val a = graft.ops.Datacard.fingerprint(d, Seq("id", "text")).head()
+    val b = graft.ops.Datacard.fingerprint(
+      d.orderBy(col("id").desc).repartition(7), Seq("id", "text")).head()
+    assert(a.getAs[Long]("n_rows") == 3 && a.getAs[Int]("n_cols") == 2)
+    assert(a.getAs[Long]("content_checksum") ==
+      b.getAs[Long]("content_checksum"))
+    // one changed byte changes the stamp
+    val c = graft.ops.Datacard.fingerprint(
+      df(docSchema2, Row(1L, "alphA"), Row(2L, "beta"), Row(3L, null)),
+      Seq("id", "text")).head()
+    assert(c.getAs[Long]("content_checksum") !=
+      a.getAs[Long]("content_checksum"))
+    // empty input: checksum 0, not null
+    val e = graft.ops.Datacard.fingerprint(
+      d.filter(col("id") > 99), Seq("id", "text")).head()
+    assert(e.getAs[Long]("n_rows") == 0 &&
+      e.getAs[Long]("content_checksum") == 0L)
+  }
+
   // ------------------------------------------------ compaction
 
   test("compact: many small files rewrite into the target layout") {
