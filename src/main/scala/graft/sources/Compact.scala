@@ -52,7 +52,11 @@ object Compact {
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(p.targetFiles)
     arranged.write.mode("overwrite").parquet(tmp)
-    // same-filesystem swap: old dir out, compacted dir in
+    // Same-filesystem swap: old dir out, compacted dir in. A crash
+    // between the two renames leaves the data recoverable at
+    // path__graft_compact_old (nothing is deleted until the new dir is
+    // in place) — run compaction from a single maintenance job, not
+    // concurrently with writers, like any OPTIMIZE pass.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)

@@ -127,8 +127,6 @@ class Round11dSpec extends SparkSpec {
     assert(ParsingTools.epubToString(book, docPerChapter = true) ==
       Seq("chapter one", "chapter two"))
     // a zip with html entries but no OPF: name-sorted fallback
-    val zin = new java.util.zip.ZipOutputStream(
-      new java.io.ByteArrayOutputStream())
     val bos = new java.io.ByteArrayOutputStream()
     val z = new java.util.zip.ZipOutputStream(bos)
     Seq("b.xhtml" -> "<p>second</p>", "a.xhtml" -> "<p>first</p>")
@@ -136,7 +134,7 @@ class Round11dSpec extends SparkSpec {
         z.putNextEntry(new java.util.zip.ZipEntry(n))
         z.write(c.getBytes("UTF-8")); z.closeEntry()
       }
-    z.close(); zin.close()
+    z.close()
     assert(ParsingTools.epubToString(bos.toByteArray,
       docPerChapter = true) == Seq("first", "second"))
   }
