@@ -386,6 +386,49 @@ object Streams {
       }
   }
 
+  /** Event-time variant of [[quotaByKey]]'s TTL: an idle key's budget
+    * resets when the WATERMARK passes its last arrival + `stateTtl` —
+    * wall-clock independent, so backlog replays admit exactly the same
+    * rows as the original run (the same reasoning as
+    * [[dedupExactEventTime]]). Input needs (id: Long), `keyCol`, and the
+    * `tsCol` timestamp column; emits admitted (id, key). */
+  def quotaByKeyEventTime(
+      rows: Dataset[Row],
+      keyCol: String,
+      n: Int,
+      tsCol: String,
+      watermarkDelay: String,
+      stateTtl: String): Dataset[(Long, String)] = {
+    require(n >= 1, s"quota must be >= 1, got $n")
+    import rows.sparkSession.implicits._
+    rows
+      .withWatermark(tsCol, watermarkDelay)
+      .selectExpr("id", s"cast($keyCol as string) as _k", tsCol)
+      .as[(Long, String, java.sql.Timestamp)](Encoders.tuple(
+        Encoders.scalaLong, Encoders.STRING, Encoders.TIMESTAMP))
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        case (_, items, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed last arrival + TTL: reset
+            Iterator.empty
+          } else {
+            val seq = items.toSeq
+            val used = state.getOption.getOrElse(0L)
+            val room = n - used.toInt
+            val admitted =
+              if (room <= 0) Seq.empty
+              else seq.sortBy(_._1).take(room)
+            state.update(used + admitted.size)
+            val base = math.max(seq.iterator.map(_._3.getTime).max,
+              state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(base, stateTtl)
+            admitted.iterator.map(t => (t._1, t._2))
+          }
+      }
+  }
+
   /** Per-bucket LSH state: parallel seqs of member ids and their MinHash
     * signatures (Product encoder-friendly). */
   final case class BucketMembers(ids: Seq[Long], sigs: Seq[Seq[Long]])

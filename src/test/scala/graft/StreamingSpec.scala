@@ -257,6 +257,30 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 10L, 11L))
   }
 
+  test("event-time quotaByKey resets an idle key's budget via watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("id", "host", "ts")
+    val admitted = Streams.quotaByKeyEventTime(docs.toDF(), "host", n = 1,
+      "ts", watermarkDelay = "0 seconds", stateTtl = "10 seconds")
+    val q = admitted.toDF("id", "key").writeStream.format("memory")
+      .queryName("stream_quota_et").outputMode(OutputMode.Append()).start()
+    input.addData((1L, "a", ts(10)), (2L, "a", ts(11)))
+    q.processAllAvailable() // a admits id 1, id 2 over quota
+    input.addData((3L, "a", ts(15)))
+    q.processAllAvailable() // still inside the TTL window: rejected
+    input.addData((9L, "z", ts(100))) // watermark jumps past 15 + 10s
+    q.processAllAvailable()
+    input.addData((4L, "a", ts(101)))
+    q.processAllAvailable() // budget reset: a admits again
+    val ids = spark.sql("SELECT id FROM stream_quota_et")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids == Set(1L, 9L, 4L))
+  }
+
   // With ProcessingTimeTimeout the engine keeps scheduling timeout-check
   // batches, so `processAllAvailable` never sees a quiescent stream — the
   // TTL tests poll the sink instead (a real trigger interval paces the
