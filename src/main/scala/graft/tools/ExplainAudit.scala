@@ -10,7 +10,10 @@ object ExplainAudit {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSet
       else Set("q01_code_reduce_tpch1", "q03_join_agg", "q05_tpch3_topk",
-        "q13_sample_first", "q17_topk_bm25", "q30_sem_map")
+        "q13_sample_first", "q17_topk_bm25", "q30_sem_map",
+        // round-11 plan shapes worth re-auditing: one-scan profiler,
+        // WindowGroupLimit quota prune, broadcast JL literals
+        "q159_profile", "q161_quota_select", "q166_random_project")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
