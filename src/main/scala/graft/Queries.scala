@@ -5262,8 +5262,9 @@ object Queries {
         FROM documents""")
     ),
     (
-      // Dataset reproducibility fingerprint: order-free md5-prefix xor
-      // over (doc_id, text) — the release-manifest stamp; identical
+      // Dataset reproducibility fingerprint: order-free md5-prefix SUM
+      // (mod 2^64 — multiplicity-sensitive, unlike an xor) over
+      // (doc_id, text) — the release-manifest stamp; identical
       // regardless of partitioning or row order, replayed bit-exactly.
       "q177_fingerprint",
       (s: SparkSession, dir: String) =>
@@ -5271,10 +5272,12 @@ object Queries {
           t(s, dir, "documents"), Seq("doc_id", "text")),
       Some("""
         SELECT count(*)::BIGINT AS n_rows, 2 AS n_cols,
-               coalesce(bit_xor(('0x' || substr(md5(
-                 concat_ws(chr(1), coalesce(doc_id::VARCHAR, ''),
-                           coalesce(text, ''))), 1, 15))::UBIGINT::BIGINT),
-                 0)::BIGINT AS content_checksum
+               coalesce(sum(('0x' || substr(md5(
+                   concat_ws(chr(1), coalesce(doc_id::VARCHAR, ''),
+                             coalesce(text, ''))), 1, 15))
+                 ::UBIGINT::HUGEINT)
+                 % 18446744073709551616::HUGEINT, 0)::VARCHAR
+                 AS content_checksum
         FROM documents""")
     ))
 

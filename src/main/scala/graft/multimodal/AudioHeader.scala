@@ -35,7 +35,8 @@ object AudioHeader {
     var i = 12
     var fmt: Option[(Int, Int, Int, Long)] = None // channels, rate, bits, byteRate
     var dataLen: Option[Long] = None
-    while (i + 8 <= bytes.length && (fmt.isEmpty || dataLen.isEmpty)) {
+    var walking = true
+    while (walking && i + 8 <= bytes.length && (fmt.isEmpty || dataLen.isEmpty)) {
       val id = ascii(i, 4)
       val size = le(i + 4, 4)
       if (id == "fmt " && i + 8 + 16 <= bytes.length) {
@@ -48,9 +49,13 @@ object AudioHeader {
       } else if (id == "data") {
         dataLen = Some(size)
       }
-      // chunks are word-aligned: odd sizes carry one pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
-      if (size < 0 || size > Int.MaxValue) return None
+      // Advance in LONG space BEFORE touching the cursor: a corrupt chunk
+      // declaring a ~2^31 size would wrap an Int increment negative and
+      // index out of bounds; past-the-end just stops the walk (the data
+      // chunk's payload legitimately extends past a header-only buffer).
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next > bytes.length || next <= i) walking = false
+      else i = next.toInt
     }
     for ((channels, rate, bits, byteRate) <- fmt; dl <- dataLen) yield {
       val br = if (byteRate > 0) byteRate

@@ -64,24 +64,32 @@ object Datacard {
   }
 
   /** Dataset reproducibility fingerprint: one row of (n_rows, n_cols,
-    * content_checksum) where the checksum is an ORDER-FREE bit_xor of an
-    * md5-prefix hash over the listed content columns — two exports are
-    * the same dataset iff their stamps match, regardless of partitioning
-    * or row order (the corpus-level analog of [[graft.sources.ShardedSink]]'s
-    * per-shard checksums, and the number a release manifest pins). One
-    * linear aggregation, engine-portable hashing (md5, not xxhash — the
-    * oracle replays it), null columns fold as empty strings. */
+    * content_checksum) where the checksum is an ORDER-FREE SUM (mod 2^64)
+    * of an md5-prefix hash over the listed content columns — identical
+    * regardless of partitioning or row order, and MULTIPLICITY-SENSITIVE
+    * (an xor would cancel rows of even multiplicity, letting two
+    * different exports stamp alike — duplicated documents are exactly
+    * what corpora contain). The corpus-level analog of
+    * [[graft.sources.ShardedSink]]'s per-shard checksums and the number a
+    * release manifest pins. One linear aggregation; the sum runs in
+    * decimal(38) (exact to ~10^19 rows of 60-bit hashes) and the checksum
+    * emits as a STRING so the 64-bit modulus survives every engine's
+    * integer semantics; md5-based so the DuckDB oracle replays it
+    * bit-exactly; null columns fold as empty strings. */
   def fingerprint(df: DataFrame, contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "fingerprint needs at least one column")
     val joined = concat_ws("\u0001",
       contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
-    val rowHash = conv(substring(md5(joined), 1, 15), 16, 10).cast("bigint")
+    val rowHash = conv(substring(md5(joined), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    val mod = lit(new java.math.BigDecimal("18446744073709551616")) // 2^64
     df.agg(
       count(lit(1)).as("n_rows"),
-      call_function("bit_xor", rowHash).as("content_checksum"))
+      sum(rowHash).as("_sum"))
       .select(col("n_rows"),
         lit(contentCols.size).as("n_cols"),
-        coalesce(col("content_checksum"), lit(0L)).as("content_checksum"))
+        coalesce(col("_sum") % mod, lit(java.math.BigDecimal.ZERO))
+          .cast("decimal(38,0)").cast("string").as("content_checksum"))
   }
 
   /** Per-slice breakdown of the headline metrics — the table that locates

@@ -52,18 +52,32 @@ object Compact {
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(p.targetFiles)
     arranged.write.mode("overwrite").parquet(tmp)
-    // Same-filesystem swap: old dir out, compacted dir in. A crash
-    // between the two renames leaves the data recoverable at
-    // path__graft_compact_old (nothing is deleted until the new dir is
-    // in place) — run compaction from a single maintenance job, not
-    // concurrently with writers, like any OPTIMIZE pass.
+    // Same-filesystem swap: old dir out, compacted dir in. Hadoop's
+    // FileSystem.rename reports most failures by RETURNING FALSE, not
+    // throwing — every step is checked, and on failure the swap aborts
+    // with the original data untouched (a half-swap rolls the old dir
+    // back; nothing is deleted until the new dir is in place). Run
+    // compaction from a single maintenance job, not concurrently with
+    // writers, like any OPTIMIZE pass.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(s"$path${OldSuffix}")
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(dst, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    if (!fs.rename(dst, old)) {
+      fs.delete(tmpP, true)
+      throw new java.io.IOException(
+        s"compact: could not move '$path' aside — data left in place")
+    }
+    if (!fs.rename(tmpP, dst)) {
+      val restored = fs.rename(old, dst) // roll the original back
+      fs.delete(tmpP, true)
+      throw new java.io.IOException(
+        s"compact: could not install the compacted dir at '$path'" +
+          (if (restored) " — original data restored"
+           else s" — ORIGINAL LEFT AT $old"))
+    }
     fs.delete(old, true)
     p
   }

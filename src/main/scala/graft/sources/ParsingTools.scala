@@ -307,8 +307,13 @@ object ParsingTools {
           case i => opfName.substring(0, i + 1)
         }
         val items = raw"""<item\b[^>]*>""".r.findAllIn(opfXml).toSeq
+        // XML attributes may be single- OR double-quoted; matching only
+        // one style would silently drop the spine and scramble chapter
+        // order through the name-sorted fallback
         def attr(tag: String, name: String): Option[String] =
-          raw"""$name\s*=\s*"([^"]*)"""".r.findFirstMatchIn(tag).map(_.group(1))
+          raw"""$name\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
+            .findFirstMatchIn(tag)
+            .map(m => Option(m.group(1)).getOrElse(m.group(2)))
         val hrefById = items.flatMap(t =>
           for (i <- attr(t, "id"); h <- attr(t, "href")) yield i -> h).toMap
         val spine = raw"""<itemref\b[^>]*>""".r.findAllIn(opfXml).toSeq
@@ -349,13 +354,17 @@ object ParsingTools {
         |<container version="1.0">
         |<rootfiles><rootfile full-path="OEBPS/content.opf"/></rootfiles>
         |</container>""".stripMargin
+    // Escape markup characters: a chapter containing '<' or '&' must
+    // round-trip through the XHTML, not be parsed as a (broken) tag.
+    def esc(t: String): String = t.replace("&", "&amp;")
+      .replace("<", "&lt;").replace(">", "&gt;")
     zip(Seq(
       "mimetype" -> "application/epub+zip",
       "META-INF/container.xml" -> container,
       "OEBPS/content.opf" -> opf) ++
       chapters.zipWithIndex.map { case (text, i) =>
         s"OEBPS/ch$i.xhtml" ->
-          s"<html><body><p>${text}</p></body></html>"
+          s"<html><body><p>${esc(text)}</p></body></html>"
       }: _*)
   }
 

@@ -359,6 +359,7 @@ object Streams {
     // itself (the analyzer rejects event-time timeouts otherwise) — project
     // it through and take .getTime inside the function.
     rows
+      .filter(org.apache.spark.sql.functions.col(tsCol).isNotNull)
       .withWatermark(tsCol, watermarkDelay)
       .selectExpr("id", "text", tsCol)
       .as[(Long, String, java.sql.Timestamp)](Encoders.tuple(
@@ -402,6 +403,7 @@ object Streams {
     require(n >= 1, s"quota must be >= 1, got $n")
     import rows.sparkSession.implicits._
     rows
+      .filter(org.apache.spark.sql.functions.col(tsCol).isNotNull)
       .withWatermark(tsCol, watermarkDelay)
       .selectExpr("id", s"cast($keyCol as string) as _k", tsCol)
       .as[(Long, String, java.sql.Timestamp)](Encoders.tuple(
@@ -554,7 +556,9 @@ object Streams {
       numBands: Int = 16,
       threshold: Double = 0.8,
       maxBucketState: Int = 64): Dataset[(Long, Long, Double)] = {
-    val banded = bandedSignatures(rows.toDF().withWatermark(tsCol, watermarkDelay),
+    val banded = bandedSignatures(rows.toDF()
+      .filter(org.apache.spark.sql.functions.col(tsCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay),
       shingleSize, numPerms, numBands, Seq(tsCol))
     import rows.sparkSession.implicits._
     banded

@@ -76,19 +76,29 @@ class Round11dSpec extends SparkSpec {
     val b = graft.ops.Datacard.fingerprint(
       d.orderBy(col("id").desc).repartition(7), Seq("id", "text")).head()
     assert(a.getAs[Long]("n_rows") == 3 && a.getAs[Int]("n_cols") == 2)
-    assert(a.getAs[Long]("content_checksum") ==
-      b.getAs[Long]("content_checksum"))
+    assert(a.getAs[String]("content_checksum") ==
+      b.getAs[String]("content_checksum"))
     // one changed byte changes the stamp
     val c = graft.ops.Datacard.fingerprint(
       df(docSchema2, Row(1L, "alphA"), Row(2L, "beta"), Row(3L, null)),
       Seq("id", "text")).head()
-    assert(c.getAs[Long]("content_checksum") !=
-      a.getAs[Long]("content_checksum"))
-    // empty input: checksum 0, not null
+    assert(c.getAs[String]("content_checksum") !=
+      a.getAs[String]("content_checksum"))
+    // multiplicity-sensitive: an xor would cancel even-count duplicates;
+    // the modular sum must not
+    val dup2 = graft.ops.Datacard.fingerprint(
+      df(docSchema2, Row(1L, "x"), Row(1L, "x"), Row(2L, "y")),
+      Seq("id", "text")).head()
+    val dup0 = graft.ops.Datacard.fingerprint(
+      df(docSchema2, Row(9L, "z"), Row(9L, "z"), Row(2L, "y")),
+      Seq("id", "text")).head()
+    assert(dup2.getAs[String]("content_checksum") !=
+      dup0.getAs[String]("content_checksum"))
+    // empty input: checksum "0", not null
     val e = graft.ops.Datacard.fingerprint(
       d.filter(col("id") > 99), Seq("id", "text")).head()
     assert(e.getAs[Long]("n_rows") == 0 &&
-      e.getAs[Long]("content_checksum") == 0L)
+      e.getAs[String]("content_checksum") == "0")
   }
 
   // ------------------------------------------------ compaction
