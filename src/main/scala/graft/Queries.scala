@@ -3413,7 +3413,10 @@ object Queries {
                  off + len('<|' || role || '|>') + 1 AS s,
                  off + len('<|' || role || '|>') + 1 + len(content) AS e
           FROM o WHERE role = 'assistant')
-        SELECT doc_id, md5(text) AS text_md5, span_idx, s, e
+        -- s/e derive from sum(len(..)) OVER, which DuckDB widens to
+        -- HUGEINT -> pandas float64 (42.0 vs Spark's 42). Cast back.
+        SELECT doc_id, md5(text) AS text_md5, span_idx,
+               s::BIGINT AS s, e::BIGINT AS e
         FROM spans JOIN r USING (doc_id)""")
     ),
     (
@@ -3666,7 +3669,9 @@ object Queries {
                  off + len('<|im_start|>' || role) + 1 AS s,
                  off + len('<|im_start|>' || role) + 1 + len(content) AS e
           FROM o WHERE role = 'assistant')
-        SELECT doc_id, md5(text) AS text_md5, span_idx, s, e
+        -- HUGEINT->float64 hazard, same as q129: cast back to BIGINT.
+        SELECT doc_id, md5(text) AS text_md5, span_idx,
+               s::BIGINT AS s, e::BIGINT AS e
         FROM spans JOIN r USING (doc_id)""")
     ),
     (
@@ -5171,11 +5176,8 @@ object Queries {
       "q174_vocab_encode",
       (s: SparkSession, dir: String) => {
         val docs = t(s, dir, "documents")
-        val vocab = graft.ops.VocabCoverage
-          .buildVocab(docs, "text", coverage = 0.9)
-          .withColumn("id", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("cnt").desc, col("token"))).cast("long") - 1)
+        val vocab = graft.ops.VocabCoverage.withIds(
+          graft.ops.VocabCoverage.buildVocab(docs, "text", coverage = 0.9))
         val tokens = docs.select(col("doc_id"),
           filter(split(col("text"), " "), w => length(w) > 0).as("_toks"))
         graft.ops.VocabCoverage.toIds(tokens, "_toks", vocab)
@@ -5279,6 +5281,160 @@ object Queries {
                  % 18446744073709551616::HUGEINT, 0)::VARCHAR
                  AS content_checksum
         FROM documents""")
+    ),
+    (
+      // Small-file OPTIMIZE under the oracle: scatter documents into 64
+      // tiny parquet files, run the checked two-phase Compact swap, and
+      // gate the POST-compaction read against the original table — full
+      // content equality through the rewrite, plus in-query asserts that
+      // the metadata plan fired (worthIt), the on-disk layout hit
+      // targetFiles exactly, and the order-free fingerprint is unchanged.
+      // The fixture is rebuilt per run so repeated executions always
+      // exercise the real scattered→compacted transition.
+      "q178_compact_roundtrip",
+      (s: SparkSession, dir: String) => {
+        val sf = java.nio.file.Paths.get(dir).getFileName.toString
+        val path = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), s"graft_compact_$sf").toString
+        val cols = Seq("doc_id", "text", "lang", "source")
+        t(s, dir, "documents").select(cols.map(col): _*)
+          .repartition(64).write.mode("overwrite").parquet(path)
+        val before = graft.ops.Datacard
+          .fingerprint(s.read.parquet(path), cols).head()
+        val executed = graft.sources.Compact.run(s, path, 64L << 20)
+        require(executed.worthIt,
+          s"compact judged the 64-file layout not worth it: $executed")
+        require(
+          graft.sources.Compact.dataFileCount(s, path) ==
+            executed.targetFiles,
+          s"post-compact layout != ${executed.targetFiles} files")
+        val after = graft.ops.Datacard
+          .fingerprint(s.read.parquet(path), cols).head()
+        require(before == after,
+          s"compact changed the content fingerprint: $before -> $after")
+        s.read.parquet(path).select(cols.map(col): _*)
+      },
+      Some("""
+        SELECT doc_id, text, lang, source FROM documents""")
+    ),
+    (
+      // Fill-in-the-middle transform (Bavarian et al. 2022): seeded
+      // md5-derived apply/mode decisions + two char-offset cuts, PSM and
+      // SPM serializations with sentinel tokens. Rendered text gates on
+      // md5 (skill rule); offsets cast ::BIGINT on the oracle side
+      // (HUGEINT rule does not apply — no sums — but the mode/cut hashes
+      // replay exactly as substr arithmetic).
+      "q179_fim",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Fim(t(s, dir, "documents"), "doc_id", "text",
+          rate = 0.6, spmRate = 0.5, seed = 7)
+          .select(col("doc_id"), md5(col("fim_text")).as("fim_md5"),
+            col("fim_applied"),
+            // string gate columns must be null-free (pandas object
+            // compare treats None == None as UNEQUAL — skill rule)
+            coalesce(col("fim_mode"), lit("none")).as("fim_mode"),
+            col("fim_lo"), col("fim_hi")),
+      Some("""
+        WITH h AS (
+          SELECT doc_id, text, len(text) AS l,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':7:apply'), 1, 13))
+                   ::UBIGINT::BIGINT % 1000000 < 600000 AS applied,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':7:mode'), 1, 13))
+                   ::UBIGINT::BIGINT % 1000000 < 500000 AS spm,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':7:cut1'), 1, 13))
+                   ::UBIGINT::BIGINT % (len(text) + 1) AS cut1,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':7:cut2'), 1, 13))
+                   ::UBIGINT::BIGINT % (len(text) + 1) AS cut2
+          FROM documents),
+        y AS (
+          SELECT doc_id, text, applied, spm,
+                 least(cut1, cut2) AS lo, greatest(cut1, cut2) AS hi,
+                 substr(text, 1, least(cut1, cut2)) AS pre,
+                 substr(text, least(cut1, cut2) + 1,
+                        greatest(cut1, cut2) - least(cut1, cut2)) AS mid,
+                 substr(text, greatest(cut1, cut2) + 1,
+                        l - greatest(cut1, cut2)) AS suf
+          FROM h)
+        SELECT doc_id,
+               md5(CASE WHEN NOT applied THEN text
+                        WHEN spm THEN '<fim_prefix>' || '<fim_suffix>' ||
+                          suf || '<fim_middle>' || pre || mid
+                        ELSE '<fim_prefix>' || pre || '<fim_suffix>' ||
+                          suf || '<fim_middle>' || mid END) AS fim_md5,
+               applied AS fim_applied,
+               CASE WHEN NOT applied THEN 'none'
+                    WHEN spm THEN 'spm' ELSE 'psm' END AS fim_mode,
+               (CASE WHEN applied THEN lo END)::BIGINT AS fim_lo,
+               (CASE WHEN applied THEN hi END)::BIGINT AS fim_hi
+        FROM y""")
+    ),
+    (
+      // Preference-pair (DPO) prep: build chosen/rejected conversations
+      // from flat columns with two planted damage classes (empty chosen
+      // content on doc_id%11=3; identical responses on doc_id%7=0),
+      // validate the pair contract, render both sides, and report the
+      // divergence offset. Rendered texts gate on md5; the divergence
+      // scan replays as a DuckDB list comprehension over substr.
+      "q180_dpo_pairs",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "documents")
+          .withColumn("chosen",
+            when(col("doc_id") % 11 === 3, lit(""))
+              .otherwise(concat(col("lang"), lit("-"), col("source"))))
+          .withColumn("rejected",
+            when(col("doc_id") % 7 === 0, col("chosen"))
+              .otherwise(col("source")))
+          .select("doc_id", "text", "chosen", "rejected")
+        val pairs = graft.ops.Preference.fromPromptPair(
+          base, "text", "chosen", "rejected")
+        val validated = graft.ops.Preference.validatePairs(
+          pairs, "messages_chosen", "messages_rejected")
+        graft.ops.Preference.renderPair(
+          validated, "messages_chosen", "messages_rejected")
+          .select(col("doc_id"), col("pair_valid"),
+            coalesce(col("pair_invalid_reason"), lit(""))
+              .as("pair_invalid_reason"),
+            md5(col("text_chosen")).as("chosen_md5"),
+            md5(col("text_rejected")).as("rejected_md5"),
+            col("diverge_at"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, text,
+                 CASE WHEN doc_id % 11 = 3 THEN ''
+                      ELSE lang || '-' || source END AS chosen,
+                 CASE WHEN doc_id % 7 = 0 THEN
+                        (CASE WHEN doc_id % 11 = 3 THEN ''
+                              ELSE lang || '-' || source END)
+                      ELSE source END AS rejected
+          FROM documents),
+        r AS (
+          SELECT doc_id, chosen, rejected,
+                 '<|user|>' || chr(10) || text || chr(10) ||
+                   '<|assistant|>' || chr(10) || chosen || chr(10) AS tc,
+                 '<|user|>' || chr(10) || text || chr(10) ||
+                   '<|assistant|>' || chr(10) || rejected || chr(10) AS tr,
+                 CASE WHEN text = '' OR chosen = ''
+                        THEN 'chosen_empty_content'
+                      WHEN text = '' OR rejected = ''
+                        THEN 'rejected_empty_content'
+                      WHEN chosen = rejected THEN 'identical_responses'
+                 END AS reason
+          FROM base),
+        d AS (
+          SELECT doc_id, reason, tc, tr,
+                 list_position(
+                   [substr(tc, i, 1) != substr(tr, i, 1)
+                    FOR i IN range(1, least(len(tc), len(tr)) + 1)],
+                   true) AS pos
+          FROM r)
+        SELECT doc_id, reason IS NULL AS pair_valid,
+               coalesce(reason, '') AS pair_invalid_reason,
+               md5(tc) AS chosen_md5, md5(tr) AS rejected_md5,
+               (CASE WHEN pos IS NULL OR pos = 0
+                     THEN least(len(tc), len(tr))
+                     ELSE pos - 1 END)::BIGINT AS diverge_at
+        FROM d""")
     ))
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`

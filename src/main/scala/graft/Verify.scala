@@ -6,6 +6,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Scale lint: an unpartitioned Window drags the whole input through
+    // ONE task — the single-task sort the SCALE.md invariants ban
+    // (RankOp.withGlobalRank exists to avoid it). A QueryExecutionListener
+    // sees EVERY action's plan, including intermediate driver-side
+    // collects inside ops (where r11's q174 hid one), not just the final
+    // dumped frame.
+    val unpartitionedWindows = new java.util.concurrent.atomic.AtomicInteger
+    @volatile var currentQuery = "<init>"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,6 +25,28 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val hits = qe.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                if w.partitionSpec.isEmpty => w
+            case w: org.apache.spark.sql.catalyst.plans.logical
+                .WindowGroupLimit if w.partitionSpec.isEmpty => w
+          }
+          if (hits.nonEmpty) {
+            unpartitionedWindows.addAndGet(hits.size)
+            System.err.println(s"[verify] LINT: $currentQuery executed " +
+              s"${hits.size} unpartitioned Window node(s) — single-task " +
+              "sort; use RankOp.withGlobalRank or partition the window")
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (comma-separated name prefixes); the driver
     // never sets it, so its runs always dump the full suite.
@@ -25,6 +55,7 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
     selected.foreach { case (name, fn) =>
+      currentQuery = name
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -61,6 +92,10 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    spark.stop() // flushes the async listener bus before the summary
+    if (unpartitionedWindows.get() > 0)
+      System.err.println(s"[verify] LINT SUMMARY: " +
+        s"${unpartitionedWindows.get()} unpartitioned Window execution(s) " +
+        "— see LINT lines above; fix before shipping")
   }
 }

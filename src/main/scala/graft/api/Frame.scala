@@ -297,6 +297,20 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(ChatOps.fromPromptResponse(df, promptCol, responseCol, system))
   def conversationValidate(messagesCol: String): Frame =
     next(ChatOps.validate(df, messagesCol))
+  def fim(idCol: String, textCol: String, rate: Double = 0.5,
+      spmRate: Double = 0.5, seed: Long = 0L): Frame =
+    next(Fim(df, idCol, textCol, rate, spmRate, seed))
+  def preferenceFromPairs(promptCol: String, chosenCol: String,
+      rejectedCol: String, system: Option[String] = None): Frame =
+    next(Preference.fromPromptPair(df, promptCol, chosenCol, rejectedCol,
+      system))
+  def preferenceValidate(chosenCol: String = "messages_chosen",
+      rejectedCol: String = "messages_rejected"): Frame =
+    next(Preference.validatePairs(df, chosenCol, rejectedCol))
+  def preferenceRender(chosenCol: String = "messages_chosen",
+      rejectedCol: String = "messages_rejected",
+      template: ChatOps.ChatTemplate = ChatOps.ChatTemplate.Default): Frame =
+    next(Preference.renderPair(df, chosenCol, rejectedCol, template))
   def datacard(textCol: String, sliceCol: String,
       approx: Boolean = false): Frame =
     next(Datacard(df, textCol, sliceCol, approx))

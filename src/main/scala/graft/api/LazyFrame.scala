@@ -385,6 +385,21 @@ final case class LazyFrame(
       dropInvalid: Boolean = false): LazyFrame =
     append("conversation_validate", "messages_key" -> messagesKey,
       "drop_invalid" -> dropInvalid)
+  def fim(idKey: String, textKey: String, rate: Double = 0.5,
+      spmRate: Double = 0.5, randomState: Int = 0): LazyFrame =
+    append("fim", "id_key" -> idKey, "text_key" -> textKey,
+      "rate" -> rate, "spm_rate" -> spmRate, "random_state" -> randomState)
+  def preferenceFromPairs(promptKey: String, chosenKey: String,
+      rejectedKey: String, system: String = ""): LazyFrame = {
+    val base = Seq[(String, Any)]("prompt_key" -> promptKey,
+      "chosen_key" -> chosenKey, "rejected_key" -> rejectedKey)
+    val fields = if (system.isEmpty) base else base :+ ("system" -> system)
+    append("preference_from_pairs", fields: _*)
+  }
+  def preferenceValidate(dropInvalid: Boolean = false): LazyFrame =
+    append("preference_validate", "drop_invalid" -> dropInvalid)
+  def preferenceRender(template: String = "default"): LazyFrame =
+    append("preference_render", "template" -> template)
   def datacard(textKey: String, sliceKey: String,
       perSlice: Boolean = false, approx: Boolean = false): LazyFrame =
     append("datacard", "text_key" -> textKey, "slice_key" -> sliceKey,

@@ -1276,4 +1276,59 @@ object Registry {
           c.strOr("output_key", "session_id"))
     f
   }
+  // Fill-in-the-middle transform (§2.14 pretraining prep): seeded
+  // PSM/SPM splits with sentinel tokens at `rate` (Bavarian et al. 2022).
+  register("fim") { (df, c, _) =>
+    Fim(df, c("id_key").str, c("text_key").str,
+      c.dblOr("rate", 0.5), c.dblOr("spm_rate", 0.5),
+      c.intOr("random_state", 0).toLong,
+      Fim.Sentinels(
+        c.strOr("prefix_token", "<fim_prefix>"),
+        c.strOr("suffix_token", "<fim_suffix>"),
+        c.strOr("middle_token", "<fim_middle>")),
+      c.strOr("output_key", "fim_text"))
+  }
+  // Preference-pair normalization (§2.14 DPO prep): flat prompt/chosen/
+  // rejected columns -> two messages arrays.
+  register("preference_from_pairs") { (df, c, _) =>
+    Preference.fromPromptPair(df, c("prompt_key").str, c("chosen_key").str,
+      c("rejected_key").str, c.get("system").map(_.str),
+      c.strOr("chosen_out", "messages_chosen"),
+      c.strOr("rejected_out", "messages_rejected"))
+  }
+  // Preference-pair validation (§2.14 DPO prep): per-side conversation
+  // rules + shared-prefix + divergent-responses contract; appends
+  // pair_valid + pair_invalid_reason. `drop_invalid: true` filters.
+  register("preference_validate") { (df, c, _) =>
+    val out = Preference.validatePairs(df,
+      c.strOr("chosen_key", "messages_chosen"),
+      c.strOr("rejected_key", "messages_rejected"))
+    if (c.boolOr("drop_invalid", false))
+      out.filter(org.apache.spark.sql.functions.col("pair_valid"))
+        .drop("pair_valid", "pair_invalid_reason")
+    else out
+  }
+  // Preference-pair render (§2.14 DPO prep): both sides under a chat
+  // template + the divergence character offset.
+  register("preference_render") { (df, c, _) =>
+    val tpl = c.get("template") match {
+      case None => ChatOps.ChatTemplate.Default
+      case Some(t) => t.value match {
+        case s: String => ChatOps.ChatTemplate.builtins.getOrElse(
+          s.toLowerCase(java.util.Locale.ROOT),
+          throw new IllegalArgumentException(
+            s"unknown chat template '$s'; builtins: " +
+              ChatOps.ChatTemplate.builtins.keys.toSeq.sorted.mkString(", ")))
+        case _ => ChatOps.ChatTemplate(
+          bos = t.strOr("bos", ""),
+          msgPrefix = t.strOr("msg_prefix", "<|{role}|>\n"),
+          msgSuffix = t.strOr("msg_suffix", "\n"),
+          eos = t.strOr("eos", ""))
+      }
+    }
+    Preference.renderPair(df,
+      c.strOr("chosen_key", "messages_chosen"),
+      c.strOr("rejected_key", "messages_rejected"),
+      tpl, c.strOr("mask_role", "assistant"))
+  }
 }

@@ -36,17 +36,21 @@ object CdcChunk {
 
   /** `text` split into word runs delimited AFTER every word satisfying
     * `boundary` (array<string>, each run space-joined). Pure expression:
-    * words get a boundary marker appended, one fold joins within runs,
-    * one split recovers the array. Shared by CDC chunking (hash boundary)
+    * words get a boundary marker appended, ONE `array_join` rebuilds the
+    * text (boundary words now carry a trailing marker), one split on
+    * "marker + space" recovers the runs, and a `$`-anchored replace
+    * strips the marker a final boundary word leaves on the last run.
+    * O(|text|) total — an `aggregate` fold here would copy the
+    * accumulated string per word (O(words × |text|)), which book-length
+    * documents cannot afford. Shared by CDC chunking (hash boundary)
     * and [[Segment]] (punctuation boundary). */
   def chunksByBoundary(text: Column, boundary: Column => Column): Column = {
     val words = filter(split(text, " "), w => length(w) > 0)
     val marked = transform(words, w =>
       when(boundary(w), concat(w, lit(Sep))).otherwise(w))
-    val folded = aggregate(marked, lit(""), (acc, w) =>
-      when(acc === "" || acc.endsWith(lit(Sep)), concat(acc, w))
-        .otherwise(concat(acc, lit(" "), w)))
-    filter(split(folded, Sep), c => length(c) > 0)
+    val runs = split(array_join(marked, " "), Sep + " ")
+    filter(transform(runs, c => regexp_replace(c, Sep + "$", "")),
+      c => length(c) > 0)
   }
 
   /** `text` split into content-defined chunks (hash boundary, mod `p`). */

@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   * [[RankOp.withGlobalRank]]'s range-partitioned sort + per-partition
   * offsets (never a single-partition window); ties then collapse to
   * mid-ranks via one (score)-keyed agg joined back (score-keyed shuffle,
-  * bounded by distinct scores ≤ rows). Everything reduces to exact sums
-  * of integers and .5-granular mid-ranks (exact in doubles), so the
-  * DuckDB oracle replays AUC to the last decimal. Calibration is one
-  * bin-keyed agg.
+  * bounded by distinct scores ≤ rows). Everything reduces to exact BIGINT
+  * sums — 2×mid-rank = min+max of a consecutive rank run is an integer —
+  * so AUC is order-independent at any n and the DuckDB oracle replays it
+  * to the last decimal. Calibration is one bin-keyed agg.
   */
 object ClassifierEval {
 
@@ -42,13 +42,18 @@ object ClassifierEval {
     val ranked = RankOp.withGlobalRank(
       df.select(lbl.as("_lbl"), score.as("_s")), Seq(col("_s").asc))
     // Mid-rank per distinct score: ties share avg(rank) — the Mann-Whitney
-    // tie correction. The positive rank sum lands as ONE driver scalar
-    // (bounded) rather than a 1×1 cross join — the suite-wide plan audit
-    // bans nested-loop joins, and a literal is cheaper anyway.
-    val midrank = ranked.groupBy("_s").agg(avg(col("_rank")).as("_mid"))
+    // tie correction. Ranks within a tie group are consecutive, so
+    // 2×mid-rank = min(rank) + max(rank) is an INTEGER: summing it as
+    // BIGINT keeps AUC exact and order-independent at any n (a float
+    // mid-rank sum drifts past ~1e8 rows). The positive doubled rank sum
+    // lands as ONE driver scalar (bounded) rather than a 1×1 cross join —
+    // the suite-wide plan audit bans nested-loop joins, and a literal is
+    // cheaper anyway.
+    val midrank = ranked.groupBy("_s")
+      .agg((min(col("_rank")) + max(col("_rank"))).as("_mid2"))
     val prsRow = ranked.join(midrank, "_s")
-      .agg(sum(when(col("_lbl") === 1, col("_mid")))).head()
-    val prs = if (prsRow.isNullAt(0)) 0.0 else prsRow.getDouble(0)
+      .agg(sum(when(col("_lbl") === 1, col("_mid2")))).head()
+    val prs2 = if (prsRow.isNullAt(0)) 0L else prsRow.getLong(0)
 
     val counts = df.agg(
       count(lit(1)).as("n"),
@@ -73,8 +78,10 @@ object ClassifierEval {
         round(col("tp") * 2.0 / (col("tp") * 2 + col("fp") + col("fn")), 6))
         .as("f1"),
       when(col("n_pos") > 0 && col("n_neg") > 0,
-        round((lit(prs) - col("n_pos") * (col("n_pos") + 1) / 2.0) /
-          (col("n_pos") * col("n_neg")).cast("double"), 6)).as("auc"))
+        // AUC = (Σ2·midrank − n_pos(n_pos+1)) / (2·n_pos·n_neg): every
+        // term integer until the one final division.
+        round((lit(prs2) - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
   }
 
   /** Reliability table: scores bucketed into `bins` equal-width bins over

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Preference-pair (DPO/RLHF) conversation ops — the post-training sibling
+  * of the SFT masking path ([[ChatOps]]): a training sample is a PAIR of
+  * conversations sharing a prompt prefix and diverging at the final
+  * assistant turn (chosen vs rejected). Publicly standard: Rafailov et al.
+  * 2023 (DPO) data shape, the HuggingFace `trl` `DPOTrainer` contract
+  * (prompt / chosen / rejected). The reference has no conversation-data
+  * story — §2.14 engine extension.
+  *
+  * Everything here is pure per-row expressions (struct/array lambdas, no
+  * UDF, no shuffle): pair validation re-uses [[ChatOps.validate]] on each
+  * side then checks the pair-level contract (equal shared prefix,
+  * divergent final responses); the divergence point is a zip_with scan
+  * over character arrays; rendering is [[ChatOps.render]] twice.
+  */
+object Preference {
+
+  /** Flat (prompt, chosen, rejected) columns — the `trl` dataset shape —
+    * into two message arrays feeding [[validatePairs]]/[[renderPair]]. */
+  def fromPromptPair(df: DataFrame, promptCol: String, chosenCol: String,
+      rejectedCol: String, system: Option[String] = None,
+      chosenOut: String = "messages_chosen",
+      rejectedOut: String = "messages_rejected"): DataFrame = {
+    val a = ChatOps.fromPromptResponse(df, promptCol, chosenCol, system,
+      msgsOut = chosenOut)
+    ChatOps.fromPromptResponse(a, promptCol, rejectedCol, system,
+      msgsOut = rejectedOut)
+  }
+
+  /** First character index at which `a` and `b` differ — equivalently the
+    * length of their common prefix (= min length when one is a prefix of
+    * the other, = the shared length when equal). One zip_with over
+    * character arrays; null if either side is null. */
+  def divergenceCol(a: Column, b: Column): Column = {
+    def chars(c: Column): Column = filter(split(c, ""), x => x =!= "")
+    val ca = chars(a)
+    val cb = chars(b)
+    // zip_with null-pads the shorter side; (char, null) compares to null,
+    // which array_position skips — so "no true found" covers both the
+    // equal case and the proper-prefix case, and least(...) is right for
+    // both.
+    val neq = zip_with(ca, cb, (x, y) => x =!= y)
+    val pos = array_position(neq, lit(true))
+    when(a.isNull || b.isNull, lit(null).cast("bigint"))
+      .when(pos > 0, (pos - 1).cast("bigint"))
+      .otherwise(least(size(ca), size(cb)).cast("bigint"))
+  }
+
+  /** Pair-shape validation — appends `pair_valid` and
+    * `pair_invalid_reason` (null when valid). Rules, in reason priority:
+    *  - each side must pass [[ChatOps.validate]]'s conversation rules
+    *    (`chosen_<reason>` / `rejected_<reason>`);
+    *  - both sides must share every message EXCEPT the final assistant
+    *    turn (`prefix_mismatch`) — the DPO contract that the implicit
+    *    reward compares completions of the SAME prompt;
+    *  - the final assistant contents must differ
+    *    (`identical_responses`) — an equal pair carries zero preference
+    *    signal. */
+  def validatePairs(df: DataFrame, chosenCol: String, rejectedCol: String,
+      validOut: String = "pair_valid",
+      reasonOut: String = "pair_invalid_reason"): DataFrame = {
+    val c = col(chosenCol)
+    val r = col(rejectedCol)
+    val sideChecked = ChatOps.validate(
+      ChatOps.validate(df, chosenCol, "_c_valid", "_c_reason"),
+      rejectedCol, "_r_valid", "_r_reason")
+    val prefixMatch = size(c) === size(r) &&
+      slice(c, lit(1), size(c) - 1) === slice(r, lit(1), size(r) - 1)
+    val responsesDiffer =
+      element_at(c, -1).getField("content") =!=
+        element_at(r, -1).getField("content")
+    val reason = when(!col("_c_valid"),
+        concat(lit("chosen_"), col("_c_reason")))
+      .when(!col("_r_valid"), concat(lit("rejected_"), col("_r_reason")))
+      .when(!prefixMatch, lit("prefix_mismatch"))
+      .when(!responsesDiffer, lit("identical_responses"))
+      .otherwise(lit(null).cast("string"))
+    sideChecked.withColumn(reasonOut, reason)
+      .withColumn(validOut, col(reasonOut).isNull)
+      .drop("_c_valid", "_c_reason", "_r_valid", "_r_reason")
+  }
+
+  /** Render both sides under `template` ([[ChatOps.render]] twice:
+    * `text_chosen`/`mask_spans_chosen`, `text_rejected`/
+    * `mask_spans_rejected`) and append `diverge_at` — the first character
+    * offset where the rendered strings differ. Because valid pairs share
+    * everything up to the final assistant content, `diverge_at` marks
+    * where the pairwise loss actually has signal; tokens before it are
+    * shared context (the prompt-caching boundary in DPO trainers). */
+  def renderPair(df: DataFrame, chosenCol: String, rejectedCol: String,
+      template: ChatOps.ChatTemplate = ChatOps.ChatTemplate.Default,
+      maskRole: String = "assistant"): DataFrame = {
+    val a = ChatOps.render(df, chosenCol, template, maskRole,
+      textOut = "text_chosen", spansOut = "mask_spans_chosen")
+    val b = ChatOps.render(a, rejectedCol, template, maskRole,
+      textOut = "text_rejected", spansOut = "mask_spans_rejected")
+    b.withColumn("diverge_at",
+      divergenceCol(col("text_chosen"), col("text_rejected")))
+  }
+}

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   * boundary falls after every word that ends in `. ! ?` (optionally
   * followed by closing quotes/brackets).
   *
-  * Shares [[CdcChunk.chunksByBoundary]]'s marked-word fold: a pure
+  * Shares [[CdcChunk.chunksByBoundary]]'s marked-word split: a pure
   * per-row expression — no UDF, no shuffle, no explode round-trip; the
   * regex is a character class + anchors, RE2-safe, so the DuckDB oracle
   * replays segmentation exactly. §2.14 engine extension next to the
@@ -45,38 +45,50 @@ object Segment {
     * last `overlap` sentences of each chunk re-opening the next (retrieval
     * context continuity, the standard overlapping-chunk recipe).
     *
-    * Pure per-row fold, no shuffle: sentences within a building chunk stay
-    * separated by a unit marker so the overlap tail is recoverable by
-    * array slicing; per-row cost is O(sentences × chunk length) — bounded
-    * by the document's own size, like every fold in this family. The
-    * overlap = 0 path is a plain string fold the DuckDB oracle replays
-    * (q157); overlap > 0 is spec-covered. */
+    * Pure per-row fold, no shuffle. The accumulator is
+    * `struct(chunks: array<string>, tail: array<string>, tw: int)` —
+    * closed chunks, the building chunk's sentences, and the building
+    * chunk's word count — so each step touches only the incoming
+    * sentence and the budget-bounded tail: a sentence append copies
+    * array REFERENCES (higher-order functions evaluate interpreted, so
+    * struct/array rebuilds carry string pointers, not characters), and
+    * a chunk close space-joins the tail ONCE. Total per-row char work is
+    * O(|text|) + O(chunks²) pointer copies — a 10⁶-char EPUB book with
+    * 10⁴ sentences costs ~10⁶ char ops, where a flat string accumulator
+    * re-split per sentence would cost ~10¹⁰. The overlap = 0 path is
+    * oracle-replayed (q157); overlap > 0 is spec-covered. */
   def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
       maxWords: Int, overlap: Int = 0): DataFrame = {
     require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
     require(overlap >= 0, s"overlap must be >= 0, got $overlap")
-    val RS = "\u001e" // chunk separator
-    val US = "\u001f" // sentence separator within a building chunk
-    val folded = aggregate(sentencesCol(col(textCol)), lit(""), (acc, s) => {
-      val tail = element_at(split(acc, RS), -1)
-      val tailWords = size(filter(split(regexp_replace(tail, US, " "), " "),
-        w => length(w) > 0))
+    val emptyArr = array().cast("array<string>")
+    val zero = struct(emptyArr.as("chunks"), emptyArr.as("tail"),
+      lit(0).as("tw"))
+    val folded = aggregate(sentencesCol(col(textCol)), zero, (acc, s) => {
+      val chunks = acc.getField("chunks")
+      val tail = acc.getField("tail")
+      val tw = acc.getField("tw")
       val sWords = size(split(s, " "))
-      val tailSents = filter(split(tail, US), x => length(x) > 0)
-      val ovStart = greatest(lit(1), size(tailSents) - lit(overlap) + 1)
-      val ovTail = array_join(
-        slice(tailSents, ovStart, lit(math.max(overlap, 1))), US)
-      val newChunkHead =
-        if (overlap == 0) s
-        else when(length(ovTail) > 0, concat(ovTail, lit(US), s)).otherwise(s)
-      when(acc === "", s)
-        .when(tailWords + sWords <= maxWords, concat(acc, lit(US), s))
-        .otherwise(concat(acc, lit(RS), newChunkHead))
-    })
-    val chunks = transform(
-      filter(split(folded, RS), c => length(c) > 0),
-      c => regexp_replace(c, US, " "))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      val appended = struct(chunks.as("chunks"),
+        concat(tail, array(s)).as("tail"), (tw + sWords).as("tw"))
+      val closed = array_join(tail, " ")
+      val ovSents =
+        if (overlap == 0) emptyArr
+        else slice(tail, greatest(lit(1), size(tail) - overlap + 1),
+          lit(overlap))
+      val ovWords =
+        if (overlap == 0) lit(0)
+        else aggregate(ovSents, lit(0), (a, x) => a + size(split(x, " ")))
+      val reopened = struct(concat(chunks, array(closed)).as("chunks"),
+        concat(ovSents, array(s)).as("tail"), (ovWords + sWords).as("tw"))
+      when(size(tail) === 0, appended)
+        .when(tw + sWords <= maxWords, appended)
+        .otherwise(reopened)
+    }, acc =>
+      when(size(acc.getField("tail")) === 0, acc.getField("chunks"))
+        .otherwise(concat(acc.getField("chunks"),
+          array(array_join(acc.getField("tail"), " ")))))
+    df.select(col(idCol), posexplode(folded).as(Seq("chunk_idx", "chunk")))
       .select(col(idCol), col("chunk_idx").cast("bigint").as("chunk_idx"),
         size(split(col("chunk"), " ")).cast("bigint").as("n_words"),
         col("chunk"))

@@ -68,6 +68,20 @@ object VocabCoverage {
       .select(col("word").as("token"), col("cnt"))
   }
 
+  /** Assign dense ids (0-based, count desc / token asc) to a
+    * `(token, cnt)` vocabulary — the id layout every encode step
+    * downstream ([[toIds]], embedding tables) assumes.
+    *
+    * Scale shape: rides [[RankOp.withGlobalRank]]'s sort +
+    * per-partition-offset `zipWithIndex`, NOT a single-partition
+    * `row_number()` window — a 90%-coverage web vocab is millions of
+    * rows, and an unpartitioned window would drag all of them through
+    * one task. */
+  def withIds(vocab: DataFrame): DataFrame =
+    RankOp.withGlobalRank(vocab, Seq(col("cnt").desc, col("token").asc))
+      .withColumn("id", col("_rank") - 1L)
+      .drop("_rank")
+
   /** Map an `array<string>` token column to vocabulary ids — the encode
     * side of the vocab family and the step between tokenization
     * ([[BpeTrain]]) and fixed-length packing ([[PackOp.chunkFixed]]):

@@ -82,6 +82,11 @@ object Compact {
     p
   }
 
+  /** Number of data files currently under `path` (metadata only) — the
+    * post-compaction layout check Verify gates on. */
+  def dataFileCount(spark: SparkSession, path: String): Int =
+    listDataFiles(spark, path).size
+
   private val TmpSuffix = "__graft_compact_tmp"
   private val OldSuffix = "__graft_compact_old"
 

@@ -1,0 +1,291 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-12 fixes: linear-time sentence chunking on book-length
+  * documents, integer-exact AUC, distributed vocab-id assignment, and
+  * the Compact round-trip gate's helpers. */
+class Round12Spec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  // ------------------------------------ chunkBySentences at book scale
+
+  test("chunk sentences: a many-sentence book round-trips in linear time") {
+    // 4000 sentences × ~8 words ≈ 200k chars: the r11 flat-string fold
+    // did O(sentences × text) ≈ 8·10⁸ char ops per row here and took
+    // minutes; the struct accumulator makes this a sub-second test.
+    val n = 4000
+    val sents = (0 until n).map(i => s"sentence number $i has a few more words.")
+    val text = sents.mkString(" ")
+    val d = df(docSchema, Row(1L, text))
+    val t0 = System.nanoTime()
+    val chunks = graft.ops.Segment.chunkBySentences(d, "id", "text",
+      maxWords = 64).orderBy("chunk_idx").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // round-trip: concatenated chunks = normalized text
+    assert(chunks.map(_.getString(3)).mkString(" ") == text)
+    // budget respected (every sentence is 8 words, 64 = 8 sentences/chunk)
+    assert(chunks.forall(_.getLong(2) <= 64))
+    assert(chunks.length == n / 8)
+    // loose wall guard: quadratic behavior would blow far past this
+    assert(secs < 30.0, s"chunking took ${secs}s — accumulator regressed?")
+  }
+
+  test("chunk sentences: overlap semantics survive the struct accumulator") {
+    // A longer overlap>0 case than Round11b's: every chunk after the
+    // first must START with the previous chunk's last two sentences.
+    val sents = (0 until 30).map(i => s"s$i a b.")
+    val d = df(docSchema, Row(1L, sents.mkString(" ")))
+    val out = graft.ops.Segment.chunkBySentences(d, "id", "text",
+      maxWords = 15, overlap = 2).orderBy("chunk_idx")
+      .collect().map(_.getString(3))
+    assert(out.length > 2)
+    out.sliding(2).foreach { case Array(prev, next) =>
+      val prevTail = prev.split("\\. ").takeRight(2).mkString(". ")
+      assert(next.startsWith(prevTail.stripSuffix(".")),
+        s"chunk '$next' does not re-open with '$prevTail'")
+    }
+    // every sentence still present
+    sents.foreach(s => assert(out.exists(_.contains(s)), s))
+  }
+
+  test("chunksByBoundary: trailing and consecutive boundary words") {
+    val d = df(docSchema,
+      Row(1L, "a b. c d."), // trailing boundary word
+      Row(2L, "a. b. c"), // consecutive boundaries
+      Row(3L, ""), // empty
+      Row(4L, "no terminal punctuation at all"))
+    val out = graft.ops.Segment.sentences(d, "id", "text")
+      .orderBy("id", "sent_idx").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a b."), (1L, "c d."),
+      (2L, "a."), (2L, "b."), (2L, "c"),
+      (4L, "no terminal punctuation at all")))
+  }
+
+  // ------------------------------------------------ integer-exact AUC
+
+  test("AUC: BIGINT 2×mid-rank sum is bit-equal to the float formula") {
+    // Tie-heavy fixture: 40 rows over only 4 distinct scores, labels
+    // mixed within every tie group — mid-rank handling dominates.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).map { i =>
+      Row(i.toLong, (i % 2).toLong, Seq(0.2, 0.4, 0.4, 0.8)(rnd.nextInt(4)))
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("label", LongType), StructField("score", DoubleType)))
+    val d = df(schema, rows: _*)
+    val got = graft.ops.ClassifierEval.report(d, "label", "score")
+      .select("auc").head().getDouble(0)
+    // reference: direct float mid-rank computation on the driver
+    val data = rows.map(r => (r.getLong(1), r.getDouble(2)))
+    val ranked = data.sortBy(_._2).zipWithIndex
+      .map { case ((l, s), i) => (l, s, i + 1L) }
+    val mid = ranked.groupBy(_._2).map { case (s, g) =>
+      s -> g.map(_._3.toDouble).sum / g.size
+    }
+    val prs = ranked.filter(_._1 == 1L).map(r => mid(r._2)).sum
+    val nPos = data.count(_._1 == 1L).toDouble
+    val nNeg = data.size - nPos
+    val expected = BigDecimal((prs - nPos * (nPos + 1) / 2.0) / (nPos * nNeg))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == expected, s"auc $got != float-formula $expected")
+  }
+
+  test("AUC: perfect and inverted separations hit 1 and 0 exactly") {
+    val schema = StructType(Seq(StructField("label", LongType),
+      StructField("score", DoubleType)))
+    val perfect = df(schema, (0 until 10).map(i =>
+      Row((i / 5).toLong, i / 10.0)): _*)
+    assert(graft.ops.ClassifierEval.report(perfect, "label", "score")
+      .select("auc").head().getDouble(0) == 1.0)
+    val inverted = df(schema, (0 until 10).map(i =>
+      Row((i / 5).toLong, 1.0 - i / 10.0)): _*)
+    assert(graft.ops.ClassifierEval.report(inverted, "label", "score")
+      .select("auc").head().getDouble(0) == 0.0)
+  }
+
+  // ------------------------------------------- distributed vocab ids
+
+  test("vocab withIds: ids are dense count-desc/token-asc, no window") {
+    val schema = StructType(Seq(StructField("token", StringType),
+      StructField("cnt", LongType)))
+    val vocab = df(schema, Row("b", 5L), Row("a", 5L), Row("c", 9L),
+      Row("d", 1L))
+    val out = graft.ops.VocabCoverage.withIds(vocab)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.toSeq == Seq(("c", 0L), ("a", 1L), ("b", 2L), ("d", 3L)))
+  }
+
+  // ------------------------------------------------ fill-in-the-middle
+
+  test("fim: PSM/SPM serializations reassemble to the original text") {
+    val d = df(docSchema, (0L until 50L).map(i =>
+      Row(i, s"fn f$i(x) { return x + $i; } // trailing comment $i")): _*)
+    val out = graft.ops.Fim(d, "id", "text", rate = 1.0, spmRate = 0.5,
+      seed = 3).collect()
+    assert(out.forall(_.getBoolean(3))) // rate=1 → all applied
+    val modes = out.map(_.getString(4)).toSet
+    assert(modes == Set("psm", "spm")) // both serializations exercised
+    out.foreach { r =>
+      val text = r.getString(1); val fim = r.getString(2)
+      val lo = r.getLong(5).toInt; val hi = r.getLong(6).toInt
+      val (pre, mid, suf) =
+        (text.substring(0, lo), text.substring(lo, hi), text.substring(hi))
+      val expected =
+        if (r.getString(4) == "spm")
+          s"<fim_prefix><fim_suffix>$suf<fim_middle>$pre$mid"
+        else s"<fim_prefix>$pre<fim_suffix>$suf<fim_middle>$mid"
+      assert(fim == expected, s"row ${r.getLong(0)}")
+    }
+  }
+
+  test("fim: rate 0 passes everything through; determinism across runs") {
+    val d = df(docSchema, Row(1L, "abc def"), Row(2L, ""))
+    val none = graft.ops.Fim(d, "id", "text", rate = 0.0).collect()
+    none.foreach { r =>
+      assert(!r.getBoolean(3) && r.getString(2) == r.getString(1))
+      assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    }
+    val a = graft.ops.Fim(d, "id", "text", rate = 1.0, seed = 9)
+      .collect().map(_.getString(2)).toSeq
+    val b = graft.ops.Fim(d.repartition(3), "id", "text", rate = 1.0,
+      seed = 9).orderBy("id").collect().map(_.getString(2)).toSeq
+    assert(a == b) // seeded md5 → partitioning-independent
+  }
+
+  // ------------------------------------------------ preference pairs
+
+  private val pairSchema = StructType(Seq(
+    StructField("id", LongType), StructField("prompt", StringType),
+    StructField("chosen", StringType), StructField("rejected", StringType)))
+
+  test("preference: valid pair renders with divergence at the responses") {
+    val d = df(pairSchema, Row(1L, "what is 2+2?", "4", "5"))
+    val out = graft.ops.Preference.renderPair(
+      graft.ops.Preference.validatePairs(
+        graft.ops.Preference.fromPromptPair(d, "prompt", "chosen",
+          "rejected"),
+        "messages_chosen", "messages_rejected"),
+      "messages_chosen", "messages_rejected").head()
+    assert(out.getAs[Boolean]("pair_valid"))
+    val tc = out.getAs[String]("text_chosen")
+    val tr = out.getAs[String]("text_rejected")
+    assert(tc == "<|user|>\nwhat is 2+2?\n<|assistant|>\n4\n")
+    assert(tr == "<|user|>\nwhat is 2+2?\n<|assistant|>\n5\n")
+    // divergence = length of the shared header+prompt prefix
+    assert(out.getAs[Long]("diverge_at") ==
+      "<|user|>\nwhat is 2+2?\n<|assistant|>\n".length.toLong)
+    // chosen-side mask span covers exactly the chosen content
+    val spans = out.getAs[scala.collection.Seq[Row]]("mask_spans_chosen")
+    assert(spans.length == 1)
+    val (s0, e0) = (spans.head.getLong(0), spans.head.getLong(1))
+    assert(tc.substring(s0.toInt, e0.toInt) == "4")
+  }
+
+  test("preference: each pair-contract violation gets its reason") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("prompt", StringType), StructField("chosen", StringType),
+      StructField("rejected", StringType)))
+    val flat = df(schema,
+      Row(1L, "p", "a", "b"), // valid
+      Row(2L, "p", "same", "same"), // identical_responses
+      Row(3L, "p", "", "b"), // chosen_empty_content
+      Row(4L, "", "a", "b")) // chosen_empty_content (prompt empty)
+    val out = graft.ops.Preference.validatePairs(
+      graft.ops.Preference.fromPromptPair(flat, "prompt", "chosen",
+        "rejected"),
+      "messages_chosen", "messages_rejected")
+      .select("id", "pair_valid", "pair_invalid_reason")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.getString(2)))).toMap
+    assert(out(1L) == (true, None))
+    assert(out(2L) == (false, Some("identical_responses")))
+    assert(out(3L) == (false, Some("chosen_empty_content")))
+    assert(out(4L) == (false, Some("chosen_empty_content")))
+  }
+
+  test("preference: prefix_mismatch fires when prompts differ") {
+    // hand-build message arrays with different user prompts
+    val d = spark.sql(
+      """SELECT 1L AS id,
+           array(named_struct('role', 'user', 'content', 'p1'),
+                 named_struct('role', 'assistant', 'content', 'a')) AS mc,
+           array(named_struct('role', 'user', 'content', 'p2'),
+                 named_struct('role', 'assistant', 'content', 'b')) AS mr""")
+    val out = graft.ops.Preference.validatePairs(d, "mc", "mr").head()
+    assert(!out.getAs[Boolean]("pair_valid"))
+    assert(out.getAs[String]("pair_invalid_reason") == "prefix_mismatch")
+  }
+
+  test("preference: divergenceCol handles prefix/equal/empty cases") {
+    val schema = StructType(Seq(StructField("a", StringType),
+      StructField("b", StringType)))
+    val d = df(schema, Row("abcd", "abXd"), Row("abc", "abc"),
+      Row("abc", "abcdef"), Row("", "x"), Row("", ""), Row(null, "x"))
+    val got = d.select(graft.ops.Preference.divergenceCol(col("a"),
+      col("b")).as("d")).collect().map(r =>
+      if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(got == Seq(2L, 3L, 3L, 0L, 0L, -1L))
+  }
+
+  // ------------------------------------------------ surfaces
+
+  test("round-12 ops run from YAML registry and LazyFrame round-trips") {
+    val d = docsDf
+    val fimmed = graft.api.Registry("fim")(d,
+      graft.api.Conf.fromYaml(
+        "type: fim\nid_key: doc_id\ntext_key: text\nrate: 1.0"), null)
+    assert(fimmed.filter(col("fim_applied")).count() == d.count())
+    val flat = d.withColumn("chosen", concat(col("lang"), lit("-good")))
+      .withColumn("rejected", col("lang"))
+    val pairs = graft.api.Registry("preference_from_pairs")(flat,
+      graft.api.Conf.fromYaml(
+        "type: preference_from_pairs\nprompt_key: text\n" +
+          "chosen_key: chosen\nrejected_key: rejected"), null)
+    val validated = graft.api.Registry("preference_validate")(pairs,
+      graft.api.Conf.fromYaml("type: preference_validate"), null)
+    assert(validated.filter(col("pair_valid")).count() == d.count())
+    val rendered = graft.api.Registry("preference_render")(validated,
+      graft.api.Conf.fromYaml(
+        "type: preference_render\ntemplate: chatml"), null)
+    assert(rendered.columns.contains("diverge_at"))
+    assert(rendered.filter(col("text_chosen").contains("<|im_start|>"))
+      .count() == d.count())
+
+    import graft.api.LazyFrame
+    val dir = java.nio.file.Files.createTempDirectory("r12").toString
+    flat.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val lf = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .fim("doc_id", "text", rate = 1.0)
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    assert(lf.run(spark).filter(col("fim_applied")).count() == d.count())
+    val lp = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .preferenceFromPairs("text", "chosen", "rejected")
+      .preferenceValidate().preferenceRender()
+    assert(lp.run(spark).filter(col("pair_valid")).count() == d.count())
+  }
+
+  // ------------------------------------------------ compact round-trip
+
+  test("compact: run preserves content and hits the target layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r12_compact")
+    val path = dir.resolve("t").toString
+    val d = df(docSchema, (0 until 200).map(i =>
+      Row(i.toLong, s"row $i text")): _*)
+    d.repartition(32).write.mode("overwrite").parquet(path)
+    val before = graft.ops.Datacard
+      .fingerprint(spark.read.parquet(path), Seq("id", "text")).head()
+    val p = graft.sources.Compact.run(spark, path, 128L << 20)
+    assert(p.worthIt && p.targetFiles == 1)
+    assert(graft.sources.Compact.dataFileCount(spark, path) == 1)
+    val after = graft.ops.Datacard
+      .fingerprint(spark.read.parquet(path), Seq("id", "text")).head()
+    assert(before == after)
+  }
+}

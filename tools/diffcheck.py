@@ -35,6 +35,12 @@ for name, sql in sorted(oracle.items()):
         assert len(e) == len(g), f"rows exp={len(e)} got={len(g)}"
         for c in e.columns:
             a, b = e[c], g[c]
+            # The driver's hasher distinguishes int from float (42 vs
+            # 42.0). DuckDB sum(BIGINT) returns HUGEINT which pandas
+            # renders as float64 — without this assert that mismatch
+            # would silently route to the allclose branch and pass.
+            assert a.dtype.kind == b.dtype.kind, \
+                f"dtype col {c}: oracle {a.dtype} vs spark {b.dtype}"
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 assert np.allclose(a.astype(float).fillna(-1e300),
                                    b.astype(float).fillna(-1e300),
@@ -42,7 +48,11 @@ for name, sql in sorted(oracle.items()):
             else:
                 ae = a.astype(object).where(pd.notnull(a), None)
                 be = b.astype(object).where(pd.notnull(b), None)
-                assert (ae == be).all(), f"col {c}"
+                # pandas object compare treats None == None as UNEQUAL;
+                # accept matched nulls explicitly (gate columns should
+                # still avoid nulls — the driver's hasher is its own law)
+                both_null = pd.isnull(a) & pd.isnull(b)
+                assert ((ae == be) | both_null).all(), f"col {c}"
     except Exception as ex:
         # Verify filters oracle_sql.json to the queries it dumped, so a
         # missing parquet here means the query CRASHED during the dump —
