@@ -5435,7 +5435,251 @@ object Queries {
                      THEN least(len(tc), len(tr))
                      ELSE pos - 1 END)::BIGINT AS diverge_at
         FROM d""")
+    ),
+    (
+      // C4-style LINE-level cleaning: each document gains four planted
+      // lines (a JS banner, a one-word nav stub, a kept prose line, a
+      // no-terminal-punct fragment); the rewrite must keep exactly the
+      // prose. Both engines replay the same per-line predicates.
+      "q181_line_clean",
+      (s: SparkSession, dir: String) => {
+        val lined = concat(col("text"), lit("."),
+          lit("\nEnable JavaScript to view this site.\nhome\n" +
+            "This page is in "), col("lang"), lit(".\nclick here now"))
+        graft.ops.LineClean(
+          t(s, dir, "documents").withColumn("_lined", lined)
+            .select("doc_id", "_lined"), "_lined")
+          .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+            col("n_lines"), col("n_kept_lines"))
+      },
+      Some("""
+        WITH lined AS (
+          SELECT doc_id,
+                 string_split(text || '.' || chr(10) ||
+                   'Enable JavaScript to view this site.' || chr(10) ||
+                   'home' || chr(10) ||
+                   'This page is in ' || lang || '.' || chr(10) ||
+                   'click here now', chr(10)) AS ls
+          FROM documents),
+        k AS (
+          SELECT doc_id, ls,
+                 list_filter(ls, l ->
+                   len(list_filter(string_split(l, ' '), w -> w <> ''))
+                     >= 3
+                   AND regexp_matches(rtrim(l), '[.!?]["'')\]]*$')
+                   AND NOT contains(lower(l), 'javascript')
+                   AND NOT contains(lower(l), 'cookie policy')
+                   AND NOT contains(lower(l), 'lorem ipsum')) AS kept
+          FROM lined)
+        SELECT doc_id,
+               md5(array_to_string(kept, chr(10))) AS clean_md5,
+               len(ls)::BIGINT AS n_lines,
+               len(kept)::BIGINT AS n_kept_lines
+        FROM k""")
+    ),
+    (
+      // ftfy-style mojibake repair: every document gains a planted
+      // damage sample covering the CP1252 trio family, the Ã accent
+      // pairs, and the Â symbol pairs; the repair chain (generated from
+      // ONE shared table on both sides) must restore it byte-for-byte.
+      "q182_encoding_repair",
+      (s: SparkSession, dir: String) =>
+        graft.ops.EncodingQuality.repair(
+          t(s, dir, "documents")
+            .withColumn("_dmg", concat(col("text"), lit(MojibakePlant)))
+            .select("doc_id", "_dmg"), "_dmg")
+          .select(col("doc_id"),
+            md5(col("text_repaired")).as("repaired_md5"),
+            col("was_repaired")),
+      Some(s"""
+        WITH dmg AS (
+          SELECT doc_id, text || '$MojibakePlant' AS d FROM documents)
+        SELECT doc_id,
+               md5(${graft.ops.EncodingQuality.repairSql("d")})
+                 AS repaired_md5,
+               ${graft.ops.EncodingQuality.repairSql("d")} != d
+                 AS was_repaired
+        FROM dmg""")
+    ),
+    (
+      // Unicode script profiling: each row keeps or drops its Latin text
+      // by doc_id%3 and gains a doc_id%8-selected planted script run, so
+      // every script family and both main_script regimes (latin-dominant
+      // and planted-dominant) are oracle-exercised.
+      "q183_script_profile",
+      (s: SparkSession, dir: String) => {
+        val plant = element_at(
+          array(ScriptPlants.map(p => lit(p * 30)): _*),
+          (col("doc_id") % 8 + 1).cast("int"))
+        val sample = concat(
+          when(col("doc_id") % 3 === 0, lit("")).otherwise(col("text")),
+          lit(" "), plant)
+        graft.ops.ScriptProfile(
+          t(s, dir, "documents").withColumn("_s", sample)
+            .select("doc_id", "_s"), "_s")
+          .drop("_s")
+      },
+      Some(scriptProfileOracle)
+    ),
+    (
+      // Markdown section segmentation: a synthetic document per row with
+      // an optional preamble (doc_id%2), three heading levels, and an
+      // empty-bodied section — every branch of the splitter under the
+      // oracle.
+      "q184_markdown_sections",
+      (s: SparkSession, dir: String) => {
+        val md = concat(
+          when(col("doc_id") % 2 === 0,
+            concat(lit("pre "), col("lang"), lit("\n"))).otherwise(lit("")),
+          lit("# Title "), col("doc_id"),
+          lit("\nintro line\n## Sub one\nbody "), col("lang"),
+          lit("\n### Deep\n\n## Sub two\nbody2 "), col("source"))
+        graft.ops.MarkdownSegment.sections(
+          t(s, dir, "documents").withColumn("_md", md)
+            .select("doc_id", "_md"), "doc_id", "_md")
+          .select(col("doc_id"), col("section_idx"), col("level"),
+            col("heading"), md5(col("body")).as("body_md5"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'pre ' || lang || chr(10)
+                      ELSE '' END ||
+                 '# Title ' || doc_id || chr(10) ||
+                 'intro line' || chr(10) || '## Sub one' || chr(10) ||
+                 'body ' || lang || chr(10) || '### Deep' || chr(10) ||
+                 chr(10) || '## Sub two' || chr(10) ||
+                 'body2 ' || source AS md
+          FROM documents),
+        secs AS (
+          SELECT doc_id,
+                 list_filter(
+                   string_split(
+                     array_to_string(
+                       list_transform(string_split(md, chr(10)), l ->
+                         CASE WHEN regexp_matches(l, '^#{1,6} ')
+                              THEN chr(30) || l ELSE l END),
+                       chr(10)),
+                     chr(30)),
+                   x -> x <> '') AS ss
+          FROM m),
+        x AS (
+          SELECT doc_id, i - 1 AS section_idx, ss[i] AS sec
+          FROM secs, UNNEST(range(1, len(ss) + 1)) AS t(i)),
+        y AS (
+          SELECT doc_id, section_idx, sec,
+                 len(regexp_extract(sec, '^(#{1,6}) ', 1))::BIGINT
+                   AS level
+          FROM x)
+        SELECT doc_id, section_idx::BIGINT AS section_idx, level,
+               CASE WHEN level > 0
+                    THEN regexp_extract(sec, '^#{1,6} ([^\n]*)', 1)
+                    ELSE '' END AS heading,
+               md5(regexp_replace(
+                 CASE WHEN level > 0
+                      THEN regexp_replace(sec, '^#{1,6} [^\n]*\n?', '')
+                      ELSE sec END, '\n$', '')) AS body_md5
+        FROM y""")
+    ),
+    (
+      // Consistent pseudonymization: two planted emails (one repeated)
+      // per document; the rewrite must number entities by sorted order
+      // and map BOTH occurrences of the repeated address to the same
+      // placeholder. Replacement order is longest-first via the shared
+      // sortable pair encoding, replayed with list_reduce.
+      "q185_pseudonymize",
+      (s: SparkSession, dir: String) => {
+        val ptext = concat(col("text"),
+          lit(" from bob"), col("doc_id") % 5,
+          lit("@site.com to amy@mail.org cc bob"), col("doc_id") % 5,
+          lit("@site.com"))
+        graft.ops.Pseudonymize(
+          t(s, dir, "documents").withColumn("_p", ptext)
+            .select("doc_id", "_p"), "_p")
+          .select(col("doc_id"), md5(col("text_pseudo")).as("pseudo_md5"),
+            col("n_email_entities"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 text || ' from bob' || (doc_id % 5) ||
+                   '@site.com to amy@mail.org cc bob' || (doc_id % 5) ||
+                   '@site.com' AS t
+          FROM documents),
+        f AS (
+          SELECT doc_id, t,
+                 list_sort(list_distinct(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))
+                   AS found
+          FROM p),
+        pr AS (
+          SELECT doc_id, t, found,
+                 list_sort([lpad((100000 - len(found[i]))::VARCHAR, 6, '0')
+                   || '|' || lpad(i::VARCHAR, 6, '0') || ':' || found[i]
+                   FOR i IN range(1, len(found) + 1)]) AS pairs
+          FROM f)
+        SELECT doc_id,
+               md5(list_reduce(list_prepend(t, pairs), (acc, x) ->
+                 replace(acc, substr(x, 15),
+                   'EMAIL_' || substr(x, 8, 6)::INT::VARCHAR)))
+                 AS pseudo_md5,
+               len(found)::BIGINT AS n_email_entities
+        FROM pr""")
     ))
+
+  /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent
+    * pairs (é ü ï), Â symbol pairs (« ») — one instance of every family
+    * in [[graft.ops.EncodingQuality.RepairTable]]'s three groups. */
+  private val MojibakePlant: String =
+    " cafÃ© itâ€™s" +
+      " â€œquotedâ€" +
+      " Â«xÂ» Ã¼ber naÃ¯ve" +
+      " â€“ ok"
+
+  /** One sample phrase per script family, in
+    * [[graft.ops.ScriptProfile.Scripts]] order (latin first). */
+  private val ScriptPlants: Seq[String] = Seq(
+    "hello world",
+    "Привет мир",
+    "Ελλάδα καλά",
+    "مرحبا بالعالم",
+    "שלום עולם",
+    "नमस्ते दुनिया",
+    "你好 こんにちは",
+    "안녕하세요")
+
+  /** The DuckDB replay of q183: plant construction + per-script regexp
+    * counts + first-wins argmax, generated from the SAME
+    * [[graft.ops.ScriptProfile.Scripts]] table (Java `\\uXXXX` classes
+    * translated to RE2 `\\x{XXXX}`). */
+  private def scriptProfileOracle: String = {
+    def re2(cls: String): String =
+      cls.replaceAll("""\\u([0-9A-Fa-f]{4})""", """\\x{$1}""")
+    val scripts = graft.ops.ScriptProfile.Scripts
+    val plantList = ScriptPlants.map(p => s"'$p'").mkString("[", ", ", "]")
+    val countCols = scripts.map { case (name, cls) =>
+      s"""(len(t) - len(regexp_replace(t, '[${re2(cls)}]', '', 'g')))::BIGINT AS n_$name"""
+    }.mkString(",\n                 ")
+    val names = scripts.map { case (n, _) => s"n_$n" }
+    val gm = names.mkString("greatest(", ", ", ")")
+    val mainCase = names.zip(scripts.map(_._1)).map { case (nc, label) =>
+      s"WHEN $nc = $gm AND $nc > 0 THEN '$label'"
+    }.mkString("CASE ", "\n                    ", "\n                    ELSE 'none' END")
+    s"""
+        WITH s AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 3 = 0 THEN '' ELSE text END) || ' ' ||
+                   repeat(($plantList)[(doc_id % 8 + 1)::INT], 30) AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 $countCols
+          FROM s)
+        SELECT doc_id, ${names.mkString(", ")},
+               (${names.mkString(" + ")})::BIGINT AS n_script_chars,
+               $mainCase AS main_script
+        FROM c"""
+  }
 
   /** Shared oracle CTE: content-defined chunks of `documents.text`
     * (p = 16) as rows (doc_id, chunk_idx, n_words, chunk_hash, chunk) —

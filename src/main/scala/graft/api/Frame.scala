@@ -297,6 +297,19 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(ChatOps.fromPromptResponse(df, promptCol, responseCol, system))
   def conversationValidate(messagesCol: String): Frame =
     next(ChatOps.validate(df, messagesCol))
+  def lineClean(textCol: String,
+      cfg: LineClean.Config = LineClean.Config()): Frame =
+    next(LineClean(df, textCol, cfg))
+  def encodingRepair(textCol: String): Frame =
+    next(EncodingQuality.repair(df, textCol))
+  def scriptProfile(textCol: String): Frame =
+    next(ScriptProfile(df, textCol))
+  def markdownSections(idCol: String, textCol: String): Frame =
+    next(MarkdownSegment.sections(df, idCol, textCol))
+  def pseudonymize(textCol: String,
+      pattern: String = Pseudonymize.EmailPattern,
+      label: String = "EMAIL"): Frame =
+    next(Pseudonymize(df, textCol, pattern, label))
   def fim(idCol: String, textCol: String, rate: Double = 0.5,
       spmRate: Double = 0.5, seed: Long = 0L): Frame =
     next(Fim(df, idCol, textCol, rate, spmRate, seed))

@@ -385,6 +385,18 @@ final case class LazyFrame(
       dropInvalid: Boolean = false): LazyFrame =
     append("conversation_validate", "messages_key" -> messagesKey,
       "drop_invalid" -> dropInvalid)
+  def lineClean(textKey: String, minWords: Int = 3,
+      requireTerminalPunct: Boolean = true): LazyFrame =
+    append("line_clean", "text_key" -> textKey, "min_words" -> minWords,
+      "require_terminal_punct" -> requireTerminalPunct)
+  def encodingRepair(textKey: String): LazyFrame =
+    append("encoding_quality", "text_key" -> textKey, "mode" -> "repair")
+  def scriptProfile(textKey: String): LazyFrame =
+    append("script_profile", "text_key" -> textKey)
+  def markdownSections(idKey: String, textKey: String): LazyFrame =
+    append("markdown_sections", "id_key" -> idKey, "text_key" -> textKey)
+  def pseudonymize(textKey: String, label: String = "EMAIL"): LazyFrame =
+    append("pseudonymize", "text_key" -> textKey, "label" -> label)
   def fim(idKey: String, textKey: String, rate: Double = 0.5,
       spmRate: Double = 0.5, randomState: Int = 0): LazyFrame =
     append("fim", "id_key" -> idKey, "text_key" -> textKey,

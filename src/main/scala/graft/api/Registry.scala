@@ -968,9 +968,41 @@ object Registry {
     c.strOr("mode", "report") match {
       case "report" => EncodingQuality.report(df, t, thr)
       case "clean" => EncodingQuality.clean(df, t, thr)
+      case "repair" => EncodingQuality.repair(df, t,
+        c.strOr("output_key", "text_repaired"))
       case other => throw new IllegalArgumentException(
-        s"encoding_quality mode must be report|clean, got '$other'")
+        s"encoding_quality mode must be report|clean|repair, got '$other'")
     }
+  }
+  // C4-style LINE-level cleaning (§2.14 hygiene): rewrite each document
+  // keeping only lines with >= min_words words, terminal punctuation
+  // (toggleable), and none of the blocked substrings.
+  register("line_clean") { (df, c, _) =>
+    LineClean(df, c("text_key").str,
+      LineClean.Config(
+        c.intOr("min_words", 3),
+        c.boolOr("require_terminal_punct", true),
+        c.get("blocked").map(_.strList)
+          .getOrElse(LineClean.Config().blockedSubstrings)),
+      c.strOr("output_key", "text_clean"))
+  }
+  // Unicode script profiling (§2.14 text analysis): per-script character
+  // counts + dominant script label.
+  register("script_profile") { (df, c, _) =>
+    ScriptProfile(df, c("text_key").str)
+  }
+  // Markdown section segmentation (§2.14 reshape): one row per
+  // heading-delimited section with level/heading/body.
+  register("markdown_sections") { (df, c, _) =>
+    MarkdownSegment.sections(df, c("id_key").str, c("text_key").str)
+  }
+  // Consistent pseudonymization (§2.14 hygiene): numbered per-document
+  // entity placeholders that preserve coreference.
+  register("pseudonymize") { (df, c, _) =>
+    Pseudonymize(df, c("text_key").str,
+      c.strOr("pattern", Pseudonymize.EmailPattern),
+      c.strOr("label", "EMAIL"),
+      c.strOr("output_key", "text_pseudo"))
   }
   // Numeric column profiler (§2.14 reporting): one row per listed column
   // with count/nulls/distinct/min/max/mean/stddev/quartiles; `approx:

@@ -68,4 +68,64 @@ object EncodingQuality {
     df.filter(total.cast("double") * 1000.0 /
       greatest(length(t), lit(1)) <= threshold)
   }
+
+  /** The curated (mojibake, repaired) literal table — ftfy's "sloppy
+    * common cases" approach, expression-friendly (true ftfy re-encodes
+    * bytes, which needs a UDF; the curated table covers the
+    * overwhelmingly common western-language damage at scan speed).
+    * Ordered longest-first so the 3-byte CP1252 punctuation trios repair
+    * before the 2-byte accent pairs could half-match them.
+    *
+    *  - trios: UTF-8 punctuation (0xE2 0x80 0x9X) read as CP1252 —
+    *    "â€™" → ’, "â€œ" → “, "â€“" → – …
+    *  - Ã-pairs: 2-byte UTF-8 Latin accents read as Latin-1/CP1252 —
+    *    "Ã©" → é, "Ã¼" → ü … (second char = codepoint − 0x40, the UTF-8
+    *    continuation-byte arithmetic, generated not hand-typed)
+    *  - Â-pairs: 2-byte UTF-8 symbols 0xC2 0xA0–0xBF — "Â«" → «,
+    *    "Â°" → °, stray "Â" before nbsp … (second char = the codepoint
+    *    itself; the repair just deletes the Â) */
+  val RepairTable: Seq[(String, String)] = {
+    val trios = Seq(
+      "â€™" -> "’", // ’
+      "â€˜" -> "‘", // ‘
+      "â€“" -> "–", // –
+      "â€”" -> "—", // —
+      "â€œ" -> "“", // “
+      // ” damages to 0xE2 0x80 0x9D; 0x9D is unmapped in CP1252, so
+      // the third char here is the INVISIBLE C1 control U+009D
+      "â€" -> "”", // ”
+      "â€¦" -> "…", // …
+      "â€¢" -> "•") // •
+    val aPairs = ("áàâäãåæéèêëíìîïóòôöõøúùûüñçßýÿ" +
+      "ÁÀÂÄÃÅÆÉÈÊËÍÌÎÏÓÒÔÖÕØÚÙÛÜÑÇÝ").map { ch =>
+      ("Ã" + (ch - 0x40).toChar.toString) -> ch.toString
+    }
+    val bPairs = " «»°·±¼½¾¡¿©®µ".map { ch =>
+      ("Â" + ch.toString) -> ch.toString
+    }
+    trios ++ aPairs ++ bPairs
+  }
+
+  /** Repair mode: apply [[RepairTable]] as a chained literal replace —
+    * pure codegen, one linear pass per table entry (a bounded constant),
+    * no UDF, no shuffle. Appends `outCol` plus `was_repaired`. Both
+    * engines replay the identical chain, so the oracle checks repaired
+    * text byte-for-byte. */
+  def repair(df: DataFrame, textCol: String,
+      outCol: String = "text_repaired"): DataFrame = {
+    val fixed = RepairTable.foldLeft(coalesce(col(textCol), lit(""))) {
+      case (acc, (bad, good)) => replace(acc, lit(bad), lit(good))
+    }
+    df.withColumn(outCol, fixed)
+      .withColumn("was_repaired",
+        coalesce(col(textCol), lit("")) =!= col(outCol))
+  }
+
+  /** The DuckDB replay of [[repair]]'s replace chain over SQL
+    * expression `e` — generated from the SAME table so the two engines
+    * cannot drift. */
+  def repairSql(e: String): String =
+    RepairTable.foldLeft(e) { case (acc, (bad, good)) =>
+      s"replace($acc, '$bad', '$good')"
+    }
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Consistent pseudonymization — PII replacement that PRESERVES
+  * coreference: every occurrence of the same entity inside a document
+  * maps to the same numbered placeholder (`EMAIL_1`, `EMAIL_2`, …), so
+  * "bob@x.com wrote to amy@y.org; amy@y.org replied" stays a readable
+  * two-party exchange instead of three anonymous blobs. The standard
+  * anonymization recipe (Presidio-style entity numbering) and the
+  * privacy upgrade over [[Hygiene]]'s flat `[EMAIL]` redaction: flat
+  * redaction destroys structure that conversation/thread corpora need.
+  *
+  * Determinism: entity numbers come from the SORTED distinct match list
+  * (not first-occurrence order), so the mapping is independent of
+  * partitioning and replayable in any engine. Replacement applies
+  * longest-entity-first so one matched entity that is a substring of
+  * another (a@b.co inside xa@b.com) cannot corrupt the longer match.
+  *
+  * Scale shape: pure per-row expressions — one regexp_extract_all +
+  * distinct/sort (O(|text|)), then a fold over the MATCH list (bounded
+  * by per-document entity count) doing one literal replace pass each;
+  * no UDF, no shuffle, no driver state.
+  */
+object Pseudonymize {
+
+  /** The engine's email pattern (no `:` or `|`, which the fold's pair
+    * encoding relies on). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Append `outCol` = `textCol` with every `pattern` match replaced by
+    * `<label>_<k>` (k = 1-based rank of the match in sorted distinct
+    * order), plus `n_<lower(label)>_entities`. */
+  def apply(df: DataFrame, textCol: String,
+      pattern: String = EmailPattern, label: String = "EMAIL",
+      outCol: String = "text_pseudo"): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val found = array_sort(array_distinct(
+      regexp_extract_all(text, lit(pattern), lit(0))))
+    // "<lenkey>|<idxkey>:<match>" — lenkey = 100000 - len (so a plain
+    // ascending sort yields length-DESC), idxkey = zero-padded sorted
+    // rank (ties break match-ascending). Both engines sort the same
+    // strings, so replacement order is identical everywhere.
+    val pairs = zip_with(found, sequence(lit(1), size(found)), (e, i) =>
+      concat(lpad((lit(100000) - length(e)).cast("string"), 6, "0"),
+        lit("|"), lpad(i.cast("string"), 6, "0"), lit(":"), e))
+    val folded = aggregate(array_sort(pairs), text, (acc, p) => {
+      val head = substring_index(p, ":", 1)
+      val k = substring_index(head, "|", -1).cast("int").cast("string")
+      val e = p.substr(length(head) + 2, length(p))
+      replace(acc, e, concat(lit(label), lit("_"), k))
+    })
+    // sequence(1, 0) yields a DESCENDING [1, 0] in Spark (not empty), so
+    // the zero-match case must bypass the pair machinery entirely.
+    df.withColumn(outCol, when(size(found) === 0, text).otherwise(folded))
+      .withColumn(s"n_${label.toLowerCase(java.util.Locale.ROOT)}_entities",
+        size(found).cast("bigint"))
+  }
+}

@@ -234,6 +234,115 @@ class Round12Spec extends SparkSpec {
     assert(got == Seq(2L, 3L, 3L, 0L, 0L, -1L))
   }
 
+  // ------------------------------------------------ line clean
+
+  test("line clean: C4 rules keep prose, drop banners/stubs/fragments") {
+    val d = df(docSchema, Row(1L,
+      "This is a real sentence with words.\n" +
+        "Enable JavaScript to continue.\n" +
+        "home\n" +
+        "Please accept our Cookie Policy today.\n" +
+        "a fragment with no punctuation\n" +
+        "Short one. and this line also stays fine!"))
+    val out = graft.ops.LineClean(d, "text").head()
+    assert(out.getAs[String]("text_clean") ==
+      "This is a real sentence with words.\n" +
+        "Short one. and this line also stays fine!")
+    assert(out.getAs[Long]("n_lines") == 6L)
+    assert(out.getAs[Long]("n_kept_lines") == 2L)
+    // punctuation requirement is toggleable
+    val loose = graft.ops.LineClean(d, "text",
+      graft.ops.LineClean.Config(requireTerminalPunct = false)).head()
+    assert(loose.getAs[String]("text_clean")
+      .contains("a fragment with no punctuation"))
+  }
+
+  // ------------------------------------------------ encoding repair
+
+  test("encoding repair: trio/Ã-pair/Â-pair families all restore") {
+    val d = df(docSchema,
+      Row(1L, "cafÃ© naÃ¯ve Ã¼ber"),
+      Row(2L, "itâ€™s â€œquotedâ€“dash"),
+      Row(3L, "Â«brackedÂ» 10Â°"),
+      Row(4L, "perfectly clean text"))
+    val out = graft.ops.EncodingQuality.repair(d, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("text_repaired"),
+          r.getAs[Boolean]("was_repaired"))).toMap
+    assert(out(1L) == ("café naïve über", true))
+    assert(out(2L) == ("it’s “quoted–dash", true))
+    assert(out(3L) == ("«bracked» 10°", true))
+    assert(out(4L) == ("perfectly clean text", false))
+  }
+
+  test("encoding repair: repaired text scores clean on the detector") {
+    val d = df(docSchema, Row(1L, "cafÃ© itâ€™s Â«xÂ» Ã¼ber naÃ¯ve"))
+    val repaired = graft.ops.EncodingQuality.repair(d, "text")
+      .select(col("id"), col("text_repaired").as("text"))
+    val score = graft.ops.EncodingQuality.report(repaired, "text")
+      .head().getAs[Double]("mojibake_score")
+    assert(score == 0.0, s"repair left mojibake behind (score $score)")
+  }
+
+  // ------------------------------------------------ script profile
+
+  test("script profile: counts and first-wins dominant script") {
+    val d = df(docSchema,
+      Row(1L, "mostly english text here"),
+      Row(2L, "Привет мир Привет"),
+      Row(3L, "你好你好你好 hi"),
+      Row(4L, "12345 !!!"), // no script chars at all
+      Row(5L, "abc где")) // latin 3 vs cyrillic 3: tie → latin first
+    val out = graft.ops.ScriptProfile(d, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("main_script"), r.getAs[Long]("n_latin"),
+          r.getAs[Long]("n_cyrillic"), r.getAs[Long]("n_cjk"))).toMap
+    assert(out(1L)._1 == "latin")
+    assert(out(2L)._1 == "cyrillic" && out(2L)._3 == 15L)
+    assert(out(3L)._1 == "cjk" && out(3L)._4 == 6L)
+    assert(out(4L)._1 == "none")
+    assert(out(5L)._1 == "latin" && out(5L)._2 == 3L && out(5L)._3 == 3L)
+  }
+
+  // ------------------------------------------------ markdown sections
+
+  test("markdown sections: preamble, levels, empty bodies, no headings") {
+    val md = "before any heading\n# Top\nintro\n## Sub\n\n# Second\ntail"
+    val d = df(docSchema, Row(1L, md), Row(2L, "just plain text"),
+      Row(3L, ""))
+    val out = graft.ops.MarkdownSegment.sections(d, "id", "text")
+      .orderBy("id", "section_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 0L, "", "before any heading"),
+      (1L, 1L, 1L, "Top", "intro"),
+      (1L, 2L, 2L, "Sub", ""),
+      (1L, 3L, 1L, "Second", "tail")))
+    assert(out.filter(_._1 == 2L).toSeq == Seq(
+      (2L, 0L, 0L, "", "just plain text")))
+    assert(!out.exists(_._1 == 3L)) // empty doc → no rows
+  }
+
+  // ------------------------------------------------ pseudonymize
+
+  test("pseudonymize: consistent numbering, substring-safe replacement") {
+    val d = df(docSchema,
+      Row(1L, "bob@x.com wrote to amy@y.org; amy@y.org replied"),
+      Row(2L, "see bob@x.co and bob@x.com together"), // substring pair
+      Row(3L, "no entities at all"))
+    val out = graft.ops.Pseudonymize(d, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("text_pseudo"),
+          r.getAs[Long]("n_email_entities"))).toMap
+    // sorted distinct: amy@y.org=1, bob@x.com=2; both amy mentions match
+    assert(out(1L) ==
+      ("EMAIL_2 wrote to EMAIL_1; EMAIL_1 replied", 2L))
+    // longest-first replacement keeps bob@x.co from eating bob@x.com
+    assert(out(2L) == ("see EMAIL_1 and EMAIL_2 together", 2L))
+    assert(out(3L) == ("no entities at all", 0L))
+  }
+
   // ------------------------------------------------ surfaces
 
   test("round-12 ops run from YAML registry and LazyFrame round-trips") {
@@ -258,6 +367,29 @@ class Round12Spec extends SparkSpec {
     assert(rendered.filter(col("text_chosen").contains("<|im_start|>"))
       .count() == d.count())
 
+    val cleaned = graft.api.Registry("line_clean")(d,
+      graft.api.Conf.fromYaml(
+        "type: line_clean\ntext_key: text\nmin_words: 2\n" +
+          "require_terminal_punct: false"), null)
+    assert(cleaned.columns.contains("text_clean"))
+    val rep = graft.api.Registry("encoding_quality")(d,
+      graft.api.Conf.fromYaml(
+        "type: encoding_quality\ntext_key: text\nmode: repair"), null)
+    assert(rep.columns.contains("text_repaired"))
+    val sp = graft.api.Registry("script_profile")(d,
+      graft.api.Conf.fromYaml(
+        "type: script_profile\ntext_key: text"), null)
+    assert(sp.columns.contains("main_script"))
+    val mds = graft.api.Registry("markdown_sections")(
+      d.withColumn("md", concat(lit("# H\n"), col("text"))),
+      graft.api.Conf.fromYaml(
+        "type: markdown_sections\nid_key: doc_id\ntext_key: md"), null)
+    assert(mds.count() == d.count())
+    val ps = graft.api.Registry("pseudonymize")(d,
+      graft.api.Conf.fromYaml(
+        "type: pseudonymize\ntext_key: text"), null)
+    assert(ps.columns.contains("text_pseudo"))
+
     import graft.api.LazyFrame
     val dir = java.nio.file.Files.createTempDirectory("r12").toString
     flat.write.mode("overwrite").parquet(s"$dir/docs.parquet")
@@ -269,6 +401,15 @@ class Round12Spec extends SparkSpec {
       .preferenceFromPairs("text", "chosen", "rejected")
       .preferenceValidate().preferenceRender()
     assert(lp.run(spark).filter(col("pair_valid")).count() == d.count())
+    val lx = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .encodingRepair("text").scriptProfile("text")
+      .lineClean("text", minWords = 1, requireTerminalPunct = false)
+      .pseudonymize("text")
+    assert(LazyFrame.fromYaml(lx.toYaml).toYaml == lx.toYaml)
+    assert(lx.run(spark).count() == d.count())
+    val lm = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .markdownSections("doc_id", "text")
+    assert(lm.run(spark).count() == d.count())
   }
 
   // ------------------------------------------------ compact round-trip
