@@ -5625,6 +5625,133 @@ object Queries {
                  AS pseudo_md5,
                len(found)::BIGINT AS n_email_entities
         FROM pr""")
+    ),
+    (
+      // T5-style span corruption: seeded block decisions (md5 on
+      // (doc_id, seed, block)), sentinel inputs + dropped-content
+      // targets. The oracle rebuilds both sides block-wise with a
+      // prefix-count sentinel index — different algorithm, same strings.
+      "q186_span_corrupt",
+      (s: SparkSession, dir: String) =>
+        graft.ops.SpanCorrupt(t(s, dir, "documents"), "doc_id", "text",
+          rate = 0.25, spanLen = 3, seed = 7)
+          .select(col("doc_id"), md5(col("inputs")).as("inputs_md5"),
+            md5(col("targets")).as("targets_md5"),
+            col("n_corrupted_spans")),
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+        b AS (
+          SELECT doc_id, ws,
+                 [('0x' || substr(md5(doc_id::VARCHAR || ':7:' ||
+                     i::VARCHAR), 1, 13))::UBIGINT::BIGINT
+                    % 1000000 < 250000
+                  FOR i IN range(0, cast(ceil(len(ws) / 3.0) AS INT))]
+                   AS corr
+          FROM w),
+        r AS (
+          SELECT doc_id,
+                 coalesce(array_to_string([
+                   CASE WHEN corr[i+1]
+                        THEN '<extra_id_' ||
+                          len(list_filter(corr[1:i], x -> x))::VARCHAR
+                          || '>'
+                        ELSE array_to_string(ws[i*3+1:i*3+3], ' ') END
+                   FOR i IN range(0, len(corr))], ' '), '') AS inputs,
+                 coalesce(array_to_string([
+                   '<extra_id_' ||
+                     len(list_filter(corr[1:i], x -> x))::VARCHAR ||
+                     '> ' || array_to_string(ws[i*3+1:i*3+3], ' ')
+                   FOR i IN range(0, len(corr)) IF corr[i+1]], ' '), '')
+                   AS targets,
+                 len(list_filter(corr, x -> x))::BIGINT
+                   AS n_corrupted_spans
+          FROM b)
+        SELECT doc_id, md5(inputs) AS inputs_md5,
+               md5(targets) AS targets_md5, n_corrupted_spans
+        FROM r""")
+    ),
+    (
+      // Event-log -> conversations -> rendered SFT text: sessionize the
+      // events stream (300 s gap), collect time-ordered (role, content)
+      // messages per session, render under the default template. The
+      // oracle replays session assignment, ordering, and the rendered
+      // string via an ordered string_agg.
+      "q187_event_conversations",
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events")
+          .withColumn("_role",
+            when(col("event_type") === "error", lit("assistant"))
+              .otherwise(lit("user")))
+          .withColumn("_content", concat(col("event_type"), lit(" "),
+            col("props")))
+        val convs = graft.ops.ChatOps.fromEventLog(ev, "user_id", "ts",
+          "_role", "_content", gap = 300000000L, tieBreak = "event_id")
+        graft.ops.ChatOps.renderWithSpans(convs, "messages")
+          .select(col("user_id"), col("session_id"), col("n_messages"),
+            md5(col("text")).as("text_md5"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN event_type = 'error' THEN 'assistant'
+                      ELSE 'user' END AS role,
+                 event_type || ' ' || props AS content,
+                 epoch_us(ts) - lag(epoch_us(ts), 1)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap
+          FROM events),
+        sess AS (
+          SELECT user_id, event_id, ts, role, content,
+                 CAST(sum(CASE WHEN gap IS NULL OR gap > 300000000
+                               THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+          FROM g)
+        SELECT user_id, session_id,
+               count(*)::BIGINT AS n_messages,
+               md5(string_agg('<|' || role || '|>' || chr(10) ||
+                     content || chr(10), '' ORDER BY ts, event_id))
+                 AS text_md5
+        FROM sess GROUP BY 1, 2""")
+    ),
+    (
+      // Length-bucketed batch assembly: global (length desc, id) order
+      // via the distributed rank, 32-row batches, per-batch padding
+      // report — the exact integer arithmetic replays in one window +
+      // one group-by.
+      "q188_length_batches",
+      (s: SparkSession, dir: String) =>
+        graft.ops.LengthBucket.paddingReport(
+          t(s, dir, "documents")
+            .withColumn("_len",
+              size(filter(split(col("text"), " "),
+                w => length(w) > 0)).cast("bigint"))
+            .select("doc_id", "_len"),
+          "_len", batchSize = 32, tieBreak = "doc_id"),
+      Some("""
+        WITH l AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   ::BIGINT AS ln
+          FROM documents),
+        r AS (
+          SELECT doc_id, ln,
+                 row_number() OVER (ORDER BY ln DESC, doc_id) AS rn
+          FROM l),
+        a AS (
+          SELECT ((rn - 1) // 32)::BIGINT AS batch_id, ln FROM r)
+        SELECT batch_id,
+               count(*)::BIGINT AS n_rows,
+               max(ln)::BIGINT AS max_len,
+               sum(ln)::BIGINT AS sum_len,
+               (count(*) * max(ln) - sum(ln))::BIGINT AS pad_tokens,
+               round((count(*) * max(ln) - sum(ln))::DOUBLE /
+                 greatest(count(*) * max(ln), 1), 6) AS pad_frac
+        FROM a GROUP BY 1""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -313,6 +313,20 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def fim(idCol: String, textCol: String, rate: Double = 0.5,
       spmRate: Double = 0.5, seed: Long = 0L): Frame =
     next(Fim(df, idCol, textCol, rate, spmRate, seed))
+  def spanCorrupt(idCol: String, textCol: String, rate: Double = 0.15,
+      spanLen: Int = 3, seed: Long = 0L): Frame =
+    next(SpanCorrupt(df, idCol, textCol, rate, spanLen, seed))
+  def conversationFromEvents(keyCol: String, tsCol: String,
+      roleCol: String, contentCol: String, gap: Long,
+      tieBreak: String): Frame =
+    next(ChatOps.fromEventLog(df, keyCol, tsCol, roleCol, contentCol,
+      gap, tieBreak))
+  def lengthBatches(lenCol: String, batchSize: Int,
+      tieBreak: String): Frame =
+    next(LengthBucket.assignBatches(df, lenCol, batchSize, tieBreak))
+  def paddingReport(lenCol: String, batchSize: Int,
+      tieBreak: String): Frame =
+    next(LengthBucket.paddingReport(df, lenCol, batchSize, tieBreak))
   def preferenceFromPairs(promptCol: String, chosenCol: String,
       rejectedCol: String, system: Option[String] = None): Frame =
     next(Preference.fromPromptPair(df, promptCol, chosenCol, rejectedCol,

@@ -401,6 +401,20 @@ final case class LazyFrame(
       spmRate: Double = 0.5, randomState: Int = 0): LazyFrame =
     append("fim", "id_key" -> idKey, "text_key" -> textKey,
       "rate" -> rate, "spm_rate" -> spmRate, "random_state" -> randomState)
+  def spanCorrupt(idKey: String, textKey: String, rate: Double = 0.15,
+      spanLen: Int = 3, randomState: Int = 0): LazyFrame =
+    append("span_corrupt", "id_key" -> idKey, "text_key" -> textKey,
+      "rate" -> rate, "span_len" -> spanLen,
+      "random_state" -> randomState)
+  def conversationFromEvents(key: String, ts: String, roleKey: String,
+      contentKey: String, gap: Long, tieBreak: String): LazyFrame =
+    append("conversation_from_events", "key" -> key, "ts" -> ts,
+      "role_key" -> roleKey, "content_key" -> contentKey, "gap" -> gap,
+      "tie_break" -> tieBreak)
+  def lengthBatches(lenKey: String, batchSize: Int, tieBreak: String,
+      mode: String = "assign"): LazyFrame =
+    append("length_batch", "len_key" -> lenKey, "batch_size" -> batchSize,
+      "tie_break" -> tieBreak, "mode" -> mode)
   def preferenceFromPairs(promptKey: String, chosenKey: String,
       rejectedKey: String, system: String = ""): LazyFrame = {
     val base = Seq[(String, Any)]("prompt_key" -> promptKey,

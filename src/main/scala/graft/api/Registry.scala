@@ -1320,6 +1320,35 @@ object Registry {
         c.strOr("middle_token", "<fim_middle>")),
       c.strOr("output_key", "fim_text"))
   }
+  // T5-style span corruption (§2.14 pretraining prep): seeded block
+  // corruption emitting sentinel inputs + dropped-content targets.
+  register("span_corrupt") { (df, c, _) =>
+    SpanCorrupt(df, c("id_key").str, c("text_key").str,
+      c.dblOr("rate", 0.15), c.intOr("span_len", 3),
+      c.intOr("random_state", 0).toLong,
+      c.strOr("inputs_key", "inputs"), c.strOr("targets_key", "targets"))
+  }
+  // Event-log -> conversations bridge (§2.14 SFT prep): sessionize a
+  // (key, ts, role, content) stream and collect ordered messages arrays.
+  register("conversation_from_events") { (df, c, _) =>
+    ChatOps.fromEventLog(df, c("key").str, c("ts").str, c("role_key").str,
+      c("content_key").str, c("gap").long, c("tie_break").str,
+      c.strOr("output_key", "messages"))
+  }
+  // Length-bucketed batch assembly (§2.14 curation): batch ids over a
+  // global length sort; `mode: report` emits the per-batch padding table.
+  register("length_batch") { (df, c, _) =>
+    val len = c("len_key").str
+    val n = c("batch_size").int
+    val tie = c("tie_break").str
+    c.strOr("mode", "assign") match {
+      case "assign" => LengthBucket.assignBatches(df, len, n, tie,
+        c.strOr("output_key", "batch_id"))
+      case "report" => LengthBucket.paddingReport(df, len, n, tie)
+      case other => throw new IllegalArgumentException(
+        s"length_batch mode must be assign|report, got '$other'")
+    }
+  }
   // Preference-pair normalization (§2.14 DPO prep): flat prompt/chosen/
   // rejected columns -> two messages arrays.
   register("preference_from_pairs") { (df, c, _) =>

@@ -107,6 +107,35 @@ object ChatOps {
     df.withColumn(msgsOut, msgs)
   }
 
+  /** Bridge from an EVENT LOG to conversations — sessionize a (key, ts,
+    * role, content) stream with [[TemporalOps.sessionize]]'s gap rule and
+    * collect each session's events, time-ordered, into the messages
+    * array the rest of the chat family consumes ([[render]],
+    * [[validate]], [[graft.ops.Preference]]). The support-ticket /
+    * chat-log ingestion shape: raw interaction logs in, SFT-ready
+    * conversations out.
+    *
+    * Scale shape: the two keyed windows sessionize already pays + ONE
+    * (key, session) aggregation; ordering inside a session is
+    * `array_sort` over (ts, tieBreak)-keyed structs (collect_list alone
+    * is shuffle-order dependent), so the output is deterministic under
+    * any partitioning. */
+  def fromEventLog(df: DataFrame, keyCol: String, tsCol: String,
+      roleCol: String, contentCol: String, gap: Long, tieBreak: String,
+      msgsOut: String = "messages"): DataFrame = {
+    val sess = TemporalOps.sessionize(df, keyCol, tsCol, gap, tieBreak)
+    sess.groupBy(col(keyCol), col("session_id"))
+      .agg(array_sort(collect_list(struct(
+        col(tsCol).as("t"), col(tieBreak).as("tb"),
+        col(roleCol).cast("string").as("role"),
+        col(contentCol).cast("string").as("content")))).as("_ord"))
+      .withColumn(msgsOut, transform(col("_ord"), m => struct(
+        m.getField("role").as("role"),
+        m.getField("content").as("content"))))
+      .withColumn("n_messages", size(col(msgsOut)).cast("bigint"))
+      .drop("_ord")
+  }
+
   /** Conversation-shape validation — the drop-malformed-samples gate of
     * SFT prep: appends `conv_valid` and `conv_invalid_reason` (null when
     * valid). Rules: non-empty; at most one LEADING system message; then

@@ -343,6 +343,96 @@ class Round12Spec extends SparkSpec {
     assert(out(3L) == ("no entities at all", 0L))
   }
 
+  // ------------------------------------------------ span corruption
+
+  test("span corrupt: inputs+targets reconstruct the original text") {
+    val d = df(docSchema, (0L until 20L).map(i =>
+      Row(i, (1 to 30).map(w => s"w$w").mkString(" "))): _*)
+    val out = graft.ops.SpanCorrupt(d, "id", "text", rate = 0.4,
+      spanLen = 3, seed = 5).collect()
+    out.foreach { r =>
+      val text = r.getString(1)
+      val inputs = r.getString(2); val targets = r.getString(3)
+      val k = r.getLong(4)
+      // sentinels appear 0..k-1 in order on both sides
+      val sentRe = "<extra_id_(\\d+)>".r
+      assert(sentRe.findAllMatchIn(inputs).map(_.group(1).toInt).toSeq ==
+        (0 until k.toInt))
+      assert(sentRe.findAllMatchIn(targets).map(_.group(1).toInt).toSeq ==
+        (0 until k.toInt))
+      // splicing target spans back into input sentinels restores text
+      val spans = targets.split("<extra_id_\\d+> ?").filter(_.nonEmpty)
+        .map(_.trim)
+      var rebuilt = inputs
+      spans.zipWithIndex.foreach { case (sp, i) =>
+        rebuilt = rebuilt.replace(s"<extra_id_$i>", sp)
+      }
+      assert(rebuilt == text, s"row ${r.getLong(0)}")
+    }
+    // rate 0 → untouched; rate 1 → everything corrupted
+    val none = graft.ops.SpanCorrupt(d, "id", "text", rate = 0.0).head()
+    assert(none.getString(2) == none.getString(1) &&
+      none.getLong(4) == 0L)
+    val all = graft.ops.SpanCorrupt(d, "id", "text", rate = 1.0,
+      spanLen = 3).head()
+    assert(all.getLong(4) == 10L) // 30 words / 3 per span
+    assert(!all.getString(2).exists(_.isDigit) ||
+      all.getString(2).matches("(<extra_id_\\d+> ?)+"))
+  }
+
+  // ------------------------------------------- events -> conversations
+
+  test("event log bridges to ordered conversations per session") {
+    val schema = StructType(Seq(StructField("uid", LongType),
+      StructField("ts", LongType), StructField("eid", LongType),
+      StructField("role", StringType), StructField("content", StringType)))
+    val d = df(schema,
+      Row(1L, 100L, 1L, "user", "hi"),
+      Row(1L, 200L, 2L, "assistant", "hello"),
+      Row(1L, 10000L, 3L, "user", "new session"), // > gap of 5000
+      Row(2L, 150L, 4L, "user", "other user"))
+    val convs = graft.ops.ChatOps.fromEventLog(d, "uid", "ts", "role",
+      "content", gap = 5000L, tieBreak = "eid")
+    val byKey = convs.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) ->
+        r.getAs[scala.collection.Seq[Row]]("messages")
+          .map(m => (m.getString(0), m.getString(1)))).toMap
+    assert(byKey((1L, 1L)) == Seq(("user", "hi"), ("assistant", "hello")))
+    assert(byKey((1L, 2L)) == Seq(("user", "new session")))
+    assert(byKey((2L, 1L)) == Seq(("user", "other user")))
+    // the output feeds the render path directly
+    val rendered = graft.ops.ChatOps.renderWithSpans(convs, "messages")
+    assert(rendered.filter(col("uid") === 1 && col("session_id") === 1)
+      .head().getAs[String]("text") ==
+      "<|user|>\nhi\n<|assistant|>\nhello\n")
+  }
+
+  // ------------------------------------------------ length bucketing
+
+  test("length batches: similar lengths co-batch; padding is exact") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("len", LongType)))
+    // lengths 100,99,...,1 → with batchSize 10, batch 0 = 100..91
+    val d = df(schema, (1L to 100L).map(i => Row(i, i)): _*)
+    val report = graft.ops.LengthBucket.paddingReport(d, "len", 10, "id")
+      .orderBy("batch_id").collect()
+    assert(report.length == 10)
+    val b0 = report.head
+    assert(b0.getAs[Long]("max_len") == 100L)
+    assert(b0.getAs[Long]("sum_len") == (91L to 100L).sum)
+    assert(b0.getAs[Long]("pad_tokens") ==
+      10L * 100L - (91L to 100L).sum)
+    // bucketing beats random batching: total padding is minimal here
+    val totalPad = report.map(_.getAs[Long]("pad_tokens")).sum
+    assert(totalPad == report.map { r =>
+      r.getAs[Long]("n_rows") * r.getAs[Long]("max_len") -
+        r.getAs[Long]("sum_len")
+    }.sum)
+    val assigned = graft.ops.LengthBucket.assignBatches(d, "len", 10, "id")
+    assert(assigned.filter(col("len") > 90).select("batch_id")
+      .distinct().count() == 1)
+  }
+
   // ------------------------------------------------ surfaces
 
   test("round-12 ops run from YAML registry and LazyFrame round-trips") {
@@ -389,6 +479,26 @@ class Round12Spec extends SparkSpec {
       graft.api.Conf.fromYaml(
         "type: pseudonymize\ntext_key: text"), null)
     assert(ps.columns.contains("text_pseudo"))
+    val sc = graft.api.Registry("span_corrupt")(d,
+      graft.api.Conf.fromYaml(
+        "type: span_corrupt\nid_key: doc_id\ntext_key: text\nrate: 1.0"),
+      null)
+    assert(sc.columns.contains("inputs") && sc.columns.contains("targets"))
+    val ev = d.select(col("doc_id").as("uid"),
+      (col("doc_id") * 100).as("ts"), col("doc_id").as("eid"),
+      lit("user").as("role"), col("text").as("content"))
+    val cv = graft.api.Registry("conversation_from_events")(ev,
+      graft.api.Conf.fromYaml(
+        "type: conversation_from_events\nkey: uid\nts: ts\n" +
+          "role_key: role\ncontent_key: content\ngap: 1000000\n" +
+          "tie_break: eid"), null)
+    assert(cv.columns.contains("messages"))
+    val lb = graft.api.Registry("length_batch")(
+      d.withColumn("len", length(col("text")).cast("bigint")),
+      graft.api.Conf.fromYaml(
+        "type: length_batch\nlen_key: len\nbatch_size: 2\n" +
+          "tie_break: doc_id\nmode: report"), null)
+    assert(lb.columns.contains("pad_tokens"))
 
     import graft.api.LazyFrame
     val dir = java.nio.file.Files.createTempDirectory("r12").toString
