@@ -5752,6 +5752,113 @@ object Queries {
                round((count(*) * max(ln) - sum(ln))::DOUBLE /
                  greatest(count(*) * max(ln), 1), 6) AS pad_frac
         FROM a GROUP BY 1""")
+    ),
+    (
+      // robots.txt politeness: 20 synthetic hosts rotate three robots
+      // bodies (wildcard group with allow-override and * pattern;
+      // agent-specific group with a $-anchored rule; empty file), urls
+      // rotate six paths. The parser+evaluator runs the real RFC 9309
+      // pipeline; the oracle states the CLOSED-FORM expected outcome of
+      // the fixture (group selection, longest-match, allow-ties, $ and
+      // * semantics) — the parser itself is spec-covered.
+      "q189_robots_txt",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val robots = docs.select((col("doc_id") % 20).as("hid")).distinct()
+          .withColumn("host", concat(lit("h"), col("hid")))
+          .withColumn("body",
+            when(col("hid") % 3 === 0, lit(
+              "User-agent: *\nDisallow: /private/\n" +
+                "Allow: /private/open/\nDisallow: /tmp*\n# note\n"))
+              .when(col("hid") % 3 === 1, lit(
+                "User-agent: graftbot\nDisallow: /secret$\n\n" +
+                  "User-agent: *\nDisallow: /\n"))
+              .otherwise(lit("")))
+        val rules = graft.ops.RobotsTxt.parseRules(robots, "host", "body")
+        val urls = docs.select(col("doc_id"),
+          concat(lit("h"), col("doc_id") % 20).as("host"),
+          element_at(array(lit("/public/page"), lit("/private/x"),
+            lit("/private/open/y"), lit("/tmp123"), lit("/secret"),
+            lit("/secretx")), (col("doc_id") % 6 + 1).cast("int"))
+            .as("path"))
+        graft.ops.RobotsTxt.isAllowed(urls, "doc_id", "host", "path",
+          rules, "GraftBot")
+          .select(col("doc_id"), col("allowed"), col("matched_rule"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id, (doc_id % 20) % 3 AS fam, doc_id % 6 AS p
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN fam = 0 THEN
+                      CASE WHEN p IN (1, 3) THEN false ELSE true END
+                    WHEN fam = 1 THEN
+                      CASE WHEN p = 4 THEN false ELSE true END
+                    ELSE true END AS allowed,
+               CASE WHEN fam = 0 AND p = 1 THEN '/private/'
+                    WHEN fam = 0 AND p = 2 THEN '/private/open/'
+                    WHEN fam = 0 AND p = 3 THEN '/tmp*'
+                    WHEN fam = 1 AND p = 4 THEN '/secret$'
+                    ELSE '' END AS matched_rule
+        FROM u""")
+    ),
+    (
+      // Score ensembling over three signals (token count, char length,
+      // a decorrelated id hash): Borda rank fusion (integer-exact) and
+      // equal-weight z-score averaging (integer-scaled moments) in one
+      // pass — both replayed to the last decimal.
+      "q190_score_ensemble",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "documents").select(col("doc_id"),
+          size(filter(split(col("text"), " "), w => length(w) > 0))
+            .cast("bigint").as("s1"),
+          length(col("text")).cast("bigint").as("s2"),
+          ((col("doc_id") * 37) % 101).cast("bigint").as("s3"))
+        val cols = Seq("s1", "s2", "s3")
+        val z = graft.ops.ScoreEnsemble.zscore(
+          graft.ops.ScoreEnsemble.borda(base, cols, "doc_id"), cols)
+        z.select(col("doc_id"), col("borda_sum"), col("ensemble_z"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   ::BIGINT AS s1,
+                 len(text)::BIGINT AS s2,
+                 ((doc_id * 37) % 101)::BIGINT AS s3
+          FROM documents),
+        r AS (
+          SELECT doc_id, s1, s2, s3,
+                 row_number() OVER (ORDER BY s1 DESC, doc_id) +
+                 row_number() OVER (ORDER BY s2 DESC, doc_id) +
+                 row_number() OVER (ORDER BY s3 DESC, doc_id)
+                   AS borda_sum
+          FROM b),
+        m AS (
+          SELECT count(*)::DOUBLE AS n,
+                 sum(round(s1 * 1e6)::HUGEINT)::DOUBLE AS sa1,
+                 sum((round(s1 * 1e6)::HUGEINT) *
+                     (round(s1 * 1e6)::HUGEINT))::DOUBLE AS ssa1,
+                 sum(round(s2 * 1e6)::HUGEINT)::DOUBLE AS sa2,
+                 sum((round(s2 * 1e6)::HUGEINT) *
+                     (round(s2 * 1e6)::HUGEINT))::DOUBLE AS ssa2,
+                 sum(round(s3 * 1e6)::HUGEINT)::DOUBLE AS sa3,
+                 sum((round(s3 * 1e6)::HUGEINT) *
+                     (round(s3 * 1e6)::HUGEINT))::DOUBLE AS ssa3
+          FROM b),
+        z AS (
+          SELECT doc_id, borda_sum,
+                 round((round(s1 * 1e6) - sa1 / n) /
+                   sqrt(greatest(ssa1 / n - (sa1/n)*(sa1/n), 0)), 6) AS z1,
+                 round((round(s2 * 1e6) - sa2 / n) /
+                   sqrt(greatest(ssa2 / n - (sa2/n)*(sa2/n), 0)), 6) AS z2,
+                 round((round(s3 * 1e6) - sa3 / n) /
+                   sqrt(greatest(ssa3 / n - (sa3/n)*(sa3/n), 0)), 6) AS z3
+          FROM r, m)
+        SELECT doc_id, borda_sum::BIGINT AS borda_sum,
+               round((z1 * 1.0 + z2 * 1.0 + z3 * 1.0) / 3.0, 6)
+                 AS ensemble_z
+        FROM z""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -297,6 +297,15 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(ChatOps.fromPromptResponse(df, promptCol, responseCol, system))
   def conversationValidate(messagesCol: String): Frame =
     next(ChatOps.validate(df, messagesCol))
+  def robotsRules(hostCol: String, contentCol: String): Frame =
+    next(RobotsTxt.parseRules(df, hostCol, contentCol))
+  def robotsAllowed(idCol: String, hostCol: String, pathCol: String,
+      rules: Frame, agent: String): Frame =
+    next(RobotsTxt.isAllowed(df, idCol, hostCol, pathCol, rules.df, agent))
+  def scoreBorda(scoreCols: Seq[String], tieBreak: String): Frame =
+    next(ScoreEnsemble.borda(df, scoreCols, tieBreak))
+  def scoreZ(scoreCols: Seq[String], weights: Seq[Double] = Nil): Frame =
+    next(ScoreEnsemble.zscore(df, scoreCols, weights))
   def lineClean(textCol: String,
       cfg: LineClean.Config = LineClean.Config()): Frame =
     next(LineClean(df, textCol, cfg))

@@ -385,6 +385,20 @@ final case class LazyFrame(
       dropInvalid: Boolean = false): LazyFrame =
     append("conversation_validate", "messages_key" -> messagesKey,
       "drop_invalid" -> dropInvalid)
+  def robotsRules(hostKey: String, contentKey: String): LazyFrame =
+    append("robots_txt", "mode" -> "parse", "host_key" -> hostKey,
+      "content_key" -> contentKey)
+  def robotsAllowed(idKey: String, hostKey: String, pathKey: String,
+      rules: String, agent: String): LazyFrame =
+    append("robots_txt", "mode" -> "evaluate", "id_key" -> idKey,
+      "host_key" -> hostKey, "path_key" -> pathKey, "rules" -> rules,
+      "agent" -> agent)
+  def scoreBorda(columns: Seq[String], tieBreak: String): LazyFrame =
+    append("score_ensemble", "mode" -> "borda",
+      "columns" -> jlist(columns), "tie_break" -> tieBreak)
+  def scoreZ(columns: Seq[String]): LazyFrame =
+    append("score_ensemble", "mode" -> "zscore",
+      "columns" -> jlist(columns))
   def lineClean(textKey: String, minWords: Int = 3,
       requireTerminalPunct: Boolean = true): LazyFrame =
     append("line_clean", "text_key" -> textKey, "min_words" -> minWords,

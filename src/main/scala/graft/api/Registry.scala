@@ -1278,6 +1278,35 @@ object Registry {
         "budget_select_grouped needs `budgets` or `fractions` + `total_budget`")
     }
   }
+  // robots.txt politeness (§2.14 crawl family): `parse` explodes
+  // (host, body) rows into the rule table; `evaluate` checks THIS
+  // frame's (id, host, path) urls against a rules dataset for an agent.
+  register("robots_txt") { (df, c, ctx) =>
+    c.strOr("mode", "parse") match {
+      case "parse" =>
+        RobotsTxt.parseRules(df, c("host_key").str, c("content_key").str)
+      case "evaluate" =>
+        val rules = ctx.datasets.getOrElse(c("rules").str,
+          throw new IllegalArgumentException(
+            s"unknown robots_txt rules dataset '${c("rules").str}'"))
+        RobotsTxt.isAllowed(df, c("id_key").str, c("host_key").str,
+          c("path_key").str, rules, c.strOr("agent", "*"))
+      case other => throw new IllegalArgumentException(
+        s"robots_txt mode must be parse|evaluate, got '$other'")
+    }
+  }
+  // Score ensembling (§2.14 curation): Borda rank fusion (integer-exact)
+  // or z-score averaging (integer-scaled moments) over signal columns.
+  register("score_ensemble") { (df, c, _) =>
+    val cols = c("columns").strList
+    c.strOr("mode", "borda") match {
+      case "borda" => ScoreEnsemble.borda(df, cols, c("tie_break").str)
+      case "zscore" => ScoreEnsemble.zscore(df, cols,
+        c.get("weights").map(_.dblList).getOrElse(Nil))
+      case other => throw new IllegalArgumentException(
+        s"score_ensemble mode must be borda|zscore, got '$other'")
+    }
+  }
   register("corpus_drift") { (df, c, ctx) =>
     val other = ctx.datasets.getOrElse(c("other").str,
       throw new IllegalArgumentException(

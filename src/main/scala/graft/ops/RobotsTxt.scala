@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt politeness evaluation — the crawl-side gate every fetch
+  * pipeline consults before touching a URL (RFC 9309, the Robots
+  * Exclusion Protocol): parse per-host robots.txt bodies into rule
+  * tables and evaluate (host, path) pairs against them. Completes the
+  * crawl family around [[UrlOps]] (canonicalize/quota) and the
+  * [[graft.ops.WebOps]] fetch seam; publicly standard semantics —
+  * group selection by user-agent (specific group if one exists, else
+  * `*`), longest-path-match wins, allow wins ties, no match = allowed,
+  * `*` wildcard and `$` end-anchor supported.
+  *
+  * Scale shape: parsing is ONE per-row fold over the file's lines
+  * (struct accumulator carrying the current user-agent run — O(1)
+  * pointer work per line) exploded into a (host, agent, allow, prefix)
+  * rule table; evaluation is two HOST-keyed joins (has-specific-group,
+  * then the applicable rules) + one (url)-keyed max-struct aggregation —
+  * all keyed shuffles bounded by rule-table size, no driver state. Rule
+  * patterns become anchored regexes per row (rules per host are few —
+  * tens, not thousands — so the non-foldable rlike is bounded).
+  */
+object RobotsTxt {
+
+  /** Parse a robots.txt body into array<struct<agent, allow, prefix>>.
+    * Field names are case-insensitive; comments (`# …`) strip; a rule
+    * line binds to every agent of the PRECEDING `User-agent:` run;
+    * empty-value Disallow lines (allow-all idiom) contribute nothing. */
+  def rulesCol(content: Column): Column = {
+    val lines = split(coalesce(content, lit("")), "\n")
+    val emptyRules = array().cast(
+      "array<struct<agent:string,allow:boolean,prefix:string>>")
+    val zero = struct(
+      array().cast("array<string>").as("agents"),
+      lit(false).as("inRun"),
+      emptyRules.as("rules"))
+    val folded = aggregate(lines, zero, (acc, raw) => {
+      val line = trim(regexp_replace(raw, "#.*$", ""))
+      val field = lower(trim(substring_index(line, ":", 1)))
+      val value = trim(substring_index(line, ":", -1))
+      // "a:b:c" -> substring_index(-1) keeps only "c"; robots VALUES
+      // never contain ':' except in full URLs (Sitemap), which we skip.
+      val agents = acc.getField("agents")
+      val inRun = acc.getField("inRun")
+      val rules = acc.getField("rules")
+      val isUa = field === "user-agent" && length(value) > 0
+      val isRule = (field === "allow" || field === "disallow") &&
+        length(value) > 0
+      when(isUa,
+        struct(
+          when(inRun, concat(agents, array(lower(value))))
+            .otherwise(array(lower(value))).as("agents"),
+          lit(true).as("inRun"),
+          rules.as("rules")))
+        .when(isRule,
+          struct(agents.as("agents"), lit(false).as("inRun"),
+            concat(rules, transform(agents, a => struct(
+              a.as("agent"),
+              (field === "allow").as("allow"),
+              value.as("prefix")))).as("rules")))
+        .otherwise(
+          struct(agents.as("agents"), lit(false).as("inRun"),
+            rules.as("rules")))
+    })
+    folded.getField("rules")
+  }
+
+  /** Explode (host, robots body) rows into the rule table
+    * (host, agent, allow, prefix). */
+  def parseRules(df: DataFrame, hostCol: String,
+      contentCol: String): DataFrame =
+    df.select(col(hostCol).as("host"),
+      explode(rulesCol(col(contentCol))).as("_r"))
+      .select(col("host"), col("_r.agent").as("agent"),
+        col("_r.allow").as("allow"), col("_r.prefix").as("prefix"))
+
+  /** RFC 9309 pattern → anchored Java/RE2 regex: escape regex
+    * metachars, `*` → `.*`, a trailing `$` stays an anchor. */
+  private def patternRegex(prefix: Column): Column = {
+    val escaped = regexp_replace(prefix,
+      "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+    val starred = regexp_replace(escaped, "\\*", ".*")
+    // the escape pass turned a trailing $ into \$ — restore the anchor
+    val anchored = regexp_replace(starred, "\\\\\\$$", "\\$")
+    concat(lit("^"), anchored)
+  }
+
+  /** Evaluate each (idCol, hostCol, pathCol) row of `urls` against
+    * `rules` ([[parseRules]] output) for `agent`: appends `allowed`
+    * plus the deciding `matched_rule` prefix ('' when no rule matched).
+    * Group selection per RFC 9309: the agent-specific group when the
+    * host has one, else `*`. Longest matched rule wins; ties go to
+    * allow (then lexicographically-max prefix, for determinism). Two
+    * host-keyed joins + one url-keyed max-struct aggregation. */
+  def isAllowed(urls: DataFrame, idCol: String, hostCol: String,
+      pathCol: String, rules: DataFrame, agent: String): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val r = rules.select(col("host").as("_rhost"),
+      col("agent").as("_ragent"), col("allow").as("_rallow"),
+      col("prefix").as("_rprefix"))
+    val hasSpecific = r.filter(col("_ragent") === agentLc)
+      .select(col("_rhost").as("_shost")).distinct()
+      .withColumn("_has", lit(1))
+    val withAgent = urls
+      .join(hasSpecific, col(hostCol) === col("_shost"), "left")
+      .drop("_shost")
+      .withColumn("_eff_agent",
+        when(col("_has") === 1, lit(agentLc)).otherwise(lit("*")))
+      .drop("_has")
+    val joined = withAgent.join(r,
+      col(hostCol) === col("_rhost") &&
+        col("_ragent") === col("_eff_agent"), "left")
+    val matched = col("_rprefix").isNotNull &&
+      regexp_like(col(pathCol), patternRegex(col("_rprefix")))
+    val score = when(matched, length(col("_rprefix"))).otherwise(lit(-1))
+    val allowInt = when(col("_rallow"), lit(1)).otherwise(lit(0))
+    joined.groupBy(col(idCol), col(hostCol), col(pathCol))
+      .agg(max(struct(score.as("s"), allowInt.as("a"),
+        coalesce(col("_rprefix"), lit("")).as("p"))).as("_best"))
+      .withColumn("allowed",
+        col("_best.s") < 0 || col("_best.a") === 1)
+      .withColumn("matched_rule",
+        when(col("_best.s") < 0, lit("")).otherwise(col("_best.p")))
+      .drop("_best")
+  }
+}

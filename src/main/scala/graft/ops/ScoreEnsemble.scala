@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Quality-score ensembling — combine several per-document quality
+  * signals ([[LinearScore]], [[LmScore]], [[QualityRules]] counts,
+  * classifier probabilities…) into ONE selection key. Two publicly
+  * standard combiners:
+  *
+  *  - **Borda** rank fusion: each signal contributes its global rank
+  *    (1 = best); the sum of ranks is the ensemble. Scale-free — immune
+  *    to signals with wildly different ranges/distributions — and
+  *    INTEGER-exact, so the result is bit-stable at any corpus size.
+  *  - **z-score** averaging: each signal standardizes to
+  *    (x − mean)/stddev and the (optionally weighted) mean of z-scores
+  *    is the ensemble. Preserves magnitude information ranks discard.
+  *
+  * Scale shape: Borda pays one [[RankOp.withGlobalRank]]
+  * range-partitioned sort PER SIGNAL (k honest global sorts — the price
+  * of exact ranks; ties break on the id column, deterministic).
+  * z-score pays ONE aggregation: moments come from integer-scaled
+  * (×10⁶, DECIMAL-summed) values, so mean/stddev are exact and
+  * order-independent — the float-sum nondeterminism the repo's
+  * invariants ban never enters; the per-row standardization is then a
+  * pure expression fused into the scan.
+  */
+object ScoreEnsemble {
+
+  /** Append `_rank_<col>` per signal (1 = best, direction `desc`) and
+    * their sum `outCol` (lower = better overall). */
+  def borda(df: DataFrame, scoreCols: Seq[String], tieBreak: String,
+      outCol: String = "borda_sum"): DataFrame = {
+    require(scoreCols.nonEmpty, "borda needs at least one score column")
+    val ranked = scoreCols.foldLeft(df) { (acc, c) =>
+      RankOp.withGlobalRank(acc,
+        Seq(col(c).desc, col(tieBreak).asc))
+        .withColumnRenamed("_rank", s"_rank_$c")
+    }
+    ranked.withColumn(outCol,
+      scoreCols.map(c => col(s"_rank_$c")).reduce(_ + _).cast("bigint"))
+  }
+
+  /** Append `_z_<col>` per signal and their weighted mean `outCol`
+    * (6 decimals). Signals scale to ×10⁶ integers before the moment
+    * sums (DECIMAL(38,0) — exact at any row count); a constant signal
+    * (stddev 0) contributes z = 0. */
+  def zscore(df: DataFrame, scoreCols: Seq[String],
+      weights: Seq[Double] = Nil,
+      outCol: String = "ensemble_z"): DataFrame = {
+    require(scoreCols.nonEmpty, "zscore needs at least one score column")
+    val w = if (weights.isEmpty) scoreCols.map(_ => 1.0) else weights
+    require(w.length == scoreCols.length,
+      s"weights (${w.length}) must match score columns (${scoreCols.length})")
+    def scaled(c: String) =
+      round(col(c).cast("double") * 1e6).cast("decimal(38,0)")
+    val aggs = scoreCols.flatMap { c =>
+      Seq(count(col(c)).as(s"_n_$c"),
+        coalesce(sum(scaled(c)), lit(java.math.BigDecimal.ZERO))
+          .as(s"_s_$c"),
+        coalesce(sum(scaled(c) * scaled(c)), lit(java.math.BigDecimal.ZERO))
+          .as(s"_ss_$c"))
+    }
+    val m = df.agg(aggs.head, aggs.tail: _*).head()
+    val stats = scoreCols.map { c =>
+      val n = m.getAs[Long](s"_n_$c").toDouble
+      val s = m.getAs[java.math.BigDecimal](s"_s_$c").doubleValue()
+      val ss = m.getAs[java.math.BigDecimal](s"_ss_$c").doubleValue()
+      val mean = if (n > 0) s / n else 0.0
+      val variance = if (n > 0) math.max(ss / n - mean * mean, 0.0) else 0.0
+      c -> (mean, math.sqrt(variance))
+    }.toMap
+    val withZ = scoreCols.foldLeft(df) { (acc, c) =>
+      val (mean, sd) = stats(c)
+      val z = if (sd == 0.0) lit(0.0)
+        else (round(col(c).cast("double") * 1e6) - lit(mean)) / lit(sd)
+      acc.withColumn(s"_z_$c", round(z, 6))
+    }
+    val totalW = w.sum
+    val combined = scoreCols.zip(w).map { case (c, wi) =>
+      col(s"_z_$c") * lit(wi)
+    }.reduce(_ + _) / lit(totalW)
+    withZ.withColumn(outCol, round(combined, 6))
+  }
+}

@@ -13,7 +13,12 @@ object ExplainAudit {
         "q13_sample_first", "q17_topk_bm25", "q30_sem_map",
         // round-11 plan shapes worth re-auditing: one-scan profiler,
         // WindowGroupLimit quota prune, broadcast JL literals
-        "q159_profile", "q161_quota_select", "q166_random_project")
+        "q159_profile", "q161_quota_select", "q166_random_project",
+        // round-12 shapes: scan-fused seeded transforms (no shuffle,
+        // no UDF), the sessionize+agg conversation bridge, and the
+        // single range-sort + keyed-agg batching report
+        "q179_fim", "q186_span_corrupt", "q187_event_conversations",
+        "q188_length_batches")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

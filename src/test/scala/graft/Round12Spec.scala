@@ -433,6 +433,87 @@ class Round12Spec extends SparkSpec {
       .distinct().count() == 1)
   }
 
+  // ------------------------------------------------ robots.txt
+
+  test("robots: parser handles runs, comments, case, empty disallow") {
+    val schema = StructType(Seq(StructField("host", StringType),
+      StructField("body", StringType)))
+    val d = df(schema, Row("h1",
+      "# top comment\nUSER-AGENT: BotA\nUser-Agent: botb\n" +
+        "Disallow: /x # inline\nAllow: /x/ok\n" +
+        "Disallow:\n" + // empty = allow-all idiom, no rule
+        "Crawl-delay: 10\n" +
+        "User-agent: *\nDisallow: /all\n"))
+    val rules = graft.ops.RobotsTxt.parseRules(d, "host", "body")
+      .collect().map(r => (r.getString(1), r.getBoolean(2),
+        r.getString(3))).toSet
+    // the UA run binds BOTH bota and botb to both rules; case folds
+    assert(rules == Set(
+      ("bota", false, "/x"), ("botb", false, "/x"),
+      ("bota", true, "/x/ok"), ("botb", true, "/x/ok"),
+      ("*", false, "/all")))
+  }
+
+  test("robots: group selection, longest match, allow ties, wildcards") {
+    val rSchema = StructType(Seq(StructField("host", StringType),
+      StructField("body", StringType)))
+    val robots = df(rSchema,
+      Row("a.com", "User-agent: *\nDisallow: /p/\nAllow: /p/ok/\n" +
+        "Disallow: /q*z\n"),
+      Row("b.com", "User-agent: me\nDisallow: /only$\n" +
+        "User-agent: *\nDisallow: /\n"))
+    val rules = graft.ops.RobotsTxt.parseRules(robots, "host", "body")
+    val uSchema = StructType(Seq(StructField("id", LongType),
+      StructField("host", StringType), StructField("path", StringType)))
+    val urls = df(uSchema,
+      Row(1L, "a.com", "/p/secret"), // blocked by /p/
+      Row(2L, "a.com", "/p/ok/page"), // allow overrides (longer)
+      Row(3L, "a.com", "/q123z"), // * wildcard hits
+      Row(4L, "a.com", "/other"), // no rule -> allowed
+      Row(5L, "b.com", "/only"), // $-anchored block for 'me'
+      Row(6L, "b.com", "/onlyx"), // anchor miss -> allowed
+      Row(7L, "b.com", "/free"), // specific group has no match
+      Row(8L, "c.com", "/anything")) // host without robots
+    val out = graft.ops.RobotsTxt.isAllowed(urls, "id", "host", "path",
+      rules, "Me").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Boolean]("allowed"),
+        r.getAs[String]("matched_rule"))).toMap
+    assert(out(1L) == (false, "/p/"))
+    assert(out(2L) == (true, "/p/ok/"))
+    assert(out(3L) == (false, "/q*z"))
+    assert(out(4L) == (true, ""))
+    assert(out(5L) == (false, "/only$"))
+    assert(out(6L) == (true, ""))
+    assert(out(7L) == (true, ""))
+    assert(out(8L) == (true, ""))
+  }
+
+  // ------------------------------------------------ score ensemble
+
+  test("score ensemble: borda is exact rank sums; zscore standardizes") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("a", LongType), StructField("b", LongType)))
+    val d = df(schema, Row(1L, 10L, 1L), Row(2L, 20L, 2L),
+      Row(3L, 30L, 3L), Row(4L, 40L, 4L))
+    val borda = graft.ops.ScoreEnsemble.borda(d, Seq("a", "b"), "id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("borda_sum"))
+      .toMap
+    // both signals agree: id 4 is rank 1+1, id 1 is rank 4+4
+    assert(borda == Map(1L -> 8L, 2L -> 6L, 3L -> 4L, 4L -> 2L))
+    val z = graft.ops.ScoreEnsemble.zscore(d, Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("ensemble_z"))
+      .toMap
+    // symmetric data: z-scores mirror around 0 and the extremes match
+    assert(math.abs(z(1L) + z(4L)) < 1e-9)
+    assert(math.abs(z(2L) + z(3L)) < 1e-9)
+    assert(z(4L) > z(3L) && z(3L) > z(2L) && z(2L) > z(1L))
+    // a constant column contributes zero, not NaN
+    val cz = graft.ops.ScoreEnsemble.zscore(
+      d.withColumn("c", lit(7L)), Seq("a", "c"))
+      .select("ensemble_z").collect().map(_.getDouble(0))
+    assert(cz.forall(v => !v.isNaN))
+  }
+
   // ------------------------------------------------ surfaces
 
   test("round-12 ops run from YAML registry and LazyFrame round-trips") {
@@ -499,6 +580,18 @@ class Round12Spec extends SparkSpec {
         "type: length_batch\nlen_key: len\nbatch_size: 2\n" +
           "tie_break: doc_id\nmode: report"), null)
     assert(lb.columns.contains("pad_tokens"))
+    val rr = graft.api.Registry("robots_txt")(
+      d.select(lit("h").as("host"),
+        lit("User-agent: *\nDisallow: /x\n").as("body")).limit(1),
+      graft.api.Conf.fromYaml(
+        "type: robots_txt\nmode: parse\nhost_key: host\n" +
+          "content_key: body"), null)
+    assert(rr.collect().map(_.getString(3)).toSeq == Seq("/x"))
+    val se = graft.api.Registry("score_ensemble")(
+      d.withColumn("s", col("doc_id").cast("bigint")),
+      graft.api.Conf.fromYaml(
+        "type: score_ensemble\ncolumns: [s]\ntie_break: doc_id"), null)
+    assert(se.columns.contains("borda_sum"))
 
     import graft.api.LazyFrame
     val dir = java.nio.file.Files.createTempDirectory("r12").toString
