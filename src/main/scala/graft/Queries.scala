@@ -34,7 +34,7 @@ object Queries {
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
     apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b ++
     round9c ++ round9d ++ round9e ++ round9f ++ round9h ++ round10 ++
-    round10b ++ round11
+    round10b ++ round11 ++ round12
 
   // ---------------------------------------------------------------- parsing
 
@@ -5859,6 +5859,216 @@ object Queries {
                round((z1 * 1.0 + z2 * 1.0 + z3 * 1.0) / 3.0, 6)
                  AS ensemble_z
         FROM z""")
+    ))
+
+  private def round12: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // Retrieval-quality metrics per query: candidates are documents
+      // bucketed into 10 queries with a decorrelated integer score and
+      // graded relevance; precision/recall/hit/RR/nDCG@5 replay exactly
+      // because DCG terms round to integer micro-units before summing.
+      "q191_ranking_eval",
+      (s: SparkSession, dir: String) => {
+        val cands = t(s, dir, "documents").select(
+          (col("doc_id") % 10).as("qid"), col("doc_id"),
+          ((col("doc_id") * 37) % 101).as("score"),
+          when(col("doc_id") % 5 === 0, 2L)
+            .when(col("doc_id") % 3 === 0, 1L).otherwise(0L).as("rel"))
+        graft.ops.RankingEval.perQuery(cands, "qid", "score", "rel",
+          k = 5, tieCol = "doc_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id % 10 AS qid, doc_id,
+                 (doc_id * 37) % 101 AS score,
+                 CASE WHEN doc_id % 5 = 0 THEN 2
+                      WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+          FROM documents),
+        r AS (
+          SELECT qid, rel,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, doc_id) AS rnk,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY rel DESC, doc_id) AS irnk
+          FROM c),
+        d AS (
+          SELECT qid, rel, rnk,
+                 CASE WHEN rnk <= 5 THEN
+                   round((pow(2, rel) - 1) / log2(rnk + 1) * 1e6)::BIGINT
+                   ELSE 0 END AS dcg,
+                 CASE WHEN irnk <= 5 THEN
+                   round((pow(2, rel) - 1) / log2(irnk + 1) * 1e6)::BIGINT
+                   ELSE 0 END AS idcg
+          FROM r),
+        a AS (
+          SELECT qid, count(*)::BIGINT AS n_results,
+                 sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_rel,
+                 sum(CASE WHEN rnk <= 5 AND rel > 0 THEN 1 ELSE 0 END)
+                   ::BIGINT AS hits,
+                 min(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+                 sum(dcg)::BIGINT AS sdcg, sum(idcg)::BIGINT AS sidcg
+          FROM d GROUP BY 1)
+        SELECT qid, n_results, n_rel, hits,
+               round(hits / 5.0, 6) AS precision_k,
+               CASE WHEN n_rel > 0 THEN round(hits::DOUBLE / n_rel, 6) END
+                 AS recall_k,
+               (CASE WHEN hits > 0 THEN 1 ELSE 0 END)::BIGINT AS hit_k,
+               coalesce(round(1.0 / first_rel, 6), 0.0) AS rr,
+               CASE WHEN sidcg > 0 THEN round(sdcg::DOUBLE / sidcg, 6) END
+                 AS ndcg_k
+        FROM a""")
+    ),
+    (
+      // Hyperlink extraction: synthetic HTML plants one absolute link
+      // (with nested tag in the anchor), one root-relative, one bare
+      // relative, plus a fragment and a mailto that must drop. The
+      // extractor runs the real regex/resolution pipeline; the oracle
+      // states the closed-form expected edge table. Nullable string
+      // outputs coalesce to '' on both sides (driver-hash null trap).
+      "q192_html_links",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("h"), col("doc_id") % 4, lit(".example.com"))
+            .as("host"),
+          concat(
+            lit("<p>intro</p><a href=\"https://ext"), col("doc_id") % 5,
+            lit(".com/page?x=1\">Ext <b>Link</b></a> mid" +
+              "<a href='/local/"), col("doc_id") % 3,
+            lit("'>  Local  </a><a href=\"#frag\">no</a>" +
+              "<a href=\"mailto:a@b.c\">no</a>" +
+              "<a href=\"rel/path\">Rel</a>")).as("html"))
+        graft.sources.HtmlLinks.extract(docs, Seq("doc_id"), "html", "host")
+          .select(col("doc_id"), col("href"), col("anchor"), col("kind"),
+            coalesce(col("dst_host"), lit("")).as("dst_host"),
+            coalesce(col("dst_path"), lit("")).as("dst_path"),
+            coalesce(col("internal"), lit(false)).as("internal"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT doc_id, i FROM documents, UNNEST([1, 2, 3]) AS t(i))
+        SELECT doc_id,
+               CASE i WHEN 1 THEN 'https://ext' || (doc_id % 5) ||
+                                  '.com/page?x=1'
+                      WHEN 2 THEN '/local/' || (doc_id % 3)
+                      ELSE 'rel/path' END AS href,
+               CASE i WHEN 1 THEN 'Ext Link'
+                      WHEN 2 THEN 'Local' ELSE 'Rel' END AS anchor,
+               CASE i WHEN 1 THEN 'absolute'
+                      WHEN 2 THEN 'root_relative'
+                      ELSE 'relative' END AS kind,
+               CASE i WHEN 1 THEN 'ext' || (doc_id % 5) || '.com'
+                      WHEN 2 THEN 'h' || (doc_id % 4) || '.example.com'
+                      ELSE '' END AS dst_host,
+               CASE i WHEN 1 THEN '/page'
+                      WHEN 2 THEN '/local/' || (doc_id % 3)
+                      ELSE '' END AS dst_path,
+               CASE i WHEN 2 THEN true ELSE false END AS internal
+        FROM l""")
+    ),
+    (
+      // ROUGE-2 with clipped counts between two overlapping word windows
+      // of each document: candidate = words 1..10, reference = words
+      // 4..13 — exercises partial overlap, multiset clipping, and the
+      // empty-side guard on short documents.
+      "q193_ngram_f1",
+      (s: SparkSession, dir: String) => {
+        val w = split(col("text"), " ")
+        val pairs = t(s, dir, "documents").select(col("doc_id"),
+          array_join(slice(w, 1, 10), " ").as("cand"),
+          array_join(slice(w, 4, 10), " ").as("ref"))
+        graft.ops.TextSim.ngramF1(pairs, Seq("doc_id"), "cand", "ref", n = 2)
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 array_to_string(w[1:10], ' ') AS cand,
+                 array_to_string(w[4:13], ' ') AS ref
+          FROM (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents)),
+        tok AS (
+          SELECT doc_id,
+                 list_filter(string_split(
+                   regexp_replace(lower(cand), '[^a-z0-9]+', ' ', 'g'),
+                   ' '), x -> x <> '') AS ct,
+                 list_filter(string_split(
+                   regexp_replace(lower(ref), '[^a-z0-9]+', ' ', 'g'),
+                   ' '), x -> x <> '') AS rt
+          FROM p),
+        g AS (
+          SELECT doc_id,
+                 [array_to_string(ct[i+1:i+2], ' ')
+                  FOR i IN range(0, len(ct) - 1)] AS cg,
+                 [array_to_string(rt[i+1:i+2], ' ')
+                  FOR i IN range(0, len(rt) - 1)] AS rg
+          FROM tok),
+        cc AS (SELECT doc_id, g2 AS gr, count(*)::BIGINT AS c
+               FROM (SELECT doc_id, unnest(cg) AS g2 FROM g)
+               GROUP BY 1, 2),
+        rc AS (SELECT doc_id, g2 AS gr, count(*)::BIGINT AS c
+               FROM (SELECT doc_id, unnest(rg) AS g2 FROM g)
+               GROUP BY 1, 2),
+        ov AS (SELECT cc.doc_id, sum(least(cc.c, rc.c))::BIGINT AS overlap
+               FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.gr = rc.gr
+               GROUP BY 1),
+        tot AS (SELECT doc_id, len(cg)::BIGINT AS cand_grams,
+                       len(rg)::BIGINT AS ref_grams FROM g),
+        j AS (
+          SELECT t1.doc_id, t1.cand_grams, t1.ref_grams,
+                 coalesce(ov.overlap, 0)::BIGINT AS overlap,
+                 CASE WHEN t1.cand_grams > 0
+                      THEN coalesce(ov.overlap, 0)::DOUBLE / t1.cand_grams
+                      ELSE 0.0 END AS p,
+                 CASE WHEN t1.ref_grams > 0
+                      THEN coalesce(ov.overlap, 0)::DOUBLE / t1.ref_grams
+                      ELSE 0.0 END AS r
+          FROM tot t1 LEFT JOIN ov ON t1.doc_id = ov.doc_id)
+        SELECT doc_id, cand_grams, ref_grams, overlap,
+               round(p, 6) AS precision, round(r, 6) AS recall,
+               round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+                          ELSE 0.0 END, 6) AS f1
+        FROM j""")
+    ),
+    (
+      // Exact edit-distance pairs: planted 12-char strings in 8 groups —
+      // per group an original, a 1-substitution variant, and a
+      // 1-insertion variant (adjacent groups sit exactly 2 edits apart,
+      // exercising the cross-group fringe). The engine's PassJoin
+      // pigeonhole blocking must reproduce DuckDB's BRUTE-FORCE cross
+      // join exactly — recall 1 is the op's contract, and the oracle
+      // checks it pair-for-pair.
+      "q194_edit_pairs",
+      (s: SparkSession, dir: String) => {
+        val alpha = lit("abcdefghijklmnopqrstuvwxyz")
+        val m = (col("doc_id") / 7).cast("bigint")
+        val base = substring(alpha, ((m % 8) + 1).cast("int"), lit(12))
+        val v = m % 3
+        val fixture = t(s, dir, "documents")
+          .filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            when(v === 0, base)
+              .when(v === 1, concat(substring(base, lit(1), lit(3)),
+                lit("z"), substring(base, lit(5), lit(8))))
+              .otherwise(concat(base, lit("q"))).as("s"))
+        graft.dedup.EditDedup.pairs(fixture, "doc_id", "s", t = 2)
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 CASE (doc_id // 7) % 3
+                   WHEN 0 THEN substring('abcdefghijklmnopqrstuvwxyz',
+                                 (((doc_id // 7) % 8) + 1)::INT, 12)
+                   WHEN 1 THEN substring('abcdefghijklmnopqrstuvwxyz',
+                                 (((doc_id // 7) % 8) + 1)::INT, 3) || 'z' ||
+                               substring('abcdefghijklmnopqrstuvwxyz',
+                                 (((doc_id // 7) % 8) + 5)::INT, 8)
+                   ELSE substring('abcdefghijklmnopqrstuvwxyz',
+                          (((doc_id // 7) % 8) + 1)::INT, 12) || 'q'
+                 END AS s
+          FROM documents WHERE doc_id % 7 = 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(a.s, b.s)::BIGINT AS dist
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.s, b.s) <= 2""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

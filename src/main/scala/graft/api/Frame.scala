@@ -347,6 +347,20 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       rejectedCol: String = "messages_rejected",
       template: ChatOps.ChatTemplate = ChatOps.ChatTemplate.Default): Frame =
     next(Preference.renderPair(df, chosenCol, rejectedCol, template))
+  def rankingEval(qidCol: String, scoreCol: String, relCol: String,
+      k: Int, tieCol: String): Frame =
+    next(RankingEval.perQuery(df, qidCol, scoreCol, relCol, k, tieCol))
+  def rankingSummary(): Frame = next(RankingEval.summary(df))
+  def htmlLinks(idCols: Seq[String], htmlCol: String,
+      hostCol: String): Frame =
+    next(graft.sources.HtmlLinks.extract(df, idCols, htmlCol, hostCol))
+  def hostEdges(hostCol: String): Frame =
+    next(graft.sources.HtmlLinks.hostEdges(df, hostCol))
+  def ngramF1(idCols: Seq[String], candCol: String, refCol: String,
+      n: Int = 1): Frame =
+    next(TextSim.ngramF1(df, idCols, candCol, refCol, n))
+  def editPairs(idCol: String, textCol: String, t: Int): Frame =
+    next(graft.dedup.EditDedup.pairs(df, idCol, textCol, t))
   def datacard(textCol: String, sliceCol: String,
       approx: Boolean = false): Frame =
     next(Datacard(df, textCol, sliceCol, approx))

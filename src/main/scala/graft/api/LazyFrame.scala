@@ -399,6 +399,27 @@ final case class LazyFrame(
   def scoreZ(columns: Seq[String]): LazyFrame =
     append("score_ensemble", "mode" -> "zscore",
       "columns" -> jlist(columns))
+  def rankingEval(queryKey: String, scoreKey: String, relKey: String,
+      k: Int, tieBreak: String): LazyFrame =
+    append("ranking_eval", "mode" -> "per_query", "query_key" -> queryKey,
+      "score_key" -> scoreKey, "rel_key" -> relKey, "k" -> k,
+      "tie_break" -> tieBreak)
+  def rankingSummary(): LazyFrame =
+    append("ranking_eval", "mode" -> "summary")
+  def htmlLinks(idKeys: Seq[String], htmlKey: String,
+      hostKey: String): LazyFrame =
+    append("html_links", "mode" -> "links", "id_keys" -> jlist(idKeys),
+      "html_key" -> htmlKey, "host_key" -> hostKey)
+  def hostEdges(hostKey: String): LazyFrame =
+    append("html_links", "mode" -> "host_edges", "host_key" -> hostKey)
+  def ngramF1(idKeys: Seq[String], candidateKey: String,
+      referenceKey: String, n: Int = 1): LazyFrame =
+    append("ngram_f1", "id_keys" -> jlist(idKeys),
+      "candidate_key" -> candidateKey, "reference_key" -> referenceKey,
+      "n" -> n)
+  def editPairs(idKey: String, textKey: String, threshold: Int): LazyFrame =
+    append("edit_pairs", "id_key" -> idKey, "text_key" -> textKey,
+      "threshold" -> threshold)
   def lineClean(textKey: String, minWords: Int = 3,
       requireTerminalPunct: Boolean = true): LazyFrame =
     append("line_clean", "text_key" -> textKey, "min_words" -> minWords,

@@ -1307,6 +1307,43 @@ object Registry {
         s"score_ensemble mode must be borda|zscore, got '$other'")
     }
   }
+  // Retrieval-quality metrics (§2.14 eval family): per-query
+  // precision/recall/MRR/nDCG@k, or the macro-averaged corpus summary
+  // of a per-query frame.
+  register("ranking_eval") { (df, c, _) =>
+    c.strOr("mode", "per_query") match {
+      case "per_query" => RankingEval.perQuery(df, c("query_key").str,
+        c("score_key").str, c("rel_key").str, c("k").long.toInt,
+        c("tie_break").str)
+      case "summary" => RankingEval.summary(df)
+      case other => throw new IllegalArgumentException(
+        s"ranking_eval mode must be per_query|summary, got '$other'")
+    }
+  }
+  // Hyperlink extraction (§2.14 crawl family): explode HTML documents
+  // into a link-edge table, or aggregate links to weighted host edges.
+  register("html_links") { (df, c, _) =>
+    c.strOr("mode", "links") match {
+      case "links" => graft.sources.HtmlLinks.extract(df,
+        c("id_keys").strList, c("html_key").str, c("host_key").str)
+      case "host_edges" => graft.sources.HtmlLinks.hostEdges(df,
+        c("host_key").str)
+      case other => throw new IllegalArgumentException(
+        s"html_links mode must be links|host_edges, got '$other'")
+    }
+  }
+  // ROUGE-N overlap F1 (§2.14 eval/dedup family): clipped n-gram
+  // precision/recall/F1 between a candidate and a reference column.
+  register("ngram_f1") { (df, c, _) =>
+    TextSim.ngramF1(df, c("id_keys").strList, c("candidate_key").str,
+      c("reference_key").str, c.get("n").map(_.long.toInt).getOrElse(1))
+  }
+  // Exact edit-distance near-dup pairs (§2.14 dedup family): PassJoin
+  // pigeonhole blocking + levenshtein verify, recall 1 at threshold t.
+  register("edit_pairs") { (df, c, _) =>
+    graft.dedup.EditDedup.pairs(df, c("id_key").str, c("text_key").str,
+      c("threshold").long.toInt)
+  }
   register("corpus_drift") { (df, c, ctx) =>
     val other = ctx.datasets.getOrElse(c("other").str,
       throw new IllegalArgumentException(

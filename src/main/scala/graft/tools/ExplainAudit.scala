@@ -18,7 +18,12 @@ object ExplainAudit {
         // no UDF), the sessionize+agg conversation bridge, and the
         // single range-sort + keyed-agg batching report
         "q179_fim", "q186_span_corrupt", "q187_event_conversations",
-        "q188_length_batches")
+        "q188_length_batches",
+        // round-12b shapes: query-partitioned IR-metric windows, the
+        // staged-explode link extractor, keyed clipped-count overlap,
+        // and the PassJoin segment equi-join
+        "q191_ranking_eval", "q192_html_links", "q193_ngram_f1",
+        "q194_edit_pairs")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

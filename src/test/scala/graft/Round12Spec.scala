@@ -615,6 +615,193 @@ class Round12Spec extends SparkSpec {
     assert(lm.run(spark).count() == d.count())
   }
 
+  // -------------------------------------------- retrieval ranking eval
+
+  test("ranking eval: hand-computed metrics at k=2, degenerate query") {
+    val schema = StructType(Seq(
+      StructField("qid", LongType), StructField("doc", LongType),
+      StructField("score", LongType), StructField("rel", LongType)))
+    val d = df(schema,
+      // q1: relevant at ranks 1 and 3 → hits@2=1
+      Row(1L, 1L, 10L, 1L), Row(1L, 2L, 9L, 0L),
+      Row(1L, 3L, 8L, 1L), Row(1L, 4L, 7L, 0L),
+      // q2: nothing relevant → recall/ndcg null, rr 0
+      Row(2L, 5L, 5L, 0L), Row(2L, 6L, 4L, 0L))
+    val pq = graft.ops.RankingEval.perQuery(d, "qid", "score", "rel",
+      k = 2, tieCol = "doc").orderBy("qid").collect()
+    val q1 = pq(0)
+    assert(q1.getLong(1) == 4 && q1.getLong(2) == 2 && q1.getLong(3) == 1)
+    assert(q1.getDouble(4) == 0.5)       // precision@2 = 1/2
+    assert(q1.getDouble(5) == 0.5)       // recall@2 = 1/2
+    assert(q1.getLong(6) == 1L)          // hit@2
+    assert(q1.getDouble(7) == 1.0)       // rr: first relevant at rank 1
+    // dcg@2 = 1/log2(2) = 1.0 → 1000000 µ; idcg@2 = 1 + 1/log2(3)
+    // → 1000000 + 630930 µ; ndcg = 1000000/1630930
+    assert(q1.getDouble(8) == math.rint(1000000.0 / 1630930 * 1e6) / 1e6)
+    val q2 = pq(1)
+    assert(q2.isNullAt(5) && q2.getDouble(7) == 0.0 && q2.isNullAt(8))
+    val s = graft.ops.RankingEval.summary(
+      graft.ops.RankingEval.perQuery(d, "qid", "score", "rel", 2, "doc"))
+      .head()
+    assert(s.getLong(0) == 2)
+    assert(s.getDouble(1) == 0.25)       // mean precision (0.5 + 0)/2
+    assert(s.getDouble(2) == 0.5)        // mean recall over defined queries
+    assert(s.getDouble(3) == 0.5)        // hit rate
+    assert(s.getDouble(4) == 0.5)        // MRR (1.0 + 0)/2
+  }
+
+  // ------------------------------------------------------- html links
+
+  test("html links: extraction, resolution, drops, and host edges") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("host", StringType),
+      StructField("html", StringType)))
+    val html =
+      """<p>x</p><a HREF="HTTPS://Ext.COM/a/b?q=1#f">One <i>two</i></a>
+        |<a href='/rel/p?u=2'> pad </a><a href="#top">no</a>
+        |<a href="mailto:a@b">no</a><a href="tel:+1">no</a>
+        |<a href="sub/page.html">rel</a>
+        |<a href="https://self.org/x">self</a>""".stripMargin
+    val d = df(schema, Row(1L, "self.org", html))
+    val links = graft.sources.HtmlLinks
+      .extract(d, Seq("id"), "html", "host").collect()
+    assert(links.length == 4)
+    // columns: id, host, href, anchor, kind, dst_host, dst_path, internal
+    val byHref = links.map(r => (r.getString(2), r)).toMap
+    val abs = byHref("HTTPS://Ext.COM/a/b?q=1#f")
+    assert(abs.getString(3) == "One two")
+    assert(abs.getString(5) == "ext.com")   // dst_host lowercased
+    assert(abs.getString(6) == "/a/b")      // query+fragment stripped
+    assert(abs.getString(4) == "absolute" && !abs.getBoolean(7))
+    val root = byHref("/rel/p?u=2")
+    assert(root.getString(3) == "pad" && root.getString(5) == "self.org")
+    assert(root.getString(6) == "/rel/p" && root.getBoolean(7))
+    val rel = byHref("sub/page.html")
+    assert(rel.getString(4) == "relative" && rel.isNullAt(5))
+    val self = byHref("https://self.org/x")
+    assert(self.getBoolean(7))              // internal: host matches
+    val edges = graft.sources.HtmlLinks.hostEdges(
+      graft.sources.HtmlLinks.extract(d, Seq("id"), "html", "host"),
+      "host").collect()
+    assert(edges.length == 1 && edges.head.getString(1) == "ext.com" &&
+      edges.head.getLong(2) == 1L)          // self-links excluded
+  }
+
+  // --------------------------------------------------------- ngram F1
+
+  test("ngram F1: clipped counts at n=1 and n=2, empty-side guard") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("cand", StringType), StructField("ref", StringType)))
+    val d = df(schema,
+      Row(1L, "The cat sat on the mat.", "the cat lay on the mat"),
+      Row(2L, "", "some reference"),
+      Row(3L, "only cand", ""))
+    val u = graft.ops.TextSim.ngramF1(d, Seq("id"), "cand", "ref", 1)
+      .orderBy("id").collect()
+    // clipped unigrams: the×2, cat, on, mat → 5 of 6; p = r = 5/6
+    assert(u(0).getLong(3) == 5)
+    assert(u(0).getDouble(4) == 0.833333 && u(0).getDouble(5) == 0.833333)
+    assert(u(0).getDouble(6) == 0.833333)
+    assert(u(1).getLong(1) == 0 && u(1).getDouble(4) == 0.0 &&
+      u(1).getDouble(6) == 0.0)
+    assert(u(2).getLong(2) == 0 && u(2).getDouble(5) == 0.0)
+    val b = graft.ops.TextSim.ngramF1(d, Seq("id"), "cand", "ref", 2)
+      .orderBy("id").collect()
+    // shared bigrams: "the cat", "on the", "the mat" → 3 of 5
+    assert(b(0).getLong(3) == 3 && b(0).getDouble(6) == 0.6)
+  }
+
+  // -------------------------------------------------------- edit pairs
+
+  test("edit pairs: matches driver-side brute force, incl. hard cases") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val rows = Seq(
+      1L -> "abcdefghij",
+      2L -> "abcdefghij",    // exact dup (dist 0)
+      3L -> "xbcdefghij",    // first-char substitution (prefix-hostile)
+      4L -> "abcdefghijkl",  // two insertions at the end
+      5L -> "zzzzzzzzzz",    // far from everything
+      6L -> "ab",            // short bucket
+      7L -> "b",             // short bucket, dist 1 from "ab"
+      8L -> "abcd",          // fringe: len 4 with t=2
+      9L -> "")              // empty string
+    val d = df(schema, rows.map { case (i, s) => Row(i, s) }: _*)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val expected = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    val got = graft.dedup.EditDedup.pairs(d, "id", "s", t = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.contains((1L, 3L, 1L)))  // the prefix-hostile pair
+    assert(expected.contains((6L, 7L, 1L)))  // short bucket
+  }
+
+  test("round-12b ops run from YAML registry and LazyFrame round-trips") {
+    val d = docsDf
+    val re = graft.api.Registry("ranking_eval")(
+      d.select((col("doc_id") % 2).as("q"), col("doc_id"),
+        col("doc_id").as("sc"), (col("doc_id") % 3).as("r")),
+      graft.api.Conf.fromYaml(
+        "type: ranking_eval\nquery_key: q\nscore_key: sc\nrel_key: r\n" +
+          "k: 3\ntie_break: doc_id"), null)
+    assert(re.columns.contains("ndcg_k"))
+    val rs = graft.api.Registry("ranking_eval")(re,
+      graft.api.Conf.fromYaml("type: ranking_eval\nmode: summary"), null)
+    assert(rs.head().getLong(0) == 2)
+    val hl = graft.api.Registry("html_links")(
+      d.select(col("doc_id"), lit("h.com").as("host"),
+        lit("<a href=\"https://x.org/p\">t</a>").as("html")),
+      graft.api.Conf.fromYaml(
+        "type: html_links\nid_keys: [doc_id]\nhtml_key: html\n" +
+          "host_key: host"), null)
+    assert(hl.count() == d.count())
+    val he = graft.api.Registry("html_links")(hl,
+      graft.api.Conf.fromYaml(
+        "type: html_links\nmode: host_edges\nhost_key: host"), null)
+    assert(he.head().getString(1) == "x.org")
+    val nf = graft.api.Registry("ngram_f1")(
+      d.withColumn("ref", col("text")),
+      graft.api.Conf.fromYaml(
+        "type: ngram_f1\nid_keys: [doc_id]\ncandidate_key: text\n" +
+          "reference_key: ref\nn: 1"), null)
+    assert(nf.filter(col("f1") === 1.0).count() ==
+      nf.filter(col("cand_grams") > 0).count())
+    val ep = graft.api.Registry("edit_pairs")(
+      d.select(col("doc_id"), substring(col("text"), 1, 8).as("s")),
+      graft.api.Conf.fromYaml(
+        "type: edit_pairs\nid_key: doc_id\ntext_key: s\nthreshold: 1"),
+      null)
+    assert(ep.columns.toSeq == Seq("id_a", "id_b", "dist"))
+
+    import graft.api.LazyFrame
+    val dir = java.nio.file.Files.createTempDirectory("r12b").toString
+    d.withColumn("ref", col("text"))
+      .write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val lf = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .ngramF1(Seq("doc_id"), "text", "ref", n = 2)
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    assert(lf.run(spark).count() == d.count())
+    val le = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .editPairs("doc_id", "text", threshold = 1)
+    assert(LazyFrame.fromYaml(le.toYaml).toYaml == le.toYaml)
+    le.run(spark).collect()
+  }
+
   // ------------------------------------------------ compact round-trip
 
   test("compact: run preserves content and hits the target layout") {
