@@ -6069,6 +6069,238 @@ object Queries {
                levenshtein(a.s, b.s)::BIGINT AS dist
         FROM f a JOIN f b ON a.doc_id < b.doc_id
         WHERE levenshtein(a.s, b.s) <= 2""")
+    ),
+    (
+      // Join-key skew diagnostics: a planted hot key holding half the
+      // table plus uniform cold keys; the heavy-hitter report must rank
+      // by count (key tie-break), compute exact shares, and size the
+      // salting recommendation — the pre-flight every 100 TB shuffle
+      // deserves.
+      "q195_skew_report",
+      (s: SparkSession, dir: String) => {
+        val keyed = t(s, dir, "documents").select(
+          when(col("doc_id") % 10 < 5, lit("hot"))
+            .otherwise(concat(lit("k"), col("doc_id") % 10)).as("k"))
+        graft.ops.SkewReport.heavyKeys(keyed, "k", k = 3,
+          targetPerKey = 10L)
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT CASE WHEN doc_id % 10 < 5 THEN 'hot'
+                      ELSE 'k' || (doc_id % 10) END AS key
+          FROM documents),
+        c AS (SELECT key, count(*)::BIGINT AS cnt FROM keyed GROUP BY 1),
+        tot AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+        r AS (SELECT key, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, key) AS rank
+              FROM c)
+        SELECT key, cnt,
+               round(cnt::DOUBLE / greatest(total, 1), 6) AS share,
+               ceil(cnt::DOUBLE / 10)::BIGINT AS recommended_salt,
+               rank::BIGINT AS rank
+        FROM r, tot WHERE rank <= 3""")
+    ),
+    (
+      // Windowed co-occurrence PMI over document text (window 2,
+      // min pair count 5): row-local slot generation (position ×
+      // offset indexing into the row's own token array — no self-join),
+      // then keyed pair/unigram counts and one PMI expression.
+      "q196_pmi_cooccur",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Cooccur.pmi(t(s, dir, "documents"), "text",
+          window = 2, minCount = 5L),
+      Some("""
+        WITH tok AS (
+          SELECT list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                   ' '), x -> x <> '') AS ts
+          FROM documents),
+        tok2 AS (SELECT ts FROM tok WHERE len(ts) >= 2),
+        slots AS (
+          SELECT ts[p] AS x, ts[p + d] AS y
+          FROM tok2, UNNEST(range(1, len(ts) + 1)) AS tp(p),
+               UNNEST([1, 2]) AS td(d)
+          WHERE p + d <= len(ts)),
+        pairs AS (
+          SELECT least(x, y) AS x, greatest(x, y) AS y,
+                 count(*)::BIGINT AS n_xy
+          FROM slots GROUP BY 1, 2 HAVING count(*) >= 5),
+        uni AS (
+          SELECT t2.tok2 AS tok, count(*)::BIGINT AS n_tok
+          FROM (SELECT unnest(ts) AS tok2 FROM tok2) t2 GROUP BY 1),
+        scal AS (
+          SELECT greatest((SELECT count(*) FROM slots), 1)::BIGINT
+                   AS n_pairs,
+                 greatest((SELECT sum(len(ts)) FROM tok2), 1)::BIGINT
+                   AS n_toks)
+        SELECT p.x, p.y, p.n_xy, ux.n_tok AS n_x, uy.n_tok AS n_y,
+               round(ln((p.n_xy::DOUBLE / s.n_pairs) /
+                 ((ux.n_tok::DOUBLE / s.n_toks) *
+                  (uy.n_tok::DOUBLE / s.n_toks))), 6) AS pmi
+        FROM pairs p
+        JOIN uni ux ON p.x = ux.tok
+        JOIN uni uy ON p.y = uy.tok, scal s""")
+    ),
+    (
+      // GFM pipe-table extraction: every document plants one table with
+      // a header, delimiter, two data rows, an escaped pipe in a cell,
+      // and surrounding prose; the oracle states the closed-form cell
+      // table (the parser itself is spec-covered, including invalid
+      // delimiter rejection and multi-table docs).
+      "q197_markdown_tables",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("intro text\n| Name | Qty |\n|---|---|\n| a"),
+            col("doc_id") % 3, lit(" | "), col("doc_id") % 5,
+            lit(" |\n| b\\|c | 7 |\ntail text")).as("md"))
+        graft.ops.MarkdownTables.cells(docs, "doc_id", "md")
+      },
+      Some("""
+        WITH combo AS (
+          SELECT doc_id, r, c
+          FROM documents, UNNEST([0, 1]) AS tr(r), UNNEST([0, 1]) AS tc(c))
+        SELECT doc_id, 0::BIGINT AS table_idx, r::BIGINT AS row_idx,
+               c::BIGINT AS col_idx,
+               CASE c WHEN 0 THEN 'Name' ELSE 'Qty' END AS header,
+               CASE WHEN r = 0 AND c = 0 THEN 'a' || (doc_id % 3)
+                    WHEN r = 0 AND c = 1 THEN (doc_id % 5)::VARCHAR
+                    WHEN r = 1 AND c = 0 THEN 'b|c'
+                    ELSE '7' END AS cell
+        FROM combo""")
+    ),
+    (
+      // Anchor-text corpus: q192's link fixture aggregated to the top-k
+      // anchors per destination host — every host in the fixture has
+      // exactly one distinct anchor, so the closed form is a grouped
+      // count at rank 1 (multi-anchor ranking is spec-covered).
+      "q198_anchor_texts",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("h"), col("doc_id") % 4, lit(".example.com"))
+            .as("host"),
+          concat(
+            lit("<a href=\"https://ext"), col("doc_id") % 5,
+            lit(".com/page\">Ext <b>Link</b></a>" +
+              "<a href='/local'>Local</a>")).as("html"))
+        val links = graft.sources.HtmlLinks.extract(docs, Seq("doc_id"),
+          "html", "host")
+        graft.sources.HtmlLinks.anchorTexts(links, k = 2)
+      },
+      Some("""
+        SELECT 'ext' || (doc_id % 5) || '.com' AS dst_host,
+               'Ext Link' AS anchor, count(*)::BIGINT AS n,
+               1::BIGINT AS rank
+        FROM documents GROUP BY 1, 2
+        UNION ALL
+        SELECT 'h' || (doc_id % 4) || '.example.com', 'Local',
+               count(*)::BIGINT, 1::BIGINT
+        FROM documents GROUP BY 1, 2""")
+    ),
+    (
+      // Vocab round-trip: encode through the 90%-coverage vocab, decode
+      // back — in-vocabulary tokens must reproduce themselves, OOV must
+      // surface as <unk>. Exercises BOTH broadcast maps end to end.
+      "q199_vocab_roundtrip",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val vocab = graft.ops.VocabCoverage.withIds(
+          graft.ops.VocabCoverage.buildVocab(docs, "text", coverage = 0.9))
+        val tokens = docs.select(col("doc_id"),
+          filter(split(col("text"), " "), w => length(w) > 0).as("_toks"))
+        val decoded = graft.ops.VocabCoverage.fromIds(
+          graft.ops.VocabCoverage.toIds(tokens, "_toks", vocab),
+          "ids", vocab)
+        decoded.select(col("doc_id"),
+          posexplode(arrays_zip(col("_toks"), col("tokens")))
+            .as(Seq("pos", "_z")))
+          .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+            col("_z._toks").as("token"), col("_z.tokens").as("decoded"))
+          .withColumn("roundtrip_ok", col("token") === col("decoded"))
+      },
+      Some("""
+        WITH wc AS (
+          SELECT w AS token, count(*)::BIGINT AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> '' GROUP BY 1),
+        t AS (SELECT sum(cnt) AS total FROM wc),
+        cum AS (SELECT token, cnt,
+                       sum(cnt) OVER (ORDER BY cnt DESC, token) AS cum
+                FROM wc),
+        vocab AS (
+          SELECT token FROM cum, t WHERE cum <= floor(0.9 * total)),
+        tok AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS token
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '')
+                         AS w
+                FROM documents),
+               UNNEST(range(1, len(w) + 1)) AS x(i))
+        SELECT doc_id, pos::BIGINT AS pos, tok.token,
+               CASE WHEN vocab.token IS NOT NULL THEN tok.token
+                    ELSE '<unk>' END AS decoded,
+               (vocab.token IS NOT NULL) AS roundtrip_ok
+        FROM tok LEFT JOIN vocab ON tok.token = vocab.token""")
+    ),
+    (
+      // Parquet row-group pruning stats: four bucket files written with
+      // known doc_id populations, footers read back distributed — the
+      // reported per-row-group (rows, min, max) must equal the buckets'
+      // true aggregates (bucket recovered as min % 4). The what-if
+      // pruning estimator over these stats is spec-covered.
+      "q200_scan_stats",
+      (s: SparkSession, dir: String) => {
+        val base = s"/tmp/graft_scanstats_${new java.io.File(dir).getName}"
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        (0 until 4).foreach { b =>
+          docs.filter(col("doc_id") % 4 === b).coalesce(1)
+            .write.mode("overwrite").parquet(s"$base/b$b")
+        }
+        graft.sources.ScanStats.rowGroups(s, base, "doc_id")
+          .select((col("min_value").cast("bigint") % 4).as("bucket"),
+            col("row_group"), col("rows"),
+            col("min_value").cast("bigint").as("min_id"),
+            col("max_value").cast("bigint").as("max_id"),
+            col("nulls"))
+      },
+      Some("""
+        SELECT (doc_id % 4)::BIGINT AS bucket, 0::BIGINT AS row_group,
+               count(*)::BIGINT AS rows, min(doc_id)::BIGINT AS min_id,
+               max(doc_id)::BIGINT AS max_id, 0::BIGINT AS nulls
+        FROM documents GROUP BY 1""")
+    ),
+    (
+      // Edit-distance keep-best: groups of planted variants (base,
+      // 1-substitution, 1-insertion) at 3-char base offsets so clusters
+      // cannot chain across groups; connected components + longest-text
+      // canonicalization must keep exactly the min-id longest variant
+      // per group — the closed form below.
+      "q201_edit_keep_best",
+      (s: SparkSession, dir: String) => {
+        val alpha = lit("abcdefghijklmnopqrstuvwxyz")
+        val m = (col("doc_id") / 7).cast("bigint")
+        val base = substring(alpha, ((m % 5) * 3 + 1).cast("int"), lit(12))
+        val v = m % 3
+        val fixture = t(s, dir, "documents")
+          .filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            when(v === 0, base)
+              .when(v === 1, concat(substring(base, lit(1), lit(3)),
+                lit("z"), substring(base, lit(5), lit(8))))
+              .otherwise(concat(base, lit("q"))).as("s"))
+        graft.dedup.EditDedup.keepBest(fixture, "doc_id", "s", t = 2)
+          .select(col("doc_id"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, (doc_id // 7) % 5 AS g, (doc_id // 7) % 3 AS v
+          FROM documents WHERE doc_id % 7 = 0),
+        best AS (
+          SELECT g,
+                 CASE WHEN count(*) FILTER (WHERE v = 2) > 0
+                      THEN min(doc_id) FILTER (WHERE v = 2)
+                      ELSE min(doc_id) END AS keep
+          FROM f GROUP BY g)
+        SELECT doc_id FROM f JOIN best ON f.doc_id = best.keep""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -361,6 +361,26 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(TextSim.ngramF1(df, idCols, candCol, refCol, n))
   def editPairs(idCol: String, textCol: String, t: Int): Frame =
     next(graft.dedup.EditDedup.pairs(df, idCol, textCol, t))
+  def editKeepBest(idCol: String, textCol: String, t: Int,
+      qualityExpr: String = ""): Frame =
+    next(graft.dedup.EditDedup.keepBest(df, idCol, textCol, t, qualityExpr))
+  def vocabDecode(idsCol: String, vocab: Frame,
+      unkToken: String = "<unk>"): Frame =
+    next(VocabCoverage.fromIds(df, idsCol, vocab.df, unkToken = unkToken))
+  def anchorTexts(k: Int = 10): Frame =
+    next(graft.sources.HtmlLinks.anchorTexts(df, k))
+  def scanPruneEstimate(lo: Double, hi: Double): Frame =
+    next(graft.sources.ScanStats.pruneEstimate(df, lo, hi))
+  def skewSummary(keyCol: String): Frame =
+    next(SkewReport.summary(df, keyCol))
+  def skewHeavyKeys(keyCol: String, k: Int,
+      targetPerKey: Long = 1000000L): Frame =
+    next(SkewReport.heavyKeys(df, keyCol, k, targetPerKey))
+  def pmiCooccur(textCol: String, window: Int = 2,
+      minCount: Long = 1L): Frame =
+    next(Cooccur.pmi(df, textCol, window, minCount))
+  def markdownTables(idCol: String, textCol: String): Frame =
+    next(MarkdownTables.cells(df, idCol, textCol))
   def datacard(textCol: String, sliceCol: String,
       approx: Boolean = false): Frame =
     next(Datacard(df, textCol, sliceCol, approx))

@@ -420,6 +420,31 @@ final case class LazyFrame(
   def editPairs(idKey: String, textKey: String, threshold: Int): LazyFrame =
     append("edit_pairs", "id_key" -> idKey, "text_key" -> textKey,
       "threshold" -> threshold)
+  def editKeepBest(idKey: String, textKey: String, threshold: Int,
+      qualityExpr: String = ""): LazyFrame =
+    append("dedup", "method" -> "edit_keep_best", "id_key" -> idKey,
+      "text_key" -> textKey, "threshold" -> threshold,
+      "quality_expr" -> qualityExpr)
+  def vocabDecode(idsKey: String, vocab: String,
+      unkToken: String = "<unk>"): LazyFrame =
+    append("vocab_decode", "ids_key" -> idsKey, "vocab" -> vocab,
+      "unk_token" -> unkToken)
+  def anchorTexts(k: Int = 10): LazyFrame =
+    append("anchor_texts", "k" -> k)
+  def scanPruneEstimate(lo: Double, hi: Double): LazyFrame =
+    append("scan_stats_estimate", "lo" -> lo, "hi" -> hi)
+  def skewSummary(key: String): LazyFrame =
+    append("skew_report", "mode" -> "summary", "key" -> key)
+  def skewHeavyKeys(key: String, k: Int,
+      targetPerKey: Long = 1000000L): LazyFrame =
+    append("skew_report", "mode" -> "heavy", "key" -> key, "k" -> k,
+      "target_per_key" -> targetPerKey)
+  def pmiCooccur(textKey: String, window: Int = 2,
+      minCount: Long = 1L): LazyFrame =
+    append("pmi_cooccur", "text_key" -> textKey, "window" -> window,
+      "min_count" -> minCount)
+  def markdownTables(idKey: String, textKey: String): LazyFrame =
+    append("markdown_tables", "id_key" -> idKey, "text_key" -> textKey)
   def lineClean(textKey: String, minWords: Int = 3,
       requireTerminalPunct: Boolean = true): LazyFrame =
     append("line_clean", "text_key" -> textKey, "min_words" -> minWords,

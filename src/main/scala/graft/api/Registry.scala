@@ -440,6 +440,9 @@ object Registry {
         c.dblOr("threshold", 0.95),
         maxBucketSize = c.get("max_bucket_size").map(_.int),
         maxBucketHead = c.get("max_bucket_head").map(_.int))
+      case "edit_keep_best" => graft.dedup.EditDedup.keepBest(df,
+        c("id_key").str, c("text_key").str, c.intOr("threshold", 2),
+        c.strOr("quality_expr", ""))
       case m => throw new IllegalArgumentException(s"unknown dedup method $m")
     }
   }
@@ -1343,6 +1346,47 @@ object Registry {
   register("edit_pairs") { (df, c, _) =>
     graft.dedup.EditDedup.pairs(df, c("id_key").str, c("text_key").str,
       c("threshold").long.toInt)
+  }
+  // Vocab decode (§2.14 tensorization family): ids back to tokens — the
+  // round-trip validation side of vocab_encode.
+  register("vocab_decode") { (df, c, ctx) =>
+    val vocab = ctx.datasets.getOrElse(c("vocab").str,
+      throw new IllegalArgumentException(
+        s"unknown vocab_decode vocab dataset '${c("vocab").str}'"))
+    VocabCoverage.fromIds(df, c("ids_key").str, vocab,
+      c.strOr("token_column", "token"), c.strOr("id_column", "id"),
+      c.strOr("unk_token", "<unk>"), c.strOr("output_key", "tokens"))
+  }
+  // Anchor-text corpus (§2.14 crawl family): top-k anchors per dst host
+  // from an html_links frame.
+  register("anchor_texts") { (df, c, _) =>
+    graft.sources.HtmlLinks.anchorTexts(df, c.intOr("k", 10))
+  }
+  // Parquet row-group pruning estimator (§2.14 ops family): what-if
+  // skipping for a numeric range over a scan_stats frame.
+  register("scan_stats_estimate") { (df, c, _) =>
+    graft.sources.ScanStats.pruneEstimate(df, c("lo").dbl, c("hi").dbl)
+  }
+  // Key-skew diagnostics (§2.14 ops family): heavy-hitter table with
+  // salting recommendations, or a one-row distribution summary.
+  register("skew_report") { (df, c, _) =>
+    c.strOr("mode", "summary") match {
+      case "summary" => SkewReport.summary(df, c("key").str)
+      case "heavy" => SkewReport.heavyKeys(df, c("key").str,
+        c.intOr("k", 20),
+        c.get("target_per_key").map(_.long).getOrElse(1000000L))
+      case other => throw new IllegalArgumentException(
+        s"skew_report mode must be summary|heavy, got '$other'")
+    }
+  }
+  // Windowed co-occurrence PMI (§2.14 text-analysis family).
+  register("pmi_cooccur") { (df, c, _) =>
+    Cooccur.pmi(df, c("text_key").str, c.intOr("window", 2),
+      c.get("min_count").map(_.long).getOrElse(1L))
+  }
+  // GFM pipe-table extraction (§2.14 parse/RAG family).
+  register("markdown_tables") { (df, c, _) =>
+    MarkdownTables.cells(df, c("id_key").str, c("text_key").str)
   }
   register("corpus_drift") { (df, c, ctx) =>
     val other = ctx.datasets.getOrElse(c("other").str,

@@ -120,4 +120,21 @@ object EditDedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("bigint").as("dist"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Keep one representative per edit-distance cluster — connected
+    * components over [[pairs]] edges, then the highest-`qualityExpr`
+    * member survives (default: longest text; ties by id asc). Unpaired
+    * rows pass through untouched via the same losers-anti-join shape as
+    * the MinHash arm (never a full-corpus window). */
+  def keepBest(df: DataFrame, idCol: String, textCol: String, t: Int,
+      qualityExpr: String = ""): DataFrame = {
+    val quality =
+      if (qualityExpr.isEmpty) length(col(textCol)) else expr(qualityExpr)
+    val prs = pairs(df, idCol, textCol, t).select("id_a", "id_b")
+    val verts = prs.select(col("id_a").as("id"))
+      .union(prs.select(col("id_b").as("id"))).distinct()
+    val comp = graft.graph.ConnectedComponents.run(prs, verts)
+      .withColumnRenamed("id", idCol)
+    MinHashDedup.keepBestByComponent(df, idCol, comp, quality)
+  }
 }

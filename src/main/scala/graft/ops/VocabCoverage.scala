@@ -106,6 +106,23 @@ object VocabCoverage {
     df.withColumn(outCol, f(col(tokensCol)))
   }
 
+  /** Map an `array<bigint>` id column back to tokens — the DECODE side of
+    * [[toIds]], completing the round-trip the tensorization path needs
+    * for validation and sample inspection (decode(encode(x)) must equal
+    * x wherever x is in-vocabulary). Unknown ids render as `unkToken`.
+    * Same broadcast-map shape and bound as [[toIds]]. */
+  def fromIds(df: DataFrame, idsCol: String, vocab: DataFrame,
+      tokenColName: String = "token", idColName: String = "id",
+      unkToken: String = "<unk>", outCol: String = "tokens"): DataFrame = {
+    val m = vocab.select(col(idColName).cast("long"),
+      col(tokenColName).cast("string")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = df.sparkSession.sparkContext.broadcast(m)
+    val f = udf((ids: Seq[Long]) =>
+      if (ids == null) null else ids.map(i => b.value.getOrElse(i, unkToken)))
+    df.withColumn(outCol, f(col(idsCol)))
+  }
+
   /** The corpus's `k` most frequent out-of-vocabulary tokens — the list
     * that drives vocab extension. Deterministic order (count desc, token
     * asc). */

@@ -91,4 +91,27 @@ object HtmlLinks {
         length(col("dst_host")) > 0)
       .groupBy(col(hostCol).as("src_host"), col("dst_host"))
       .agg(count(lit(1)).as("n_links"))
+
+  /** Anchor-text corpus from [[extract]] output: the top `k` most
+    * frequent non-empty anchor texts per destination host — how the web
+    * DESCRIBES each host, the classic relevance signal search/retrieval
+    * corpora mine from link graphs (Brin & Page 1998 §2.2; anchor text
+    * often describes a page better than the page itself). One
+    * (dst_host, anchor)-keyed count, then `row_number <= k` per host —
+    * which plans as WindowGroupLimit: a map-side partial top-k BEFORE
+    * the shuffle, so a mega-host's million anchors never congregate in
+    * one task un-pruned. */
+  def anchorTexts(links: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counted = links
+      .filter(col("dst_host").isNotNull && length(col("dst_host")) > 0 &&
+        length(col("anchor")) > 0)
+      .groupBy(col("dst_host"), col("anchor"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst_host"))
+      .orderBy(col("n").desc, col("anchor").asc)
+    counted.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -23,7 +23,10 @@ object ExplainAudit {
         // staged-explode link extractor, keyed clipped-count overlap,
         // and the PassJoin segment equi-join
         "q191_ranking_eval", "q192_html_links", "q193_ngram_f1",
-        "q194_edit_pairs")
+        "q194_edit_pairs",
+        // round-12c shapes: map-side-combinable skew counts, row-local
+        // PMI slots, and the no-shuffle table extractor
+        "q195_skew_report", "q196_pmi_cooccur", "q197_markdown_tables")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -751,6 +751,25 @@ class Round12Spec extends SparkSpec {
     assert(expected.contains((6L, 7L, 1L)))  // short bucket
   }
 
+  test("edit keep-best: clusters via CC, longest survives, loners pass") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val d = df(schema,
+      Row(1L, "abcdefghij"),   // cluster A
+      Row(2L, "abcdefghijk"),  // cluster A: longer -> survives
+      Row(3L, "abcdefghix"),   // cluster A via id1 (dist 2 to id2)
+      Row(4L, "zzzzzzzzzz"),   // unpaired: passes through
+      Row(5L, "qqqq"), Row(6L, "qqqq"))  // identical pair: min id wins
+    val kept = graft.dedup.EditDedup.keepBest(d, "id", "s", t = 1)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 4L, 5L))
+    val yaml = graft.api.Registry("dedup")(d,
+      graft.api.Conf.fromYaml(
+        "type: dedup\nmethod: edit_keep_best\nid_key: id\n" +
+          "text_key: s\nthreshold: 1"), null)
+    assert(yaml.count() == 3)
+  }
+
   test("round-12b ops run from YAML registry and LazyFrame round-trips") {
     val d = docsDf
     val re = graft.api.Registry("ranking_eval")(
@@ -800,6 +819,215 @@ class Round12Spec extends SparkSpec {
       .editPairs("doc_id", "text", threshold = 1)
     assert(LazyFrame.fromYaml(le.toYaml).toYaml == le.toYaml)
     le.run(spark).collect()
+  }
+
+  // -------------------------------------------------------- skew report
+
+  test("skew report: hot-key detection, shares, salting, uniform case") {
+    val schema = StructType(Seq(StructField("k", StringType)))
+    val d = df(schema,
+      (Seq.fill(6)("hot") ++ Seq("a", "b", "c", "d")).map(Row(_)): _*)
+    val s = graft.ops.SkewReport.summary(d, "k").head()
+    assert(s.getLong(0) == 10 && s.getLong(1) == 5 && s.getLong(2) == 6)
+    assert(s.getDouble(3) == 2.0)        // mean 10/5
+    assert(s.getDouble(4) == 0.6)        // max share
+    assert(s.getDouble(5) == 3.0)        // skew factor 6/2
+    val h = graft.ops.SkewReport.heavyKeys(d, "k", k = 2,
+      targetPerKey = 2L).orderBy("rank").collect()
+    assert(h(0).getString(0) == "hot" && h(0).getLong(1) == 6 &&
+      h(0).getDouble(2) == 0.6 && h(0).getLong(3) == 3)  // ceil(6/2)
+    assert(h(1).getLong(1) == 1 && h(1).getLong(3) == 1) // cold: no salt
+    val uni = df(schema, Seq("a", "b", "c").map(Row(_)): _*)
+    assert(graft.ops.SkewReport.summary(uni, "k").head().getDouble(5) == 1.0)
+  }
+
+  // ----------------------------------------------------- pmi cooccur
+
+  test("pmi cooccur: hand-computed window-1 PMI, min count, symmetry") {
+    val schema = StructType(Seq(StructField("text", StringType)))
+    val d = df(schema, Row("a b a"), Row("b a"), Row("solo"))
+    // slots: doc1 (a,b)(b,a) -> (a,b)x2; doc2 (b,a) -> (a,b); doc3 none
+    // n_pairs=3, unigrams over multi-token docs: a:3 b:2, n_toks=5
+    val out = graft.ops.Cooccur.pmi(d, "text", window = 1).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")   // normalized
+    assert(r.getLong(2) == 3 && r.getLong(3) == 3 && r.getLong(4) == 2)
+    // pmi = ln((3/3) / ((3/5)(2/5))) = ln(25/6)
+    assert(r.getDouble(5) == math.rint(math.log(25.0 / 6) * 1e6) / 1e6)
+    // min_count filters the pair out entirely
+    assert(graft.ops.Cooccur.pmi(d, "text", 1, minCount = 4L).count() == 0)
+  }
+
+  // ------------------------------------------------- markdown tables
+
+  test("markdown tables: grammar gates, escapes, multi-table, widths") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val twoTables =
+      "| H1 | H2 |\n|---|---|\n| x | y\\|z |\nprose\n" +
+        "| A |\n|:-:|\n| 1 | extra |"
+    val invalid = "| not | table |\n| no | delim |"   // missing |---|
+    val headerOnly = "| H |\n|---|"                    // zero data rows
+    val d = df(schema,
+      Row(1L, twoTables), Row(2L, invalid), Row(3L, headerOnly),
+      Row(4L, "no tables at all"))
+    val cells = graft.ops.MarkdownTables.cells(d, "id", "text")
+      .orderBy("id", "table_idx", "row_idx", "col_idx").collect()
+    // doc1: table0 row0 = (x, y|z); table1 row0 = (1, extra)
+    assert(cells.length == 4)
+    assert(cells(0).getString(4) == "H1" && cells(0).getString(5) == "x")
+    assert(cells(1).getString(4) == "H2" && cells(1).getString(5) == "y|z")
+    assert(cells(2).getLong(1) == 1 && cells(2).getString(4) == "A" &&
+      cells(2).getString(5) == "1")
+    // data row wider than header: header falls back to ''
+    assert(cells(3).getString(4) == "" && cells(3).getString(5) == "extra")
+    assert(cells.forall(_.getLong(0) == 1L))  // docs 2-4 yield nothing
+    // table at document start and unterminated at EOF still parses
+    val edge = df(schema, Row(5L, "| H |\n|---|\n| v |"))
+    val e = graft.ops.MarkdownTables.cells(edge, "id", "text").collect()
+    assert(e.length == 1 && e.head.getString(5) == "v")
+  }
+
+  test("round-12c ops run from YAML registry and LazyFrame round-trips") {
+    val d = docsDf
+    val sk = graft.api.Registry("skew_report")(d,
+      graft.api.Conf.fromYaml("type: skew_report\nkey: lang"), null)
+    assert(sk.columns.contains("skew_factor"))
+    val sh = graft.api.Registry("skew_report")(d,
+      graft.api.Conf.fromYaml(
+        "type: skew_report\nmode: heavy\nkey: lang\nk: 2\n" +
+          "target_per_key: 1"), null)
+    assert(sh.count() <= 2)
+    val pc = graft.api.Registry("pmi_cooccur")(d,
+      graft.api.Conf.fromYaml(
+        "type: pmi_cooccur\ntext_key: text\nwindow: 2"), null)
+    assert(pc.columns.toSeq ==
+      Seq("x", "y", "n_xy", "n_x", "n_y", "pmi"))
+    val mt = graft.api.Registry("markdown_tables")(
+      d.withColumn("md", lit("| H |\n|---|\n| v |")),
+      graft.api.Conf.fromYaml(
+        "type: markdown_tables\nid_key: doc_id\ntext_key: md"), null)
+    assert(mt.count() == d.count())
+
+    import graft.api.LazyFrame
+    val dir = java.nio.file.Files.createTempDirectory("r12c").toString
+    d.withColumn("md", lit("| H |\n|---|\n| v |"))
+      .write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val lf = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .markdownTables("doc_id", "md")
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    assert(lf.run(spark).count() == d.count())
+    val ls = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .skewHeavyKeys("lang", k = 1, targetPerKey = 1L)
+      .skewSummary("key")
+    assert(LazyFrame.fromYaml(ls.toYaml).toYaml == ls.toYaml)
+    assert(ls.run(spark).head().getLong(1) == 1L)  // one heavy key row
+    val lpm = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .pmiCooccur("text", window = 1, minCount = 2L)
+    assert(LazyFrame.fromYaml(lpm.toYaml).toYaml == lpm.toYaml)
+    lpm.run(spark).collect()
+  }
+
+  // ------------------------------------------- vocab decode round-trip
+
+  test("vocab decode: round-trips in-vocab ids, unks unknown ids") {
+    val vocab = df(StructType(Seq(StructField("token", StringType),
+      StructField("id", LongType))),
+      Row("alpha", 0L), Row("beta", 1L))
+    val d = df(StructType(Seq(StructField("id", LongType),
+      StructField("toks", ArrayType(StringType)))),
+      Row(1L, Seq("alpha", "beta", "gamma")))
+    val enc = graft.ops.VocabCoverage.toIds(d, "toks", vocab)
+    val dec = graft.ops.VocabCoverage.fromIds(enc, "ids", vocab).head()
+    assert(dec.getSeq[Long](2) == Seq(0L, 1L, -1L))
+    assert(dec.getSeq[String](3) == Seq("alpha", "beta", "<unk>"))
+  }
+
+  // ------------------------------------------------------ anchor texts
+
+  test("anchor texts: per-host top-k with count/tie ordering") {
+    val schema = StructType(Seq(StructField("dst_host", StringType),
+      StructField("anchor", StringType)))
+    val links = df(schema,
+      Row("h.com", "big"), Row("h.com", "big"), Row("h.com", "mid"),
+      Row("h.com", "mid"), Row("h.com", "aaa"), Row("h.com", "zzz"),
+      Row("x.org", "one"), Row(null, "drop"), Row("y.net", ""))
+    val top = graft.sources.HtmlLinks.anchorTexts(links, k = 3)
+      .orderBy("dst_host", "rank").collect()
+    // h.com: big(2) rank1, mid(2)... tie broken anchor asc -> big < mid;
+    // then aaa(1) beats zzz(1) on the tie
+    assert(top.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq == Seq(
+      ("h.com", "big", 2L, 1L), ("h.com", "mid", 2L, 2L),
+      ("h.com", "aaa", 1L, 3L), ("x.org", "one", 1L, 1L)))
+  }
+
+  // -------------------------------------------------- scan stats/prune
+
+  test("scan stats: footer bounds match data; sorted layout prunes") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_scanstats").toString
+    val d = df(docSchema, (0 until 400).map(i =>
+      Row(i.toLong, s"t$i")): _*)
+    // sorted layout: 4 contiguous ranges -> a range predicate prunes 3/4
+    (0 until 4).foreach { b =>
+      d.filter(col("id") >= b * 100 && col("id") < (b + 1) * 100)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/r$b")
+    }
+    val rg = graft.sources.ScanStats.rowGroups(spark, dir, "id")
+    val got = rg.collect().map(r => (r.getString(3).toLong,
+      r.getString(4).toLong, r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, 99L, 100L), (100L, 199L, 100L),
+      (200L, 299L, 100L), (300L, 399L, 100L)))
+    val est = graft.sources.ScanStats.pruneEstimate(rg, 120, 130).head()
+    assert(est.getLong(0) == 4 && est.getLong(1) == 1)
+    assert(est.getLong(2) == 400 && est.getLong(3) == 100)
+    assert(est.getDouble(4) == 0.75)
+    // no stats for a missing column -> nothing prunable
+    val rgMissing = graft.sources.ScanStats.rowGroups(spark, dir, "nope")
+    val estM = graft.sources.ScanStats
+      .pruneEstimate(rgMissing, 120, 130).head()
+    assert(estM.getLong(1) == 4 && estM.getDouble(4) == 0.0)
+    // string column stats render via UTF8
+    val rgText = graft.sources.ScanStats.rowGroups(spark, dir, "text")
+      .collect()
+    assert(rgText.forall(r => r.getString(3).startsWith("t")))
+  }
+
+  test("round-12d ops run from YAML registry and LazyFrame round-trips") {
+    val d = docsDf
+    val vocab = df(StructType(Seq(StructField("token", StringType),
+      StructField("id", LongType))), Row("alpha", 0L))
+    val enc = d.withColumn("ids", array(lit(0L), lit(9L)))
+    val ctx = graft.api.OpContext(spark, null, Map("v" -> vocab))
+    val dec = graft.api.Registry("vocab_decode")(enc,
+      graft.api.Conf.fromYaml(
+        "type: vocab_decode\nids_key: ids\nvocab: v"), ctx)
+    assert(dec.head().getSeq[String](dec.columns.indexOf("tokens")) ==
+      Seq("alpha", "<unk>"))
+    val links = d.select(lit("h.com").as("dst_host"),
+      lit("anchor text").as("anchor"))
+    val at = graft.api.Registry("anchor_texts")(links,
+      graft.api.Conf.fromYaml("type: anchor_texts\nk: 1"), null)
+    assert(at.count() == 1 && at.head().getLong(2) == d.count())
+    val rgSchema = StructType(Seq(StructField("file", StringType),
+      StructField("row_group", LongType), StructField("rows", LongType),
+      StructField("min_value", StringType),
+      StructField("max_value", StringType), StructField("nulls", LongType)))
+    val rg = df(rgSchema, Row("f", 0L, 10L, "0", "9", 0L),
+      Row("f", 1L, 10L, "10", "19", 0L))
+    val pe = graft.api.Registry("scan_stats_estimate")(rg,
+      graft.api.Conf.fromYaml(
+        "type: scan_stats_estimate\nlo: 0.0\nhi: 5.0"), null)
+    assert(pe.head().getDouble(4) == 0.5)
+
+    import graft.api.LazyFrame
+    val dir = java.nio.file.Files.createTempDirectory("r12d").toString
+    links.write.mode("overwrite").parquet(s"$dir/links.parquet")
+    val lf = LazyFrame.read("links", s"$dir/links.parquet").anchorTexts(1)
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    assert(lf.run(spark).count() == 1)
   }
 
   // ------------------------------------------------ compact round-trip
