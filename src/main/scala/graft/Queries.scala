@@ -6301,6 +6301,79 @@ object Queries {
                       ELSE min(doc_id) END AS keep
           FROM f GROUP BY g)
         SELECT doc_id FROM f JOIN best ON f.doc_id = best.keep""")
+    ),
+    (
+      // Bradley-Terry strengths over 8 independent 2-item comparison
+      // components (m2k vs m2k+1, winner ~2:1 by doc_id%3): MM preserves
+      // each component's mass, so the stationary rating has the closed
+      // form 2·wins/n — the oracle states it exactly; multi-item graphs
+      // are spec-covered.
+      "q202_bradley_terry",
+      (s: SparkSession, dir: String) => {
+        val p = col("doc_id") % 8
+        val a = concat(lit("m"), (p * 2).cast("string"))
+        val b = concat(lit("m"), (p * 2 + 1).cast("string"))
+        val comps = t(s, dir, "documents").select(a.as("a"), b.as("b"),
+          when(col("doc_id") % 3 =!= 0, a).otherwise(b).as("winner"))
+        graft.ops.BradleyTerry.fit(comps, "a", "b", "winner")
+      },
+      Some("""
+        WITH c AS (
+          SELECT 'm' || (2 * (doc_id % 8)) AS a,
+                 'm' || (2 * (doc_id % 8) + 1) AS b,
+                 CASE WHEN doc_id % 3 <> 0
+                      THEN 'm' || (2 * (doc_id % 8))
+                      ELSE 'm' || (2 * (doc_id % 8) + 1) END AS w
+          FROM documents),
+        p AS (
+          SELECT a, b, count(*)::BIGINT AS n,
+                 sum(CASE WHEN w = a THEN 1 ELSE 0 END)::BIGINT AS wa
+          FROM c GROUP BY 1, 2),
+        items AS (
+          SELECT a AS item, wa AS wins, n AS comparisons,
+                 round(2.0 * wa / n, 6) AS rating FROM p
+          UNION ALL
+          SELECT b, n - wa, n, round(2.0 * (n - wa) / n, 6) FROM p)
+        SELECT item, wins, comparisons, rating,
+               row_number() OVER (ORDER BY rating DESC, item)::BIGINT
+                 AS rank
+        FROM items""")
+    ),
+    (
+      // Consecutive-repeat collapse: planted 1/2/3-gram loops (including
+      // a doc-varying token) must reduce to single copies; the oracle
+      // states the closed-form cleaned text.
+      "q203_collapse_repeats",
+      (s: SparkSession, dir: String) => {
+        val w = concat(lit("w"), col("doc_id") % 5)
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          concat(lit("alpha beta alpha beta "), w, lit(" "), w,
+            lit(" one two three one two three end")).as("text"))
+        graft.ops.RepeatCollapse.collapse(docs, "text")
+          .select(col("doc_id"), col("text_collapsed"))
+      },
+      Some("""
+        SELECT doc_id,
+               'alpha beta w' || (doc_id % 5) ||
+               ' one two three end' AS text_collapsed
+        FROM documents""")
+    ),
+    (
+      // Skew-salted join: documents (big, hot modulo key) join a 4-row
+      // dim replicated across 3 salts — results must equal the plain
+      // join exactly (salting must never change semantics).
+      "q204_salted_join",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 4).as("k"))
+        val dim = docs.select(col("k")).distinct()
+          .withColumn("label", concat(lit("L"), col("k")))
+        graft.ops.SaltedJoin.inner(docs, dim, "k", salts = 3,
+          saltExpr = "doc_id")
+          .select(col("doc_id"), col("label"))
+      },
+      Some("""
+        SELECT doc_id, 'L' || (doc_id % 4) AS label FROM documents""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

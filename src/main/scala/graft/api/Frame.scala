@@ -364,6 +364,14 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def editKeepBest(idCol: String, textCol: String, t: Int,
       qualityExpr: String = ""): Frame =
     next(graft.dedup.EditDedup.keepBest(df, idCol, textCol, t, qualityExpr))
+  def saltedJoin(small: Frame, key: String, salts: Int,
+      saltExpr: String): Frame =
+    next(SaltedJoin.inner(df, small.df, key, salts, saltExpr))
+  def collapseRepeats(textCol: String, maxGram: Int = 3): Frame =
+    next(RepeatCollapse.collapse(df, textCol, maxGram))
+  def bradleyTerry(aCol: String, bCol: String, winnerCol: String,
+      nIter: Int = 20): Frame =
+    next(BradleyTerry.fit(df, aCol, bCol, winnerCol, nIter))
   def vocabDecode(idsCol: String, vocab: Frame,
       unkToken: String = "<unk>"): Frame =
     next(VocabCoverage.fromIds(df, idsCol, vocab.df, unkToken = unkToken))

@@ -425,6 +425,17 @@ final case class LazyFrame(
     append("dedup", "method" -> "edit_keep_best", "id_key" -> idKey,
       "text_key" -> textKey, "threshold" -> threshold,
       "quality_expr" -> qualityExpr)
+  def saltedJoin(small: String, key: String, salts: Int,
+      saltExpr: String): LazyFrame =
+    append("salted_join", "small" -> small, "key" -> key,
+      "salts" -> salts, "salt_expr" -> saltExpr)
+  def collapseRepeats(textKey: String, maxGram: Int = 3): LazyFrame =
+    append("collapse_repeats", "text_key" -> textKey,
+      "max_gram" -> maxGram)
+  def bradleyTerry(aKey: String, bKey: String, winnerKey: String,
+      iterations: Int = 20): LazyFrame =
+    append("bradley_terry", "a_key" -> aKey, "b_key" -> bKey,
+      "winner_key" -> winnerKey, "iterations" -> iterations)
   def vocabDecode(idsKey: String, vocab: String,
       unkToken: String = "<unk>"): LazyFrame =
     append("vocab_decode", "ids_key" -> idsKey, "vocab" -> vocab,

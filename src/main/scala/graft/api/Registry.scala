@@ -1347,6 +1347,25 @@ object Registry {
     graft.dedup.EditDedup.pairs(df, c("id_key").str, c("text_key").str,
       c("threshold").long.toInt)
   }
+  // Skew-salted equi-join (§2.14 ops family): THIS frame is the big
+  // side; the small side comes from ctx.datasets and replicates ×salts.
+  register("salted_join") { (df, c, ctx) =>
+    val small = ctx.datasets.getOrElse(c("small").str,
+      throw new IllegalArgumentException(
+        s"unknown salted_join small dataset '${c("small").str}'"))
+    SaltedJoin.inner(df, small, c("key").str, c.intOr("salts", 8),
+      c("salt_expr").str)
+  }
+  // Consecutive-repeat collapse (§2.14 curation family).
+  register("collapse_repeats") { (df, c, _) =>
+    RepeatCollapse.collapse(df, c("text_key").str, c.intOr("max_gram", 3),
+      c.strOr("output_key", "text_collapsed"))
+  }
+  // Bradley-Terry pairwise strengths (§2.14 eval family).
+  register("bradley_terry") { (df, c, _) =>
+    BradleyTerry.fit(df, c("a_key").str, c("b_key").str,
+      c("winner_key").str, c.intOr("iterations", 20))
+  }
   // Vocab decode (§2.14 tensorization family): ids back to tokens — the
   // round-trip validation side of vocab_encode.
   register("vocab_decode") { (df, c, ctx) =>

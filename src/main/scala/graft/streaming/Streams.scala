@@ -61,6 +61,57 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming corpus-drift monitor: per event-time window, the
+    * Jensen-Shannon divergence between the window's unigram distribution
+    * and a STATIC reference distribution (last month's corpus, the
+    * training mix) — the always-on form of
+    * [[graft.ops.CorpusDrift.jensenShannon]], with the same Laplace
+    * smoothing over the joint vocabulary (bounded by ln 2, finite on
+    * disjoint vocabularies). The alert rule a crawl pipeline wants:
+    * "page me when this hour's token distribution diverges".
+    *
+    * Scale shape: ONE watermarked stateful aggregation (token explode →
+    * collect per window — state bounded by window content, the quantity
+    * a drift number must see by definition); the reference rides as a
+    * BROADCAST map closed over by one post-aggregation UDF, so no second
+    * stateful operator (chained streaming aggs are restricted) and no
+    * stream-static join. Emits one row per closed window in append mode:
+    * (window, n_tokens, vocab_size, js_divergence). */
+  def driftByWindow(
+      events: DataFrame,
+      tsCol: String,
+      textCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      reference: Map[String, Long]): DataFrame = {
+    require(reference.nonEmpty, "driftByWindow needs a non-empty reference")
+    val refTotal = reference.values.map(_.toDouble).sum
+    val js = udf((toks: Seq[String]) => {
+      val wc = toks.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+      val wTotal = toks.size.toDouble
+      val vocab = (wc.keySet ++ reference.keySet).toSeq
+      val v = vocab.size.toDouble
+      val sum = vocab.iterator.map { tok =>
+        val p = (wc.getOrElse(tok, 0.0) + 1.0) / (wTotal + v)
+        val q = (reference.getOrElse(tok, 0L).toDouble + 1.0) / (refTotal + v)
+        val m = (p + q) / 2.0
+        p * math.log(p / m) * 0.5 + q * math.log(q / m) * 0.5
+      }.sum
+      (math.rint(sum * 1e6) / 1e6, vocab.size.toLong)
+    })
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), explode(filter(split(col(textCol), " "),
+        t => length(t) > 0)).as("_tok"))
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(collect_list(col("_tok")).as("_toks"))
+      .withColumn("_js", js(col("_toks")))
+      .select(col("window"),
+        size(col("_toks")).cast("bigint").as("n_tokens"),
+        col("_js._2").as("vocab_size"),
+        col("_js._1").as("js_divergence"))
+  }
+
   final case class SessionInfo(
       user_id: Long, session_start: Long, session_end: Long, n_events: Long)
   final case class SessionState(start: Long, last: Long, n: Long)

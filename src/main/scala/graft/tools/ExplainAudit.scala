@@ -26,7 +26,10 @@ object ExplainAudit {
         "q194_edit_pairs",
         // round-12c shapes: map-side-combinable skew counts, row-local
         // PMI slots, and the no-shuffle table extractor
-        "q195_skew_report", "q196_pmi_cooccur", "q197_markdown_tables")
+        "q195_skew_report", "q196_pmi_cooccur", "q197_markdown_tables",
+        // round-12e shapes: the (key, salt) equi-join and the
+        // pair-statistics-sized BT iteration
+        "q204_salted_join", "q202_bradley_terry")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -1030,6 +1030,109 @@ class Round12Spec extends SparkSpec {
     assert(lf.run(spark).count() == 1)
   }
 
+  // ----------------------------------------------------- bradley-terry
+
+  test("bradley terry: multi-item dominance, drops, degenerate winner") {
+    val schema = StructType(Seq(StructField("a", StringType),
+      StructField("b", StringType), StructField("w", StringType)))
+    // x beats y 3:1, y beats z 3:1, x beats z 4:0 -> rating x > y > z
+    val rows =
+      Seq.fill(3)(Row("x", "y", "x")) ++ Seq(Row("x", "y", "y")) ++
+        Seq.fill(3)(Row("y", "z", "y")) ++ Seq(Row("y", "z", "z")) ++
+        Seq.fill(4)(Row("x", "z", "x")) ++
+        Seq(Row("x", "y", "tie"), Row("x", "x", "x")) // dropped rows
+    val d = df(schema, rows: _*)
+    val out = graft.ops.BradleyTerry.fit(d, "a", "b", "w")
+      .orderBy("rank").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("x", "y", "z"))
+    assert(out(0).getLong(1) == 7 && out(0).getLong(2) == 8)  // x: 7/8
+    assert(out(2).getLong(1) == 1 && out(2).getLong(2) == 8)  // z: 1/8
+    val ratings = out.map(_.getDouble(3))
+    assert(ratings(0) > ratings(1) && ratings(1) > ratings(2))
+    assert(ratings.forall(r => r > 0))
+  }
+
+  // -------------------------------------------------- collapse repeats
+
+  test("collapse repeats: runs, phrase loops, cascades, gram bound") {
+    val schema = StructType(Seq(StructField("text", StringType)))
+    def run(s: String, maxGram: Int = 3): String =
+      graft.ops.RepeatCollapse.collapse(df(schema, Row(s)), "text",
+        maxGram).head().getString(1)
+    assert(run("a a a a") == "a")
+    assert(run("x y x y x y") == "x y")
+    assert(run("buy now buy now buy now done") == "buy now done")
+    assert(run("a b c a b c a b c") == "a b c")
+    assert(run("x y x y y") == "x y")          // cascade after collapse
+    assert(run("no repeats here at all") == "no repeats here at all")
+    assert(run("a b a") == "a b a")            // non-adjacent: kept
+    assert(run("") == "")
+    assert(run("  spaced   out  ") == "spaced out")
+    // 4-gram loop survives maxGram=3, collapses at maxGram=4
+    val four = "p q r s p q r s"
+    assert(run(four, 3) == four)
+    assert(run(four, 4) == "p q r s")
+  }
+
+  // ------------------------------------------------------- salted join
+
+  test("salted join: equals the plain join on a hot-key fixture") {
+    val big = df(StructType(Seq(StructField("id", LongType),
+      StructField("k", StringType))),
+      (0 until 300).map(i =>
+        Row(i.toLong, if (i % 10 < 8) "hot" else s"k${i % 10}")): _*)
+    val dim = df(StructType(Seq(StructField("k", StringType),
+      StructField("label", StringType))),
+      Row("hot", "H"), Row("k8", "A"), Row("k9", "B"))
+    val salted = graft.ops.SaltedJoin.inner(big, dim, "k", 4, "id")
+      .select("id", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = big.join(dim, "k").select("id", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(salted == plain && salted.size == 300)
+    intercept[IllegalArgumentException] {
+      graft.ops.SaltedJoin.inner(big, dim.withColumnRenamed("label", "id"),
+        "k", 4, "id") // shared non-key column must be rejected
+    }
+  }
+
+  test("round-12e ops run from YAML registry and LazyFrame round-trips") {
+    val d = docsDf
+    val comps = d.select(lit("a").as("a"), lit("b").as("b"),
+      when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b")).as("w"))
+    val bt = graft.api.Registry("bradley_terry")(comps,
+      graft.api.Conf.fromYaml(
+        "type: bradley_terry\na_key: a\nb_key: b\nwinner_key: w"), null)
+    assert(bt.count() == 2 && bt.columns.contains("rating"))
+    val cr = graft.api.Registry("collapse_repeats")(
+      d.withColumn("t2", concat(col("text"), lit(" spam spam"))),
+      graft.api.Conf.fromYaml(
+        "type: collapse_repeats\ntext_key: t2"), null)
+    assert(cr.filter(col("text_collapsed").endsWith("spam spam")).count() == 0)
+    val dim = d.select((col("doc_id") % 2).as("doc_mod")).distinct()
+      .withColumn("label", col("doc_mod").cast("string"))
+    val ctx = graft.api.OpContext(spark, null, Map("dim" -> dim))
+    val sj = graft.api.Registry("salted_join")(
+      d.withColumn("doc_mod", col("doc_id") % 2),
+      graft.api.Conf.fromYaml(
+        "type: salted_join\nsmall: dim\nkey: doc_mod\nsalts: 2\n" +
+          "salt_expr: doc_id"), ctx)
+    assert(sj.count() == d.count())
+
+    import graft.api.LazyFrame
+    val dir = java.nio.file.Files.createTempDirectory("r12e").toString
+    comps.write.mode("overwrite").parquet(s"$dir/comps.parquet")
+    val lf = LazyFrame.read("comps", s"$dir/comps.parquet")
+      .bradleyTerry("a", "b", "w")
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    assert(lf.run(spark).count() == 2)
+    d.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val lc = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .collapseRepeats("text", maxGram = 2)
+    assert(LazyFrame.fromYaml(lc.toYaml).toYaml == lc.toYaml)
+    assert(lc.run(spark).count() == d.count())
+  }
+
   // ------------------------------------------------ compact round-trip
 
   test("compact: run preserves content and hits the target layout") {

@@ -540,4 +540,39 @@ class StreamingSpec extends SparkSpec {
     assert(viaProbe == viaValues)
     assert((40 to 50).forall(i => viaValues(s"key$i"))) // no false negatives
   }
+
+  test("driftByWindow: per-window JS divergence vs a static reference") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("ts", "text")
+    // reference = uniform over {a, b}
+    val drift = Streams.driftByWindow(events, "ts", "text",
+      "10 minutes", "5 minutes", Map("a" -> 5L, "b" -> 5L))
+    val q = drift.writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Append()).start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // window 1: same distribution as the reference -> divergence ~ 0
+    input.addData((ts(1), "a b"), (ts(2), "b a"))
+    // window 2: disjoint vocabulary -> large divergence
+    input.addData((ts(11), "x y x y"))
+    // advance the watermark far enough to close both windows
+    input.addData((ts(40), "z"))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT n_tokens, vocab_size, js_divergence FROM drift ORDER BY window")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(rows.length == 2)
+    val (n1, v1, js1) = rows(0)
+    assert(n1 == 4 && v1 == 2 && js1 < 0.01)     // matched distribution
+    val (n2, v2, js2) = rows(1)
+    assert(n2 == 4 && v2 == 4 && js2 > 0.2)      // disjoint vocab drifts
+    // batch analog agrees: same smoothing as CorpusDrift on same data
+    val a = Seq("x y x y").toDF("text")
+    val b = Seq("a a a a a", "b b b b b").toDF("text")
+    val batch = graft.ops.CorpusDrift.jensenShannon(a, "text", b, "text")
+      .head().getDouble(0)
+    assert(math.abs(batch - js2) < 1e-6)
+  }
 }
