@@ -6374,6 +6374,99 @@ object Queries {
       },
       Some("""
         SELECT doc_id, 'L' || (doc_id % 4) AS label FROM documents""")
+    ),
+    (
+      // Exact-fraction stratified sample: floor(0.3 × n) rows per source,
+      // LCG-ordered — the release-manifest exactness hash thresholding
+      // only hits in expectation. Rides BudgetSelect.grouped's ONE-sort
+      // distributed prefix; the oracle replays the per-stratum rank cut.
+      "q205_stratified_exact",
+      (s: SparkSession, dir: String) =>
+        graft.ops.SampleOp.stratifiedExact(t(s, dir, "documents"),
+          "source", fraction = 0.3, idExpr = "doc_id")
+          .select(col("doc_id"), col("source")),
+      Some("""
+        WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY ((doc_id * 9301 + 49297) % 233280), doc_id)
+                   AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents)
+        SELECT doc_id, source FROM r WHERE rn <= floor(0.3 * n)""")
+    ),
+    (
+      // Sitemap directive extraction (RFC 9309 §2.3 — valid anywhere in
+      // the file, any case): two planted directives per host round-trip.
+      "q206_robots_sitemaps",
+      (s: SparkSession, dir: String) => {
+        val robots = t(s, dir, "documents")
+          .select((col("doc_id") % 20).as("hid")).distinct()
+          .select(concat(lit("h"), col("hid")).as("host"),
+            concat(lit("Sitemap: https://h"), col("hid"),
+              lit("/s1.xml\nUser-agent: *\nDisallow: /x\n" +
+                "sitemap: https://h"), col("hid"), lit("/s2.xml\n"))
+              .as("body"))
+        graft.ops.RobotsTxt.sitemaps(robots, "host", "body")
+      },
+      Some("""
+        WITH h AS (SELECT DISTINCT doc_id % 20 AS hid FROM documents)
+        SELECT 'h' || hid AS host,
+               'https://h' || hid || '/s' || i || '.xml' AS sitemap
+        FROM h, UNNEST([1, 2]) AS t(i)""")
+    ),
+    (
+      // Pairwise Pearson correlation from integer-exact DECIMAL moment
+      // sums: a perfectly collinear pair must report 1.0, a decorrelated
+      // hash signal reports whatever the data says — both replayed from
+      // the identical closed-form combination of exact sums.
+      "q207_correlate",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "documents").select(
+          size(filter(split(col("text"), " "), w => length(w) > 0))
+            .cast("bigint").as("s1"),
+          (size(filter(split(col("text"), " "), w => length(w) > 0))
+            .cast("bigint") * 2 + 3).as("s2"),
+          ((col("doc_id") * 37) % 101).cast("bigint").as("s3"))
+        graft.ops.Profile.correlationMatrix(base, Seq("s1", "s2", "s3"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   ::BIGINT AS s1,
+                 (len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   * 2 + 3)::BIGINT AS s2,
+                 ((doc_id * 37) % 101)::BIGINT AS s3
+          FROM documents),
+        m AS (
+          SELECT count(*)::DOUBLE AS n,
+                 sum(round(s1 * 1e6)::HUGEINT)::DOUBLE AS x1,
+                 sum(round(s2 * 1e6)::HUGEINT)::DOUBLE AS x2,
+                 sum(round(s3 * 1e6)::HUGEINT)::DOUBLE AS x3,
+                 sum((round(s1*1e6)::HUGEINT)*(round(s1*1e6)::HUGEINT))
+                   ::DOUBLE AS x11,
+                 sum((round(s2*1e6)::HUGEINT)*(round(s2*1e6)::HUGEINT))
+                   ::DOUBLE AS x22,
+                 sum((round(s3*1e6)::HUGEINT)*(round(s3*1e6)::HUGEINT))
+                   ::DOUBLE AS x33,
+                 sum((round(s1*1e6)::HUGEINT)*(round(s2*1e6)::HUGEINT))
+                   ::DOUBLE AS x12,
+                 sum((round(s1*1e6)::HUGEINT)*(round(s3*1e6)::HUGEINT))
+                   ::DOUBLE AS x13,
+                 sum((round(s2*1e6)::HUGEINT)*(round(s3*1e6)::HUGEINT))
+                   ::DOUBLE AS x23
+          FROM b)
+        SELECT 's1' AS col_a, 's2' AS col_b, n::BIGINT AS n,
+               round((n*x12 - x1*x2) / sqrt(n*x11 - x1*x1)
+                 / sqrt(n*x22 - x2*x2), 6) AS corr FROM m
+        UNION ALL
+        SELECT 's1', 's3', n::BIGINT,
+               round((n*x13 - x1*x3) / sqrt(n*x11 - x1*x1)
+                 / sqrt(n*x33 - x3*x3), 6) FROM m
+        UNION ALL
+        SELECT 's2', 's3', n::BIGINT,
+               round((n*x23 - x2*x3) / sqrt(n*x22 - x2*x2)
+                 / sqrt(n*x33 - x3*x3), 6) FROM m""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

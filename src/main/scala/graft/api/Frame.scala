@@ -364,6 +364,13 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def editKeepBest(idCol: String, textCol: String, t: Int,
       qualityExpr: String = ""): Frame =
     next(graft.dedup.EditDedup.keepBest(df, idCol, textCol, t, qualityExpr))
+  def stratifiedExact(stratifyCol: String, fraction: Double,
+      idExpr: String): Frame =
+    next(SampleOp.stratifiedExact(df, stratifyCol, fraction, idExpr))
+  def robotsSitemaps(hostCol: String, contentCol: String): Frame =
+    next(RobotsTxt.sitemaps(df, hostCol, contentCol))
+  def correlationMatrix(cols: Seq[String]): Frame =
+    next(Profile.correlationMatrix(df, cols))
   def saltedJoin(small: Frame, key: String, salts: Int,
       saltExpr: String): Frame =
     next(SaltedJoin.inner(df, small.df, key, salts, saltExpr))

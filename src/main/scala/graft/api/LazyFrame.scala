@@ -425,6 +425,16 @@ final case class LazyFrame(
     append("dedup", "method" -> "edit_keep_best", "id_key" -> idKey,
       "text_key" -> textKey, "threshold" -> threshold,
       "quality_expr" -> qualityExpr)
+  def stratifiedExact(stratifyKey: String, fraction: Double,
+      keyExpr: String): LazyFrame =
+    append("sample", "method" -> "stratified_exact",
+      "stratify_key" -> stratifyKey, "fraction" -> fraction,
+      "key_expr" -> keyExpr)
+  def robotsSitemaps(hostKey: String, contentKey: String): LazyFrame =
+    append("robots_txt", "mode" -> "sitemaps", "host_key" -> hostKey,
+      "content_key" -> contentKey)
+  def correlationMatrix(columns: Seq[String]): LazyFrame =
+    append("correlate", "columns" -> jlist(columns))
   def saltedJoin(small: String, key: String, salts: Int,
       saltExpr: String): LazyFrame =
     append("salted_join", "small" -> small, "key" -> key,

@@ -257,6 +257,9 @@ object Registry {
   register("sample") { (df, c, ctx) =>
     c("method").str match {
       case "first" => SampleOp.first(df, c("samples").int, c("order_by").strList)
+      // exact-fraction stratified sample: floor(fraction × n) per stratum
+      case "stratified_exact" => SampleOp.stratifiedExact(df,
+        c("stratify_key").str, c("fraction").dbl, c("key_expr").str)
       // stratify_key composes with uniform (reference sample.py:279-339):
       // samples_per_group -> exact n per stratum; samples -> proportional
       // allocation across strata. Both need a numeric key_expr for the
@@ -1294,8 +1297,10 @@ object Registry {
             s"unknown robots_txt rules dataset '${c("rules").str}'"))
         RobotsTxt.isAllowed(df, c("id_key").str, c("host_key").str,
           c("path_key").str, rules, c.strOr("agent", "*"))
+      case "sitemaps" =>
+        RobotsTxt.sitemaps(df, c("host_key").str, c("content_key").str)
       case other => throw new IllegalArgumentException(
-        s"robots_txt mode must be parse|evaluate, got '$other'")
+        s"robots_txt mode must be parse|evaluate|sitemaps, got '$other'")
     }
   }
   // Score ensembling (§2.14 curation): Borda rank fusion (integer-exact)
@@ -1346,6 +1351,11 @@ object Registry {
   register("edit_pairs") { (df, c, _) =>
     graft.dedup.EditDedup.pairs(df, c("id_key").str, c("text_key").str,
       c("threshold").long.toInt)
+  }
+  // Pairwise Pearson correlation (§2.14 eval family): the redundancy
+  // check before score_ensemble.
+  register("correlate") { (df, c, _) =>
+    Profile.correlationMatrix(df, c("columns").strList)
   }
   // Skew-salted equi-join (§2.14 ops family): THIS frame is the big
   // side; the small side comes from ctx.datasets and replicates ×salts.

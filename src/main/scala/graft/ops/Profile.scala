@@ -136,4 +136,54 @@ object Profile {
             lit(false)))
       case None => df.withColumn(outCol, lit(false))
     }
+
+  /** Pairwise Pearson correlation over `cols` — the redundancy check
+    * before [[ScoreEnsemble]] (two signals at r=0.98 are one signal
+    * counted twice; Borda/z-score fusion assumes the inputs add
+    * information). One row per unordered pair: (col_a, col_b, n, corr).
+    *
+    * Scale shape: ONE aggregation computes all pairs' moment sums —
+    * values scale ×10⁶ to DECIMAL(38,0) so every sum is exact and
+    * order-independent (the float-sum invariant); the closed-form
+    * combination runs on the driver from one collected row, converting
+    * the exact decimals to doubles in a fixed expression order, so the
+    * rounded result replays cross-engine. Rows with a null in EITHER
+    * column of a pair are excluded from that pair only. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def scaled(c: String) =
+      round(col(c).cast("double") * 1e6).cast("decimal(38,0)")
+    val zero = lit(java.math.BigDecimal.ZERO)
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      def s(e: org.apache.spark.sql.Column, name: String) =
+        coalesce(sum(when(both, e)), zero).as(s"_${name}_$k")
+      Seq(sum(when(both, 1L).otherwise(0L)).as(s"_n_$k"),
+        s(scaled(a), "sx"), s(scaled(b), "sy"),
+        s(scaled(a) * scaled(a), "sxx"), s(scaled(b) * scaled(b), "syy"),
+        s(scaled(a) * scaled(b), "sxy"))
+    }
+    val m = df.agg(aggs.head, aggs.tail: _*).head()
+    def d(name: String, k: Int) =
+      m.getAs[java.math.BigDecimal](s"_${name}_$k").doubleValue()
+    val rows = pairs.zipWithIndex.map { case ((a, b), k) =>
+      val n = m.getAs[Long](s"_n_$k").toDouble
+      val (sx, sy) = (d("sx", k), d("sy", k))
+      val (sxx, syy, sxy) = (d("sxx", k), d("syy", k), d("sxy", k))
+      val cov = n * sxy - sx * sy
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      val corr =
+        if (n < 2 || vx <= 0 || vy <= 0) None
+        else Some(math.rint(cov / math.sqrt(vx) / math.sqrt(vy) * 1e6) / 1e6)
+      (a, b, n.toLong, corr)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("col_a", "col_b", "n", "corr")
+  }
 }

@@ -67,6 +67,16 @@ object RobotsTxt {
     folded.getField("rules")
   }
 
+  /** Explode (host, robots body) rows into (host, sitemap) — the
+    * `Sitemap:` directives (RFC 9309 §2.3 allows them anywhere in the
+    * file, outside any group), the crawl-frontier seed list. Pure
+    * per-row regexp explode. */
+  def sitemaps(df: DataFrame, hostCol: String,
+      contentCol: String): DataFrame =
+    df.select(col(hostCol).as("host"),
+      explode(regexp_extract_all(coalesce(col(contentCol), lit("")),
+        lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)"), lit(1))).as("sitemap"))
+
   /** Explode (host, robots body) rows into the rule table
     * (host, agent, allow, prefix). */
   def parseRules(df: DataFrame, hostCol: String,

@@ -130,6 +130,30 @@ object SampleOp {
     * pid-keyed window, or a mapPartitions head filter) is strictly worse:
     * the former adds a full-table exchange, the latter is an object
     * operator that blocks column pruning through the op. */
+  /** EXACT-fraction stratified sample: floor(fraction × n_g) rows per
+    * stratum, chosen by the portable LCG over `idExpr` — the exactness
+    * the hash sampler can't give (hash thresholding hits the fraction
+    * only in expectation; a release that promises "10% of every source"
+    * wants the floor count). Rides [[BudgetSelect.grouped]]'s
+    * distributed prefix machinery (ONE range-partitioned sort +
+    * O(#partitions + #strata) driver state — never a per-stratum
+    * window); the per-stratum counts are one aggregation collected to a
+    * driver map bounded by the number of STRATA (sources/languages —
+    * bounded by construction; this is the same bound budgets maps
+    * already accept). */
+  def stratifiedExact(df: DataFrame, stratifyKey: String,
+      fraction: Double, idExpr: String): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0, 1], got $fraction")
+    val budgets: Map[Any, Long] = df.groupBy(col(stratifyKey))
+      .agg(count(lit(1)).as("_n")).collect()
+      .map(r => r.get(0) -> math.floor(fraction * r.getLong(1)).toLong)
+      .toMap
+    BudgetSelect.grouped(df, stratifyKey,
+      scoreExpr = s"-((($idExpr) * 9301 + 49297) % 233280)",
+      costExpr = "1", budgets, tieBreak = idExpr)
+  }
+
   def stratified(df: DataFrame, stratifyKey: String, nPerGroup: Int, orderCols: Seq[String]): DataFrame = {
     val global = Window.partitionBy(col(stratifyKey)).orderBy(orderCols.map(col): _*)
     df.withColumn("_graft_rn", row_number().over(global))

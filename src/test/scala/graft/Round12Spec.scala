@@ -1133,6 +1133,93 @@ class Round12Spec extends SparkSpec {
     assert(lc.run(spark).count() == d.count())
   }
 
+  // -------------------------------------------- stratified exact sample
+
+  test("stratified exact: floor(frac*n) per stratum, deterministic pick") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType)))
+    val d = df(schema, (0 until 100).map(i =>
+      Row(i.toLong, if (i < 70) "big" else "small")): _*)
+    val out = graft.ops.SampleOp.stratifiedExact(d, "g", 0.5, "id")
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("big" -> 35L, "small" -> 15L))
+    // deterministic: same selection on rerun
+    val a = out.select("id").collect().map(_.getLong(0)).toSet
+    val b = graft.ops.SampleOp.stratifiedExact(d, "g", 0.5, "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    assert(graft.ops.SampleOp.stratifiedExact(d, "g", 0.0, "id")
+      .count() == 0)
+    assert(graft.ops.SampleOp.stratifiedExact(d, "g", 1.0, "id")
+      .count() == 100)
+  }
+
+  // -------------------------------------------------- robots sitemaps
+
+  test("robots sitemaps: any case, anywhere, absent when none") {
+    val schema = StructType(Seq(StructField("host", StringType),
+      StructField("body", StringType)))
+    val d = df(schema,
+      Row("a", "User-agent: *\nDisallow: /\nSITEMAP: https://a/x.xml"),
+      Row("b", "sitemap: https://b/1.xml\n# c\nSitemap:   https://b/2.xml"),
+      Row("c", "User-agent: *\nAllow: /"))
+    val out = graft.ops.RobotsTxt.sitemaps(d, "host", "body").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "https://a/x.xml"), ("b", "https://b/1.xml"),
+      ("b", "https://b/2.xml")))
+  }
+
+  // ------------------------------------------------ correlation matrix
+
+  test("correlate: collinear 1, inverted -1, nulls excluded per pair") {
+    val schema = StructType(Seq(StructField("x", DoubleType),
+      StructField("y", DoubleType), StructField("z", DoubleType)))
+    val d = df(schema,
+      Row(1.0, 2.0, -1.0), Row(2.0, 4.0, -2.0), Row(3.0, 6.0, -3.0),
+      Row(4.0, 8.0, null))
+    val out = graft.ops.Profile.correlationMatrix(d, Seq("x", "y", "z"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3)))).toMap
+    assert(out(("x", "y")) == (4L, 1.0))
+    assert(out(("x", "z")) == (3L, -1.0))   // null row excluded
+    assert(out(("y", "z")) == (3L, -1.0))
+    // constant column -> null corr, not a crash
+    val c = df(schema, Row(1.0, 5.0, 1.0), Row(2.0, 5.0, 2.0))
+    val cc = graft.ops.Profile.correlationMatrix(c, Seq("x", "y"))
+      .head()
+    assert(cc.isNullAt(3))
+  }
+
+  test("round-12f ops run from YAML registry and LazyFrame round-trips") {
+    val d = docsDf
+    val se = graft.api.Registry("sample")(d,
+      graft.api.Conf.fromYaml(
+        "type: sample\nmethod: stratified_exact\nstratify_key: lang\n" +
+          "fraction: 0.5\nkey_expr: doc_id"), null)
+    assert(se.count() <= d.count())
+    val rs = graft.api.Registry("robots_txt")(
+      d.select(lit("h").as("host"),
+        lit("Sitemap: https://h/s.xml").as("body")).limit(1),
+      graft.api.Conf.fromYaml(
+        "type: robots_txt\nmode: sitemaps\nhost_key: host\n" +
+          "content_key: body"), null)
+    assert(rs.head().getString(1) == "https://h/s.xml")
+    val co = graft.api.Registry("correlate")(
+      d.select(col("doc_id").cast("double").as("a"),
+        (col("doc_id") * 2).cast("double").as("b")),
+      graft.api.Conf.fromYaml("type: correlate\ncolumns: [a, b]"), null)
+    assert(co.head().getDouble(3) == 1.0)
+
+    import graft.api.LazyFrame
+    val dir = java.nio.file.Files.createTempDirectory("r12f").toString
+    d.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val lf = LazyFrame.read("docs", s"$dir/docs.parquet")
+      .stratifiedExact("lang", 0.5, "doc_id")
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    assert(lf.run(spark).count() == se.count())
+  }
+
   // ------------------------------------------------ compact round-trip
 
   test("compact: run preserves content and hits the target layout") {
