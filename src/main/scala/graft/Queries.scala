@@ -6467,6 +6467,58 @@ object Queries {
         SELECT 's2', 's3', n::BIGINT,
                round((n*x23 - x2*x3) / sqrt(n*x22 - x2*x2)
                  / sqrt(n*x33 - x3*x3), 6) FROM m""")
+    ),
+    (
+      // JSON-string parsing under the engine schema dialect: nested
+      // object + list fields typed via the same schema strings the
+      // semantic operators use; malformed rows (every 11th) must yield
+      // null fields, not failures. Nullable string gates coalesce to ''
+      // on both sides per the driver-hash null trap.
+      "q208_parse_json",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, lit("{not json"))
+            .otherwise(concat(
+              lit("{\"uid\": "), col("doc_id"),
+              lit(", \"tags\": [\"a\", \"b"), col("doc_id") % 3,
+              lit("\"], \"meta\": {\"lang\": \"en\"}}"))).as("payload"))
+        graft.ops.JsonOps.parseColumn(docs, "payload", Seq(
+          "uid" -> "int", "tags" -> "list[str]", "meta" -> "{lang: str}"))
+          .select(col("doc_id"),
+            col("uid"),
+            coalesce(element_at(col("tags"), 2), lit("")).as("tag2"),
+            coalesce(col("meta.lang"), lit("")).as("lang"))
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN NULL ELSE doc_id END AS uid,
+               CASE WHEN doc_id % 11 = 0 THEN ''
+                    ELSE 'b' || (doc_id % 3) END AS tag2,
+               CASE WHEN doc_id % 11 = 0 THEN '' ELSE 'en' END AS lang
+        FROM documents""")
+    ),
+    (
+      // Train-your-own quality filter end to end: MLlib logistic
+      // regression fits a planted separable corpus, exports the portable
+      // (token, weight) table, and the existing pure-aggregation
+      // LinearScore serves it — predicted labels must reproduce the
+      // plant exactly (training isn't SQL-expressible; the DECISIONS on
+      // separable data are, which is what the oracle states).
+      "q209_train_classifier",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          (col("doc_id") % 2).cast("double").as("label"),
+          concat(col("text"), when(col("doc_id") % 2 === 1,
+            lit(" qualitymarker")).otherwise(lit(" junkmarker")))
+            .as("txt"))
+        val m = graft.ops.TextClassifier.train(docs, "label", "txt",
+          vocabSize = 4096, maxIter = 30)
+        graft.ops.LinearScore.withScore(docs, "doc_id", "txt", m.weights,
+          m.bias, "binary", "score")
+          .select(col("doc_id"),
+            when(col("score") >= 0.5, 1L).otherwise(0L).as("predicted"))
+      },
+      Some("SELECT doc_id, (doc_id % 2)::BIGINT AS predicted FROM documents")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

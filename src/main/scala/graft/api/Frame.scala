@@ -364,6 +364,14 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def editKeepBest(idCol: String, textCol: String, t: Int,
       qualityExpr: String = ""): Frame =
     next(graft.dedup.EditDedup.keepBest(df, idCol, textCol, t, qualityExpr))
+  def trainClassifier(labelCol: String, textCol: String,
+      vocabSize: Int = 65536, maxIter: Int = 50,
+      regParam: Double = 0.0): TextClassifier.Model =
+    TextClassifier.train(df, labelCol, textCol, vocabSize, maxIter,
+      regParam)
+  def parseJson(jsonCol: String, schema: Seq[(String, String)],
+      keepRaw: Boolean = true): Frame =
+    next(JsonOps.parseColumn(df, jsonCol, schema, keepRaw))
   def stratifiedExact(stratifyCol: String, fraction: Double,
       idExpr: String): Frame =
     next(SampleOp.stratifiedExact(df, stratifyCol, fraction, idExpr))

@@ -425,6 +425,17 @@ final case class LazyFrame(
     append("dedup", "method" -> "edit_keep_best", "id_key" -> idKey,
       "text_key" -> textKey, "threshold" -> threshold,
       "quality_expr" -> qualityExpr)
+  def trainClassifier(labelKey: String, textKey: String,
+      vocabSize: Int = 65536, maxIter: Int = 50,
+      regParam: Double = 0.0): LazyFrame =
+    append("train_classifier", "label_key" -> labelKey,
+      "text_key" -> textKey, "vocab_size" -> vocabSize,
+      "max_iter" -> maxIter, "reg_param" -> regParam)
+  def parseJson(jsonKey: String, schema: Seq[(String, String)],
+      keepRaw: Boolean = true): LazyFrame =
+    append("parse_json", "json_key" -> jsonKey,
+      "schema" -> jmap(schema.map { case (k, v) => k -> (v: Any) }: _*),
+      "keep_raw" -> keepRaw)
   def stratifiedExact(stratifyKey: String, fraction: Double,
       keyExpr: String): LazyFrame =
     append("sample", "method" -> "stratified_exact",

@@ -1155,6 +1155,18 @@ object Registry {
       SnapshotDiff.reprocessSet(prev, df, c("id_key").str, c("content_expr").str)
     else SnapshotDiff(prev, df, c("id_key").str, c("content_expr").str)
   }
+  // Logistic-regression training (§2.14 classifier loop): emits the
+  // portable (token, weight) table linear_score serves, with the
+  // intercept as a `__bias__` sentinel row.
+  register("train_classifier") { (df, c, _) =>
+    val m = TextClassifier.train(df, c("label_key").str,
+      c("text_key").str, c.intOr("vocab_size", 65536),
+      c.intOr("max_iter", 50), c.dblOr("reg_param", 0.0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    m.weights.unionByName(
+      Seq(("__bias__", m.bias)).toDF("token", "weight"))
+  }
   register("linear_score") { (df, c, ctx) =>
     val weights = ctx.datasets.getOrElse(c("weights").str,
       throw new IllegalArgumentException(
@@ -1351,6 +1363,12 @@ object Registry {
   register("edit_pairs") { (df, c, _) =>
     graft.dedup.EditDedup.pairs(df, c("id_key").str, c("text_key").str,
       c("threshold").long.toInt)
+  }
+  // JSON-string parsing under the engine schema dialect (§2.14 ingest).
+  register("parse_json") { (df, c, _) =>
+    val schema = c("schema").asOrderedMap.map { case (k, v) => k -> v.str }
+    JsonOps.parseColumn(df, c("json_key").str, schema.toSeq,
+      c.boolOr("keep_raw", true))
   }
   // Pairwise Pearson correlation (§2.14 eval family): the redundancy
   // check before score_ensemble.

@@ -1220,6 +1220,72 @@ class Round12Spec extends SparkSpec {
     assert(lf.run(spark).count() == se.count())
   }
 
+  // --------------------------------------------------------- parse json
+
+  test("parse json: graft schema dialect, malformed to null, keep_raw") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("j", StringType)))
+    val d = df(schema,
+      Row(1L, """{"n": 7, "xs": [1, 2], "o": {"s": "v"}}"""),
+      Row(2L, "{broken"),
+      Row(3L, null))
+    val out = graft.ops.JsonOps.parseColumn(d, "j",
+      Seq("n" -> "int", "xs" -> "list[int]", "o" -> "{s: str}"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(2) == 7L)
+    assert(out(0).getSeq[Long](3) == Seq(1L, 2L))
+    assert(out(0).getStruct(4).getString(0) == "v")
+    assert(out(1).isNullAt(2) && out(2).isNullAt(2))
+    val dropped = graft.ops.JsonOps.parseColumn(d, "j",
+      Seq("n" -> "int"), keepRaw = false)
+    assert(!dropped.columns.contains("j"))
+    val yaml = graft.api.Registry("parse_json")(d,
+      graft.api.Conf.fromYaml(
+        "type: parse_json\njson_key: j\nschema:\n  n: int\n  o: '{s: str}'"),
+      null)
+    assert(yaml.columns.toSeq.takeRight(2) == Seq("n", "o"))
+    import graft.api.LazyFrame
+    val dir = java.nio.file.Files.createTempDirectory("r12g").toString
+    d.write.mode("overwrite").parquet(s"$dir/j.parquet")
+    val lf = LazyFrame.read("j", s"$dir/j.parquet")
+      .parseJson("j", Seq("n" -> "int"))
+    assert(LazyFrame.fromYaml(lf.toYaml).toYaml == lf.toYaml)
+    assert(lf.run(spark).filter(col("n") === 7).count() == 1)
+  }
+
+  // ----------------------------------------------------- train classifier
+
+  test("train classifier: LinearScore serves the exported model exactly") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("label", LongType), StructField("text", StringType)))
+    val d = df(schema, (0 until 60).map { i =>
+      val good = i % 2 == 1
+      Row(i.toLong, if (good) 1L else 0L,
+        s"common words here ${if (good) "greatstuff" else "badstuff"} tail$i")
+    }: _*)
+    val m = graft.ops.TextClassifier.train(d, "label", "text",
+      vocabSize = 1024, maxIter = 30)
+    // bias + weights through the pure-aggregation scorer
+    val scored = graft.ops.LinearScore.withScore(d, "id", "text",
+      m.weights, m.bias, "binary", "score")
+    val eval = graft.ops.ClassifierEval.report(scored, "label", "score")
+      .head()
+    assert(eval.getDouble(eval.fieldIndex("auc")) == 1.0)
+    assert(scored.filter((col("score") >= 0.5) =!= (col("label") === 1))
+      .count() == 0)
+    // the discriminative tokens carry opposite-sign weights
+    val w = m.weights.collect().map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    assert(w("greatstuff") > 0 && w("badstuff") < 0)
+    // YAML arm emits the __bias__ sentinel row
+    val yaml = graft.api.Registry("train_classifier")(
+      d.select(col("label"), col("text")),
+      graft.api.Conf.fromYaml(
+        "type: train_classifier\nlabel_key: label\ntext_key: text\n" +
+          "max_iter: 20"), null)
+    assert(yaml.filter(col("token") === "__bias__").count() == 1)
+  }
+
   // ------------------------------------------------ compact round-trip
 
   test("compact: run preserves content and hits the target layout") {
