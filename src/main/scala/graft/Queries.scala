@@ -6519,6 +6519,41 @@ object Queries {
             when(col("score") >= 0.5, 1L).otherwise(0L).as("predicted"))
       },
       Some("SELECT doc_id, (doc_id % 2)::BIGINT AS predicted FROM documents")
+    ),
+    (
+      // Mean-pooled document vectors: the token vectors derive from the
+      // token STRING (closed form: [len, ascii(first) % 7]) so the
+      // pooling pipeline — explode → vocab join → (id, dim)-keyed avg →
+      // ordered re-assembly — replays exactly in SQL. Word2Vec TRAINING
+      // itself is seed-dependent MLlib and spec-gated.
+      "q210_doc_vectors",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val vectors = docs
+          .select(explode(filter(split(col("text"), " "),
+            w => length(w) > 0)).as("token")).distinct()
+          .select(col("token"), array(
+            length(col("token")).cast("double"),
+            (ascii(substring(col("token"), 1, 1)) % 7).cast("double"))
+            .as("vector"))
+        graft.ops.EmbedTrain.docVectors(docs, "doc_id", "text", vectors)
+          .select(col("doc_id"),
+            posexplode(col("embedding")).as(Seq("d", "v")))
+          .select(col("doc_id"), col("d").cast("bigint").as("d"),
+            round(col("v"), 6).as("v"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, t AS token
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                FROM documents) WHERE t <> ''),
+        dims AS (
+          SELECT doc_id, 0 AS d, len(token)::DOUBLE AS v FROM tok
+          UNION ALL
+          SELECT doc_id, 1,
+                 (ascii(substring(token, 1, 1)) % 7)::DOUBLE FROM tok)
+        SELECT doc_id, d::BIGINT AS d, round(avg(v), 6) AS v
+        FROM dims GROUP BY doc_id, d""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

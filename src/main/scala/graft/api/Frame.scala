@@ -364,6 +364,12 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def editKeepBest(idCol: String, textCol: String, t: Int,
       qualityExpr: String = ""): Frame =
     next(graft.dedup.EditDedup.keepBest(df, idCol, textCol, t, qualityExpr))
+  def trainEmbeddings(textCol: String, dim: Int = 64, minCount: Int = 2,
+      maxIter: Int = 1, seed: Long = 42L, window: Int = 5): Frame =
+    next(EmbedTrain.word2vec(df, textCol, dim, minCount, maxIter, seed,
+      window))
+  def docVectors(idCol: String, textCol: String, vectors: Frame): Frame =
+    next(EmbedTrain.docVectors(df, idCol, textCol, vectors.df))
   def trainClassifier(labelCol: String, textCol: String,
       vocabSize: Int = 65536, maxIter: Int = 50,
       regParam: Double = 0.0): TextClassifier.Model =

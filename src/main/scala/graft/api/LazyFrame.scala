@@ -425,6 +425,15 @@ final case class LazyFrame(
     append("dedup", "method" -> "edit_keep_best", "id_key" -> idKey,
       "text_key" -> textKey, "threshold" -> threshold,
       "quality_expr" -> qualityExpr)
+  def trainEmbeddings(textKey: String, dim: Int = 64, minCount: Int = 2,
+      maxIter: Int = 1, seed: Long = 42L, window: Int = 5): LazyFrame =
+    append("train_embeddings", "text_key" -> textKey, "dim" -> dim,
+      "min_count" -> minCount, "max_iter" -> maxIter, "seed" -> seed,
+      "window" -> window)
+  def docVectors(idKey: String, textKey: String,
+      vectors: String): LazyFrame =
+    append("doc_vectors", "id_key" -> idKey, "text_key" -> textKey,
+      "vectors" -> vectors)
   def trainClassifier(labelKey: String, textKey: String,
       vocabSize: Int = 65536, maxIter: Int = 50,
       regParam: Double = 0.0): LazyFrame =

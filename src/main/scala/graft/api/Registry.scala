@@ -1167,6 +1167,19 @@ object Registry {
     m.weights.unionByName(
       Seq(("__bias__", m.bias)).toDF("token", "weight"))
   }
+  // Word2Vec training (§2.14 embedding family): emits the portable
+  // (token, vector) table; doc_vectors pools it without MLlib.
+  register("train_embeddings") { (df, c, _) =>
+    EmbedTrain.word2vec(df, c("text_key").str, c.intOr("dim", 64),
+      c.intOr("min_count", 2), c.intOr("max_iter", 1),
+      c.get("seed").map(_.long).getOrElse(42L), c.intOr("window", 5))
+  }
+  register("doc_vectors") { (df, c, ctx) =>
+    val vectors = ctx.datasets.getOrElse(c("vectors").str,
+      throw new IllegalArgumentException(
+        s"unknown doc_vectors vectors dataset '${c("vectors").str}'"))
+    EmbedTrain.docVectors(df, c("id_key").str, c("text_key").str, vectors)
+  }
   register("linear_score") { (df, c, ctx) =>
     val weights = ctx.datasets.getOrElse(c("weights").str,
       throw new IllegalArgumentException(

@@ -159,7 +159,14 @@ class LocalClusterSpec extends AnyFunSuite {
     // reference + left-join backoff arms; mbox parse UDF closure
     "q156_ann_ivfpq_residual", "q161_quota_select", "q163_build_vocab",
     "q164_classifier_eval", "q166_random_project", "q167_pagerank",
-    "q171_stupid_backoff", "q172_parse_mbox")
+    "q171_stupid_backoff", "q172_parse_mbox",
+    // round-12: PassJoin's multi-explode substring keys + levenshtein
+    // verify across executors; stratifiedExact's per-partition offset
+    // broadcast (the grouped-prefix machinery under a fraction cut);
+    // salted join's md5 sub-keys; MLlib L-BFGS treeAggregate + the
+    // exported-weights broadcast join; BT's iterative localCheckpoints
+    "q194_edit_pairs", "q205_stratified_exact", "q204_salted_join",
+    "q209_train_classifier", "q202_bradley_terry")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     names.map { name =>

@@ -1286,6 +1286,55 @@ class Round12Spec extends SparkSpec {
     assert(yaml.filter(col("token") === "__bias__").count() == 1)
   }
 
+  // ------------------------------------------------- embedding training
+
+  test("word2vec: topic clusters separate through trained doc vectors") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    // two disjoint-vocabulary topics, many co-occurrence repetitions
+    val catWords = Seq("cat", "kitten", "meow", "whiskers", "purr")
+    val finWords = Seq("bank", "loan", "rate", "credit", "bond")
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 80).map { i =>
+      val words = if (i % 2 == 0) catWords else finWords
+      Row(i.toLong,
+        Seq.fill(12)(words(rng.nextInt(words.size))).mkString(" "))
+    }
+    val d = df(schema, rows: _*)
+    val vectors = graft.ops.EmbedTrain.word2vec(d, "text", dim = 16,
+      minCount = 1, maxIter = 3, seed = 11L)
+    assert(vectors.count() == 10)
+    val docs = graft.ops.EmbedTrain.docVectors(d, "id", "text", vectors)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    assert(docs.length == 80)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    val cats = docs.filter(_._1 % 2 == 0).map(_._2)
+    val fins = docs.filter(_._1 % 2 == 1).map(_._2)
+    def meanCos(xs: Seq[(Array[Double], Array[Double])]) =
+      xs.map { case (a, b) => cos(a, b) }.sum / xs.size
+    val intra = meanCos(cats.take(10).zip(cats.slice(10, 20)) ++
+      fins.take(10).zip(fins.slice(10, 20)))
+    val inter = meanCos(cats.take(20).zip(fins.take(20)))
+    assert(intra > inter,
+      s"w2v topics failed to separate: intra=$intra inter=$inter")
+    // YAML arm
+    val yaml = graft.api.Registry("train_embeddings")(d,
+      graft.api.Conf.fromYaml(
+        "type: train_embeddings\ntext_key: text\ndim: 8\nmin_count: 1"),
+      null)
+    assert(yaml.columns.toSeq == Seq("token", "vector"))
+    val ctx = graft.api.OpContext(spark, null, Map("v" -> vectors))
+    val dv = graft.api.Registry("doc_vectors")(d,
+      graft.api.Conf.fromYaml(
+        "type: doc_vectors\nid_key: id\ntext_key: text\nvectors: v"), ctx)
+    assert(dv.count() == 80)
+  }
+
   // ------------------------------------------------ compact round-trip
 
   test("compact: run preserves content and hits the target layout") {
