@@ -6554,6 +6554,45 @@ object Queries {
                  (ascii(substring(token, 1, 1)) % 7)::DOUBLE FROM tok)
         SELECT doc_id, d::BIGINT AS d, round(avg(v), 6) AS v
         FROM dims GROUP BY doc_id, d""")
+    ),
+    (
+      // Mergeable HLL distinct sketches: per-source distinct-token
+      // sketches must estimate within 5% of the exact count, and the
+      // union of two half-corpus sketches must estimate EXACTLY what the
+      // full-corpus sketch does (register-max merge semantics) — the
+      // cross-dump composition the artifact exists for. Booleans + exact
+      // counts gate; the estimate itself is approximate by design.
+      "q211_distinct_sketch",
+      (s: SparkSession, dir: String) => {
+        val toks = t(s, dir, "documents").select(col("source"),
+          col("doc_id"),
+          explode(filter(split(col("text"), " "), w => length(w) > 0))
+            .as("token"))
+        val full = graft.ops.DistinctSketch.build(toks, "source", "token")
+        val halves = graft.ops.DistinctSketch.merge(
+          graft.ops.DistinctSketch.build(
+            toks.filter(col("doc_id") % 2 === 0), "source", "token")
+            .unionByName(graft.ops.DistinctSketch.build(
+              toks.filter(col("doc_id") % 2 === 1), "source", "token")))
+        val exact = toks.groupBy(col("source").as("slice"))
+          .agg(countDistinct(col("token")).as("exact"))
+        full.join(halves.select(col("slice"),
+          col("estimate").as("_merged")), "slice")
+          .join(exact, "slice")
+          .select(col("slice"), col("n_rows"), col("exact"),
+            (abs(col("estimate") - col("exact")).cast("double") <=
+              col("exact") * 0.05).as("est_ok"),
+            (col("_merged") === col("estimate")).as("merge_ok"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, t AS token
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+                FROM documents) WHERE t <> '')
+        SELECT source AS slice, count(*)::BIGINT AS n_rows,
+               count(DISTINCT token)::BIGINT AS exact,
+               true AS est_ok, true AS merge_ok
+        FROM tok GROUP BY 1""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -364,6 +364,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def editKeepBest(idCol: String, textCol: String, t: Int,
       qualityExpr: String = ""): Frame =
     next(graft.dedup.EditDedup.keepBest(df, idCol, textCol, t, qualityExpr))
+  def distinctSketch(sliceCol: String, valueExpr: String,
+      lgK: Int = 12): Frame =
+    next(DistinctSketch.build(df, sliceCol, valueExpr, lgK))
+  def mergeSketches(): Frame = next(DistinctSketch.merge(df))
   def trainEmbeddings(textCol: String, dim: Int = 64, minCount: Int = 2,
       maxIter: Int = 1, seed: Long = 42L, window: Int = 5): Frame =
     next(EmbedTrain.word2vec(df, textCol, dim, minCount, maxIter, seed,

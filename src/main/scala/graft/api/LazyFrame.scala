@@ -425,6 +425,12 @@ final case class LazyFrame(
     append("dedup", "method" -> "edit_keep_best", "id_key" -> idKey,
       "text_key" -> textKey, "threshold" -> threshold,
       "quality_expr" -> qualityExpr)
+  def distinctSketch(sliceKey: String, valueExpr: String,
+      lgK: Int = 12): LazyFrame =
+    append("distinct_sketch", "mode" -> "build", "slice_key" -> sliceKey,
+      "value_expr" -> valueExpr, "lg_k" -> lgK)
+  def mergeSketches(): LazyFrame =
+    append("distinct_sketch", "mode" -> "merge")
   def trainEmbeddings(textKey: String, dim: Int = 64, minCount: Int = 2,
       maxIter: Int = 1, seed: Long = 42L, window: Int = 5): LazyFrame =
     append("train_embeddings", "text_key" -> textKey, "dim" -> dim,

@@ -1167,6 +1167,17 @@ object Registry {
     m.weights.unionByName(
       Seq(("__bias__", m.bias)).toDF("token", "weight"))
   }
+  // Mergeable HLL distinct sketches (§2.14 reporting family): build per
+  // slice, or merge previously-built sketch tables across ingests.
+  register("distinct_sketch") { (df, c, _) =>
+    c.strOr("mode", "build") match {
+      case "build" => DistinctSketch.build(df, c("slice_key").str,
+        c("value_expr").str, c.intOr("lg_k", 12))
+      case "merge" => DistinctSketch.merge(df)
+      case other => throw new IllegalArgumentException(
+        s"distinct_sketch mode must be build|merge, got '$other'")
+    }
+  }
   // Word2Vec training (§2.14 embedding family): emits the portable
   // (token, vector) table; doc_vectors pools it without MLlib.
   register("train_embeddings") { (df, c, _) =>

@@ -1335,6 +1335,34 @@ class Round12Spec extends SparkSpec {
     assert(dv.count() == 80)
   }
 
+  // ---------------------------------------------------- distinct sketch
+
+  test("distinct sketch: small-n exactness, merge = full-build, YAML") {
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("v", StringType)))
+    val rows = (0 until 500).map(i => Row(s"g${i % 2}", s"v${i % 37}"))
+    val d = df(schema, rows: _*)
+    val full = graft.ops.DistinctSketch.build(d, "g", "v")
+    // HLL is exact at tiny cardinalities (sparse mode): 37 distincts
+    assert(full.collect().forall(r =>
+      r.getLong(r.fieldIndex("estimate")) == 37L))
+    val h1 = graft.ops.DistinctSketch.build(
+      d.filter(substring(col("v"), 2, 10).cast("int") % 2 === 0), "g", "v")
+    val h2 = graft.ops.DistinctSketch.build(
+      d.filter(substring(col("v"), 2, 10).cast("int") % 2 === 1), "g", "v")
+    val merged = graft.ops.DistinctSketch.merge(h1.unionByName(h2))
+    val m = merged.collect().map(r =>
+      r.getString(0) -> r.getLong(r.fieldIndex("estimate"))).toMap
+    assert(m == Map("g0" -> 37L, "g1" -> 37L))
+    assert(merged.columns.toSeq ==
+      Seq("slice", "sketch", "estimate", "n_rows"))
+    val yaml = graft.api.Registry("distinct_sketch")(d,
+      graft.api.Conf.fromYaml(
+        "type: distinct_sketch\nslice_key: g\nvalue_expr: v\nlg_k: 12"),
+      null)
+    assert(yaml.count() == 2)
+  }
+
   // ------------------------------------------------ compact round-trip
 
   test("compact: run preserves content and hits the target layout") {
