@@ -6593,6 +6593,29 @@ object Queries {
                count(DISTINCT token)::BIGINT AS exact,
                true AS est_ok, true AS merge_ok
         FROM tok GROUP BY 1""")
+    ),
+    (
+      // Best-fit-decreasing packing: 7 groups each carrying exactly the
+      // length multiset {6,5,4,3,2} under budget 10 — BFD's assignment
+      // {6,4} / {5,3,2} is hand-derivable per row (6→pack0, 5→pack1,
+      // 4→pack0, 3→pack1, 2→pack1; greedy in-order would need THREE
+      // packs — the spec asserts that utilization win directly).
+      "q212_pack_best_fit",
+      (s: SparkSession, dir: String) => {
+        val fixture = t(s, dir, "documents")
+          .filter(col("doc_id") < 35)
+          .select(col("doc_id"), (col("doc_id") / 5).cast("bigint").as("g"),
+            (lit(6) - (col("doc_id") % 5)).cast("long").as("tok"))
+        graft.ops.PackOp.packBestFit(fixture, Seq("g"), "doc_id",
+          "tok", budget = 10L)
+          .select(col("doc_id"), col("g"), col("tok"), col("pack_id"))
+      },
+      Some("""
+        SELECT doc_id, (doc_id // 5)::BIGINT AS g,
+               (6 - (doc_id % 5))::BIGINT AS tok,
+               CASE doc_id % 5 WHEN 0 THEN 0 WHEN 2 THEN 0
+                               ELSE 1 END::BIGINT AS pack_id
+        FROM documents WHERE doc_id < 35""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

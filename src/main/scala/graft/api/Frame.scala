@@ -57,6 +57,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def pack(groupCols: Seq[String], orderCol: String, tokenExpr: String,
       budget: Long): Frame =
     next(PackOp(df, groupCols, orderCol, tokenExpr, budget))
+  def packBestFit(groupCols: Seq[String], orderCol: String,
+      tokenExpr: String, budget: Long): Frame =
+    next(PackOp.packBestFit(df, groupCols, orderCol, tokenExpr, budget))
   def budgetSelect(scoreExpr: String, costExpr: String, budget: Long,
       tieBreak: String): Frame =
     next(BudgetSelect(df, scoreExpr, costExpr, budget, tieBreak))

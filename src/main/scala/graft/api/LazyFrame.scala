@@ -316,6 +316,11 @@ final case class LazyFrame(
       budget: Long): LazyFrame =
     append("pack", "group_keys" -> jlist(groupKeys), "order_key" -> orderKey,
       "token_expr" -> tokenExpr, "budget" -> budget)
+  def packBestFit(groupKeys: Seq[String], orderKey: String,
+      tokenExpr: String, budget: Long): LazyFrame =
+    append("pack", "strategy" -> "best_fit",
+      "group_keys" -> jlist(groupKeys), "order_key" -> orderKey,
+      "token_expr" -> tokenExpr, "budget" -> budget)
   def chunkFixed(groupKeys: Seq[String], orderKey: String, tokenExpr: String,
       seqLen: Long): LazyFrame =
     append("chunk_fixed", "group_keys" -> jlist(groupKeys),

@@ -551,8 +551,14 @@ object Registry {
       c.intOr("random_state", 0).toLong)
   }
   register("pack") { (df, c, _) =>
-    PackOp(df, c("group_keys").strList, c("order_key").str,
-      c("token_expr").str, c("budget").long)
+    c.strOr("strategy", "greedy") match {
+      case "greedy" => PackOp(df, c("group_keys").strList,
+        c("order_key").str, c("token_expr").str, c("budget").long)
+      case "best_fit" => PackOp.packBestFit(df, c("group_keys").strList,
+        c("order_key").str, c("token_expr").str, c("budget").long)
+      case other => throw new IllegalArgumentException(
+        s"pack strategy must be greedy|best_fit, got '$other'")
+    }
   }
   register("chunk_fixed") { (df, c, _) =>
     PackOp.chunkFixed(df, c("group_keys").strList, c("order_key").str,

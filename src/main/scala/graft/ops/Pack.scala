@@ -91,6 +91,78 @@ object PackOp {
     * packing this shape has no per-group serial dependency beyond the
     * window sum.
     */
+  /** Best-fit-decreasing packing — the UTILIZATION-optimizing sibling of
+    * [[apply]] (classic BFD bin packing, ≤ 11/9·OPT + 6/9 by Dósa's
+    * bound): rows sort by token count DESC within the group and each row
+    * lands in the open pack with the LEAST remaining capacity that still
+    * fits (ties → lowest pack id; equal token counts → `orderCol` asc),
+    * else opens a new pack. Use when packs are an unordered batch
+    * inventory (padding waste = money); use [[apply]] when document
+    * ORDER inside the group must survive (curriculum, dedup locality).
+    *
+    * Scale shape: same group-sequential plan as [[apply]] (repartition +
+    * in-partition streaming pass), but per-group state is the open-pack
+    * capacity multiset — O(#packs of the group) entries with O(log) per
+    * row via a TreeMap, vs greedy's two scalars. Size groups (shards)
+    * so a group's pack count fits comfortably in a task — the same
+    * granularity choice packing already imposes. */
+  def packBestFit(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      tokenExpr: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "pack budget must be positive")
+    require(groupCols.nonEmpty, "pack needs at least one group column")
+    require(!df.columns.contains("pack_id"), "input already has pack_id")
+    require(!df.columns.contains("_graft_tok"), "reserved column _graft_tok")
+    val projected = df.withColumn("_graft_tok",
+      greatest(lit(0L), expr(tokenExpr).cast("long")))
+    val parts = projected.repartition(groupCols.map(col): _*)
+      .sortWithinPartitions(
+        groupCols.map(col) ++ Seq(col("_graft_tok").desc, col(orderCol)): _*)
+    val schema = projected.schema
+    val gIdx = groupCols.map(schema.fieldIndex)
+    val tokIdx = schema.fieldIndex("_graft_tok")
+    val budgetB = budget
+    val newSchema = StructType(
+      df.schema.fields :+ StructField("pack_id", LongType, nullable = false))
+    parts.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var nextPack = 0L
+      // remaining capacity -> open pack ids with that capacity
+      var open: java.util.TreeMap[Long, java.util.TreeSet[Long]] = null
+      it.map { r =>
+        val key = gIdx.map(r.get)
+        if (key != curKey) {
+          curKey = key; nextPack = 0L
+          open = new java.util.TreeMap[Long, java.util.TreeSet[Long]]()
+        }
+        val tok = if (r.isNullAt(tokIdx)) 0L else r.getLong(tokIdx)
+        val entry = open.ceilingEntry(tok)
+        val packId =
+          if (entry == null) {
+            val id = nextPack; nextPack += 1
+            val rem = budgetB - tok
+            if (rem > 0) open.computeIfAbsent(rem,
+              _ => new java.util.TreeSet[Long]()).add(id)
+            id
+          } else {
+            val rem = entry.getKey
+            val ids = entry.getValue
+            val id = ids.first()
+            ids.remove(id)
+            if (ids.isEmpty) open.remove(rem)
+            val left = rem - tok
+            if (left > 0) open.computeIfAbsent(left,
+              _ => new java.util.TreeSet[Long]()).add(id)
+            id
+          }
+        Row.fromSeq(r.toSeq.dropRight(1) :+ packId)
+      }
+    }(Encoders.row(newSchema))
+  }
+
   def chunkFixed(
       df: DataFrame,
       groupCols: Seq[String],

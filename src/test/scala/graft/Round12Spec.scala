@@ -1363,6 +1363,32 @@ class Round12Spec extends SparkSpec {
     assert(yaml.count() == 2)
   }
 
+  // -------------------------------------------------- best-fit packing
+
+  test("pack best-fit: beats greedy, respects budget, oversized alone") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType), StructField("tok", LongType)))
+    val rows = Seq(6L, 5L, 4L, 3L, 2L).zipWithIndex.map { case (t, i) =>
+      Row(i.toLong, "a", t) }
+    val d = df(schema, rows: _*)
+    val bfd = graft.ops.PackOp.packBestFit(d, Seq("g"), "id", "tok", 10L)
+    val packs = bfd.groupBy("pack_id").agg(sum("tok").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packs == Map(0L -> 10L, 1L -> 10L))       // perfect fill
+    val greedy = graft.ops.PackOp(d, Seq("g"), "id", "tok", 10L)
+    assert(greedy.select("pack_id").distinct().count() == 3) // BFD wins
+    // oversized row gets its own pack; budget never exceeded
+    val big = df(schema, Row(1L, "a", 15L), Row(2L, "a", 4L))
+    val bp = graft.ops.PackOp.packBestFit(big, Seq("g"), "id", "tok", 10L)
+    assert(bp.select("pack_id").distinct().count() == 2)
+    // YAML strategy arm
+    val yaml = graft.api.Registry("pack")(d,
+      graft.api.Conf.fromYaml(
+        "type: pack\nstrategy: best_fit\ngroup_keys: [g]\n" +
+          "order_key: id\ntoken_expr: tok\nbudget: 10"), null)
+    assert(yaml.select("pack_id").distinct().count() == 2)
+  }
+
   // ------------------------------------------------ compact round-trip
 
   test("compact: run preserves content and hits the target layout") {
