@@ -6616,6 +6616,66 @@ object Queries {
                CASE doc_id % 5 WHEN 0 THEN 0 WHEN 2 THEN 0
                                ELSE 1 END::BIGINT AS pack_id
         FROM documents WHERE doc_id < 35""")
+    ),
+    (
+      // Portable trigram LM: train the counts table on the even-doc
+      // reference, round-trip it through PARQUET (the artifact seam the
+      // op exists for), then score from the STORED table — results must
+      // equal q171's direct computation, so the oracle is the same
+      // backoff SQL.
+      "q213_sb_model_score",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val path = s"/tmp/graft_sbmodel_${new java.io.File(dir).getName}"
+        graft.ops.StupidBackoff.trainModel(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+          .write.mode("overwrite").parquet(path)
+        graft.ops.StupidBackoff.perDocWithModel(docs, "doc_id", "text",
+          s.read.parquet(path))
+      },
+      Some("""
+        WITH ref AS (
+          SELECT list_filter(string_split(text, ' '), w -> w <> '') AS t
+          FROM documents WHERE doc_id % 2 = 0),
+        uni AS (
+          SELECT w AS w3, count(*)::DOUBLE AS c1
+          FROM (SELECT unnest(t) AS w FROM ref) GROUP BY 1),
+        tot AS (SELECT sum(c1) AS total FROM uni),
+        bi AS (
+          SELECT t[i] AS w2, t[i+1] AS w3, count(*)::DOUBLE AS c2
+          FROM ref, UNNEST(range(1, len(t))) AS x(i)
+          GROUP BY 1, 2),
+        ctx2 AS (SELECT w2, sum(c2) AS cw2 FROM bi GROUP BY 1),
+        tri AS (
+          SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3,
+                 count(*)::DOUBLE AS c3
+          FROM ref, UNNEST(range(1, len(t) - 1)) AS x(i)
+          WHERE len(t) >= 3
+          GROUP BY 1, 2, 3),
+        ctx3 AS (SELECT w1, w2, sum(c3) AS cw12 FROM tri GROUP BY 1, 2),
+        d AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS t
+          FROM documents),
+        pos AS (
+          SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+          FROM d, UNNEST(range(1, len(t) - 1)) AS x(i)
+          WHERE len(t) >= 3),
+        sc AS (
+          SELECT doc_id,
+                 CASE WHEN tri.c3 IS NOT NULL THEN tri.c3 / ctx3.cw12
+                      WHEN bi.c2 IS NOT NULL THEN 0.4 * bi.c2 / ctx2.cw2
+                      ELSE (0.4 * 0.4) * coalesce(uni.c1, 1.0) /
+                           (SELECT total FROM tot)
+                 END AS s
+          FROM pos
+            LEFT JOIN tri USING (w1, w2, w3)
+            LEFT JOIN ctx3 USING (w1, w2)
+            LEFT JOIN bi USING (w2, w3)
+            LEFT JOIN ctx2 USING (w2)
+            LEFT JOIN uni USING (w3))
+        SELECT doc_id, round(avg(-ln(s)), 6) AS sb_nll
+        FROM sc GROUP BY 1""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -367,6 +367,12 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def editKeepBest(idCol: String, textCol: String, t: Int,
       qualityExpr: String = ""): Frame =
     next(graft.dedup.EditDedup.keepBest(df, idCol, textCol, t, qualityExpr))
+  def sbTrain(textCol: String): Frame =
+    next(StupidBackoff.trainModel(df, textCol))
+  def sbScore(idCol: String, textCol: String, model: Frame,
+      alpha: Double = 0.4): Frame =
+    next(df.join(StupidBackoff.perDocWithModel(df, idCol, textCol,
+      model.df, alpha), Seq(idCol)))
   def distinctSketch(sliceCol: String, valueExpr: String,
       lgK: Int = 12): Frame =
     next(DistinctSketch.build(df, sliceCol, valueExpr, lgK))

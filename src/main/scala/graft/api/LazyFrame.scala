@@ -430,6 +430,12 @@ final case class LazyFrame(
     append("dedup", "method" -> "edit_keep_best", "id_key" -> idKey,
       "text_key" -> textKey, "threshold" -> threshold,
       "quality_expr" -> qualityExpr)
+  def sbTrain(textKey: String): LazyFrame =
+    append("sb_train", "text_key" -> textKey)
+  def sbScore(idKey: String, textKey: String, model: String,
+      alpha: Double = 0.4): LazyFrame =
+    append("sb_score", "id_key" -> idKey, "text_key" -> textKey,
+      "model" -> model, "alpha" -> alpha)
   def distinctSketch(sliceKey: String, valueExpr: String,
       lgK: Int = 12): LazyFrame =
     append("distinct_sketch", "mode" -> "build", "slice_key" -> sliceKey,

@@ -1101,6 +1101,19 @@ object Registry {
     StupidBackoff(df, c("id_key").str, c("text_key").str, ref,
       c.dblOr("alpha", 0.4))
   }
+  // Portable trigram LM model: train once per reference corpus (emit the
+  // counts table), score later crawls against the STORED table.
+  register("sb_train") { (df, c, _) =>
+    StupidBackoff.trainModel(df, c("text_key").str)
+  }
+  register("sb_score") { (df, c, ctx) =>
+    val model = ctx.datasets.getOrElse(c("model").str,
+      throw new IllegalArgumentException(
+        s"unknown sb_score model dataset '${c("model").str}'"))
+    df.join(StupidBackoff.perDocWithModel(df, c("id_key").str,
+      c("text_key").str, model, c.dblOr("alpha", 0.4)),
+      Seq(c("id_key").str))
+  }
   // Data-contract validation (§2.14 quality gate): per-column checks with
   // named violations; modes report (default) / clean / summary.
   register("schema_validate") { (df, c, _) =>

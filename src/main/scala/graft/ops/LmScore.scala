@@ -210,4 +210,90 @@ object StupidBackoff {
   def apply(df: DataFrame, idCol: String, textCol: String,
       ref: Option[DataFrame] = None, alpha: Double = 0.4): DataFrame =
     df.join(perDoc(df, idCol, textCol, ref, alpha), Seq(idCol))
+
+  /** EXPORT the reference counts as one portable model table — rows
+    * (n, w1, w2, w3, cnt, ctx): n = gram order; w1/w2 are '' where the
+    * order doesn't use them; `ctx` is the context total the score
+    * divides by (the corpus total for unigrams). Train ONCE per
+    * reference corpus and store (parquet/ShardedSink) — each crawl then
+    * scores against the stored table instead of recounting 100 TB of
+    * history, the same accumulated-state discipline as the minhash
+    * signatureTable and bloom word array. [[perDocWithModel]] consumes
+    * it bit-identically to [[perDoc]] (spec-asserted). */
+  def trainModel(corpus: DataFrame, textCol: String): DataFrame = {
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(c, " "), w => length(w) > 0)
+    val refT = graft.core.PersistScope.register(
+      corpus.select(toks(col(textCol)).as("_t")).persist())
+    val uni = refT.select(explode(col("_t")).as("w3"))
+      .groupBy("w3").agg(count(lit(1)).as("cnt"))
+    val totalRow = uni.agg(coalesce(sum("cnt"), lit(0L))).head()
+    val total = totalRow.getLong(0)
+    require(total > 0, "stupid backoff: empty reference corpus")
+    val uniRows = uni.select(lit(1).as("n"), lit("").as("w1"),
+      lit("").as("w2"), col("w3"), col("cnt"), lit(total).as("ctx"))
+    val bi = refT.filter(size(col("_t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1))).as("_p"))
+      .select(col("_p")("0").as("w2"), col("_p")("1").as("w3"))
+      .groupBy("w2", "w3").agg(count(lit(1)).as("cnt"))
+    val ctx2 = bi.groupBy("w2").agg(sum("cnt").as("ctx"))
+    val biRows = bi.join(ctx2, "w2")
+      .select(lit(2).as("n"), lit("").as("w1"), col("w2"), col("w3"),
+        col("cnt"), col("ctx"))
+    val tri = refT.filter(size(col("_t")) >= 3)
+      .select(explode(arrays_zip(
+        slice(col("_t"), lit(1), size(col("_t")) - 2),
+        slice(col("_t"), lit(2), size(col("_t")) - 2),
+        slice(col("_t"), lit(3), size(col("_t")) - 2))).as("_p"))
+      .select(col("_p")("0").as("w1"), col("_p")("1").as("w2"),
+        col("_p")("2").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
+    val ctx3 = tri.groupBy("w1", "w2").agg(sum("cnt").as("ctx"))
+    val triRows = tri.join(ctx3, Seq("w1", "w2"))
+      .select(lit(3).as("n"), col("w1"), col("w2"), col("w3"),
+        col("cnt"), col("ctx"))
+    uniRows.unionByName(biRows).unionByName(triRows)
+  }
+
+  /** Score against a STORED [[trainModel]] table — the joins and backoff
+    * arms of [[perDoc]], reading counts instead of recounting. */
+  def perDocWithModel(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(c, " "), w => length(w) > 0)
+    val m = graft.core.PersistScope.register(model.persist())
+    val uni = m.filter(col("n") === 1).select(col("w3"),
+      col("cnt").cast("double").as("_c1"))
+    val totalRow = m.filter(col("n") === 1)
+      .agg(coalesce(max(col("ctx")), lit(0L))).head()
+    val total = totalRow.getLong(0).toDouble
+    require(total > 0, "stupid backoff: empty model")
+    val bi = m.filter(col("n") === 2).select(col("w2"), col("w3"),
+      col("cnt").cast("double").as("_c2"),
+      col("ctx").cast("double").as("_cw2"))
+    val tri = m.filter(col("n") === 3).select(col("w1"), col("w2"),
+      col("w3"), col("cnt").cast("double").as("_c3"),
+      col("ctx").cast("double").as("_cw12"))
+    val scored = df.select(col(idCol), toks(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= 3)
+      .select(col(idCol), explode(arrays_zip(
+        slice(col("_t"), lit(1), size(col("_t")) - 2),
+        slice(col("_t"), lit(2), size(col("_t")) - 2),
+        slice(col("_t"), lit(3), size(col("_t")) - 2))).as("_p"))
+      .select(col(idCol), col("_p")("0").as("w1"), col("_p")("1").as("w2"),
+        col("_p")("2").as("w3"))
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi, Seq("w2", "w3"), "left")
+      .join(uni, Seq("w3"), "left")
+    val score =
+      when(col("_c3").isNotNull, col("_c3") / col("_cw12"))
+        .when(col("_c2").isNotNull, lit(alpha) * col("_c2") / col("_cw2"))
+        .otherwise(lit(alpha * alpha) *
+          coalesce(col("_c1"), lit(1.0)) / total)
+    scored.groupBy(col(idCol))
+      .agg(round(avg(-log(score)), 6).as("sb_nll"))
+  }
 }

@@ -1389,6 +1389,34 @@ class Round12Spec extends SparkSpec {
     assert(yaml.select("pack_id").distinct().count() == 2)
   }
 
+  // -------------------------------------------------- sb model export
+
+  test("sb model: stored-table scoring is bit-equal to direct perDoc") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val d = df(schema,
+      Row(1L, "the cat sat on the mat"),
+      Row(2L, "the dog sat on a log"),
+      Row(3L, "an unseen trigram sequence entirely"),
+      Row(4L, "to"))  // sub-trigram: absent from both outputs
+    val ref = d.filter(col("id") <= 2)
+    val direct = graft.ops.StupidBackoff.perDoc(d, "id", "text",
+      Some(ref)).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val model = graft.ops.StupidBackoff.trainModel(ref, "text")
+    val stored = graft.ops.StupidBackoff.perDocWithModel(d, "id", "text",
+      model).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(stored == direct && stored.size == 3)
+    // model table shape: ctx totals per order
+    val byN = model.groupBy("n").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byN.keySet == Set(1, 2, 3) && byN.values.forall(_ > 0))
+    val ctx = graft.api.OpContext(spark, null, Map("m" -> model))
+    val viaYaml = graft.api.Registry("sb_score")(d,
+      graft.api.Conf.fromYaml(
+        "type: sb_score\nid_key: id\ntext_key: text\nmodel: m"), ctx)
+    assert(viaYaml.columns.contains("sb_nll") && viaYaml.count() == 3)
+  }
+
   // ------------------------------------------------ compact round-trip
 
   test("compact: run preserves content and hits the target layout") {
