@@ -38,9 +38,15 @@ object Verify {
           }
           if (hits.nonEmpty) {
             unpartitionedWindows.addAndGet(hits.size)
-            System.err.println(s"[verify] LINT: $currentQuery executed " +
-              s"${hits.size} unpartitioned Window node(s) — single-task " +
-              "sort; use RankOp.withGlobalRank or partition the window")
+            // The listener bus is async, so currentQuery may already have
+            // advanced — attribution is best-effort ('~'); the window
+            // expression text locates the real culprit regardless.
+            val what = hits.headOption.map(_.expressions.take(2)
+              .mkString(", ").take(160)).getOrElse("")
+            System.err.println(s"[verify] LINT: ~$currentQuery executed " +
+              s"${hits.size} unpartitioned Window node(s) [$what] — " +
+              "single-task sort; use RankOp.withGlobalRank or partition " +
+              "the window")
           }
         }
         override def onFailure(funcName: String,

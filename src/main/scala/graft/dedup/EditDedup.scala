@@ -81,43 +81,68 @@ object EditDedup {
       .select(col("id_a"), col("id_b"), col("_ta"), col("_tb"))
       .dropDuplicates("id_a", "id_b")
 
-    // Sub-(t+1)-char strings: one all-pairs bucket (bounded alphabet^t).
-    // Joined on a DATA-DERIVED always-zero EQUI key (pmod(len, 1)): a
-    // raw inequality condition would plan a nested-loop join (banned by
-    // the suite plan audit), and a literal key folds back into one —
-    // Catalyst can't fold an attribute expression, so this stays a hash
-    // join with one bounded bucket.
-    val zeroKey = pmod(col("_len"), lit(1)).cast("int")
-    val shortSide = base.filter(col("_len") < tp1).withColumn("_k", zeroKey)
-    val shortPairs = shortSide
-      .select(col("_k"), col("_id").as("id_a"), col("_txt").as("_ta"))
-      .join(shortSide.select(col("_k"), col("_id").as("id_b"),
-        col("_txt").as("_tb")), Seq("_k"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("_ta"), col("_tb"))
-    // A short string can also pair with a long one when t allows
-    // (len diff <= t): probing short strings against long chunks is
-    // unnecessary — |len diff| <= t and len_short < t+1 means
-    // len_long < 2t+2, so route the small-long fringe into the same
-    // bounded bucket.
-    val fringe = base.filter(col("_len") >= tp1 && col("_len") < 2 * t + 2)
+    // Sub-(t+1)-char strings: the all-pairs comparison runs over
+    // DISTINCT texts only (genuinely alphabet^t-bounded — row
+    // multiplicity must not drive it: a corpus with 10M empty docs has
+    // ONE distinct short text, not 10M rows on one join key), then
+    // expands to id pairs through membership joins, whose output is the
+    // true answer size. The distinct-side join uses a DATA-DERIVED
+    // always-zero EQUI key (pmod(len, 1)): a raw inequality condition
+    // would plan a nested-loop join (banned by the suite plan audit),
+    // and a literal key constant-folds back into one.
+    val zeroKey = pmod(length(col("ta")), lit(1)).cast("int")
+    val shortMembers = base.filter(col("_len") < tp1)
+      .select(col("_id"), col("_txt").as("ta"))
+    val shortDistinct = shortMembers.select(col("ta")).distinct()
       .withColumn("_k", zeroKey)
-    val crossPairs = shortSide
-      .select(col("_k"), col("_id").as("id_a"), col("_txt").as("_ta"))
-      .join(fringe.select(col("_k"), col("_id").as("id_b"),
-        col("_txt").as("_tb")), Seq("_k"))
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        when(col("id_a") < col("id_b"), col("_ta")).otherwise(col("_tb"))
-          .as("_ta"),
-        when(col("id_a") < col("id_b"), col("_tb")).otherwise(col("_ta"))
-          .as("_tb"))
-      .dropDuplicates("id_a", "id_b")
+    // Fringe: a short string can also pair with a long one when t allows
+    // (|len diff| <= t and len_short < t+1 force len_long < 2t+2).
+    val fringeMembers = base
+      .filter(col("_len") >= tp1 && col("_len") < 2 * t + 2)
+      .select(col("_id"), col("_txt").as("ta"))
+    val fringeDistinct = fringeMembers.select(col("ta")).distinct()
+      .withColumn("_k", zeroKey)
+    // Distinct-text candidate pairs within/over the bucket, verified
+    // immediately (distinct² work, alphabet-bounded).
+    val shortShort = shortDistinct
+      .join(shortDistinct.select(col("ta").as("tb"), col("_k")), Seq("_k"))
+      .filter(col("ta") < col("tb"))
+    // short×fringe: lengths differ so texts always differ, and each
+    // unordered pair appears exactly once — no text-order filter (one
+    // would DROP pairs whose fringe text sorts below the short text).
+    val shortFringe = shortDistinct
+      .join(fringeDistinct.select(col("ta").as("tb"), col("_k")), Seq("_k"))
+    val textPairs = shortShort.unionByName(shortFringe)
+      .filter(levenshtein(col("ta"), col("tb")) <= t)
+      .select(col("ta"), col("tb"),
+        levenshtein(col("ta"), col("tb")).as("_d"))
+    val bucketMembers = shortMembers.unionByName(fringeMembers)
+    // Expand distinct-text pairs to id pairs (output-sized), both text
+    // orders normalized to id_a < id_b.
+    val crossTextPairs = textPairs
+      .join(bucketMembers.select(col("ta"), col("_id").as("_ia")), "ta")
+      .join(bucketMembers.select(col("ta").as("tb"),
+        col("_id").as("_ib")), "tb")
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"), col("_d"))
+      .filter(col("id_a") < col("id_b"))
+    // Identical texts inside the bucket: dist-0 pairs through a
+    // TEXT-keyed self-join — hot only when one text truly repeats, which
+    // is the output size itself (exact-dedup upstream if unwanted).
+    val samePairs = shortMembers
+      .join(shortMembers.select(col("ta"), col("_id").as("_ib")), "ta")
+      .filter(col("_id") < col("_ib"))
+      .select(col("_id").as("id_a"), col("_ib").as("id_b"),
+        lit(0).as("_d"))
 
-    longPairs.unionByName(shortPairs).unionByName(crossPairs)
+    longPairs
       .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
       .filter(col("dist") <= t)
       .select(col("id_a"), col("id_b"), col("dist").cast("bigint").as("dist"))
+      .unionByName(crossTextPairs.select(col("id_a"), col("id_b"),
+        col("_d").cast("bigint").as("dist")))
+      .unionByName(samePairs.select(col("id_a"), col("id_b"),
+        col("_d").cast("bigint").as("dist")))
       .dropDuplicates("id_a", "id_b")
   }
 

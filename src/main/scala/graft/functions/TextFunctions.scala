@@ -30,6 +30,14 @@ object TextFunctions {
   /** Whitespace token count (the BPE-ish regex variant is `tokenCountRegex`). */
   def tokenCount(c: Column): Column = size(split(c, " "))
 
+  /** Lowercased alphanumeric word tokens — the shared tokenizer of the
+    * oracle-mirrored overlap/co-occurrence ops ([[graft.ops.TextSim]],
+    * [[graft.ops.Cooccur]]); ONE definition so the Scala side and the
+    * DuckDB replay strings cannot drift apart per-op. */
+  def alnumTokens(c: Column): Column =
+    filter(split(lower(regexp_replace(c, "[^A-Za-z0-9]+", " ")), " "),
+      t => length(t) > 0)
+
   /** BPE-ish token estimate: count word pieces and digits/punctuation runs,
     * approximating subword tokenizers without a vocab (offline container). */
   def tokenCountRegex(c: Column): Column =

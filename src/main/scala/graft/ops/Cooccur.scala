@@ -23,8 +23,7 @@ import org.apache.spark.sql.functions._
 object Cooccur {
 
   private def tokens(c: Column): Column =
-    filter(split(lower(regexp_replace(c, "[^A-Za-z0-9]+", " ")), " "),
-      t => length(t) > 0)
+    graft.functions.TextFunctions.alnumTokens(c)
 
   /** Co-occurrence PMI table: (x, y, n_xy, n_x, n_y, pmi) for unordered
     * pairs (x <= y) with n_xy >= minCount, counting each (position,
@@ -32,8 +31,12 @@ object Cooccur {
   def pmi(df: DataFrame, textCol: String, window: Int,
       minCount: Long = 1L): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val toks = df.select(tokens(col(textCol)).as("_toks"))
-      .filter(size(col("_toks")) >= 2)
+    // Tokenize ONCE (persisted): pair counts, unigram counts, and the
+    // scalars all read the cached arrays — without this the corpus is
+    // re-scanned and re-tokenized per consumer (3 extra full passes).
+    val toks = graft.core.PersistScope.register(
+      df.select(tokens(col(textCol)).as("_toks"))
+        .filter(size(col("_toks")) >= 2).persist())
     // (pos, d) slots: partner = toks[pos + d]; row-local indexing.
     val slots = toks
       .select(col("_toks"), posexplode(col("_toks")).as(Seq("_p", "_x")))
@@ -49,10 +52,16 @@ object Cooccur {
       .filter(col("n_xy") >= minCount)
     val uni = toks.select(explode(col("_toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n_tok"))
-    val nPairsRow = slots.agg(count(lit(1))).head()
-    val nToksRow = toks.agg(coalesce(sum(size(col("_toks"))), lit(0L))).head()
-    val nPairs = math.max(nPairsRow.getLong(0), 1L)
-    val nToks = math.max(nToksRow.getLong(0), 1L)
+    // Both scalars from ONE action: slot count has the closed form
+    // Σ_d max(0, len − d), so no separate pass over the exploded slots.
+    val slotsPerRow = (1 to window)
+      .map(d => greatest(size(col("_toks")) - d, lit(0)).cast("long"))
+      .reduce(_ + _)
+    val scalars = toks.agg(
+      coalesce(sum(slotsPerRow), lit(0L)).as("_np"),
+      coalesce(sum(size(col("_toks"))), lit(0L)).as("_nt")).head()
+    val nPairs = math.max(scalars.getLong(0), 1L)
+    val nToks = math.max(scalars.getLong(1), 1L)
     pairs
       .join(uni.select(col("tok").as("x"), col("n_tok").as("n_x")), "x")
       .join(uni.select(col("tok").as("y"), col("n_tok").as("n_y")), "y")

@@ -53,7 +53,9 @@ object Fim {
     require(spmRate >= 0 && spmRate <= 1,
       s"spmRate must be in [0,1], got $spmRate")
     val id = col(idCol)
-    val text = col(textCol)
+    // null text coalesces to '' (the sibling-op convention): a selected
+    // row must never report fim_applied=true with a null payload.
+    val text = coalesce(col(textCol), lit(""))
     val len = length(text)
     val applied = h(id, seed, "apply") % 1000000L <
       lit(math.round(rate * 1e6))

@@ -51,7 +51,8 @@ object LineClean {
     * `n_lines` / `n_kept_lines` audit counts. */
   def apply(df: DataFrame, textCol: String, cfg: Config = Config(),
       outCol: String = "text_clean"): DataFrame = {
-    val lines = split(col(textCol), "\n")
+    // null text coalesces to '' so text_clean/n_lines never go null
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
     val kept = filter(lines, l => lineKeep(l, cfg))
     df.withColumn(outCol, array_join(kept, "\n"))
       .withColumn("n_lines", size(lines).cast("bigint"))

@@ -47,14 +47,23 @@ object MarkdownTables {
     val blocks = filter(split(array_join(marked, "\n"), RS),
       b => length(b) > 0)
     // A block's table = its LEADING table lines; valid iff line 2 is the
-    // GFM delimiter row (only | - : and spaces) and a header line exists.
+    // GFM delimiter row — EVERY cell must be `:?-+:?` (a lax any-mix-of-
+    // dash/colon/space check would validate prose blocks real Markdown
+    // renderers reject).
+    def delimCells(line: Column): Column = transform(
+      split(regexp_replace(regexp_replace(line,
+        "^\\s*\\|", ""), "\\|\\s*$", ""), "\\|"),
+      c => trim(c))
     val tables = filter(
       transform(blocks, b =>
         filter(split(b, "\n"), l => isTableLine(l))),
-      t => size(t) >= 2 &&
-        isTableLine(coalesce(get(t, lit(0)), lit(""))) &&
-        coalesce(get(t, lit(1)), lit("")).rlike("^[\\s|:\\-]+$") &&
-        coalesce(get(t, lit(1)), lit("")).contains("-"))
+      t => {
+        val d = coalesce(get(t, lit(1)), lit(""))
+        size(t) >= 2 &&
+          isTableLine(coalesce(get(t, lit(0)), lit(""))) &&
+          isTableLine(d) &&
+          forall(delimCells(d), c => c.rlike("^:?-+:?$"))
+      })
     // Keep only the CONTIGUOUS leading run: filter(split(b)) above would
     // also swallow a second table in the same block — impossible, since
     // every run start opens a new block by construction.

@@ -157,19 +157,31 @@ object Profile {
     } yield (cols(i), cols(j))
     def scaled(c: String) =
       round(col(c).cast("double") * 1e6).cast("decimal(38,0)")
-    val zero = lit(java.math.BigDecimal.ZERO)
     val aggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
       val both = col(a).isNotNull && col(b).isNotNull
       def s(e: org.apache.spark.sql.Column, name: String) =
-        coalesce(sum(when(both, e)), zero).as(s"_${name}_$k")
+        sum(when(both, e)).as(s"_${name}_$k")
       Seq(sum(when(both, 1L).otherwise(0L)).as(s"_n_$k"),
         s(scaled(a), "sx"), s(scaled(b), "sy"),
         s(scaled(a) * scaled(a), "sxx"), s(scaled(b) * scaled(b), "syy"),
         s(scaled(a) * scaled(b), "sxy"))
     }
     val m = df.agg(aggs.head, aggs.tail: _*).head()
-    def d(name: String, k: Int) =
-      m.getAs[java.math.BigDecimal](s"_${name}_$k").doubleValue()
+    def d(name: String, k: Int) = {
+      val i = m.fieldIndex(s"_${name}_$k")
+      // A null sum with n > 0 means DECIMAL(38,0) OVERFLOWED (values
+      // beyond ~1e12 after the ×1e6 scaling): fail loudly — a coalesce
+      // here would silently zero the statistics ("exact" turning into
+      // garbage is worse than an error telling the caller to pre-scale).
+      if (m.isNullAt(i)) {
+        if (m.getAs[Long](s"_n_${k}") > 0)
+          throw new IllegalStateException(
+            s"correlationMatrix: moment sum ${name}_$k overflowed " +
+              "DECIMAL(38,0) — pre-scale the column (values must stay " +
+              "below ~1e12 in magnitude)")
+        0.0
+      } else m.getAs[java.math.BigDecimal](i).doubleValue()
+    }
     val rows = pairs.zipWithIndex.map { case ((a, b), k) =>
       val n = m.getAs[Long](s"_n_$k").toDouble
       val (sx, sy) = (d("sx", k), d("sy", k))

@@ -38,10 +38,13 @@ object RobotsTxt {
       emptyRules.as("rules"))
     val folded = aggregate(lines, zero, (acc, raw) => {
       val line = trim(regexp_replace(raw, "#.*$", ""))
+      val hasColon = line.contains(":")
       val field = lower(trim(substring_index(line, ":", 1)))
-      val value = trim(substring_index(line, ":", -1))
-      // "a:b:c" -> substring_index(-1) keeps only "c"; robots VALUES
-      // never contain ':' except in full URLs (Sitemap), which we skip.
+      // Everything after the FIRST colon (paths may legally contain ':'
+      // — 'Disallow: /api:v2/' must keep '/api:v2/'); a colon-less line
+      // has no value and can never fabricate a rule.
+      val value = when(hasColon,
+        trim(regexp_replace(line, "^[^:]*:", ""))).otherwise(lit(""))
       val agents = acc.getField("agents")
       val inRun = acc.getField("inRun")
       val rules = acc.getField("rules")
@@ -126,13 +129,16 @@ object RobotsTxt {
       regexp_like(col(pathCol), patternRegex(col("_rprefix")))
     val score = when(matched, length(col("_rprefix"))).otherwise(lit(-1))
     val allowInt = when(col("_rallow"), lit(1)).otherwise(lit(0))
-    joined.groupBy(col(idCol), col(hostCol), col(pathCol))
+    // Verdict keyed by idCol alone (the row key), joined BACK onto the
+    // input so every url column survives and duplicate ids fan out
+    // instead of collapsing — the appends-columns contract.
+    val verdict = joined.groupBy(col(idCol))
       .agg(max(struct(score.as("s"), allowInt.as("a"),
         coalesce(col("_rprefix"), lit("")).as("p"))).as("_best"))
-      .withColumn("allowed",
-        col("_best.s") < 0 || col("_best.a") === 1)
-      .withColumn("matched_rule",
-        when(col("_best.s") < 0, lit("")).otherwise(col("_best.p")))
-      .drop("_best")
+      .select(col(idCol),
+        (col("_best.s") < 0 || col("_best.a") === 1).as("allowed"),
+        when(col("_best.s") < 0, lit("")).otherwise(col("_best.p"))
+          .as("matched_rule"))
+    urls.join(verdict, Seq(idCol), "left")
   }
 }

@@ -56,16 +56,27 @@ object ScoreEnsemble {
       round(col(c).cast("double") * 1e6).cast("decimal(38,0)")
     val aggs = scoreCols.flatMap { c =>
       Seq(count(col(c)).as(s"_n_$c"),
-        coalesce(sum(scaled(c)), lit(java.math.BigDecimal.ZERO))
-          .as(s"_s_$c"),
-        coalesce(sum(scaled(c) * scaled(c)), lit(java.math.BigDecimal.ZERO))
-          .as(s"_ss_$c"))
+        sum(scaled(c)).as(s"_s_$c"),
+        sum(scaled(c) * scaled(c)).as(s"_ss_$c"))
     }
     val m = df.agg(aggs.head, aggs.tail: _*).head()
+    def dec(name: String, c: String): Double = {
+      val i = m.fieldIndex(s"_${name}_$c")
+      // null sum + rows present = DECIMAL(38,0) overflow: fail loudly
+      // instead of silently zeroing the moments (see Profile
+      // .correlationMatrix, same discipline).
+      if (m.isNullAt(i)) {
+        if (m.getAs[Long](s"_n_$c") > 0)
+          throw new IllegalStateException(
+            s"zscore: moment sum ${name}($c) overflowed DECIMAL(38,0) — " +
+              "pre-scale the signal (values must stay below ~1e12)")
+        0.0
+      } else m.getAs[java.math.BigDecimal](i).doubleValue()
+    }
     val stats = scoreCols.map { c =>
       val n = m.getAs[Long](s"_n_$c").toDouble
-      val s = m.getAs[java.math.BigDecimal](s"_s_$c").doubleValue()
-      val ss = m.getAs[java.math.BigDecimal](s"_ss_$c").doubleValue()
+      val s = dec("s", c)
+      val ss = dec("ss", c)
       val mean = if (n > 0) s / n else 0.0
       val variance = if (n > 0) math.max(ss / n - mean * mean, 0.0) else 0.0
       c -> (mean, math.sqrt(variance))

@@ -21,10 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object TextSim {
 
-  /** Lowercased alphanumeric word tokens. */
+  /** Lowercased alphanumeric word tokens (shared with [[Cooccur]]). */
   private def tokens(c: Column): Column =
-    filter(split(lower(regexp_replace(c, "[^A-Za-z0-9]+", " ")), " "),
-      t => length(t) > 0)
+    graft.functions.TextFunctions.alnumTokens(c)
 
   /** Word n-grams as space-joined strings; empty array when the text has
     * fewer than n tokens (guarding Spark's descending sequence(1, 0)). */

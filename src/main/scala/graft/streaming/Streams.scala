@@ -86,14 +86,19 @@ object Streams {
       reference: Map[String, Long]): DataFrame = {
     require(reference.nonEmpty, "driftByWindow needs a non-empty reference")
     val refTotal = reference.values.map(_.toDouble).sum
+    // Actually broadcast (not closure-capture — a months-of-crawl
+    // reference map is tens of MB that must ship once per executor, not
+    // inside every micro-batch's task binaries).
+    val refB = events.sparkSession.sparkContext.broadcast(reference)
     val js = udf((toks: Seq[String]) => {
+      val ref = refB.value
       val wc = toks.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
       val wTotal = toks.size.toDouble
-      val vocab = (wc.keySet ++ reference.keySet).toSeq
+      val vocab = (wc.keySet ++ ref.keySet).toSeq
       val v = vocab.size.toDouble
       val sum = vocab.iterator.map { tok =>
         val p = (wc.getOrElse(tok, 0.0) + 1.0) / (wTotal + v)
-        val q = (reference.getOrElse(tok, 0L).toDouble + 1.0) / (refTotal + v)
+        val q = (ref.getOrElse(tok, 0L).toDouble + 1.0) / (refTotal + v)
         val m = (p + q) / 2.0
         p * math.log(p / m) * 0.5 + q * math.log(q / m) * 0.5
       }.sum

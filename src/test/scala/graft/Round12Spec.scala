@@ -1417,6 +1417,64 @@ class Round12Spec extends SparkSpec {
     assert(viaYaml.columns.contains("sb_nll") && viaYaml.count() == 3)
   }
 
+  // --------------------------------------------- review-pass regressions
+
+  test("robots: colon-bearing paths survive; bare field lines are inert") {
+    val schema = StructType(Seq(StructField("host", StringType),
+      StructField("body", StringType)))
+    val d = df(schema, Row("h",
+      "User-agent: *\nDisallow: /api:v2/\nDisallow\nAllow: /api:v2/ok"))
+    val rules = graft.ops.RobotsTxt.parseRules(d, "host", "body")
+      .collect().map(r => (r.getBoolean(2), r.getString(3))).toSet
+    // the FULL path after the first colon, and no fabricated rule from
+    // the colon-less 'Disallow' line
+    assert(rules == Set((false, "/api:v2/"), (true, "/api:v2/ok")))
+    val urls = df(StructType(Seq(StructField("id", LongType),
+      StructField("host", StringType), StructField("path", StringType),
+      StructField("priority", LongType))),
+      Row(1L, "h", "/api:v2/secret", 9L), Row(2L, "h", "/api:v2/ok", 5L))
+    val out = graft.ops.RobotsTxt.isAllowed(urls, "id", "host", "path",
+      graft.ops.RobotsTxt.parseRules(d, "host", "body"), "bot")
+      .orderBy("id").collect()
+    // extra url columns survive the verdict join-back
+    assert(out.head.schema.fieldNames.contains("priority"))
+    assert(!out(0).getBoolean(out(0).fieldIndex("allowed")))
+    assert(out(1).getBoolean(out(1).fieldIndex("allowed")))
+  }
+
+  test("edit pairs: identical-text multiplicity stays distinct-bounded") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    // 6 identical empty strings + 3 identical short + 1 fringe + 1 long
+    val rows = (1L to 6L).map(Row(_, "")) ++
+      (7L to 9L).map(Row(_, "ab")) ++ Seq(Row(10L, "abc"), Row(11L, "xyzq"))
+    val d = df(schema, rows: _*)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val data = rows.map(r => (r.getLong(0), r.getString(1)))
+    val expected = (for {
+      (ia, sa) <- data; (ib, sb) <- data
+      if ia < ib && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    val got = graft.dedup.EditDedup.pairs(d, "id", "s", t = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.contains((1L, 2L, 0L)))   // identical empties pair
+    assert(expected.contains((7L, 10L, 1L)))  // short-fringe
+  }
+
   // ------------------------------------------------ compact round-trip
 
   test("compact: run preserves content and hits the target layout") {
