@@ -64,7 +64,9 @@ object BradleyTerry {
 
     var ratings = wins.select(col("item"), lit(1.0).as("_p"))
       .localCheckpoint()
-    for (_ <- 1 to nIter) {
+    var iter = 0
+    var converged = false
+    while (iter < nIter && !converged) {
       val withP = pairs
         .join(ratings.select(col("item").as("_x"), col("_p").as("_px")),
           "_x")
@@ -75,11 +77,23 @@ object BradleyTerry {
         .select(col("_x").as("item"), col("_den"))
         .unionByName(withP.select(col("_y").as("item"), col("_den")))
         .groupBy("item").agg(sum(col("_den")).as("_d"))
-      ratings = wins.join(dens, "item")
+      val next = wins.join(dens, "item")
         .select(col("item"),
           when(col("_d") > 0, col("wins").cast("double") / col("_d"))
             .otherwise(lit(0.0)).as("_p"))
         .localCheckpoint()
+      // Early stop at the fixed point: one cheap agg over the two
+      // checkpointed rating tables per iteration buys skipping every
+      // remaining (2-join + agg + checkpoint) round — MM on 2-item
+      // components converges after ONE step, and well-separated graphs
+      // converge in a handful.
+      val delta = next.join(ratings.select(col("item"),
+        col("_p").as("_prev")), "item")
+        .agg(coalesce(max(abs(col("_p") - col("_prev"))), lit(0.0)))
+        .head().getDouble(0)
+      ratings = next
+      converged = delta < 1e-9
+      iter += 1
     }
     val ranked = RankOp.withGlobalRank(
       wins.join(ratings, "item")
