@@ -6595,6 +6595,61 @@ object Queries {
         FROM tok GROUP BY 1""")
     ),
     (
+      // Skip-gram pair export: positives from a ±2 window plus TWO
+      // seeded negatives per slot drawn from the unigram^0.75 table —
+      // the oracle replays the md5 hash landing in the cumulative-weight
+      // ranges, so the EXACT sampled tokens must match (not just
+      // counts): full SGNS training-set determinism, cross-engine.
+      "q214_skipgram_pairs",
+      (s: SparkSession, dir: String) =>
+        graft.ops.SkipGram.pairs(
+          t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", window = 2, negatives = 2, seed = 0L),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split(
+                   regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                   ' '), x -> x <> '') AS t
+          FROM documents WHERE doc_id % 5 = 0),
+        tok2 AS (SELECT * FROM tok WHERE len(t) >= 2),
+        wt AS (
+          SELECT w AS tk,
+                 greatest(floor(pow(count(*)::DOUBLE, 0.75)), 1)::BIGINT
+                   AS w
+          FROM (SELECT unnest(t) AS w FROM tok2) GROUP BY 1),
+        cum AS (
+          SELECT tk, w,
+                 coalesce(sum(w) OVER (ORDER BY tk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   ::BIGINT AS lo,
+                 sum(w) OVER (ORDER BY tk)::BIGINT AS hi
+          FROM wt),
+        tot AS (SELECT sum(w)::BIGINT AS total FROM wt),
+        slots AS (
+          SELECT doc_id AS id, (p - 1)::BIGINT AS pos, o::BIGINT AS off,
+                 t[p] AS center, t[p + o] AS ctx
+          FROM tok2, UNNEST(range(1, len(t) + 1)) AS tp(p),
+               UNNEST([-2, -1, 1, 2]) AS tof(o)
+          WHERE p + o >= 1 AND p + o <= len(t)),
+        pos_rows AS (
+          SELECT id, pos, off, 0::BIGINT AS j, center,
+                 ctx AS context, 1::BIGINT AS label
+          FROM slots),
+        negs AS (
+          SELECT s.id, s.pos, s.off, jj.j::BIGINT AS j, s.center,
+                 (('0x' || substr(md5(
+                    s.id::VARCHAR || ':' || s.pos::VARCHAR || ':' ||
+                    s.off::VARCHAR || ':' || jj.j::VARCHAR || ':0'),
+                    1, 15))::BIGINT % (SELECT total FROM tot)) AS h
+          FROM slots s, UNNEST([1, 2]) AS jj(j)),
+        neg_rows AS (
+          SELECT id, pos, off, j, center, cum.tk AS context,
+                 0::BIGINT AS label
+          FROM negs JOIN cum ON negs.h >= cum.lo AND negs.h < cum.hi)
+        SELECT * FROM pos_rows UNION ALL SELECT * FROM neg_rows""")
+    ),
+    (
       // Best-fit-decreasing packing: 7 groups each carrying exactly the
       // length multiset {6,5,4,3,2} under budget 10 — BFD's assignment
       // {6,4} / {5,3,2} is hand-derivable per row (6→pack0, 5→pack1,

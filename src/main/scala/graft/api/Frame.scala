@@ -377,6 +377,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       lgK: Int = 12): Frame =
     next(DistinctSketch.build(df, sliceCol, valueExpr, lgK))
   def mergeSketches(): Frame = next(DistinctSketch.merge(df))
+  def skipgramPairs(idCol: String, textCol: String, window: Int = 2,
+      negatives: Int = 2, seed: Long = 0L): Frame =
+    next(SkipGram.pairs(df, idCol, textCol, window, negatives, seed))
   def trainEmbeddings(textCol: String, dim: Int = 64, minCount: Int = 2,
       maxIter: Int = 1, seed: Long = 42L, window: Int = 5): Frame =
     next(EmbedTrain.word2vec(df, textCol, dim, minCount, maxIter, seed,

@@ -442,6 +442,10 @@ final case class LazyFrame(
       "value_expr" -> valueExpr, "lg_k" -> lgK)
   def mergeSketches(): LazyFrame =
     append("distinct_sketch", "mode" -> "merge")
+  def skipgramPairs(idKey: String, textKey: String, window: Int = 2,
+      negatives: Int = 2, seed: Long = 0L): LazyFrame =
+    append("skipgram_pairs", "id_key" -> idKey, "text_key" -> textKey,
+      "window" -> window, "negatives" -> negatives, "seed" -> seed)
   def trainEmbeddings(textKey: String, dim: Int = 64, minCount: Int = 2,
       maxIter: Int = 1, seed: Long = 42L, window: Int = 5): LazyFrame =
     append("train_embeddings", "text_key" -> textKey, "dim" -> dim,

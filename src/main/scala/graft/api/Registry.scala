@@ -1197,6 +1197,13 @@ object Registry {
         s"distinct_sketch mode must be build|merge, got '$other'")
     }
   }
+  // Skip-gram training-pair export with seeded negative sampling
+  // (§2.14 embedding family).
+  register("skipgram_pairs") { (df, c, _) =>
+    SkipGram.pairs(df, c("id_key").str, c("text_key").str,
+      c.intOr("window", 2), c.intOr("negatives", 2),
+      c.get("seed").map(_.long).getOrElse(0L), c.dblOr("alpha", 0.75))
+  }
   // Word2Vec training (§2.14 embedding family): emits the portable
   // (token, vector) table; doc_vectors pools it without MLlib.
   register("train_embeddings") { (df, c, _) =>

@@ -1475,6 +1475,41 @@ class Round12Spec extends SparkSpec {
     assert(expected.contains((7L, 10L, 1L)))  // short-fringe
   }
 
+  // ------------------------------------------------------- skipgram
+
+  test("skipgram: window shape, label split, seeded determinism") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val d = df(schema, Row(1L, "a b c d"), Row(2L, "x"))
+    val out = graft.ops.SkipGram.pairs(d, "id", "text", window = 1,
+      negatives = 2, seed = 7L)
+    // doc2 has one token: no slots. doc1: 3 interior adjacencies x 2
+    // directions = 6 positives, 12 negatives
+    assert(out.filter(col("label") === 1).count() == 6)
+    assert(out.filter(col("label") === 0).count() == 12)
+    val pos = out.filter(col("label") === 1)
+      .select("center", "context").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pos == Set(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c")))
+    // negatives come from the corpus vocabulary and replay identically
+    val vocab = Set("a", "b", "c", "d", "x")
+    val negs = out.filter(col("label") === 0).select("context")
+      .collect().map(_.getString(0))
+    assert(negs.forall(vocab.contains))
+    val again = graft.ops.SkipGram.pairs(d, "id", "text", 1, 2, 7L)
+      .collect().map(_.toSeq).toSet
+    assert(again == out.collect().map(_.toSeq).toSet)
+    // different seed -> (almost surely) different samples, same shape
+    val other = graft.ops.SkipGram.pairs(d, "id", "text", 1, 2, 8L)
+    assert(other.count() == 18)
+    val yaml = graft.api.Registry("skipgram_pairs")(d,
+      graft.api.Conf.fromYaml(
+        "type: skipgram_pairs\nid_key: id\ntext_key: text\nwindow: 1\n" +
+          "negatives: 1"), null)
+    assert(yaml.count() == 12)
+  }
+
   // ------------------------------------------------ compact round-trip
 
   test("compact: run preserves content and hits the target layout") {
