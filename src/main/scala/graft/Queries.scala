@@ -6595,6 +6595,31 @@ object Queries {
         FROM tok GROUP BY 1""")
     ),
     (
+      // Run-length collapse over the real event log: one row per maximal
+      // run of consecutive equal event types per user — the burst
+      // summarizer; the oracle replays the gaps-and-islands derivation.
+      "q215_event_runs",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Runs.collapse(t(s, dir, "events"), "user_id", "ts",
+          "event_type", "event_id"),
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,
+                 CASE WHEN lag(event_type, 1) OVER w IS NULL
+                        OR lag(event_type, 1) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        r AS (
+          SELECT user_id, event_type, tsu,
+                 sum(chg) OVER (PARTITION BY user_id
+                   ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS run
+          FROM g)
+        SELECT user_id, event_type, min(tsu)::BIGINT AS run_start,
+               max(tsu)::BIGINT AS run_end, count(*)::BIGINT AS n_events
+        FROM r GROUP BY user_id, event_type, run""")
+    ),
+    (
       // Skip-gram pair export: positives from a ±2 window plus TWO
       // seeded negatives per slot drawn from the unigram^0.75 table —
       // the oracle replays the md5 hash landing in the cumulative-weight

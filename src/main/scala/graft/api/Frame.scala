@@ -377,6 +377,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       lgK: Int = 12): Frame =
     next(DistinctSketch.build(df, sliceCol, valueExpr, lgK))
   def mergeSketches(): Frame = next(DistinctSketch.merge(df))
+  def runsCollapse(keyCol: String, orderCol: String, valueCol: String,
+      tieCol: String): Frame =
+    next(Runs.collapse(df, keyCol, orderCol, valueCol, tieCol))
   def skipgramPairs(idCol: String, textCol: String, window: Int = 2,
       negatives: Int = 2, seed: Long = 0L): Frame =
     next(SkipGram.pairs(df, idCol, textCol, window, negatives, seed))

@@ -442,6 +442,10 @@ final case class LazyFrame(
       "value_expr" -> valueExpr, "lg_k" -> lgK)
   def mergeSketches(): LazyFrame =
     append("distinct_sketch", "mode" -> "merge")
+  def runsCollapse(key: String, orderKey: String, valueKey: String,
+      tieBreak: String): LazyFrame =
+    append("runs", "key" -> key, "order_key" -> orderKey,
+      "value_key" -> valueKey, "tie_break" -> tieBreak)
   def skipgramPairs(idKey: String, textKey: String, window: Int = 2,
       negatives: Int = 2, seed: Long = 0L): LazyFrame =
     append("skipgram_pairs", "id_key" -> idKey, "text_key" -> textKey,

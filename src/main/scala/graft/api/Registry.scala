@@ -1197,6 +1197,11 @@ object Registry {
         s"distinct_sketch mode must be build|merge, got '$other'")
     }
   }
+  // Run-length collapse over ordered events (§2.14 temporal family).
+  register("runs") { (df, c, _) =>
+    Runs.collapse(df, c("key").str, c("order_key").str,
+      c("value_key").str, c("tie_break").str)
+  }
   // Skip-gram training-pair export with seeded negative sampling
   // (§2.14 embedding family).
   register("skipgram_pairs") { (df, c, _) =>

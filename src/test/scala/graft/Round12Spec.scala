@@ -1510,6 +1510,30 @@ class Round12Spec extends SparkSpec {
     assert(yaml.count() == 12)
   }
 
+  // ----------------------------------------------------------- runs
+
+  test("runs: islands per key, singleton runs, value reappearance") {
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("t", LongType), StructField("v", StringType),
+      StructField("e", LongType)))
+    val d = df(schema,
+      Row(1L, 10L, "a", 1L), Row(1L, 20L, "a", 2L), Row(1L, 30L, "b", 3L),
+      Row(1L, 40L, "a", 4L),   // 'a' reappears -> NEW run, not merged
+      Row(2L, 10L, "x", 5L))
+    val out = graft.ops.Runs.collapse(d, "k", "t", "v", "e")
+      .orderBy("k", "run_start").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, "a", 10L, 20L, 2L), (1L, "b", 30L, 30L, 1L),
+      (1L, "a", 40L, 40L, 1L), (2L, "x", 10L, 10L, 1L)))
+    val yaml = graft.api.Registry("runs")(d,
+      graft.api.Conf.fromYaml(
+        "type: runs\nkey: k\norder_key: t\nvalue_key: v\ntie_break: e"),
+      null)
+    assert(yaml.count() == 4)
+  }
+
   // ------------------------------------------------ compact round-trip
 
   test("compact: run preserves content and hits the target layout") {
