@@ -6595,6 +6595,41 @@ object Queries {
         FROM tok GROUP BY 1""")
     ),
     (
+      // Dedup audit trail: the q201 fixture through the audit form — every
+      // row reports (kept, survivor_id), the "why did my document
+      // disappear" answer; the oracle derives the closed-form survivor
+      // mapping (longest variant wins, min id ties).
+      "q216_edit_audit",
+      (s: SparkSession, dir: String) => {
+        val alpha = lit("abcdefghijklmnopqrstuvwxyz")
+        val m = (col("doc_id") / 7).cast("bigint")
+        val base = substring(alpha, ((m % 5) * 3 + 1).cast("int"), lit(12))
+        val v = m % 3
+        val fixture = t(s, dir, "documents")
+          .filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            when(v === 0, base)
+              .when(v === 1, concat(substring(base, lit(1), lit(3)),
+                lit("z"), substring(base, lit(5), lit(8))))
+              .otherwise(concat(base, lit("q"))).as("s"))
+        graft.dedup.EditDedup.audit(fixture, "doc_id", "s", t = 2)
+          .select(col("doc_id"), col("survivor_id"), col("kept"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, (doc_id // 7) % 5 AS g, (doc_id // 7) % 3 AS v
+          FROM documents WHERE doc_id % 7 = 0),
+        best AS (
+          SELECT g,
+                 CASE WHEN count(*) FILTER (WHERE v = 2) > 0
+                      THEN min(doc_id) FILTER (WHERE v = 2)
+                      ELSE min(doc_id) END AS keep
+          FROM f GROUP BY g)
+        SELECT f.doc_id, best.keep AS survivor_id,
+               (f.doc_id = best.keep) AS kept
+        FROM f JOIN best USING (g)""")
+    ),
+    (
       // Run-length collapse over the real event log: one row per maximal
       // run of consecutive equal event types per user — the burst
       // summarizer; the oracle replays the gaps-and-islands derivation.

@@ -367,6 +367,12 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def editKeepBest(idCol: String, textCol: String, t: Int,
       qualityExpr: String = ""): Frame =
     next(graft.dedup.EditDedup.keepBest(df, idCol, textCol, t, qualityExpr))
+  def editAudit(idCol: String, textCol: String, t: Int,
+      qualityExpr: String = ""): Frame =
+    next(graft.dedup.EditDedup.audit(df, idCol, textCol, t, qualityExpr))
+  def minhashAudit(idCol: String, textCol: String,
+      qualityExpr: String = ""): Frame =
+    next(graft.dedup.MinHashDedup.audit(df, idCol, textCol, qualityExpr))
   def sbTrain(textCol: String): Frame =
     next(StupidBackoff.trainModel(df, textCol))
   def sbScore(idCol: String, textCol: String, model: Frame,

@@ -430,6 +430,15 @@ final case class LazyFrame(
     append("dedup", "method" -> "edit_keep_best", "id_key" -> idKey,
       "text_key" -> textKey, "threshold" -> threshold,
       "quality_expr" -> qualityExpr)
+  def editAudit(idKey: String, textKey: String, threshold: Int,
+      qualityExpr: String = ""): LazyFrame =
+    append("dedup", "method" -> "edit_audit", "id_key" -> idKey,
+      "text_key" -> textKey, "threshold" -> threshold,
+      "quality_expr" -> qualityExpr)
+  def minhashAudit(idKey: String, textKey: String,
+      qualityExpr: String = ""): LazyFrame =
+    append("dedup", "method" -> "minhash_audit", "id_key" -> idKey,
+      "text_key" -> textKey, "quality_expr" -> qualityExpr)
   def sbTrain(textKey: String): LazyFrame =
     append("sb_train", "text_key" -> textKey)
   def sbScore(idKey: String, textKey: String, model: String,

@@ -446,6 +446,15 @@ object Registry {
       case "edit_keep_best" => graft.dedup.EditDedup.keepBest(df,
         c("id_key").str, c("text_key").str, c.intOr("threshold", 2),
         c.strOr("quality_expr", ""))
+      case "edit_audit" => graft.dedup.EditDedup.audit(df,
+        c("id_key").str, c("text_key").str, c.intOr("threshold", 2),
+        c.strOr("quality_expr", ""))
+      case "minhash_audit" => graft.dedup.MinHashDedup.audit(df,
+        c("id_key").str, c("text_key").str, c.strOr("quality_expr", ""),
+        c.intOr("shingle_size", 3), c.intOr("num_perms", 64),
+        c.intOr("num_bands", 16), c.dblOr("threshold", 0.8),
+        c.get("max_bucket_size").map(_.int),
+        c.get("max_bucket_head").map(_.int))
       case m => throw new IllegalArgumentException(s"unknown dedup method $m")
     }
   }

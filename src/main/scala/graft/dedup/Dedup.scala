@@ -368,6 +368,33 @@ object MinHashDedup {
     keepBestByComponent(df, idCol, comp, quality)
   }
 
+  /** AUDIT form of [[keepBest]]: every row with (kept, survivor_id) —
+    * the removal trail curation runs owe their operators. Same pair
+    * generation and CC; the verdict joins back instead of anti-joining
+    * losers out. */
+  def audit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      qualityExpr: String = "",
+      shingleSize: Int = 3,
+      numPerms: Int = 64,
+      numBands: Int = 16,
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None,
+      maxBucketHead: Option[Int] = None): DataFrame = {
+    val quality =
+      if (qualityExpr.isEmpty) length(col(textCol)) else expr(qualityExpr)
+    val pairs = candidatePairs(df, idCol, textCol, shingleSize, numPerms,
+      numBands, jaccardThreshold, maxBucketSize, maxBucketHead)
+      .select("id_a", "id_b")
+    val verts = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val comp = graft.graph.ConnectedComponents.run(pairs, verts)
+      .withColumnRenamed("id", idCol)
+    keepBestAuditByComponent(df, idCol, comp, quality)
+  }
+
   /** Survivor selection shared by the keep-best dedup variants: rank ONLY
     * the rows that belong to a near-dup component and anti-join the losers
     * back out. The windowed sort touches just the duplicated subset (and
@@ -385,6 +412,30 @@ object MinHashDedup {
       .filter(col("_graft_rn") =!= 1)
       .select(idCol)
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** The AUDIT view of [[keepBestByComponent]] — the "why did my
+    * document disappear" trail a curation run owes its operators: every
+    * input row with (kept, survivor_id), survivor = the row keep-best
+    * keeps for this row's component (itself for unpaired rows). Same
+    * component-subset window + one join back — the audit costs what the
+    * dedup costs, plus nothing. */
+  private[dedup] def keepBestAuditByComponent(
+      df: DataFrame, idCol: String, comp: DataFrame,
+      quality: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(quality.desc, col(idCol).asc)
+    val full = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, org.apache.spark.sql.expressions.Window
+      .unboundedFollowing)
+    val verdict = df.join(comp, Seq(idCol))
+      .withColumn("_survivor", first(col(idCol)).over(full))
+      .select(col(idCol), col("_survivor"))
+    df.join(verdict, Seq(idCol), "left")
+      .withColumn("survivor_id",
+        coalesce(col("_survivor"), col(idCol)))
+      .withColumn("kept", col("survivor_id") === col(idCol))
+      .drop("_survivor")
   }
 }
 

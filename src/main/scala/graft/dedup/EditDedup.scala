@@ -153,6 +153,20 @@ object EditDedup {
     * the MinHash arm (never a full-corpus window). */
   def keepBest(df: DataFrame, idCol: String, textCol: String, t: Int,
       qualityExpr: String = ""): DataFrame = {
+    val (comp, quality) = components(df, idCol, textCol, t, qualityExpr)
+    MinHashDedup.keepBestByComponent(df, idCol, comp, quality)
+  }
+
+  /** AUDIT form of [[keepBest]]: every row with (kept, survivor_id) —
+    * the removal trail ("doc 41 was dropped for doc 17"). */
+  def audit(df: DataFrame, idCol: String, textCol: String, t: Int,
+      qualityExpr: String = ""): DataFrame = {
+    val (comp, quality) = components(df, idCol, textCol, t, qualityExpr)
+    MinHashDedup.keepBestAuditByComponent(df, idCol, comp, quality)
+  }
+
+  private def components(df: DataFrame, idCol: String, textCol: String,
+      t: Int, qualityExpr: String) = {
     val quality =
       if (qualityExpr.isEmpty) length(col(textCol)) else expr(qualityExpr)
     val prs = pairs(df, idCol, textCol, t).select("id_a", "id_b")
@@ -160,6 +174,6 @@ object EditDedup {
       .union(prs.select(col("id_b").as("id"))).distinct()
     val comp = graft.graph.ConnectedComponents.run(prs, verts)
       .withColumnRenamed("id", idCol)
-    MinHashDedup.keepBestByComponent(df, idCol, comp, quality)
+    (comp, quality)
   }
 }

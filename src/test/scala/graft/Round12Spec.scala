@@ -1534,6 +1534,45 @@ class Round12Spec extends SparkSpec {
     assert(yaml.count() == 4)
   }
 
+  // ---------------------------------------------------- dedup audit
+
+  test("dedup audit: kept/survivor trail agrees with keepBest") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val d = df(schema,
+      Row(1L, "abcdefghij"), Row(2L, "abcdefghijk"),
+      Row(3L, "abcdefghix"), Row(4L, "zzzzzzzzzz"),
+      Row(5L, "qqqq"), Row(6L, "qqqq"))
+    val audit = graft.dedup.EditDedup.audit(d, "id", "s", t = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("survivor_id")),
+          r.getBoolean(r.fieldIndex("kept")))).toMap
+    // consistency with keepBest's survivors (same fixture as the
+    // keep-best spec: cluster {1,2,3} -> 2; 4 unpaired; {5,6} -> 5)
+    assert(audit == Map(1L -> (2L, false), 2L -> (2L, true),
+      3L -> (2L, false), 4L -> (4L, true), 5L -> (5L, true),
+      6L -> (5L, false)))
+    val kept = graft.dedup.EditDedup.keepBest(d, "id", "s", 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(audit.filter(_._2._2).keySet == kept)
+    // minhash audit arm: near-identical long docs, same contract
+    val docs = df(schema,
+      Row(1L, "the quick brown fox jumps over the lazy dog again"),
+      Row(2L, "the quick brown fox jumps over the lazy dog again!"),
+      Row(3L, "completely different content with no shared shingles"))
+    val ma = graft.dedup.MinHashDedup.audit(docs, "id", "s",
+      jaccardThreshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        r.getBoolean(r.fieldIndex("kept"))).toMap
+    assert(ma(3L))
+    assert(Seq(ma(1L), ma(2L)).count(identity) == 1)
+    val yaml = graft.api.Registry("dedup")(d,
+      graft.api.Conf.fromYaml(
+        "type: dedup\nmethod: edit_audit\nid_key: id\ntext_key: s\n" +
+          "threshold: 1"), null)
+    assert(yaml.count() == d.count())
+  }
+
   // ------------------------------------------------ compact round-trip
 
   test("compact: run preserves content and hits the target layout") {
