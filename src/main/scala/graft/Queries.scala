@@ -6377,9 +6377,11 @@ object Queries {
     ),
     (
       // Exact-fraction stratified sample: floor(0.3 × n) rows per source,
-      // LCG-ordered — the release-manifest exactness hash thresholding
-      // only hits in expectation. Rides BudgetSelect.grouped's ONE-sort
-      // distributed prefix; the oracle replays the per-stratum rank cut.
+      // ordered by the 52-bit seeded md5 hash (collision-free random
+      // order at any stratum size — the exactness hash thresholding
+      // only hits in expectation). Rides BudgetSelect.grouped's ONE-sort
+      // distributed prefix; the oracle replays the per-stratum rank cut
+      // hash-for-hash.
       "q205_stratified_exact",
       (s: SparkSession, dir: String) =>
         graft.ops.SampleOp.stratifiedExact(t(s, dir, "documents"),
@@ -6389,8 +6391,8 @@ object Queries {
         WITH r AS (
           SELECT doc_id, source,
                  row_number() OVER (PARTITION BY source
-                   ORDER BY ((doc_id * 9301 + 49297) % 233280), doc_id)
-                   AS rn,
+                   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':sx'),
+                     1, 13))::BIGINT, doc_id) AS rn,
                  count(*) OVER (PARTITION BY source) AS n
           FROM documents)
         SELECT doc_id, source FROM r WHERE rn <= floor(0.3 * n)""")

@@ -358,20 +358,51 @@ object MinHashDedup {
       maxBucketHead: Option[Int] = None): DataFrame = {
     val quality =
       if (qualityExpr.isEmpty) length(col(textCol)) else expr(qualityExpr)
-    val pairs = candidatePairs(df, idCol, textCol, shingleSize, numPerms,
+    val comp = components(df, idCol, textCol, shingleSize, numPerms,
       numBands, jaccardThreshold, maxBucketSize, maxBucketHead)
-      .select("id_a", "id_b")
-    val verts = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
-    val comp = graft.graph.ConnectedComponents.run(pairs, verts)
-      .withColumnRenamed("id", idCol)
     keepBestByComponent(df, idCol, comp, quality)
   }
+
+  /** Connected components over [[candidatePairs]] edges: (idCol,
+    * component) for every row that HAS a near-duplicate. PUBLIC so a
+    * pipeline wanting both the deduped corpus ([[keepBest]]) and the
+    * removal trail ([[audit]]) computes the LSH banding + CC once:
+    * persist this, then feed it to [[keepBestFromComponents]] /
+    * [[auditFromComponents]]. */
+  def components(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numPerms: Int = 64,
+      numBands: Int = 16,
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Option[Int] = None,
+      maxBucketHead: Option[Int] = None): DataFrame = {
+    graft.graph.ConnectedComponents.runFromEdges(
+      candidatePairs(df, idCol, textCol, shingleSize, numPerms,
+        numBands, jaccardThreshold, maxBucketSize, maxBucketHead)
+        .select("id_a", "id_b"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** [[keepBest]] over PRECOMPUTED [[components]] — no pair/CC
+    * recompute. */
+  def keepBestFromComponents(df: DataFrame, idCol: String,
+      comp: DataFrame, quality: Column): DataFrame =
+    keepBestByComponent(df, idCol, comp, quality)
+
+  /** [[audit]] over PRECOMPUTED [[components]] — no pair/CC
+    * recompute. */
+  def auditFromComponents(df: DataFrame, idCol: String,
+      comp: DataFrame, quality: Column): DataFrame =
+    keepBestAuditByComponent(df, idCol, comp, quality)
 
   /** AUDIT form of [[keepBest]]: every row with (kept, survivor_id) —
     * the removal trail curation runs owe their operators. Same pair
     * generation and CC; the verdict joins back instead of anti-joining
-    * losers out. */
+    * losers out. Subsumes [[keepBest]]: filter `kept` and drop the two
+    * audit columns. */
   def audit(
       df: DataFrame,
       idCol: String,
@@ -385,13 +416,8 @@ object MinHashDedup {
       maxBucketHead: Option[Int] = None): DataFrame = {
     val quality =
       if (qualityExpr.isEmpty) length(col(textCol)) else expr(qualityExpr)
-    val pairs = candidatePairs(df, idCol, textCol, shingleSize, numPerms,
+    val comp = components(df, idCol, textCol, shingleSize, numPerms,
       numBands, jaccardThreshold, maxBucketSize, maxBucketHead)
-      .select("id_a", "id_b")
-    val verts = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
-    val comp = graft.graph.ConnectedComponents.run(pairs, verts)
-      .withColumnRenamed("id", idCol)
     keepBestAuditByComponent(df, idCol, comp, quality)
   }
 
@@ -760,12 +786,10 @@ object SemDedup {
       maxClusterHead: Option[Int] = None,
       seed: Long = 42): DataFrame = {
     require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
-    val pairs = candidatePairs(df, idCol, embCol, nClusters, cosineThreshold,
-      maxClusterSize, maxClusterHead, seed)
-      .select("id_a", "id_b")
-    val verts = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
-    val comp = graft.graph.ConnectedComponents.run(pairs, verts)
+    val comp = graft.graph.ConnectedComponents.runFromEdges(
+      candidatePairs(df, idCol, embCol, nClusters, cosineThreshold,
+        maxClusterSize, maxClusterHead, seed)
+        .select("id_a", "id_b"))
       .withColumnRenamed("id", idCol)
     val quality =
       if (qualityExpr.isEmpty) lit(0) else expr(qualityExpr)

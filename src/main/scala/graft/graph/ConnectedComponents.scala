@@ -101,6 +101,49 @@ object ConnectedComponents {
     labels
   }
 
+  /** [[run]] with vertices = every edge endpoint — for callers whose
+    * vertex set IS the paired ids (the dedup keep-best family: unpaired
+    * rows never enter the component table, they pass through the
+    * caller's left/anti join). The edge plan executes exactly ONCE (the
+    * persisted undirected list); under the driver gate the output is
+    * built straight from the union-find mapping — endpoint-sized, and
+    * already on the driver — so NOTHING upstream is scanned a second
+    * time. `run(edges, verts)` with verts derived from the edge plan
+    * would execute that plan two more times for the vertex union. */
+  def runFromEdges(edges: DataFrame, maxIter: Int = 20,
+      driverEdgeGate: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.toDF("src", "dst")
+    val undirected = e.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("_p"))
+      .select(col("_p.src").as("src"), col("_p.dst").as("dst"))
+      .distinct()
+      .persist()
+    val integralIds = e.schema.fields.take(2).forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    })
+    val undirectedCount = undirected.count()
+    val idType = e.schema.fields.head.dataType
+    if (integralIds && undirectedCount <= driverEdgeGate) {
+      val mapping = driverUnionFind(
+        undirected.select(col("src").cast("long"), col("dst").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      undirected.unpersist()
+      spark.createDataFrame(mapping.toSeq).toDF("id", "component")
+        .select(col("id").cast(idType).as("id"),
+          col("component").cast(idType).as("component"))
+    } else {
+      // Label-propagation path: vertices come from the PERSISTED
+      // undirected list (symmetric, so src covers every endpoint).
+      val verts = undirected.select(col("src").as("id")).distinct()
+      val labels = run(undirected, verts, maxIter, driverEdgeGate = -1L)
+      undirected.unpersist()
+      labels
+    }
+  }
+
   /** Path-halving union-find over a collected edge list; O(E α(E)). Returns
     * id -> min id in its component for every id that appears in an edge
     * (isolated vertices are handled by the caller's left join + coalesce).

@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   * Tokens absent from the weights table contribute 0 — exactly how a
   * hashed/pruned production model treats out-of-vocabulary tokens.
   *
+  * Intercept: beyond the `bias` scalar, a weights row with the RESERVED
+  * token `__bias__` is served as an intercept — the registry's
+  * `train_classifier` exports the trained intercept exactly so, and the
+  * declarative train → score chain must not drop it. It is applied
+  * in-plan (a synthetic per-doc sentinel row through the same join —
+  * x ≡ 1 in every feature mode), never collected; `__bias__` is
+  * filtered from document tokens so a document that literally contains
+  * the string can never double-count it.
+  *
   * Scale shape: one explode → per-(doc, token) count aggregation → weights
   * join (the model table is vocab-sized — Catalyst broadcasts it under the
   * threshold, and AQE converts to broadcast at runtime otherwise) → one
@@ -42,9 +51,14 @@ object LinearScore {
     val toks = df.select(col(idCol),
       explode(split(col(textCol), " ")).as("_tok"),
       size(split(col(textCol), " ")).cast("double").as("_len"))
+      .filter(col("_tok") =!= "__bias__")
     val counts = toks
       .groupBy(col(idCol), col("_tok"))
       .agg(count(lit(1)).cast("double").as("_tf"), first(col("_len")).as("_len"))
+      // The reserved intercept row: x = 1 in every mode (tf 1, len 1),
+      // contributing w(__bias__) per document IFF the model has one.
+      .unionByName(df.select(col(idCol), lit("__bias__").as("_tok"),
+        lit(1.0).as("_tf"), lit(1.0).as("_len")))
     val x = mode match {
       case "binary" => lit(1.0)
       case "tf"     => col("_tf")

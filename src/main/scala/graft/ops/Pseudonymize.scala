@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object Pseudonymize {
 
-  /** The engine's email pattern (no `:` or `|`, which the fold's pair
-    * encoding relies on). */
+  /** The engine's email pattern. Arbitrary `pattern`s are safe — the
+    * fold's pair encoding parses at the FIRST ':' (the digit-only
+    * `<len>|<idx>` head can contain neither delimiter), so matches
+    * containing ':' or '|' round-trip intact (Round13Spec pins it). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
   /** Append `outCol` = `textCol` with every `pattern` match replaced by

@@ -103,25 +103,34 @@ object RobotsTxt {
   /** Evaluate each (idCol, hostCol, pathCol) row of `urls` against
     * `rules` ([[parseRules]] output) for `agent`: appends `allowed`
     * plus the deciding `matched_rule` prefix ('' when no rule matched).
-    * Group selection per RFC 9309: the agent-specific group when the
-    * host has one, else `*`. Longest matched rule wins; ties go to
-    * allow (then lexicographically-max prefix, for determinism). Two
-    * host-keyed joins + one url-keyed max-struct aggregation. */
+    * Group selection per RFC 9309 §2.2.1 product-token matching: the
+    * crawler's product token (the `agent` string lowercased, version
+    * tail after `/` stripped) selects the LONGEST group user-agent that
+    * is a prefix of it — so `graftbot/1.2` and `graftbot-news` both
+    * bind to a `graftbot` group (and `graftbot-news` prefers a
+    * `graftbot-news` group when the host has one), falling through to
+    * `*` only when NO group prefixes the token. Longest matched rule
+    * wins; ties go to allow (then lexicographically-max prefix, for
+    * determinism). Two host-keyed joins + one url-keyed max-struct
+    * aggregation. */
   def isAllowed(urls: DataFrame, idCol: String, hostCol: String,
       pathCol: String, rules: DataFrame, agent: String): DataFrame = {
-    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val token = agent.toLowerCase(java.util.Locale.ROOT)
+      .split("/", 2)(0).trim
     val r = rules.select(col("host").as("_rhost"),
       col("agent").as("_ragent"), col("allow").as("_rallow"),
       col("prefix").as("_rprefix"))
-    val hasSpecific = r.filter(col("_ragent") === agentLc)
-      .select(col("_rhost").as("_shost")).distinct()
-      .withColumn("_has", lit(1))
+    val bestGroup = r.filter(col("_ragent") =!= "*")
+      .filter(lit(token).startsWith(col("_ragent")))
+      .groupBy(col("_rhost"))
+      .agg(max(struct(length(col("_ragent")).as("l"),
+        col("_ragent").as("a"))).as("_m"))
+      .select(col("_rhost").as("_shost"), col("_m.a").as("_eff"))
     val withAgent = urls
-      .join(hasSpecific, col(hostCol) === col("_shost"), "left")
+      .join(bestGroup, col(hostCol) === col("_shost"), "left")
       .drop("_shost")
-      .withColumn("_eff_agent",
-        when(col("_has") === 1, lit(agentLc)).otherwise(lit("*")))
-      .drop("_has")
+      .withColumn("_eff_agent", coalesce(col("_eff"), lit("*")))
+      .drop("_eff")
     val joined = withAgent.join(r,
       col(hostCol) === col("_rhost") &&
         col("_ragent") === col("_eff_agent"), "left")

@@ -131,16 +131,20 @@ object SampleOp {
     * the former adds a full-table exchange, the latter is an object
     * operator that blocks column pruning through the op. */
   /** EXACT-fraction stratified sample: floor(fraction × n_g) rows per
-    * stratum, chosen by the portable LCG over `idExpr` — the exactness
-    * the hash sampler can't give (hash thresholding hits the fraction
-    * only in expectation; a release that promises "10% of every source"
-    * wants the floor count). Rides [[BudgetSelect.grouped]]'s
-    * distributed prefix machinery (ONE range-partitioned sort +
-    * O(#partitions + #strata) driver state — never a per-stratum
-    * window); the per-stratum counts are one aggregation collected to a
-    * driver map bounded by the number of STRATA (sources/languages —
-    * bounded by construction; this is the same bound budgets maps
-    * already accept). */
+    * stratum, chosen by the portable 52-bit md5 order over `idExpr` —
+    * the exactness the hash sampler can't give (hash thresholding hits
+    * the fraction only in expectation; a release that promises "10% of
+    * every source" wants the floor count). The md5 order has 2⁵² states
+    * so strata of ANY size get a collision-free-in-practice random
+    * order (the old 233,280-state LCG produced huge tie runs broken by
+    * id — a low-id bias — above ~233k rows per stratum), and it is
+    * non-negative by construction (no modulo sign trap on negative
+    * ids). Rides [[BudgetSelect.grouped]]'s distributed prefix
+    * machinery (ONE range-partitioned sort + O(#partitions + #strata)
+    * driver state — never a per-stratum window); the per-stratum counts
+    * are one aggregation collected to a driver map bounded by the
+    * number of STRATA (sources/languages — bounded by construction;
+    * this is the same bound budgets maps already accept). */
   def stratifiedExact(df: DataFrame, stratifyKey: String,
       fraction: Double, idExpr: String): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0,
@@ -149,8 +153,10 @@ object SampleOp {
       .agg(count(lit(1)).as("_n")).collect()
       .map(r => r.get(0) -> math.floor(fraction * r.getLong(1)).toLong)
       .toMap
+    // DuckDB replay: ('0x' || substr(md5((id)::VARCHAR || ':sx'), 1, 13))::BIGINT
     BudgetSelect.grouped(df, stratifyKey,
-      scoreExpr = s"-((($idExpr) * 9301 + 49297) % 233280)",
+      scoreExpr = "-cast(conv(substr(md5(concat(cast((" + idExpr +
+        ") as string), ':sx')), 1, 13), 16, 10) as bigint)",
       costExpr = "1", budgets, tieBreak = idExpr)
   }
 

@@ -32,9 +32,12 @@ object TextClassifier {
       regParam: Double = 0.0): Model = {
     import org.apache.spark.ml.feature.CountVectorizer
     import org.apache.spark.ml.classification.LogisticRegression
+    // "__bias__" is the RESERVED intercept token of the exported model
+    // (registry train_classifier appends it; LinearScore serves it) —
+    // exclude it from the vocabulary so the export is never ambiguous.
     val prepped = df.select(col(labelCol).cast("double").as("label"),
       filter(split(coalesce(col(textCol), lit("")), " "),
-        t => length(t) > 0).as("_toks"))
+        t => length(t) > 0 && t =!= "__bias__").as("_toks"))
     val cv = new CountVectorizer()
       .setInputCol("_toks").setOutputCol("features")
       .setVocabSize(vocabSize).setBinary(true)

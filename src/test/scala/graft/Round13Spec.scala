@@ -1,0 +1,312 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-13 regressions: shared dedup components (one pairs computation
+  * serves keepBest AND audit), the de-fattened EditDedup pair shuffle
+  * (hash-keyed candidates), plan-shape pins for the r12 ops the verdict
+  * called out, RFC 9309 product-token group selection, the
+  * train_classifier → linear_score intercept path, md5-ordered
+  * stratifiedExact, and Pseudonymize delimiter safety. */
+class Round13Spec extends SparkSpec {
+
+  private def tmpParquet(d: DataFrame, name: String): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_$name")
+      .resolve("t.parquet").toString
+    d.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
+  private def editFixture: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    df(schema,
+      Row(1L, "abcdefghij"), Row(2L, "abcdefghijk"),
+      Row(3L, "abcdefghix"), Row(4L, "zzzzzzzzzz"),
+      Row(5L, "qqqq"), Row(6L, "qqqq"))
+  }
+
+  // ------------------------------------- shared components (VERDICT #2)
+
+  test("edit dedup: one components computation serves keepBest AND audit") {
+    val d = editFixture
+    val comp = graft.dedup.EditDedup.components(d, "id", "s", t = 1)
+      .persist()
+    comp.count() // materialize the single PassJoin + CC
+    val kept = graft.dedup.EditDedup.keepBest(d, "id", "s", comp, "")
+    val audit = graft.dedup.EditDedup.audit(d, "id", "s", comp, "")
+    // component-accepting overloads agree with the self-computing forms
+    val keptDirect = graft.dedup.EditDedup.keepBest(d, "id", "s", t = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == keptDirect)
+    val auditDirect = graft.dedup.EditDedup.audit(d, "id", "s", t = 1)
+      .select("id", "survivor_id", "kept").collect().map(_.toSeq).toSet
+    assert(audit.select("id", "survivor_id", "kept")
+      .collect().map(_.toSeq).toSet == auditDirect)
+    // audit ⊇ keepBest: filtering kept reproduces the dedup exactly
+    assert(audit.filter(col("kept")).drop("survivor_id", "kept")
+      .collect().map(_.toSeq).toSet ==
+      kept.collect().map(_.toSeq).toSet)
+    // and the overload really REUSES the handle: no PassJoin/levenshtein
+    // anywhere in its plan — just the persisted component table
+    val overloadPlan = kept.queryExecution.optimizedPlan.toString
+    assert(!overloadPlan.contains("levenshtein"), overloadPlan.take(800))
+    assert(overloadPlan.contains("InMemoryRelation"), overloadPlan.take(800))
+    comp.unpersist()
+  }
+
+  test("minhash dedup: components sharing mirrors the edit arm") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val d = df(schema,
+      Row(1L, "the quick brown fox jumps over the lazy dog again"),
+      Row(2L, "the quick brown fox jumps over the lazy dog again!"),
+      Row(3L, "completely different content with no shared shingles"))
+    val comp = graft.dedup.MinHashDedup.components(d, "id", "s",
+      jaccardThreshold = 0.5).persist()
+    comp.count()
+    val kept = graft.dedup.MinHashDedup.keepBestFromComponents(
+      d, "id", comp, length(col("s")))
+    val audit = graft.dedup.MinHashDedup.auditFromComponents(
+      d, "id", comp, length(col("s")))
+    val keptDirect = graft.dedup.MinHashDedup.keepBest(d, "id", "s",
+      jaccardThreshold = 0.5).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == keptDirect)
+    assert(audit.filter(col("kept")).drop("survivor_id", "kept")
+      .collect().map(_.toSeq).toSet == kept.collect().map(_.toSeq).toSet)
+    comp.unpersist()
+  }
+
+  // --------------------------- de-fattened pair shuffle + plan pins (#1, #3)
+
+  test("edit pairs plan: hash-keyed candidates, no all-pairs operator") {
+    val p = tmpParquet(editFixture, "editplan")
+    val q = graft.dedup.EditDedup.pairs(p, "id", "s", t = 2)
+    val plan = q.queryExecution.executedPlan.toString
+    // candidates join on the 8-byte xxhash64 of (len, chunk, segment) —
+    // document text never rides the ×75 probe explosion
+    assert(plan.contains("xxhash64"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+    // and the result is still exact (brute force cross-check)
+    val rows = editFixture.collect().map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("edit pairs short bucket: length-keyed join, unicode-wide corpus") {
+    // ADVICE r12: the old always-zero key put every distinct short text
+    // on ONE reducer key; the bucket now joins on short-side length.
+    // CJK-ish fixture: many distinct 1-2 char strings + fringe 3-4 char.
+    val rows = (1L to 60L).map { i =>
+      val s = i % 5 match {
+        case 0 => s"${(0x4e00 + i).toChar}"
+        case 1 => s"${(0x4e00 + i).toChar}${(0x4f00 + i).toChar}"
+        case 2 => s"${(0x4e00 + i).toChar}${(0x4f00 + i).toChar}x"
+        case 3 => s"${(0x4e00 + (i % 7)).toChar}" // repeats -> dist-0 pairs
+        case _ => s"${(0x4e00 + i).toChar}abc"
+      }
+      Row(i, s)
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val d = df(schema, rows: _*)
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val data = rows.map(r => (r.getLong(0), r.getString(1)))
+    val expected = (for {
+      (ia, sa) <- data; (ib, sb) <- data
+      if ia < ib && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    val got = graft.dedup.EditDedup.pairs(d, "id", "s", t = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // plan: the bucket self-join is an equi-join (no nested loop)
+    val plan = graft.dedup.EditDedup.pairs(tmpParquet(d, "shortplan"),
+      "id", "s", t = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("salted join plan: keyed equi-join on (key, salt)") {
+    val big = tmpParquet(spark.range(200)
+      .select(col("id"), (col("id") % 3).as("k")), "sjbig")
+    val small = tmpParquet(spark.range(3)
+      .select(col("id").as("k"), concat(lit("L"), col("id")).as("label")),
+      "sjsmall")
+    val q = graft.ops.SaltedJoin.inner(big, small, "k", salts = 4,
+      saltExpr = "id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+    assert(q.count() == 200)
+  }
+
+  test("length bucket plan: global rank rides the range sort, no unpartitioned window") {
+    val d = tmpParquet(spark.range(100)
+      .select(col("id"), (col("id") % 17 + 1).as("len")), "lb")
+    val q = graft.ops.LengthBucket.assignBatches(d, "len", 8, "id")
+    val windows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(windows.isEmpty, "unpartitioned Window in LengthBucket plan")
+    assert(q.count() == 100)
+  }
+
+  // ------------------------------------------ RFC 9309 product tokens
+
+  test("robots: product-token prefix group selection, longest match wins") {
+    val schema = StructType(Seq(
+      StructField("host", StringType), StructField("body", StringType)))
+    val robots = df(schema,
+      Row("h1", "User-agent: graftbot\nDisallow: /g\n\n" +
+        "User-agent: graftbot-news\nDisallow: /n\n\n" +
+        "User-agent: *\nDisallow: /\n"),
+      Row("h2", "User-agent: *\nDisallow: /only\n"))
+    val rules = graft.ops.RobotsTxt.parseRules(robots, "host", "body")
+    val uschema = StructType(Seq(StructField("uid", LongType),
+      StructField("host", StringType), StructField("path", StringType)))
+    val urls = df(uschema,
+      Row(1L, "h1", "/g"), Row(2L, "h1", "/n"), Row(3L, "h1", "/x"),
+      Row(4L, "h2", "/only"), Row(5L, "h2", "/free"))
+    def verdicts(agent: String): Map[Long, Boolean] =
+      graft.ops.RobotsTxt.isAllowed(urls, "uid", "host", "path",
+        rules, agent).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("allowed")))
+        .toMap
+    // versioned UA binds to its product token's group
+    val v12 = verdicts("GraftBot/1.2")
+    assert(v12 == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> false, 5L -> true))
+    // longer product token prefers the LONGEST matching group
+    val news = verdicts("graftbot-news")
+    assert(news == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true))
+    // no matching group falls through to *
+    val other = verdicts("otherbot/9")
+    assert(other == Map(1L -> false, 2L -> false, 3L -> false,
+      4L -> false, 5L -> true))
+  }
+
+  // ------------------------- train_classifier -> linear_score intercept
+
+  test("registry train->score chain serves the trained intercept") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("label", LongType), StructField("text", StringType)))
+    // imbalanced + separable so the intercept is materially non-zero
+    val rows = (1L to 40L).map { i =>
+      if (i % 4 == 0) Row(i, 1L, "good clean prose here")
+      else Row(i, 0L, "spam junk noise words")
+    }
+    val d = df(schema, rows: _*)
+    val m = graft.ops.TextClassifier.train(d, "label", "text",
+      maxIter = 30)
+    assert(math.abs(m.bias) > 1e-3, s"fixture bias too small: ${m.bias}")
+    val exported = graft.api.Registry("train_classifier")(d,
+      graft.api.Conf.fromYaml(
+        "type: train_classifier\nlabel_key: label\ntext_key: text\n" +
+          "max_iter: 30"), null)
+    assert(exported.filter(col("token") === "__bias__").count() == 1)
+    val ctx = graft.api.OpContext(spark, graft.llm.MockLlmClient(),
+      Map("w" -> exported))
+    val viaRegistry = graft.api.Registry("linear_score")(d,
+      graft.api.Conf.fromYaml(
+        "type: linear_score\nid_key: id\ntext_key: text\nweights: w"),
+      ctx).select("id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = graft.ops.LinearScore.withScore(d, "id", "text",
+      m.weights, m.bias).select("id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaRegistry.keySet == direct.keySet)
+    viaRegistry.foreach { case (id, s) =>
+      assert(math.abs(s - direct(id)) < 1e-6,
+        s"id=$id registry=$s direct=${direct(id)}")
+    }
+    // the probabilities actually separate the classes (bias included)
+    assert(viaRegistry(4L) > 0.5 && viaRegistry(1L) < 0.5)
+  }
+
+  test("linear_score: literal __bias__ doc token cannot double-count") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val d = df(schema, Row(1L, "__bias__ w"), Row(2L, "w"))
+    val wschema = StructType(Seq(StructField("token", StringType),
+      StructField("weight", DoubleType)))
+    val w = df(wschema, Row("__bias__", 2.0), Row("w", 1.0))
+    val out = graft.ops.LinearScore(d, "id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // both docs score sigmoid(2 + 1): the literal token is reserved
+    val expect = math.rint(1.0 / (1.0 + math.exp(-3.0)) * 1e6) / 1e6
+    assert(out(1L) == expect && out(2L) == expect, out.toString)
+  }
+
+  // ------------------------------------- stratifiedExact md5 ordering
+
+  test("stratifiedExact: 52-bit md5 order, exact floors, negative ids") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType)))
+    val rows = (1L to 20L).map(i => Row(i, "a")) ++
+      (100L to 109L).map(i => Row(i, "b")) :+ Row(-5L, "b")
+    val d = df(schema, rows: _*)
+    val got = graft.ops.SampleOp.stratifiedExact(d, "g", 0.5, "id")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:sx".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    }
+    val expected = rows.map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).toSeq.flatMap { case (_, members) =>
+        val n = math.floor(0.5 * members.size).toInt
+        members.sortBy(m => (h(m._2), m._2)).take(n)
+      }.toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.count(_._1 == "a") == 10 && got.count(_._1 == "b") == 5)
+  }
+
+  // --------------------------------------- pseudonymize delimiter safety
+
+  test("pseudonymize: matches containing ':' and '|' replace correctly") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("t", StringType)))
+    val d = df(schema,
+      Row(1L, "see foo:12 then bar:7 then foo:12 again"),
+      Row(2L, "pipes a|cc and b|d here"))
+    val colons = graft.ops.Pseudonymize(d.filter(col("id") === 1), "t",
+      pattern = "[a-z]+:[0-9]+", label = "REF")
+      .select("text_pseudo").head().getString(0)
+    // sorted distinct: [bar:7 -> REF_1, foo:12 -> REF_2]
+    assert(colons == "see REF_2 then REF_1 then REF_2 again", colons)
+    val pipes = graft.ops.Pseudonymize(d.filter(col("id") === 2), "t",
+      pattern = "[ab]\\|[a-z]+", label = "P")
+      .select("text_pseudo").head().getString(0)
+    // sorted distinct: [a|cc -> P_1, b|d -> P_2]; longest-first replace
+    assert(pipes == "pipes P_1 and P_2 here", pipes)
+  }
+}
