@@ -6793,6 +6793,403 @@ object Queries {
             LEFT JOIN uni USING (w3))
         SELECT doc_id, round(avg(-ln(s)), 6) AS sb_nll
         FROM sc GROUP BY 1""")
+    ),
+    (
+      // STREAMING drift monitor, driver-gated end-to-end: the stateful
+      // Streams.driftByWindow runs over a real readStream of the events
+      // table (hourly tumbling windows, event-time watermark, append
+      // mode), flushed by a far-future sentinel row unioned in from a
+      // memory stream; the FINAL emitted table is what the oracle
+      // replays (per-window JS divergence against a fixed reference
+      // unigram table, same Laplace smoothing as the batch arm). The
+      // sentinel's own window never closes, so it is absent from both
+      // sides by construction.
+      "q217_stream_drift",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        import s.implicits._
+        val maxTs = t(s, dir, "events").agg(max(col("ts"))).head().getLong(0)
+        val ev = graft.core.Tables.stream(s, dir, "events")
+          .select(timestamp_micros(col("ts")).as("et"),
+            col("event_type").as("tok"))
+        val sentinel = MemoryStream[(java.sql.Timestamp, String)]
+        val src = ev.unionByName(sentinel.toDF().toDF("et", "tok"))
+        val ref = Map("click" -> 4L, "error" -> 1L, "purchase" -> 1L,
+          "signup" -> 1L, "view" -> 2L, "drift_probe" -> 1L)
+        val out = graft.streaming.Streams.driftByWindow(src, "et", "tok",
+          "1 hour", "0 seconds", ref)
+        val qn = "q217sink_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          sentinel.addData((new java.sql.Timestamp(
+            maxTs / 1000L + 7200L * 1000L), "drift_probe"))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(qn).select(
+          unix_micros(col("window.start")).as("ws"),
+          col("n_tokens"), col("vocab_size"), col("js_divergence"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+                 event_type AS tok
+          FROM events),
+        c AS (SELECT ws, tok, count(*)::DOUBLE AS wc FROM e GROUP BY 1, 2),
+        n AS (SELECT ws, sum(wc) AS ntok FROM c GROUP BY 1),
+        ref AS (SELECT * FROM (VALUES ('click', 4.0), ('error', 1.0),
+                ('purchase', 1.0), ('signup', 1.0), ('view', 2.0),
+                ('drift_probe', 1.0)) AS r(tok, rc)),
+        rt AS (SELECT sum(rc) AS rtot, count(*)::DOUBLE AS v FROM ref),
+        j AS (SELECT n.ws, n.ntok, ref.tok, coalesce(c.wc, 0) AS wc,
+                     ref.rc, rt.rtot, rt.v
+              FROM n CROSS JOIN ref CROSS JOIN rt
+              LEFT JOIN c ON c.ws = n.ws AND c.tok = ref.tok),
+        tm AS (SELECT ws, ntok, v,
+                      (wc + 1) / (ntok + v) AS p,
+                      (rc + 1) / (rtot + v) AS q
+               FROM j)
+        SELECT ws::BIGINT AS ws, max(ntok)::BIGINT AS n_tokens,
+               max(v)::BIGINT AS vocab_size,
+               round(sum(0.5 * p * ln(p / ((p + q) / 2)) +
+                         0.5 * q * ln(q / ((p + q) / 2))), 6)
+                 AS js_divergence
+        FROM tm GROUP BY ws""")
+    ),
+    (
+      // STREAMING event-time quota, driver-gated: quotaByKeyEventTime
+      // admits the first n=3 ids per user over a readStream of the
+      // events table (flatMapGroupsWithState, event-time TTL idle —
+      // the one-batch availability makes admission the 3 smallest
+      // event ids per key, the closed form the oracle states).
+      "q218_stream_quota",
+      (s: SparkSession, dir: String) => {
+        val ev = graft.core.Tables.stream(s, dir, "events")
+          .select(col("event_id").as("id"), col("user_id"),
+            timestamp_micros(col("ts")).as("et"))
+        val out = graft.streaming.Streams.quotaByKeyEventTime(ev,
+          "user_id", n = 3, tsCol = "et", watermarkDelay = "0 seconds",
+          stateTtl = "365 days")
+        val qn = "q218sink_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = out.toDF("id", "key").writeStream.format("memory")
+          .queryName(qn).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(qn)
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_id, user_id,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY event_id) AS rn
+          FROM events)
+        SELECT event_id AS id, user_id::VARCHAR AS key
+        FROM r WHERE rn <= 3""")
+    ),
+    (
+      // Equal-mass (quantile-binned) calibration — the standard ECE
+      // companion to q165's fixed-width bins, same fixture: global
+      // score rank (range-partitioned sort, tie-break doc_id) cut into
+      // 10 equal-count bins; the oracle replays the rank arithmetic.
+      "q219_calibration_equal_mass",
+      (s: SparkSession, dir: String) => {
+        val lbl = when(col("doc_id") % 3 === 0, 1L).otherwise(0L)
+        val score = ((col("doc_id") * 37 % 100) + lbl * 30) / lit(130.0)
+        graft.ops.ClassifierEval.calibrationBinsEqualMass(
+          t(s, dir, "documents")
+            .select(col("doc_id"), lbl.as("lbl"), score.as("s")),
+          "lbl", "s", bins = 10, tieBreak = "doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS lbl,
+                 ((doc_id * 37) % 100 +
+                  CASE WHEN doc_id % 3 = 0 THEN 30 ELSE 0 END) / 130.0
+                   AS s
+          FROM documents),
+        r AS (SELECT lbl, s,
+                     row_number() OVER (ORDER BY s, doc_id) - 1 AS rk,
+                     count(*) OVER () AS nn
+              FROM d)
+        SELECT floor(rk * 10.0 / nn)::BIGINT AS bin,
+               count(*)::BIGINT AS n,
+               round(avg(s), 6) AS mean_score,
+               round(avg(lbl), 6) AS pos_rate
+        FROM r GROUP BY 1""")
+    ),
+    (
+      // Multimodal retrieval seam: binary payloads -> byteFeatureStub
+      // embeddings (pure md5 arithmetic — the deterministic fixture
+      // kernel a codec-backed encoder would replace) -> exact cosine
+      // top-2 via Ann.bruteForce. The oracle re-derives the identical
+      // vectors from the same bytes and replays the top-k, so the
+      // whole bytes->vector->ANN path is gated end to end.
+      "q220_byte_features_ann",
+      (s: SparkSession, dir: String) => {
+        val fixture = t(s, dir, "documents")
+          .filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id"),
+            concat(lit("img"), substring(col("text"), 1, 40))
+              .cast("binary").as("payload"))
+        val feat = graft.multimodal.BinaryOps.withByteFeatures(
+          fixture, "payload", dim = 8)
+        graft.ann.Ann.bruteForce(feat, "doc_id", "byte_features",
+          feat, "doc_id", "byte_features", k = 2)
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, 'img' || substr(text, 1, 40) AS payload
+          FROM documents WHERE doc_id % 17 = 0),
+        v AS (
+          SELECT doc_id,
+                 [(('0x' || substr(md5(md5(payload) || '_' || j), 1, 13))
+                    ::BIGINT % 2001 - 1000) / 1000.0
+                  FOR j IN range(0, 8)] AS e
+          FROM f),
+        p AS (
+          SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+                 round(
+                   list_sum([a.e[i+1] * b.e[i+1] FOR i IN range(0, 8)]) /
+                   (sqrt(list_sum([a.e[i+1] * a.e[i+1]
+                                   FOR i IN range(0, 8)])) *
+                    sqrt(list_sum([b.e[i+1] * b.e[i+1]
+                                   FOR i IN range(0, 8)]))), 6) AS score
+          FROM v a JOIN v b ON a.doc_id <> b.doc_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rn
+              FROM p)
+        SELECT query_id, neighbor_id, score FROM r WHERE rn <= 2""")
+    ),
+    (
+      // Cohen's kappa over a planted two-rater fixture (rater b flips
+      // every 7th label): exact integer contingency counts, one
+      // deterministic division each for po/pe/kappa — the labeling-QA
+      // gate preference pipelines run before trusting their data.
+      "q221_cohen_kappa",
+      (s: SparkSession, dir: String) => {
+        val a = (col("doc_id") % 3).cast("string")
+        val b = when(col("doc_id") % 7 === 0,
+          ((col("doc_id") % 3) + 1) % 3).otherwise(col("doc_id") % 3)
+          .cast("string")
+        graft.ops.Agreement.cohenKappa(
+          t(s, dir, "documents").select(a.as("a"), b.as("b")), "a", "b")
+      },
+      Some("""
+        WITH d AS (
+          SELECT (doc_id % 3)::VARCHAR AS a,
+                 (CASE WHEN doc_id % 7 = 0 THEN (doc_id % 3 + 1) % 3
+                       ELSE doc_id % 3 END)::VARCHAR AS b
+          FROM documents),
+        c AS (SELECT count(*)::BIGINT AS n,
+                     sum(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT
+                       AS agree
+              FROM d),
+        rm AS (SELECT a AS k, count(*)::BIGINT AS r FROM d GROUP BY 1),
+        cm AS (SELECT b AS k, count(*)::BIGINT AS cc FROM d GROUP BY 1),
+        pn AS (SELECT sum(coalesce(r, 0) * coalesce(cc, 0))::BIGINT
+                 AS penum
+               FROM rm FULL JOIN cm USING (k))
+        SELECT n, round(agree::DOUBLE / n, 6) AS po,
+               round(penum::DOUBLE / n / n, 6) AS pe,
+               round((agree::DOUBLE / n - penum::DOUBLE / n / n) /
+                     (1 - penum::DOUBLE / n / n), 6) AS kappa
+        FROM c, pn""")
+    ),
+    (
+      // Fleiss' kappa: three synthetic raters per document (raters 2/3
+      // disagree on every 5th/7th item) — constant n_i = 3, so P-bar is
+      // the exact integer form (sum n_ik^2 - sum n_i) / (items * 3 * 2);
+      // the oracle replays it term for term.
+      "q222_fleiss_kappa",
+      (s: SparkSession, dir: String) => {
+        val l1 = col("doc_id") % 3
+        val l2 = when(col("doc_id") % 5 === 0, (l1 + 1) % 3).otherwise(l1)
+        val l3 = when(col("doc_id") % 7 === 0, (l1 + 2) % 3).otherwise(l1)
+        val ratings = t(s, dir, "documents").select(col("doc_id"),
+          explode(array(l1, l2, l3)).as("lbl"))
+        graft.ops.Agreement.fleissKappa(ratings, "doc_id", "lbl")
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id AS item,
+                 unnest([doc_id % 3,
+                         CASE WHEN doc_id % 5 = 0
+                              THEN (doc_id % 3 + 1) % 3
+                              ELSE doc_id % 3 END,
+                         CASE WHEN doc_id % 7 = 0
+                              THEN (doc_id % 3 + 2) % 3
+                              ELSE doc_id % 3 END]) AS lbl
+          FROM documents),
+        c AS (SELECT item, lbl, count(*)::BIGINT AS c
+              FROM r GROUP BY 1, 2),
+        pi AS (SELECT item, sum(c)::BIGINT AS n, sum(c * c)::BIGINT AS sq
+               FROM c GROUP BY 1),
+        tots AS (SELECT count(*)::BIGINT AS items,
+                        sum(n)::BIGINT AS ratings,
+                        sum(sq)::BIGINT AS sumsq
+                 FROM pi),
+        sh AS (SELECT lbl, sum(c)::BIGINT AS ck FROM c GROUP BY 1),
+        pe AS (SELECT sum((ck::DOUBLE / t.ratings) *
+                          (ck::DOUBLE / t.ratings)) AS pebar
+               FROM sh, tots t)
+        SELECT items AS n_items, ratings AS n_ratings,
+               round((sumsq - ratings)::DOUBLE / (items * 3 * 2), 6)
+                 AS p_bar,
+               round(pebar, 6) AS pe_bar,
+               round(((sumsq - ratings)::DOUBLE / (items * 3 * 2)
+                      - pebar) / (1 - pebar), 6) AS kappa
+        FROM tots, pe""")
+    ),
+    (
+      // Checksum-gated IBAN validation + redaction: planted valid IBANs
+      // (ISO 13616 public examples), a one-digit corruption, and a
+      // pattern-shaped-but-invalid code in every row — only mod-97-valid
+      // candidates redact, and the oracle replays the SAME running-mod
+      // fold character by character, so validity is never hardcoded.
+      "q223_iban_redact",
+      (s: SparkSession, dir: String) => {
+        val iban = when(col("doc_id") % 3 === 0,
+          lit("DE89370400440532013000"))
+          .when(col("doc_id") % 3 === 1, lit("DE89370400440532013001"))
+          .otherwise(lit("GB82WEST12345698765432"))
+        val text = concat(lit("pay "), iban,
+          lit(" now ref GB00FAKE0000000000000"))
+        val fixture = t(s, dir, "documents")
+          .select(col("doc_id"), iban.as("iban"), text.as("text"))
+        fixture.select(col("doc_id"),
+          graft.functions.TextFunctions.ibanValid(col("iban"))
+            .as("valid"),
+          md5(graft.functions.TextFunctions.redactIbans(col("text")))
+            .as("redacted_md5"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 CASE doc_id % 3
+                   WHEN 0 THEN 'DE89370400440532013000'
+                   WHEN 1 THEN 'DE89370400440532013001'
+                   ELSE 'GB82WEST12345698765432' END AS iban
+          FROM documents),
+        v AS (
+          SELECT doc_id, iban,
+                 list_reduce(list_prepend(0::BIGINT,
+                   [ascii(substr(substr(iban, 5) || substr(iban, 1, 4),
+                      i, 1))::BIGINT FOR i IN range(1, len(iban) + 1)]),
+                   (acc, ch) -> CASE WHEN ch BETWEEN 48 AND 57
+                     THEN (acc * 10 + (ch - 48)) % 97
+                     ELSE (acc * 100 + (ch - 55)) % 97 END) AS m
+          FROM f),
+        fake AS (
+          SELECT list_reduce(list_prepend(0::BIGINT,
+                   [ascii(substr(substr(fk, 5) || substr(fk, 1, 4),
+                      i, 1))::BIGINT FOR i IN range(1, len(fk) + 1)]),
+                   (acc, ch) -> CASE WHEN ch BETWEEN 48 AND 57
+                     THEN (acc * 10 + (ch - 48)) % 97
+                     ELSE (acc * 100 + (ch - 55)) % 97 END) AS mf
+          FROM (SELECT 'GB00FAKE0000000000000' AS fk))
+        SELECT doc_id, (m = 1) AS valid,
+               md5('pay ' ||
+                   CASE WHEN m = 1 THEN '<IBAN>' ELSE iban END ||
+                   ' now ref ' ||
+                   CASE WHEN (SELECT mf FROM fake) = 1 THEN '<IBAN>'
+                        ELSE 'GB00FAKE0000000000000' END)
+                 AS redacted_md5
+        FROM v""")
+    ),
+    (
+      // N-gram novelty vs a reference corpus: per-source fraction of
+      // the en slice's distinct 3-grams absent from the non-en corpus —
+      // the crawl-freshness signal; the oracle replays the distinct
+      // gram sets and the anti-join.
+      "q224_novelty",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        graft.ops.Novelty.report(docs.filter(col("lang") === "en"),
+          "source", "text", docs.filter(col("lang") =!= "en"), "text",
+          n = 3)
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, lang,
+                 list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '') AS t
+          FROM documents),
+        cur AS (
+          SELECT DISTINCT source AS slice,
+                 t[p] || ' ' || t[p+1] || ' ' || t[p+2] AS g
+          FROM tok, UNNEST(range(1, len(t) + 1)) AS tp(p)
+          WHERE lang = 'en' AND p + 2 <= len(t)),
+        refg AS (
+          SELECT DISTINCT t[p] || ' ' || t[p+1] || ' ' || t[p+2] AS g
+          FROM tok, UNNEST(range(1, len(t) + 1)) AS tp(p)
+          WHERE lang <> 'en' AND p + 2 <= len(t)),
+        nov AS (SELECT slice, count(*)::BIGINT AS novel FROM cur
+                WHERE g NOT IN (SELECT g FROM refg) GROUP BY 1),
+        tot AS (SELECT slice, count(*)::BIGINT AS n_grams FROM cur
+                GROUP BY 1)
+        SELECT slice, n_grams,
+               coalesce(novel, 0)::BIGINT AS novel_grams,
+               round(coalesce(novel, 0) / n_grams::DOUBLE, 6)
+                 AS novelty_rate
+        FROM tot LEFT JOIN nov USING (slice)""")
+    ),
+    (
+      // Crawl-delay directives: the q206-style planted hosts carry
+      // per-agent and wildcard delays; the parser binds each delay to
+      // its preceding user-agent run (fractional seconds kept, the
+      // malformed value dropped) — the politeness budget a fetcher
+      // reads next to isAllowed's verdicts.
+      "q225_crawl_delays",
+      (s: SparkSession, dir: String) => {
+        val robots = t(s, dir, "documents")
+          .select((col("doc_id") % 20).as("hid")).distinct()
+          .select(concat(lit("h"), col("hid")).as("host"),
+            lit("User-agent: graftbot\nCrawl-delay: 2\nDisallow: /x\n\n" +
+              "User-agent: *\nCrawl-delay: 0.5\n\n" +
+              "User-agent: badbot\nCrawl-delay: soon\n").as("body"))
+        graft.ops.RobotsTxt.crawlDelays(robots, "host", "body")
+      },
+      Some("""
+        WITH h AS (SELECT DISTINCT doc_id % 20 AS hid FROM documents)
+        SELECT 'h' || hid AS host, a.agent,
+               a.delay_seconds::DOUBLE AS delay_seconds
+        FROM h, (VALUES ('graftbot', 2.0), ('*', 0.5))
+               AS a(agent, delay_seconds)""")
+    ),
+    (
+      // Dedup structure report over the q201 planted clusters: the
+      // component-size histogram (every planted group is one connected
+      // component, so sizes are the per-group row counts — the closed
+      // form below). The release-report view of how much mass keep-best
+      // would remove and whether any mega-cluster needs a blocking cap.
+      "q226_dedup_report",
+      (s: SparkSession, dir: String) => {
+        val alpha = lit("abcdefghijklmnopqrstuvwxyz")
+        val m = (col("doc_id") / 7).cast("bigint")
+        val base = substring(alpha, ((m % 5) * 3 + 1).cast("int"), lit(12))
+        val v = m % 3
+        val fixture = t(s, dir, "documents")
+          .filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            when(v === 0, base)
+              .when(v === 1, concat(substring(base, lit(1), lit(3)),
+                lit("z"), substring(base, lit(5), lit(8))))
+              .otherwise(concat(base, lit("q"))).as("s"))
+        graft.dedup.DedupReport.componentSizes(
+          graft.dedup.EditDedup.components(fixture, "doc_id", "s", t = 2))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, (doc_id // 7) % 5 AS g
+          FROM documents WHERE doc_id % 7 = 0),
+        s AS (SELECT g, count(*)::BIGINT AS sz FROM f GROUP BY 1)
+        SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+               (sz * count(*))::BIGINT AS n_rows
+        FROM s GROUP BY 1""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -408,6 +408,28 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(SampleOp.stratifiedExact(df, stratifyCol, fraction, idExpr))
   def robotsSitemaps(hostCol: String, contentCol: String): Frame =
     next(RobotsTxt.sitemaps(df, hostCol, contentCol))
+  def robotsCrawlDelays(hostCol: String, contentCol: String): Frame =
+    next(RobotsTxt.crawlDelays(df, hostCol, contentCol))
+  def cohenKappa(aCol: String, bCol: String): Frame =
+    next(Agreement.cohenKappa(df, aCol, bCol))
+  def fleissKappa(itemCol: String, labelCol: String): Frame =
+    next(Agreement.fleissKappa(df, itemCol, labelCol))
+  def agreementConfusion(aCol: String, bCol: String): Frame =
+    next(Agreement.confusion(df, aCol, bCol))
+  def redactIbans(textCol: String, token: String = "<IBAN>"): Frame =
+    next(df.withColumn(textCol, graft.functions.TextFunctions
+      .redactIbans(org.apache.spark.sql.functions.col(textCol), token)))
+  def novelty(sliceCol: String, textCol: String, reference: Frame,
+      refTextCol: String, n: Int = 3): Frame =
+    next(Novelty.report(df, sliceCol, textCol, reference.df,
+      refTextCol, n))
+  def editComponents(idCol: String, textCol: String, t: Int): Frame =
+    next(graft.dedup.EditDedup.components(df, idCol, textCol, t))
+  def dedupComponentSizes(componentCol: String = "component"): Frame =
+    next(graft.dedup.DedupReport.componentSizes(df, componentCol))
+  def dedupSummary(corpusRows: Long,
+      componentCol: String = "component"): Frame =
+    next(graft.dedup.DedupReport.summary(df, corpusRows, componentCol))
   def correlationMatrix(cols: Seq[String]): Frame =
     next(Profile.correlationMatrix(df, cols))
   def saltedJoin(small: Frame, key: String, salts: Int,
@@ -503,6 +525,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def calibrationBins(labelCol: String, scoreCol: String,
       bins: Int = 10): Frame =
     next(ClassifierEval.calibrationBins(df, labelCol, scoreCol, bins))
+  def calibrationBinsEqualMass(labelCol: String, scoreCol: String,
+      bins: Int, tieBreak: String): Frame =
+    next(ClassifierEval.calibrationBinsEqualMass(df, labelCol, scoreCol,
+      bins, tieBreak))
   def randomProject(embCol: String, outDim: Int, seed: String = "jl",
       outCol: String = "embedding_jl"): Frame =
     next(graft.ann.RandomProject.project(df, embCol, outDim, seed, outCol))
@@ -545,6 +571,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(graft.multimodal.ImageHeader.parse(df, binaryCol))
   def audioHeaders(binaryCol: String): Frame =
     next(graft.multimodal.AudioHeader.parse(df, binaryCol))
+  def byteFeatures(binaryCol: String, dim: Int = 8,
+      outCol: String = "byte_features"): Frame =
+    next(graft.multimodal.BinaryOps.withByteFeatures(df, binaryCol, dim,
+      outCol))
   def mixturePlan(domainCol: String, tokenExpr: String,
       weights: Map[String, Double], totalBudget: Long): Frame =
     next(MixtureSolver.planFromCorpus(df, domainCol, tokenExpr, weights,

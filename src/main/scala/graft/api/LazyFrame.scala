@@ -487,12 +487,63 @@ final case class LazyFrame(
   def robotsSitemaps(hostKey: String, contentKey: String): LazyFrame =
     append("robots_txt", "mode" -> "sitemaps", "host_key" -> hostKey,
       "content_key" -> contentKey)
+  def robotsCrawlDelays(hostKey: String, contentKey: String): LazyFrame =
+    append("robots_txt", "mode" -> "crawl_delays", "host_key" -> hostKey,
+      "content_key" -> contentKey)
+  def cohenKappa(aKey: String, bKey: String): LazyFrame =
+    append("agreement", "mode" -> "cohen", "a_key" -> aKey,
+      "b_key" -> bKey)
+  def fleissKappa(itemKey: String, labelKey: String): LazyFrame =
+    append("agreement", "mode" -> "fleiss", "item_key" -> itemKey,
+      "label_key" -> labelKey)
+  def agreementConfusion(aKey: String, bKey: String): LazyFrame =
+    append("agreement", "mode" -> "confusion", "a_key" -> aKey,
+      "b_key" -> bKey)
+  def redactIbans(textKey: String,
+      token: String = "<IBAN>"): LazyFrame =
+    append("redact_iban", "text_key" -> textKey, "token" -> token)
+  /** N-gram novelty vs a `reference` frame (binary merge). */
+  def novelty(reference: LazyFrame, sliceKey: String, textKey: String,
+      refTextKey: String, n: Int = 3): LazyFrame = {
+    val (m, lRef, rRef) = merged(reference)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"novelty_${m.steps.length}")
+      .append("novelty", "reference" -> rRef, "slice_key" -> sliceKey,
+        "text_key" -> textKey, "ref_text_key" -> refTextKey, "n" -> n)
+  }
+  def editComponents(idKey: String, textKey: String,
+      threshold: Int): LazyFrame =
+    append("dedup", "method" -> "edit_components", "id_key" -> idKey,
+      "text_key" -> textKey, "threshold" -> threshold)
+  def minhashComponents(idKey: String, textKey: String,
+      jaccardThreshold: Double = 0.8): LazyFrame =
+    append("dedup", "method" -> "minhash_components", "id_key" -> idKey,
+      "text_key" -> textKey, "threshold" -> jaccardThreshold)
+  def dedupComponentSizes(
+      componentKey: String = "component"): LazyFrame =
+    append("dedup_report", "mode" -> "sizes",
+      "component_key" -> componentKey)
+  def dedupSummary(corpusRows: Long,
+      componentKey: String = "component"): LazyFrame =
+    append("dedup_report", "mode" -> "summary",
+      "corpus_rows" -> corpusRows, "component_key" -> componentKey)
   def correlationMatrix(columns: Seq[String]): LazyFrame =
     append("correlate", "columns" -> jlist(columns))
   def saltedJoin(small: String, key: String, salts: Int,
       saltExpr: String): LazyFrame =
     append("salted_join", "small" -> small, "key" -> key,
       "salts" -> salts, "salt_expr" -> saltExpr)
+  /** Salted equi-join against a `small` frame (binary merge — the
+    * replicated dimension resolves by step name, like [[linearScore]]'s
+    * weights). */
+  def saltedJoin(small: LazyFrame, key: String, salts: Int,
+      saltExpr: String): LazyFrame = {
+    val (m, lRef, rRef) = merged(small)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"salted_join_${m.steps.length}")
+      .append("salted_join", "small" -> rRef, "key" -> key,
+        "salts" -> salts, "salt_expr" -> saltExpr)
+  }
   def collapseRepeats(textKey: String, maxGram: Int = 3): LazyFrame =
     append("collapse_repeats", "text_key" -> textKey,
       "max_gram" -> maxGram)
@@ -630,6 +681,11 @@ final case class LazyFrame(
       bins: Int = 10): LazyFrame =
     append("classifier_eval", "label_key" -> labelKey,
       "score_key" -> scoreKey, "mode" -> "calibration", "bins" -> bins)
+  def calibrationBinsEqualMass(labelKey: String, scoreKey: String,
+      bins: Int, tieBreak: String): LazyFrame =
+    append("classifier_eval", "label_key" -> labelKey,
+      "score_key" -> scoreKey, "mode" -> "calibration_equal_mass",
+      "bins" -> bins, "tie_break" -> tieBreak)
   def randomProject(embeddingKey: String, outDim: Int,
       seed: String = "jl", outputKey: String = "embedding_jl"): LazyFrame =
     append("random_project", "embedding_key" -> embeddingKey,
@@ -686,6 +742,10 @@ final case class LazyFrame(
     append("image_header", "binary_key" -> binaryKey)
   def audioHeaders(binaryKey: String): LazyFrame =
     append("audio_header", "binary_key" -> binaryKey)
+  def byteFeatures(binaryKey: String, dim: Int = 8,
+      outputKey: String = "byte_features"): LazyFrame =
+    append("byte_features", "binary_key" -> binaryKey, "dim" -> dim,
+      "output_key" -> outputKey)
   def mixturePlan(domainKey: String, tokenExpr: String,
       weights: Seq[(String, Double)], totalBudget: Long): LazyFrame =
     append("mixture_plan", "domain_key" -> domainKey,

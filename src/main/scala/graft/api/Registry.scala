@@ -446,6 +446,16 @@ object Registry {
       case "edit_keep_best" => graft.dedup.EditDedup.keepBest(df,
         c("id_key").str, c("text_key").str, c.intOr("threshold", 2),
         c.strOr("quality_expr", ""))
+      // components export — persist once, feed dedup_report / the
+      // component-accepting keepBest/audit overloads
+      case "edit_components" => graft.dedup.EditDedup.components(df,
+        c("id_key").str, c("text_key").str, c.intOr("threshold", 2))
+      case "minhash_components" => graft.dedup.MinHashDedup.components(
+        df, c("id_key").str, c("text_key").str,
+        c.intOr("shingle_size", 3), c.intOr("num_perms", 64),
+        c.intOr("num_bands", 16), c.dblOr("threshold", 0.8),
+        c.get("max_bucket_size").map(_.int),
+        c.get("max_bucket_head").map(_.int))
       case "edit_audit" => graft.dedup.EditDedup.audit(df,
         c("id_key").str, c("text_key").str, c.intOr("threshold", 2),
         c.strOr("quality_expr", ""))
@@ -604,6 +614,15 @@ object Registry {
     df.withColumn(c.strOr("output_key", key),
       graft.functions.TextFunctions.redactCreditCards(
         org.apache.spark.sql.functions.col(key), c.strOr("token", "<CC>")))
+  }
+  // Checksum-gated IBAN redaction (§2.14 curation): only MOD-97-VALID
+  // candidates redact — random uppercase order codes pass through.
+  register("redact_iban") { (df, c, _) =>
+    val key = c("text_key").str
+    df.withColumn(c.strOr("output_key", key),
+      graft.functions.TextFunctions.redactIbans(
+        org.apache.spark.sql.functions.col(key),
+        c.strOr("token", "<IBAN>")))
   }
   register("dedup_lines") { (df, c, _) =>
     val f =
@@ -810,6 +829,13 @@ object Registry {
   register("audio_header") { (df, c, _) =>
     graft.multimodal.AudioHeader.parse(df, c("binary_key").str,
       c.strOr("output_key", "audio_header"))
+  }
+  // Multimodal bytes -> feature-vector seam (§2.14): deterministic stub
+  // kernel (md5 arithmetic, oracle-replayable), real batching/schema;
+  // the output array<double> feeds the ANN / embedding-dedup arms.
+  register("byte_features") { (df, c, _) =>
+    graft.multimodal.BinaryOps.withByteFeatures(df, c("binary_key").str,
+      c.intOr("dim", 8), c.strOr("output_key", "byte_features"))
   }
   // Embedding-space diagnostics (§2.14 ANN family): outlier scores
   // (default), per-slice centroids, or the slice-centroid similarity
@@ -1089,8 +1115,12 @@ object Registry {
         c("score_key").str, c.dblOr("threshold", 0.5))
       case "calibration" => ClassifierEval.calibrationBins(df,
         c("label_key").str, c("score_key").str, c.intOr("bins", 10))
+      case "calibration_equal_mass" =>
+        ClassifierEval.calibrationBinsEqualMass(df, c("label_key").str,
+          c("score_key").str, c.intOr("bins", 10), c("tie_break").str)
       case other => throw new IllegalArgumentException(
-        s"classifier_eval mode must be report|calibration, got '$other'")
+        "classifier_eval mode must be " +
+          s"report|calibration|calibration_equal_mass, got '$other'")
     }
   }
   // HTML main-content extraction (§2.14 crawl hygiene): jusText-style
@@ -1375,8 +1405,46 @@ object Registry {
           c("path_key").str, rules, c.strOr("agent", "*"))
       case "sitemaps" =>
         RobotsTxt.sitemaps(df, c("host_key").str, c("content_key").str)
+      case "crawl_delays" =>
+        RobotsTxt.crawlDelays(df, c("host_key").str, c("content_key").str)
       case other => throw new IllegalArgumentException(
-        s"robots_txt mode must be parse|evaluate|sitemaps, got '$other'")
+        "robots_txt mode must be parse|evaluate|sitemaps|crawl_delays, " +
+          s"got '$other'")
+    }
+  }
+  // Inter-annotator agreement (§2.14 preference/labeling QA): Cohen's
+  // kappa (two raters), Fleiss' kappa (many raters, one row per
+  // rating), or the confusion-cell view.
+  register("agreement") { (df, c, _) =>
+    c.strOr("mode", "cohen") match {
+      case "cohen" => Agreement.cohenKappa(df, c("a_key").str,
+        c("b_key").str)
+      case "fleiss" => Agreement.fleissKappa(df, c("item_key").str,
+        c("label_key").str)
+      case "confusion" => Agreement.confusion(df, c("a_key").str,
+        c("b_key").str)
+      case other => throw new IllegalArgumentException(
+        s"agreement mode must be cohen|fleiss|confusion, got '$other'")
+    }
+  }
+  // N-gram novelty vs a reference corpus (§2.14 crawl freshness).
+  register("novelty") { (df, c, ctx) =>
+    val ref = ctx.datasets.getOrElse(c("reference").str,
+      throw new IllegalArgumentException(
+        s"unknown novelty reference dataset '${c("reference").str}'"))
+    Novelty.report(df, c("slice_key").str, c("text_key").str, ref,
+      c.strOr("ref_text_key", c("text_key").str), c.intOr("n", 3))
+  }
+  // Dedup structure reports (§2.14 dedup family): cluster-size
+  // histogram or one-row dup-mass summary over a components table.
+  register("dedup_report") { (df, c, _) =>
+    c.strOr("mode", "sizes") match {
+      case "sizes" => graft.dedup.DedupReport.componentSizes(df,
+        c.strOr("component_key", "component"))
+      case "summary" => graft.dedup.DedupReport.summary(df,
+        c("corpus_rows").long, c.strOr("component_key", "component"))
+      case other => throw new IllegalArgumentException(
+        s"dedup_report mode must be sizes|summary, got '$other'")
     }
   }
   // Score ensembling (§2.14 curation): Borda rank fusion (integer-exact)

@@ -20,6 +20,32 @@ object Tables {
     if (name == "events") normalizeEventTs(d) else d
   }
 
+  /** STREAMING read of the same table with the same `ts` contract — the
+    * schema comes from a footer-only batch read (readStream requires an
+    * explicit schema), and the normalization projection composes onto
+    * the stream unchanged. The file streaming source lists a DIRECTORY;
+    * when the table ships as a single parquet FILE (the driver's
+    * layout), it is exposed through a per-(dir, table) temp directory
+    * holding one symlink — metadata only, created once per JVM. */
+  def stream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val streamPath =
+      if (f.isDirectory) path
+      else streamDirs.getOrElseUpdate((dir, name), {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_stream_$name")
+        java.nio.file.Files.createSymbolicLink(
+          tmp.resolve(s"$name.parquet"), f.toPath.toAbsolutePath)
+        tmp.toString
+      })
+    val d = spark.readStream.schema(schema).parquet(streamPath)
+    if (name == "events") normalizeEventTs(d) else d
+  }
+
+  private val streamDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
   /** The driver's `events.ts` has shipped in two physical forms across
     * rounds: parquet TIMESTAMP(NANOS) (read as Long NANOseconds under
     * `spark.sql.legacy.parquet.nanosAsLong`) and parquet TIMESTAMP(MICROS)

@@ -254,6 +254,43 @@ object TextFunctions {
       regexp_replace(acc, concat(lit("\\b"), cand, lit("\\b")), lit(token)))
   }
 
+  /** ISO 13616 IBAN checksum (mod-97-10, ISO 7064): rotate the first 4
+    * chars to the end, expand letters to two digits (A=10 … Z=35), and
+    * the whole number must be ≡ 1 (mod 97). The running-mod fold keeps
+    * every intermediate < 9700, so a 34-char IBAN never needs big
+    * integers — and the identical fold replays in SQL on the oracle
+    * side. Case-insensitive; requires the standard 2-letter country +
+    * 2-digit check prefix and 15–34 total length. */
+  def ibanValid(iban: Column): Column = {
+    val up = upper(regexp_replace(iban, "[^A-Za-z0-9]", ""))
+    val n = length(up)
+    val rotated = concat(up.substr(lit(5), n - 4), up.substr(lit(1), lit(4)))
+    val total = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
+      val ch = ascii(rotated.substr(i, lit(1)))
+      when(ch >= 48 && ch <= 57, (acc * 10 + (ch - 48)) % 97)
+        .otherwise((acc * 100 + (ch - 55)) % 97)
+    })
+    n >= 15 && n <= 34 &&
+      regexp_like(up, lit("^[A-Z]{2}[0-9]{2}[A-Z0-9]+$")) &&
+      total === 1
+  }
+
+  /** IBAN candidate pattern: country + check + 11–30 alphanumerics,
+    * word-boundaried, RE2-safe. */
+  val IbanCandidateRe: String = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
+
+  /** Replace every CHECKSUM-VALID IBAN candidate with `token` — the
+    * mod-97 gate keeps random uppercase codes (order ids, tracking
+    * numbers) untouched, same shape as [[redactCreditCards]]'s Luhn
+    * gate. Candidates match only `[A-Z0-9]`, regex-literal-safe. */
+  def redactIbans(c: Column, token: String = "<IBAN>"): Column = {
+    val cands = array_distinct(
+      regexp_extract_all(c, lit(IbanCandidateRe), lit(0)))
+    val valid = filter(cands, x => ibanValid(x))
+    aggregate(valid, c, (acc, cand) =>
+      regexp_replace(acc, concat(lit("\\b"), cand, lit("\\b")), lit(token)))
+  }
+
   /** C4-style word blocklist test: true iff any whitespace token of the
     * lowercased text is in `words` (the public C4 recipe removes pages
     * containing listed words; the list itself is caller-supplied policy

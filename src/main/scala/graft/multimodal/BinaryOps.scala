@@ -50,6 +50,50 @@ object BinaryOps {
     }(Encoders.row(newSchema))
   }
 
+  /** STUB bytes → feature-vector kernel: a deterministic unit-free
+    * `dim`-dimensional embedding derived from md5 of the payload — each
+    * component is the 52-bit prefix of md5("<md5hex(bytes)>_<j>") mapped
+    * into [-1, 1] (exactly (h mod 2001 − 1000)/1000). A real build
+    * replaces the body with a CLIP/wav2vec-style encoder; the signature,
+    * null handling, and output shape stay identical — and because the
+    * stub is pure md5 arithmetic, the whole seam is ORACLE-REPLAYABLE
+    * (DuckDB recomputes the vector from the same bytes). */
+  def byteFeatureStub(bytes: Array[Byte], dim: Int): Array[Double] =
+    if (bytes == null || bytes.isEmpty) Array.fill(dim)(0.0)
+    else {
+      val h = md5Hex(bytes)
+      Array.tabulate(dim) { j =>
+        val hj = md5Hex(s"${h}_$j".getBytes("UTF-8")).substring(0, 13)
+        (java.lang.Long.parseLong(hj, 16) % 2001L - 1000L) / 1000.0
+      }
+    }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Attach a feature vector for a binary column — the multimodal
+    * retrieval seam: image/audio payloads become an `array<double>`
+    * embedding column that [[graft.ann.Ann.bruteForce]] / `ivf` / the
+    * embedding-dedup arms consume unchanged. Same `mapPartitions` batch
+    * shape as [[withImageMeta]] (one task walks a whole partition — what
+    * a vectorized encoder batch would also want); swap
+    * [[byteFeatureStub]] for a codec-backed encoder and the plan,
+    * schema, and downstream retrieval wiring stay identical. */
+  def withByteFeatures(df: DataFrame, binaryCol: String, dim: Int,
+      outCol: String = "byte_features"): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val idx = df.schema.fieldIndex(binaryCol)
+    val newSchema = df.schema.add(
+      StructField(outCol, ArrayType(DoubleType)))
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = if (row.isNullAt(idx)) null else row.getAs[Array[Byte]](idx)
+        Row.fromSeq(row.toSeq :+ byteFeatureStub(bytes, dim).toSeq)
+      }
+    }(Encoders.row(newSchema))
+  }
+
   /** STUB frame sampling for video-like payloads: emits `n` byte slices as
     * one row per "frame" (posexplode plumbing is real; slicing is the stub). */
   def sampleFrames(df: DataFrame, binaryCol: String, n: Int): DataFrame = {

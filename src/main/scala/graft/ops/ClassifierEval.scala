@@ -101,4 +101,30 @@ object ClassifierEval {
         round(avg(col("_s")), 6).as("mean_score"),
         round(avg(col("_l")), 6).as("pos_rate"))
   }
+
+  /** EQUAL-MASS (quantile-binned) calibration table — the standard ECE
+    * companion to the fixed-width [[calibrationBins]]: scores are
+    * ranked globally and cut into `bins` equal-count bins (sizes differ
+    * by at most 1), so sparse score regions can't produce empty or
+    * single-row bins that make the reliability diagram lie. Ranking
+    * rides [[RankOp.withGlobalRank]]'s range-partitioned sort (never a
+    * single-task window); `tieBreak` makes equal scores cut
+    * deterministically, so the table is oracle-replayable. The row
+    * count is one scalar aggregate (O(1) driver state). */
+  def calibrationBinsEqualMass(df: DataFrame, labelCol: String,
+      scoreCol: String, bins: Int, tieBreak: String): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val n = df.count()
+    val ranked = RankOp.withGlobalRank(
+      df.select(col(scoreCol).cast("double").as("_s"),
+        col(labelCol).cast("long").as("_l"), expr(tieBreak).as("_tb")),
+      Seq(col("_s").asc, col("_tb").asc))
+    ranked
+      .withColumn("bin",
+        floor((col("_rank") - 1) * bins / lit(math.max(n, 1L))))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("_s")), 6).as("mean_score"),
+        round(avg(col("_l")), 6).as("pos_rate"))
+  }
 }

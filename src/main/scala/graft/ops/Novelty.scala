@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram novelty vs a reference corpus — the crawl-freshness /
+  * duplication-pressure signal continuous ingestion needs: of this
+  * dump's DISTINCT word n-grams, what fraction was never seen in the
+  * reference (last month's corpus, the training mix)? High novelty =
+  * genuinely new content worth keeping; novelty collapsing toward 0 =
+  * the crawler is re-fetching what the corpus already holds. The
+  * gram-level complement of [[graft.dedup.Decontaminate]] (which flags
+  * DOCUMENTS sharing grams) and [[CorpusDrift]] (which measures
+  * distribution shift, not novelty mass).
+  *
+  * Scale shape: distinct n-grams per side (gram-keyed aggregations),
+  * one LEFT ANTI join on the gram hash, and slice-keyed counts —
+  * never document pairs, never gram lists on the driver. Grams are
+  * md5-prefix hashes (8 bytes) through the shuffle, not strings.
+  */
+object Novelty {
+
+  /** Per-`sliceCol` novelty report over word `n`-grams of `textCol`:
+    * (slice, n_grams, novel_grams, novelty_rate) where n_grams counts
+    * the slice's DISTINCT grams and novel_grams those absent from
+    * `reference`'s `refTextCol` grams. `sliceCol` = a constant column
+    * for a corpus-level row. */
+  def report(current: DataFrame, sliceCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val cur = grams(current, textCol, n)
+      .select(col(sliceCol).as("slice"), col("_g"))
+      .distinct()
+    val ref = grams(reference, refTextCol, n)
+      .select(col("_g")).distinct()
+    val novel = cur.join(ref, Seq("_g"), "left_anti")
+      .groupBy("slice").agg(count(lit(1)).as("novel_grams"))
+    cur.groupBy("slice").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("slice"), "left")
+      .select(col("slice"), col("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        round(coalesce(col("novel_grams"), lit(0L)) /
+          col("n_grams").cast("double"), 6).as("novelty_rate"))
+  }
+
+  /** Word n-gram hash rows: input columns + `_g` (xxhash64 of the
+    * space-joined lowercase gram) — 8 bytes per gram through every
+    * downstream shuffle instead of the gram text. */
+  private def grams(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val toks = filter(split(lower(coalesce(col(textCol), lit(""))),
+      "[^a-z0-9]+"), t => length(t) > 0)
+    val slots = df.withColumn("_toks", toks)
+      .filter(size(col("_toks")) >= n)
+      .withColumn("_i", explode(sequence(lit(0),
+        size(col("_toks")) - n)))
+    slots.withColumn("_g",
+      xxhash64(concat_ws(" ", slice(col("_toks"), col("_i") + 1, lit(n)))))
+      .drop("_toks", "_i")
+  }
+}

@@ -80,6 +80,56 @@ object RobotsTxt {
       explode(regexp_extract_all(coalesce(col(contentCol), lit("")),
         lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)"), lit(1))).as("sitemap"))
 
+  /** Explode (host, robots body) rows into (host, agent,
+    * delay_seconds) — the `Crawl-delay:` extension directive (not in
+    * RFC 9309 but honored by most major engines' published parsers):
+    * binds to the PRECEDING `User-agent:` run exactly like rules, so a
+    * fetcher picks its delay with the same group selection as
+    * [[isAllowed]]. Non-numeric values drop; same one-fold-per-row
+    * shape as [[rulesCol]]. */
+  def crawlDelays(df: DataFrame, hostCol: String,
+      contentCol: String): DataFrame = {
+    val lines = split(coalesce(col(contentCol), lit("")), "\n")
+    val empty = array().cast("array<struct<agent:string,delay:double>>")
+    val zero = struct(
+      array().cast("array<string>").as("agents"),
+      lit(false).as("inRun"),
+      empty.as("delays"))
+    val folded = aggregate(lines, zero, (acc, raw) => {
+      val line = trim(regexp_replace(raw, "#.*$", ""))
+      val hasColon = line.contains(":")
+      val field = lower(trim(substring_index(line, ":", 1)))
+      val value = when(hasColon,
+        trim(regexp_replace(line, "^[^:]*:", ""))).otherwise(lit(""))
+      val agents = acc.getField("agents")
+      val inRun = acc.getField("inRun")
+      val delays = acc.getField("delays")
+      val isUa = field === "user-agent" && length(value) > 0
+      // regex-gate BEFORE the cast: ANSI mode throws on a malformed
+      // cast even inside an unmatched when() condition
+      val numOk = value.rlike("^[0-9]+(\\.[0-9]+)?$")
+      val num = when(numOk, value.cast("double"))
+      val isDelay = field === "crawl-delay" && numOk
+      when(isUa,
+        struct(
+          when(inRun, concat(agents, array(lower(value))))
+            .otherwise(array(lower(value))).as("agents"),
+          lit(true).as("inRun"),
+          delays.as("delays")))
+        .when(isDelay,
+          struct(agents.as("agents"), lit(false).as("inRun"),
+            concat(delays, transform(agents, a =>
+              struct(a.as("agent"), num.as("delay")))).as("delays")))
+        .otherwise(
+          struct(agents.as("agents"), lit(false).as("inRun"),
+            delays.as("delays")))
+    })
+    df.select(col(hostCol).as("host"),
+      explode(folded.getField("delays")).as("_d"))
+      .select(col("host"), col("_d.agent").as("agent"),
+        col("_d.delay").as("delay_seconds"))
+  }
+
   /** Explode (host, robots body) rows into the rule table
     * (host, agent, allow, prefix). */
   def parseRules(df: DataFrame, hostCol: String,

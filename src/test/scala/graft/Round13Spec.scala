@@ -290,6 +290,261 @@ class Round13Spec extends SparkSpec {
     assert(got.count(_._1 == "a") == 10 && got.count(_._1 == "b") == 5)
   }
 
+  // ------------------------------ LazyFrame round-trips for the r12 ops
+
+  test("LazyFrame r12/r13 builders round-trip through YAML and run") {
+    import graft.api.{LazyFrame, Pipeline}
+    val dir = java.nio.file.Files.createTempDirectory("lf13").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    docsDf.select(col("lang")).distinct()
+      .withColumn("label", concat(lit("L"), col("lang")))
+      .write.mode("overwrite").parquet(s"$dir/dim.parquet")
+    def roundTrips(lf: LazyFrame): Long = {
+      val reparsed = LazyFrame.fromYaml(lf.toYaml)
+      assert(reparsed.toYaml == lf.toYaml) // fixpoint
+      val direct = lf.run(spark).count()
+      assert(Pipeline.runYaml(lf.toYaml, spark).count() == direct)
+      direct
+    }
+    def docs = LazyFrame.read("docs", s"$dir/docs.parquet")
+    val n = docsDf.count()
+    assert(roundTrips(docs.runsCollapse("lang", "doc_id", "text",
+      "doc_id")) > 0)
+    assert(roundTrips(docs.skewSummary("lang")) == 1)
+    assert(roundTrips(docs.skewHeavyKeys("lang", 2, 3)) == 2)
+    assert(roundTrips(docs.stratifiedExact("lang", 0.5, "doc_id")) ==
+      math.floor(0.5 * 5) + math.floor(0.5 * 1))
+    assert(roundTrips(docs.saltedJoin(
+      LazyFrame.read("dim", s"$dir/dim.parquet"), "lang", salts = 2,
+      saltExpr = "doc_id")) == n)
+    assert(roundTrips(docs.lengthBatches("doc_id", 4, "doc_id")) == n)
+    assert(roundTrips(docs
+      .codeMap("lbl" -> "cast(doc_id % 2 as bigint)",
+        "s" -> "cast(doc_id as double) / 10")
+      .calibrationBinsEqualMass("lbl", "s", bins = 3,
+        tieBreak = "doc_id")) == 3)
+    assert(roundTrips(docs
+      .codeMap("payload" -> "cast(text as binary)")
+      .byteFeatures("payload", dim = 4)) == n)
+    assert(roundTrips(docs.editAudit("doc_id", "text", 2)) == n)
+  }
+
+  // ----------------------------------------- multimodal feature seam
+
+  test("byteFeatures: deterministic md5 kernel, null/empty safe, ANN-ready") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val d = df(schema,
+      Row(1L, "alpha".getBytes("UTF-8")),
+      Row(2L, "alpha".getBytes("UTF-8")),   // identical bytes
+      Row(3L, "beta".getBytes("UTF-8")),
+      Row(4L, null),
+      Row(5L, Array.empty[Byte]))
+    val out = graft.multimodal.BinaryOps.withByteFeatures(d, "payload", 8)
+    val vecs = out.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](r.fieldIndex("byte_features")).toVector).toMap
+    assert(vecs(1L).length == 8)
+    assert(vecs(1L) == vecs(2L))            // pure function of bytes
+    assert(vecs(1L) != vecs(3L))
+    assert(vecs(4L) == Vector.fill(8)(0.0) && vecs(5L) == vecs(4L))
+    assert(vecs(1L).forall(v => v >= -1.0 && v <= 1.0))
+    // the seam feeds ANN unchanged: identical payloads are each other's
+    // top neighbor at cosine 1
+    val nn = graft.ann.Ann.bruteForce(
+      out.filter(col("id") <= 3), "id", "byte_features",
+      out.filter(col("id") <= 3), "id", "byte_features", k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(nn(1L) == ((2L, 1.0)) && nn(2L) == ((1L, 1.0)))
+  }
+
+  // ------------------------------------ equal-mass calibration bins
+
+  test("calibrationBinsEqualMass: equal-count bins, deterministic ties") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("lbl", LongType), StructField("s", DoubleType)))
+    // 12 rows, 3 bins of exactly 4; scores with ties broken by id
+    val rows = (1L to 12L).map(i => Row(i, i % 2, (i % 4).toDouble / 4))
+    val d = df(schema, rows: _*)
+    val out = graft.ops.ClassifierEval
+      .calibrationBinsEqualMass(d, "lbl", "s", bins = 3, tieBreak = "id")
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(out.forall(_._2 == 4L)) // equal mass, sizes differ by <= 1
+    // rank order: scores 0,0,0 (ids 4,8,12), .25 (1,5,9), .5 (2,6,10),
+    // .75 (3,7,11) -> bin0 = {4,8,12,1}, pos_rate = labels {0,0,0,1}/4
+    assert(out(0)._3 == 0.25)
+    // no unpartitioned Window in the plan (global rank rides the sort)
+    val p = java.nio.file.Files.createTempDirectory("ecal")
+      .resolve("d.parquet").toString
+    d.write.mode("overwrite").parquet(p)
+    val windows = graft.ops.ClassifierEval.calibrationBinsEqualMass(
+      spark.read.parquet(p), "lbl", "s", 3, "id")
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+    assert(windows.isEmpty)
+  }
+
+  // --------------------------------------------- annotator agreement
+
+  test("cohen kappa: perfect, chance-level, and known-value fixtures") {
+    val schema = StructType(Seq(StructField("a", StringType),
+      StructField("b", StringType)))
+    // classic textbook 2x2: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no
+    val rows =
+      Seq.fill(20)(Row("y", "y")) ++ Seq.fill(5)(Row("y", "n")) ++
+        Seq.fill(10)(Row("n", "y")) ++ Seq.fill(15)(Row("n", "n"))
+    val out = graft.ops.Agreement.cohenKappa(df(schema, rows: _*),
+      "a", "b").head()
+    assert(out.getLong(0) == 50)
+    assert(out.getDouble(1) == 0.7)      // po = 35/50
+    assert(out.getDouble(2) == 0.5)      // pe = (25*30 + 25*20)/2500
+    assert(out.getDouble(3) == 0.4)      // (0.7-0.5)/(1-0.5)
+    // perfect agreement -> kappa 1; nulls excluded
+    val perfect = graft.ops.Agreement.cohenKappa(
+      df(schema, Row("x", "x"), Row("y", "y"), Row(null, "y")),
+      "a", "b").head()
+    assert(perfect.getLong(0) == 2 && perfect.getDouble(3) == 1.0)
+    val conf = graft.ops.Agreement.confusion(df(schema, rows: _*),
+      "a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf(("y", "y")) == 20 && conf(("n", "y")) == 10)
+    val yaml = graft.api.Registry("agreement")(df(schema, rows: _*),
+      graft.api.Conf.fromYaml(
+        "type: agreement\nmode: cohen\na_key: a\nb_key: b"), null)
+    assert(yaml.head().getDouble(3) == 0.4)
+  }
+
+  test("fleiss kappa: unanimous items vs full disagreement") {
+    val schema = StructType(Seq(StructField("item", LongType),
+      StructField("lbl", StringType)))
+    // 2 items x 3 raters: item 1 unanimous 'a', item 2 unanimous 'b'
+    val unanimous = df(schema,
+      Row(1L, "a"), Row(1L, "a"), Row(1L, "a"),
+      Row(2L, "b"), Row(2L, "b"), Row(2L, "b"))
+    val u = graft.ops.Agreement.fleissKappa(unanimous, "item", "lbl")
+      .head()
+    assert(u.getLong(0) == 2 && u.getLong(1) == 6)
+    assert(u.getDouble(2) == 1.0 && u.getDouble(4) == 1.0)
+    // every rater disagrees on every item: P_i = 0, kappa < 0
+    val allDiff = df(schema,
+      Row(1L, "a"), Row(1L, "b"), Row(1L, "c"),
+      Row(2L, "a"), Row(2L, "b"), Row(2L, "c"))
+    val d2 = graft.ops.Agreement.fleissKappa(allDiff, "item", "lbl")
+      .head()
+    assert(d2.getDouble(2) == 0.0 && d2.getDouble(4) < 0)
+    // single-rating items are excluded
+    val ragged = graft.ops.Agreement.fleissKappa(
+      df(schema, Row(1L, "a"), Row(1L, "a"), Row(2L, "a")),
+      "item", "lbl").head()
+    assert(ragged.getLong(0) == 1 && ragged.getLong(1) == 2)
+  }
+
+  // ------------------------------------------------ IBAN checksum ops
+
+  test("ibanValid: ISO 13616 mod-97 gate; redact only valid candidates") {
+    import graft.functions.TextFunctions
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val d = df(schema,
+      Row("DE89370400440532013000"),      // valid (public ISO example)
+      Row("GB82WEST12345698765432"),      // valid
+      Row("DE89370400440532013001"),      // corrupted check
+      Row("GB82WEST1234569876543"),       // wrong length tail
+      Row("de89 3704 0044 0532 0130 00"), // lowercase + spaces: valid
+      Row("ZZ12NOTANIBANATALL000"))
+    val got = d.select(col("s"),
+      TextFunctions.ibanValid(col("s")).as("v")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("DE89370400440532013000"))
+    assert(got("GB82WEST12345698765432"))
+    assert(got("de89 3704 0044 0532 0130 00"))
+    assert(!got("DE89370400440532013001"))
+    assert(!got("GB82WEST1234569876543"))
+    assert(!got("ZZ12NOTANIBANATALL000"))
+    val red = df(schema,
+      Row("wire DE89370400440532013000 or DE89370400440532013001 ok"))
+      .select(TextFunctions.redactIbans(col("s")).as("r"))
+      .head().getString(0)
+    assert(red == "wire <IBAN> or DE89370400440532013001 ok", red)
+    val yaml = graft.api.Registry("redact_iban")(
+      df(schema, Row("a GB82WEST12345698765432 b")),
+      graft.api.Conf.fromYaml("type: redact_iban\ntext_key: s"), null)
+    assert(yaml.head().getString(0) == "a <IBAN> b")
+  }
+
+  // ------------------------------------------------------- novelty
+
+  test("novelty: distinct-gram anti-join rates per slice") {
+    val schema = StructType(Seq(StructField("slice", StringType),
+      StructField("text", StringType)))
+    val cur = df(schema,
+      Row("s1", "alpha beta gamma delta"),   // grams: abg, bgd
+      Row("s2", "alpha beta gamma"),          // gram: abg (seen in ref)
+      Row("s2", "x y z w"))                   // grams: xyz, yzw (novel)
+    val ref = df(schema, Row("r", "alpha beta gamma zeta"))
+    val got = graft.ops.Novelty.report(cur, "slice", "text", ref,
+      "text", n = 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // s1: {abg, bgd} -> abg in ref, bgd novel
+    assert(got("s1") == ((2L, 1L, 0.5)))
+    // s2: {abg, xyz, yzw} -> 2 novel
+    assert(got("s2") == ((3L, 2L, 0.666667)))
+    val ctx = graft.api.OpContext(spark, graft.llm.MockLlmClient(),
+      Map("ref" -> ref))
+    val yaml = graft.api.Registry("novelty")(cur,
+      graft.api.Conf.fromYaml(
+        "type: novelty\nreference: ref\nslice_key: slice\n" +
+          "text_key: text\nn: 3"), ctx)
+    assert(yaml.count() == 2)
+  }
+
+  // --------------------------------------------------- dedup report
+
+  test("dedup report: component sizes and dup-mass summary") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("component", LongType)))
+    val comp = df(schema,
+      Row(1L, 1L), Row(2L, 1L), Row(3L, 1L),   // size-3 cluster
+      Row(5L, 5L), Row(6L, 5L),                 // size-2
+      Row(8L, 8L), Row(9L, 8L))                 // size-2
+    val sizes = graft.dedup.DedupReport.componentSizes(comp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(sizes == Map(3L -> ((1L, 3L)), 2L -> ((2L, 4L))))
+    val sum = graft.dedup.DedupReport.summary(comp, corpusRows = 100L)
+      .head()
+    assert(sum.getLong(0) == 100 && sum.getLong(1) == 7 &&
+      sum.getLong(2) == 3 && sum.getLong(3) == 4 &&
+      sum.getDouble(4) == 0.04)
+    val yaml = graft.api.Registry("dedup_report")(comp,
+      graft.api.Conf.fromYaml("type: dedup_report\nmode: sizes"), null)
+    assert(yaml.count() == 2)
+  }
+
+  // ------------------------------------------------- crawl delays
+
+  test("crawl delays bind to user-agent runs; malformed values drop") {
+    val schema = StructType(Seq(StructField("host", StringType),
+      StructField("body", StringType)))
+    val robots = df(schema, Row("h1",
+      "User-agent: a\nUser-agent: b\nCrawl-delay: 1.5\n" +
+        "Disallow: /x\nCrawl-delay: 3\n\n" +
+        "User-agent: *\ncrawl-delay: 10\n\n" +
+        "User-agent: c\nCrawl-delay: fast\n"))
+    val got = graft.ops.RobotsTxt.crawlDelays(robots, "host", "body")
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSet
+    // the a/b run gets BOTH delay lines (last-write semantics are the
+    // fetcher's choice; the parse preserves every directive), * gets 10,
+    // c's non-numeric value drops
+    assert(got == Set(("a", 1.5), ("b", 1.5), ("a", 3.0), ("b", 3.0),
+      ("*", 10.0)))
+  }
+
   // --------------------------------------- pseudonymize delimiter safety
 
   test("pseudonymize: matches containing ':' and '|' replace correctly") {

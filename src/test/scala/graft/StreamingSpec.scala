@@ -575,4 +575,36 @@ class StreamingSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(batch - js2) < 1e-6)
   }
+
+  test("semantic map composes onto a stream; the LLM cache keeps micro-batch retries idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+    val client = graft.llm.MockLlmClient()
+    val cfg = graft.ops.SemanticMapConfig(
+      name = "smap_stream",
+      prompt = "r13stream classify: {{ input.text }}",
+      outputSchema = Seq("sentiment" -> "string"))
+    // the semantic op is an object operator — it composes onto the
+    // streaming frame unchanged, per micro-batch
+    val out = graft.ops.SemanticMap(docs, cfg, client)
+    val q = out.writeStream.format("memory").queryName("smap_sink")
+      .outputMode(OutputMode.Append()).start()
+    val c0 = client.callCount
+    input.addData((1L, "the fast car"), (2L, "a slow day"))
+    q.processAllAvailable()
+    val afterB1 = client.callCount
+    assert(afterB1 - c0 == 2, s"expected 2 provider calls, got ${afterB1 - c0}")
+    // an identical prompt in a LATER micro-batch (the replay/retry shape)
+    // is served by the executor-local LlmCache: zero new provider calls
+    input.addData((3L, "the fast car"))
+    q.processAllAvailable()
+    assert(client.callCount == afterB1,
+      s"cache miss on replayed prompt: ${client.callCount - afterB1} extra calls")
+    val rows = spark.sql("SELECT id, text, sentiment FROM smap_sink")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    q.stop()
+    assert(rows == Map(1L -> "positive", 2L -> "negative", 3L -> "positive"))
+  }
 }
