@@ -7190,6 +7190,87 @@ object Queries {
         SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
                (sz * count(*))::BIGINT AS n_rows
         FROM s GROUP BY 1""")
+    ),
+    (
+      // Cross-split leakage audit: the q194 edit fixture with a parity
+      // train/test split — variants of the same string land on both
+      // sides, and the report must count the straddling near-dup pairs
+      // and the distinct documents touching the boundary. The oracle is
+      // the brute-force cross join (recall 1 is the contract).
+      "q227_split_leakage",
+      (s: SparkSession, dir: String) => {
+        val alpha = lit("abcdefghijklmnopqrstuvwxyz")
+        val m = (col("doc_id") / 7).cast("bigint")
+        val base = substring(alpha, ((m % 8) + 1).cast("int"), lit(12))
+        val v = m % 3
+        val fixture = t(s, dir, "documents")
+          .filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            when(v === 0, base)
+              .when(v === 1, concat(substring(base, lit(1), lit(3)),
+                lit("z"), substring(base, lit(5), lit(8))))
+              .otherwise(concat(base, lit("q"))).as("s"),
+            when(col("doc_id") % 2 === 0, lit("train"))
+              .otherwise(lit("test")).as("split"))
+        graft.ops.SplitLeakage.report(fixture, "doc_id", "s", "split",
+          t = 2)
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 CASE (doc_id // 7) % 3
+                   WHEN 0 THEN substring('abcdefghijklmnopqrstuvwxyz',
+                                 (((doc_id // 7) % 8) + 1)::INT, 12)
+                   WHEN 1 THEN substring('abcdefghijklmnopqrstuvwxyz',
+                                 (((doc_id // 7) % 8) + 1)::INT, 3) ||
+                               'z' ||
+                               substring('abcdefghijklmnopqrstuvwxyz',
+                                 (((doc_id // 7) % 8) + 5)::INT, 8)
+                   ELSE substring('abcdefghijklmnopqrstuvwxyz',
+                          (((doc_id // 7) % 8) + 1)::INT, 12) || 'q'
+                 END AS s,
+                 CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'test' END
+                   AS sp
+          FROM documents WHERE doc_id % 7 = 0),
+        l AS (
+          SELECT least(a.sp, b.sp) AS split_a,
+                 greatest(a.sp, b.sp) AS split_b,
+                 a.doc_id AS ia, b.doc_id AS ib
+          FROM f a JOIN f b ON a.doc_id < b.doc_id
+          WHERE levenshtein(a.s, b.s) <= 2 AND a.sp <> b.sp),
+        ids AS (SELECT split_a, split_b, ia AS id FROM l
+                UNION SELECT split_a, split_b, ib FROM l),
+        li AS (SELECT split_a, split_b, count(*)::BIGINT AS n_leaked_ids
+               FROM ids GROUP BY 1, 2),
+        lp AS (SELECT split_a, split_b, count(*)::BIGINT AS n_pairs
+               FROM l GROUP BY 1, 2)
+        SELECT lp.split_a, lp.split_b, n_pairs, n_leaked_ids
+        FROM lp JOIN li USING (split_a, split_b)""")
+    ),
+    (
+      // Matryoshka truncation: 64-dim embeddings cut to the first 16
+      // dims and L2-renormalized (the MRL coarse-search tier); the
+      // oracle recomputes the identical slice + norm + division.
+      "q228_matryoshka",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "embeddings").filter(col("vec_id") < 200)
+          .select(col("vec_id"),
+            posexplode(graft.functions.VectorFunctions
+              .truncateNormalize(col("embedding"), 16))
+              .as(Seq("dim", "value")))
+          .withColumn("dim", col("dim").cast("bigint")),
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE vec_id < 200),
+        h AS (SELECT vec_id, e[1:16] AS h FROM e),
+        n AS (SELECT vec_id, h,
+                     sqrt(list_sum([h[i+1] * h[i+1]
+                                    FOR i IN range(0, 16)])) AS nn
+              FROM h)
+        SELECT vec_id, j AS dim,
+               round(CASE WHEN nn > 0 THEN h[j+1] / nn ELSE 0 END, 6)
+                 AS value
+        FROM n, UNNEST(range(0, 16)) AS t(j)""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

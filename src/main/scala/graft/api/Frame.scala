@@ -425,6 +425,17 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       refTextCol, n))
   def editComponents(idCol: String, textCol: String, t: Int): Frame =
     next(graft.dedup.EditDedup.components(df, idCol, textCol, t))
+  def splitLeakage(idCol: String, textCol: String, splitCol: String,
+      t: Int = 2): Frame =
+    next(SplitLeakage.report(df, idCol, textCol, splitCol, t))
+  def splitLeakagePairs(idCol: String, textCol: String,
+      splitCol: String, t: Int = 2): Frame =
+    next(SplitLeakage.pairs(df, idCol, textCol, splitCol, t))
+  def truncateEmbedding(embCol: String, dim: Int,
+      outCol: String = ""): Frame =
+    next(df.withColumn(if (outCol.isEmpty) embCol else outCol,
+      graft.functions.VectorFunctions.truncateNormalize(
+        org.apache.spark.sql.functions.col(embCol), dim)))
   def dedupComponentSizes(componentCol: String = "component"): Frame =
     next(graft.dedup.DedupReport.componentSizes(df, componentCol))
   def dedupSummary(corpusRows: Long,

@@ -511,6 +511,14 @@ final case class LazyFrame(
       .append("novelty", "reference" -> rRef, "slice_key" -> sliceKey,
         "text_key" -> textKey, "ref_text_key" -> refTextKey, "n" -> n)
   }
+  def splitLeakage(idKey: String, textKey: String, splitKey: String,
+      threshold: Int = 2): LazyFrame =
+    append("split_leakage", "mode" -> "report", "id_key" -> idKey,
+      "text_key" -> textKey, "split_key" -> splitKey,
+      "threshold" -> threshold)
+  def truncateEmbedding(embeddingKey: String, dim: Int): LazyFrame =
+    append("truncate_embedding", "embedding_key" -> embeddingKey,
+      "dim" -> dim)
   def editComponents(idKey: String, textKey: String,
       threshold: Int): LazyFrame =
     append("dedup", "method" -> "edit_components", "id_key" -> idKey,

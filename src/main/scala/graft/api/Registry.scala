@@ -1427,6 +1427,26 @@ object Registry {
         s"agreement mode must be cohen|fleiss|confusion, got '$other'")
     }
   }
+  // Cross-split leakage audit (§2.14 eval integrity): near-dup pairs
+  // straddling a train/val/test boundary, or per-boundary counts.
+  register("split_leakage") { (df, c, _) =>
+    c.strOr("mode", "report") match {
+      case "pairs" => SplitLeakage.pairs(df, c("id_key").str,
+        c("text_key").str, c("split_key").str, c.intOr("threshold", 2))
+      case "report" => SplitLeakage.report(df, c("id_key").str,
+        c("text_key").str, c("split_key").str, c.intOr("threshold", 2))
+      case other => throw new IllegalArgumentException(
+        s"split_leakage mode must be pairs|report, got '$other'")
+    }
+  }
+  // Matryoshka embedding truncation (§2.14 ANN family): first-dim
+  // slice + L2 renorm — the coarse-search / exact-rerank cost tier.
+  register("truncate_embedding") { (df, c, _) =>
+    val key = c("embedding_key").str
+    df.withColumn(c.strOr("output_key", key),
+      graft.functions.VectorFunctions.truncateNormalize(
+        org.apache.spark.sql.functions.col(key), c("dim").int))
+  }
   // N-gram novelty vs a reference corpus (§2.14 crawl freshness).
   register("novelty") { (df, c, ctx) =>
     val ref = ctx.datasets.getOrElse(c("reference").str,

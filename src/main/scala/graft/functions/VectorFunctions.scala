@@ -35,4 +35,19 @@ object VectorFunctions {
 
   def euclideanToConst(a: Column, v: Array[Double]): Column =
     sqrt(aggregate(zip_with(d(a), constArray(v), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+
+  /** Matryoshka truncation (Kusupati et al. 2022, the MRL recipe every
+    * current embedding API exposes as `dimensions=`): keep the first
+    * `dim` components and L2-renormalize, so cosine on the truncated
+    * vectors stays a unit-sphere cosine. The ANN cost tier: search
+    * coarse at dim 64, re-rank exact at full width — pure slice +
+    * fold expressions, zero shuffle, rounded 6 for oracle parity. A
+    * zero-norm prefix yields a zero vector (not NaN). */
+  def truncateNormalize(a: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val head = slice(d(a), 1, dim)
+    val n = sqrt(aggregate(head, lit(0.0), (acc, x) => acc + x * x))
+    transform(head, x =>
+      round(when(n > 0.0, x / n).otherwise(lit(0.0)), 6))
+  }
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-split leakage audit — the eval-integrity check a training run
+  * owes its benchmark numbers: after train/val/test assignment
+  * ([[SampleOp.assignSplit]]'s group-hash split or any external one),
+  * are there NEAR-DUPLICATE documents sitting on opposite sides of a
+  * split boundary? A test document within edit distance t of a train
+  * document inflates eval scores exactly like benchmark contamination
+  * does ([[graft.dedup.Decontaminate]] guards against EXTERNAL
+  * benchmarks; this guards the corpus against ITSELF).
+  *
+  * Built on [[graft.dedup.EditDedup.pairs]] — recall-1 character-level
+  * pairs — filtered to pairs whose endpoints carry DIFFERENT split
+  * labels. Use the `pairs` form for the offending id pairs (the
+  * worklist: drop or re-split them) and `report` for the per-boundary
+  * counts a datacard quotes.
+  *
+  * Scale shape: everything the PassJoin arm costs plus two id-keyed
+  * split-label joins and one (split_a, split_b)-keyed count — no new
+  * shuffle classes, no driver state.
+  */
+object SplitLeakage {
+
+  /** Leaking id pairs: (id_a, id_b, dist, split_a, split_b) with
+    * split_a ≠ split_b (labels ordered so split_a ≤ split_b — one row
+    * per unordered boundary pair). */
+  def pairs(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String, t: Int): DataFrame = {
+    val labels = df.select(col(idCol), col(splitCol).cast("string"))
+    val withA = graft.dedup.EditDedup.pairs(df, idCol, textCol, t)
+      .join(labels.toDF("id_a", "_sa"), Seq("id_a"))
+      .join(labels.toDF("id_b", "_sb"), Seq("id_b"))
+      .filter(col("_sa") =!= col("_sb"))
+    withA.select(col("id_a"), col("id_b"), col("dist"),
+      least(col("_sa"), col("_sb")).as("split_a"),
+      greatest(col("_sa"), col("_sb")).as("split_b"))
+  }
+
+  /** Per-boundary leakage counts: (split_a, split_b, n_pairs,
+    * n_leaked_ids) — n_leaked_ids counts DISTINCT documents touching
+    * that boundary (what you would have to drop to seal it). */
+  def report(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String, t: Int): DataFrame = {
+    val prs = pairs(df, idCol, textCol, splitCol, t)
+    val ids = prs.select(col("split_a"), col("split_b"),
+      col("id_a").as("_id"))
+      .unionByName(prs.select(col("split_a"), col("split_b"),
+        col("id_b").as("_id")))
+      .distinct()
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_leaked_ids"))
+    prs.groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(ids, Seq("split_a", "split_b"))
+  }
+}

@@ -545,6 +545,63 @@ class Round13Spec extends SparkSpec {
       ("*", 10.0)))
   }
 
+  // ------------------------------------------------ split leakage
+
+  test("split leakage: cross-boundary near-dup pairs and ids") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("split", StringType)))
+    val d = df(schema,
+      Row(1L, "abcdefghij", "train"),
+      Row(2L, "abcdefghix", "test"),    // leaks vs 1 (dist 1)
+      Row(3L, "abcdefghiy", "train"),   // leaks vs 2; same-split vs 1
+      Row(4L, "zzzzzzzzzz", "test"))    // clean
+    val prs = graft.ops.SplitLeakage.pairs(d, "id", "s", "split", t = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    // note: report columns are (id_b joined last) — use field names
+    val prs2 = graft.ops.SplitLeakage.pairs(d, "id", "s", "split", 2)
+      .collect().map(r => (r.getLong(r.fieldIndex("id_a")),
+        r.getLong(r.fieldIndex("id_b")))).toSet
+    assert(prs2 == Set((1L, 2L), (2L, 3L)))
+    assert(prs.nonEmpty)
+    val rep = graft.ops.SplitLeakage.report(d, "id", "s", "split", 2)
+      .head()
+    assert(rep.getString(0) == "test" && rep.getString(1) == "train")
+    assert(rep.getLong(rep.fieldIndex("n_pairs")) == 2)
+    assert(rep.getLong(rep.fieldIndex("n_leaked_ids")) == 3)
+    val yaml = graft.api.Registry("split_leakage")(d,
+      graft.api.Conf.fromYaml(
+        "type: split_leakage\nid_key: id\ntext_key: s\n" +
+          "split_key: split\nthreshold: 2"), null)
+    assert(yaml.count() == 1)
+  }
+
+  // --------------------------------------------- matryoshka truncation
+
+  test("truncateNormalize: slice + renorm, zero-prefix safe") {
+    import graft.functions.VectorFunctions
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(DoubleType))))
+    val d = df(schema,
+      Row(1L, Seq(3.0, 4.0, 100.0, -100.0)),
+      Row(2L, Seq(0.0, 0.0, 5.0, 5.0)))
+    val out = d.select(col("id"),
+      VectorFunctions.truncateNormalize(col("e"), 2).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(0.6, 0.8))      // 3-4-5 triangle
+    assert(out(2L) == Seq(0.0, 0.0))      // zero prefix -> zero vector
+    // cosine on truncated vectors is a unit cosine: self-sim 1
+    val sim = d.filter(col("id") === 1).select(
+      round(VectorFunctions.cosine(
+        VectorFunctions.truncateNormalize(col("e"), 2),
+        VectorFunctions.truncateNormalize(col("e"), 2)), 6))
+      .head().getDouble(0)
+    assert(sim == 1.0)
+    val yaml = graft.api.Registry("truncate_embedding")(d,
+      graft.api.Conf.fromYaml(
+        "type: truncate_embedding\nembedding_key: e\ndim: 2"), null)
+    assert(yaml.select("e").head().getSeq[Double](0) == Seq(0.6, 0.8))
+  }
+
   // --------------------------------------- pseudonymize delimiter safety
 
   test("pseudonymize: matches containing ':' and '|' replace correctly") {
