@@ -6829,9 +6829,15 @@ object Queries {
             maxTs / 1000L + 7200L * 1000L), "drift_probe"))
           q.processAllAvailable()
         } finally q.stop()
-        s.table(qn).select(
+        // snapshot (window-count rows — bounded) + drop the sink view so
+        // repeated Verify/Bench iterations don't accumulate in-memory
+        // tables on the driver
+        val result = s.table(qn).select(
           unix_micros(col("window.start")).as("ws"),
           col("n_tokens"), col("vocab_size"), col("js_divergence"))
+        val snap = s.createDataFrame(result.collectAsList(), result.schema)
+        s.catalog.dropTempView(qn)
+        snap
       },
       Some("""
         WITH e AS (
@@ -6843,11 +6849,23 @@ object Queries {
         ref AS (SELECT * FROM (VALUES ('click', 4.0), ('error', 1.0),
                 ('purchase', 1.0), ('signup', 1.0), ('view', 2.0),
                 ('drift_probe', 1.0)) AS r(tok, rc)),
-        rt AS (SELECT sum(rc) AS rtot, count(*)::DOUBLE AS v FROM ref),
-        j AS (SELECT n.ws, n.ntok, ref.tok, coalesce(c.wc, 0) AS wc,
-                     ref.rc, rt.rtot, rt.v
-              FROM n CROSS JOIN ref CROSS JOIN rt
-              LEFT JOIN c ON c.ws = n.ws AND c.tok = ref.tok),
+        rt AS (SELECT sum(rc) AS rtot FROM ref),
+        -- the engine smooths over the UNION of window and reference
+        -- vocabularies per window; replay that contract, not the
+        -- fixture coincidence that ref covers every event_type
+        vt AS (SELECT DISTINCT ws, tok FROM (
+                 SELECT ws, tok FROM c
+                 UNION ALL
+                 SELECT n.ws, ref.tok FROM n CROSS JOIN ref)),
+        vc AS (SELECT ws, count(*)::DOUBLE AS v FROM vt GROUP BY 1),
+        j AS (SELECT vt.ws, n.ntok, vt.tok,
+                     coalesce(c.wc, 0) AS wc, coalesce(ref.rc, 0) AS rc,
+                     rt.rtot, vc.v
+              FROM vt JOIN n ON n.ws = vt.ws
+              JOIN vc ON vc.ws = vt.ws
+              CROSS JOIN rt
+              LEFT JOIN c ON c.ws = vt.ws AND c.tok = vt.tok
+              LEFT JOIN ref ON ref.tok = vt.tok),
         tm AS (SELECT ws, ntok, v,
                       (wc + 1) / (ntok + v) AS p,
                       (rc + 1) / (rtot + v) AS q
@@ -6878,7 +6896,12 @@ object Queries {
         val q = out.toDF("id", "key").writeStream.format("memory")
           .queryName(qn).outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
-        s.table(qn)
+        // snapshot (n × distinct-keys rows — quota-bounded) + drop the
+        // sink view; see q217
+        val result = s.table(qn)
+        val snap = s.createDataFrame(result.collectAsList(), result.schema)
+        s.catalog.dropTempView(qn)
+        snap
       },
       Some("""
         WITH r AS (

@@ -33,18 +33,35 @@ object Tables {
     val f = new java.io.File(path)
     val streamPath =
       if (f.isDirectory) path
-      else streamDirs.getOrElseUpdate((dir, name), {
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_stream_$name")
-        java.nio.file.Files.createSymbolicLink(
-          tmp.resolve(s"$name.parquet"), f.toPath.toAbsolutePath)
-        tmp.toString
-      })
+      else streamDirs.synchronized {
+        // synchronized: TrieMap.getOrElseUpdate can run the block twice
+        // under a race, orphaning the loser's temp dir
+        streamDirs.getOrElseUpdate((dir, name), {
+          val tmp = java.nio.file.Files
+            .createTempDirectory(s"graft_stream_$name")
+          java.nio.file.Files.createSymbolicLink(
+            tmp.resolve(s"$name.parquet"), f.toPath.toAbsolutePath)
+          tmp.toString
+        })
+      }
     val d = spark.readStream.schema(schema).parquet(streamPath)
     if (name == "events") normalizeEventTs(d) else d
   }
 
   private val streamDirs =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  // the symlink dirs are metadata-only (one link each); delete them when
+  // the JVM exits so looped test/bench sessions don't litter /tmp
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    streamDirs.values.foreach { d =>
+      try {
+        val p = java.nio.file.Paths.get(d)
+        java.nio.file.Files.list(p).forEach(c =>
+          java.nio.file.Files.deleteIfExists(c))
+        java.nio.file.Files.deleteIfExists(p)
+      } catch { case _: Exception => () }
+    }))
 
   /** The driver's `events.ts` has shipped in two physical forms across
     * rounds: parquet TIMESTAMP(NANOS) (read as Long NANOseconds under

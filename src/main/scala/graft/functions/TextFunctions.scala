@@ -279,13 +279,23 @@ object TextFunctions {
     * word-boundaried, RE2-safe. */
   val IbanCandidateRe: String = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
 
+  /** IBAN candidate patterns: the contiguous electronic form plus the
+    * ISO 13616 PRINT format (space-separated groups of 4, ragged final
+    * group) — the analog of [[CardCandidateRes]]'s grouped 4-4-4-4
+    * member. Case-insensitive ([[ibanValid]] upcases before the
+    * checksum, so lowercase IBANs must also be candidates). */
+  val IbanCandidateRes: Seq[String] = Seq(
+    "\\b[A-Za-z]{2}[0-9]{2}[A-Za-z0-9]{11,30}\\b",
+    "\\b[A-Za-z]{2}[0-9]{2}(?: [A-Za-z0-9]{4}){2,7}(?: [A-Za-z0-9]{1,4})?\\b")
+
   /** Replace every CHECKSUM-VALID IBAN candidate with `token` — the
     * mod-97 gate keeps random uppercase codes (order ids, tracking
     * numbers) untouched, same shape as [[redactCreditCards]]'s Luhn
-    * gate. Candidates match only `[A-Z0-9]`, regex-literal-safe. */
+    * gate. Covers contiguous, print-grouped, and lowercase forms.
+    * Candidates match only `[A-Za-z0-9 ]`, regex-literal-safe. */
   def redactIbans(c: Column, token: String = "<IBAN>"): Column = {
-    val cands = array_distinct(
-      regexp_extract_all(c, lit(IbanCandidateRe), lit(0)))
+    val cands = array_distinct(concat(
+      IbanCandidateRes.map(re => regexp_extract_all(c, lit(re), lit(0))): _*))
     val valid = filter(cands, x => ibanValid(x))
     aggregate(valid, c, (acc, cand) =>
       regexp_replace(acc, concat(lit("\\b"), cand, lit("\\b")), lit(token)))

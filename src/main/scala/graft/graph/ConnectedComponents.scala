@@ -124,9 +124,14 @@ object ConnectedComponents {
       case ByteType | ShortType | IntegerType | LongType => true
       case _                                             => false
     })
+    // Mixed-width edge columns (int src, long dst) would make the final
+    // cast-to-first-column-type below truncate wide ids — route them to
+    // the label-propagation path, whose explode already unifies types.
+    val sameType =
+      e.schema.fields(0).dataType == e.schema.fields(1).dataType
     val undirectedCount = undirected.count()
     val idType = e.schema.fields.head.dataType
-    if (integralIds && undirectedCount <= driverEdgeGate) {
+    if (integralIds && sameType && undirectedCount <= driverEdgeGate) {
       val mapping = driverUnionFind(
         undirected.select(col("src").cast("long"), col("dst").cast("long"))
           .collect().map(r => (r.getLong(0), r.getLong(1))))

@@ -77,10 +77,14 @@ object Agreement {
   def fleissKappa(df: DataFrame, itemCol: String,
       labelCol: String): DataFrame = {
     val spark = df.sparkSession
+    // persisted: the sufficient-stats aggregation feeds TWO actions
+    // (the per-item head() and the shares collect()) — without the
+    // persist each re-scans the ratings input
     val perItemLabel = df
       .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(col(itemCol).as("_i"), col(labelCol).cast("string").as("_k"))
       .agg(count(lit(1)).as("_c"))
+      .persist()
     val perItem = perItemLabel.groupBy(col("_i"))
       .agg(sum(col("_c")).as("_n"), sum(col("_c") * col("_c")).as("_sq"))
       .filter(col("_n") >= 2)
@@ -117,6 +121,7 @@ object Agreement {
     val peBar =
       if (ratings == 0) 0.0
       else shares.map(c => (c.toDouble / ratings) * (c.toDouble / ratings)).sum
+    perItemLabel.unpersist()
     val pBar = if (items == 0) 0.0 else pSum / items
     val kappa = if (peBar >= 1.0) 1.0 else (pBar - peBar) / (1.0 - peBar)
     import spark.implicits._

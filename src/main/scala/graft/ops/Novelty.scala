@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: distinct n-grams per side (gram-keyed aggregations),
   * one LEFT ANTI join on the gram hash, and slice-keyed counts —
-  * never document pairs, never gram lists on the driver. Grams are
-  * md5-prefix hashes (8 bytes) through the shuffle, not strings.
+  * never document pairs, never gram lists on the driver. Grams travel
+  * as 8-byte xxhash64 keys (NOT oracle-replayable hashes — the q224
+  * oracle compares the gram STRINGS instead, and the counts are exact
+  * up to a ≤ n²/2⁶⁴ collision error, negligible at any corpus size).
   */
 object Novelty {
 

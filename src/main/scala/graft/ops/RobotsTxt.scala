@@ -28,8 +28,12 @@ object RobotsTxt {
     * Field names are case-insensitive; comments (`# …`) strip; a rule
     * line binds to every agent of the PRECEDING `User-agent:` run;
     * empty-value Disallow lines (allow-all idiom) contribute nothing. */
+  /** Whitespace trim covering tabs (Spark's `trim` strips 0x20 only). */
+  private def wsTrim(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
   def rulesCol(content: Column): Column = {
-    val lines = split(coalesce(content, lit("")), "\n")
+    val lines = split(coalesce(content, lit("")), "\r?\n")
     val emptyRules = array().cast(
       "array<struct<agent:string,allow:boolean,prefix:string>>")
     val zero = struct(
@@ -37,14 +41,14 @@ object RobotsTxt {
       lit(false).as("inRun"),
       emptyRules.as("rules"))
     val folded = aggregate(lines, zero, (acc, raw) => {
-      val line = trim(regexp_replace(raw, "#.*$", ""))
+      val line = wsTrim(regexp_replace(raw, "#.*$", ""))
       val hasColon = line.contains(":")
-      val field = lower(trim(substring_index(line, ":", 1)))
+      val field = lower(wsTrim(substring_index(line, ":", 1)))
       // Everything after the FIRST colon (paths may legally contain ':'
       // — 'Disallow: /api:v2/' must keep '/api:v2/'); a colon-less line
       // has no value and can never fabricate a rule.
       val value = when(hasColon,
-        trim(regexp_replace(line, "^[^:]*:", ""))).otherwise(lit(""))
+        wsTrim(regexp_replace(line, "^[^:]*:", ""))).otherwise(lit(""))
       val agents = acc.getField("agents")
       val inRun = acc.getField("inRun")
       val rules = acc.getField("rules")
@@ -89,18 +93,21 @@ object RobotsTxt {
     * shape as [[rulesCol]]. */
   def crawlDelays(df: DataFrame, hostCol: String,
       contentCol: String): DataFrame = {
-    val lines = split(coalesce(col(contentCol), lit("")), "\n")
+    // \r?\n split + full-whitespace trim: CRLF bodies and tab-separated
+    // values (both legal per the RFC 9309 grammar) parse identically to
+    // LF/space ones
+    val lines = split(coalesce(col(contentCol), lit("")), "\r?\n")
     val empty = array().cast("array<struct<agent:string,delay:double>>")
     val zero = struct(
       array().cast("array<string>").as("agents"),
       lit(false).as("inRun"),
       empty.as("delays"))
     val folded = aggregate(lines, zero, (acc, raw) => {
-      val line = trim(regexp_replace(raw, "#.*$", ""))
+      val line = wsTrim(regexp_replace(raw, "#.*$", ""))
       val hasColon = line.contains(":")
-      val field = lower(trim(substring_index(line, ":", 1)))
+      val field = lower(wsTrim(substring_index(line, ":", 1)))
       val value = when(hasColon,
-        trim(regexp_replace(line, "^[^:]*:", ""))).otherwise(lit(""))
+        wsTrim(regexp_replace(line, "^[^:]*:", ""))).otherwise(lit(""))
       val agents = acc.getField("agents")
       val inRun = acc.getField("inRun")
       val delays = acc.getField("delays")

@@ -528,6 +528,45 @@ class Round13Spec extends SparkSpec {
 
   // ------------------------------------------------- crawl delays
 
+  test("robots parse survives CRLF bodies and tab separators") {
+    val schema = StructType(Seq(StructField("host", StringType),
+      StructField("body", StringType)))
+    val robots = df(schema, Row("h1",
+      "User-agent: graftbot\r\nCrawl-delay:\t2\r\nDisallow: /x\r\n"))
+    val delays = graft.ops.RobotsTxt.crawlDelays(robots, "host", "body")
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toSet
+    assert(delays == Set(("graftbot", 2.0)))
+    val rules = graft.ops.RobotsTxt.parseRules(robots, "host", "body")
+      .collect().map(r => (r.getString(1), r.getString(3))).toSet
+    assert(rules == Set(("graftbot", "/x")))
+  }
+
+  test("redactIbans covers print-grouped and lowercase forms") {
+    import graft.functions.TextFunctions
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val grouped = df(schema,
+      Row("wire DE89 3704 0044 0532 0130 00 today"))
+      .select(TextFunctions.redactIbans(col("s"))).head().getString(0)
+    assert(grouped == "wire <IBAN> today", grouped)
+    val lower = df(schema, Row("pay de89370400440532013000 ok"))
+      .select(TextFunctions.redactIbans(col("s"))).head().getString(0)
+    assert(lower == "pay <IBAN> ok", lower)
+    // a grouped-but-invalid candidate stays untouched
+    val bad = df(schema, Row("ref DE89 3704 0044 0532 0130 01 end"))
+      .select(TextFunctions.redactIbans(col("s"))).head().getString(0)
+    assert(bad == "ref DE89 3704 0044 0532 0130 01 end", bad)
+  }
+
+  test("runFromEdges: mixed-width id columns route to label propagation") {
+    val schema = StructType(Seq(StructField("src", IntegerType),
+      StructField("dst", LongType)))
+    val wide = Int.MaxValue.toLong + 5L
+    val edges = df(schema, Row(1, 2L), Row(2, wide))
+    val comp = graft.graph.ConnectedComponents.runFromEdges(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(wide) == 1L && comp(2L) == 1L && comp(1L) == 1L)
+  }
+
   test("crawl delays bind to user-agent runs; malformed values drop") {
     val schema = StructType(Seq(StructField("host", StringType),
       StructField("body", StringType)))
