@@ -7294,6 +7294,79 @@ object Queries {
                round(CASE WHEN nn > 0 THEN h[j+1] / nn ELSE 0 END, 6)
                  AS value
         FROM n, UNNEST(range(0, 16)) AS t(j)""")
+    ),
+    (
+      // Conversation-scoped pseudonymization: the same email appearing
+      // in turns 1 and 2 must map to the SAME numbered placeholder
+      // (per-message application would renumber per turn). Two planted
+      // emails per conversation with a known sorted order, so the
+      // rendered result is the closed form the oracle states; rendered
+      // text gates on md5 per the house rule.
+      "q229_pseudonymize_chat",
+      (s: SparkSession, dir: String) => {
+        val u = concat(lit("a"), col("doc_id"), lit("@x.com"))
+        val b = concat(lit("b"), col("doc_id"), lit("@y.org"))
+        val conv = t(s, dir, "documents").select(col("doc_id"),
+          array(
+            struct(lit("user").as("role"),
+              concat(lit("contact "), u).as("content")),
+            struct(lit("assistant").as("role"),
+              concat(b, lit(" and "), u).as("content"))).as("messages"))
+        graft.ops.Pseudonymize.conversation(conv, "messages")
+          .select(col("doc_id"), col("n_email_entities"),
+            md5(concat_ws("|", transform(col("messages_pseudo"),
+              m => concat(m.getField("role"), lit(":"),
+                m.getField("content"))))).as("rendered_md5"))
+      },
+      Some("""
+        SELECT doc_id, 2::BIGINT AS n_email_entities,
+               md5('user:contact EMAIL_1|assistant:EMAIL_2 and EMAIL_1')
+                 AS rendered_md5
+        FROM documents""")
+    ),
+    (
+      // Snapshot SCHEMA diff: a retyped id, a dropped text column, an
+      // added source column — the provider-broke-the-dump alarm; pure
+      // metadata, closed-form oracle.
+      "q230_schema_diff",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val prev = docs.select(col("doc_id"), col("text"), col("lang"))
+        val cur = docs.select(col("doc_id").cast("string").as("doc_id"),
+          col("lang"), col("source"))
+        graft.ops.SnapshotDiff.schemaDiff(prev, cur)
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          ('doc_id', 'type_changed', 'BIGINT', 'STRING'),
+          ('source', 'added', '', 'STRING'),
+          ('text', 'removed', 'STRING', ''))
+          AS t(col_name, change, prev_type, cur_type)""")
+    ),
+    (
+      // Equi-width histogram of per-document word counts over pinned
+      // [0, 128) bounds: out-of-range counts clamp into the edge bins
+      // (row-count conserving); the oracle replays the identical bin
+      // arithmetic.
+      "q231_histogram",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Profile.histogram(
+          t(s, dir, "documents").select(
+            size(filter(split(col("text"), " "), w => length(w) > 0))
+              .cast("bigint").as("v")),
+          "v", bins = 16, lo = 0.0, hi = 128.0),
+      Some("""
+        WITH v AS (
+          SELECT len(list_filter(string_split(text, ' '),
+                   w -> w <> ''))::BIGINT AS v
+          FROM documents),
+        b AS (SELECT least(greatest(
+                floor((v - 0.0) * 16 / 128.0), 0), 15)::BIGINT AS bin
+              FROM v)
+        SELECT bin, round(bin * 128.0 / 16, 6) AS lo_edge,
+               round((bin + 1) * 128.0 / 16, 6) AS hi_edge,
+               count(*)::BIGINT AS n
+        FROM b GROUP BY 1""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -425,6 +425,17 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       refTextCol, n))
   def editComponents(idCol: String, textCol: String, t: Int): Frame =
     next(graft.dedup.EditDedup.components(df, idCol, textCol, t))
+  def pseudonymizeConversation(messagesCol: String,
+      pattern: String = graft.ops.Pseudonymize.EmailPattern,
+      label: String = "EMAIL",
+      outCol: String = "messages_pseudo"): Frame =
+    next(Pseudonymize.conversation(df, messagesCol, pattern, label,
+      outCol))
+  def schemaDiff(prev: Frame): Frame =
+    next(SnapshotDiff.schemaDiff(prev.df, df))
+  def histogram(colName: String, bins: Int, lo: Double,
+      hi: Double): Frame =
+    next(Profile.histogram(df, colName, bins, lo, hi))
   def splitLeakage(idCol: String, textCol: String, splitCol: String,
       t: Int = 2): Frame =
     next(SplitLeakage.report(df, idCol, textCol, splitCol, t))

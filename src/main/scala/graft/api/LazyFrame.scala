@@ -511,6 +511,21 @@ final case class LazyFrame(
       .append("novelty", "reference" -> rRef, "slice_key" -> sliceKey,
         "text_key" -> textKey, "ref_text_key" -> refTextKey, "n" -> n)
   }
+  def pseudonymizeConversation(messagesKey: String,
+      label: String = "EMAIL"): LazyFrame =
+    append("pseudonymize", "messages_key" -> messagesKey,
+      "label" -> label)
+  /** Schema diff vs a `prev` snapshot frame (binary merge). */
+  def schemaDiff(prev: LazyFrame): LazyFrame = {
+    val (m, lRef, rRef) = merged(prev)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"schema_diff_${m.steps.length}")
+      .append("snapshot_diff", "prev" -> rRef, "schema_only" -> true)
+  }
+  def histogram(column: String, bins: Int, lo: Double,
+      hi: Double): LazyFrame =
+    append("histogram", "column" -> column, "bins" -> bins,
+      "lo" -> lo, "hi" -> hi)
   def splitLeakage(idKey: String, textKey: String, splitKey: String,
       threshold: Int = 2): LazyFrame =
     append("split_leakage", "mode" -> "report", "id_key" -> idKey,

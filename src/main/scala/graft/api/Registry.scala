@@ -1046,10 +1046,17 @@ object Registry {
   // Consistent pseudonymization (§2.14 hygiene): numbered per-document
   // entity placeholders that preserve coreference.
   register("pseudonymize") { (df, c, _) =>
-    Pseudonymize(df, c("text_key").str,
-      c.strOr("pattern", Pseudonymize.EmailPattern),
-      c.strOr("label", "EMAIL"),
-      c.strOr("output_key", "text_pseudo"))
+    c.get("messages_key").map(_.str) match {
+      // conversation mode: numbering is consistent across every turn
+      case Some(mk) => Pseudonymize.conversation(df, mk,
+        c.strOr("pattern", Pseudonymize.EmailPattern),
+        c.strOr("label", "EMAIL"),
+        c.strOr("output_key", "messages_pseudo"))
+      case None => Pseudonymize(df, c("text_key").str,
+        c.strOr("pattern", Pseudonymize.EmailPattern),
+        c.strOr("label", "EMAIL"),
+        c.strOr("output_key", "text_pseudo"))
+    }
   }
   // Numeric column profiler (§2.14 reporting): one row per listed column
   // with count/nulls/distinct/min/max/mean/stddev/quartiles; `approx:
@@ -1058,6 +1065,12 @@ object Registry {
     Profile.numeric(df, c("columns").strList,
       c.boolOr("approx", false), c.dblOr("rsd", 0.02),
       c.intOr("percentile_accuracy", 10000))
+  }
+  // Equi-width histogram (§2.14 reporting): pinned [lo, hi) bounds,
+  // out-of-range values clamp into the edge bins (count-conserving).
+  register("histogram") { (df, c, _) =>
+    Profile.histogram(df, c("column").str, c.intOr("bins", 10),
+      c("lo").dbl, c("hi").dbl)
   }
   // Tokenizer fertility report (§2.14 tokenizer family): tokens/word,
   // chars/token, unsplit fraction for a merge list (inline or trained).
@@ -1209,7 +1222,8 @@ object Registry {
     val prev = ctx.datasets.getOrElse(c("prev").str,
       throw new IllegalArgumentException(
         s"unknown snapshot_diff prev dataset '${c("prev").str}'"))
-    if (c.boolOr("reprocess", false))
+    if (c.boolOr("schema_only", false)) SnapshotDiff.schemaDiff(prev, df)
+    else if (c.boolOr("reprocess", false))
       SnapshotDiff.reprocessSet(prev, df, c("id_key").str, c("content_expr").str)
     else SnapshotDiff(prev, df, c("id_key").str, c("content_expr").str)
   }

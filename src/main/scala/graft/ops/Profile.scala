@@ -99,6 +99,35 @@ object Profile {
     }
   }
 
+  /** Equi-width value histogram over [lo, hi): `bins` buckets of width
+    * (hi−lo)/bins, values outside the range CLAMPED into the first/last
+    * bin (so the row count is conserved — a histogram that silently
+    * drops outliers misreports the distribution it exists to show).
+    * Output (bin, lo_edge, hi_edge, n), only non-empty bins, one keyed
+    * aggregation; the bin index is floor((v−lo)·bins/(hi−lo)) — plain
+    * double arithmetic both engines compute identically. Explicit
+    * bounds by design: the caller pins them (from Profile.numeric's
+    * min/max, a domain contract, or a prior run), so the histogram is
+    * ONE pass and comparable across snapshots. */
+  def histogram(df: DataFrame, colName: String, bins: Int, lo: Double,
+      hi: Double): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val v = col(colName).cast("double")
+    val raw = floor((v - lo) * bins / (hi - lo))
+    val bin = least(greatest(raw, lit(0)), lit(bins - 1)).cast("bigint")
+    df.filter(v.isNotNull)
+      .select(bin.as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        round(lit(lo) + col("bin") * (lit(hi) - lit(lo)) / bins, 6)
+          .as("lo_edge"),
+        round(lit(lo) + (col("bin") + 1) * (lit(hi) - lit(lo)) / bins, 6)
+          .as("hi_edge"),
+        col("n"))
+  }
+
   /** Winsorize: clip `colName` to its [pLo, pHi] quantile range — the
     * standard score-stabilization step before a quality threshold or a
     * mixture weight is derived from a heavy-tailed signal. Two driver

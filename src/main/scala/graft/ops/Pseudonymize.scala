@@ -38,25 +38,71 @@ object Pseudonymize {
       pattern: String = EmailPattern, label: String = "EMAIL",
       outCol: String = "text_pseudo"): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
-    val found = array_sort(array_distinct(
+    val found = sortedMatches(text, pattern)
+    // sequence(1, 0) yields a DESCENDING [1, 0] in Spark (not empty), so
+    // the zero-match case must bypass the pair machinery entirely.
+    df.withColumn(outCol,
+      when(size(found) === 0, text)
+        .otherwise(foldReplace(found, text, label)))
+      .withColumn(s"n_${label.toLowerCase(java.util.Locale.ROOT)}_entities",
+        size(found).cast("bigint"))
+  }
+
+  /** CONVERSATION-scoped pseudonymization: numbering is consistent
+    * across every message of the `messagesCol`
+    * (array<struct<role, content>>) conversation — "bob@x.com" in turn
+    * 1 and turn 5 maps to the same EMAIL_k, which per-message
+    * application cannot guarantee (each turn would restart numbering
+    * from ITS sorted match list). The privacy pass SFT/DPO chat corpora
+    * need between [[graft.ops.ChatOps.fromEventLog]] and render.
+    *
+    * The match list extracts ONCE per conversation into a real column
+    * (staged — a HOF lambda re-evaluates closed-over EXPRESSIONS per
+    * element, which would re-scan the whole conversation per message),
+    * then each message folds the shared list. */
+  def conversation(df: DataFrame, messagesCol: String,
+      pattern: String = EmailPattern, label: String = "EMAIL",
+      outCol: String = "messages_pseudo"): DataFrame = {
+    val msgs = col(messagesCol)
+    val allText = concat_ws("\n",
+      transform(msgs, m => coalesce(m.getField("content"), lit(""))))
+    val nCol = s"n_${label.toLowerCase(java.util.Locale.ROOT)}_entities"
+    df.withColumn("_graft_found", sortedMatches(allText, pattern))
+      .withColumn(outCol, transform(msgs, m => {
+        val content = coalesce(m.getField("content"), lit(""))
+        struct(m.getField("role").as("role"),
+          when(size(col("_graft_found")) === 0, content)
+            .otherwise(foldReplace(col("_graft_found"), content, label))
+            .as("content"))
+      }))
+      .withColumn(nCol, size(col("_graft_found")).cast("bigint"))
+      .drop("_graft_found")
+  }
+
+  /** Sorted distinct matches of `pattern` in `text` — the shared
+    * numbering base: ranks come from THIS order, so the mapping is
+    * partition-independent and replayable in any engine. */
+  private def sortedMatches(text: Column, pattern: String): Column =
+    array_sort(array_distinct(
       regexp_extract_all(text, lit(pattern), lit(0))))
-    // "<lenkey>|<idxkey>:<match>" — lenkey = 100000 - len (so a plain
-    // ascending sort yields length-DESC), idxkey = zero-padded sorted
-    // rank (ties break match-ascending). Both engines sort the same
-    // strings, so replacement order is identical everywhere.
+
+  /** Replace every `found` match in `text` with `<label>_<k>`
+    * (k = 1-based rank in `found`), longest-entity-first.
+    * "<lenkey>|<idxkey>:<match>" — lenkey = 100000 - len (so a plain
+    * ascending sort yields length-DESC), idxkey = zero-padded sorted
+    * rank (ties break match-ascending). Both engines sort the same
+    * strings, so replacement order is identical everywhere. The parse
+    * is delimiter-safe: the digit-only head ends at the FIRST ':'. */
+  private def foldReplace(found: Column, text: Column,
+      label: String): Column = {
     val pairs = zip_with(found, sequence(lit(1), size(found)), (e, i) =>
       concat(lpad((lit(100000) - length(e)).cast("string"), 6, "0"),
         lit("|"), lpad(i.cast("string"), 6, "0"), lit(":"), e))
-    val folded = aggregate(array_sort(pairs), text, (acc, p) => {
+    aggregate(array_sort(pairs), text, (acc, p) => {
       val head = substring_index(p, ":", 1)
       val k = substring_index(head, "|", -1).cast("int").cast("string")
       val e = p.substr(length(head) + 2, length(p))
       replace(acc, e, concat(lit(label), lit("_"), k))
     })
-    // sequence(1, 0) yields a DESCENDING [1, 0] in Spark (not empty), so
-    // the zero-match case must bypass the pair machinery entirely.
-    df.withColumn(outCol, when(size(found) === 0, text).otherwise(folded))
-      .withColumn(s"n_${label.toLowerCase(java.util.Locale.ROOT)}_entities",
-        size(found).cast("bigint"))
   }
 }

@@ -56,4 +56,29 @@ object SnapshotDiff {
       .select(col(idCol))
     next.join(delta, Seq(idCol), "left_semi")
   }
+
+  /** SCHEMA diff between two snapshots — the other half of ingest
+    * drift: content diffs catch changed ROWS, this catches a provider
+    * silently adding, dropping, or retyping COLUMNS between dumps (the
+    * failure that breaks every downstream reader at once). Pure
+    * driver-side metadata (schemas, never data — zero jobs); output is
+    * one row per changed column, sorted by name:
+    * (col_name, change ∈ added|removed|type_changed, prev_type,
+    * cur_type), empty when the schemas agree. */
+  def schemaDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val c = cur.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    val rows = (p.keySet ++ c.keySet).toSeq.sorted.flatMap { name =>
+      (p.get(name), c.get(name)) match {
+        case (None, Some(t))            => Some((name, "added", "", t))
+        case (Some(t), None)            => Some((name, "removed", t, ""))
+        case (Some(a), Some(b)) if a != b =>
+          Some((name, "type_changed", a, b))
+        case _                          => None
+      }
+    }
+    val spark = prev.sparkSession
+    import spark.implicits._
+    rows.toDF("col_name", "change", "prev_type", "cur_type")
+  }
 }

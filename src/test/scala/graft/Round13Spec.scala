@@ -641,6 +641,76 @@ class Round13Spec extends SparkSpec {
     assert(yaml.select("e").head().getSeq[Double](0) == Seq(0.6, 0.8))
   }
 
+  // ------------------------------------- conversation pseudonymization
+
+  test("pseudonymize.conversation: numbering consistent across turns") {
+    val msgSchema = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("messages", msgSchema)))
+    val d = df(schema, Row(1L, Seq(
+      Row("user", "mail bob@x.com and amy@y.org"),
+      Row("assistant", "amy@y.org replied to bob@x.com"),
+      Row("user", null))))
+    val out = graft.ops.Pseudonymize.conversation(d, "messages")
+    val row = out.head()
+    assert(row.getLong(row.fieldIndex("n_email_entities")) == 2)
+    val msgs = row.getSeq[Row](row.fieldIndex("messages_pseudo"))
+    // sorted distinct: amy@y.org -> EMAIL_1, bob@x.com -> EMAIL_2 —
+    // the SAME numbers in both turns
+    assert(msgs(0).getString(1) == "mail EMAIL_2 and EMAIL_1")
+    assert(msgs(1).getString(1) == "EMAIL_1 replied to EMAIL_2")
+    assert(msgs(2).getString(1) == "") // null content -> empty, kept
+    // zero-match conversations pass through
+    val none = graft.ops.Pseudonymize.conversation(
+      df(schema, Row(2L, Seq(Row("user", "no entities here")))),
+      "messages").head()
+    assert(none.getLong(none.fieldIndex("n_email_entities")) == 0)
+    val yaml = graft.api.Registry("pseudonymize")(d,
+      graft.api.Conf.fromYaml(
+        "type: pseudonymize\nmessages_key: messages"), null)
+    assert(yaml.columns.contains("messages_pseudo"))
+  }
+
+  // ------------------------------------------------- schema diff
+
+  test("schemaDiff: added/removed/retyped columns, empty when equal") {
+    val a = spark.range(2).select(col("id"), lit("t").as("text"),
+      lit(1L).as("keep"))
+    val b = spark.range(2).select(col("id").cast("string").as("id"),
+      lit(2.0).as("score"), lit(1L).as("keep"))
+    val got = graft.ops.SnapshotDiff.schemaDiff(a, b).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(got == Seq(
+      ("id", "type_changed", "BIGINT", "STRING"),
+      ("score", "added", "", "DOUBLE"),
+      ("text", "removed", "STRING", "")))
+    assert(graft.ops.SnapshotDiff.schemaDiff(a, a).count() == 0)
+  }
+
+  // -------------------------------------------------- histogram
+
+  test("histogram: clamped edge bins conserve the row count") {
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val d = df(schema, Row(-5L), Row(0L), Row(9L), Row(10L), Row(55L),
+      Row(200L), Row(null))
+    val out = graft.ops.Profile.histogram(d, "v", bins = 10, lo = 0.0,
+      hi = 100.0).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    // -5 clamps into bin 0; 200 clamps into bin 9; null drops
+    assert(out(0L) == ((0.0, 10.0, 3L)))   // -5, 0, 9
+    assert(out(1L) == ((10.0, 20.0, 1L)))  // 10
+    assert(out(5L) == ((50.0, 60.0, 1L)))  // 55
+    assert(out(9L) == ((90.0, 100.0, 1L))) // 200 clamped
+    assert(out.values.map(_._3).sum == 6)  // count conserved (ex null)
+    val yaml = graft.api.Registry("histogram")(d,
+      graft.api.Conf.fromYaml(
+        "type: histogram\ncolumn: v\nbins: 10\nlo: 0\nhi: 100"), null)
+    assert(yaml.count() == 4)
+  }
+
   // --------------------------------------- pseudonymize delimiter safety
 
   test("pseudonymize: matches containing ':' and '|' replace correctly") {
