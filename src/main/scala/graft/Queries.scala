@@ -7367,6 +7367,81 @@ object Queries {
                round((bin + 1) * 128.0 / 16, 6) AS hi_edge,
                count(*)::BIGINT AS n
         FROM b GROUP BY 1""")
+    ),
+    (
+      // Percentile-rank score normalization (the q190 signals): each
+      // signal maps to (rank−1)/(n−1) ∈ [0,1] via the distributed
+      // global sort — distribution-free fusion between Borda's integer
+      // ranks and z-score's moments; the oracle replays the rank
+      // windows and the rounded mean.
+      "q232_score_percentile",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "documents").select(col("doc_id"),
+          size(filter(split(col("text"), " "), w => length(w) > 0))
+            .cast("bigint").as("s1"),
+          length(col("text")).cast("bigint").as("s2"),
+          ((col("doc_id") * 37) % 101).cast("bigint").as("s3"))
+        graft.ops.ScoreEnsemble.percentile(base, Seq("s1", "s2", "s3"),
+          "doc_id")
+          .select(col("doc_id"), col("_pct_s1").as("p1"),
+            col("_pct_s2").as("p2"), col("_pct_s3").as("p3"),
+            col("ensemble_pct"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   ::BIGINT AS s1,
+                 len(text)::BIGINT AS s2,
+                 ((doc_id * 37) % 101)::BIGINT AS s3
+          FROM documents),
+        c AS (SELECT count(*)::DOUBLE AS cnt FROM b),
+        r AS (SELECT doc_id,
+                round((row_number() OVER (ORDER BY s1, doc_id) - 1) /
+                      greatest(cnt - 1, 1), 6) AS p1,
+                round((row_number() OVER (ORDER BY s2, doc_id) - 1) /
+                      greatest(cnt - 1, 1), 6) AS p2,
+                round((row_number() OVER (ORDER BY s3, doc_id) - 1) /
+                      greatest(cnt - 1, 1), 6) AS p3
+              FROM b, c)
+        SELECT doc_id, p1, p2, p3,
+               round((p1 + p2 + p3) / 3, 6) AS ensemble_pct
+        FROM r""")
+    ),
+    (
+      // Substring/phrase blocklist (report mode): planted boilerplate
+      // phrases on a quarter of the rows each; flag + distinct-hit
+      // count replayed with plain contains() — the RefinedWeb-style
+      // phrase gate the word blocklist deliberately refuses.
+      "q233_phrase_blocklist",
+      (s: SparkSession, dir: String) => {
+        val planted = concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" click here to subscribe"))
+            .when(col("doc_id") % 4 === 1, lit(" ALL RIGHTS RESERVED"))
+            .otherwise(lit("")))
+        graft.api.Registry("phrase_blocklist")(
+          t(s, dir, "documents")
+            .select(col("doc_id"), planted.as("text")),
+          graft.api.Conf.fromYaml(
+            "type: phrase_blocklist\ntext_key: text\nreport: true\n" +
+              "phrases: ['click here', 'rights reserved']"), null)
+          .select(col("doc_id"), col("blocked"), col("blocked_phrases"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 lower(text || CASE doc_id % 4
+                   WHEN 0 THEN ' click here to subscribe'
+                   WHEN 1 THEN ' ALL RIGHTS RESERVED'
+                   ELSE '' END) AS t
+          FROM documents)
+        SELECT doc_id,
+               (contains(t, 'click here') OR
+                contains(t, 'rights reserved')) AS blocked,
+               ((CASE WHEN contains(t, 'click here') THEN 1 ELSE 0 END) +
+                (CASE WHEN contains(t, 'rights reserved') THEN 1 ELSE 0
+                 END))::BIGINT AS blocked_phrases
+        FROM f""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -511,6 +511,14 @@ final case class LazyFrame(
       .append("novelty", "reference" -> rRef, "slice_key" -> sliceKey,
         "text_key" -> textKey, "ref_text_key" -> refTextKey, "n" -> n)
   }
+  def scorePercentile(columns: Seq[String],
+      tieBreak: String): LazyFrame =
+    append("score_ensemble", "mode" -> "percentile",
+      "columns" -> jlist(columns), "tie_break" -> tieBreak)
+  def phraseBlocklist(textKey: String, phrases: Seq[String],
+      report: Boolean = false): LazyFrame =
+    append("phrase_blocklist", "text_key" -> textKey,
+      "phrases" -> jlist(phrases), "report" -> report)
   def pseudonymizeConversation(messagesKey: String,
       label: String = "EMAIL"): LazyFrame =
     append("pseudonymize", "messages_key" -> messagesKey,

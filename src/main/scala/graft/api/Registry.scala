@@ -1215,6 +1215,21 @@ object Registry {
     Hygiene.blocklistWords(df, c("text_key").str, c("words").strList,
       c.boolOr("report", false))
   }
+  // Substring/phrase blocklist (§2.14 curation): the RefinedWeb-style
+  // boilerplate-phrase gate; `report: true` appends flag + distinct-hit
+  // count instead of filtering.
+  register("phrase_blocklist") { (df, c, _) =>
+    val key = c("text_key").str
+    val phrases = c("phrases").strList
+    val flag = graft.functions.TextFunctions.containsBlockedPhrase(
+      org.apache.spark.sql.functions.col(key), phrases)
+    if (c.boolOr("report", false))
+      df.withColumn("blocked", flag)
+        .withColumn("blocked_phrases",
+          graft.functions.TextFunctions.blockedPhraseCount(
+            org.apache.spark.sql.functions.col(key), phrases))
+    else df.filter(!flag)
+  }
   // Snapshot diff (§2.14 incremental ingest): delta of THIS frame vs a
   // previous snapshot dataset — added/removed/changed by content hash.
   // `reprocess: true` instead returns this frame's rows needing re-work.
@@ -1489,8 +1504,10 @@ object Registry {
       case "borda" => ScoreEnsemble.borda(df, cols, c("tie_break").str)
       case "zscore" => ScoreEnsemble.zscore(df, cols,
         c.get("weights").map(_.dblList).getOrElse(Nil))
+      case "percentile" =>
+        ScoreEnsemble.percentile(df, cols, c("tie_break").str)
       case other => throw new IllegalArgumentException(
-        s"score_ensemble mode must be borda|zscore, got '$other'")
+        s"score_ensemble mode must be borda|zscore|percentile, got '$other'")
     }
   }
   // Retrieval-quality metrics (§2.14 eval family): per-query

@@ -309,4 +309,29 @@ object TextFunctions {
   def containsBlockedWord(c: Column, words: Seq[String]): Column =
     arrays_overlap(split(lower(c), "\\s+"),
       array(words.map(w => lit(w.toLowerCase)): _*))
+
+  /** SUBSTRING-match blocklist (the RefinedWeb-style phrase variant of
+    * the C4 word gate): true iff the lowercased text CONTAINS any
+    * listed phrase — multi-word entries ("click here to subscribe")
+    * and mid-token hits are the point here, where
+    * [[containsBlockedWord]] deliberately refuses them. Bounded phrase
+    * lists (policy data, tens–hundreds) stay a pure per-row expression
+    * chain — no join, no shuffle; list each phrase lowercase. */
+  def containsBlockedPhrase(c: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "blocklist needs at least one phrase")
+    val t = lower(coalesce(c, lit("")))
+    phrases.map(p => t.contains(lit(p.toLowerCase(java.util.Locale.ROOT))))
+      .reduce(_ || _)
+  }
+
+  /** Count of DISTINCT blocked phrases present — the reporting
+    * companion (which rules fire, how often) a blocklist rollout tunes
+    * against. */
+  def blockedPhraseCount(c: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "blocklist needs at least one phrase")
+    val t = lower(coalesce(c, lit("")))
+    phrases.map(p =>
+      when(t.contains(lit(p.toLowerCase(java.util.Locale.ROOT))), 1L)
+        .otherwise(0L)).reduce(_ + _)
+  }
 }

@@ -41,6 +41,28 @@ object ScoreEnsemble {
       scoreCols.map(c => col(s"_rank_$c")).reduce(_ + _).cast("bigint"))
   }
 
+  /** Append `_pct_<col>` per signal — the percentile rank
+    * (rank − 1)/(n − 1) ∈ [0, 1], 1 = best — and their mean `outCol`.
+    * The distribution-free normalization between [[borda]]'s integer
+    * ranks and [[zscore]]'s moment scaling: comparable across signals
+    * with arbitrary (even heavy-tailed) distributions, monotone, and
+    * exactly replayable (rank arithmetic, no moments). Same
+    * range-partitioned global sorts as borda; n is one scalar. */
+  def percentile(df: DataFrame, scoreCols: Seq[String], tieBreak: String,
+      outCol: String = "ensemble_pct"): DataFrame = {
+    require(scoreCols.nonEmpty, "percentile needs at least one score column")
+    val n = df.count()
+    val denom = math.max(n - 1L, 1L).toDouble
+    val ranked = scoreCols.foldLeft(df) { (acc, c) =>
+      RankOp.withGlobalRank(acc, Seq(col(c).asc, col(tieBreak).asc))
+        .withColumn(s"_pct_$c", round((col("_rank") - 1) / denom, 6))
+        .drop("_rank")
+    }
+    ranked.withColumn(outCol,
+      round(scoreCols.map(c => col(s"_pct_$c")).reduce(_ + _) /
+        scoreCols.length, 6))
+  }
+
   /** Append `_z_<col>` per signal and their weighted mean `outCol`
     * (6 decimals). Signals scale to ×10⁶ integers before the moment
     * sums (DECIMAL(38,0) — exact at any row count); a constant signal

@@ -711,6 +711,55 @@ class Round13Spec extends SparkSpec {
     assert(yaml.count() == 4)
   }
 
+  // ------------------------------------------ percentile ensemble
+
+  test("percentile ensemble: rank normalization, deterministic ties") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("a", LongType), StructField("b", LongType)))
+    val d = df(schema,
+      Row(1L, 10L, 30L), Row(2L, 20L, 20L), Row(3L, 30L, 10L),
+      Row(4L, 30L, 5L)) // tie on a: id 3 ranks before id 4
+    val out = graft.ops.ScoreEnsemble.percentile(d, Seq("a", "b"), "id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(r.fieldIndex("_pct_a")),
+          r.getDouble(r.fieldIndex("_pct_b")),
+          r.getDouble(r.fieldIndex("ensemble_pct")))).toMap
+    assert(out(1L) == ((0.0, 1.0, 0.5)))
+    assert(math.abs(out(3L)._1 - 0.666667) < 1e-9)
+    assert(out(4L)._1 == 1.0 && out(4L)._2 == 0.0)
+    // single-row frame: denom clamps, no divide-by-zero
+    val one = graft.ops.ScoreEnsemble.percentile(
+      df(schema, Row(1L, 5L, 5L)), Seq("a"), "id").head()
+    assert(one.getDouble(one.fieldIndex("_pct_a")) == 0.0)
+  }
+
+  // -------------------------------------------- phrase blocklist
+
+  test("phrase blocklist: substring hits, filter and report modes") {
+    import graft.functions.TextFunctions
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("t", StringType)))
+    val d = df(schema,
+      Row(1L, "please CLICK Here to win"),     // case-insensitive hit
+      Row(2L, "subclass of words"),            // substring of a token: ok
+      Row(3L, "clean prose"),
+      Row(4L, null))
+    val phrases = Seq("click here", "subclass")
+    val flags = d.select(col("id"),
+      TextFunctions.containsBlockedPhrase(col("t"), phrases).as("f"),
+      TextFunctions.blockedPhraseCount(col("t"), phrases).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2)))
+      .toMap
+    assert(flags(1L) == ((true, 1L)) && flags(2L) == ((true, 1L)))
+    assert(flags(3L) == ((false, 0L)) && flags(4L) == ((false, 0L)))
+    val kept = graft.api.Registry("phrase_blocklist")(d,
+      graft.api.Conf.fromYaml(
+        "type: phrase_blocklist\ntext_key: t\n" +
+          "phrases: ['click here', 'subclass']"), null)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+  }
+
   // --------------------------------------- pseudonymize delimiter safety
 
   test("pseudonymize: matches containing ':' and '|' replace correctly") {
