@@ -166,7 +166,14 @@ class LocalClusterSpec extends AnyFunSuite {
     // salted join's md5 sub-keys; MLlib L-BFGS treeAggregate + the
     // exported-weights broadcast join; BT's iterative localCheckpoints
     "q194_edit_pairs", "q205_stratified_exact", "q204_salted_join",
-    "q209_train_classifier", "q202_bradley_terry")
+    "q209_train_classifier", "q202_bradley_terry",
+    // round-13: hash-keyed PassJoin candidates + driver union-find
+    // components through keep-best across executor JVMs; the bounded
+    // kappa collects; byteFeatures' mapPartitions md5 kernel feeding
+    // the broadcast ANN cross; equal-mass bins' zipWithIndex rank +
+    // driver count scalar
+    "q201_edit_keep_best", "q221_cohen_kappa", "q220_byte_features_ann",
+    "q219_calibration_equal_mass")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     names.map { name =>

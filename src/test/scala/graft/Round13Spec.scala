@@ -760,6 +760,20 @@ class Round13Spec extends SparkSpec {
     assert(kept == Set(3L, 4L))
   }
 
+  // ---------------------------------------------- example pipeline
+
+  test("the eval-integrity example pipeline runs end to end") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/eval_integrity_pipeline.yaml")))
+    val out = graft.api.Pipeline.runYaml(yaml, spark)
+    val row = out.head()
+    assert(out.columns.toSet == Set("n", "po", "pe", "kappa"))
+    assert(row.getLong(0) > 0)
+    val k = row.getDouble(row.fieldIndex("kappa"))
+    assert(k > 0.5 && k <= 1.0) // mostly-agreeing planted raters
+  }
+
   // --------------------------------------- pseudonymize delimiter safety
 
   test("pseudonymize: matches containing ':' and '|' replace correctly") {
