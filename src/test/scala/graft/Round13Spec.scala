@@ -760,6 +760,86 @@ class Round13Spec extends SparkSpec {
     assert(kept == Set(3L, 4L))
   }
 
+  test("LazyFrame r13 builders round-trip through YAML and run") {
+    import graft.api.{LazyFrame, Pipeline}
+    val dir = java.nio.file.Files.createTempDirectory("lf13b").toString
+    docsDf.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    docsDf.select(col("doc_id"), col("text")).write.mode("overwrite")
+      .parquet(s"$dir/prev.parquet")
+    def roundTrips(lf: LazyFrame): Long = {
+      val reparsed = LazyFrame.fromYaml(lf.toYaml)
+      assert(reparsed.toYaml == lf.toYaml)
+      val direct = lf.run(spark).count()
+      assert(Pipeline.runYaml(lf.toYaml, spark).count() == direct)
+      direct
+    }
+    def docs = LazyFrame.read("docs", s"$dir/docs.parquet")
+    val n = docsDf.count()
+    assert(roundTrips(docs
+      .codeMap("a" -> "cast(doc_id % 2 as string)",
+        "b" -> "cast(doc_id % 3 as string)")
+      .cohenKappa("a", "b")) == 1)
+    assert(roundTrips(docs.fleissKappa("lang", "text")) == 1)
+    assert(roundTrips(docs.agreementConfusion("lang", "lang")) == 2)
+    assert(roundTrips(docs.redactIbans("text")) == n)
+    assert(roundTrips(docs.novelty(
+      LazyFrame.read("prev", s"$dir/prev.parquet"),
+      "lang", "text", "text", n = 3)) > 0)
+    assert(roundTrips(docs.editComponents("doc_id", "text", 2)
+      .dedupComponentSizes()) > 0)
+    assert(roundTrips(docs.editComponents("doc_id", "text", 2)
+      .dedupSummary(corpusRows = 6)) == 1)
+    assert(roundTrips(docs
+      .codeMap("host" -> "'h'", "body" -> "'Crawl-delay: 2'")
+      .robotsCrawlDelays("host", "body")) == 0) // no UA run: no rows
+    assert(roundTrips(docs
+      .codeMap("split" -> "case when doc_id % 2 = 0 then 'a' else 'b' end")
+      .splitLeakage("doc_id", "text", "split", 2)) >= 0)
+    assert(roundTrips(docs
+      .codeMap("e" -> "array(cast(doc_id as double), 1.0d, 2.0d)")
+      .truncateEmbedding("e", 2)) == n)
+    assert(roundTrips(docs
+      .codeMap("n_chars" -> "cast(length(text) as bigint)")
+      .histogram("n_chars", 4, 0.0, 100.0)) > 0)
+    assert(roundTrips(docs
+      .codeMap("n_chars" -> "cast(length(text) as bigint)")
+      .scorePercentile(Seq("doc_id", "n_chars"), "doc_id")) == n)
+    assert(roundTrips(docs
+      .phraseBlocklist("text", Seq("fast spark"), report = true)) == n)
+    assert(roundTrips(docs.schemaDiff(
+      LazyFrame.read("prev", s"$dir/prev.parquet"))) == 1) // lang added
+  }
+
+  test("round-13 invariants: iban single-digit corruption, histogram mass, percentile range") {
+    import graft.functions.TextFunctions
+    // ANY single-digit change invalidates an IBAN: the mod-97 delta is
+    // d·10^k with 0 < d < 97 and gcd(10, 97) = 1, so it is never ≡ 0
+    val base = "DE89370400440532013000"
+    val variants = for {
+      i <- base.indices if base(i).isDigit
+      d <- '0' to '9' if d != base(i)
+    } yield base.updated(i, d)
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val flags = df(schema, variants.map(Row(_)): _*)
+      .select(TextFunctions.ibanValid(col("s"))).collect()
+      .map(_.getBoolean(0))
+    assert(flags.forall(!_), s"${flags.count(identity)} corrupted IBANs validated")
+    // histogram conserves non-null mass at any bounds
+    val vals = spark.range(500).select((col("id") * 7 % 311 - 50).as("v"))
+    val mass = graft.ops.Profile.histogram(vals, "v", 7, 0.0, 100.0)
+      .agg(sum("n")).head().getLong(0)
+    assert(mass == 500)
+    // percentile stays in [0,1] and is monotone in the score
+    val p = graft.ops.ScoreEnsemble.percentile(
+      spark.range(100).select(col("id"), (col("id") * 13 % 97).as("s")),
+      Seq("s"), "id")
+      .select("s", "_pct_s").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(p.forall { case (_, x) => x >= 0.0 && x <= 1.0 })
+    val sorted = p.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+  }
+
   // ---------------------------------------------- example pipeline
 
   test("the eval-integrity example pipeline runs end to end") {
