@@ -7442,6 +7442,95 @@ object Queries {
                 (CASE WHEN contains(t, 'rights reserved') THEN 1 ELSE 0
                  END))::BIGINT AS blocked_phrases
         FROM f""")
+    ),
+    (
+      // Conversation shape statistics: every third doc gets a 3-turn
+      // conversation ENDING ON USER (the shape SFT masking rejects),
+      // the rest a 2-turn ending on assistant; turn/role counts, char
+      // mass, and the ends-with-assistant flag replay in closed form.
+      "q234_conversation_stats",
+      (s: SparkSession, dir: String) => {
+        val u1 = struct(lit("user").as("role"),
+          substring(col("text"), 1, 20).as("content"))
+        val a1 = struct(lit("assistant").as("role"),
+          substring(col("text"), 1, 35).as("content"))
+        val u2 = struct(lit("user").as("role"),
+          lit("thanks").as("content"))
+        val conv = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, array(u1, a1, u2))
+            .otherwise(array(u1, a1)).as("messages"))
+        graft.ops.ChatOps.stats(conv, "messages").drop("messages")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, least(len(text), 20)::BIGINT AS l1,
+                 least(len(text), 35)::BIGINT AS l2
+          FROM documents)
+        SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END)::BIGINT
+                 AS n_turns,
+               (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)::BIGINT
+                 AS n_user_turns,
+               1::BIGINT AS n_assistant_turns,
+               (l1 + l2 + CASE WHEN doc_id % 3 = 0 THEN 6 ELSE 0 END)
+                 ::BIGINT AS total_chars,
+               l2 AS assistant_chars,
+               round((l1 + l2 +
+                      CASE WHEN doc_id % 3 = 0 THEN 6 ELSE 0 END)::DOUBLE
+                     / (CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END), 6)
+                 AS mean_turn_chars,
+               (doc_id % 3 <> 0) AS ends_with_assistant
+        FROM d""")
+    ),
+    (
+      // Truncation-budget pre-flight at seq_len 64: one row with the
+      // document/token mass a hard cut would lose — integer-exact sums.
+      "q235_truncation_report",
+      (s: SparkSession, dir: String) =>
+        graft.ops.PackOp.truncationReport(t(s, dir, "documents"),
+          "size(filter(split(text, ' '), w -> length(w) > 0))",
+          seqLen = 64L),
+      Some("""
+        WITH d AS (
+          SELECT len(list_filter(string_split(text, ' '),
+                   w -> w <> ''))::BIGINT AS l
+          FROM documents)
+        SELECT count(*)::BIGINT AS docs,
+               sum(CASE WHEN l > 64 THEN 1 ELSE 0 END)::BIGINT
+                 AS docs_over,
+               sum(l)::BIGINT AS tokens_total,
+               sum(CASE WHEN l > 64 THEN l - 64 ELSE 0 END)::BIGINT
+                 AS tokens_lost,
+               round(sum(CASE WHEN l > 64 THEN 1 ELSE 0 END)::DOUBLE /
+                     count(*), 6) AS frac_docs_over,
+               round(sum(CASE WHEN l > 64 THEN l - 64 ELSE 0 END)::DOUBLE
+                     / greatest(sum(l), 1), 6) AS frac_tokens_lost
+        FROM d""")
+    ),
+    (
+      // Effective crawl delay: the q225 delay table through RFC 9309
+      // product-token group selection — GraftBot/1.0 binds to the
+      // graftbot group (delay 2) on every planted host, a host with no
+      // robots entry falls to the default.
+      "q236_effective_delay",
+      (s: SparkSession, dir: String) => {
+        val robots = t(s, dir, "documents")
+          .select((col("doc_id") % 20).as("hid")).distinct()
+          .select(concat(lit("h"), col("hid")).as("host"),
+            lit("User-agent: graftbot\nCrawl-delay: 2\nDisallow: /x\n\n" +
+              "User-agent: *\nCrawl-delay: 0.5\n").as("body"))
+        val delays = graft.ops.RobotsTxt.crawlDelays(robots, "host",
+          "body")
+        val hosts = robots.select(col("host"))
+          .unionByName(t(s, dir, "documents").limit(1)
+            .select(lit("h99").as("host")))
+        graft.ops.RobotsTxt.effectiveDelay(hosts, delays, "GraftBot/1.0")
+      },
+      Some("""
+        WITH h AS (SELECT DISTINCT doc_id % 20 AS hid FROM documents)
+        SELECT 'h' || hid AS host, 2.0 AS delay_seconds FROM h
+        UNION ALL
+        SELECT 'h99' AS host, 0.0 AS delay_seconds""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

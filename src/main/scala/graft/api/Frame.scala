@@ -425,6 +425,13 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       refTextCol, n))
   def editComponents(idCol: String, textCol: String, t: Int): Frame =
     next(graft.dedup.EditDedup.components(df, idCol, textCol, t))
+  def conversationStats(messagesCol: String): Frame =
+    next(ChatOps.stats(df, messagesCol))
+  def truncationReport(lenExpr: String, seqLen: Long): Frame =
+    next(PackOp.truncationReport(df, lenExpr, seqLen))
+  def effectiveCrawlDelay(delays: Frame, agent: String,
+      defaultDelay: Double = 0.0): Frame =
+    next(RobotsTxt.effectiveDelay(df, delays.df, agent, defaultDelay))
   def scorePercentile(scoreCols: Seq[String], tieBreak: String): Frame =
     next(ScoreEnsemble.percentile(df, scoreCols, tieBreak))
   def phraseBlocklist(textCol: String, phrases: Seq[String],

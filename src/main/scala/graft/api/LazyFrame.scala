@@ -511,6 +511,21 @@ final case class LazyFrame(
       .append("novelty", "reference" -> rRef, "slice_key" -> sliceKey,
         "text_key" -> textKey, "ref_text_key" -> refTextKey, "n" -> n)
   }
+  def conversationStats(messagesKey: String): LazyFrame =
+    append("conversation_stats", "messages_key" -> messagesKey)
+  def truncationReport(lenExpr: String, seqLen: Long): LazyFrame =
+    append("truncation_report", "len_expr" -> lenExpr,
+      "seq_len" -> seqLen)
+  /** Effective per-host crawl delay vs a `delays` frame (binary merge). */
+  def effectiveCrawlDelay(delays: LazyFrame, agent: String,
+      defaultDelay: Double = 0.0): LazyFrame = {
+    val (m, lRef, rRef) = merged(delays)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"effective_delay_${m.steps.length}")
+      .append("robots_txt", "mode" -> "effective_delay",
+        "delays" -> rRef, "agent" -> agent,
+        "default_delay" -> defaultDelay)
+  }
   def scorePercentile(columns: Seq[String],
       tieBreak: String): LazyFrame =
     append("score_ensemble", "mode" -> "percentile",

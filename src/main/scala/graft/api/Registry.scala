@@ -907,6 +907,16 @@ object Registry {
         .drop("conv_valid", "conv_invalid_reason")
     else out
   }
+  // Conversation shape statistics (§2.14 SFT prep): the datacard band —
+  // turns, role counts, char mass, ends-with-assistant.
+  register("conversation_stats") { (df, c, _) =>
+    ChatOps.stats(df, c("messages_key").str)
+  }
+  // Truncation-budget report (§2.14 tensorization pre-flight): one row —
+  // docs/tokens a hard cut at seq_len would lose.
+  register("truncation_report") { (df, c, _) =>
+    PackOp.truncationReport(df, c("len_expr").str, c("seq_len").long)
+  }
   // Count-min sketch self-estimation (§2.14 sketches): trains a
   // depth×width sketch over THIS frame's `key_key` values (optionally
   // weighted by `weight_key`) and appends each row's estimated frequency
@@ -1436,9 +1446,15 @@ object Registry {
         RobotsTxt.sitemaps(df, c("host_key").str, c("content_key").str)
       case "crawl_delays" =>
         RobotsTxt.crawlDelays(df, c("host_key").str, c("content_key").str)
+      case "effective_delay" =>
+        val delays = ctx.datasets.getOrElse(c("delays").str,
+          throw new IllegalArgumentException(
+            s"unknown robots_txt delays dataset '${c("delays").str}'"))
+        RobotsTxt.effectiveDelay(df, delays, c.strOr("agent", "*"),
+          c.dblOr("default_delay", 0.0))
       case other => throw new IllegalArgumentException(
-        "robots_txt mode must be parse|evaluate|sitemaps|crawl_delays, " +
-          s"got '$other'")
+        "robots_txt mode must be parse|evaluate|sitemaps|crawl_delays|" +
+          s"effective_delay, got '$other'")
     }
   }
   // Inter-annotator agreement (§2.14 preference/labeling QA): Cohen's

@@ -176,6 +176,38 @@ object ChatOps {
     * survive downstream concatenation: after [[PackOp]] places a rendered
     * sample at character `offset` inside its packed sequence, the sample's
     * spans move with it (closed-form, no re-render). */
+  /** Per-conversation shape statistics — the SFT-datacard band: turn
+    * count, per-role turn counts, total/assistant character mass, mean
+    * turn length, and whether the conversation ends on an assistant
+    * turn (the shape SFT loss-masking assumes). Pure array expressions
+    * fused into the scan — no explode, no shuffle; pair with
+    * [[validate]] (which gates) where this REPORTS. */
+  def stats(df: DataFrame, messagesCol: String): DataFrame = {
+    val msgs = col(messagesCol)
+    val contentLen = (m: Column) =>
+      length(coalesce(m.getField("content"), lit("")))
+    val nTurns = size(msgs).cast("bigint")
+    val roleCount = (r: String) => size(filter(msgs,
+      m => m.getField("role") === r)).cast("bigint")
+    val totalChars = aggregate(msgs, lit(0L),
+      (acc, m) => acc + contentLen(m))
+    val asstChars = aggregate(msgs, lit(0L), (acc, m) =>
+      acc + when(m.getField("role") === "assistant", contentLen(m))
+        .otherwise(lit(0L)))
+    df.withColumn("n_turns", nTurns)
+      .withColumn("n_user_turns", roleCount("user"))
+      .withColumn("n_assistant_turns", roleCount("assistant"))
+      .withColumn("total_chars", totalChars)
+      .withColumn("assistant_chars", asstChars)
+      .withColumn("mean_turn_chars",
+        round(totalChars / greatest(nTurns, lit(1L)).cast("double"), 6))
+      // get() is the null-safe indexer (ANSI element_at THROWS on an
+      // empty array, even behind a boolean guard)
+      .withColumn("ends_with_assistant",
+        coalesce(get(msgs, nTurns.cast("int") - 1)
+          .getField("role") === "assistant", lit(false)))
+  }
+
   def offsetSpans(spans: Column, offset: Column): Column =
     transform(spans, sp => struct(
       (sp.getField("s") + offset).cast("bigint").as("s"),

@@ -163,6 +163,32 @@ object PackOp {
     }(Encoders.row(newSchema))
   }
 
+  /** Truncation-budget report for a context length `seqLen`: ONE row —
+    * how many documents exceed the budget, and what token mass a
+    * hard-truncate-at-L collator would drop. The pre-flight between
+    * [[graft.ops.Truncate]] (which cuts) and packing (which
+    * concatenates): run this first to pick L, then cut. One aggregation
+    * over integer sums — exact, order-free. */
+  def truncationReport(df: DataFrame, lenExpr: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val len = expr(lenExpr).cast("bigint")
+    val over = when(len > seqLen, lit(1L)).otherwise(lit(0L))
+    val lost = when(len > seqLen, len - seqLen).otherwise(lit(0L))
+    df.agg(
+      count(lit(1)).as("docs"),
+      sum(over).as("docs_over"),
+      sum(len).as("tokens_total"),
+      sum(lost).as("tokens_lost"))
+      .select(col("docs"), col("docs_over"), col("tokens_total"),
+        col("tokens_lost"),
+        round(col("docs_over") / col("docs").cast("double"), 6)
+          .as("frac_docs_over"),
+        round(col("tokens_lost") /
+          greatest(col("tokens_total"), lit(1L)).cast("double"), 6)
+          .as("frac_tokens_lost"))
+  }
+
   def chunkFixed(
       df: DataFrame,
       groupCols: Seq[String],

@@ -137,6 +137,43 @@ object RobotsTxt {
         col("_d.delay").as("delay_seconds"))
   }
 
+  /** Effective crawl delay per host for `agent` — the same RFC 9309
+    * product-token group selection as [[isAllowed]] applied to a
+    * [[crawlDelays]] table: the LONGEST group agent that prefixes the
+    * crawler's product token wins; hosts with only a `*` delay fall
+    * back to it; hosts with NO applicable delay row emit
+    * `defaultDelay`. When a winning group carries several delay lines,
+    * the MAXIMUM applies (the polite reading). One host-keyed
+    * aggregation over the (small) delays table + one host-keyed join
+    * back onto `hosts` (single `host` column, deduplicated). */
+  def effectiveDelay(hosts: DataFrame, delays: DataFrame, agent: String,
+      defaultDelay: Double = 0.0): DataFrame = {
+    val token = agent.toLowerCase(java.util.Locale.ROOT)
+      .split("/", 2)(0).trim
+    val d = delays.select(col("host").as("_dhost"),
+      col("agent").as("_dagent"), col("delay_seconds").as("_dsec"))
+    val applicable = d.filter(col("_dagent") === "*" ||
+      lit(token).startsWith(col("_dagent")))
+    // pick the LONGEST matching agent per host ('*' has length 1, so a
+    // specific group always outranks it), then the max delay in it
+    val best = applicable
+      .groupBy(col("_dhost"))
+      .agg(max(struct(
+        when(col("_dagent") === "*", lit(0))
+          .otherwise(length(col("_dagent"))).as("l"),
+        col("_dagent").as("a"))).as("_m"))
+      .select(col("_dhost").as("_bhost"), col("_m.a").as("_ba"))
+    val winner = applicable
+      .join(best, col("_dhost") === col("_bhost") &&
+        col("_dagent") === col("_ba"))
+      .groupBy(col("_dhost").as("host"))
+      .agg(max(col("_dsec")).as("_sec"))
+    hosts.select(col("host")).distinct()
+      .join(winner, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("_sec"), lit(defaultDelay)).as("delay_seconds"))
+  }
+
   /** Explode (host, robots body) rows into the rule table
     * (host, agent, allow, prefix). */
   def parseRules(df: DataFrame, hostCol: String,

@@ -840,6 +840,66 @@ class Round13Spec extends SparkSpec {
     assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
   }
 
+  // -------------------------------------- conversation stats / budgets
+
+  test("conversation stats: turns, role counts, masses, empty-safe") {
+    val msgSchema = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("messages", msgSchema)))
+    val d = df(schema,
+      Row(1L, Seq(Row("user", "hi"), Row("assistant", "hello!"))),
+      Row(2L, Seq(Row("user", "q"), Row("assistant", "a"),
+        Row("user", "follow"))),
+      Row(3L, Seq.empty[Row]))
+    val out = graft.ops.ChatOps.stats(d, "messages").collect()
+      .map(r => r.getLong(0) -> (
+        r.getLong(r.fieldIndex("n_turns")),
+        r.getLong(r.fieldIndex("n_assistant_turns")),
+        r.getLong(r.fieldIndex("total_chars")),
+        r.getLong(r.fieldIndex("assistant_chars")),
+        r.getBoolean(r.fieldIndex("ends_with_assistant")))).toMap
+    assert(out(1L) == ((2L, 1L, 8L, 6L, true)))
+    assert(out(2L) == ((3L, 1L, 8L, 1L, false)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, false))) // empty conv: no throw
+    val yaml = graft.api.Registry("conversation_stats")(d,
+      graft.api.Conf.fromYaml(
+        "type: conversation_stats\nmessages_key: messages"), null)
+    assert(yaml.columns.contains("mean_turn_chars"))
+  }
+
+  test("truncation report: exact doc/token loss at the budget") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("l", LongType)))
+    val d = df(schema, Row(1L, 10L), Row(2L, 64L), Row(3L, 100L),
+      Row(4L, 65L))
+    val r = graft.ops.PackOp.truncationReport(d, "l", 64L).head()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2)       // docs, over
+    assert(r.getLong(2) == 239 && r.getLong(3) == 37)    // total, lost
+    assert(r.getDouble(4) == 0.5)
+    assert(r.getDouble(5) == math.rint(37.0 / 239 * 1e6) / 1e6)
+  }
+
+  test("effective crawl delay: group selection, max-of-group, default") {
+    val dschema = StructType(Seq(StructField("host", StringType),
+      StructField("agent", StringType),
+      StructField("delay_seconds", DoubleType)))
+    val delays = df(dschema,
+      Row("h1", "graftbot", 2.0), Row("h1", "graftbot", 5.0),
+      Row("h1", "*", 0.5),
+      Row("h2", "*", 1.5),
+      Row("h3", "otherbot", 9.0))
+    val hschema = StructType(Seq(StructField("host", StringType)))
+    val hosts = df(hschema, Row("h1"), Row("h2"), Row("h3"), Row("h4"))
+    val got = graft.ops.RobotsTxt.effectiveDelay(hosts, delays,
+      "GraftBot/2.1", defaultDelay = 0.25).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("h1" -> 5.0,   // specific group, max of its lines
+      "h2" -> 1.5,                    // * fallback
+      "h3" -> 0.25,                   // otherbot group doesn't apply
+      "h4" -> 0.25))                  // no rows at all
+  }
+
   // ---------------------------------------------- example pipeline
 
   test("the eval-integrity example pipeline runs end to end") {
