@@ -435,15 +435,8 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def scorePercentile(scoreCols: Seq[String], tieBreak: String): Frame =
     next(ScoreEnsemble.percentile(df, scoreCols, tieBreak))
   def phraseBlocklist(textCol: String, phrases: Seq[String],
-      report: Boolean = false): Frame = {
-    val flag = graft.functions.TextFunctions.containsBlockedPhrase(
-      org.apache.spark.sql.functions.col(textCol), phrases)
-    if (report) next(df.withColumn("blocked", flag)
-      .withColumn("blocked_phrases",
-        graft.functions.TextFunctions.blockedPhraseCount(
-          org.apache.spark.sql.functions.col(textCol), phrases)))
-    else next(df.filter(!flag))
-  }
+      report: Boolean = false): Frame =
+    next(Hygiene.blocklistPhrases(df, textCol, phrases, report))
   def pseudonymizeConversation(messagesCol: String,
       pattern: String = graft.ops.Pseudonymize.EmailPattern,
       label: String = "EMAIL",

@@ -1229,16 +1229,8 @@ object Registry {
   // boilerplate-phrase gate; `report: true` appends flag + distinct-hit
   // count instead of filtering.
   register("phrase_blocklist") { (df, c, _) =>
-    val key = c("text_key").str
-    val phrases = c("phrases").strList
-    val flag = graft.functions.TextFunctions.containsBlockedPhrase(
-      org.apache.spark.sql.functions.col(key), phrases)
-    if (c.boolOr("report", false))
-      df.withColumn("blocked", flag)
-        .withColumn("blocked_phrases",
-          graft.functions.TextFunctions.blockedPhraseCount(
-            org.apache.spark.sql.functions.col(key), phrases))
-    else df.filter(!flag)
+    Hygiene.blocklistPhrases(df, c("text_key").str, c("phrases").strList,
+      c.boolOr("report", false))
   }
   // Snapshot diff (§2.14 incremental ingest): delta of THIS frame vs a
   // previous snapshot dataset — added/removed/changed by content hash.

@@ -57,8 +57,11 @@ object Tables {
     streamDirs.values.foreach { d =>
       try {
         val p = java.nio.file.Paths.get(d)
-        java.nio.file.Files.list(p).forEach(c =>
-          java.nio.file.Files.deleteIfExists(c))
+        // close the directory stream BEFORE deleting the dir — an open
+        // handle leaks an fd and blocks deletion on locking platforms
+        val listing = java.nio.file.Files.list(p)
+        try listing.forEach(c => java.nio.file.Files.deleteIfExists(c))
+        finally listing.close()
         java.nio.file.Files.deleteIfExists(p)
       } catch { case _: Exception => () }
     }))

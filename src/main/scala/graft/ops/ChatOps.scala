@@ -183,7 +183,11 @@ object ChatOps {
     * fused into the scan — no explode, no shuffle; pair with
     * [[validate]] (which gates) where this REPORTS. */
   def stats(df: DataFrame, messagesCol: String): DataFrame = {
-    val msgs = col(messagesCol)
+    // NULL message arrays report as zero-turn conversations (the same
+    // shape validate() classifies as 'empty'), not NULL stat columns
+    // that vanish from downstream averages
+    val msgs = coalesce(col(messagesCol), array().cast(
+      df.schema(df.schema.fieldIndex(messagesCol)).dataType))
     val contentLen = (m: Column) =>
       length(coalesce(m.getField("content"), lit("")))
     val nTurns = size(msgs).cast("bigint")

@@ -26,4 +26,18 @@ object Hygiene {
     if (report) df.withColumn("blocked", blocked)
     else df.filter(!coalesce(blocked, lit(false)))
   }
+
+  /** SUBSTRING-phrase sibling of [[blocklistWords]]
+    * ([[TF.containsBlockedPhrase]]'s gate): drop rows containing any
+    * listed phrase, or (`report = true`) append the flag plus the
+    * distinct-hit count. The single home both the YAML op and the Frame
+    * builder call, so the two entry points cannot drift. */
+  def blocklistPhrases(df: DataFrame, textCol: String,
+      phrases: Seq[String], report: Boolean = false): DataFrame = {
+    val blocked = TF.containsBlockedPhrase(col(textCol), phrases)
+    if (report) df.withColumn("blocked", blocked)
+      .withColumn("blocked_phrases",
+        TF.blockedPhraseCount(col(textCol), phrases))
+    else df.filter(!blocked) // containsBlockedPhrase coalesces null text
+  }
 }

@@ -116,7 +116,9 @@ object Profile {
     val v = col(colName).cast("double")
     val raw = floor((v - lo) * bins / (hi - lo))
     val bin = least(greatest(raw, lit(0)), lit(bins - 1)).cast("bigint")
-    df.filter(v.isNotNull)
+    // NaN would clamp into bin 0 (floor(NaN) casts to 0) and silently
+    // inflate the lowest bucket — drop it like null
+    df.filter(v.isNotNull && !isnan(v))
       .select(bin.as("bin"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"))

@@ -70,10 +70,12 @@ object Pseudonymize {
     df.withColumn("_graft_found", sortedMatches(allText, pattern))
       .withColumn(outCol, transform(msgs, m => {
         val content = coalesce(m.getField("content"), lit(""))
-        struct(m.getField("role").as("role"),
+        // withField preserves every OTHER struct field (name, ts,
+        // tool-call payloads) — rebuilding (role, content) would
+        // silently drop them
+        m.withField("content",
           when(size(col("_graft_found")) === 0, content)
-            .otherwise(foldReplace(col("_graft_found"), content, label))
-            .as("content"))
+            .otherwise(foldReplace(col("_graft_found"), content, label)))
       }))
       .withColumn(nCol, size(col("_graft_found")).cast("bigint"))
       .drop("_graft_found")

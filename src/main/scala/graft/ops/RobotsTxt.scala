@@ -150,8 +150,11 @@ object RobotsTxt {
       defaultDelay: Double = 0.0): DataFrame = {
     val token = agent.toLowerCase(java.util.Locale.ROOT)
       .split("/", 2)(0).trim
+    // lower() on the table side: crawlDelays emits lowercase agents,
+    // but externally-written delay tables may not
     val d = delays.select(col("host").as("_dhost"),
-      col("agent").as("_dagent"), col("delay_seconds").as("_dsec"))
+      lower(col("agent")).as("_dagent"),
+      col("delay_seconds").as("_dsec"))
     val applicable = d.filter(col("_dagent") === "*" ||
       lit(token).startsWith(col("_dagent")))
     // pick the LONGEST matching agent per host ('*' has length 1, so a

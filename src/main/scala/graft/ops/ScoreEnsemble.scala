@@ -51,9 +51,13 @@ object ScoreEnsemble {
   def percentile(df: DataFrame, scoreCols: Seq[String], tieBreak: String,
       outCol: String = "ensemble_pct"): DataFrame = {
     require(scoreCols.nonEmpty, "percentile needs at least one score column")
-    val n = df.count()
+    // persisted (PersistScope — bench/pipeline flush points release it):
+    // the count plus k rank sorts would otherwise re-run the upstream
+    // plan k+1 times
+    val base = graft.core.PersistScope.register(df.persist())
+    val n = base.count()
     val denom = math.max(n - 1L, 1L).toDouble
-    val ranked = scoreCols.foldLeft(df) { (acc, c) =>
+    val ranked = scoreCols.foldLeft(base) { (acc, c) =>
       RankOp.withGlobalRank(acc, Seq(col(c).asc, col(tieBreak).asc))
         .withColumn(s"_pct_$c", round((col("_rank") - 1) / denom, 6))
         .drop("_rank")

@@ -808,6 +808,24 @@ class Round13Spec extends SparkSpec {
       .phraseBlocklist("text", Seq("fast spark"), report = true)) == n)
     assert(roundTrips(docs.schemaDiff(
       LazyFrame.read("prev", s"$dir/prev.parquet"))) == 1) // lang added
+    assert(roundTrips(docs
+      .conversationFromPairs("text", "lang")
+      .conversationStats("messages")) == n)
+    assert(roundTrips(docs.truncationReport(
+      "cast(length(text) as bigint)", 30L)) == 1)
+    assert(roundTrips(docs
+      .conversationFromPairs("text", "lang")
+      .pseudonymizeConversation("messages")) == n)
+    // effective delay: the binary-merge step refs + the double default
+    // must survive YAML
+    docsDf.select(lit("h1").as("host"), lit("graftbot").as("agent"),
+      lit(2.0).as("delay_seconds")).limit(1)
+      .write.mode("overwrite").parquet(s"$dir/delays.parquet")
+    assert(roundTrips(LazyFrame.read("hosts", s"$dir/docs.parquet")
+      .codeMap("host" -> "'h1'")
+      .effectiveCrawlDelay(
+        LazyFrame.read("delays", s"$dir/delays.parquet"),
+        "GraftBot/1.0", defaultDelay = 0.25)) == 1)
   }
 
   test("round-13 invariants: iban single-digit corruption, histogram mass, percentile range") {
