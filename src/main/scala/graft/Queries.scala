@@ -7531,6 +7531,45 @@ object Queries {
         SELECT 'h' || hid AS host, 2.0 AS delay_seconds FROM h
         UNION ALL
         SELECT 'h99' AS host, 0.0 AS delay_seconds""")
+    ),
+    (
+      // Reciprocal rank fusion over the q190 signals: rrf = sum of
+      // 1/(60 + rank_i) per signal (Cormack & Clarke) — top-heavy rank
+      // fusion, the hybrid-retrieval standard; the oracle replays the
+      // rank windows and the fixed-order sum.
+      "q237_score_rrf",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "documents").select(col("doc_id"),
+          size(filter(split(col("text"), " "), w => length(w) > 0))
+            .cast("bigint").as("s1"),
+          length(col("text")).cast("bigint").as("s2"),
+          ((col("doc_id") * 37) % 101).cast("bigint").as("s3"))
+        graft.ops.ScoreEnsemble.rrf(base, Seq("s1", "s2", "s3"),
+          "doc_id")
+          .select(col("doc_id"), col("_rank_s1").as("r1"),
+            col("_rank_s2").as("r2"), col("_rank_s3").as("r3"),
+            col("rrf_score"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   ::BIGINT AS s1,
+                 len(text)::BIGINT AS s2,
+                 ((doc_id * 37) % 101)::BIGINT AS s3
+          FROM documents),
+        r AS (SELECT doc_id,
+                row_number() OVER (ORDER BY s1 DESC, doc_id)::BIGINT
+                  AS r1,
+                row_number() OVER (ORDER BY s2 DESC, doc_id)::BIGINT
+                  AS r2,
+                row_number() OVER (ORDER BY s3 DESC, doc_id)::BIGINT
+                  AS r3
+              FROM b)
+        SELECT doc_id, r1, r2, r3,
+               round(1.0 / (60 + r1) + 1.0 / (60 + r2) +
+                     1.0 / (60 + r3), 6) AS rrf_score
+        FROM r""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -434,6 +434,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(RobotsTxt.effectiveDelay(df, delays.df, agent, defaultDelay))
   def scorePercentile(scoreCols: Seq[String], tieBreak: String): Frame =
     next(ScoreEnsemble.percentile(df, scoreCols, tieBreak))
+  def scoreRrf(scoreCols: Seq[String], tieBreak: String,
+      k: Int = 60): Frame =
+    next(ScoreEnsemble.rrf(df, scoreCols, tieBreak, k))
   def phraseBlocklist(textCol: String, phrases: Seq[String],
       report: Boolean = false): Frame =
     next(Hygiene.blocklistPhrases(df, textCol, phrases, report))

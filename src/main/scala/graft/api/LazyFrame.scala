@@ -530,6 +530,10 @@ final case class LazyFrame(
       tieBreak: String): LazyFrame =
     append("score_ensemble", "mode" -> "percentile",
       "columns" -> jlist(columns), "tie_break" -> tieBreak)
+  def scoreRrf(columns: Seq[String], tieBreak: String,
+      k: Int = 60): LazyFrame =
+    append("score_ensemble", "mode" -> "rrf",
+      "columns" -> jlist(columns), "tie_break" -> tieBreak, "k" -> k)
   def phraseBlocklist(textKey: String, phrases: Seq[String],
       report: Boolean = false): LazyFrame =
     append("phrase_blocklist", "text_key" -> textKey,

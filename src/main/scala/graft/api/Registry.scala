@@ -1514,8 +1514,11 @@ object Registry {
         c.get("weights").map(_.dblList).getOrElse(Nil))
       case "percentile" =>
         ScoreEnsemble.percentile(df, cols, c("tie_break").str)
+      case "rrf" => ScoreEnsemble.rrf(df, cols, c("tie_break").str,
+        c.intOr("k", 60))
       case other => throw new IllegalArgumentException(
-        s"score_ensemble mode must be borda|zscore|percentile, got '$other'")
+        "score_ensemble mode must be borda|zscore|percentile|rrf, " +
+          s"got '$other'")
     }
   }
   // Retrieval-quality metrics (§2.14 eval family): per-query

@@ -67,6 +67,26 @@ object ScoreEnsemble {
         scoreCols.length, 6))
   }
 
+  /** Append `_rank_<col>` per signal and their reciprocal-rank-fusion
+    * sum `outCol` = Σ 1/(k + rank_i) — Cormack & Clarke's RRF, the
+    * standard hybrid-retrieval combiner (BM25 + vector ranks) every
+    * current search stack ships: rank-based like [[borda]] but
+    * top-heavy (depth beyond ~k barely moves the score), so one
+    * signal's deep tail can't swamp another's strong head. Same
+    * distributed global sorts; k = 60 is the published default. */
+  def rrf(df: DataFrame, scoreCols: Seq[String], tieBreak: String,
+      k: Int = 60, outCol: String = "rrf_score"): DataFrame = {
+    require(scoreCols.nonEmpty, "rrf needs at least one score column")
+    require(k >= 0, s"rrf k must be >= 0, got $k")
+    val ranked = scoreCols.foldLeft(df) { (acc, c) =>
+      RankOp.withGlobalRank(acc, Seq(col(c).desc, col(tieBreak).asc))
+        .withColumnRenamed("_rank", s"_rank_$c")
+    }
+    ranked.withColumn(outCol,
+      round(scoreCols.map(c => lit(1.0) / (lit(k) + col(s"_rank_$c")))
+        .reduce(_ + _), 6))
+  }
+
   /** Append `_z_<col>` per signal and their weighted mean `outCol`
     * (6 decimals). Signals scale to ×10⁶ integers before the moment
     * sums (DECIMAL(38,0) — exact at any row count); a constant signal

@@ -733,6 +733,31 @@ class Round13Spec extends SparkSpec {
     assert(one.getDouble(one.fieldIndex("_pct_a")) == 0.0)
   }
 
+  test("rrf: top-heavy rank fusion, published k=60 default") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("a", LongType), StructField("b", LongType)))
+    val d = df(schema,
+      Row(1L, 100L, 1L),   // best on a, worst on b
+      Row(2L, 50L, 50L),   // middle on both
+      Row(3L, 1L, 100L))   // worst on a, best on b
+    val out = graft.ops.ScoreEnsemble.rrf(d, Seq("a", "b"), "id")
+      .collect().map(r => r.getLong(0) ->
+        r.getDouble(r.fieldIndex("rrf_score"))).toMap
+    val e13 = math.rint((1.0 / 61 + 1.0 / 63) * 1e6) / 1e6
+    val e2 = math.rint((1.0 / 62 + 1.0 / 62) * 1e6) / 1e6
+    assert(out(1L) == e13 && out(3L) == e13)
+    assert(out(2L) == e2)
+    // the symmetric extremes tie; the consistent middle scores between
+    assert(out(2L) > 0 && math.abs(out(1L) - out(2L)) < 1e-3)
+    val yaml = graft.api.Registry("score_ensemble")(d,
+      graft.api.Conf.fromYaml(
+        "type: score_ensemble\nmode: rrf\ncolumns: [a, b]\n" +
+          "tie_break: id\nk: 0"), null)
+      .collect().map(r => r.getLong(0) ->
+        r.getDouble(r.fieldIndex("rrf_score"))).toMap
+    assert(yaml(1L) == math.rint((1.0 / 1 + 1.0 / 3) * 1e6) / 1e6)
+  }
+
   // -------------------------------------------- phrase blocklist
 
   test("phrase blocklist: substring hits, filter and report modes") {
