@@ -29,7 +29,13 @@ object ExplainAudit {
         "q195_skew_report", "q196_pmi_cooccur", "q197_markdown_tables",
         // round-12e shapes: the (key, salt) equi-join and the
         // pair-statistics-sized BT iteration
-        "q204_salted_join", "q202_bradley_terry")
+        "q204_salted_join", "q202_bradley_terry",
+        // round-13 shapes: the hash-keyed (id-only) PassJoin candidate
+        // join + id-keyed text re-joins, the gram-hash anti-join, the
+        // narrow byte-features kernel into the broadcast ANN cross, and
+        // the bin-keyed one-pass histogram
+        "q201_edit_keep_best", "q224_novelty", "q220_byte_features_ann",
+        "q231_histogram")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
