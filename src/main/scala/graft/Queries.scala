@@ -7570,6 +7570,84 @@ object Queries {
                round(1.0 / (60 + r1) + 1.0 / (60 + r2) +
                      1.0 / (60 + r3), 6) AS rrf_score
         FROM r""")
+    ),
+    (
+      // Largest-remainder (Hamilton) apportionment: exactly 1000 budget
+      // units split across sources proportionally to token mass —
+      // quotas SUM TO THE BUDGET exactly, leftovers by largest integer
+      // remainder (ties by domain asc); the oracle replays the integer
+      // arithmetic term for term.
+      "q238_apportion",
+      (s: SparkSession, dir: String) =>
+        graft.ops.MixtureSolver.apportion(t(s, dir, "documents"),
+          "source", "size(filter(split(text, ' '), w -> length(w) > 0))",
+          budget = 1000L),
+      Some("""
+        WITH c AS (
+          SELECT source AS domain,
+                 sum(len(list_filter(string_split(text, ' '),
+                   w -> w <> '')))::BIGINT AS n
+          FROM documents GROUP BY 1),
+        t AS (SELECT sum(n)::BIGINT AS total FROM c),
+        b AS (SELECT domain, n, (n * 1000) // total AS fl,
+                     (n * 1000) % total AS rem
+              FROM c, t),
+        lv AS (SELECT (1000 - sum(fl))::BIGINT AS r FROM b),
+        rk AS (SELECT domain, n, fl,
+                      row_number() OVER (ORDER BY rem DESC, domain) AS rn
+               FROM b)
+        SELECT domain, n,
+               (fl + CASE WHEN rn <= (SELECT r FROM lv) THEN 1 ELSE 0
+                     END)::BIGINT AS quota
+        FROM rk""")
+    ),
+    (
+      // N-gram CONTAINMENT pairs: each planted block holds a document
+      // and its own 8-word prefix — near-total containment of the
+      // prefix in the full text at a Jaccard far below any dedup
+      // threshold, the asymmetric signal Jaccard structurally misses;
+      // the oracle replays intersection/min and the contained-id rule.
+      "q239_ngram_containment",
+      (s: SparkSession, dir: String) => {
+        val words = filter(split(col("text"), " "), w => length(w) > 0)
+        val short = concat_ws(" ", slice(words, 1, 8))
+        val fixture = t(s, dir, "documents")
+          .filter(col("doc_id") % 11 === 0 && size(words) >= 12)
+          .select(col("doc_id").as("g"), explode(array(
+            struct((col("doc_id") * 2).as("id"), col("text").as("s")),
+            struct((col("doc_id") * 2 + 1).as("id"), short.as("s"))))
+            .as("_p"))
+          .select(col("g"), col("_p.id").as("id"), col("_p.s").as("s"))
+        graft.dedup.NgramJaccardDedup.containmentPairs(fixture, "id",
+          "s", "cast(g as string)", n = 3, threshold = 0.5)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id AS g, text,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS t
+          FROM documents WHERE doc_id % 11 = 0),
+        f AS (SELECT g, text AS full_s,
+                     array_to_string(t[1:8], ' ') AS short_s
+              FROM d WHERE len(t) >= 12),
+        rows_ AS (
+          SELECT g, g * 2 AS id, full_s AS s FROM f
+          UNION ALL
+          SELECT g, g * 2 + 1 AS id, short_s AS s FROM f),
+        sh AS (SELECT g, id, list_distinct(list_transform(
+                 range(1, len(string_split(s, ' ')) - 1),
+                 i -> array_to_string((string_split(s, ' '))[i:i+2], ' ')))
+                 AS sh
+               FROM rows_),
+        p AS (SELECT a.id AS id_a, b.id AS id_b,
+                     len(list_intersect(a.sh, b.sh))::BIGINT AS inter,
+                     len(a.sh)::BIGINT AS sa, len(b.sh)::BIGINT AS sb
+              FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id)
+        SELECT id_a, id_b,
+               round(inter::DOUBLE / least(sa, sb), 6) AS containment,
+               round(inter::DOUBLE / (sa + sb - inter), 6) AS jaccard,
+               CASE WHEN sb < sa THEN id_b ELSE id_a END AS contained_id
+        FROM p
+        WHERE round(inter::DOUBLE / least(sa, sb), 6) >= 0.5""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

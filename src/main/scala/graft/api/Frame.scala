@@ -427,6 +427,13 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(graft.dedup.EditDedup.components(df, idCol, textCol, t))
   def conversationStats(messagesCol: String): Frame =
     next(ChatOps.stats(df, messagesCol))
+  def apportion(domainCol: String, countExpr: String,
+      budget: Long): Frame =
+    next(MixtureSolver.apportion(df, domainCol, countExpr, budget))
+  def ngramContainmentPairs(idCol: String, textCol: String,
+      blockExpr: String, n: Int = 3, threshold: Double = 0.8): Frame =
+    next(graft.dedup.NgramJaccardDedup.containmentPairs(df, idCol,
+      textCol, blockExpr, n, threshold))
   def truncationReport(lenExpr: String, seqLen: Long): Frame =
     next(PackOp.truncationReport(df, lenExpr, seqLen))
   def effectiveCrawlDelay(delays: Frame, agent: String,

@@ -513,6 +513,16 @@ final case class LazyFrame(
   }
   def conversationStats(messagesKey: String): LazyFrame =
     append("conversation_stats", "messages_key" -> messagesKey)
+  def apportion(domainKey: String, countExpr: String,
+      budget: Long): LazyFrame =
+    append("apportion", "domain_key" -> domainKey,
+      "count_expr" -> countExpr, "budget" -> budget)
+  def ngramContainmentPairs(idKey: String, textKey: String,
+      blockExpr: String, n: Int = 3,
+      threshold: Double = 0.8): LazyFrame =
+    append("dedup", "method" -> "ngram_containment", "id_key" -> idKey,
+      "text_key" -> textKey, "block_expr" -> blockExpr, "n" -> n,
+      "threshold" -> threshold)
   def truncationReport(lenExpr: String, seqLen: Long): LazyFrame =
     append("truncation_report", "len_expr" -> lenExpr,
       "seq_len" -> seqLen)

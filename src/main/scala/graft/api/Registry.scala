@@ -435,6 +435,11 @@ object Registry {
       case "ngram_pairs" => graft.dedup.NgramJaccardDedup.pairs(df, c("id_key").str,
         c("text_key").str, c("block_expr").str, c.intOr("n", 3), c.dblOr("threshold", 0.5),
         c.get("max_posting_size").map(_.int), c.get("max_posting_head").map(_.int))
+      case "ngram_containment" => graft.dedup.NgramJaccardDedup
+        .containmentPairs(df, c("id_key").str, c("text_key").str,
+          c("block_expr").str, c.intOr("n", 3), c.dblOr("threshold", 0.8),
+          c.get("max_posting_size").map(_.int),
+          c.get("max_posting_head").map(_.int))
       case "simhash_pairs" => graft.dedup.SimHashDedup.candidatePairs(df,
         c("id_key").str, c("text_key").str, c.intOr("max_hamming", 3),
         c.get("max_bucket_size").map(_.int), c.get("max_bucket_head").map(_.int))
@@ -768,6 +773,12 @@ object Registry {
     val weights = c("weights").asMap.map { case (k, v) => k -> v.dbl }.toMap
     MixtureSolver.planFromCorpus(df, c("domain_key").str,
       c("token_expr").str, weights, c("total_budget").long)
+  }
+  // Largest-remainder exact budget apportionment (§2.14 curation): the
+  // release-manifest allocator — quotas sum to the budget EXACTLY.
+  register("apportion") { (df, c, _) =>
+    MixtureSolver.apportion(df, c("domain_key").str,
+      c.strOr("count_expr", "1"), c("budget").long)
   }
   // Response-grounding score (§2.14 SFT QA): distinct-n-gram precision
   // of a response column against its source column.

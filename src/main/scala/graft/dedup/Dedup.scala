@@ -550,6 +550,56 @@ object NgramJaccardDedup {
         * for docs past a hot posting's head — same trade, softer knob. */
       maxPostingHead: Option[Int] = None): DataFrame = {
     require(threshold > 0, "ngram threshold must be positive")
+    intersections(df, idCol, textCol, blockExpr, n, maxPostingSize,
+      maxPostingHead)
+      .withColumn("jaccard",
+        round(col("_inter").cast("double") /
+          (col("_sza") + col("_szb") - col("_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Blocked n-gram CONTAINMENT: |A∩B| / min(|A|, |B|) — the ASYMMETRIC
+    * near-dup signal Jaccard structurally misses: a short document fully
+    * quoted inside a long aggregation page has Jaccard ≈ |A|/|B| (tiny)
+    * but containment 1. Returns (id_a, id_b, containment, jaccard,
+    * contained_id) where contained_id is the SMALLER gram set's id (ties
+    * → id_a) — the document a containment-dedup pass would drop. Same
+    * inverted-index machinery and posting guards as [[pairs]]. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockExpr: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxPostingSize: Option[Int] = None,
+      maxPostingHead: Option[Int] = None): DataFrame = {
+    require(threshold > 0, "containment threshold must be positive")
+    intersections(df, idCol, textCol, blockExpr, n, maxPostingSize,
+      maxPostingHead)
+      .withColumn("containment",
+        round(col("_inter").cast("double") /
+          least(col("_sza"), col("_szb")), 6))
+      .filter(col("containment") >= threshold)
+      .withColumn("jaccard",
+        round(col("_inter").cast("double") /
+          (col("_sza") + col("_szb") - col("_inter")), 6))
+      .withColumn("contained_id",
+        when(col("_szb") < col("_sza"), col("id_b")).otherwise(col("id_a")))
+      .select("id_a", "id_b", "containment", "jaccard", "contained_id")
+  }
+
+  /** Shared inverted-index core: candidate pairs with
+    * (_inter = |A∩B|, _sza, _szb) gram-set sufficient statistics. */
+  private def intersections(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockExpr: String,
+      n: Int,
+      maxPostingSize: Option[Int],
+      maxPostingHead: Option[Int]): DataFrame = {
     // Hashed shingles: long intersection counting beats string (see
     // MinHashDedup note on collision odds).
     val sh = graft.functions.ShingleHashes(col(textCol), n)
@@ -568,15 +618,8 @@ object NgramJaccardDedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("_inter"))
-    val out = co
-      .join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sza")), Seq("id_a"))
+    co.join(sizes.select(col("_id").as("id_a"), col("_sz").as("_sza")), Seq("id_a"))
       .join(sizes.select(col("_id").as("id_b"), col("_sz").as("_szb")), Seq("id_b"))
-      .withColumn("jaccard",
-        round(col("_inter").cast("double") /
-          (col("_sza") + col("_szb") - col("_inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-    out
   }
 }
 

@@ -65,4 +65,41 @@ object MixtureSolver {
       .withColumn("shortfall",
         when(col("n_tokens") === 0, col("want_tokens")).otherwise(lit(0L)))
   }
+
+  /** EXACT budget apportionment by the largest-remainder (Hamilton)
+    * method: each domain gets floor(cᵈ·B/T), and the B − Σfloor leftover
+    * units go to the domains with the largest integer remainders
+    * (cᵈ·B mod T), ties by domain name ascending — so Σ quota = B
+    * EXACTLY, unlike proportional rounding (which drifts) or
+    * [[plan]]'s fractional shares (which a sampler only hits in
+    * expectation). The release-manifest allocator: "exactly B tokens,
+    * split as proportionally as integer arithmetic allows."
+    *
+    * All arithmetic is integer (BigInt products, so cᵈ·B can't
+    * overflow) — replayable in any engine. Driver state is one row per
+    * DOMAIN (the bound budgets maps already accept). Output:
+    * (domain, n, quota). */
+  def apportion(df: DataFrame, domainCol: String, countExpr: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(domainCol).cast("string").as("_d"))
+      .agg(sum(expr(countExpr)).cast("long").as("_c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(c => BigInt(c._2)).sum
+    if (total <= 0)
+      return counts.map { case (d, c) => (d, c, 0L) }.toSeq
+        .toDF("domain", "n", "quota")
+    val base = counts.map { case (d, c) =>
+      val prod = BigInt(c) * budget
+      (d, c, (prod / total).toLong, prod % total)
+    }
+    val leftover = (budget - base.map(_._3).sum).toInt
+    val bonus = base.sortBy { case (d, _, _, rem) => (-rem, d) }
+      .take(leftover).map(_._1).toSet
+    base.map { case (d, c, fl, _) =>
+      (d, c, fl + (if (bonus.contains(d)) 1L else 0L))
+    }.toSeq.toDF("domain", "n", "quota")
+  }
 }

@@ -758,6 +758,55 @@ class Round13Spec extends SparkSpec {
     assert(yaml(1L) == math.rint((1.0 / 1 + 1.0 / 3) * 1e6) / 1e6)
   }
 
+  test("apportion: quotas sum to the budget exactly, Hamilton remainders") {
+    val schema = StructType(Seq(StructField("d", StringType),
+      StructField("n", LongType)))
+    // shares of 10: a=5.33.., b=3.33.., c=1.33.. -> floors 5,3,1,
+    // leftover 1 goes to the largest remainder (all tie at 1/3 -> 'a')
+    val d = df(schema, Row("a", 16L), Row("b", 10L), Row("c", 4L))
+    val got = graft.ops.MixtureSolver.apportion(d, "d", "n", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("a" -> 6L, "b" -> 3L, "c" -> 1L))
+    assert(got.values.sum == 10L)
+    // zero-total corpus: all quotas zero, no division by zero
+    val z = graft.ops.MixtureSolver.apportion(
+      df(schema, Row("a", 0L)), "d", "n", 10L).head()
+    assert(z.getLong(2) == 0L)
+    val yaml = graft.api.Registry("apportion")(d,
+      graft.api.Conf.fromYaml(
+        "type: apportion\ndomain_key: d\ncount_expr: n\nbudget: 10"),
+      null)
+    assert(yaml.agg(sum("quota")).head().getLong(0) == 10L)
+  }
+
+  test("ngram containment: asymmetric near-dup that Jaccard misses") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("blk", StringType)))
+    val full = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi"
+    val prefix = "alpha beta gamma delta epsilon"
+    val d = df(schema,
+      Row(1L, full, "b1"), Row(2L, prefix, "b1"),
+      Row(3L, "totally different words here now", "b1"))
+    val got = graft.dedup.NgramJaccardDedup.containmentPairs(d, "id",
+      "s", "blk", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(4))).toSeq
+    // prefix grams are a strict subset: containment 1, contained = 2
+    assert(got == Seq((1L, 2L, 1.0, 2L)))
+    // the same pair's Jaccard is low — the signal Jaccard misses
+    val jac = graft.dedup.NgramJaccardDedup.pairs(d, "id", "s", "blk",
+      n = 3, threshold = 0.01)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .head().getDouble(2)
+    assert(jac < 0.5)
+    val yaml = graft.api.Registry("dedup")(d,
+      graft.api.Conf.fromYaml(
+        "type: dedup\nmethod: ngram_containment\nid_key: id\n" +
+          "text_key: s\nblock_expr: blk\nthreshold: 0.9"), null)
+    assert(yaml.count() == 1)
+  }
+
   // -------------------------------------------- phrase blocklist
 
   test("phrase blocklist: substring hits, filter and report modes") {
