@@ -7648,6 +7648,37 @@ object Queries {
                CASE WHEN sb < sa THEN id_b ELSE id_a END AS contained_id
         FROM p
         WHERE round(inter::DOUBLE / least(sa, sb), 6) >= 0.5""")
+    ),
+    (
+      // Consecutive same-role merge: every third conversation carries a
+      // two-message user run (the raw-event-log shape validate
+      // rejects); the merge fuses each run into one turn with the
+      // contents newline-joined — rendered closed form gated via md5.
+      "q240_merge_roles",
+      (s: SparkSession, dir: String) => {
+        val u1 = struct(lit("user").as("role"), lit("first").as("content"))
+        val u2 = struct(lit("user").as("role"), lit("more").as("content"))
+        val a1 = struct(lit("assistant").as("role"),
+          lit("reply").as("content"))
+        val conv = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, array(u1, u2, a1))
+            .otherwise(array(u1, a1)).as("messages"))
+        graft.ops.ChatOps.mergeConsecutiveRoles(conv, "messages")
+          .select(col("doc_id"), col("n_merged_turns"),
+            md5(concat_ws("|", transform(col("messages_merged"),
+              m => concat(m.getField("role"), lit(":"),
+                m.getField("content"))))).as("rendered_md5"))
+      },
+      Some("""
+        SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_merged_turns,
+               CASE WHEN doc_id % 3 = 0
+                 THEN md5('user:first' || chr(10) ||
+                          'more|assistant:reply')
+                 ELSE md5('user:first|assistant:reply')
+               END AS rendered_md5
+        FROM documents""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -427,6 +427,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(graft.dedup.EditDedup.components(df, idCol, textCol, t))
   def conversationStats(messagesCol: String): Frame =
     next(ChatOps.stats(df, messagesCol))
+  def mergeConsecutiveRoles(messagesCol: String,
+      sep: String = "\n"): Frame =
+    next(ChatOps.mergeConsecutiveRoles(df, messagesCol, sep))
   def apportion(domainCol: String, countExpr: String,
       budget: Long): Frame =
     next(MixtureSolver.apportion(df, domainCol, countExpr, budget))

@@ -513,6 +513,10 @@ final case class LazyFrame(
   }
   def conversationStats(messagesKey: String): LazyFrame =
     append("conversation_stats", "messages_key" -> messagesKey)
+  def mergeConsecutiveRoles(messagesKey: String,
+      sep: String = "\n"): LazyFrame =
+    append("conversation_merge_roles", "messages_key" -> messagesKey,
+      "sep" -> sep)
   def apportion(domainKey: String, countExpr: String,
       budget: Long): LazyFrame =
     append("apportion", "domain_key" -> domainKey,

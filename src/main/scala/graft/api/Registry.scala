@@ -923,6 +923,13 @@ object Registry {
   register("conversation_stats") { (df, c, _) =>
     ChatOps.stats(df, c("messages_key").str)
   }
+  // Consecutive same-role turn merge (§2.14 SFT prep): the repair
+  // between fromEventLog and validate's alternation rule.
+  register("conversation_merge_roles") { (df, c, _) =>
+    ChatOps.mergeConsecutiveRoles(df, c("messages_key").str,
+      c.strOr("sep", "\n"),
+      c.strOr("output_key", "messages_merged"))
+  }
   // Truncation-budget report (§2.14 tensorization pre-flight): one row —
   // docs/tokens a hard cut at seq_len would lose.
   register("truncation_report") { (df, c, _) =>

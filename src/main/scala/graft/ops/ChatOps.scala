@@ -176,6 +176,37 @@ object ChatOps {
     * survive downstream concatenation: after [[PackOp]] places a rendered
     * sample at character `offset` inside its packed sequence, the sample's
     * spans move with it (closed-form, no re-render). */
+  /** Merge CONSECUTIVE same-role turns — the repair between
+    * [[fromEventLog]] (raw interaction logs legitimately emit two user
+    * events in a row) and [[validate]] (whose alternation rule rejects
+    * them): each maximal same-role run collapses to ONE message whose
+    * content is the run's contents joined by `sep`; the run's FIRST
+    * message keeps its other struct fields (withField, not a rebuild).
+    * Pure per-row fold — no explode, no shuffle; appends `outCol` and
+    * `n_merged_turns` (messages removed by merging). */
+  def mergeConsecutiveRoles(df: DataFrame, messagesCol: String,
+      sep: String = "\n", outCol: String = "messages_merged"): DataFrame = {
+    val msgType = df.schema(df.schema.fieldIndex(messagesCol)).dataType
+    val msgs = coalesce(col(messagesCol), array().cast(msgType))
+    val empty = array().cast(msgType)
+    val merged = aggregate(msgs, empty, (acc, m) => {
+      // get() is the null-safe indexer: element_at(acc, -1) would THROW
+      // on the empty accumulator even behind a size guard (ANSI `&&`
+      // evaluates both operands)
+      val last = get(acc, size(acc) - 1)
+      val sameRole = last.getField("role") === m.getField("role")
+      val fused = last.withField("content",
+        concat(coalesce(last.getField("content"), lit("")), lit(sep),
+          coalesce(m.getField("content"), lit(""))))
+      when(coalesce(sameRole, lit(false)),
+        concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
+        .otherwise(concat(acc, array(m)))
+    })
+    df.withColumn(outCol, merged)
+      .withColumn("n_merged_turns",
+        (size(msgs) - size(col(outCol))).cast("bigint"))
+  }
+
   /** Per-conversation shape statistics — the SFT-datacard band: turn
     * count, per-role turn counts, total/assistant character mass, mean
     * turn length, and whether the conversation ends on an assistant

@@ -992,6 +992,41 @@ class Round13Spec extends SparkSpec {
       "h4" -> 0.25))                  // no rows at all
   }
 
+  test("mergeConsecutiveRoles: run fusion, extra fields survive, validate accepts") {
+    val msgSchema = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType),
+      StructField("ts", LongType))))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("messages", msgSchema)))
+    val d = df(schema,
+      Row(1L, Seq(Row("user", "a", 1L), Row("user", "b", 2L),
+        Row("user", "c", 3L), Row("assistant", "r", 4L),
+        Row("assistant", "r2", 5L))),
+      Row(2L, Seq(Row("user", "x", 1L), Row("assistant", "y", 2L))),
+      Row(3L, null))
+    val out = graft.ops.ChatOps.mergeConsecutiveRoles(d, "messages")
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getSeq[Row](r.fieldIndex("messages_merged")),
+        r.getLong(r.fieldIndex("n_merged_turns")))).toMap
+    val (m1, n1) = rows(1L)
+    assert(n1 == 3)
+    assert(m1.map(m => (m.getString(0), m.getString(1))) ==
+      Seq(("user", "a\nb\nc"), ("assistant", "r\nr2")))
+    assert(m1.head.getLong(2) == 1L) // run's FIRST message keeps ts
+    assert(rows(2L)._2 == 0 && rows(3L)._2 == 0)
+    // the repaired shape passes the alternation validator (the raw
+    // 3-user-run shape is exactly what validate rejects)
+    val vRow = graft.ops.ChatOps.validate(
+      out.filter(col("id") === 1).select(col("id"),
+        col("messages_merged").as("messages")), "messages").head()
+    assert(vRow.getBoolean(vRow.fieldIndex("conv_valid")),
+      vRow.toString)
+    val yaml = graft.api.Registry("conversation_merge_roles")(d,
+      graft.api.Conf.fromYaml(
+        "type: conversation_merge_roles\nmessages_key: messages"), null)
+    assert(yaml.columns.contains("messages_merged"))
+  }
+
   // ---------------------------------------------- example pipeline
 
   test("the eval-integrity example pipeline runs end to end") {
