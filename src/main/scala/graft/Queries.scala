@@ -7153,12 +7153,18 @@ object Queries {
         nov AS (SELECT slice, count(*)::BIGINT AS novel FROM cur
                 WHERE g NOT IN (SELECT g FROM refg) GROUP BY 1),
         tot AS (SELECT slice, count(*)::BIGINT AS n_grams FROM cur
-                GROUP BY 1)
-        SELECT slice, n_grams,
+                GROUP BY 1),
+        -- every distinct slice of the CURRENT side gets a row, even
+        -- when all its documents are shorter than n tokens (the engine
+        -- emits (slice, 0, 0, null) instead of dropping the slice)
+        sl AS (SELECT DISTINCT source AS slice FROM documents
+               WHERE lang = 'en')
+        SELECT slice, coalesce(n_grams, 0)::BIGINT AS n_grams,
                coalesce(novel, 0)::BIGINT AS novel_grams,
-               round(coalesce(novel, 0) / n_grams::DOUBLE, 6)
-                 AS novelty_rate
-        FROM tot LEFT JOIN nov USING (slice)""")
+               CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL
+                    ELSE round(coalesce(novel, 0) / n_grams::DOUBLE, 6)
+               END AS novelty_rate
+        FROM sl LEFT JOIN tot USING (slice) LEFT JOIN nov USING (slice)""")
     ),
     (
       // Crawl-delay directives: the q206-style planted hosts carry

@@ -55,11 +55,17 @@ object Agreement {
     * rubric review actually reads. Pure keyed aggregation, no driver
     * state (use this form when the label space is NOT small). */
   def confusion(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val filtered = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    // persisted (PersistScope — runner flush points release it): the
+    // scalar count plus the cell aggregation are TWO actions over the
+    // same filtered input, which would otherwise re-run its plan
+    val filtered = graft.core.PersistScope.register(
+      df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(col(aCol).cast("string").as("label_a"),
+          col(bCol).cast("string").as("label_b"))
+        .persist())
     val total = filtered.count()
     filtered
-      .groupBy(col(aCol).cast("string").as("label_a"),
-        col(bCol).cast("string").as("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
       .agg(count(lit(1)).as("n"))
       .withColumn("share",
         round(col("n") / lit(math.max(total, 1L).toDouble), 6))
@@ -71,9 +77,12 @@ object Agreement {
     * P_i = (Σ_k n_ik² − n_i) / (n_i (n_i − 1)). Items with fewer than 2
     * ratings are excluded (agreement undefined). Output one row
     * (n_items, n_ratings, p_bar, pe_bar, kappa). Integer sufficient
-    * statistics throughout; P_i's rational sum is accumulated as an
-    * EXACT per-item double only when all n_i are equal (the classic
-    * design) — with ragged n_i it is the standard unweighted mean. */
+    * statistics throughout; Σ P_i is accumulated as an EXACT BigInt
+    * rational over the per-distinct-n_i integer sums — items with the
+    * same n_i share a denominator n_i(n_i−1), so even ragged designs
+    * reduce to one exact fraction per distinct n_i (driver state =
+    * distinct rater-count values, bounded by max raters per item) and
+    * the statistic is bit-identical under any partitioning. */
   def fleissKappa(df: DataFrame, itemCol: String,
       labelCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -85,32 +94,32 @@ object Agreement {
       .groupBy(col(itemCol).as("_i"), col(labelCol).cast("string").as("_k"))
       .agg(count(lit(1)).as("_c"))
       .persist()
-    val perItem = perItemLabel.groupBy(col("_i"))
+    // Per DISTINCT rater count n: item count and Σ n_ik² — items sharing
+    // n_i share the P_i denominator n_i(n_i−1), so Σ P_i is one exact
+    // fraction per group. Driver state = distinct n_i values (bounded by
+    // max raters per item), NOT item count.
+    val groups = perItemLabel.groupBy(col("_i"))
       .agg(sum(col("_c")).as("_n"), sum(col("_c") * col("_c")).as("_sq"))
       .filter(col("_n") >= 2)
-      .select(
-        count(lit(1)).as("items"),
-        sum(col("_n")).as("ratings"),
-        sum(col("_sq")).as("sumSq"),
-        min(col("_n")).as("minN"), max(col("_n")).as("maxN"),
-        // ragged-design fallback only: a float sum (order-dependent in
-        // the last ulp) — the constant-n path below never reads it
-        sum((col("_sq") - col("_n")) /
-          (col("_n") * (col("_n") - 1))).as("pSum"))
-      .head()
-    val items = perItem.getLong(0)
-    val ratings = if (perItem.isNullAt(1)) 0L else perItem.getLong(1)
-    val sumSq = if (perItem.isNullAt(2)) 0L else perItem.getLong(2)
-    val constN = items > 0 && perItem.getLong(3) == perItem.getLong(4)
-    // Constant raters-per-item (the classic design): Σ P_i collapses to
-    // (Σ n_ik² − Σ n_i) / (n (n−1)) — INTEGER sums, one exact division,
-    // order-independent. Ragged designs take the float-sum mean.
-    val pSum =
-      if (constN) {
-        val nc = perItem.getLong(3)
-        (sumSq - ratings).toDouble / (nc * (nc - 1))
-      } else if (perItem.isNullAt(5)) 0.0
-      else perItem.getDouble(5)
+      .groupBy(col("_n"))
+      .agg(count(lit(1)).as("_items"), sum(col("_sq")).as("_sumSq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val items = groups.map(_._2).sum
+    val ratings = groups.map(g => g._1 * g._2).sum
+    // Σ P_i = Σ_n (Σ_{i: n_i=n} n_ik² − n·items_n) / (n(n−1)) as an EXACT
+    // BigInt rational — order-independent and ulp-stable by construction
+    // (the ragged float-sum fallback this replaces flipped the 6th
+    // rounded decimal with shuffle partitioning).
+    var pNum = BigInt(0)
+    var pDen = BigInt(1)
+    groups.foreach { case (n, cnt, sq) =>
+      val tn = BigInt(sq) - BigInt(n) * cnt
+      val td = BigInt(n) * BigInt(n - 1)
+      pNum = pNum * td + tn * pDen
+      pDen = pDen * td
+    }
     // chance agreement from the label shares over the SAME rating pool
     val shares = perItemLabel
       .join(perItemLabel.groupBy("_i").agg(sum("_c").as("_n"))
@@ -122,7 +131,11 @@ object Agreement {
       if (ratings == 0) 0.0
       else shares.map(c => (c.toDouble / ratings) * (c.toDouble / ratings)).sum
     perItemLabel.unpersist()
-    val pBar = if (items == 0) 0.0 else pSum / items
+    val pBar =
+      if (items == 0) 0.0
+      else new java.math.BigDecimal(pNum.bigInteger).divide(
+        new java.math.BigDecimal((pDen * items).bigInteger),
+        java.math.MathContext.DECIMAL64).doubleValue()
     val kappa = if (peBar >= 1.0) 1.0 else (pBar - peBar) / (1.0 - peBar)
     import spark.implicits._
     Seq((items, ratings, rnd(pBar), rnd(peBar), rnd(kappa)))

@@ -114,10 +114,15 @@ object ClassifierEval {
   def calibrationBinsEqualMass(df: DataFrame, labelCol: String,
       scoreCol: String, bins: Int, tieBreak: String): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    val n = df.count()
-    val ranked = RankOp.withGlobalRank(
+    // persisted (PersistScope — runner flush points release it): the
+    // scalar count and the rank sort are TWO actions over the same
+    // projection, which would otherwise re-run the upstream plan twice
+    val proj = graft.core.PersistScope.register(
       df.select(col(scoreCol).cast("double").as("_s"),
-        col(labelCol).cast("long").as("_l"), expr(tieBreak).as("_tb")),
+        col(labelCol).cast("long").as("_l"), expr(tieBreak).as("_tb"))
+        .persist())
+    val n = proj.count()
+    val ranked = RankOp.withGlobalRank(proj,
       Seq(col("_s").asc, col("_tb").asc))
     ranked
       .withColumn("bin",

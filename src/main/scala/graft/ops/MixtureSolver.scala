@@ -84,8 +84,12 @@ object MixtureSolver {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(col(domainCol).cast("string").as("_d"))
-      .agg(sum(expr(countExpr)).cast("long").as("_c"))
+    // null domains are excluded up front (the sibling Agreement ops
+    // null-filter the same way) and an all-null countExpr sum coalesces
+    // to 0 — neither shape may NPE the driver-side assembly below
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("_d"))
+      .agg(coalesce(sum(expr(countExpr)), lit(0L)).cast("long").as("_c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val total = counts.map(c => BigInt(c._2)).sum
     if (total <= 0)

@@ -26,10 +26,14 @@ object Novelty {
     * (slice, n_grams, novel_grams, novelty_rate) where n_grams counts
     * the slice's DISTINCT grams and novel_grams those absent from
     * `reference`'s `refTextCol` grams. `sliceCol` = a constant column
-    * for a corpus-level row. */
+    * for a corpus-level row. Every DISTINCT slice of `current` gets a
+    * row — a slice whose documents are all shorter than `n` tokens
+    * reports (slice, 0, 0, null) instead of silently vanishing, so
+    * consumers can tell "no grams" from "slice missing". */
   def report(current: DataFrame, sliceCol: String, textCol: String,
       reference: DataFrame, refTextCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    val slices = current.select(col(sliceCol).as("slice")).distinct()
     val cur = grams(current, textCol, n)
       .select(col(sliceCol).as("slice"), col("_g"))
       .distinct()
@@ -37,12 +41,17 @@ object Novelty {
       .select(col("_g")).distinct()
     val novel = cur.join(ref, Seq("_g"), "left_anti")
       .groupBy("slice").agg(count(lit(1)).as("novel_grams"))
-    cur.groupBy("slice").agg(count(lit(1)).as("n_grams"))
+    slices
+      .join(cur.groupBy("slice").agg(count(lit(1)).as("n_grams")),
+        Seq("slice"), "left")
       .join(novel, Seq("slice"), "left")
-      .select(col("slice"), col("n_grams"),
+      .select(col("slice"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
-        round(coalesce(col("novel_grams"), lit(0L)) /
-          col("n_grams").cast("double"), 6).as("novelty_rate"))
+        when(coalesce(col("n_grams"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(round(coalesce(col("novel_grams"), lit(0L)) /
+            col("n_grams").cast("double"), 6)).as("novelty_rate"))
   }
 
   /** Word n-gram hash rows: input columns + `_g` (xxhash64 of the

@@ -59,15 +59,21 @@ object Pseudonymize {
     * The match list extracts ONCE per conversation into a real column
     * (staged — a HOF lambda re-evaluates closed-over EXPRESSIONS per
     * element, which would re-scan the whole conversation per message),
-    * then each message folds the shared list. */
+    * then each message folds the shared list. Matches are extracted PER
+    * MESSAGE and union-distinct'ed — never from a joined transcript, so
+    * a pattern that can cross whitespace (`\s`, `[\s\S]`) cannot invent
+    * phantom entities spanning a message boundary (which would silently
+    * consume placeholder ranks and inflate the entity count). */
   def conversation(df: DataFrame, messagesCol: String,
       pattern: String = EmailPattern, label: String = "EMAIL",
       outCol: String = "messages_pseudo"): DataFrame = {
     val msgs = col(messagesCol)
-    val allText = concat_ws("\n",
-      transform(msgs, m => coalesce(m.getField("content"), lit(""))))
+    val perMsg = array_sort(array_distinct(flatten(
+      transform(msgs, m => regexp_extract_all(
+        coalesce(m.getField("content"), lit("")), lit(pattern), lit(0))))))
     val nCol = s"n_${label.toLowerCase(java.util.Locale.ROOT)}_entities"
-    df.withColumn("_graft_found", sortedMatches(allText, pattern))
+    df.withColumn("_graft_found",
+      coalesce(perMsg, array().cast("array<string>")))
       .withColumn(outCol, transform(msgs, m => {
         val content = coalesce(m.getField("content"), lit(""))
         // withField preserves every OTHER struct field (name, ts,

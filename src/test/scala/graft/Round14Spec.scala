@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-14 regressions: the five advisor items (null-safe apportion,
+  * exact ragged Fleiss, per-message pseudonymize extraction, gramless
+  * novelty slices, persist-for-two-actions in confusion/equal-mass
+  * bins) plus the new scale-path operators added this round. */
+class Round14Spec extends SparkSpec {
+
+  // ------------------------------------------- advisor item 1: apportion
+
+  test("apportion ignores null domains and survives all-null sums") {
+    val schema = StructType(Seq(
+      StructField("d", StringType), StructField("w", LongType)))
+    val in = df(schema,
+      Row("a", 30L), Row("a", 30L), Row("b", 30L),
+      Row(null, 1000L), // null domain: excluded, must not NPE the driver
+      Row("c", null))   // all-null sum for c: coalesces to 0
+    val out = graft.ops.MixtureSolver.apportion(in, "d", "w", budget = 9L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("a", "b", "c"))
+    // masses 60/30/0 of 90 → quotas 6/3/0, sum = budget exactly
+    assert(out.toSeq == Seq(("a", 60L, 6L), ("b", 30L, 3L), ("c", 0L, 0L)))
+  }
+
+  // --------------------------------------- advisor item 2: ragged Fleiss
+
+  test("fleiss kappa is exact on ragged designs (hand-computed rationals)") {
+    val schema = StructType(Seq(
+      StructField("item", LongType), StructField("label", StringType)))
+    // i1: [a, a] (P_1 = 1), i2: [a, b, b] (P_2 = 1/3)
+    val in = df(schema,
+      Row(1L, "a"), Row(1L, "a"),
+      Row(2L, "a"), Row(2L, "b"), Row(2L, "b"))
+    val r = graft.ops.Agreement.fleissKappa(in, "item", "label").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L)
+    // p_bar = (1 + 1/3)/2 = 2/3; pe = (3/5)² + (2/5)² = 0.52;
+    // kappa = 11/36 — exact rational arithmetic, so these are BIT-equal
+    // on every run regardless of shuffle partitioning
+    assert(r.getDouble(2) == 0.666667)
+    assert(r.getDouble(3) == 0.52)
+    assert(r.getDouble(4) == 0.305556)
+  }
+
+  test("fleiss kappa ragged result is identical across repartitionings") {
+    val schema = StructType(Seq(
+      StructField("item", LongType), StructField("label", StringType)))
+    val rows = (1L to 40L).flatMap { i =>
+      val n = 2 + (i % 4).toInt // ragged: 2..5 raters per item
+      (0 until n).map(j => Row(i, if ((i + j) % 3 == 0) "x" else "y"))
+    }
+    val in = df(schema, rows: _*)
+    val a = graft.ops.Agreement.fleissKappa(in, "item", "label")
+      .head().getDouble(4)
+    val b = graft.ops.Agreement.fleissKappa(in.repartition(7), "item",
+      "label").head().getDouble(4)
+    val c = graft.ops.Agreement.fleissKappa(in.repartition(1), "item",
+      "label").head().getDouble(4)
+    assert(a == b && b == c)
+  }
+
+  // ----------------------------- advisor item 3: per-message extraction
+
+  test("conversation pseudonymize cannot invent cross-message entities") {
+    val msgT = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("messages", msgT)))
+    val in = df(schema,
+      Row(1L, Seq(Row("user", "xx END"), Row("assistant", "START yy"))))
+    // pattern CAN match across whitespace — a transcript-joined extract
+    // would see "END\nSTART" and mint a phantom entity
+    val out = graft.ops.Pseudonymize.conversation(in, "messages",
+      pattern = "END[\\s\\S]START", label = "SPAN")
+    val r = out.head()
+    assert(r.getLong(r.fieldIndex("n_span_entities")) == 0L)
+    val contents = r.getSeq[Row](r.fieldIndex("messages_pseudo"))
+      .map(_.getString(1))
+    assert(contents == Seq("xx END", "START yy"))
+    // and a genuinely per-message match still numbers consistently
+    val in2 = df(schema,
+      Row(2L, Seq(Row("user", "mail a@x.co now"),
+        Row("assistant", "cc b@y.co and a@x.co"))))
+    val out2 = graft.ops.Pseudonymize.conversation(in2, "messages").head()
+    val c2 = out2.getSeq[Row](out2.fieldIndex("messages_pseudo"))
+      .map(_.getString(1))
+    assert(c2 == Seq("mail EMAIL_1 now", "cc EMAIL_2 and EMAIL_1"))
+  }
+
+  // --------------------------------- advisor item 4: gramless slices
+
+  test("novelty report emits a zero row for gramless slices") {
+    val schema = StructType(Seq(
+      StructField("slice", StringType), StructField("text", StringType)))
+    val cur = df(schema,
+      Row("long", "alpha beta gamma delta"),
+      Row("tiny", "one two")) // < n=3 tokens: no grams
+    val ref = df(schema, Row("r", "alpha beta gamma"))
+    val out = graft.ops.Novelty.report(cur, "slice", "text", ref, "text",
+      n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
+      .sortBy(_._1).toSeq
+    // "long" has 2 grams, 1 novel; "tiny" is PRESENT with zeros + null rate
+    assert(out == Seq(
+      ("long", 2L, 1L, java.lang.Double.valueOf(0.5)),
+      ("tiny", 0L, 0L, null)))
+  }
+
+  // ------------------------- advisor item 5: persist-for-two-actions
+
+  test("confusion and equal-mass bins persist their two-action input") {
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType),
+      StructField("l", LongType), StructField("s", DoubleType)))
+    val in = df(schema,
+      Row("x", "x", 1L, 0.9), Row("x", "y", 0L, 0.2),
+      Row("y", "y", 1L, 0.7), Row("y", "y", 0L, 0.4))
+    val before = graft.core.PersistScope.registered
+    val conf = graft.ops.Agreement.confusion(in, "a", "b")
+    assert(conf.queryExecution.optimizedPlan.toString
+      .contains("InMemoryRelation"))
+    assert(conf.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2))).toSet ==
+      Set(("x", "x", 1L), ("x", "y", 1L), ("y", "y", 2L)))
+    // the rank path rebases on an RDD, so the cache is not visible in
+    // the final plan — the PersistScope count below covers it
+    val bins = graft.ops.ClassifierEval.calibrationBinsEqualMass(
+      in, "l", "s", bins = 2, tieBreak = "s")
+    assert(bins.agg(sum("n")).head().getLong(0) == 4L)
+    assert(graft.core.PersistScope.registered >= before + 2)
+    graft.core.PersistScope.unpersistAll()
+  }
+}
