@@ -34,7 +34,7 @@ object Queries {
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
     apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b ++
     round9c ++ round9d ++ round9e ++ round9f ++ round9h ++ round10 ++
-    round10b ++ round11 ++ round12
+    round10b ++ round11 ++ round12 ++ round14
 
   // ---------------------------------------------------------------- parsing
 
@@ -7685,6 +7685,58 @@ object Queries {
                  ELSE md5('user:first|assistant:reply')
                END AS rendered_md5
         FROM documents""")
+    ))
+
+  private def round14: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // DATASET-sized blocklist through the broadcast Aho–Corasick
+      // kernel: 979 phrases (two real boilerplate entries + 977
+      // doc_id-keyed fillers, a fifth of the rows carrying one), one
+      // scan pass regardless of list size — the 10⁴–10⁶-entry
+      // production shape the q233 expression chain is documented NOT
+      // to take. The oracle replays it as a contains() JOIN against
+      // the same phrase relation.
+      "q241_blocklist_scale",
+      (s: SparkSession, dir: String) => {
+        val planted = concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" click here to subscribe"))
+            .when(col("doc_id") % 4 === 1, lit(" ALL RIGHTS RESERVED"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 2,
+            concat(lit(" blk"), col("doc_id") % 977, lit("x")))
+            .otherwise(lit("")))
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), planted.as("text"))
+        import s.implicits._
+        val phrases = s.range(0, 977)
+          .select(concat(lit("blk"), col("id"), lit("x")).as("phrase"))
+          .unionByName(Seq("click here", "rights reserved")
+            .toDF("phrase"))
+        graft.ops.Blocklist.report(docs, "text", phrases, "phrase")
+          .select(col("doc_id"), col("blocked"), col("blocked_phrases"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 lower(text ||
+                   CASE doc_id % 4
+                     WHEN 0 THEN ' click here to subscribe'
+                     WHEN 1 THEN ' ALL RIGHTS RESERVED'
+                     ELSE '' END ||
+                   CASE WHEN doc_id % 5 = 2
+                     THEN ' blk' || (doc_id % 977) || 'x'
+                     ELSE '' END) AS t
+          FROM documents),
+        p AS (
+          SELECT 'blk' || i || 'x' AS phrase FROM range(0, 977) AS r(i)
+          UNION ALL SELECT 'click here'
+          UNION ALL SELECT 'rights reserved'),
+        j AS (
+          SELECT f.doc_id, count(p.phrase)::BIGINT AS hits
+          FROM f LEFT JOIN p ON contains(f.t, p.phrase)
+          GROUP BY 1)
+        SELECT doc_id, hits > 0 AS blocked, hits AS blocked_phrases
+        FROM j""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -450,6 +450,12 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def phraseBlocklist(textCol: String, phrases: Seq[String],
       report: Boolean = false): Frame =
     next(Hygiene.blocklistPhrases(df, textCol, phrases, report))
+  /** Dataset-sized blocklist arm: broadcast Aho–Corasick scan against a
+    * phrase FRAME (the 10⁴–10⁶-entry production-blocklist shape). */
+  def phraseBlocklist(textCol: String, phrases: Frame, phraseCol: String,
+      report: Boolean): Frame =
+    next(if (report) graft.ops.Blocklist.report(df, textCol, phrases.df, phraseCol)
+      else graft.ops.Blocklist.filterBlocked(df, textCol, phrases.df, phraseCol))
   def pseudonymizeConversation(messagesCol: String,
       pattern: String = graft.ops.Pseudonymize.EmailPattern,
       label: String = "EMAIL",

@@ -552,6 +552,17 @@ final case class LazyFrame(
       report: Boolean = false): LazyFrame =
     append("phrase_blocklist", "text_key" -> textKey,
       "phrases" -> jlist(phrases), "report" -> report)
+  /** Dataset-sized blocklist arm (binary merge): the phrase list rides
+    * in as a FRAME and matches via the broadcast Aho–Corasick kernel. */
+  def phraseBlocklistFrom(phrases: LazyFrame, textKey: String,
+      phraseKey: String = "phrase", report: Boolean = false): LazyFrame = {
+    val (m, lRef, rRef) = merged(phrases)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"phrase_blocklist_${m.steps.length}")
+      .append("phrase_blocklist", "text_key" -> textKey,
+        "phrases_from" -> rRef, "phrase_key" -> phraseKey,
+        "report" -> report)
+  }
   def pseudonymizeConversation(messagesKey: String,
       label: String = "EMAIL"): LazyFrame =
     append("pseudonymize", "messages_key" -> messagesKey,

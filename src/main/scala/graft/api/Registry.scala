@@ -1245,10 +1245,25 @@ object Registry {
   }
   // Substring/phrase blocklist (§2.14 curation): the RefinedWeb-style
   // boilerplate-phrase gate; `report: true` appends flag + distinct-hit
-  // count instead of filtering.
-  register("phrase_blocklist") { (df, c, _) =>
-    Hygiene.blocklistPhrases(df, c("text_key").str, c("phrases").strList,
-      c.boolOr("report", false))
+  // count instead of filtering. Two arms, one contract: inline
+  // `phrases` (tens–hundreds of policy entries) stays the pure
+  // expression chain; `phrases_from` + `phrase_key` takes the list as a
+  // DATASET and matches via the broadcast Aho–Corasick kernel — the
+  // 10⁴–10⁶-entry production-blocklist shape.
+  register("phrase_blocklist") { (df, c, ctx) =>
+    c.get("phrases_from") match {
+      case Some(name) =>
+        val ph = ctx.datasets.getOrElse(name.str,
+          throw new IllegalArgumentException(
+            s"unknown phrase_blocklist dataset '${name.str}'"))
+        val key = c.strOr("phrase_key", "phrase")
+        if (c.boolOr("report", false))
+          Blocklist.report(df, c("text_key").str, ph, key)
+        else Blocklist.filterBlocked(df, c("text_key").str, ph, key)
+      case None =>
+        Hygiene.blocklistPhrases(df, c("text_key").str,
+          c("phrases").strList, c.boolOr("report", false))
+    }
   }
   // Snapshot diff (§2.14 incremental ingest): delta of THIS frame vs a
   // previous snapshot dataset — added/removed/changed by content hash.

@@ -316,7 +316,10 @@ object TextFunctions {
     * and mid-token hits are the point here, where
     * [[containsBlockedWord]] deliberately refuses them. Bounded phrase
     * lists (policy data, tens–hundreds) stay a pure per-row expression
-    * chain — no join, no shuffle; list each phrase lowercase. */
+    * chain — no join, no shuffle; list each phrase lowercase. The tree
+    * grows linearly with the phrase count — past a few hundred entries
+    * use [[graft.ops.Blocklist]]'s broadcast Aho–Corasick kernel, which
+    * scans once regardless of list size. */
   def containsBlockedPhrase(c: Column, phrases: Seq[String]): Column = {
     require(phrases.nonEmpty, "blocklist needs at least one phrase")
     val t = lower(coalesce(c, lit("")))

@@ -135,4 +135,92 @@ class Round14Spec extends SparkSpec {
     assert(graft.core.PersistScope.registered >= before + 2)
     graft.core.PersistScope.unpersistAll()
   }
+
+  // ------------------------- scale-safe blocklist (VERDICT item 1)
+
+  private def textsDf(rows: (Long, String)*): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    df(schema, rows.map { case (i, t) => Row(i, t) }: _*)
+  }
+
+  private def phrasesDf(ps: Seq[String]): DataFrame = {
+    val schema = StructType(Seq(StructField("phrase", StringType)))
+    df(schema, ps.map(Row(_)): _*)
+  }
+
+  test("aho-corasick blocklist matches the classic overlapping-suffix set") {
+    // Aho & Corasick's own example: dict links must surface "he"
+    // inside "she", "hers" ending where "he"+"rs" overlap
+    val texts = textsDf(
+      (1L, "ushers walked"), (2L, "SHE said"), (3L, "a"), (4L, null),
+      (5L, "hi there"))
+    val phrases = phrasesDf(Seq("he", "she", "his", "hers"))
+    val out = graft.ops.Blocklist.report(texts, "text", phrases, "phrase")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == (true, 3L))  // she, he, hers
+    assert(out(2L) == (true, 2L))  // she, he (case-insensitive)
+    assert(out(3L) == (false, 0L))
+    assert(out(4L) == (false, 0L)) // null text: no hits
+    assert(out(5L) == (true, 1L))  // "there" contains "he"
+    val matched = graft.ops.Blocklist.reportMatches(texts, "text",
+      phrases, "phrase").filter(col("id") === 1L)
+      .head().getSeq[String](4)
+    assert(matched == Seq("he", "hers", "she")) // sorted phrase order
+    // filter arm: only the clean rows (and null text) survive
+    val kept = graft.ops.Blocklist.filterBlocked(texts, "text", phrases,
+      "phrase").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+  }
+
+  test("blocklist agrees with the expression form and brute force at 10^4 phrases") {
+    // 10,000 phrases, a handful planted — the scale the expression
+    // chain is documented NOT to take
+    val planted = Seq("click here to subscribe", "all rights reserved",
+      "lorem ipsum dolor", "winner winner", "zz top hit")
+    val filler = (0 until 9995).map(i => s"blk${i}q${i * 7 % 997}x")
+    val phrases = phrasesDf(planted ++ filler)
+    val texts = textsDf(
+      (1L, "please CLICK here to subscribe today"),
+      (2L, "copyright 2020 ALL RIGHTS RESERVED and blk42q294x too"),
+      (3L, "nothing to see"),
+      (4L, "lorem ipsum dolor sit amet winner winner"),
+      (5L, "the quick brown fox"))
+    val out = graft.ops.Blocklist.report(texts, "text", phrases, "phrase")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // brute-force cross-check on the driver
+    val all = (planted ++ filler).map(_.toLowerCase)
+    val expect = texts.collect().map { r =>
+      val t = Option(r.getString(1)).map(_.toLowerCase).getOrElse("")
+      r.getLong(0) -> all.count(t.contains).toLong
+    }.toMap
+    assert(out == expect)
+    assert(out(1L) == 1L && out(2L) == 2L && out(3L) == 0L && out(4L) == 2L)
+    // and the expression form agrees where it is contractually valid
+    // (the small planted subset)
+    val exprOut = graft.ops.Hygiene.blocklistPhrases(texts, "text",
+      planted, report = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val acSmall = graft.ops.Blocklist.report(texts, "text",
+      phrasesDf(planted), "phrase")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(acSmall == exprOut)
+  }
+
+  test("blocklist YAML arm takes the phrase list as a dataset") {
+    val texts = textsDf((1L, "buy now limited offer"), (2L, "plain text"))
+    val phrases = phrasesDf(Seq("limited offer", "act fast"))
+    val ctx = graft.api.OpContext(spark, null, Map("bl" -> phrases))
+    val rep = graft.api.Registry("phrase_blocklist")(texts,
+      graft.api.Conf.fromYaml(
+        "type: phrase_blocklist\ntext_key: text\nreport: true\n" +
+          "phrases_from: bl\nphrase_key: phrase"), ctx)
+    assert(rep.filter(col("blocked")).count() == 1L)
+    val filt = graft.api.Registry("phrase_blocklist")(texts,
+      graft.api.Conf.fromYaml(
+        "type: phrase_blocklist\ntext_key: text\n" +
+          "phrases_from: bl\nphrase_key: phrase"), ctx)
+    assert(filt.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }
