@@ -473,6 +473,15 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def splitLeakagePairs(idCol: String, textCol: String,
       splitCol: String, t: Int = 2): Frame =
     next(SplitLeakage.pairs(df, idCol, textCol, splitCol, t))
+  /** Pair-sharing arms: feed a precomputed `editPairs` frame
+    * ([[graft.dedup.EditDedup.pairs]] output) so dedup + leakage +
+    * report pay the PassJoin once. */
+  def splitLeakage(idCol: String, splitCol: String,
+      editPairs: Frame): Frame =
+    next(SplitLeakage.report(df, idCol, splitCol, editPairs.df))
+  def splitLeakagePairs(idCol: String, splitCol: String,
+      editPairs: Frame): Frame =
+    next(SplitLeakage.pairs(df, idCol, splitCol, editPairs.df))
   def truncateEmbedding(embCol: String, dim: Int,
       outCol: String = ""): Frame =
     next(df.withColumn(if (outCol.isEmpty) embCol else outCol,

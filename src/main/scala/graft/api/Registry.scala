@@ -1499,13 +1499,25 @@ object Registry {
   }
   // Cross-split leakage audit (§2.14 eval integrity): near-dup pairs
   // straddling a train/val/test boundary, or per-boundary counts.
-  register("split_leakage") { (df, c, _) =>
-    c.strOr("mode", "report") match {
-      case "pairs" => SplitLeakage.pairs(df, c("id_key").str,
+  register("split_leakage") { (df, c, ctx) =>
+    // `pairs_from` (optional): a precomputed EditDedup.pairs dataset —
+    // the pair-sharing arm, so dedup + leakage + report chains pay the
+    // PassJoin once (the edit_components precedent).
+    val shared = c.get("pairs_from").map { name =>
+      ctx.datasets.getOrElse(name.str,
+        throw new IllegalArgumentException(
+          s"unknown split_leakage pairs dataset '${name.str}'"))
+    }
+    (c.strOr("mode", "report"), shared) match {
+      case ("pairs", Some(ep)) => SplitLeakage.pairs(df,
+        c("id_key").str, c("split_key").str, ep)
+      case ("pairs", None) => SplitLeakage.pairs(df, c("id_key").str,
         c("text_key").str, c("split_key").str, c.intOr("threshold", 2))
-      case "report" => SplitLeakage.report(df, c("id_key").str,
+      case ("report", Some(ep)) => SplitLeakage.report(df,
+        c("id_key").str, c("split_key").str, ep)
+      case ("report", None) => SplitLeakage.report(df, c("id_key").str,
         c("text_key").str, c("split_key").str, c.intOr("threshold", 2))
-      case other => throw new IllegalArgumentException(
+      case (other, _) => throw new IllegalArgumentException(
         s"split_leakage mode must be pairs|report, got '$other'")
     }
   }

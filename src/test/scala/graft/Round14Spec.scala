@@ -208,6 +208,62 @@ class Round14Spec extends SparkSpec {
     assert(acSmall == exprOut)
   }
 
+  // --------------------- split-leakage pair sharing (VERDICT item 2)
+
+  test("split leakage shares ONE PassJoin across dedup + leakage + report") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("split", StringType)))
+    val d = df(schema,
+      Row(1L, "abcdefghij", "train"), Row(2L, "abcdefghijk", "test"),
+      Row(3L, "abcdefghix", "train"), Row(4L, "zzzzzzzzzz", "test"),
+      Row(5L, "qqqq", "train"), Row(6L, "qqqq", "test"))
+    // materialize the single PassJoin; localCheckpoint truncates the
+    // lineage, so a consumer plan REPEATING the candidate join would
+    // be visible as levenshtein below (a .persist() handle works the
+    // same operationally, but its InMemoryRelation rendering embeds
+    // the cached plan, which this string assert could not see past)
+    val ep = graft.dedup.EditDedup.pairs(d, "id", "s", t = 1)
+      .localCheckpoint(true)
+    val lp = graft.ops.SplitLeakage.pairs(d, "id", "split", ep)
+    val direct = graft.ops.SplitLeakage.pairs(d, "id", "s", "split", 1)
+      .collect().map(_.toSeq).toSet
+    assert(lp.collect().map(_.toSeq).toSet == direct)
+    assert(direct.map(r => (r(0), r(1))) == Set((1L, 2L), (5L, 6L)))
+    // the overload plan must carry NO PassJoin machinery — only the
+    // materialized pair handle plus the two label joins
+    val plan = lp.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("levenshtein"), plan.take(800))
+    assert(plan.contains("LogicalRDD"), plan.take(800))
+    val rep = graft.ops.SplitLeakage.report(d, "id", "split", ep)
+    val repPlan = rep.queryExecution.optimizedPlan.toString
+    assert(!repPlan.contains("levenshtein"), repPlan.take(800))
+    val r = rep.head()
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      == ("test", "train", 2L, 4L))
+    // matches the self-computing report
+    val r2 = graft.ops.SplitLeakage.report(d, "id", "s", "split", 1).head()
+    assert(r.toSeq == r2.toSeq)
+    graft.core.PersistScope.unpersistAll()
+  }
+
+  test("split leakage YAML arm accepts a precomputed pairs dataset") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("split", StringType)))
+    val d = df(schema,
+      Row(1L, "abcdefghij", "train"), Row(2L, "abcdefghijk", "test"))
+    val ep = graft.api.Registry("edit_pairs")(d, graft.api.Conf.fromYaml(
+      "type: edit_pairs\nid_key: id\ntext_key: s\nthreshold: 1"), null)
+    val ctx = graft.api.OpContext(spark, null, Map("ep" -> ep))
+    val out = graft.api.Registry("split_leakage")(d,
+      graft.api.Conf.fromYaml(
+        "type: split_leakage\nmode: pairs\nid_key: id\nsplit_key: split\n" +
+          "pairs_from: ep"), ctx)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 2L)))
+  }
+
   test("blocklist YAML arm takes the phrase list as a dataset") {
     val texts = textsDf((1L, "buy now limited offer"), (2L, "plain text"))
     val phrases = phrasesDf(Seq("limited offer", "act fast"))
