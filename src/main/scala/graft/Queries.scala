@@ -7737,6 +7737,120 @@ object Queries {
           GROUP BY 1)
         SELECT doc_id, hits > 0 AS blocked, hits AS blocked_phrases
         FROM j""")
+    ),
+    (
+      // STREAMING semantic map, driver-gated end-to-end: SemanticMap
+      // (mock LLM) composes onto a real readStream of the documents
+      // table per micro-batch (row-local op — append mode needs no
+      // watermark/sentinel, unlike q217's windowed agg); the memory
+      // sink's final table is what the oracle replays (the mock's
+      // sentiment is a pure function of the prompt text). Snapshot +
+      // dropTempView per the q217 pattern; the snapshot is the same
+      // size as the verify dump itself — gate machinery, not op cost.
+      "q242_stream_sem_map",
+      (s: SparkSession, dir: String) => {
+        val docs = graft.core.Tables.stream(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val out = SemanticMap(docs, SemanticMapConfig(
+          name = "q242", prompt = "{{ input.text }}",
+          outputSchema = Seq("sentiment" -> "str")), client)
+          .select(col("doc_id"), col("sentiment"))
+        val qn = "q242sink_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val result = s.table(qn)
+        val snap = s.createDataFrame(result.collectAsList(), result.schema)
+        s.catalog.dropTempView(qn)
+        snap
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN contains(text, 'fast') THEN 'positive'
+                    WHEN contains(text, 'slow') THEN 'negative'
+                    ELSE 'neutral' END AS sentiment
+        FROM documents""")
+    ),
+    (
+      // IN-PLAN Cohen's kappa (q221's fixture through the distributed
+      // form): po/pe assembled from marginal joins — label-vocab-sized
+      // aggregations, NOTHING on the driver (the collect form stays as
+      // the small-label fast path); the two one-row frames combine on
+      // a data-derived pmod key, not a constant-foldable literal.
+      "q243_cohen_kappa_distributed",
+      (s: SparkSession, dir: String) => {
+        val a = (col("doc_id") % 3).cast("string")
+        val b = when(col("doc_id") % 7 === 0,
+          ((col("doc_id") % 3) + 1) % 3).otherwise(col("doc_id") % 3)
+          .cast("string")
+        graft.ops.Agreement.cohenKappaDistributed(
+          t(s, dir, "documents").select(a.as("a"), b.as("b")), "a", "b")
+      },
+      Some("""
+        WITH d AS (
+          SELECT (doc_id % 3)::VARCHAR AS a,
+                 (CASE WHEN doc_id % 7 = 0 THEN (doc_id % 3 + 1) % 3
+                       ELSE doc_id % 3 END)::VARCHAR AS b
+          FROM documents),
+        c AS (SELECT count(*)::BIGINT AS n,
+                     sum(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT
+                       AS agree
+              FROM d),
+        rm AS (SELECT a AS k, count(*)::BIGINT AS r FROM d GROUP BY 1),
+        cm AS (SELECT b AS k, count(*)::BIGINT AS cc FROM d GROUP BY 1),
+        pn AS (SELECT sum(r * cc)::BIGINT AS penum
+               FROM rm JOIN cm USING (k))
+        SELECT n, round(agree::DOUBLE / n, 6) AS po,
+               round(penum::DOUBLE / n / n, 6) AS pe,
+               round((agree::DOUBLE / n - penum::DOUBLE / n / n) /
+                     (1 - penum::DOUBLE / n / n), 6) AS kappa
+        FROM c, pn""")
+    ),
+    (
+      // Krippendorff's alpha (nominal) on the q222 three-rater fixture:
+      // constant n_u = 3, so A_obs = (sum sq_u - 3U)/2 is exact halves
+      // and the oracle replays the coincidence arithmetic term for
+      // term; the ragged-design exactness is pinned in Round14Spec.
+      "q244_krippendorff_alpha",
+      (s: SparkSession, dir: String) => {
+        val l1 = col("doc_id") % 3
+        val l2 = when(col("doc_id") % 5 === 0, (l1 + 1) % 3).otherwise(l1)
+        val l3 = when(col("doc_id") % 7 === 0, (l1 + 2) % 3).otherwise(l1)
+        val ratings = t(s, dir, "documents").select(col("doc_id"),
+          explode(array(l1.cast("string"), l2.cast("string"),
+            l3.cast("string"))).as("label"))
+        graft.ops.Agreement.krippendorffAlpha(ratings, "doc_id", "label")
+      },
+      Some("""
+        WITH r AS (
+          SELECT doc_id,
+                 unnest([
+                   (doc_id % 3)::VARCHAR,
+                   (CASE WHEN doc_id % 5 = 0 THEN (doc_id % 3 + 1) % 3
+                         ELSE doc_id % 3 END)::VARCHAR,
+                   (CASE WHEN doc_id % 7 = 0 THEN (doc_id % 3 + 2) % 3
+                         ELSE doc_id % 3 END)::VARCHAR]) AS label
+          FROM documents),
+        pil AS (SELECT doc_id, label, count(*)::BIGINT AS c
+                FROM r GROUP BY 1, 2),
+        pi AS (SELECT doc_id, sum(c)::BIGINT AS nu,
+                      sum(c * c)::BIGINT AS sq
+               FROM pil GROUP BY 1),
+        tot AS (SELECT count(*)::BIGINT AS items,
+                       sum(nu)::BIGINT AS n,
+                       (sum(sq) - sum(nu))::DOUBLE / 2 AS a_obs
+                FROM pi),
+        lc AS (SELECT sum(ck * ck)::BIGINT AS sum_sq_labels FROM (
+                 SELECT label, sum(c)::BIGINT AS ck FROM pil GROUP BY 1))
+        SELECT items AS n_items, n AS n_values,
+               round((n - a_obs) / n, 6) AS d_o,
+               round((n * n - sum_sq_labels)::DOUBLE /
+                     (n * (n - 1)), 6) AS d_e,
+               round(1 - ((n - a_obs) / n) /
+                     ((n * n - sum_sq_labels)::DOUBLE / (n * (n - 1))), 6)
+                 AS alpha
+        FROM tot, lc""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

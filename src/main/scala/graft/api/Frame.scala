@@ -414,6 +414,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(Agreement.cohenKappa(df, aCol, bCol))
   def fleissKappa(itemCol: String, labelCol: String): Frame =
     next(Agreement.fleissKappa(df, itemCol, labelCol))
+  def cohenKappaDistributed(aCol: String, bCol: String): Frame =
+    next(Agreement.cohenKappaDistributed(df, aCol, bCol))
+  def krippendorffAlpha(itemCol: String, labelCol: String): Frame =
+    next(Agreement.krippendorffAlpha(df, itemCol, labelCol))
   def agreementConfusion(aCol: String, bCol: String): Frame =
     next(Agreement.confusion(df, aCol, bCol))
   def redactIbans(textCol: String, token: String = "<IBAN>"): Frame =

