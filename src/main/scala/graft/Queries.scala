@@ -3511,6 +3511,65 @@ object Queries {
         ${sqlBpeIter(2, "v1")},
         ${sqlBpeIter(3, "v2")}"""
 
+  // ---- byte-level BPE (q245/q246) shared fixtures and oracle prefix
+
+  private val byteBpeMergeCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[graft.ops.BpeTrain.Merge]]
+
+  /** ASCII-normalized text for the byte-level BPE gates: strip
+    * non-printable-ASCII, collapse runs of spaces, trim — on this shape
+    * (a) byte symbols are plain chars with space → 'Ġ', so DuckDB can
+    * replay the alphabet with replace+chr(288), and (b) the GPT-2
+    * pretokenizer's `\s+(?!\S)` branch never fires, so the RE2 oracle
+    * regex (no lookahead support) is exactly equivalent. */
+  private def cleanedAsciiText: org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(col("text"), "[^ -~]", ""),
+      " +", " "))
+
+  private def byteBpeMerges(s: SparkSession,
+      dir: String): Seq[graft.ops.BpeTrain.Merge] =
+    byteBpeMergeCache.getOrElseUpdate(dir,
+      graft.ops.BpeTrain.trainByteLevel(
+        t(s, dir, "documents").select(cleanedAsciiText.as("text")),
+        "text", numMerges = 3))
+
+  /** The RE2 replay of [[graft.ops.BpeTrain.Gpt2PretokenRegex]] on
+    * ASCII single-spaced text: \p classes narrowed to ASCII, the
+    * whitespace branches dropped (they cannot fire — every single
+    * space is absorbed by the following token's ` ?` prefix). Doubled
+    * quotes for SQL literal embedding. */
+  private val sqlBytePretokenRe: String =
+    "''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+
+  /** Byte-symbol chr(31)-joined form of pretoken `w` for the oracle:
+    * space → chr(288) ('Ġ', the GPT-2 byte alphabet's space), then
+    * char-split — exactly [[graft.ops.BpeTrain.byteSymbols]] on ASCII. */
+  private def sqlByteSyms(w: String): String =
+    s"""list_transform(range(1, len(replace($w, ' ', chr(288))) + 1),
+       i -> substr(replace($w, ' ', chr(288)), i, 1))"""
+
+  /** Shared oracle prefix for q245/q246: normalized text -> pretoken
+    * counts -> byte-symbol vocab -> three unrolled (count, argmax,
+    * fuse) iterations (the [[sqlBpePrefix]] shape, byte alphabet). */
+  private def sqlByteBpePrefix: String =
+    s"""WITH t0 AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(text, '[^ -~]', '', 'g'),
+                   ' +', ' ', 'g')) AS t
+          FROM documents),
+        wc AS (
+          SELECT w AS word, count(*)::BIGINT AS cnt
+          FROM (SELECT unnest(regexp_extract_all(t, '$sqlBytePretokenRe'))
+                  AS w
+                FROM t0)
+          WHERE w <> '' GROUP BY 1),
+        v0 AS (
+          SELECT array_to_string(${sqlByteSyms("word")}, chr(31)) AS s, cnt
+          FROM wc),
+        ${sqlBpeIter(1, "v0")},
+        ${sqlBpeIter(2, "v1")},
+        ${sqlBpeIter(3, "v2")}"""
+
   private def round10: Seq[(String, Q, Option[String])] = Seq(
     (
       // Full BPE vocabulary induction (Sennrich et al. 2016), distributed:
@@ -7851,6 +7910,60 @@ object Queries {
                      ((n * n - sum_sq_labels)::DOUBLE / (n * (n - 1))), 6)
                  AS alpha
         FROM tot, lc""")
+    ),
+    (
+      // BYTE-level BPE training (GPT-2/tiktoken parity, public
+      // algorithm): regex pretokenization (pretokens KEEP their
+      // leading space), UTF-8 bytes through the bytes_to_unicode
+      // alphabet (space -> 'Ġ'), then the same merge loop as q131.
+      // The oracle re-derives the 3-merge table on the ASCII-
+      // normalized fixture, where the byte alphabet reduces to
+      // replace(' ', chr(288)) + char split.
+      "q245_bpe_byte_train",
+      (s: SparkSession, dir: String) =>
+        graft.ops.BpeTrain.mergeTable(s, byteBpeMerges(s, dir)),
+      Some(s"""
+        $sqlByteBpePrefix
+        SELECT 0::BIGINT AS rank, lft AS "left", rgt AS "right", pair_cnt
+        FROM m1
+        UNION ALL SELECT 1, lft, rgt, pair_cnt FROM m2
+        UNION ALL SELECT 2, lft, rgt, pair_cnt FROM m3""")
+    ),
+    (
+      // BYTE-level BPE encode round-trip with the q245 merges: greedy
+      // lowest-rank fusion per pretoken (== sequential rank-order
+      // application for training-ordered lists — Round14Spec property-
+      // checks the equivalence the oracle's unrolled replay relies on).
+      "q246_bpe_byte_encode",
+      (s: SparkSession, dir: String) => {
+        val cleaned = t(s, dir, "documents")
+          .select(col("doc_id"), cleanedAsciiText.as("text"))
+        graft.ops.BpeTrain.encodeByteLevelGreedy(cleaned, "text",
+          byteBpeMerges(s, dir))
+          .select(col("doc_id"),
+            size(col("tokens")).cast("bigint").as("n_tokens"),
+            concat_ws(" ", col("tokens")).as("tokens"))
+      },
+      Some(s"""
+        $sqlByteBpePrefix,
+        enc AS (
+          SELECT doc_id,
+            flatten(list_transform(
+              list_filter(regexp_extract_all(t, '$sqlBytePretokenRe'),
+                w -> w <> ''),
+              w -> string_split(
+                ${sqlApplyMerge(
+                  s"string_split(${sqlApplyMerge(
+                    s"string_split(${sqlApplyMerge(
+                      sqlByteSyms("w"),
+                      "m1.lft", "m1.rgt")}, chr(31))",
+                    "m2.lft", "m2.rgt")}, chr(31))",
+                  "m3.lft", "m3.rgt")},
+                chr(31)))) AS toks
+          FROM t0, m1, m2, m3)
+        SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+               coalesce(array_to_string(toks, ' '), '') AS tokens
+        FROM enc""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -540,6 +540,13 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       greedy: Boolean = false): Frame =
     next(if (greedy) BpeTrain.encodeGreedy(df, textCol, merges)
     else BpeTrain.encode(df, textCol, merges))
+  /** GPT-2-parity byte-level arm: regex pretokenizer + byte alphabet. */
+  def bpeTrainByteLevel(textCol: String, numMerges: Int,
+      mergesPerRound: Int = 1): Seq[BpeTrain.Merge] =
+    BpeTrain.trainByteLevel(df, textCol, numMerges, mergesPerRound)
+  def bpeEncodeByteLevel(textCol: String,
+      merges: Seq[BpeTrain.Merge]): Frame =
+    next(BpeTrain.encodeByteLevelGreedy(df, textCol, merges))
   def cdcChunks(idCol: String, textCol: String, p: Int = 16): Frame =
     next(CdcChunk.explodeChunks(df, idCol, textCol, p))
   def cdcDuplicateChunks(idCol: String, textCol: String,

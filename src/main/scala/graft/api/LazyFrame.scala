@@ -709,6 +709,14 @@ final case class LazyFrame(
       greedy: Boolean = false): LazyFrame =
     append("bpe_encode", "text_key" -> textKey, "num_merges" -> numMerges,
       "greedy" -> greedy)
+  /** GPT-2-parity byte-level arms (`level: byte`). */
+  def bpeTrainByteLevel(textKey: String, numMerges: Int,
+      mergesPerRound: Int = 1): LazyFrame =
+    append("bpe_train", "text_key" -> textKey, "num_merges" -> numMerges,
+      "merges_per_round" -> mergesPerRound, "level" -> "byte")
+  def bpeEncodeByteLevel(textKey: String, numMerges: Int): LazyFrame =
+    append("bpe_encode", "text_key" -> textKey, "num_merges" -> numMerges,
+      "level" -> "byte")
   def cdcChunk(idKey: String, textKey: String, mode: String = "chunks",
       p: Int = 16): LazyFrame =
     append("cdc_chunk", "id_key" -> idKey, "text_key" -> textKey,

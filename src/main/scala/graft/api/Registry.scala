@@ -724,9 +724,14 @@ object Registry {
   // (rank, left, right, pair_cnt) merge table. `merges_per_round` > 1
   // batches disjoint top-k picks per Spark job (documented approximation
   // of strict Sennrich order — see BpeTrain.train).
+  // `level: byte` switches to GPT-2 parity (regex pretokenizer + byte
+  // alphabet); default stays the whitespace/char-level arm.
   register("bpe_train") { (df, c, _) =>
+    val trainer =
+      if (c.strOr("level", "word") == "byte") BpeTrain.trainByteLevel _
+      else BpeTrain.train _
     BpeTrain.mergeTable(df.sparkSession,
-      BpeTrain.train(df, c("text_key").str, c("num_merges").int,
+      trainer(df, c("text_key").str, c("num_merges").int,
         c.intOr("merges_per_round", 1)))
   }
   /** Inline `merges: [[l, r], ...]` list, or train on THIS frame via
@@ -740,7 +745,10 @@ object Registry {
       BpeTrain.Merge(pair(0), pair(1), 0L)
     }, false)
     case None =>
-      (BpeTrain.train(df, c("text_key").str, c("num_merges").int), true)
+      val trainer =
+        if (c.strOr("level", "word") == "byte") BpeTrain.trainByteLevel _
+        else BpeTrain.train _
+      (trainer(df, c("text_key").str, c("num_merges").int, 1), true)
   }
   // BPE tokenizer APPLY (§2.14): merges either given inline
   // (`merges: [[l, r], ...]`) or trained on THIS frame (`num_merges`).
@@ -758,14 +766,20 @@ object Registry {
   register("bpe_encode") { (df, c, _) =>
     val text = c("text_key").str
     val (merges, trained) = mergesFromConf(df, c)
-    require(trained || merges.size <= 256 || c.get("greedy").isDefined,
-      s"inline merge list of ${merges.size} entries (> 256) needs an " +
-        "explicit `greedy: true|false` — greedy encoding is only " +
-        "equivalent to sequential for training-ordered merge lists")
     val out = c.strOr("output_key", "tokens")
-    if (c.boolOr("greedy", trained && merges.size > 256))
-      BpeTrain.encodeGreedy(df, text, merges, out)
-    else BpeTrain.encode(df, text, merges, out)
+    if (c.strOr("level", "word") == "byte")
+      // byte-level is always the greedy rank-map encoder (its merge
+      // lists are training-ordered by construction here)
+      BpeTrain.encodeByteLevelGreedy(df, text, merges, out)
+    else {
+      require(trained || merges.size <= 256 || c.get("greedy").isDefined,
+        s"inline merge list of ${merges.size} entries (> 256) needs an " +
+          "explicit `greedy: true|false` — greedy encoding is only " +
+          "equivalent to sequential for training-ordered merge lists")
+      if (c.boolOr("greedy", trained && merges.size > 256))
+        BpeTrain.encodeGreedy(df, text, merges, out)
+      else BpeTrain.encode(df, text, merges, out)
+    }
   }
   // Mixture planning (§2.14 curation): per-domain sampling rates +
   // epoch counts for a target composition over a token budget.

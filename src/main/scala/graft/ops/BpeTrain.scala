@@ -119,14 +119,21 @@ object BpeTrain {
     * between rounds, so a round's lower picks use slightly stale
     * statistics; disjointness keeps every picked pair's own count exact. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
+      mergesPerRound: Int = 1): Seq[Merge] =
+    trainFromVocab(wordCounts(df, textCol)
+      .select(charSyms(col("word")).as("symbols"), col("cnt")),
+      numMerges, mergesPerRound)
+
+  /** The merge loop over an arbitrary (symbols, cnt) vocabulary table —
+    * shared by the char-level [[train]] and byte-level
+    * [[trainByteLevel]] arms (one loop, two alphabets). */
+  def trainFromVocab(vocab0: DataFrame, numMerges: Int,
       mergesPerRound: Int = 1): Seq[Merge] = {
     require(numMerges >= 1 && numMerges <= 65536,
       s"numMerges must be in [1, 65536], got $numMerges")
     require(mergesPerRound >= 1 && mergesPerRound <= 1024,
       s"mergesPerRound must be in [1, 1024], got $mergesPerRound")
-    var vocab = wordCounts(df, textCol)
-      .select(charSyms(col("word")).as("symbols"), col("cnt"))
-      .localCheckpoint()
+    var vocab = vocab0.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     while (!exhausted && merges.size < numMerges) {
@@ -154,6 +161,99 @@ object BpeTrain {
       }
     }
     merges.toSeq
+  }
+
+  // ------------------------------------------------ byte-level (GPT-2)
+
+  /** GPT-2's byte→unicode alphabet (the public `bytes_to_unicode`
+    * table shipped with the GPT-2 release and tiktoken): printable
+    * latin bytes map to themselves; the rest map, byte-ascending, to
+    * U+0100.. so every byte is a visible, whitespace-free character
+    * (space → 'Ġ' U+0120). Index = byte value. */
+  private[graft] val ByteAlphabet: Array[String] = {
+    val direct = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    Array.tabulate(256) { b =>
+      if (direct(b)) b.toChar.toString
+      else { val s = (256 + n).toChar.toString; n += 1; s }
+    }
+  }
+
+  /** GPT-2's pre-tokenizer regex (public, from the GPT-2 release):
+    * contraction suffixes, space-prefixed letter/digit/punctuation
+    * runs, residual whitespace. Java-regex compatible (Spark's
+    * `regexp_extract_all` replays it verbatim). */
+  val Gpt2PretokenRegex: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+      "|\\s+(?!\\S)|\\s+"
+
+  /** `word`'s UTF-8 bytes through [[ByteAlphabet]] — the byte-level
+    * symbol sequence BPE merges over. */
+  private[graft] def byteSymbols(w: String): Seq[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .toSeq.map(b => ByteAlphabet(b & 0xff))
+
+  private val byteSymsUdf = udf { (w: String) =>
+    if (w == null) Seq.empty[String] else byteSymbols(w)
+  }
+
+  /** GPT-2-style pretoken frequency table — the byte-level analog of
+    * [[wordCounts]] and the same ONE corpus-sized shuffle: pretokens
+    * keep their leading space (" fast" ≠ "fast"), exactly the
+    * published behavior. Pure expression (regexp + explode); the
+    * byte mapping runs later, on the VOCAB table only. */
+  def pretokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(regexp_extract_all(
+      coalesce(col(textCol), lit("")), lit(Gpt2PretokenRegex), lit(0)))
+      .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Byte-level (symbols, cnt) vocabulary: [[pretokenCounts]] mapped
+    * through [[ByteAlphabet]]. The mapping UDF runs on the
+    * vocabulary-sized table, never the corpus. */
+  def byteLevelVocab(df: DataFrame, textCol: String): DataFrame =
+    pretokenCounts(df, textCol)
+      .select(byteSymsUdf(col("word")).as("symbols"), col("cnt"))
+
+  /** Byte-level BPE training — GPT-2/tiktoken-class parity: regex
+    * pre-tokenization + byte alphabet + the SAME merge loop as the
+    * word-level arm ([[trainFromVocab]]). Scale shape identical to
+    * [[train]]: one corpus shuffle, then numMerges × O(vocab). */
+  def trainByteLevel(df: DataFrame, textCol: String, numMerges: Int,
+      mergesPerRound: Int = 1): Seq[Merge] =
+    trainFromVocab(byteLevelVocab(df, textCol), numMerges, mergesPerRound)
+
+  /** Byte-level greedy encoder: pretokenize with the GPT-2 regex, map
+    * each pretoken to byte symbols, fuse by lowest merge rank
+    * ([[encodeWordGreedy]]'s loop over a symbol vector) — equivalent to
+    * rank-order sequential application for training-ordered merge
+    * lists (Round14Spec property-checks it). A Scala UDF by the same
+    * necessity as [[encodeGreedy]]: dictionary-driven unbounded-depth
+    * fusion; per-row, broadcast rank map, no shuffle. */
+  def encodeByteLevelGreedy(df: DataFrame, textCol: String,
+      merges: Seq[Merge], outCol: String = "tokens"): DataFrame = {
+    val spark = df.sparkSession
+    val pairsB = spark.sparkContext.broadcast(
+      merges.map(m => (m.left, m.right)).toIndexedSeq)
+    val rankB = spark.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (m, i) => (m.left, m.right) -> i }.toMap)
+    val pattern = java.util.regex.Pattern.compile(Gpt2PretokenRegex)
+    val tok = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val m = pattern.matcher(text)
+        val out = Vector.newBuilder[String]
+        while (m.find()) {
+          val w = m.group()
+          if (w.nonEmpty) out ++= encodeSymsGreedy(
+            byteSymbols(w).toVector, pairsB.value, rankB.value)
+        }
+        out.result()
+      }
+    }
+    df.withColumn(outCol, tok(col(textCol)))
   }
 
   /** The learned merges as a (rank, left, right, pair_cnt) table. */
@@ -247,8 +347,15 @@ object BpeTrain {
     * non-overlapping occurrence of the LOWEST-RANK adjacent pair present. */
   private[graft] def encodeWordGreedy(word: String,
       pairs: IndexedSeq[(String, String)],
+      rank: Map[(String, String), Int]): Seq[String] =
+    encodeSymsGreedy(word.map(_.toString).toVector, pairs, rank)
+
+  /** Greedy BPE over an arbitrary symbol vector — shared by the
+    * char-level and byte-level encoders. */
+  private[graft] def encodeSymsGreedy(initial: Vector[String],
+      pairs: IndexedSeq[(String, String)],
       rank: Map[(String, String), Int]): Seq[String] = {
-    var syms = word.map(_.toString).toVector
+    var syms = initial
     var done = syms.size < 2
     while (!done) {
       var best = Int.MaxValue

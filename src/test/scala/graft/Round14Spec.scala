@@ -208,6 +208,94 @@ class Round14Spec extends SparkSpec {
     assert(acSmall == exprOut)
   }
 
+  // ------------------------------ byte-level BPE (VERDICT item 4)
+
+  test("gpt-2 byte alphabet matches the published bytes_to_unicode table") {
+    val a = graft.ops.BpeTrain.ByteAlphabet
+    assert(a.length == 256)
+    assert(a('a'.toInt) == "a" && a('~'.toInt) == "~" && a('!'.toInt) == "!")
+    assert(a(' '.toInt) == "Ġ") // space -> Ġ
+    assert(a(0) == "Ā")         // NUL -> Ā (first remapped byte)
+    assert(a('\n'.toInt) == "Ċ") // LF -> Ċ
+    assert(a(0xa9) == "©")      // © is in the direct 161–172 range
+    assert(a.distinct.length == 256) // bijective
+    // multibyte UTF-8 decomposes to one symbol per BYTE
+    assert(graft.ops.BpeTrain.byteSymbols("é") == Seq("Ã", "©"))
+  }
+
+  test("gpt-2 pretokenizer splits with leading spaces and contractions") {
+    val docs = textsDf((1L, "the fast car's wheel, ok 42"))
+    val toks = graft.ops.BpeTrain.pretokenCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toks == Map("the" -> 1L, " fast" -> 1L, " car" -> 1L,
+      "'s" -> 1L, " wheel" -> 1L, "," -> 1L, " ok" -> 1L, " 42" -> 1L))
+  }
+
+  test("byte-level BPE trains hand-derivable merges") {
+    val docs = textsDf((1L, "aa aa aa"), (2L, "aa aa aa"))
+    // pretokens: "aa"×2, " aa"×4 → pairs (a,a)=6, (Ġ,a)=4;
+    // merge1 (a,a,6) → vocab [aa]×2, [Ġ,a,a→ wait: [Ġ,aa]×4 →
+    // merge2 (Ġ,aa,4); then nothing pairable → early stop at 2 merges
+    val merges = graft.ops.BpeTrain.trainByteLevel(docs, "text", 3)
+    assert(merges == Seq(
+      graft.ops.BpeTrain.Merge("a", "a", 6L),
+      graft.ops.BpeTrain.Merge("Ġ", "aa", 4L)))
+    val enc = graft.ops.BpeTrain.encodeByteLevelGreedy(docs, "text",
+      merges).head().getSeq[String](2)
+    assert(enc == Seq("aa", "Ġaa", "Ġaa"))
+  }
+
+  test("byte-level greedy encode == sequential rank-order application") {
+    val docs = docsDf.select(col("doc_id"),
+      regexp_replace(col("text"), "[^ -~]", "").as("text"))
+    val merges = graft.ops.BpeTrain.trainByteLevel(docs, "text", 8)
+    assert(merges.nonEmpty)
+    val greedy = graft.ops.BpeTrain.encodeByteLevelGreedy(docs, "text",
+      merges).select("doc_id", "tokens").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // driver-side reference: apply each merge, in rank order, as a
+    // left-to-right non-overlapping scan per pretoken
+    def applySeq(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.size) {
+        if (i < syms.size - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val pat = java.util.regex.Pattern.compile(
+      graft.ops.BpeTrain.Gpt2PretokenRegex)
+    docs.collect().foreach { row =>
+      val m = pat.matcher(row.getString(1))
+      val ref = Vector.newBuilder[String]
+      while (m.find()) {
+        var syms = graft.ops.BpeTrain.byteSymbols(m.group()).toVector
+        merges.foreach(mg => syms = applySeq(syms, mg.left, mg.right))
+        ref ++= syms
+      }
+      assert(greedy(row.getLong(0)) == ref.result(),
+        s"doc ${row.getLong(0)}")
+    }
+  }
+
+  test("byte-level BPE YAML arms (level: byte)") {
+    val docs = textsDf((1L, "aa aa aa"), (2L, "aa aa aa"))
+    val tbl = graft.api.Registry("bpe_train")(docs,
+      graft.api.Conf.fromYaml(
+        "type: bpe_train\ntext_key: text\nnum_merges: 3\nlevel: byte"),
+      null)
+    assert(tbl.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      == Seq(("a", "a"), ("Ġ", "aa")))
+    val enc = graft.api.Registry("bpe_encode")(docs,
+      graft.api.Conf.fromYaml(
+        "type: bpe_encode\ntext_key: text\nnum_merges: 2\nlevel: byte"),
+      null)
+    assert(enc.head().getSeq[String](2) ==
+      Seq("aa", "Ġaa", "Ġaa"))
+  }
+
   // ------------------ in-plan Cohen + Krippendorff (VERDICT items 5/6)
 
   test("distributed cohen kappa is bit-equal to the collect form") {
