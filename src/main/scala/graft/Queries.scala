@@ -7964,6 +7964,109 @@ object Queries {
         SELECT doc_id, len(toks)::BIGINT AS n_tokens,
                coalesce(array_to_string(toks, ' '), '') AS tokens
         FROM enc""")
+    ),
+    (
+      // TYPED content-part rendering with loss-mask spans: every doc
+      // becomes [user: [text, image], assistant: [text (+image on
+      // every third doc)]]; spans cover ONLY the assistant TEXT part —
+      // the image placeholder inside the masked turn stays unmasked,
+      // which flatten-then-render cannot express. Offsets replay in
+      // closed form; rendered text gated via md5.
+      "q247_chat_parts_render",
+      (s: SparkSession, dir: String) => {
+        val txt = (v: org.apache.spark.sql.Column) =>
+          struct(lit("text").as("type"), v.as("text"))
+        val img = struct(lit("image").as("type"), lit("ref.png").as("text"))
+        val userM = struct(lit("user").as("role"),
+          array(txt(substring(col("text"), 1, 20)), img).as("parts"))
+        val asst = array(txt(substring(col("text"), 1, 35)))
+        val asstM = struct(lit("assistant").as("role"),
+          when(col("doc_id") % 3 === 0, concat(asst, array(img)))
+            .otherwise(asst).as("parts"))
+        val conv = t(s, dir, "documents")
+          .select(col("doc_id"), array(userM, asstM).as("messages"))
+        graft.ops.ChatOps.renderPartsWithSpans(conv, "messages")
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            concat_ws("|", transform(col("mask_spans"), sp =>
+              concat(sp.getField("s"), lit(":"), sp.getField("e"))))
+              .as("spans"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, substr(text, 1, 20) AS t1,
+                 substr(text, 1, 35) AS t2,
+                 least(len(text), 20)::BIGINT AS l1,
+                 least(len(text), 35)::BIGINT AS l2
+          FROM documents)
+        SELECT doc_id,
+               md5('<|user|>' || chr(10) || t1 || '<image>' || chr(10) ||
+                   '<|assistant|>' || chr(10) || t2 ||
+                   CASE WHEN doc_id % 3 = 0 THEN '<image>' ELSE '' END ||
+                   chr(10)) AS text_md5,
+               CASE WHEN l2 > 0
+                    THEN (31 + l1) || ':' || (31 + l1 + l2)
+                    ELSE '' END AS spans
+        FROM d""")
+    ),
+    (
+      // Content-part conversation statistics (the multimodal datacard
+      // band): part-type counts + text char mass over the q247 fixture,
+      // replayed in closed form.
+      "q248_chat_parts_stats",
+      (s: SparkSession, dir: String) => {
+        val txt = (v: org.apache.spark.sql.Column) =>
+          struct(lit("text").as("type"), v.as("text"))
+        val img = struct(lit("image").as("type"), lit("ref.png").as("text"))
+        val userM = struct(lit("user").as("role"),
+          array(txt(substring(col("text"), 1, 20)), img).as("parts"))
+        val asst = array(txt(substring(col("text"), 1, 35)))
+        val asstM = struct(lit("assistant").as("role"),
+          when(col("doc_id") % 3 === 0, concat(asst, array(img)))
+            .otherwise(asst).as("parts"))
+        val conv = t(s, dir, "documents")
+          .select(col("doc_id"), array(userM, asstM).as("messages"))
+        graft.ops.ChatOps.statsParts(conv, "messages").drop("messages")
+      },
+      Some("""
+        SELECT doc_id, 2::BIGINT AS n_turns, 2::BIGINT AS n_text_parts,
+               (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)::BIGINT
+                 AS n_nontext_parts,
+               (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)::BIGINT
+                 AS n_image_parts,
+               (least(len(text), 20) + least(len(text), 35))::BIGINT
+                 AS text_chars
+        FROM documents""")
+    ),
+    (
+      // Content-part pseudonymization: entities extract from TEXT parts
+      // only and numbering is conversation-consistent; the image part
+      // carries a red-herring address that must surface UNTOUCHED in
+      // the output (non-text parts are never matched or rewritten).
+      "q249_chat_parts_pseudonymize",
+      (s: SparkSession, dir: String) => {
+        val userTxt = concat(lit("contact bob"), col("doc_id"),
+          lit("@x.co or amy@y.org"))
+        val userM = struct(lit("user").as("role"), array(
+          struct(lit("text").as("type"), userTxt.as("text")),
+          struct(lit("image").as("type"), lit("bob@x.co").as("text")))
+          .as("parts"))
+        val asstM = struct(lit("assistant").as("role"), array(
+          struct(lit("text").as("type"),
+            lit("email amy@y.org back").as("text"))).as("parts"))
+        val conv = t(s, dir, "documents")
+          .select(col("doc_id"), array(userM, asstM).as("messages"))
+        graft.ops.Pseudonymize.conversationParts(conv, "messages")
+          .select(col("doc_id"), col("n_email_entities"),
+            md5(concat_ws("|", flatten(transform(col("messages_pseudo"),
+              m => transform(m.getField("parts"), p =>
+                concat(p.getField("type"), lit(":"), p.getField("text")))))))
+              .as("parts_md5"))
+      },
+      Some("""
+        SELECT doc_id, 2::BIGINT AS n_email_entities,
+               md5('text:contact EMAIL_2 or EMAIL_1|image:bob@x.co|' ||
+                   'text:email EMAIL_1 back') AS parts_md5
+        FROM documents""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -295,6 +295,22 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(ChatOps.renderWithSpans(df, messagesCol, maskRole))
   def chatRender(messagesCol: String, template: ChatOps.ChatTemplate): Frame =
     next(ChatOps.render(df, messagesCol, template))
+  /** Typed content-part arms (multimodal chat corpora). */
+  def chatRenderParts(messagesCol: String,
+      maskRole: String = "assistant"): Frame =
+    next(ChatOps.renderPartsWithSpans(df, messagesCol,
+      maskRole = maskRole))
+  def partsToContent(messagesCol: String,
+      outCol: String = "messages_flat"): Frame =
+    next(ChatOps.partsToContent(df, messagesCol, outCol = outCol))
+  def conversationStatsParts(messagesCol: String): Frame =
+    next(ChatOps.statsParts(df, messagesCol))
+  def pseudonymizeConversationParts(messagesCol: String,
+      pattern: String = graft.ops.Pseudonymize.EmailPattern,
+      label: String = "EMAIL",
+      outCol: String = "messages_pseudo"): Frame =
+    next(Pseudonymize.conversationParts(df, messagesCol, pattern, label,
+      outCol))
   def conversationFromPairs(promptCol: String, responseCol: String,
       system: Option[String] = None): Frame =
     next(ChatOps.fromPromptResponse(df, promptCol, responseCol, system))

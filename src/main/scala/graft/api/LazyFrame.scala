@@ -379,6 +379,22 @@ final case class LazyFrame(
       maskRole: String = "assistant"): LazyFrame =
     append("chat_render", "messages_key" -> messagesKey,
       "template" -> template, "mask_role" -> maskRole)
+  /** Typed content-part arms (multimodal chat corpora). */
+  def chatRenderParts(messagesKey: String,
+      maskRole: String = "assistant"): LazyFrame =
+    append("chat_render", "messages_key" -> messagesKey,
+      "mask_role" -> maskRole, "parts" -> true)
+  def partsToContent(messagesKey: String,
+      outputKey: String = "messages_flat"): LazyFrame =
+    append("conversation_parts_flatten", "messages_key" -> messagesKey,
+      "output_key" -> outputKey)
+  def conversationStatsParts(messagesKey: String): LazyFrame =
+    append("conversation_stats", "messages_key" -> messagesKey,
+      "parts" -> true)
+  def pseudonymizeConversationParts(messagesKey: String,
+      label: String = "EMAIL"): LazyFrame =
+    append("pseudonymize", "messages_key" -> messagesKey,
+      "label" -> label, "parts" -> true)
   def conversationFromPairs(promptKey: String, responseKey: String,
       system: String = ""): LazyFrame = {
     val base = Seq[(String, Any)]("prompt_key" -> promptKey,

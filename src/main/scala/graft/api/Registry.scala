@@ -933,9 +933,19 @@ object Registry {
     else out
   }
   // Conversation shape statistics (§2.14 SFT prep): the datacard band —
-  // turns, role counts, char mass, ends-with-assistant.
+  // turns, role counts, char mass, ends-with-assistant. `parts: true`
+  // reads typed content-part messages (text/image part counts + text
+  // char mass) instead of flat content strings.
   register("conversation_stats") { (df, c, _) =>
-    ChatOps.stats(df, c("messages_key").str)
+    if (c.boolOr("parts", false)) ChatOps.statsParts(df, c("messages_key").str)
+    else ChatOps.stats(df, c("messages_key").str)
+  }
+  // Typed content parts -> flat content bridge (§2.14 multimodal chat):
+  // text parts contribute text, non-text parts their placeholder; every
+  // other message field survives (withField).
+  register("conversation_parts_flatten") { (df, c, _) =>
+    ChatOps.partsToContent(df, c("messages_key").str,
+      partPlaceholders(c), c.strOr("output_key", "messages_flat"))
   }
   // Consecutive same-role turn merge (§2.14 SFT prep): the repair
   // between fromEventLog and validate's alternation rule.
@@ -1025,10 +1035,23 @@ object Registry {
           eos = t.strOr("eos", ""))
       }
     }
-    ChatOps.render(df, c("messages_key").str, tpl,
+    if (c.boolOr("parts", false))
+      // typed content parts: spans cover only the TEXT parts of
+      // mask-role turns (placeholders stay unmasked)
+      ChatOps.renderPartsWithSpans(df, c("messages_key").str, tpl,
+        c.strOr("mask_role", "assistant"), partPlaceholders(c),
+        c.strOr("output_key", "text"), c.strOr("spans_key", "mask_spans"))
+    else ChatOps.render(df, c("messages_key").str, tpl,
       c.strOr("mask_role", "assistant"), c.strOr("output_key", "text"),
       c.strOr("spans_key", "mask_spans"))
   }
+  /** Shared `placeholders: {image: "<image>", ...}` parsing for the
+    * content-part ops. */
+  private def partPlaceholders(c: Conf): Map[String, String] =
+    c.get("placeholders") match {
+      case Some(m) => m.asMap.map { case (k, v) => k -> v.str }.toMap
+      case None => ChatOps.DefaultPartPlaceholders
+    }
   // Release datacard (§2.14 reporting): constant-row (metric, value) table.
   // `approx: true` (+ optional `rsd`) estimates the distinct counts with
   // HLL++ sketches instead of exact two-phase dedup — the 100 TB knob.
@@ -1089,7 +1112,14 @@ object Registry {
   // entity placeholders that preserve coreference.
   register("pseudonymize") { (df, c, _) =>
     c.get("messages_key").map(_.str) match {
-      // conversation mode: numbering is consistent across every turn
+      // conversation mode: numbering is consistent across every turn;
+      // `parts: true` reads typed content-part messages (replacement
+      // inside text parts only)
+      case Some(mk) if c.boolOr("parts", false) =>
+        Pseudonymize.conversationParts(df, mk,
+          c.strOr("pattern", Pseudonymize.EmailPattern),
+          c.strOr("label", "EMAIL"),
+          c.strOr("output_key", "messages_pseudo"))
       case Some(mk) => Pseudonymize.conversation(df, mk,
         c.strOr("pattern", Pseudonymize.EmailPattern),
         c.strOr("label", "EMAIL"),

@@ -243,6 +243,127 @@ object ChatOps {
           .getField("role") === "assistant", lit(false)))
   }
 
+  // ------------------------------------------------ typed content parts
+
+  /** Default placeholders rendered for non-text parts: the standard
+    * "special token" convention multimodal chat templates use. Unknown
+    * part types render as `<type>`. */
+  val DefaultPartPlaceholders: Map[String, String] =
+    Map("image" -> "<image>", "audio" -> "<audio>", "video" -> "<video>")
+
+  private def placeholderFor(tpe: Column,
+      placeholders: Map[String, String]): Column =
+    placeholders.foldLeft(
+      concat(lit("<"), coalesce(tpe, lit("part")), lit(">"))) {
+      case (acc, (k, v)) => when(tpe === k, lit(v)).otherwise(acc)
+    }
+
+  /** Flatten TYPED content parts — messages carrying
+    * `parts: array<struct<type, text, ...>>` (the modern chat-corpus
+    * shape: interleaved text and image/audio references) — into the
+    * flat `content` string the rest of the chat family consumes: text
+    * parts contribute their text, non-text parts their placeholder.
+    * The content field is ADDED via withField, so every other message
+    * field (role, ts, the parts themselves) survives; downstream
+    * [[validate]]/[[stats]]/[[mergeConsecutiveRoles]] then work
+    * unchanged. Pure array expressions, no shuffle. */
+  def partsToContent(df: DataFrame, messagesCol: String,
+      placeholders: Map[String, String] = DefaultPartPlaceholders,
+      outCol: String = "messages_flat"): DataFrame = {
+    val msgs = col(messagesCol)
+    df.withColumn(outCol, transform(msgs, m => {
+      // a NULL parts array folds to a NULL body — coalesce the RESULT
+      // (fabricating an empty array of the caller's parts struct would
+      // pin its field list, breaking rows carrying extra part fields)
+      val body = coalesce(
+        aggregate(m.getField("parts"), lit(""), (acc, p) =>
+          concat(acc, when(p.getField("type") === "text",
+            coalesce(p.getField("text"), lit("")))
+            .otherwise(placeholderFor(p.getField("type"), placeholders)))),
+        lit(""))
+      m.withField("content", body)
+    }))
+  }
+
+  /** [[render]] for PARTS messages with loss-mask spans that cover
+    * ONLY the text parts of `maskRole` turns — a non-text placeholder
+    * inside an assistant message stays unmasked (the loss must not
+    * train on `<image>` tokens), which flatten-then-render cannot
+    * express. Nested per-row folds (messages × parts), still pure
+    * expressions: no UDF, no shuffle. */
+  def renderPartsWithSpans(df: DataFrame, messagesCol: String,
+      template: ChatTemplate = ChatTemplate.Default,
+      maskRole: String = "assistant",
+      placeholders: Map[String, String] = DefaultPartPlaceholders,
+      textOut: String = "text", spansOut: String = "mask_spans"): DataFrame = {
+    val msgs = col(messagesCol)
+    val spanT = "array<struct<s:bigint,e:bigint>>"
+    val zero = struct(
+      lit(template.bos).as("txt"),
+      array().cast(spanT).as("spans"))
+    val folded = aggregate(msgs, zero, (acc, m) => {
+      val role = m.getField("role")
+      val hdr = fillRole(template.msgPrefix, role)
+      val tail = fillRole(template.msgSuffix, role)
+      val innerZero = struct(
+        (length(acc.getField("txt")) + length(hdr)).cast("bigint").as("o"),
+        lit("").as("t"), array().cast(spanT).as("sp"))
+      // NULL parts → NULL inner struct; coalesce its two fields below
+      // (see partsToContent for why no empty-parts-array fabrication)
+      val inner = aggregate(m.getField("parts"), innerZero, (pa, p) => {
+        val isText = p.getField("type") === lit("text")
+        val ptxt = when(isText, coalesce(p.getField("text"), lit("")))
+          .otherwise(placeholderFor(p.getField("type"), placeholders))
+        val s = pa.getField("o") + length(pa.getField("t")).cast("bigint")
+        val e = s + length(ptxt).cast("bigint")
+        struct(pa.getField("o").as("o"),
+          concat(pa.getField("t"), ptxt).as("t"),
+          when(coalesce(isText, lit(false)) && role === maskRole && e > s,
+            concat(pa.getField("sp"), array(struct(s.as("s"), e.as("e")))))
+            .otherwise(pa.getField("sp")).as("sp"))
+      })
+      struct(
+        concat(acc.getField("txt"), hdr,
+          coalesce(inner.getField("t"), lit("")), tail).as("txt"),
+        concat(acc.getField("spans"),
+          coalesce(inner.getField("sp"), array().cast(spanT))).as("spans"))
+    })
+    df.withColumn("_chatp", folded)
+      .withColumn(textOut, concat(col("_chatp.txt"), lit(template.eos)))
+      .withColumn(spansOut, col("_chatp.spans"))
+      .drop("_chatp")
+  }
+
+  /** Per-conversation PARTS statistics — the multimodal datacard band
+    * next to [[stats]]: turn count, text/non-text part counts, per-type
+    * non-text histogram pairs left to the caller (type vocab is open),
+    * text character mass, and image-part count (the common case).
+    * Pure nested array folds, no explode, no shuffle. */
+  def statsParts(df: DataFrame, messagesCol: String): DataFrame = {
+    val msgs = coalesce(col(messagesCol), array().cast(
+      df.schema(df.schema.fieldIndex(messagesCol)).dataType))
+    // NULL parts arrays contribute 0 everywhere (the size/aggregate
+    // results are coalesced — no empty-parts-array fabrication, see
+    // partsToContent)
+    def countParts(pred: Column => Column) = aggregate(msgs, lit(0L),
+      (acc, m) => acc + coalesce(
+        size(filter(m.getField("parts"), pred)).cast("bigint"), lit(0L)))
+    val textParts = countParts(p => p.getField("type") === "text")
+    val nonText = countParts(p => p.getField("type") =!= "text")
+    val imageParts = countParts(p => p.getField("type") === "image")
+    val textChars = aggregate(msgs, lit(0L), (acc, m) =>
+      acc + coalesce(
+        aggregate(m.getField("parts"), lit(0L), (pa, p) =>
+          pa + when(p.getField("type") === "text",
+            length(coalesce(p.getField("text"), lit(""))).cast("bigint"))
+            .otherwise(lit(0L))), lit(0L)))
+    df.withColumn("n_turns", size(msgs).cast("bigint"))
+      .withColumn("n_text_parts", textParts)
+      .withColumn("n_nontext_parts", nonText)
+      .withColumn("n_image_parts", imageParts)
+      .withColumn("text_chars", textChars)
+  }
+
   def offsetSpans(spans: Column, offset: Column): Column =
     transform(spans, sp => struct(
       (sp.getField("s") + offset).cast("bigint").as("s"),

@@ -87,6 +87,42 @@ object Pseudonymize {
       .drop("_graft_found")
   }
 
+  /** [[conversation]] for TYPED-content-parts messages
+    * (`parts: array<struct<type, text, ...>>` — the
+    * [[graft.ops.ChatOps.partsToContent]] shape): the match list
+    * extracts per TEXT part (union-distinct, same no-phantom contract
+    * as the flat form), numbering is consistent across every text part
+    * of the conversation, and replacement applies inside text parts
+    * only — image/audio reference parts pass through untouched
+    * (withField all the way down, so no part or message field is
+    * dropped). */
+  def conversationParts(df: DataFrame, messagesCol: String,
+      pattern: String = EmailPattern, label: String = "EMAIL",
+      outCol: String = "messages_pseudo"): DataFrame = {
+    val msgs = col(messagesCol)
+    val emptyS = array().cast("array<string>")
+    val perPart = array_sort(array_distinct(flatten(
+      transform(msgs, m => coalesce(flatten(
+        transform(m.getField("parts"), p =>
+          when(p.getField("type") === "text",
+            regexp_extract_all(coalesce(p.getField("text"), lit("")),
+              lit(pattern), lit(0)))
+            .otherwise(emptyS))), emptyS)))))
+    val nCol = s"n_${label.toLowerCase(java.util.Locale.ROOT)}_entities"
+    df.withColumn("_graft_found", coalesce(perPart, emptyS))
+      .withColumn(outCol, transform(msgs, m =>
+        m.withField("parts", transform(m.getField("parts"), p => {
+          val ptxt = coalesce(p.getField("text"), lit(""))
+          when(p.getField("type") === "text",
+            p.withField("text",
+              when(size(col("_graft_found")) === 0, ptxt)
+                .otherwise(foldReplace(col("_graft_found"), ptxt, label))))
+            .otherwise(p)
+        }))))
+      .withColumn(nCol, size(col("_graft_found")).cast("bigint"))
+      .drop("_graft_found")
+  }
+
   /** Sorted distinct matches of `pattern` in `text` — the shared
     * numbering base: ranks come from THIS order, so the mapping is
     * partition-independent and replayable in any engine. */

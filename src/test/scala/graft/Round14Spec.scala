@@ -208,6 +208,123 @@ class Round14Spec extends SparkSpec {
     assert(acSmall == exprOut)
   }
 
+  // ---------------------------- chat content parts (VERDICT item 7)
+
+  private def partsConvDf: DataFrame = {
+    val partT = StructType(Seq(
+      StructField("type", StringType), StructField("text", StringType),
+      StructField("ref", StringType))) // extra field: must survive
+    val msgT = ArrayType(StructType(Seq(
+      StructField("role", StringType),
+      StructField("ts", LongType), // extra message field: must survive
+      StructField("parts", ArrayType(partT)))))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("messages", msgT)))
+    df(schema,
+      Row(1L, Seq(
+        Row("user", 10L, Seq(Row("text", "look at ", null),
+          Row("image", "cat.png", "img://1"), Row("text", "please", null))),
+        Row("assistant", 20L, Seq(Row("text", "a cat", null),
+          Row("image", "box.png", "img://2"))))),
+      Row(2L, Seq(
+        Row("user", 30L, null), // NULL parts array
+        Row("assistant", 40L, Seq(Row("text", "ok", null))))))
+  }
+
+  test("partsToContent flattens with placeholders and keeps extra fields") {
+    val out = graft.ops.ChatOps.partsToContent(partsConvDf, "messages")
+      .select("id", "messages_flat").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Row](1)).toMap
+    val m1 = out(1L)
+    assert(m1.map(_.getString(0)) == Seq("user", "assistant"))
+    assert(m1.map(_.getLong(1)) == Seq(10L, 20L)) // ts survived
+    val contentIdx = 3 // role, ts, parts, content (withField appends)
+    assert(m1(0).getString(contentIdx) == "look at <image>please")
+    assert(m1(1).getString(contentIdx) == "a cat<image>")
+    // parts themselves survived, including the extra ref field
+    assert(m1(0).getSeq[Row](2)(1).getString(2) == "img://1")
+    // NULL parts → empty content, not a poisoned row
+    assert(out(2L)(0).getString(contentIdx) == "")
+  }
+
+  test("renderPartsWithSpans masks only assistant TEXT parts") {
+    val out = graft.ops.ChatOps.renderPartsWithSpans(partsConvDf,
+      "messages").select("id", "text", "mask_spans").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Row](2).map(sp => (sp.getLong(0), sp.getLong(1)))))
+    val (_, text1, spans1) = out.find(_._1 == 1L).get
+    val expected1 = "<|user|>\nlook at <image>please\n" +
+      "<|assistant|>\na cat<image>\n"
+    assert(text1 == expected1)
+    // one span, covering exactly "a cat" (the image placeholder after
+    // it is unmasked)
+    assert(spans1.size == 1)
+    val (s, e) = spans1.head
+    assert(text1.substring(s.toInt, e.toInt) == "a cat")
+    // doc 2: null user parts render as an empty body; assistant "ok"
+    val (_, text2, spans2) = out.find(_._1 == 2L).get
+    assert(text2 == "<|user|>\n\n<|assistant|>\nok\n")
+    assert(spans2.size == 1 &&
+      text2.substring(spans2.head._1.toInt, spans2.head._2.toInt) == "ok")
+  }
+
+  test("statsParts counts part types and text mass") {
+    val r = graft.ops.ChatOps.statsParts(partsConvDf, "messages")
+      .filter(col("id") === 1L).head()
+    assert(r.getLong(r.fieldIndex("n_turns")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_text_parts")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_nontext_parts")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_image_parts")) == 2L)
+    assert(r.getLong(r.fieldIndex("text_chars")) ==
+      ("look at " + "please" + "a cat").length.toLong)
+    val r2 = graft.ops.ChatOps.statsParts(partsConvDf, "messages")
+      .filter(col("id") === 2L).head()
+    assert(r2.getLong(r2.fieldIndex("n_text_parts")) == 1L)
+    assert(r2.getLong(r2.fieldIndex("text_chars")) == 2L)
+  }
+
+  test("conversationParts pseudonymizes text parts only, numbering shared") {
+    val partT = StructType(Seq(
+      StructField("type", StringType), StructField("text", StringType)))
+    val msgT = ArrayType(StructType(Seq(
+      StructField("role", StringType),
+      StructField("parts", ArrayType(partT)))))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("messages", msgT)))
+    val in = df(schema, Row(1L, Seq(
+      Row("user", Seq(Row("text", "mail bob@x.co and amy@y.org"),
+        Row("image", "bob@x.co"))), // red herring: must stay raw
+      Row("assistant", Seq(Row("text", "cc bob@x.co"))))))
+    val out = graft.ops.Pseudonymize.conversationParts(in, "messages")
+      .head()
+    assert(out.getLong(out.fieldIndex("n_email_entities")) == 2L)
+    val msgs = out.getSeq[Row](out.fieldIndex("messages_pseudo"))
+    val uParts = msgs(0).getSeq[Row](1)
+    assert(uParts(0).getString(1) == "mail EMAIL_2 and EMAIL_1")
+    assert(uParts(1).getString(1) == "bob@x.co") // image untouched
+    assert(msgs(1).getSeq[Row](1)(0).getString(1) == "cc EMAIL_2")
+  }
+
+  test("content-part YAML arms (parts: true)") {
+    val d = partsConvDf
+    val flat = graft.api.Registry("conversation_parts_flatten")(d,
+      graft.api.Conf.fromYaml(
+        "type: conversation_parts_flatten\nmessages_key: messages"), null)
+    assert(flat.columns.contains("messages_flat"))
+    val stats = graft.api.Registry("conversation_stats")(d,
+      graft.api.Conf.fromYaml(
+        "type: conversation_stats\nmessages_key: messages\nparts: true"),
+      null)
+    assert(stats.filter(col("id") === 1L).head()
+      .getLong(stats.schema.fieldIndex("n_image_parts")) == 2L)
+    val rendered = graft.api.Registry("chat_render")(d,
+      graft.api.Conf.fromYaml(
+        "type: chat_render\nmessages_key: messages\nparts: true"), null)
+    assert(rendered.filter(col("id") === 2L).head()
+      .getString(rendered.schema.fieldIndex("text"))
+      == "<|user|>\n\n<|assistant|>\nok\n")
+  }
+
   // ------------------------------ byte-level BPE (VERDICT item 4)
 
   test("gpt-2 byte alphabet matches the published bytes_to_unicode table") {
