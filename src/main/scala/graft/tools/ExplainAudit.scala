@@ -35,7 +35,17 @@ object ExplainAudit {
         // narrow byte-features kernel into the broadcast ANN cross, and
         // the bin-keyed one-pass histogram
         "q201_edit_keep_best", "q224_novelty", "q220_byte_features_ann",
-        "q231_histogram")
+        "q231_histogram",
+        // residual round-13 shapes (VERDICT r13 item 8): the kappa
+        // contingency aggregation, the split-leakage join chain, and
+        // the percentile/RRF range-partitioned rank hops
+        "q221_cohen_kappa", "q227_split_leakage", "q232_score_percentile",
+        "q237_score_rrf",
+        // round-14 shapes: the shuffle-free Aho-Corasick blocklist
+        // kernel, the marginal-join kappa, and the vocab-only byte-BPE
+        // encode
+        "q241_blocklist_scale", "q243_cohen_kappa_distributed",
+        "q246_bpe_byte_encode")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

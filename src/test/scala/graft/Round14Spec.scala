@@ -10,6 +10,13 @@ import org.apache.spark.sql.types._
   * bins) plus the new scale-path operators added this round. */
 class Round14Spec extends SparkSpec {
 
+  private def tmpParquet(d: DataFrame, name: String): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_$name")
+      .resolve("t.parquet").toString
+    d.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
   // ------------------------------------------- advisor item 1: apportion
 
   test("apportion ignores null domains and survives all-null sums") {
@@ -206,6 +213,46 @@ class Round14Spec extends SparkSpec {
       phrasesDf(planted), "phrase")
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(acSmall == exprOut)
+  }
+
+  // ----------------------- plan-shape pins (VERDICT r13 item 8 + r14)
+
+  test("blocklist kernel plan: one narrow scan, no shuffle, no join") {
+    val texts = tmpParquet(textsDf(
+      (1L, "click here now"), (2L, "plain")), "bl_texts")
+    val phrases = phrasesDf(Seq("click here", "act fast"))
+    val out = graft.ops.Blocklist.report(texts, "text", phrases, "phrase")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(plan.contains("MapPartitions"), plan.take(800))
+  }
+
+  test("score ensemble rank hops avoid unpartitioned windows") {
+    val base = tmpParquet(df(StructType(Seq(
+      StructField("id", LongType), StructField("s1", LongType),
+      StructField("s2", LongType))),
+      (1L to 40L).map(i => Row(i, i * 7 % 13, i * 11 % 17)): _*),
+      "rrf_base")
+    val rrf = graft.ops.ScoreEnsemble.rrf(base, Seq("s1", "s2"), "id")
+    assert(!rrf.queryExecution.executedPlan.toString.contains("Window"))
+    val pct = graft.ops.ScoreEnsemble.percentile(base, Seq("s1", "s2"),
+      "id")
+    assert(!pct.queryExecution.executedPlan.toString.contains("Window"))
+    graft.core.PersistScope.unpersistAll()
+  }
+
+  test("distributed kappa plan: keyed aggregations, no window, no cartesian") {
+    val in = tmpParquet(df(StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType))),
+      (1L to 30L).map(i => Row((i % 3).toString, (i % 4 % 3).toString)): _*),
+      "kappa_in")
+    val out = graft.ops.Agreement.cohenKappaDistributed(in, "a", "b")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(plan.contains("HashAggregate"), plan.take(800))
+    graft.core.PersistScope.unpersistAll()
   }
 
   // ---------------------------- chat content parts (VERDICT item 7)
