@@ -8067,6 +8067,104 @@ object Queries {
                md5('text:contact EMAIL_2 or EMAIL_1|image:bob@x.co|' ||
                    'text:email EMAIL_1 back') AS parts_md5
         FROM documents""")
+    ),
+    (
+      // Content-part validation: one planted defect class per doc_id%4
+      // residue (valid / empty parts array / unknown part type / empty
+      // text part) — part-level reasons fire before the flat
+      // alternation rules; reason coalesced to 'none' (nullable-string
+      // gate trap).
+      "q250_chat_parts_validate",
+      (s: SparkSession, dir: String) => {
+        val txt = struct(lit("text").as("type"),
+          substring(col("text"), 1, 10).as("text"))
+        val img = struct(lit("image").as("type"), lit("r.png").as("text"))
+        val bad = struct(lit("sticker").as("type"), lit("x").as("text"))
+        val emptyTxt = struct(lit("text").as("type"), lit("").as("text"))
+        val userParts = when(col("doc_id") % 4 === 1,
+          slice(array(txt), 1, 0)) // typed empty array
+          .when(col("doc_id") % 4 === 2, array(txt, bad))
+          .when(col("doc_id") % 4 === 3, array(txt, emptyTxt))
+          .otherwise(array(txt, img))
+        val conv = t(s, dir, "documents").select(col("doc_id"), array(
+          struct(lit("user").as("role"), userParts.as("parts")),
+          struct(lit("assistant").as("role"),
+            array(struct(lit("text").as("type"),
+              substring(col("text"), 1, 35).as("text"))).as("parts")))
+          .as("messages"))
+        graft.ops.ChatOps.validateParts(conv, "messages")
+          .select(col("doc_id"), col("conv_valid"),
+            coalesce(col("conv_invalid_reason"), lit("none")).as("reason"))
+      },
+      Some("""
+        SELECT doc_id, (doc_id % 4 = 0) AS conv_valid,
+               CASE doc_id % 4
+                 WHEN 1 THEN 'no_parts'
+                 WHEN 2 THEN 'unknown_part_type'
+                 WHEN 3 THEN 'empty_text_part'
+                 ELSE 'none' END AS reason
+        FROM documents""")
+    ),
+    (
+      // MinHash-LSH banding planner: the public S-curve arithmetic for
+      // every legal banding of 64 permutations at threshold 0.8 —
+      // t_star = (1/b)^(1/r), detection probability at the threshold,
+      // and the chosen banding (closest t_star, ties to fewer bands).
+      "q251_lsh_plan",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.LshPlan.choose(s, numPerms = 64, threshold = 0.8),
+      Some("""
+        WITH d AS (
+          SELECT i::BIGINT AS bands, (64 // i)::BIGINT AS rows_per_band,
+                 pow(1.0 / i, i / 64.0) AS t_raw,
+                 1 - pow(1 - pow(0.8, (64 // i)::DOUBLE), i::DOUBLE)
+                   AS p_raw
+          FROM range(1, 65) AS r(i) WHERE 64 % i = 0),
+        rk AS (SELECT bands, row_number() OVER (
+                 ORDER BY abs(t_raw - 0.8), bands) AS rn FROM d)
+        SELECT d.bands, rows_per_band, round(t_raw, 6) AS t_star,
+               round(p_raw, 6) AS p_at_threshold,
+               (rk.rn = 1) AS chosen
+        FROM d JOIN rk ON d.bands = rk.bands""")
+    ),
+    (
+      // Conversation budget trimming: keep the longest SUFFIX of turns
+      // fitting 45 chars (system kept and charged first) — long docs
+      // drop their oldest user turn, short ones keep everything; the
+      // oracle replays the suffix arithmetic in closed form.
+      "q252_conversation_trim",
+      (s: SparkSession, dir: String) => {
+        val conv = t(s, dir, "documents").select(col("doc_id"), array(
+          struct(lit("system").as("role"), lit("sys").as("content")),
+          struct(lit("user").as("role"),
+            substring(col("text"), 1, 20).as("content")),
+          struct(lit("assistant").as("role"),
+            substring(col("text"), 1, 35).as("content")),
+          struct(lit("user").as("role"), lit("thanks").as("content")))
+          .as("messages"))
+        graft.ops.ChatOps.trimToBudget(conv, "messages", budget = 45L)
+          .select(col("doc_id"), col("n_trimmed_turns"),
+            md5(concat_ws("|", transform(col("messages_trimmed"), m =>
+              concat(m.getField("role"), lit(":"),
+                m.getField("content"))))).as("kept_md5"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, substr(text, 1, 20) AS t1,
+                 substr(text, 1, 35) AS t2,
+                 least(len(text), 20)::BIGINT AS l1,
+                 least(len(text), 35)::BIGINT AS l2
+          FROM documents)
+        SELECT doc_id,
+               (CASE WHEN l1 + l2 <= 36 THEN 0 ELSE 1 END)::BIGINT
+                 AS n_trimmed_turns,
+               CASE WHEN l1 + l2 <= 36
+                 THEN md5('system:sys|user:' || t1 || '|assistant:' ||
+                          t2 || '|user:thanks')
+                 ELSE md5('system:sys|assistant:' || t2 ||
+                          '|user:thanks')
+               END AS kept_md5
+        FROM d""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -311,6 +311,13 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       outCol: String = "messages_pseudo"): Frame =
     next(Pseudonymize.conversationParts(df, messagesCol, pattern, label,
       outCol))
+  def validateConversationParts(messagesCol: String): Frame =
+    next(ChatOps.validateParts(df, messagesCol))
+  def trimConversationToBudget(messagesCol: String, budget: Long,
+      keepSystem: Boolean = true): Frame =
+    next(ChatOps.trimToBudget(df, messagesCol, budget, keepSystem))
+  def lshPlan(numPerms: Int, threshold: Double): Frame =
+    next(graft.dedup.LshPlan.choose(df.sparkSession, numPerms, threshold))
   def conversationFromPairs(promptCol: String, responseCol: String,
       system: Option[String] = None): Frame =
     next(ChatOps.fromPromptResponse(df, promptCol, responseCol, system))

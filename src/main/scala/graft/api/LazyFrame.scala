@@ -395,6 +395,15 @@ final case class LazyFrame(
       label: String = "EMAIL"): LazyFrame =
     append("pseudonymize", "messages_key" -> messagesKey,
       "label" -> label, "parts" -> true)
+  def validateConversationParts(messagesKey: String): LazyFrame =
+    append("conversation_validate", "messages_key" -> messagesKey,
+      "parts" -> true)
+  def trimConversationToBudget(messagesKey: String, budget: Long,
+      keepSystem: Boolean = true): LazyFrame =
+    append("conversation_trim", "messages_key" -> messagesKey,
+      "budget" -> budget, "keep_system" -> keepSystem)
+  def lshPlan(numPerms: Int, threshold: Double): LazyFrame =
+    append("lsh_plan", "num_perms" -> numPerms, "threshold" -> threshold)
   def conversationFromPairs(promptKey: String, responseKey: String,
       system: String = ""): LazyFrame = {
     val base = Seq[(String, Any)]("prompt_key" -> promptKey,

@@ -926,11 +926,37 @@ object Registry {
   // Conversation-shape validation (§2.14 SFT prep): appends conv_valid +
   // conv_invalid_reason. `drop_invalid: true` filters instead.
   register("conversation_validate") { (df, c, _) =>
-    val out = ChatOps.validate(df, c("messages_key").str)
+    // `parts: true` adds the part-level shape rules (no_parts /
+    // unknown_part_type / empty_text_part) before the flat checks
+    val out =
+      if (c.boolOr("parts", false))
+        ChatOps.validateParts(df, c("messages_key").str,
+          c.get("allowed_types").map(_.strList)
+            .getOrElse(Seq("text", "image", "audio", "video")))
+      else ChatOps.validate(df, c("messages_key").str)
     if (c.boolOr("drop_invalid", false))
       out.filter(org.apache.spark.sql.functions.col("conv_valid"))
         .drop("conv_valid", "conv_invalid_reason")
     else out
+  }
+  // Conversation budget trimming (§2.14 SFT prep): keep the longest
+  // suffix of turns fitting a character budget (+ the leading system
+  // message when keep_system).
+  register("conversation_trim") { (df, c, _) =>
+    ChatOps.trimToBudget(df, c("messages_key").str, c("budget").long,
+      c.boolOr("keep_system", true),
+      c.strOr("output_key", "messages_trimmed"))
+  }
+  // MinHash-LSH banding planner (§2.14 dedup tuning): the S-curve table
+  // behind every (num_perms, num_bands) choice — zero corpus work.
+  register("lsh_plan") { (df, c, _) =>
+    c.get("bands") match {
+      case Some(b) => graft.dedup.LshPlan.curve(df.sparkSession,
+        c("num_perms").int, b.int,
+        c("similarities").asList.map(_.dbl))
+      case None => graft.dedup.LshPlan.choose(df.sparkSession,
+        c("num_perms").int, c("threshold").dbl)
+    }
   }
   // Conversation shape statistics (§2.14 SFT prep): the datacard band —
   // turns, role counts, char mass, ends-with-assistant. `parts: true`

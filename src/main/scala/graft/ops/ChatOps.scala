@@ -334,6 +334,93 @@ object ChatOps {
       .drop("_chatp")
   }
 
+  /** [[validate]] for PARTS messages: part-level shape rules first
+    * (every message carries a non-empty parts array, every part type is
+    * known, every text part has text), then the flat conversation rules
+    * over the [[partsToContent]] flatten (leading-system, alternation,
+    * termination). Reason priority: part-level beats flat-level except
+    * `empty` (an empty conversation is `empty`, not `no_parts`). */
+  def validateParts(df: DataFrame, messagesCol: String,
+      allowedTypes: Seq[String] = Seq("text", "image", "audio", "video"),
+      validOut: String = "conv_valid",
+      reasonOut: String = "conv_invalid_reason"): DataFrame = {
+    val msgs = col(messagesCol)
+    val noParts = exists(msgs, m =>
+      m.getField("parts").isNull || size(m.getField("parts")) === 0)
+    val unknownType = exists(msgs, m => coalesce(
+      exists(m.getField("parts"), p =>
+        p.getField("type").isNull ||
+          !p.getField("type").isin(allowedTypes.map(x => x: Any): _*)),
+      lit(false)))
+    val emptyTextPart = exists(msgs, m => coalesce(
+      exists(m.getField("parts"), p =>
+        p.getField("type") === "text" &&
+          (p.getField("text").isNull ||
+            length(p.getField("text")) === 0)),
+      lit(false)))
+    val partReason = when(coalesce(noParts, lit(false)), lit("no_parts"))
+      .when(coalesce(unknownType, lit(false)), lit("unknown_part_type"))
+      .when(coalesce(emptyTextPart, lit(false)), lit("empty_text_part"))
+      .otherwise(lit(null).cast("string"))
+    val flat = validate(
+      partsToContent(df, messagesCol, DefaultPartPlaceholders,
+        "_graft_flat"),
+      "_graft_flat", "_graft_fv", "_graft_fr")
+    flat
+      .withColumn(reasonOut,
+        when(col("_graft_fr") === "empty", col("_graft_fr"))
+          .otherwise(coalesce(partReason, col("_graft_fr"))))
+      .withColumn(validOut, col(reasonOut).isNull)
+      .drop("_graft_flat", "_graft_fv", "_graft_fr")
+  }
+
+  /** Drop oldest turns to fit a character budget — the standard
+    * long-conversation SFT repair ("keep the most recent context"):
+    * keeps the LONGEST SUFFIX of messages whose total content length
+    * fits `budget`, plus (optionally) the leading system message, which
+    * carries the instructions and is charged against the budget first.
+    * Appends `outCol` and `n_trimmed_turns`. The greedy suffix stops at
+    * the FIRST overflow (no cherry-picking of smaller earlier turns —
+    * context must stay contiguous). Pure per-row fold over the reversed
+    * array; no explode, no shuffle. */
+  def trimToBudget(df: DataFrame, messagesCol: String, budget: Long,
+      keepSystem: Boolean = true,
+      outCol: String = "messages_trimmed"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val msgType = df.schema(df.schema.fieldIndex(messagesCol)).dataType
+    val msgs = coalesce(col(messagesCol), array().cast(msgType))
+    val contentLen = (m: Column) =>
+      length(coalesce(m.getField("content"), lit(""))).cast("bigint")
+    val leadSystem = when(
+      lit(keepSystem) && size(msgs) >= 1 &&
+        get(msgs, lit(0)).getField("role") === "system",
+      slice(msgs, lit(1), lit(1))).otherwise(array().cast(msgType))
+    val bodyMsgs = when(size(leadSystem) === 1,
+      slice(msgs, lit(2), greatest(size(msgs) - 1, lit(0))))
+      .otherwise(msgs)
+    val sysCost = coalesce(
+      aggregate(leadSystem, lit(0L), (a, m) => a + contentLen(m)), lit(0L))
+    // reverse fold: kept suffix accumulates newest-first until the
+    // budget saturates; `sat` latches so an earlier small turn cannot
+    // re-enter after a larger one overflowed (contiguity)
+    val zero = struct(array().cast(msgType).as("kept"),
+      sysCost.as("used"), lit(false).as("sat"))
+    val folded = aggregate(reverse(bodyMsgs), zero, (acc, m) => {
+      val fits = !acc.getField("sat") &&
+        acc.getField("used") + contentLen(m) <= budget
+      struct(
+        when(fits, concat(array(m), acc.getField("kept")))
+          .otherwise(acc.getField("kept")).as("kept"),
+        when(fits, acc.getField("used") + contentLen(m))
+          .otherwise(acc.getField("used")).as("used"),
+        when(fits, acc.getField("sat")).otherwise(lit(true)).as("sat")
+      )
+    })
+    df.withColumn(outCol, concat(leadSystem, folded.getField("kept")))
+      .withColumn("n_trimmed_turns",
+        (size(msgs) - size(col(outCol))).cast("bigint"))
+  }
+
   /** Per-conversation PARTS statistics — the multimodal datacard band
     * next to [[stats]]: turn count, text/non-text part counts, per-type
     * non-text histogram pairs left to the caller (type vocab is open),

@@ -372,6 +372,91 @@ class Round14Spec extends SparkSpec {
       == "<|user|>\n\n<|assistant|>\nok\n")
   }
 
+  test("validateParts: part-level reasons before flat rules") {
+    val partT = StructType(Seq(
+      StructField("type", StringType), StructField("text", StringType)))
+    val msgT = ArrayType(StructType(Seq(
+      StructField("role", StringType),
+      StructField("parts", ArrayType(partT)))))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("messages", msgT)))
+    def m(role: String, parts: Seq[Row]) = Row(role, parts)
+    val txt = Row("text", "hi")
+    val in = df(schema,
+      Row(1L, Seq(m("user", Seq(txt)), m("assistant", Seq(txt)))),
+      Row(2L, Seq(m("user", Seq.empty), m("assistant", Seq(txt)))),
+      Row(3L, Seq(m("user", Seq(Row("sticker", "x"))),
+        m("assistant", Seq(txt)))),
+      Row(4L, Seq(m("user", Seq(Row("text", ""))),
+        m("assistant", Seq(txt)))),
+      Row(5L, Seq.empty), // empty conversation: flat 'empty' wins
+      Row(6L, Seq(m("assistant", Seq(txt))))) // flat alternation reason
+    val out = graft.ops.ChatOps.validateParts(in, "messages")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("conv_valid")),
+          Option(r.getString(r.fieldIndex("conv_invalid_reason")))))
+      .toMap
+    assert(out(1L) == (true, None))
+    assert(out(2L) == (false, Some("no_parts")))
+    assert(out(3L) == (false, Some("unknown_part_type")))
+    assert(out(4L) == (false, Some("empty_text_part")))
+    assert(out(5L) == (false, Some("empty")))
+    assert(out(6L) == (false, Some("bad_alternation")))
+  }
+
+  test("trimToBudget keeps the longest contiguous suffix plus system") {
+    val msgT = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("messages", msgT)))
+    val in = df(schema, Row(1L, Seq(
+      Row("system", "be terse"),          // 8 chars, always kept
+      Row("user", "aaaaaaaaaa"),          // 10
+      Row("assistant", "bbbbb"),          // 5
+      Row("user", "cc"),                  // 2
+      Row("assistant", "ddd"))))          // 3
+    // budget 20: sys 8 + ddd 3 + cc 2 + bbbbb 5 = 18; +10 overflows
+    val out = graft.ops.ChatOps.trimToBudget(in, "messages", budget = 20L)
+      .head()
+    val kept = out.getSeq[Row](out.fieldIndex("messages_trimmed"))
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(kept == Seq(("system", "be terse"), ("assistant", "bbbbb"),
+      ("user", "cc"), ("assistant", "ddd")))
+    assert(out.getLong(out.fieldIndex("n_trimmed_turns")) == 1L)
+    // contiguity: a tiny old turn cannot re-enter after an overflow
+    val in2 = df(schema, Row(2L, Seq(
+      Row("user", "x"),                   // 1 char, oldest — must NOT sneak in
+      Row("user", "yyyyyyyyyyyy"),        // 12, overflows
+      Row("assistant", "zzzzz"))))        // 5
+    val out2 = graft.ops.ChatOps.trimToBudget(in2, "messages",
+      budget = 6L).head()
+    val kept2 = out2.getSeq[Row](out2.fieldIndex("messages_trimmed"))
+      .map(_.getString(1))
+    assert(kept2 == Seq("zzzzz"))
+    // budget smaller than the system message: body all trimmed
+    val out3 = graft.ops.ChatOps.trimToBudget(in, "messages",
+      budget = 5L).head()
+    assert(out3.getSeq[Row](out3.fieldIndex("messages_trimmed"))
+      .map(_.getString(0)) == Seq("system"))
+  }
+
+  test("lsh plan: S-curve arithmetic and banding choice") {
+    val plan = graft.dedup.LshPlan.choose(spark, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(plan.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    // b=4, r=4: t* = (1/4)^(1/4) ≈ 0.7071; b=8, r=2: (1/8)^(1/2) ≈ .3536
+    val t4 = plan.find(_._1 == 4L).get._3
+    assert(math.abs(t4 - math.pow(0.25, 0.25)) < 1e-6)
+    // closest to 0.5 is b=8 (|0.354-0.5|=.146 vs b=4 .207)
+    assert(plan.filter(_._4).map(_._1).toSeq == Seq(8L))
+    val curve = graft.dedup.LshPlan.curve(spark, 16, 8, Seq(0.2, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // p(s) = 1-(1-s^2)^8
+    assert(math.abs(curve(0.2) - (1 - math.pow(1 - 0.04, 8))) < 1e-6)
+    assert(curve(0.9) > 0.99)
+  }
+
   // ------------------------------ byte-level BPE (VERDICT item 4)
 
   test("gpt-2 byte alphabet matches the published bytes_to_unicode table") {
