@@ -7200,8 +7200,11 @@ object Queries {
                  list_filter(string_split_regex(lower(text),
                    '[^a-z0-9]+'), x -> x <> '') AS t
           FROM documents),
+        -- slices travel as coalesce(source, chr(1)) so a NULL source
+        -- group joins like any other (the engine's <=> join keeps it);
+        -- the sentinel maps back to NULL in the final select
         cur AS (
-          SELECT DISTINCT source AS slice,
+          SELECT DISTINCT coalesce(source, chr(1)) AS slice,
                  t[p] || ' ' || t[p+1] || ' ' || t[p+2] AS g
           FROM tok, UNNEST(range(1, len(t) + 1)) AS tp(p)
           WHERE lang = 'en' AND p + 2 <= len(t)),
@@ -7216,9 +7219,10 @@ object Queries {
         -- every distinct slice of the CURRENT side gets a row, even
         -- when all its documents are shorter than n tokens (the engine
         -- emits (slice, 0, 0, null) instead of dropping the slice)
-        sl AS (SELECT DISTINCT source AS slice FROM documents
-               WHERE lang = 'en')
-        SELECT slice, coalesce(n_grams, 0)::BIGINT AS n_grams,
+        sl AS (SELECT DISTINCT coalesce(source, chr(1)) AS slice
+               FROM documents WHERE lang = 'en')
+        SELECT CASE WHEN slice = chr(1) THEN NULL ELSE slice END AS slice,
+               coalesce(n_grams, 0)::BIGINT AS n_grams,
                coalesce(novel, 0)::BIGINT AS novel_grams,
                CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL
                     ELSE round(coalesce(novel, 0) / n_grams::DOUBLE, 6)

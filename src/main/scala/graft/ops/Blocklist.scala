@@ -19,8 +19,8 @@ import org.apache.spark.sql.types._
   *
   * Scale shape: ONE broadcast of the distinct lowercased phrase list
   * (the compact form — goto/fail tables are built per executor, once
-  * per broadcast id, so the wire carries phrase bytes, not automaton
-  * pointers), then a narrow per-partition scan: no join, no shuffle,
+  * per list CONTENT hash, so the wire carries phrase bytes, not
+  * automaton pointers), then a narrow per-partition scan: no join, no shuffle,
   * no per-row expression growth. Driver/broadcast state is the phrase
   * list itself — the documented bound every multi-pattern engine
   * (grep -f, Hyperscan, Spark's own Bloom pushdown) shares. Matching
@@ -112,19 +112,37 @@ object Blocklist {
     def size: Int = next.size
   }
 
-  /** Per-executor automaton cache keyed by broadcast id: every partition
-    * of every task on an executor shares ONE build (construction is
-    * cheap but not free at 10⁶ phrases; broadcast eviction drops the
-    * entry with the broadcast). */
+  /** Per-executor automaton cache keyed by the phrase list's CONTENT
+    * hash — never by broadcast id, which restarts from 0 with every
+    * SparkContext and could serve a stale automaton built from a
+    * DIFFERENT list after a same-JVM session restart. Content keying
+    * also means identical lists across broadcasts (bench loops, retry
+    * re-submissions) share one build. LRU-bounded at 8 entries, evicted
+    * one-at-a-time (a full clear would thrash rebuilds when >8 lists
+    * are live concurrently). Builds run under the map lock so exactly
+    * one task pays the O(total phrase chars) construction per list. */
   private val automata =
-    scala.collection.concurrent.TrieMap.empty[Long, Automaton]
+    new java.util.LinkedHashMap[String, Automaton](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Automaton]): Boolean = size() > 8
+    }
 
-  private def automatonFor(id: Long, patterns: Array[String]): Automaton = {
-    // bound the per-executor cache: repeated scans (bench loops, long
-    // sessions) each carry a fresh broadcast id — stale automata must
-    // not accumulate alongside their evicted broadcasts
-    if (automata.size > 8) automata.clear()
-    automata.getOrElseUpdate(id, new Automaton(patterns))
+  private def automatonFor(key: String,
+      patterns: Array[String]): Automaton = automata.synchronized {
+    val got = automata.get(key)
+    if (got != null) got
+    else { val a = new Automaton(patterns); automata.put(key, a); a }
+  }
+
+  /** md5 over the sorted phrase array — the cache identity, computed
+    * ONCE on the driver. */
+  private def contentKey(arr: Array[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    arr.foreach { p =>
+      md.update(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Normalized phrase array: distinct, lowercase, non-empty, SORTED
@@ -148,13 +166,14 @@ object Blocklist {
   def report(df: DataFrame, textCol: String, phrases: DataFrame,
       phraseCol: String): DataFrame = {
     val arr = phraseArray(phrases, phraseCol)
+    val key = contentKey(arr)
     val bc = df.sparkSession.sparkContext.broadcast(arr)
     val idx = df.schema.fieldIndex(textCol)
     val newSchema = df.schema
       .add(StructField("blocked", BooleanType, nullable = false))
       .add(StructField("blocked_phrases", LongType, nullable = false))
     df.mapPartitions { it =>
-      val ac = automatonFor(bc.id, bc.value)
+      val ac = automatonFor(key, bc.value)
       it.map { row =>
         val text = if (row.isNullAt(idx)) null
           else row.getString(idx).toLowerCase(java.util.Locale.ROOT)
@@ -170,10 +189,11 @@ object Blocklist {
   def filterBlocked(df: DataFrame, textCol: String, phrases: DataFrame,
       phraseCol: String): DataFrame = {
     val arr = phraseArray(phrases, phraseCol)
+    val key = contentKey(arr)
     val bc = df.sparkSession.sparkContext.broadcast(arr)
     val idx = df.schema.fieldIndex(textCol)
     df.mapPartitions { it =>
-      val ac = automatonFor(bc.id, bc.value)
+      val ac = automatonFor(key, bc.value)
       it.filter { row =>
         val text = if (row.isNullAt(idx)) null
           else row.getString(idx).toLowerCase(java.util.Locale.ROOT)
@@ -189,6 +209,7 @@ object Blocklist {
   def reportMatches(df: DataFrame, textCol: String, phrases: DataFrame,
       phraseCol: String): DataFrame = {
     val arr = phraseArray(phrases, phraseCol)
+    val key = contentKey(arr)
     val bc = df.sparkSession.sparkContext.broadcast(arr)
     val idx = df.schema.fieldIndex(textCol)
     val newSchema = df.schema
@@ -196,7 +217,7 @@ object Blocklist {
       .add(StructField("blocked_phrases", LongType, nullable = false))
       .add(StructField("blocked_list", ArrayType(StringType), nullable = false))
     df.mapPartitions { it =>
-      val ac = automatonFor(bc.id, bc.value)
+      val ac = automatonFor(key, bc.value)
       val pats = bc.value
       it.map { row =>
         val text = if (row.isNullAt(idx)) null

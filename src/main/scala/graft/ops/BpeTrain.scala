@@ -182,9 +182,12 @@ object BpeTrain {
   /** GPT-2's pre-tokenizer regex (public, from the GPT-2 release):
     * contraction suffixes, space-prefixed letter/digit/punctuation
     * runs, residual whitespace. Java-regex compatible (Spark's
-    * `regexp_extract_all` replays it verbatim). */
+    * `regexp_extract_all` replays it verbatim). The `(?U)` flag makes
+    * `\s` Unicode-aware (NBSP, ideographic space, …) — Python's regex
+    * module, which GPT-2/tiktoken use, treats them as whitespace, and
+    * ASCII-`\s` Java would instead glue them into punctuation runs. */
   val Gpt2PretokenRegex: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
+    "(?U)'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
       "|\\s+(?!\\S)|\\s+"
 
   /** `word`'s UTF-8 bytes through [[ByteAlphabet]] — the byte-level

@@ -41,10 +41,14 @@ object Novelty {
       .select(col("_g")).distinct()
     val novel = cur.join(ref, Seq("_g"), "left_anti")
       .groupBy("slice").agg(count(lit(1)).as("novel_grams"))
+    // null-safe joins (<=>): a NULL slice (missing source metadata) is
+    // a real group with real counts — an equi-join would zero it out
+    val tot = cur.groupBy("slice").agg(count(lit(1)).as("n_grams"))
+      .withColumnRenamed("slice", "_s1")
+    val nov = novel.withColumnRenamed("slice", "_s2")
     slices
-      .join(cur.groupBy("slice").agg(count(lit(1)).as("n_grams")),
-        Seq("slice"), "left")
-      .join(novel, Seq("slice"), "left")
+      .join(tot, col("slice") <=> col("_s1"), "left").drop("_s1")
+      .join(nov, col("slice") <=> col("_s2"), "left").drop("_s2")
       .select(col("slice"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),

@@ -545,6 +545,60 @@ class Round14Spec extends SparkSpec {
       Seq("aa", "Ġaa", "Ġaa"))
   }
 
+  // --------------------------- code-review pass 1 regressions
+
+  test("gpt-2 pretokenizer treats unicode whitespace as whitespace") {
+    // NBSP must break the punctuation run (Python regex \s semantics),
+    // not glue '.',NBSP,',' into one token (ASCII-\s Java default)
+    val docs = textsDf((1L, "x. ,y"))
+    val toks = graft.ops.BpeTrain.pretokenCounts(docs, "text")
+      .collect().map(_.getString(0)).toSet
+    assert(toks == Set("x", ".", " ", ",", "y"), toks.toString)
+  }
+
+  test("novelty keeps a NULL slice group's true counts (null-safe join)") {
+    val schema = StructType(Seq(
+      StructField("slice", StringType), StructField("text", StringType)))
+    val cur = df(schema,
+      Row(null, "alpha beta gamma delta"), // null slice WITH grams
+      Row("s", "one two three"))
+    val ref = df(schema, Row("r", "alpha beta gamma"))
+    val out = graft.ops.Novelty.report(cur, "slice", "text", ref, "text",
+      n = 3).collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(None) == (2L, 1L), out.toString) // not zeroed out
+    assert(out(Some("s")) == (1L, 1L))
+  }
+
+  test("blocklist automata are content-keyed: list swaps never serve stale matches") {
+    val texts = textsDf((1L, "alpha beta"), (2L, "gamma"))
+    val r1 = graft.ops.Blocklist.report(texts, "text",
+      phrasesDf(Seq("alpha")), "phrase")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(r1 == Map(1L -> true, 2L -> false))
+    // different list, same session: must match against ITS phrases
+    val r2 = graft.ops.Blocklist.report(texts, "text",
+      phrasesDf(Seq("gamma")), "phrase")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(r2 == Map(1L -> false, 2L -> true))
+    // identical list again: cache-hit path still correct
+    val r3 = graft.ops.Blocklist.report(texts, "text",
+      phrasesDf(Seq("alpha")), "phrase")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(r3 == r1)
+  }
+
+  test("byte-level bpe_encode rejects greedy: false") {
+    val docs = textsDf((1L, "aa aa"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.api.Registry("bpe_encode")(docs, graft.api.Conf.fromYaml(
+        "type: bpe_encode\ntext_key: text\nnum_merges: 1\nlevel: byte\n" +
+          "greedy: false"), null)
+    }
+    assert(ex.getMessage.contains("greedy by definition"))
+  }
+
   // ------------------ in-plan Cohen + Krippendorff (VERDICT items 5/6)
 
   test("distributed cohen kappa is bit-equal to the collect form") {
