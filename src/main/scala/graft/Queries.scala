@@ -8169,6 +8169,67 @@ object Queries {
                           '|user:thanks')
                END AS kept_md5
         FROM d""")
+    ),
+    (
+      // Truncation curve: the q235 pre-flight over a GRID of candidate
+      // context lengths in one query — per-L doc/token loss from one
+      // projected length column exploded against the bounded grid.
+      "q253_truncation_curve",
+      (s: SparkSession, dir: String) =>
+        graft.ops.PackOp.truncationCurve(t(s, dir, "documents"),
+          "size(filter(split(text, ' '), w -> length(w) > 0))",
+          Seq(32L, 64L, 128L)),
+      Some("""
+        WITH d AS (
+          SELECT len(list_filter(string_split(text, ' '),
+                   w -> w <> ''))::BIGINT AS l
+          FROM documents),
+        g AS (SELECT unnest([32, 64, 128])::BIGINT AS seq_len)
+        SELECT seq_len, count(*)::BIGINT AS docs,
+               sum(CASE WHEN l > seq_len THEN 1 ELSE 0 END)::BIGINT
+                 AS docs_over,
+               sum(l)::BIGINT AS tokens_total,
+               sum(CASE WHEN l > seq_len THEN l - seq_len ELSE 0
+                   END)::BIGINT AS tokens_lost,
+               round(sum(CASE WHEN l > seq_len THEN 1 ELSE 0
+                     END)::DOUBLE / count(*), 6) AS frac_docs_over,
+               round(sum(CASE WHEN l > seq_len THEN l - seq_len ELSE 0
+                     END)::DOUBLE / greatest(sum(l), 1), 6)
+                 AS frac_tokens_lost
+        FROM d, g GROUP BY 1""")
+    ),
+    (
+      // Vocabulary distribution report: token/type totals, hapax share,
+      // top-token mass, and the OLS Zipf slope over the top-100 types
+      // (ties token-ascending on both engines, so rank — and the slope
+      // sums — replay deterministically).
+      "q254_zipf_report",
+      (s: SparkSession, dir: String) =>
+        graft.ops.CorpusStats.zipfReport(t(s, dir, "documents"), "text",
+          topK = 100),
+      Some("""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS t
+          FROM documents),
+        c AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+        tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS types,
+                       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT
+                         AS hapax
+                FROM c),
+        top AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rk
+                FROM c ORDER BY c DESC, t LIMIT 100),
+        ols AS (SELECT count(*)::DOUBLE AS k, sum(ln(rk)) AS sx,
+                       sum(ln(c)) AS sy, sum(ln(rk) * ln(rk)) AS sxx,
+                       sum(ln(rk) * ln(c)) AS sxy
+                FROM top),
+        t1 AS (SELECT c AS top1 FROM top WHERE rk = 1)
+        SELECT n AS n_tokens, types AS n_types, hapax AS hapax_types,
+               round(hapax::DOUBLE / types, 6) AS hapax_share,
+               round(top1::DOUBLE / n, 6) AS top1_share,
+               round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                 AS zipf_slope
+        FROM tot, ols, t1""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

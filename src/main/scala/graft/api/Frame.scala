@@ -466,6 +466,10 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       textCol, blockExpr, n, threshold))
   def truncationReport(lenExpr: String, seqLen: Long): Frame =
     next(PackOp.truncationReport(df, lenExpr, seqLen))
+  def truncationCurve(lenExpr: String, seqLens: Seq[Long]): Frame =
+    next(PackOp.truncationCurve(df, lenExpr, seqLens))
+  def zipfReport(textCol: String, topK: Int = 100): Frame =
+    next(CorpusStats.zipfReport(df, textCol, topK))
   def effectiveCrawlDelay(delays: Frame, agent: String,
       defaultDelay: Double = 0.0): Frame =
     next(RobotsTxt.effectiveDelay(df, delays.df, agent, defaultDelay))

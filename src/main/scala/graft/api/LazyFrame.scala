@@ -558,6 +558,11 @@ final case class LazyFrame(
     append("dedup", "method" -> "ngram_containment", "id_key" -> idKey,
       "text_key" -> textKey, "block_expr" -> blockExpr, "n" -> n,
       "threshold" -> threshold)
+  def truncationCurve(lenExpr: String, seqLens: Seq[Long]): LazyFrame =
+    append("truncation_report", "len_expr" -> lenExpr,
+      "seq_lens" -> jlist(seqLens.map(l => l: Any)))
+  def zipfReport(textKey: String, topK: Int = 100): LazyFrame =
+    append("zipf_report", "text_key" -> textKey, "top_k" -> topK)
   def truncationReport(lenExpr: String, seqLen: Long): LazyFrame =
     append("truncation_report", "len_expr" -> lenExpr,
       "seq_len" -> seqLen)

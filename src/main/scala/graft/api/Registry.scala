@@ -990,7 +990,13 @@ object Registry {
   // Truncation-budget report (§2.14 tensorization pre-flight): one row —
   // docs/tokens a hard cut at seq_len would lose.
   register("truncation_report") { (df, c, _) =>
-    PackOp.truncationReport(df, c("len_expr").str, c("seq_len").long)
+    // `seq_lens: [..]` switches to the grid form (one row per L)
+    c.get("seq_lens") match {
+      case Some(ls) => PackOp.truncationCurve(df, c("len_expr").str,
+        ls.asList.map(_.long))
+      case None =>
+        PackOp.truncationReport(df, c("len_expr").str, c("seq_len").long)
+    }
   }
   // Count-min sketch self-estimation (§2.14 sketches): trains a
   // depth×width sketch over THIS frame's `key_key` values (optionally
@@ -1774,6 +1780,11 @@ object Registry {
     CorpusStats(df, c.get("group_keys").map(_.strList).getOrElse(Nil),
       c("token_expr").str,
       c.get("quantiles").map(_.dblList).getOrElse(Seq(0.5, 0.9, 0.99)))
+  }
+  // Vocabulary distribution report (§2.14 datacard band): Zipf slope,
+  // hapax share, top-token mass — the OCR-noise/boilerplate signal.
+  register("zipf_report") { (df, c, _) =>
+    CorpusStats.zipfReport(df, c("text_key").str, c.intOr("top_k", 100))
   }
   register("sessionize") { (df, c, _) =>
     val f =

@@ -43,4 +43,64 @@ object CorpusStats {
   def label(q: Double): String =
     "p" + BigDecimal(q * 100).underlying.stripTrailingZeros.toPlainString
       .replace(".", "_")
+
+  /** Vocabulary distribution report — the Zipf/heaps-style numbers a
+    * corpus datacard quotes (publicly standard: Zipf 1949; the hapax
+    * share is the classic OCR-noise / boilerplate-contamination
+    * signal): ONE row with token/type totals, hapax (frequency-1) type
+    * count and share, the top token's probability mass, and the OLS
+    * slope of ln(freq) vs ln(rank) over the top `topK` types (clean
+    * natural-language corpora sit near −1; noise pushes it shallow).
+    *
+    * Scale shape: one corpus-sized token count (the same shuffle every
+    * vocabulary op pays), then integer totals plus a top-K collect
+    * (rank ties broken token-ascending, so the table — and the slope —
+    * is deterministic). The OLS runs on the DRIVER over the sorted
+    * top-K rows: K is bounded config, and a fixed summation order
+    * makes the slope bit-stable where a distributed float sum is not. */
+  def zipfReport(df: DataFrame, textCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK >= 2 && topK <= 10000,
+      s"topK must be in [2, 10000], got $topK")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = graft.core.PersistScope.register(
+      df.select(explode(filter(split(lower(coalesce(col(textCol),
+        lit(""))), "[^a-z0-9]+"), t => length(t) > 0)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .persist())
+    val tot = counts.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n"),
+      count(lit(1)).as("types"),
+      coalesce(sum(when(col("c") === 1, 1L).otherwise(0L)), lit(0L))
+        .as("hapax")).head()
+    val (nTokens, nTypes, hapax) =
+      (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val top = counts.orderBy(col("c").desc, col("tok"))
+      .limit(topK).select("c").collect().map(_.getLong(0))
+    val k = top.length
+    val slope =
+      if (k < 2) 0.0
+      else {
+        var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0
+        var i = 0
+        while (i < k) { // fixed rank-ascending order: bit-stable
+          val x = math.log(i + 1.0)
+          val y = math.log(top(i).toDouble)
+          sx += x; sy += y; sxx += x * x; sxy += x * y
+          i += 1
+        }
+        val den = k * sxx - sx * sx
+        if (den == 0.0) 0.0 else (k * sxy - sx * sy) / den
+      }
+    val top1 = if (top.nonEmpty) top(0) else 0L
+    Seq((nTokens, nTypes, hapax,
+      rnd6(if (nTypes == 0) 0.0 else hapax.toDouble / nTypes),
+      rnd6(if (nTokens == 0) 0.0 else top1.toDouble / nTokens),
+      rnd6(slope)))
+      .toDF("n_tokens", "n_types", "hapax_types", "hapax_share",
+        "top1_share", "zipf_slope")
+  }
+
+  private def rnd6(x: Double): Double = math.rint(x * 1e6) / 1e6
 }

@@ -189,6 +189,36 @@ object PackOp {
           .as("frac_tokens_lost"))
   }
 
+  /** [[truncationReport]] over a GRID of candidate context lengths:
+    * one row per seqLen, so the L-vs-loss tradeoff is one query instead
+    * of a re-scan per candidate. The per-row length projects ONCE; the
+    * bounded grid explodes against it (|grid| rows per doc, 2 narrow
+    * columns) into a grid-keyed aggregation — integer sums, exact. */
+  def truncationCurve(df: DataFrame, lenExpr: String,
+      seqLens: Seq[Long]): DataFrame = {
+    require(seqLens.nonEmpty, "need at least one seqLen")
+    require(seqLens.forall(_ >= 1), s"seqLens must be >= 1, got $seqLens")
+    require(seqLens.size <= 64, s"grid too large: ${seqLens.size} > 64")
+    val grid = array(seqLens.distinct.sorted.map(lit): _*)
+    df.select(expr(lenExpr).cast("bigint").as("_len"))
+      .select(col("_len"), explode(grid).as("seq_len"))
+      .groupBy("seq_len")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("_len") > col("seq_len"), 1L).otherwise(0L))
+          .as("docs_over"),
+        sum(col("_len")).as("tokens_total"),
+        sum(when(col("_len") > col("seq_len"),
+          col("_len") - col("seq_len")).otherwise(0L)).as("tokens_lost"))
+      .select(col("seq_len"), col("docs"), col("docs_over"),
+        col("tokens_total"), col("tokens_lost"),
+        round(col("docs_over") / col("docs").cast("double"), 6)
+          .as("frac_docs_over"),
+        round(col("tokens_lost") /
+          greatest(col("tokens_total"), lit(1L)).cast("double"), 6)
+          .as("frac_tokens_lost"))
+  }
+
   def chunkFixed(
       df: DataFrame,
       groupCols: Seq[String],

@@ -545,6 +545,35 @@ class Round14Spec extends SparkSpec {
       Seq("aa", "Ġaa", "Ġaa"))
   }
 
+  test("truncation curve matches the single-L report per grid point") {
+    val d = docsDf
+    val lens = Seq(3L, 6L, 100L)
+    val curve = graft.ops.PackOp.truncationCurve(d,
+      "size(split(text, ' '))", lens)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4)))
+      .toMap
+    lens.foreach { l =>
+      val single = graft.ops.PackOp.truncationReport(d,
+        "size(split(text, ' '))", l).head()
+      assert(curve(l) == (single.getLong(1), single.getLong(3)),
+        s"L=$l")
+    }
+    assert(curve(100L) == (0L, 0L)) // everything fits at 100
+  }
+
+  test("zipf report: hand-checkable counts and slope sign") {
+    val d = textsDf(
+      (1L, "the the the the cat cat dog unique1 unique2"),
+      (2L, "the cat"))
+    val r = graft.ops.CorpusStats.zipfReport(d, "text", topK = 10).head()
+    // tokens: the×5, cat×3, dog×1, unique1×1, unique2×1 → 11 tokens,
+    // 5 types, 3 hapax; top1_share = 5/11
+    assert(r.getLong(0) == 11L && r.getLong(1) == 5L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.6)
+    assert(r.getDouble(4) == math.rint(5.0 / 11 * 1e6) / 1e6)
+    assert(r.getDouble(5) < 0.0) // frequencies decay with rank
+  }
+
   // --------------------------- code-review pass 1 regressions
 
   test("gpt-2 pretokenizer treats unicode whitespace as whitespace") {
