@@ -8202,7 +8202,12 @@ object Queries {
       // Vocabulary distribution report: token/type totals, hapax share,
       // top-token mass, and the OLS Zipf slope over the top-100 types
       // (ties token-ascending on both engines, so rank — and the slope
-      // sums — replay deterministically).
+      // sums — replay deterministically). The slope is a ratio of
+      // 100-term ln sums gated at round-6 — the q217 js_divergence
+      // precedent: drift between libm implementations is ~1e-13
+      // absolute against a 5e-7 rounding margin (double-rounding to a
+      // coarser digit would INTRODUCE a reachable half-even-vs-half-away
+      // tie, so 6 on both sides is the safer gate, not the riskier).
       "q254_zipf_report",
       (s: SparkSession, dir: String) =>
         graft.ops.CorpusStats.zipfReport(t(s, dir, "documents"), "text",
@@ -8224,12 +8229,19 @@ object Queries {
                        sum(ln(rk) * ln(c)) AS sxy
                 FROM top),
         t1 AS (SELECT c AS top1 FROM top WHERE rk = 1)
+        -- degenerate-robust: tot/ols always emit one row; t1 rides a
+        -- coalesced scalar subquery and the slope guards k < 2 and a
+        -- zero denominator, matching the engine's closed forms
         SELECT n AS n_tokens, types AS n_types, hapax AS hapax_types,
-               round(hapax::DOUBLE / types, 6) AS hapax_share,
-               round(top1::DOUBLE / n, 6) AS top1_share,
-               round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
-                 AS zipf_slope
-        FROM tot, ols, t1""")
+               round(CASE WHEN types = 0 THEN 0
+                     ELSE hapax::DOUBLE / types END, 6) AS hapax_share,
+               round(CASE WHEN n = 0 THEN 0
+                     ELSE coalesce((SELECT top1 FROM t1), 0)::DOUBLE / n
+                     END, 6) AS top1_share,
+               round(CASE WHEN k < 2 OR (k * sxx - sx * sx) = 0 THEN 0
+                     ELSE (k * sxy - sx * sy) / (k * sxx - sx * sx)
+                     END, 6) AS zipf_slope
+        FROM tot, ols""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -765,19 +765,20 @@ object Registry {
   // asserting training order.
   register("bpe_encode") { (df, c, _) =>
     val text = c("text_key").str
+    val byteLevel = c.strOr("level", "word") == "byte"
+    // config validation BEFORE mergesFromConf — a bad flag must not
+    // first pay a full corpus-sized training pass
+    require(!byteLevel || c.boolOr("greedy", true),
+      "byte-level bpe_encode is greedy by definition (the published " +
+        "algorithm); `greedy: false` is not available with level: byte")
     val (merges, trained) = mergesFromConf(df, c)
     val out = c.strOr("output_key", "tokens")
-    if (c.strOr("level", "word") == "byte") {
+    if (byteLevel)
       // byte-level encoding is DEFINED as greedy lowest-rank fusion —
       // the published GPT-2/tiktoken encode algorithm — so inline
       // merge lists need no training-order guard (greedy is the
-      // contract, not an approximation of sequential application);
-      // `greedy: false` has no byte-level meaning and is rejected
-      require(c.boolOr("greedy", true),
-        "byte-level bpe_encode is greedy by definition (the published " +
-          "algorithm); `greedy: false` is not available with level: byte")
+      // contract, not an approximation of sequential application)
       BpeTrain.encodeByteLevelGreedy(df, text, merges, out)
-    }
     else {
       require(trained || merges.size <= 256 || c.get("greedy").isDefined,
         s"inline merge list of ${merges.size} entries (> 256) needs an " +

@@ -65,5 +65,5 @@ object LshPlan {
     }.toDF("s", "p_detect")
   }
 
-  private def rnd(x: Double): Double = math.rint(x * 1e6) / 1e6
+  private def rnd(x: Double): Double = graft.core.Num.rnd6(x)
 }

@@ -259,5 +259,5 @@ object Agreement {
       .toDF("n_items", "n_values", "d_o", "d_e", "alpha")
   }
 
-  private def rnd(x: Double): Double = math.rint(x * 1e6) / 1e6
+  private def rnd(x: Double): Double = graft.core.Num.rnd6(x)
 }

@@ -102,5 +102,5 @@ object CorpusStats {
         "top1_share", "zipf_slope")
   }
 
-  private def rnd6(x: Double): Double = math.rint(x * 1e6) / 1e6
+  private def rnd6(x: Double): Double = graft.core.Num.rnd6(x)
 }

@@ -199,8 +199,9 @@ object PackOp {
     require(seqLens.nonEmpty, "need at least one seqLen")
     require(seqLens.forall(_ >= 1), s"seqLens must be >= 1, got $seqLens")
     require(seqLens.size <= 64, s"grid too large: ${seqLens.size} > 64")
-    val grid = array(seqLens.distinct.sorted.map(lit): _*)
-    df.select(expr(lenExpr).cast("bigint").as("_len"))
+    val sortedLens = seqLens.distinct.sorted
+    val grid = array(sortedLens.map(lit): _*)
+    val agg = df.select(expr(lenExpr).cast("bigint").as("_len"))
       .select(col("_len"), explode(grid).as("seq_len"))
       .groupBy("seq_len")
       .agg(
@@ -210,12 +211,26 @@ object PackOp {
         sum(col("_len")).as("tokens_total"),
         sum(when(col("_len") > col("seq_len"),
           col("_len") - col("seq_len")).otherwise(0L)).as("tokens_lost"))
+    // an EMPTY input still reports every grid row (zero counts, null
+    // fracs) — a consumer indexing the curve by seq_len must not find
+    // grid points silently missing
+    val spark = df.sparkSession
+    import spark.implicits._
+    sortedLens.toDF("seq_len")
+      .join(agg, Seq("seq_len"), "left")
+      .select(col("seq_len"),
+        coalesce(col("docs"), lit(0L)).as("docs"),
+        coalesce(col("docs_over"), lit(0L)).as("docs_over"),
+        coalesce(col("tokens_total"), lit(0L)).as("tokens_total"),
+        coalesce(col("tokens_lost"), lit(0L)).as("tokens_lost"))
       .select(col("seq_len"), col("docs"), col("docs_over"),
         col("tokens_total"), col("tokens_lost"),
-        round(col("docs_over") / col("docs").cast("double"), 6)
-          .as("frac_docs_over"),
-        round(col("tokens_lost") /
-          greatest(col("tokens_total"), lit(1L)).cast("double"), 6)
+        when(col("docs") === 0, lit(null).cast("double"))
+          .otherwise(round(col("docs_over") / col("docs").cast("double"),
+            6)).as("frac_docs_over"),
+        when(col("docs") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tokens_lost") /
+            greatest(col("tokens_total"), lit(1L)).cast("double"), 6))
           .as("frac_tokens_lost"))
   }
 

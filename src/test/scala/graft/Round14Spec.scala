@@ -574,6 +574,46 @@ class Round14Spec extends SparkSpec {
     assert(r.getDouble(5) < 0.0) // frequencies decay with rank
   }
 
+  // --------------------------- code-review pass 2 regressions
+
+  test("truncation curve reports every grid row on an EMPTY input") {
+    val empty = docsDf.filter(col("doc_id") < 0)
+    val out = graft.ops.PackOp.truncationCurve(empty,
+      "size(split(text, ' '))", Seq(8L, 16L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.isNullAt(5))).sortBy(_._1).toSeq
+    assert(out == Seq((8L, 0L, 0L, true), (16L, 0L, 0L, true)))
+  }
+
+  test("blocklist content keys are length-prefixed (no separator aliasing)") {
+    // ["a b"] and ["a", "b"] must NOT share an automaton: with a
+    // NUL-separator digest both would hash identically and the second
+    // scan would be served the first list's matcher
+    val texts = textsDf((1L, "only a here"), (2L, "a b inside"))
+    val r1 = graft.ops.Blocklist.report(texts, "text",
+      phrasesDf(Seq("a b")), "phrase")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(r1 == Map(1L -> false, 2L -> true))
+    val r2 = graft.ops.Blocklist.report(texts, "text",
+      phrasesDf(Seq("a", "b")), "phrase")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(r2 == Map(1L -> true, 2L -> true))
+  }
+
+  test("zipf report handles degenerate corpora like its oracle guards") {
+    // single distinct token: slope guard (den = 0) -> 0.0
+    val one = textsDf((1L, "same same same"))
+    val r = graft.ops.CorpusStats.zipfReport(one, "text").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+    assert(r.getDouble(5) == 0.0)
+    // empty corpus: one row of zeros, no NaNs
+    val r2 = graft.ops.CorpusStats.zipfReport(
+      textsDf((1L, "")), "text").head()
+    assert(r2.getLong(0) == 0L && r2.getDouble(3) == 0.0 &&
+      r2.getDouble(5) == 0.0)
+    graft.core.PersistScope.unpersistAll()
+  }
+
   // --------------------------- code-review pass 1 regressions
 
   test("gpt-2 pretokenizer treats unicode whitespace as whitespace") {
