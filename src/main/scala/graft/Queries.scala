@@ -8242,6 +8242,46 @@ object Queries {
                      ELSE (k * sxy - sx * sy) / (k * sxx - sx * sx)
                      END, 6) AS zipf_slope
         FROM tot, ols""")
+    ),
+    (
+      // STREAMING exact-dedup admission, driver-gated (the q217/q218
+      // pattern): dedupExactEventTime over a real readStream of the
+      // documents table — one boolean of state per normalized-text
+      // fingerprint, min-id survivor per group (deterministic under
+      // one-batch availability); the memory-sink snapshot is replayed
+      // as a min-per-normalized-text window in DuckDB.
+      "q255_stream_dedup",
+      (s: SparkSession, dir: String) => {
+        // +1s offset: a doc_id-0 event time of exactly epoch 0 equals
+        // the INITIAL watermark and is dropped as late by the stateful
+        // operator before the group ever forms
+        val docs = graft.core.Tables.stream(s, dir, "documents")
+          .selectExpr("doc_id as id", "text",
+            "timestamp_micros((doc_id + 1) * 1000000) as et")
+        val out = graft.streaming.Streams.dedupExactEventTime(docs,
+          "et", watermarkDelay = "0 seconds", stateTtl = "365 days")
+        val qn = "q255sink_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = out.toDF("id", "text").writeStream.format("memory")
+          .queryName(qn).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val result = s.table(qn)
+          .select(col("id"), md5(col("text")).as("text_md5"))
+        val snap = s.createDataFrame(result.collectAsList(), result.schema)
+        s.catalog.dropTempView(qn)
+        snap
+      },
+      Some("""
+        WITH nm AS (
+          SELECT doc_id, text,
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k
+          FROM documents),
+        r AS (SELECT doc_id, text,
+                     row_number() OVER (PARTITION BY k
+                       ORDER BY doc_id) AS rn
+              FROM nm)
+        SELECT doc_id AS id, md5(text) AS text_md5
+        FROM r WHERE rn = 1""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent
