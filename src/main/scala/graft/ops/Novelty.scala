@@ -39,22 +39,25 @@ object Novelty {
       .distinct()
     val ref = grams(reference, refTextCol, n)
       .select(col("_g")).distinct()
-    val novel = cur.join(ref, Seq("_g"), "left_anti")
-      .groupBy("slice").agg(count(lit(1)).as("novel_grams"))
-    // null-safe joins (<=>): a NULL slice (missing source metadata) is
-    // a real group with real counts — an equi-join would zero it out
-    val tot = cur.groupBy("slice").agg(count(lit(1)).as("n_grams"))
-      .withColumnRenamed("slice", "_s1")
-    val nov = novel.withColumnRenamed("slice", "_s2")
-    slices
-      .join(tot, col("slice") <=> col("_s1"), "left").drop("_s1")
-      .join(nov, col("slice") <=> col("_s2"), "left").drop("_s2")
-      .select(col("slice"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
-        when(coalesce(col("n_grams"), lit(0L)) === 0,
-          lit(null).cast("double"))
-          .otherwise(round(coalesce(col("novel_grams"), lit(0L)) /
+    // ONE gram-keyed left join carries the membership flag, so total
+    // and novel counts come out of a single slice-keyed aggregation —
+    // a NULL slice (missing source metadata) is a native group here,
+    // no null-safe join gymnastics (and none of their plan cost)
+    val counts = cur
+      .join(ref.withColumn("_inref", lit(1)), Seq("_g"), "left")
+      .groupBy("slice")
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(when(col("_inref").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("novel_grams"))
+    // gramless slices: set-difference (exceptAll treats NULL slices as
+    // equal, unlike an equi-join) appends their zero rows
+    val missing = slices.exceptAll(counts.select("slice"))
+      .withColumn("n_grams", lit(0L))
+      .withColumn("novel_grams", lit(0L))
+    counts.unionByName(missing)
+      .select(col("slice"), col("n_grams"), col("novel_grams"),
+        when(col("n_grams") === 0, lit(null).cast("double"))
+          .otherwise(round(col("novel_grams") /
             col("n_grams").cast("double"), 6)).as("novelty_rate"))
   }
 
