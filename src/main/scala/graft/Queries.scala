@@ -8282,6 +8282,62 @@ object Queries {
               FROM nm)
         SELECT doc_id AS id, md5(text) AS text_md5
         FROM r WHERE rn = 1""")
+    ),
+    (
+      // Top-K frequent values per column — the categorical datacard
+      // band: top-3 sources and langs with exact shares; the rank
+      // window prunes map-side (WindowGroupLimit), ties value-asc on
+      // both engines.
+      "q256_top_values",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Profile.topValues(t(s, dir, "documents"),
+          Seq("source", "lang"), k = 3),
+      Some("""
+        WITH u AS (
+          SELECT 'source' AS "column",
+                 coalesce(source::VARCHAR, 'null') AS value
+          FROM documents
+          UNION ALL
+          SELECT 'lang', coalesce(lang::VARCHAR, 'null') FROM documents),
+        c AS (SELECT "column", value, count(*)::BIGINT AS n
+              FROM u GROUP BY 1, 2),
+        t AS (SELECT count(*)::BIGINT AS tot FROM documents),
+        r AS (SELECT "column", value, n,
+                     row_number() OVER (PARTITION BY "column"
+                       ORDER BY n DESC, value) AS rank
+              FROM c)
+        SELECT "column", rank::BIGINT AS rank, value, n,
+               round(n::DOUBLE / greatest(tot, 1), 6) AS share
+        FROM r, t WHERE rank <= 3""")
+    ),
+    (
+      // Data-freshness report per event type: ages vs an as-of pinned
+      // ONE HOUR BEFORE the max event time, so the future-row counter
+      // is exercised; integer-exact mean, exact interpolated quantiles
+      // (the CorpusStats percentile contract).
+      "q257_freshness",
+      (s: SparkSession, dir: String) => {
+        val asOf = t(s, dir, "events").agg(max(col("ts"))).head()
+          .getLong(0) - 3600000000L
+        graft.ops.TemporalOps.freshness(t(s, dir, "events"), "ts", asOf,
+          Seq("event_type"))
+      },
+      Some("""
+        WITH m AS (SELECT max(epoch_us(ts)) - 3600000000 AS asof
+                   FROM events),
+        e AS (SELECT event_type,
+                     (m.asof - epoch_us(ts))::BIGINT AS age
+              FROM events, m)
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(CASE WHEN age < 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_future,
+               min(age)::BIGINT AS age_min,
+               round(sum(age)::DOUBLE / count(*), 4) AS age_mean,
+               max(age)::BIGINT AS age_max,
+               round(quantile_cont(age::DOUBLE, 0.5), 4) AS age_p50,
+               round(quantile_cont(age::DOUBLE, 0.9), 4) AS age_p90,
+               round(quantile_cont(age::DOUBLE, 0.99), 4) AS age_p99
+        FROM e GROUP BY 1""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -470,6 +470,11 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(PackOp.truncationCurve(df, lenExpr, seqLens))
   def zipfReport(textCol: String, topK: Int = 100): Frame =
     next(CorpusStats.zipfReport(df, textCol, topK))
+  def topValues(cols: Seq[String], k: Int = 10): Frame =
+    next(Profile.topValues(df, cols, k))
+  def freshness(tsCol: String, asOfMicros: Long,
+      groupCols: Seq[String] = Nil): Frame =
+    next(TemporalOps.freshness(df, tsCol, asOfMicros, groupCols))
   def effectiveCrawlDelay(delays: Frame, agent: String,
       defaultDelay: Double = 0.0): Frame =
     next(RobotsTxt.effectiveDelay(df, delays.df, agent, defaultDelay))

@@ -563,6 +563,12 @@ final case class LazyFrame(
       "seq_lens" -> jlist(seqLens.map(l => l: Any)))
   def zipfReport(textKey: String, topK: Int = 100): LazyFrame =
     append("zipf_report", "text_key" -> textKey, "top_k" -> topK)
+  def topValues(columns: Seq[String], k: Int = 10): LazyFrame =
+    append("top_values", "columns" -> jlist(columns), "k" -> k)
+  def freshness(tsKey: String, asOfMicros: Long,
+      groupKeys: Seq[String] = Nil): LazyFrame =
+    append("freshness", "ts_key" -> tsKey, "as_of_micros" -> asOfMicros,
+      "group_keys" -> jlist(groupKeys))
   def truncationReport(lenExpr: String, seqLen: Long): LazyFrame =
     append("truncation_report", "len_expr" -> lenExpr,
       "seq_len" -> seqLen)

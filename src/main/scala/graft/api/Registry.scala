@@ -1787,6 +1787,18 @@ object Registry {
   register("zipf_report") { (df, c, _) =>
     CorpusStats.zipfReport(df, c("text_key").str, c.intOr("top_k", 100))
   }
+  // Top-K frequent values per column (§2.14 datacard band): the
+  // categorical companion to the numeric profiler.
+  register("top_values") { (df, c, _) =>
+    Profile.topValues(df, c("columns").strList, c.intOr("k", 10))
+  }
+  // Data-freshness report (§2.14 ingest monitoring): age distribution
+  // vs an EXPLICIT as-of timestamp (never wall-clock — replayable).
+  register("freshness") { (df, c, _) =>
+    TemporalOps.freshness(df, c("ts_key").str, c("as_of_micros").long,
+      c.get("group_keys").map(_.strList).getOrElse(Nil),
+      c.get("quantiles").map(_.dblList).getOrElse(Seq(0.5, 0.9, 0.99)))
+  }
   register("sessionize") { (df, c, _) =>
     val f =
       if (c.boolOr("aggregate", false))

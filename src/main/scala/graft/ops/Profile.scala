@@ -180,6 +180,44 @@ object Profile {
     * the exact decimals to doubles in a fixed expression order, so the
     * rounded result replays cross-engine. Rows with a null in EITHER
     * column of a pair are excluded from that pair only. */
+  /** Top-K most frequent values per listed column — the categorical
+    * datacard band next to [[numeric]]: (column, rank, value, n, share)
+    * rows, rank by (count desc, value asc) so the table is
+    * deterministic. NULLs count as a real value (rendered as the
+    * string "null" — a dominant-null column is exactly what this
+    * report exists to surface).
+    *
+    * Scale shape: one (column, value)-keyed count per listed column
+    * (map-side combinable) and a rank window per column key —
+    * `row_number() <= k` plans as WindowGroupLimit (map-side partial
+    * top-k BEFORE the shuffle), so a high-cardinality column never
+    * ships its full tail. Output is |cols| × k rows. */
+  def topValues(df: DataFrame, cols: Seq[String], k: Int = 10): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    // persisted (PersistScope — runner flush points release it): the
+    // share-denominator count plus the per-column count scans are
+    // k+1 actions over the same projection (the percentile() pattern);
+    // a window-sum denominator would instead break the WindowGroupLimit
+    // prune on the rank filter below
+    val proj = graft.core.PersistScope.register(
+      df.select(cols.map(col): _*).persist())
+    val total = lit(math.max(proj.count(), 1L).toDouble)
+    val perCol = cols.map { c =>
+      proj.groupBy(coalesce(col(c).cast("string"), lit("null")).as("value"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(c).as("column"), col("value"), col("n"))
+    }
+    val counts = perCol.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("column").orderBy(col("n").desc, col("value"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("column"), col("rank").cast("bigint").as("rank"),
+        col("value"), col("n"),
+        round(col("n") / total, 6).as("share"))
+  }
+
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
     require(cols.distinct.size == cols.size, "columns must be distinct")

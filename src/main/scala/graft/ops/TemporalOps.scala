@@ -259,4 +259,42 @@ object TemporalOps {
         abs(col("_graft_lt") - col("_graft_rt")) <= window)
       .drop("_graft_b", "_graft_rbk", "_graft_lt", "_graft_rk", "_graft_rt")
   }
+
+  /** Data-freshness report — the age-distribution band a continuous-
+    * ingestion datacard quotes ("how stale is this snapshot?"): per
+    * optional group, the count, rows timestamped AFTER `asOfMicros`
+    * (clock skew / timezone bugs surface here), and min/mean/quantile/
+    * max age in microseconds relative to `asOfMicros`. `asOfMicros` is
+    * an explicit parameter (never wall-clock) so replays are
+    * deterministic. Ages of future rows are negative — they pull the
+    * min, and are INCLUDED in the quantiles (dropping them would hide
+    * exactly the skew this report exists to expose).
+    *
+    * Quantiles use the same EXACT `percentile` aggregate as
+    * [[CorpusStats]] (linear interpolation — identical to DuckDB
+    * quantile_cont). ONE keyed aggregation, no driver state. */
+  def freshness(df: DataFrame, tsCol: String, asOfMicros: Long,
+      groupCols: Seq[String] = Nil,
+      quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q < 1),
+      s"quantiles must lie in (0, 1), got ${quantiles.mkString(",")}")
+    val age = s"(${asOfMicros}L - cast($tsCol as bigint))"
+    val qCols = quantiles.map { q =>
+      round(expr(s"percentile(cast($age as double), $q)"), 4)
+        .as("age_" + CorpusStats.label(q))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      expr(s"cast(sum(case when $age < 0 then 1 else 0 end) as bigint)")
+        .as("n_future"),
+      expr(s"min($age)").as("age_min"),
+      // mean from the EXACT integer sum, one final division — ages run
+      // to ~1e12 µs, where a distributed double avg()'s partition-order
+      // drift is the same magnitude as the 4th decimal
+      expr(s"round(sum($age) / cast(count(1) as double), 4)")
+        .as("age_mean"),
+      expr(s"max($age)").as("age_max")) ++ qCols
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -574,6 +574,50 @@ class Round14Spec extends SparkSpec {
     assert(r.getDouble(5) < 0.0) // frequencies decay with rank
   }
 
+  test("topValues ranks with deterministic ties and counts nulls") {
+    val schema = StructType(Seq(
+      StructField("src", StringType), StructField("lang", StringType)))
+    val in = df(schema,
+      Row("a", "en"), Row("a", "en"), Row("b", "en"), Row("b", "de"),
+      Row(null, "de"), Row("c", null))
+    val out = graft.ops.Profile.topValues(in, Seq("src", "lang"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    val src = out.filter(_._1 == "src").sortBy(_._2)
+    // counts: a=2, b=2, null=1, c=1 → ties break value-asc: a then b
+    assert(src.map(t => (t._3, t._4)).toSeq == Seq(("a", 2L), ("b", 2L)))
+    assert(src.head._5 == math.rint(2.0 / 6 * 1e6) / 1e6)
+    val lang = out.filter(_._1 == "lang").sortBy(_._2)
+    assert(lang.map(_._3).toSeq == Seq("en", "de"))
+    // k exceeding cardinality: the "null" bucket appears
+    val all = graft.ops.Profile.topValues(in, Seq("src"), k = 10)
+      .collect().map(_.getString(2)).toSet
+    assert(all == Set("a", "b", "c", "null"))
+    graft.core.PersistScope.unpersistAll()
+  }
+
+  test("freshness report: ages, future rows, exact mean") {
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("ts", LongType)))
+    val in = df(schema,
+      Row("x", 100L), Row("x", 200L), Row("x", 1300L), // 1300 is future
+      Row("y", 1000L))
+    val out = graft.ops.TemporalOps.freshness(in, "ts",
+      asOfMicros = 1200L, groupCols = Seq("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("x")
+    assert(x.getLong(x.fieldIndex("n")) == 3L)
+    assert(x.getLong(x.fieldIndex("n_future")) == 1L)
+    assert(x.getLong(x.fieldIndex("age_min")) == -100L)
+    assert(x.getLong(x.fieldIndex("age_max")) == 1100L)
+    // mean of (1100, 1000, -100) = 2000/3
+    assert(x.getDouble(x.fieldIndex("age_mean")) ==
+      math.rint(2000.0 / 3 * 1e4) / 1e4)
+    val y = out("y")
+    assert(y.getLong(y.fieldIndex("n")) == 1L &&
+      y.getLong(y.fieldIndex("age_min")) == 200L)
+  }
+
   // --------------------------- code-review pass 2 regressions
 
   test("truncation curve reports every grid row on an EMPTY input") {
