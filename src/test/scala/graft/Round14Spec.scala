@@ -630,12 +630,12 @@ class Round14Spec extends SparkSpec {
   }
 
   test("blocklist content keys are length-prefixed (no separator aliasing)") {
-    // ["a b"] and ["a", "b"] must NOT share an automaton: with a
+    // ["a<NUL>b"] and ["a", "b"] must NOT share an automaton: with a
     // NUL-separator digest both would hash identically and the second
     // scan would be served the first list's matcher
-    val texts = textsDf((1L, "only a here"), (2L, "a b inside"))
+    val texts = textsDf((1L, "only a here"), (2L, "a\u0000b inside"))
     val r1 = graft.ops.Blocklist.report(texts, "text",
-      phrasesDf(Seq("a b")), "phrase")
+      phrasesDf(Seq("a\u0000b")), "phrase")
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(r1 == Map(1L -> false, 2L -> true))
     val r2 = graft.ops.Blocklist.report(texts, "text",
