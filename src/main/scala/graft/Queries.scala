@@ -3513,6 +3513,12 @@ object Queries {
 
   // ---- byte-level BPE (q245/q246) shared fixtures and oracle prefix
 
+  // Memoizes trained merges per data dir for the JVM's lifetime —
+  // assumes the documents table under a dir is IMMUTABLE within one
+  // session (true for the driver's generated fixtures). If a fixture
+  // is regenerated in-place mid-session, q245/q246 would replay stale
+  // merges against fresh oracle data; regenerate under a new dir (or
+  // restart the JVM) instead.
   private val byteBpeMergeCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[graft.ops.BpeTrain.Merge]]
 
@@ -8295,18 +8301,20 @@ object Queries {
       Some("""
         WITH u AS (
           SELECT 'source' AS "column",
-                 coalesce(source::VARCHAR, 'null') AS value
+                 coalesce(source::VARCHAR, 'null') AS value,
+                 (source IS NULL) AS is_null
           FROM documents
           UNION ALL
-          SELECT 'lang', coalesce(lang::VARCHAR, 'null') FROM documents),
-        c AS (SELECT "column", value, count(*)::BIGINT AS n
-              FROM u GROUP BY 1, 2),
+          SELECT 'lang', coalesce(lang::VARCHAR, 'null'),
+                 (lang IS NULL) FROM documents),
+        c AS (SELECT "column", value, is_null, count(*)::BIGINT AS n
+              FROM u GROUP BY 1, 2, 3),
         t AS (SELECT count(*)::BIGINT AS tot FROM documents),
-        r AS (SELECT "column", value, n,
+        r AS (SELECT "column", value, is_null, n,
                      row_number() OVER (PARTITION BY "column"
-                       ORDER BY n DESC, value) AS rank
+                       ORDER BY n DESC, value, is_null) AS rank
               FROM c)
-        SELECT "column", rank::BIGINT AS rank, value, n,
+        SELECT "column", rank::BIGINT AS rank, value, is_null, n,
                round(n::DOUBLE / greatest(tot, 1), 6) AS share
         FROM r, t WHERE rank <= 3""")
     ),
@@ -8331,8 +8339,9 @@ object Queries {
         SELECT event_type, count(*)::BIGINT AS n,
                sum(CASE WHEN age < 0 THEN 1 ELSE 0 END)::BIGINT
                  AS n_future,
+               (count(*) - count(age))::BIGINT AS n_null_ts,
                min(age)::BIGINT AS age_min,
-               round(sum(age)::DOUBLE / count(*), 4) AS age_mean,
+               round(sum(age)::DOUBLE / count(age), 4) AS age_mean,
                max(age)::BIGINT AS age_max,
                round(quantile_cont(age::DOUBLE, 0.5), 4) AS age_p50,
                round(quantile_cont(age::DOUBLE, 0.9), 4) AS age_p90,

@@ -182,10 +182,11 @@ object Profile {
     * column of a pair are excluded from that pair only. */
   /** Top-K most frequent values per listed column — the categorical
     * datacard band next to [[numeric]]: (column, rank, value, n, share)
-    * rows, rank by (count desc, value asc) so the table is
-    * deterministic. NULLs count as a real value (rendered as the
-    * string "null" — a dominant-null column is exactly what this
-    * report exists to surface).
+    * rows, rank by (count desc, value asc, is_null asc) so the table
+    * is deterministic. NULLs count as a real value (rendered as the
+    * string "null" with `is_null = true` — a dominant-null column is
+    * exactly what this report exists to surface, and the flag keeps a
+    * genuine "null" STRING value from merging with it).
     *
     * Scale shape: one (column, value)-keyed count per listed column
     * (map-side combinable) and a rank window per column key —
@@ -204,17 +205,23 @@ object Profile {
       df.select(cols.map(col): _*).persist())
     val total = lit(math.max(proj.count(), 1L).toDouble)
     val perCol = cols.map { c =>
-      proj.groupBy(coalesce(col(c).cast("string"), lit("null")).as("value"))
+      // is_null keeps genuine NULLs distinct from literal "null"
+      // strings — coalescing alone would merge their counts/shares
+      proj.groupBy(
+          coalesce(col(c).cast("string"), lit("null")).as("value"),
+          col(c).isNull.as("is_null"))
         .agg(count(lit(1)).as("n"))
-        .select(lit(c).as("column"), col("value"), col("n"))
+        .select(lit(c).as("column"), col("value"), col("is_null"),
+          col("n"))
     }
     val counts = perCol.reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("column").orderBy(col("n").desc, col("value"))
+      .partitionBy("column")
+      .orderBy(col("n").desc, col("value"), col("is_null"))
     counts.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("column"), col("rank").cast("bigint").as("rank"),
-        col("value"), col("n"),
+        col("value"), col("is_null"), col("n"),
         round(col("n") / total, 6).as("share"))
   }
 

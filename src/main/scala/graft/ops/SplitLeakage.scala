@@ -49,7 +49,12 @@ object SplitLeakage {
     * dedup, leakage, and the boundary report. */
   def pairs(df: DataFrame, idCol: String, splitCol: String,
       editPairs: DataFrame): DataFrame = {
-    val labels = df.select(col(idCol), col(splitCol).cast("string"))
+    // a null split label is NOT dropped (three-valued `=!=` would
+    // silently erase the row from pairs AND report): unassigned rows
+    // near-duplicating an assigned split are exactly what a release
+    // audit must surface, so they bucket as "__unassigned__"
+    val labels = df.select(col(idCol),
+      coalesce(col(splitCol).cast("string"), lit("__unassigned__")))
     val withA = editPairs
       .join(labels.toDF("id_a", "_sa"), Seq("id_a"))
       .join(labels.toDF("id_b", "_sb"), Seq("id_b"))

@@ -287,11 +287,16 @@ object TemporalOps {
       count(lit(1)).as("n"),
       expr(s"cast(sum(case when $age < 0 then 1 else 0 end) as bigint)")
         .as("n_future"),
+      // unstamped rows are surfaced, not silently folded into the mean
+      expr(s"cast(count(1) - count($age) as bigint)").as("n_null_ts"),
       expr(s"min($age)").as("age_min"),
       // mean from the EXACT integer sum, one final division — ages run
       // to ~1e12 µs, where a distributed double avg()'s partition-order
-      // drift is the same magnitude as the 4th decimal
-      expr(s"round(sum($age) / cast(count(1) as double), 4)")
+      // drift is the same magnitude as the 4th decimal. Denominator is
+      // count(age), NOT count(1): null timestamps leave the sum, so a
+      // row-count denominator would bias the mean low and disagree
+      // with min/max/quantiles (which also skip nulls).
+      expr(s"round(sum($age) / cast(count($age) as double), 4)")
         .as("age_mean"),
       expr(s"max($age)").as("age_max")) ++ qCols
     if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)

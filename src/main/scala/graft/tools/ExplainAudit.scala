@@ -45,7 +45,13 @@ object ExplainAudit {
         // kernel, the marginal-join kappa, and the vocab-only byte-BPE
         // encode
         "q241_blocklist_scale", "q243_cohen_kappa_distributed",
-        "q246_bpe_byte_encode")
+        "q246_bpe_byte_encode",
+        // residual round-14 shapes (VERDICT r14 item 7): the persisted
+        // one-pass Krippendorff sufficient statistics, the nested-fold
+        // parts render (no explode), and the WindowGroupLimit
+        // top-values prune
+        "q244_krippendorff_alpha", "q247_chat_parts_render",
+        "q256_top_values")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

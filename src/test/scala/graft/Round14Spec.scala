@@ -582,7 +582,7 @@ class Round14Spec extends SparkSpec {
       Row(null, "de"), Row("c", null))
     val out = graft.ops.Profile.topValues(in, Seq("src", "lang"), k = 2)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
-        r.getLong(3), r.getDouble(4)))
+        r.getLong(4), r.getDouble(5)))
     val src = out.filter(_._1 == "src").sortBy(_._2)
     // counts: a=2, b=2, null=1, c=1 → ties break value-asc: a then b
     assert(src.map(t => (t._3, t._4)).toSeq == Seq(("a", 2L), ("b", 2L)))

@@ -86,4 +86,136 @@ class Round15Spec extends SparkSpec {
           s"with $entries entries")
     } finally graft.ops.Blocklist.cacheBudgetBytes = saved
   }
+
+  // ------------------- plan-shape pins for r14 queries (VERDICT item 7)
+
+  private def tmpParquet(d: DataFrame, name: String): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_$name")
+      .resolve("t.parquet").toString
+    d.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
+  test("q256 shape: topValues rank prunes map-side (WindowGroupLimit)") {
+    val schema = StructType(Seq(
+      StructField("src", StringType), StructField("lang", StringType)))
+    val in = tmpParquet(df(schema,
+      Row("a", "en"), Row("a", "de"), Row("b", "en")), "topv")
+    val plan = graft.ops.Profile.topValues(in, Seq("src", "lang"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    graft.core.PersistScope.unpersistAll()
+  }
+
+  test("q247 shape: parts render is a nested fold — no explode, no UDF") {
+    val partT = StructType(Seq(
+      StructField("type", StringType), StructField("text", StringType)))
+    val msgT = ArrayType(StructType(Seq(
+      StructField("role", StringType),
+      StructField("parts", ArrayType(partT)))))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("messages", msgT)))
+    val in = tmpParquet(df(schema,
+      Row(1L, Seq(
+        Row("user", Seq(Row("text", "hi"), Row("image", "x.png"))),
+        Row("assistant", Seq(Row("text", "yo")))))), "parts")
+    val plan = graft.ops.ChatOps.renderPartsWithSpans(in, "messages")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan.take(800)) // no explode
+    assert(!plan.contains("ScalaUDF"), plan.take(800))
+    assert(!plan.contains("Exchange"), plan.take(800)) // row-local
+  }
+
+  test("q244 shape: krippendorff pays its (item,label) agg once (cache)") {
+    val schema = StructType(Seq(
+      StructField("item", LongType), StructField("label", StringType)))
+    val in = tmpParquet(df(schema,
+      Row(1L, "a"), Row(1L, "a"), Row(2L, "a"), Row(2L, "b"),
+      Row(2L, "b")), "kripp")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val r = graft.ops.Agreement.krippendorffAlpha(in, "item", "label")
+        .head()
+      assert(r.getLong(0) == 2L && r.getLong(1) == 5L)
+      // the listener bus is async — wait for both sufficient-statistics
+      // collects (groups + label totals) to surface, then check each
+      // read the PERSISTED (item,label) counts, not a re-aggregated scan
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      def cached() = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.count(_.contains("InMemoryTableScan"))
+      }
+      while (cached() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(cached() >= 2,
+        s"expected >= 2 cache-served aggregations, saw ${cached()} in " +
+          s"${plans.size()} captured plans")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  // --------------------- unlabeled splits surface (VERDICT r14 item 6)
+
+  test("split leakage buckets null split labels instead of dropping them") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("split", StringType)))
+    val d = df(schema,
+      Row(1L, "abcdefghij", "train"),
+      Row(2L, "abcdefghix", null),       // unassigned near-dup of train
+      Row(3L, "zzzzzzzzzz", "test"))     // clean
+    val prs = graft.ops.SplitLeakage.pairs(d, "id", "s", "split", t = 2)
+      .collect().map(r => (r.getLong(r.fieldIndex("id_a")),
+        r.getLong(r.fieldIndex("id_b")),
+        r.getString(r.fieldIndex("split_a")),
+        r.getString(r.fieldIndex("split_b")))).toSet
+    assert(prs == Set((1L, 2L, "__unassigned__", "train")))
+    val rep = graft.ops.SplitLeakage.report(d, "id", "s", "split", 2)
+      .head()
+    assert(rep.getString(0) == "__unassigned__" &&
+      rep.getString(1) == "train")
+    assert(rep.getLong(rep.fieldIndex("n_pairs")) == 1)
+    assert(rep.getLong(rep.fieldIndex("n_leaked_ids")) == 2)
+    graft.core.PersistScope.unpersistAll()
+  }
+
+  // ----------------------------- advisor items: freshness + topValues
+
+  test("freshness mean skips null timestamps and reports n_null_ts") {
+    val schema = StructType(Seq(
+      StructField("g", StringType), StructField("ts", LongType)))
+    val in = df(schema,
+      Row("a", 100L), Row("a", 300L), Row("a", null), // mean of 2, not 3
+      Row("b", 50L))
+    val out = graft.ops.TemporalOps.freshness(in, "ts", asOfMicros = 400L,
+      Seq("g")).collect().map(r => r.getString(0) ->
+        (r.getLong(r.fieldIndex("n")),
+          r.getLong(r.fieldIndex("n_null_ts")),
+          r.getDouble(r.fieldIndex("age_mean")))).toMap
+    // ages for a: 300, 100 -> mean 200 (a count(1) denominator would
+    // report the biased 133.3333)
+    assert(out("a") == (3L, 1L, 200.0))
+    assert(out("b") == (1L, 0L, 350.0))
+  }
+
+  test("topValues keeps genuine NULLs distinct from 'null' strings") {
+    val schema = StructType(Seq(StructField("c", StringType)))
+    val in = df(schema,
+      Row("null"), Row("null"), Row(null), Row("x"))
+    val out = graft.ops.Profile.topValues(in, Seq("c"), k = 3)
+      .collect().map(r => (r.getString(2), r.getBoolean(3),
+        r.getLong(4))).toSet
+    // the literal string and the real NULL are separate rows with
+    // separate counts — a coalesce-only rendering would merge them to 3
+    assert(out == Set(("null", false, 2L), ("null", true, 1L),
+      ("x", false, 1L)))
+    graft.core.PersistScope.unpersistAll()
+  }
 }
