@@ -34,7 +34,7 @@ object Queries {
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
     apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b ++
     round9c ++ round9d ++ round9e ++ round9f ++ round9h ++ round10 ++
-    round10b ++ round11 ++ round12 ++ round14
+    round10b ++ round11 ++ round12 ++ round14 ++ round15
 
   // ---------------------------------------------------------------- parsing
 
@@ -8347,6 +8347,148 @@ object Queries {
                round(quantile_cont(age::DOUBLE, 0.9), 4) AS age_p90,
                round(quantile_cont(age::DOUBLE, 0.99), 4) AS age_p99
         FROM e GROUP BY 1""")
+    ))
+
+  private def round15: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // STREAMING near-dup MinHash admission, driver-gated (the q255
+      // pattern): dedupNearMinhashEventTime over a real readStream —
+      // banded (band, bkey)-keyed bucket state, same fused
+      // ShingleHashes/MinHashSignature expressions as the batch op, so
+      // the stream's banding decisions are IDENTICAL to q24's. The
+      // stream runs at a LOW signature-estimate threshold (0.5 — a
+      // true j>=0.8 pair estimates below it with probability ~1e-8 at
+      // 64 perms) for recall; the snapshot is then EXACT-verified with
+      // true Jaccard >= 0.8 (the batch candidatePairs contract), so
+      // the DuckDB replay is the q24 brute-force all-pairs oracle.
+      "q258_stream_near_dedup",
+      (s: SparkSession, dir: String) => {
+        // +1s offset: epoch-0 event time equals the initial watermark
+        // and would drop as late (the q255 gotcha)
+        val docs = graft.core.Tables.stream(s, dir, "documents")
+          .selectExpr("doc_id as id", "text",
+            "timestamp_micros((doc_id + 1) * 1000000) as et")
+        val out = graft.streaming.Streams.dedupNearMinhashEventTime(
+          docs, "et", watermarkDelay = "0 seconds",
+          stateTtl = "365 days", threshold = 0.5,
+          maxBucketState = 512) // generous: recall must match batch
+        val qn = "q258sink_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = out.toDF("id_a", "id_b", "est").writeStream
+          .format("memory").queryName(qn).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val snapped = s.table(qn).select("id_a", "id_b")
+        val pairs = s.createDataFrame(snapped.collectAsList(),
+          snapped.schema).dropDuplicates("id_a", "id_b")
+        s.catalog.dropTempView(qn)
+        // exact Jaccard verify over hashed shingles — q24's precision
+        // step, applied to the stream's candidate events
+        val byId = t(s, dir, "documents").select(
+          col("doc_id").as("_id"),
+          graft.functions.ShingleHashes(col("text"), 3).as("_sh"))
+        pairs
+          .join(byId.select(col("_id").as("id_a"), col("_sh").as("_sha")),
+            Seq("id_a"))
+          .join(byId.select(col("_id").as("id_b"), col("_sh").as("_shb")),
+            Seq("id_b"))
+          .withColumn("jaccard", round(
+            graft.functions.JaccardSimilarity(col("_sha"), col("_shb")),
+            6))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+      },
+      // identical to q24's brute-force oracle: banding affects only
+      // recall (~0.9998 at j=0.8, ~1 at the planted j~0.95), and the
+      // exact verify removes every band false positive
+      Some("""
+        WITH t AS (SELECT doc_id, list_distinct(list_transform(
+                     range(1, len(string_split(text,' ')) - 1),
+                     i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+                   FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8""")
+    ),
+    (
+      // Unigram-LM (Kudo 2018) seed vocabulary — the em_iters: 0
+      // configuration, where the final vocab table IS the seed: all
+      // single chars plus the top substring windows by (count desc,
+      // piece asc), logp = ln(cnt/total) over the selected set (the
+      // q254 round-6 ln-gate precedent). The full DuckDB replay gates
+      // the corpus-scale stage; the EM/prune/Viterbi stages are
+      // hand-verified in Round15Spec and gated end-to-end by q260's
+      // round-trip.
+      "q259_unigram_seed",
+      (s: SparkSession, dir: String) =>
+        graft.ops.UnigramLm.train(t(s, dir, "documents"), "text",
+          maxPieceLen = 4, seedSize = 400, emIters = 0),
+      Some("""
+        WITH w AS (
+          SELECT w AS word, count(*)::BIGINT AS cnt
+          FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+                  '[^a-z0-9]+'), x -> x <> '')) AS w
+                FROM documents)
+          GROUP BY 1),
+        sc AS (
+          SELECT piece, sum(cnt)::BIGINT AS cnt
+          FROM (SELECT cnt, unnest(flatten(list_transform(
+                  range(1, len(word) + 1),
+                  i -> list_transform(
+                    range(1, least(4, len(word) - i + 1) + 1),
+                    l -> substr(word, i, l))))) AS piece
+                FROM w)
+          GROUP BY 1),
+        chars AS (SELECT piece, cnt FROM sc WHERE len(piece) = 1),
+        nch AS (SELECT count(*)::BIGINT AS n FROM chars),
+        multi AS (
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt, row_number() OVER (
+              ORDER BY cnt DESC, piece) AS rk
+            FROM sc WHERE len(piece) >= 2)
+          WHERE rk <= greatest(400 - (SELECT n FROM nch), 0)),
+        sel AS (SELECT piece, cnt FROM chars
+                UNION ALL SELECT piece, cnt FROM multi),
+        tot AS (SELECT sum(cnt)::BIGINT AS t FROM sel)
+        SELECT piece, cnt, round(ln(cnt::DOUBLE / t), 6) AS logp
+        FROM sel, tot""")
+    ),
+    (
+      // Unigram-LM FULL train (seed -> 2 hard-EM iterations -> prune)
+      // + Viterbi encode, gated on SQL-derivable invariants of the
+      // segmentation: the decoded round-trip md5 equals the normalized
+      // input (pieces concatenated per word, words space-joined), and
+      // the piece count sits in [ceil(chars/maxPieceLen), chars] —
+      // both must hold for EVERY document, so a kernel that drops,
+      // reorders, or over-merges pieces goes red. EM numerics are
+      // hand-verified in Round15Spec (Viterbi optimality vs exhaustive
+      // segmentation, exact integer usage statistics).
+      "q260_unigram_encode",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val vocab = graft.ops.UnigramLm.train(docs, "text",
+          maxPieceLen = 4, seedSize = 400, targetSize = 200,
+          emIters = 2)
+        graft.ops.UnigramLm.encode(docs, "text", vocab, maxPieceLen = 4)
+          .select(col("doc_id"), md5(col("decoded")).as("decoded_md5"),
+            (size(col("pieces")).cast("bigint") <=
+              length(regexp_replace(col("decoded"), " ", "")) &&
+              size(col("pieces")).cast("bigint") * 4 >=
+                length(regexp_replace(col("decoded"), " ", "")))
+              .as("piece_count_in_bounds"))
+      },
+      Some("""
+        WITH nm AS (
+          SELECT doc_id,
+                 coalesce(array_to_string(list_filter(string_split_regex(
+                   lower(text), '[^a-z0-9]+'), x -> x <> ''), ' '), '')
+                   AS d
+          FROM documents)
+        SELECT doc_id, md5(d) AS decoded_md5,
+               true AS piece_count_in_bounds
+        FROM nm""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

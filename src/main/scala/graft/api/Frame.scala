@@ -579,6 +579,16 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def bpeEncodeByteLevel(textCol: String,
       merges: Seq[BpeTrain.Merge]): Frame =
     next(BpeTrain.encodeByteLevelGreedy(df, textCol, merges))
+  /** Unigram-LM (Kudo 2018) train/encode — the SentencePiece-style
+    * sibling of the BPE family. */
+  def unigramTrain(textCol: String, maxPieceLen: Int = 8,
+      seedSize: Int = 2000, targetSize: Int = 800,
+      emIters: Int = 2): Frame =
+    next(UnigramLm.train(df, textCol, maxPieceLen, seedSize, targetSize,
+      emIters))
+  def unigramEncode(textCol: String, vocab: Frame,
+      maxPieceLen: Int = 8): Frame =
+    next(UnigramLm.encode(df, textCol, vocab.df, maxPieceLen))
   def cdcChunks(idCol: String, textCol: String, p: Int = 16): Frame =
     next(CdcChunk.explodeChunks(df, idCol, textCol, p))
   def cdcDuplicateChunks(idCol: String, textCol: String,

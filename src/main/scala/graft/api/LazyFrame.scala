@@ -753,6 +753,19 @@ final case class LazyFrame(
   def bpeEncodeByteLevel(textKey: String, numMerges: Int): LazyFrame =
     append("bpe_encode", "text_key" -> textKey, "num_merges" -> numMerges,
       "level" -> "byte")
+  /** Unigram-LM (Kudo 2018) train/encode. */
+  def unigramTrain(textKey: String, maxPieceLen: Int = 8,
+      seedSize: Int = 2000, targetSize: Int = 800,
+      emIters: Int = 2): LazyFrame =
+    append("unigram_train", "text_key" -> textKey,
+      "max_piece_len" -> maxPieceLen, "seed_size" -> seedSize,
+      "target_size" -> targetSize, "em_iters" -> emIters)
+  def unigramEncode(textKey: String, maxPieceLen: Int = 8,
+      seedSize: Int = 2000, targetSize: Int = 800,
+      emIters: Int = 2): LazyFrame =
+    append("unigram_encode", "text_key" -> textKey,
+      "max_piece_len" -> maxPieceLen, "seed_size" -> seedSize,
+      "target_size" -> targetSize, "em_iters" -> emIters)
   def cdcChunk(idKey: String, textKey: String, mode: String = "chunks",
       p: Int = 16): LazyFrame =
     append("cdc_chunk", "id_key" -> idKey, "text_key" -> textKey,

@@ -823,6 +823,29 @@ object Registry {
         s"winnow mode must be fingerprints|shared|pairs, got '$other'")
     }
   }
+  // Unigram-LM (SentencePiece-style) tokenizer training (§2.14 engine
+  // extension, Kudo 2018): seed from substring-window counts, hard-EM
+  // usage re-estimation, count-rank prune to target_size.
+  // `em_iters: 0` emits the seed vocabulary itself.
+  register("unigram_train") { (df, c, _) =>
+    UnigramLm.train(df, c("text_key").str, c.intOr("max_piece_len", 8),
+      c.intOr("seed_size", 2000), c.intOr("target_size", 800),
+      c.intOr("em_iters", 2))
+  }
+  // Unigram-LM Viterbi encode: vocab from a dataset (`vocab_from`) or
+  // trained on THIS frame with the unigram_train knobs.
+  register("unigram_encode") { (df, c, ctx) =>
+    val vocab = c.get("vocab_from") match {
+      case Some(name) => ctx.datasets.getOrElse(name.str,
+        throw new IllegalArgumentException(
+          s"unknown unigram_encode dataset '${name.str}'"))
+      case None => UnigramLm.train(df, c("text_key").str,
+        c.intOr("max_piece_len", 8), c.intOr("seed_size", 2000),
+        c.intOr("target_size", 800), c.intOr("em_iters", 2))
+    }
+    UnigramLm.encode(df, c("text_key").str, vocab,
+      c.intOr("max_piece_len", 8))
+  }
   // Naive Bayes classifier training (§2.14 scoring): fit a (label, token,
   // weight) model table on THIS frame's labeled rows.
   register("nb_train") { (df, c, _) =>

@@ -162,6 +162,111 @@ class Round15Spec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  // ------------------- unigram-LM tokenizer (VERDICT r14 item 5)
+
+  private def logpMap(ps: (String, Double)*)
+      : java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    ps.foreach { case (k, v) => m.put(k, java.lang.Double.valueOf(v)) }
+    m
+  }
+
+  test("unigram viterbi matches exhaustive max-likelihood segmentation") {
+    val vocab = Seq("a" -> -3.0, "b" -> -3.2, "c" -> -3.4, "ab" -> -2.1,
+      "bc" -> -2.0, "abc" -> -4.9, "cab" -> -2.5, "bca" -> -2.6)
+    val m = logpMap(vocab: _*)
+    val probs = vocab.toMap
+    val unk = -20.0
+    def exhaustive(w: String): Double = {
+      // max over ALL segmentations (pieces <= 3 chars), unk for
+      // out-of-vocab single chars
+      if (w.isEmpty) 0.0
+      else (1 to math.min(3, w.length)).map { l =>
+        val p = w.take(l)
+        val sc = probs.getOrElse(p,
+          if (l == 1) unk else Double.NegativeInfinity)
+        sc + exhaustive(w.drop(l))
+      }.max
+    }
+    for (w <- Seq("abcab", "bcabca", "aaabbbccc", "abcabcabc", "xa",
+        "cabbage")) {
+      val pieces = graft.ops.UnigramLm.viterbi(w, m, 3, unk)
+      assert(pieces.mkString == w, s"round-trip broke on $w")
+      val score = pieces.map(p =>
+        probs.getOrElse(p, unk)).sum
+      assert(math.abs(score - exhaustive(w)) < 1e-12,
+        s"$w: viterbi ${pieces.mkString("+")} scored $score, " +
+          s"exhaustive best ${exhaustive(w)}")
+    }
+  }
+
+  test("unigram viterbi never treats an out-of-vocab piece as present") {
+    // regression: a primitive-valued HashMap unboxes the absent-key
+    // null to 0.0 — the best possible score — so "ab" (not in vocab)
+    // would beat a+b
+    val m = logpMap("a" -> -1.0, "b" -> -1.0)
+    assert(graft.ops.UnigramLm.viterbi("ab", m, 4, -9.0).toSeq ==
+      Seq("a", "b"))
+    // and an OOV char is emitted as its own piece, not absorbed
+    assert(graft.ops.UnigramLm.viterbi("axb", m, 4, -9.0).toSeq ==
+      Seq("a", "x", "b"))
+  }
+
+  test("unigram hard-EM usage counts and floor probs are hand-exact") {
+    // corpus: "ab" x3, "c" x1. Seed: chars {a,b,c} + multi {ab}.
+    // Viterbi("ab") = [ab] (ln .3 beats 2 ln .3), so usage: ab=3, c=1,
+    // a=b=0; floor prob for unused chars = 0.5/(total+|vocab|) = 1/16
+    val schema = StructType(Seq(StructField("text", StringType)))
+    val in = df(schema, Row("ab ab c"), Row("ab"))
+    val out = graft.ops.UnigramLm.train(in, "text", maxPieceLen = 2,
+      seedSize = 10, targetSize = 10, emIters = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        r.getDouble(2))).toMap
+    assert(out.keySet == Set("a", "b", "c", "ab"))
+    assert(out("ab") == (3L, graft.core.Num.rnd6(math.log(0.75))))
+    assert(out("c") == (1L, graft.core.Num.rnd6(math.log(0.25))))
+    assert(out("a") == (0L, graft.core.Num.rnd6(math.log(1.0 / 16))))
+    assert(out("b") == (0L, graft.core.Num.rnd6(math.log(1.0 / 16))))
+    graft.core.PersistScope.unpersistAll()
+  }
+
+  test("unigram train is identical across repartitionings") {
+    val schema = StructType(Seq(StructField("text", StringType)))
+    val rows = (1 to 60).map(i =>
+      Row(s"the quick${i % 7} brown fox jump${i % 5} over lazy dog$i"))
+    val in = df(schema, rows: _*)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.UnigramLm.train(d, "text", maxPieceLen = 3,
+        seedSize = 60, targetSize = 40, emIters = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2))).sortBy(_._1).toSeq
+    val a = run(in)
+    val b = run(in.repartition(13))
+    assert(a == b) // integer usage sums: bit-stable, not just close
+    graft.core.PersistScope.unpersistAll()
+  }
+
+  test("unigram encode round-trips and the YAML arms agree") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val in = df(schema, Row(1L, "Ab, ab! C?"), Row(2L, "ab c ab"))
+    val vocab = graft.ops.UnigramLm.train(in, "text", maxPieceLen = 2,
+      seedSize = 10, targetSize = 10, emIters = 1)
+    val enc = graft.ops.UnigramLm.encode(in, "text", vocab,
+      maxPieceLen = 2).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](2), r.getString(3)))
+      .toMap
+    assert(enc(1L) == (Seq("ab", "ab", "c"), "ab ab c"))
+    assert(enc(2L) == (Seq("ab", "c", "ab"), "ab c ab"))
+    val yaml = graft.api.Registry("unigram_encode")(in,
+      graft.api.Conf.fromYaml(
+        "type: unigram_encode\ntext_key: text\nmax_piece_len: 2\n" +
+          "seed_size: 10\ntarget_size: 10\nem_iters: 1"), null)
+    assert(yaml.select("decoded").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("ab ab c", "ab c ab"))
+    graft.core.PersistScope.unpersistAll()
+  }
+
   // --------------------- unlabeled splits surface (VERDICT r14 item 6)
 
   test("split leakage buckets null split labels instead of dropping them") {
