@@ -3539,6 +3539,16 @@ object Queries {
         t(s, dir, "documents").select(cleanedAsciiText.as("text")),
         "text", numMerges = 3))
 
+  // same per-dir immutability assumption as byteBpeMergeCache
+  private val wordPieceMergeCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[graft.ops.WordPiece.Merge]]
+
+  private def wordPieceMerges(s: SparkSession,
+      dir: String): Seq[graft.ops.WordPiece.Merge] =
+    wordPieceMergeCache.getOrElseUpdate(dir,
+      graft.ops.WordPiece.train(t(s, dir, "documents"), "text",
+        numMerges = 3))
+
   /** The RE2 replay of [[graft.ops.BpeTrain.Gpt2PretokenRegex]] on
     * ASCII single-spaced text: \p classes narrowed to ASCII, the
     * whitespace branches dropped (they cannot fire — every single
@@ -8487,6 +8497,197 @@ object Queries {
                    AS d
           FROM documents)
         SELECT doc_id, md5(d) AS decoded_md5,
+               true AS piece_count_in_bounds
+        FROM nm""")
+    ),
+    (
+      // Preference pairs over TYPED content-part conversations
+      // (multimodal DPO): one planted class per doc_id%6 residue —
+      // valid / chosen empty text part / rejected unknown part type /
+      // prefix mismatch (user part edited) / identical responses /
+      // image-REF-only divergence. The last class is the design point:
+      // the (type, text) projection differs so the pair is VALID, but
+      // both refs render to the same <image> placeholder, so the
+      // rendered texts are EQUAL and diverge_at is the full length —
+      // signal the flatten bridge would erase. Mask spans cover only
+      // the assistant TEXT part on each side; everything replays in
+      // closed form plus a q180-style first-diff scan.
+      "q261_dpo_parts",
+      (s: SparkSession, dir: String) => {
+        val txt = (v: org.apache.spark.sql.Column) =>
+          struct(lit("text").as("type"), v.as("text"))
+        val img = (ref: String) =>
+          struct(lit("image").as("type"), lit(ref).as("text"))
+        val k = col("doc_id") % 6
+        val ut = concat(lit("u:"), substring(col("text"), 1, 20))
+        val cb = concat(lit("c:"), substring(col("text"), 1, 30))
+        val rb = concat(lit("r:"), substring(col("text"), 1, 30))
+        val userC = struct(lit("user").as("role"),
+          array(txt(ut), img("ref.png")).as("parts"))
+        val userR = struct(lit("user").as("role"),
+          array(txt(when(k === 3, concat(ut, lit("!"))).otherwise(ut)),
+            img("ref.png")).as("parts"))
+        val asstC = struct(lit("assistant").as("role"),
+          when(k === 1, array(txt(lit(""))))
+            .when(k === 5, array(txt(cb), img("a.png")))
+            .otherwise(array(txt(cb))).as("parts"))
+        val asstR = struct(lit("assistant").as("role"),
+          when(k === 2, array(txt(rb),
+              struct(lit("sticker").as("type"), lit("x").as("text"))))
+            .when(k === 4, array(txt(cb)))
+            .when(k === 5, array(txt(cb), img("b.png")))
+            .otherwise(array(txt(rb))).as("parts"))
+        val conv = t(s, dir, "documents").select(col("doc_id"),
+          array(userC, asstC).as("messages_chosen"),
+          array(userR, asstR).as("messages_rejected"))
+        val validated = graft.ops.Preference.validatePairsParts(
+          conv, "messages_chosen", "messages_rejected")
+        val spanStr = (c: org.apache.spark.sql.Column) =>
+          concat_ws("|", transform(c, sp =>
+            concat(sp.getField("s"), lit(":"), sp.getField("e"))))
+        graft.ops.Preference.renderPairParts(
+          validated, "messages_chosen", "messages_rejected")
+          .select(col("doc_id"), col("pair_valid"),
+            coalesce(col("pair_invalid_reason"), lit(""))
+              .as("pair_invalid_reason"),
+            md5(col("text_chosen")).as("chosen_md5"),
+            md5(col("text_rejected")).as("rejected_md5"),
+            spanStr(col("mask_spans_chosen")).as("chosen_spans"),
+            spanStr(col("mask_spans_rejected")).as("rejected_spans"),
+            col("diverge_at"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, doc_id % 6 AS k,
+                 'u:' || substr(text, 1, 20) AS ut,
+                 'c:' || substr(text, 1, 30) AS cb,
+                 'r:' || substr(text, 1, 30) AS rb,
+                 (2 + least(len(text), 20))::BIGINT AS ul,
+                 (2 + least(len(text), 30))::BIGINT AS bl
+          FROM documents),
+        r AS (
+          SELECT doc_id, k, ul, bl,
+                 '<|user|>' || chr(10) || ut || '<image>' || chr(10) ||
+                   '<|assistant|>' || chr(10) ||
+                   (CASE WHEN k = 1 THEN ''
+                         WHEN k = 5 THEN cb || '<image>'
+                         ELSE cb END) || chr(10) AS tc,
+                 '<|user|>' || chr(10) ||
+                   (CASE WHEN k = 3 THEN ut || '!' ELSE ut END) ||
+                   '<image>' || chr(10) || '<|assistant|>' || chr(10) ||
+                   (CASE WHEN k = 2 THEN rb || '<sticker>'
+                         WHEN k = 4 THEN cb
+                         WHEN k = 5 THEN cb || '<image>'
+                         ELSE rb END) || chr(10) AS tr
+          FROM d),
+        p AS (
+          SELECT doc_id, k, ul, bl, tc, tr,
+                 list_position(
+                   [substr(tc, i, 1) != substr(tr, i, 1)
+                    FOR i IN range(1, least(len(tc), len(tr)) + 1)],
+                   true) AS pos
+          FROM r)
+        SELECT doc_id,
+               (k = 0 OR k = 5) AS pair_valid,
+               CASE k WHEN 1 THEN 'chosen_empty_text_part'
+                      WHEN 2 THEN 'rejected_unknown_part_type'
+                      WHEN 3 THEN 'prefix_mismatch'
+                      WHEN 4 THEN 'identical_responses'
+                      ELSE '' END AS pair_invalid_reason,
+               md5(tc) AS chosen_md5, md5(tr) AS rejected_md5,
+               CASE WHEN k = 1 THEN ''
+                    ELSE (31 + ul) || ':' || (31 + ul + bl) END
+                 AS chosen_spans,
+               (31 + ul + CASE WHEN k = 3 THEN 1 ELSE 0 END) || ':' ||
+                 (31 + ul + bl + CASE WHEN k = 3 THEN 1 ELSE 0 END)
+                 AS rejected_spans,
+               (CASE WHEN pos IS NULL OR pos = 0
+                     THEN least(len(tc), len(tr))
+                     ELSE pos - 1 END)::BIGINT AS diverge_at
+        FROM p""")
+    ),
+    (
+      // WordPiece first-iteration merge statistics (Schuster & Nakajima
+      // 2012 / the BERT trainer): symbols are first-char-plain +
+      // ##-continuations, pairs score count(l,r)/(count(l)·count(r)) —
+      // the likelihood-ratio argmax, NOT BPE's raw-count argmax. Top 20
+      // by (score desc, left, right); both engines compute the score as
+      // ONE IEEE division of exact integer counts, so ordering and the
+      // round-6 display agree bit-for-bit.
+      "q262_wordpiece_scores",
+      (s: SparkSession, dir: String) =>
+        graft.ops.WordPiece.pairScores(
+          graft.ops.WordPiece.initialVocab(t(s, dir, "documents"), "text"))
+          .orderBy(col("score").desc, col("left"), col("right"))
+          .limit(20)
+          .select(col("left"), col("right"), col("pair_cnt"),
+            col("left_cnt"), col("right_cnt"),
+            round(col("score"), 6).as("score")),
+      Some("""
+        WITH w AS (
+          SELECT w AS word, count(*)::BIGINT AS cnt
+          FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+                  '[^a-z0-9]+'), x -> x <> '')) AS w
+                FROM documents)
+          GROUP BY 1),
+        syms AS (
+          SELECT word, cnt, list_transform(range(1, len(word) + 1),
+            i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+                      ELSE '##' || substr(word, i, 1) END) AS ss
+          FROM w),
+        uni AS (
+          SELECT sym, sum(cnt)::BIGINT AS sym_cnt
+          FROM (SELECT cnt, unnest(ss) AS sym FROM syms)
+          GROUP BY 1),
+        pairs AS (
+          SELECT p.l AS lft, p.r AS rgt, sum(cnt)::BIGINT AS pair_cnt
+          FROM (SELECT cnt, unnest(list_transform(
+                  range(1, len(ss)), i ->
+                    {'l': ss[i::INT], 'r': ss[(i + 1)::INT]})) AS p
+                FROM syms WHERE len(ss) >= 2)
+          GROUP BY 1, 2)
+        SELECT lft AS "left", rgt AS "right", pair_cnt,
+               ul.sym_cnt AS left_cnt, ur.sym_cnt AS right_cnt,
+               round(pair_cnt::DOUBLE /
+                 (ul.sym_cnt::DOUBLE * ur.sym_cnt::DOUBLE), 6) AS score
+        FROM pairs
+        JOIN uni ul ON ul.sym = lft
+        JOIN uni ur ON ur.sym = rgt
+        ORDER BY pair_cnt::DOUBLE /
+          (ul.sym_cnt::DOUBLE * ur.sym_cnt::DOUBLE) DESC, lft, rgt
+        LIMIT 20""")
+    ),
+    (
+      // WordPiece FULL train (3 likelihood-ratio merges) + MaxMatch
+      // encode, gated on SQL-derivable invariants like q260: the
+      // ##-stripped decode round-trips to the normalized input (the
+      // vocabulary contains every observed initial symbol, so no word
+      // can go [UNK] on the training corpus — n_unk must be 0), and
+      // the piece count sits in [ceil(chars/4), chars] (3 merges bound
+      // any piece to 4 chars). Greedy-vs-vocab numerics are
+      // hand-verified in Round15Spec.
+      "q263_wordpiece_encode",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val vocab = graft.ops.WordPiece.vocabTable(docs, "text",
+          wordPieceMerges(s, dir))
+        graft.ops.WordPiece.encode(docs, "text", vocab)
+          .select(col("doc_id"), md5(col("decoded")).as("decoded_md5"),
+            col("n_unk"),
+            (size(col("pieces")).cast("bigint") <=
+              length(regexp_replace(col("decoded"), " ", "")) &&
+              size(col("pieces")).cast("bigint") * 4 >=
+                length(regexp_replace(col("decoded"), " ", "")))
+              .as("piece_count_in_bounds"))
+      },
+      Some("""
+        WITH nm AS (
+          SELECT doc_id,
+                 coalesce(array_to_string(list_filter(string_split_regex(
+                   lower(text), '[^a-z0-9]+'), x -> x <> ''), ' '), '')
+                   AS d
+          FROM documents)
+        SELECT doc_id, md5(d) AS decoded_md5, 0::BIGINT AS n_unk,
                true AS piece_count_in_bounds
         FROM nm""")
     ))

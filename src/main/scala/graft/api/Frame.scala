@@ -373,6 +373,14 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       rejectedCol: String = "messages_rejected",
       template: ChatOps.ChatTemplate = ChatOps.ChatTemplate.Default): Frame =
     next(Preference.renderPair(df, chosenCol, rejectedCol, template))
+  /** Typed content-part preference arms (multimodal DPO corpora). */
+  def preferenceValidateParts(chosenCol: String = "messages_chosen",
+      rejectedCol: String = "messages_rejected"): Frame =
+    next(Preference.validatePairsParts(df, chosenCol, rejectedCol))
+  def preferenceRenderParts(chosenCol: String = "messages_chosen",
+      rejectedCol: String = "messages_rejected",
+      template: ChatOps.ChatTemplate = ChatOps.ChatTemplate.Default): Frame =
+    next(Preference.renderPairParts(df, chosenCol, rejectedCol, template))
   def rankingEval(qidCol: String, scoreCol: String, relCol: String,
       k: Int, tieCol: String): Frame =
     next(RankingEval.perQuery(df, qidCol, scoreCol, relCol, k, tieCol))
@@ -589,6 +597,15 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def unigramEncode(textCol: String, vocab: Frame,
       maxPieceLen: Int = 8): Frame =
     next(UnigramLm.encode(df, textCol, vocab.df, maxPieceLen))
+  /** WordPiece (Schuster & Nakajima 2012) train/encode — the BERT
+    * member of the tokenizer family. */
+  def wordpieceTrain(textCol: String, numMerges: Int,
+      mergesPerRound: Int = 1): Frame =
+    next(WordPiece.mergeTable(df.sparkSession,
+      WordPiece.train(df, textCol, numMerges, mergesPerRound)))
+  def wordpieceEncode(textCol: String, vocab: Frame,
+      unk: String = "[UNK]", maxChars: Int = 100): Frame =
+    next(WordPiece.encode(df, textCol, vocab.df, unk, maxChars))
   def cdcChunks(idCol: String, textCol: String, p: Int = 16): Frame =
     next(CdcChunk.explodeChunks(df, idCol, textCol, p))
   def cdcDuplicateChunks(idCol: String, textCol: String,

@@ -725,10 +725,13 @@ final case class LazyFrame(
     val fields = if (system.isEmpty) base else base :+ ("system" -> system)
     append("preference_from_pairs", fields: _*)
   }
-  def preferenceValidate(dropInvalid: Boolean = false): LazyFrame =
-    append("preference_validate", "drop_invalid" -> dropInvalid)
-  def preferenceRender(template: String = "default"): LazyFrame =
-    append("preference_render", "template" -> template)
+  def preferenceValidate(dropInvalid: Boolean = false,
+      parts: Boolean = false): LazyFrame =
+    append("preference_validate", "drop_invalid" -> dropInvalid,
+      "parts" -> parts)
+  def preferenceRender(template: String = "default",
+      parts: Boolean = false): LazyFrame =
+    append("preference_render", "template" -> template, "parts" -> parts)
   def datacard(textKey: String, sliceKey: String,
       perSlice: Boolean = false, approx: Boolean = false): LazyFrame =
     append("datacard", "text_key" -> textKey, "slice_key" -> sliceKey,
@@ -766,6 +769,15 @@ final case class LazyFrame(
     append("unigram_encode", "text_key" -> textKey,
       "max_piece_len" -> maxPieceLen, "seed_size" -> seedSize,
       "target_size" -> targetSize, "em_iters" -> emIters)
+  /** WordPiece (Schuster & Nakajima 2012) train/encode. */
+  def wordpieceTrain(textKey: String, numMerges: Int = 64,
+      mergesPerRound: Int = 1): LazyFrame =
+    append("wordpiece_train", "text_key" -> textKey,
+      "num_merges" -> numMerges, "merges_per_round" -> mergesPerRound)
+  def wordpieceEncode(textKey: String, numMerges: Int = 64,
+      unk: String = "[UNK]", maxChars: Int = 100): LazyFrame =
+    append("wordpiece_encode", "text_key" -> textKey,
+      "num_merges" -> numMerges, "unk" -> unk, "max_chars" -> maxChars)
   def cdcChunk(idKey: String, textKey: String, mode: String = "chunks",
       p: Int = 16): LazyFrame =
     append("cdc_chunk", "id_key" -> idKey, "text_key" -> textKey,

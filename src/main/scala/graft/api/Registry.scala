@@ -846,6 +846,31 @@ object Registry {
     UnigramLm.encode(df, c("text_key").str, vocab,
       c.intOr("max_piece_len", 8))
   }
+  // WordPiece tokenizer training (§2.14 engine extension, Schuster &
+  // Nakajima 2012 / the BERT trainer): likelihood-ratio merges over
+  // ##-prefixed continuation symbols; emits the (rank, left, right,
+  // fused, counts, score) merge table.
+  register("wordpiece_train") { (df, c, _) =>
+    WordPiece.mergeTable(df.sparkSession,
+      WordPiece.train(df, c("text_key").str, c.intOr("num_merges", 64),
+        c.intOr("merges_per_round", 1)))
+  }
+  // WordPiece MaxMatch encode: piece vocabulary from a dataset
+  // (`vocab_from`, a (piece) table) or trained on THIS frame.
+  register("wordpiece_encode") { (df, c, ctx) =>
+    val vocab = c.get("vocab_from") match {
+      case Some(name) => ctx.datasets.getOrElse(name.str,
+        throw new IllegalArgumentException(
+          s"unknown wordpiece_encode dataset '${name.str}'"))
+      case None =>
+        val tk = c("text_key").str
+        WordPiece.vocabTable(df, tk,
+          WordPiece.train(df, tk, c.intOr("num_merges", 64),
+            c.intOr("merges_per_round", 1)))
+    }
+    WordPiece.encode(df, c("text_key").str, vocab,
+      c.strOr("unk", "[UNK]"), c.intOr("max_chars", 100))
+  }
   // Naive Bayes classifier training (§2.14 scoring): fit a (label, token,
   // weight) model table on THIS frame's labeled rows.
   register("nb_train") { (df, c, _) =>
@@ -1885,10 +1910,18 @@ object Registry {
   // Preference-pair validation (§2.14 DPO prep): per-side conversation
   // rules + shared-prefix + divergent-responses contract; appends
   // pair_valid + pair_invalid_reason. `drop_invalid: true` filters.
+  // `parts: true` reads typed content-part messages (part-level shape
+  // rules per side; pair contract on the (role, type, text) projection
+  // so a changed image ref in the final turn is a divergent response).
   register("preference_validate") { (df, c, _) =>
-    val out = Preference.validatePairs(df,
-      c.strOr("chosen_key", "messages_chosen"),
-      c.strOr("rejected_key", "messages_rejected"))
+    val out =
+      if (c.boolOr("parts", false))
+        Preference.validatePairsParts(df,
+          c.strOr("chosen_key", "messages_chosen"),
+          c.strOr("rejected_key", "messages_rejected"))
+      else Preference.validatePairs(df,
+        c.strOr("chosen_key", "messages_chosen"),
+        c.strOr("rejected_key", "messages_rejected"))
     if (c.boolOr("drop_invalid", false))
       out.filter(org.apache.spark.sql.functions.col("pair_valid"))
         .drop("pair_valid", "pair_invalid_reason")
@@ -1912,7 +1945,14 @@ object Registry {
           eos = t.strOr("eos", ""))
       }
     }
-    Preference.renderPair(df,
+    // `parts: true` renders typed content-part sides (mask spans cover
+    // only the text parts of masked turns, both sides)
+    if (c.boolOr("parts", false))
+      Preference.renderPairParts(df,
+        c.strOr("chosen_key", "messages_chosen"),
+        c.strOr("rejected_key", "messages_rejected"),
+        tpl, c.strOr("mask_role", "assistant"))
+    else Preference.renderPair(df,
       c.strOr("chosen_key", "messages_chosen"),
       c.strOr("rejected_key", "messages_rejected"),
       tpl, c.strOr("mask_role", "assistant"))

@@ -84,6 +84,54 @@ object Preference {
       .drop("_c_valid", "_c_reason", "_r_valid", "_r_reason")
   }
 
+  /** [[validatePairs]] for TYPED content-part conversations (`parts:
+    * true` corpora — see [[ChatOps.partsToContent]]): each side first
+    * passes [[ChatOps.validateParts]]'s part-level + flat rules
+    * (`chosen_<reason>` / `rejected_<reason>`), then the pair contract
+    * is checked on the (role, part type, part text) PROJECTION of the
+    * messages — extra carrier fields (timestamps, ids) don't break
+    * prefix equality, and a changed image REF in the final turn counts
+    * as a divergent response even though both refs render to the same
+    * `<image>` placeholder (the flatten bridge would erase exactly that
+    * signal). Reason priority matches [[validatePairs]]. Pure per-row
+    * array expressions; no UDF, no shuffle. */
+  def validatePairsParts(df: DataFrame, chosenCol: String,
+      rejectedCol: String,
+      allowedTypes: Seq[String] = Seq("text", "image", "audio", "video"),
+      validOut: String = "pair_valid",
+      reasonOut: String = "pair_invalid_reason"): DataFrame = {
+    // (role, parts(type, text)) projection; nulls coalesce so struct
+    // equality is two-valued (a null text field would three-value the
+    // whole prefix comparison)
+    def norm(msgs: Column): Column = transform(msgs, m =>
+      struct(coalesce(m.getField("role"), lit("")).as("role"),
+        coalesce(transform(m.getField("parts"), p =>
+          struct(coalesce(p.getField("type"), lit("")).as("type"),
+            coalesce(p.getField("text"), lit("")).as("text"))),
+          array().cast("array<struct<type:string,text:string>>"))
+          .as("parts")))
+    val c = norm(col(chosenCol))
+    val r = norm(col(rejectedCol))
+    val sideChecked = ChatOps.validateParts(
+      ChatOps.validateParts(df, chosenCol, allowedTypes,
+        "_c_valid", "_c_reason"),
+      rejectedCol, allowedTypes, "_r_valid", "_r_reason")
+    val prefixMatch = size(c) === size(r) &&
+      slice(c, lit(1), size(c) - 1) === slice(r, lit(1), size(r) - 1)
+    val responsesDiffer =
+      element_at(c, -1).getField("parts") =!=
+        element_at(r, -1).getField("parts")
+    val reason = when(!col("_c_valid"),
+        concat(lit("chosen_"), col("_c_reason")))
+      .when(!col("_r_valid"), concat(lit("rejected_"), col("_r_reason")))
+      .when(!prefixMatch, lit("prefix_mismatch"))
+      .when(!responsesDiffer, lit("identical_responses"))
+      .otherwise(lit(null).cast("string"))
+    sideChecked.withColumn(reasonOut, reason)
+      .withColumn(validOut, col(reasonOut).isNull)
+      .drop("_c_valid", "_c_reason", "_r_valid", "_r_reason")
+  }
+
   /** Render both sides under `template` ([[ChatOps.render]] twice:
     * `text_chosen`/`mask_spans_chosen`, `text_rejected`/
     * `mask_spans_rejected`) and append `diverge_at` — the first character
@@ -98,6 +146,30 @@ object Preference {
       textOut = "text_chosen", spansOut = "mask_spans_chosen")
     val b = ChatOps.render(a, rejectedCol, template, maskRole,
       textOut = "text_rejected", spansOut = "mask_spans_rejected")
+    b.withColumn("diverge_at",
+      divergenceCol(col("text_chosen"), col("text_rejected")))
+  }
+
+  /** [[renderPair]] for TYPED content-part conversations: both sides
+    * through [[ChatOps.renderPartsWithSpans]] (loss-mask spans cover
+    * ONLY the text parts of `maskRole` turns — `<image>` placeholders
+    * inside the masked final turn stay unmasked on BOTH sides), plus
+    * `diverge_at` over the rendered texts. For a valid parts pair the
+    * offset marks where the pairwise loss has signal exactly as in the
+    * flat case; tokens before it are the shared multimodal prompt (the
+    * prompt-caching boundary in DPO trainers). */
+  def renderPairParts(df: DataFrame, chosenCol: String,
+      rejectedCol: String,
+      template: ChatOps.ChatTemplate = ChatOps.ChatTemplate.Default,
+      maskRole: String = "assistant",
+      placeholders: Map[String, String] =
+        ChatOps.DefaultPartPlaceholders): DataFrame = {
+    val a = ChatOps.renderPartsWithSpans(df, chosenCol, template, maskRole,
+      placeholders, textOut = "text_chosen",
+      spansOut = "mask_spans_chosen")
+    val b = ChatOps.renderPartsWithSpans(a, rejectedCol, template, maskRole,
+      placeholders, textOut = "text_rejected",
+      spansOut = "mask_spans_rejected")
     b.withColumn("diverge_at",
       divergenceCol(col("text_chosen"), col("text_rejected")))
   }

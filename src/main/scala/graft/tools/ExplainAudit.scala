@@ -51,7 +51,11 @@ object ExplainAudit {
         // parts render (no explode), and the WindowGroupLimit
         // top-values prune
         "q244_krippendorff_alpha", "q247_chat_parts_render",
-        "q256_top_values")
+        "q256_top_values",
+        // round-15 shapes: the fold-only parts pair render (no
+        // explode), and the two-vocab-agg broadcast-joined WordPiece
+        // score plan
+        "q261_dpo_parts", "q262_wordpiece_scores")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

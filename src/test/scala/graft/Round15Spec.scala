@@ -323,4 +323,180 @@ class Round15Spec extends SparkSpec {
       ("x", false, 1L)))
     graft.core.PersistScope.unpersistAll()
   }
+
+  // --------------- preference pairs over content parts (VERDICT item 8)
+
+  private def partsPair(chosenParts: Seq[(String, String)],
+      rejectedParts: Seq[(String, String)],
+      userParts: Seq[(String, String)] = Seq(("text", "hi"), ("image", "u.png")),
+      rejectedUserParts: Option[Seq[(String, String)]] = None): DataFrame = {
+    val part = StructType(Seq(StructField("type", StringType),
+      StructField("text", StringType),
+      // extra carrier field: must NOT break prefix equality
+      StructField("ts", LongType)))
+    val msg = StructType(Seq(StructField("role", StringType),
+      StructField("parts", ArrayType(part))))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("messages_chosen", ArrayType(msg)),
+      StructField("messages_rejected", ArrayType(msg))))
+    def m(role: String, ps: Seq[(String, String)], ts: Long) =
+      Row(role, ps.map { case (tp, tx) => Row(tp, tx, ts) })
+    df(schema, Row(1L,
+      Seq(m("user", userParts, 10L), m("assistant", chosenParts, 11L)),
+      Seq(m("user", rejectedUserParts.getOrElse(userParts), 99L),
+        m("assistant", rejectedParts, 12L))))
+  }
+
+  test("parts pair: image-ref-only divergence is valid, renders equal") {
+    // chosen and rejected final turns differ ONLY in the image ref —
+    // valid preference signal on the (type,text) projection, yet both
+    // render to the same <image> placeholder, so diverge_at = full len
+    val in = partsPair(
+      Seq(("text", "ok"), ("image", "a.png")),
+      Seq(("text", "ok"), ("image", "b.png")))
+    val v = graft.ops.Preference.validatePairsParts(
+      in, "messages_chosen", "messages_rejected")
+    val r = graft.ops.Preference.renderPairParts(
+      v, "messages_chosen", "messages_rejected")
+      .select("pair_valid", "pair_invalid_reason", "text_chosen",
+        "text_rejected", "diverge_at").collect().head
+    assert(r.getBoolean(0) && r.isNullAt(1))
+    assert(r.getString(2) == r.getString(3))
+    assert(r.getLong(4) == r.getString(2).length.toLong)
+  }
+
+  test("parts pair: carrier fields don't break the prefix contract") {
+    // identical (type,text) everywhere except the final text, with a
+    // DIFFERENT ts on the rejected user turn: raw-struct comparison
+    // would flag prefix_mismatch; the projection must not
+    val in = partsPair(Seq(("text", "good")), Seq(("text", "bad")))
+    val r = graft.ops.Preference.validatePairsParts(
+      in, "messages_chosen", "messages_rejected")
+      .select("pair_valid", "pair_invalid_reason").collect().head
+    assert(r.getBoolean(0), s"expected valid, got ${r.getString(1)}")
+  }
+
+  test("parts pair: reason priority and planted damage classes") {
+    def reasonOf(in: DataFrame): String =
+      graft.ops.Preference.validatePairsParts(
+        in, "messages_chosen", "messages_rejected")
+        .select("pair_invalid_reason").collect().head.getString(0)
+    assert(reasonOf(partsPair(Seq(("text", "")), Seq(("text", "b")))) ==
+      "chosen_empty_text_part")
+    assert(reasonOf(partsPair(Seq(("text", "a")),
+      Seq(("text", "b"), ("sticker", "x")))) ==
+      "rejected_unknown_part_type")
+    assert(reasonOf(partsPair(Seq(("text", "a")), Seq(("text", "b")),
+      rejectedUserParts = Some(Seq(("text", "hi!"), ("image", "u.png"))))) ==
+      "prefix_mismatch")
+    assert(reasonOf(partsPair(Seq(("text", "same"), ("image", "i.png")),
+      Seq(("text", "same"), ("image", "i.png")))) ==
+      "identical_responses")
+  }
+
+  test("parts pair render: spans cover only text parts on both sides") {
+    val in = partsPair(
+      Seq(("text", "yes"), ("image", "a.png")),
+      Seq(("image", "b.png"), ("text", "no")))
+    val r = graft.ops.Preference.renderPairParts(
+      in, "messages_chosen", "messages_rejected")
+      .select("text_chosen", "mask_spans_chosen", "text_rejected",
+        "mask_spans_rejected").collect().head
+    def spans(i: Int): Seq[(Long, Long)] =
+      r.getSeq[Row](i).map(sp => (sp.getLong(0), sp.getLong(1)))
+    val (tc, tr) = (r.getString(0), r.getString(2))
+    assert(spans(1).size == 1 && spans(3).size == 1)
+    val (cs, ce) = spans(1).head
+    val (rs, re) = spans(3).head
+    // each span extracts exactly the assistant TEXT part's characters
+    assert(tc.substring(cs.toInt, ce.toInt) == "yes")
+    assert(tr.substring(rs.toInt, re.toInt) == "no")
+    // placeholders render but stay unmasked
+    assert(tc.contains("<image>") && tr.contains("<image>"))
+  }
+
+  test("parts pair YAML arms route through the registry") {
+    val in = partsPair(Seq(("text", "good")), Seq(("text", "bad")))
+    val out = graft.api.Registry("preference_validate")(in,
+      graft.api.Conf.fromYaml(
+        "type: preference_validate\nparts: true"), null)
+    assert(out.select("pair_valid").collect().head.getBoolean(0))
+    val rendered = graft.api.Registry("preference_render")(out,
+      graft.api.Conf.fromYaml(
+        "type: preference_render\nparts: true"), null)
+    assert(rendered.columns.contains("diverge_at") &&
+      rendered.columns.contains("mask_spans_chosen"))
+  }
+
+  test("q261 shape: parts pair validate+render is row-local — no " +
+      "explode, no UDF, no shuffle") {
+    val in = partsPair(
+      Seq(("text", "ok"), ("image", "a.png")),
+      Seq(("text", "ok"), ("image", "b.png")))
+    val plan = graft.ops.Preference.renderPairParts(
+      graft.ops.Preference.validatePairsParts(
+        in, "messages_chosen", "messages_rejected"),
+      "messages_chosen", "messages_rejected")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan.take(800))
+    assert(!plan.contains("ScalaUDF"), plan.take(800))
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  // --------------------------- WordPiece tokenizer (depth: §2.14 family)
+
+  test("wordpiece scores and first merge are hand-exact") {
+    // the public worked example (HF tokenizers course corpus):
+    // hug×10 pug×5 pun×12 bun×4 hugs×5
+    val corpus = Seq.fill(10)("hug") ++ Seq.fill(5)("pug") ++
+      Seq.fill(12)("pun") ++ Seq.fill(4)("bun") ++ Seq.fill(5)("hugs")
+    val in = textsDf(corpus.zipWithIndex.map {
+      case (w, i) => (i.toLong, w) }: _*)
+    val vocab = graft.ops.WordPiece.initialVocab(in, "text")
+    val scores = graft.ops.WordPiece.pairScores(vocab)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // unigrams: h=15 ##u=36 ##g=20 p=17 ##n=16 b=4 ##s=5
+    assert(scores(("##g", "##s")) == (5L, 20L, 5L, 5.0 / (20 * 5)))
+    assert(scores(("h", "##u")) == (15L, 15L, 36L, 15.0 / (15 * 36)))
+    assert(scores(("##u", "##g")) == (20L, 36L, 20L, 20.0 / (36 * 20)))
+    assert(scores(("b", "##u")) == (4L, 4L, 36L, 4.0 / (4 * 36)))
+    // argmax is the likelihood ratio, NOT the raw count: (##g,##s) at
+    // 0.05 beats (##u,##g)'s count of 20 at 1/36
+    val m = graft.ops.WordPiece.train(in, "text", numMerges = 2)
+    assert(m.head.left == "##g" && m.head.right == "##s" &&
+      m.head.fused == "##gs" && m.head.score == 0.05)
+    // after the fuse every surviving pair ties at 1/36; (left, right)
+    // ascending elects (##u, ##g) -> "##ug"
+    assert(m(1).left == "##u" && m(1).right == "##g" &&
+      m(1).fused == "##ug")
+  }
+
+  test("wordpiece MaxMatch encode: longest match, UNK, round-trip") {
+    val vocabSet = new java.util.HashSet[String]()
+    Seq("hug", "h", "##u", "##g", "##s").foreach(vocabSet.add)
+    // greedy longest-first: "hug" wins over "h" at position 0
+    assert(graft.ops.WordPiece.encodeWord("hugs", vocabSet, 100, "[UNK]")
+      .toSeq == Seq("hug", "##s"))
+    // any uncoverable span collapses the WHOLE word
+    assert(graft.ops.WordPiece.encodeWord("hux", vocabSet, 100, "[UNK]")
+      .toSeq == Seq("[UNK]"))
+    // max_input_chars_per_word guard
+    assert(graft.ops.WordPiece.encodeWord("hug", vocabSet, 2, "[UNK]")
+      .toSeq == Seq("[UNK]"))
+    // df-level: train-corpus encode round-trips with zero UNK
+    val in = textsDf((1L, "Hug, pug!  HUGS pun"), (2L, "bun hug"))
+    val merges = graft.ops.WordPiece.train(in, "text", numMerges = 2)
+    val vt = graft.ops.WordPiece.vocabTable(in, "text", merges)
+    val out = graft.ops.WordPiece.encode(in, "text", vt)
+      .select("id", "pieces", "decoded", "n_unk").collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[String](1), r.getString(2), r.getLong(3))).toMap
+    assert(out(1L)._2 == "hug pug hugs pun" && out(1L)._3 == 0L)
+    assert(out(2L)._2 == "bun hug" && out(2L)._3 == 0L)
+    // MaxMatch is longest-match-first, NOT merge-order replay: "hugs"
+    // takes h + ##ug + ##s (the longer ##ug beats entering via ##gs)
+    assert(out(2L)._1 == Seq("b", "##u", "##n", "h", "##ug"))
+  }
 }
