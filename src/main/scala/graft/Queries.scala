@@ -8690,6 +8690,129 @@ object Queries {
         SELECT doc_id, md5(d) AS decoded_md5, 0::BIGINT AS n_unk,
                true AS piece_count_in_bounds
         FROM nm""")
+    ),
+    (
+      // Tool-call conversation validation (the agentic-SFT shape gate):
+      // one planted class per doc_id%6 residue — valid tool round /
+      // orphan tool result (unknown call id) / missing tool result
+      // (user barges in on pending calls) / unanswered calls at the end
+      // / plain no-tool valid / ends-on-user. The state-machine fold
+      // reports the FIRST violation in message order.
+      "q264_chat_tools_validate",
+      (s: SparkSession, dir: String) => {
+        val callT = "array<struct<id:string,name:string,arguments:string>>"
+        val noCalls = array().cast(callT)
+        val noTid = lit(null).cast("string")
+        def m(role: String, content: org.apache.spark.sql.Column,
+            calls: org.apache.spark.sql.Column,
+            tid: org.apache.spark.sql.Column) =
+          struct(lit(role).as("role"), content.as("content"),
+            calls.as("tool_calls"), tid.as("tool_call_id"))
+        val calls = array(struct(lit("c1").as("id"),
+          lit("search").as("name"),
+          concat(lit("{\"n\": "), col("doc_id").cast("string"),
+            lit("}")).as("arguments")))
+        val k = col("doc_id") % 6
+        val userM = m("user",
+          concat(lit("u:"), substring(col("text"), 1, 15)), noCalls, noTid)
+        val asstCalls = m("assistant", lit(""), calls, noTid)
+        val toolOk = m("tool",
+          concat(lit("r:"), col("doc_id").cast("string")), noCalls,
+          lit("c1"))
+        val toolOrphan = m("tool", lit("r"), noCalls, lit("zz"))
+        val asstPlain = m("assistant",
+          concat(lit("a:"), substring(col("text"), 1, 10)), noCalls, noTid)
+        val conv = when(k === 0, array(userM, asstCalls, toolOk, asstPlain))
+          .when(k === 1, array(userM, asstCalls, toolOrphan))
+          .when(k === 2, array(userM, asstCalls, userM))
+          .when(k === 3, array(userM, asstCalls))
+          .when(k === 4, array(userM, asstPlain))
+          .otherwise(array(userM, asstPlain, userM))
+        graft.ops.ChatOps.validateTools(
+          t(s, dir, "documents").select(col("doc_id"),
+            conv.as("messages")), "messages")
+          .select(col("doc_id"), col("conv_valid"),
+            coalesce(col("conv_invalid_reason"), lit("none")).as("reason"))
+      },
+      Some("""
+        SELECT doc_id,
+               (doc_id % 6 = 0 OR doc_id % 6 = 4) AS conv_valid,
+               CASE doc_id % 6
+                 WHEN 1 THEN 'orphan_tool_result'
+                 WHEN 2 THEN 'missing_tool_result'
+                 WHEN 3 THEN 'unanswered_tool_calls'
+                 WHEN 5 THEN 'unterminated'
+                 ELSE 'none' END AS reason
+        FROM documents""")
+    ),
+    (
+      // Tool-call conversation render + stats: a full tool round (user
+      // -> assistant call with empty content -> tool response ->
+      // assistant answer) renders with Hermes-style <tool_call>/
+      // <tool_response> blocks; mask spans cover the assistant bodies
+      // INCLUDING the emitted call block and never the tool response.
+      // Everything replays in closed form from the constructed pieces.
+      "q265_chat_tools_render",
+      (s: SparkSession, dir: String) => {
+        val callT = "array<struct<id:string,name:string,arguments:string>>"
+        val noCalls = array().cast(callT)
+        val noTid = lit(null).cast("string")
+        def m(role: String, content: org.apache.spark.sql.Column,
+            calls: org.apache.spark.sql.Column,
+            tid: org.apache.spark.sql.Column) =
+          struct(lit(role).as("role"), content.as("content"),
+            calls.as("tool_calls"), tid.as("tool_call_id"))
+        val calls = array(struct(lit("c1").as("id"),
+          lit("search").as("name"),
+          concat(lit("{\"n\": "), col("doc_id").cast("string"),
+            lit("}")).as("arguments")))
+        val conv = array(
+          m("user", concat(lit("u:"), substring(col("text"), 1, 15)),
+            noCalls, noTid),
+          m("assistant", lit(""), calls, noTid),
+          m("tool", concat(lit("r:"), col("doc_id").cast("string")),
+            noCalls, lit("c1")),
+          m("assistant", concat(lit("a:"), substring(col("text"), 1, 10)),
+            noCalls, noTid))
+        val in = t(s, dir, "documents").select(col("doc_id"),
+          conv.as("messages"))
+        val rendered = graft.ops.ChatOps.renderTools(in, "messages")
+        graft.ops.ChatOps.statsTools(rendered, "messages")
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            concat_ws("|", transform(col("mask_spans"), sp =>
+              concat(sp.getField("s"), lit(":"), sp.getField("e"))))
+              .as("spans"),
+            col("n_tool_calls"), col("n_tool_results"),
+            col("n_tool_rounds"), col("n_distinct_tools"),
+            concat_ws(",", col("tools_used")).as("tools_used"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 'u:' || substr(text, 1, 15) AS u,
+                 chr(10) || '<tool_call>{"name": "search", ' ||
+                   '"arguments": {"n": ' || doc_id || '}}</tool_call>'
+                   AS b1,
+                 '<tool_response>' || chr(10) || 'r:' || doc_id ||
+                   chr(10) || '</tool_response>' AS tr,
+                 'a:' || substr(text, 1, 10) AS a2
+          FROM documents),
+        r AS (
+          SELECT doc_id, b1, a2,
+                 '<|user|>' || chr(10) || u || chr(10) ||
+                   '<|assistant|>' || chr(10) AS pre1,
+                 chr(10) || '<|tool|>' || chr(10) || tr || chr(10) ||
+                   '<|assistant|>' || chr(10) AS mid
+          FROM d)
+        SELECT doc_id,
+               md5(pre1 || b1 || mid || a2 || chr(10)) AS text_md5,
+               len(pre1) || ':' || (len(pre1) + len(b1)) || '|' ||
+                 (len(pre1) + len(b1) + len(mid)) || ':' ||
+                 (len(pre1) + len(b1) + len(mid) + len(a2)) AS spans,
+               1::BIGINT AS n_tool_calls, 1::BIGINT AS n_tool_results,
+               1::BIGINT AS n_tool_rounds, 1::BIGINT AS n_distinct_tools,
+               'search' AS tools_used
+        FROM r""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -313,6 +313,14 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       outCol))
   def validateConversationParts(messagesCol: String): Frame =
     next(ChatOps.validateParts(df, messagesCol))
+  /** Tool-call conversation arms (agentic SFT corpora). */
+  def chatRenderTools(messagesCol: String,
+      maskRole: String = "assistant"): Frame =
+    next(ChatOps.renderTools(df, messagesCol, maskRole = maskRole))
+  def validateConversationTools(messagesCol: String): Frame =
+    next(ChatOps.validateTools(df, messagesCol))
+  def conversationStatsTools(messagesCol: String): Frame =
+    next(ChatOps.statsTools(df, messagesCol))
   def trimConversationToBudget(messagesCol: String, budget: Long,
       keepSystem: Boolean = true): Frame =
     next(ChatOps.trimToBudget(df, messagesCol, budget, keepSystem))

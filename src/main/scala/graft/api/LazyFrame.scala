@@ -398,6 +398,17 @@ final case class LazyFrame(
   def validateConversationParts(messagesKey: String): LazyFrame =
     append("conversation_validate", "messages_key" -> messagesKey,
       "parts" -> true)
+  /** Tool-call arms (agentic SFT corpora). */
+  def chatRenderTools(messagesKey: String,
+      maskRole: String = "assistant"): LazyFrame =
+    append("chat_render", "messages_key" -> messagesKey,
+      "mask_role" -> maskRole, "tools" -> true)
+  def validateConversationTools(messagesKey: String): LazyFrame =
+    append("conversation_validate", "messages_key" -> messagesKey,
+      "tools" -> true)
+  def conversationStatsTools(messagesKey: String): LazyFrame =
+    append("conversation_stats", "messages_key" -> messagesKey,
+      "tools" -> true)
   def trimConversationToBudget(messagesKey: String, budget: Long,
       keepSystem: Boolean = true): LazyFrame =
     append("conversation_trim", "messages_key" -> messagesKey,

@@ -984,11 +984,15 @@ object Registry {
   register("conversation_validate") { (df, c, _) =>
     // `parts: true` adds the part-level shape rules (no_parts /
     // unknown_part_type / empty_text_part) before the flat checks
+    // `tools: true` validates the agentic tool-call state machine
+    // (pending-call tracking, orphan/missing results)
     val out =
       if (c.boolOr("parts", false))
         ChatOps.validateParts(df, c("messages_key").str,
           c.get("allowed_types").map(_.strList)
             .getOrElse(Seq("text", "image", "audio", "video")))
+      else if (c.boolOr("tools", false))
+        ChatOps.validateTools(df, c("messages_key").str)
       else ChatOps.validate(df, c("messages_key").str)
     if (c.boolOr("drop_invalid", false))
       out.filter(org.apache.spark.sql.functions.col("conv_valid"))
@@ -1020,6 +1024,8 @@ object Registry {
   // char mass) instead of flat content strings.
   register("conversation_stats") { (df, c, _) =>
     if (c.boolOr("parts", false)) ChatOps.statsParts(df, c("messages_key").str)
+    else if (c.boolOr("tools", false))
+      ChatOps.statsTools(df, c("messages_key").str)
     else ChatOps.stats(df, c("messages_key").str)
   }
   // Typed content parts -> flat content bridge (§2.14 multimodal chat):
@@ -1128,6 +1134,13 @@ object Registry {
       // mask-role turns (placeholders stay unmasked)
       ChatOps.renderPartsWithSpans(df, c("messages_key").str, tpl,
         c.strOr("mask_role", "assistant"), partPlaceholders(c),
+        c.strOr("output_key", "text"), c.strOr("spans_key", "mask_spans"))
+    else if (c.boolOr("tools", false))
+      // tool-call turns: Hermes-style call/response blocks; spans
+      // cover assistant content INCLUDING emitted calls, never tool
+      // responses
+      ChatOps.renderTools(df, c("messages_key").str, tpl,
+        c.strOr("mask_role", "assistant"),
         c.strOr("output_key", "text"), c.strOr("spans_key", "mask_spans"))
     else ChatOps.render(df, c("messages_key").str, tpl,
       c.strOr("mask_role", "assistant"), c.strOr("output_key", "text"),

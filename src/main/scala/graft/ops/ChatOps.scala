@@ -374,6 +374,177 @@ object ChatOps {
       .drop("_graft_flat", "_graft_fv", "_graft_fr")
   }
 
+  // ------------------------------------------------ tool-call turns
+
+  /** Flatten TOOL-CALL conversations — messages carrying the public
+    * agentic-SFT shape (`role` ∈ {system,user,assistant,tool},
+    * assistant turns with `tool_calls: array<struct<id,name,arguments>>`,
+    * tool turns with `tool_call_id`) — into renderable content: each
+    * assistant tool call appends a Hermes-style
+    * `<tool_call>{"name": "…", "arguments": …}</tool_call>` block after
+    * the turn's content; tool results wrap in
+    * `<tool_response>…</tool_response>`. The content field is REPLACED
+    * via withField so every other message field survives; [[render]]
+    * then masks the assistant body INCLUDING its call blocks (the model
+    * must learn to emit the calls) while tool results stay unmasked —
+    * the distinction a flat render cannot express. Pure per-row array
+    * folds; no UDF, no shuffle. */
+  def toolsToContent(df: DataFrame, messagesCol: String,
+      outCol: String = "messages_flat"): DataFrame = {
+    val msgs = col(messagesCol)
+    df.withColumn(outCol, transform(msgs, m => {
+      val blocks = coalesce(
+        aggregate(m.getField("tool_calls"), lit(""), (acc, c) =>
+          concat(acc, lit("\n<tool_call>{\"name\": \""),
+            coalesce(c.getField("name"), lit("")),
+            lit("\", \"arguments\": "),
+            coalesce(c.getField("arguments"), lit("null")),
+            lit("}</tool_call>"))),
+        lit(""))
+      val content = coalesce(m.getField("content"), lit(""))
+      val body = when(m.getField("role") === "tool",
+          concat(lit("<tool_response>\n"), content,
+            lit("\n</tool_response>")))
+        .otherwise(concat(content, blocks))
+      m.withField("content", body)
+    }))
+  }
+
+  /** [[render]] for tool-call conversations: flatten through
+    * [[toolsToContent]], render under `template`. Mask spans cover the
+    * full assistant body — content plus emitted tool-call blocks —
+    * and never the tool responses (observations are inputs, not
+    * targets: the public agentic-SFT loss convention). */
+  def renderTools(df: DataFrame, messagesCol: String,
+      template: ChatTemplate = ChatTemplate.Default,
+      maskRole: String = "assistant",
+      textOut: String = "text", spansOut: String = "mask_spans"): DataFrame =
+    render(toolsToContent(df, messagesCol, "_graft_tools_flat"),
+      "_graft_tools_flat", template, maskRole, textOut, spansOut)
+      .drop("_graft_tools_flat")
+
+  /** [[validate]] for tool-call conversations — the agentic-SFT shape
+    * gate. After the flat preliminaries (non-empty, at most one LEADING
+    * system), the body must follow the tool-call state machine:
+    *
+    *  - `user` (non-empty content) → `assistant`;
+    *  - `assistant` with `tool_calls` (content may be empty) → one
+    *    `tool` result per pending call id, in any order;
+    *  - `assistant` without calls needs non-empty content → `user`;
+    *  - every `tool` turn must answer a PENDING id of the immediately
+    *    preceding assistant turn (else `orphan_tool_result`), and all
+    *    pending ids must be answered before anything else
+    *    (`missing_tool_result`);
+    *  - the conversation ends on a completed assistant turn
+    *    (`unterminated` when expecting assistant/user flow,
+    *    `unanswered_tool_calls` when calls are still pending).
+    *
+    * The scan reports the FIRST violation in message order (positional,
+    * documented — the flat [[validate]]'s global reason priority has no
+    * analog once errors are order-dependent). One per-row fold carrying
+    * (pending ids, expected state, sticky reason); no UDF, no
+    * shuffle. Duplicate call ids within one assistant turn are the
+    * caller's contract (ids are unique in every public corpus shape). */
+  def validateTools(df: DataFrame, messagesCol: String,
+      validOut: String = "conv_valid",
+      reasonOut: String = "conv_invalid_reason"): DataFrame = {
+    val msgs = col(messagesCol)
+    val body = when(
+      size(msgs) >= 1 &&
+        element_at(msgs, 1).getField("role") === "system",
+      slice(msgs, lit(2), size(msgs) - 1)).otherwise(msgs)
+    val emptyConv = msgs.isNull || size(msgs) === 0 || size(body) === 0
+    val strayedSystem = exists(body, m => m.getField("role") === "system")
+    val idsT = "array<string>"
+    // exp: 0 = expect user, 1 = expect assistant, 2 = expect tool results
+    val zero = struct(array().cast(idsT).as("pending"),
+      lit(0).as("exp"), lit(null).cast("string").as("reason"))
+    val folded = aggregate(body, zero, (acc, m) => {
+      val r = m.getField("role")
+      val hasContent =
+        length(coalesce(m.getField("content"), lit(""))) > 0
+      val callIds = coalesce(
+        transform(m.getField("tool_calls"),
+          c => coalesce(c.getField("id"), lit(""))),
+        array().cast(idsT))
+      val nCalls = size(callIds)
+      val tid = coalesce(m.getField("tool_call_id"), lit(""))
+      val exp = acc.getField("exp")
+      val pending = acc.getField("pending")
+      val afterTool = array_remove(pending, tid)
+      val stepReason =
+        when(exp === 0,
+          when(r === "user" && hasContent, lit(null).cast("string"))
+            .when(r === "user", lit("empty_content"))
+            .when(r === "tool", lit("orphan_tool_result"))
+            .otherwise(lit("bad_alternation")))
+        .when(exp === 1,
+          when(r === "assistant" && (nCalls > 0 || hasContent),
+            lit(null).cast("string"))
+            .when(r === "assistant", lit("empty_content"))
+            .when(r === "tool", lit("orphan_tool_result"))
+            .otherwise(lit("bad_alternation")))
+        .otherwise(
+          when(r =!= "tool", lit("missing_tool_result"))
+            .when(!array_contains(pending, tid),
+              lit("orphan_tool_result"))
+            .when(!hasContent, lit("empty_content"))
+            .otherwise(lit(null).cast("string")))
+      val nextExp =
+        when(exp === 0, lit(1))
+          .when(exp === 1, when(nCalls > 0, lit(2)).otherwise(lit(0)))
+          .otherwise(when(size(afterTool) === 0, lit(1)).otherwise(lit(2)))
+      val nextPending =
+        when(exp === 1 && nCalls > 0, callIds)
+          .when(exp === 2, afterTool)
+          .otherwise(array().cast(idsT))
+      // sticky: once a reason fires, the rest of the scan is frozen
+      when(acc.getField("reason").isNotNull, acc)
+        .when(stepReason.isNotNull,
+          struct(pending.as("pending"), exp.as("exp"),
+            stepReason.as("reason")))
+        .otherwise(struct(nextPending.as("pending"), nextExp.as("exp"),
+          lit(null).cast("string").as("reason")))
+    })
+    val terminal =
+      when(folded.getField("reason").isNotNull, folded.getField("reason"))
+        .when(folded.getField("exp") === 2, lit("unanswered_tool_calls"))
+        .when(folded.getField("exp") === 1, lit("unterminated"))
+        .otherwise(lit(null).cast("string"))
+    val reason = when(emptyConv, lit("empty"))
+      .when(strayedSystem, lit("system_not_leading"))
+      .otherwise(terminal)
+    df.withColumn(reasonOut, reason)
+      .withColumn(validOut, col(reasonOut).isNull)
+  }
+
+  /** Tool-use statistics — the agentic-datacard band beside [[stats]]:
+    * call/result counts, distinct tool names, and the per-conversation
+    * round count (assistant turns that issued calls). Pure array
+    * expressions; no explode, no shuffle. */
+  def statsTools(df: DataFrame, messagesCol: String): DataFrame = {
+    val msgs = coalesce(col(messagesCol), array().cast(
+      df.schema(df.schema.fieldIndex(messagesCol)).dataType))
+    val callsOf = (m: Column) => coalesce(
+      size(m.getField("tool_calls")), lit(0))
+    val nCalls = aggregate(msgs, lit(0L),
+      (acc, m) => acc + callsOf(m).cast("bigint"))
+    val nResults = size(filter(msgs,
+      m => m.getField("role") === "tool")).cast("bigint")
+    val nRounds = size(filter(msgs, m =>
+      m.getField("role") === "assistant" && callsOf(m) > 0))
+      .cast("bigint")
+    val names = array_distinct(flatten(transform(msgs, m =>
+      coalesce(transform(m.getField("tool_calls"), c =>
+        coalesce(c.getField("name"), lit(""))),
+        array().cast("array<string>")))))
+    df.withColumn("n_tool_calls", nCalls)
+      .withColumn("n_tool_results", nResults)
+      .withColumn("n_tool_rounds", nRounds)
+      .withColumn("n_distinct_tools", size(names).cast("bigint"))
+      .withColumn("tools_used", array_sort(names))
+  }
+
   /** Drop oldest turns to fit a character budget — the standard
     * long-conversation SFT repair ("keep the most recent context"):
     * keeps the LONGEST SUFFIX of messages whose total content length

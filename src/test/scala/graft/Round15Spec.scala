@@ -443,6 +443,130 @@ class Round15Spec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(800))
   }
 
+  // ------------------------ tool-call conversations (depth: chat family)
+
+  private val toolCallT = StructType(Seq(StructField("id", StringType),
+    StructField("name", StringType), StructField("arguments", StringType)))
+  private val toolMsgT = StructType(Seq(StructField("role", StringType),
+    StructField("content", StringType),
+    StructField("tool_calls", ArrayType(toolCallT)),
+    StructField("tool_call_id", StringType)))
+
+  private def toolConv(msgs: Row*): DataFrame = {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("messages", ArrayType(toolMsgT))))
+    df(schema, Row(1L, msgs))
+  }
+  private def tm(role: String, content: String,
+      calls: Seq[(String, String, String)] = Nil,
+      tid: String = null): Row =
+    Row(role, content,
+      if (calls.isEmpty) Seq.empty[Row]
+      else calls.map { case (i, n, a) => Row(i, n, a) }, tid)
+
+  private def toolReason(in: DataFrame): Option[String] = {
+    val r = graft.ops.ChatOps.validateTools(in, "messages")
+      .select("conv_invalid_reason").collect().head
+    Option(r.getString(0))
+  }
+
+  test("tool-call validate: multi-call round answered out of order") {
+    // two calls in one assistant turn; results arrive reversed — the
+    // pending SET, not a queue, so this is valid
+    val in = toolConv(
+      tm("user", "find it"),
+      tm("assistant", "", calls = Seq(("a", "search", "{}"),
+        ("b", "fetch", "{}"))),
+      tm("tool", "r2", tid = "b"),
+      tm("tool", "r1", tid = "a"),
+      tm("assistant", "done"))
+    assert(toolReason(in).isEmpty)
+  }
+
+  test("tool-call validate: planted violations report the first error") {
+    // duplicate answer: the second result for an already-cleared id is
+    // an orphan
+    assert(toolReason(toolConv(
+      tm("user", "q"),
+      tm("assistant", "", calls = Seq(("a", "s", "{}"))),
+      tm("tool", "r", tid = "a"),
+      tm("tool", "r again", tid = "a"),
+      tm("assistant", "done"))).contains("orphan_tool_result"))
+    // assistant barging in on pending calls
+    assert(toolReason(toolConv(
+      tm("user", "q"),
+      tm("assistant", "", calls = Seq(("a", "s", "{}"))),
+      tm("assistant", "impatient"))).contains("missing_tool_result"))
+    // tool result with no pending assistant turn at all
+    assert(toolReason(toolConv(
+      tm("user", "q"),
+      tm("tool", "r", tid = "a"))).contains("orphan_tool_result"))
+    // empty user content
+    assert(toolReason(toolConv(
+      tm("user", ""),
+      tm("assistant", "x"))).contains("empty_content"))
+    // assistant with neither content nor calls
+    assert(toolReason(toolConv(
+      tm("user", "q"),
+      tm("assistant", ""))).contains("empty_content"))
+    // leading system is fine; stray system is not
+    assert(toolReason(toolConv(
+      tm("system", "be good"), tm("user", "q"),
+      tm("assistant", "a"))).isEmpty)
+    assert(toolReason(toolConv(
+      tm("user", "q"), tm("system", "late"),
+      tm("assistant", "a"))).contains("system_not_leading"))
+  }
+
+  test("tool-call render: spans mask assistant calls, not tool results") {
+    val in = toolConv(
+      tm("user", "q"),
+      tm("assistant", "thinking", calls = Seq(("a", "s", "{\"k\":1}"))),
+      tm("tool", "obs", tid = "a"),
+      tm("assistant", "done"))
+    val r = graft.ops.ChatOps.renderTools(in, "messages")
+      .select("text", "mask_spans").collect().head
+    val text = r.getString(0)
+    val spans = r.getSeq[Row](1).map(sp => (sp.getLong(0), sp.getLong(1)))
+    assert(spans.size == 2)
+    val masked = spans.map { case (s, e) =>
+      text.substring(s.toInt, e.toInt) }
+    // first assistant body: content + its emitted call block
+    assert(masked(0) == "thinking\n<tool_call>" +
+      "{\"name\": \"s\", \"arguments\": {\"k\":1}}</tool_call>")
+    assert(masked(1) == "done")
+    // the observation renders but is OUTSIDE every mask span
+    assert(text.contains("<tool_response>\nobs\n</tool_response>"))
+    val obsAt = text.indexOf("obs").toLong
+    assert(!spans.exists { case (s, e) => s <= obsAt && obsAt < e })
+  }
+
+  test("tool-call stats and YAML arms") {
+    val in = toolConv(
+      tm("user", "q"),
+      tm("assistant", "", calls = Seq(("a", "s", "{}"), ("b", "f", "{}"))),
+      tm("tool", "r1", tid = "a"),
+      tm("tool", "r2", tid = "b"),
+      tm("assistant", "", calls = Seq(("c", "s", "{}"))),
+      tm("tool", "r3", tid = "c"),
+      tm("assistant", "done"))
+    val st = graft.ops.ChatOps.statsTools(in, "messages")
+      .select("n_tool_calls", "n_tool_results", "n_tool_rounds",
+        "n_distinct_tools", "tools_used").collect().head
+    assert(st.getLong(0) == 3L && st.getLong(1) == 3L &&
+      st.getLong(2) == 2L && st.getLong(3) == 2L)
+    assert(st.getSeq[String](4) == Seq("f", "s"))
+    val v = graft.api.Registry("conversation_validate")(in,
+      graft.api.Conf.fromYaml(
+        "type: conversation_validate\nmessages_key: messages\n" +
+          "tools: true"), null)
+    assert(v.select("conv_valid").collect().head.getBoolean(0))
+    val rendered = graft.api.Registry("chat_render")(in,
+      graft.api.Conf.fromYaml(
+        "type: chat_render\nmessages_key: messages\ntools: true"), null)
+    assert(rendered.columns.contains("mask_spans"))
+  }
+
   // --------------------------- WordPiece tokenizer (depth: §2.14 family)
 
   test("wordpiece scores and first merge are hand-exact") {
