@@ -8813,6 +8813,102 @@ object Queries {
                1::BIGINT AS n_tool_rounds, 1::BIGINT AS n_distinct_tools,
                'search' AS tools_used
         FROM r""")
+    ),
+    (
+      // Preference length-bias audit (the public RLHF verbosity
+      // concern): one-row report over the q180 DPO fixture comparing
+      // final assistant contents — exact integer counts, means from
+      // one integer-sum division.
+      "q266_dpo_length_bias",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "documents")
+          .withColumn("chosen",
+            when(col("doc_id") % 11 === 3, lit(""))
+              .otherwise(concat(col("lang"), lit("-"), col("source"))))
+          .withColumn("rejected",
+            when(col("doc_id") % 7 === 0, col("chosen"))
+              .otherwise(col("source")))
+          .select("doc_id", "text", "chosen", "rejected")
+        val pairs = graft.ops.Preference.fromPromptPair(
+          base, "text", "chosen", "rejected")
+        graft.ops.Preference.lengthBias(pairs,
+          "messages_chosen", "messages_rejected")
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 3 THEN ''
+                      ELSE lang || '-' || source END AS chosen,
+                 CASE WHEN doc_id % 7 = 0 THEN
+                        (CASE WHEN doc_id % 11 = 3 THEN ''
+                              ELSE lang || '-' || source END)
+                      ELSE source END AS rejected
+          FROM documents),
+        s AS (
+          SELECT count(*)::BIGINT AS n_pairs,
+                 sum(CASE WHEN len(chosen) > len(rejected)
+                     THEN 1 ELSE 0 END)::BIGINT AS n_chosen_longer,
+                 sum(CASE WHEN len(chosen) = len(rejected)
+                     THEN 1 ELSE 0 END)::BIGINT AS n_equal_length,
+                 sum(len(chosen))::BIGINT AS sc,
+                 sum(len(rejected))::BIGINT AS sr
+          FROM base)
+        SELECT n_pairs, n_chosen_longer, n_equal_length,
+               round(n_chosen_longer::DOUBLE / greatest(n_pairs, 1), 6)
+                 AS chosen_longer_frac,
+               round(sc::DOUBLE / greatest(n_pairs, 1), 6)
+                 AS mean_chosen_chars,
+               round(sr::DOUBLE / greatest(n_pairs, 1), 6)
+                 AS mean_rejected_chars,
+               round((sc - sr)::DOUBLE / greatest(n_pairs, 1), 6)
+                 AS mean_length_delta
+        FROM s""")
+    ),
+    (
+      // k-anonymity audit (Sweeney 2002): re-identification risk over
+      // the (lang, source, n_chars) quasi-identifier tuple at k=3 —
+      // one keyed count + one constant-row summary.
+      "q267_k_anonymity",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Profile.kAnonymity(t(s, dir, "documents"),
+          Seq("lang", "source", "n_chars"), k = 3),
+      Some("""
+        WITH g AS (
+          SELECT lang, source, n_chars, count(*)::BIGINT AS n
+          FROM documents GROUP BY 1, 2, 3),
+        s AS (
+          SELECT sum(n)::BIGINT AS n_rows,
+                 count(*)::BIGINT AS n_combinations,
+                 sum(CASE WHEN n < 3 THEN n ELSE 0 END)::BIGINT
+                   AS n_rows_below_k,
+                 sum(CASE WHEN n < 3 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_combinations_below_k,
+                 min(n)::BIGINT AS min_group_size
+          FROM g)
+        SELECT 3::BIGINT AS k, n_rows, n_combinations, n_rows_below_k,
+               n_combinations_below_k, min_group_size,
+               round(n_rows_below_k::DOUBLE / greatest(n_rows, 1), 6)
+                 AS frac_rows_below_k
+        FROM s""")
+    ),
+    (
+      // The k-anonymity worklist: the largest below-k combinations
+      // (deterministic unit-separator tie), capped — the biggest
+      // offenders an audit actually reads, while q267 carries totals.
+      "q268_k_anonymity_groups",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Profile.kAnonymityGroups(t(s, dir, "documents"),
+          Seq("lang", "source", "n_chars"), k = 3, limit = 20),
+      Some("""
+        WITH g AS (
+          SELECT lang, source, n_chars, count(*)::BIGINT AS group_size
+          FROM documents GROUP BY 1, 2, 3)
+        SELECT lang, source, n_chars, group_size
+        FROM g WHERE group_size < 3
+        ORDER BY group_size DESC,
+          coalesce(lang, ' ') || chr(1) || coalesce(source, ' ') ||
+            chr(1) || coalesce(n_chars::VARCHAR, ' ')
+        LIMIT 20""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

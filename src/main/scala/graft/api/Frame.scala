@@ -381,6 +381,14 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       rejectedCol: String = "messages_rejected",
       template: ChatOps.ChatTemplate = ChatOps.ChatTemplate.Default): Frame =
     next(Preference.renderPair(df, chosenCol, rejectedCol, template))
+  def preferenceLengthBias(chosenCol: String = "messages_chosen",
+      rejectedCol: String = "messages_rejected"): Frame =
+    next(Preference.lengthBias(df, chosenCol, rejectedCol))
+  def kAnonymity(cols: Seq[String], k: Int): Frame =
+    next(Profile.kAnonymity(df, cols, k))
+  def kAnonymityGroups(cols: Seq[String], k: Int,
+      limit: Int = 1000): Frame =
+    next(Profile.kAnonymityGroups(df, cols, k, limit))
   /** Typed content-part preference arms (multimodal DPO corpora). */
   def preferenceValidateParts(chosenCol: String = "messages_chosen",
       rejectedCol: String = "messages_rejected"): Frame =

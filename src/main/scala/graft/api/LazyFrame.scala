@@ -376,9 +376,11 @@ final case class LazyFrame(
       "mask_role" -> maskRole, "output_key" -> outputKey,
       "spans_key" -> spansKey)
   def chatRenderTemplate(messagesKey: String, template: String,
-      maskRole: String = "assistant"): LazyFrame =
+      maskRole: String = "assistant",
+      generationPrompt: Boolean = false): LazyFrame =
     append("chat_render", "messages_key" -> messagesKey,
-      "template" -> template, "mask_role" -> maskRole)
+      "template" -> template, "mask_role" -> maskRole,
+      "generation_prompt" -> generationPrompt)
   /** Typed content-part arms (multimodal chat corpora). */
   def chatRenderParts(messagesKey: String,
       maskRole: String = "assistant"): LazyFrame =
@@ -743,6 +745,12 @@ final case class LazyFrame(
   def preferenceRender(template: String = "default",
       parts: Boolean = false): LazyFrame =
     append("preference_render", "template" -> template, "parts" -> parts)
+  def preferenceLengthBias(): LazyFrame =
+    append("preference_length_bias")
+  def kAnonymity(columns: Seq[String], k: Int,
+      mode: String = "report", limit: Int = 1000): LazyFrame =
+    append("k_anonymity", "columns" -> jlist(columns), "k" -> k,
+      "mode" -> mode, "limit" -> limit)
   def datacard(textKey: String, sliceKey: String,
       perSlice: Boolean = false, approx: Boolean = false): LazyFrame =
     append("datacard", "text_key" -> textKey, "slice_key" -> sliceKey,

@@ -846,6 +846,20 @@ object Registry {
     UnigramLm.encode(df, c("text_key").str, vocab,
       c.intOr("max_piece_len", 8))
   }
+  // k-anonymity audit (§2.14 privacy/reporting, Sweeney 2002):
+  // re-identification risk over quasi-identifier columns. Default =
+  // the one-row report; `mode: groups` emits the below-k worklist.
+  register("k_anonymity") { (df, c, _) =>
+    val cols = c("columns").strList
+    val k = c("k").int
+    c.strOr("mode", "report") match {
+      case "report" => Profile.kAnonymity(df, cols, k)
+      case "groups" => Profile.kAnonymityGroups(df, cols, k,
+        c.intOr("limit", 1000))
+      case other => throw new IllegalArgumentException(
+        s"k_anonymity mode must be report|groups, got '$other'")
+    }
+  }
   // WordPiece tokenizer training (§2.14 engine extension, Schuster &
   // Nakajima 2012 / the BERT trainer): likelihood-ratio merges over
   // ##-prefixed continuation symbols; emits the (rank, left, right,
@@ -1144,7 +1158,10 @@ object Registry {
         c.strOr("output_key", "text"), c.strOr("spans_key", "mask_spans"))
     else ChatOps.render(df, c("messages_key").str, tpl,
       c.strOr("mask_role", "assistant"), c.strOr("output_key", "text"),
-      c.strOr("spans_key", "mask_spans"))
+      c.strOr("spans_key", "mask_spans"),
+      // the public add_generation_prompt contract: open assistant
+      // header, no eos — the inference-prompt shape
+      c.boolOr("generation_prompt", false))
   }
   /** Shared `placeholders: {image: "<image>", ...}` parsing for the
     * content-part ops. */
@@ -1939,6 +1956,13 @@ object Registry {
       out.filter(org.apache.spark.sql.functions.col("pair_valid"))
         .drop("pair_valid", "pair_invalid_reason")
     else out
+  }
+  // Preference length-bias audit (§2.14 DPO QA): one-row verbosity
+  // report comparing final assistant contents.
+  register("preference_length_bias") { (df, c, _) =>
+    Preference.lengthBias(df,
+      c.strOr("chosen_key", "messages_chosen"),
+      c.strOr("rejected_key", "messages_rejected"))
   }
   // Preference-pair render (§2.14 DPO prep): both sides under a chat
   // template + the divergence character offset.

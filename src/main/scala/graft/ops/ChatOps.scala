@@ -57,11 +57,19 @@ object ChatOps {
 
   /** Render `messagesCol` (array<struct<role,content>>) into `textOut` and
     * append `spansOut` (array<struct<s,e>> — [start, end) character
-    * offsets of every `maskRole` message's content) under `template`. */
+    * offsets of every `maskRole` message's content) under `template`.
+    *
+    * `generationPrompt` mirrors the public `add_generation_prompt`
+    * chat-template contract (HF `apply_chat_template`): append an OPEN
+    * `maskRole` header after the last turn and SKIP the eos — the
+    * inference-prompt shape (the model continues from the header), not
+    * a training sample. Mask spans are unchanged (nothing after the
+    * header exists to mask). */
   def render(df: DataFrame, messagesCol: String,
       template: ChatTemplate,
       maskRole: String = "assistant", textOut: String = "text",
-      spansOut: String = "mask_spans"): DataFrame = {
+      spansOut: String = "mask_spans",
+      generationPrompt: Boolean = false): DataFrame = {
     val msgs = col(messagesCol)
     val zero = struct(
       lit(template.bos).as("txt"),
@@ -83,8 +91,11 @@ object ChatOps {
             array(struct(start.as("s"), end.as("e")))))
           .otherwise(acc.getField("spans")).as("spans"))
     })
+    val tail =
+      if (generationPrompt) fillRole(template.msgPrefix, lit(maskRole))
+      else lit(template.eos)
     df.withColumn("_chat", folded)
-      .withColumn(textOut, concat(col("_chat.txt"), lit(template.eos)))
+      .withColumn(textOut, concat(col("_chat.txt"), tail))
       .withColumn(spansOut, col("_chat.spans"))
       .drop("_chat")
   }

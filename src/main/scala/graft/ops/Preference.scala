@@ -150,6 +150,46 @@ object Preference {
       divergenceCol(col("text_chosen"), col("text_rejected")))
   }
 
+  /** Length-bias audit — the public RLHF/DPO length-correlation
+    * concern (reward models and pairwise losses drift toward verbosity
+    * when chosen responses are systematically longer; Singhal et al.
+    * 2023): a ONE-ROW report over the corpus comparing the FINAL
+    * assistant contents (the divergent part of a valid pair). Counts
+    * are exact integers; means come from integer sums divided once at
+    * the end (no distributed float accumulation). One aggregation, no
+    * driver state beyond the report row. */
+  def lengthBias(df: DataFrame, chosenCol: String,
+      rejectedCol: String): DataFrame = {
+    val lc = length(coalesce(
+      element_at(col(chosenCol), -1).getField("content"), lit("")))
+      .cast("bigint")
+    val lr = length(coalesce(
+      element_at(col(rejectedCol), -1).getField("content"), lit("")))
+      .cast("bigint")
+    df.select(lc.as("_lc"), lr.as("_lr"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("_lc") > col("_lr"), 1L).otherwise(0L))
+          .as("n_chosen_longer"),
+        sum(when(col("_lc") === col("_lr"), 1L).otherwise(0L))
+          .as("n_equal_length"),
+        sum(col("_lc")).as("_sc"), sum(col("_lr")).as("_sr"))
+      .select(col("n_pairs"), col("n_chosen_longer"),
+        col("n_equal_length"),
+        round(col("n_chosen_longer").cast("double") /
+          greatest(col("n_pairs"), lit(1L)).cast("double"), 6)
+          .as("chosen_longer_frac"),
+        round(col("_sc").cast("double") /
+          greatest(col("n_pairs"), lit(1L)).cast("double"), 6)
+          .as("mean_chosen_chars"),
+        round(col("_sr").cast("double") /
+          greatest(col("n_pairs"), lit(1L)).cast("double"), 6)
+          .as("mean_rejected_chars"),
+        round((col("_sc") - col("_sr")).cast("double") /
+          greatest(col("n_pairs"), lit(1L)).cast("double"), 6)
+          .as("mean_length_delta"))
+  }
+
   /** [[renderPair]] for TYPED content-part conversations: both sides
     * through [[ChatOps.renderPartsWithSpans]] (loss-mask spans cover
     * ONLY the text parts of `maskRole` turns — `<image>` placeholders

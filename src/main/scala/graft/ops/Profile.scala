@@ -225,6 +225,54 @@ object Profile {
         round(col("n") / total, 6).as("share"))
   }
 
+  /** k-anonymity audit (Sweeney 2002) over quasi-identifier columns —
+    * the re-identification band of the release datacard: how many rows
+    * sit in a quasi-identifier combination observed fewer than `k`
+    * times. NULL is a real value (a missing zip code still identifies).
+    * ONE (cols)-keyed count aggregation + one constant-row summary —
+    * no row-sized driver state. */
+  def kAnonymity(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(cols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2 && k <= 1000000, s"k must be in [2, 1000000], got $k")
+    df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .agg(
+        coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_combinations"),
+        coalesce(sum(when(col("_n") < k, col("_n")).otherwise(0L)),
+          lit(0L)).as("n_rows_below_k"),
+        coalesce(sum(when(col("_n") < k, 1L).otherwise(0L)), lit(0L))
+          .as("n_combinations_below_k"),
+        coalesce(min(col("_n")), lit(0L)).as("min_group_size"))
+      .select(lit(k.toLong).as("k"), col("n_rows"),
+        col("n_combinations"), col("n_rows_below_k"),
+        col("n_combinations_below_k"), col("min_group_size"),
+        round(col("n_rows_below_k").cast("double") /
+          greatest(col("n_rows"), lit(1L)).cast("double"), 6)
+          .as("frac_rows_below_k"))
+  }
+
+  /** The risky combinations themselves — every quasi-identifier tuple
+    * below `k`, largest first (deterministic ties on the stringified
+    * values), capped at `limit` rows (the worklist shape: at web scale
+    * most free-text combinations are unique, so the full below-k table
+    * is corpus-sized — the audit wants the biggest offenders, the
+    * one-row [[kAnonymity]] report carries the totals). */
+  def kAnonymityGroups(df: DataFrame, cols: Seq[String], k: Int,
+      limit: Int = 1000): DataFrame = {
+    require(cols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2 && k <= 1000000, s"k must be in [2, 1000000], got $k")
+    require(limit >= 1 && limit <= 1000000,
+      s"limit must be in [1, 1000000], got $limit")
+    val tie = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*)
+    df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+      .orderBy(col("group_size").desc, tie)
+      .limit(limit)
+  }
+
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
     require(cols.distinct.size == cols.size, "columns must be distinct")

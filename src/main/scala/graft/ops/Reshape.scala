@@ -215,7 +215,7 @@ object GatherOp {
     val w = Window.partitionBy(col(docIdKey)).orderBy(col(orderKey))
     // Scala UDFs cannot take struct (Row) inputs — chunks pack into
     // array<string> [order, content, headC, midC, tailC], headers into
-    // "levelheader" strings.
+    // "level\u0001header" strings.
     def sideChunk(spec: SectionSpec) = array(
       col(orderKey).cast("string"),
       col(contentKey).cast("string"),
@@ -228,7 +228,7 @@ object GatherOp {
       .over(w.rowsBetween(1, Window.unboundedFollowing))
     val headersUpTo = docHeaderKey match {
       case Some(hk) => collect_list(coalesce(
-          transform(col(hk), h => concat_ws("",
+          transform(col(hk), h => concat_ws("\u0001",
             h.getField("level").cast("string"), h.getField("header"))),
           array().cast("array<string>")))
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -296,11 +296,11 @@ object GatherOp {
     * most recent header per level across all chunks up to the current one,
     * rendered above the main chunk for levels higher than the current
     * chunk's own highest header. Headers arrive packed as
-    * "<level><header>" strings. */
+    * "<level>\u0001<header>" strings. */
   private def renderHierarchyHeaders(headersUpTo: Seq[Seq[String]]): String = {
     if (headersUpTo == null || headersUpTo.isEmpty) return ""
     def unpack(s: String): Option[(Int, String)] = {
-      val i = if (s == null) -1 else s.indexOf('')
+      val i = if (s == null) -1 else s.indexOf('\u0001')
       if (i <= 0) None
       else s.substring(0, i).toIntOption.map(_ -> s.substring(i + 1))
     }

@@ -443,6 +443,86 @@ class Round15Spec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(800))
   }
 
+  test("render generation_prompt appends an open header, no eos") {
+    val msgT = ArrayType(StructType(Seq(StructField("role", StringType),
+      StructField("content", StringType))))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("msgs", msgT)))
+    val in = df(schema, Row(1L, Seq(Row("user", "hi"))))
+    val tpl = graft.ops.ChatOps.ChatTemplate.ChatML
+    val on = graft.ops.ChatOps.render(in, "msgs", tpl,
+      generationPrompt = true).select("text").collect().head.getString(0)
+    assert(on == "<|im_start|>user\nhi<|im_end|>\n<|im_start|>assistant\n")
+    val off = graft.ops.ChatOps.render(in, "msgs", tpl)
+      .select("text").collect().head.getString(0)
+    assert(off == "<|im_start|>user\nhi<|im_end|>\n")
+    val yaml = graft.api.Registry("chat_render")(in,
+      graft.api.Conf.fromYaml("type: chat_render\nmessages_key: msgs\n" +
+        "template: chatml\ngeneration_prompt: true"), null)
+      .select("text").collect().head.getString(0)
+    assert(yaml.endsWith("<|im_start|>assistant\n"))
+  }
+
+  test("tool-call validate shape: one fold, no explode, no shuffle") {
+    val in = toolConv(
+      tm("user", "q"),
+      tm("assistant", "", calls = Seq(("a", "s", "{}"))),
+      tm("tool", "r", tid = "a"),
+      tm("assistant", "done"))
+    val plan = graft.ops.ChatOps.validateTools(in, "messages")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan.take(800))
+    assert(!plan.contains("ScalaUDF"), plan.take(800))
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("k-anonymity report and worklist are hand-exact") {
+    val schema = StructType(Seq(StructField("zip", StringType),
+      StructField("age", LongType)))
+    // groups: (94110,30)x3, (94110,31)x2, (94111,30)x1, (null,30)x2
+    val in = df(schema,
+      Row("94110", 30L), Row("94110", 30L), Row("94110", 30L),
+      Row("94110", 31L), Row("94110", 31L),
+      Row("94111", 30L),
+      Row(null, 30L), Row(null, 30L))
+    val r = graft.ops.Profile.kAnonymity(in, Seq("zip", "age"), k = 3)
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 8L &&
+      r.getLong(2) == 4L)
+    // below k=3: the three size-2/1 groups carry 2+1+2 = 5 rows; NULL
+    // zip is a real (riskier) combination, not a dropped one
+    assert(r.getLong(3) == 5L && r.getLong(4) == 3L &&
+      r.getLong(5) == 1L)
+    assert(r.getDouble(6) == graft.core.Num.rnd6(5.0 / 8))
+    val g = graft.ops.Profile.kAnonymityGroups(in, Seq("zip", "age"),
+      k = 3, limit = 2).collect()
+      .map(x => (Option(x.getString(0)), x.getLong(1), x.getLong(2)))
+    // largest first, unit-separator tie: (94110,31)x2 then (null,30)x2
+    // (" " sorts before "9"... no: null coalesces to " ", and " " < "9",
+    // so the null-zip group wins the tie at size 2)
+    assert(g.length == 2)
+    assert(g(0) == (None, 30L, 2L))
+    assert(g(1) == (Some("94110"), 31L, 2L))
+  }
+
+  test("preference length bias is hand-exact") {
+    val schema = StructType(Seq(StructField("p", StringType),
+      StructField("c", StringType), StructField("r", StringType)))
+    val in = df(schema,
+      Row("q1", "longer answer", "short"), // chosen longer (13 vs 5)
+      Row("q2", "tie", "tie"),             // equal (3 vs 3)
+      Row("q3", "x", "yyyy"))              // rejected longer (1 vs 4)
+    val pairs = graft.ops.Preference.fromPromptPair(in, "p", "c", "r")
+    val out = graft.ops.Preference.lengthBias(pairs,
+      "messages_chosen", "messages_rejected").collect().head
+    assert(out.getLong(0) == 3L && out.getLong(1) == 1L &&
+      out.getLong(2) == 1L)
+    assert(out.getDouble(3) == graft.core.Num.rnd6(1.0 / 3))
+    assert(out.getDouble(4) == graft.core.Num.rnd6(17.0 / 3))
+    assert(out.getDouble(5) == 4.0)
+    assert(out.getDouble(6) == graft.core.Num.rnd6(5.0 / 3))
+  }
+
   // ------------------------ tool-call conversations (depth: chat family)
 
   private val toolCallT = StructType(Seq(StructField("id", StringType),

@@ -120,7 +120,7 @@ class StreamingSpec extends SparkSpec {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 7)
     val q = out.writeStream.format("memory").queryName("normsplit")
       .outputMode(OutputMode.Append()).start()
-    input.addData((1L, "a  b", "siteA"), (2L, "cd", "siteB"))
+    input.addData((1L, "a  b", "siteA"), (2L, "c\u0007d", "siteB"))
     q.processAllAvailable()
     input.addData((3L, "later row", "siteA")) // same source, later batch
     q.processAllAvailable()
