@@ -8661,22 +8661,24 @@ object Queries {
       // WordPiece FULL train (3 likelihood-ratio merges) + MaxMatch
       // encode, gated on SQL-derivable invariants like q260: the
       // ##-stripped decode round-trips to the normalized input (the
-      // vocabulary contains every observed initial symbol, so no word
-      // can go [UNK] on the training corpus — n_unk must be 0), and
-      // the piece count sits in [ceil(chars/4), chars] (3 merges bound
-      // any piece to 4 chars). Greedy-vs-vocab numerics are
+      // vocabulary contains every observed initial symbol and maxChars
+      // is lifted above any real token, so no word can go [UNK] —
+      // n_unk must be 0), and the piece count sits in [ceil(chars/8),
+      // chars] (merges COMPOUND: 3 rounds bound a piece to 2^3 = 8
+      // content chars, not 4). Greedy-vs-vocab numerics are
       // hand-verified in Round15Spec.
       "q263_wordpiece_encode",
       (s: SparkSession, dir: String) => {
         val docs = t(s, dir, "documents")
         val vocab = graft.ops.WordPiece.vocabTable(docs, "text",
           wordPieceMerges(s, dir))
-        graft.ops.WordPiece.encode(docs, "text", vocab)
+        graft.ops.WordPiece.encode(docs, "text", vocab,
+          maxChars = 10000)
           .select(col("doc_id"), md5(col("decoded")).as("decoded_md5"),
             col("n_unk"),
             (size(col("pieces")).cast("bigint") <=
               length(regexp_replace(col("decoded"), " ", "")) &&
-              size(col("pieces")).cast("bigint") * 4 >=
+              size(col("pieces")).cast("bigint") * 8 >=
                 length(regexp_replace(col("decoded"), " ", "")))
               .as("piece_count_in_bounds"))
       },
@@ -8906,8 +8908,12 @@ object Queries {
         SELECT lang, source, n_chars, group_size
         FROM g WHERE group_size < 3
         ORDER BY group_size DESC,
-          coalesce(lang, ' ') || chr(1) || coalesce(source, ' ') ||
-            chr(1) || coalesce(n_chars::VARCHAR, ' ')
+          (CASE WHEN lang IS NULL THEN '0' ELSE '1' END) || chr(1) ||
+            coalesce(lang, '') || chr(1) ||
+            (CASE WHEN source IS NULL THEN '0' ELSE '1' END) || chr(1) ||
+            coalesce(source, '') || chr(1) ||
+            (CASE WHEN n_chars IS NULL THEN '0' ELSE '1' END) || chr(1) ||
+            coalesce(n_chars::VARCHAR, '')
         LIMIT 20""")
     ))
 

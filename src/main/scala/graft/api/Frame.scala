@@ -619,6 +619,13 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       mergesPerRound: Int = 1): Frame =
     next(WordPiece.mergeTable(df.sparkSession,
       WordPiece.train(df, textCol, numMerges, mergesPerRound)))
+  /** The encodable (piece) vocabulary — train + corpus alphabet in one
+    * call; THIS (not [[wordpieceTrain]]'s merge table) is what
+    * [[wordpieceEncode]] consumes. */
+  def wordpieceVocab(textCol: String, numMerges: Int,
+      mergesPerRound: Int = 1): Frame =
+    next(WordPiece.vocabTable(df, textCol,
+      WordPiece.train(df, textCol, numMerges, mergesPerRound)))
   def wordpieceEncode(textCol: String, vocab: Frame,
       unk: String = "[UNK]", maxChars: Int = 100): Frame =
     next(WordPiece.encode(df, textCol, vocab.df, unk, maxChars))

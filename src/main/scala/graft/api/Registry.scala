@@ -1143,25 +1143,27 @@ object Registry {
           eos = t.strOr("eos", ""))
       }
     }
+    // the public add_generation_prompt contract (all three arms):
+    // open mask-role header, no eos — the inference-prompt shape
+    val genPrompt = c.boolOr("generation_prompt", false)
     if (c.boolOr("parts", false))
       // typed content parts: spans cover only the TEXT parts of
       // mask-role turns (placeholders stay unmasked)
       ChatOps.renderPartsWithSpans(df, c("messages_key").str, tpl,
         c.strOr("mask_role", "assistant"), partPlaceholders(c),
-        c.strOr("output_key", "text"), c.strOr("spans_key", "mask_spans"))
+        c.strOr("output_key", "text"), c.strOr("spans_key", "mask_spans"),
+        genPrompt)
     else if (c.boolOr("tools", false))
       // tool-call turns: Hermes-style call/response blocks; spans
       // cover assistant content INCLUDING emitted calls, never tool
       // responses
       ChatOps.renderTools(df, c("messages_key").str, tpl,
         c.strOr("mask_role", "assistant"),
-        c.strOr("output_key", "text"), c.strOr("spans_key", "mask_spans"))
+        c.strOr("output_key", "text"), c.strOr("spans_key", "mask_spans"),
+        genPrompt)
     else ChatOps.render(df, c("messages_key").str, tpl,
       c.strOr("mask_role", "assistant"), c.strOr("output_key", "text"),
-      c.strOr("spans_key", "mask_spans"),
-      // the public add_generation_prompt contract: open assistant
-      // header, no eos — the inference-prompt shape
-      c.boolOr("generation_prompt", false))
+      c.strOr("spans_key", "mask_spans"), genPrompt)
   }
   /** Shared `placeholders: {image: "<image>", ...}` parsing for the
     * content-part ops. */

@@ -265,8 +265,16 @@ object Blocklist {
     * the HOLDER's own lazy lock, so one list's construction never
     * blocks cache hits for other lists on the executor. `counted` is
     * guarded by the cache lock. */
-  private final class Holder(patterns: Array[String]) {
-    lazy val automaton: Automaton = new Automaton(patterns)
+  private final class Holder(private var patterns: Array[String]) {
+    // release the phrase strings once the CSR form exists — a lazy
+    // val's captured constructor param is otherwise retained for the
+    // holder's lifetime, pinning ~100 MB of uncounted String heap per
+    // 10⁶-entry list on top of the counted CSR bytes
+    lazy val automaton: Automaton = {
+      val a = new Automaton(patterns)
+      patterns = null
+      a
+    }
     var counted: Boolean = false
   }
 

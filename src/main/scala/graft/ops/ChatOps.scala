@@ -306,7 +306,8 @@ object ChatOps {
       template: ChatTemplate = ChatTemplate.Default,
       maskRole: String = "assistant",
       placeholders: Map[String, String] = DefaultPartPlaceholders,
-      textOut: String = "text", spansOut: String = "mask_spans"): DataFrame = {
+      textOut: String = "text", spansOut: String = "mask_spans",
+      generationPrompt: Boolean = false): DataFrame = {
     val msgs = col(messagesCol)
     val spanT = "array<struct<s:bigint,e:bigint>>"
     val zero = struct(
@@ -339,8 +340,12 @@ object ChatOps {
         concat(acc.getField("spans"),
           coalesce(inner.getField("sp"), array().cast(spanT))).as("spans"))
     })
+    // same add_generation_prompt contract as [[render]]
+    val tail =
+      if (generationPrompt) fillRole(template.msgPrefix, lit(maskRole))
+      else lit(template.eos)
     df.withColumn("_chatp", folded)
-      .withColumn(textOut, concat(col("_chatp.txt"), lit(template.eos)))
+      .withColumn(textOut, concat(col("_chatp.txt"), tail))
       .withColumn(spansOut, col("_chatp.spans"))
       .drop("_chatp")
   }
@@ -403,11 +408,17 @@ object ChatOps {
   def toolsToContent(df: DataFrame, messagesCol: String,
       outCol: String = "messages_flat"): DataFrame = {
     val msgs = col(messagesCol)
+    // the name embeds in a JSON string literal — escape backslashes
+    // then quotes (literal replace, not regex); arguments pass through
+    // RAW as the call's own JSON value (null -> JSON null), the public
+    // tool-call carrier contract
+    def jsonEscape(c: Column): Column =
+      replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
     df.withColumn(outCol, transform(msgs, m => {
       val blocks = coalesce(
         aggregate(m.getField("tool_calls"), lit(""), (acc, c) =>
           concat(acc, lit("\n<tool_call>{\"name\": \""),
-            coalesce(c.getField("name"), lit("")),
+            jsonEscape(coalesce(c.getField("name"), lit(""))),
             lit("\", \"arguments\": "),
             coalesce(c.getField("arguments"), lit("null")),
             lit("}</tool_call>"))),
@@ -429,9 +440,11 @@ object ChatOps {
   def renderTools(df: DataFrame, messagesCol: String,
       template: ChatTemplate = ChatTemplate.Default,
       maskRole: String = "assistant",
-      textOut: String = "text", spansOut: String = "mask_spans"): DataFrame =
+      textOut: String = "text", spansOut: String = "mask_spans",
+      generationPrompt: Boolean = false): DataFrame =
     render(toolsToContent(df, messagesCol, "_graft_tools_flat"),
-      "_graft_tools_flat", template, maskRole, textOut, spansOut)
+      "_graft_tools_flat", template, maskRole, textOut, spansOut,
+      generationPrompt)
       .drop("_graft_tools_flat")
 
   /** [[validate]] for tool-call conversations — the agentic-SFT shape
@@ -545,9 +558,12 @@ object ChatOps {
     val nRounds = size(filter(msgs, m =>
       m.getField("role") === "assistant" && callsOf(m) > 0))
       .cast("bigint")
+    // null-named calls are a shape defect, not a tool named "" —
+    // exclude them from the distinct-name band (n_tool_calls still
+    // counts them; validateTools is where missing names should gate)
     val names = array_distinct(flatten(transform(msgs, m =>
-      coalesce(transform(m.getField("tool_calls"), c =>
-        coalesce(c.getField("name"), lit(""))),
+      coalesce(filter(transform(m.getField("tool_calls"), c =>
+        c.getField("name")), n => n.isNotNull),
         array().cast("array<string>")))))
     df.withColumn("n_tool_calls", nCalls)
       .withColumn("n_tool_results", nResults)

@@ -166,14 +166,17 @@ object Preference {
     val lr = length(coalesce(
       element_at(col(rejectedCol), -1).getField("content"), lit("")))
       .cast("bigint")
+    // sums coalesce: an empty pairs corpus (drop_invalid filtered
+    // everything) must report zeros, not NULL aggregates
     df.select(lc.as("_lc"), lr.as("_lr"))
       .agg(
         count(lit(1)).as("n_pairs"),
-        sum(when(col("_lc") > col("_lr"), 1L).otherwise(0L))
-          .as("n_chosen_longer"),
-        sum(when(col("_lc") === col("_lr"), 1L).otherwise(0L))
-          .as("n_equal_length"),
-        sum(col("_lc")).as("_sc"), sum(col("_lr")).as("_sr"))
+        coalesce(sum(when(col("_lc") > col("_lr"), 1L).otherwise(0L)),
+          lit(0L)).as("n_chosen_longer"),
+        coalesce(sum(when(col("_lc") === col("_lr"), 1L).otherwise(0L)),
+          lit(0L)).as("n_equal_length"),
+        coalesce(sum(col("_lc")), lit(0L)).as("_sc"),
+        coalesce(sum(col("_lr")), lit(0L)).as("_sr"))
       .select(col("n_pairs"), col("n_chosen_longer"),
         col("n_equal_length"),
         round(col("n_chosen_longer").cast("double") /

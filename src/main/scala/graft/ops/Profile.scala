@@ -264,8 +264,13 @@ object Profile {
     require(k >= 2 && k <= 1000000, s"k must be in [2, 1000000], got $k")
     require(limit >= 1 && limit <= 1000000,
       s"limit must be in [1, 1000000], got $limit")
+    // unit-separator join + a per-column null marker = collision-proof
+    // total order: ("ab","c") must not tie with ("a","bc") at the limit
+    // boundary, and a NULL must not tie with any real value
     val tie = concat_ws("\u0001",
-      cols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*)
+      cols.flatMap(c => Seq(
+        when(col(c).isNull, lit("0")).otherwise(lit("1")),
+        coalesce(col(c).cast("string"), lit("")))): _*)
     df.groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as("group_size"))
       .filter(col("group_size") < k)

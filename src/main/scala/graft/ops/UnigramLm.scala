@@ -80,8 +80,13 @@ object UnigramLm {
     val multi = counts.filter(length(col("piece")) >= 2)
       .orderBy(col("cnt").desc, col("piece")).limit(kMulti)
     val sel = chars.unionByName(multi)
-    // total over the SELECTED pieces (two bounded scalar collects)
-    val total = sel.agg(sum(col("cnt"))).head().getLong(0)
+    // total over the SELECTED pieces (two bounded scalar collects);
+    // an empty selection (no alphanumeric tokens anywhere) must fail
+    // with a NAMED error, not an NPE off a null sum
+    val totalRow = sel.agg(sum(col("cnt"))).head()
+    require(!totalRow.isNullAt(0),
+      "unigram seed: corpus has no alphanumeric tokens to seed from")
+    val total = totalRow.getLong(0)
     sel.withColumn("logp",
       round(log(col("cnt").cast("double") / total.toDouble), 6))
   }

@@ -443,6 +443,53 @@ class Round15Spec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(800))
   }
 
+  test("review fixes: empty-corpus zeros, named seed error, vocab " +
+      "round-trip, escaped tool names") {
+    // lengthBias on an empty pairs corpus reports zeros, not NULLs
+    val emptySchema = StructType(Seq(StructField("p", StringType),
+      StructField("c", StringType), StructField("r", StringType)))
+    val none = graft.ops.Preference.lengthBias(
+      graft.ops.Preference.fromPromptPair(
+        df(emptySchema), "p", "c", "r"),
+      "messages_chosen", "messages_rejected").collect().head
+    assert(none.getLong(0) == 0L && none.getLong(1) == 0L &&
+      none.getDouble(4) == 0.0)
+    // unigram seed on a token-free corpus fails with a NAMED error
+    val bad = intercept[IllegalArgumentException] {
+      graft.ops.UnigramLm.train(textsDf((1L, "!!! ???")), "text",
+        maxPieceLen = 3, seedSize = 10, targetSize = 5, emIters = 0)
+        .collect()
+    }
+    assert(bad.getMessage.contains("no alphanumeric tokens"))
+    // Frame-level wordpiece train->encode pairing round-trips
+    val wp = graft.api.Frame(textsDf((1L, "hug hug pug")),
+      graft.llm.MockLlmClient())
+    val vocab = wp.wordpieceVocab("text", numMerges = 2)
+    val enc = wp.wordpieceEncode("text", vocab).df
+      .select("decoded", "n_unk").collect().head
+    assert(enc.getString(0) == "hug hug pug" && enc.getLong(1) == 0L)
+    // tool names with quotes/backslashes render as VALID JSON
+    val in = toolConv(
+      tm("user", "q"),
+      tm("assistant", "", calls = Seq(("a", "get\"x\\y", "{\"k\":1}"))),
+      tm("tool", "r", tid = "a"),
+      tm("assistant", "done"))
+    val text = graft.ops.ChatOps.renderTools(in, "messages")
+      .select("text").collect().head.getString(0)
+    assert(text.contains(
+      "<tool_call>{\"name\": \"get\\\"x\\\\y\", \"arguments\": {\"k\":1}}" +
+        "</tool_call>"), text)
+    // null-named calls stay out of the distinct-tool band
+    val nn = toolConv(
+      tm("user", "q"),
+      Row("assistant", "", Seq(Row("a", null, "{}")), null),
+      tm("tool", "r", tid = "a"),
+      tm("assistant", "done"))
+    val st = graft.ops.ChatOps.statsTools(nn, "messages")
+      .select("n_tool_calls", "n_distinct_tools").collect().head
+    assert(st.getLong(0) == 1L && st.getLong(1) == 0L)
+  }
+
   test("render generation_prompt appends an open header, no eos") {
     val msgT = ArrayType(StructType(Seq(StructField("role", StringType),
       StructField("content", StringType))))
@@ -461,6 +508,21 @@ class Round15Spec extends SparkSpec {
         "template: chatml\ngeneration_prompt: true"), null)
       .select("text").collect().head.getString(0)
     assert(yaml.endsWith("<|im_start|>assistant\n"))
+    // generation_prompt reaches the parts and tools arms too
+    val pin = partsPair(Seq(("text", "ok")), Seq(("text", "no")))
+    val pyaml = graft.api.Registry("chat_render")(pin,
+      graft.api.Conf.fromYaml("type: chat_render\n" +
+        "messages_key: messages_chosen\nparts: true\n" +
+        "generation_prompt: true"), null)
+      .select("text").collect().head.getString(0)
+    assert(pyaml.endsWith("<|assistant|>\n"), pyaml.takeRight(40))
+    val tin = toolConv(tm("user", "q"), tm("assistant", "a"))
+    val tyaml = graft.api.Registry("chat_render")(tin,
+      graft.api.Conf.fromYaml("type: chat_render\n" +
+        "messages_key: messages\ntools: true\n" +
+        "generation_prompt: true"), null)
+      .select("text").collect().head.getString(0)
+    assert(tyaml.endsWith("<|assistant|>\n"), tyaml.takeRight(40))
   }
 
   test("tool-call validate shape: one fold, no explode, no shuffle") {
@@ -497,9 +559,8 @@ class Round15Spec extends SparkSpec {
     val g = graft.ops.Profile.kAnonymityGroups(in, Seq("zip", "age"),
       k = 3, limit = 2).collect()
       .map(x => (Option(x.getString(0)), x.getLong(1), x.getLong(2)))
-    // largest first, unit-separator tie: (94110,31)x2 then (null,30)x2
-    // (" " sorts before "9"... no: null coalesces to " ", and " " < "9",
-    // so the null-zip group wins the tie at size 2)
+    // largest first; the tie's null marker ("0" < "1") puts the
+    // null-zip group ahead of (94110,31) at size 2
     assert(g.length == 2)
     assert(g(0) == (None, 30L, 2L))
     assert(g(1) == (Some("94110"), 31L, 2L))
