@@ -53,9 +53,11 @@ object ExplainAudit {
         "q244_krippendorff_alpha", "q247_chat_parts_render",
         "q256_top_values",
         // round-15 shapes: the fold-only parts pair render (no
-        // explode), and the two-vocab-agg broadcast-joined WordPiece
-        // score plan
-        "q261_dpo_parts", "q262_wordpiece_scores")
+        // explode), the two-vocab-agg broadcast-joined WordPiece
+        // score plan, the tool-call state-machine fold, and the
+        // keyed-count + TakeOrdered k-anonymity worklist
+        "q261_dpo_parts", "q262_wordpiece_scores",
+        "q264_chat_tools_validate", "q268_k_anonymity_groups")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

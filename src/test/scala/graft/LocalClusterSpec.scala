@@ -173,7 +173,14 @@ class LocalClusterSpec extends AnyFunSuite {
     // the broadcast ANN cross; equal-mass bins' zipWithIndex rank +
     // driver count scalar
     "q201_edit_keep_best", "q221_cohen_kappa", "q220_byte_features_ann",
-    "q219_calibration_equal_mass")
+    "q219_calibration_equal_mass",
+    // round-14/15: the content-hash-keyed executor automaton cache
+    // built from a broadcast phrase array in a separate JVM; the
+    // Viterbi and MaxMatch encode kernels against broadcast
+    // vocabularies (EM / merge training localCheckpoints on executor
+    // blocks); the tool-call state-machine fold in executor codegen
+    "q241_blocklist_scale", "q260_unigram_encode",
+    "q263_wordpiece_encode", "q264_chat_tools_validate")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     names.map { name =>

@@ -566,6 +566,15 @@ class Round15Spec extends SparkSpec {
     assert(g(1) == (Some("94110"), 31L, 2L))
   }
 
+  test("k-anonymity worklist plans as TakeOrdered, not a full sort") {
+    val schema = StructType(Seq(StructField("zip", StringType),
+      StructField("age", LongType)))
+    val in = tmpParquet(df(schema, Row("a", 1L), Row("b", 2L)), "kanon")
+    val plan = graft.ops.Profile.kAnonymityGroups(in, Seq("zip", "age"),
+      k = 3, limit = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("preference length bias is hand-exact") {
     val schema = StructType(Seq(StructField("p", StringType),
       StructField("c", StringType), StructField("r", StringType)))
