@@ -8915,6 +8915,68 @@ object Queries {
             (CASE WHEN n_chars IS NULL THEN '0' ELSE '1' END) || chr(1) ||
             coalesce(n_chars::VARCHAR, '')
         LIMIT 20""")
+    ),
+    (
+      // Hard-negative mining (DPR recipe): five queries built from the
+      // first 8 tokens of docs 13/26/39/52/65 — so each query's own
+      // source document tops its BM25 ranking and the positive
+      // EXCLUSION visibly reshapes the output — then the top-5
+      // non-positive candidates per query with rank and exact BM25
+      // score. Full DuckDB replay (same Robertson variant as q17).
+      "q269_hard_negatives",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val queries = docs
+          .filter(col("doc_id").isin(13L, 26L, 39L, 52L, 65L))
+          .select((col("doc_id") / 13).cast("bigint").as("qid"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+              .as("qtext"))
+        val positives = queries.select(col("qid"),
+          (col("qid") * 13).as("doc"))
+        graft.ops.HardNegatives.mine(queries, "qid", "qtext",
+          positives, "qid", "doc", docs, "doc_id", "text",
+          negPerQuery = 5)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        q AS (
+          SELECT qid, (SELECT array_to_string(toks[1:8], ' ')
+                       FROM t WHERE doc_id = qid * 13) AS qtext
+          FROM (VALUES (1),(2),(3),(4),(5)) v(qid)),
+        qt AS (
+          SELECT qid, unnest(list_distinct(list_filter(
+            string_split(qtext, ' '), x -> x <> ''))) AS term
+          FROM q),
+        st AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 avg(CAST(len(toks) AS DOUBLE)) AS avgdl
+          FROM t),
+        tf AS (
+          SELECT qid, term, doc_id,
+                 CAST(len(list_filter(toks, x -> x = term)) AS DOUBLE)
+                   AS tf,
+                 CAST(len(toks) AS DOUBLE) AS dl
+          FROM qt, t),
+        dfq AS (
+          SELECT term, CAST(count(*) AS DOUBLE) AS df
+          FROM (SELECT DISTINCT term, doc_id FROM tf WHERE tf > 0)
+          GROUP BY term),
+        sc AS (
+          SELECT qid, doc_id,
+                 sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+                     (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+          FROM tf JOIN dfq USING (term), st
+          WHERE tf > 0
+          GROUP BY qid, doc_id)
+        SELECT qid::BIGINT AS qid, doc_id AS neg_id,
+               CAST(row_number() OVER (
+                 PARTITION BY qid ORDER BY score DESC, doc_id)
+                 AS BIGINT) AS neg_rank,
+               CAST(round(score, 5) AS DOUBLE) AS neg_score
+        FROM sc
+        WHERE doc_id <> qid * 13
+        QUALIFY neg_rank <= 5""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

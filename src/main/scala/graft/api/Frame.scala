@@ -386,6 +386,14 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(Preference.lengthBias(df, chosenCol, rejectedCol))
   def kAnonymity(cols: Seq[String], k: Int): Frame =
     next(Profile.kAnonymity(df, cols, k))
+  /** THIS frame = queries; mine BM25 hard negatives from `corpus`,
+    * excluding `positives` (the DPR training-pair prep). */
+  def hardNegativesBm25(qidCol: String, qtextCol: String,
+      positives: Frame, pQidCol: String, pDocCol: String,
+      corpus: Frame, docIdCol: String, textCol: String,
+      negPerQuery: Int = 5): Frame =
+    next(HardNegatives.mine(df, qidCol, qtextCol, positives.df,
+      pQidCol, pDocCol, corpus.df, docIdCol, textCol, negPerQuery))
   def kAnonymityGroups(cols: Seq[String], k: Int,
       limit: Int = 1000): Frame =
     next(Profile.kAnonymityGroups(df, cols, k, limit))

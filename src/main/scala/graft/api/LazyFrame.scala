@@ -751,6 +751,13 @@ final case class LazyFrame(
       mode: String = "report", limit: Int = 1000): LazyFrame =
     append("k_anonymity", "columns" -> jlist(columns), "k" -> k,
       "mode" -> mode, "limit" -> limit)
+  def hardNegativesBm25(qidKey: String, qtextKey: String,
+      positivesFrom: String, corpusFrom: String, textKey: String,
+      negatives: Int = 5): LazyFrame =
+    append("hard_negatives_bm25", "qid_key" -> qidKey,
+      "qtext_key" -> qtextKey, "positives_from" -> positivesFrom,
+      "corpus_from" -> corpusFrom, "text_key" -> textKey,
+      "negatives" -> negatives)
   def datacard(textKey: String, sliceKey: String,
       perSlice: Boolean = false, approx: Boolean = false): LazyFrame =
     append("datacard", "text_key" -> textKey, "slice_key" -> sliceKey,

@@ -846,6 +846,24 @@ object Registry {
     UnigramLm.encode(df, c("text_key").str, vocab,
       c.intOr("max_piece_len", 8))
   }
+  // BM25 hard-negative mining (§2.14 training-pair prep, the DPR
+  // recipe) — the lexical sibling of the embedding-space
+  // `hard_negatives` op: THIS frame = queries; positives and corpus
+  // come from dataset refs.
+  register("hard_negatives_bm25") { (df, c, ctx) =>
+    def dataset(key: String): DataFrame = {
+      val name = c(key).str
+      ctx.datasets.getOrElse(name, throw new IllegalArgumentException(
+        s"unknown hard_negatives_bm25 dataset '$name'"))
+    }
+    HardNegatives.mine(df, c("qid_key").str, c("qtext_key").str,
+      dataset("positives_from"), c.strOr("pos_qid_key", "qid"),
+      c.strOr("pos_doc_key", "doc_id"),
+      dataset("corpus_from"), c.strOr("doc_id_key", "doc_id"),
+      c("text_key").str, c.intOr("negatives", 5),
+      c.dblOr("k1", 1.2), c.dblOr("b", 0.75),
+      c.get("max_posting_size").map(_.int))
+  }
   // k-anonymity audit (§2.14 privacy/reporting, Sweeney 2002):
   // re-identification risk over quasi-identifier columns. Default =
   // the one-row report; `mode: groups` emits the below-k worklist.

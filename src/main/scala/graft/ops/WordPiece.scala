@@ -53,8 +53,16 @@ object WordPiece {
   /** One iteration's statistics: every adjacent symbol pair with its
     * corpus-weighted count, both unigram symbol counts, and the
     * WordPiece score. The winner is the max-score row; ties break
-    * (left, right) ascending for determinism. */
-  def pairScores(vocab: DataFrame): DataFrame = {
+    * (left, right) ascending for determinism.
+    *
+    * The plan references the vocab THREE times (pair agg + both
+    * unigram join sides) — materialize it first so a corpus-derived
+    * input pays its word count once, not three times (the training
+    * loop's vocab is already a localCheckpoint and skips this). */
+  def pairScores(vocab: DataFrame): DataFrame =
+    pairScoresOn(vocab.localCheckpoint())
+
+  private def pairScoresOn(vocab: DataFrame): DataFrame = {
     val pairs = BpeTrain.pairCountsSym(vocab)
     val uni = vocab
       .select(col("cnt"), explode(col("symbols")).as("sym"))
@@ -110,7 +118,7 @@ object WordPiece {
     var exhausted = false
     while (!exhausted && merges.size < numMerges) {
       val want = math.min(mergesPerRound, numMerges - merges.size)
-      val top = pairScores(vocab)
+      val top = pairScoresOn(vocab)
         .orderBy(col("score").desc, col("left"), col("right"))
         .limit(math.max(want * 4, 16)).collect()
       if (top.isEmpty) exhausted = true

@@ -566,6 +566,34 @@ class Round15Spec extends SparkSpec {
     assert(g(1) == (Some("94110"), 31L, 2L))
   }
 
+  test("hard-negative mining: positives excluded, BM25 hand-exact") {
+    val docs = textsDf(
+      (13L, "spark join window fast spark"),
+      (26L, "window join slow"),
+      (2L, "spark spark spark"),
+      (3L, "nothing here"))
+    val qschema = StructType(Seq(StructField("qid", LongType),
+      StructField("qtext", StringType)))
+    val queries = df(qschema, Row(1L, "spark join window"))
+    val positives = df(StructType(Seq(StructField("qid", LongType),
+      StructField("doc", LongType))), Row(1L, 13L))
+    val out = graft.ops.HardNegatives.mine(queries, "qid", "qtext",
+      positives, "qid", "doc", docs, "id", "text", negPerQuery = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 13 (the positive, and the top scorer for its own words) is
+    // excluded; doc 3 shares no term so it is not a candidate at all;
+    // values replayed by hand in DuckDB with the q17 Robertson variant
+    assert(out.toSeq == Seq((26L, 1L, 1.43134), (2L, 2L, 1.10749)))
+    // without the exclusion the positive tops the ranking — the
+    // anti-join is doing real work
+    val noPos = graft.ops.HardNegatives.mine(queries, "qid", "qtext",
+      df(StructType(Seq(StructField("qid", LongType),
+        StructField("doc", LongType)))), "qid", "doc",
+      docs, "id", "text", negPerQuery = 5)
+      .orderBy("neg_rank").collect().map(_.getLong(1))
+    assert(noPos.head == 13L)
+  }
+
   test("k-anonymity worklist plans as TakeOrdered, not a full sort") {
     val schema = StructType(Seq(StructField("zip", StringType),
       StructField("age", LongType)))
