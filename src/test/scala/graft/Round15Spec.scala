@@ -594,6 +594,21 @@ class Round15Spec extends SparkSpec {
     assert(noPos.head == 13L)
   }
 
+  test("hard-negative top-n prunes map-side (WindowGroupLimit)") {
+    val docs = tmpParquet(textsDf(
+      (13L, "spark join window"), (26L, "window join slow"),
+      (2L, "spark fast")), "hneg")
+    val qschema = StructType(Seq(StructField("qid", LongType),
+      StructField("qtext", StringType)))
+    val queries = df(qschema, Row(1L, "spark join"))
+    val positives = df(StructType(Seq(StructField("qid", LongType),
+      StructField("doc", LongType))), Row(1L, 13L))
+    val plan = graft.ops.HardNegatives.mine(queries, "qid", "qtext",
+      positives, "qid", "doc", docs, "id", "text", negPerQuery = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
+
   test("k-anonymity worklist plans as TakeOrdered, not a full sort") {
     val schema = StructType(Seq(StructField("zip", StringType),
       StructField("age", LongType)))
