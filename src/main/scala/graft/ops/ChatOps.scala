@@ -46,6 +46,16 @@ object ChatOps {
       Map("default" -> Default, "chatml" -> ChatML, "alpaca" -> Alpaca)
   }
 
+  /** What a render appends after the last turn: the eos, or — under
+    * the public add_generation_prompt contract — an OPEN `maskRole`
+    * header with NO eos (the inference-prompt shape; the model
+    * continues from the header). Shared by [[render]] and
+    * [[renderPartsWithSpans]]. */
+  private def renderTail(template: ChatTemplate, maskRole: String,
+      generationPrompt: Boolean): Column =
+    if (generationPrompt) fillRole(template.msgPrefix, lit(maskRole))
+    else lit(template.eos)
+
   /** `tpl` with every `{role}` placeholder replaced by the role COLUMN —
     * a concat of literal segments and the role, stays pure codegen. */
   private def fillRole(tpl: String, role: Column): Column = {
@@ -91,11 +101,9 @@ object ChatOps {
             array(struct(start.as("s"), end.as("e")))))
           .otherwise(acc.getField("spans")).as("spans"))
     })
-    val tail =
-      if (generationPrompt) fillRole(template.msgPrefix, lit(maskRole))
-      else lit(template.eos)
     df.withColumn("_chat", folded)
-      .withColumn(textOut, concat(col("_chat.txt"), tail))
+      .withColumn(textOut, concat(col("_chat.txt"),
+        renderTail(template, maskRole, generationPrompt)))
       .withColumn(spansOut, col("_chat.spans"))
       .drop("_chat")
   }
@@ -340,12 +348,9 @@ object ChatOps {
         concat(acc.getField("spans"),
           coalesce(inner.getField("sp"), array().cast(spanT))).as("spans"))
     })
-    // same add_generation_prompt contract as [[render]]
-    val tail =
-      if (generationPrompt) fillRole(template.msgPrefix, lit(maskRole))
-      else lit(template.eos)
     df.withColumn("_chatp", folded)
-      .withColumn(textOut, concat(col("_chatp.txt"), tail))
+      .withColumn(textOut, concat(col("_chatp.txt"),
+        renderTail(template, maskRole, generationPrompt)))
       .withColumn(spansOut, col("_chatp.spans"))
       .drop("_chatp")
   }

@@ -67,11 +67,8 @@ object HardNegatives {
     val contrib = qterms
       .join(postings, Seq("_term"))
       .join(docfreq, Seq("_term"))
-      .withColumn("_c",
-        log((lit(n) - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0) *
-          col("_tf") * (k1 + 1.0) /
-          (col("_tf") +
-            lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / avgdl)))
+      .withColumn("_c", RetrieverOp.bm25Contribution(col("_tf"),
+        col("_df"), col("_dl"), n, avgdl, k1, b))
     val scored = contrib.groupBy(col("_qid"), col("_did"))
       .agg(sum(col("_c")).as("_score"))
     val nonPos = scored.join(

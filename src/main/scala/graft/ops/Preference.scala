@@ -168,7 +168,7 @@ object Preference {
       .cast("bigint")
     // sums coalesce: an empty pairs corpus (drop_invalid filtered
     // everything) must report zeros, not NULL aggregates
-    df.select(lc.as("_lc"), lr.as("_lr"))
+    val agg = df.select(lc.as("_lc"), lr.as("_lr"))
       .agg(
         count(lit(1)).as("n_pairs"),
         coalesce(sum(when(col("_lc") > col("_lr"), 1L).otherwise(0L)),
@@ -177,20 +177,17 @@ object Preference {
           lit(0L)).as("n_equal_length"),
         coalesce(sum(col("_lc")), lit(0L)).as("_sc"),
         coalesce(sum(col("_lr")), lit(0L)).as("_sr"))
-      .select(col("n_pairs"), col("n_chosen_longer"),
-        col("n_equal_length"),
-        round(col("n_chosen_longer").cast("double") /
-          greatest(col("n_pairs"), lit(1L)).cast("double"), 6)
-          .as("chosen_longer_frac"),
-        round(col("_sc").cast("double") /
-          greatest(col("n_pairs"), lit(1L)).cast("double"), 6)
-          .as("mean_chosen_chars"),
-        round(col("_sr").cast("double") /
-          greatest(col("n_pairs"), lit(1L)).cast("double"), 6)
-          .as("mean_rejected_chars"),
-        round((col("_sc") - col("_sr")).cast("double") /
-          greatest(col("n_pairs"), lit(1L)).cast("double"), 6)
-          .as("mean_length_delta"))
+    val denom = greatest(col("n_pairs"), lit(1L)).cast("double")
+    agg.select(col("n_pairs"), col("n_chosen_longer"),
+      col("n_equal_length"),
+      round(col("n_chosen_longer").cast("double") / denom, 6)
+        .as("chosen_longer_frac"),
+      round(col("_sc").cast("double") / denom, 6)
+        .as("mean_chosen_chars"),
+      round(col("_sr").cast("double") / denom, 6)
+        .as("mean_rejected_chars"),
+      round((col("_sc") - col("_sr")).cast("double") / denom, 6)
+        .as("mean_length_delta"))
   }
 
   /** [[renderPair]] for TYPED content-part conversations: both sides

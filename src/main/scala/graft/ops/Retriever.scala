@@ -27,6 +27,17 @@ import graft.functions.{CosineSimilarity, VectorFunctions}
   */
 object RetrieverOp {
 
+  /** One term's BM25 contribution (the Robertson/Lucene variant with
+    * idf = ln((N−df+0.5)/(df+0.5)+1)) — the ONE formula shared by
+    * [[byBm25]], [[graft.ops.HardNegatives]], and the q17 oracle;
+    * keep it here so the retriever and the training-pair miner cannot
+    * drift apart. */
+  private[ops] def bm25Contribution(tf: Column, df: Column, dl: Column,
+      n: Double, avgdl: Double, k1: Double, b: Double): Column =
+    log((lit(n) - df + 0.5) / (df + 0.5) + 1.0) *
+      tf * (k1 + 1.0) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+
   def byEmbedding(
       df: DataFrame,
       name: String,
@@ -205,10 +216,8 @@ object RetrieverOp {
     val contrib = queryTerms
       .join(postings, Seq("_term"))
       .join(docfreq, Seq("_term"))
-      .withColumn("_c",
-        log((lit(n) - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0) *
-          col("_tf") * (k1 + 1.0) /
-          (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / avgdl)))
+      .withColumn("_c", bm25Contribution(col("_tf"), col("_df"),
+        col("_dl"), n, avgdl, k1, b))
     val scored = contrib.groupBy(col(rowId), col("_cdid"), col("_ctext"))
       .agg(sum(col("_c")).as("_score"))
     attachTopK(withId, scored, rowId, outKey, k)
