@@ -8977,6 +8977,57 @@ object Queries {
         FROM sc
         WHERE doc_id <> qid * 13
         QUALIFY neg_rank <= 5""")
+    ),
+    (
+      // Margin-based bitext mining (Artetxe & Schwenk 2019): even
+      // vec_ids as the source space, odd as the target; ratio margin
+      // over both sides' 4-NN with EXACT integer-micro k-NN means
+      // (round-6 scores x 1e6 sum as integers — no float-sum order),
+      // candidates = union of both k-NN lists, threshold 1.0. Full
+      // DuckDB replay of the q28 cosine convention.
+      "q270_bitext_margin",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        graft.ops.BitextMine.margin(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          k = 4, threshold = 1.0)
+      },
+      Some("""
+        WITH src AS (SELECT vec_id AS sid,
+                       CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings WHERE vec_id % 2 = 0),
+        tgt AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id % 2 = 1),
+        cosn AS (
+          SELECT sid, tid,
+                 CAST(round(list_dot_product(s.e, t.e) /
+                   (sqrt(list_dot_product(s.e, s.e)) *
+                    sqrt(list_dot_product(t.e, t.e))), 6) AS DOUBLE)
+                   AS score
+          FROM src s, tgt t),
+        fwdk AS (SELECT sid, tid, score FROM cosn
+                 QUALIFY row_number() OVER (
+                   PARTITION BY sid ORDER BY score DESC, tid) <= 4),
+        bwdk AS (SELECT sid, tid, score FROM cosn
+                 QUALIFY row_number() OVER (
+                   PARTITION BY tid ORDER BY score DESC, sid) <= 4),
+        sa AS (SELECT sid, sum(CAST(round(score * 1e6) AS BIGINT)) AS sm,
+                      count(*)::BIGINT AS sn
+               FROM fwdk GROUP BY sid),
+        ta AS (SELECT tid, sum(CAST(round(score * 1e6) AS BIGINT)) AS tm,
+                      count(*)::BIGINT AS tn
+               FROM bwdk GROUP BY tid),
+        cands AS (
+          SELECT DISTINCT sid, tid, score FROM (
+            SELECT * FROM fwdk UNION ALL SELECT * FROM bwdk)),
+        m AS (
+          SELECT sid, tid, score,
+                 CAST(round(score / ((sm::DOUBLE / sn + tm::DOUBLE / tn)
+                   / 2.0 / 1e6), 6) AS DOUBLE) AS margin
+          FROM cands JOIN sa USING (sid) JOIN ta USING (tid))
+        SELECT sid AS src_id, tid AS tgt_id, score, margin
+        FROM m WHERE margin >= 1.0""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

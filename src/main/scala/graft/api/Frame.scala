@@ -386,6 +386,14 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     next(Preference.lengthBias(df, chosenCol, rejectedCol))
   def kAnonymity(cols: Seq[String], k: Int): Frame =
     next(Profile.kAnonymity(df, cols, k))
+  /** THIS frame = source embeddings; mine margin-scored bitext
+    * candidates against `target` (Artetxe & Schwenk 2019). */
+  def bitextMargin(idCol: String, embCol: String,
+      target: Frame, targetIdCol: String, targetEmbCol: String,
+      k: Int = 4, threshold: Double = 1.0,
+      mutualBest: Boolean = false): Frame =
+    next(BitextMine.margin(df, idCol, embCol, target.df, targetIdCol,
+      targetEmbCol, k, threshold, mutualBest))
   /** THIS frame = queries; mine BM25 hard negatives from `corpus`,
     * excluding `positives` (the DPR training-pair prep). */
   def hardNegativesBm25(qidCol: String, qtextCol: String,

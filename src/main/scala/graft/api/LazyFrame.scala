@@ -751,6 +751,12 @@ final case class LazyFrame(
       mode: String = "report", limit: Int = 1000): LazyFrame =
     append("k_anonymity", "columns" -> jlist(columns), "k" -> k,
       "mode" -> mode, "limit" -> limit)
+  def bitextMine(idKey: String, embeddingKey: String,
+      targetFrom: String, k: Int = 4, threshold: Double = 1.0,
+      mutualBest: Boolean = false): LazyFrame =
+    append("bitext_mine", "id_key" -> idKey,
+      "embedding_key" -> embeddingKey, "target_from" -> targetFrom,
+      "k" -> k, "threshold" -> threshold, "mutual_best" -> mutualBest)
   def hardNegativesBm25(qidKey: String, qtextKey: String,
       positivesFrom: String, corpusFrom: String, textKey: String,
       negatives: Int = 5): LazyFrame =

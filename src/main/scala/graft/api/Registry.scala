@@ -864,6 +864,23 @@ object Registry {
       c.dblOr("k1", 1.2), c.dblOr("b", 0.75),
       c.get("max_posting_size").map(_.int))
   }
+  // Margin-based bitext mining (§2.14 training-pair prep, Artetxe &
+  // Schwenk 2019): THIS frame = source embeddings; target from a
+  // dataset ref. Ratio margin over both sides' k-NN, optional
+  // mutual-best intersection.
+  register("bitext_mine") { (df, c, ctx) =>
+    val tgtName = c("target_from").str
+    val tgt = ctx.datasets.getOrElse(tgtName,
+      throw new IllegalArgumentException(
+        s"unknown bitext_mine dataset '$tgtName'"))
+    val id = c.strOr("id_key", "id")
+    val emb = c.strOr("embedding_key", "embedding")
+    BitextMine.margin(df, id, emb,
+      tgt, c.strOr("target_id_key", id),
+      c.strOr("target_embedding_key", emb),
+      c.intOr("k", 4), c.dblOr("threshold", 1.0),
+      c.boolOr("mutual_best", false))
+  }
   // k-anonymity audit (§2.14 privacy/reporting, Sweeney 2002):
   // re-identification risk over quasi-identifier columns. Default =
   // the one-row report; `mode: groups` emits the below-k worklist.

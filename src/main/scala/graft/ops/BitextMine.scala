@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Margin-based bitext mining (Artetxe & Schwenk 2019; the
+  * LASER / CCMatrix / NLLB parallel-corpus recipe): candidate sentence
+  * pairs across two embedding spaces score by the RATIO MARGIN
+  *
+  *   margin(x, y) = cos(x, y) / ((avgK(x→tgt) + avgK(y→src)) / 2)
+  *
+  * where avgK are the mean cosines of each side's k nearest neighbors
+  * in the OTHER corpus — a pair only mines well if it stands out from
+  * both neighborhoods, which kills the hubness false positives a raw
+  * cosine threshold admits. The reference has no cross-corpus mining
+  * story — §2.14 engine extension, pairing with [[HardNegatives]] on
+  * the training-pair prep shelf.
+  *
+  * Determinism: neighbor scores are the round-6 cosines
+  * [[graft.ann.Ann.bruteForce]] emits; the k-NN means accumulate as
+  * EXACT integer micro-units (round-6 score × 10⁶ is an integer), so
+  * the margin is one double division of exact integers per pair — no
+  * distributed float-sum ordering anywhere (the q149 lesson).
+  *
+  * Scale shape: [[margin]] uses brute-force k-NN (the correctness
+  * baseline — query side broadcasts, corpus streams); at the 100 TB
+  * end feed [[marginFromKnn]] from [[graft.ann.Ann.ivfSearch]] (or any
+  * (query, neighbor, score) provider) — the margin arithmetic is
+  * identical and stays keyed-join + keyed-agg shaped: candidates are
+  * the union of both k-NN lists (≤ 2k per row, never |src|×|tgt|). */
+object BitextMine {
+
+  /** Mine candidates with exact brute-force k-NN on both sides. */
+  def margin(src: DataFrame, srcId: String, srcEmb: String,
+      tgt: DataFrame, tgtId: String, tgtEmb: String,
+      k: Int = 4, threshold: Double = 1.0,
+      mutualBest: Boolean = false): DataFrame = {
+    require(k >= 1 && k <= 128, s"k must be in [1, 128], got $k")
+    val fwd = graft.ann.Ann.bruteForce(tgt, tgtId, tgtEmb,
+      src, srcId, srcEmb, k, excludeSelf = false)
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("score"))
+    val bwd = graft.ann.Ann.bruteForce(src, srcId, srcEmb,
+      tgt, tgtId, tgtEmb, k, excludeSelf = false)
+      .select(col("neighbor_id").as("src_id"),
+        col("query_id").as("tgt_id"), col("score"))
+    marginFromKnn(fwd, bwd, threshold, mutualBest)
+  }
+
+  /** The margin arithmetic over precomputed k-NN lists — the seam an
+    * IVF/LSH provider plugs into. `fwd` = each src row's neighbors in
+    * tgt, `bwd` = each tgt row's neighbors in src; both shaped
+    * (src_id, tgt_id, score) with round-6 cosine scores. */
+  def marginFromKnn(fwd: DataFrame, bwd: DataFrame,
+      threshold: Double = 1.0, mutualBest: Boolean = false): DataFrame = {
+    val micro = (c: Column) => round(c * 1e6).cast("bigint")
+    val srcAvg = fwd.groupBy("src_id")
+      .agg(sum(micro(col("score"))).as("_sm"),
+        count(lit(1)).as("_sn"))
+    val tgtAvg = bwd.groupBy("tgt_id")
+      .agg(sum(micro(col("score"))).as("_tm"),
+        count(lit(1)).as("_tn"))
+    val cands = fwd.unionByName(bwd)
+      .dropDuplicates("src_id", "tgt_id")
+    val scored = cands
+      .join(srcAvg, "src_id")
+      .join(tgtAvg, "tgt_id")
+      .withColumn("margin", round(col("score") /
+        ((col("_sm").cast("double") / col("_sn") +
+          col("_tm").cast("double") / col("_tn")) / 2.0 / 1e6), 6))
+      .filter(col("margin") >= threshold)
+      .select("src_id", "tgt_id", "score", "margin")
+    if (!mutualBest) scored
+    else {
+      // keep a pair only when it is BOTH sides' best margin — the
+      // high-precision intersection arm of the published recipe
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy("src_id")
+        .orderBy(col("margin").desc, col("tgt_id"))
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy("tgt_id")
+        .orderBy(col("margin").desc, col("src_id"))
+      scored
+        .withColumn("_rs", row_number().over(ws))
+        .withColumn("_rt", row_number().over(wt))
+        .filter(col("_rs") === 1 && col("_rt") === 1)
+        .drop("_rs", "_rt")
+    }
+  }
+}

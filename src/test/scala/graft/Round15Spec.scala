@@ -566,6 +566,34 @@ class Round15Spec extends SparkSpec {
     assert(g(1) == (Some("94110"), 31L, 2L))
   }
 
+  test("bitext margin mining is hand-exact; mutual-best intersects") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(FloatType))))
+    def v(id: Long, x: Double, y: Double) =
+      Row(id, Seq(x.toFloat, y.toFloat))
+    val src = df(schema, v(0L, 1, 0), v(2L, 0, 1))
+    val tgt = df(schema, v(1L, 1, 0), v(3L, 0.6, 0.8))
+    // cosines: (0,1)=1 (0,3)=.6 (2,1)=0 (2,3)=.8
+    // kNN means: src0=.8 src2=.4 tgt1=.5 tgt3=.7
+    // margins: (0,1)=1/.65 (2,3)=.8/.55 — the only two over 1.0
+    val out = graft.ops.BitextMine.margin(src, "id", "e",
+      tgt, "id", "e", k = 2, threshold = 1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set((0L, 1L), (2L, 3L)))
+    assert(out((0L, 1L)) == (1.0, graft.core.Num.rnd6(1.0 / 0.65)))
+    assert(out((2L, 3L)) == (0.8, graft.core.Num.rnd6(0.8 / 0.55)))
+    // mutual-best keeps both (each pair is both sides' argmax) and
+    // drops nothing extra at threshold 0 where (0,3)/(2,1) also emit
+    val all = graft.ops.BitextMine.margin(src, "id", "e",
+      tgt, "id", "e", k = 2, threshold = 0.0)
+    assert(all.count() == 4L)
+    val mb = graft.ops.BitextMine.margin(src, "id", "e",
+      tgt, "id", "e", k = 2, threshold = 0.0, mutualBest = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mb == Set((0L, 1L), (2L, 3L)))
+  }
+
   test("hard-negative mining: positives excluded, BM25 hand-exact") {
     val docs = textsDf(
       (13L, "spark join window fast spark"),
