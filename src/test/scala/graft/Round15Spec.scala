@@ -594,6 +594,45 @@ class Round15Spec extends SparkSpec {
     assert(mb == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("marginFromKnn is drop-in for the IVF scale path") {
+    // clustered vectors split even/odd; with nProbe = nCentroids the
+    // IVF search is exhaustive, so the IVF-fed margins must equal the
+    // brute-force margins BIT-FOR-BIT — the seam is genuinely drop-in
+    val rng = new scala.util.Random(11)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(FloatType))))
+    val rows = (0 until 40).map { i =>
+      val ctr = Array.fill(6)(if (i % 4 < 2) 1.0 else -1.0)
+      Row(i.toLong, ctr.map(c =>
+        (c + rng.nextGaussian() * 0.15).toFloat).toSeq)
+    }
+    val all = df(schema, rows: _*)
+    val src = all.filter(col("id") % 2 === 0)
+    val tgt = all.filter(col("id") % 2 === 1)
+    val bf = graft.ops.BitextMine.margin(src, "id", "e",
+      tgt, "id", "e", k = 3, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    val nC = 2
+    val tgtCent = graft.ann.Ann.trainCentroids(tgt, "e", nC)
+    val srcCent = graft.ann.Ann.trainCentroids(src, "e", nC)
+    val fwd = graft.ann.Ann.ivfSearch(
+      graft.ann.Ann.ivfAssign(tgt, "e", tgtCent), "id", "e",
+      src, "id", "e", tgtCent, k = 3, nProbe = nC)
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("score"))
+    val bwd = graft.ann.Ann.ivfSearch(
+      graft.ann.Ann.ivfAssign(src, "e", srcCent), "id", "e",
+      tgt, "id", "e", srcCent, k = 3, nProbe = nC)
+      .select(col("neighbor_id").as("src_id"),
+        col("query_id").as("tgt_id"), col("score"))
+    val ivf = graft.ops.BitextMine.marginFromKnn(fwd, bwd,
+      threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    assert(ivf == bf)
+  }
+
   test("hard-negative mining: positives excluded, BM25 hand-exact") {
     val docs = textsDf(
       (13L, "spark join window fast spark"),
