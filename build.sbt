@@ -32,6 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Bench stability: pre-commit the full heap (no growth pauses mid-sweep)
+  // and use the throughput collector — G1's concurrent cycles add
+  // run-to-run variance that reads as phantom per-query regressions in
+  // BENCH artifacts (r15 saw ±20% total swings on identical binaries).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+UseParallelGC",
 )
 // LocalClusterSpec starts/stops SparkContexts (including a multi-JVM
 // local-cluster one), which would poison the session every other suite

@@ -34,7 +34,7 @@ object Queries {
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
     apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b ++
     round9c ++ round9d ++ round9e ++ round9f ++ round9h ++ round10 ++
-    round10b ++ round11 ++ round12 ++ round14 ++ round15
+    round10b ++ round11 ++ round12 ++ round14 ++ round15 ++ round16
 
   // ---------------------------------------------------------------- parsing
 
@@ -9028,6 +9028,340 @@ object Queries {
           FROM cands JOIN sa USING (sid) JOIN ta USING (tid))
         SELECT sid AS src_id, tid AS tgt_id, score, margin
         FROM m WHERE margin >= 1.0""")
+    ))
+
+  private def round16: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // The IVF arm of bitext mining (VERDICT r15 item 1): the same
+      // even/odd fixture as q270, mined through marginIvf with
+      // nProbe = nCells = 4 — every cell probed, so the IVF-fed result
+      // must replay q270's brute-force oracle EXACTLY (the drop-in
+      // property Round15Spec proved at the library seam, now gated on
+      // the config-reachable arm).
+      "q271_bitext_ivf",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        graft.ops.BitextMine.marginIvf(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          k = 4, threshold = 1.0, nCells = 4, nProbe = 4)
+      },
+      Some("""
+        WITH src AS (SELECT vec_id AS sid,
+                       CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings WHERE vec_id % 2 = 0),
+        tgt AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id % 2 = 1),
+        cosn AS (
+          SELECT sid, tid,
+                 CAST(round(list_dot_product(s.e, t.e) /
+                   (sqrt(list_dot_product(s.e, s.e)) *
+                    sqrt(list_dot_product(t.e, t.e))), 6) AS DOUBLE)
+                   AS score
+          FROM src s, tgt t),
+        fwdk AS (SELECT sid, tid, score FROM cosn
+                 QUALIFY row_number() OVER (
+                   PARTITION BY sid ORDER BY score DESC, tid) <= 4),
+        bwdk AS (SELECT sid, tid, score FROM cosn
+                 QUALIFY row_number() OVER (
+                   PARTITION BY tid ORDER BY score DESC, sid) <= 4),
+        sa AS (SELECT sid, sum(CAST(round(score * 1e6) AS BIGINT)) AS sm,
+                      count(*)::BIGINT AS sn
+               FROM fwdk GROUP BY sid),
+        ta AS (SELECT tid, sum(CAST(round(score * 1e6) AS BIGINT)) AS tm,
+                      count(*)::BIGINT AS tn
+               FROM bwdk GROUP BY tid),
+        cands AS (
+          SELECT DISTINCT sid, tid, score FROM (
+            SELECT * FROM fwdk UNION ALL SELECT * FROM bwdk)),
+        m AS (
+          SELECT sid, tid, score,
+                 CAST(round(score / ((sm::DOUBLE / sn + tm::DOUBLE / tn)
+                   / 2.0 / 1e6), 6) AS DOUBLE) AS margin
+          FROM cands JOIN sa USING (sid) JOIN ta USING (tid))
+        SELECT sid AS src_id, tid AS tgt_id, score, margin
+        FROM m WHERE margin >= 1.0""")
+    ),
+    (
+      // The IVF arm of embedding hard negatives (VERDICT r15 item 1's
+      // "same seam"): q103's fixture through hardNegativesIvf with
+      // nProbe = nCells = 4 — exhaustive probing, so the label-filtered
+      // top-3 must replay q103's brute-force oracle exactly.
+      "q272_hard_negatives_ivf",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        graft.ann.Ann.hardNegativesIvf(
+          emb, "vec_id", "embedding", "label",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label",
+          k = 3, nCells = 4, nProbe = 4)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+                          label AS ql
+                   FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce,
+                     label AS cl FROM embeddings),
+        s AS (SELECT qid, cid,
+                CAST(round(list_dot_product(qe, ce) /
+                  (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS DOUBLE) AS score
+              FROM q, c WHERE cl <> ql)
+        SELECT qid AS query_id, cid AS neighbor_id, score FROM s
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) <= 3""")
+    ),
+    (
+      // Streaming bloom-filter decontamination driver gate (VERDICT
+      // r15 item 3): odd docs stream through the m=2^20/k=3 filter
+      // built once from even docs (q114's replayable Kirsch-
+      // Mitzenmacher position recipe) — keep rows with ZERO hitting
+      // distinct 4-grams. Stateless probe over a broadcast bit array;
+      // the filter caches per sf dir (deployment static state, and the
+      // bench then measures the steady-state probe).
+      "q273_stream_bloom_clean",
+      {
+        val cache = scala.collection.concurrent.TrieMap
+          .empty[String, graft.dedup.BloomFilter.Filter]
+        (s: SparkSession, dir: String) => {
+          val filter = cache.getOrElseUpdate(dir, {
+            val refGrams = t(s, dir, "documents")
+              .filter(col("doc_id") % 2 === 0)
+              .select(explode(array_distinct(
+                TF.shingles(col("text"), 4))).as("_g"))
+            graft.dedup.BloomFilter.build(refGrams, "_g", m = 1L << 20, k = 3)
+          })
+          val docs = graft.core.Tables.stream(s, dir, "documents")
+            .filter(col("doc_id") % 2 === 1)
+          val out = graft.streaming.Streams.bloomCleanWith(
+            docs, "text", filter, n = 4, maxHits = 0L)
+            .select(col("doc_id").as("id"), md5(col("text")).as("text_md5"))
+          val qn = "q273sink_" +
+            java.util.UUID.randomUUID().toString.replace("-", "")
+          val q = out.writeStream.format("memory").queryName(qn)
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+          val result = s.table(qn)
+          val snap = s.createDataFrame(result.collectAsList(), result.schema)
+          s.catalog.dropTempView(qn)
+          snap
+        }
+      },
+      Some("""
+        WITH refg AS (
+          SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS g
+          FROM (SELECT string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % 2 = 0),
+               UNNEST(range(1, len(w)-2)) AS t(i)),
+        refpos AS (
+          SELECT DISTINCT
+            (('0x' || substr(md5(g), 1, 13))::UBIGINT +
+             i * (('0x' || substr(md5(g), 14, 13))::UBIGINT | 1)) % 1048576 AS p
+          FROM refg, UNNEST(range(0, 3)) AS t(i)),
+        newg AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+                WHERE doc_id % 2 = 1),
+               UNNEST(range(1, len(w)-2)) AS t(i)),
+        gp AS (
+          SELECT doc_id, g,
+            (('0x' || substr(md5(g), 1, 13))::UBIGINT +
+             i * (('0x' || substr(md5(g), 14, 13))::UBIGINT | 1)) % 1048576 AS p
+          FROM newg, UNNEST(range(0, 3)) AS t(i)),
+        gh AS (
+          SELECT doc_id, g, bool_and(p IN (SELECT p FROM refpos)) AS hit
+          FROM gp GROUP BY 1, 2)
+        SELECT doc_id AS id, md5(text) AS text_md5 FROM documents
+        WHERE doc_id % 2 = 1
+          AND doc_id NOT IN (SELECT DISTINCT doc_id FROM gh WHERE hit)""")
+    ),
+    (
+      // Streaming near-dup flagging against a STORED reference corpus
+      // (VERDICT r15 item 3): odd docs stream against even docs'
+      // banded MinHash signature table (stream-static joins, zero
+      // state), exact-Jaccard verified at 0.8 inside the op. Oracle =
+      // the q24/q258 brute-force convention restricted to odd x even;
+      // banding misses are ~4e-8 at the fixture's j >= 0.9 floor.
+      "q274_stream_neardup_ref",
+      (s: SparkSession, dir: String) => {
+        val refSigs = graft.dedup.MinHashDedup.signatureTable(
+          t(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", shingleSize = 3, numPerms = 64, numBands = 16)
+        val docs = graft.core.Tables.stream(s, dir, "documents")
+          .filter(col("doc_id") % 2 === 1)
+        val out = graft.streaming.Streams.nearDupHitsAgainstReference(
+          docs, "doc_id", "text", refSigs, shingleSize = 3,
+          numPerms = 64, numBands = 16, jaccardThreshold = 0.8)
+        val qn = "q274sink_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val result = s.table(qn)
+        val snap = s.createDataFrame(result.collectAsList(), result.schema)
+          .dropDuplicates("id_new", "id_ref")
+        s.catalog.dropTempView(qn)
+        snap
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, list_distinct(list_transform(
+                     range(1, len(string_split(text,' ')) - 1),
+                     i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS sh
+                   FROM documents)
+        SELECT a.doc_id AS id_new, b.doc_id AS id_ref,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        FROM t a JOIN t b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.8""")
+    ),
+    (
+      // Stream-stream time-interval join driver gate (VERDICT r15
+      // item 3): per user, every (purchase, click) pair with the click
+      // in the hour BEFORE the purchase — Structured Streaming's
+      // native watermarked interval join (state = a sliding hour of
+      // each side, evicted by the watermark, never stream history).
+      "q275_stream_interval_join",
+      (s: SparkSession, dir: String) => {
+        def side(tpe: String, prefix: String) =
+          graft.core.Tables.stream(s, dir, "events")
+            .filter(col("event_type") === tpe)
+            .select(col("event_id").as(s"${prefix}_id"),
+              col("user_id").as(s"${prefix}_user"),
+              expr("timestamp_micros(ts)").as(s"${prefix}_ts"))
+        val out = graft.streaming.Streams.intervalJoin(
+          side("purchase", "p"), side("click", "c"),
+          "p_user", "c_user", "p_ts", "c_ts",
+          before = "1 hour", after = "0 seconds",
+          watermarkDelay = "0 seconds")
+          .select("p_id", "c_id")
+        val qn = "q275sink_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val result = s.table(qn)
+        val snap = s.createDataFrame(result.collectAsList(), result.schema)
+        s.catalog.dropTempView(qn)
+        snap
+      },
+      Some("""
+        WITH p AS (SELECT event_id AS p_id, user_id AS u, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS c_id, user_id AS u, epoch_us(ts) AS t
+              FROM events WHERE event_type = 'click')
+        SELECT p_id, c_id FROM p JOIN c USING (u)
+        WHERE c.t >= p.t - 3600000000 AND c.t <= p.t""")
+    ),
+    (
+      // Tool-call preference pairs (VERDICT r15 item 8 — agentic DPO):
+      // a full tool round as the shared prefix, then five final-turn
+      // shapes by doc_id % 5: divergent text (valid), rejected ends on
+      // an unanswered call (side-invalid), identical responses,
+      // prefix tool-result mismatch, divergent text again. The q264
+      // state machine gates each side, the q265 Hermes render feeds
+      // diverge_at; everything replays in closed form.
+      "q276_dpo_tools",
+      (s: SparkSession, dir: String) => {
+        val callT = "array<struct<id:string,name:string,arguments:string>>"
+        val noCalls = array().cast(callT)
+        val noTid = lit(null).cast("string")
+        def m(role: String, content: org.apache.spark.sql.Column,
+            calls: org.apache.spark.sql.Column,
+            tid: org.apache.spark.sql.Column) =
+          struct(lit(role).as("role"), content.as("content"),
+            calls.as("tool_calls"), tid.as("tool_call_id"))
+        val call1 = array(struct(lit("c1").as("id"),
+          lit("search").as("name"),
+          concat(lit("{\"n\": "), col("doc_id").cast("string"),
+            lit("}")).as("arguments")))
+        val call2 = array(struct(lit("c2").as("id"),
+          lit("search").as("name"), lit("{\"n\": -1}").as("arguments")))
+        val k = col("doc_id") % 5
+        val userM = m("user",
+          concat(lit("u:"), substring(col("text"), 1, 15)), noCalls, noTid)
+        val asstCalls = m("assistant", lit(""), call1, noTid)
+        val toolOk = m("tool",
+          concat(lit("r:"), col("doc_id").cast("string")), noCalls,
+          lit("c1"))
+        val toolAlt = m("tool",
+          concat(lit("x:"), col("doc_id").cast("string")), noCalls,
+          lit("c1"))
+        val ca = concat(lit("a:"), substring(col("text"), 1, 10))
+        val finalChosen = m("assistant", ca, noCalls, noTid)
+        val chosen = array(userM, asstCalls, toolOk, finalChosen)
+        val rejected =
+          when(k === 0, array(userM, asstCalls, toolOk,
+            m("assistant",
+              concat(lit("b:"), substring(col("text"), 1, 8)),
+              noCalls, noTid)))
+          .when(k === 1, array(userM, asstCalls, toolOk,
+            m("assistant", ca, call2, noTid)))
+          .when(k === 2, chosen)
+          .when(k === 3, array(userM, asstCalls, toolAlt, finalChosen))
+          .otherwise(array(userM, asstCalls, toolOk,
+            m("assistant",
+              concat(lit("c:"), col("doc_id").cast("string")),
+              noCalls, noTid)))
+        val in = t(s, dir, "documents").select(col("doc_id"),
+          chosen.as("messages_chosen"), rejected.as("messages_rejected"))
+        val validated = graft.ops.Preference.validatePairsTools(in,
+          "messages_chosen", "messages_rejected")
+        graft.ops.Preference.renderPairTools(validated,
+          "messages_chosen", "messages_rejected")
+          .select(col("doc_id"), col("pair_valid"),
+            coalesce(col("pair_invalid_reason"), lit("none")).as("reason"),
+            md5(col("text_chosen")).as("chosen_md5"),
+            md5(col("text_rejected")).as("rejected_md5"),
+            col("diverge_at"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, doc_id % 5 AS k,
+                 'u:' || substr(text, 1, 15) AS u,
+                 chr(10) || '<tool_call>{"name": "search", ' ||
+                   '"arguments": {"n": ' || doc_id || '}}</tool_call>'
+                   AS b1,
+                 chr(10) || '<tool_call>{"name": "search", ' ||
+                   '"arguments": {"n": -1}}</tool_call>' AS b2,
+                 'a:' || substr(text, 1, 10) AS ca,
+                 'b:' || substr(text, 1, 8) AS cb,
+                 'c:' || doc_id AS cc
+          FROM documents),
+        r AS (
+          SELECT doc_id, k, b1, b2, ca, cb, cc,
+                 '<|user|>' || chr(10) || u || chr(10) ||
+                   '<|assistant|>' || chr(10) AS preu,
+                 chr(10) || '<|tool|>' || chr(10) || '<tool_response>' ||
+                   chr(10) || 'r:' || doc_id || chr(10) ||
+                   '</tool_response>' || chr(10) ||
+                   '<|assistant|>' || chr(10) AS midr,
+                 chr(10) || '<|tool|>' || chr(10) || '<tool_response>' ||
+                   chr(10) || 'x:' || doc_id || chr(10) ||
+                   '</tool_response>' || chr(10) ||
+                   '<|assistant|>' || chr(10) AS midx
+          FROM d),
+        t2 AS (
+          SELECT doc_id, k,
+                 preu || b1 || midr || ca || chr(10) AS tc,
+                 CASE k
+                   WHEN 0 THEN preu || b1 || midr || cb || chr(10)
+                   WHEN 1 THEN preu || b1 || midr || ca || b2 || chr(10)
+                   WHEN 2 THEN preu || b1 || midr || ca || chr(10)
+                   WHEN 3 THEN preu || b1 || midx || ca || chr(10)
+                   ELSE preu || b1 || midr || cc || chr(10)
+                 END AS tr,
+                 len(preu || b1 || midr) AS lp,
+                 len(preu || b1) AS lpa,
+                 len(preu || b1 || midr || ca || chr(10)) AS lc
+          FROM r)
+        SELECT doc_id, (k = 0 OR k = 4) AS pair_valid,
+               CASE k WHEN 1 THEN 'rejected_unanswered_tool_calls'
+                      WHEN 2 THEN 'identical_responses'
+                      WHEN 3 THEN 'prefix_mismatch'
+                      ELSE 'none' END AS reason,
+               md5(tc) AS chosen_md5, md5(tr) AS rejected_md5,
+               CASE k WHEN 1 THEN lc WHEN 2 THEN lc
+                      WHEN 3 THEN lpa + 26
+                      ELSE lp END::BIGINT AS diverge_at
+        FROM t2""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -84,6 +84,51 @@ object Ann {
       .select("query_id", "neighbor_id", "score")
   }
 
+  /** IVF-bucketed hard negatives — the scale arm of [[hardNegatives]]:
+    * the corpus is cell-assigned once, each query probes its `nProbe`
+    * nearest cells, and the label-mismatch filter runs on the probed
+    * candidates BEFORE ranking (exactly where the brute arm applies
+    * it), so with `nProbe = nCells` the result is bit-identical to
+    * [[hardNegatives]]. At `nProbe < nCells` recall is approximate:
+    * a wrong-label neighbor living in an unprobed cell is missed —
+    * the standard IVF trade, tuned by nCells/nProbe. Centroids train
+    * label-agnostic (labels only gate candidacy, not geometry). */
+  def hardNegativesIvf(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      corpusLabel: String,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      queryLabel: String,
+      k: Int,
+      nCells: Int = 256,
+      nProbe: Int = 8,
+      seed: Long = 42): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
+    val centroids = trainCentroids(corpus, corpusEmb, nCells, seed = seed)
+    val sortedCells = array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(VectorFunctions.euclideanToConst(col(queryEmb), ctr).as("d"),
+        lit(i).as("cell"))
+    }: _*))
+    val probeCells = transform(slice(sortedCells, 1, nProbe), s => s.getField("cell"))
+    val q = queries.select(col(queryId).as("query_id"), col(queryEmb).as("_qe"),
+        col(queryLabel).as("_ql"), explode(probeCells).as("_cell"))
+    val c = ivfAssign(corpus, corpusEmb, centroids)
+      .select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("_ce"),
+        col(corpusLabel).as("_cl"), col("_cell"))
+    val scored = c.join(broadcast(q), Seq("_cell"))
+      .filter(!(col("_cl") <=> col("_ql")))
+      .withColumn("score",
+        round(graft.functions.CosineSimilarity(col("_qe"), col("_ce")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "score")
+  }
+
   /** IVF index: assign each corpus row to its nearest centroid (cell).
     * Centroids come from k-means over a sample (Spark ML), collected to the
     * driver (O(nCentroids * dim)) and broadcast as literals. */
@@ -231,7 +276,8 @@ object Ann {
       queryEmb: String,
       centroids: Array[Array[Double]],
       k: Int,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
     // nProbe nearest cells = slice of the distance-sorted cell array.
     val sortedCells = array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
       struct(VectorFunctions.euclideanToConst(col(queryEmb), ctr).as("d"),
@@ -242,9 +288,11 @@ object Ann {
       explode(probeCells).as("_cell"))
     val c = assignedCorpus.select(col(corpusId).as("neighbor_id"),
       col(corpusEmb).as("_ce"), col("_cell"))
-    val scored = c.join(broadcast(q), Seq("_cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", round(graft.functions.CosineSimilarity(col("_qe"), col("_ce")), 6))
+    val joined = c.join(broadcast(q), Seq("_cell"))
+    val scored =
+      (if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))
+       else joined)
+        .withColumn("score", round(graft.functions.CosineSimilarity(col("_qe"), col("_ce")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("_rn", row_number().over(w))

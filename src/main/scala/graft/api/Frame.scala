@@ -394,6 +394,14 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       mutualBest: Boolean = false): Frame =
     next(BitextMine.margin(df, idCol, embCol, target.df, targetIdCol,
       targetEmbCol, k, threshold, mutualBest))
+  /** The IVF scale arm of [[bitextMargin]] — bit-identical when
+    * `nProbe = nCells`, approximate (and ~nCells/nProbe cheaper) below. */
+  def bitextMarginIvf(idCol: String, embCol: String,
+      target: Frame, targetIdCol: String, targetEmbCol: String,
+      k: Int = 4, threshold: Double = 1.0, mutualBest: Boolean = false,
+      nCells: Int = 256, nProbe: Int = 8): Frame =
+    next(BitextMine.marginIvf(df, idCol, embCol, target.df, targetIdCol,
+      targetEmbCol, k, threshold, mutualBest, nCells, nProbe))
   /** THIS frame = queries; mine BM25 hard negatives from `corpus`,
     * excluding `positives` (the DPR training-pair prep). */
   def hardNegativesBm25(qidCol: String, qtextCol: String,
@@ -413,6 +421,14 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       rejectedCol: String = "messages_rejected",
       template: ChatOps.ChatTemplate = ChatOps.ChatTemplate.Default): Frame =
     next(Preference.renderPairParts(df, chosenCol, rejectedCol, template))
+  /** Tool-call preference arms (agentic DPO corpora). */
+  def preferenceValidateTools(chosenCol: String = "messages_chosen",
+      rejectedCol: String = "messages_rejected"): Frame =
+    next(Preference.validatePairsTools(df, chosenCol, rejectedCol))
+  def preferenceRenderTools(chosenCol: String = "messages_chosen",
+      rejectedCol: String = "messages_rejected",
+      template: ChatOps.ChatTemplate = ChatOps.ChatTemplate.Default): Frame =
+    next(Preference.renderPairTools(df, chosenCol, rejectedCol, template))
   def rankingEval(qidCol: String, scoreCol: String, relCol: String,
       k: Int, tieCol: String): Frame =
     next(RankingEval.perQuery(df, qidCol, scoreCol, relCol, k, tieCol))
@@ -849,6 +865,14 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       k: Int): Frame =
     next(graft.ann.Ann.hardNegatives(corpus.df, corpusId, corpusEmb,
       corpusLabel, df, queryId, queryEmb, queryLabel, k))
+  /** IVF-bucketed arm of [[annHardNegatives]] — bit-identical when
+    * `nProbe = nCells`, approximate (and ~nCells/nProbe cheaper) below. */
+  def annHardNegativesIvf(queryId: String, queryEmb: String,
+      queryLabel: String, corpus: Frame, corpusId: String,
+      corpusEmb: String, corpusLabel: String, k: Int,
+      nCells: Int = 256, nProbe: Int = 8): Frame =
+    next(graft.ann.Ann.hardNegativesIvf(corpus.df, corpusId, corpusEmb,
+      corpusLabel, df, queryId, queryEmb, queryLabel, k, nCells, nProbe))
   def annLsh(queryId: String, queryEmb: String, corpus: Frame,
       corpusId: String, corpusEmb: String, dim: Int, k: Int,
       numPlanes: Int = 8, multiProbe: Int = 1): Frame =

@@ -739,12 +739,13 @@ final case class LazyFrame(
     append("preference_from_pairs", fields: _*)
   }
   def preferenceValidate(dropInvalid: Boolean = false,
-      parts: Boolean = false): LazyFrame =
+      parts: Boolean = false, tools: Boolean = false): LazyFrame =
     append("preference_validate", "drop_invalid" -> dropInvalid,
-      "parts" -> parts)
+      "parts" -> parts, "tools" -> tools)
   def preferenceRender(template: String = "default",
-      parts: Boolean = false): LazyFrame =
-    append("preference_render", "template" -> template, "parts" -> parts)
+      parts: Boolean = false, tools: Boolean = false): LazyFrame =
+    append("preference_render", "template" -> template, "parts" -> parts,
+      "tools" -> tools)
   def preferenceLengthBias(): LazyFrame =
     append("preference_length_bias")
   def kAnonymity(columns: Seq[String], k: Int,
@@ -753,10 +754,12 @@ final case class LazyFrame(
       "mode" -> mode, "limit" -> limit)
   def bitextMine(idKey: String, embeddingKey: String,
       targetFrom: String, k: Int = 4, threshold: Double = 1.0,
-      mutualBest: Boolean = false): LazyFrame =
+      mutualBest: Boolean = false, method: String = "brute",
+      nCells: Int = 256, nProbe: Int = 8): LazyFrame =
     append("bitext_mine", "id_key" -> idKey,
       "embedding_key" -> embeddingKey, "target_from" -> targetFrom,
-      "k" -> k, "threshold" -> threshold, "mutual_best" -> mutualBest)
+      "k" -> k, "threshold" -> threshold, "mutual_best" -> mutualBest,
+      "method" -> method, "n_cells" -> nCells, "n_probe" -> nProbe)
   def hardNegativesBm25(qidKey: String, qtextKey: String,
       positivesFrom: String, corpusFrom: String, textKey: String,
       negatives: Int = 5): LazyFrame =
@@ -807,9 +810,17 @@ final case class LazyFrame(
     append("wordpiece_train", "text_key" -> textKey,
       "num_merges" -> numMerges, "merges_per_round" -> mergesPerRound)
   def wordpieceEncode(textKey: String, numMerges: Int = 64,
-      unk: String = "[UNK]", maxChars: Int = 100): LazyFrame =
-    append("wordpiece_encode", "text_key" -> textKey,
-      "num_merges" -> numMerges, "unk" -> unk, "max_chars" -> maxChars)
+      unk: String = "[UNK]", maxChars: Int = 100,
+      vocabFrom: Option[String] = None,
+      mergesPerRound: Int = 1): LazyFrame = {
+    val base = Seq[(String, Any)]("text_key" -> textKey,
+      "num_merges" -> numMerges, "unk" -> unk, "max_chars" -> maxChars,
+      "merges_per_round" -> mergesPerRound)
+    // `vocab_from` must be ABSENT (not empty) to mean "train on this
+    // frame" — the registry dispatches on key presence.
+    append("wordpiece_encode",
+      (base ++ vocabFrom.map("vocab_from" -> (_: Any))): _*)
+  }
   def cdcChunk(idKey: String, textKey: String, mode: String = "chunks",
       p: Int = 16): LazyFrame =
     append("cdc_chunk", "id_key" -> idKey, "text_key" -> textKey,
@@ -1191,14 +1202,18 @@ final case class LazyFrame(
   }
 
   /** Hard-negative mining against `corpus` (a binary merge): per row of
-    * this frame, top-k most-similar corpus rows with a DIFFERENT label. */
+    * this frame, top-k most-similar corpus rows with a DIFFERENT label.
+    * `method: embedding` (default, exact) or `embedding_ivf` (the IVF
+    * scale arm — bit-identical at nProbe = nCells). */
   def hardNegatives(corpus: LazyFrame, idKey: String, embeddingKey: String,
-      labelKey: String, k: Int = 10): LazyFrame = {
+      labelKey: String, k: Int = 10, method: String = "embedding",
+      nCells: Int = 256, nProbe: Int = 8): LazyFrame = {
     val (m, lRef, rRef) = merged(corpus)
     m.copy(head = Vector("input" -> lRef),
       stepName = s"hard_negatives_${m.steps.length}")
       .append("hard_negatives", "corpus" -> rRef, "id_key" -> idKey,
-        "embedding_key" -> embeddingKey, "label_key" -> labelKey, "k" -> k)
+        "embedding_key" -> embeddingKey, "label_key" -> labelKey, "k" -> k,
+        "method" -> method, "n_cells" -> nCells, "n_probe" -> nProbe)
   }
 
   /** LLM-verified fuzzy join against another frame (join-headed step). */

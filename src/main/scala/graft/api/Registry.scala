@@ -549,17 +549,51 @@ object Registry {
       bench, c("benchmark_id_key").str,
       c.strOr("benchmark_text_key", c("text_key").str), c.intOr("n", 8))
   }
-  register("hard_negatives") { (df, c, ctx) =>
-    val corpus = ctx.datasets.getOrElse(c("corpus").str,
-      throw new IllegalArgumentException(
-        s"unknown hard_negatives corpus dataset '${c("corpus").str}'"))
-    graft.ann.Ann.hardNegatives(
-      corpus, c.strOr("corpus_id_key", c("id_key").str),
-      c.strOr("corpus_embedding_key", c("embedding_key").str),
-      c.strOr("corpus_label_key", c("label_key").str),
-      df, c("id_key").str, c("embedding_key").str, c("label_key").str,
-      c.intOr("k", 10))
-  }
+  // Unified hard-negative surface: `method: embedding` (default,
+  // label-mismatch cosine top-k), `embedding_ivf` (same semantics over
+  // an IVF coarse quantizer — bit-identical at n_probe = n_cells),
+  // or `bm25` (the DPR lexical recipe; `hard_negatives_bm25` stays
+  // registered as an alias for that arm).
+  register("hard_negatives")(hardNegativesOp(None))
+  register("hard_negatives_bm25")(hardNegativesOp(Some("bm25")))
+
+  private def hardNegativesOp(forceMethod: Option[String]): Factory =
+    (df, c, ctx) => {
+      def dataset(key: String): DataFrame = {
+        val name = c(key).str
+        ctx.datasets.getOrElse(name, throw new IllegalArgumentException(
+          s"unknown hard_negatives dataset '$name'"))
+      }
+      forceMethod.getOrElse(c.strOr("method", "embedding")) match {
+        case "embedding" =>
+          graft.ann.Ann.hardNegatives(
+            dataset("corpus"), c.strOr("corpus_id_key", c("id_key").str),
+            c.strOr("corpus_embedding_key", c("embedding_key").str),
+            c.strOr("corpus_label_key", c("label_key").str),
+            df, c("id_key").str, c("embedding_key").str,
+            c("label_key").str, c.intOr("k", 10))
+        case "embedding_ivf" =>
+          graft.ann.Ann.hardNegativesIvf(
+            dataset("corpus"), c.strOr("corpus_id_key", c("id_key").str),
+            c.strOr("corpus_embedding_key", c("embedding_key").str),
+            c.strOr("corpus_label_key", c("label_key").str),
+            df, c("id_key").str, c("embedding_key").str,
+            c("label_key").str, c.intOr("k", 10),
+            c.intOr("n_cells", 256), c.intOr("n_probe", 8),
+            c.intOr("seed", 42).toLong)
+        case "bm25" =>
+          HardNegatives.mine(df, c("qid_key").str, c("qtext_key").str,
+            dataset("positives_from"), c.strOr("pos_qid_key", "qid"),
+            c.strOr("pos_doc_key", "doc_id"),
+            dataset("corpus_from"), c.strOr("doc_id_key", "doc_id"),
+            c("text_key").str, c.intOr("negatives", 5),
+            c.dblOr("k1", 1.2), c.dblOr("b", 0.75),
+            c.get("max_posting_size").map(_.int))
+        case other => throw new IllegalArgumentException(
+          "hard_negatives method must be embedding|embedding_ivf|bm25, " +
+            s"got '$other'")
+      }
+    }
   register("normalize_text") { (df, c, _) =>
     val key = c("text_key").str
     val out = c.strOr("output_key", key)
@@ -846,28 +880,15 @@ object Registry {
     UnigramLm.encode(df, c("text_key").str, vocab,
       c.intOr("max_piece_len", 8))
   }
-  // BM25 hard-negative mining (§2.14 training-pair prep, the DPR
-  // recipe) — the lexical sibling of the embedding-space
-  // `hard_negatives` op: THIS frame = queries; positives and corpus
-  // come from dataset refs.
-  register("hard_negatives_bm25") { (df, c, ctx) =>
-    def dataset(key: String): DataFrame = {
-      val name = c(key).str
-      ctx.datasets.getOrElse(name, throw new IllegalArgumentException(
-        s"unknown hard_negatives_bm25 dataset '$name'"))
-    }
-    HardNegatives.mine(df, c("qid_key").str, c("qtext_key").str,
-      dataset("positives_from"), c.strOr("pos_qid_key", "qid"),
-      c.strOr("pos_doc_key", "doc_id"),
-      dataset("corpus_from"), c.strOr("doc_id_key", "doc_id"),
-      c("text_key").str, c.intOr("negatives", 5),
-      c.dblOr("k1", 1.2), c.dblOr("b", 0.75),
-      c.get("max_posting_size").map(_.int))
-  }
+  // (`hard_negatives_bm25` is registered above as an alias of the
+  // unified `hard_negatives` op's bm25 arm.)
   // Margin-based bitext mining (§2.14 training-pair prep, Artetxe &
   // Schwenk 2019): THIS frame = source embeddings; target from a
   // dataset ref. Ratio margin over both sides' k-NN, optional
-  // mutual-best intersection.
+  // mutual-best intersection. `method: brute` (default — the exact
+  // correctness baseline) or `method: ivf` with n_cells/n_probe —
+  // the 100 TB arm: per-side coarse quantizers feed the identical
+  // margin arithmetic (bit-identical at n_probe = n_cells).
   register("bitext_mine") { (df, c, ctx) =>
     val tgtName = c("target_from").str
     val tgt = ctx.datasets.getOrElse(tgtName,
@@ -875,11 +896,20 @@ object Registry {
         s"unknown bitext_mine dataset '$tgtName'"))
     val id = c.strOr("id_key", "id")
     val emb = c.strOr("embedding_key", "embedding")
-    BitextMine.margin(df, id, emb,
-      tgt, c.strOr("target_id_key", id),
-      c.strOr("target_embedding_key", emb),
-      c.intOr("k", 4), c.dblOr("threshold", 1.0),
-      c.boolOr("mutual_best", false))
+    val tgtId = c.strOr("target_id_key", id)
+    val tgtEmb = c.strOr("target_embedding_key", emb)
+    val k = c.intOr("k", 4)
+    val threshold = c.dblOr("threshold", 1.0)
+    val mutualBest = c.boolOr("mutual_best", false)
+    c.strOr("method", "brute") match {
+      case "brute" => BitextMine.margin(df, id, emb, tgt, tgtId, tgtEmb,
+        k, threshold, mutualBest)
+      case "ivf" => BitextMine.marginIvf(df, id, emb, tgt, tgtId, tgtEmb,
+        k, threshold, mutualBest, c.intOr("n_cells", 256),
+        c.intOr("n_probe", 8), c.intOr("seed", 42).toLong)
+      case other => throw new IllegalArgumentException(
+        s"bitext_mine method must be brute|ivf, got '$other'")
+    }
   }
   // k-anonymity audit (§2.14 privacy/reporting, Sweeney 2002):
   // re-identification risk over quasi-identifier columns. Default =
@@ -1981,14 +2011,14 @@ object Registry {
   // rules per side; pair contract on the (role, type, text) projection
   // so a changed image ref in the final turn is a divergent response).
   register("preference_validate") { (df, c, _) =>
+    val chosen = c.strOr("chosen_key", "messages_chosen")
+    val rejected = c.strOr("rejected_key", "messages_rejected")
     val out =
       if (c.boolOr("parts", false))
-        Preference.validatePairsParts(df,
-          c.strOr("chosen_key", "messages_chosen"),
-          c.strOr("rejected_key", "messages_rejected"))
-      else Preference.validatePairs(df,
-        c.strOr("chosen_key", "messages_chosen"),
-        c.strOr("rejected_key", "messages_rejected"))
+        Preference.validatePairsParts(df, chosen, rejected)
+      else if (c.boolOr("tools", false))
+        Preference.validatePairsTools(df, chosen, rejected)
+      else Preference.validatePairs(df, chosen, rejected)
     if (c.boolOr("drop_invalid", false))
       out.filter(org.apache.spark.sql.functions.col("pair_valid"))
         .drop("pair_valid", "pair_invalid_reason")
@@ -2021,14 +2051,14 @@ object Registry {
     }
     // `parts: true` renders typed content-part sides (mask spans cover
     // only the text parts of masked turns, both sides)
+    val chosen = c.strOr("chosen_key", "messages_chosen")
+    val rejected = c.strOr("rejected_key", "messages_rejected")
+    val maskRole = c.strOr("mask_role", "assistant")
     if (c.boolOr("parts", false))
-      Preference.renderPairParts(df,
-        c.strOr("chosen_key", "messages_chosen"),
-        c.strOr("rejected_key", "messages_rejected"),
-        tpl, c.strOr("mask_role", "assistant"))
-    else Preference.renderPair(df,
-      c.strOr("chosen_key", "messages_chosen"),
-      c.strOr("rejected_key", "messages_rejected"),
-      tpl, c.strOr("mask_role", "assistant"))
+      Preference.renderPairParts(df, chosen, rejected, tpl, maskRole,
+        partPlaceholders(c))
+    else if (c.boolOr("tools", false))
+      Preference.renderPairTools(df, chosen, rejected, tpl, maskRole)
+    else Preference.renderPair(df, chosen, rejected, tpl, maskRole)
   }
 }

@@ -47,10 +47,50 @@ object BitextMine {
     marginFromKnn(fwd, bwd, threshold, mutualBest)
   }
 
+  /** The IVF-fed scale arm: both directions' k-NN come from
+    * [[graft.ann.Ann.ivfSearch]] over per-side coarse quantizers
+    * (each side's centroids train on ITS corpus, since each serves as
+    * the search target of the other direction), then the identical
+    * [[marginFromKnn]] arithmetic. With `nProbe = nCells` every cell
+    * is probed, so the result is bit-identical to [[margin]] (the
+    * spec-pinned property); at `nProbe < nCells` the k-NN lists are
+    * approximate and recall tunes via the two knobs. Scan cost per
+    * direction drops by ~nCells/nProbe vs the brute baseline — the
+    * arm a 100 TB mining run should configure. */
+  def marginIvf(src: DataFrame, srcId: String, srcEmb: String,
+      tgt: DataFrame, tgtId: String, tgtEmb: String,
+      k: Int = 4, threshold: Double = 1.0, mutualBest: Boolean = false,
+      nCells: Int = 256, nProbe: Int = 8, seed: Long = 42): DataFrame = {
+    require(k >= 1 && k <= 128, s"k must be in [1, 128], got $k")
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
+    val ann = graft.ann.Ann
+    val tgtCent = ann.trainCentroids(tgt, tgtEmb, nCells, seed = seed)
+    val srcCent = ann.trainCentroids(src, srcEmb, nCells, seed = seed)
+    val fwd = ann.ivfSearch(ann.ivfAssign(tgt, tgtEmb, tgtCent),
+      tgtId, tgtEmb, src, srcId, srcEmb, tgtCent, k, nProbe,
+      excludeSelf = false)
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("score"))
+    val bwd = ann.ivfSearch(ann.ivfAssign(src, srcEmb, srcCent),
+      srcId, srcEmb, tgt, tgtId, tgtEmb, srcCent, k, nProbe,
+      excludeSelf = false)
+      .select(col("neighbor_id").as("src_id"),
+        col("query_id").as("tgt_id"), col("score"))
+    marginFromKnn(fwd, bwd, threshold, mutualBest)
+  }
+
   /** The margin arithmetic over precomputed k-NN lists — the seam an
     * IVF/LSH provider plugs into. `fwd` = each src row's neighbors in
     * tgt, `bwd` = each tgt row's neighbors in src; both shaped
-    * (src_id, tgt_id, score) with round-6 cosine scores. */
+    * (src_id, tgt_id, score) with round-6 cosine scores.
+    *
+    * Approximate-provider caveat: a candidate joins INNER against both
+    * sides' k-NN averages, so a pair whose counterpart row has an
+    * EMPTY k-NN list (possible under IVF/LSH when no probe returns a
+    * neighbor) is dropped rather than surfaced — the margin is
+    * incomputable without both neighborhood means. The brute-force
+    * path can never hit this (every row has k neighbors whenever the
+    * other corpus is non-empty). */
   def marginFromKnn(fwd: DataFrame, bwd: DataFrame,
       threshold: Double = 1.0, mutualBest: Boolean = false): DataFrame = {
     val micro = (c: Column) => round(c * 1e6).cast("bigint")

@@ -414,11 +414,18 @@ object ChatOps {
       outCol: String = "messages_flat"): DataFrame = {
     val msgs = col(messagesCol)
     // the name embeds in a JSON string literal — escape backslashes
-    // then quotes (literal replace, not regex); arguments pass through
-    // RAW as the call's own JSON value (null -> JSON null), the public
-    // tool-call carrier contract
-    def jsonEscape(c: Column): Column =
-      replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+    // then quotes (literal replace, not regex), then the common ASCII
+    // control characters (\n \r \t JSON-escape; remaining <0x20 bytes
+    // strip — JSON forbids them raw in string literals); arguments
+    // pass through RAW as the call's own JSON value (null -> JSON
+    // null), the public tool-call carrier contract
+    def jsonEscape(c: Column): Column = {
+      val basic = Seq("\\" -> "\\\\", "\"" -> "\\\"",
+        "\n" -> "\\n", "\r" -> "\\r", "\t" -> "\\t")
+        .foldLeft(c) { case (acc, (from, to)) =>
+          replace(acc, lit(from), lit(to)) }
+      regexp_replace(basic, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
+    }
     df.withColumn(outCol, transform(msgs, m => {
       val blocks = coalesce(
         aggregate(m.getField("tool_calls"), lit(""), (acc, c) =>

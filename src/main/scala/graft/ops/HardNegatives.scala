@@ -46,27 +46,30 @@ object HardNegatives {
       avg(size(col("_toks")).cast("double"))).head()
     val n = statsRow.getDouble(0)
     val avgdl = statsRow.getDouble(1)
-    val postings0 = c
+    val postings = c
       .select(col("_did"), size(col("_toks")).cast("double").as("_dl"),
         explode(col("_toks")).as("_term"))
       .filter(col("_term") =!= "")
       .groupBy("_term", "_did", "_dl")
       .agg(count(lit(1)).cast("double").as("_tf"))
-    val postings = maxPostingSize.fold(postings0) { cap =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("_term"))
-      postings0.withColumn("_pn", count(lit(1)).over(w))
-        .filter(col("_pn") <= cap).drop("_pn")
-    }
-    val docfreq = postings.groupBy("_term")
+    // Per-term posting counts from a map-side-combinable keyed agg —
+    // NEVER a Window over `_term`: the hot stopword keys a posting cap
+    // exists to prune are exactly the skewed partitions such a window
+    // would materialize. The cap is instead a filter on this (vocab-
+    // sized) table; joining it FIRST below prunes capped terms before
+    // any query term touches their postings. Surviving terms keep
+    // their full count (count <= cap), so idf values are unchanged.
+    val docfreq0 = postings.groupBy("_term")
       .agg(count(lit(1)).cast("double").as("_df"))
+    val docfreq = maxPostingSize.fold(docfreq0)(cap =>
+      docfreq0.filter(col("_df") <= cap))
     val qterms = queries
       .select(col(qidCol).as("_qid"),
         explode(array_distinct(split(col(qtextCol), " "))).as("_term"))
       .filter(col("_term") =!= "")
     val contrib = qterms
-      .join(postings, Seq("_term"))
       .join(docfreq, Seq("_term"))
+      .join(postings, Seq("_term"))
       .withColumn("_c", RetrieverOp.bm25Contribution(col("_tf"),
         col("_df"), col("_dl"), n, avgdl, k1, b))
     val scored = contrib.groupBy(col("_qid"), col("_did"))

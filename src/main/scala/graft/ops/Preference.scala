@@ -213,4 +213,70 @@ object Preference {
     b.withColumn("diverge_at",
       divergenceCol(col("text_chosen"), col("text_rejected")))
   }
+
+  /** [[validatePairs]] for TOOL-CALL conversations (agentic DPO
+    * corpora — traces where the divergent final turn may differ in the
+    * CALLS it makes, not just its text): each side first passes
+    * [[ChatOps.validateTools]]'s pending-call-id state machine
+    * (`chosen_<reason>` / `rejected_<reason>`), then the pair contract
+    * runs on the (role, content, tool_calls(id, name, arguments),
+    * tool_call_id) PROJECTION — extra carrier fields don't break
+    * prefix equality, but the call fields themselves DO count: a
+    * shared prefix whose traces differ only in call ids or arguments
+    * is a `prefix_mismatch` (different traces are different prompts,
+    * even where a render prints them identically — ids don't print).
+    * On the final turn the projection reduces to (role, content) in
+    * practice, since a valid side never ends on pending calls. Reason
+    * priority matches [[validatePairs]]. Pure per-row expressions. */
+  def validatePairsTools(df: DataFrame, chosenCol: String,
+      rejectedCol: String,
+      validOut: String = "pair_valid",
+      reasonOut: String = "pair_invalid_reason"): DataFrame = {
+    val callsT = "array<struct<id:string,name:string,arguments:string>>"
+    def norm(msgs: Column): Column = transform(msgs, m =>
+      struct(coalesce(m.getField("role"), lit("")).as("role"),
+        coalesce(m.getField("content"), lit("")).as("content"),
+        coalesce(transform(m.getField("tool_calls"), c =>
+          struct(coalesce(c.getField("id"), lit("")).as("id"),
+            coalesce(c.getField("name"), lit("")).as("name"),
+            coalesce(c.getField("arguments"), lit("")).as("arguments"))),
+          array().cast(callsT)).as("tool_calls"),
+        coalesce(m.getField("tool_call_id"), lit("")).as("tool_call_id")))
+    val c = norm(col(chosenCol))
+    val r = norm(col(rejectedCol))
+    val sideChecked = ChatOps.validateTools(
+      ChatOps.validateTools(df, chosenCol, "_c_valid", "_c_reason"),
+      rejectedCol, "_r_valid", "_r_reason")
+    val prefixMatch = size(c) === size(r) &&
+      slice(c, lit(1), size(c) - 1) === slice(r, lit(1), size(r) - 1)
+    val responsesDiffer = element_at(c, -1) =!= element_at(r, -1)
+    val reason = when(!col("_c_valid"),
+        concat(lit("chosen_"), col("_c_reason")))
+      .when(!col("_r_valid"), concat(lit("rejected_"), col("_r_reason")))
+      .when(!prefixMatch, lit("prefix_mismatch"))
+      .when(!responsesDiffer, lit("identical_responses"))
+      .otherwise(lit(null).cast("string"))
+    sideChecked.withColumn(reasonOut, reason)
+      .withColumn(validOut, col(reasonOut).isNull)
+      .drop("_c_valid", "_c_reason", "_r_valid", "_r_reason")
+  }
+
+  /** [[renderPair]] for TOOL-CALL conversations: both sides through
+    * [[ChatOps.renderTools]] (assistant call blocks render as Hermes
+    * `<tool_call>` JSON inside the masked body; tool results wrap
+    * unmasked), plus `diverge_at` over the rendered texts. Two final
+    * turns differing only in CALL IDS render identically (ids don't
+    * print) — pair-gate with [[validatePairsTools]] first, which sees
+    * the ids; `diverge_at` then equals the common rendered length. */
+  def renderPairTools(df: DataFrame, chosenCol: String,
+      rejectedCol: String,
+      template: ChatOps.ChatTemplate = ChatOps.ChatTemplate.Default,
+      maskRole: String = "assistant"): DataFrame = {
+    val a = ChatOps.renderTools(df, chosenCol, template, maskRole,
+      textOut = "text_chosen", spansOut = "mask_spans_chosen")
+    val b = ChatOps.renderTools(a, rejectedCol, template, maskRole,
+      textOut = "text_rejected", spansOut = "mask_spans_rejected")
+    b.withColumn("diverge_at",
+      divergenceCol(col("text_chosen"), col("text_rejected")))
+  }
 }

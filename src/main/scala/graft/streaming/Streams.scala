@@ -217,7 +217,19 @@ object Streams {
     val refGrams = reference.select(
       explode(array_distinct(
         graft.functions.TextFunctions.shingles(col(refTextCol), n))).as("_g"))
-    val filter = graft.dedup.BloomFilter.build(refGrams, "_g", m, k)
+    bloomCleanWith(stream, textCol,
+      graft.dedup.BloomFilter.build(refGrams, "_g", m, k), n, maxHits)
+  }
+
+  /** [[bloomClean]] against an ALREADY-BUILT filter — the deployment
+    * shape (the reference filter is static state, built once and probed
+    * by every ingest batch; rebuilding per stream start is waste). */
+  def bloomCleanWith(
+      stream: DataFrame,
+      textCol: String,
+      filter: graft.dedup.BloomFilter.Filter,
+      n: Int = 4,
+      maxHits: Long = 0L): DataFrame = {
     val hitCount = aggregate(
       graft.dedup.BloomFilter.probeValues(
         array_distinct(

@@ -57,7 +57,11 @@ object ExplainAudit {
         // score plan, the tool-call state-machine fold, and the
         // keyed-count + TakeOrdered k-anonymity worklist
         "q261_dpo_parts", "q262_wordpiece_scores",
-        "q264_chat_tools_validate", "q268_k_anonymity_groups")
+        "q264_chat_tools_validate", "q268_k_anonymity_groups",
+        // round-16 shapes: the postings equi-join + WindowGroupLimit
+        // hard-negative miner and the cell-equi-join IVF bitext arm
+        // (no |src|x|tgt| exchange)
+        "q269_hard_negatives", "q271_bitext_ivf")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
