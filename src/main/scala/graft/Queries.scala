@@ -9362,6 +9362,90 @@ object Queries {
                       WHEN 3 THEN lpa + 26
                       ELSE lp END::BIGINT AS diverge_at
         FROM t2""")
+    ),
+    (
+      // Distinct l-diversity report (Machanavajjhala 2006) — the layer
+      // k-anonymity misses: (lang, n_chars) classes must carry >= 3
+      // distinct sources. Two keyed aggs, one report row.
+      "q277_l_diversity",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Profile.lDiversity(t(s, dir, "documents"),
+          Seq("lang", "n_chars"), "source", l = 3),
+      Some("""
+        WITH cell AS (
+          SELECT lang, n_chars, source, count(*) AS c
+          FROM documents GROUP BY 1, 2, 3),
+        cls AS (
+          SELECT lang, n_chars, sum(c)::BIGINT AS n,
+                 count(*)::BIGINT AS d
+          FROM cell GROUP BY 1, 2)
+        SELECT 3::BIGINT AS l, sum(n)::BIGINT AS n_rows,
+               count(*)::BIGINT AS n_classes,
+               sum(CASE WHEN d < 3 THEN n ELSE 0 END)::BIGINT
+                 AS n_rows_below_l,
+               sum(CASE WHEN d < 3 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_classes_below_l,
+               min(d)::BIGINT AS min_distinct_sensitive,
+               round(sum(CASE WHEN d < 3 THEN n ELSE 0 END)::DOUBLE /
+                 greatest(sum(n), 1), 6) AS frac_rows_below_l
+        FROM cls""")
+    ),
+    (
+      // The below-l worklist arm: largest offending classes first,
+      // collision-proof NUL-marked ties, capped (the q268 shape).
+      "q278_l_diversity_groups",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Profile.lDiversityGroups(t(s, dir, "documents"),
+          Seq("lang", "n_chars"), "source", l = 3, limit = 20),
+      Some("""
+        WITH cell AS (
+          SELECT lang, n_chars, source, count(*) AS c
+          FROM documents GROUP BY 1, 2, 3),
+        cls AS (
+          SELECT lang, n_chars, sum(c)::BIGINT AS group_size,
+                 count(*)::BIGINT AS n_distinct_sensitive
+          FROM cell GROUP BY 1, 2)
+        SELECT lang, n_chars, group_size, n_distinct_sensitive
+        FROM cls WHERE n_distinct_sensitive < 3
+        ORDER BY group_size DESC,
+          (CASE WHEN lang IS NULL THEN '0' ELSE '1' END) || chr(1) ||
+            coalesce(lang, '') || chr(1) ||
+            (CASE WHEN n_chars IS NULL THEN '0' ELSE '1' END) || chr(1) ||
+            coalesce(n_chars::VARCHAR, '')
+        LIMIT 20""")
+    ),
+    (
+      // Embedding-space benchmark decontamination (the rephrased-item
+      // gap n-gram overlap misses, Yang et al. 2023): per corpus
+      // vector, the nearest benchmark vector (vec_id % 10 = 0) by
+      // round-6 cosine; hits at threshold 0.4 — the 50 exact
+      // self-matches at 1.0 plus the near tail. Broadcast-array
+      // kernel: no join, no shuffle; smallest-bench-id tie rule
+      // replayed by the oracle's (score DESC, bid) window.
+      "q279_embedding_decontaminate",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        graft.dedup.Decontaminate.embeddingHits(
+          emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          threshold = 0.4)
+      },
+      Some("""
+        WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        b AS (SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS be
+              FROM embeddings WHERE vec_id % 10 = 0),
+        s AS (SELECT c.vec_id, bid,
+                CAST(round(list_dot_product(c.e, b.be) /
+                  (sqrt(list_dot_product(c.e, c.e)) *
+                   sqrt(list_dot_product(b.be, b.be))), 6) AS DOUBLE)
+                  AS score
+              FROM c, b),
+        t AS (SELECT vec_id, bid, score FROM s
+              QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY score DESC, bid) = 1)
+        SELECT vec_id, bid AS bench_id, score FROM t
+        WHERE score >= 0.4""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

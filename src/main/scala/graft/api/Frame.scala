@@ -413,6 +413,13 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def kAnonymityGroups(cols: Seq[String], k: Int,
       limit: Int = 1000): Frame =
     next(Profile.kAnonymityGroups(df, cols, k, limit))
+  /** Distinct l-diversity (Machanavajjhala 2006) — the sensitive-value
+    * layer k-anonymity misses. */
+  def lDiversity(qiCols: Seq[String], sensitiveCol: String, l: Int): Frame =
+    next(Profile.lDiversity(df, qiCols, sensitiveCol, l))
+  def lDiversityGroups(qiCols: Seq[String], sensitiveCol: String, l: Int,
+      limit: Int = 1000): Frame =
+    next(Profile.lDiversityGroups(df, qiCols, sensitiveCol, l, limit))
   /** Typed content-part preference arms (multimodal DPO corpora). */
   def preferenceValidateParts(chosenCol: String = "messages_chosen",
       rejectedCol: String = "messages_rejected"): Frame =
@@ -841,6 +848,18 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       benchIdCol: String, benchTextCol: String, n: Int = 8): Frame =
     next(graft.dedup.Decontaminate.benchmarkHits(df, textCol, benchmark.df,
       benchIdCol, benchTextCol, n))
+  /** Embedding-space decontamination arms (the rephrased-item gap the
+    * n-gram family misses). */
+  def embeddingContaminationHits(idCol: String, embCol: String,
+      benchmark: Frame, benchIdCol: String, benchEmbCol: String,
+      threshold: Double): Frame =
+    next(graft.dedup.Decontaminate.embeddingHits(df, idCol, embCol,
+      benchmark.df, benchIdCol, benchEmbCol, threshold))
+  def decontaminateEmbedding(idCol: String, embCol: String,
+      benchmark: Frame, benchIdCol: String, benchEmbCol: String,
+      threshold: Double): Frame =
+    next(graft.dedup.Decontaminate.embeddingClean(df, idCol, embCol,
+      benchmark.df, benchIdCol, benchEmbCol, threshold))
   def cleanText(textCol: String, outCol: Option[String] = None): Frame =
     next(df.withColumn(outCol.getOrElse(textCol),
       graft.functions.TextFunctions.cleanText(

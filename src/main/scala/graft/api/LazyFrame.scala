@@ -752,6 +752,11 @@ final case class LazyFrame(
       mode: String = "report", limit: Int = 1000): LazyFrame =
     append("k_anonymity", "columns" -> jlist(columns), "k" -> k,
       "mode" -> mode, "limit" -> limit)
+  def lDiversity(columns: Seq[String], sensitiveKey: String, l: Int,
+      mode: String = "report", limit: Int = 1000): LazyFrame =
+    append("l_diversity", "columns" -> jlist(columns),
+      "sensitive_key" -> sensitiveKey, "l" -> l,
+      "mode" -> mode, "limit" -> limit)
   def bitextMine(idKey: String, embeddingKey: String,
       targetFrom: String, k: Int = 4, threshold: Double = 1.0,
       mutualBest: Boolean = false, method: String = "brute",
@@ -1128,6 +1133,26 @@ final case class LazyFrame(
     val fields = Seq[(String, Any)]("benchmark" -> rRef, "id_key" -> idKey,
       "text_key" -> textKey, "n" -> n, "mode" -> mode) ++
       (if (benchmarkTextKey.nonEmpty) Seq("benchmark_text_key" -> benchmarkTextKey)
+       else Nil)
+    m.copy(head = Vector("input" -> lRef),
+      stepName = s"decontaminate_${m.steps.length}")
+      .append("decontaminate", fields: _*)
+  }
+
+  /** [[decontaminate]]'s embedding-space arm (`method: embedding`) —
+    * catches rephrased benchmark items n-gram overlap misses. */
+  def decontaminateEmbedding(benchmark: LazyFrame, idKey: String,
+      embeddingKey: String, benchmarkIdKey: String,
+      benchmarkEmbeddingKey: String = "", threshold: Double = 0.95,
+      mode: String = "clean"): LazyFrame = {
+    val (m, lRef, rRef) = merged(benchmark)
+    val fields = Seq[(String, Any)]("benchmark" -> rRef,
+      "method" -> "embedding", "id_key" -> idKey,
+      "embedding_key" -> embeddingKey,
+      "benchmark_id_key" -> benchmarkIdKey,
+      "threshold" -> threshold, "mode" -> mode) ++
+      (if (benchmarkEmbeddingKey.nonEmpty)
+         Seq("benchmark_embedding_key" -> benchmarkEmbeddingKey)
        else Nil)
     m.copy(head = Vector("input" -> lRef),
       stepName = s"decontaminate_${m.steps.length}")

@@ -475,20 +475,42 @@ object Registry {
   }
   // Training-data prep beyond the reference surface: benchmark
   // decontamination, greedy sequence packing, corpus tf-idf.
+  // `method: ngram` (default — exact 8-gram overlap) or `method:
+  // embedding` (the semantic arm the n-gram family structurally
+  // misses: rephrased benchmark items — Yang et al. 2023).
   register("decontaminate") { (df, c, ctx) =>
     val bench = ctx.datasets.getOrElse(c("benchmark").str,
       throw new IllegalArgumentException(
         s"unknown decontaminate benchmark dataset '${c("benchmark").str}'"))
-    val benchKey = c.strOr("benchmark_text_key", c("text_key").str)
-    c.strOr("mode", "clean") match {
-      case "clean" => graft.dedup.Decontaminate.clean(df, c("id_key").str,
-        c("text_key").str, bench, benchKey, c.intOr("n", 8),
-        c.boolOr("broadcast_benchmark", true))
-      case "hits" => graft.dedup.Decontaminate.hits(df, c("id_key").str,
-        c("text_key").str, bench, benchKey, c.intOr("n", 8),
-        c.boolOr("broadcast_benchmark", true))
+    val mode = c.strOr("mode", "clean")
+    c.strOr("method", "ngram") match {
+      case "ngram" =>
+        val benchKey = c.strOr("benchmark_text_key", c("text_key").str)
+        mode match {
+          case "clean" => graft.dedup.Decontaminate.clean(df,
+            c("id_key").str, c("text_key").str, bench, benchKey,
+            c.intOr("n", 8), c.boolOr("broadcast_benchmark", true))
+          case "hits" => graft.dedup.Decontaminate.hits(df,
+            c("id_key").str, c("text_key").str, bench, benchKey,
+            c.intOr("n", 8), c.boolOr("broadcast_benchmark", true))
+          case m => throw new IllegalArgumentException(
+            s"unknown decontaminate mode $m (clean | hits)")
+        }
+      case "embedding" =>
+        val emb = c.strOr("embedding_key", "embedding")
+        val bid = c.strOr("benchmark_id_key", c("id_key").str)
+        val bemb = c.strOr("benchmark_embedding_key", emb)
+        val thr = c.dblOr("threshold", 0.95)
+        mode match {
+          case "clean" => graft.dedup.Decontaminate.embeddingClean(df,
+            c("id_key").str, emb, bench, bid, bemb, thr)
+          case "hits" => graft.dedup.Decontaminate.embeddingHits(df,
+            c("id_key").str, emb, bench, bid, bemb, thr)
+          case m => throw new IllegalArgumentException(
+            s"unknown decontaminate mode $m (clean | hits)")
+        }
       case m => throw new IllegalArgumentException(
-        s"unknown decontaminate mode $m (clean | hits)")
+        s"decontaminate method must be ngram|embedding, got '$m'")
     }
   }
   // Fixed-memory bloom variant of decontaminate/dedup_against (§2.14):
@@ -923,6 +945,21 @@ object Registry {
         c.intOr("limit", 1000))
       case other => throw new IllegalArgumentException(
         s"k_anonymity mode must be report|groups, got '$other'")
+    }
+  }
+  // l-diversity (§2.14 privacy/reporting, Machanavajjhala 2006): the
+  // layer k_anonymity misses — a big-enough class whose rows all share
+  // one sensitive value still discloses it.
+  register("l_diversity") { (df, c, _) =>
+    val cols = c("columns").strList
+    val sensitive = c("sensitive_key").str
+    val l = c("l").int
+    c.strOr("mode", "report") match {
+      case "report" => Profile.lDiversity(df, cols, sensitive, l)
+      case "groups" => Profile.lDiversityGroups(df, cols, sensitive, l,
+        c.intOr("limit", 1000))
+      case other => throw new IllegalArgumentException(
+        s"l_diversity mode must be report|groups, got '$other'")
     }
   }
   // WordPiece tokenizer training (§2.14 engine extension, Schuster &

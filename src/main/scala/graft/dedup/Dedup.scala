@@ -726,6 +726,127 @@ object Decontaminate {
       hits(corpus, idCol, textCol, benchmark, benchTextCol, n, broadcastBenchmark)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** EMBEDDING-space benchmark decontamination — the semantic arm the
+    * n-gram family structurally misses (the public "LLM decontaminator"
+    * concern, Yang et al. 2023: a REPHRASED benchmark item shares few
+    * 8-grams with its source but sits next to it in embedding space):
+    * for every corpus row, the single nearest benchmark embedding by
+    * round-6 cosine; rows scoring at or above `threshold` are hits,
+    * emitted as (id, bench_id, score).
+    *
+    * Scale shape: the benchmark collects ONCE to the driver and
+    * broadcasts as a plain array (eval benchmarks are thousands of
+    * rows against a 100 TB corpus by construction — `maxBenchRows`
+    * guards the contract); the corpus streams through one
+    * mapPartitions kernel — no join, no shuffle, no window, per-row
+    * cost |bench|·dim. Determinism: doubles accumulate in fixed dim
+    * order, scores round to 6 before comparison, ties break on the
+    * smaller bench id (the bench array is id-sorted). Null or
+    * zero-norm embeddings on either side never match. */
+  def embeddingHits(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchEmbCol: String,
+      threshold: Double,
+      maxBenchRows: Int = 1000000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val benchRows = benchmark
+      .select(col(benchIdCol),
+        transform(col(benchEmbCol), x => x.cast("double")).as("_e"))
+      .collect()
+    require(benchRows.nonEmpty, "embeddingHits: empty benchmark")
+    require(benchRows.length <= maxBenchRows,
+      s"embeddingHits: benchmark has ${benchRows.length} rows, over the " +
+        s"$maxBenchRows broadcast bound — decontamination benchmarks " +
+        "are small by construction; raise maxBenchRows deliberately")
+    val bench = benchRows
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map { r =>
+        val a = r.getSeq[Double](1).toArray
+        var i = 0; var nn = 0.0
+        while (i < a.length) { nn += a(i) * a(i); i += 1 }
+        (r.get(0), a, math.sqrt(nn))
+      }
+      .filter(_._3 > 0.0)
+      .sortWith((x, y) => compareIds(x._1, y._1) < 0)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bench)
+    val proj = corpus.select(col(idCol),
+      transform(col(embCol), x => x.cast("double")).as("_e"))
+    val benchIdType =
+      benchmark.schema(benchmark.schema.fieldIndex(benchIdCol)).dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      proj.schema.head,
+      org.apache.spark.sql.types.StructField("bench_id", benchIdType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    val thr = threshold
+    proj.mapPartitions { it =>
+      val b = bc.value
+      it.flatMap { row =>
+        if (row.isNullAt(1)) Iterator.empty
+        else {
+          val e = row.getSeq[Double](1).toArray
+          var i = 0; var nn = 0.0
+          while (i < e.length) { nn += e(i) * e(i); i += 1 }
+          val norm = math.sqrt(nn)
+          if (norm == 0.0) Iterator.empty
+          else {
+            var best = Double.NegativeInfinity
+            var bestId: Any = null
+            var j = 0
+            while (j < b.length) {
+              val (bid, be, bn) = b(j)
+              if (be.length == e.length) {
+                var dot = 0.0; var d = 0
+                while (d < e.length) { dot += e(d) * be(d); d += 1 }
+                val sc = graft.core.Num.rnd6(dot / (norm * bn))
+                // strictly greater: the id-sorted array makes the
+                // SMALLEST bench id win round-6 ties
+                if (sc > best) { best = sc; bestId = bid }
+              }
+              j += 1
+            }
+            if (bestId != null && best >= thr)
+              Iterator.single(org.apache.spark.sql.Row(
+                row.get(0), bestId, best))
+            else Iterator.empty
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Natural ordering for bench ids of the common id types; mirrors the
+    * ORDER BY a SQL oracle applies to the same column. */
+  private def compareIds(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int) => java.lang.Integer.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case _ => a.toString.compareTo(b.toString)
+  }
+
+  /** The corpus minus embedding-space contamination (left-anti on
+    * [[embeddingHits]] ids — ids only through the join). */
+  def embeddingClean(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchEmbCol: String,
+      threshold: Double,
+      maxBenchRows: Int = 1000000): DataFrame =
+    corpus.join(
+      embeddingHits(corpus, idCol, embCol, benchmark, benchIdCol,
+        benchEmbCol, threshold, maxBenchRows).select(col(idCol)),
+      Seq(idCol), "left_anti")
 }
 
 /** Corpus-frequency segment removal — the line-level dedup pass of the

@@ -278,6 +278,69 @@ object Profile {
       .limit(limit)
   }
 
+  /** Distinct l-diversity report (Machanavajjhala et al. 2006 — the
+    * layer k-anonymity misses: a k-sized equivalence class whose rows
+    * all share ONE sensitive value still discloses it; each class must
+    * carry at least `l` distinct sensitive values). One-row report over
+    * (quasi-identifier) classes. NULL is a real sensitive value (its
+    * absence is itself disclosure), same convention as [[kAnonymity]]'s
+    * NULL quasi-identifiers.
+    *
+    * Scale shape: one (qi, sensitive)-keyed count then one qi-keyed
+    * agg — exact distinct as two-phase partial dedup, so no executor
+    * holds a class's value set; both aggs map-side combine; driver
+    * state = the one report row. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(l >= 2 && l <= 1000000, s"l must be in [2, 1000000], got $l")
+    val classes = lDiversityClasses(df, qiCols, sensitiveCol)
+    classes.agg(
+        coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        coalesce(sum(when(col("_d") < l, col("_n")).otherwise(0L)),
+          lit(0L)).as("n_rows_below_l"),
+        coalesce(sum(when(col("_d") < l, 1L).otherwise(0L)), lit(0L))
+          .as("n_classes_below_l"),
+        coalesce(min(col("_d")), lit(0L)).as("min_distinct_sensitive"))
+      .select(lit(l.toLong).as("l"), col("n_rows"), col("n_classes"),
+        col("n_rows_below_l"), col("n_classes_below_l"),
+        col("min_distinct_sensitive"),
+        round(col("n_rows_below_l").cast("double") /
+          greatest(col("n_rows"), lit(1L)).cast("double"), 6)
+          .as("frac_rows_below_l"))
+  }
+
+  /** The below-l equivalence classes themselves — the worklist arm
+    * ([[kAnonymityGroups]]'s shape: largest classes first,
+    * collision-proof ties, capped at `limit`; at web scale the full
+    * below-l table is corpus-sized by construction). */
+  def lDiversityGroups(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Int, limit: Int = 1000): DataFrame = {
+    require(limit >= 1 && limit <= 1000000,
+      s"limit must be in [1, 1000000], got $limit")
+    val tie = concat_ws("\u0001",
+      qiCols.flatMap(c => Seq(
+        when(col(c).isNull, lit("0")).otherwise(lit("1")),
+        coalesce(col(c).cast("string"), lit("")))): _*)
+    lDiversityClasses(df, qiCols, sensitiveCol)
+      .filter(col("_d") < l)
+      .orderBy(col("_n").desc, tie)
+      .limit(limit)
+      .select(qiCols.map(col) :+ col("_n").as("group_size") :+
+        col("_d").as("n_distinct_sensitive"): _*)
+  }
+
+  private def lDiversityClasses(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!qiCols.contains(sensitiveCol),
+      "sensitive column cannot be a quasi-identifier")
+    df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum(col("_c")).as("_n"), count(lit(1)).as("_d"))
+  }
+
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
     require(cols.distinct.size == cols.size, "columns must be distinct")

@@ -441,6 +441,80 @@ class Round16Spec extends SparkSpec {
       direct.select("text_chosen", "diverge_at").collect().head)
   }
 
+  // ---------------- l-diversity + embedding decontamination (depth)
+
+  test("l-diversity report and worklist are hand-exact; NULL is a value") {
+    val schema = StructType(Seq(StructField("zip", StringType),
+      StructField("age", LongType), StructField("disease", StringType)))
+    val d = df(schema,
+      Row("94110", 30L, "flu"), Row("94110", 30L, "flu"),
+      Row("94110", 30L, "flu"),                    // class A: 3 rows, 1 value
+      Row("94110", 31L, "flu"), Row("94110", 31L, "cold"),
+      Row("94110", 31L, null),                     // class B: 3 rows, 3 values
+      Row("02139", 40L, "flu"), Row("02139", 40L, "cold")) // C: 2 rows, 2
+    val r = graft.ops.Profile.lDiversity(d, Seq("zip", "age"),
+      "disease", l = 3).collect().head
+    // (l, n_rows, n_classes, n_rows_below_l, n_classes_below_l,
+    //  min_distinct, frac)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 8L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 5L && r.getLong(4) == 2L && r.getLong(5) == 1L)
+    assert(r.getDouble(6) == 0.625)
+    val g = graft.ops.Profile.lDiversityGroups(d, Seq("zip", "age"),
+      "disease", l = 3, limit = 10).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // largest first: class A (3 rows, 1 distinct), then C (2 rows, 2)
+    assert(g.toSeq == Seq(("94110", 30L, 3L, 1L), ("02139", 40L, 2L, 2L)))
+    // the sensitive column cannot double as a quasi-identifier
+    val bad = intercept[IllegalArgumentException] {
+      graft.ops.Profile.lDiversity(d, Seq("zip", "disease"), "disease", 3)
+    }
+    assert(bad.getMessage.contains("sensitive"))
+    // registry dispatch: report + groups arms
+    val viaReg = graft.api.Registry("l_diversity")(d, graft.api.Conf.fromYaml(
+      "type: l_diversity\ncolumns: [zip, age]\nsensitive_key: disease\nl: 3"),
+      ctx()).collect().head
+    assert(viaReg == r)
+  }
+
+  test("embedding decontamination: broadcast kernel, ties, clean arm") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(FloatType))))
+    def v(id: Long, xs: Double*) = Row(id, xs.map(_.toFloat))
+    val corpus = df(schema,
+      v(1L, 1, 0), v(2L, 0.8, 0.6), v(3L, 0, 1), v(4L, -1, 0))
+    val bench = df(schema, v(10L, 1, 0), v(20L, 0, 1), v(30L, 1, 0))
+    val hits = graft.dedup.Decontaminate.embeddingHits(
+      corpus, "id", "e", bench, "id", "e", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // id 1: ties 10/30 at 1.0 -> SMALLER bench id wins; id 2: 0.8 to 10
+    // (30 ties, 10 first); id 3: 1.0 to 20; id 4: best is -1.0, no hit
+    assert(hits.toSeq == Seq((1L, 10L, 1.0), (2L, 10L, 0.8),
+      (3L, 20L, 1.0)))
+    val cleaned = graft.dedup.Decontaminate.embeddingClean(
+      corpus, "id", "e", bench, "id", "e", threshold = 0.6)
+      .collect().map(_.getLong(0)).toSet
+    assert(cleaned == Set(4L))
+    // null/zero-norm rows never match, on either side
+    val weird = df(schema, Row(5L, null), v(6L, 0, 0), v(7L, 1, 0))
+    val h2 = graft.dedup.Decontaminate.embeddingHits(
+      weird, "id", "e", bench, "id", "e", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(h2 == Set(7L))
+    // registry embedding arm dispatches with benchmark keys
+    val viaReg = graft.api.Registry("decontaminate")(corpus,
+      graft.api.Conf.fromYaml(
+        """type: decontaminate
+          |benchmark: bench
+          |method: embedding
+          |id_key: id
+          |embedding_key: e
+          |threshold: 0.6
+          |mode: hits""".stripMargin),
+      ctx(Map("bench" -> bench)))
+    assert(viaReg.count() == 3L)
+  }
+
   test("LazyFrame bitextMine/hardNegatives carry the method knobs") {
     val lf = graft.api.LazyFrame.read("d", "/tmp/nowhere.parquet")
     val y = lf.bitextMine("id", "e", "tgt", method = "ivf",
