@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -84,6 +84,62 @@ object Ann {
       .select("query_id", "neighbor_id", "score")
   }
 
+  /** The `nProbe` nearest cells of `queryEmb` as an array column —
+    * a slice of the distance-sorted cell array. Shared by every IVF
+    * probe arm. */
+  private def probeCellsCol(queryEmb: Column,
+      centroids: Array[Array[Double]], nProbe: Int): Column = {
+    val sortedCells = array_sort(array(centroids.zipWithIndex.map {
+      case (ctr, i) =>
+        struct(VectorFunctions.euclideanToConst(queryEmb, ctr).as("d"),
+          lit(i).as("cell"))
+    }: _*))
+    transform(slice(sortedCells, 1, nProbe), s => s.getField("cell"))
+  }
+
+  /** Join probe-exploded queries to the cell-assigned corpus — the
+    * shared IVF candidate stage. `broadcastQueries = true` is the
+    * small-query-set shape (per-query serving, mining with thousands
+    * of queries); `false` keeps the join a plain cell-keyed shuffle —
+    * REQUIRED when the query side is itself corpus-sized (bitext
+    * mining, all-pairs hard negatives): broadcasting a 10M-row query
+    * set exploded nProbe-fold is a driver/executor OOM, not a plan.
+    * At shuffle-join scale, size nCells to the corpus (cells are the
+    * join's parallelism units; AQE splits stragglers). */
+  private def probedJoin(c: DataFrame, q: DataFrame,
+      broadcastQueries: Boolean): DataFrame =
+    if (broadcastQueries) c.join(broadcast(q), Seq("_cell"))
+    else c.join(q, Seq("_cell"))
+
+  private def cosineTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("score",
+        round(graft.functions.CosineSimilarity(col("_qe"), col("_ce")), 6))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select("query_id", "neighbor_id", "score")
+  }
+
+  /** Empty (query_id, neighbor_id, score) result carrying the callers'
+    * id types — the brute arms return empty frames on empty inputs, so
+    * the IVF arms (whose centroid training cannot run on nothing) must
+    * match instead of throwing. */
+  private def emptyTopK(queries: DataFrame, queryId: String,
+      corpus: DataFrame, corpusId: String): DataFrame = {
+    val spark = queries.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        queries.schema(queries.schema.fieldIndex(queryId)).dataType),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        corpus.schema(corpus.schema.fieldIndex(corpusId)).dataType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(spark.sparkContext
+      .emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** IVF-bucketed hard negatives — the scale arm of [[hardNegatives]]:
     * the corpus is cell-assigned once, each query probes its `nProbe`
     * nearest cells, and the label-mismatch filter runs on the probed
@@ -92,7 +148,11 @@ object Ann {
     * [[hardNegatives]]. At `nProbe < nCells` recall is approximate:
     * a wrong-label neighbor living in an unprobed cell is missed —
     * the standard IVF trade, tuned by nCells/nProbe. Centroids train
-    * label-agnostic (labels only gate candidacy, not geometry). */
+    * label-agnostic (labels only gate candidacy, not geometry).
+    * `broadcastQueries` defaults FALSE: this is the arm the brute
+    * guard routes oversized query sets to, so it must not re-broadcast
+    * what that guard just refused; set true for small query sets. An
+    * empty side returns an empty frame (the brute arm's behavior). */
   def hardNegativesIvf(
       corpus: DataFrame,
       corpusId: String,
@@ -105,28 +165,21 @@ object Ann {
       k: Int,
       nCells: Int = 256,
       nProbe: Int = 8,
-      seed: Long = 42): DataFrame = {
+      seed: Long = 42,
+      broadcastQueries: Boolean = false): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
+    if (corpus.isEmpty || queries.isEmpty)
+      return emptyTopK(queries, queryId, corpus, corpusId)
     val centroids = trainCentroids(corpus, corpusEmb, nCells, seed = seed)
-    val sortedCells = array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
-      struct(VectorFunctions.euclideanToConst(col(queryEmb), ctr).as("d"),
-        lit(i).as("cell"))
-    }: _*))
-    val probeCells = transform(slice(sortedCells, 1, nProbe), s => s.getField("cell"))
     val q = queries.select(col(queryId).as("query_id"), col(queryEmb).as("_qe"),
-        col(queryLabel).as("_ql"), explode(probeCells).as("_cell"))
+        col(queryLabel).as("_ql"),
+        explode(probeCellsCol(col(queryEmb), centroids, nProbe)).as("_cell"))
     val c = ivfAssign(corpus, corpusEmb, centroids)
       .select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("_ce"),
         col(corpusLabel).as("_cl"), col("_cell"))
-    val scored = c.join(broadcast(q), Seq("_cell"))
-      .filter(!(col("_cl") <=> col("_ql")))
-      .withColumn("score",
-        round(graft.functions.CosineSimilarity(col("_qe"), col("_ce")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select("query_id", "neighbor_id", "score")
+    cosineTopK(
+      probedJoin(c, q, broadcastQueries).filter(!(col("_cl") <=> col("_ql"))),
+      k)
   }
 
   /** IVF index: assign each corpus row to its nearest centroid (cell).
@@ -266,7 +319,11 @@ object Ann {
       .select("query_id", "neighbor_id", "score")
   }
 
-  /** IVF query: for each query, scan only the `nProbe` nearest cells. */
+  /** IVF query: for each query, scan only the `nProbe` nearest cells.
+    * `broadcastQueries = true` (the default — the serving shape, small
+    * query set vs a big corpus) broadcasts the probe-exploded queries;
+    * pass false when the query side is itself corpus-sized (see
+    * [[probedJoin]]). */
   def ivfSearch(
       assignedCorpus: DataFrame, // output of ivfAssign, has _cell
       corpusId: String,
@@ -277,26 +334,16 @@ object Ann {
       centroids: Array[Array[Double]],
       k: Int,
       nProbe: Int = 2,
-      excludeSelf: Boolean = true): DataFrame = {
-    // nProbe nearest cells = slice of the distance-sorted cell array.
-    val sortedCells = array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
-      struct(VectorFunctions.euclideanToConst(col(queryEmb), ctr).as("d"),
-        lit(i).as("cell"))
-    }: _*))
-    val probeCells = transform(slice(sortedCells, 1, nProbe), s => s.getField("cell"))
+      excludeSelf: Boolean = true,
+      broadcastQueries: Boolean = true): DataFrame = {
     val q = queries.select(col(queryId).as("query_id"), col(queryEmb).as("_qe"),
-      explode(probeCells).as("_cell"))
+      explode(probeCellsCol(col(queryEmb), centroids, nProbe)).as("_cell"))
     val c = assignedCorpus.select(col(corpusId).as("neighbor_id"),
       col(corpusEmb).as("_ce"), col("_cell"))
-    val joined = c.join(broadcast(q), Seq("_cell"))
-    val scored =
-      (if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))
-       else joined)
-        .withColumn("score", round(graft.functions.CosineSimilarity(col("_qe"), col("_ce")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= k)
-      .select("query_id", "neighbor_id", "score")
+    val joined = probedJoin(c, q, broadcastQueries)
+    cosineTopK(
+      if (excludeSelf) joined.filter(col("neighbor_id") =!= col("query_id"))
+      else joined,
+      k)
   }
 }

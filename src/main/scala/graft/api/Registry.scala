@@ -2050,6 +2050,7 @@ object Registry {
   register("preference_validate") { (df, c, _) =>
     val chosen = c.strOr("chosen_key", "messages_chosen")
     val rejected = c.strOr("rejected_key", "messages_rejected")
+    requireNotPartsAndTools(c, "preference_validate")
     val out =
       if (c.boolOr("parts", false))
         Preference.validatePairsParts(df, chosen, rejected)
@@ -2091,6 +2092,7 @@ object Registry {
     val chosen = c.strOr("chosen_key", "messages_chosen")
     val rejected = c.strOr("rejected_key", "messages_rejected")
     val maskRole = c.strOr("mask_role", "assistant")
+    requireNotPartsAndTools(c, "preference_render")
     if (c.boolOr("parts", false))
       Preference.renderPairParts(df, chosen, rejected, tpl, maskRole,
         partPlaceholders(c))
@@ -2098,4 +2100,14 @@ object Registry {
       Preference.renderPairTools(df, chosen, rejected, tpl, maskRole)
     else Preference.renderPair(df, chosen, rejected, tpl, maskRole)
   }
+
+  // `parts` and `tools` select disjoint message shapes — letting one
+  // silently shadow the other would run the wrong state machine on the
+  // corpus with no hint (the other method-style knobs all throw).
+  private def requireNotPartsAndTools(c: Conf, op: String): Unit =
+    if (c.boolOr("parts", false) && c.boolOr("tools", false))
+      throw new IllegalArgumentException(
+        s"$op: `parts: true` and `tools: true` are mutually exclusive " +
+          "— typed content-part and tool-call conversations are " +
+          "different message shapes")
 }

@@ -774,6 +774,14 @@ object Decontaminate {
       }
       .filter(_._3 > 0.0)
       .sortWith((x, y) => compareIds(x._1, y._1) < 0)
+    // a benchmark that filters to NOTHING usable must fail like an empty
+    // one — a contamination gate silently matching nothing ships
+    // contaminated data (the worst failure mode this op can have)
+    require(bench.nonEmpty, "embeddingHits: benchmark has no usable " +
+      "embeddings (every row is null or zero-norm)")
+    val benchDim = bench.head._2.length
+    require(bench.forall(_._2.length == benchDim),
+      "embeddingHits: benchmark embeddings have mixed dimensions")
     val bc = corpus.sparkSession.sparkContext.broadcast(bench)
     val proj = corpus.select(col(idCol),
       transform(col(embCol), x => x.cast("double")).as("_e"))
@@ -785,12 +793,18 @@ object Decontaminate {
       org.apache.spark.sql.types.StructField("score",
         org.apache.spark.sql.types.DoubleType)))
     val thr = threshold
+    val bd = benchDim
     proj.mapPartitions { it =>
       val b = bc.value
       it.flatMap { row =>
         if (row.isNullAt(1)) Iterator.empty
         else {
           val e = row.getSeq[Double](1).toArray
+          // a corpus/benchmark dimension mismatch means a wrong encoder
+          // or a stale column — fail LOUD, never silently match nothing
+          if (e.length != bd) throw new IllegalArgumentException(
+            s"embeddingHits: corpus row ${row.get(0)} has dimension " +
+              s"${e.length}, benchmark has $bd — different encoders?")
           var i = 0; var nn = 0.0
           while (i < e.length) { nn += e(i) * e(i); i += 1 }
           val norm = math.sqrt(nn)
@@ -801,14 +815,12 @@ object Decontaminate {
             var j = 0
             while (j < b.length) {
               val (bid, be, bn) = b(j)
-              if (be.length == e.length) {
-                var dot = 0.0; var d = 0
-                while (d < e.length) { dot += e(d) * be(d); d += 1 }
-                val sc = graft.core.Num.rnd6(dot / (norm * bn))
-                // strictly greater: the id-sorted array makes the
-                // SMALLEST bench id win round-6 ties
-                if (sc > best) { best = sc; bestId = bid }
-              }
+              var dot = 0.0; var d = 0
+              while (d < e.length) { dot += e(d) * be(d); d += 1 }
+              val sc = graft.core.Num.rnd6(dot / (norm * bn))
+              // strictly greater: the id-sorted array makes the
+              // SMALLEST bench id win round-6 ties
+              if (sc > best) { best = sc; bestId = bid }
               j += 1
             }
             if (bestId != null && best >= thr)

@@ -56,24 +56,42 @@ object BitextMine {
     * spec-pinned property); at `nProbe < nCells` the k-NN lists are
     * approximate and recall tunes via the two knobs. Scan cost per
     * direction drops by ~nCells/nProbe vs the brute baseline — the
-    * arm a 100 TB mining run should configure. */
+    * arm a 100 TB mining run should configure. Because BOTH sides of a
+    * bitext job are corpus-sized, neither direction broadcasts its
+    * query side: each probe join is a plain cell-keyed shuffle (size
+    * nCells to the corpora — cells are the join's parallelism units).
+    * An empty side returns an empty frame, matching [[margin]]. */
   def marginIvf(src: DataFrame, srcId: String, srcEmb: String,
       tgt: DataFrame, tgtId: String, tgtEmb: String,
       k: Int = 4, threshold: Double = 1.0, mutualBest: Boolean = false,
       nCells: Int = 256, nProbe: Int = 8, seed: Long = 42): DataFrame = {
     require(k >= 1 && k <= 128, s"k must be in [1, 128], got $k")
     require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
+    if (src.isEmpty || tgt.isEmpty) {
+      val spark = src.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src_id",
+          src.schema(src.schema.fieldIndex(srcId)).dataType),
+        org.apache.spark.sql.types.StructField("tgt_id",
+          tgt.schema(tgt.schema.fieldIndex(tgtId)).dataType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("margin",
+          org.apache.spark.sql.types.DoubleType)))
+      return spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val ann = graft.ann.Ann
     val tgtCent = ann.trainCentroids(tgt, tgtEmb, nCells, seed = seed)
     val srcCent = ann.trainCentroids(src, srcEmb, nCells, seed = seed)
     val fwd = ann.ivfSearch(ann.ivfAssign(tgt, tgtEmb, tgtCent),
       tgtId, tgtEmb, src, srcId, srcEmb, tgtCent, k, nProbe,
-      excludeSelf = false)
+      excludeSelf = false, broadcastQueries = false)
       .select(col("query_id").as("src_id"),
         col("neighbor_id").as("tgt_id"), col("score"))
     val bwd = ann.ivfSearch(ann.ivfAssign(src, srcEmb, srcCent),
       srcId, srcEmb, tgt, tgtId, tgtEmb, srcCent, k, nProbe,
-      excludeSelf = false)
+      excludeSelf = false, broadcastQueries = false)
       .select(col("neighbor_id").as("src_id"),
         col("query_id").as("tgt_id"), col("score"))
     marginFromKnn(fwd, bwd, threshold, mutualBest)

@@ -515,6 +515,136 @@ class Round16Spec extends SparkSpec {
     assert(viaReg.count() == 3L)
   }
 
+  // --------------------------- code-review fixes (round 16)
+
+  test("IVF arms: empty sides return empty frames like the brute arms") {
+    val all = clusteredEmb
+    val none = all.filter(col("id") < 0)
+    val m = graft.ops.BitextMine.marginIvf(none, "id", "e",
+      all, "id", "e", k = 2, threshold = 0.0, nCells = 2, nProbe = 2)
+    assert(m.count() == 0L)
+    assert(m.columns.toSeq == Seq("src_id", "tgt_id", "score", "margin"))
+    val h = graft.ann.Ann.hardNegativesIvf(all, "id", "e", "label",
+      none, "id", "e", "label", k = 2, nCells = 2, nProbe = 2)
+    assert(h.count() == 0L)
+    assert(h.columns.toSeq == Seq("query_id", "neighbor_id", "score"))
+    // and the shuffle-join (non-broadcast) arms still replay exactly:
+    // ivfSearch with broadcastQueries = false is bit-identical
+    val queries = all.filter(col("id") < 8)
+    val cent = graft.ann.Ann.trainCentroids(all, "e", 2)
+    val assigned = graft.ann.Ann.ivfAssign(all, "e", cent)
+    val bcTrue = graft.ann.Ann.ivfSearch(assigned, "id", "e",
+      queries, "id", "e", cent, k = 3, nProbe = 2).collect().toSet
+    val bcFalse = graft.ann.Ann.ivfSearch(assigned, "id", "e",
+      queries, "id", "e", cent, k = 3, nProbe = 2,
+      broadcastQueries = false).collect().toSet
+    assert(bcTrue == bcFalse && bcTrue.nonEmpty)
+  }
+
+  test("embedding decontamination fails LOUD on unusable benchmarks") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(FloatType))))
+    val corpus = df(schema, Row(1L, Seq(1f, 0f)))
+    // all-null benchmark: must throw, never silently match nothing
+    val nullBench = df(schema, Row(10L, null), Row(20L, null))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.dedup.Decontaminate.embeddingHits(
+        corpus, "id", "e", nullBench, "id", "e", 0.5).collect()
+    }
+    assert(e1.getMessage.contains("no usable"))
+    // zero-norm-only benchmark: same
+    val zeroBench = df(schema, Row(10L, Seq(0f, 0f)))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.dedup.Decontaminate.embeddingHits(
+        corpus, "id", "e", zeroBench, "id", "e", 0.5).collect()
+    }
+    assert(e2.getMessage.contains("no usable"))
+    // corpus/benchmark dimension mismatch: wrong encoder — throw
+    val bench3 = df(schema, Row(10L, Seq(1f, 0f, 0f)))
+    val e3 = intercept[Exception] {
+      graft.dedup.Decontaminate.embeddingHits(
+        corpus, "id", "e", bench3, "id", "e", 0.5).collect()
+    }
+    // the throw happens executor-side — search the cause chain
+    val msgs = Iterator.iterate[Throwable](e3)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("|")
+    assert(msgs.contains("dimension"), msgs.take(300))
+  }
+
+  test("preference ops reject contradictory parts+tools flags") {
+    val in = spark.range(1).toDF("id")
+    for (op <- Seq("preference_validate", "preference_render")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.api.Registry(op)(in, graft.api.Conf.fromYaml(
+          s"type: $op\nparts: true\ntools: true"), ctx())
+      }
+      assert(e.getMessage.contains("mutually exclusive"), op)
+    }
+  }
+
+  test("round-16 surfaces run end-to-end from user YAML") {
+    val dir = java.nio.file.Files.createTempDirectory("graft16").toString
+    val all = clusteredEmb
+    all.write.mode("overwrite").parquet(s"$dir/all.parquet")
+    all.filter(col("id") % 2 === 1).write.mode("overwrite")
+      .parquet(s"$dir/odd.parquet")
+    all.filter(col("id") % 10 === 0).write.mode("overwrite")
+      .parquet(s"$dir/bench.parquet")
+    // bitext_mine method: ivf — exactly the YAML a user would ship
+    val mined = graft.api.Pipeline.runYaml(
+      s"""
+         |datasets:
+         |  src: { path: $dir/bench.parquet }
+         |  tgt: { path: $dir/odd.parquet }
+         |operations:
+         |  - name: mine
+         |    type: bitext_mine
+         |    target_from: tgt
+         |    id_key: id
+         |    embedding_key: e
+         |    k: 3
+         |    threshold: 0.0
+         |    method: ivf
+         |    n_cells: 2
+         |    n_probe: 2
+         |pipeline:
+         |  steps:
+         |    - { name: s1, input: src, operations: [mine] }
+         |""".stripMargin, spark)
+    val direct = graft.ops.BitextMine.margin(
+      all.filter(col("id") % 10 === 0), "id", "e",
+      all.filter(col("id") % 2 === 1), "id", "e", k = 3, threshold = 0.0)
+    assert(rowsOf(mined) == rowsOf(direct) && direct.count() > 0)
+    // decontaminate method: embedding, then l_diversity on the survivors
+    val out = graft.api.Pipeline.runYaml(
+      s"""
+         |datasets:
+         |  corpus: { path: $dir/all.parquet }
+         |  bench: { path: $dir/bench.parquet }
+         |operations:
+         |  - name: scrub
+         |    type: decontaminate
+         |    method: embedding
+         |    benchmark: bench
+         |    id_key: id
+         |    embedding_key: e
+         |    threshold: 0.999999
+         |  - name: audit
+         |    type: l_diversity
+         |    columns: [label]
+         |    sensitive_key: id
+         |    l: 2
+         |pipeline:
+         |  steps:
+         |    - { name: s1, input: corpus, operations: [scrub, audit] }
+         |""".stripMargin, spark)
+    val r = out.collect().head
+    // the 4 exact self-matches (ids 0,10,20,30) are scrubbed; both
+    // label classes keep >= 2 distinct ids
+    assert(r.getLong(1) == 36L && r.getLong(4) == 0L)
+  }
+
   test("LazyFrame bitextMine/hardNegatives carry the method knobs") {
     val lf = graft.api.LazyFrame.read("d", "/tmp/nowhere.parquet")
     val y = lf.bitextMine("id", "e", "tgt", method = "ivf",
