@@ -9446,6 +9446,77 @@ object Queries {
                 PARTITION BY vec_id ORDER BY score DESC, bid) = 1)
         SELECT vec_id, bid AS bench_id, score FROM t
         WHERE score >= 0.4""")
+    ),
+    (
+      // ENTROPY l-diversity (Machanavajjhala 2006 §3.2): per lang
+      // class, the entropy of the source distribution must reach
+      // ln(3). Class entropy sums as per-term-rounded INTEGER
+      // micro-nats (order-free; the q149 float-sum rule); the bar
+      // ln(3)*1e6 is the hardcoded literal 1098612 on both engines.
+      "q280_l_diversity_entropy",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Profile.lDiversityEntropy(t(s, dir, "documents"),
+          Seq("lang"), "source", l = 3),
+      Some("""
+        WITH cell AS (
+          SELECT lang, source, count(*)::BIGINT AS c
+          FROM documents GROUP BY 1, 2),
+        cell2 AS (
+          SELECT lang, c, sum(c) OVER (PARTITION BY lang) AS n
+          FROM cell),
+        terms AS (
+          SELECT lang, n,
+                 CAST(round(c::DOUBLE / n * ln(n::DOUBLE / c) * 1e6)
+                   AS BIGINT) AS t
+          FROM cell2),
+        cls AS (
+          SELECT lang, sum(t)::BIGINT AS e, min(n)::BIGINT AS n
+          FROM terms GROUP BY lang)
+        SELECT 3::BIGINT AS l, 1.098612 AS entropy_bar,
+               sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+               sum(CASE WHEN e < 1098612 THEN n ELSE 0 END)::BIGINT
+                 AS n_rows_below,
+               sum(CASE WHEN e < 1098612 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_classes_below,
+               round(min(e)::DOUBLE / 1e6, 6) AS min_entropy,
+               round(sum(CASE WHEN e < 1098612 THEN n ELSE 0 END)::DOUBLE /
+                 greatest(sum(n), 1), 6) AS frac_rows_below
+        FROM cls""")
+    ),
+    (
+      // UniMax budget allocation (Chung et al. 2023): 140k chars
+      // spread as uniformly as possible over the 20 sources at
+      // maxEpochs = 1 — sub-fair-share sources cap at their own size,
+      // the uncapped suffix absorbs the redistribution. Integer
+      // floor-division water-filling, replayed step-for-step by a
+      // recursive CTE.
+      "q281_unimax",
+      (s: SparkSession, dir: String) =>
+        graft.ops.MixtureSolver.unimax(t(s, dir, "documents"),
+          "source", "n_chars", budget = 140000L, maxEpochs = 1),
+      Some("""
+        WITH RECURSIVE counts AS (
+          SELECT source AS domain, sum(n_chars)::BIGINT AS c
+          FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        ord AS (
+          SELECT domain, c,
+                 row_number() OVER (ORDER BY c, domain) AS rk,
+                 (SELECT count(*) FROM counts)::BIGINT AS g
+          FROM counts),
+        alloc AS (
+          SELECT rk, domain, c, g,
+                 least(c, 140000 // g) AS a,
+                 140000 - least(c, 140000 // g) AS rem
+          FROM ord WHERE rk = 1
+          UNION ALL
+          SELECT o.rk, o.domain, o.c, o.g,
+                 least(o.c, p.rem // (o.g - o.rk + 1)),
+                 p.rem - least(o.c, p.rem // (o.g - o.rk + 1))
+          FROM ord o JOIN alloc p ON o.rk = p.rk + 1)
+        SELECT domain, c AS n, c AS cap, a::BIGINT AS alloc,
+               round(a::DOUBLE / c, 6) AS epochs,
+               (SELECT min(rem) FROM alloc)::BIGINT AS unallocated
+        FROM alloc""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -420,6 +420,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def lDiversityGroups(qiCols: Seq[String], sensitiveCol: String, l: Int,
       limit: Int = 1000): Frame =
     next(Profile.lDiversityGroups(df, qiCols, sensitiveCol, l, limit))
+  def lDiversityEntropy(qiCols: Seq[String], sensitiveCol: String,
+      l: Int): Frame =
+    next(Profile.lDiversityEntropy(df, qiCols, sensitiveCol, l))
   /** Typed content-part preference arms (multimodal DPO corpora). */
   def preferenceValidateParts(chosenCol: String = "messages_chosen",
       rejectedCol: String = "messages_rejected"): Frame =
@@ -523,6 +526,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def apportion(domainCol: String, countExpr: String,
       budget: Long): Frame =
     next(MixtureSolver.apportion(df, domainCol, countExpr, budget))
+  def unimax(domainCol: String, countExpr: String, budget: Long,
+      maxEpochs: Int = 4): Frame =
+    next(MixtureSolver.unimax(df, domainCol, countExpr, budget, maxEpochs))
   def ngramContainmentPairs(idCol: String, textCol: String,
       blockExpr: String, n: Int = 3, threshold: Double = 0.8): Frame =
     next(graft.dedup.NgramJaccardDedup.containmentPairs(df, idCol,

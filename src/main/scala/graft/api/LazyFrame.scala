@@ -565,6 +565,11 @@ final case class LazyFrame(
       budget: Long): LazyFrame =
     append("apportion", "domain_key" -> domainKey,
       "count_expr" -> countExpr, "budget" -> budget)
+  def unimax(domainKey: String, countExpr: String, budget: Long,
+      maxEpochs: Int = 4): LazyFrame =
+    append("unimax", "domain_key" -> domainKey,
+      "count_expr" -> countExpr, "budget" -> budget,
+      "max_epochs" -> maxEpochs)
   def ngramContainmentPairs(idKey: String, textKey: String,
       blockExpr: String, n: Int = 3,
       threshold: Double = 0.8): LazyFrame =

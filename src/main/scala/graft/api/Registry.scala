@@ -858,6 +858,13 @@ object Registry {
     MixtureSolver.apportion(df, c("domain_key").str,
       c.strOr("count_expr", "1"), c("budget").long)
   }
+  // UniMax budget allocation (§2.14 curation, Chung et al. 2023):
+  // as-uniform-as-possible per-domain budgets under an epoch cap.
+  register("unimax") { (df, c, _) =>
+    MixtureSolver.unimax(df, c("domain_key").str,
+      c.strOr("count_expr", "1"), c("budget").long,
+      c.intOr("max_epochs", 4))
+  }
   // Response-grounding score (§2.14 SFT QA): distinct-n-gram precision
   // of a response column against its source column.
   register("grounding") { (df, c, _) =>
@@ -958,8 +965,9 @@ object Registry {
       case "report" => Profile.lDiversity(df, cols, sensitive, l)
       case "groups" => Profile.lDiversityGroups(df, cols, sensitive, l,
         c.intOr("limit", 1000))
+      case "entropy" => Profile.lDiversityEntropy(df, cols, sensitive, l)
       case other => throw new IllegalArgumentException(
-        s"l_diversity mode must be report|groups, got '$other'")
+        s"l_diversity mode must be report|groups|entropy, got '$other'")
     }
   }
   // WordPiece tokenizer training (§2.14 engine extension, Schuster &

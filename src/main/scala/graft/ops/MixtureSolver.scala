@@ -106,4 +106,58 @@ object MixtureSolver {
       (d, c, fl + (if (bonus.contains(d)) 1L else 0L))
     }.toSeq.toDF("domain", "n", "quota")
   }
+
+  /** UniMax budget allocation (Chung et al. 2023 — the mT5→UniMax
+    * multilingual mixture recipe): spread `budget` units as UNIFORMLY
+    * as possible across domains, subject to the per-domain repeat cap
+    * `maxEpochs · count` (past a few epochs, repeating a small
+    * language's data hurts more than under-representing it helps).
+    * Water-filling, smallest domain first: each takes
+    * min(cap, remaining ÷ domainsLeft); what a capped small domain
+    * cannot absorb re-spreads over the larger rest. Because caps are
+    * sorted ascending with the domains, the uncapped suffix always
+    * absorbs the full remainder — budget left over means EVERY domain
+    * capped (total corpus-epochs exhausted), surfaced in the
+    * `unallocated` column (constant across rows), never silently
+    * stretched. Integer floor-division fair shares make every step
+    * exactly replayable (the recursive-CTE oracle shape).
+    *
+    * Scale shape: one (domain)-keyed count agg; the solve is a
+    * driver loop over the domain-count-sized table (the [[apportion]]
+    * bound). Output per domain: n, cap, alloc, epochs (alloc/n,
+    * round 6), unallocated. */
+  def unimax(df: DataFrame, domainCol: String, countExpr: String,
+      budget: Long, maxEpochs: Int): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(maxEpochs >= 1 && maxEpochs <= 1000,
+      s"maxEpochs must be in [1, 1000], got $maxEpochs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("_d"))
+      .agg(coalesce(sum(expr(countExpr)), lit(0L)).cast("long").as("_c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (d, c) => (c, d) }
+    // a positive budget over NO domains (all-null domain column, empty
+    // corpus) has no row to carry `unallocated` — fail loud, the
+    // "never silently dropped" contract
+    require(counts.nonEmpty || budget == 0,
+      "unimax: no non-null domains to allocate a positive budget over")
+    var remaining = budget
+    val rows = counts.zipWithIndex.map { case ((d, c), i) =>
+      val fair = remaining / (counts.length - i) // integer floor
+      val cap = BigInt(c.max(0L)) * maxEpochs
+      val alloc = if (cap < fair) cap.toLong else fair
+      remaining -= alloc
+      // the REPORTED cap clamps to Long range (the solve above already
+      // compares in BigInt, so alloc is unaffected by the clamp)
+      (d, c, cap.min(Long.MaxValue).toLong, alloc)
+    }
+    val unallocated = remaining
+    rows.map { case (d, c, cap, a) =>
+      (d, c, cap, a,
+        if (c > 0) graft.core.Num.rnd6(a.toDouble / c) else 0.0,
+        unallocated)
+    }.toSeq.toDF("domain", "n", "cap", "alloc", "epochs", "unallocated")
+  }
 }

@@ -330,15 +330,70 @@ object Profile {
         col("_d").as("n_distinct_sensitive"): _*)
   }
 
-  private def lDiversityClasses(df: DataFrame, qiCols: Seq[String],
+  /** The (class, value)-distinct cell counts both l-diversity arms
+    * share — one (qi, sensitive)-keyed count plus the validations. */
+  private def lDiversityCells(df: DataFrame, qiCols: Seq[String],
       sensitiveCol: String): DataFrame = {
     require(qiCols.nonEmpty, "need at least one quasi-identifier column")
     require(!qiCols.contains(sensitiveCol),
       "sensitive column cannot be a quasi-identifier")
     df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("_c"))
+  }
+
+  private def lDiversityClasses(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String): DataFrame =
+    lDiversityCells(df, qiCols, sensitiveCol)
       .groupBy(qiCols.map(col): _*)
       .agg(sum(col("_c")).as("_n"), count(lit(1)).as("_d"))
+
+  /** ENTROPY l-diversity report (Machanavajjhala 2006 §3.2 — the
+    * stronger instantiation: a class passes when the entropy of its
+    * sensitive-value distribution is at least ln(l), so a class of
+    * {flu: 99, cold: 1} fails at l = 2 even though it has 2 distinct
+    * values — distinct l-diversity's blind spot). One-row report.
+    *
+    * Determinism: class entropy accumulates as INTEGER MICRO-NATS —
+    * each (class, value) cell contributes round((c/n)·ln(n/c)·1e6),
+    * rounded PER TERM so the within-class sum is an order-free integer
+    * sum (a raw double Σ would be partition-order dependent, the q149
+    * float-sum lesson); the ln(l)·1e6 bar rounds the same way. Scale
+    * shape matches [[lDiversity]]: one (qi, sensitive)-keyed count,
+    * one qi-keyed agg, one report row. */
+  def lDiversityEntropy(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 2 && l <= 1000000, s"l must be in [2, 1000000], got $l")
+    val barMicro = math.round(math.log(l.toDouble) * 1e6)
+    val cells = lDiversityCells(df, qiCols, sensitiveCol)
+    // per-class totals via a window over the CELLS table (bounded by
+    // distinct (class, value) pairs, never corpus rows) — a plain
+    // equi-join back would drop NULL quasi-identifier classes, which
+    // are real combinations here (the kAnonymity convention)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*)
+    val classes = cells
+      .withColumn("_n", sum(col("_c")).over(w))
+      .withColumn("_t", round(col("_c").cast("double") / col("_n") *
+        log(col("_n").cast("double") / col("_c")) * 1e6).cast("bigint"))
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum(col("_t")).as("_e"), first(col("_n")).as("_n"))
+    classes.agg(
+        coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        coalesce(sum(when(col("_e") < barMicro, col("_n")).otherwise(0L)),
+          lit(0L)).as("n_rows_below"),
+        coalesce(sum(when(col("_e") < barMicro, 1L).otherwise(0L)),
+          lit(0L)).as("n_classes_below"),
+        min(col("_e")).as("_minE"))
+      .select(lit(l.toLong).as("l"),
+        round(lit(barMicro.toDouble) / 1e6, 6).as("entropy_bar"),
+        col("n_rows"), col("n_classes"), col("n_rows_below"),
+        col("n_classes_below"),
+        round(coalesce(col("_minE"), lit(0L)).cast("double") / 1e6, 6)
+          .as("min_entropy"),
+        round(col("n_rows_below").cast("double") /
+          greatest(col("n_rows"), lit(1L)).cast("double"), 6)
+          .as("frac_rows_below"))
   }
 
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {

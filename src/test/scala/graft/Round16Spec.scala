@@ -476,6 +476,70 @@ class Round16Spec extends SparkSpec {
     assert(viaReg == r)
   }
 
+  test("entropy l-diversity catches the skewed class distinct-l passes") {
+    val schema = StructType(Seq(StructField("zip", StringType),
+      StructField("disease", StringType)))
+    // class A: {flu: 99, cold: 1} — 2 distinct values (passes distinct
+    // l=2) but entropy = 0.99·ln(100/99) + 0.01·ln(100) ≈ 0.056 nats,
+    // far under ln(2) (the paper's motivating blind spot);
+    // class B: {flu: 2, cold: 2} — entropy exactly ln(2), passes
+    val rows = Seq.fill(99)(Row("94110", "flu")) ++ Seq(Row("94110", "cold")) ++
+      Seq(Row("02139", "flu"), Row("02139", "flu"),
+        Row("02139", "cold"), Row("02139", "cold"))
+    val d = df(schema, rows: _*)
+    val distinctR = graft.ops.Profile.lDiversity(d, Seq("zip"),
+      "disease", l = 2).collect().head
+    assert(distinctR.getLong(4) == 0L) // both classes pass distinct-l
+    val r = graft.ops.Profile.lDiversityEntropy(d, Seq("zip"),
+      "disease", l = 2).collect().head
+    // (l, entropy_bar, n_rows, n_classes, n_rows_below,
+    //  n_classes_below, min_entropy, frac)
+    assert(r.getLong(0) == 2L && r.getDouble(1) == 0.693147)
+    assert(r.getLong(2) == 104L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 100L && r.getLong(5) == 1L) // A fails
+    // hand-exact micro-nat sum for class A:
+    // round(0.99*ln(100/99)*1e6) + round(0.01*ln(100)*1e6)
+    val expectA = (math.round(0.99 * math.log(100.0 / 99) * 1e6) +
+      math.round(0.01 * math.log(100.0) * 1e6)).toDouble / 1e6
+    assert(r.getDouble(6) == graft.core.Num.rnd6(expectA))
+    // registry entropy mode dispatches
+    val viaReg = graft.api.Registry("l_diversity")(d, graft.api.Conf.fromYaml(
+      "type: l_diversity\ncolumns: [zip]\nsensitive_key: disease\n" +
+        "l: 2\nmode: entropy"), ctx()).collect().head
+    assert(viaReg == r)
+  }
+
+  test("unimax water-filling: caps, uniform suffix, unallocated surfaced") {
+    val schema = StructType(Seq(StructField("domain", StringType),
+      StructField("n", LongType)))
+    // counts: a=2, b=10, c=10; maxEpochs=2 -> caps 4, 20, 20
+    val d = df(schema, Row("a", 2L), Row("b", 10L), Row("c", 10L),
+      Row(null, 99L)) // null domains are excluded (apportion rule)
+    // budget 24: a capped at 4; remaining 20 splits 10/10 over b, c
+    val r1 = graft.ops.MixtureSolver.unimax(d, "domain", "n", 24L, 2)
+      .collect().map(x => (x.getString(0), x.getLong(3), x.getLong(5)))
+    assert(r1.toSet == Set(("a", 4L, 0L), ("b", 10L, 0L), ("c", 10L, 0L)))
+    // budget 50 > total cap 44: everyone caps, 6 unallocated — loud
+    val r2 = graft.ops.MixtureSolver.unimax(d, "domain", "n", 50L, 2)
+      .collect().map(x => (x.getString(0), x.getLong(3), x.getLong(5)))
+    assert(r2.toSet == Set(("a", 4L, 6L), ("b", 20L, 6L), ("c", 20L, 6L)))
+    // uncapped uniform: budget 9 over three -> floor shares 3/3/3,
+    // epochs exact to 6dp
+    val r3 = graft.ops.MixtureSolver.unimax(d, "domain", "n", 9L, 2)
+      .collect().map(x => (x.getString(0), x.getLong(3), x.getDouble(4)))
+      .sortBy(_._1)
+    assert(r3.toSeq == Seq(("a", 3L, 1.5), ("b", 3L, 0.3), ("c", 3L, 0.3)))
+    // a positive budget over NO domains has no row to carry
+    // unallocated — loud, not a silent empty frame
+    val allNull = df(schema, Row(null, 5L))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.MixtureSolver.unimax(allNull, "domain", "n", 10L, 2)
+    }
+    assert(e.getMessage.contains("no non-null domains"))
+    assert(graft.ops.MixtureSolver.unimax(allNull, "domain", "n", 0L, 2)
+      .count() == 0L)
+  }
+
   test("embedding decontamination: broadcast kernel, ties, clean arm") {
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("e", ArrayType(FloatType))))
