@@ -180,7 +180,15 @@ class LocalClusterSpec extends AnyFunSuite {
     // vocabularies (EM / merge training localCheckpoints on executor
     // blocks); the tool-call state-machine fold in executor codegen
     "q241_blocklist_scale", "q260_unigram_encode",
-    "q263_wordpiece_encode", "q264_chat_tools_validate")
+    "q263_wordpiece_encode", "q264_chat_tools_validate",
+    // round-16: centroid literals through the non-broadcast cell
+    // shuffle join in separate JVMs (marginIvf/hardNegativesIvf);
+    // the embedding-decontamination broadcast bench array rebuilt in
+    // an executor JVM's mapPartitions kernel; the micro-nat entropy
+    // window; the tools-DPO nested folds
+    "q271_bitext_ivf", "q272_hard_negatives_ivf",
+    "q279_embedding_decontaminate", "q280_l_diversity_entropy",
+    "q276_dpo_tools")
 
   private def runAll(spark: SparkSession, sfDir: String): Map[String, Seq[String]] =
     names.map { name =>
