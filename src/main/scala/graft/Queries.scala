@@ -9517,6 +9517,43 @@ object Queries {
                round(a::DOUBLE / c, 6) AS epochs,
                (SELECT min(rem) FROM alloc)::BIGINT AS unallocated
         FROM alloc""")
+    ),
+    (
+      // ROUGE-L (Lin 2004 §3): the candidate is the odd-position token
+      // SUBSEQUENCE of each document plus two noise words absent from
+      // the corpus, so LCS = ceil(nt/2) analytically — the planted
+      // construction makes the per-row DP kernel's output closed-form
+      // replayable without an LCS in SQL.
+      "q282_rouge_l",
+      (s: SparkSession, dir: String) => {
+        val toks = graft.functions.TextFunctions.alnumTokens(col("text"))
+        // 0-based null-safe get (ANSI element_at throws out-of-bounds);
+        // the filter drops the phantom slot an empty doc would produce
+        val sub = filter(transform(
+          sequence(lit(1), greatest(size(toks), lit(1)), lit(2)),
+          i => get(toks, i - 1)), x => x.isNotNull)
+        val cand = concat_ws(" ",
+          concat(sub, array(lit("zzzqnoise1"), lit("zzzqnoise2"))))
+        graft.ops.TextSim.rougeL(
+          t(s, dir, "documents").withColumn("cand", cand),
+          Seq("doc_id"), "cand", "text")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text),
+            '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents),
+        s AS (SELECT doc_id, len(toks)::BIGINT AS nt,
+                     ((len(toks) + 1) // 2)::BIGINT AS ns
+              FROM t),
+        m AS (SELECT doc_id, ns + 2 AS ct, nt AS rt, ns AS l,
+                     ns::DOUBLE / (ns + 2) AS p, ns::DOUBLE / nt AS r
+              FROM s)
+        SELECT doc_id, ct::BIGINT AS cand_tokens, rt::BIGINT AS ref_tokens,
+               l::BIGINT AS lcs, round(p, 6) AS "precision",
+               round(r, 6) AS recall,
+               round(2 * p * r / (p + r), 6) AS f1
+        FROM m""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

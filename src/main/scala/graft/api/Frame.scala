@@ -451,6 +451,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def ngramF1(idCols: Seq[String], candCol: String, refCol: String,
       n: Int = 1): Frame =
     next(TextSim.ngramF1(df, idCols, candCol, refCol, n))
+  def rougeL(idCols: Seq[String], candCol: String, refCol: String,
+      maxTokens: Int = 2000): Frame =
+    next(TextSim.rougeL(df, idCols, candCol, refCol, maxTokens))
   def editPairs(idCol: String, textCol: String, t: Int): Frame =
     next(graft.dedup.EditDedup.pairs(df, idCol, textCol, t))
   def editKeepBest(idCol: String, textCol: String, t: Int,

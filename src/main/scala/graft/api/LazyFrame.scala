@@ -460,6 +460,11 @@ final case class LazyFrame(
     append("ngram_f1", "id_keys" -> jlist(idKeys),
       "candidate_key" -> candidateKey, "reference_key" -> referenceKey,
       "n" -> n)
+  def rougeL(idKeys: Seq[String], candidateKey: String,
+      referenceKey: String, maxTokens: Int = 2000): LazyFrame =
+    append("rouge_l", "id_keys" -> jlist(idKeys),
+      "candidate_key" -> candidateKey, "reference_key" -> referenceKey,
+      "max_tokens" -> maxTokens)
   def editPairs(idKey: String, textKey: String, threshold: Int): LazyFrame =
     append("edit_pairs", "id_key" -> idKey, "text_key" -> textKey,
       "threshold" -> threshold)

@@ -1876,6 +1876,12 @@ object Registry {
     TextSim.ngramF1(df, c("id_keys").strList, c("candidate_key").str,
       c("reference_key").str, c.get("n").map(_.long.toInt).getOrElse(1))
   }
+  // ROUGE-L (§2.14 SFT QA, Lin 2004 §3): LCS-based order-sensitive
+  // summary quality, next to ngram_f1's bag-of-grams ROUGE-N.
+  register("rouge_l") { (df, c, _) =>
+    TextSim.rougeL(df, c("id_keys").strList, c("candidate_key").str,
+      c("reference_key").str, c.intOr("max_tokens", 2000))
+  }
   // Exact edit-distance near-dup pairs (§2.14 dedup family): PassJoin
   // pigeonhole blocking + levenshtein verify, recall 1 at threshold t.
   register("edit_pairs") { (df, c, _) =>

@@ -70,4 +70,84 @@ object TextSim {
       .withColumn("f1",
         round(when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(0.0), 6))
   }
+
+  /** Longest-common-subsequence length between two token arrays — the
+    * two-row DP (O(min) memory, O(m·n) time). */
+  private[graft] def lcsLen(a: Array[String], b: Array[String]): Int = {
+    if (a.isEmpty || b.isEmpty) return 0
+    // iterate over the longer side, keep DP rows sized by the shorter
+    val (lo, hi) = if (a.length <= b.length) (a, b) else (b, a)
+    var prev = new Array[Int](lo.length + 1)
+    var cur = new Array[Int](lo.length + 1)
+    var i = 1
+    while (i <= hi.length) {
+      var j = 1
+      while (j <= lo.length) {
+        cur(j) =
+          if (hi(i - 1) == lo(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(lo.length)
+  }
+
+  /** Per-row ROUGE-L (Lin 2004 §3): LCS-based precision/recall/F1 over
+    * word tokens — order-sensitive where ROUGE-N's bag-of-grams is not
+    * (a reversed summary keeps its bigrams but loses its LCS), the
+    * second standard summary-quality gate. Output: (idCols...,
+    * cand_tokens, ref_tokens, lcs, precision, recall, f1); either side
+    * empty reports 0.0 metrics (the [[ngramF1]] sentinel convention).
+    *
+    * Scale shape: one mapPartitions kernel (the encode-kernel shape: no
+    * join, no shuffle); the DP is O(m·n) per row, so both sides clamp
+    * to their FIRST `maxTokens` tokens (documented truncation — at the
+    * default 2000 the worst row costs 4M cell updates; a book-length
+    * reference should be chunked first, not LCS'd whole). */
+  def rougeL(df: DataFrame, idCols: Seq[String], candCol: String,
+      refCol: String, maxTokens: Int = 2000): DataFrame = {
+    require(idCols.nonEmpty, "rougeL needs at least one id column")
+    require(maxTokens >= 1 && maxTokens <= 20000,
+      s"maxTokens must be in [1, 20000], got $maxTokens")
+    val ids = idCols.map(col)
+    val proj = df.select(ids :+
+      slice(tokens(col(candCol)), 1, maxTokens).as("_ct") :+
+      slice(tokens(col(refCol)), 1, maxTokens).as("_rt"): _*)
+    val nIds = idCols.length
+    val outSchema = org.apache.spark.sql.types.StructType(
+      proj.schema.fields.take(nIds) ++ Seq(
+        org.apache.spark.sql.types.StructField("cand_tokens",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("ref_tokens",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lcs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("precision",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("recall",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("f1",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+    proj.mapPartitions { it =>
+      it.map { row =>
+        def toks(idx: Int): Array[String] =
+          if (row.isNullAt(idx)) Array.empty[String]
+          else row.getSeq[String](idx).toArray
+        val c = toks(nIds)
+        val r = toks(nIds + 1)
+        val l = lcsLen(c, r)
+        val p = if (c.length > 0) l.toDouble / c.length else 0.0
+        val rc = if (r.length > 0) l.toDouble / r.length else 0.0
+        val f = if (p + rc > 0) 2.0 * p * rc / (p + rc) else 0.0
+        // Seq[Any]: a mixed Long/Double Seq literal infers Seq[Double]
+        // and silently widens the counts — the encoder then rejects them
+        org.apache.spark.sql.Row.fromSeq(row.toSeq.take(nIds) ++ Seq[Any](
+          c.length.toLong, r.length.toLong, l.toLong,
+          graft.core.Num.rnd6(p), graft.core.Num.rnd6(rc),
+          graft.core.Num.rnd6(f)))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

@@ -509,6 +509,34 @@ class Round16Spec extends SparkSpec {
     assert(viaReg == r)
   }
 
+  test("rouge-L: LCS hand-exact, order-sensitive where ROUGE-N is not") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("cand", StringType), StructField("ref", StringType)))
+    val d = df(schema,
+      Row(1L, "a c e", "a b c d e"),          // classic: LCS 3
+      Row(2L, "e d c b a", "a b c d e"),      // reversed: LCS 1
+      Row(3L, "a b c", "a b c"),              // identical: LCS 3
+      Row(4L, "", "a b"),                     // empty cand: zeros
+      Row(5L, null, "a b"))                   // null cand: zeros
+    val out = graft.ops.TextSim.rougeL(d, Seq("id"), "cand", "ref")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(out(1L) == ((3L, 5L, 3L, 1.0, 0.6, 0.75)))
+    assert(out(2L) == ((5L, 5L, 1L, 0.2, 0.2, 0.2)))
+    assert(out(3L) == ((3L, 3L, 3L, 1.0, 1.0, 1.0)))
+    assert(out(4L) == ((0L, 2L, 0L, 0.0, 0.0, 0.0)))
+    assert(out(5L) == ((0L, 2L, 0L, 0.0, 0.0, 0.0)))
+    // the reversal that keeps ROUGE-1 at 1.0 drops ROUGE-L to 0.2 —
+    // the order sensitivity that motivates the second metric
+    val n1 = graft.ops.TextSim.ngramF1(d.filter(col("id") === 2),
+      Seq("id"), "cand", "ref", 1).collect().head
+    assert(n1.getAs[Double]("f1") == 1.0)
+    // lcsLen unit edges: one side empty, no common symbols
+    assert(graft.ops.TextSim.lcsLen(Array.empty, Array("a")) == 0)
+    assert(graft.ops.TextSim.lcsLen(Array("x"), Array("y")) == 0)
+  }
+
   test("unimax water-filling: caps, uniform suffix, unallocated surfaced") {
     val schema = StructType(Seq(StructField("domain", StringType),
       StructField("n", LongType)))
