@@ -9526,7 +9526,14 @@ object Queries {
       // replayable without an LCS in SQL.
       "q282_rouge_l",
       (s: SparkSession, dir: String) => {
-        val toks = graft.functions.TextFunctions.alnumTokens(col("text"))
+        // stage the token array through a COLUMN: a HOF lambda closing
+        // over the raw alnumTokens expression re-splits the text once
+        // PER SEQUENCE ELEMENT (the r10 winnow lesson — it cost this
+        // query 6.6 s at sf0.1 before staging)
+        val base = t(s, dir, "documents")
+          .withColumn("_toks",
+            graft.functions.TextFunctions.alnumTokens(col("text")))
+        val toks = col("_toks")
         // 0-based null-safe get (ANSI element_at throws out-of-bounds);
         // the filter drops the phantom slot an empty doc would produce
         val sub = filter(transform(
@@ -9535,7 +9542,7 @@ object Queries {
         val cand = concat_ws(" ",
           concat(sub, array(lit("zzzqnoise1"), lit("zzzqnoise2"))))
         graft.ops.TextSim.rougeL(
-          t(s, dir, "documents").withColumn("cand", cand),
+          base.withColumn("cand", cand).drop("_toks"),
           Seq("doc_id"), "cand", "text")
       },
       Some("""
