@@ -9561,6 +9561,45 @@ object Queries {
                round(r, 6) AS recall,
                round(2 * p * r / (p + r), 6) AS f1
         FROM m""")
+    ),
+    (
+      // chrF (Popović 2015): the candidate is the raw first HALF of
+      // each document, so its whitespace-stripped form is a PREFIX of
+      // the stripped reference — every candidate char n-gram's count
+      // is bounded by the reference's, making clipped overlap = the
+      // candidate's own gram count: P_n = 1 and R_n closed-form from
+      // the two cleaned lengths. β = 2, orders 1..6, integer-micro
+      // per-order sums.
+      "q283_chrf",
+      (s: SparkSession, dir: String) => {
+        val cand = expr("substr(text, 1, length(text) div 2)")
+        graft.ops.TextSim.chrF(
+          t(s, dir, "documents").withColumn("cand", cand),
+          Seq("doc_id"), "cand", "text")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 len(regexp_replace(substr(text, 1, len(text) // 2),
+                   '\s+', '', 'g'))::BIGINT AS lc,
+                 len(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS lr
+          FROM documents),
+        o AS (
+          SELECT doc_id,
+                 CASE WHEN lc - n + 1 > 0 THEN 1000000 ELSE 0 END AS pm,
+                 CASE WHEN lr - n + 1 > 0 THEN
+                   CAST(round(greatest(lc - n + 1, 0)::DOUBLE * 1e6 /
+                     (lr - n + 1)) AS BIGINT)
+                 ELSE 0 END AS rm
+          FROM d, UNNEST(range(1, 7)) AS t(n)),
+        s AS (SELECT doc_id, sum(pm)::BIGINT AS sp, sum(rm)::BIGINT AS sr
+              FROM o GROUP BY 1)
+        SELECT doc_id,
+               round(CASE WHEN 4 * (sp / 6000000.0) + (sr / 6000000.0) > 0
+                 THEN 5 * (sp / 6000000.0) * (sr / 6000000.0) /
+                      (4 * (sp / 6000000.0) + (sr / 6000000.0))
+                 ELSE 0 END, 6) AS chrf
+        FROM s""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -454,6 +454,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def rougeL(idCols: Seq[String], candCol: String, refCol: String,
       maxTokens: Int = 2000): Frame =
     next(TextSim.rougeL(df, idCols, candCol, refCol, maxTokens))
+  def chrF(idCols: Seq[String], candCol: String, refCol: String,
+      maxN: Int = 6, beta: Double = 2.0): Frame =
+    next(TextSim.chrF(df, idCols, candCol, refCol, maxN, beta))
   def editPairs(idCol: String, textCol: String, t: Int): Frame =
     next(graft.dedup.EditDedup.pairs(df, idCol, textCol, t))
   def editKeepBest(idCol: String, textCol: String, t: Int,

@@ -465,6 +465,12 @@ final case class LazyFrame(
     append("rouge_l", "id_keys" -> jlist(idKeys),
       "candidate_key" -> candidateKey, "reference_key" -> referenceKey,
       "max_tokens" -> maxTokens)
+  def chrF(idKeys: Seq[String], candidateKey: String,
+      referenceKey: String, maxN: Int = 6,
+      beta: Double = 2.0): LazyFrame =
+    append("chrf", "id_keys" -> jlist(idKeys),
+      "candidate_key" -> candidateKey, "reference_key" -> referenceKey,
+      "max_n" -> maxN, "beta" -> beta)
   def editPairs(idKey: String, textKey: String, threshold: Int): LazyFrame =
     append("edit_pairs", "id_key" -> idKey, "text_key" -> textKey,
       "threshold" -> threshold)

@@ -1882,6 +1882,12 @@ object Registry {
     TextSim.rougeL(df, c("id_keys").strList, c("candidate_key").str,
       c("reference_key").str, c.intOr("max_tokens", 2000))
   }
+  // chrF (§2.14 SFT QA, Popović 2015): character n-gram F-score — the
+  // tokenization-free gate of the family.
+  register("chrf") { (df, c, _) =>
+    TextSim.chrF(df, c("id_keys").strList, c("candidate_key").str,
+      c("reference_key").str, c.intOr("max_n", 6), c.dblOr("beta", 2.0))
+  }
   // Exact edit-distance near-dup pairs (§2.14 dedup family): PassJoin
   // pigeonhole blocking + levenshtein verify, recall 1 at threshold t.
   register("edit_pairs") { (df, c, _) =>

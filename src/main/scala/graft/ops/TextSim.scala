@@ -94,6 +94,85 @@ object TextSim {
     prev(lo.length)
   }
 
+  /** Per-row chrF (Popović 2015): character n-gram F-score, the
+    * tokenization-free MT/generation gate — robust to morphology and
+    * spacing differences that word-level ROUGE punishes. Characters
+    * are whitespace-stripped (the sacrebleu convention, case kept);
+    * for each order n = 1..maxN the clipped-overlap precision and
+    * recall compute from exact counts, averages over orders combine as
+    * chrP/chrR, and chrF = (1+β²)·chrP·chrR / (β²·chrP + chrR) with
+    * β = 2 by default (recall-weighted, the published choice).
+    * Simplification vs sacrebleu: every order up to maxN contributes
+    * to the average (an order with no candidate grams contributes
+    * P = 0) rather than the "effective order" rule — deterministic on
+    * degenerate inputs and documented here.
+    *
+    * Determinism: per-(row, order) precisions/recalls round to INTEGER
+    * MICRO units before the over-orders sum (a raw double Σ over the
+    * orders group would be partition-order dependent — the q149 rule).
+    *
+    * Scale shape: grams for ALL orders build in one per-row flatten
+    * (the char array stages through a column so HOF lambdas never
+    * re-evaluate the cleaning chain per element); clipped overlap is
+    * the [[ngramF1]] machinery keyed by (id, n, gram); per-order
+    * totals are CLOSED FORM from the cleaned lengths (len − n + 1),
+    * so only the overlap join shuffles. Output: (idCols..., chrf). */
+  def chrF(df: DataFrame, idCols: Seq[String], candCol: String,
+      refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(idCols.nonEmpty, "chrF needs at least one id column")
+    require(maxN >= 1 && maxN <= 10, s"maxN must be in [1, 10], got $maxN")
+    require(beta > 0, s"beta must be > 0, got $beta")
+    val ids = idCols.map(col)
+    def cleaned(c: Column): Column =
+      coalesce(regexp_replace(c, "\\s+", ""), lit(""))
+    val base = df.select(ids :+ cleaned(col(candCol)).as("_cs") :+
+      cleaned(col(refCol)).as("_rs"): _*)
+    def gramStructs(strCol: Column): Column =
+      flatten(array((1 to maxN).map { n =>
+        when(length(strCol) >= n,
+          transform(sequence(lit(1), length(strCol) - (n - 1)),
+            i => struct(lit(n).as("_n"), strCol.substr(i, lit(n)).as("_g"))))
+          .otherwise(array().cast("array<struct<_n:int,_g:string>>"))
+      }: _*))
+    def counted(src: Column, out: String) = base
+      .select(ids :+ explode(gramStructs(src)).as("_x"): _*)
+      .select(ids :+ col("_x._n").as("_n") :+ col("_x._g").as("_g"): _*)
+      .groupBy(ids :+ col("_n") :+ col("_g"): _*)
+      .agg(count(lit(1)).as(out))
+    val overlap = counted(col("_cs"), "_cc")
+      .join(counted(col("_rs"), "_rc"), idCols :+ "_n" :+ "_g")
+      .groupBy(ids :+ col("_n"): _*)
+      .agg(sum(least(col("_cc"), col("_rc"))).as("_ov"))
+    // per-(row, order) skeleton with closed-form totals; left join
+    // pulls in the (possibly absent) overlap
+    val skeleton = base
+      .select(ids :+ length(col("_cs")).as("_lc") :+
+        length(col("_rs")).as("_lr"): _*)
+      .withColumn("_n", explode(sequence(lit(1), lit(maxN))))
+      .withColumn("_ct", greatest(col("_lc") - col("_n") + 1, lit(0)))
+      .withColumn("_rt", greatest(col("_lr") - col("_n") + 1, lit(0)))
+    val perOrder = skeleton
+      .join(overlap, idCols :+ "_n", "left")
+      .withColumn("_ov", coalesce(col("_ov"), lit(0L)))
+      .withColumn("_pMicro", when(col("_ct") > 0,
+        round(col("_ov") * 1e6 / col("_ct")).cast("bigint"))
+        .otherwise(lit(0L)))
+      .withColumn("_rMicro", when(col("_rt") > 0,
+        round(col("_ov") * 1e6 / col("_rt")).cast("bigint"))
+        .otherwise(lit(0L)))
+    val b2 = beta * beta
+    perOrder.groupBy(ids: _*)
+      .agg(sum(col("_pMicro")).as("_sp"), sum(col("_rMicro")).as("_sr"))
+      .withColumn("_chrP", col("_sp").cast("double") / (maxN * 1e6))
+      .withColumn("_chrR", col("_sr").cast("double") / (maxN * 1e6))
+      .withColumn("chrf",
+        round(when(lit(b2) * col("_chrP") + col("_chrR") > 0,
+          lit(1 + b2) * col("_chrP") * col("_chrR") /
+            (lit(b2) * col("_chrP") + col("_chrR")))
+          .otherwise(0.0), 6))
+      .select(ids :+ col("chrf"): _*)
+  }
+
   /** Per-row ROUGE-L (Lin 2004 §3): LCS-based precision/recall/F1 over
     * word tokens — order-sensitive where ROUGE-N's bag-of-grams is not
     * (a reversed summary keeps its bigrams but loses its LCS), the

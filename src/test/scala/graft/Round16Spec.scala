@@ -537,6 +537,33 @@ class Round16Spec extends SparkSpec {
     assert(graft.ops.TextSim.lcsLen(Array("x"), Array("y")) == 0)
   }
 
+  test("chrF: hand-exact orders, whitespace stripped, beta recall weight") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("cand", StringType), StructField("ref", StringType)))
+    val d = df(schema,
+      Row(1L, "abc", "abc"),       // identical: chrf 1.0
+      Row(2L, "ab", "abab"),       // P = 1 at both orders, R = (1/2, 1/3)
+      Row(3L, "a b", "ab"),        // whitespace strips -> identical
+      Row(4L, "", "ab"),           // empty cand: 0.0
+      Row(5L, "xy", "ab"))         // zero overlap: 0.0
+    val out = graft.ops.TextSim.chrF(d, Seq("id"), "cand", "ref",
+      maxN = 2, beta = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0 && out(3L) == 1.0)
+    assert(out(4L) == 0.0 && out(5L) == 0.0)
+    // id 2 by hand: P1 = P2 = 1 -> chrP = 1; R micro = round(1e6/2) +
+    // round(1e6/3) over 2 orders; chrf = 5·chrP·chrR/(4·chrP + chrR)
+    val chrR = (500000L + 333333L).toDouble / 2e6
+    val expect = graft.core.Num.rnd6(5.0 * chrR / (4.0 + chrR))
+    assert(out(2L) == expect, s"${out(2L)} vs $expect")
+    // registry arm dispatches with the knobs
+    val viaReg = graft.api.Registry("chrf")(d, graft.api.Conf.fromYaml(
+      "type: chrf\nid_keys: [id]\ncandidate_key: cand\n" +
+        "reference_key: ref\nmax_n: 2\nbeta: 2.0"), ctx())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaReg == out)
+  }
+
   test("unimax water-filling: caps, uniform suffix, unallocated surfaced") {
     val schema = StructType(Seq(StructField("domain", StringType),
       StructField("n", LongType)))
