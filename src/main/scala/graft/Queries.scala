@@ -9600,6 +9600,36 @@ object Queries {
                       (4 * (sp / 6000000.0) + (sr / 6000000.0))
                  ELSE 0 END, 6) AS chrf
         FROM s""")
+    ),
+    (
+      // Sentence BLEU (Papineni 2002): the candidate is the first HALF
+      // of each document's word tokens — a prefix, so every clipped
+      // n-gram precision is exactly 1 (ln = 0) and BLEU reduces to the
+      // brevity penalty exp(1 − nt/nc) in closed form. nt >= 10 in the
+      // fixture, so all four orders have candidate grams.
+      "q284_bleu",
+      (s: SparkSession, dir: String) => {
+        val toks = graft.functions.TextFunctions.alnumTokens(col("text"))
+        val base = t(s, dir, "documents").withColumn("_toks", toks)
+        val cand = concat_ws(" ",
+          slice(col("_toks"), lit(1),
+            greatest((size(col("_toks")) / 2).cast("int"), lit(1))))
+        graft.ops.TextSim.bleu(
+          base.withColumn("cand", cand).drop("_toks"),
+          Seq("doc_id"), "cand", "text")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(lower(text),
+                   '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS nt
+          FROM documents),
+        m AS (SELECT doc_id, greatest(nt // 2, 1)::BIGINT AS nc, nt
+              FROM d)
+        SELECT doc_id, nc AS cand_tokens, nt AS ref_tokens,
+               round(CASE WHEN nc >= nt THEN 1.0
+                 ELSE exp(1.0 - nt::DOUBLE / nc) END, 6) AS bleu
+        FROM m""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

@@ -457,6 +457,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def chrF(idCols: Seq[String], candCol: String, refCol: String,
       maxN: Int = 6, beta: Double = 2.0): Frame =
     next(TextSim.chrF(df, idCols, candCol, refCol, maxN, beta))
+  def bleu(idCols: Seq[String], candCol: String, refCol: String,
+      maxN: Int = 4): Frame =
+    next(TextSim.bleu(df, idCols, candCol, refCol, maxN))
   def editPairs(idCol: String, textCol: String, t: Int): Frame =
     next(graft.dedup.EditDedup.pairs(df, idCol, textCol, t))
   def editKeepBest(idCol: String, textCol: String, t: Int,

@@ -471,6 +471,11 @@ final case class LazyFrame(
     append("chrf", "id_keys" -> jlist(idKeys),
       "candidate_key" -> candidateKey, "reference_key" -> referenceKey,
       "max_n" -> maxN, "beta" -> beta)
+  def bleu(idKeys: Seq[String], candidateKey: String,
+      referenceKey: String, maxN: Int = 4): LazyFrame =
+    append("bleu", "id_keys" -> jlist(idKeys),
+      "candidate_key" -> candidateKey, "reference_key" -> referenceKey,
+      "max_n" -> maxN)
   def editPairs(idKey: String, textKey: String, threshold: Int): LazyFrame =
     append("edit_pairs", "id_key" -> idKey, "text_key" -> textKey,
       "threshold" -> threshold)

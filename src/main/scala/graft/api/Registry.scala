@@ -1888,6 +1888,12 @@ object Registry {
     TextSim.chrF(df, c("id_keys").strList, c("candidate_key").str,
       c("reference_key").str, c.intOr("max_n", 6), c.dblOr("beta", 2.0))
   }
+  // Sentence BLEU (§2.14 SFT QA, Papineni 2002): unsmoothed clipped
+  // n-gram precision geomean x brevity penalty.
+  register("bleu") { (df, c, _) =>
+    TextSim.bleu(df, c("id_keys").strList, c("candidate_key").str,
+      c("reference_key").str, c.intOr("max_n", 4))
+  }
   // Exact edit-distance near-dup pairs (§2.14 dedup family): PassJoin
   // pigeonhole blocking + levenshtein verify, recall 1 at threshold t.
   register("edit_pairs") { (df, c, _) =>

@@ -94,6 +94,73 @@ object TextSim {
     prev(lo.length)
   }
 
+  /** Per-row sentence BLEU (Papineni et al. 2002): the geometric mean
+    * of clipped word n-gram precisions for n = 1..maxN times the
+    * brevity penalty min(1, exp(1 − ref_len/cand_len)). UNSMOOTHED by
+    * design (the paper's corpus formula applied per row): any order
+    * with zero candidate grams OR zero clipped matches zeroes the
+    * score — the standard behavior short/degenerate candidates get
+    * without a smoothing method, documented here rather than picking
+    * one of the seven smoothing variants silently.
+    *
+    * Determinism: per-order ln(pₙ) rounds to INTEGER MICRO units before
+    * the over-orders sum (order-free — the q149 rule); the brevity
+    * penalty is one exp over a ratio of exact token counts.
+    *
+    * Scale shape: identical to [[chrF]] — one per-row flatten builds
+    * all orders' grams, clipped overlap is the (id, n, gram)-keyed
+    * join, per-order totals are closed form from token counts. Output:
+    * (idCols..., cand_tokens, ref_tokens, bleu). */
+  def bleu(df: DataFrame, idCols: Seq[String], candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    require(idCols.nonEmpty, "bleu needs at least one id column")
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    val ids = idCols.map(col)
+    val base = df.select(ids :+ tokens(col(candCol)).as("_ct") :+
+      tokens(col(refCol)).as("_rt"): _*)
+    def gramStructs(toksCol: Column): Column =
+      flatten(array((1 to maxN).map { n =>
+        when(size(toksCol) >= n,
+          transform(sequence(lit(1), size(toksCol) - (n - 1)),
+            i => struct(lit(n).as("_n"),
+              array_join(slice(toksCol, i, lit(n)), " ").as("_g"))))
+          .otherwise(array().cast("array<struct<_n:int,_g:string>>"))
+      }: _*))
+    def counted(src: Column, out: String) = base
+      .select(ids :+ explode(gramStructs(src)).as("_x"): _*)
+      .select(ids :+ col("_x._n").as("_n") :+ col("_x._g").as("_g"): _*)
+      .groupBy(ids :+ col("_n") :+ col("_g"): _*)
+      .agg(count(lit(1)).as(out))
+    val overlap = counted(col("_ct"), "_cc")
+      .join(counted(col("_rt"), "_rc"), idCols :+ "_n" :+ "_g")
+      .groupBy(ids :+ col("_n"): _*)
+      .agg(sum(least(col("_cc"), col("_rc"))).as("_ov"))
+    val skeleton = base
+      .select(ids :+ size(col("_ct")).cast("bigint").as("_lc") :+
+        size(col("_rt")).cast("bigint").as("_lr"): _*)
+      .withColumn("_n", explode(sequence(lit(1), lit(maxN))))
+      .withColumn("_tot", greatest(col("_lc") - col("_n") + 1, lit(0L)))
+    val perOrder = skeleton
+      .join(overlap, idCols :+ "_n", "left")
+      .withColumn("_ov", coalesce(col("_ov"), lit(0L)))
+      .withColumn("_zero", col("_tot") === 0 || col("_ov") === 0)
+      .withColumn("_lnMicro", when(col("_zero"), lit(0L))
+        .otherwise(round(log(col("_ov").cast("double") / col("_tot")) * 1e6)
+          .cast("bigint")))
+    val bp = when(col("_lc") >= col("_lr"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("_lr").cast("double") / col("_lc")))
+    perOrder.groupBy(ids: _*)
+      .agg(first(col("_lc")).as("_lc"), first(col("_lr")).as("_lr"),
+        max(when(col("_zero"), 1).otherwise(0)).as("_anyZero"),
+        sum(col("_lnMicro")).as("_sln"))
+      .withColumn("bleu",
+        round(when(col("_anyZero") === 1 || col("_lc") === 0, 0.0)
+          .otherwise(bp *
+            exp(col("_sln").cast("double") / (maxN * 1e6))), 6))
+      .select(ids :+ col("_lc").as("cand_tokens") :+
+        col("_lr").as("ref_tokens") :+ col("bleu"): _*)
+  }
+
   /** Per-row chrF (Popović 2015): character n-gram F-score, the
     * tokenization-free MT/generation gate — robust to morphology and
     * spacing differences that word-level ROUGE punishes. Characters

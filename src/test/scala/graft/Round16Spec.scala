@@ -564,6 +564,31 @@ class Round16Spec extends SparkSpec {
     assert(viaReg == out)
   }
 
+  test("bleu: clipped precisions, brevity penalty, unsmoothed zeros") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("cand", StringType), StructField("ref", StringType)))
+    val d = df(schema,
+      Row(1L, "a b c d", "a b c d"),   // identical: 1.0
+      Row(2L, "a b c", "a b c d"),     // prefix: BLEU = BP = exp(-1/3)
+      Row(3L, "a c", "a b c"),         // unmatched bigram: 0 (unsmoothed)
+      Row(4L, "a b c d e", "a b c"),   // long cand: BP = 1, p = (3/5, 2/4)
+      Row(5L, "", "a b"))              // empty cand: 0
+    val out = graft.ops.TextSim.bleu(d, Seq("id"), "cand", "ref", maxN = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == graft.core.Num.rnd6(math.exp(1.0 - 4.0 / 3)))
+    assert(out(3L) == 0.0 && out(5L) == 0.0)
+    val sln = math.round(math.log(3.0 / 5) * 1e6) +
+      math.round(math.log(2.0 / 4) * 1e6)
+    assert(out(4L) == graft.core.Num.rnd6(math.exp(sln / 2e6)))
+    // registry arm dispatches
+    val viaReg = graft.api.Registry("bleu")(d, graft.api.Conf.fromYaml(
+      "type: bleu\nid_keys: [id]\ncandidate_key: cand\n" +
+        "reference_key: ref\nmax_n: 2"), ctx())
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(viaReg == out)
+  }
+
   test("unimax water-filling: caps, uniform suffix, unallocated surfaced") {
     val schema = StructType(Seq(StructField("domain", StringType),
       StructField("n", LongType)))
