@@ -34,7 +34,8 @@ object Queries {
     sampling ++ textAnalysis ++ dedup ++ ann ++ semantic ++ multimodal ++
     apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b ++
     round9c ++ round9d ++ round9e ++ round9f ++ round9h ++ round10 ++
-    round10b ++ round11 ++ round12 ++ round14 ++ round15 ++ round16
+    round10b ++ round11 ++ round12 ++ round14 ++ round15 ++ round16 ++
+    round17
 
   // ---------------------------------------------------------------- parsing
 
@@ -9559,7 +9560,8 @@ object Queries {
         SELECT doc_id, ct::BIGINT AS cand_tokens, rt::BIGINT AS ref_tokens,
                l::BIGINT AS lcs, round(p, 6) AS "precision",
                round(r, 6) AS recall,
-               round(2 * p * r / (p + r), 6) AS f1
+               round(2 * p * r / (p + r), 6) AS f1,
+               (ct > 2000 OR rt > 2000) AS truncated
         FROM m""")
     ),
     (
@@ -9630,6 +9632,71 @@ object Queries {
                round(CASE WHEN nc >= nt THEN 1.0
                  ELSE exp(1.0 - nt::DOUBLE / nc) END, 6) AS bleu
         FROM m""")
+    ))
+
+  private def round17: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // Bitext-mining dropped-candidate audit (VERDICT r16 item 3):
+      // the fwd side is q270's full even->odd 4-NN, the bwd side is
+      // DELIBERATELY partial — only tgt rows with vec_id % 3 = 1 carry
+      // k-NN lists, planting the empty-probe rows an approximate IVF
+      // provider produces at n_probe << n_cells. Every fwd candidate
+      // whose tgt lacks a neighborhood mean is dropped by the mining
+      // inner join; the audit left-joins the SAME candidates against
+      // the SAME average tables and counts the loss — one report row.
+      "q285_bitext_audit",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val src = emb.filter(col("vec_id") % 2 === 0)
+        val tgt = emb.filter(col("vec_id") % 2 === 1)
+        val fwd = graft.ann.Ann.bruteForce(tgt, "vec_id", "embedding",
+          src, "vec_id", "embedding", 4, excludeSelf = false)
+          .select(col("query_id").as("src_id"),
+            col("neighbor_id").as("tgt_id"), col("score"))
+        val bwd = graft.ann.Ann.bruteForce(src, "vec_id", "embedding",
+          tgt.filter(col("vec_id") % 3 === 1), "vec_id", "embedding",
+          4, excludeSelf = false)
+          .select(col("neighbor_id").as("src_id"),
+            col("query_id").as("tgt_id"), col("score"))
+        graft.ops.BitextMine.marginFromKnnAudit(fwd, bwd)
+      },
+      Some("""
+        WITH src AS (SELECT vec_id AS sid,
+                       CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings WHERE vec_id % 2 = 0),
+        tgt AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id % 2 = 1),
+        cosn AS (
+          SELECT sid, tid,
+                 CAST(round(list_dot_product(s.e, t.e) /
+                   (sqrt(list_dot_product(s.e, s.e)) *
+                    sqrt(list_dot_product(t.e, t.e))), 6) AS DOUBLE)
+                   AS score
+          FROM src s, tgt t),
+        fwdk AS (SELECT sid, tid FROM cosn
+                 QUALIFY row_number() OVER (
+                   PARTITION BY sid ORDER BY score DESC, tid) <= 4),
+        bwdk AS (SELECT sid, tid FROM cosn WHERE tid % 3 = 1
+                 QUALIFY row_number() OVER (
+                   PARTITION BY tid ORDER BY score DESC, sid) <= 4),
+        cands AS (SELECT DISTINCT sid, tid FROM (
+          SELECT * FROM fwdk UNION ALL SELECT * FROM bwdk)),
+        sa AS (SELECT DISTINCT sid, 1 AS hs FROM fwdk),
+        ta AS (SELECT DISTINCT tid, 1 AS ht FROM bwdk),
+        j AS (SELECT c.sid, c.tid, sa.hs, ta.ht
+              FROM cands c
+              LEFT JOIN sa ON c.sid = sa.sid
+              LEFT JOIN ta ON c.tid = ta.tid)
+        SELECT count(*)::BIGINT AS n_candidates,
+               sum(CASE WHEN hs IS NOT NULL AND ht IS NOT NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS n_scored,
+               sum(CASE WHEN hs IS NULL OR ht IS NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+               sum(CASE WHEN hs IS NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_missing_src_avg,
+               sum(CASE WHEN ht IS NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_missing_tgt_avg
+        FROM j""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

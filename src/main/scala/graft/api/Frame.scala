@@ -402,6 +402,20 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       nCells: Int = 256, nProbe: Int = 8): Frame =
     next(BitextMine.marginIvf(df, idCol, embCol, target.df, targetIdCol,
       targetEmbCol, k, threshold, mutualBest, nCells, nProbe))
+  /** One-row dropped-candidate report for [[bitextMargin]] (always
+    * zero drops on non-empty sides — the exactness baseline). */
+  def bitextMarginAudit(idCol: String, embCol: String,
+      target: Frame, targetIdCol: String, targetEmbCol: String,
+      k: Int = 4): Frame =
+    next(BitextMine.marginAudit(df, idCol, embCol, target.df,
+      targetIdCol, targetEmbCol, k))
+  /** One-row dropped-candidate report for [[bitextMarginIvf]] — the
+    * recall-leak gauge for approximate probing (nProbe < nCells). */
+  def bitextMarginIvfAudit(idCol: String, embCol: String,
+      target: Frame, targetIdCol: String, targetEmbCol: String,
+      k: Int = 4, nCells: Int = 256, nProbe: Int = 8): Frame =
+    next(BitextMine.marginIvfAudit(df, idCol, embCol, target.df,
+      targetIdCol, targetEmbCol, k, nCells, nProbe))
   /** THIS frame = queries; mine BM25 hard negatives from `corpus`,
     * excluding `positives` (the DPR training-pair prep). */
   def hardNegativesBm25(qidCol: String, qtextCol: String,
@@ -867,14 +881,14 @@ final case class Frame(df: DataFrame, client: LlmClient) {
     * n-gram family misses). */
   def embeddingContaminationHits(idCol: String, embCol: String,
       benchmark: Frame, benchIdCol: String, benchEmbCol: String,
-      threshold: Double): Frame =
+      threshold: Double, maxBenchRows: Int = 100000): Frame =
     next(graft.dedup.Decontaminate.embeddingHits(df, idCol, embCol,
-      benchmark.df, benchIdCol, benchEmbCol, threshold))
+      benchmark.df, benchIdCol, benchEmbCol, threshold, maxBenchRows))
   def decontaminateEmbedding(idCol: String, embCol: String,
       benchmark: Frame, benchIdCol: String, benchEmbCol: String,
-      threshold: Double): Frame =
+      threshold: Double, maxBenchRows: Int = 100000): Frame =
     next(graft.dedup.Decontaminate.embeddingClean(df, idCol, embCol,
-      benchmark.df, benchIdCol, benchEmbCol, threshold))
+      benchmark.df, benchIdCol, benchEmbCol, threshold, maxBenchRows))
   def cleanText(textCol: String, outCol: Option[String] = None): Frame =
     next(df.withColumn(outCol.getOrElse(textCol),
       graft.functions.TextFunctions.cleanText(

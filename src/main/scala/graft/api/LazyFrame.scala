@@ -781,11 +781,13 @@ final case class LazyFrame(
   def bitextMine(idKey: String, embeddingKey: String,
       targetFrom: String, k: Int = 4, threshold: Double = 1.0,
       mutualBest: Boolean = false, method: String = "brute",
-      nCells: Int = 256, nProbe: Int = 8): LazyFrame =
+      nCells: Int = 256, nProbe: Int = 8,
+      mode: String = "mine"): LazyFrame =
     append("bitext_mine", "id_key" -> idKey,
       "embedding_key" -> embeddingKey, "target_from" -> targetFrom,
       "k" -> k, "threshold" -> threshold, "mutual_best" -> mutualBest,
-      "method" -> method, "n_cells" -> nCells, "n_probe" -> nProbe)
+      "method" -> method, "n_cells" -> nCells, "n_probe" -> nProbe,
+      "mode" -> mode)
   def hardNegativesBm25(qidKey: String, qtextKey: String,
       positivesFrom: String, corpusFrom: String, textKey: String,
       negatives: Int = 5): LazyFrame =
@@ -1165,13 +1167,14 @@ final case class LazyFrame(
   def decontaminateEmbedding(benchmark: LazyFrame, idKey: String,
       embeddingKey: String, benchmarkIdKey: String,
       benchmarkEmbeddingKey: String = "", threshold: Double = 0.95,
-      mode: String = "clean"): LazyFrame = {
+      mode: String = "clean", maxBenchRows: Int = 100000): LazyFrame = {
     val (m, lRef, rRef) = merged(benchmark)
     val fields = Seq[(String, Any)]("benchmark" -> rRef,
       "method" -> "embedding", "id_key" -> idKey,
       "embedding_key" -> embeddingKey,
       "benchmark_id_key" -> benchmarkIdKey,
-      "threshold" -> threshold, "mode" -> mode) ++
+      "threshold" -> threshold, "mode" -> mode,
+      "max_bench_rows" -> maxBenchRows) ++
       (if (benchmarkEmbeddingKey.nonEmpty)
          Seq("benchmark_embedding_key" -> benchmarkEmbeddingKey)
        else Nil)

@@ -501,11 +501,12 @@ object Registry {
         val bid = c.strOr("benchmark_id_key", c("id_key").str)
         val bemb = c.strOr("benchmark_embedding_key", emb)
         val thr = c.dblOr("threshold", 0.95)
+        val maxBench = c.intOr("max_bench_rows", 100000)
         mode match {
           case "clean" => graft.dedup.Decontaminate.embeddingClean(df,
-            c("id_key").str, emb, bench, bid, bemb, thr)
+            c("id_key").str, emb, bench, bid, bemb, thr, maxBench)
           case "hits" => graft.dedup.Decontaminate.embeddingHits(df,
-            c("id_key").str, emb, bench, bid, bemb, thr)
+            c("id_key").str, emb, bench, bid, bemb, thr, maxBench)
           case m => throw new IllegalArgumentException(
             s"unknown decontaminate mode $m (clean | hits)")
         }
@@ -918,6 +919,8 @@ object Registry {
   // correctness baseline) or `method: ivf` with n_cells/n_probe —
   // the 100 TB arm: per-side coarse quantizers feed the identical
   // margin arithmetic (bit-identical at n_probe = n_cells).
+  // `mode: audit` swaps the mining output for the one-row
+  // dropped-candidate report (the approximate-probing recall gauge).
   register("bitext_mine") { (df, c, ctx) =>
     val tgtName = c("target_from").str
     val tgt = ctx.datasets.getOrElse(tgtName,
@@ -930,12 +933,23 @@ object Registry {
     val k = c.intOr("k", 4)
     val threshold = c.dblOr("threshold", 1.0)
     val mutualBest = c.boolOr("mutual_best", false)
+    val mode = c.strOr("mode", "mine")
+    require(mode == "mine" || mode == "audit",
+      s"bitext_mine mode must be mine|audit, got '$mode'")
     c.strOr("method", "brute") match {
-      case "brute" => BitextMine.margin(df, id, emb, tgt, tgtId, tgtEmb,
-        k, threshold, mutualBest)
-      case "ivf" => BitextMine.marginIvf(df, id, emb, tgt, tgtId, tgtEmb,
-        k, threshold, mutualBest, c.intOr("n_cells", 256),
-        c.intOr("n_probe", 8), c.intOr("seed", 42).toLong)
+      case "brute" =>
+        if (mode == "audit")
+          BitextMine.marginAudit(df, id, emb, tgt, tgtId, tgtEmb, k)
+        else BitextMine.margin(df, id, emb, tgt, tgtId, tgtEmb,
+          k, threshold, mutualBest)
+      case "ivf" =>
+        val (cells, probe, seed) = (c.intOr("n_cells", 256),
+          c.intOr("n_probe", 8), c.intOr("seed", 42).toLong)
+        if (mode == "audit")
+          BitextMine.marginIvfAudit(df, id, emb, tgt, tgtId, tgtEmb,
+            k, cells, probe, seed)
+        else BitextMine.marginIvf(df, id, emb, tgt, tgtId, tgtEmb,
+          k, threshold, mutualBest, cells, probe, seed)
       case other => throw new IllegalArgumentException(
         s"bitext_mine method must be brute|ivf, got '$other'")
     }

@@ -740,10 +740,14 @@ object Decontaminate {
     * rows against a 100 TB corpus by construction — `maxBenchRows`
     * guards the contract); the corpus streams through one
     * mapPartitions kernel — no join, no shuffle, no window, per-row
-    * cost |bench|·dim. Determinism: doubles accumulate in fixed dim
+    * cost |bench|·dim multiply-adds. That per-CORPUS-ROW cost is
+    * linear in the cap, so the default (100k) IS the op's cost model:
+    * raising it deliberately scales every corpus row's work with it.
+    * Determinism: doubles accumulate in fixed dim
     * order, scores round to 6 before comparison, ties break on the
     * smaller bench id (the bench array is id-sorted). Null or
-    * zero-norm embeddings on either side never match. */
+    * zero-norm embeddings on either side never match; an embedding
+    * with a null ELEMENT (corrupt row) fails loud with its id. */
   def embeddingHits(
       corpus: DataFrame,
       idCol: String,
@@ -752,9 +756,10 @@ object Decontaminate {
       benchIdCol: String,
       benchEmbCol: String,
       threshold: Double,
-      maxBenchRows: Int = 1000000): DataFrame = {
+      maxBenchRows: Int = 100000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(maxBenchRows >= 1, s"maxBenchRows must be >= 1, got $maxBenchRows")
     val benchRows = benchmark
       .select(col(benchIdCol),
         transform(col(benchEmbCol), x => x.cast("double")).as("_e"))
@@ -762,14 +767,27 @@ object Decontaminate {
     require(benchRows.nonEmpty, "embeddingHits: empty benchmark")
     require(benchRows.length <= maxBenchRows,
       s"embeddingHits: benchmark has ${benchRows.length} rows, over the " +
-        s"$maxBenchRows broadcast bound — decontamination benchmarks " +
-        "are small by construction; raise maxBenchRows deliberately")
+        s"$maxBenchRows broadcast bound — the kernel pays |bench|·dim " +
+        "multiply-adds PER CORPUS ROW, so the cap is the op's cost " +
+        "model, not just a broadcast-size guard; decontamination " +
+        "benchmarks are thousands of rows by construction — raise " +
+        "maxBenchRows deliberately if yours truly is not")
     val bench = benchRows
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map { r =>
-        val a = r.getSeq[Double](1).toArray
+        val s = r.getSeq[Any](1)
+        // a null ELEMENT inside an embedding is a corrupt row, not an
+        // absent embedding — fail loud with the id (the gate
+        // convention), never an opaque unboxing NPE in an executor
+        if (s.contains(null)) throw new IllegalArgumentException(
+          s"embeddingHits: benchmark row ${r.get(0)} has a null " +
+            "embedding element — corrupt embedding column")
+        val a = new Array[Double](s.length)
         var i = 0; var nn = 0.0
-        while (i < a.length) { nn += a(i) * a(i); i += 1 }
+        while (i < a.length) {
+          a(i) = s(i).asInstanceOf[Double]
+          nn += a(i) * a(i); i += 1
+        }
         (r.get(0), a, math.sqrt(nn))
       }
       .filter(_._3 > 0.0)
@@ -799,7 +817,17 @@ object Decontaminate {
       it.flatMap { row =>
         if (row.isNullAt(1)) Iterator.empty
         else {
-          val e = row.getSeq[Double](1).toArray
+          val sq = row.getSeq[Any](1)
+          // a null ELEMENT is a corrupt row (whole-null embeddings skip
+          // like zero-norm ones; element nulls fail loud with the id)
+          if (sq.contains(null)) throw new IllegalArgumentException(
+            s"embeddingHits: corpus row ${row.get(0)} has a null " +
+              "embedding element — corrupt embedding column")
+          val e = new Array[Double](sq.length)
+          var i0 = 0
+          while (i0 < e.length) {
+            e(i0) = sq(i0).asInstanceOf[Double]; i0 += 1
+          }
           // a corpus/benchmark dimension mismatch means a wrong encoder
           // or a stale column — fail LOUD, never silently match nothing
           if (e.length != bd) throw new IllegalArgumentException(
@@ -854,7 +882,7 @@ object Decontaminate {
       benchIdCol: String,
       benchEmbCol: String,
       threshold: Double,
-      maxBenchRows: Int = 1000000): DataFrame =
+      maxBenchRows: Int = 100000): DataFrame =
     corpus.join(
       embeddingHits(corpus, idCol, embCol, benchmark, benchIdCol,
         benchEmbCol, threshold, maxBenchRows).select(col(idCol)),

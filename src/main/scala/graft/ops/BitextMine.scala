@@ -30,12 +30,10 @@ import org.apache.spark.sql.functions._
   * the union of both k-NN lists (≤ 2k per row, never |src|×|tgt|). */
 object BitextMine {
 
-  /** Mine candidates with exact brute-force k-NN on both sides. */
-  def margin(src: DataFrame, srcId: String, srcEmb: String,
+  /** Both directions' brute-force k-NN, shaped (src_id, tgt_id, score). */
+  private def bruteKnn(src: DataFrame, srcId: String, srcEmb: String,
       tgt: DataFrame, tgtId: String, tgtEmb: String,
-      k: Int = 4, threshold: Double = 1.0,
-      mutualBest: Boolean = false): DataFrame = {
-    require(k >= 1 && k <= 128, s"k must be in [1, 128], got $k")
+      k: Int): (DataFrame, DataFrame) = {
     val fwd = graft.ann.Ann.bruteForce(tgt, tgtId, tgtEmb,
       src, srcId, srcEmb, k, excludeSelf = false)
       .select(col("query_id").as("src_id"),
@@ -44,7 +42,29 @@ object BitextMine {
       tgt, tgtId, tgtEmb, k, excludeSelf = false)
       .select(col("neighbor_id").as("src_id"),
         col("query_id").as("tgt_id"), col("score"))
+    (fwd, bwd)
+  }
+
+  /** Mine candidates with exact brute-force k-NN on both sides. */
+  def margin(src: DataFrame, srcId: String, srcEmb: String,
+      tgt: DataFrame, tgtId: String, tgtEmb: String,
+      k: Int = 4, threshold: Double = 1.0,
+      mutualBest: Boolean = false): DataFrame = {
+    require(k >= 1 && k <= 128, s"k must be in [1, 128], got $k")
+    val (fwd, bwd) = bruteKnn(src, srcId, srcEmb, tgt, tgtId, tgtEmb, k)
     marginFromKnn(fwd, bwd, threshold, mutualBest)
+  }
+
+  /** [[marginFromKnnAudit]] over the brute-force k-NN — always reports
+    * zero drops when both sides are non-empty (every row has k
+    * neighbors), so it doubles as the exactness baseline an IVF audit
+    * compares against. */
+  def marginAudit(src: DataFrame, srcId: String, srcEmb: String,
+      tgt: DataFrame, tgtId: String, tgtEmb: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 128, s"k must be in [1, 128], got $k")
+    val (fwd, bwd) = bruteKnn(src, srcId, srcEmb, tgt, tgtId, tgtEmb, k)
+    marginFromKnnAudit(fwd, bwd)
   }
 
   /** The IVF-fed scale arm: both directions' k-NN come from
@@ -81,6 +101,16 @@ object BitextMine {
       return spark.createDataFrame(spark.sparkContext
         .emptyRDD[org.apache.spark.sql.Row], schema)
     }
+    val (fwd, bwd) = ivfKnn(src, srcId, srcEmb, tgt, tgtId, tgtEmb,
+      k, nCells, nProbe, seed)
+    marginFromKnn(fwd, bwd, threshold, mutualBest)
+  }
+
+  /** Both directions' IVF k-NN (per-side coarse quantizers, plain
+    * cell-keyed shuffle joins — neither corpus-sized side broadcasts). */
+  private def ivfKnn(src: DataFrame, srcId: String, srcEmb: String,
+      tgt: DataFrame, tgtId: String, tgtEmb: String, k: Int,
+      nCells: Int, nProbe: Int, seed: Long): (DataFrame, DataFrame) = {
     val ann = graft.ann.Ann
     val tgtCent = ann.trainCentroids(tgt, tgtEmb, nCells, seed = seed)
     val srcCent = ann.trainCentroids(src, srcEmb, nCells, seed = seed)
@@ -94,7 +124,30 @@ object BitextMine {
       excludeSelf = false, broadcastQueries = false)
       .select(col("neighbor_id").as("src_id"),
         col("query_id").as("tgt_id"), col("score"))
-    marginFromKnn(fwd, bwd, threshold, mutualBest)
+    (fwd, bwd)
+  }
+
+  /** [[marginFromKnnAudit]] over the IVF k-NN — the observability arm
+    * for approximate mining runs: at nProbe < nCells on skewed corpora
+    * some rows' probes can return NO neighbors, and every candidate
+    * touching such a row is dropped (its margin is incomputable).
+    * Without this count the recall leak is invisible; with it a mining
+    * job can gate on n_dropped / n_candidates before shipping pairs.
+    * Empty sides report an all-zero row (no centroids to train). */
+  def marginIvfAudit(src: DataFrame, srcId: String, srcEmb: String,
+      tgt: DataFrame, tgtId: String, tgtEmb: String,
+      k: Int = 4, nCells: Int = 256, nProbe: Int = 8,
+      seed: Long = 42): DataFrame = {
+    require(k >= 1 && k <= 128, s"k must be in [1, 128], got $k")
+    require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
+    if (src.isEmpty || tgt.isEmpty)
+      return src.sparkSession.range(1).select(
+        lit(0L).as("n_candidates"), lit(0L).as("n_scored"),
+        lit(0L).as("n_dropped"), lit(0L).as("n_missing_src_avg"),
+        lit(0L).as("n_missing_tgt_avg"))
+    val (fwd, bwd) = ivfKnn(src, srcId, srcEmb, tgt, tgtId, tgtEmb,
+      k, nCells, nProbe, seed)
+    marginFromKnnAudit(fwd, bwd)
   }
 
   /** The margin arithmetic over precomputed k-NN lists — the seam an
@@ -108,19 +161,13 @@ object BitextMine {
     * neighbor) is dropped rather than surfaced — the margin is
     * incomputable without both neighborhood means. The brute-force
     * path can never hit this (every row has k neighbors whenever the
-    * other corpus is non-empty). */
+    * other corpus is non-empty). [[marginFromKnnAudit]] makes the drop
+    * OBSERVABLE: one report row counting candidates the inner joins
+    * lose — gate approximate mining runs on it. */
   def marginFromKnn(fwd: DataFrame, bwd: DataFrame,
       threshold: Double = 1.0, mutualBest: Boolean = false): DataFrame = {
-    val micro = (c: Column) => round(c * 1e6).cast("bigint")
-    val srcAvg = fwd.groupBy("src_id")
-      .agg(sum(micro(col("score"))).as("_sm"),
-        count(lit(1)).as("_sn"))
-    val tgtAvg = bwd.groupBy("tgt_id")
-      .agg(sum(micro(col("score"))).as("_tm"),
-        count(lit(1)).as("_tn"))
-    val cands = fwd.unionByName(bwd)
-      .dropDuplicates("src_id", "tgt_id")
-    val scored = cands
+    val (srcAvg, tgtAvg) = knnAverages(fwd, bwd)
+    val scored = candidates(fwd, bwd)
       .join(srcAvg, "src_id")
       .join(tgtAvg, "tgt_id")
       .withColumn("margin", round(col("score") /
@@ -144,5 +191,56 @@ object BitextMine {
         .filter(col("_rs") === 1 && col("_rt") === 1)
         .drop("_rs", "_rt")
     }
+  }
+
+  /** The two k-NN mean tables [[marginFromKnn]] scores against —
+    * integer micro-unit sums (round-6 score × 10⁶ is exact). */
+  private def knnAverages(fwd: DataFrame,
+      bwd: DataFrame): (DataFrame, DataFrame) = {
+    val micro = (c: Column) => round(c * 1e6).cast("bigint")
+    val srcAvg = fwd.groupBy("src_id")
+      .agg(sum(micro(col("score"))).as("_sm"),
+        count(lit(1)).as("_sn"))
+    val tgtAvg = bwd.groupBy("tgt_id")
+      .agg(sum(micro(col("score"))).as("_tm"),
+        count(lit(1)).as("_tn"))
+    (srcAvg, tgtAvg)
+  }
+
+  /** Distinct candidate pairs — the union of both k-NN lists. */
+  private def candidates(fwd: DataFrame, bwd: DataFrame): DataFrame =
+    fwd.unionByName(bwd).dropDuplicates("src_id", "tgt_id")
+
+  /** One-row observability report for the inner-join drop
+    * [[marginFromKnn]]'s scaladoc documents: a candidate whose
+    * counterpart row has an EMPTY k-NN list under an approximate
+    * provider is dropped (its margin is incomputable without both
+    * neighborhood means). Left-joins the SAME candidates against the
+    * SAME two average tables the mining arm uses and counts what the
+    * inner joins would lose — the [[graft.dedup.DedupReport]]
+    * precedent: the audit shares the op's own plan, so the counts
+    * cannot drift from the mining result. Columns: n_candidates,
+    * n_scored, n_dropped (= candidates minus scored),
+    * n_missing_src_avg / n_missing_tgt_avg (a candidate missing both
+    * counts in each, once in n_dropped). Brute-force k-NN can never
+    * drop (every row has k neighbors when the other corpus is
+    * non-empty); at nProbe ≪ nCells this is the recall-leak gauge. */
+  def marginFromKnnAudit(fwd: DataFrame, bwd: DataFrame): DataFrame = {
+    val (srcAvg, tgtAvg) = knnAverages(fwd, bwd)
+    candidates(fwd, bwd)
+      .join(srcAvg.select(col("src_id"), lit(1).as("_hs")),
+        Seq("src_id"), "left")
+      .join(tgtAvg.select(col("tgt_id"), lit(1).as("_ht")),
+        Seq("tgt_id"), "left")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("_hs").isNotNull && col("_ht").isNotNull,
+          1L).otherwise(0L)), lit(0L)).as("n_scored"),
+        coalesce(sum(when(col("_hs").isNull || col("_ht").isNull,
+          1L).otherwise(0L)), lit(0L)).as("n_dropped"),
+        coalesce(sum(when(col("_hs").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_missing_src_avg"),
+        coalesce(sum(when(col("_ht").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_missing_tgt_avg"))
   }
 }

@@ -358,24 +358,32 @@ object Profile {
     * rounded PER TERM so the within-class sum is an order-free integer
     * sum (a raw double Σ would be partition-order dependent, the q149
     * float-sum lesson); the ln(l)·1e6 bar rounds the same way. Scale
-    * shape matches [[lDiversity]]: one (qi, sensitive)-keyed count,
-    * one qi-keyed agg, one report row. */
+    * shape matches [[lDiversity]] plus one struct-keyed totals join
+    * over the cells table: one (qi, sensitive)-keyed count, one
+    * class-keyed totals agg joined back null-safely, one report row —
+    * no Window over the qi key (hot under high-cardinality sensitive
+    * columns). */
   def lDiversityEntropy(df: DataFrame, qiCols: Seq[String],
       sensitiveCol: String, l: Int): DataFrame = {
     require(l >= 2 && l <= 1000000, s"l must be in [2, 1000000], got $l")
     val barMicro = math.round(math.log(l.toDouble) * 1e6)
     val cells = lDiversityCells(df, qiCols, sensitiveCol)
-    // per-class totals via a window over the CELLS table (bounded by
-    // distinct (class, value) pairs, never corpus rows) — a plain
-    // equi-join back would drop NULL quasi-identifier classes, which
-    // are real combinations here (the kAnonymity convention)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(qiCols.map(col): _*)
-    val classes = cells
-      .withColumn("_n", sum(col("_c")).over(w))
+      .withColumn("_qi", struct(qiCols.map(col): _*))
+    // per-class totals via a keyed agg joined back on STRUCT equality:
+    // struct comparison treats null fields as equal, so NULL
+    // quasi-identifier classes (real combinations here — the
+    // kAnonymity convention) survive where a plain multi-column
+    // equi-join would drop them. A Window.partitionBy(qiCols) would
+    // also work arithmetically, but a high-cardinality sensitive
+    // column (free text) makes one class's cells one hot single-task
+    // window partition — the SCALE.md no-hot-key-window rule; the
+    // keyed join instead skew-splits under AQE.
+    val totals = cells.groupBy(col("_qi").as("_qik"))
+      .agg(sum(col("_c")).as("_n"))
+    val classes = cells.join(totals, col("_qi") === col("_qik"))
       .withColumn("_t", round(col("_c").cast("double") / col("_n") *
         log(col("_n").cast("double") / col("_c")) * 1e6).cast("bigint"))
-      .groupBy(qiCols.map(col): _*)
+      .groupBy(col("_qi"))
       .agg(sum(col("_t")).as("_e"), first(col("_n")).as("_n"))
     classes.agg(
         coalesce(sum(col("_n")), lit(0L)).as("n_rows"),

@@ -11,13 +11,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: grams build as per-row array expressions fused into the
   * scan; clipped-overlap counting then runs as TWO keyed aggregations
-  * and ONE (id, gram)-keyed join — count candidate grams per (id, gram),
-  * count reference grams per (id, gram), join, sum least(c, r) per id.
-  * All shuffles key on (id, gram), so a book-length document costs its
-  * gram count, never gram² — the row-local alternative (fold over
+  * and ONE (id, order, gram)-keyed join — count candidate grams per
+  * key, count reference grams per key, join, sum least(c, r). All
+  * shuffles key on (id, order, gram), so a book-length document costs
+  * its gram count, never gram² — the row-local alternative (fold over
   * distinct grams × filter per gram) is quadratic per row and banned by
-  * the HOF invariant. Totals ride the same aggregations; every metric is
-  * a ratio of exact BIGINT counts.
+  * the HOF invariant. Totals ride the same aggregations (word metrics)
+  * or are closed form from lengths (char/BLEU); every metric is a
+  * ratio of exact BIGINT counts.
+  *
+  * The whole family ([[ngramF1]], [[bleu]], [[chrF]]) shares ONE
+  * gram-structs builder and ONE clipped-overlap pipeline —
+  * [[orderedGramStructs]] / [[clippedOverlap]] — so a fourth metric
+  * composes them instead of cloning the machinery.
   */
 object TextSim {
 
@@ -25,14 +31,52 @@ object TextSim {
   private def tokens(c: Column): Column =
     graft.functions.TextFunctions.alnumTokens(c)
 
-  /** Word n-grams as space-joined strings; empty array when the text has
-    * fewer than n tokens (guarding Spark's descending sequence(1, 0)). */
-  private[graft] def grams(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+  /** (order, gram) structs for every order in `orders` over a STAGED
+    * container column — `sizeOf`/`gramAt` abstract words (token
+    * arrays) vs characters (whitespace-stripped strings). One flatten
+    * builds all orders per row; callers must pass a plain column
+    * reference (not an expression) as `src`, so the HOF lambdas
+    * re-evaluate a column read per element, never the upstream
+    * cleaning chain (the staging rule — it cost q282 6.6 s once).
+    * Orders with too few units contribute an empty array (guarding
+    * Spark's descending sequence(1, 0)). */
+  private def orderedGramStructs(src: Column, orders: Range,
+      sizeOf: Column => Column,
+      gramAt: (Column, Column, Int) => Column): Column =
+    flatten(array(orders.map { n =>
+      when(sizeOf(src) >= n,
+        transform(sequence(lit(1), sizeOf(src) - (n - 1)),
+          i => struct(lit(n).as("_n"), gramAt(src, i, n).as("_g"))))
+        .otherwise(array().cast("array<struct<_n:int,_g:string>>"))
+    }: _*))
+
+  /** Word n-grams (space-joined token windows) for `orders`. */
+  private def wordGramStructs(toksCol: Column, orders: Range): Column =
+    orderedGramStructs(toksCol, orders, size,
+      (t, i, n) => array_join(slice(t, i, lit(n)), " "))
+
+  /** Character n-grams (substrings) for `orders`. */
+  private def charGramStructs(strCol: Column, orders: Range): Column =
+    orderedGramStructs(strCol, orders, length,
+      (s, i, n) => s.substr(i, lit(n)))
+
+  /** Clipped multiset overlap per (id, order): explode both sides'
+    * (order, gram) structs, count multiplicities keyed by
+    * (ids, _n, _g), join, and sum least(c, r) per (ids, _n) — the one
+    * shuffle the whole metric family pays. Rows/orders with no shared
+    * gram are simply absent (callers left-join and coalesce to 0). */
+  private def clippedOverlap(base: DataFrame, idCols: Seq[String],
+      candGrams: Column, refGrams: Column): DataFrame = {
+    val ids = idCols.map(col)
+    def counted(src: Column, out: String) = base
+      .select(ids :+ explode(src).as("_x"): _*)
+      .select(ids :+ col("_x._n").as("_n") :+ col("_x._g").as("_g"): _*)
+      .groupBy(ids :+ col("_n") :+ col("_g"): _*)
+      .agg(count(lit(1)).as(out))
+    counted(candGrams, "_cc")
+      .join(counted(refGrams, "_rc"), idCols :+ "_n" :+ "_g")
+      .groupBy(ids :+ col("_n"): _*)
+      .agg(sum(least(col("_cc"), col("_rc"))).as("_ov"))
   }
 
   /** Per-row ROUGE-N: (idCols..., cand_grams, ref_grams, overlap,
@@ -45,19 +89,17 @@ object TextSim {
       refCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val ids = idCols.map(col)
-    val base = df.select(ids :+ grams(col(candCol), n).as("_cg") :+
-      grams(col(refCol), n).as("_rg"): _*)
+    val staged = df.select(ids :+ tokens(col(candCol)).as("_ctf") :+
+      tokens(col(refCol)).as("_rtf"): _*)
+    val base = staged.select(ids :+
+      wordGramStructs(col("_ctf"), n to n).as("_cg") :+
+      wordGramStructs(col("_rtf"), n to n).as("_rg"): _*)
     val totals = base.select(ids :+ size(col("_cg")).cast("bigint")
       .as("cand_grams") :+ size(col("_rg")).cast("bigint")
       .as("ref_grams"): _*)
-    def counted(gramsCol: String, out: String) = base
-      .select(ids :+ explode(col(gramsCol)).as("_g"): _*)
-      .groupBy(ids :+ col("_g"): _*)
-      .agg(count(lit(1)).as(out))
-    val overlap = counted("_cg", "_cc")
-      .join(counted("_rg", "_rc"), idCols :+ "_g")
-      .groupBy(ids: _*)
-      .agg(sum(least(col("_cc"), col("_rc"))).as("overlap"))
+    val overlap = clippedOverlap(base, idCols, col("_cg"), col("_rg"))
+      .drop("_n")
+      .withColumnRenamed("_ov", "overlap")
     val joined = totals.join(overlap, idCols, "left")
       .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
     val p = when(col("cand_grams") > 0,
@@ -108,8 +150,9 @@ object TextSim {
     * penalty is one exp over a ratio of exact token counts.
     *
     * Scale shape: identical to [[chrF]] — one per-row flatten builds
-    * all orders' grams, clipped overlap is the (id, n, gram)-keyed
-    * join, per-order totals are closed form from token counts. Output:
+    * all orders' grams ([[orderedGramStructs]]), clipped overlap is
+    * the shared (id, n, gram)-keyed join ([[clippedOverlap]]),
+    * per-order totals are closed form from token counts. Output:
     * (idCols..., cand_tokens, ref_tokens, bleu). */
   def bleu(df: DataFrame, idCols: Seq[String], candCol: String,
       refCol: String, maxN: Int = 4): DataFrame = {
@@ -118,23 +161,9 @@ object TextSim {
     val ids = idCols.map(col)
     val base = df.select(ids :+ tokens(col(candCol)).as("_ct") :+
       tokens(col(refCol)).as("_rt"): _*)
-    def gramStructs(toksCol: Column): Column =
-      flatten(array((1 to maxN).map { n =>
-        when(size(toksCol) >= n,
-          transform(sequence(lit(1), size(toksCol) - (n - 1)),
-            i => struct(lit(n).as("_n"),
-              array_join(slice(toksCol, i, lit(n)), " ").as("_g"))))
-          .otherwise(array().cast("array<struct<_n:int,_g:string>>"))
-      }: _*))
-    def counted(src: Column, out: String) = base
-      .select(ids :+ explode(gramStructs(src)).as("_x"): _*)
-      .select(ids :+ col("_x._n").as("_n") :+ col("_x._g").as("_g"): _*)
-      .groupBy(ids :+ col("_n") :+ col("_g"): _*)
-      .agg(count(lit(1)).as(out))
-    val overlap = counted(col("_ct"), "_cc")
-      .join(counted(col("_rt"), "_rc"), idCols :+ "_n" :+ "_g")
-      .groupBy(ids :+ col("_n"): _*)
-      .agg(sum(least(col("_cc"), col("_rc"))).as("_ov"))
+    val overlap = clippedOverlap(base, idCols,
+      wordGramStructs(col("_ct"), 1 to maxN),
+      wordGramStructs(col("_rt"), 1 to maxN))
     val skeleton = base
       .select(ids :+ size(col("_ct")).cast("bigint").as("_lc") :+
         size(col("_rt")).cast("bigint").as("_lr"): _*)
@@ -179,11 +208,12 @@ object TextSim {
     * orders group would be partition-order dependent — the q149 rule).
     *
     * Scale shape: grams for ALL orders build in one per-row flatten
-    * (the char array stages through a column so HOF lambdas never
-    * re-evaluate the cleaning chain per element); clipped overlap is
-    * the [[ngramF1]] machinery keyed by (id, n, gram); per-order
-    * totals are CLOSED FORM from the cleaned lengths (len − n + 1),
-    * so only the overlap join shuffles. Output: (idCols..., chrf). */
+    * ([[orderedGramStructs]] over the STAGED cleaned-string column, so
+    * HOF lambdas never re-evaluate the cleaning chain per element);
+    * clipped overlap is the shared [[clippedOverlap]] machinery keyed
+    * by (id, n, gram); per-order totals are CLOSED FORM from the
+    * cleaned lengths (len − n + 1), so only the overlap join shuffles.
+    * Output: (idCols..., chrf). */
   def chrF(df: DataFrame, idCols: Seq[String], candCol: String,
       refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
     require(idCols.nonEmpty, "chrF needs at least one id column")
@@ -194,22 +224,9 @@ object TextSim {
       coalesce(regexp_replace(c, "\\s+", ""), lit(""))
     val base = df.select(ids :+ cleaned(col(candCol)).as("_cs") :+
       cleaned(col(refCol)).as("_rs"): _*)
-    def gramStructs(strCol: Column): Column =
-      flatten(array((1 to maxN).map { n =>
-        when(length(strCol) >= n,
-          transform(sequence(lit(1), length(strCol) - (n - 1)),
-            i => struct(lit(n).as("_n"), strCol.substr(i, lit(n)).as("_g"))))
-          .otherwise(array().cast("array<struct<_n:int,_g:string>>"))
-      }: _*))
-    def counted(src: Column, out: String) = base
-      .select(ids :+ explode(gramStructs(src)).as("_x"): _*)
-      .select(ids :+ col("_x._n").as("_n") :+ col("_x._g").as("_g"): _*)
-      .groupBy(ids :+ col("_n") :+ col("_g"): _*)
-      .agg(count(lit(1)).as(out))
-    val overlap = counted(col("_cs"), "_cc")
-      .join(counted(col("_rs"), "_rc"), idCols :+ "_n" :+ "_g")
-      .groupBy(ids :+ col("_n"): _*)
-      .agg(sum(least(col("_cc"), col("_rc"))).as("_ov"))
+    val overlap = clippedOverlap(base, idCols,
+      charGramStructs(col("_cs"), 1 to maxN),
+      charGramStructs(col("_rs"), 1 to maxN))
     // per-(row, order) skeleton with closed-form totals; left join
     // pulls in the (possibly absent) overlap
     val skeleton = base
@@ -244,23 +261,32 @@ object TextSim {
     * word tokens — order-sensitive where ROUGE-N's bag-of-grams is not
     * (a reversed summary keeps its bigrams but loses its LCS), the
     * second standard summary-quality gate. Output: (idCols...,
-    * cand_tokens, ref_tokens, lcs, precision, recall, f1); either side
-    * empty reports 0.0 metrics (the [[ngramF1]] sentinel convention).
+    * cand_tokens, ref_tokens, lcs, precision, recall, f1, truncated);
+    * either side empty reports 0.0 metrics (the [[ngramF1]] sentinel
+    * convention).
     *
     * Scale shape: one mapPartitions kernel (the encode-kernel shape: no
     * join, no shuffle); the DP is O(m·n) per row, so both sides clamp
-    * to their FIRST `maxTokens` tokens (documented truncation — at the
-    * default 2000 the worst row costs 4M cell updates; a book-length
-    * reference should be chunked first, not LCS'd whole). */
+    * to their FIRST `maxTokens` tokens — at the default 2000 the worst
+    * row costs 4M cell updates; a book-length reference should be
+    * chunked first, not LCS'd whole. Truncation is OBSERVABLE, not just
+    * documented: `truncated` is true when either side exceeded
+    * `maxTokens` pre-clamp (cand_tokens/ref_tokens report post-clamp
+    * lengths, so without the flag a truncated row is indistinguishable
+    * from a genuinely short one). */
   def rougeL(df: DataFrame, idCols: Seq[String], candCol: String,
       refCol: String, maxTokens: Int = 2000): DataFrame = {
     require(idCols.nonEmpty, "rougeL needs at least one id column")
     require(maxTokens >= 1 && maxTokens <= 20000,
       s"maxTokens must be in [1, 20000], got $maxTokens")
     val ids = idCols.map(col)
-    val proj = df.select(ids :+
-      slice(tokens(col(candCol)), 1, maxTokens).as("_ct") :+
-      slice(tokens(col(refCol)), 1, maxTokens).as("_rt"): _*)
+    val staged = df.select(ids :+ tokens(col(candCol)).as("_ctf") :+
+      tokens(col(refCol)).as("_rtf"): _*)
+    val proj = staged.select(ids :+
+      slice(col("_ctf"), 1, maxTokens).as("_ct") :+
+      slice(col("_rtf"), 1, maxTokens).as("_rt") :+
+      (size(col("_ctf")) > maxTokens || size(col("_rtf")) > maxTokens)
+        .as("_trunc"): _*)
     val nIds = idCols.length
     val outSchema = org.apache.spark.sql.types.StructType(
       proj.schema.fields.take(nIds) ++ Seq(
@@ -275,7 +301,9 @@ object TextSim {
         org.apache.spark.sql.types.StructField("recall",
           org.apache.spark.sql.types.DoubleType, nullable = false),
         org.apache.spark.sql.types.StructField("f1",
-          org.apache.spark.sql.types.DoubleType, nullable = false)))
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("truncated",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
     proj.mapPartitions { it =>
       it.map { row =>
         def toks(idx: Int): Array[String] =
@@ -283,6 +311,7 @@ object TextSim {
           else row.getSeq[String](idx).toArray
         val c = toks(nIds)
         val r = toks(nIds + 1)
+        val trunc = !row.isNullAt(nIds + 2) && row.getBoolean(nIds + 2)
         val l = lcsLen(c, r)
         val p = if (c.length > 0) l.toDouble / c.length else 0.0
         val rc = if (r.length > 0) l.toDouble / r.length else 0.0
@@ -292,7 +321,7 @@ object TextSim {
         org.apache.spark.sql.Row.fromSeq(row.toSeq.take(nIds) ++ Seq[Any](
           c.length.toLong, r.length.toLong, l.toLong,
           graft.core.Num.rnd6(p), graft.core.Num.rnd6(rc),
-          graft.core.Num.rnd6(f)))
+          graft.core.Num.rnd6(f), trunc))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
