@@ -61,7 +61,14 @@ object ExplainAudit {
         // round-16 shapes: the postings equi-join + WindowGroupLimit
         // hard-negative miner and the cell-equi-join IVF bitext arm
         // (no |src|x|tgt| exchange)
-        "q269_hard_negatives", "q271_bitext_ivf")
+        "q269_hard_negatives", "q271_bitext_ivf",
+        // round-17 shapes: the no-shuffle decontamination kernel, the
+        // two-join gram-metric family, the probed IVF negative miner,
+        // the fold-only tool-pair ops, the struct-keyed entropy
+        // totals (no qi window), and the candidate-drop audit
+        "q279_embedding_decontaminate", "q283_chrf", "q284_bleu",
+        "q272_hard_negatives_ivf", "q276_dpo_tools",
+        "q280_l_diversity_entropy", "q285_bitext_audit")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

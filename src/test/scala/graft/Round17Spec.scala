@@ -214,4 +214,98 @@ class Round17Spec extends SparkSpec {
       .collect().head
     assert(ch.getDouble(1) == 1.0)
   }
+
+  // ------------------- plan pins for the round-16 shapes (item 4)
+
+  private def tmpParquet(d: DataFrame, name: String): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_$name")
+      .resolve("t.parquet").toString
+    d.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
+  private def joinNodes(plan: String): Int =
+    ("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|" +
+      "CartesianProduct|BroadcastNestedLoopJoin)").r
+      .findAllIn(plan).size
+
+  test("q279 shape: decontamination kernel has no join/shuffle/window") {
+    val corpus = tmpParquet(df(embSchema,
+      Row(1L, Seq(1.0, 0.0)), Row(2L, Seq(0.0, 1.0))), "deconplan")
+    val bench = df(embSchema, Row(10L, Seq(1.0, 0.0)))
+    val plan = graft.dedup.Decontaminate.embeddingHits(
+      corpus, "id", "e", bench, "id", "e", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), plan.take(1200))
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    assert(joinNodes(plan) == 0, plan.take(1200))
+    assert(!plan.contains("windowspecdefinition"), plan.take(1200))
+  }
+
+  test("q283/q284 shape: one overlap join + one skeleton join, no more") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("cand", StringType), StructField("ref", StringType)))
+    val d = tmpParquet(df(schema,
+      Row(1L, "the cat sat", "the cat sat on the mat")), "gramplan")
+    for ((name, out) <- Seq(
+        ("chrf", graft.ops.TextSim.chrF(d, Seq("id"), "cand", "ref")),
+        ("bleu", graft.ops.TextSim.bleu(d, Seq("id"), "cand", "ref")))) {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(900)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: ${plan.take(900)}")
+      // the clipped-overlap inner join + the skeleton left join are
+      // the ONLY joins the metric family pays
+      assert(joinNodes(plan) <= 2, s"$name: ${joinNodes(plan)} joins")
+      assert(!plan.contains("windowspecdefinition"), s"$name")
+    }
+  }
+
+  test("q272 shape: IVF hard negatives probe is a cell equi-join") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(FloatType)),
+      StructField("label", StringType)))
+    val rng = new scala.util.Random(172)
+    val all = tmpParquet(df(schema, (0 until 24).map { i =>
+      val ctr = Array.fill(4)(if (i % 4 < 2) 1.0 else -1.0)
+      Row(i.toLong, ctr.map(c =>
+        (c + rng.nextGaussian() * 0.1).toFloat).toSeq,
+        if (i % 3 == 0) "a" else "b")
+    }: _*), "hnivfplan")
+    val plan = graft.ann.Ann.hardNegativesIvf(all, "id", "e", "label",
+      all.filter(col("id") < 6), "id", "e", "label",
+      k = 2, nCells = 2, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("q276 shape: tool-pair validate/render is fold-only") {
+    val partT = StructType(Seq(StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("arguments", StringType)))
+    val msgT = StructType(Seq(StructField("role", StringType),
+      StructField("content", StringType),
+      StructField("tool_calls", ArrayType(partT)),
+      StructField("tool_call_id", StringType)))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("chosen", ArrayType(msgT)),
+      StructField("rejected", ArrayType(msgT))))
+    def m(role: String, content: String) = Row(role, content, null, null)
+    val d = tmpParquet(df(schema, Row(1L,
+      Seq(m("user", "hi"), m("assistant", "a")),
+      Seq(m("user", "hi"), m("assistant", "b")))), "toolpairplan")
+    val validated = graft.ops.Preference.validatePairsTools(
+      d, "chosen", "rejected")
+    val rendered = graft.ops.Preference.renderPairTools(
+      d, "chosen", "rejected")
+    for ((name, out) <- Seq(("validate", validated),
+        ("render", rendered))) {
+      val plan = out.queryExecution.executedPlan.toString
+      // per-row expression folds: no explode, no shuffle, no join
+      assert(!plan.contains("Generate"), s"$name: ${plan.take(900)}")
+      assert(!plan.contains("Exchange"), s"$name: ${plan.take(900)}")
+      assert(joinNodes(plan) == 0, s"$name")
+    }
+  }
 }
