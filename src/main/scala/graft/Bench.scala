@@ -85,8 +85,19 @@ object Bench {
     if (noisy) System.err.println(
       "[graft] bench: median spread exceeds 50% of median min — this run " +
         "was taken under load; treat per-query numbers as upper bounds")
+    // Measurement-environment provenance: the bench JVM switched to a
+    // fixed heap (-Xms = -Xmx) + UseParallelGC at BENCH_r46 — earlier
+    // artifacts were G1-collected, so cross-era per-query deltas mix a
+    // GC change with code changes. Stamp the environment into every
+    // artifact so a reader never has to reconstruct that from git.
+    val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    val jvm = new StringBuilder().append(
+      scala.jdk.CollectionConverters.ListHasAsScala(gc).asScala
+        .map(_.getName).mkString("+")).append(
+      s"; heap=${Runtime.getRuntime.maxMemory() >> 20}m").toString
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""iterations":$iters,"spread":$spreads,"noisy_run":$noisy,"sf":"$sfDir"}"""
+      s""""iterations":$iters,"spread":$spreads,"noisy_run":$noisy,""" +
+      s""""jvm":"$jvm","sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout, and a 67-query 3-iteration
     // JSON line is long enough to lose its head to that window (it did in
     // round 7 — the judge had to re-run the bench). Persist the full line to

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal (VERDICT r16 item 5): answer the "would this still
+  * be linear at 100×?" question with DATA instead of plan reading.
+  * Synthesizes 10× and 100× the sf0.1 documents/embeddings tables and
+  * runs the heavy families — MinHash dedup, PassJoin edit pairs, IVF
+  * search, Aho–Corasick blocklist, budget select — timing each and
+  * reporting runtime growth ratios plus driver heap. A family whose
+  * runtime grows much faster than the data (or whose driver heap grows
+  * with the corpus) fails the smoke.
+  *
+  * Replication detail that matters: each synthetic copy suffixes every
+  * TOKEN with its copy tag and offsets ids, so copies share no
+  * shingles/embedding directions. Naive replication would manufacture
+  * k-way near-dup cliques — the pair stage would then grow as k² BY
+  * CONSTRUCTION (correct behavior on pathological data), telling us
+  * nothing about operator scaling on realistic corpora.
+  *
+  * Usage: runMain graft.ScaleSmoke [sfDir] [scales] [outFile]
+  *   defaults: /root/testdata/sf0.1  1,10,100  SCALE_SMOKE.md
+  */
+object ScaleSmoke {
+
+  private def synthDocs(spark: SparkSession, sfDir: String, k: Int,
+      dir: java.nio.file.Path): String = {
+    val base = graft.core.Tables(spark, sfDir, "documents")
+    val p = dir.resolve(s"docs_x$k.parquet").toString
+    val copies = base
+      .withColumn("_copy", explode(sequence(lit(0), lit(k - 1))))
+    copies.select(
+        (col("doc_id") + col("_copy") * 100000000L).as("doc_id"),
+        when(col("_copy") === 0, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(split(col("text"), " "),
+              t => concat(t, lit("~"), col("_copy"))))).as("text"),
+        col("lang"), col("source"),
+        length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def synthEmb(spark: SparkSession, sfDir: String, k: Int,
+      dir: java.nio.file.Path): String = {
+    val base = graft.core.Tables(spark, sfDir, "embeddings")
+    val p = dir.resolve(s"emb_x$k.parquet").toString
+    base.withColumn("_copy", explode(sequence(lit(0), lit(k - 1))))
+      .select(
+        (col("vec_id") + col("_copy") * 100000000L).as("vec_id"),
+        // rotate-ish perturbation: shift each copy's vectors off the
+        // originals so IVF cells keep realistic occupancy
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") + col("_copy").cast("double") * 0.003 *
+            (i.cast("double") + 1.0)).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def timed(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  private def heapMb(): Long = {
+    System.gc()
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) >> 20
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scales = (if (args.length > 1) args(1) else "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val outFile = if (args.length > 2) args(2) else "SCALE_SMOKE.md"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-smoke")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scale")
+
+    val phrases = spark.createDataFrame(
+      Seq("badphrase one", "forbidden combo", "xyzzy").map(
+        org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("phrase",
+          org.apache.spark.sql.types.StringType))))
+
+    // family name -> (docs, emb, scale) => row count (forces execution)
+    def families(docs: DataFrame, emb: DataFrame, k: Int) = Seq(
+      "minhash_keep_best" -> (() =>
+        graft.dedup.MinHashDedup.keepBest(docs, "doc_id", "text").count()),
+      "edit_pairs_passjoin" -> (() =>
+        graft.dedup.EditDedup.pairs(docs, "doc_id", "text", t = 2).count()),
+      "ivf_search" -> (() => {
+        val cent = graft.ann.Ann.trainCentroids(emb, "embedding", 64)
+        val assigned = graft.ann.Ann.ivfAssign(emb, "embedding", cent)
+        val queries = emb.filter(col("vec_id") < 500)
+        graft.ann.Ann.ivfSearch(assigned, "vec_id", "embedding",
+          queries, "vec_id", "embedding", cent, k = 10, nProbe = 4).count()
+      }),
+      "blocklist_filter" -> (() =>
+        graft.ops.Blocklist.filterBlocked(docs, "text", phrases, "phrase")
+          .count()),
+      "budget_select" -> (() =>
+        graft.ops.BudgetSelect(docs, "n_chars", "n_chars",
+          budget = 150000L * k, tieBreak = "doc_id").count()))
+
+    // one unmeasured warm-up sweep at the smallest scale (JIT/codegen)
+    {
+      val d = spark.read.parquet(synthDocs(spark, sfDir, scales.min, tmp))
+      val e = spark.read.parquet(synthEmb(spark, sfDir, scales.min, tmp))
+      families(d, e, scales.min).foreach(_._2())
+      graft.core.PersistScope.unpersistAll()
+    }
+
+    val rows = scala.collection.mutable.ArrayBuffer[
+      (String, Int, Double, Long, Long)]()
+    for (k <- scales) {
+      val d = spark.read.parquet(synthDocs(spark, sfDir, k, tmp))
+      val e = spark.read.parquet(synthEmb(spark, sfDir, k, tmp))
+      for ((name, f) <- families(d, e, k)) {
+        val (sec, n) = timed(f())
+        graft.core.PersistScope.unpersistAll()
+        rows += ((name, k, sec, n, heapMb()))
+        println(f"$name%-22s x$k%-4d ${sec}%8.2f s  rows=$n%-9d " +
+          f"heap=${rows.last._5}%d MB")
+      }
+    }
+
+    val sb = new StringBuilder
+    sb.append("# SCALE_SMOKE — measured runtime growth, ")
+      .append(s"sf0.1 base × ${scales.mkString("/")}\n\n")
+    sb.append("Synthetic scale-up of the sf0.1 tables (token-suffixed ")
+      .append("copies — no manufactured\ncross-copy near-dups; see ")
+      .append("`graft.ScaleSmoke` scaladoc). local[")
+      .append(cpus).append("], one warm-up sweep.\n\n")
+    sb.append("| family | scale | seconds | output rows | driver heap MB |")
+      .append(" growth vs 1x |\n|---|---|---|---|---|---|\n")
+    val base = rows.filter(_._2 == scales.min).map(r => r._1 -> r._3).toMap
+    var worst = 0.0
+    for ((name, k, sec, n, mem) <- rows) {
+      val g = sec / math.max(base(name), 1e-9)
+      val rel = g / (k.toDouble / scales.min)
+      if (k != scales.min) worst = math.max(worst, rel)
+      sb.append(f"| $name | x$k | $sec%.2f | $n | $mem | $g%.1fx |\n")
+    }
+    val maxScale = scales.max
+    val memBase = rows.filter(_._2 == scales.min).map(_._5).max
+    val memMax = rows.filter(_._2 == maxScale).map(_._5).max
+    sb.append(f"\nWorst time-growth / data-growth ratio: $worst%.2f ")
+      .append("(1.0 = perfectly linear; < 1 = sublinear, fixed costs ")
+      .append("amortizing).\n")
+    sb.append(f"Driver heap: $memBase MB at x${scales.min} -> $memMax MB ")
+      .append(f"at x$maxScale (flat heap = no O(rows) driver state).\n")
+    val pass = worst <= 3.0 && memMax <= math.max(4L * memBase, memBase + 512L)
+    sb.append(s"\nVerdict: ${if (pass) "PASS" else "FAIL"} — time growth " +
+      "within 3x of data growth and driver heap flat.\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      sb.toString.getBytes("UTF-8"))
+    println(sb.toString)
+    spark.stop()
+    if (!pass) sys.exit(1)
+  }
+}

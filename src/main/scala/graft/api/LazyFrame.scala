@@ -50,6 +50,31 @@ final case class LazyFrame(
     copy(ops = ops :+ m)
   }
 
+  /** Generic registered-op step — the structural guarantee that EVERY
+    * Registry op and knob is expressible from the builder, including
+    * ones no fluent facade surfaces yet (the facades are sugar over
+    * exactly this). `fields` are the op's YAML keys verbatim; unknown
+    * op types fail HERE, at build time, not at run. KnobParitySpec
+    * pins the facade-coverage inventory against this hatch. */
+  def op(tpe: String, fields: (String, Any)*): LazyFrame = {
+    require(Registry.knownTypes.contains(tpe),
+      s"unknown operator type '$tpe' — see Registry.knownTypes")
+    append(tpe, fields: _*)
+  }
+
+  /** Set (or override) one YAML field on the LAST appended op — reach
+    * a knob the fluent facade omits without abandoning the facade:
+    * `lf.bitextMine(...).withOption("seed", 7)`. Structure keys
+    * (`name`/`type`) stay immutable. */
+  def withOption(key: String, value: Any): LazyFrame = {
+    require(ops.nonEmpty, "withOption needs a preceding op in the open step")
+    require(key != "name" && key != "type",
+      s"withOption cannot override structural key '$key'")
+    val m = copyMap(ops.last)
+    m.put(key, value)
+    copy(ops = ops.init :+ m)
+  }
+
   /** Close the open step and start a new one headed by `nextHead`. */
   private def close(nextName: String, nextHead: (String, Any)*): LazyFrame = {
     val stepMap = jmap("name" -> stepName)
@@ -781,13 +806,17 @@ final case class LazyFrame(
   def bitextMine(idKey: String, embeddingKey: String,
       targetFrom: String, k: Int = 4, threshold: Double = 1.0,
       mutualBest: Boolean = false, method: String = "brute",
-      nCells: Int = 256, nProbe: Int = 8,
-      mode: String = "mine"): LazyFrame =
-    append("bitext_mine", "id_key" -> idKey,
+      nCells: Int = 256, nProbe: Int = 8, mode: String = "mine",
+      seed: Int = 42, targetIdKey: Option[String] = None,
+      targetEmbeddingKey: Option[String] = None): LazyFrame =
+    append("bitext_mine", (Seq[(String, Any)]("id_key" -> idKey,
       "embedding_key" -> embeddingKey, "target_from" -> targetFrom,
       "k" -> k, "threshold" -> threshold, "mutual_best" -> mutualBest,
       "method" -> method, "n_cells" -> nCells, "n_probe" -> nProbe,
-      "mode" -> mode)
+      "mode" -> mode, "seed" -> seed) ++
+      targetIdKey.map(v => "target_id_key" -> (v: Any)).toSeq ++
+      targetEmbeddingKey.map(v =>
+        "target_embedding_key" -> (v: Any)).toSeq): _*)
   def hardNegativesBm25(qidKey: String, qtextKey: String,
       positivesFrom: String, corpusFrom: String, textKey: String,
       negatives: Int = 5): LazyFrame =
@@ -828,10 +857,11 @@ final case class LazyFrame(
       "target_size" -> targetSize, "em_iters" -> emIters)
   def unigramEncode(textKey: String, maxPieceLen: Int = 8,
       seedSize: Int = 2000, targetSize: Int = 800,
-      emIters: Int = 2): LazyFrame =
-    append("unigram_encode", "text_key" -> textKey,
+      emIters: Int = 2, vocabFrom: Option[String] = None): LazyFrame =
+    append("unigram_encode", (Seq[(String, Any)]("text_key" -> textKey,
       "max_piece_len" -> maxPieceLen, "seed_size" -> seedSize,
-      "target_size" -> targetSize, "em_iters" -> emIters)
+      "target_size" -> targetSize, "em_iters" -> emIters) ++
+      vocabFrom.map(v => "vocab_from" -> (v: Any)).toSeq): _*)
   /** WordPiece (Schuster & Nakajima 2012) train/encode. */
   def wordpieceTrain(textKey: String, numMerges: Int = 64,
       mergesPerRound: Int = 1): LazyFrame =

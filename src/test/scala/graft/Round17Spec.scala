@@ -215,6 +215,38 @@ class Round17Spec extends SparkSpec {
     assert(ch.getDouble(1) == 1.0)
   }
 
+  // --------------- byte-BPE golden merge-order traces (item 8)
+
+  test("byte-BPE encode replays the published GPT-2 merge-list head") {
+    // The first eight merges of the released GPT-2 merges.txt (rank
+    // order as published; 'Ġ' is byte 0x20 through bytes_to_unicode):
+    //   0: Ġ t   1: Ġ a   2: h e   3: i n
+    //   4: r e   5: o n   6: Ġt he  7: e r
+    // Expected encodings are hand-traced under the published
+    // algorithm (repeatedly fuse the LOWEST-RANK adjacent pair):
+    //   " the"   [Ġ,t,h,e] -0-> [Ġt,h,e] -2-> [Ġt,he] -6-> [Ġthe]
+    //            (the well-known fact that " the" is one GPT-2 token)
+    //   "there"  [t,h,e,r,e] -2-> [t,he,r,e] -4-> [t,he,re]
+    //            ((e,r) rank 7 never fires: rank 2 consumes the e)
+    //   " there" [Ġ,t,h,e,r,e] -0-> -2-> -4-> [Ġt,he,re] -6->
+    //            [Ġthe,re]  (rank 6 fuses ACROSS the earlier rank-4
+    //            site — merge priority, not position order)
+    //   "on a"   pretokens "on" -5-> [on]; " a" -1-> [Ġa]
+    val m = (l: String, r: String) => graft.ops.BpeTrain.Merge(l, r, 0L)
+    val gpt2Head = Seq(m("Ġ", "t"), m("Ġ", "a"), m("h", "e"),
+      m("i", "n"), m("r", "e"), m("o", "n"), m("Ġt", "he"), m("e", "r"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val d = df(schema, Row(1L, " the"), Row(2L, "there"),
+      Row(3L, " there"), Row(4L, "on a"))
+    val enc = graft.ops.BpeTrain.encodeByteLevelGreedy(d, "text", gpt2Head)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    assert(enc(1L) == Seq("Ġthe"))
+    assert(enc(2L) == Seq("t", "he", "re"))
+    assert(enc(3L) == Seq("Ġthe", "re"))
+    assert(enc(4L) == Seq("on", "Ġa"))
+  }
+
   // ------------------- plan pins for the round-16 shapes (item 4)
 
   private def tmpParquet(d: DataFrame, name: String): DataFrame = {
