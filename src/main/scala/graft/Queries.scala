@@ -9697,6 +9697,118 @@ object Queries {
                sum(CASE WHEN ht IS NULL THEN 1 ELSE 0 END)::BIGINT
                  AS n_missing_tgt_avg
         FROM j""")
+    ),
+    (
+      // t-closeness report (Li, Li & Venkatasubramanian 2007 — the
+      // privacy trio's third layer): per lang class, total-variation
+      // distance of its source distribution from the GLOBAL one.
+      // Per-term integer micro units (q149 rule), absent-value mass in
+      // closed form (1 - sum of present q), doubled-distance integer
+      // gate at 2*round(0.15e6) = 300000 on both engines.
+      "q286_t_closeness",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Profile.tCloseness(t(s, dir, "documents"),
+          Seq("lang"), "source", t = 0.15),
+      Some("""
+        WITH cell AS (
+          SELECT lang, source, count(*)::BIGINT AS c
+          FROM documents GROUP BY 1, 2),
+        cls AS (SELECT lang, sum(c)::BIGINT AS n FROM cell GROUP BY 1),
+        gl AS (SELECT source, sum(c)::BIGINT AS g FROM cell GROUP BY 1),
+        tot AS (SELECT sum(c)::BIGINT AS nn FROM cell),
+        terms AS (
+          SELECT cell.lang,
+                 CAST(round(abs(cell.c::DOUBLE / cls.n -
+                   gl.g::DOUBLE / tot.nn) * 1e6) AS BIGINT) AS a,
+                 CAST(round(gl.g::DOUBLE / tot.nn * 1e6) AS BIGINT) AS b,
+                 cls.n
+          FROM cell
+          JOIN cls ON cell.lang IS NOT DISTINCT FROM cls.lang
+          JOIN gl ON cell.source IS NOT DISTINCT FROM gl.source, tot),
+        c2 AS (
+          SELECT lang,
+                 sum(a)::BIGINT + greatest(0, 1000000 - sum(b))::BIGINT
+                   AS d2,
+                 min(n)::BIGINT AS n
+          FROM terms GROUP BY lang)
+        SELECT CAST(0.15 AS DOUBLE) AS t,
+               sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+               sum(CASE WHEN d2 > 300000 THEN n ELSE 0 END)::BIGINT
+                 AS n_rows_above,
+               sum(CASE WHEN d2 > 300000 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_classes_above,
+               round(max(d2)::DOUBLE / 2e6, 6) AS max_t,
+               round(sum(CASE WHEN d2 > 300000 THEN n ELSE 0 END)::DOUBLE /
+                 greatest(sum(n), 1), 6) AS frac_rows_above
+        FROM c2""")
+    ),
+    (
+      // The above-t worklist arm at t = 0.2 (doubled gate 400000):
+      // largest violating classes first, collision-proof ties.
+      "q287_t_closeness_groups",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Profile.tClosenessGroups(t(s, dir, "documents"),
+          Seq("lang"), "source", t = 0.2, limit = 10),
+      Some("""
+        WITH cell AS (
+          SELECT lang, source, count(*)::BIGINT AS c
+          FROM documents GROUP BY 1, 2),
+        cls AS (SELECT lang, sum(c)::BIGINT AS n FROM cell GROUP BY 1),
+        gl AS (SELECT source, sum(c)::BIGINT AS g FROM cell GROUP BY 1),
+        tot AS (SELECT sum(c)::BIGINT AS nn FROM cell),
+        terms AS (
+          SELECT cell.lang,
+                 CAST(round(abs(cell.c::DOUBLE / cls.n -
+                   gl.g::DOUBLE / tot.nn) * 1e6) AS BIGINT) AS a,
+                 CAST(round(gl.g::DOUBLE / tot.nn * 1e6) AS BIGINT) AS b,
+                 cls.n
+          FROM cell
+          JOIN cls ON cell.lang IS NOT DISTINCT FROM cls.lang
+          JOIN gl ON cell.source IS NOT DISTINCT FROM gl.source, tot),
+        c2 AS (
+          SELECT lang,
+                 sum(a)::BIGINT + greatest(0, 1000000 - sum(b))::BIGINT
+                   AS d2,
+                 min(n)::BIGINT AS n
+          FROM terms GROUP BY lang)
+        SELECT lang, n AS group_size, round(d2::DOUBLE / 2e6, 6) AS t_value
+        FROM c2 WHERE d2 > 400000
+        ORDER BY n DESC,
+          (CASE WHEN lang IS NULL THEN '0' ELSE '1' END) || chr(1) ||
+            coalesce(lang, '')
+        LIMIT 10""")
+    ),
+    (
+      // Word error rate: the candidate replaces every 3rd token with a
+      // UNIQUE noise token absent from the corpus, so the word-level
+      // Levenshtein distance is EXACTLY the replacement count (<= by
+      // the substitution script; >= because each noise token needs its
+      // own insert-or-substitute op) — closed-form replayable with no
+      // edit distance in SQL.
+      "q288_wer",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "documents")
+          .withColumn("_toks",
+            graft.functions.TextFunctions.alnumTokens(col("text")))
+        val toks = col("_toks")
+        val cand = concat_ws(" ", zip_with(toks,
+          sequence(lit(1), greatest(size(toks), lit(1))),
+          (tok, i) => when(i % 3 === 0,
+            concat(lit("zzzqnoise"), i.cast("string"))).otherwise(tok)))
+        graft.ops.TextSim.wer(
+          base.withColumn("cand", cand).drop("_toks"),
+          Seq("doc_id"), "cand", "text")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, len(list_filter(string_split_regex(lower(text),
+            '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS nt
+          FROM documents),
+        m AS (SELECT doc_id, nt, (nt // 3)::BIGINT AS e FROM t)
+        SELECT doc_id, nt AS cand_tokens, nt AS ref_tokens, e AS edits,
+               round(e::DOUBLE / greatest(nt, 1), 6) AS wer,
+               (nt > 2000) AS truncated
+        FROM m""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

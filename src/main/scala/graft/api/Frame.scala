@@ -437,6 +437,14 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def lDiversityEntropy(qiCols: Seq[String], sensitiveCol: String,
       l: Int): Frame =
     next(Profile.lDiversityEntropy(df, qiCols, sensitiveCol, l))
+  /** t-closeness (Li et al. 2007) — the distribution layer l-diversity
+    * misses. */
+  def tCloseness(qiCols: Seq[String], sensitiveCol: String,
+      t: Double): Frame =
+    next(Profile.tCloseness(df, qiCols, sensitiveCol, t))
+  def tClosenessGroups(qiCols: Seq[String], sensitiveCol: String,
+      t: Double, limit: Int = 1000): Frame =
+    next(Profile.tClosenessGroups(df, qiCols, sensitiveCol, t, limit))
   /** Typed content-part preference arms (multimodal DPO corpora). */
   def preferenceValidateParts(chosenCol: String = "messages_chosen",
       rejectedCol: String = "messages_rejected"): Frame =
@@ -474,6 +482,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def bleu(idCols: Seq[String], candCol: String, refCol: String,
       maxN: Int = 4): Frame =
     next(TextSim.bleu(df, idCols, candCol, refCol, maxN))
+  def wer(idCols: Seq[String], candCol: String, refCol: String,
+      maxTokens: Int = 2000): Frame =
+    next(TextSim.wer(df, idCols, candCol, refCol, maxTokens))
   def editPairs(idCol: String, textCol: String, t: Int): Frame =
     next(graft.dedup.EditDedup.pairs(df, idCol, textCol, t))
   def editKeepBest(idCol: String, textCol: String, t: Int,

@@ -501,6 +501,11 @@ final case class LazyFrame(
     append("bleu", "id_keys" -> jlist(idKeys),
       "candidate_key" -> candidateKey, "reference_key" -> referenceKey,
       "max_n" -> maxN)
+  def wer(idKeys: Seq[String], candidateKey: String,
+      referenceKey: String, maxTokens: Int = 2000): LazyFrame =
+    append("wer", "id_keys" -> jlist(idKeys),
+      "candidate_key" -> candidateKey, "reference_key" -> referenceKey,
+      "max_tokens" -> maxTokens)
   def editPairs(idKey: String, textKey: String, threshold: Int): LazyFrame =
     append("edit_pairs", "id_key" -> idKey, "text_key" -> textKey,
       "threshold" -> threshold)
@@ -802,6 +807,11 @@ final case class LazyFrame(
       mode: String = "report", limit: Int = 1000): LazyFrame =
     append("l_diversity", "columns" -> jlist(columns),
       "sensitive_key" -> sensitiveKey, "l" -> l,
+      "mode" -> mode, "limit" -> limit)
+  def tCloseness(columns: Seq[String], sensitiveKey: String, t: Double,
+      mode: String = "report", limit: Int = 1000): LazyFrame =
+    append("t_closeness", "columns" -> jlist(columns),
+      "sensitive_key" -> sensitiveKey, "t" -> t,
       "mode" -> mode, "limit" -> limit)
   def bitextMine(idKey: String, embeddingKey: String,
       targetFrom: String, k: Int = 4, threshold: Double = 1.0,

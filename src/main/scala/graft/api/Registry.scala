@@ -984,6 +984,22 @@ object Registry {
         s"l_diversity mode must be report|groups|entropy, got '$other'")
     }
   }
+  // t-closeness (§2.14 privacy/reporting, Li, Li & Venkatasubramanian
+  // 2007): the layer l_diversity misses — a class with l distinct
+  // sensitive values whose DISTRIBUTION diverges from the global one
+  // still leaks. Categorical equal-distance EMD = total variation.
+  register("t_closeness") { (df, c, _) =>
+    val cols = c("columns").strList
+    val sensitive = c("sensitive_key").str
+    val t = c("t").dbl
+    c.strOr("mode", "report") match {
+      case "report" => Profile.tCloseness(df, cols, sensitive, t)
+      case "groups" => Profile.tClosenessGroups(df, cols, sensitive, t,
+        c.intOr("limit", 1000))
+      case other => throw new IllegalArgumentException(
+        s"t_closeness mode must be report|groups, got '$other'")
+    }
+  }
   // WordPiece tokenizer training (§2.14 engine extension, Schuster &
   // Nakajima 2012 / the BERT trainer): likelihood-ratio merges over
   // ##-prefixed continuation symbols; emits the (rank, left, right,
@@ -1907,6 +1923,12 @@ object Registry {
   register("bleu") { (df, c, _) =>
     TextSim.bleu(df, c("id_keys").strList, c("candidate_key").str,
       c("reference_key").str, c.intOr("max_n", 4))
+  }
+  // Word error rate (§2.14 SFT QA): word-level Levenshtein edits over
+  // the reference length — the ASR/transcription gate of the family.
+  register("wer") { (df, c, _) =>
+    TextSim.wer(df, c("id_keys").strList, c("candidate_key").str,
+      c("reference_key").str, c.intOr("max_tokens", 2000))
   }
   // Exact edit-distance near-dup pairs (§2.14 dedup family): PassJoin
   // pigeonhole blocking + levenshtein verify, recall 1 at threshold t.

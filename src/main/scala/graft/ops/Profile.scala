@@ -347,6 +347,111 @@ object Profile {
       .groupBy(qiCols.map(col): _*)
       .agg(sum(col("_c")).as("_n"), count(lit(1)).as("_d"))
 
+  /** The cells table with a `_qi` struct key and per-class totals `_n`
+    * joined back — shared by [[lDiversityEntropy]] and the t-closeness
+    * arms. Per-class totals are a keyed agg joined back on STRUCT
+    * equality: struct comparison treats null fields as equal, so NULL
+    * quasi-identifier classes (real combinations here — the kAnonymity
+    * convention) survive where a plain multi-column equi-join would
+    * drop them. A Window.partitionBy(qiCols) would also work
+    * arithmetically, but a high-cardinality sensitive column (free
+    * text) makes one class's cells one hot single-task window
+    * partition — the SCALE.md no-hot-key-window rule; the keyed join
+    * instead skew-splits under AQE. */
+  private def cellsWithClassTotals(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    val cells = lDiversityCells(df, qiCols, sensitiveCol)
+      .withColumn("_qi", struct(qiCols.map(col): _*))
+    val totals = cells.groupBy(col("_qi").as("_qik"))
+      .agg(sum(col("_c")).as("_n"))
+    cells.join(totals, col("_qi") === col("_qik")).drop("_qik")
+  }
+
+  /** Per-class DOUBLED total-variation distance to the global sensitive
+    * distribution, in integer micro units (`_d2`), plus class size
+    * (`_n`) — the shared core of both t-closeness arms.
+    *
+    * For the categorical (equal-distance) ground metric the paper's
+    * EMD reduces to total variation: TV = ½ Σ_v |p_v − q_v|. The sum
+    * decomposes over CLASS-PRESENT values plus a closed-form remainder
+    * for absent ones (each contributes |0 − q_v| = q_v, and
+    * Σ_absent q_v = 1 − Σ_present q_v), so only the cells table joins —
+    * never the full (class × value) cross. Determinism: |p−q| and q
+    * round to INTEGER micro units per term (the q149 rule), the
+    * remainder clamps at 0 (per-term rounding can push Σq a hair past
+    * 1e6), and the ½ division happens once at the end. Driver state:
+    * ONE scalar (the corpus row count — the global denominator). */
+  private def tClosenessClasses(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    val cells = cellsWithClassTotals(df, qiCols, sensitiveCol)
+    val n = df.count()
+    val g = cells.groupBy(struct(col(sensitiveCol)).as("_sv"))
+      .agg(sum(col("_c")).as("_g"))
+    cells.withColumn("_svk", struct(col(sensitiveCol)))
+      .join(g, col("_svk") === col("_sv"))
+      .withColumn("_a", round(abs(col("_c").cast("double") / col("_n") -
+        col("_g").cast("double") / n) * 1e6).cast("bigint"))
+      .withColumn("_b",
+        round(col("_g").cast("double") / n * 1e6).cast("bigint"))
+      .groupBy(col("_qi"))
+      .agg((sum(col("_a")) +
+        greatest(lit(0L), lit(1000000L) - sum(col("_b")))).as("_d2"),
+        first(col("_n")).as("_n"))
+  }
+
+  /** t-closeness report (Li, Li & Venkatasubramanian 2007 — the layer
+    * l-diversity misses: a class can carry l distinct sensitive values
+    * whose DISTRIBUTION still leaks, e.g. 99% "cancer" in a population
+    * that is 1% "cancer"; the class must stay within distance `t` of
+    * the global distribution). Categorical equal-distance EMD = total
+    * variation; one report row. A class violates when its distance
+    * EXCEEDS t (integer-micro comparison on the doubled distance, so
+    * the gate replays across engines). */
+  def tCloseness(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"t must be in (0, 1], got $t")
+    val bar2 = 2L * math.round(t * 1e6)
+    val classes = tClosenessClasses(df, qiCols, sensitiveCol)
+    classes.agg(
+        coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        coalesce(sum(when(col("_d2") > bar2, col("_n")).otherwise(0L)),
+          lit(0L)).as("n_rows_above"),
+        coalesce(sum(when(col("_d2") > bar2, 1L).otherwise(0L)), lit(0L))
+          .as("n_classes_above"),
+        max(col("_d2")).as("_maxD2"))
+      .select(lit(t).as("t"), col("n_rows"), col("n_classes"),
+        col("n_rows_above"), col("n_classes_above"),
+        round(coalesce(col("_maxD2"), lit(0L)).cast("double") / 2e6, 6)
+          .as("max_t"),
+        round(col("n_rows_above").cast("double") /
+          greatest(col("n_rows"), lit(1L)).cast("double"), 6)
+          .as("frac_rows_above"))
+  }
+
+  /** The above-t equivalence classes themselves — the worklist arm
+    * ([[kAnonymityGroups]]'s shape: largest classes first,
+    * collision-proof ties, capped at `limit`). */
+  def tClosenessGroups(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, t: Double, limit: Int = 1000): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"t must be in (0, 1], got $t")
+    require(limit >= 1 && limit <= 1000000,
+      s"limit must be in [1, 1000000], got $limit")
+    val bar2 = 2L * math.round(t * 1e6)
+    val qi = (c: String) => col("_qi").getField(c)
+    val tie = concat_ws("\u0001",
+      qiCols.flatMap(c => Seq(
+        when(qi(c).isNull, lit("0")).otherwise(lit("1")),
+        coalesce(qi(c).cast("string"), lit("")))): _*)
+    tClosenessClasses(df, qiCols, sensitiveCol)
+      .filter(col("_d2") > bar2)
+      .orderBy(col("_n").desc, tie)
+      .limit(limit)
+      .select(qiCols.map(c => qi(c).as(c)) :+
+        col("_n").as("group_size") :+
+        round(col("_d2").cast("double") / 2e6, 6).as("t_value"): _*)
+  }
+
   /** ENTROPY l-diversity report (Machanavajjhala 2006 §3.2 — the
     * stronger instantiation: a class passes when the entropy of its
     * sensitive-value distribution is at least ln(l), so a class of
@@ -367,20 +472,7 @@ object Profile {
       sensitiveCol: String, l: Int): DataFrame = {
     require(l >= 2 && l <= 1000000, s"l must be in [2, 1000000], got $l")
     val barMicro = math.round(math.log(l.toDouble) * 1e6)
-    val cells = lDiversityCells(df, qiCols, sensitiveCol)
-      .withColumn("_qi", struct(qiCols.map(col): _*))
-    // per-class totals via a keyed agg joined back on STRUCT equality:
-    // struct comparison treats null fields as equal, so NULL
-    // quasi-identifier classes (real combinations here — the
-    // kAnonymity convention) survive where a plain multi-column
-    // equi-join would drop them. A Window.partitionBy(qiCols) would
-    // also work arithmetically, but a high-cardinality sensitive
-    // column (free text) makes one class's cells one hot single-task
-    // window partition — the SCALE.md no-hot-key-window rule; the
-    // keyed join instead skew-splits under AQE.
-    val totals = cells.groupBy(col("_qi").as("_qik"))
-      .agg(sum(col("_c")).as("_n"))
-    val classes = cells.join(totals, col("_qi") === col("_qik"))
+    val classes = cellsWithClassTotals(df, qiCols, sensitiveCol)
       .withColumn("_t", round(col("_c").cast("double") / col("_n") *
         log(col("_n").cast("double") / col("_c")) * 1e6).cast("bigint"))
       .groupBy(col("_qi"))

@@ -136,6 +136,83 @@ object TextSim {
     prev(lo.length)
   }
 
+  /** Word-level Levenshtein distance — the two-row DP ([[lcsLen]]'s
+    * memory shape: O(min) rows, O(m·n) time). */
+  private[graft] def editDist(a: Array[String], b: Array[String]): Int = {
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    val (lo, hi) = if (a.length <= b.length) (a, b) else (b, a)
+    var prev = Array.tabulate(lo.length + 1)(identity)
+    var cur = new Array[Int](lo.length + 1)
+    var i = 1
+    while (i <= hi.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= lo.length) {
+        val sub = prev(j - 1) + (if (hi(i - 1) == lo(j - 1)) 0 else 1)
+        cur(j) = math.min(sub, math.min(prev(j) + 1, cur(j - 1) + 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(lo.length)
+  }
+
+  /** Per-row word error rate — the ASR/generation transcription gate:
+    * word-level Levenshtein edits (substitutions + insertions +
+    * deletions) over the reference length. WER of an empty reference
+    * against a non-empty candidate is edits/max(ref,1) = cand_tokens
+    * (every candidate token is an insertion), documented rather than
+    * NaN. Output: (idCols..., cand_tokens, ref_tokens, edits, wer,
+    * truncated).
+    *
+    * Scale shape: [[rougeL]]'s exactly — one mapPartitions kernel, no
+    * join/shuffle; the DP is O(m·n) per row so both sides clamp to
+    * `maxTokens` with the truncation OBSERVABLE via the flag. */
+  def wer(df: DataFrame, idCols: Seq[String], candCol: String,
+      refCol: String, maxTokens: Int = 2000): DataFrame = {
+    require(idCols.nonEmpty, "wer needs at least one id column")
+    require(maxTokens >= 1 && maxTokens <= 20000,
+      s"maxTokens must be in [1, 20000], got $maxTokens")
+    val ids = idCols.map(col)
+    val staged = df.select(ids :+ tokens(col(candCol)).as("_ctf") :+
+      tokens(col(refCol)).as("_rtf"): _*)
+    val proj = staged.select(ids :+
+      slice(col("_ctf"), 1, maxTokens).as("_ct") :+
+      slice(col("_rtf"), 1, maxTokens).as("_rt") :+
+      (size(col("_ctf")) > maxTokens || size(col("_rtf")) > maxTokens)
+        .as("_trunc"): _*)
+    val nIds = idCols.length
+    val outSchema = org.apache.spark.sql.types.StructType(
+      proj.schema.fields.take(nIds) ++ Seq(
+        org.apache.spark.sql.types.StructField("cand_tokens",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("ref_tokens",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("edits",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("wer",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("truncated",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+    proj.mapPartitions { it =>
+      it.map { row =>
+        def toks(idx: Int): Array[String] =
+          if (row.isNullAt(idx)) Array.empty[String]
+          else row.getSeq[String](idx).toArray
+        val c = toks(nIds)
+        val r = toks(nIds + 1)
+        val trunc = !row.isNullAt(nIds + 2) && row.getBoolean(nIds + 2)
+        val e = editDist(c, r)
+        val w = e.toDouble / math.max(r.length, 1)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq.take(nIds) ++ Seq[Any](
+          c.length.toLong, r.length.toLong, e.toLong,
+          graft.core.Num.rnd6(w), trunc))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Per-row sentence BLEU (Papineni et al. 2002): the geometric mean
     * of clipped word n-gram precisions for n = 1..maxN times the
     * brevity penalty min(1, exp(1 − ref_len/cand_len)). UNSMOOTHED by

@@ -215,6 +215,66 @@ class Round17Spec extends SparkSpec {
     assert(ch.getDouble(1) == 1.0)
   }
 
+  // ------- t-closeness: the privacy trio's distribution layer
+
+  test("tCloseness: hand-computed TV, NULL classes, worklist arm") {
+    val schema = StructType(Seq(StructField("lang", StringType),
+      StructField("source", StringType)))
+    val d = df(schema,
+      Row(null, "a"), Row(null, "a"), Row(null, "b"),
+      Row("en", "x"), Row("en", "y"))
+    // global: a .4, b .2, x .2, y .2 (N = 5)
+    // class NULL (n=3): TV = (|2/3-.4| + |1/3-.2| + .2 + .2)/2 = 0.4
+    // class en  (n=2): TV = (|.5-.2|*2 + .4 + .2)/2            = 0.6
+    val r = graft.ops.Profile.tCloseness(d, Seq("lang"), "source", 0.5)
+      .collect().head
+    assert(r.getDouble(r.fieldIndex("t")) == 0.5)
+    assert(r.getLong(r.fieldIndex("n_rows")) == 5L)
+    assert(r.getLong(r.fieldIndex("n_classes")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_rows_above")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_classes_above")) == 1L)
+    assert(r.getDouble(r.fieldIndex("max_t")) == 0.6)
+    assert(r.getDouble(r.fieldIndex("frac_rows_above")) == 0.4)
+    // both classes violate at t = 0.3; NULL qi survives into the
+    // worklist (the struct-keyed machinery, not a null-dropping join)
+    val g = graft.ops.Profile.tClosenessGroups(d, Seq("lang"), "source",
+      0.3).collect()
+    val expected: Seq[(String, Long, Double)] =
+      Seq((null, 3L, 0.4), ("en", 2L, 0.6))
+    assert(g.map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+      .toSeq == expected)
+    // no qi-partitioned window anywhere in the plan
+    val plan = graft.ops.Profile.tCloseness(d, Seq("lang"), "source", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"), plan.take(1200))
+  }
+
+  // ------------------------- WER completes the generation metrics
+
+  test("wer: edit-distance kernel, conventions, truncated flag") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("cand", StringType), StructField("ref", StringType)))
+    val d = df(schema,
+      Row(1L, "a b c", "a x c"),     // 1 substitution -> 1/3
+      Row(2L, "a b", "a b"),         // exact -> 0
+      Row(3L, null, "a b"),          // empty cand -> 2 deletions, 1.0
+      Row(4L, "a b", null),          // empty ref -> edits/max(0,1) = 2
+      Row(5L, "b c d", "a b c d"))   // 1 deletion -> 1/4
+    val out = graft.ops.TextSim.wer(d, Seq("id"), "cand", "ref")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out(1L) == ((1L, 0.333333, false)))
+    assert(out(2L) == ((0L, 0.0, false)))
+    assert(out(3L) == ((2L, 1.0, false)))
+    assert(out(4L) == ((2L, 2.0, false)))
+    assert(out(5L) == ((1L, 0.25, false)))
+    // clamp observability: both sides truncate to [a b], 0 edits, FLAG
+    val t = graft.ops.TextSim.wer(
+      df(schema, Row(6L, "a b c d", "a b e")), Seq("id"), "cand", "ref",
+      maxTokens = 2).collect().head
+    assert(t.getLong(3) == 0L && t.getBoolean(5))
+  }
+
   // --------------- byte-BPE golden merge-order traces (item 8)
 
   test("byte-BPE encode replays the published GPT-2 merge-list head") {
