@@ -30,14 +30,17 @@ object ScaleSmoke {
     val p = dir.resolve(s"docs_x$k.parquet").toString
     val copies = base
       .withColumn("_copy", explode(sequence(lit(0), lit(k - 1))))
+      // stage the rewritten text so n_chars measures the text the row
+      // actually carries (suffixed tokens are longer than the source)
+      .withColumn("_text", when(col("_copy") === 0, col("text"))
+        .otherwise(concat_ws(" ",
+          transform(split(col("text"), " "),
+            t => concat(t, lit("~"), col("_copy"))))))
     copies.select(
         (col("doc_id") + col("_copy") * 100000000L).as("doc_id"),
-        when(col("_copy") === 0, col("text"))
-          .otherwise(concat_ws(" ",
-            transform(split(col("text"), " "),
-              t => concat(t, lit("~"), col("_copy"))))).as("text"),
+        col("_text").as("text"),
         col("lang"), col("source"),
-        length(col("text")).as("n_chars"))
+        length(col("_text")).as("n_chars"))
       .write.mode("overwrite").parquet(p)
     p
   }
@@ -116,10 +119,15 @@ object ScaleSmoke {
         graft.ops.BudgetSelect(docs, "n_chars", "n_chars",
           budget = 150000L * k, tieBreak = "doc_id").count()))
 
+    // synthesize each scale ONCE; the warm-up sweep reuses the
+    // smallest scale's files rather than regenerating them
+    val docPaths = scales.map(k => k -> synthDocs(spark, sfDir, k, tmp)).toMap
+    val embPaths = scales.map(k => k -> synthEmb(spark, sfDir, k, tmp)).toMap
+
     // one unmeasured warm-up sweep at the smallest scale (JIT/codegen)
     {
-      val d = spark.read.parquet(synthDocs(spark, sfDir, scales.min, tmp))
-      val e = spark.read.parquet(synthEmb(spark, sfDir, scales.min, tmp))
+      val d = spark.read.parquet(docPaths(scales.min))
+      val e = spark.read.parquet(embPaths(scales.min))
       families(d, e, scales.min).foreach(_._2())
       graft.core.PersistScope.unpersistAll()
     }
@@ -127,8 +135,8 @@ object ScaleSmoke {
     val rows = scala.collection.mutable.ArrayBuffer[
       (String, Int, Double, Long, Long)]()
     for (k <- scales) {
-      val d = spark.read.parquet(synthDocs(spark, sfDir, k, tmp))
-      val e = spark.read.parquet(synthEmb(spark, sfDir, k, tmp))
+      val d = spark.read.parquet(docPaths(k))
+      val e = spark.read.parquet(embPaths(k))
       for ((name, f) <- families(d, e, k)) {
         val (sec, n) = timed(f())
         graft.core.PersistScope.unpersistAll()
@@ -170,6 +178,10 @@ object ScaleSmoke {
       sb.toString.getBytes("UTF-8"))
     println(sb.toString)
     spark.stop()
+    // up to 101x sf0.1 of synthetic parquet — never leave it in /tmp
+    import scala.jdk.CollectionConverters.IteratorHasAsScala
+    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
     if (!pass) sys.exit(1)
   }
 }

@@ -771,23 +771,13 @@ object Decontaminate {
         "multiply-adds PER CORPUS ROW, so the cap is the op's cost " +
         "model, not just a broadcast-size guard; decontamination " +
         "benchmarks are thousands of rows by construction — raise " +
-        "maxBenchRows deliberately if yours truly is not")
+        "maxBenchRows deliberately if yours is genuinely larger")
     val bench = benchRows
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map { r =>
-        val s = r.getSeq[Any](1)
-        // a null ELEMENT inside an embedding is a corrupt row, not an
-        // absent embedding — fail loud with the id (the gate
-        // convention), never an opaque unboxing NPE in an executor
-        if (s.contains(null)) throw new IllegalArgumentException(
-          s"embeddingHits: benchmark row ${r.get(0)} has a null " +
-            "embedding element — corrupt embedding column")
-        val a = new Array[Double](s.length)
+        val a = unboxEmbedding(r.getSeq[Any](1), "benchmark", r.get(0))
         var i = 0; var nn = 0.0
-        while (i < a.length) {
-          a(i) = s(i).asInstanceOf[Double]
-          nn += a(i) * a(i); i += 1
-        }
+        while (i < a.length) { nn += a(i) * a(i); i += 1 }
         (r.get(0), a, math.sqrt(nn))
       }
       .filter(_._3 > 0.0)
@@ -817,17 +807,7 @@ object Decontaminate {
       it.flatMap { row =>
         if (row.isNullAt(1)) Iterator.empty
         else {
-          val sq = row.getSeq[Any](1)
-          // a null ELEMENT is a corrupt row (whole-null embeddings skip
-          // like zero-norm ones; element nulls fail loud with the id)
-          if (sq.contains(null)) throw new IllegalArgumentException(
-            s"embeddingHits: corpus row ${row.get(0)} has a null " +
-              "embedding element — corrupt embedding column")
-          val e = new Array[Double](sq.length)
-          var i0 = 0
-          while (i0 < e.length) {
-            e(i0) = sq(i0).asInstanceOf[Double]; i0 += 1
-          }
+          val e = unboxEmbedding(row.getSeq[Any](1), "corpus", row.get(0))
           // a corpus/benchmark dimension mismatch means a wrong encoder
           // or a stale column — fail LOUD, never silently match nothing
           if (e.length != bd) throw new IllegalArgumentException(
@@ -859,6 +839,27 @@ object Decontaminate {
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Unbox a (possibly element-null) embedding Seq to a double array in
+    * ONE pass — a null ELEMENT is a corrupt row, not an absent
+    * embedding: fail loud with the row id inside the unboxing loop (the
+    * gate convention), never a second O(dim) scan and never an opaque
+    * executor NPE. Shared by the benchmark (driver) and corpus
+    * (executor kernel) arms of [[embeddingHits]]. */
+  private def unboxEmbedding(s: Seq[Any], side: String,
+      id: Any): Array[Double] = {
+    val a = new Array[Double](s.length)
+    var i = 0
+    while (i < a.length) {
+      val v = s(i)
+      if (v == null) throw new IllegalArgumentException(
+        s"embeddingHits: $side row $id has a null embedding element — " +
+          "corrupt embedding column")
+      a(i) = v.asInstanceOf[Double]
+      i += 1
+    }
+    a
   }
 
   /** Natural ordering for bench ids of the common id types; mirrors the

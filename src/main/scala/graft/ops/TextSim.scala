@@ -172,7 +172,28 @@ object TextSim {
     * `maxTokens` with the truncation OBSERVABLE via the flag. */
   def wer(df: DataFrame, idCols: Seq[String], candCol: String,
       refCol: String, maxTokens: Int = 2000): DataFrame = {
-    require(idCols.nonEmpty, "wer needs at least one id column")
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    dpMetric(df, idCols, candCol, refCol, maxTokens,
+      Seq(StructField("edits", LongType, nullable = false),
+        StructField("wer", DoubleType, nullable = false)),
+      (c, r) => {
+        val e = editDist(c, r)
+        Seq[Any](e.toLong,
+          graft.core.Num.rnd6(e.toDouble / math.max(r.length, 1)))
+      })
+  }
+
+  /** Shared scaffolding for the per-row DP metrics ([[rougeL]],
+    * [[wer]]): stage both sides' token arrays, clamp to `maxTokens`
+    * with the OBSERVABLE `truncated` flag, and run `metric` over the
+    * clamped pair in one mapPartitions kernel (no join, no shuffle).
+    * Output: (idCols..., cand_tokens, ref_tokens, metricFields...,
+    * truncated); `metric` returns the metricFields values in order. */
+  private def dpMetric(df: DataFrame, idCols: Seq[String],
+      candCol: String, refCol: String, maxTokens: Int,
+      metricFields: Seq[org.apache.spark.sql.types.StructField],
+      metric: (Array[String], Array[String]) => Seq[Any]): DataFrame = {
+    require(idCols.nonEmpty, "need at least one id column")
     require(maxTokens >= 1 && maxTokens <= 20000,
       s"maxTokens must be in [1, 20000], got $maxTokens")
     val ids = idCols.map(col)
@@ -184,18 +205,13 @@ object TextSim {
       (size(col("_ctf")) > maxTokens || size(col("_rtf")) > maxTokens)
         .as("_trunc"): _*)
     val nIds = idCols.length
-    val outSchema = org.apache.spark.sql.types.StructType(
-      proj.schema.fields.take(nIds) ++ Seq(
-        org.apache.spark.sql.types.StructField("cand_tokens",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("ref_tokens",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("edits",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("wer",
-          org.apache.spark.sql.types.DoubleType, nullable = false),
-        org.apache.spark.sql.types.StructField("truncated",
-          org.apache.spark.sql.types.BooleanType, nullable = false)))
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+    val outSchema = StructType(
+      (proj.schema.fields.take(nIds) ++ Seq(
+        StructField("cand_tokens", LongType, nullable = false),
+        StructField("ref_tokens", LongType, nullable = false)) ++
+        metricFields) :+
+        StructField("truncated", BooleanType, nullable = false))
     proj.mapPartitions { it =>
       it.map { row =>
         def toks(idx: Int): Array[String] =
@@ -204,11 +220,11 @@ object TextSim {
         val c = toks(nIds)
         val r = toks(nIds + 1)
         val trunc = !row.isNullAt(nIds + 2) && row.getBoolean(nIds + 2)
-        val e = editDist(c, r)
-        val w = e.toDouble / math.max(r.length, 1)
-        org.apache.spark.sql.Row.fromSeq(row.toSeq.take(nIds) ++ Seq[Any](
-          c.length.toLong, r.length.toLong, e.toLong,
-          graft.core.Num.rnd6(w), trunc))
+        // Seq[Any]: a mixed Long/Double Seq literal infers Seq[Double]
+        // and silently widens the counts — the encoder then rejects them
+        org.apache.spark.sql.Row.fromSeq(row.toSeq.take(nIds) ++
+          ((Seq[Any](c.length.toLong, r.length.toLong) ++
+            metric(c, r)) :+ trunc))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
@@ -353,53 +369,19 @@ object TextSim {
     * from a genuinely short one). */
   def rougeL(df: DataFrame, idCols: Seq[String], candCol: String,
       refCol: String, maxTokens: Int = 2000): DataFrame = {
-    require(idCols.nonEmpty, "rougeL needs at least one id column")
-    require(maxTokens >= 1 && maxTokens <= 20000,
-      s"maxTokens must be in [1, 20000], got $maxTokens")
-    val ids = idCols.map(col)
-    val staged = df.select(ids :+ tokens(col(candCol)).as("_ctf") :+
-      tokens(col(refCol)).as("_rtf"): _*)
-    val proj = staged.select(ids :+
-      slice(col("_ctf"), 1, maxTokens).as("_ct") :+
-      slice(col("_rtf"), 1, maxTokens).as("_rt") :+
-      (size(col("_ctf")) > maxTokens || size(col("_rtf")) > maxTokens)
-        .as("_trunc"): _*)
-    val nIds = idCols.length
-    val outSchema = org.apache.spark.sql.types.StructType(
-      proj.schema.fields.take(nIds) ++ Seq(
-        org.apache.spark.sql.types.StructField("cand_tokens",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("ref_tokens",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("lcs",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("precision",
-          org.apache.spark.sql.types.DoubleType, nullable = false),
-        org.apache.spark.sql.types.StructField("recall",
-          org.apache.spark.sql.types.DoubleType, nullable = false),
-        org.apache.spark.sql.types.StructField("f1",
-          org.apache.spark.sql.types.DoubleType, nullable = false),
-        org.apache.spark.sql.types.StructField("truncated",
-          org.apache.spark.sql.types.BooleanType, nullable = false)))
-    proj.mapPartitions { it =>
-      it.map { row =>
-        def toks(idx: Int): Array[String] =
-          if (row.isNullAt(idx)) Array.empty[String]
-          else row.getSeq[String](idx).toArray
-        val c = toks(nIds)
-        val r = toks(nIds + 1)
-        val trunc = !row.isNullAt(nIds + 2) && row.getBoolean(nIds + 2)
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    dpMetric(df, idCols, candCol, refCol, maxTokens,
+      Seq(StructField("lcs", LongType, nullable = false),
+        StructField("precision", DoubleType, nullable = false),
+        StructField("recall", DoubleType, nullable = false),
+        StructField("f1", DoubleType, nullable = false)),
+      (c, r) => {
         val l = lcsLen(c, r)
         val p = if (c.length > 0) l.toDouble / c.length else 0.0
         val rc = if (r.length > 0) l.toDouble / r.length else 0.0
         val f = if (p + rc > 0) 2.0 * p * rc / (p + rc) else 0.0
-        // Seq[Any]: a mixed Long/Double Seq literal infers Seq[Double]
-        // and silently widens the counts — the encoder then rejects them
-        org.apache.spark.sql.Row.fromSeq(row.toSeq.take(nIds) ++ Seq[Any](
-          c.length.toLong, r.length.toLong, l.toLong,
-          graft.core.Num.rnd6(p), graft.core.Num.rnd6(rc),
-          graft.core.Num.rnd6(f), trunc))
-      }
-    }(org.apache.spark.sql.Encoders.row(outSchema))
+        Seq[Any](l.toLong, graft.core.Num.rnd6(p),
+          graft.core.Num.rnd6(rc), graft.core.Num.rnd6(f))
+      })
   }
 }
