@@ -9558,9 +9558,9 @@ object Queries {
                      ns::DOUBLE / (ns + 2) AS p, ns::DOUBLE / nt AS r
               FROM s)
         SELECT doc_id, ct::BIGINT AS cand_tokens, rt::BIGINT AS ref_tokens,
-               l::BIGINT AS lcs, round(p, 6) AS "precision",
-               round(r, 6) AS recall,
-               round(2 * p * r / (p + r), 6) AS f1,
+               l::BIGINT AS lcs, round_even(p, 6) AS "precision",
+               round_even(r, 6) AS recall,
+               round_even(2 * p * r / (p + r), 6) AS f1,
                (ct > 2000 OR rt > 2000) AS truncated
         FROM m""")
     ),
@@ -9806,8 +9806,137 @@ object Queries {
           FROM documents),
         m AS (SELECT doc_id, nt, (nt // 3)::BIGINT AS e FROM t)
         SELECT doc_id, nt AS cand_tokens, nt AS ref_tokens, e AS edits,
-               round(e::DOUBLE / greatest(nt, 1), 6) AS wer,
+               round_even(e::DOUBLE / greatest(nt, 1), 6) AS wer,
                (nt > 2000) AS truncated
+        FROM m""")
+    ),
+    (
+      // Numeric t-closeness (Li et al. 2007 §4, the paper's ordered-EMD
+      // arm — its own headline salary example): per lang class, ordered
+      // EMD of the n_chars distribution vs the global one over 16
+      // equal-width bins. Per-bin p/q round to integer micro units
+      // BEFORE the prefix sum; D = sum|prefix| / (15 * 1e6); the gate
+      // is the integer comparison ds > round(0.02e6)*15 = 300000.
+      "q289_t_closeness_numeric",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Profile.tClosenessNumeric(t(s, dir, "documents"),
+          Seq("lang"), "n_chars", t = 0.02, bins = 16),
+      Some("""
+        WITH u AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v
+                   FROM documents WHERE n_chars IS NOT NULL),
+        b AS (SELECT min(v) AS lo, max(v) AS hi, count(*)::BIGINT AS nn
+              FROM u),
+        binned AS (SELECT lang,
+          CASE WHEN b.lo = b.hi THEN 0
+               ELSE least(greatest(CAST(floor((v - b.lo) * 16 /
+                 (b.hi - b.lo)) AS BIGINT), 0), 15) END AS bin
+          FROM u, b),
+        bc AS (SELECT lang, bin, count(*)::BIGINT AS c
+               FROM binned GROUP BY 1, 2),
+        ct AS (SELECT lang, sum(c)::BIGINT AS n FROM bc GROUP BY 1),
+        gb AS (SELECT bin, sum(c)::BIGINT AS g FROM bc GROUP BY 1),
+        sk AS (SELECT ct.lang, ct.n, tt.bin
+               FROM ct, UNNEST(range(0, 16)) AS tt(bin)),
+        pb AS (SELECT sk.lang, sk.n, sk.bin,
+          CAST(round(coalesce(bc.c, 0)::DOUBLE / sk.n * 1e6) AS BIGINT) -
+          CAST(round(coalesce(gb.g, 0)::DOUBLE / b.nn * 1e6) AS BIGINT)
+            AS pq
+          FROM sk
+          LEFT JOIN bc ON sk.lang IS NOT DISTINCT FROM bc.lang
+            AND sk.bin = bc.bin
+          LEFT JOIN gb ON sk.bin = gb.bin, b),
+        pf AS (SELECT lang, n,
+                 sum(pq) OVER (PARTITION BY lang ORDER BY bin) AS r
+               FROM pb),
+        cls AS (SELECT lang, sum(abs(r))::BIGINT AS ds,
+                       min(n)::BIGINT AS n
+                FROM pf GROUP BY lang)
+        SELECT CAST(0.02 AS DOUBLE) AS t, 16::BIGINT AS bins,
+               sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_classes,
+               sum(CASE WHEN ds > 300000 THEN n ELSE 0 END)::BIGINT
+                 AS n_rows_above,
+               sum(CASE WHEN ds > 300000 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_classes_above,
+               round(max(ds)::DOUBLE / 15e6, 6) AS max_t,
+               round(sum(CASE WHEN ds > 300000 THEN n ELSE 0 END)::DOUBLE /
+                 greatest(sum(n), 1), 6) AS frac_rows_above
+        FROM cls""")
+    ),
+    (
+      // The numeric worklist arm at t = 0.04 (gate 600000).
+      "q290_t_closeness_numeric_groups",
+      (s: SparkSession, dir: String) =>
+        graft.ops.Profile.tClosenessNumericGroups(t(s, dir, "documents"),
+          Seq("lang"), "n_chars", t = 0.04, bins = 16, limit = 10),
+      Some("""
+        WITH u AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v
+                   FROM documents WHERE n_chars IS NOT NULL),
+        b AS (SELECT min(v) AS lo, max(v) AS hi, count(*)::BIGINT AS nn
+              FROM u),
+        binned AS (SELECT lang,
+          CASE WHEN b.lo = b.hi THEN 0
+               ELSE least(greatest(CAST(floor((v - b.lo) * 16 /
+                 (b.hi - b.lo)) AS BIGINT), 0), 15) END AS bin
+          FROM u, b),
+        bc AS (SELECT lang, bin, count(*)::BIGINT AS c
+               FROM binned GROUP BY 1, 2),
+        ct AS (SELECT lang, sum(c)::BIGINT AS n FROM bc GROUP BY 1),
+        gb AS (SELECT bin, sum(c)::BIGINT AS g FROM bc GROUP BY 1),
+        sk AS (SELECT ct.lang, ct.n, tt.bin
+               FROM ct, UNNEST(range(0, 16)) AS tt(bin)),
+        pb AS (SELECT sk.lang, sk.n, sk.bin,
+          CAST(round(coalesce(bc.c, 0)::DOUBLE / sk.n * 1e6) AS BIGINT) -
+          CAST(round(coalesce(gb.g, 0)::DOUBLE / b.nn * 1e6) AS BIGINT)
+            AS pq
+          FROM sk
+          LEFT JOIN bc ON sk.lang IS NOT DISTINCT FROM bc.lang
+            AND sk.bin = bc.bin
+          LEFT JOIN gb ON sk.bin = gb.bin, b),
+        pf AS (SELECT lang, n,
+                 sum(pq) OVER (PARTITION BY lang ORDER BY bin) AS r
+               FROM pb),
+        cls AS (SELECT lang, sum(abs(r))::BIGINT AS ds,
+                       min(n)::BIGINT AS n
+                FROM pf GROUP BY lang)
+        SELECT lang, n AS group_size, round(ds::DOUBLE / 15e6, 6) AS t_value
+        FROM cls WHERE ds > 600000
+        ORDER BY n DESC,
+          (CASE WHEN lang IS NULL THEN '0' ELSE '1' END) || chr(1) ||
+            coalesce(lang, '')
+        LIMIT 10""")
+    ),
+    (
+      // Character error rate: the candidate is the first HALF of each
+      // document's canonical character form (lowercased alnum tokens
+      // joined by single spaces), so the char-level Levenshtein
+      // distance is EXACTLY the deleted tail: lev(prefix, full) =
+      // len - len(prefix) (<= by deleting the tail; >= by the length
+      // bound). A substr can end on a space, which re-canonicalization
+      // drops — the oracle rtrims identically.
+      "q291_cer",
+      (s: SparkSession, dir: String) => {
+        val clean = concat_ws(" ",
+          graft.functions.TextFunctions.alnumTokens(col("text")))
+        val base = t(s, dir, "documents").withColumn("_clean", clean)
+        val cand = expr("substr(_clean, 1, length(_clean) div 2)")
+        graft.ops.TextSim.cer(
+          base.withColumn("cand", cand).drop("_clean"),
+          Seq("doc_id"), "cand", "text")
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id, array_to_string(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> ''), ' ') AS clean
+          FROM documents),
+        m AS (SELECT doc_id, length(clean)::BIGINT AS lr,
+                     length(rtrim(substr(clean, 1,
+                       length(clean) // 2)))::BIGINT AS lc
+              FROM c)
+        SELECT doc_id, lc AS cand_chars, lr AS ref_chars,
+               (lr - lc)::BIGINT AS edits,
+               round_even((lr - lc)::DOUBLE / greatest(lr, 1), 6) AS cer,
+               (lr > 10000) AS truncated
         FROM m""")
     ))
 

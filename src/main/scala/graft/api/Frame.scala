@@ -445,6 +445,13 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def tClosenessGroups(qiCols: Seq[String], sensitiveCol: String,
       t: Double, limit: Int = 1000): Frame =
     next(Profile.tClosenessGroups(df, qiCols, sensitiveCol, t, limit))
+  def tClosenessNumeric(qiCols: Seq[String], sensitiveCol: String,
+      t: Double, bins: Int = 16): Frame =
+    next(Profile.tClosenessNumeric(df, qiCols, sensitiveCol, t, bins))
+  def tClosenessNumericGroups(qiCols: Seq[String], sensitiveCol: String,
+      t: Double, bins: Int = 16, limit: Int = 1000): Frame =
+    next(Profile.tClosenessNumericGroups(df, qiCols, sensitiveCol, t,
+      bins, limit))
   /** Typed content-part preference arms (multimodal DPO corpora). */
   def preferenceValidateParts(chosenCol: String = "messages_chosen",
       rejectedCol: String = "messages_rejected"): Frame =
@@ -485,6 +492,9 @@ final case class Frame(df: DataFrame, client: LlmClient) {
   def wer(idCols: Seq[String], candCol: String, refCol: String,
       maxTokens: Int = 2000): Frame =
     next(TextSim.wer(df, idCols, candCol, refCol, maxTokens))
+  def cer(idCols: Seq[String], candCol: String, refCol: String,
+      maxChars: Int = 10000): Frame =
+    next(TextSim.cer(df, idCols, candCol, refCol, maxChars))
   def editPairs(idCol: String, textCol: String, t: Int): Frame =
     next(graft.dedup.EditDedup.pairs(df, idCol, textCol, t))
   def editKeepBest(idCol: String, textCol: String, t: Int,

@@ -506,6 +506,11 @@ final case class LazyFrame(
     append("wer", "id_keys" -> jlist(idKeys),
       "candidate_key" -> candidateKey, "reference_key" -> referenceKey,
       "max_tokens" -> maxTokens)
+  def cer(idKeys: Seq[String], candidateKey: String,
+      referenceKey: String, maxChars: Int = 10000): LazyFrame =
+    append("cer", "id_keys" -> jlist(idKeys),
+      "candidate_key" -> candidateKey, "reference_key" -> referenceKey,
+      "max_chars" -> maxChars)
   def editPairs(idKey: String, textKey: String, threshold: Int): LazyFrame =
     append("edit_pairs", "id_key" -> idKey, "text_key" -> textKey,
       "threshold" -> threshold)
@@ -809,10 +814,12 @@ final case class LazyFrame(
       "sensitive_key" -> sensitiveKey, "l" -> l,
       "mode" -> mode, "limit" -> limit)
   def tCloseness(columns: Seq[String], sensitiveKey: String, t: Double,
-      mode: String = "report", limit: Int = 1000): LazyFrame =
+      mode: String = "report", limit: Int = 1000,
+      method: String = "categorical", bins: Int = 16): LazyFrame =
     append("t_closeness", "columns" -> jlist(columns),
       "sensitive_key" -> sensitiveKey, "t" -> t,
-      "mode" -> mode, "limit" -> limit)
+      "mode" -> mode, "limit" -> limit,
+      "method" -> method, "bins" -> bins)
   def bitextMine(idKey: String, embeddingKey: String,
       targetFrom: String, k: Int = 4, threshold: Double = 1.0,
       mutualBest: Boolean = false, method: String = "brute",

@@ -988,16 +988,29 @@ object Registry {
   // 2007): the layer l_diversity misses — a class with l distinct
   // sensitive values whose DISTRIBUTION diverges from the global one
   // still leaks. Categorical equal-distance EMD = total variation.
+  // `method: categorical` (default — equal-distance EMD = total
+  // variation) or `method: numeric` with `bins` (the paper's ordered
+  // EMD over equal-width buckets — the salary example).
   register("t_closeness") { (df, c, _) =>
     val cols = c("columns").strList
     val sensitive = c("sensitive_key").str
     val t = c("t").dbl
-    c.strOr("mode", "report") match {
-      case "report" => Profile.tCloseness(df, cols, sensitive, t)
-      case "groups" => Profile.tClosenessGroups(df, cols, sensitive, t,
-        c.intOr("limit", 1000))
+    val mode = c.strOr("mode", "report")
+    require(mode == "report" || mode == "groups",
+      s"t_closeness mode must be report|groups, got '$mode'")
+    c.strOr("method", "categorical") match {
+      case "categorical" =>
+        if (mode == "report") Profile.tCloseness(df, cols, sensitive, t)
+        else Profile.tClosenessGroups(df, cols, sensitive, t,
+          c.intOr("limit", 1000))
+      case "numeric" =>
+        val bins = c.intOr("bins", 16)
+        if (mode == "report")
+          Profile.tClosenessNumeric(df, cols, sensitive, t, bins)
+        else Profile.tClosenessNumericGroups(df, cols, sensitive, t,
+          bins, c.intOr("limit", 1000))
       case other => throw new IllegalArgumentException(
-        s"t_closeness mode must be report|groups, got '$other'")
+        s"t_closeness method must be categorical|numeric, got '$other'")
     }
   }
   // WordPiece tokenizer training (§2.14 engine extension, Schuster &
@@ -1929,6 +1942,12 @@ object Registry {
   register("wer") { (df, c, _) =>
     TextSim.wer(df, c("id_keys").strList, c("candidate_key").str,
       c("reference_key").str, c.intOr("max_tokens", 2000))
+  }
+  // Character error rate (§2.14 SFT QA): WER's character-level sibling
+  // over the canonical token form — the ASR/OCR gate.
+  register("cer") { (df, c, _) =>
+    TextSim.cer(df, c("id_keys").strList, c("candidate_key").str,
+      c("reference_key").str, c.intOr("max_chars", 10000))
   }
   // Exact edit-distance near-dup pairs (§2.14 dedup family): PassJoin
   // pigeonhole blocking + levenshtein verify, recall 1 at threshold t.

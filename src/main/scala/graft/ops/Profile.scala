@@ -452,6 +452,127 @@ object Profile {
         round(col("_d2").cast("double") / 2e6, 6).as("t_value"): _*)
   }
 
+  /** Per-class SCALED ordered EMD to the global distribution of a
+    * NUMERIC sensitive column, in integer micro units (`_ds` =
+    * Σ|prefix| where D = _ds / ((bins−1)·1e6)), plus class size `_n` —
+    * the shared core of both numeric t-closeness arms.
+    *
+    * The paper's ordered-distance EMD (Li et al. 2007 §4, the salary
+    * example) is D = (1/(m−1)) Σᵢ |Σ_{j≤i}(p_j − q_j)| over the m
+    * ordered values; continuous attributes bin to `bins` equal-width
+    * buckets over the global [min, max] ([[histogram]]'s pinned-bounds
+    * convention — identical IEEE arithmetic replays in an external
+    * oracle). Every class must see EVERY bin (a bin the class lacks
+    * still moves the prefix), so the skeleton explodes bins per class —
+    * class × bins rows where bins is a CONFIG CONSTANT, never
+    * data-sized; the prefix sum is a window whose partitions are
+    * exactly `bins` rows (bounded by config, not by data — not a
+    * hot-key window). Per-bin p/q round to integer micro units before
+    * the prefix sum (the q149 rule). NULL/NaN sensitive values have no
+    * position on an ordered axis and are EXCLUDED from both
+    * distributions (unlike the categorical arm, where NULL is a
+    * value); an input with no usable sensitive values fails LOUD. */
+  private def tClosenessNumericClasses(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, bins: Int): DataFrame = {
+    val v = col(sensitiveCol).cast("double")
+    val usable = df.filter(v.isNotNull && !isnan(v))
+    val bounds = usable.agg(min(v), max(v), count(lit(1))).collect().head
+    require(bounds.getLong(2) > 0, "t_closeness numeric: no usable " +
+      s"(non-null, non-NaN) values in '$sensitiveCol' — a privacy gate " +
+      "over nothing must fail, not report zero risk")
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    // a constant column: every class distribution equals the global one
+    val bin = if (lo == hi) lit(0L)
+      else least(greatest(floor((v - lo) * bins / (hi - lo)), lit(0)),
+        lit(bins - 1)).cast("bigint")
+    val binCounts = usable
+      .select(struct(qiCols.map(col): _*).as("_qi"), bin.as("_bin"))
+      .groupBy(col("_qi"), col("_bin"))
+      .agg(count(lit(1)).as("_c"))
+    val classTotals = binCounts.groupBy(col("_qi").as("_qik"))
+      .agg(sum(col("_c")).as("_n"))
+    val globalBins = binCounts.groupBy(col("_bin").as("_gbin"))
+      .agg(sum(col("_c")).as("_g"))
+    val n = bounds.getLong(2)
+    // class × bins skeleton (bins = a config constant, never data-sized)
+    val skeleton = classTotals
+      .withColumn("_sbin", explode(sequence(lit(0L), lit(bins - 1L))))
+    val perBin = skeleton
+      .join(binCounts, col("_qik") === col("_qi") &&
+        col("_sbin") === col("_bin"), "left")
+      .join(globalBins, col("_sbin") === col("_gbin"), "left")
+      .withColumn("_pq",
+        round(coalesce(col("_c"), lit(0L)).cast("double") / col("_n") *
+          1e6).cast("bigint") -
+        round(coalesce(col("_g"), lit(0L)).cast("double") / n *
+          1e6).cast("bigint"))
+    // partition size == bins exactly — config-bounded, not a hot key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qik")).orderBy(col("_sbin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perBin.withColumn("_prefix", sum(col("_pq")).over(w))
+      .groupBy(col("_qik").as("_qi"))
+      .agg(sum(abs(col("_prefix"))).as("_ds"), first(col("_n")).as("_n"))
+  }
+
+  /** t-closeness report for a NUMERIC sensitive column (the paper's
+    * salary example): ordered EMD over `bins` equal-width buckets —
+    * nearby values leak less than distant ones, which the categorical
+    * arm cannot express. One report row; a class violates when its
+    * distance exceeds `t` (integer-micro gate: Σ|prefix| against
+    * round(t·1e6)·(bins−1), exact on both engines). */
+  def tClosenessNumeric(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, t: Double, bins: Int = 16): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"t must be in (0, 1], got $t")
+    require(bins >= 2 && bins <= 1024,
+      s"bins must be in [2, 1024], got $bins")
+    val bar = math.round(t * 1e6) * (bins - 1L)
+    val denom = (bins - 1L) * 1e6
+    val classes = tClosenessNumericClasses(df, qiCols, sensitiveCol, bins)
+    classes.agg(
+        coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        coalesce(sum(when(col("_ds") > bar, col("_n")).otherwise(0L)),
+          lit(0L)).as("n_rows_above"),
+        coalesce(sum(when(col("_ds") > bar, 1L).otherwise(0L)), lit(0L))
+          .as("n_classes_above"),
+        max(col("_ds")).as("_maxDs"))
+      .select(lit(t).as("t"), lit(bins.toLong).as("bins"), col("n_rows"),
+        col("n_classes"), col("n_rows_above"), col("n_classes_above"),
+        round(coalesce(col("_maxDs"), lit(0L)).cast("double") / denom, 6)
+          .as("max_t"),
+        round(col("n_rows_above").cast("double") /
+          greatest(col("n_rows"), lit(1L)).cast("double"), 6)
+          .as("frac_rows_above"))
+  }
+
+  /** The above-t worklist for [[tClosenessNumeric]] — same contract as
+    * [[tClosenessGroups]]. */
+  def tClosenessNumericGroups(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, t: Double, bins: Int = 16,
+      limit: Int = 1000): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"t must be in (0, 1], got $t")
+    require(bins >= 2 && bins <= 1024,
+      s"bins must be in [2, 1024], got $bins")
+    require(limit >= 1 && limit <= 1000000,
+      s"limit must be in [1, 1000000], got $limit")
+    val bar = math.round(t * 1e6) * (bins - 1L)
+    val denom = (bins - 1L) * 1e6
+    val qi = (c: String) => col("_qi").getField(c)
+    val tie = concat_ws("\u0001",
+      qiCols.flatMap(c => Seq(
+        when(qi(c).isNull, lit("0")).otherwise(lit("1")),
+        coalesce(qi(c).cast("string"), lit("")))): _*)
+    tClosenessNumericClasses(df, qiCols, sensitiveCol, bins)
+      .filter(col("_ds") > bar)
+      .orderBy(col("_n").desc, tie)
+      .limit(limit)
+      .select(qiCols.map(c => qi(c).as(c)) :+
+        col("_n").as("group_size") :+
+        round(col("_ds").cast("double") / denom, 6).as("t_value"): _*)
+  }
+
   /** ENTROPY l-diversity report (Machanavajjhala 2006 §3.2 — the
     * stronger instantiation: a class passes when the entropy of its
     * sensitive-value distribution is at least ln(l), so a class of

@@ -173,7 +173,7 @@ object TextSim {
   def wer(df: DataFrame, idCols: Seq[String], candCol: String,
       refCol: String, maxTokens: Int = 2000): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
-    dpMetric(df, idCols, candCol, refCol, maxTokens,
+    dpMetric(df, idCols, candCol, refCol, maxTokens, "tokens", tokens,
       Seq(StructField("edits", LongType, nullable = false),
         StructField("wer", DoubleType, nullable = false)),
       (c, r) => {
@@ -183,33 +183,63 @@ object TextSim {
       })
   }
 
+  /** Per-row character error rate — WER's character-level sibling (the
+    * other standard ASR/OCR gate): character Levenshtein edits over
+    * the reference's character count. Characters are those of the
+    * CANONICAL token form — lowercased alphanumeric tokens joined by
+    * single spaces (the same [[tokens]] normalization WER ranks on, so
+    * the two metrics always see consistent text). Empty-reference
+    * convention matches [[wer]]: edits/max(ref, 1). Output:
+    * (idCols..., cand_chars, ref_chars, edits, cer, truncated).
+    *
+    * Scale shape: [[wer]]'s exactly — the shared [[dpMetric]]
+    * scaffolding, one mapPartitions kernel, clamp observable. */
+  def cer(df: DataFrame, idCols: Seq[String], candCol: String,
+      refCol: String, maxChars: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    // split-by-empty keeps a trailing "" element (Java split semantics
+    // under Spark's limit = -1) — filter it, and "" stages to []
+    val chars = (c: Column) =>
+      filter(split(concat_ws(" ", tokens(c)), ""), ch => ch =!= "")
+    dpMetric(df, idCols, candCol, refCol, maxChars, "chars", chars,
+      Seq(StructField("edits", LongType, nullable = false),
+        StructField("cer", DoubleType, nullable = false)),
+      (c, r) => {
+        val e = editDist(c, r)
+        Seq[Any](e.toLong,
+          graft.core.Num.rnd6(e.toDouble / math.max(r.length, 1)))
+      })
+  }
+
   /** Shared scaffolding for the per-row DP metrics ([[rougeL]],
-    * [[wer]]): stage both sides' token arrays, clamp to `maxTokens`
-    * with the OBSERVABLE `truncated` flag, and run `metric` over the
-    * clamped pair in one mapPartitions kernel (no join, no shuffle).
-    * Output: (idCols..., cand_tokens, ref_tokens, metricFields...,
-    * truncated); `metric` returns the metricFields values in order. */
+    * [[wer]], [[cer]]): stage both sides' unit arrays (words or
+    * characters via `stage`), clamp to `maxUnits` with the OBSERVABLE
+    * `truncated` flag, and run `metric` over the clamped pair in one
+    * mapPartitions kernel (no join, no shuffle). Output: (idCols...,
+    * cand_<unit>, ref_<unit>, metricFields..., truncated); `metric`
+    * returns the metricFields values in order. */
   private def dpMetric(df: DataFrame, idCols: Seq[String],
-      candCol: String, refCol: String, maxTokens: Int,
+      candCol: String, refCol: String, maxUnits: Int, unit: String,
+      stage: Column => Column,
       metricFields: Seq[org.apache.spark.sql.types.StructField],
       metric: (Array[String], Array[String]) => Seq[Any]): DataFrame = {
     require(idCols.nonEmpty, "need at least one id column")
-    require(maxTokens >= 1 && maxTokens <= 20000,
-      s"maxTokens must be in [1, 20000], got $maxTokens")
+    require(maxUnits >= 1 && maxUnits <= 100000,
+      s"max units must be in [1, 100000], got $maxUnits")
     val ids = idCols.map(col)
-    val staged = df.select(ids :+ tokens(col(candCol)).as("_ctf") :+
-      tokens(col(refCol)).as("_rtf"): _*)
+    val staged = df.select(ids :+ stage(col(candCol)).as("_ctf") :+
+      stage(col(refCol)).as("_rtf"): _*)
     val proj = staged.select(ids :+
-      slice(col("_ctf"), 1, maxTokens).as("_ct") :+
-      slice(col("_rtf"), 1, maxTokens).as("_rt") :+
-      (size(col("_ctf")) > maxTokens || size(col("_rtf")) > maxTokens)
+      slice(col("_ctf"), 1, maxUnits).as("_ct") :+
+      slice(col("_rtf"), 1, maxUnits).as("_rt") :+
+      (size(col("_ctf")) > maxUnits || size(col("_rtf")) > maxUnits)
         .as("_trunc"): _*)
     val nIds = idCols.length
     import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
     val outSchema = StructType(
       (proj.schema.fields.take(nIds) ++ Seq(
-        StructField("cand_tokens", LongType, nullable = false),
-        StructField("ref_tokens", LongType, nullable = false)) ++
+        StructField(s"cand_$unit", LongType, nullable = false),
+        StructField(s"ref_$unit", LongType, nullable = false)) ++
         metricFields) :+
         StructField("truncated", BooleanType, nullable = false))
     proj.mapPartitions { it =>
@@ -370,7 +400,7 @@ object TextSim {
   def rougeL(df: DataFrame, idCols: Seq[String], candCol: String,
       refCol: String, maxTokens: Int = 2000): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
-    dpMetric(df, idCols, candCol, refCol, maxTokens,
+    dpMetric(df, idCols, candCol, refCol, maxTokens, "tokens", tokens,
       Seq(StructField("lcs", LongType, nullable = false),
         StructField("precision", DoubleType, nullable = false),
         StructField("recall", DoubleType, nullable = false),

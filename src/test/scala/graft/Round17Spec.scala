@@ -249,6 +249,60 @@ class Round17Spec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition"), plan.take(1200))
   }
 
+  test("tClosenessNumeric: hand-computed ordered EMD over bins") {
+    val schema = StructType(Seq(StructField("lang", StringType),
+      StructField("v", DoubleType)))
+    val d = df(schema,
+      Row("a", 0.0), Row("a", 0.0), Row("b", 10.0), Row("b", 0.0),
+      Row("a", null)) // null sensitive: excluded from BOTH distributions
+    // bins=2 over [0,10]: global q=(.75,.25); class a p=(1,0) -> EMD
+    // |1-.75|/(2-1) = .25; class b p=(.5,.5) -> |.5-.75| = .25
+    val r = graft.ops.Profile.tClosenessNumeric(d, Seq("lang"), "v",
+      t = 0.2, bins = 2).collect().head
+    assert(r.getLong(r.fieldIndex("n_rows")) == 4L)
+    assert(r.getLong(r.fieldIndex("n_classes")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_classes_above")) == 2L)
+    assert(r.getDouble(r.fieldIndex("max_t")) == 0.25)
+    // at t = 0.3 nothing violates; groups arm agrees
+    val r2 = graft.ops.Profile.tClosenessNumeric(d, Seq("lang"), "v",
+      t = 0.3, bins = 2).collect().head
+    assert(r2.getLong(r2.fieldIndex("n_classes_above")) == 0L)
+    val g = graft.ops.Profile.tClosenessNumericGroups(d, Seq("lang"),
+      "v", t = 0.2, bins = 2).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(g == Set(("a", 2L, 0.25), ("b", 2L, 0.25)))
+    // an all-null sensitive column fails LOUD (privacy-gate convention)
+    val allNull = df(schema, Row("a", null))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Profile.tClosenessNumeric(allNull, Seq("lang"), "v", 0.2)
+    }
+    assert(e.getMessage.contains("no usable"))
+    // a constant column: every class matches the global distribution
+    val const = df(schema, Row("a", 5.0), Row("b", 5.0))
+    val rc = graft.ops.Profile.tClosenessNumeric(const, Seq("lang"), "v",
+      t = 0.2, bins = 4).collect().head
+    assert(rc.getLong(rc.fieldIndex("n_classes_above")) == 0L)
+    assert(rc.getDouble(rc.fieldIndex("max_t")) == 0.0)
+    // registry dispatch: method numeric reaches the ordered arm
+    val viaReg = graft.api.Registry("t_closeness")(d, graft.api.Conf.fromYaml(
+      """type: t_closeness
+        |columns: [lang]
+        |sensitive_key: v
+        |t: 0.2
+        |method: numeric
+        |bins: 2""".stripMargin), ctx())
+    assert(viaReg.collect().head.toSeq == r.toSeq)
+    val bad = intercept[IllegalArgumentException] {
+      graft.api.Registry("t_closeness")(d, graft.api.Conf.fromYaml(
+        """type: t_closeness
+          |columns: [lang]
+          |sensitive_key: v
+          |t: 0.2
+          |method: ordinal""".stripMargin), ctx())
+    }
+    assert(bad.getMessage.contains("categorical|numeric"))
+  }
+
   // ------------------------- WER completes the generation metrics
 
   test("wer: edit-distance kernel, conventions, truncated flag") {
@@ -273,6 +327,25 @@ class Round17Spec extends SparkSpec {
       df(schema, Row(6L, "a b c d", "a b e")), Seq("id"), "cand", "ref",
       maxTokens = 2).collect().head
     assert(t.getLong(3) == 0L && t.getBoolean(5))
+  }
+
+  test("cer: canonical-char kernel and clamp flag") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("cand", StringType), StructField("ref", StringType)))
+    val d = df(schema,
+      Row(1L, "ab c", "ab cd"),   // canonical prefix -> 1 deletion / 5
+      Row(2L, "xb", "ab"),        // 1 substitution / 2
+      Row(3L, "AB,  c", "ab c"))  // canonicalization: punct/case fold
+    val out = graft.ops.TextSim.cer(d, Seq("id"), "cand", "ref")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((4L, 5L, 1L, 0.2)))
+    assert(out(2L) == ((2L, 2L, 1L, 0.5)))
+    assert(out(3L) == ((4L, 4L, 0L, 0.0)))
+    val t = graft.ops.TextSim.cer(
+      df(schema, Row(4L, "abcd", "abcd")), Seq("id"), "cand", "ref",
+      maxChars = 3).collect().head
+    assert(t.getLong(1) == 3L && t.getLong(3) == 0L && t.getBoolean(5))
   }
 
   // --------------- byte-BPE golden merge-order traces (item 8)
