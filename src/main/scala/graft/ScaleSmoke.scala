@@ -91,7 +91,27 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("graft_scale")
+    // up to 101x sf0.1 of synthetic parquet — delete it even when a
+    // family throws (a finally, not a last line), and close the walk
+    // stream (it holds a directory handle)
+    def cleanupTmp(): Unit = {
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val pass = try { run(spark, sfDir, scales, outFile, cpus, tmp) }
+      finally {
+        cleanupTmp()
+        spark.stop()
+      }
+    if (!pass) sys.exit(1)
+  }
 
+  /** The measured body — returns the PASS verdict. */
+  private def run(spark: SparkSession, sfDir: String, scales: Seq[Int],
+      outFile: String, cpus: String, tmp: java.nio.file.Path): Boolean = {
+    import scala.jdk.CollectionConverters._
     val phrases = spark.createDataFrame(
       Seq("badphrase one", "forbidden combo", "xyzzy").map(
         org.apache.spark.sql.Row(_)).asJava,
@@ -177,11 +197,6 @@ object ScaleSmoke {
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       sb.toString.getBytes("UTF-8"))
     println(sb.toString)
-    spark.stop()
-    // up to 101x sf0.1 of synthetic parquet — never leave it in /tmp
-    import scala.jdk.CollectionConverters.IteratorHasAsScala
-    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    if (!pass) sys.exit(1)
+    pass
   }
 }

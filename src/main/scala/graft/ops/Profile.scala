@@ -385,6 +385,10 @@ object Profile {
       sensitiveCol: String): DataFrame = {
     val cells = cellsWithClassTotals(df, qiCols, sensitiveCol)
     val n = df.count()
+    // a privacy gate over nothing must fail, not report zero risk
+    // (the numeric arm's rule — both arms hold it)
+    require(n > 0, "t_closeness: empty input — a privacy gate over " +
+      "nothing must fail, not report zero risk")
     val g = cells.groupBy(struct(col(sensitiveCol)).as("_sv"))
       .agg(sum(col("_c")).as("_g"))
     cells.withColumn("_svk", struct(col(sensitiveCol)))
@@ -474,6 +478,11 @@ object Profile {
     * value); an input with no usable sensitive values fails LOUD. */
   private def tClosenessNumericClasses(df: DataFrame, qiCols: Seq[String],
       sensitiveCol: String, bins: Int): DataFrame = {
+    // the same quasi-identifier validations the categorical arm gets
+    // from lDiversityCells — identical YAML must fail identically
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!qiCols.contains(sensitiveCol),
+      "sensitive column cannot be a quasi-identifier")
     val v = col(sensitiveCol).cast("double")
     val usable = df.filter(v.isNotNull && !isnan(v))
     val bounds = usable.agg(min(v), max(v), count(lit(1))).collect().head

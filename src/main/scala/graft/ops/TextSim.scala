@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   * or are closed form from lengths (char/BLEU); every metric is a
   * ratio of exact BIGINT counts.
   *
-  * The whole family ([[ngramF1]], [[bleu]], [[chrF]]) shares ONE
-  * gram-structs builder and ONE clipped-overlap pipeline —
-  * [[orderedGramStructs]] / [[clippedOverlap]] — so a fourth metric
-  * composes them instead of cloning the machinery.
+  * The multi-order metrics ([[bleu]], [[chrF]]) share ONE gram-structs
+  * builder and ONE clipped-overlap pipeline — [[orderedGramStructs]] /
+  * [[clippedOverlap]] — so another multi-order metric composes them
+  * instead of cloning the machinery. [[ngramF1]] (single order)
+  * deliberately keeps a plain-string gram path: the (order, gram)
+  * struct key and the flatten-over-orders wrapper each measured ~10×
+  * slower on single-order shapes (the r17 q193 bench regression),
+  * while the multi-order metrics amortize them across orders.
   */
 object TextSim {
 
@@ -91,15 +95,30 @@ object TextSim {
     val ids = idCols.map(col)
     val staged = df.select(ids :+ tokens(col(candCol)).as("_ctf") :+
       tokens(col(refCol)).as("_rtf"): _*)
-    val base = staged.select(ids :+
-      wordGramStructs(col("_ctf"), n to n).as("_cg") :+
-      wordGramStructs(col("_rtf"), n to n).as("_rg"): _*)
+    // single-order fast path: PLAIN string grams, no (order, gram)
+    // structs and no flatten(array(...)) wrapper — Probe17 measured the
+    // multi-order machinery 10x slower on single-order shapes (structs
+    // and the flatten wrapper each cost ~10x independently; BENCH r51's
+    // q193 1.49s vs 0.12s regression), while the multi-order metrics
+    // ([[bleu]]/[[chrF]]) amortize it across orders and stay flat
+    def gramsOf(c: Column): Column =
+      when(size(c) >= n,
+        transform(sequence(lit(1), size(c) - (n - 1)),
+          i => array_join(slice(c, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val base = staged.select(ids :+ gramsOf(col("_ctf")).as("_cg") :+
+      gramsOf(col("_rtf")).as("_rg"): _*)
     val totals = base.select(ids :+ size(col("_cg")).cast("bigint")
       .as("cand_grams") :+ size(col("_rg")).cast("bigint")
       .as("ref_grams"): _*)
-    val overlap = clippedOverlap(base, idCols, col("_cg"), col("_rg"))
-      .drop("_n")
-      .withColumnRenamed("_ov", "overlap")
+    def counted(g: String, out: String) = base
+      .select(ids :+ explode(col(g)).as("_g"): _*)
+      .groupBy(ids :+ col("_g"): _*)
+      .agg(count(lit(1)).as(out))
+    val overlap = counted("_cg", "_cc")
+      .join(counted("_rg", "_rc"), idCols :+ "_g")
+      .groupBy(ids: _*)
+      .agg(sum(least(col("_cc"), col("_rc"))).as("overlap"))
     val joined = totals.join(overlap, idCols, "left")
       .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
     val p = when(col("cand_grams") > 0,
@@ -173,6 +192,8 @@ object TextSim {
   def wer(df: DataFrame, idCols: Seq[String], candCol: String,
       refCol: String, maxTokens: Int = 2000): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    require(maxTokens >= 1 && maxTokens <= 20000,
+      s"maxTokens must be in [1, 20000], got $maxTokens")
     dpMetric(df, idCols, candCol, refCol, maxTokens, "tokens", tokens,
       Seq(StructField("edits", LongType, nullable = false),
         StructField("wer", DoubleType, nullable = false)),
@@ -197,6 +218,8 @@ object TextSim {
   def cer(df: DataFrame, idCols: Seq[String], candCol: String,
       refCol: String, maxChars: Int = 10000): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    require(maxChars >= 1 && maxChars <= 100000,
+      s"maxChars must be in [1, 100000], got $maxChars")
     // split-by-empty keeps a trailing "" element (Java split semantics
     // under Spark's limit = -1) — filter it, and "" stages to []
     val chars = (c: Column) =>
@@ -224,6 +247,9 @@ object TextSim {
       metricFields: Seq[org.apache.spark.sql.types.StructField],
       metric: (Array[String], Array[String]) => Seq[Any]): DataFrame = {
     require(idCols.nonEmpty, "need at least one id column")
+    // backstop only — each public metric enforces its own NAMED bound
+    // (rougeL/wer 20k tokens, cer 100k chars) with its parameter name
+    // in the message, so a config error maps to the offending key
     require(maxUnits >= 1 && maxUnits <= 100000,
       s"max units must be in [1, 100000], got $maxUnits")
     val ids = idCols.map(col)
@@ -400,6 +426,8 @@ object TextSim {
   def rougeL(df: DataFrame, idCols: Seq[String], candCol: String,
       refCol: String, maxTokens: Int = 2000): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField}
+    require(maxTokens >= 1 && maxTokens <= 20000,
+      s"maxTokens must be in [1, 20000], got $maxTokens")
     dpMetric(df, idCols, candCol, refCol, maxTokens, "tokens", tokens,
       Seq(StructField("lcs", LongType, nullable = false),
         StructField("precision", DoubleType, nullable = false),

@@ -283,6 +283,17 @@ class Round17Spec extends SparkSpec {
       t = 0.2, bins = 4).collect().head
     assert(rc.getLong(rc.fieldIndex("n_classes_above")) == 0L)
     assert(rc.getDouble(rc.fieldIndex("max_t")) == 0.0)
+    // review fixes: numeric gets the categorical arm's validations,
+    // and BOTH arms fail loud on degenerate input
+    val eQi = intercept[IllegalArgumentException] {
+      graft.ops.Profile.tClosenessNumeric(d, Seq("v"), "v", 0.2)
+    }
+    assert(eQi.getMessage.contains("quasi-identifier"))
+    val eEmpty = intercept[IllegalArgumentException] {
+      graft.ops.Profile.tCloseness(d.filter(lit(false)), Seq("lang"),
+        "v", 0.2)
+    }
+    assert(eEmpty.getMessage.contains("empty input"), eEmpty.getMessage)
     // registry dispatch: method numeric reaches the ordered arm
     val viaReg = graft.api.Registry("t_closeness")(d, graft.api.Conf.fromYaml(
       """type: t_closeness
@@ -346,6 +357,17 @@ class Round17Spec extends SparkSpec {
       df(schema, Row(4L, "abcd", "abcd")), Seq("id"), "cand", "ref",
       maxChars = 3).collect().head
     assert(t.getLong(1) == 3L && t.getLong(3) == 0L && t.getBoolean(5))
+    // the shared scaffolding must NOT have widened the word metrics'
+    // bound: 20k tokens stays the rougeL/wer ceiling, with the
+    // parameter NAME in the message (cer's char ceiling is wider)
+    for (f <- Seq(
+        () => graft.ops.TextSim.rougeL(d, Seq("id"), "cand", "ref", 50000),
+        () => graft.ops.TextSim.wer(d, Seq("id"), "cand", "ref", 50000))) {
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("maxTokens must be in [1, 20000]"))
+    }
+    assert(graft.ops.TextSim.cer(d, Seq("id"), "cand", "ref", 50000)
+      .collect().length == 3)
   }
 
   // --------------- byte-BPE golden merge-order traces (item 8)
