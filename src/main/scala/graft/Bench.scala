@@ -85,6 +85,47 @@ object Bench {
     if (noisy) System.err.println(
       "[graft] bench: median spread exceeds 50% of median min — this run " +
         "was taken under load; treat per-query numbers as upper bounds")
+    // Cross-run environment gauge: UNIFORM machine-load inflation never
+    // trips the within-run spread heuristic (all three iterations are
+    // equally slow), so compare this run's per-query mins against the
+    // best committed artifact history. Median ratio ~1 = clean
+    // environment; >>1 = the whole run is inflated and per-query deltas
+    // vs older artifacts are environment, not code (BENCH_r52-r54 ran
+    // ~1.25-1.38x on binaries identical to r51's 1.07x).
+    val envRatio: Option[Double] = try {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val hist = scala.collection.mutable.Map[String, Double]()
+      val dirStream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      try {
+        val it = dirStream.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (re.findFirstIn(f.getFileName.toString).isDefined) {
+            val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+            // same-scale artifacts only — an sf0.01 dev run must not
+            // compare against the committed sf0.1 history
+            val sameSf = txt.contains(s""""sf":"$sfDir"""")
+            // scope to the "queries" map — "spread" repeats the keys
+            val qi = if (sameSf) txt.indexOf("\"queries\":{") else -1
+            val end = if (qi >= 0) txt.indexOf("}", qi) else -1
+            if (qi >= 0 && end > qi) {
+              val qre = """"(q[0-9][A-Za-z0-9_]*)":([0-9.eE+-]+)""".r
+              for (m <- qre.findAllMatchIn(txt.substring(qi, end + 1))) {
+                val q = m.group(1); val v = m.group(2).toDouble
+                hist.update(q, math.min(hist.getOrElse(q, Double.MaxValue), v))
+              }
+            }
+          }
+        }
+      } finally dirStream.close()
+      val ratios = results.flatMap { case (q, minSec, _) =>
+        hist.get(q).filter(_ > 0.01).map(h => minSec / h) }
+      if (ratios.size >= 20)
+        Some(math.round(median(ratios) * 1000) / 1000.0)
+      else None
+    } catch { case _: Exception => None }
+    val envField = envRatio.map(r => s""""env_ratio_vs_best":$r,""")
+      .getOrElse("")
     // Measurement-environment provenance: the bench JVM switched to a
     // fixed heap (-Xms = -Xmx) + UseParallelGC at BENCH_r46 — earlier
     // artifacts were G1-collected, so cross-era per-query deltas mix a
@@ -97,7 +138,7 @@ object Bench {
       s"; heap=${Runtime.getRuntime.maxMemory() >> 20}m").toString
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""iterations":$iters,"spread":$spreads,"noisy_run":$noisy,""" +
-      s""""jvm":"$jvm","sf":"$sfDir"}"""
+      envField + s""""jvm":"$jvm","sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout, and a 67-query 3-iteration
     // JSON line is long enough to lose its head to that window (it did in
     // round 7 — the judge had to re-run the bench). Persist the full line to
