@@ -9804,9 +9804,16 @@ object Queries {
           SELECT doc_id, len(list_filter(string_split_regex(lower(text),
             '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS nt
           FROM documents),
-        m AS (SELECT doc_id, nt, (nt // 3)::BIGINT AS e FROM t)
-        SELECT doc_id, nt AS cand_tokens, nt AS ref_tokens, e AS edits,
-               round_even(e::DOUBLE / greatest(nt, 1), 6) AS wer,
+        -- the closed form holds PAST the kernel's maxTokens clamp: both
+        -- sides clamp to their first least(nt, 2000) tokens, the noise
+        -- substitutions at positions i%3=0 survive the prefix, so
+        -- edits = least(nt, 2000) // 3 and the reported lengths are
+        -- post-clamp (r18: the oracle's validity domain is now the
+        -- whole corpus, not rows under the clamp)
+        m AS (SELECT doc_id, nt, least(nt, 2000)::BIGINT AS ct FROM t)
+        SELECT doc_id, ct AS cand_tokens, ct AS ref_tokens,
+               (ct // 3)::BIGINT AS edits,
+               round_even((ct // 3)::DOUBLE / greatest(ct, 1), 6) AS wer,
                (nt > 2000) AS truncated
         FROM m""")
     ),
@@ -9932,12 +9939,21 @@ object Queries {
         m AS (SELECT doc_id, length(clean)::BIGINT AS lr,
                      length(rtrim(substr(clean, 1,
                        length(clean) // 2)))::BIGINT AS lc
-              FROM c)
-        SELECT doc_id, lc AS cand_chars, lr AS ref_chars,
-               (lr - lc)::BIGINT AS edits,
-               round_even((lr - lc)::DOUBLE / greatest(lr, 1), 6) AS cer,
+              FROM c),
+        -- clamp-correct closed form (r18): both sides clamp to their
+        -- first least(len, 10000) canonical chars; the clamped
+        -- candidate is STILL a prefix of the clamped reference (both
+        -- are prefixes of `clean` with kc <= kr), so the distance
+        -- stays the deleted-tail length kr - kc on every row — the
+        -- oracle's validity domain is the whole corpus
+        k AS (SELECT doc_id, lr, least(lc, 10000)::BIGINT AS kc,
+                     least(lr, 10000)::BIGINT AS kr
+              FROM m)
+        SELECT doc_id, kc AS cand_chars, kr AS ref_chars,
+               (kr - kc)::BIGINT AS edits,
+               round_even((kr - kc)::DOUBLE / greatest(kr, 1), 6) AS cer,
                (lr > 10000) AS truncated
-        FROM m""")
+        FROM k""")
     ))
 
   /** Planted mojibake sample for q182: CP1252 trios (’ “ ” –), Ã accent

