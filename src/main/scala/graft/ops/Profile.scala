@@ -384,13 +384,24 @@ object Profile {
   private def tClosenessClasses(df: DataFrame, qiCols: Seq[String],
       sensitiveCol: String): DataFrame = {
     val cells = cellsWithClassTotals(df, qiCols, sensitiveCol)
-    val n = df.count()
+    val head = df.agg(count(lit(1)),
+      approx_count_distinct(col(sensitiveCol))).collect().head
+    val n = head.getLong(0)
     // a privacy gate over nothing must fail, not report zero risk
     // (the numeric arm's rule — both arms hold it)
     require(n > 0, "t_closeness: empty input — a privacy gate over " +
       "nothing must fail, not report zero risk")
-    val g = cells.groupBy(struct(col(sensitiveCol)).as("_sv"))
+    val g0 = cells.groupBy(struct(col(sensitiveCol)).as("_sv"))
       .agg(sum(col("_c")).as("_g"))
+    // The global distribution is distinct-sensitive-value-sized — the
+    // shape the engine broadcasts everywhere else. A shuffle join here
+    // keys the cells table by the RAW sensitive value, which goes hot
+    // on a realistic dominant value (95% "none" is the normal privacy-
+    // audit case); broadcasting g removes that exchange entirely.
+    // Guarded by the distinct count (one approx sketch riding the
+    // fail-loud agg above): a free-text sensitive column (ndv ~ rows)
+    // keeps the shuffle arm, where AQE skew-splitting applies.
+    val g = if (head.getLong(1) <= 100000L) broadcast(g0) else g0
     cells.withColumn("_svk", struct(col(sensitiveCol)))
       .join(g, col("_svk") === col("_sv"))
       .withColumn("_a", round(abs(col("_c").cast("double") / col("_n") -
@@ -509,7 +520,10 @@ object Profile {
     val perBin = skeleton
       .join(binCounts, col("_qik") === col("_qi") &&
         col("_sbin") === col("_bin"), "left")
-      .join(globalBins, col("_sbin") === col("_gbin"), "left")
+      // globalBins is at most `bins` rows (config constant) — always
+      // broadcastable, and a shuffle here would key by bin id (hot by
+      // construction: popular bins hold most of the corpus)
+      .join(broadcast(globalBins), col("_sbin") === col("_gbin"), "left")
       .withColumn("_pq",
         round(coalesce(col("_c"), lit(0L)).cast("double") / col("_n") *
           1e6).cast("bigint") -

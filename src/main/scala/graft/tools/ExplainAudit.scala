@@ -68,7 +68,11 @@ object ExplainAudit {
         // totals (no qi window), and the candidate-drop audit
         "q279_embedding_decontaminate", "q283_chrf", "q284_bleu",
         "q272_hard_negatives_ivf", "q276_dpo_tools",
-        "q280_l_diversity_entropy", "q285_bitext_audit")
+        "q280_l_diversity_entropy", "q285_bitext_audit",
+        // round-18 shapes: the broadcast global-distribution
+        // t-closeness join (no exchange on the sensitive key), the
+        // string-staged CER kernel, and the per-row-cell IVF audit
+        "q286_t_closeness", "q291_cer", "q292_bitext_ivf_audit")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -118,4 +118,38 @@ class Round18Spec extends SparkSpec {
     // clamped prefixes agree on the first 20 chars -> 0 edits
     assert(t.getLong(t.fieldIndex("edits")) == 0L)
   }
+
+  // ------ t-closeness: broadcast global-distribution join (item 3)
+
+  test("tCloseness: no exchange on the sensitive key; rows unchanged") {
+    val schema = StructType(Seq(StructField("lang", StringType),
+      StructField("source", StringType)))
+    // a dominant sensitive value (the hot-key case the broadcast
+    // exists for) plus a NULL sensitive value (must stay a value)
+    val rows = Seq.fill(40)(Row("en", "none")) ++
+      Seq(Row("en", "web"), Row("de", "none"), Row("de", null),
+        Row(null, "none"))
+    val p = java.nio.file.Files.createTempDirectory("graft_tclose")
+      .resolve("t.parquet").toString
+    df(schema, rows: _*).write.mode("overwrite").parquet(p)
+    val d = spark.read.parquet(p)
+    val rep = graft.ops.Profile.tCloseness(d, Seq("lang"), "source",
+      t = 0.15)
+    val plan = rep.queryExecution.executedPlan.toString
+    // the global-distribution join must broadcast (distinct-value-
+    // sized side), never shuffle the cells table by the raw sensitive
+    // value — a dominant value makes that key hot by construction
+    assert(!plan.contains("hashpartitioning(_svk"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    val r = rep.collect().head
+    assert(r.getLong(r.fieldIndex("n_rows")) == 44L)
+    assert(r.getLong(r.fieldIndex("n_classes")) == 3L)
+    // the groups arm shares the broadcast core; the de class (half
+    // "none", half NULL — the NULL sensitive value must stay a value)
+    // is far from the none-dominated global distribution
+    val groups = graft.ops.Profile.tClosenessGroups(d, Seq("lang"),
+      "source", t = 0.2, limit = 10).collect()
+    assert(groups.exists(g => !g.isNullAt(0) && g.getString(0) == "de" &&
+      g.getLong(g.fieldIndex("group_size")) == 2L), groups.mkString("; "))
+  }
 }
