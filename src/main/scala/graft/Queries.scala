@@ -35,7 +35,7 @@ object Queries {
     apiSurface ++ parsing ++ round5 ++ round7 ++ round8 ++ round9 ++ round9b ++
     round9c ++ round9d ++ round9e ++ round9f ++ round9h ++ round10 ++
     round10b ++ round11 ++ round12 ++ round14 ++ round15 ++ round16 ++
-    round17
+    round17 ++ round18
 
   // ---------------------------------------------------------------- parsing
 
@@ -10037,6 +10037,66 @@ object Queries {
                  len(string_split(chunks[i+1], ' '))::BIGINT AS n_words,
                  md5(chunks[i+1]) AS chunk_hash, chunks[i+1] AS chunk
           FROM c1, UNNEST(range(0, len(chunks))) AS t(i))"""
+
+  private def round18: Seq[(String, Q, Option[String])] = Seq(
+    (
+      // The IVF-arm audit at n_probe << n_cells (VERDICT r17 item 4 —
+      // the configuration a 100 TB mining run actually ships). The
+      // k-means coarse quantizer is made CLOSED-FORM replayable by the
+      // per-row-cell construction: with nCells >= |side| (and the side
+      // under trainCentroids' sample size) every distinct vector seeds
+      // its own centroid, Lloyd converges in one iteration with each
+      // point its own cell, and "probe the 2 nearest cells" becomes
+      // "probe the 2 euclidean-nearest OTHER-side vectors" — pure SQL.
+      // With nProbe (2) <= k (4) the per-query k-NN list IS the probed
+      // set, so the audit counts replay without cosine arithmetic:
+      // n_candidates = |fwd-probe pairs UNION bwd-probe pairs|. Every
+      // probed cell is non-empty by construction, so this fixture
+      // proves the ZERO-drop side of the audit under real partial
+      // probing; q285's planted partial bwd side gates the NONZERO
+      // drop arithmetic on the shared marginFromKnnAudit core.
+      "q292_bitext_ivf_audit",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") < 256)
+        graft.ops.BitextMine.marginIvfAudit(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          k = 4, nCells = 256, nProbe = 2)
+      },
+      Some("""
+        WITH src AS (SELECT vec_id AS sid,
+                       CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings
+                     WHERE vec_id < 256 AND vec_id % 2 = 0),
+        tgt AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings WHERE vec_id < 256 AND vec_id % 2 = 1),
+        fd AS (SELECT s.sid, t.tid, list_distance(s.e, t.e) AS d
+               FROM src s, tgt t),
+        fwdk AS (SELECT sid, tid FROM fd
+                 QUALIFY row_number() OVER (
+                   PARTITION BY sid ORDER BY d, tid) <= 2),
+        bwdk AS (SELECT sid, tid FROM fd
+                 QUALIFY row_number() OVER (
+                   PARTITION BY tid ORDER BY d, sid) <= 2),
+        cands AS (SELECT DISTINCT sid, tid FROM (
+          SELECT * FROM fwdk UNION ALL SELECT * FROM bwdk)),
+        sa AS (SELECT DISTINCT sid, 1 AS hs FROM fwdk),
+        ta AS (SELECT DISTINCT tid, 1 AS ht FROM bwdk),
+        j AS (SELECT c.sid, c.tid, sa.hs, ta.ht
+              FROM cands c
+              LEFT JOIN sa ON c.sid = sa.sid
+              LEFT JOIN ta ON c.tid = ta.tid)
+        SELECT count(*)::BIGINT AS n_candidates,
+               sum(CASE WHEN hs IS NOT NULL AND ht IS NOT NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS n_scored,
+               sum(CASE WHEN hs IS NULL OR ht IS NULL
+                 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+               sum(CASE WHEN hs IS NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_missing_src_avg,
+               sum(CASE WHEN ht IS NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_missing_tgt_avg
+        FROM j""")
+    ))
 
   /** Deterministic 8-subspace codebook for q121/q122: entry `code` of every
     * subspace is the matching slice of embedding row `vec_id = code`. */

@@ -816,21 +816,28 @@ final case class LazyFrame(
   def tCloseness(columns: Seq[String], sensitiveKey: String, t: Double,
       mode: String = "report", limit: Int = 1000,
       method: String = "categorical", bins: Int = 16): LazyFrame =
-    append("t_closeness", "columns" -> jlist(columns),
+    // bins only parameterizes the numeric arm; the categorical arm
+    // REJECTS it (contradictory-knob convention), so emit conditionally
+    append("t_closeness", (Seq[(String, Any)]("columns" -> jlist(columns),
       "sensitive_key" -> sensitiveKey, "t" -> t,
-      "mode" -> mode, "limit" -> limit,
-      "method" -> method, "bins" -> bins)
+      "mode" -> mode, "limit" -> limit, "method" -> method) ++
+      (if (method == "numeric") Seq("bins" -> (bins: Any))
+       else Seq.empty)): _*)
   def bitextMine(idKey: String, embeddingKey: String,
       targetFrom: String, k: Int = 4, threshold: Double = 1.0,
       mutualBest: Boolean = false, method: String = "brute",
       nCells: Int = 256, nProbe: Int = 8, mode: String = "mine",
       seed: Int = 42, targetIdKey: Option[String] = None,
       targetEmbeddingKey: Option[String] = None): LazyFrame =
+    // the audit counts UNFILTERED candidates, so threshold/mutual_best
+    // are rejected under mode: audit — emit them only for mining
     append("bitext_mine", (Seq[(String, Any)]("id_key" -> idKey,
       "embedding_key" -> embeddingKey, "target_from" -> targetFrom,
-      "k" -> k, "threshold" -> threshold, "mutual_best" -> mutualBest,
-      "method" -> method, "n_cells" -> nCells, "n_probe" -> nProbe,
-      "mode" -> mode, "seed" -> seed) ++
+      "k" -> k, "method" -> method, "n_cells" -> nCells,
+      "n_probe" -> nProbe, "mode" -> mode, "seed" -> seed) ++
+      (if (mode == "audit") Seq.empty[(String, Any)]
+       else Seq[(String, Any)]("threshold" -> threshold,
+         "mutual_best" -> mutualBest)) ++
       targetIdKey.map(v => "target_id_key" -> (v: Any)).toSeq ++
       targetEmbeddingKey.map(v =>
         "target_embedding_key" -> (v: Any)).toSeq): _*)

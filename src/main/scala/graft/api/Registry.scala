@@ -936,6 +936,15 @@ object Registry {
     val mode = c.strOr("mode", "mine")
     require(mode == "mine" || mode == "audit",
       s"bitext_mine mode must be mine|audit, got '$mode'")
+    // the audit counts candidates BEFORE any margin filtering, so a
+    // threshold/mutual_best knob under mode: audit is a contradiction —
+    // reject it rather than silently implying the report was filtered
+    // (the repo's contradictory-knob convention)
+    if (mode == "audit")
+      for (k <- Seq("threshold", "mutual_best"); if c.get(k).isDefined)
+        throw new IllegalArgumentException(
+          s"bitext_mine: '$k' has no effect under mode: audit — the " +
+            "audit counts unfiltered candidates; remove the knob")
     c.strOr("method", "brute") match {
       case "brute" =>
         if (mode == "audit")
@@ -1000,6 +1009,14 @@ object Registry {
       s"t_closeness mode must be report|groups, got '$mode'")
     c.strOr("method", "categorical") match {
       case "categorical" =>
+        // bins only parameterizes the numeric (ordered-EMD) arm; a
+        // categorical config carrying it is a miscopied YAML — reject
+        // rather than silently audit at a different granularity than
+        // the author believed
+        require(c.get("bins").isEmpty,
+          "t_closeness: 'bins' has no effect under method: categorical " +
+            "(total variation needs no binning) — remove the knob or " +
+            "set method: numeric")
         if (mode == "report") Profile.tCloseness(df, cols, sensitive, t)
         else Profile.tClosenessGroups(df, cols, sensitive, t,
           c.intOr("limit", 1000))

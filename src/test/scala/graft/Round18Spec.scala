@@ -152,4 +152,60 @@ class Round18Spec extends SparkSpec {
     assert(groups.exists(g => !g.isNullAt(0) && g.getString(0) == "de" &&
       g.getLong(g.fieldIndex("group_size")) == 2L), groups.mkString("; "))
   }
+
+  // -------- contradictory knobs fail loud (r17 ADVICE item 3)
+
+  private def ctx(datasets: Map[String, org.apache.spark.sql.DataFrame] =
+      Map.empty) =
+    graft.api.OpContext(spark, graft.llm.MockLlmClient(), datasets)
+
+  test("bitext_mine mode: audit rejects threshold/mutual_best") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("e", ArrayType(DoubleType))))
+    val side = df(schema, Row(0L, Seq(1.0, 0.0)), Row(1L, Seq(0.0, 1.0)))
+    val c = ctx(Map("tgt" -> side))
+    for (knob <- Seq("threshold: 1.1", "mutual_best: true")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.api.Registry("bitext_mine")(side, graft.api.Conf.fromYaml(
+          s"""type: bitext_mine
+             |target_from: tgt
+             |id_key: id
+             |embedding_key: e
+             |mode: audit
+             |$knob""".stripMargin), c)
+      }
+      assert(e.getMessage.contains("no effect under mode: audit"),
+        e.getMessage)
+    }
+    // the LazyFrame facade must stay constructible in audit mode (it
+    // suppresses the mining-only knobs instead of emitting defaults)
+    val yaml = graft.api.LazyFrame.read("docs", "x.json")
+      .bitextMine("id", "e", "tgt", mode = "audit").toYaml
+    assert(!yaml.contains("threshold") && !yaml.contains("mutual_best"),
+      yaml)
+  }
+
+  test("t_closeness method: categorical rejects bins") {
+    val schema = StructType(Seq(StructField("lang", StringType),
+      StructField("v", LongType)))
+    val d = df(schema, Row("en", 1L), Row("de", 2L))
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Registry("t_closeness")(d, graft.api.Conf.fromYaml(
+        """type: t_closeness
+          |columns: [lang]
+          |sensitive_key: v
+          |t: 0.2
+          |bins: 8""".stripMargin), ctx())
+    }
+    assert(e.getMessage.contains("no effect under method: categorical"),
+      e.getMessage)
+    // facade: bins emits only under method: numeric
+    val catYaml = graft.api.LazyFrame.read("docs", "x.json")
+      .tCloseness(Seq("lang"), "v", 0.2).toYaml
+    assert(!catYaml.contains("bins"), catYaml)
+    val numYaml = graft.api.LazyFrame.read("docs", "x.json")
+      .tCloseness(Seq("lang"), "v", 0.2, method = "numeric", bins = 8)
+      .toYaml
+    assert(numYaml.contains("bins"), numYaml)
+  }
 }
