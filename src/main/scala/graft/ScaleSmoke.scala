@@ -69,7 +69,14 @@ object ScaleSmoke {
   }
 
   private def heapMb(): Long = {
+    // two forced GCs with a settle pause: a single System.gc() leaves
+    // floating garbage (finalizable Spark blocks, weak-ref caches), which
+    // made the r17 table show x10 > x100 heap INVERSIONS (457 MB -> 85 MB
+    // for PassJoin) — measurement noise, not state growth
     System.gc()
+    Thread.sleep(200)
+    System.gc()
+    Thread.sleep(200)
     val rt = Runtime.getRuntime
     (rt.totalMemory() - rt.freeMemory()) >> 20
   }
@@ -137,7 +144,39 @@ object ScaleSmoke {
           .count()),
       "budget_select" -> (() =>
         graft.ops.BudgetSelect(docs, "n_chars", "n_chars",
-          budget = 150000L * k, tieBreak = "doc_id").count()))
+          budget = 150000L * k, tieBreak = "doc_id").count()),
+      // r18 additions (VERDICT r17 item 6): the DP-kernel family
+      // (WER + CER on a half-prefix candidate — the q288/q291 shape),
+      // the quantization family (PQ encode + IVF-PQ probe search),
+      // and the multi-agg datacard report
+      "wer_cer_kernels" -> (() => {
+        // interior noise (the q288 plant), NOT a prefix candidate: a
+        // prefix hits editDistChars' common-prefix strip and the DP
+        // never runs. Clamps bound the per-row DP so the smoke
+        // measures ROW scaling (the 100x question), not the per-row
+        // constant the bench already measures.
+        val toks = split(col("text"), " ")
+        val cand = docs.withColumn("_cand", concat_ws(" ",
+          zip_with(toks, sequence(lit(1), greatest(size(toks), lit(1))),
+            (w, i) => when(i % 3 === 0, lit("zzqx")).otherwise(w))))
+        graft.ops.TextSim.wer(cand, Seq("doc_id"), "_cand", "text",
+          maxTokens = 200).count() +
+          graft.ops.TextSim.cer(cand, Seq("doc_id"), "_cand", "text",
+            maxChars = 400).count()
+      }),
+      "ivfpq_search" -> (() => {
+        val cent = graft.ann.Ann.trainCentroids(emb, "embedding", 64)
+        val assigned = graft.ann.Ann.ivfAssign(emb, "embedding", cent)
+        val cb = graft.ann.ProductQuantize.trainPq(
+          emb, "embedding", nSub = 8, nCodes = 16)
+        val coded = graft.ann.ProductQuantize.encode(
+          assigned, "embedding", cb)
+        graft.ann.ProductQuantize.ivfPqSearch(coded, "vec_id",
+          "pq_codes", cb, cent, emb.filter(col("vec_id") < 500),
+          "vec_id", "embedding", k = 10, nProbe = 4).count()
+      }),
+      "datacard" -> (() =>
+        graft.ops.Datacard(docs, "text", "lang").count()))
 
     // synthesize each scale ONCE; the warm-up sweep reuses the
     // smallest scale's files rather than regenerating them

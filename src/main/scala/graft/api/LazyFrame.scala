@@ -815,29 +815,33 @@ final case class LazyFrame(
       "mode" -> mode, "limit" -> limit)
   def tCloseness(columns: Seq[String], sensitiveKey: String, t: Double,
       mode: String = "report", limit: Int = 1000,
-      method: String = "categorical", bins: Int = 16): LazyFrame =
+      method: String = "categorical", bins: Option[Int] = None): LazyFrame =
     // bins only parameterizes the numeric arm; the categorical arm
-    // REJECTS it (contradictory-knob convention), so emit conditionally
+    // REJECTS it (contradictory-knob convention). Option-typed so an
+    // EXPLICIT value is always emitted — a caller passing bins under
+    // method: categorical gets the Registry rejection instead of a
+    // silent drop (None under numeric falls to the Registry default)
     append("t_closeness", (Seq[(String, Any)]("columns" -> jlist(columns),
       "sensitive_key" -> sensitiveKey, "t" -> t,
       "mode" -> mode, "limit" -> limit, "method" -> method) ++
-      (if (method == "numeric") Seq("bins" -> (bins: Any))
-       else Seq.empty)): _*)
+      bins.map(b => "bins" -> (b: Any)).toSeq): _*)
   def bitextMine(idKey: String, embeddingKey: String,
-      targetFrom: String, k: Int = 4, threshold: Double = 1.0,
-      mutualBest: Boolean = false, method: String = "brute",
+      targetFrom: String, k: Int = 4, threshold: Option[Double] = None,
+      mutualBest: Option[Boolean] = None, method: String = "brute",
       nCells: Int = 256, nProbe: Int = 8, mode: String = "mine",
       seed: Int = 42, targetIdKey: Option[String] = None,
       targetEmbeddingKey: Option[String] = None): LazyFrame =
     // the audit counts UNFILTERED candidates, so threshold/mutual_best
-    // are rejected under mode: audit — emit them only for mining
+    // are rejected under mode: audit. Option-typed so an EXPLICIT value
+    // is always emitted — passing threshold with mode = "audit" gets
+    // the Registry rejection instead of a silent drop; None under
+    // mine falls to the Registry defaults (1.0 / false)
     append("bitext_mine", (Seq[(String, Any)]("id_key" -> idKey,
       "embedding_key" -> embeddingKey, "target_from" -> targetFrom,
       "k" -> k, "method" -> method, "n_cells" -> nCells,
       "n_probe" -> nProbe, "mode" -> mode, "seed" -> seed) ++
-      (if (mode == "audit") Seq.empty[(String, Any)]
-       else Seq[(String, Any)]("threshold" -> threshold,
-         "mutual_best" -> mutualBest)) ++
+      threshold.map(v => "threshold" -> (v: Any)).toSeq ++
+      mutualBest.map(v => "mutual_best" -> (v: Any)).toSeq ++
       targetIdKey.map(v => "target_id_key" -> (v: Any)).toSeq ++
       targetEmbeddingKey.map(v =>
         "target_embedding_key" -> (v: Any)).toSeq): _*)

@@ -177,12 +177,18 @@ class Round18Spec extends SparkSpec {
       assert(e.getMessage.contains("no effect under mode: audit"),
         e.getMessage)
     }
-    // the LazyFrame facade must stay constructible in audit mode (it
-    // suppresses the mining-only knobs instead of emitting defaults)
+    // the LazyFrame facade must stay constructible in audit mode
+    // (unset Option knobs are omitted, not emitted as defaults) —
+    // while an EXPLICIT contradictory knob is emitted and rejected
+    // rather than silently dropped
     val yaml = graft.api.LazyFrame.read("docs", "x.json")
       .bitextMine("id", "e", "tgt", mode = "audit").toYaml
     assert(!yaml.contains("threshold") && !yaml.contains("mutual_best"),
       yaml)
+    val loudYaml = graft.api.LazyFrame.read("docs", "x.json")
+      .bitextMine("id", "e", "tgt", mode = "audit",
+        threshold = Some(1.5)).toYaml
+    assert(loudYaml.contains("threshold"), loudYaml)
   }
 
   test("t_closeness method: categorical rejects bins") {
@@ -199,13 +205,18 @@ class Round18Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("no effect under method: categorical"),
       e.getMessage)
-    // facade: bins emits only under method: numeric
+    // facade: unset bins is omitted; an EXPLICIT bins is always
+    // emitted (so a categorical config carrying it gets the Registry
+    // rejection instead of a silent drop)
     val catYaml = graft.api.LazyFrame.read("docs", "x.json")
       .tCloseness(Seq("lang"), "v", 0.2).toYaml
     assert(!catYaml.contains("bins"), catYaml)
     val numYaml = graft.api.LazyFrame.read("docs", "x.json")
-      .tCloseness(Seq("lang"), "v", 0.2, method = "numeric", bins = 8)
-      .toYaml
+      .tCloseness(Seq("lang"), "v", 0.2, method = "numeric",
+        bins = Some(8)).toYaml
     assert(numYaml.contains("bins"), numYaml)
+    val loudCat = graft.api.LazyFrame.read("docs", "x.json")
+      .tCloseness(Seq("lang"), "v", 0.2, bins = Some(8)).toYaml
+    assert(loudCat.contains("bins"), loudCat)
   }
 }
