@@ -10096,6 +10096,103 @@ object Queries {
                sum(CASE WHEN ht IS NULL THEN 1 ELSE 0 END)::BIGINT
                  AS n_missing_tgt_avg
         FROM j""")
+    ),
+    (
+      // Thresholded (banded) WER — the QA-FILTER configuration of the
+      // metric (max_rate knob): the Ukkonen band certifies
+      // edits <= floor(t·ref) in O(len·t·len) per row, and exceeded
+      // rows report within = false with -1 sentinels. The plant mixes
+      // outcomes deterministically: even doc_ids substitute every 3rd
+      // token (wer ~ 1/3 > 0.25 — exceeded except tiny docs where
+      // ct//3 <= ct//4), odd every 10th (wer ~ 0.1 — always within,
+      // floor(n/10) <= floor(n/4)). Edits are exactly the substitution
+      // count (unique noise tokens, the q288 argument), and the
+      // within decision is INTEGER on both sides: edits <= ct // 4
+      // (0.25 is binary-exact, so floor(0.25·ct) = ct // 4).
+      "q293_wer_thresholded",
+      (s: SparkSession, dir: String) => {
+        val base = t(s, dir, "documents")
+          .withColumn("_toks",
+            graft.functions.TextFunctions.alnumTokens(col("text")))
+        val toks = col("_toks")
+        val step = when(col("doc_id") % 2 === 0, 3).otherwise(10)
+        val cand = concat_ws(" ", zip_with(toks,
+          sequence(lit(1), greatest(size(toks), lit(1))),
+          (tok, i) => when(i % step === 0,
+            concat(lit("zzzqnoise"), i.cast("string"))).otherwise(tok)))
+        graft.ops.TextSim.wer(
+          base.withColumn("cand", cand).drop("_toks"),
+          Seq("doc_id"), "cand", "text", maxRate = Some(0.25))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, len(list_filter(string_split_regex(lower(text),
+            '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS nt
+          FROM documents),
+        m AS (SELECT doc_id, nt, least(nt, 2000)::BIGINT AS ct,
+                     (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 10 END)
+                       AS step
+              FROM t),
+        e AS (SELECT doc_id, nt, ct, (ct // step)::BIGINT AS edits,
+                     (greatest(ct, 1) // 4)::BIGINT AS band
+              FROM m)
+        SELECT doc_id, ct AS cand_tokens, ct AS ref_tokens,
+               (CASE WHEN edits <= band THEN edits
+                     ELSE -1 END)::BIGINT AS edits,
+               CASE WHEN edits <= band THEN
+                 round_even(edits::DOUBLE / greatest(ct, 1), 6)
+                 ELSE -1.0 END AS wer,
+               (edits <= band) AS within,
+               (nt > 2000) AS truncated
+        FROM e""")
+    ),
+    (
+      // Thresholded (banded) CER on a prefix plant: even doc_ids keep
+      // the first 9/10 of the canonical string (cer ~ 0.1 — within at
+      // t = 0.25), odd keep half (cer ~ 0.5 — exceeded). Deleting a
+      // tail of length d costs exactly d edits, and the clamp keeps
+      // both sides prefixes of the same string (the q291 argument), so
+      // edits = kr - kc and the within decision is the integer
+      // comparison kr - kc <= greatest(kr, 1) // 4 on both engines.
+      "q294_cer_thresholded",
+      (s: SparkSession, dir: String) => {
+        val clean = concat_ws(" ",
+          graft.functions.TextFunctions.alnumTokens(col("text")))
+        val base = t(s, dir, "documents").withColumn("_clean", clean)
+        val cand = expr("substr(_clean, 1, CASE WHEN doc_id % 2 = 0 " +
+          "THEN (9 * length(_clean)) div 10 " +
+          "ELSE length(_clean) div 2 END)")
+        graft.ops.TextSim.cer(
+          base.withColumn("cand", cand).drop("_clean"),
+          Seq("doc_id"), "cand", "text", maxRate = Some(0.25))
+      },
+      Some("""
+        WITH c AS (
+          SELECT doc_id, array_to_string(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> x <> ''), ' ') AS clean
+          FROM documents),
+        m AS (SELECT doc_id, length(clean)::BIGINT AS lr,
+                     length(rtrim(substr(clean, 1,
+                       CASE WHEN doc_id % 2 = 0
+                         THEN (9 * length(clean)) // 10
+                         ELSE length(clean) // 2 END)))::BIGINT AS lc
+              FROM c),
+        k AS (SELECT doc_id, lr, least(lc, 10000)::BIGINT AS kc,
+                     least(lr, 10000)::BIGINT AS kr
+              FROM m),
+        e AS (SELECT doc_id, lr, kc, kr, (kr - kc)::BIGINT AS edits,
+                     (greatest(kr, 1) // 4)::BIGINT AS band
+              FROM k)
+        SELECT doc_id, kc AS cand_chars, kr AS ref_chars,
+               (CASE WHEN edits <= band THEN edits
+                     ELSE -1 END)::BIGINT AS edits,
+               CASE WHEN edits <= band THEN
+                 round_even(edits::DOUBLE / greatest(kr, 1), 6)
+                 ELSE -1.0 END AS cer,
+               (edits <= band) AS within,
+               (lr > 10000) AS truncated
+        FROM e""")
     ))
 
   /** Deterministic 8-subspace codebook for q121/q122: entry `code` of every

@@ -490,11 +490,11 @@ final case class Frame(df: DataFrame, client: LlmClient) {
       maxN: Int = 4): Frame =
     next(TextSim.bleu(df, idCols, candCol, refCol, maxN))
   def wer(idCols: Seq[String], candCol: String, refCol: String,
-      maxTokens: Int = 2000): Frame =
-    next(TextSim.wer(df, idCols, candCol, refCol, maxTokens))
+      maxTokens: Int = 2000, maxRate: Option[Double] = None): Frame =
+    next(TextSim.wer(df, idCols, candCol, refCol, maxTokens, maxRate))
   def cer(idCols: Seq[String], candCol: String, refCol: String,
-      maxChars: Int = 10000): Frame =
-    next(TextSim.cer(df, idCols, candCol, refCol, maxChars))
+      maxChars: Int = 10000, maxRate: Option[Double] = None): Frame =
+    next(TextSim.cer(df, idCols, candCol, refCol, maxChars, maxRate))
   def editPairs(idCol: String, textCol: String, t: Int): Frame =
     next(graft.dedup.EditDedup.pairs(df, idCol, textCol, t))
   def editKeepBest(idCol: String, textCol: String, t: Int,

@@ -502,15 +502,19 @@ final case class LazyFrame(
       "candidate_key" -> candidateKey, "reference_key" -> referenceKey,
       "max_n" -> maxN)
   def wer(idKeys: Seq[String], candidateKey: String,
-      referenceKey: String, maxTokens: Int = 2000): LazyFrame =
-    append("wer", "id_keys" -> jlist(idKeys),
+      referenceKey: String, maxTokens: Int = 2000,
+      maxRate: Option[Double] = None): LazyFrame =
+    append("wer", (Seq[(String, Any)]("id_keys" -> jlist(idKeys),
       "candidate_key" -> candidateKey, "reference_key" -> referenceKey,
-      "max_tokens" -> maxTokens)
+      "max_tokens" -> maxTokens) ++
+      maxRate.map(v => "max_rate" -> (v: Any)).toSeq): _*)
   def cer(idKeys: Seq[String], candidateKey: String,
-      referenceKey: String, maxChars: Int = 10000): LazyFrame =
-    append("cer", "id_keys" -> jlist(idKeys),
+      referenceKey: String, maxChars: Int = 10000,
+      maxRate: Option[Double] = None): LazyFrame =
+    append("cer", (Seq[(String, Any)]("id_keys" -> jlist(idKeys),
       "candidate_key" -> candidateKey, "reference_key" -> referenceKey,
-      "max_chars" -> maxChars)
+      "max_chars" -> maxChars) ++
+      maxRate.map(v => "max_rate" -> (v: Any)).toSeq): _*)
   def editPairs(idKey: String, textKey: String, threshold: Int): LazyFrame =
     append("edit_pairs", "id_key" -> idKey, "text_key" -> textKey,
       "threshold" -> threshold)

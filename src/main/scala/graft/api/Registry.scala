@@ -1958,13 +1958,17 @@ object Registry {
   // the reference length — the ASR/transcription gate of the family.
   register("wer") { (df, c, _) =>
     TextSim.wer(df, c("id_keys").strList, c("candidate_key").str,
-      c("reference_key").str, c.intOr("max_tokens", 2000))
+      c("reference_key").str, c.intOr("max_tokens", 2000),
+      c.get("max_rate").map(_.dbl))
   }
   // Character error rate (§2.14 SFT QA): WER's character-level sibling
-  // over the canonical token form — the ASR/OCR gate.
+  // over the canonical token form — the ASR/OCR gate. `max_rate` on
+  // either arm switches to the thresholded banded kernel (exceeded
+  // rows report within = false and -1 sentinels).
   register("cer") { (df, c, _) =>
     TextSim.cer(df, c("id_keys").strList, c("candidate_key").str,
-      c("reference_key").str, c.intOr("max_chars", 10000))
+      c("reference_key").str, c.intOr("max_chars", 10000),
+      c.get("max_rate").map(_.dbl))
   }
   // Exact edit-distance near-dup pairs (§2.14 dedup family): PassJoin
   // pigeonhole blocking + levenshtein verify, recall 1 at threshold t.

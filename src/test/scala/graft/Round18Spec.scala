@@ -53,6 +53,94 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  // ------------- banded (Ukkonen) thresholded kernels (max_rate arm)
+
+  test("bandedDp: exact parity with the brute kernels under the band") {
+    // deterministic pseudo-random word/char pairs: the banded kernel
+    // must return the EXACT brute distance whenever it is <= band and
+    // -1 exactly when it exceeds it — for every band from 0 to past
+    // the true distance
+    val words = Array("aa", "bb", "cc", "dd", "ee")
+    def seq(seed: Int, n: Int): Array[String] =
+      Array.tabulate(n)(i => words(math.abs(
+        scala.util.hashing.MurmurHash3.productHash((seed, i))) % 5))
+    for (seed <- 0 until 12; la <- Seq(0, 1, 4, 9); lb <- Seq(0, 2, 7, 9)) {
+      val a = seq(seed, la); val b = seq(seed + 100, lb)
+      val brute = graft.ops.TextSim.editDist(a, b)
+      for (band <- 0 to brute + 2) {
+        val got = graft.ops.TextSim.editDistWithin(a, b, band)
+        assert(got == (if (brute <= band) brute else -1),
+          s"seed=$seed la=$la lb=$lb band=$band brute=$brute got=$got")
+      }
+      val as = a.mkString(""); val bs = b.mkString("")
+      val bruteC = graft.ops.TextSim.editDistChars(as, bs)
+      for (band <- 0 to bruteC + 2) {
+        val got = graft.ops.TextSim.editDistCharsWithin(as, bs, band)
+        assert(got == (if (bruteC <= band) bruteC else -1),
+          s"chars seed=$seed band=$band brute=$bruteC got=$got")
+      }
+    }
+    // negative band certifies nothing is within
+    assert(graft.ops.TextSim.editDistWithin(
+      Array("x"), Array("x"), -1) == -1)
+  }
+
+  test("wer/cer max_rate: within rows carry exact metrics, exceeded rows sentinels") {
+    // ref has 4 tokens -> band = floor(0.25 * 4) = 1: one-substitution
+    // candidates are within (wer 0.25 exactly on the boundary), two
+    // are exceeded
+    val d = df(pairSchema,
+      Row(1L, "aa bb cc dd", "aa bb cc dd"),   // 0 edits, within
+      Row(2L, "aa xx cc dd", "aa bb cc dd"),   // 1 edit = band, within
+      Row(3L, "aa xx yy dd", "aa bb cc dd"),   // 2 edits, exceeded
+      Row(4L, "", "aa bb cc dd"))              // 4 deletions, exceeded
+    val w = graft.ops.TextSim.wer(d, Seq("id"), "cand", "ref",
+        maxRate = Some(0.25))
+      .orderBy("id").collect()
+    assert(w.map(_.getAs[Boolean]("within")).toSeq ==
+      Seq(true, true, false, false))
+    assert(w.map(_.getAs[Long]("edits")).toSeq == Seq(0L, 1L, -1L, -1L))
+    assert(w(1).getAs[Double]("wer") == 0.25)
+    assert(w(2).getAs[Double]("wer") == -1.0)
+    // cer: ref canonical = "abcd efgh" (9 chars) -> band = 2
+    val dc = df(pairSchema,
+      Row(1L, "abcd efgh", "abcd efgh"),   // 0 edits, within
+      Row(2L, "abcd ef", "abcd efgh"),     // 2 deletions = band, within
+      Row(3L, "abcd", "abcd efgh"))        // 5 deletions, exceeded
+    val c = graft.ops.TextSim.cer(dc, Seq("id"), "cand", "ref",
+        maxRate = Some(0.25))
+      .orderBy("id").collect()
+    assert(c.map(_.getAs[Boolean]("within")).toSeq ==
+      Seq(true, true, false))
+    assert(c.map(_.getAs[Long]("edits")).toSeq == Seq(0L, 2L, -1L))
+    // unthresholded schema is UNCHANGED (no within column)
+    assert(!graft.ops.TextSim.wer(d, Seq("id"), "cand", "ref")
+      .columns.contains("within"))
+    // knob validation fails loud
+    intercept[IllegalArgumentException] {
+      graft.ops.TextSim.wer(d, Seq("id"), "cand", "ref",
+        maxRate = Some(0.0))
+    }
+  }
+
+  test("wer/cer max_rate reaches the Registry and the facades") {
+    val d = df(pairSchema, Row(1L, "aa bb cc dd", "aa bb cc dd"),
+      Row(2L, "xx yy cc dd", "aa bb cc dd"))
+    val out = graft.api.Registry("wer")(d, graft.api.Conf.fromYaml(
+      """type: wer
+        |id_keys: [id]
+        |candidate_key: cand
+        |reference_key: ref
+        |max_rate: 0.25""".stripMargin), ctx())
+    assert(out.columns.contains("within"))
+    assert(out.filter(col("within")).count() == 1)
+    val yaml = graft.api.LazyFrame.read("docs", "x.json")
+      .cer(Seq("id"), "cand", "ref", maxRate = Some(0.3)).toYaml
+    assert(yaml.contains("max_rate"), yaml)
+    assert(!graft.api.LazyFrame.read("docs", "x.json")
+      .wer(Seq("id"), "cand", "ref").toYaml.contains("max_rate"))
+  }
+
   // ------------- golden fixtures from published examples (item 5)
 
   test("wer: jiwer README golden case and the empty-ref convention") {
