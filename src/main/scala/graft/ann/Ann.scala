@@ -84,18 +84,42 @@ object Ann {
       .select("query_id", "neighbor_id", "score")
   }
 
+  /** Every centroid's (euclidean distance, cell) struct as ONE array
+    * column: a data-driven loop over a single nested centroid-matrix
+    * literal. Per-cell arithmetic is the same cast → subtract → square
+    * → left-fold → sqrt chain as the unrolled
+    * [[VectorFunctions.euclideanToConst]] form it replaces, so
+    * distances — and therefore assignments, probe sets and ties — are
+    * bit-for-bit unchanged. The unrolled form generated one expression
+    * subtree PER CENTROID (nCells independent zip_with/aggregate trees,
+    * each embedding its own dim-length literal, all inside one
+    * least()/array_sort() call): at nCells = 256 that plan hit
+    * multi-megabyte projections whose evaluation cost scaled with the
+    * EXPRESSION COUNT, not the data (q292's 256-row audit fixture
+    * measured 3.4 s). The loop form is nCells-invariant-sized code
+    * over one constant-folded literal (optimization guide §4: keep the
+    * hot path expression-friendly; §1.2: fix per-task work once the
+    * shape is right). */
+  private[graft] def cellDistStructs(queryEmb: Column,
+      centroids: Array[Array[Double]]): Column = {
+    val cbl = array(centroids.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)): _*)
+    transform(sequence(lit(0), lit(centroids.length - 1)), i =>
+      struct(
+        sqrt(aggregate(
+          zip_with(queryEmb, element_at(cbl, i + 1),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v)).as("d"),
+        i.as("cell")))
+  }
+
   /** The `nProbe` nearest cells of `queryEmb` as an array column —
     * a slice of the distance-sorted cell array. Shared by every IVF
-    * probe arm. */
-  private def probeCellsCol(queryEmb: Column,
-      centroids: Array[Array[Double]], nProbe: Int): Column = {
-    val sortedCells = array_sort(array(centroids.zipWithIndex.map {
-      case (ctr, i) =>
-        struct(VectorFunctions.euclideanToConst(queryEmb, ctr).as("d"),
-          lit(i).as("cell"))
-    }: _*))
-    transform(slice(sortedCells, 1, nProbe), s => s.getField("cell"))
-  }
+    * probe arm (including the PQ searchers). */
+  private[graft] def probeCellsCol(queryEmb: Column,
+      centroids: Array[Array[Double]], nProbe: Int): Column =
+    transform(slice(array_sort(cellDistStructs(queryEmb, centroids)),
+      1, nProbe), s => s.getField("cell"))
 
   /** Join probe-exploded queries to the cell-assigned corpus — the
     * shared IVF candidate stage. `broadcastQueries = true` is the
@@ -188,13 +212,12 @@ object Ann {
   def ivfAssign(
       corpus: DataFrame,
       embCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val dists = centroids.zipWithIndex.map { case (ctr, i) =>
-      struct(VectorFunctions.euclideanToConst(col(embCol), ctr).as("d"),
-        lit(i).as("cell"))
-    }
-    corpus.withColumn("_cell", least(dists.toIndexedSeq: _*).getField("cell"))
-  }
+      centroids: Array[Array[Double]]): DataFrame =
+    // array_min over the (d, cell) structs = least() over the unrolled
+    // per-centroid structs it replaces: both use the same lexicographic
+    // struct ordering (min distance, then min cell index on exact ties).
+    corpus.withColumn("_cell",
+      array_min(cellDistStructs(col(embCol), centroids)).getField("cell"))
 
   /** Train `nCentroids` k-means centroids on a SAMPLE of the corpus,
     * Lloyd-iterated on the driver — the standard coarse-quantizer recipe

@@ -123,13 +123,7 @@ object ProductQuantize {
       queryEmb: String,
       k: Int,
       nProbe: Int = 2): DataFrame = {
-    val sortedCells = array_sort(array(centroids.zipWithIndex.map {
-      case (ctr, i) =>
-        struct(graft.functions.VectorFunctions
-          .euclideanToConst(col(queryEmb), ctr).as("d"), lit(i).as("cell"))
-    }.toIndexedSeq: _*))
-    val probeCells =
-      transform(slice(sortedCells, 1, nProbe), s => s.getField("cell"))
+    val probeCells = Ann.probeCellsCol(col(queryEmb), centroids, nProbe)
     val q = queries.select(col(queryId).as("query_id"),
       col(queryEmb).as("_qe"), explode(probeCells).as("_cell"))
     val c = assignedCodes.select(col(corpusId).as("neighbor_id"),
@@ -201,13 +195,7 @@ object ProductQuantize {
       queryEmb: String,
       k: Int,
       nProbe: Int = 2): DataFrame = {
-    val sortedCells = array_sort(array(centroids.zipWithIndex.map {
-      case (ctr, i) =>
-        struct(graft.functions.VectorFunctions
-          .euclideanToConst(col(queryEmb), ctr).as("d"), lit(i).as("cell"))
-    }.toIndexedSeq: _*))
-    val probeCells =
-      transform(slice(sortedCells, 1, nProbe), s => s.getField("cell"))
+    val probeCells = Ann.probeCellsCol(col(queryEmb), centroids, nProbe)
     val q = queries.select(col(queryId).as("query_id"),
       col(queryEmb).as("_qe"), explode(probeCells).as("_cell"))
       // per-probed-cell query residual, computed ONCE on the small

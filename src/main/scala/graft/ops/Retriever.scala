@@ -76,13 +76,8 @@ object RetrieverOp {
         // hash join (AQE picks broadcast vs shuffle), never a cross.
         val centroids = graft.ann.Ann.trainCentroids(c, "_ce", nCentroids)
         val assigned = graft.ann.Ann.ivfAssign(c, "_ce", centroids)
-        val sortedCells = array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
-          struct(VectorFunctions.euclideanToConst(col(queryEmbCol), ctr).as("d"),
-            lit(i).as("cell"))
-        }.toIndexedSeq: _*))
-        val probeCells = transform(
-          slice(sortedCells, 1, math.min(nProbe, centroids.length)),
-          s => s.getField("cell"))
+        val probeCells = graft.ann.Ann.probeCellsCol(col(queryEmbCol),
+          centroids, math.min(nProbe, centroids.length))
         val q = withId.withColumn("_cell", explode(probeCells))
         assigned.join(q, Seq("_cell"))
           .withColumn("_score", CosineSimilarity(col(queryEmbCol), col("_ce")))
@@ -274,13 +269,8 @@ object RetrieverOp {
         val centroids = graft.ann.Ann.trainCentroids(cid, "_ce", nCentroids)
         val assigned = graft.ann.Ann.ivfAssign(cid, "_ce", centroids)
           .select(col("_cdid"), col("_cell"))
-        val sortedCells = array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
-          struct(VectorFunctions.euclideanToConst(col(queryEmbCol), ctr).as("d"),
-            lit(i).as("cell"))
-        }.toIndexedSeq: _*))
-        val probeCells = transform(
-          slice(sortedCells, 1, math.min(nProbe, centroids.length)),
-          s => s.getField("cell"))
+        val probeCells = graft.ann.Ann.probeCellsCol(col(queryEmbCol),
+          centroids, math.min(nProbe, centroids.length))
         val ivfPairs = withId
           .select(col(rowId), explode(probeCells).as("_cell"))
           .join(assigned, Seq("_cell"))
