@@ -192,9 +192,13 @@ object Ann {
       seed: Long = 42,
       broadcastQueries: Boolean = false): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
-    if (corpus.isEmpty || queries.isEmpty)
-      return emptyTopK(queries, queryId, corpus, corpusId)
-    val centroids = trainCentroids(corpus, corpusEmb, nCells, seed = seed)
+    // The training-sample collect doubles as the corpus emptiness probe
+    // (no separate isEmpty scan job); an empty QUERY side needs no gate
+    // at all — it flows through the probe join/top-k to the same empty
+    // (query_id, neighbor_id, score) frame the brute arm returns.
+    val centOpt = trainCentroidsOpt(corpus, corpusEmb, nCells, seed = seed)
+    if (centOpt.isEmpty) return emptyTopK(queries, queryId, corpus, corpusId)
+    val centroids = centOpt.get
     val q = queries.select(col(queryId).as("query_id"), col(queryEmb).as("_qe"),
         col(queryLabel).as("_ql"),
         explode(probeCellsCol(col(queryEmb), centroids, nProbe)).as("_cell"))
@@ -233,6 +237,26 @@ object Ann {
       maxIter: Int = 10,
       seed: Long = 42,
       sampleSize: Int = 20000): Array[Array[Double]] = {
+    val opt = trainCentroidsOpt(corpus, embCol, nCentroids, maxIter, seed,
+      sampleSize)
+    require(opt.nonEmpty, "cannot train centroids on an empty corpus")
+    opt.get
+  }
+
+  /** [[trainCentroids]], or None when the corpus is empty — the sample
+    * collect IS the emptiness probe (an empty corpus ⟺ an empty seeded
+    * sample), so callers that must return an empty frame on an empty
+    * side (the IVF mining/negatives arms) don't pay a separate
+    * `isEmpty` action per side before training: at 100 TB each of
+    * those is a whole extra scan job (guide §1.2: don't compute things
+    * you throw away). */
+  private[graft] def trainCentroidsOpt(
+      corpus: DataFrame,
+      embCol: String,
+      nCentroids: Int,
+      maxIter: Int = 10,
+      seed: Long = 42,
+      sampleSize: Int = 20000): Option[Array[Array[Double]]] = {
     // Seeded-hash head, NOT `.limit` — a plain limit takes whichever
     // partition lists first (one file's distribution at 100 TB); the hash
     // head is a uniform sample invariant to partitioning and file order.
@@ -241,7 +265,7 @@ object Ann {
         sampleSize, seed)
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    require(rows.nonEmpty, "cannot train centroids on an empty corpus")
+    if (rows.isEmpty) return None
     val k = math.min(nCentroids, rows.length)
     val dim = rows.head.length
     val rng = new scala.util.Random(seed)
@@ -277,7 +301,7 @@ object Ann {
       centroids = next
       iter += 1
     }
-    centroids
+    Some(centroids)
   }
 
   /** Hyperplane-LSH bucketed ANN — the second indexed path besides IVF

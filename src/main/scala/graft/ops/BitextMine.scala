@@ -87,33 +87,41 @@ object BitextMine {
       nCells: Int = 256, nProbe: Int = 8, seed: Long = 42): DataFrame = {
     require(k >= 1 && k <= 128, s"k must be in [1, 128], got $k")
     require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
-    if (src.isEmpty || tgt.isEmpty) {
-      val spark = src.sparkSession
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("src_id",
-          src.schema(src.schema.fieldIndex(srcId)).dataType),
-        org.apache.spark.sql.types.StructField("tgt_id",
-          tgt.schema(tgt.schema.fieldIndex(tgtId)).dataType),
-        org.apache.spark.sql.types.StructField("score",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("margin",
-          org.apache.spark.sql.types.DoubleType)))
-      return spark.createDataFrame(spark.sparkContext
-        .emptyRDD[org.apache.spark.sql.Row], schema)
+    // Per-side training-sample collects double as the emptiness probes
+    // (an empty side ⟺ an empty seeded sample) — the old separate
+    // src.isEmpty/tgt.isEmpty actions were two extra scan jobs per run.
+    ivfKnnOpt(src, srcId, srcEmb, tgt, tgtId, tgtEmb,
+        k, nCells, nProbe, seed) match {
+      case Some((fwd, bwd)) => marginFromKnn(fwd, bwd, threshold, mutualBest)
+      case None =>
+        val spark = src.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src_id",
+            src.schema(src.schema.fieldIndex(srcId)).dataType),
+          org.apache.spark.sql.types.StructField("tgt_id",
+            tgt.schema(tgt.schema.fieldIndex(tgtId)).dataType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("margin",
+            org.apache.spark.sql.types.DoubleType)))
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    val (fwd, bwd) = ivfKnn(src, srcId, srcEmb, tgt, tgtId, tgtEmb,
-      k, nCells, nProbe, seed)
-    marginFromKnn(fwd, bwd, threshold, mutualBest)
   }
 
   /** Both directions' IVF k-NN (per-side coarse quantizers, plain
-    * cell-keyed shuffle joins — neither corpus-sized side broadcasts). */
-  private def ivfKnn(src: DataFrame, srcId: String, srcEmb: String,
+    * cell-keyed shuffle joins — neither corpus-sized side broadcasts),
+    * or None when either side is empty (detected from the training
+    * samples themselves — no separate isEmpty scan jobs). */
+  private def ivfKnnOpt(src: DataFrame, srcId: String, srcEmb: String,
       tgt: DataFrame, tgtId: String, tgtEmb: String, k: Int,
-      nCells: Int, nProbe: Int, seed: Long): (DataFrame, DataFrame) = {
+      nCells: Int, nProbe: Int,
+      seed: Long): Option[(DataFrame, DataFrame)] = {
     val ann = graft.ann.Ann
-    val tgtCent = ann.trainCentroids(tgt, tgtEmb, nCells, seed = seed)
-    val srcCent = ann.trainCentroids(src, srcEmb, nCells, seed = seed)
+    val tgtCentOpt = ann.trainCentroidsOpt(tgt, tgtEmb, nCells, seed = seed)
+    val srcCentOpt = ann.trainCentroidsOpt(src, srcEmb, nCells, seed = seed)
+    if (tgtCentOpt.isEmpty || srcCentOpt.isEmpty) return None
+    val (tgtCent, srcCent) = (tgtCentOpt.get, srcCentOpt.get)
     val fwd = ann.ivfSearch(ann.ivfAssign(tgt, tgtEmb, tgtCent),
       tgtId, tgtEmb, src, srcId, srcEmb, tgtCent, k, nProbe,
       excludeSelf = false, broadcastQueries = false)
@@ -124,7 +132,7 @@ object BitextMine {
       excludeSelf = false, broadcastQueries = false)
       .select(col("neighbor_id").as("src_id"),
         col("query_id").as("tgt_id"), col("score"))
-    (fwd, bwd)
+    Some((fwd, bwd))
   }
 
   /** [[marginFromKnnAudit]] over the IVF k-NN — the observability arm
@@ -140,14 +148,14 @@ object BitextMine {
       seed: Long = 42): DataFrame = {
     require(k >= 1 && k <= 128, s"k must be in [1, 128], got $k")
     require(nProbe >= 1 && nProbe <= nCells, "nProbe in [1, nCells]")
-    if (src.isEmpty || tgt.isEmpty)
-      return src.sparkSession.range(1).select(
+    ivfKnnOpt(src, srcId, srcEmb, tgt, tgtId, tgtEmb,
+        k, nCells, nProbe, seed) match {
+      case Some((fwd, bwd)) => marginFromKnnAudit(fwd, bwd)
+      case None => src.sparkSession.range(1).select(
         lit(0L).as("n_candidates"), lit(0L).as("n_scored"),
         lit(0L).as("n_dropped"), lit(0L).as("n_missing_src_avg"),
         lit(0L).as("n_missing_tgt_avg"))
-    val (fwd, bwd) = ivfKnn(src, srcId, srcEmb, tgt, tgtId, tgtEmb,
-      k, nCells, nProbe, seed)
-    marginFromKnnAudit(fwd, bwd)
+    }
   }
 
   /** The margin arithmetic over precomputed k-NN lists — the seam an
