@@ -62,6 +62,63 @@ object ScaleSmoke {
     p
   }
 
+  /** Synthetic events at k×: event/user ids offset per copy (so joins
+    * never match across copies — output and state grow LINEARLY with k,
+    * the property under test), timestamps unchanged (the watermark
+    * sweep pattern stays realistic). `ts` is written as LONG MICROS —
+    * the post-[[graft.core.Tables]] normalized form — and the smoke's
+    * stream reader consumes it directly (no second normalization). */
+  private def synthEvents(spark: SparkSession, sfDir: String, k: Int,
+      dir: java.nio.file.Path): String = {
+    val base = graft.core.Tables(spark, sfDir, "events")
+    val p = dir.resolve(s"events_x$k.parquet").toString
+    base.withColumn("_copy", explode(sequence(lit(0), lit(k - 1))))
+      .select(
+        (col("event_id") + col("_copy") * 1000000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("_copy") * 100000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  /** The q275 stream-stream interval join driven at scale k against a
+    * synthetic events directory (VERDICT r18 item 7 — the one heavy
+    * family the 100× rehearsal never covered): per user, every
+    * (purchase, click) pair with the click in the hour before the
+    * purchase, watermark 0, noop sink. State partitions are FIXED at
+    * the session's shuffle-partition count across every scale, so the
+    * curve isolates per-row state-commit cost from partition-count
+    * effects. Returns (output rows, input rows, summed state commit ms,
+    * summed state rows). */
+  private def streamIntervalJoinGate(spark: SparkSession,
+      eventsPath: String, checkpoint: String): (Long, Long, Long, Long) = {
+    val schema = spark.read.parquet(eventsPath).schema
+    def side(tpe: String, prefix: String) =
+      spark.readStream.schema(schema).parquet(eventsPath)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").as(s"${prefix}_user"),
+          expr("timestamp_micros(ts)").as(s"${prefix}_ts"))
+    val out = graft.streaming.Streams.intervalJoin(
+      side("purchase", "p"), side("click", "c"),
+      "p_user", "c_user", "p_ts", "c_ts",
+      before = "1 hour", after = "0 seconds",
+      watermarkDelay = "0 seconds")
+      .select("p_id", "c_id")
+    val q = out.writeStream.format("noop")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val progress = q.recentProgress
+    val outRows = progress.map(_.sink.numOutputRows).filter(_ > 0).sum
+    val inRows = progress.map(_.numInputRows).sum
+    val commitMs = progress.flatMap(_.stateOperators).map(_.commitTimeMs).sum
+    val stateRows = progress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).filter(_ > 0).lastOption.getOrElse(0L)
+    (outRows, inRows, commitMs, stateRows)
+  }
+
   private def timed(f: => Long): (Double, Long) = {
     val t0 = System.nanoTime()
     val n = f
@@ -205,6 +262,27 @@ object ScaleSmoke {
       }
     }
 
+    // streaming state family (VERDICT r18 item 7): the interval-join
+    // gate at each scale, fixed state partitions (= shuffle partitions,
+    // constant across scales within this session)
+    val eventPaths = scales.map(k => k -> synthEvents(spark, sfDir, k, tmp)).toMap
+    val gateStats = scala.collection.mutable.ArrayBuffer[
+      (Int, Double, Long, Long, Long, Long)]()
+    // unmeasured warm-up at the smallest scale (codegen + state-store
+    // provider bring-up)
+    val _warm = streamIntervalJoinGate(spark, eventPaths(scales.min),
+      tmp.resolve(s"ckpt_warm").toString)
+    for (k <- scales) {
+      val t0 = System.nanoTime()
+      val (outRows, inRows, commitMs, stateRows) = streamIntervalJoinGate(
+        spark, eventPaths(k), tmp.resolve(s"ckpt_x$k").toString)
+      val sec = (System.nanoTime() - t0) / 1e9
+      rows += (("stream_interval_join", k, sec, outRows, heapMb()))
+      gateStats += ((k, sec, inRows, outRows, commitMs, stateRows))
+      println(f"stream_interval_join   x$k%-4d ${sec}%8.2f s  rows=$outRows%-9d " +
+        f"in=$inRows commitMs=$commitMs state=$stateRows heap=${rows.last._5}%d MB")
+    }
+
     val sb = new StringBuilder
     sb.append("# SCALE_SMOKE — measured runtime growth, ")
       .append(s"sf0.1 base × ${scales.mkString("/")}\n\n")
@@ -222,6 +300,15 @@ object ScaleSmoke {
       if (k != scales.min) worst = math.max(worst, rel)
       sb.append(f"| $name | x$k | $sec%.2f | $n | $mem | $g%.1fx |\n")
     }
+    sb.append("\n## Streaming interval-join gate (fixed state partitions = ")
+      .append(cpus).append(")\n\n")
+    sb.append("| scale | wall s | input rows | rows/s | output rows |")
+      .append(" state commit ms (summed) | state rows |\n")
+      .append("|---|---|---|---|---|---|---|\n")
+    for ((k, sec, inRows, outRows, commitMs, stateRows) <- gateStats)
+      sb.append(f"| x$k | $sec%.2f | $inRows | ${inRows / math.max(sec, 1e-9)}%.0f " +
+        f"| $outRows | $commitMs | $stateRows |\n")
+
     val maxScale = scales.max
     val memBase = rows.filter(_._2 == scales.min).map(_._5).max
     val memMax = rows.filter(_._2 == maxScale).map(_._5).max

@@ -102,6 +102,13 @@ object Ann {
     * shape is right). */
   private[graft] def cellDistStructs(queryEmb: Column,
       centroids: Array[Array[Double]]): Column = {
+    // sequence(0, -1) would yield a DESCENDING [0, -1] rather than an
+    // empty array, silently emitting garbage (null d, cells 0/-1) where
+    // the old least()/array() forms failed loudly at analysis time.
+    // Unreachable via trainCentroids (non-empty guaranteed), reachable
+    // with caller-supplied centroids — fail loud here instead.
+    require(centroids.nonEmpty,
+      "cellDistStructs needs at least one centroid")
     val cbl = array(centroids.toIndexedSeq.map(c =>
       array(c.toIndexedSeq.map(lit): _*)): _*)
     transform(sequence(lit(0), lit(centroids.length - 1)), i =>
@@ -265,7 +272,60 @@ object Ann {
         sampleSize, seed)
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    if (rows.isEmpty) return None
+    if (rows.isEmpty) None
+    else Some(lloyd(rows, nCentroids, maxIter, seed))
+  }
+
+  /** Both sides' coarse quantizers from ONE distributed job — the
+    * bitext-mining shape, where each direction's IVF needs its own
+    * quantizer and two per-side [[trainCentroidsOpt]] calls are two
+    * full-corpus sample-scan jobs (guide §1.2/§2.4: at 100 TB each is a
+    * whole extra pass). Per-side sample parity with
+    * [[trainCentroidsOpt]] is exact: the seeded hash is over
+    * (seed, _e) ONLY — the side tag never enters it — so each side's
+    * `sampleSize` smallest hashes are the same rows its own
+    * orderBy+limit would select, and the driver re-sort by (side, hash)
+    * reproduces the per-side collect order (hash ties are
+    * equal-content vectors up to an xxhash64 collision, so tie order
+    * cannot change the sample). Bit-identical centroids vs the
+    * single-side trainer are pinned in Round19Spec. */
+  private[graft] def trainCentroidsDualOpt(
+      a: DataFrame, aEmb: String,
+      b: DataFrame, bEmb: String,
+      nCentroids: Int,
+      maxIter: Int = 10,
+      seed: Long = 42,
+      sampleSize: Int = 20000)
+      : (Option[Array[Array[Double]]], Option[Array[Array[Double]]]) = {
+    val pa = a.select(transform(col(aEmb), _.cast("double")).as("_e"),
+      lit(0).as("_side"))
+    val pb = b.select(transform(col(bEmb), _.cast("double")).as("_e"),
+      lit(1).as("_side"))
+    // per-side top-n in one pass: row_number over (side, hash) plans a
+    // partial WindowGroupLimit before the exchange (the engine's pinned
+    // top-n shape), so only <= partitions * 2 * sampleSize rows shuffle
+    val w = Window.partitionBy(col("_side")).orderBy(col("_h"))
+    val sampled = pa.unionByName(pb)
+      .withColumn("_h", xxhash64(lit(seed), col("_e")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= sampleSize)
+      .select(col("_side"), col("_h"), col("_e"))
+      .collect()
+      .sortBy(r => (r.getInt(0), r.getLong(1)))
+    def side(tag: Int): Option[Array[Array[Double]]] = {
+      val rows = sampled.iterator.filter(_.getInt(0) == tag)
+        .map(_.getSeq[Double](2).toArray).toArray
+      if (rows.isEmpty) None
+      else Some(lloyd(rows, nCentroids, maxIter, seed))
+    }
+    (side(0), side(1))
+  }
+
+  /** Driver-local Lloyd iterations over a collected sample — the single
+    * shared kernel of [[trainCentroidsOpt]] and
+    * [[trainCentroidsDualOpt]], so the two trainers cannot diverge. */
+  private def lloyd(rows: Array[Array[Double]], nCentroids: Int,
+      maxIter: Int, seed: Long): Array[Array[Double]] = {
     val k = math.min(nCentroids, rows.length)
     val dim = rows.head.length
     val rng = new scala.util.Random(seed)
@@ -301,7 +361,7 @@ object Ann {
       centroids = next
       iter += 1
     }
-    Some(centroids)
+    centroids
   }
 
   /** Hyperplane-LSH bucketed ANN — the second indexed path besides IVF

@@ -118,8 +118,13 @@ object BitextMine {
       nCells: Int, nProbe: Int,
       seed: Long): Option[(DataFrame, DataFrame)] = {
     val ann = graft.ann.Ann
-    val tgtCentOpt = ann.trainCentroidsOpt(tgt, tgtEmb, nCells, seed = seed)
-    val srcCentOpt = ann.trainCentroidsOpt(src, srcEmb, nCells, seed = seed)
+    // ONE union job trains BOTH sides' quantizers (guide §1.2/§2.4):
+    // two per-side sample collects were two full-corpus scan jobs per
+    // mining run. Per-side samples — and therefore centroids — are
+    // bit-identical to the two-job form (Round19Spec pins it), and an
+    // empty side is known from the same collect (no extra probe).
+    val (srcCentOpt, tgtCentOpt) = ann.trainCentroidsDualOpt(
+      src, srcEmb, tgt, tgtEmb, nCells, seed = seed)
     if (tgtCentOpt.isEmpty || srcCentOpt.isEmpty) return None
     val (tgtCent, srcCent) = (tgtCentOpt.get, srcCentOpt.get)
     val fwd = ann.ivfSearch(ann.ivfAssign(tgt, tgtEmb, tgtCent),
