@@ -147,13 +147,30 @@ object TextFunctions {
       g => size(filter(grams, y => y === g)))).cast("double") / size(grams), 6)
   }
 
-  /** Word n-gram shingles as an array column (dedup building block). */
+  /** Word n-gram shingles as an array column (dedup building block).
+    *
+    * Built from n SHIFTED SLICES folded with zip_with, never a
+    * transform(sequence(...), i => f(split(c), i)) lambda: a HOF lambda
+    * re-evaluates every expression it closes over PER ELEMENT (the r10
+    * winnow lesson), so the old sequence form re-split the text once
+    * per gram position — O(tokens²) characters per row, and the whole
+    * cost of the datacard/diversity gram passes (q128's gram branch
+    * measured 1.1 s of its 1.9 s at sf0.1). zip_with takes its arrays
+    * as ARGUMENTS, evaluated once per row, so this form is
+    * O(n · tokens). zip_with pads to the longest input with nulls and
+    * concat is null-intolerant, so the trailing i > size−n positions
+    * come out null and are sliced away; gram strings are byte-identical
+    * to the concat_ws(slice) form (split yields no null tokens, and
+    * empty tokens join identically). */
   def shingles(c: Column, n: Int): Column = {
     val toks = split(c, " ")
+    val shifted = (0 until n).map(k =>
+      if (k == 0) toks
+      else slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))))
+    val joined = shifted.reduce((a, b) =>
+      zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
     when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(slice(joined, lit(1), size(toks) - (n - 1)))
   }
 
   // --- PII scrubbing (the pre-release redaction pass every public corpus

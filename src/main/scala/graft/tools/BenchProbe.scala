@@ -15,50 +15,78 @@ object BenchProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    docs.count() // warm
+    import graft.functions.{TextFunctions => TF}
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs0.count() // warm
+    // the q128 fixture text (planted PII)
+    val docs = docs0.withColumn("text",
+      concat(col("text"), when(col("doc_id") % 13 === 0,
+        lit(" reach me at a.b@example.com")).otherwise(lit(""))))
 
     def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (rows=$n)")
+      // one warm pass, then min of 3
+      f
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-34s ${ts.min}%6.3f s")
     }
 
-    import graft.functions.TextFunctions
-    val sh = array_sort(array_distinct(transform(
-      TextFunctions.shingles(col("text"), 3), s => xxhash64(s))))
-    val d = docs.select(col("doc_id").as("_id"), sh.as("_sh"))
-      .filter(size(col("_sh")) > 0)
+    val t = col("text")
+    val piiTotal = TF.piiCounts(t).map(_._2).reduce(_ + _)
 
-    time("shingle+hash only")(d.count())
-    val sig = graft.functions.MinHashSignature(col("_sh"), 64)
-    time("’+signature")(d.withColumn("_sig", sig).count())
-    val dp = d.persist()
-    dp.count()
-    val bands = posexplode(transform(
-      sequence(lit(0), lit(15)),
-      b => xxhash64(b, slice(col("_sig"), b * 4 + 1, lit(4)))))
-    val banded = dp.withColumn("_sig", sig)
-      .select(col("_id"), bands.as(Seq("_band", "_bkey")))
-    time("banded")(banded.count())
-    val l = banded.select(col("_band"), col("_bkey"), col("_id").as("id_a"))
-    val r = banded.select(col("_band"), col("_bkey"), col("_id").as("id_b"))
-    val cands = l.join(r, Seq("_band", "_bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    time("cands")(cands.count())
-    val byId = dp.select(col("_id"), col("_sh"))
-    val withSh = cands
-      .join(byId.select(col("_id").as("id_a"), col("_sh").as("_sha")), Seq("id_a"))
-      .join(byId.select(col("_id").as("id_b"), col("_sh").as("_shb")), Seq("id_b"))
-    val verified = withSh
-      .withColumn("jaccard",
-        round(graft.functions.JaccardSimilarity(col("_sha"), col("_shb")), 6))
-      .filter(col("jaccard") >= 0.8)
-    time("verify")(verified.count())
-    time("full repeat")(graft.dedup.MinHashDedup.candidatePairs(
-      docs, "doc_id", "text", 3, 64, 16, 0.8).count())
+    // ---- q128 branch anatomy
+    time("q128 full")(graft.ops.Datacard(docs0.withColumn("text",
+      concat(col("text"), when(col("doc_id") % 13 === 0,
+        lit(" reach me at a.b@example.com")).otherwise(lit("")))),
+      "text", "source").count())
+    time("base branch")(docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(TF.tokenCount(t)).cast("double").as("n_tokens"),
+      round(avg(TF.tokenCount(t)), 6).as("avg_doc_tokens"),
+      round(lit(1.0) - countDistinct(md5(t)).cast("double") / count(lit(1)), 6)
+        .as("exact_dup_rate"),
+      sum(piiTotal).cast("double").as("pii_total")).count())
+    time("base minus pii")(docs.agg(
+      count(lit(1)).cast("double"),
+      sum(TF.tokenCount(t)).cast("double"),
+      round(avg(TF.tokenCount(t)), 6),
+      round(lit(1.0) - countDistinct(md5(t)).cast("double") / count(lit(1)), 6))
+      .count())
+    time("base minus distinct")(docs.agg(
+      count(lit(1)).cast("double"),
+      sum(TF.tokenCount(t)).cast("double"),
+      round(avg(TF.tokenCount(t)), 6),
+      sum(piiTotal).cast("double")).count())
+    time("slices branch")(docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).cast("double"),
+        round(max(col("_n")).cast("double") / sum(col("_n")), 6)).count())
+    time("grams branch")(docs.select(explode(TF.shingles(t, 3)).as("_g"))
+      .agg(round(countDistinct(col("_g")).cast("double") / count(lit(1)), 6))
+      .count())
+    // grouping-sets merge of base+slices (perf prototype only)
+    time("groupingsets base+slices")(docs
+      .groupingSets(Seq(Seq(col("source")), Seq()), col("source"))
+      .agg(count(lit(1)).as("_n"),
+        sum(TF.tokenCount(t)).as("_tok"),
+        avg(TF.tokenCount(t)).as("_avg"),
+        countDistinct(md5(t)).as("_dst"),
+        sum(piiTotal).as("_pii")).count())
+
+    // ---- q130 branch anatomy
+    time("q130 full")(graft.ops.Datacard.perSlice(docs0, "text", "source")
+      .count())
+    time("q130 rowStats")(docs0.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(t)).cast("bigint").as("n_tokens"),
+        round(lit(1.0) - countDistinct(md5(t)).cast("double") / count(lit(1)),
+          6).as("exact_dup_rate")).count())
+    time("q130 diversity")(docs0
+      .select(col("source"), explode(TF.shingles(t, 3)).as("_g"))
+      .groupBy(col("source"))
+      .agg(round(countDistinct(col("_g")).cast("double") / count(lit(1)), 6)
+        .as("distinct_3gram_ratio")).count())
     spark.stop()
   }
 }

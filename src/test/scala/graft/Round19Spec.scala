@@ -110,6 +110,33 @@ class Round19Spec extends SparkSpec {
     }
   }
 
+  // ---------------- shingles: zip_with staging parity
+
+  test("shingles: zip_with form is byte-identical to the sequence-lambda form") {
+    // the old O(tokens²) reference form, kept here as the parity oracle
+    def oldShingles(c: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(c, " ")
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }
+    val schema = StructType(Seq(StructField("t", StringType)))
+    val rows = Seq(
+      "a b c d e f g", "a b c", "a b", "a", "",
+      "a  b   c", " leading", "trailing ", "  ", "x y x y x y",
+      "one two three four five six seven eight nine ten").map(Row(_)) :+
+      Row(null)
+    val d = df(schema, rows: _*)
+    for (n <- Seq(2, 3, 4, 5)) {
+      val got = d.select(
+        graft.functions.TextFunctions.shingles(col("t"), n).as("g"),
+        oldShingles(col("t"), n).as("o")).collect()
+      for (r <- got)
+        assert(r.get(0) == r.get(1), s"n=$n: ${r.get(0)} vs ${r.get(1)}")
+    }
+  }
+
   // ---------------- t-closeness broadcast plan pin (VERDICT r18 item 4)
 
   test("q286 shape: the global-distribution join broadcasts even without auto-broadcast") {
