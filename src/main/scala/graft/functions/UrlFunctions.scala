@@ -25,8 +25,26 @@ object UrlFunctions {
     * "example.org" blocks every subdomain without regex scans. */
   def domainSuffixes(c: Column): Column = {
     val labels = split(domain(c), "\\.")
-    transform(sequence(lit(1), size(labels)),
-      i => array_join(slice(labels, i, size(labels)), "."))
+    // right-fold over the reversed labels, never a
+    // transform(sequence(...)) whose lambda closes over `labels`: a HOF
+    // lambda re-evaluates closed-over expressions per element, which
+    // re-ran the domain regex + split once PER SUFFIX. aggregate's
+    // lambda sees only (acc, element), so the label array is evaluated
+    // exactly once; suffix strings are byte-identical (dot-join of the
+    // same label slices).
+    reverse(aggregate(
+      reverse(labels),
+      struct(array().cast("array<string>").as("arr"),
+        lit("").as("cur")),
+      (acc, l) => {
+        // first-element test = empty accumulator, NOT cur === "" — an
+        // empty label (trailing-dot host) makes cur legitimately ""
+        val cur = when(size(acc.getField("arr")) === 0, l)
+          .otherwise(concat(l, lit("."), acc.getField("cur")))
+        struct(concat(acc.getField("arr"), array(cur)).as("arr"),
+          cur.as("cur"))
+      },
+      acc => acc.getField("arr")))
   }
 
   /** Rows whose URL host matches no blocklist entry (exact or subdomain).

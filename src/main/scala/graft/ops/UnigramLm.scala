@@ -146,6 +146,103 @@ object UnigramLm {
     m
   }
 
+  /** Char-indexed piece trie over an all-ASCII vocabulary: flat
+    * children array (node·128 + char → node, −1 absent), per-node logp
+    * (NaN = prefix only). Lets the Viterbi DP probe pieces with array
+    * derefs instead of a substring ALLOCATION + HashMap probe per DP
+    * cell — the normalized corpus alphabet is [a-z0-9], so this is the
+    * production path; [[segmenter]] falls back to the HashMap kernel
+    * for any non-ASCII vocabulary. */
+  private[graft] final class AsciiPieceTrie(vocab: Array[VocabEntry]) {
+    private val cap = vocab.iterator.map(_.piece.length).sum + 1
+    val children: Array[Int] = Array.fill(cap * 128)(-1)
+    val logps: Array[Double] = Array.fill(cap)(Double.NaN)
+    private var nNodes = 1
+    vocab.foreach { v =>
+      var node = 0
+      var i = 0
+      while (i < v.piece.length) {
+        val c = v.piece.charAt(i).toInt
+        var nxt = children(node * 128 + c)
+        if (nxt < 0) { nxt = nNodes; nNodes += 1; children(node * 128 + c) = nxt }
+        node = nxt
+        i += 1
+      }
+      logps(node) = v.logp
+    }
+  }
+
+  /** [[viterbi]] over an [[AsciiPieceTrie]]: the identical forward DP
+    * (same float adds, same strict-> relaxation), with candidates for
+    * each end position j arriving in the SAME descending-piece-length
+    * order the backward kernel scans (i ascending ⟺ l = j−i
+    * descending, and the l=1 char/unk fallback is evaluated last), so
+    * scores, ties and segmentations are bit-identical — pinned against
+    * the HashMap kernel in Round19Spec. A word char outside ASCII
+    * simply has no trie edge (an all-ASCII vocabulary cannot contain
+    * it) and falls through to the unk single-char piece, exactly like
+    * the HashMap miss. */
+  private[graft] def viterbiTrie(word: String, trie: AsciiPieceTrie,
+      maxPieceLen: Int, unkLogp: Double): Array[String] = {
+    val n = word.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    best(0) = 0.0
+    var i = 0
+    while (i < n) {
+      val bi = best(i)
+      var node = 0
+      var covered1 = false
+      val maxL = math.min(maxPieceLen, n - i)
+      var l = 1
+      var walking = true
+      while (walking && l <= maxL) {
+        val c = word.charAt(i + l - 1).toInt
+        val nxt = if (c < 128) trie.children(node * 128 + c) else -1
+        if (nxt < 0) walking = false
+        else {
+          node = nxt
+          val lp = trie.logps(node)
+          if (!lp.isNaN) {
+            if (l == 1) covered1 = true
+            val sc = bi + lp
+            if (sc > best(i + l)) { best(i + l) = sc; back(i + l) = l }
+          }
+          l += 1
+        }
+      }
+      if (!covered1) {
+        val sc = bi + unkLogp
+        if (sc > best(i + 1)) { best(i + 1) = sc; back(i + 1) = 1 }
+      }
+      i += 1
+    }
+    val rev = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = n
+    while (p > 0) { rev += word.substring(p - back(p), p); p -= back(p) }
+    val out = new Array[String](rev.length)
+    var k = 0
+    while (k < rev.length) { out(k) = rev(rev.length - 1 - k); k += 1 }
+    out
+  }
+
+  /** The word segmenter for a trained vocabulary: the trie kernel when
+    * every piece is ASCII (the normalized-corpus case), the HashMap
+    * kernel otherwise. Both return identical segmentations; the trie
+    * replaces the per-DP-cell substring+HashMap probe with two array
+    * reads (guide §1.2 per-task work — q260's encode kernel). */
+  private def segmenter(vocab: Array[VocabEntry],
+      maxPieceLen: Int): String => Array[String] = {
+    val unk = unkLogpOf(vocab)
+    if (vocab.forall(v => v.piece.forall(_ < 128))) {
+      val trie = new AsciiPieceTrie(vocab)
+      w => viterbiTrie(w, trie, maxPieceLen, unk)
+    } else {
+      val m = toLogpMap(vocab)
+      w => viterbi(w, m, maxPieceLen, unk)
+    }
+  }
+
   /** Out-of-vocabulary character penalty: well below the rarest real
     * piece, so an unknown char never outcompetes a vocabulary piece. */
   private def unkLogpOf(vocab: Array[VocabEntry]): Double =
@@ -182,12 +279,9 @@ object UnigramLm {
         .as[(String, Long)](Encoders.tuple(Encoders.STRING,
           Encoders.scalaLong))
         .mapPartitions { rows =>
-          val v = bc.value
-          val m = toLogpMap(v)
-          val unk = unkLogpOf(v)
+          val seg = segmenter(bc.value, maxLen)
           rows.flatMap { case (w, c) =>
-            viterbi(w, m, maxLen, unk).iterator
-              .map(p => (p, c))
+            seg(w).iterator.map(p => (p, c))
           }
         }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
         .toDF("piece", "uses")
@@ -242,14 +336,12 @@ object UnigramLm {
       .add(StructField(piecesOut, ArrayType(StringType), nullable = false))
       .add(StructField(decodedOut, StringType, nullable = false))
     df.mapPartitions { it =>
-      val v = bc.value
-      val m = toLogpMap(v)
-      val unk = unkLogpOf(v)
+      val seg = segmenter(bc.value, maxLen)
       it.map { row =>
         val text = if (row.isNullAt(idx)) "" else row.getString(idx)
         val wordsArr = text.toLowerCase(java.util.Locale.ROOT)
           .split("[^a-z0-9]+").filter(_.nonEmpty)
-        val segs = wordsArr.map(w => viterbi(w, m, maxLen, unk))
+        val segs = wordsArr.map(seg)
         Row.fromSeq(row.toSeq :+ segs.flatten.toSeq :+
           segs.map(_.mkString).mkString(" "))
       }

@@ -137,6 +137,50 @@ class Round19Spec extends SparkSpec {
     }
   }
 
+  test("domainSuffixes: aggregate-fold form matches the sequence-lambda form") {
+    def oldSuffixes(c: org.apache.spark.sql.Column) = {
+      val labels = split(graft.functions.UrlFunctions.domain(c), "\\.")
+      transform(sequence(lit(1), size(labels)),
+        i => array_join(slice(labels, i, size(labels)), "."))
+    }
+    val schema = StructType(Seq(StructField("u", StringType)))
+    val rows = Seq(
+      "https://a.b.example.org/x", "http://example.com/", "http://org/",
+      "https://example.com./trailing-dot", "http://a..b/empty-label",
+      "not a url", "").map(Row(_)) :+ Row(null)
+    val d = df(schema, rows: _*)
+    for (r <- d.select(graft.functions.UrlFunctions.domainSuffixes(col("u"))
+        .as("g"), oldSuffixes(col("u")).as("o")).collect())
+      assert(r.get(0) == r.get(1), s"${r.get(0)} vs ${r.get(1)}")
+  }
+
+  // ---------------- unigram Viterbi: trie kernel parity
+
+  test("viterbiTrie: bit-identical segmentations to the HashMap kernel") {
+    val rng = new scala.util.Random(7)
+    val alphabet = "abcde01"
+    def randPiece(len: Int) =
+      (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    // vocab: all single chars plus random multi-char pieces (with ties —
+    // equal logps force the longer-piece tie rule through both kernels)
+    val entries = (alphabet.map(c => graft.ops.UnigramLm.VocabEntry(
+        c.toString, 1L, -3.0 - (c % 3))) ++
+      (0 until 40).map { i => graft.ops.UnigramLm.VocabEntry(
+        randPiece(2 + rng.nextInt(3)), 1L, -2.0 - (i % 4) * 0.5) })
+      .distinctBy(_.piece).toArray
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    entries.foreach(v => m.put(v.piece, java.lang.Double.valueOf(v.logp)))
+    val unk = entries.map(_.logp).min - math.log(100.0)
+    val trie = new graft.ops.UnigramLm.AsciiPieceTrie(entries)
+    val words = (0 until 300).map(_ => randPiece(1 + rng.nextInt(14))) ++
+      Seq("", "zzzz", "a0a0a0a0", "ü-nonascii", "x")
+    for (w <- words; maxLen <- Seq(2, 4)) {
+      val a = graft.ops.UnigramLm.viterbi(w, m, maxLen, unk).toSeq
+      val b = graft.ops.UnigramLm.viterbiTrie(w, trie, maxLen, unk).toSeq
+      assert(a == b, s"'$w' maxLen=$maxLen: $a vs $b")
+    }
+  }
+
   // ---------------- t-closeness broadcast plan pin (VERDICT r18 item 4)
 
   test("q286 shape: the global-distribution join broadcasts even without auto-broadcast") {
