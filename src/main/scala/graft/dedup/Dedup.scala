@@ -266,7 +266,20 @@ object MinHashDedup {
     * identical semantics (given identical shingle/perm/band parameters),
     * but the reference side's linear text pass is replaced by a scan of
     * the stored state. Guards still bound the join: cap/head on the NEW
-    * side, and the candidate set is deduped before the verify join. */
+    * side, and the candidate set is deduped before the verify join.
+    *
+    * 100 TB deployment note (guide §3.2): with the reference side
+    * stored, a Bloom filter over the (small) crawl's band keys applied
+    * to the stored side's exploded (_band, _bkey) rows BEFORE the
+    * exchange drops the ~all reference band keys that match nothing in
+    * the crawl — band keys are high-cardinality hashes, so the filter
+    * is selective by construction, and false positives only add
+    * candidates the Jaccard verify kills (never fewer true pairs). Not
+    * wired here: in the self-computing [[crossPairs]] both sides'
+    * banded keys derive from text in the same query, so building the
+    * filter costs one extra full prepBanded action — measured strictly
+    * negative at bench scale, and the declared queries all take that
+    * self-computing path. */
   def crossPairsPrecomputed(
       newDf: DataFrame,
       newIdCol: String,

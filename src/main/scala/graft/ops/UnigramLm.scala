@@ -69,26 +69,57 @@ object UnigramLm {
     * rounded to 6 (the q254 ln-gate precedent). The multi-char top-k
     * plans as TakeOrderedAndProject — map-side partial top-k, no
     * unpartitioned window, no full sort. */
-  def seed(words: DataFrame, maxPieceLen: Int, seedSize: Int): DataFrame = {
+  def seed(words: DataFrame, maxPieceLen: Int, seedSize: Int): DataFrame =
+    seedFrame(words.sparkSession, seedEntries(words, maxPieceLen, seedSize))
+
+  /** The seed selection as ONE bounded collect (guide §1.2: the old
+    * form paid three sequential driver actions — a chars count, a
+    * selected-total scalar, and the trainer's own collect of the built
+    * frame). The collected superset is bounded by construction: every
+    * single-char piece (wordCounts normalizes to [a-z0-9], so ≤ 36
+    * rows) plus the top `seedSize` multi-char pieces — a superset of
+    * the kMulti = seedSize − nChars the selection needs, truncated
+    * driver-side under the same (count desc, piece asc) total order
+    * the distributed TakeOrdered used (pieces are distinct, so the
+    * order is total and the boundary deterministic). logp replicates
+    * Spark's round(log(cnt/total), 6) bit-for-bit: the same
+    * double division, java.lang.Math.log, and HALF_UP BigDecimal
+    * 6-digit rounding that the old Column expression evaluated —
+    * pinned old-vs-new in Round19Spec. */
+  private[graft] def seedEntries(words: DataFrame, maxPieceLen: Int,
+      seedSize: Int): Array[VocabEntry] = {
     require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
     require(seedSize >= 2, s"seedSize must be >= 2, got $seedSize")
     val counts = graft.core.PersistScope.register(
       seedCounts(words, maxPieceLen).persist())
-    val chars = counts.filter(length(col("piece")) === 1)
-    val nChars = chars.count()
-    val kMulti = math.max(seedSize - nChars, 0L).toInt
-    val multi = counts.filter(length(col("piece")) >= 2)
-      .orderBy(col("cnt").desc, col("piece")).limit(kMulti)
-    val sel = chars.unionByName(multi)
-    // total over the SELECTED pieces (two bounded scalar collects);
+    val picked = counts.filter(length(col("piece")) === 1)
+      .unionByName(counts.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(seedSize))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     // an empty selection (no alphanumeric tokens anywhere) must fail
     // with a NAMED error, not an NPE off a null sum
-    val totalRow = sel.agg(sum(col("cnt"))).head()
-    require(!totalRow.isNullAt(0),
+    require(picked.nonEmpty,
       "unigram seed: corpus has no alphanumeric tokens to seed from")
-    val total = totalRow.getLong(0)
-    sel.withColumn("logp",
-      round(log(col("cnt").cast("double") / total.toDouble), 6))
+    val (chars, multiAll) = picked.partition(_._1.length == 1)
+    val kMulti = math.max(seedSize - chars.length, 0)
+    val multi = multiAll.sortBy { case (p, c) => (-c, p) }.take(kMulti)
+    val sel = chars ++ multi
+    val total = sel.map(_._2).sum
+    sel.map { case (p, c) =>
+      val logp = java.math.BigDecimal
+        .valueOf(math.log(c.toDouble / total.toDouble))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      VocabEntry(p, c, logp)
+    }
+  }
+
+  /** The (piece, cnt, logp) frame [[seed]] publishes, from collected
+    * entries. */
+  private def seedFrame(spark: org.apache.spark.sql.SparkSession,
+      entries: Array[VocabEntry]): DataFrame = {
+    import spark.implicits._
+    entries.toSeq.map(v => (v.piece, v.cnt, v.logp))
+      .toDF("piece", "cnt", "logp")
   }
 
   /** One vocabulary entry: surviving piece, its corpus-weighted
@@ -262,12 +293,12 @@ object UnigramLm {
     val spark = df.sparkSession
     val words = graft.core.PersistScope.register(
       wordCounts(df, textCol).persist())
-    val seeded = seed(words, maxPieceLen, seedSize)
-    if (emIters == 0) return seeded
+    // the seed entries are already driver-resident (one bounded
+    // collect) — no round trip through a frame and back
+    val entries = seedEntries(words, maxPieceLen, seedSize)
+    if (emIters == 0) return seedFrame(spark, entries)
     // vocab-sized driver state from here on — model, never corpus
-    var vocab = seeded.collect()
-      .map(r => VocabEntry(r.getString(0), r.getLong(1), r.getDouble(2)))
-      .sortBy(_.piece)
+    var vocab = entries.sortBy(_.piece)
     var it = 0
     while (it < emIters) {
       val bc = spark.sparkContext.broadcast(vocab)

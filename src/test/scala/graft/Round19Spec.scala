@@ -181,6 +181,31 @@ class Round19Spec extends SparkSpec {
     }
   }
 
+  test("unigram seed: one-collect driver selection matches the three-action form") {
+    // the old three-action form, kept as the parity oracle: chars count,
+    // distributed TakeOrdered for the multi top-k, Column-expression logp
+    def oldSeed(words: org.apache.spark.sql.DataFrame, maxPieceLen: Int,
+        seedSize: Int) = {
+      val counts = graft.ops.UnigramLm.seedCounts(words, maxPieceLen)
+      val chars = counts.filter(length(col("piece")) === 1)
+      val kMulti = math.max(seedSize - chars.count(), 0L).toInt
+      val multi = counts.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(kMulti)
+      val sel = chars.unionByName(multi)
+      val total = sel.agg(sum(col("cnt"))).head().getLong(0)
+      sel.withColumn("logp",
+        round(log(col("cnt").cast("double") / total.toDouble), 6))
+    }
+    val words = graft.ops.UnigramLm.wordCounts(docsDf, "text")
+    for (seedSize <- Seq(2, 10, 400)) {
+      val a = oldSeed(words, 4, seedSize).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = graft.ops.UnigramLm.seed(words, 4, seedSize).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b, s"seedSize=$seedSize:\nonly old: ${a -- b}\nonly new: ${b -- a}")
+    }
+  }
+
   // ---------------- t-closeness broadcast plan pin (VERDICT r18 item 4)
 
   test("q286 shape: the global-distribution join broadcasts even without auto-broadcast") {
