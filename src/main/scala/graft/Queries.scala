@@ -9235,12 +9235,27 @@ object Queries {
           .select("p_id", "c_id")
         val qn = "q275sink_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = out.writeStream.format("memory").queryName(qn)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        val result = s.table(qn)
-        val snap = s.createDataFrame(result.collectAsList(), result.schema)
-        s.catalog.dropTempView(qn)
+        // An INNER stream-stream join emits only on DATA batches; the
+        // zero-row no-data micro-batch exists to advance the watermark
+        // for state EVICTION and outer-join/windowed-agg FLUSHES —
+        // neither produces a row here, and the r18 gate anatomy
+        // measured that batch at ~4 s of this gate's ~9 s (32x4 join
+        // store instances re-committing). Scope it off for this query
+        // only: results are watermark-eviction-independent for inner
+        // joins (oracle-gated), and the append-mode windowed gates
+        // (q217-class), which NEED the flush, keep the default.
+        val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+        val ndPrev = s.conf.get(ndKey)
+        s.conf.set(ndKey, "false")
+        val snap = try {
+          val q = out.writeStream.format("memory").queryName(qn)
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+          val result = s.table(qn)
+          val sn = s.createDataFrame(result.collectAsList(), result.schema)
+          s.catalog.dropTempView(qn)
+          sn
+        } finally s.conf.set(ndKey, ndPrev)
         snap
       },
       Some("""

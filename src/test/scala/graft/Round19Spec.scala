@@ -206,6 +206,18 @@ class Round19Spec extends SparkSpec {
     }
   }
 
+  test("q275 restores noDataMicroBatches after its scoped disable") {
+    // the gate flips the session conf off for its own run (inner joins
+    // emit nothing on the no-data batch) — it must never leak into the
+    // next query, which may be a windowed-agg gate that NEEDS the flush
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val before = spark.conf.get(key)
+    assert(before == "true", s"unexpected ambient default: $before")
+    val fn = graft.SparkEntry.queries("q275_stream_interval_join")
+    fn(spark, "/root/testdata/sf0.001").count()
+    assert(spark.conf.get(key) == before, "conf leaked")
+  }
+
   // ---------------- t-closeness broadcast plan pin (VERDICT r18 item 4)
 
   test("q286 shape: the global-distribution join broadcasts even without auto-broadcast") {
