@@ -6969,15 +6969,20 @@ object Queries {
           stateTtl = "365 days")
         val qn = "q218sink_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = out.toDF("id", "key").writeStream.format("memory")
-          .queryName(qn).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        // snapshot (n × distinct-keys rows — quota-bounded) + drop the
-        // sink view; see q217
-        val result = s.table(qn)
-        val snap = s.createDataFrame(result.collectAsList(), result.schema)
-        s.catalog.dropTempView(qn)
-        snap
+        // quota admission emits immediately and its timeout branch
+        // emits nothing — the no-data batch is pure state-commit cost
+        // here (Streams.withoutNoDataBatches scaladoc)
+        graft.streaming.Streams.withoutNoDataBatches(s) {
+          val q = out.toDF("id", "key").writeStream.format("memory")
+            .queryName(qn).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+          // snapshot (n × distinct-keys rows — quota-bounded) + drop the
+          // sink view; see q217
+          val result = s.table(qn)
+          val snap = s.createDataFrame(result.collectAsList(), result.schema)
+          s.catalog.dropTempView(qn)
+          snap
+        }
       },
       Some("""
         WITH r AS (
@@ -8279,14 +8284,19 @@ object Queries {
           "et", watermarkDelay = "0 seconds", stateTtl = "365 days")
         val qn = "q255sink_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = out.toDF("id", "text").writeStream.format("memory")
-          .queryName(qn).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        val result = s.table(qn)
-          .select(col("id"), md5(col("text")).as("text_md5"))
-        val snap = s.createDataFrame(result.collectAsList(), result.schema)
-        s.catalog.dropTempView(qn)
-        snap
+        // first-seen dedup emits immediately and its timeout branch
+        // emits nothing — the no-data batch is pure state-commit cost
+        // here (Streams.withoutNoDataBatches scaladoc)
+        graft.streaming.Streams.withoutNoDataBatches(s) {
+          val q = out.toDF("id", "text").writeStream.format("memory")
+            .queryName(qn).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+          val result = s.table(qn)
+            .select(col("id"), md5(col("text")).as("text_md5"))
+          val snap = s.createDataFrame(result.collectAsList(), result.schema)
+          s.catalog.dropTempView(qn)
+          snap
+        }
       },
       Some("""
         WITH nm AS (
@@ -8385,13 +8395,19 @@ object Queries {
           maxBucketState = 512) // generous: recall must match batch
         val qn = "q258sink_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = out.toDF("id_a", "id_b", "est").writeStream
-          .format("memory").queryName(qn).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        val snapped = s.table(qn).select("id_a", "id_b")
-        val pairs = s.createDataFrame(snapped.collectAsList(),
-          snapped.schema).dropDuplicates("id_a", "id_b")
-        s.catalog.dropTempView(qn)
+        // bucket-state pair events emit immediately and the timeout
+        // branch emits nothing — the no-data batch is pure state-commit
+        // cost here (Streams.withoutNoDataBatches scaladoc)
+        val pairs = graft.streaming.Streams.withoutNoDataBatches(s) {
+          val q = out.toDF("id_a", "id_b", "est").writeStream
+            .format("memory").queryName(qn).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+          val snapped = s.table(qn).select("id_a", "id_b")
+          val p = s.createDataFrame(snapped.collectAsList(),
+            snapped.schema).dropDuplicates("id_a", "id_b")
+          s.catalog.dropTempView(qn)
+          p
+        }
         // exact Jaccard verify over hashed shingles — q24's precision
         // step, applied to the stream's candidate events
         val byId = t(s, dir, "documents").select(
@@ -9240,23 +9256,18 @@ object Queries {
         // for state EVICTION and outer-join/windowed-agg FLUSHES —
         // neither produces a row here, and the r18 gate anatomy
         // measured that batch at ~4 s of this gate's ~9 s (32x4 join
-        // store instances re-committing). Scope it off for this query
-        // only: results are watermark-eviction-independent for inner
-        // joins (oracle-gated), and the append-mode windowed gates
-        // (q217-class), which NEED the flush, keep the default.
-        val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-        val ndPrev = s.conf.get(ndKey)
-        s.conf.set(ndKey, "false")
-        val snap = try {
+        // store instances re-committing). Scoped off for this query
+        // only (see Streams.withoutNoDataBatches — the windowed gates
+        // keep the default).
+        graft.streaming.Streams.withoutNoDataBatches(s) {
           val q = out.writeStream.format("memory").queryName(qn)
             .outputMode("append").start()
           try q.processAllAvailable() finally q.stop()
           val result = s.table(qn)
-          val sn = s.createDataFrame(result.collectAsList(), result.schema)
+          val snap = s.createDataFrame(result.collectAsList(), result.schema)
           s.catalog.dropTempView(qn)
-          sn
-        } finally s.conf.set(ndKey, ndPrev)
-        snap
+          snap
+        }
       },
       Some("""
         WITH p AS (SELECT event_id AS p_id, user_id AS u, epoch_us(ts) AS t

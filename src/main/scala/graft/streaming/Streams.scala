@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -684,6 +684,24 @@ object Streams {
       s"$leftKey = $rightKey AND " +
         s"$rightTs >= $leftTs - interval '$before' AND " +
         s"$rightTs <= $leftTs + interval '$after'"))
+  }
+
+  /** Run `body` (a gate's start + drain + stop) with no-data
+    * micro-batches disabled, restoring the session default after. The
+    * zero-row watermark batch exists to EMIT watermark-driven results
+    * (windowed-agg final windows, outer-join null pads) and to evict
+    * state early; it costs a full state-store commit cycle across every
+    * store instance. Safe ONLY for gates whose operators emit nothing
+    * on that batch: INNER stream-stream joins, and
+    * flatMapGroupsWithState functions whose timeout branch emits empty
+    * (every one in this module — they only `state.remove()`). The
+    * append-mode windowed gates (q217-class) NEED the no-data flush and
+    * must not use this. Conf restoration is spec-pinned (Round19Spec). */
+  def withoutNoDataBatches[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
   }
 
   def toMemorySink(df: DataFrame, name: String, outputMode: OutputMode): Unit = {
